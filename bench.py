@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the flagship EAV pipeline + representative heavy
+# operators (joins, windows, event-time, dedup-ish text ops).
+HEADLINE = [
+    "flagship",
+    "join_fk_transitive",
+    "join_bridge_m2n",
+    "agg_grouping_sets",
+    "win_frame_rows",
+    "stream_session_window",
+    "sort_limit_topk",
+]
+
+
+def main() -> None:
+    from pmc_conversion_spark.session import get_spark
+    import __spark_entry__ as E
+    from pmc_conversion_spark.plans.flagship import flagship_query
+
+    spark = get_spark("bench")
+    qs = E.queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        df = fn()
+        n = df.count()  # full materialization
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # Warm the JVM/session with a trivial action so timings measure the
+    # queries, not session spin-up.
+    spark.range(1).count()
+
+    for name in HEADLINE:
+        if name == "flagship":
+            run(name, lambda: flagship_query(spark, SF_DIR))
+        elif name in qs:
+            run(name, lambda n=name: qs[n](spark, SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (BASELINE.json north star).
+
+The Spark-side plumbing — schema, batch iteration, partition sizing —
+is real and tested; the actual media decoding is STUBBED because no
+image/audio libraries exist in this container: ``decode_image_meta``
+raises NotImplementedError unless ``fake=True``, in which case it
+produces a deterministic fake decode derived from the bytes (so tests
+and the driver can exercise the full pipeline shape).
+
+Design for scale: media bytes ride as a ``binary`` column; decode /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` (one Python
+worker per partition, zero-copy batches); metadata-only transforms never
+touch the bytes (column pruning drops the blob at the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of a media row: opaque bytes + typed metadata
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),   # image|audio|video
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+DECODE_OUT_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_channels int, checksum string"
+)
+
+
+def attach_media_metadata(df: DataFrame, content_col: str = "content"
+                          ) -> DataFrame:
+    """Typed metadata from the binary column (JVM-side, no decode)."""
+    return (df.withColumn("n_bytes", F.length(F.col(content_col)).cast("long"))
+            .withColumn("checksum", F.sha1(F.col(content_col))))
+
+
+def decode_image_meta(content: bytes, *, fake: bool = False) -> dict:
+    """Decode one image's dimensions/channels.
+
+    STUB: real decoding needs an image library (PIL/opencv) that is not
+    in this container. ``fake=True`` derives deterministic pseudo-
+    dimensions from the byte content so the distributed plumbing can be
+    exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in "
+            "this environment; run with fake=True for pipeline tests")
+    n = len(content)
+    return {"width": 16 + (n * 7) % 1024,
+            "height": 16 + (n * 13) % 1024,
+            "n_channels": 1 + n % 3}
+
+
+def decode_media_batch(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Distributed decode via Arrow-batched mapInPandas.
+
+    Input rows follow MEDIA_SCHEMA; output DECODE_OUT_SCHEMA. The UDF
+    sees pandas batches (zero-copy via Arrow); per-row Python work is
+    just the decoder call — batching amortizes everything else.
+    """
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [decode_image_meta(c if c is not None else b"", fake=fake)
+                     for c in pdf["content"]]
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(c) if c is not None else 0
+                            for c in pdf["content"]],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_channels": [m["n_channels"] for m in metas],
+                "checksum": [__import__("hashlib").sha1(
+                    c if c is not None else b"").hexdigest()
+                    for c in pdf["content"]],
+            })
+            yield out
+
+    return df.mapInPandas(_decode, DECODE_OUT_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: emits (media_id, frame_index) rows
+    for frames to extract, sized from metadata only — the expensive
+    decode fan-out is planned JVM-side; actual frame extraction would
+    run as a mapInPandas over (media_id, frame_index, content).
+
+    Fake frame count = n_bytes // 1024 (one frame per KiB) until a real
+    demuxer is available (same stub policy as decode_image_meta).
+    """
+    n_frames = (F.col("n_bytes") / F.lit(1024)).cast("int")
+    return (df.select("media_id", n_frames.alias("n_frames"))
+            .filter(F.col("n_frames") > 0)
+            .select("media_id",
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("n_frames") - 1,
+                        F.lit(every_n))).alias("frame_index")))

@@ -1,0 +1,109 @@
+"""Text analysis for large-scale training-data pipelines (BASELINE.json
+north star): tokenization, language ID, quality scoring, fingerprinting.
+
+Everything is built-in-function only (JVM-side, whole-stage codegen) —
+no Python in the hot path; at 100 TB these run as map-only stages with
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punct tokenizer (one token per match)
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword lexicons for the n-gram/stopword heuristic
+#: language-ID (deterministic, dependency-free)
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "avec"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "con"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2", "you3", "wo3", "ta1", "zhe4",
+           "bu4"),
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty string -> empty array)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letters / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_hits(text: Column, lexicon: tuple[str, ...]) -> Column:
+    """Multiset count of lowercase whitespace tokens in the lexicon."""
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(ws_tokens(F.lower(text)),
+                           lambda t: F.array_contains(lex, t)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Raw quality-signal columns (length/token/punct/stopword ratios —
+    the standard web-corpus heuristics)."""
+    n_chars = F.length(text)
+    n_tokens = token_count_ws(text)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": punct_count(text),
+        "n_stopwords": stopword_hits(text, LANG_LEXICONS["en"]),
+        "mean_token_len": (n_chars - (n_tokens - 1)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (deterministic tie-break on language code order; no hits -> 'und')."""
+    pairs = [(code, stopword_hits(text, lex))
+             for code, lex in sorted(LANG_LEXICONS.items())]
+    best = F.greatest(*[hits for _, hits in pairs])
+    out = F.lit("und")
+    # Reverse order so earlier codes win ties (last when wins in a fold).
+    for code, hits in reversed(pairs):
+        out = F.when((hits == best) & (best > 0), F.lit(code)).otherwise(out)
+    return out
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical form for near-exact matching: lowercase, strip
+    punctuation, collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (md5 exists in
+    both Spark and DuckDB, making the op oracle-checkable; the exact-dedup
+    op groups on this)."""
+    return F.md5(F.encode(normalize_for_fingerprint(text), "UTF-8"))
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles over a token array (each shingle a
+    space-joined string); arrays shorter than n yield a single shingle of
+    the whole text so short docs still participate."""
+    k = F.size(tokens)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    whole = F.array(F.concat_ws(" ", tokens))
+    return F.array_distinct(F.when(k >= n, ngrams).otherwise(whole))

@@ -1,0 +1,135 @@
+"""Registry: event-time operators (SURVEY.md §2.9) in their batch form.
+
+The reference is micro-batch-by-cron; these are the ∅ event-time ops the
+driver events table requires. Each query here is the *batch* semantics
+of the corresponding streaming transform — the actual readStream
+versions (same transform functions) live in
+``pmc_conversion_spark/streaming`` and are exercised by tests; the
+DuckDB oracle pins the windowing semantics.
+
+Money-style doubles are summed as DECIMAL(18,2) on both sides so the
+hash comparison is exact regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.queries import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .alias("total_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type",
+                    "n", "total_value"))
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts)
+             - k * INTERVAL '10 minutes' AS w_start,
+           count(*) AS n
+    FROM events, (VALUES (0), (1), (2)) AS off(k)
+    GROUP BY 1
+    """)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 30-minute width, 10-minute slide (each event lands
+    in 3 windows)."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user; the
+    oracle pins the semantics via gaps-and-islands SQL."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"))
+            .select("user_id", "session_start", "n_events"))
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '7 days' AS cutoff FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           event_type, count(*) AS n
+    FROM events, wm
+    WHERE ts >= wm.cutoff
+    GROUP BY 1, 2
+    """)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: events older than (max event time −
+    7 days) count as late and are dropped before windowing; the streaming
+    twin uses withWatermark (tests)."""
+    e = _events(spark, sf_dir)
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (e.crossJoin(F.broadcast(cutoff))
+            .filter(F.col("ts") >= F.col("cutoff"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n"))
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first event per (user, type) — deterministic dedup via an
+    explicit total order (dropDuplicates keeps an arbitrary row; the
+    streaming twin bounds state with a watermark)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (e.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts"))

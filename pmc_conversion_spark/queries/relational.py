@@ -1,0 +1,554 @@
+"""Registry: core relational operators (SURVEY.md §2.2-2.7) demonstrated
+on the driver star schema, each with a DuckDB oracle.
+
+Naming: every query aliases computed columns identically in Spark and
+SQL (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.operators import joins as J
+from pmc_conversion_spark.operators import aggregates as A
+from pmc_conversion_spark.operators import windows as W
+from pmc_conversion_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- §2.2
+
+@register(
+    "project_rename",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           o_totalprice AS total
+    FROM orders
+    """)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select source columns by name, expose under attribute names.
+
+    Reference: sources_config.json:29-34 (``"column": "Gebdat"`` ->
+    attribute ``birth_date``); column pruning reaches the parquet scan.
+    """
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"))
+
+
+@register(
+    "filter_nonnull_attr",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL
+    """)
+def filter_nonnull_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only non-empty attribute values become observations.
+
+    Reference: empty CSV cells pervasive (diagnosis.csv:2); the EAV
+    unpivot drops them. Demonstrated by nulling out a value class and
+    filtering it away.
+    """
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("O")))
+    return (df.filter(F.col("status_or_null").isNotNull())
+            .select("o_orderkey", "status_or_null"))
+
+
+# ---------------------------------------------------------------- §2.3
+
+@register(
+    "join_fk_individual",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """)
+def join_fk_individual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join fact->dimension with the dimension broadcast.
+
+    Reference: Diagnosis/Biosource/Radiology reference individual_id
+    (biosource.tsv:1). Customer plays the bounded dimension; broadcast
+    avoids shuffling the fact side at any scale.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .select("o_orderkey", "c_custkey", "c_mktsegment"))
+
+
+@register(
+    "join_anti_unmatched",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """)
+def join_anti_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): rows with no partner on the other side.
+
+    Reference error-path pattern (scripts/sync.py:51-60) applied to the
+    star schema: customers with no orders. The sidecar-specific form is
+    ``join_anti_orphans`` in the manifest module.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (customer.join(orders,
+                          customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_fk_transitive",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, c.c_custkey, c.c_nationkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """)
+def join_fk_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop FK chain (Biomaterial -> Biosource -> Individual).
+
+    Reference: biomaterial.tsv:1 src_biosource_id -> biosource.tsv:1
+    individual_id. Chained inner joins; Catalyst reorders and AQE picks
+    broadcast for the bounded dims.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("l_orderkey", "l_linenumber", "c_custkey", "c_nationkey"))
+
+
+@register(
+    "join_self_parent",
+    oracle="""
+    SELECT child.l_orderkey, child.l_linenumber,
+           parent.l_quantity AS parent_quantity
+    FROM lineitem child
+    LEFT JOIN lineitem parent
+      ON child.l_orderkey = parent.l_orderkey
+     AND parent.l_linenumber = child.l_linenumber - 1
+    """)
+def join_self_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self left-join resolving a parent link within one table.
+
+    Reference: Biosource.src_biosource_id / Biomaterial.src_biomaterial_id
+    self-references (sources_config.json:210-216,277-283). Parent =
+    previous line number within the same order.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    child = l.alias("child")
+    parent = l.alias("parent")
+    return (child.join(
+        parent,
+        (F.col("child.l_orderkey") == F.col("parent.l_orderkey"))
+        & (F.col("parent.l_linenumber") == F.col("child.l_linenumber") - 1),
+        "left")
+        .select(F.col("child.l_orderkey").alias("l_orderkey"),
+                F.col("child.l_linenumber").alias("l_linenumber"),
+                F.col("parent.l_quantity").alias("parent_quantity")))
+
+
+@register(
+    "join_priority_merge",
+    oracle="""
+    WITH s1 AS (
+      SELECT c_custkey AS id, 'S1:' || c_name AS name
+      FROM customer WHERE c_custkey % 3 = 0
+    ), s2 AS (
+      SELECT c_custkey AS id, 'S2:' || c_name AS name, c_acctbal AS acctbal
+      FROM customer
+    )
+    SELECT COALESCE(s1.id, s2.id) AS id,
+           COALESCE(s1.name, s2.name) AS name,
+           s2.acctbal AS acctbal
+    FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id
+    """)
+def join_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-listed-source-wins attribute merge (heart of sources2csr).
+
+    Reference: sources_config.json:5-49 — Individual.birth_date from
+    RDP-Patient.tsv else individual.csv; ids union over all sources.
+    Source 1 covers a subset and lacks the acctbal attribute entirely.
+    """
+    c = _t(spark, sf_dir, "customer")
+    s1 = (c.filter(F.col("c_custkey") % 3 == 0)
+          .select(F.col("c_custkey").alias("id"),
+                  F.concat(F.lit("S1:"), F.col("c_name")).alias("name")))
+    s2 = c.select(F.col("c_custkey").alias("id"),
+                  F.concat(F.lit("S2:"), F.col("c_name")).alias("name"),
+                  F.col("c_acctbal").alias("acctbal"))
+    return J.priority_merge([s1, s2], key="id", attrs=["name", "acctbal"])
+
+
+@register(
+    "join_codebook_decode",
+    oracle="""
+    SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
+                             WHEN 'A' THEN 'accepted'
+                             ELSE l_returnflag END AS returnflag,
+           CASE l_linestatus WHEN 'O' THEN 'open' ELSE l_linestatus END
+             AS linestatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """)
+def join_codebook_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook decode: replace coded values with labels; unmapped codes
+    keep the raw value (codebooks are partial).
+
+    Reference: sources_config.json:459-464; individual_codebook.tsv
+    (SEX 1->male, 217->UMCU). Codebook is broadcast-joined per column.
+    """
+    from pmc_conversion_spark.queries.manifest import fixture_df
+    codebook = fixture_df(
+        spark,
+        [("l_returnflag", "R", "returned"),
+         ("l_returnflag", "A", "accepted"),
+         ("l_linestatus", "O", "open")],
+        "column string, code string, label string")
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    decoded = J.codebook_decode(l, codebook, ["l_returnflag", "l_linestatus"])
+    return (decoded.groupBy(F.col("l_returnflag").alias("returnflag"),
+                            F.col("l_linestatus").alias("linestatus"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "join_bridge_m2n",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY s.s_suppkey, s.s_name
+    """)
+def join_bridge_m2n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M:N resolution through a bridge table.
+
+    Reference: individual_study.csv bridge Individual<->Study
+    (sources_config.json:418-457). Here lineitem+orders bridge
+    supplier<->customer; distinct count collapses the fan-out.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.countDistinct("o_custkey").alias("n_customers")))
+
+
+@register(
+    "join_sample_split",
+    oracle="""
+    WITH samples AS (
+      SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS sample_id,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT s.sample_id, o.o_orderkey, o.o_orderstatus, s.l_quantity
+    FROM samples s
+    JOIN orders o ON CAST(split_part(s.sample_id, '_', 1) AS BIGINT) = o.o_orderkey
+    """)
+def join_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite sample id split back into its FK parts for joining.
+
+    Reference: NGS sample ids ``BIOS1T_BIOM1T`` join .seg/matrix rows to
+    biosource+biomaterial (pmc_test_WXS.seg:2; xx_archive README:11-16).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    samples = l.select(
+        F.concat_ws("_", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")).alias("sample_id"),
+        "l_quantity")
+    keyed = samples.withColumn(
+        "__key", F.split(F.col("sample_id"), "_").getItem(0).cast("bigint"))
+    return (keyed.join(o, keyed.__key == o.o_orderkey)
+            .select("sample_id", "o_orderkey", "o_orderstatus", "l_quantity"))
+
+
+# ---------------------------------------------------------------- §2.4
+
+@register(
+    "agg_distinct_union_ids",
+    oracle="""
+    SELECT o_custkey AS id FROM orders
+    UNION
+    SELECT c_custkey FROM customer
+    """)
+def agg_distinct_union_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity id universe = distinct union across contributing sources.
+
+    Reference: sources_config.json:5-28 (Individual ids from 4 files).
+    """
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return o.unionByName(c).distinct()
+
+
+@register(
+    "agg_dup_id_check",
+    oracle="""
+    SELECT l_orderkey, count(*) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """)
+def agg_dup_id_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness validation (duplicates surfaced, not dropped).
+
+    Reference [ext-contract]: entity ids must be unique before merge
+    (sources_config.json id attributes).
+    """
+    return A.duplicate_keys(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+
+
+@register(
+    "agg_obs_stats",
+    oracle="""
+    SELECT l_returnflag AS concept_cd,
+           count(*) AS n_obs,
+           min(l_quantity) AS min_val,
+           max(l_quantity) AS max_val,
+           avg(l_quantity) AS avg_val
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def agg_obs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-concept observation statistics — the post-load query surface
+    (README.md:177-179) answered directly from the long table.
+    """
+    obs = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("concept_cd"),
+        F.col("l_quantity").alias("nval_num"))
+    return A.obs_stats(obs)
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (∅ in reference; free with Spark)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS exact_cnt, true AS approx_ok
+    FROM lineitem
+    """)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct, verified to be within 5% of exact.
+
+    The approximation itself is engine-specific, so the checked contract
+    is the tolerance bound (the oracle computes the exact side).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    agg = l.agg(
+        F.countDistinct("l_partkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__approx"))
+    return agg.select(
+        "exact_cnt",
+        ((F.col("__approx") >= F.col("exact_cnt") * 0.95)
+         & (F.col("__approx") <= F.col("exact_cnt") * 1.05)).alias("approx_ok"))
+
+
+# ---------------------------------------------------------------- §2.5
+
+@register(
+    "win_instance_num",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+             AS instance_num
+    FROM lineitem
+    """)
+def win_instance_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance numbering of repeated observations per entity.
+
+    Reference [ext-contract]: 2 diagnoses per patient => 2 numbered
+    Diagnosis.tumor_type observations (diagnosis.csv 19 rows / 17 ids).
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return W.instance_num(l, ["l_orderkey"], "l_linenumber")
+
+
+@register(
+    "win_surrogate_key",
+    oracle="""
+    SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+    FROM customer
+    """)
+def win_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate integers for a bounded dimension (i2b2 patient_num,
+    README.md:177-179). Global window — only valid for bounded dims."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return W.surrogate_key(c, "c_custkey")
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+             AS rnk,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+             AS drnk
+    FROM supplier
+    """)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank (∅ in reference; driver surface)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select("s_suppkey", "s_nationkey",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"))
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_value
+    FROM events
+    """)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time (∅ in reference)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", "user_id",
+                    F.lag("value").over(w).alias("prev_value"),
+                    F.lead("value").over(w).alias("next_value"))
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sum(l_quantity) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_qty
+    FROM lineitem
+    """)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: running sum per order (∅ in reference).
+
+    The ORDER BY is a total order — (l_orderkey, l_linenumber) is NOT
+    unique in this dataset, and a ROWS frame over a tied ordering is
+    engine-dependent (SURVEY §7.4 determinism risk).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_orderkey")
+         .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return l.select("l_orderkey", "l_linenumber",
+                    F.sum("l_quantity").over(w).alias("running_qty"))
+
+
+# ---------------------------------------------------------------- §2.6
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tie-break (Spark plans a TakeOrdered
+    — no full sort materialization)."""
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+# ---------------------------------------------------------------- §2.7
+
+@register(
+    "set_except_added",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    EXCEPT ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+    """)
+def set_except_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files = new − old (multiset difference).
+
+    Reference: scripts/sync.py:129-131.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 5 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0)
+    return new.exceptAll(old)
+
+
+@register(
+    "set_except_removed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+    EXCEPT ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    """)
+def set_except_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_files = old − new (scripts/sync.py:133-135)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 5 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0)
+    return old.exceptAll(new)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+    UNION
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_discount > 0.09
+    """)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union across sources (sources_config.json:5-28)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_quantity", "l_discount")
+    a = l.filter(F.col("l_quantity") > 45).select("l_partkey", "l_suppkey")
+    b = l.filter(F.col("l_discount") > 0.09).select("l_partkey", "l_suppkey")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection — the 'unchanged' class of the dir-diff
+    (scripts/sync.py:137-139)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("id"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("id"))
+    return a.intersect(b)

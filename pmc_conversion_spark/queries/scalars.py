@@ -1,0 +1,275 @@
+"""Registry: scalar functions (SURVEY.md §2.8) with DuckDB oracles.
+
+String/date/cast/JSON functions demonstrated on literal fixtures (shared
+with the oracle VALUES clause) or on the events table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.functions import dates as D
+from pmc_conversion_spark.queries import register
+from pmc_conversion_spark.queries.manifest import OLD_MANIFEST, _values, fixture_df
+
+# Golden SHA-1 fixture; first string mirrors the reference's unit test
+# (tests/test_checksum.py:20-21 expects d3486ae9...). Digests computed
+# with hashlib at import time — DuckDB 1.0 has no sha1(), so the oracle
+# carries the expected literals.
+SHA1_INPUTS = ["Hello world!", "", "pmc-conversion", "15AUG2000"]
+SHA1_ROWS = [(s, hashlib.sha1(s.encode()).hexdigest()) for s in SHA1_INPUTS]
+
+SIDECAR_LINES = [
+    ("d3486ae9136e7856bc42212385ea797094475802  individual.csv",),
+    ("aaaa000000000000000000000000000000000001",),
+    ("ffff000000000000000000000000000000000002  sub/dir/biosource.tsv",),
+]
+
+DATE_ROWS = [
+    ("15AUG2000", "ddMMMyyyy"),
+    ("01jan1999", "ddMMMyyyy"),
+    ("24/04/2018 0:00:00", "dd/MM/yyyy H:mm:ss"),
+    ("15/09/2000 13:45:10", "dd/MM/yyyy H:mm:ss"),
+    ("28/11/2017", "dd/MM/yyyy"),
+    ("2020-01-31", "yyyy-MM-dd"),
+]
+
+MULTI_ROWS = [
+    ("BIOM1", "RNA;DNA"),
+    ("BIOM2", "WXS;WGS;RNA-seq"),
+    ("BIOM3", "CNV"),
+]
+
+CAST_ROWS = [("25",), ("-0.037199",), ("1e3",), ("abc",), ("",)]
+
+GENE_ROWS = [("FAM138A|chr1",), ("MIR1302-2|chr9",), ("AL627309.1",)]
+
+TEMPLATE_ROWS = [
+    ("8 tasks succeeded", "0", "/logs/run1.log"),
+    ("2 tasks failed", "2", "/logs/run2.log"),
+]
+
+
+@register(
+    "f_sha1",
+    oracle=f"""
+    SELECT s, expected AS digest
+    FROM {_values(SHA1_ROWS, 's, expected')}
+    """)
+def f_sha1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-1 hex digest (scripts/checksum.py:13-32); golden values match
+    the reference's own unit-test vector (tests/test_checksum.py:20-21)."""
+    df = fixture_df(spark, [(s,) for s in SHA1_INPUTS], "s string")
+    return df.select("s", F.sha1(F.encode(F.col("s"), "UTF-8")).alias("digest"))
+
+
+@register(
+    "f_substr40",
+    oracle=f"""
+    SELECT line, substr(line, 1, 40) AS sha1
+    FROM {_values(SIDECAR_LINES, 'line')}
+    """)
+def f_substr40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 40 chars of a sidecar line — sidecars may carry a trailing
+    ``"  <filename>"`` (scripts/checksum.py:4-10)."""
+    df = fixture_df(spark, SIDECAR_LINES, "line string")
+    return df.select("line", F.substring("line", 1, 40).alias("sha1"))
+
+
+@register(
+    "f_endswith",
+    oracle=f"""
+    SELECT path, path LIKE '%.sha1' AS is_sidecar
+    FROM {_values(OLD_MANIFEST, 'path, sha1')}
+    """)
+def f_endswith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.sha1`` suffix test (scripts/sync.py:15-16)."""
+    df = fixture_df(spark, OLD_MANIFEST, "path string, sha1 string")
+    return df.select("path", F.col("path").endswith(".sha1").alias("is_sidecar"))
+
+
+@register(
+    "f_concat_suffix",
+    oracle=f"""
+    SELECT path, path || '.sha1' AS sidecar_path
+    FROM {_values(OLD_MANIFEST, 'path, sha1')}
+    WHERE path NOT LIKE '%.sha1'
+    """)
+def f_concat_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected sidecar path = data path + '.sha1' (scripts/sync.py:19-20)."""
+    df = fixture_df(spark, OLD_MANIFEST, "path string, sha1 string")
+    return (df.filter(~F.col("path").endswith(".sha1"))
+            .select("path",
+                    F.concat(F.col("path"), F.lit(".sha1")).alias("sidecar_path")))
+
+
+@register(
+    "f_relpath",
+    oracle=f"""
+    SELECT '/data/dropzone/' || path AS abs_path,
+           path AS rel_path
+    FROM {_values(OLD_MANIFEST, 'path, sha1')}
+    """)
+def f_relpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip the parent-dir prefix incl. trailing '/'
+    (scripts/sync.py:101-110)."""
+    df = fixture_df(spark, OLD_MANIFEST, "path string, sha1 string")
+    parent = "/data/dropzone"
+    abs_path = F.concat(F.lit(parent + "/"), F.col("path"))
+    return df.select(
+        abs_path.alias("abs_path"),
+        F.expr(f"substring(concat('{parent}/', path), {len(parent) + 2})")
+        .alias("rel_path"))
+
+
+@register(
+    "f_basename_hidden",
+    oracle=f"""
+    SELECT path, split_part(path, '/', -1) AS basename,
+           split_part(path, '/', -1) LIKE '.%' AS is_hidden
+    FROM {_values(OLD_MANIFEST, 'path, sha1')}
+    """)
+def f_basename_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basename + hidden-file test (scripts/sync.py:37-38)."""
+    df = fixture_df(spark, OLD_MANIFEST, "path string, sha1 string")
+    basename = F.substring_index(F.col("path"), "/", -1)
+    return df.select("path", basename.alias("basename"),
+                     basename.startswith(".").alias("is_hidden"))
+
+
+@register(
+    "f_to_date_multi",
+    oracle=f"""
+    SELECT raw, fmt,
+           CASE fmt
+             WHEN 'ddMMMyyyy' THEN strptime(raw, '%d%b%Y')
+             WHEN 'dd/MM/yyyy H:mm:ss' THEN strptime(raw, '%d/%m/%Y %H:%M:%S')
+             WHEN 'dd/MM/yyyy' THEN strptime(raw, '%d/%m/%Y')
+             WHEN 'yyyy-MM-dd' THEN strptime(raw, '%Y-%m-%d')
+           END::DATE AS parsed
+    FROM {_values(DATE_ROWS, 'raw, fmt')}
+    """)
+def f_to_date_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source multi-format date parsing incl. case-insensitive
+    ddMMMyyyy (sources_config.json:32,37,88,335; SURVEY §7.4 risk 1)."""
+    df = fixture_df(spark, DATE_ROWS, "raw string, fmt string")
+    parsed = F.lit(None).cast("date")
+    for fmt in D.FORMATS:
+        parsed = F.when(F.col("fmt") == fmt,
+                        D.to_date_multi(F.col("raw"), fmt)).otherwise(parsed)
+    return df.select("raw", "fmt", parsed.alias("parsed"))
+
+
+@register(
+    "f_date_format_iso",
+    oracle=f"""
+    SELECT raw,
+           strftime(CASE fmt
+             WHEN 'ddMMMyyyy' THEN strptime(raw, '%d%b%Y')
+             WHEN 'dd/MM/yyyy H:mm:ss' THEN strptime(raw, '%d/%m/%Y %H:%M:%S')
+             WHEN 'dd/MM/yyyy' THEN strptime(raw, '%d/%m/%Y')
+             WHEN 'yyyy-MM-dd' THEN strptime(raw, '%Y-%m-%d')
+           END, '%Y-%m-%d') AS iso
+    FROM {_values(DATE_ROWS, 'raw, fmt')}
+    """)
+def f_date_format_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize every source date to ISO in CSR output [ext-contract]."""
+    df = fixture_df(spark, DATE_ROWS, "raw string, fmt string")
+    parsed = F.lit(None).cast("date")
+    for fmt in D.FORMATS:
+        parsed = F.when(F.col("fmt") == fmt,
+                        D.to_date_multi(F.col("raw"), fmt)).otherwise(parsed)
+    return df.select("raw", D.format_iso(parsed).alias("iso"))
+
+
+MULTI_EXPECT = [(i, p + 1, v) for i, vals in MULTI_ROWS
+                for p, v in enumerate(vals.split(";"))]
+
+
+@register(
+    "f_split_multi",
+    oracle=f"""
+    SELECT id, pos, value FROM {_values(MULTI_EXPECT, 'id, pos, value')}
+    """)
+def f_split_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``;``-separated multi-valued attributes exploded to one row per
+    value (biomaterial.tsv:2-3 library_strategy='A;B')."""
+    df = fixture_df(spark, MULTI_ROWS, "id string, vals string")
+    return (df.select("id", F.posexplode(F.split("vals", ";"))
+                      .alias("pos0", "value"))
+            .select("id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
+                    "value"))
+
+
+@register(
+    "f_cast_double",
+    oracle=f"""
+    SELECT raw, TRY_CAST(raw AS DOUBLE) AS num
+    FROM {_values(CAST_ROWS, 'raw')}
+    """)
+def f_cast_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric attribute parsing with invalid -> NULL (tumor_percentage
+    25, Segment_Mean -0.037199; biosource.tsv:2, pmc_test_WXS.seg:2)."""
+    df = fixture_df(spark, CAST_ROWS, "raw string")
+    return df.select("raw", F.col("raw").try_cast("double").alias("num"))
+
+
+@register(
+    "f_concat_ws_signal",
+    oracle=f"""
+    SELECT path || ' ' || sha1 AS line
+    FROM {_values(OLD_MANIFEST, 'path, sha1')}
+    """)
+def f_concat_ws_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``"<path> <sha1>"`` signal lines (luigi-pipeline/main.py:68)."""
+    df = fixture_df(spark, OLD_MANIFEST, "path string, sha1 string")
+    return df.select(F.concat_ws(" ", "path", "sha1").alias("line"))
+
+
+@register(
+    "f_template_fill",
+    oracle=f"""
+    SELECT printf('Hi all,\nThe pipeline failed.\nSummary: %s\nErrors: %s\nLog: %s',
+                  summary, errors, log_file) AS body
+    FROM {_values(TEMPLATE_ROWS, 'summary, errors, log_file')}
+    """)
+def f_template_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template substitution for the error-report email body
+    (scripts/email_client.py:96-102; templates/template_email.txt:5-17)."""
+    df = fixture_df(spark, TEMPLATE_ROWS,
+                     "summary string, errors string, log_file string")
+    return df.select(F.format_string(
+        "Hi all,\nThe pipeline failed.\nSummary: %s\nErrors: %s\nLog: %s",
+        "summary", "errors", "log_file").alias("body"))
+
+
+@register(
+    "f_json_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """)
+def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON attribute extraction over the events props column (config
+    files are JSON in the reference; engine exposes from_json for data)."""
+    e = tables.load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+@register(
+    "f_regexp_gene",
+    oracle=f"""
+    SELECT raw, split_part(raw, '|', 1) AS gene
+    FROM {_values(GENE_ROWS, 'raw')}
+    """)
+def f_regexp_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene symbol normalization ``FAM138A|chr1`` -> ``FAM138A``
+    (archived NGS matrices, all_data_by_genes.txt:3)."""
+    df = fixture_df(spark, GENE_ROWS, "raw string")
+    return df.select("raw", F.split("raw", "\\|").getItem(0).alias("gene"))

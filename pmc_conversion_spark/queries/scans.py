@@ -1,0 +1,253 @@
+"""Registry: scans, sinks, and ingest streaming (SURVEY.md §2.1, §2.9).
+
+Scan/sink queries materialize a deterministic fixture (derived from the
+nation table or fixed literals) into a scratch dir, exercise the real
+reader/writer/stream, and return a DataFrame the oracle can reproduce
+from the pre-registered views or literal VALUES.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.queries import register
+from pmc_conversion_spark.queries.manifest import _values
+from pmc_conversion_spark.sources import scans as S
+from pmc_conversion_spark.sources import sinks as K
+from pmc_conversion_spark.streaming import ingest as I
+
+NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register("scan_parquet", oracle="SELECT * FROM part")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with pushdown/pruning (driver test tables)."""
+    return tables.load(spark, sf_dir, "part")
+
+
+@register("scan_csv_delim", oracle=NATION_ORACLE)
+def scan_csv_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited read with ',' override + quoted fields
+    (sources_config.json:465-480). Round-trips nation through CSV."""
+    d = _scratch("scan_csv_delim")
+    nation = tables.load(spark, sf_dir, "nation")
+    K.write_tsv(nation, d, sep=",", single_file=True)
+    return S.scan_csv_delim(spark, d, sep=",", schema=NATION_SCHEMA)
+
+
+@register("scan_gzip_tsv", oracle=NATION_ORACLE)
+def scan_gzip_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped TSV scan (MAF files, .MISSING_LARGE_BLOBS:1-4)."""
+    d = _scratch("scan_gzip_tsv")
+    nation = tables.load(spark, sf_dir, "nation")
+    (nation.coalesce(1).write.mode("overwrite")
+     .option("sep", "\t").option("header", True)
+     .option("compression", "gzip").csv(d))
+    return S.scan_gzip_tsv(spark, d, sep="\t", schema=NATION_SCHEMA)
+
+
+# Fixed file tree for directory scans: (relpath, content). Hidden files
+# and sidecars present so the filters have work to do.
+TREE_FILES = [
+    ("clinic/RDP-Patient.tsv", "Hello world!"),
+    ("clinic/RDP-IC.tsv", "pmc-conversion"),
+    ("studies/sub/individual.csv", "15AUG2000"),
+    ("studies/.hidden_tmp", "x"),
+]
+TREE_SIDECARS = [
+    ("clinic/RDP-Patient.tsv.sha1",
+     hashlib.sha1(b"Hello world!").hexdigest() + "  RDP-Patient.tsv"),
+    ("clinic/RDP-IC.tsv.sha1", hashlib.sha1(b"pmc-conversion").hexdigest()),
+]
+SHA1_EXPECT = [(p, hashlib.sha1(c.encode()).hexdigest())
+               for p, c in TREE_FILES if not p.split("/")[-1].startswith(".")]
+SIDECAR_EXPECT = [(p, line[:40]) for p, line in TREE_SIDECARS]
+
+
+def _build_tree(name: str) -> str:
+    d = _scratch(name)
+    for rel, content in TREE_FILES + TREE_SIDECARS:
+        p = os.path.join(d, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+    return d
+
+
+@register(
+    "scan_dir_recursive",
+    oracle=f"""
+    SELECT path FROM {_values([(p,) for p, _ in TREE_FILES
+                               if not p.split('/')[-1].startswith('.')],
+                              'path')}
+    """)
+def scan_dir_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive walk skipping hidden files and sidecars
+    (scripts/sync.py:77-89,37-38,15-16)."""
+    d = _build_tree("scan_dir_recursive")
+    return S.scan_dir_recursive(spark, d)
+
+
+@register(
+    "scan_binary_sha1",
+    oracle=f"SELECT path, sha1 FROM {_values(SHA1_EXPECT, 'path, sha1')}")
+def scan_binary_sha1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source + JVM-side sha1() — the distributed form of the
+    64 KiB chunked digest (scripts/checksum.py:19-32). Expected digests
+    precomputed from the fixed file contents."""
+    d = _build_tree("scan_binary_sha1")
+    return S.manifest_with_checksums(spark, d)
+
+
+@register(
+    "scan_sidecar_checksum",
+    oracle=f"SELECT path, sha1 FROM {_values(SIDECAR_EXPECT, 'path, sha1')}")
+def scan_sidecar_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar read keeping the first 40 chars only
+    (scripts/checksum.py:4-10)."""
+    d = _build_tree("scan_sidecar_checksum")
+    df = S.scan_sidecar_checksum(spark, d)
+    prefix = "file:" + os.path.abspath(d)
+    rel = F.expr(f"substring(path, {len(prefix) + 2})")
+    return df.select(rel.alias("path"), "sha1")
+
+
+@register("sink_csr_tsv", oracle=NATION_ORACLE)
+def sink_csr_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-overwrite TSV entity sink (luigi-pipeline/main.py:109-112),
+    verified by reading the written file back."""
+    d = _scratch("sink_csr_tsv")
+    nation = tables.load(spark, sf_dir, "nation")
+    K.write_tsv(nation, d, single_file=True)
+    return S.scan_csv_delim(spark, d, sep="\t", schema=NATION_SCHEMA)
+
+
+@register(
+    "sink_staging_tsv",
+    oracle="""
+    SELECT c_mktsegment AS concept_cd, count(*) AS n_obs
+    FROM customer GROUP BY c_mktsegment
+    """)
+def sink_staging_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging-file sink for the observation long table
+    (luigi-pipeline/main.py:118-126): write, read back, aggregate."""
+    d = _scratch("sink_staging_tsv")
+    obs = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("patient_id"),
+        F.col("c_mktsegment").alias("concept_cd"))
+    K.write_tsv(obs, d, single_file=False)
+    back = S.scan_csv_delim(spark, d, schema="patient_id long, concept_cd string")
+    return back.groupBy("concept_cd").agg(F.count(F.lit(1)).alias("n_obs"))
+
+
+@register("sink_jdbc_tx", oracle=NATION_ORACLE)
+def sink_jdbc_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-or-nothing publish via staging + atomic swap — the same
+    protocol :func:`jdbc_tx_load` runs against Postgres
+    (README.md:181-183; no JDBC driver in this container, so the swap is
+    demonstrated on the file sink; the JDBC path shares the code)."""
+    d = _scratch("sink_jdbc_tx")
+    live = os.path.join(d, "live")
+    nation = tables.load(spark, sf_dir, "nation")
+    # Publish once, then publish again (overwrite) — live must always be
+    # a complete snapshot.
+    K.tx_swap_write(nation, live)
+    K.tx_swap_write(nation, live)
+    return S.scan_csv_delim(spark, live, schema=NATION_SCHEMA)
+
+
+@register(
+    "sink_versioned_snapshot",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n_rows FROM nation
+    UNION ALL
+    SELECT 2 AS version, count(*) - 1 AS n_rows FROM nation
+    """)
+def sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot store with commit-if-changed semantics
+    (scripts/git_commons.py:8-45; main.py:71-82): v1 = nation, re-commit
+    of identical content is skipped, v2 = nation minus one row."""
+    d = _scratch("sink_versioned_snapshot")
+    store = K.SnapshotStore(d)
+    nation = tables.load(spark, sf_dir, "nation")
+    store.commit(nation)
+    store.commit(nation)  # clean -> no new version
+    store.commit(nation.filter(F.col("n_nationkey") != 0))
+    log = store.versions()
+    from pmc_conversion_spark.queries.manifest import fixture_df
+    return fixture_df(spark, [(v["version"], v["n_rows"]) for v in log],
+                      "version int, n_rows long")
+
+
+@register("source_streaming_dropzone", oracle=NATION_ORACLE)
+def source_streaming_dropzone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-zone file stream, one availableNow tick (the streaming
+    equivalent of the cron poll, scripts/sync.py:142-156)."""
+    d = _scratch("source_streaming_dropzone")
+    drop, ckpt, out = (os.path.join(d, x) for x in ("drop", "ckpt", "out"))
+    nation = tables.load(spark, sf_dir, "nation")
+    K.write_tsv(nation, drop, single_file=True)
+    stream = I.dropzone_stream(spark, drop, NATION_SCHEMA)
+    I.run_available_now(stream, ckpt, out)
+    return spark.read.schema(NATION_SCHEMA).parquet(out)
+
+
+@register(
+    "stream_file_arrival",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, 1 AS tick FROM nation
+    WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 2 AS tick FROM nation
+    WHERE n_nationkey >= 10
+    """)
+def stream_file_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two cron ticks: only files that arrived since the last checkpoint
+    are processed on the second run (scripts/sync.py:142-156)."""
+    d = _scratch("stream_file_arrival")
+    drop, ckpt, out = (os.path.join(d, x) for x in ("drop", "ckpt", "out"))
+    os.makedirs(drop, exist_ok=True)
+    nation = tables.load(spark, sf_dir, "nation")
+    schema_tick = NATION_SCHEMA + ", tick int"
+
+    def tick(batch: DataFrame, n: int) -> None:
+        K.write_tsv(batch, os.path.join(drop, f"batch{n}"), single_file=True)
+        stream = I.dropzone_stream(
+            spark, os.path.join(drop, "*"), NATION_SCHEMA)
+        I.run_available_now(
+            stream.withColumn("tick", F.lit(n)), ckpt, out)
+
+    tick(nation.filter(F.col("n_nationkey") < 10), 1)
+    tick(nation.filter(F.col("n_nationkey") >= 10), 2)
+    return spark.read.schema(schema_tick).parquet(out)
+
+
+@register("stream_exactly_once", oracle="SELECT count(*) AS n FROM nation")
+def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Done-signal protocol: re-running a completed tick processes
+    nothing, so the sink holds each row exactly once
+    (luigi_commons.py:17-28,69-80; checkpoint ≙ done-signal)."""
+    d = _scratch("stream_exactly_once")
+    drop, ckpt, out = (os.path.join(d, x) for x in ("drop", "ckpt", "out"))
+    nation = tables.load(spark, sf_dir, "nation")
+    K.write_tsv(nation, drop, single_file=True)
+    for _ in range(2):  # second tick: no new files -> no-op
+        stream = I.dropzone_stream(spark, drop, NATION_SCHEMA)
+        I.run_available_now(stream, ckpt, out)
+    back = spark.read.schema(NATION_SCHEMA).parquet(out)
+    return back.agg(F.count(F.lit(1)).alias("n"))

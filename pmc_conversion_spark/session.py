@@ -1,0 +1,46 @@
+"""SparkSession factory.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same conf holds except memory/parallelism are sized per executor. AQE is
+on so runtime statistics re-plan joins (broadcast conversion, skew
+splitting, partition coalescing) — our 100 TB posture relies on it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pmc-conversion-spark",
+              cpus: int | str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 per the
+    driver contract). Shuffle partitions default to 2×cores locally; on a
+    cluster AQE coalesces them down from a higher initial number anyway.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(str(cpus)), 32)
+        except ValueError:  # cpus == "*"
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

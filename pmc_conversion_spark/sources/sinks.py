@@ -1,0 +1,168 @@
+"""Sinks (SURVEY.md §2.1): TSV staging writers, transactional swap,
+versioned snapshots.
+
+The reference's load contract is all-or-nothing ("tries to delete the
+existing data and load the new staging files. If it fails, nothing
+happens to the existing data", README.md:181-183) and its staging dirs
+are wiped-then-rewritten (luigi-pipeline/main.py:109-126). Both map to
+write-to-staging + atomic swap here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_tsv(df: DataFrame, path: str, *, sep: str = "\t",
+              single_file: bool = False) -> None:
+    """Overwrite-write a delimited text dir (one TSV per CSR entity /
+    staging table, luigi-pipeline/main.py:109-126).
+
+    ``single_file=True`` coalesces to one part — only for bounded
+    entity tables at the final sink edge (SURVEY §4: ``coalesce(1)``
+    only at TSV-sink edges); large facts keep their partitioning.
+    """
+    out = df.coalesce(1) if single_file else df
+    (out.write.mode("overwrite")
+     .option("sep", sep).option("header", True)
+     .option("emptyValue", "").option("nullValue", "")
+     .csv(path))
+
+
+def tx_swap_write(df: DataFrame, live_dir: str, *, sep: str = "\t",
+                  single_file: bool = True) -> None:
+    """All-or-nothing publish: write to a staging dir, then atomically
+    swap it into the live location; on failure the live data is
+    untouched.
+
+    Mirrors the transmart-copy transactional contract
+    (README.md:181-183); the same staging+swap protocol backs
+    :func:`jdbc_tx_load` for databases.
+    """
+    staging = live_dir.rstrip("/") + ".staging"
+    backup = live_dir.rstrip("/") + ".backup"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_tsv(df, staging, sep=sep, single_file=single_file)
+    # Commit point: two renames; if the write above failed we never get
+    # here and live survives.
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, backup)
+    os.rename(staging, live_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def jdbc_tx_load(df: DataFrame, url: str, table: str,
+                 properties: dict | None = None) -> None:
+    """Transactional JDBC load: bulk-insert into a staging table, then a
+    single driver-side transaction swaps it for the live table.
+
+    Spark's ``df.write.jdbc`` has no multi-table transaction
+    (SURVEY §7.4 risk 5), so the swap runs as one driver-side statement
+    batch: BEGIN; DROP old; RENAME staging -> live; COMMIT. Credentials
+    via ``properties`` (reference: PG* env vars, luigi.cfg-sample:34-38).
+    Requires a JDBC driver jar on the classpath — not present in this
+    container, so this path is exercised only when ``url`` is reachable.
+    """
+    staging = f"{table}__staging"
+    df.write.jdbc(url, staging, mode="overwrite", properties=properties or {})
+    import importlib
+    try:
+        from py4j.protocol import Py4JError  # noqa: F401
+    except ImportError:
+        pass
+    spark = df.sparkSession
+    jvm = spark._sc._jvm
+    conn_props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        conn_props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, conn_props)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        stmt.execute(f'DROP TABLE IF EXISTS "{table}"')
+        stmt.execute(f'ALTER TABLE "{staging}" RENAME TO "{table}"')
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+class SnapshotStore:
+    """Versioned snapshot directories + a manifest log.
+
+    Replaces the reference's git-versioned staging
+    (scripts/git_commons.py:8-45; luigi-pipeline/main.py:71-82) with
+    immutable ``v<N>/`` snapshot dirs and an append-only ``MANIFEST``
+    log; commit-if-changed semantics via the snapshot digest, and
+    rollback = re-point to an older version (GitVersionTask,
+    main.py:177-192).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "MANIFEST")
+
+    def versions(self) -> list[dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        out = []
+        with open(self._log_path) as f:
+            for line in f:
+                version, digest, n_rows = line.rstrip("\n").split("\t")
+                out.append({"version": int(version), "digest": digest,
+                            "n_rows": int(n_rows)})
+        return out
+
+    def head_digest(self) -> str | None:
+        vs = self.versions()
+        return vs[-1]["digest"] if vs else None
+
+    def commit(self, df: DataFrame, *, sep: str = "\t") -> dict:
+        """Write a new snapshot iff the content digest changed
+        (commit-if-clean skip, main.py:76-82). Returns the log entry.
+
+        The digest is the order-insensitive fingerprint of the rows
+        (sha1 over sorted concatenated row lines — main.py:66-68
+        semantics applied to content instead of files), computed
+        distributed via sha1 + sort + aggregation.
+        """
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+        lines = df.select(F.concat_ws("\x1f", *cols).alias("line"))
+        digest_row = (lines
+                      .agg(F.sha1(F.encode(
+                          F.concat_ws("\n", F.array_sort(F.collect_list("line"))),
+                          "UTF-8")).alias("digest"),
+                          F.count(F.lit(1)).alias("n"))
+                      .collect()[0])
+        digest, n_rows = digest_row["digest"], digest_row["n"]
+        head = self.head_digest()
+        vs = self.versions()
+        if head == digest:
+            return vs[-1]  # clean: skip commit
+        version = (vs[-1]["version"] + 1) if vs else 1
+        write_tsv(df, os.path.join(self.root, f"v{version}"), sep=sep,
+                  single_file=True)
+        with open(self._log_path, "a") as f:
+            f.write(f"{version}\t{digest}\t{n_rows}\n")
+        return {"version": version, "digest": digest, "n_rows": n_rows}
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             schema=None) -> DataFrame:
+        from pmc_conversion_spark.sources.scans import scan_csv_delim
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        v = version if version is not None else vs[-1]["version"]
+        return scan_csv_delim(spark, os.path.join(self.root, f"v{v}"),
+                              schema=schema)

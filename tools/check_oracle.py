@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf=0.01, comparing row count, sorted column names, and the
+order-insensitive multiset of values (stringified). Usage:
+
+    python tools/check_oracle.py [name ...]    # default: all
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm_value(v):
+    import datetime
+    import decimal
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main(names=None):
+    import duckdb
+    import __spark_entry__ as E
+    from pmc_conversion_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    from pmc_conversion_spark.tables import TABLE_NAMES
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    selected = names or list(qs)
+    n_pass = n_fail = n_weak = 0
+    failures = []
+    for name in selected:
+        if name not in qs:
+            print(f"?? {name}: not registered")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc(limit=4)
+            continue
+        if name not in oracles:
+            n_weak += 1
+            print(f"weak {name}: rows-only ({len(srows)} rows) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc(limit=4)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            if sm != dm:
+                diff_i = next(i for i, (a, b) in enumerate(zip(sm, dm)) if a != b) \
+                    if len(sm) == len(dm) else 0
+                problems.append(
+                    f"values differ, e.g. spark={sm[diff_i]!r} duck={dm[diff_i]!r}")
+        if problems:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            n_pass += 1
+            print(f"ok   {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail "
+          f"of {len(selected)}")
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
