@@ -98,10 +98,10 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     decode fan-out is planned JVM-side; actual frame extraction would
     run as a mapInPandas over (media_id, frame_index, content).
 
-    Fake frame count = n_bytes // 1024 (one frame per KiB) until a real
-    demuxer is available (same stub policy as decode_image_meta).
+    Fake frame count = n_bytes // 64 (one frame per 64 bytes) until a
+    real demuxer is available (same stub policy as decode_image_meta).
     """
-    n_frames = (F.col("n_bytes") / F.lit(1024)).cast("int")
+    n_frames = F.expr("n_bytes div 64").cast("int")
     return (df.select("media_id", n_frames.alias("n_frames"))
             .filter(F.col("n_frames") > 0)
             .select("media_id",

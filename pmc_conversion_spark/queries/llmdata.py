@@ -1,6 +1,349 @@
 """Registry: LLM-data-pipeline operators (BASELINE.json north star):
-dedup, similarity search, text analysis, multimodal plumbing.
+dedup, similarity search, text analysis, multimodal plumbing — over the
+driver ``documents`` and ``embeddings`` tables.
 
-Filled out alongside pmc_conversion_spark/functions/{dedup,similarity,
-text,multimodal}.
+Float policy: any similarity emitted for hash comparison is rounded to 6
+decimals on both sides, and both sides compute in double with identical
+summation order. Jaccard thresholds are integer arithmetic — exact.
+
+Approximate operators (minhash-LSH, simhash, LSH top-k) have no SQL
+twin by nature: the registry records them as rows-only checks and the
+pytest suite asserts containment/recall against the exact operators.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.functions import dedup as DD
+from pmc_conversion_spark.functions import multimodal as MM
+from pmc_conversion_spark.functions import similarity as SIM
+from pmc_conversion_spark.functions import text as TX
+from pmc_conversion_spark.queries import register
+
+# SQL fragment shared by the text oracles: whitespace tokens of the
+# lowercased text (DuckDB twin of text.ws_tokens ∘ lower).
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+# DuckDB twin of text.normalize_for_fingerprint
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
+         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+# DuckDB twin of text.shingles(n=3) over lowercased ws tokens
+_SHINGLES = f"""
+      CASE WHEN len({_TOKS}) >= 3
+           THEN list_distinct(list_transform(range(len({_TOKS}) - 2),
+                i -> array_to_string({_TOKS}[i+1:i+3], ' ')))
+           ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies: every doc_id < 40 re-appears as
+    doc_id+100000 with extra whitespace/punctuation — normalization-
+    equal, so exact dedup must pair them. Shared with the oracle CTE."""
+    d = _docs(spark, sf_dir)
+    copies = (d.filter(F.col("doc_id") < 40)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.lit("  "),
+                               F.regexp_replace("text", " ", "   "),
+                               F.lit(" !!")).alias("text")))
+    return d.select("doc_id", "text").unionByName(copies)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             '  ' || replace(text, ' ', '   ') || ' !!' AS text
+      FROM documents WHERE doc_id < 40
+    )
+"""
+
+
+# ------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    oracle=_DOCS_WITH_DUPS_SQL + f"""
+    , fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM docs2)
+    SELECT a.fingerprint, a.keep_id, b.doc_id AS dup_id
+    FROM (SELECT fingerprint, min(doc_id) AS keep_id FROM fp
+          GROUP BY fingerprint HAVING count(*) > 1) a
+    JOIN fp b ON b.fingerprint = a.fingerprint AND b.doc_id <> a.keep_id
+    """)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the normalized-text fingerprint:
+    one shuffle of 16-byte digests, never of document bodies."""
+    return DD.exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter_size,
+           sa.sz + sb.sz - inter_size AS union_size
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 20 * inter_size >= 1 * (sa.sz + sb.sz - inter_size)
+    """)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard set-similarity join (threshold 1/20,
+    integer arithmetic — no floats in the hash). The inverted-index
+    self-join is the scale plan; hot shingles are capped (skew guard)."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                  threshold_num=1, threshold_den=20)
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified
+    (threshold 1/20). Approximate by design -> rows-only check here;
+    tests assert output ⊆ dedup_ngram_jaccard with high recall."""
+    return DD.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                num_hashes=32, bands=8,
+                                threshold_num=1, threshold_den=20)
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming <= 3) via the block-
+    permutation candidate join; rows-only (tests pin semantics)."""
+    return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.45
+    """)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45, rounded to 6
+    decimals on both sides). Exact pair join here; the LSH-bucketed
+    variant is the 100 TB path (sim_topk_lsh shares its machinery)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+# -------------------------------------------------------- similarity
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rank <= 5
+    """)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries ×
+    corpus scan (map-only over the corpus), deterministic tie-break.
+    Ranking happens on the 6-decimal rounded value so both engines rank
+    identically."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.topk_bruteforce(queries, emb, k=5)
+    # re-rank on the rounded value (shared with the oracle)
+    from pyspark.sql import Window
+    rounded = out.select("query_id", "neighbor_id",
+                         F.round("cos_sim", 6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (rounded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+@register("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets with
+    multiprobe; rows-only (tests assert recall vs brute force)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.topk_lsh(queries, emb, k=5, n_planes=8, dim=64)
+
+
+# ------------------------------------------------------- text analysis
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens_ws,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe
+    FROM documents
+    """)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (JVM-side, map-only)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_tokens_bpe"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           len(list_filter({_TOKS},
+               t -> list_contains(['the','and','of','to','a','in','is',
+                                   'that','for','with'], t))) AS n_stopwords
+    FROM documents
+    """)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal features: length / token / punct / stopword counts
+    (the standard web-corpus heuristics; integer-exact)."""
+    d = _docs(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    return d.select("doc_id",
+                    feats["n_chars"].alias("n_chars"),
+                    feats["n_tokens"].alias("n_tokens"),
+                    feats["n_punct"].alias("n_punct"),
+                    feats["n_stopwords"].alias("n_stopwords"))
+
+
+def _lang_hits_sql(code: str, lex: tuple[str, ...]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in lex) + "]"
+    return (f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_lang_hits_sql('de', TX.LANG_LEXICONS['de'])} AS h_de,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])} AS h_en,
+             {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])} AS h_es,
+             {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])} AS h_fr,
+             {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])} AS h_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM hits
+    """)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID (argmax with deterministic tie-break
+    on language code order; no hits -> 'und')."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    TX.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+# -------------------------------------------------------- multimodal
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media fixture: document text bytes as the opaque
+    binary payload (no media libs in this container — the bytes are the
+    plumbing under test, not the codec)."""
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").alias("media_id"),
+                    F.lit("image").alias("kind"),
+                    F.encode("text", "UTF-8").alias("content"),
+                    F.lit("application/octet-stream").alias("mime"))
+
+
+@register(
+    "mm_metadata_extract",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """)
+def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata from the binary column without decoding (column
+    pruning keeps the blob out of metadata-only plans)."""
+    m = MM.attach_media_metadata(_media(spark, sf_dir))
+    return m.select("media_id", "kind", "n_bytes")
+
+
+@register(
+    "mm_decode_stub",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) AS n FROM documents)
+    SELECT media_id, n AS n_bytes,
+           16 + (n * 7) % 1024 AS width,
+           16 + (n * 13) % 1024 AS height,
+           1 + n % 3 AS n_channels
+    FROM m
+    """)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pipeline with the deterministic
+    fake decoder (real codec stubbed — functions/multimodal.py); the
+    oracle recomputes the fake from byte lengths, so the whole
+    distributed plumbing (schema, batching, UDF signature) is verified."""
+    decoded = MM.decode_media_batch(_media(spark, sf_dir), fake=True)
+    return decoded.select(
+        "media_id", "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"))
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) // 64 AS n_frames
+               FROM documents)
+    SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_index
+    FROM m WHERE n_frames > 0
+    """)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: (media_id, frame_index) fan-out sized
+    from metadata only — the blob never flows through this plan."""
+    meta = MM.attach_media_metadata(_media(spark, sf_dir))
+    return (MM.frame_sample_plan(meta, every_n=10)
+            .select("media_id", F.col("frame_index").cast("long")
+                    .alias("frame_index")))

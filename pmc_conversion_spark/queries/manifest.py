@@ -62,9 +62,17 @@ LOG_LINES = [
 
 
 def _values(rows, cols: str) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     body = ", ".join(
-        "(" + ", ".join(repr(v) if isinstance(v, str) else str(v) for v in r) + ")"
-        for r in rows)
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return f"(VALUES {body}) AS t({cols})"
 
 
