@@ -1,0 +1,118 @@
+"""Dedup + similarity semantics: approximate operators are pinned
+against their exact counterparts (containment + recall), the property
+the driver's rows-only check cannot see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark.functions import dedup as DD
+from pmc_conversion_spark.functions import similarity as SIM
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),      # near-dup of 1
+    (3, "THE QUICK BROWN FOX jumps over the lazy dog!!"),    # exact-norm dup of 1
+    (4, "completely different words about spark engines"),
+    (5, "completely different words about spark engines"),   # exact dup of 4
+    (6, "one two three four five six seven eight nine ten"),
+]
+
+
+@pytest.fixture()
+def docs(fixture_df):
+    return fixture_df(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = {(r.keep_id, r.dup_id) for r in DD.exact_duplicates(docs).collect()}
+    assert got == {(1, 3), (4, 5)}
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = DD.ngram_jaccard_pairs(docs, threshold_num=1, threshold_den=2)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 3) in got and (4, 5) in got  # identical shingle sets
+    assert (1, 2) in got                    # 1-word edit, high overlap
+    assert (1, 6) not in got and (4, 6) not in got
+
+
+def test_minhash_lsh_subset_of_exact_with_recall(docs):
+    exact = {(r.doc_a, r.doc_b)
+             for r in DD.ngram_jaccard_pairs(
+                 docs, threshold_num=1, threshold_den=2).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in DD.minhash_lsh_pairs(
+               docs, num_hashes=32, bands=16,
+               threshold_num=1, threshold_den=2).collect()}
+    assert lsh <= exact          # exact verification: no false positives
+    assert len(lsh) >= len(exact) - 1  # high recall on this fixture
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    fp = {r.doc_id: r.simhash for r in DD.simhash64(docs).collect()}
+    assert fp[4] == fp[5]
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in DD.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(4, 5)] == 0
+
+
+def test_simhash_block_join_finds_all_within_hamming(spark, docs):
+    """Candidate generation must not miss any pair within the Hamming
+    budget (pigeonhole property of the block join)."""
+    fp = DD.simhash64(docs)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = (a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                     .alias("h"))
+             .filter(F.col("h") <= 3))
+    expected = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    got = {(r.doc_a, r.doc_b)
+           for r in DD.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert got == expected
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.999, 0.01, 0.0, 0.0]),   # ~ vec 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.98, 0.1, 0.0]),     # ~ vec 2
+    (4, [0.0, 0.0, 1.0, 0.0]),
+    (5, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture()
+def vectors(spark, fixture_df):
+    df = fixture_df(VECS, "vec_id long, embedding array<double>")
+    return df
+
+
+def test_topk_bruteforce_ranks_by_cosine(vectors):
+    out = SIM.topk_bruteforce(vectors.filter(F.col("vec_id") == 0),
+                              vectors, k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 5]
+
+
+def test_topk_lsh_recall(vectors):
+    brute = SIM.topk_bruteforce(vectors, vectors, k=2)
+    # 2 planes -> 4 buckets; multiprobe visits 3 of 4, so recall must be
+    # high even on this tiny fixture (more planes only make sense at
+    # corpus scale — see test over the embeddings table in the checker)
+    approx = SIM.topk_lsh(vectors, vectors, k=2, n_planes=2, dim=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & b) / len(b) >= 0.5
+
+
+def test_embedding_near_dup_pairs(vectors):
+    got = {(r.id_a, r.id_b)
+           for r in SIM.embedding_near_dup_pairs(
+               vectors, threshold=0.95).collect()}
+    assert (0, 1) in got and (2, 3) in got
+    assert all(p not in got for p in [(0, 2), (0, 4), (2, 4)])

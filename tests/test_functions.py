@@ -1,0 +1,85 @@
+"""Scalar/date/text function unit tests, golden-value style
+(tests/test_checksum.py:20-21 pattern).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark.functions import dates as D
+from pmc_conversion_spark.functions import text as TX
+
+
+def test_sha1_golden(spark, fixture_df):
+    """The reference's own golden vector: sha1('Hello world!')."""
+    df = fixture_df([("Hello world!",)], "s string")
+    out = df.select(F.sha1(F.encode("s", "UTF-8")).alias("d")).collect()
+    assert out[0].d == "d3486ae9136e7856bc42212385ea797094475802"
+
+
+def test_date_formats(spark, fixture_df):
+    cases = [
+        ("15AUG2000", "ddMMMyyyy", datetime.date(2000, 8, 15)),
+        ("01jan1999", "ddMMMyyyy", datetime.date(1999, 1, 1)),
+        ("31XXX2020", "ddMMMyyyy", None),
+        ("30FEB2020", "ddMMMyyyy", None),   # impossible date -> NULL
+        ("", "ddMMMyyyy", None),
+        ("24/04/2018 0:00:00", "dd/MM/yyyy H:mm:ss",
+         datetime.date(2018, 4, 24)),
+        ("28/11/2017", "dd/MM/yyyy", datetime.date(2017, 11, 28)),
+        ("2020-01-31", "yyyy-MM-dd", datetime.date(2020, 1, 31)),
+        ("not-a-date", "yyyy-MM-dd", None),
+    ]
+    df = fixture_df([(raw, fmt) for raw, fmt, _ in cases],
+                    "raw string, fmt string")
+    parsed = F.lit(None).cast("date")
+    for fmt in D.FORMATS:
+        parsed = F.when(F.col("fmt") == fmt,
+                        D.to_date_multi(F.col("raw"), fmt)).otherwise(parsed)
+    got = [r.p for r in df.select(parsed.alias("p")).collect()]
+    assert got == [c[2] for c in cases]
+
+
+def test_to_date_any_first_format_wins(spark, fixture_df):
+    df = fixture_df([("15AUG2000",), ("2020-01-31",)], "raw string")
+    got = [r.p for r in
+           df.select(D.to_date_any(F.col("raw")).alias("p")).collect()]
+    assert got == [datetime.date(2000, 8, 15), datetime.date(2020, 1, 31)]
+
+
+def test_tokens_and_shingles(spark, fixture_df):
+    df = fixture_df([("a b c d",), ("a b",), ("",)], "text string")
+    out = df.select(
+        TX.token_count_ws(F.col("text")).alias("n"),
+        TX.shingles(TX.ws_tokens(F.col("text")), 3).alias("sh")).collect()
+    assert [r.n for r in out] == [4, 2, 0]
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == ["a b"]      # short doc -> whole-text shingle
+
+
+def test_lang_id_and_fingerprint(spark, fixture_df):
+    df = fixture_df([
+        ("the cat and the dog is in a house",),   # en
+        ("der hund und die katze ist ein tier",),  # de
+        ("zzz qqq",),                              # no stopwords -> und
+    ], "text string")
+    langs = [r.l for r in
+             df.select(TX.lang_id(F.col("text")).alias("l")).collect()]
+    assert langs == ["en", "de", "und"]
+    fp = df.select(TX.fingerprint_md5(F.col("text")).alias("f")).collect()
+    # normalization-invariant fingerprint
+    df2 = fixture_df([("  The CAT, and the dog... is in a HOUSE!!",)],
+                     "text string")
+    fp2 = df2.select(TX.fingerprint_md5(F.col("text")).alias("f")).collect()
+    assert fp[0].f == fp2[0].f
+
+
+def test_quality_features(spark, fixture_df):
+    df = fixture_df([("Hello, world! The end.",)], "text string")
+    feats = TX.quality_features(F.col("text"))
+    row = df.select(feats["n_tokens"].alias("t"),
+                    feats["n_punct"].alias("p"),
+                    feats["n_stopwords"].alias("s")).collect()[0]
+    assert row.t == 4 and row.p == 3 and row.s == 1

@@ -1,0 +1,147 @@
+"""Structured Streaming surface: real readStream execution of the
+drop-zone ingest (availableNow ticks, checkpoint no-op semantics) and
+event-time windowing with watermarks — the streaming twins of the batch
+queries the driver verifies.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark.sources.sinks import SnapshotStore, tx_swap_write, write_tsv
+from pmc_conversion_spark.sources.scans import scan_csv_delim
+from pmc_conversion_spark.streaming import ingest as I
+
+
+def test_dropzone_two_ticks_exactly_once(spark, tmp_path, fixture_df):
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    batch1 = fixture_df([("PAT1", "1"), ("PAT2", "2")], "id string, v string")
+    write_tsv(batch1, drop + "/b1", single_file=True)
+
+    stream = I.dropzone_stream(spark, drop + "/*", "id string, v string")
+    I.run_available_now(stream, ckpt, out)
+    assert spark.read.schema("id string, v string").parquet(out).count() == 2
+
+    # tick 2 with no new files: no-op ("No changes detected. Exit.")
+    stream = I.dropzone_stream(spark, drop + "/*", "id string, v string")
+    I.run_available_now(stream, ckpt, out)
+    assert spark.read.schema("id string, v string").parquet(out).count() == 2
+
+    # tick 3 with one new file: only the new rows are appended
+    batch2 = fixture_df([("PAT3", "3")], "id string, v string")
+    write_tsv(batch2, drop + "/b2", single_file=True)
+    stream = I.dropzone_stream(spark, drop + "/*", "id string, v string")
+    I.run_available_now(stream, ckpt, out)
+    back = spark.read.schema("id string, v string").parquet(out)
+    assert sorted(r.id for r in back.collect()) == ["PAT1", "PAT2", "PAT3"]
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path, fixture_df):
+    """Windowed streaming aggregation with watermark over a file source;
+    availableNow drains everything, then the final batch read must match
+    the batch twin."""
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "win_out")
+    ck = str(tmp_path / "ck")
+
+    def _write(rows, subdir):
+        fixture_df(rows, "event_id long, ts_s string, event_type string") \
+            .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                    "event_type") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/{subdir}")
+
+    def _drain():
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, event_type string")
+                  .parquet(src + "/*")
+                  .withWatermark("ts", "10 minutes")
+                  .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        q = (stream.writeStream.outputMode("append")
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _write([(1, "2024-01-01 00:01:00", "click"),
+            (2, "2024-01-01 00:04:00", "click"),
+            (3, "2024-01-01 00:07:00", "view")], "b1")
+    _drain()
+    # tick 2 carries an event past 01:10, so the watermark (max - 10min)
+    # passes the [00:00, 01:00) window end; append mode emits the closed
+    # windows one batch later (watermark is computed from the previous
+    # batch), hence tick 3
+    _write([(4, "2024-01-01 02:30:00", "click")], "b2")
+    _drain()
+    _write([(5, "2024-01-01 03:30:00", "view")], "b3")
+    _drain()
+    got = {(r["window"].start.hour, r.event_type, r.n)
+           for r in spark.read.parquet(out).collect()}
+    assert ((0, "click", 2) in got and (0, "view", 1) in got)
+    # the last window (03:00) must still be open
+    assert all(h != 3 for h, _, _ in got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, fixture_df):
+    src = str(tmp_path / "events2")
+    fixture_df(
+        [(1, "2024-01-01 00:01:00", "u1"), (2, "2024-01-01 00:02:00", "u1"),
+         (3, "2024-01-01 00:03:00", "u2")],
+        "event_id long, ts_s string, user string").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user"
+    ).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user string")
+              .parquet(src)
+              .withWatermark("ts", "1 hour")
+              .dropDuplicatesWithinWatermark(["user"]))
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    users = sorted(r.user for r in spark.sql(
+        "SELECT * FROM dedup_out").collect())
+    assert users == ["u1", "u2"]
+
+
+def test_tx_swap_survives_failed_write(spark, tmp_path, fixture_df):
+    """All-or-nothing contract: a failing publish leaves live intact
+    (README.md:181-183)."""
+    live = str(tmp_path / "live")
+    good = fixture_df([("a", 1)], "k string, v int")
+    tx_swap_write(good, live)
+
+    exploding = good.withColumn(
+        "v", F.assert_true(F.col("v") > 100).cast("int"))
+    with pytest.raises(Exception):
+        tx_swap_write(exploding, live)
+    back = scan_csv_delim(spark, live, schema="k string, v int").collect()
+    assert [(r.k, r.v) for r in back] == [("a", 1)]
+
+
+def test_snapshot_store_commit_if_changed(spark, tmp_path, fixture_df):
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df1 = fixture_df([("a", 1), ("b", 2)], "k string, v int")
+    e1 = store.commit(df1)
+    e2 = store.commit(df1.orderBy(F.desc("k")))  # same content -> skip
+    assert e1["version"] == e2["version"] == 1
+    df2 = fixture_df([("a", 1)], "k string, v int")
+    e3 = store.commit(df2)
+    assert e3["version"] == 2
+    # rollback: read any version
+    v1 = store.read(spark, 1, schema="k string, v int").collect()
+    assert len(v1) == 2
+
+
+def test_poll_status_unit():
+    from pmc_conversion_spark.plans.post_load import (
+        StatusPollTimeout, poll_status)
+    seq = iter(["RUNNING", "RUNNING", "COMPLETED"])
+    assert poll_status(lambda: next(seq), max_retries=5,
+                       sleep=lambda s: None) == "COMPLETED"
+    with pytest.raises(StatusPollTimeout):
+        poll_status(lambda: "RUNNING", max_retries=3, sleep=lambda s: None)
