@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline queries: the flagship EAV pipeline + representative heavy
-# operators (joins, windows, event-time, dedup-ish text ops).
+# operators (joins, windows, event-time) + the LLM-data north-star ops
+# (dedup, similarity, text, multimodal plumbing).
 HEADLINE = [
     "flagship",
     "join_fk_transitive",
@@ -26,6 +27,14 @@ HEADLINE = [
     "win_frame_rows",
     "stream_session_window",
     "sort_limit_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_blocked",
+    "sim_topk_bruteforce",
+    "text_fingerprint",
+    "text_quality_score",
+    "mm_decode_stub",
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pmc_conversion_spark.functions.text import (
     fingerprint_md5, shingles, ws_tokens,
 )
+from pmc_conversion_spark.util import ensure_parallelism
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -33,7 +34,8 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     Output: (fingerprint, keep_id, dup_id) — one row per *discarded*
     duplicate; the kept representative is the minimum id (deterministic).
     """
-    fp = docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    fp = ensure_parallelism(docs).select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
     groups = (fp.groupBy("fp")
               .agg(F.min(id_col).alias("keep_id"),
                    F.collect_list(id_col).alias("ids"))
@@ -47,6 +49,7 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) exploded pairs, distinct per doc."""
+    docs = ensure_parallelism(docs)
     return (docs.select(F.col(id_col).alias("doc_id"),
                         shingles(ws_tokens(F.lower(F.col(text_col))), n)
                         .alias("sh"))
@@ -71,8 +74,12 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
 
     Output: (doc_a, doc_b, inter_size, union_size).
     """
-    sh = doc_shingles(docs, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_arrays = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        shingles(ws_tokens(F.lower(F.col(text_col))), n).alias("sh"))
+    # per-doc set size from the array — no groupBy, no extra shuffle
+    sizes = sh_arrays.select("doc_id", F.size("sh").alias("sz"))
+    sh = sh_arrays.select("doc_id", F.explode("sh").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     postings = (sh.join(F.broadcast(freq.filter(F.col("df") > max_posting)
                                     .select("shingle")),
@@ -175,9 +182,10 @@ def simhash64(docs: DataFrame, *, id_col: str = "doc_id",
 
     Output: (doc_id, simhash: bigint).
     """
-    toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(ws_tokens(F.lower(F.col(text_col))))
-                        .alias("tok")))
+    toks = (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(ws_tokens(F.lower(F.col(text_col))))
+                    .alias("tok")))
     h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     # bit b of h: shiftright then &1 -> vote 2*bit-1
     votes = [F.sum(

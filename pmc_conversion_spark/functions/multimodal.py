@@ -89,6 +89,10 @@ def decode_media_batch(df: DataFrame, *, fake: bool = False) -> DataFrame:
             })
             yield out
 
+    # a single-file source arrives as 1 partition; spread the decode
+    # across the cluster (cheap relative to per-row decode work)
+    from pmc_conversion_spark.util import ensure_parallelism
+    df = ensure_parallelism(df)
     return df.mapInPandas(_decode, DECODE_OUT_SCHEMA)
 
 

@@ -20,6 +20,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pmc_conversion_spark.util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -36,7 +38,8 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
-    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    return ensure_parallelism(df).withColumn(
+        vec_col, F.col(vec_col).cast("array<double>"))
 
 
 def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int, *,
@@ -121,6 +124,76 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
+                               n_blocks: int = 8,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               round_digits: int = 6) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked matrix multiply — the
+    scale path for :func:`embedding_near_dup_pairs`.
+
+    Rows are hashed into ``n_blocks`` blocks; every unordered block pair
+    (i <= j) becomes one group key; each row is replicated to the block
+    pairs it participates in (~n_blocks×), shuffled once on the pair
+    key, and an Arrow-batched applyInPandas computes the block×block
+    cosine as a single numpy matmul. Total work is the same O(N²·d) but
+    runs as dense BLAS instead of per-pair fold expressions, and the
+    shuffle unit is a block, not a pair — this is the plan that survives
+    a 100× scale-up (pair materialization never leaves the UDF).
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("blk"))
+    # replicate each row to every unordered block pair it belongs to,
+    # tagging which side it plays
+    pair_structs = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            pair_structs.append((i, j))
+    pairs_df = v.select(
+        "vid", "vec", "blk",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+            for i, j in pair_structs])).alias("p")
+    ).filter((F.col("p.bi") == F.col("blk")) | (F.col("p.bj") == F.col("blk")))
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def per_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key[0], key[1]
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        la = np.stack(left["vec"].to_numpy())
+        rb = np.stack(right["vec"].to_numpy())
+        la = la / np.linalg.norm(la, axis=1, keepdims=True)
+        rb = rb / np.linalg.norm(rb, axis=1, keepdims=True)
+        sims = la @ rb.T
+        ia, ib = np.nonzero(np.round(sims, round_digits) >= threshold)
+        id_a = left["vid"].to_numpy()[ia]
+        id_b = right["vid"].to_numpy()[ib]
+        sim_v = np.round(sims[ia, ib], round_digits)
+        if bi == bj:
+            # same-block: matrix covers both orders; keep one
+            keep = id_a < id_b
+            lo, hi = id_a[keep], id_b[keep]
+            sim_v = sim_v[keep]
+        else:
+            # cross-block: each unordered pair appears once, but the
+            # smaller id may sit on either side — normalize
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim_v})
+
+    return (pairs_df
+            .groupBy(F.col("p.bi"), F.col("p.bj"))
+            .applyInPandas(per_pair, out_schema))
 
 
 def embedding_near_dup_pairs(vectors: DataFrame, *, threshold: float = 0.9,

@@ -41,7 +41,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle)
+
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pmc_conversion_spark.util import tune_local_session
+            tune_local_session(spark)
+            return fn(spark, sf_dir)
+
+        tuned.__name__ = fn.__name__
+        tuned.__doc__ = fn.__doc__
+        REGISTRY[name] = RegisteredQuery(name=name, fn=tuned, oracle=oracle)
         return fn
 
     return deco

@@ -147,6 +147,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(emb, threshold=0.45)
 
 
+@register("dedup_embedding_cosine_blocked", oracle=None)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul variant of dedup_embedding_cosine — the 100 TB
+    plan (block-pair shuffle + numpy BLAS inside applyInPandas, pairs
+    never materialized outside the UDF). Rows-only here; pytest asserts
+    it matches the exact operator pair-for-pair."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_blocked(emb, threshold=0.45)
+
+
 # -------------------------------------------------------- similarity
 
 @register(

@@ -37,9 +37,14 @@ def get_spark(app_name: str = "pmc-conversion-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # shuffle/spill files on tmpfs: this host's disk FS shows long
+        # syscall stalls under many small shuffle files; RAM-backed
+        # local dirs sidestep it (plenty of headroom at test SFs)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS",
+                                                  "/dev/shm/spark-local"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,48 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def target_partitions(df: DataFrame) -> int:
+    """The session's shuffle-partition setting (AQE re-coalesces at
+    runtime anyway); falls back to default parallelism."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Repartition iff the input arrives with fewer partitions than the
+    session wants to use.
+
+    A single small parquet file scans as one partition, which serializes
+    every downstream map-side computation (shingling, hashing, vector
+    math). On a real multi-file/100 TB source the scan already carries
+    enough partitions and this is a no-op — the condition, not the
+    repartition, is the point.
+    """
+    target = target_partitions(df)
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
+def tune_local_session(spark) -> None:
+    """Runtime conf for small-SF local verification runs: a modest
+    shuffle-partition count (task-scheduling and shuffle-file syscall
+    overhead dominates at these data sizes — measured 2-5× on the heavy
+    operators) and AQE so real skew still re-plans. All of these are
+    runtime-settable, so they apply even when the caller owns the
+    SparkSession (the driver harness does)."""
+    conf = spark.conf
+    try:
+        if int(conf.get("spark.sql.shuffle.partitions")) > 8:
+            conf.set("spark.sql.shuffle.partitions", "8")
+    except Exception:
+        conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.session.timeZone", "UTC")

@@ -110,6 +110,21 @@ def test_topk_lsh_recall(vectors):
     assert len(a & b) / len(b) >= 0.5
 
 
+def test_blocked_cosine_matches_exact(spark):
+    """The blocked-matmul scale path must reproduce the exact pair join
+    on the real embeddings table."""
+    from pmc_conversion_spark import tables
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b)
+             for r in SIM.embedding_near_dup_pairs(
+                 emb, threshold=0.45).collect()}
+    blocked = {(r.id_a, r.id_b)
+               for r in SIM.embedding_near_dup_blocked(
+                   emb, threshold=0.45, n_blocks=4).collect()}
+    assert blocked == exact
+    assert len(exact) > 0
+
+
 def test_embedding_near_dup_pairs(vectors):
     got = {(r.id_a, r.id_b)
            for r in SIM.embedding_near_dup_pairs(
