@@ -4,13 +4,14 @@ north star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
 Scale design (100 TB posture):
 - exact dedup is a hash-groupBy on a 16-byte digest — one shuffle of
   (digest, id), never of the document bodies;
-- MinHash/LSH shuffles only (band_hash, signature) pairs; candidate
-  verification joins shingle *sets* for candidates only, so the
-  quadratic Jaccard join is restricted to same-bucket pairs;
-- n-gram Jaccard (the exact form) inverts to a shingle -> doc posting
-  list and self-joins postings, which is the standard set-similarity
-  join; hot shingles are the skew risk, so postings above a frequency
-  cap are dropped (they carry almost no Jaccard information).
+- MinHash/LSH shuffles only (band_hash, doc_id) pairs; candidate pairs
+  are generated *inside* each LSH bucket (array combinations, no
+  self-join) and verified exactly against per-doc shingle sets;
+- n-gram Jaccard (the exact form) inverts to shingle -> doc posting
+  buckets; pairs are emitted per bucket and their co-occurrence count
+  is |A∩B| (map-side combinable) — two shuffles, zero joins. Hot
+  shingles are the skew risk, so buckets above a frequency cap are
+  dropped (they carry almost no Jaccard information).
 
 All hashes are xxhash64 with integer seeds — deterministic across runs
 and partitionings.
@@ -56,6 +57,37 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_id", F.explode("sh").alias("shingle")))
 
 
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(doc_id, sh: array<string>, sz: int) — one row per doc, shingle
+    expression evaluated exactly once per doc. Downstream operators work
+    off this frame so the (expensive) tokenize+shingle expression never
+    appears more than once per plan branch."""
+    return (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    shingles(ws_tokens(F.lower(F.col(text_col))), n)
+                    .alias("sh"))
+            .withColumn("sz", F.size("sh")))
+
+
+def _bucket_pairs(xs):
+    """All ordered combinations (i < j) of a *sorted* array of
+    (doc_id, sz) structs → array of (doc_a, sz_a, doc_b, sz_b) structs.
+
+    Pair generation happens inside the bucket row (array combinations),
+    so candidate pairs are born on the executor that owns the bucket —
+    no self-join, and bucket size is the only blowup knob (capped by the
+    caller's skew guard)."""
+    return F.flatten(F.transform(
+        xs,
+        lambda x, i: F.transform(
+            F.slice(xs, i + 2, F.greatest(F.size(xs) - i - 1, F.lit(0))),
+            lambda y: F.struct(x["doc_id"].alias("doc_a"),
+                               x["sz"].alias("sz_a"),
+                               y["doc_id"].alias("doc_b"),
+                               y["sz"].alias("sz_b")))))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
                         threshold_den: int = 5, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
@@ -68,51 +100,51 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
     in integer arithmetic (den*inter >= num*union) so results are exact
     and oracle-comparable — no floating point.
 
+    Plan (2 shuffles, no joins): shingle each doc once, explode postings
+    carrying the doc's set size, group postings into per-shingle buckets
+    (shuffle 1), emit in-bucket pair combinations, count pair
+    co-occurrences = |A∩B| (shuffle 2, map-side combinable). Set sizes
+    ride along with the postings so no size-lookup join is needed.
+
     ``max_posting`` drops shingles appearing in more docs than the cap
     (skew guard; a shingle shared by everything is uninformative and
-    would quadratically blow up the self-join at scale).
+    would quadratically blow up its bucket at scale).
 
     Output: (doc_a, doc_b, inter_size, union_size).
     """
-    sh_arrays = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        shingles(ws_tokens(F.lower(F.col(text_col))), n).alias("sh"))
-    # per-doc set size from the array — no groupBy, no extra shuffle
-    sizes = sh_arrays.select("doc_id", F.size("sh").alias("sz"))
-    sh = sh_arrays.select("doc_id", F.explode("sh").alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    postings = (sh.join(F.broadcast(freq.filter(F.col("df") > max_posting)
-                                    .select("shingle")),
-                        "shingle", "left_anti"))
-    a = postings.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = postings.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
+    postings = _shingle_sets(docs, id_col, text_col, n).select(
+        "doc_id", "sz", F.explode("sh").alias("shingle"))
+    buckets = (postings.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
+                    .alias("xs"))
+               .filter(F.size("xs").between(2, max_posting)))
+    pairs = (buckets.select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
+             .select("p.*"))
+    inter = (pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
              .agg(F.count(F.lit(1)).alias("inter_size")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    out = (inter.join(sa, "doc_a").join(sb, "doc_b")
-           .withColumn("union_size",
-                       F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
-           .filter(threshold_den * F.col("inter_size")
-                   >= threshold_num * F.col("union_size"))
-           .select("doc_a", "doc_b", "inter_size", "union_size"))
-    return out
+    return (inter
+            .withColumn("union_size",
+                        F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+            .filter(threshold_den * F.col("inter_size")
+                    >= threshold_num * F.col("union_size"))
+            .select("doc_a", "doc_b", "inter_size", "union_size"))
 
 
 def minhash_signatures(docs: DataFrame, *, num_hashes: int = 32,
                        n: int = 3, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle, i). Output: (doc_id, sig: array<bigint>)."""
-    sh = doc_shingles(docs, id_col, text_col, n)
-    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select("doc_id",
-                      F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-                      .alias("sig"))
+    xxhash64(shingle, i). Output: (doc_id, sig: array<bigint>).
+
+    Computed per-row over the doc's shingle array (``array_min`` of a
+    ``transform``) — a map-only stage with zero shuffle, vs. the naive
+    explode + 32-way groupBy-min which shuffles every posting."""
+    sets = _shingle_sets(docs, id_col, text_col, n)
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("sh"),
+                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+    return sets.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
@@ -133,8 +165,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into equal bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
-                             id_col=id_col, text_col=text_col)
+    sets = _shingle_sets(docs, id_col, text_col, n)
+    sig_arr = F.array(*[
+        F.array_min(F.transform(F.col("sh"),
+                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+    sig = sets.select("doc_id", sig_arr.alias("sig"))
     band_cols = [
         F.xxhash64(F.concat_ws(
             ",", F.lit(b),
@@ -143,28 +179,33 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
         for b in range(bands)]
     banded = sig.select("doc_id", *band_cols)
     bucket = banded.select(
-        "doc_id",
+        "doc_id", F.lit(0).alias("sz"),  # sz unused for candidate gen
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"),
                                      F.col(f"band{b}").alias("bh"))
                             for b in range(bands)])).alias("x")
-    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
-    la = bucket.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    lb = bucket.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    candidates = (la.join(lb, ["band", "bh"])
-                  .filter(F.col("doc_a") < F.col("doc_b"))
-                  .select("doc_a", "doc_b").distinct())
+    ).select("doc_id", "sz", F.col("x.band").alias("band"),
+             F.col("x.bh").alias("bh"))
+    # same bucket-combination pattern as ngram_jaccard_pairs: pairs are
+    # generated inside each (band, bucket-hash) group — one shuffle, no
+    # posting self-join
+    groups = (bucket.groupBy("band", "bh")
+              .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
+                   .alias("xs"))
+              .filter(F.size("xs") >= 2))
+    candidates = (groups
+                  .select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
+                  .select("p.doc_a", "p.doc_b").distinct())
 
-    # Exact verification on candidates only.
-    sh = doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("inter_size")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    # Exact verification on candidates only: bring both docs' shingle
+    # arrays to the pair and intersect in-row (map-side; AQE broadcasts
+    # the candidate side when it is small).
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    return (candidates.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("inter_size",
+                        F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn("union_size",
                         F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
             .filter(threshold_den * F.col("inter_size")
@@ -215,22 +256,25 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3,
     blocks = max_hamming + 1
     width = 64 // blocks
     fp = simhash64(docs, id_col=id_col, text_col=text_col)
+    # (doc_id, sz) struct convention of _bucket_pairs, with the simhash
+    # riding in the sz payload slot so the pair carries both fingerprints
     parts = fp.select(
-        "doc_id", "simhash",
+        F.col("doc_id"), F.col("simhash").alias("sz"),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
                      F.shiftright("simhash", i * width)
                      .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
             for i in range(blocks)])).alias("x")
-    ).select("doc_id", "simhash", F.col("x.blk").alias("blk"),
+    ).select("doc_id", "sz", F.col("x.blk").alias("blk"),
              F.col("x.key").alias("key"))
-    a = parts.select(F.col("doc_id").alias("doc_a"),
-                     F.col("simhash").alias("sh_a"), "blk", "key")
-    b = parts.select(F.col("doc_id").alias("doc_b"),
-                     F.col("simhash").alias("sh_b"), "blk", "key")
-    cand = (a.join(b, ["blk", "key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
+    groups = (parts.groupBy("blk", "key")
+              .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
+                   .alias("xs"))
+              .filter(F.size("xs") >= 2))
+    cand = (groups.select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
+            .select("p.doc_a", "p.doc_b",
+                    F.col("p.sz_a").alias("sh_a"),
+                    F.col("p.sz_b").alias("sh_b")).distinct())
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
