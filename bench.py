@@ -56,8 +56,13 @@ def main() -> None:
         return n
 
     # Warm the JVM/session with a trivial action so timings measure the
-    # queries, not session spin-up.
+    # queries, not session spin-up. The Python-worker pool is part of
+    # session spin-up too (first spawn costs ~20-60s): prime it with a
+    # no-op mapInPandas over every core's worth of partitions.
     spark.range(1).count()
+    n_workers = spark.sparkContext.defaultParallelism
+    (spark.range(n_workers).repartition(n_workers)
+     .mapInPandas(lambda it: it, "id long").count())
 
     for name in HEADLINE:
         if name == "flagship":

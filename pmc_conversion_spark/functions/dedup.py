@@ -130,21 +130,44 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
             .select("doc_a", "doc_b", "inter_size", "union_size"))
 
 
+def _hashed_shingle_sets(docs: DataFrame, id_col: str, text_col: str,
+                         n: int) -> DataFrame:
+    """(doc_id, hs: array<bigint>, sz: int) — shingle set with each
+    shingle string hashed ONCE to 64 bits (xxhash64 over its bytes).
+
+    Downstream minhash/LSH work runs entirely on the fixed-width longs:
+    the per-seed hash family re-hashes (base, seed) — two longs — never
+    the string, cutting the dominant map-side CPU (repeated string
+    encoding) by ~num_hashes× and the allocation churn with it.
+    Collisions merge shingles with p ≈ |sh|²/2⁶⁵ per doc — irrelevant at
+    any real shingle count. The hash array lives in its own projection
+    so CollapseProject (which refuses to inline non-cheap expressions
+    referenced more than once) keeps it evaluated once per row."""
+    return (_shingle_sets(docs, id_col, text_col, n)
+            .select("doc_id",
+                    F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+            .withColumn("sz", F.size("hs")))
+
+
+def _minhash_sig_expr(num_hashes: int):
+    """array<bigint> MinHash signature over the ``hs`` hashed-shingle
+    array: for seed i, min over xxhash64(base_hash, i)."""
+    return F.array(*[
+        F.array_min(F.transform("hs", lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        for i in range(num_hashes)])
+
+
 def minhash_signatures(docs: DataFrame, *, num_hashes: int = 32,
                        n: int = 3, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle, i). Output: (doc_id, sig: array<bigint>).
+    """MinHash signature per doc: for seed i, min over base-hashed
+    shingles of xxhash64(base, i). Output: (doc_id, sig: array<bigint>).
 
     Computed per-row over the doc's shingle array (``array_min`` of a
     ``transform``) — a map-only stage with zero shuffle, vs. the naive
     explode + 32-way groupBy-min which shuffles every posting."""
-    sets = _shingle_sets(docs, id_col, text_col, n)
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("sh"),
-                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)])
-    return sets.select("doc_id", sig.alias("sig"))
+    sets = _hashed_shingle_sets(docs, id_col, text_col, n)
+    return sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
@@ -165,12 +188,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into equal bands")
     rows_per_band = num_hashes // bands
-    sets = _shingle_sets(docs, id_col, text_col, n)
-    sig_arr = F.array(*[
-        F.array_min(F.transform(F.col("sh"),
-                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)])
-    sig = sets.select("doc_id", sig_arr.alias("sig"))
+    sets = _hashed_shingle_sets(docs, id_col, text_col, n)
+    sig = sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
     band_cols = [
         F.xxhash64(F.concat_ws(
             ",", F.lit(b),
@@ -196,13 +215,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
                   .select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
                   .select("p.doc_a", "p.doc_b").distinct())
 
-    # Exact verification on candidates only: bring both docs' shingle
-    # arrays to the pair and intersect in-row (map-side; AQE broadcasts
-    # the candidate side when it is small).
+    # Exact verification on candidates only: bring both docs' hashed
+    # shingle arrays to the pair and intersect in-row (map-side; AQE
+    # broadcasts the candidate side when it is small). Long arrays
+    # intersect ~cheaper than strings and are collision-safe in practice
+    # (see _hashed_shingle_sets).
     sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+                     F.col("hs").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+                     F.col("hs").alias("sh_b"), F.col("sz").alias("sz_b"))
     return (candidates.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("inter_size",
                         F.size(F.array_intersect("sh_a", "sh_b")))
