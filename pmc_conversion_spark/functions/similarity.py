@@ -142,6 +142,16 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
     runs as dense BLAS instead of per-pair fold expressions, and the
     shuffle unit is a block, not a pair — this is the plan that survives
     a 100× scale-up (pair materialization never leaves the UDF).
+
+    The matmul is a *candidate filter* (threshold minus a float-error
+    margin); each surviving pair's cosine is then recomputed with the
+    same sequential left-fold arithmetic as
+    :func:`embedding_near_dup_pairs` (dot/(|a||b|), left-to-right
+    summation in double). BLAS pairwise/FMA summation differs from the
+    fold by ~1e-13, which round(…, 6) could flip on a boundary; the
+    recompute makes the output bit-identical to the exact operator, so
+    both share one SQL oracle. Candidates are few — the recompute cost
+    is O(candidates·d), noise next to the O(N²·d) matmul.
     """
     import numpy as np
     import pandas as pd
@@ -163,6 +173,18 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
     ).filter((F.col("p.bi") == F.col("blk")) | (F.col("p.bj") == F.col("blk")))
 
     out_schema = "id_a long, id_b long, cos_sim double"
+    margin = 10.0 ** (-round_digits)  # >> BLAS-vs-fold error (~1e-13)
+
+    def fold_cosine(a, b) -> float:
+        # mirror of the JVM expression: sequential left-to-right folds
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return round(dot / ((na ** 0.5) * (nb ** 0.5)), round_digits)
 
     def per_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         bi, bj = key[0], key[1]
@@ -172,24 +194,29 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         la = np.stack(left["vec"].to_numpy())
         rb = np.stack(right["vec"].to_numpy())
-        la = la / np.linalg.norm(la, axis=1, keepdims=True)
-        rb = rb / np.linalg.norm(rb, axis=1, keepdims=True)
-        sims = la @ rb.T
-        ia, ib = np.nonzero(np.round(sims, round_digits) >= threshold)
+        lan = la / np.linalg.norm(la, axis=1, keepdims=True)
+        rbn = rb / np.linalg.norm(rb, axis=1, keepdims=True)
+        sims = lan @ rbn.T
+        ia, ib = np.nonzero(sims >= threshold - margin)  # candidates
         id_a = left["vid"].to_numpy()[ia]
         id_b = right["vid"].to_numpy()[ib]
-        sim_v = np.round(sims[ia, ib], round_digits)
         if bi == bj:
             # same-block: matrix covers both orders; keep one
             keep = id_a < id_b
+            ia, ib = ia[keep], ib[keep]
             lo, hi = id_a[keep], id_b[keep]
-            sim_v = sim_v[keep]
         else:
             # cross-block: each unordered pair appears once, but the
-            # smaller id may sit on either side — normalize
+            # smaller id may sit on either side — normalize (cosine is
+            # bit-symmetric, so sides need not be swapped to match)
             lo = np.minimum(id_a, id_b)
             hi = np.maximum(id_a, id_b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim_v})
+        # exact recompute (fold order), exact threshold test
+        sim_v = np.array([fold_cosine(la[i], rb[j])
+                          for i, j in zip(ia, ib)], dtype=np.float64)
+        final = sim_v >= threshold
+        return pd.DataFrame({"id_a": lo[final], "id_b": hi[final],
+                             "cos_sim": sim_v[final]})
 
     return (pairs_df
             .groupBy(F.col("p.bi"), F.col("p.bj"))

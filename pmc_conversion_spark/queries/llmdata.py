@@ -129,16 +129,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
+_COSINE_PAIRS_SQL = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                        b.embedding::DOUBLE[]), 6) >= 0.45
-    """)
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_COSINE_PAIRS_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.45, rounded to 6
     decimals on both sides). Exact pair join here; the LSH-bucketed
@@ -147,12 +148,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(emb, threshold=0.45)
 
 
-@register("dedup_embedding_cosine_blocked", oracle=None)
+@register("dedup_embedding_cosine_blocked", oracle=_COSINE_PAIRS_SQL)
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-matmul variant of dedup_embedding_cosine — the 100 TB
     plan (block-pair shuffle + numpy BLAS inside applyInPandas, pairs
-    never materialized outside the UDF). Rows-only here; pytest asserts
-    it matches the exact operator pair-for-pair."""
+    never materialized outside the UDF). The matmul filters candidates;
+    emitted cosines are recomputed in the exact operator's fold order,
+    so this shares the exact variant's oracle bit-for-bit."""
     emb = tables.load(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_blocked(emb, threshold=0.45)
 
