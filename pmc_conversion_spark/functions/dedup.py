@@ -13,8 +13,13 @@ Scale design (100 TB posture):
   shingles are the skew risk, so buckets above a frequency cap are
   dropped (they carry almost no Jaccard information).
 
-All hashes are xxhash64 with integer seeds — deterministic across runs
-and partitionings.
+All hashing uses the *portable* family (md5-derived 60-bit base hash +
+multiply-mod permutations, see :func:`md5_int60` / :func:`minhash_ab`)
+— deterministic across runs and partitionings AND computable verbatim
+in DuckDB, which is what lets the driver's SQL oracle replay the full
+minhash/simhash pipelines instead of settling for rows-only checks. On
+a cluster where oracle parity is not needed, xxhash64 is the cheaper
+drop-in base hash.
 """
 
 from __future__ import annotations
@@ -130,38 +135,80 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
             .select("doc_a", "doc_b", "inter_size", "union_size"))
 
 
+#: modulus of the portable permutation family (Mersenne prime 2^31-1)
+MINHASH_PRIME = 2_147_483_647
+#: base hashes fold to 30 bits so a*h30+b stays far below 2^63 (ANSI-safe)
+MINHASH_H30 = 1 << 30
+#: seed for the deterministic (a, b) permutation constants
+MINHASH_SEED = 1234
+
+
+def minhash_ab(num_hashes: int, seed: int = MINHASH_SEED
+               ) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants of the multiply-mod permutation
+    family h -> (a*h + b) mod MINHASH_PRIME. Shared by the Spark plan
+    and the generated DuckDB oracle SQL, so both engines replay the
+    identical algorithm."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+            for _ in range(num_hashes)]
+
+
+def md5_int60(col):
+    """60-bit non-negative integer from the first 15 hex chars of md5.
+
+    The *portable* base hash: DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``, which is what makes the
+    minhash/simhash pipelines oracle-checkable. On a cluster where
+    oracle parity is not needed, xxhash64 is the cheaper drop-in."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _hashed_shingle_sets(docs: DataFrame, id_col: str, text_col: str,
                          n: int) -> DataFrame:
-    """(doc_id, hs: array<bigint>, sz: int) — shingle set with each
-    shingle string hashed ONCE to 64 bits (xxhash64 over its bytes).
+    """(doc_id, hs: array<bigint>, h30: array<bigint>, sz: int) —
+    shingle set with each shingle string hashed ONCE to a 60-bit int
+    (portable md5 base hash), plus its 30-bit fold for the permutation
+    family.
 
-    Downstream minhash/LSH work runs entirely on the fixed-width longs:
-    the per-seed hash family re-hashes (base, seed) — two longs — never
-    the string, cutting the dominant map-side CPU (repeated string
-    encoding) by ~num_hashes× and the allocation churn with it.
-    Collisions merge shingles with p ≈ |sh|²/2⁶⁵ per doc — irrelevant at
-    any real shingle count. The hash array lives in its own projection
-    so CollapseProject (which refuses to inline non-cheap expressions
-    referenced more than once) keeps it evaluated once per row."""
+    Downstream minhash/LSH work runs entirely on fixed-width longs: the
+    per-seed family is integer multiply-mod — never a string re-hash —
+    cutting the dominant map-side CPU by ~num_hashes× and the
+    allocation churn with it. Collisions merge shingles with
+    p ≈ |sh|²/2⁶¹ per doc — irrelevant at any real shingle count, and
+    identical on the oracle side anyway. Each hash array lives in its
+    own projection so CollapseProject (which refuses to inline
+    non-cheap expressions referenced more than once) keeps it evaluated
+    once per row."""
     return (_shingle_sets(docs, id_col, text_col, n)
             .select("doc_id",
-                    F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
-            .withColumn("sz", F.size("hs")))
+                    F.array_distinct(F.transform("sh", md5_int60))
+                    .alias("hs"))
+            .select("doc_id", "hs",
+                    F.transform("hs", lambda h: h % MINHASH_H30)
+                    .alias("h30"),
+                    F.size("hs").alias("sz")))
 
 
 def _minhash_sig_expr(num_hashes: int):
-    """array<bigint> MinHash signature over the ``hs`` hashed-shingle
-    array: for seed i, min over xxhash64(base_hash, i)."""
-    return F.array(*[
-        F.array_min(F.transform("hs", lambda h, i=i: F.xxhash64(h, F.lit(i))))
-        for i in range(num_hashes)])
+    """array<bigint> MinHash signature over the ``h30`` hashed-shingle
+    array: for seed i, min over (a_i * h + b_i) mod MINHASH_PRIME."""
+    def perm(a, b):
+        # closure, not default args: PySpark reads the lambda's arity
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(*[F.array_min(F.transform("h30", perm(a, b)))
+                     for a, b in minhash_ab(num_hashes)])
 
 
 def minhash_signatures(docs: DataFrame, *, num_hashes: int = 32,
                        n: int = 3, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """MinHash signature per doc: for seed i, min over base-hashed
-    shingles of xxhash64(base, i). Output: (doc_id, sig: array<bigint>).
+    """MinHash signature per doc: for seed i, min over the portable
+    permutation of the base-hashed shingles.
+    Output: (doc_id, sig: array<bigint>).
 
     Computed per-row over the doc's shingle array (``array_min`` of a
     ``transform``) — a map-only stage with zero shuffle, vs. the naive
@@ -190,13 +237,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     rows_per_band = num_hashes // bands
     sets = _hashed_shingle_sets(docs, id_col, text_col, n)
     sig = sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
-    band_cols = [
-        F.xxhash64(F.concat_ws(
-            ",", F.lit(b),
-            *[F.col("sig").getItem(b * rows_per_band + r).cast("string")
-              for r in range(rows_per_band)])).alias(f"band{b}")
-        for b in range(bands)]
-    banded = sig.select("doc_id", *band_cols)
+
+    def band_value(b):
+        # portable band combine: base-31 fold of the band's signature
+        # rows (sig values < 2^31, so the fold stays < 2^46 — ANSI-safe;
+        # grouping key only, uniformity doesn't matter)
+        acc = F.col("sig").getItem(b * rows_per_band)
+        for r in range(1, rows_per_band):
+            acc = acc * 31 + F.col("sig").getItem(b * rows_per_band + r)
+        return acc.alias(f"band{b}")
+
+    banded = sig.select("doc_id", *[band_value(b) for b in range(bands)])
     bucket = banded.select(
         "doc_id", F.lit(0).alias("sz"),  # sz unused for candidate gen
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"),
@@ -234,13 +285,20 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
             .select("doc_a", "doc_b", "inter_size", "union_size"))
 
 
+#: SimHash fingerprint width — 60 bits so the portable md5 base hash
+#: (md5_int60) covers every bit position on both engines
+SIMHASH_BITS = 60
+
+
 def simhash64(docs: DataFrame, *, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+    """60-bit SimHash over whitespace tokens (multiset semantics).
 
-    Per token, xxhash64 gives 64 bits; each bit votes +1/-1; the sign of
-    each bit-position sum forms the fingerprint. Implemented as explode →
-    per-bit aggregation (map-side combinable) — no UDF.
+    Per token, the portable md5 base hash gives 60 bits; each bit votes
+    +1/-1; the sign of each bit-position sum forms the fingerprint.
+    Implemented as explode → per-bit aggregation (map-side combinable,
+    so the shuffle carries 60 partial sums per doc per partition, not
+    the tokens) — no UDF, and DuckDB can replay it bit-for-bit.
 
     Output: (doc_id, simhash: bigint).
     """
@@ -248,14 +306,14 @@ def simhash64(docs: DataFrame, *, id_col: str = "doc_id",
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(ws_tokens(F.lower(F.col(text_col))))
                     .alias("tok")))
-    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = toks.select("doc_id", md5_int60(F.col("tok")).alias("h"))
     # bit b of h: shiftright then &1 -> vote 2*bit-1
     votes = [F.sum(
         (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-    ).alias(f"b{b}") for b in range(64)]
+    ).alias(f"b{b}") for b in range(SIMHASH_BITS)]
     agg = h.groupBy("doc_id").agg(*votes)
     fp = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
         term = F.shiftleft(bit.cast("bigint"), b)
         fp = term if fp is None else fp.bitwiseXOR(term)
@@ -268,14 +326,14 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3,
     """SimHash near-duplicate pairs with Hamming distance <= k.
 
     Candidate generation by the standard block-permutation trick: split
-    the 64-bit fingerprint into ``max_hamming+1`` blocks; any pair within
+    the fingerprint into ``max_hamming+1`` blocks; any pair within
     distance k agrees on >= 1 block (pigeonhole), so an equi-join per
     block finds all candidates; exact popcount filters.
 
     Output: (doc_a, doc_b, hamming).
     """
     blocks = max_hamming + 1
-    width = 64 // blocks
+    width = SIMHASH_BITS // blocks
     fp = simhash64(docs, id_col=id_col, text_col=text_col)
     # (doc_id, sz) struct convention of _bucket_pairs, with the simhash
     # riding in the sz payload slot so the pair carries both fingerprints

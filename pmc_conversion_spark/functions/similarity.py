@@ -90,18 +90,23 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
              n_planes: int = 8, seed: int = 42, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True, round_digits: int = 6) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets.
 
     Candidates = corpus vectors in the query's bucket (plus, with
     ``multiprobe``, all buckets at Hamming distance 1 — standard
-    multi-probe LSH to lift recall); exact cosine ranks the candidates.
+    multi-probe LSH to lift recall); exact cosine (rounded to
+    ``round_digits``, ties broken on neighbor id) ranks the candidates.
     The equi-join on bucket replaces the cross join: with b planes the
     scanned fraction is ~ (1+b)/2^b of the corpus per query.
 
+    Approximate only relative to true top-k — the pipeline itself is
+    deterministic (seeded planes, fold-order dot products), so a SQL
+    oracle can replay it exactly.
+
     Output: (query_id, neighbor_id, cos_sim, rank) — rank <= k, possibly
-    fewer rows than brute force when a bucket underfills (approximate by
-    design; recall is test-asserted against the brute-force oracle).
+    fewer rows than brute force when a bucket underfills (recall is
+    test-asserted against the brute-force oracle).
     """
     planes = random_hyperplanes(dim, n_planes, seed)
     q = _as_double(queries, vec_col).select(
@@ -118,7 +123,8 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+                      F.round(cosine(F.col("qv"), F.col("cv")),
+                              round_digits).alias("cos_sim"))
               .distinct())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())

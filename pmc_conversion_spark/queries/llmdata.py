@@ -112,20 +112,128 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold_num=1, threshold_den=20)
 
 
-@register("dedup_minhash_lsh", oracle=None)
+# DuckDB twin of dedup.md5_int60: 60-bit int from the first 15 md5 hex chars
+_MD5_INT60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+#: hashed shingle sets CTE shared by the minhash oracle
+_HASHED_SH_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs
+      FROM documents
+    )
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
+                     t_num: int = 1, t_den: int = 20) -> str:
+    """Generate the DuckDB twin of dedup.minhash_lsh_pairs.
+
+    MinHash+LSH is deterministic given the hash family; only the family
+    must be computable on both engines. The portable family (md5-based
+    60-bit base hash, multiply-mod permutations, base-31 band folds) is
+    defined once in functions/dedup.py; this generator embeds the same
+    (a, b) constants into SQL, so the oracle replays the identical
+    candidate generation AND exact-Jaccard verification."""
+    rpb = num_hashes // bands
+    sig_entries = ",\n             ".join(
+        f"list_min(list_transform(h30, h -> "
+        f"({a}::BIGINT*h + {b}) % {DD.MINHASH_PRIME}))"
+        for a, b in DD.minhash_ab(num_hashes))
+    band_structs = []
+    for b in range(bands):
+        s = f"sig[{b * rpb + 1}]"
+        for r in range(1, rpb):
+            s = f"({s}*31 + sig[{b * rpb + r + 1}])"
+        band_structs.append(f"{{band: {b}, bh: {s}}}")
+    return f"""
+    {_HASHED_SH_SQL.strip()},
+    base AS (SELECT doc_id, hs,
+                    list_transform(hs, h -> h % {DD.MINHASH_H30}) AS h30
+             FROM sh),
+    sig AS (SELECT doc_id,
+             [{sig_entries}] AS sig
+            FROM base),
+    bands AS (SELECT doc_id,
+                     unnest([{', '.join(band_structs)}]) AS b
+              FROM sig),
+    cand AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.b.band = r.b.band AND l.b.bh = r.b.bh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(la.hs, lb.hs)) AS inter_size,
+             len(la.hs) + len(lb.hs)
+               - len(list_intersect(la.hs, lb.hs)) AS union_size
+      FROM cand
+      JOIN sh la ON la.doc_id = doc_a
+      JOIN sh lb ON lb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, inter_size, union_size FROM verified
+    WHERE {t_den} * inter_size >= {t_num} * union_size
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified
-    (threshold 1/20). Approximate by design -> rows-only check here;
-    tests assert output ⊆ dedup_ngram_jaccard with high recall."""
+    (threshold 1/20) on hashed shingle sets. Deterministic given the
+    portable hash family (dedup.minhash_ab), so the DuckDB oracle
+    replays the whole pipeline; tests additionally assert output ⊆
+    dedup_ngram_jaccard with high recall."""
     return DD.minhash_lsh_pairs(_docs(spark, sf_dir),
                                 num_hashes=32, bands=8,
                                 threshold_num=1, threshold_den=20)
 
 
-@register("dedup_simhash", oracle=None)
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs: 60-bit md5-based token
+    hashes, per-bit majority votes, block-permutation candidate join,
+    exact popcount filter — same integer arithmetic as the Spark plan."""
+    bits = DD.SIMHASH_BITS
+    blocks = max_hamming + 1
+    width = bits // blocks
+    mask = (1 << width) - 1
+    vote = ("list_sum(list_transform(hs, h -> ((h >> {b}) & 1)*2 - 1))"
+            .format)
+    fp_terms = " + ".join(
+        f"(CASE WHEN {vote(b=b)} > 0 THEN (1::BIGINT << {b}) "
+        f"ELSE 0 END)" for b in range(bits))
+    block_structs = ", ".join(
+        f"{{blk: {i}, key: (simhash >> {i * width}) & {mask}}}"
+        for i in range(blocks))
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_transform({_TOKS},
+                  t -> {_MD5_INT60.format(s='t')}) AS hs
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    fp AS (SELECT doc_id, {fp_terms} AS simhash FROM hs),
+    parts AS (SELECT doc_id, simhash,
+                     unnest([{block_structs}]) AS x
+              FROM fp),
+    cand AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             any_value(l.simhash) AS fa, any_value(r.simhash) AS fb
+      FROM parts l JOIN parts r
+        ON l.x.blk = r.x.blk AND l.x.key = r.x.key
+           AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (Hamming <= 3) via the block-
-    permutation candidate join; rows-only (tests pin semantics)."""
+    """60-bit SimHash near-dup pairs (Hamming <= 3) via the block-
+    permutation candidate join. Deterministic on the portable hash
+    family, so the DuckDB oracle replays it exactly."""
     return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
@@ -195,10 +303,72 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 5))
 
 
-@register("sim_topk_lsh", oracle=None)
+def _fold_dot_sql(a: str, b: str, dim: int) -> str:
+    """Sequential-fold dot product — the DuckDB twin of similarity._dot
+    (left fold from 0.0; 0.0+x == x in IEEE, so list_reduce's first-
+    element seeding is bit-identical)."""
+    return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"j -> {a}[j] * {b}[j]), (x, y) -> x + y)")
+
+
+def _topk_lsh_sql(k: int = 5, n_planes: int = 8, seed: int = 42,
+                  dim: int = 64) -> str:
+    """DuckDB twin of similarity.topk_lsh: the seeded hyperplanes are
+    embedded as literals; bucket bits, multiprobe, and the fold-order
+    cosine replay the Spark plan exactly."""
+    planes = SIM.random_hyperplanes(dim, n_planes, seed)
+    plane_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
+    probes = ", ".join(["bucket"] +
+                       [f"xor(bucket, {1 << i})" for i in range(n_planes)])
+    dot_vp = _fold_dot_sql("v", "p", dim)
+    dot_qc = _fold_dot_sql("qv", "cv", dim)
+    nrm = ("sqrt(list_reduce(list_transform(range(1, {d} + 1), "
+           "j -> {v}[j] * {v}[j]), (x, y) -> x + y))")
+    cos = (f"{dot_qc} / ({nrm.format(d=dim, v='qv')}"
+           f" * {nrm.format(d=dim, v='cv')})")
+    return f"""
+    WITH pl AS (SELECT * FROM (VALUES
+        {plane_rows}) AS t(i, p)),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN {dot_vp} >= 0
+                 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+      FROM vecs, pl GROUP BY vec_id
+    ),
+    qp AS (
+      SELECT b.vec_id AS query_id, v.v AS qv,
+             unnest([{probes}]) AS bucket
+      FROM buckets b JOIN vecs v USING (vec_id)
+      WHERE b.vec_id < 10
+    ),
+    cb AS (
+      SELECT b.vec_id AS neighbor_id, v.v AS cv, b.bucket
+      FROM buckets b JOIN vecs v USING (vec_id)
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             round({cos}, 6) AS cos_sim
+      FROM qp JOIN cb USING (bucket)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@register("sim_topk_lsh", oracle=_topk_lsh_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets with
-    multiprobe; rows-only (tests assert recall vs brute force)."""
+    multiprobe. Deterministic given the seeded planes, so the DuckDB
+    oracle replays bucketing + ranking exactly; tests additionally
+    assert recall vs brute force."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.topk_lsh(queries, emb, k=5, n_planes=8, dim=64)
