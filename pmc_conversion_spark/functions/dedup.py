@@ -105,11 +105,13 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
     in integer arithmetic (den*inter >= num*union) so results are exact
     and oracle-comparable — no floating point.
 
-    Plan (2 shuffles, no joins): shingle each doc once, explode postings
-    carrying the doc's set size, group postings into per-shingle buckets
-    (shuffle 1), emit in-bucket pair combinations, count pair
-    co-occurrences = |A∩B| (shuffle 2, map-side combinable). Set sizes
-    ride along with the postings so no size-lookup join is needed.
+    Plan (2 shuffles, no joins): shingle each doc once, hash each
+    shingle to a 60-bit long (portable base hash — the shuffle key is 8
+    bytes, not a ~25-byte string), explode postings carrying the doc's
+    set size, group postings into per-shingle buckets (shuffle 1), emit
+    in-bucket pair combinations, count pair co-occurrences = |A∩B|
+    (shuffle 2, map-side combinable). Set sizes ride along with the
+    postings so no size-lookup join is needed.
 
     ``max_posting`` drops shingles appearing in more docs than the cap
     (skew guard; a shingle shared by everything is uninformative and
@@ -117,8 +119,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
 
     Output: (doc_a, doc_b, inter_size, union_size).
     """
-    postings = _shingle_sets(docs, id_col, text_col, n).select(
-        "doc_id", "sz", F.explode("sh").alias("shingle"))
+    postings = _hashed_shingle_sets(docs, id_col, text_col, n).select(
+        "doc_id", "sz", F.explode("hs").alias("shingle"))
     buckets = (postings.groupBy("shingle")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
                     .alias("xs"))

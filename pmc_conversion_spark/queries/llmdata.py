@@ -39,6 +39,20 @@ _SHINGLES = f"""
            ELSE [array_to_string({_TOKS}, ' ')] END
 """
 
+# DuckDB twin of dedup.md5_int60: 60-bit int from the first 15 md5 hex chars
+_MD5_INT60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+#: hashed shingle sets CTE (DuckDB twin of dedup._hashed_shingle_sets),
+#: shared by the jaccard and minhash oracles
+_HASHED_SH_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs
+      FROM documents
+    )
+"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "documents")
@@ -88,42 +102,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    {_HASHED_SH_SQL.strip()},
+    postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
+                 FROM sh),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_size
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+             count(*) AS inter_size
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, inter_size,
-           sa.sz + sb.sz - inter_size AS union_size
+           sz_a + sz_b - inter_size AS union_size
     FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE 20 * inter_size >= 1 * (sa.sz + sb.sz - inter_size)
+    WHERE 20 * inter_size >= 1 * (sz_a + sz_b - inter_size)
     """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard set-similarity join (threshold 1/20,
-    integer arithmetic — no floats in the hash). The inverted-index
-    self-join is the scale plan; hot shingles are capped (skew guard)."""
+    integer arithmetic — no floats in the hash) over hashed shingle
+    sets. The inverted-index posting-bucket plan is the scale path; hot
+    shingles are capped (skew guard)."""
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir),
                                   threshold_num=1, threshold_den=20)
-
-
-# DuckDB twin of dedup.md5_int60: 60-bit int from the first 15 md5 hex chars
-_MD5_INT60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
-
-#: hashed shingle sets CTE shared by the minhash oracle
-_HASHED_SH_SQL = f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform({_SHINGLES},
-                  s -> {_MD5_INT60.format(s='s')})) AS hs
-      FROM documents
-    )
-"""
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
