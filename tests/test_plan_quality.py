@@ -1,0 +1,81 @@
+"""Physical-plan assertions for the 100 TB posture: filters reach the
+parquet scan, small sides broadcast, and the dedup plans keep their
+no-join / bounded-shuffle shapes. These are the properties that decide
+whether a plan survives a 1000× scale-up — checked here so a refactor
+that silently de-optimizes (e.g. re-introduces a posting self-join or
+a cartesian product) fails fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from pmc_conversion_spark import tables
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return E.queries()
+
+
+def test_parquet_filter_pushdown(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = plan_of(docs.filter(F.col("doc_id") < 40).select("doc_id"))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(doc_id,40)" in plan
+    # column pruning: the text column must not be read for an id-only query
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_flagship_broadcasts_dimension_no_cartesian(spark):
+    from pmc_conversion_spark.plans.flagship import flagship_query
+    plan = plan_of(flagship_query(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_has_no_joins(spark, qs):
+    # the in-bucket pair-generation plan: 2 logical shuffles, zero joins
+    plan = plan_of(qs["dedup_ngram_jaccard"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_candidates_have_no_self_join(spark, qs):
+    # joins exist only in the exact-verify tail (candidate ⨝ sets);
+    # candidate *generation* is in-bucket, so no sort-merge self-join
+    plan = plan_of(qs["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_bruteforce_broadcasts_queries(spark, qs):
+    plan = plan_of(qs["sim_topk_bruteforce"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    # the corpus side must NOT be shuffled for the scoring pass
+    assert "SortMergeJoin" not in plan
+
+
+def test_codebook_decode_broadcasts(spark, qs):
+    plan = plan_of(qs["join_codebook_decode"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_shuffles_digests_not_bodies(spark, qs):
+    # the groupBy key is the 32-hex fingerprint; the document text must
+    # be projected away before the exchange
+    df = qs["dedup_exact"](spark, SF_DIR)
+    plan = plan_of(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, "expected a hash exchange for the fingerprint groupBy"
+    assert all("text" not in ln for ln in exchanges)
