@@ -237,6 +237,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into equal bands")
     rows_per_band = num_hashes // bands
+    # NOTE: the hashed sets feed three plan branches (signature + both
+    # sides of the verify join), so tokenize+shingle+md5 evaluates 3×.
+    # An explicit shared exchange does NOT deduplicate them — column
+    # pruning gives each branch a different projection below the
+    # boundary, so ReuseExchange sees distinct plans (measured). At
+    # cluster scale prefer recompute over caching the shingle sets.
     sets = _hashed_shingle_sets(docs, id_col, text_col, n)
     sig = sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
 
