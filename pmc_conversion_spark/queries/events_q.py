@@ -117,6 +117,63 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_custom_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """)
+def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through the REAL streaming machinery:
+    gap sessionization via applyInPandasWithState (open-session state
+    per user key), run as an availableNow streaming query into a memory
+    sink. One bounded batch -> exactly the batch sessionization, so the
+    gaps-and-islands oracle checks it value-exactly."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from pmc_conversion_spark.streaming.stateful import sessionize_with_state
+
+    raw = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),          # TIMESTAMP(NANOS)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream.schema(raw)
+              .option("pathGlobFilter", "events.parquet")  # dir source
+              .parquet(sf_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    sessions = sessionize_with_state(stream, gap_minutes=30)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="pmc_sessionize_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_stateful_dedup",
     oracle="""
     SELECT user_id, event_type, event_id, ts

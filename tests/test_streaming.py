@@ -145,3 +145,51 @@ def test_poll_status_unit():
                        sleep=lambda s: None) == "COMPLETED"
     with pytest.raises(StatusPollTimeout):
         poll_status(lambda: "RUNNING", max_retries=3, sleep=lambda s: None)
+
+
+def test_stateful_sessionize_carries_state_across_batches(
+        spark, tmp_path, fixture_df):
+    """applyInPandasWithState sessionizer: an open session from batch 1
+    must merge with batch 2's events (the property the built-in
+    session_window only gets within one query run, and the whole point
+    of carrying custom state)."""
+    import pandas as pd
+    from pmc_conversion_spark.streaming.stateful import sessionize_with_state
+
+    drop = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.write.mode("append").parquet(drop)
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+    # batch 1: user 1 has an open session of 2 events
+    write_batch([(1, t0, 1), (2, t0 + 5 * m, 1)], "b1")
+
+    def run_tick(qname):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        got = []
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long")
+                  .parquet(drop))
+        q = (sessionize_with_state(stream, gap_minutes=30)
+             .writeStream.foreachBatch(
+                 lambda df, epoch: got.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.user_id, r.session_start, r.n_events) for r in got}
+
+    got1 = run_tick("sess_t1")
+    assert got1 == {(1, t0.to_pydatetime(), 2)}
+
+    # batch 2: +10 min continues the session; +2 h starts a new one
+    write_batch([(3, t0 + 15 * m, 1), (4, t0 + 135 * m, 1)], "b2")
+    got2 = run_tick("sess_t2")
+    # closed session = merged 3 events from batches 1+2; open = the new one
+    assert (1, t0.to_pydatetime(), 3) in got2
+    assert (1, (t0 + 135 * m).to_pydatetime(), 1) in got2
