@@ -132,6 +132,78 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int, *,
             .filter(F.col("rank") <= k))
 
 
+def quant_cell(vec: Column, planes: list[list[float]], width: float) -> Column:
+    """IVF-style coarse cell id: quantized random projections (E2LSH).
+
+    Each plane's fold-order dot product is floored into buckets of
+    ``width``; the per-plane bucket indexes fold into one cell id with a
+    base large enough to avoid collisions between distinct index
+    tuples. Integer arithmetic after the floor — deterministic and
+    portable to the SQL oracle."""
+    cell = F.lit(0).cast("bigint")
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        idx = F.floor(_dot(vec, plane) / F.lit(width)).cast("bigint")
+        cell = cell * F.lit(10_000) + (idx % F.lit(10_000))
+    return cell
+
+
+def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
+             n_planes: int = 4, seed: int = 7, dim: int = 64,
+             width: float = 0.35, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_digits: int = 6,
+             multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k via IVF-style coarse quantization cells.
+
+    The index step assigns every vector to a cell (quantized random
+    projections — the dataflow twin of IVF's coarse centroids, chosen
+    over k-means so the cell assignment is integer-deterministic and
+    the SQL oracle can replay it). Queries probe their own cell plus,
+    with ``multiprobe``, the 2·n_planes cells one bucket step away on
+    each axis. Exact cosine (rounded, id tie-break) ranks candidates.
+
+    At scale: the corpus is scanned once to build (cell, vector)
+    postings; each query touches only its probed cells — an equi-join
+    on cell id, no corpus shuffle beyond the one groupBy-free join.
+
+    Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    if multiprobe:
+        probes = []
+        for ax in range(-1, n_planes):  # -1 = home cell, else shift axis
+            for step in ([0] if ax < 0 else [-1, 1]):
+                cell = F.lit(0).cast("bigint")
+                for i, p in enumerate(planes):
+                    plane = F.array(*[F.lit(float(x)) for x in p])
+                    idx = (F.floor(_dot(F.col("qv"), plane) / F.lit(width))
+                           .cast("bigint"))
+                    if i == ax:
+                        idx = idx + F.lit(step)
+                    cell = cell * F.lit(10_000) + (idx % F.lit(10_000))
+                probes.append(cell)
+        q = q.select("query_id", "qv",
+                     F.explode(F.array(*probes)).alias("cell")).distinct()
+    else:
+        q = q.select("query_id", "qv",
+                     quant_cell(F.col("qv"), planes, width).alias("cell"))
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        quant_cell(F.col(vec_col), planes, width).alias("cell"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")),
+                              round_digits).alias("cos_sim"))
+              .distinct())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
                                n_blocks: int = 8,
                                id_col: str = "vec_id",

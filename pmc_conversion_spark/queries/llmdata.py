@@ -364,6 +364,82 @@ def _topk_lsh_sql(k: int = 5, n_planes: int = 8, seed: int = 42,
     """
 
 
+def _topk_ivf_sql(k: int = 5, n_planes: int = 4, seed: int = 7,
+                  dim: int = 64, width: float = 0.25) -> str:
+    """DuckDB twin of similarity.topk_ivf: quantized-projection cells
+    (E2LSH — the deterministic stand-in for IVF coarse centroids),
+    multiprobe = home cell + ±1 bucket step per axis, fold-order
+    cosine. Cell ids fold per-plane bucket indexes with base-10000
+    weights — algebraically identical to the Spark left fold."""
+    planes = SIM.random_hyperplanes(dim, n_planes, seed)
+    plane_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
+    weights = {i: 10_000 ** (n_planes - 1 - i) for i in range(n_planes)}
+    w_case = ("CASE i " + " ".join(
+        f"WHEN {i} THEN {w}::BIGINT" for i, w in weights.items())
+        + " END")
+    shifts = ", ".join(["(-1, 0)"] +
+                       [f"({ax}, {s})" for ax in range(n_planes)
+                        for s in (-1, 1)])
+    dot_vp = _fold_dot_sql("v", "p", dim)
+    dot_qc = _fold_dot_sql("qv_t.v", "cb.cv", dim)
+    nrm = ("sqrt(list_reduce(list_transform(range(1, {d} + 1), "
+           "j -> {v}[j] * {v}[j]), (x, y) -> x + y))")
+    cos = (f"{dot_qc} / ({nrm.format(d=dim, v='qv_t.v')}"
+           f" * {nrm.format(d=dim, v='cb.cv')})")
+    return f"""
+    WITH pl AS (SELECT * FROM (VALUES
+        {plane_rows}) AS t(i, p)),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+      SELECT vec_id, i,
+             floor({dot_vp} / {width!r})::BIGINT AS idx
+      FROM vecs, pl
+    ),
+    cells AS (
+      SELECT vec_id, sum((idx % 10000) * {w_case}) AS cell
+      FROM proj GROUP BY vec_id
+    ),
+    qprobe AS (
+      SELECT DISTINCT query_id, cell FROM (
+        SELECT qp.vec_id AS query_id, s.ax, s.step,
+               sum((((CASE WHEN qp.i = s.ax THEN qp.idx + s.step
+                      ELSE qp.idx END) % 10000)) * {w_case}) AS cell
+        FROM (SELECT * FROM proj WHERE vec_id < 10) qp
+        CROSS JOIN (VALUES {shifts}) AS s(ax, step)
+        GROUP BY 1, 2, 3)
+    ),
+    cb AS (SELECT c.vec_id AS neighbor_id, v.v AS cv, c.cell
+           FROM cells c JOIN vecs v USING (vec_id)),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             round({cos}, 6) AS cos_sim
+      FROM qprobe
+      JOIN vecs qv_t ON qv_t.vec_id = query_id
+      JOIN cb USING (cell)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@register("sim_topk_ivf", oracle=_topk_ivf_sql())
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantization ANN: corpus indexed into quantized
+    random-projection cells, queries multiprobe neighboring cells,
+    exact cosine ranks. Deterministic (seeded planes, integer cell
+    algebra), so the DuckDB oracle replays index + probe + rank."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.topk_ivf(queries, emb, k=5, n_planes=4, dim=64, width=0.25)
+
+
 @register("sim_topk_lsh", oracle=_topk_lsh_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets with

@@ -131,3 +131,31 @@ def test_embedding_near_dup_pairs(vectors):
                vectors, threshold=0.95).collect()}
     assert (0, 1) in got and (2, 3) in got
     assert all(p not in got for p in [(0, 2), (0, 4), (2, 4)])
+
+
+def test_topk_ivf_finds_true_near_neighbors(spark, fixture_df):
+    """IVF-style quantized-projection ANN must recover *genuinely
+    close* neighbors (a perturbed copy of each query) — the workload
+    ANN exists for. Uniform-random corpora (the driver embeddings) have
+    no localizable neighbors, so recall there is a property of the
+    data, not the index."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(20):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        rows.append((i, v))                                    # query/base
+        pert = [x + rng.gauss(0.0, 0.01) for x in v]           # near-dup
+        n2 = math.sqrt(sum(x * x for x in pert))
+        rows.append((i + 1000, [x / n2 for x in pert]))
+    vecs = fixture_df(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 1000)
+    ivf = SIM.topk_ivf(queries, vecs, k=1, n_planes=4, dim=64, width=0.25)
+    top1 = {(r.query_id, r.neighbor_id) for r in ivf.collect()
+            if r.rank == 1}
+    found = sum(1 for q in range(20) if (q, q + 1000) in top1)
+    assert found >= 18  # ±1-bucket multiprobe may miss a boundary case
