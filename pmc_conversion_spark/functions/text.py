@@ -97,13 +97,29 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.encode(normalize_for_fingerprint(text), "UTF-8"))
 
 
-def shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-gram shingles over a token array (each shingle a
-    space-joined string); arrays shorter than n yield a single shingle of
-    the whole text so short docs still participate."""
+def ngram_multiset(tokens: Column, n: int = 3) -> Column:
+    """ALL n-gram shingles in order (with repeats) — the multiset the
+    repetition signal needs; :func:`shingles` is its distinct form."""
     k = F.size(tokens)
     ngrams = F.transform(
         F.sequence(F.lit(0), k - n),
         lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
     whole = F.array(F.concat_ws(" ", tokens))
-    return F.array_distinct(F.when(k >= n, ngrams).otherwise(whole))
+    return F.when(k >= n, ngrams).otherwise(whole)
+
+
+def repetition_counts(text: Column, n: int = 3) -> dict[str, Column]:
+    """Within-document repetition signal (the duplicate-n-gram quality
+    heuristic used on web corpora): total vs distinct n-gram counts.
+    Integer-exact — consumers form the ratio; 1 - distinct/total is the
+    repeated fraction."""
+    ms = ngram_multiset(ws_tokens(F.lower(text)), n)
+    return {"n_ngrams_total": F.size(ms),
+            "n_ngrams_distinct": F.size(F.array_distinct(ms))}
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles over a token array (each shingle a
+    space-joined string); arrays shorter than n yield a single shingle of
+    the whole text so short docs still participate."""
+    return F.array_distinct(ngram_multiset(tokens, n))

@@ -528,6 +528,78 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
+# DuckDB twin of text.ngram_multiset(n=3): all 3-grams with repeats
+_NGRAMS_ALL = f"""
+      CASE WHEN len({_TOKS}) >= 3
+           THEN list_transform(range(len({_TOKS}) - 2),
+                i -> array_to_string({_TOKS}[i+1:i+3], ' '))
+           ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           len({_NGRAMS_ALL}) AS n_ngrams_total,
+           len(list_distinct({_NGRAMS_ALL})) AS n_ngrams_distinct
+    FROM documents
+    """)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate-3-gram counts) — the
+    web-corpus quality heuristic for boilerplate/spam; integer-exact."""
+    d = _docs(spark, sf_dir)
+    cnt = TX.repetition_counts(F.col("text"))
+    return d.select("doc_id",
+                    cnt["n_ngrams_total"].alias("n_ngrams_total"),
+                    cnt["n_ngrams_distinct"].alias("n_ngrams_distinct"))
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle=_DOCS_WITH_DUPS_SQL + f"""
+    , fp AS (
+      SELECT doc_id, text, md5({_NORM}) AS fp FROM docs2
+    ),
+    keep_rep AS (  -- exact dedup: keep the min doc_id per fingerprint
+      SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+    ),
+    feats AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             len({_NGRAMS_ALL}) AS nt,
+             len(list_distinct({_NGRAMS_ALL})) AS nd
+      FROM docs2
+    )
+    SELECT f.doc_id, f.n_tokens
+    FROM feats f JOIN keep_rep USING (doc_id)
+    WHERE f.n_tokens >= 5
+      AND 10 * f.nd >= 7 * f.nt   -- repeated fraction <= 30%
+    """)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning composite — the minimum viable
+    training-data filter chain: exact dedup (keep min-id
+    representative) ∘ length floor ∘ repetition cap. One pass of
+    map-side features + one fingerprint groupBy; at 100 TB this is a
+    single shuffle over 16-byte digests plus a broadcast-able keep set.
+
+    Output: (doc_id, n_tokens) of surviving docs.
+    """
+    d = _docs_with_dups(spark, sf_dir)
+    fp = d.select("doc_id", "text",
+                  TX.fingerprint_md5(F.col("text")).alias("fp"))
+    keep = (fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
+    cnt = TX.repetition_counts(F.col("text"))
+    feats = d.select(
+        "doc_id", TX.token_count_ws(F.col("text")).alias("n_tokens"),
+        cnt["n_ngrams_total"].alias("nt"),
+        cnt["n_ngrams_distinct"].alias("nd"))
+    return (feats.join(keep.select("doc_id"), "doc_id")
+            .filter((F.col("n_tokens") >= 5)
+                    & (10 * F.col("nd") >= 7 * F.col("nt")))
+            .select("doc_id", "n_tokens"))
+
+
 @register(
     "text_fingerprint",
     oracle=f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents")
