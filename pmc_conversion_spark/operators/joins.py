@@ -158,3 +158,26 @@ def checksum_mismatches(computed: DataFrame, declared: DataFrame) -> DataFrame:
             .filter((F.col("computed_sha1").isNull())
                     | (F.col("declared_sha1").isNull())
                     | (F.col("computed_sha1") != F.col("declared_sha1"))))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, *,
+                row_id: str, salt_buckets: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-salted equi-join: the manual fallback for when AQE's
+    skew-join split can't apply (SURVEY.md §7.4 — skewed
+    ``individual_id``-style keys at 100 TB).
+
+    The big side gets a deterministic salt from its unique ``row_id``
+    (hash mod buckets — reproducible across retries, unlike rand());
+    the small side is replicated once per bucket. Joining on
+    (key, salt) splits each hot key's rows across ``salt_buckets``
+    tasks; the result is exactly the unsalted join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    sb = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(row_id)), F.lit(salt_buckets)))
+    ss = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i)
+                                      for i in range(salt_buckets)])))
+    return sb.join(ss, [key, "__salt"], how).drop("__salt")

@@ -552,3 +552,25 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("id"))
     b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("id"))
     return a.intersect(b)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_id, e.user_id, u.n_user_events
+    FROM events e
+    JOIN (SELECT user_id, count(*) AS n_user_events
+          FROM events GROUP BY user_id) u USING (user_id)
+    """)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salting demo (SURVEY.md §7.4): the big side is
+    salted deterministically from its unique event_id, the per-user dim
+    is replicated per bucket, and the join on (key, salt) splits hot
+    users across tasks. The oracle is the PLAIN join — salting must be
+    result-invisible."""
+    e = tables.load(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events"))
+    out = J.salted_join(e.select("event_id", "user_id"), dim,
+                        "user_id", row_id="event_id", salt_buckets=8)
+    return out.select("event_id", "user_id", "n_user_events")
