@@ -237,13 +237,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into equal bands")
     rows_per_band = num_hashes // bands
-    # NOTE: the hashed sets feed three plan branches (signature + both
-    # sides of the verify join), so tokenize+shingle+md5 evaluates 3×.
-    # An explicit shared exchange does NOT deduplicate them — column
-    # pruning gives each branch a different projection below the
-    # boundary, so ReuseExchange sees distinct plans (measured). At
-    # cluster scale prefer recompute over caching the shingle sets.
-    sets = _hashed_shingle_sets(docs, id_col, text_col, n)
+    # The hashed sets feed three plan branches (signature + both sides
+    # of the verify join). An explicit shared exchange does NOT
+    # deduplicate them — column pruning gives each branch a different
+    # projection below the boundary, so ReuseExchange sees distinct
+    # plans (measured). Persisting the frame makes tokenize+shingle+md5
+    # (the dominant map-side cost) evaluate once instead of 3×: the
+    # first stage that touches a partition materializes it, the later
+    # stages read the cached blocks. MEMORY_AND_DISK spills under
+    # pressure, so at cluster scale the worst case degrades to a local
+    # disk read — still cheaper than re-hashing every shingle twice.
+    from pyspark import StorageLevel
+    sets = (_hashed_shingle_sets(docs, id_col, text_col, n)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     sig = sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
 
     def band_value(b):

@@ -43,10 +43,16 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int, *,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int | None = None) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank per query with a deterministic tie-break.
+
+    With ``round_digits`` the similarity is rounded BEFORE ranking over
+    the full candidate set, so the ranking is identical to a SQL twin
+    that ranks rounded values (ADVICE r1: post-filter re-ranking of an
+    unrounded top-k can pick different rows when a rounded tie straddles
+    the rank-k boundary).
 
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
@@ -54,10 +60,12 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int, *,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = _as_double(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+              .select("query_id", "neighbor_id", sim.alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -234,9 +242,12 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
     import numpy as np
     import pandas as pd
 
+    # pmod, not abs(hash)%n: hash can return Integer.MIN_VALUE whose abs
+    # is still negative — a negative blk would match no (bi, bj) pair
+    # and silently drop the row from every comparison (ADVICE r1).
     v = _as_double(vectors, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("blk"))
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"))
     # replicate each row to every unordered block pair it belongs to,
     # tagging which side it plays
     pair_structs = []
@@ -250,7 +261,9 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
             for i, j in pair_structs])).alias("p")
     ).filter((F.col("p.bi") == F.col("blk")) | (F.col("p.bj") == F.col("blk")))
 
-    out_schema = "id_a long, id_b long, cos_sim double"
+    # id output type follows the input id column (not hardcoded long)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
     margin = 10.0 ** (-round_digits)  # >> BLAS-vs-fold error (~1e-13)
 
     def fold_cosine(a, b) -> float:
@@ -301,16 +314,36 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
             .applyInPandas(per_pair, out_schema))
 
 
+#: hard ceiling for the quarantined all-pairs baseline (O(N²) plan)
+NEAR_DUP_EXACT_MAX_ROWS = 200_000
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, *, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             round_digits: int = 6) -> DataFrame:
+                             round_digits: int = 6,
+                             max_rows: int = NEAR_DUP_EXACT_MAX_ROWS
+                             ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-based
-    near-duplicate detection. Exact (full pair join); use the LSH variant
-    to pre-filter candidates at scale.
+    near-duplicate detection.
+
+    **Quarantined: oracle-baseline-only. Do not use at scale.** The plan
+    is a cartesian product — O(N²) pairs materialize in the join, which
+    dies at any real corpus size. It exists solely as the exact
+    baseline that :func:`embedding_near_dup_blocked` (the 100 TB path —
+    block-pair shuffle + BLAS, bit-identical output) and the
+    ``sim_topk_*`` ANN operators are verified against. A size guard
+    refuses inputs above ``max_rows`` so the cartesian can never be run
+    on data it cannot handle.
 
     Output: (id_a, id_b, cos_sim rounded to ``round_digits``).
     """
+    n = vectors.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is the quarantined O(N²) exact "
+            f"baseline (> {max_rows} input rows); use "
+            f"embedding_near_dup_blocked or sim_topk_lsh/ivf at scale")
     v = _as_double(vectors, vec_col)
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

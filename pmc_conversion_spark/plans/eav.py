@@ -33,8 +33,13 @@ def unpivot_to_eav(df: DataFrame, entity: str, key: str,
     attribute values are dropped (filter_nonnull_attr semantics).
 
     instance_num distinguishes repeated (key, concept) observations,
-    ordered by the entity row id (= ``extra_keys`` when present, else
-    the key) for determinism under parallelism.
+    ordered by the entity row id (``extra_keys``) when present, with the
+    observation value columns (tval_char, nval_num, dval) as a
+    documented final tiebreak. Without ``extra_keys`` the key alone is
+    constant inside the (key, concept) window, so the value columns ARE
+    the order — rows identical in every value column are
+    interchangeable, which keeps the output multiset deterministic
+    under any parallelism/partitioning.
     """
     for a, kind in attrs.items():
         if kind not in KINDS:
@@ -62,5 +67,9 @@ def unpivot_to_eav(df: DataFrame, entity: str, key: str,
                 F.col("o.nval_num").alias("nval_num"),
                 F.col("o.tval_char").alias("tval_char"),
                 F.col("o.dval").alias("dval")))
-    order_col = list(extra_keys)[0] if extra_keys else key
-    return instance_num(obs, [key, "concept_cd"], order_col)
+    # Entity row id first (unique per instance when provided), then the
+    # value columns: never a fully-tied ordering, so row_number is
+    # deterministic (ADVICE r1: ordering by the partition-constant key
+    # alone made instance assignment partitioning-dependent).
+    order_cols = [*extra_keys, "tval_char", "nval_num", "dval"]
+    return instance_num(obs, [key, "concept_cd"], order_cols)

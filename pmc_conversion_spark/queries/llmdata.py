@@ -24,8 +24,13 @@ from pmc_conversion_spark.functions import text as TX
 from pmc_conversion_spark.queries import register
 
 # SQL fragment shared by the text oracles: whitespace tokens of the
-# lowercased text (DuckDB twin of text.ws_tokens ∘ lower).
-_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+# lowercased text (DuckDB twin of text.ws_tokens ∘ lower). The CASE
+# mirrors Spark's empty-input semantics: ws_tokens('') == [] while bare
+# string_split_regex('', ...) returns [''] in DuckDB (ADVICE r1 — token
+# counts/shingles/simhash would diverge on empty or whitespace-only
+# docs without it).
+_TOKS = ("(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+         "ELSE string_split_regex(trim(lower(text)), '\\s+') END)")
 
 # DuckDB twin of text.normalize_for_fingerprint
 _NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
@@ -105,12 +110,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_HASHED_SH_SQL.strip()},
     postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
                  FROM sh),
+    -- same hot-shingle skew cap as the Spark operator (max_posting —
+    -- part of the operator contract, ADVICE r1: the cap must exist on
+    -- both sides or a hot shingle silently diverges the engines)
+    capped AS (SELECT shingle FROM postings
+               GROUP BY shingle HAVING count(*) <= 10000),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
              count(*) AS inter_size
       FROM postings a JOIN postings b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN capped c ON c.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, inter_size,
@@ -122,9 +133,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard set-similarity join (threshold 1/20,
     integer arithmetic — no floats in the hash) over hashed shingle
     sets. The inverted-index posting-bucket plan is the scale path; hot
-    shingles are capped (skew guard)."""
+    shingles are capped on BOTH sides (max_posting=10000 is part of the
+    operator contract — intersections count only shingles under the
+    cap)."""
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir),
-                                  threshold_num=1, threshold_den=20)
+                                  threshold_num=1, threshold_den=20,
+                                  max_posting=10_000)
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
@@ -293,15 +307,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.topk_bruteforce(queries, emb, k=5)
-    # re-rank on the rounded value (shared with the oracle)
-    from pyspark.sql import Window
-    rounded = out.select("query_id", "neighbor_id",
-                         F.round("cos_sim", 6).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (rounded.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5))
+    # round_digits applies BEFORE ranking over the full candidate set —
+    # the same ordering the oracle's window computes (ADVICE r1: a
+    # rounded tie straddling the rank-k boundary must resolve the same
+    # way on both engines).
+    return SIM.topk_bruteforce(queries, emb, k=5, round_digits=6)
 
 
 def _fold_dot_sql(a: str, b: str, dim: int) -> str:
