@@ -18,6 +18,43 @@ MONTHS = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
 #: format keys as used in source configs -> parser
 FORMATS = ("ddMMMyyyy", "dd/MM/yyyy H:mm:ss", "dd/MM/yyyy", "yyyy-MM-dd")
 
+#: strptime directive -> Java DateTimeFormatter token. The reference's
+#: real sources_config.json declares formats as Python strptime strings
+#: ("%d%b%Y", sources_config.json:32,37,88,335); the engine's canonical
+#: keys are the Java forms in FORMATS. %H maps to bare H because the
+#: data carries non-zero-padded hours ("15/09/2000 0:00:00",
+#: individual.csv) which strict HH would reject.
+_STRPTIME_TO_JAVA = {
+    "%d": "dd", "%b": "MMM", "%m": "MM", "%Y": "yyyy",
+    "%H": "H", "%M": "mm", "%S": "ss", "%y": "yy",
+}
+
+
+def strptime_to_java(fmt: str) -> str:
+    """Translate a strptime format string to the Java form used by
+    :data:`FORMATS` / :func:`to_date_multi`. Already-Java strings (no
+    ``%``) pass through unchanged, so engine-shaped configs keep
+    working."""
+    if "%" not in fmt:
+        return fmt
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i:i + 2]
+            if tok == "%%":
+                out.append("%")
+            elif tok in _STRPTIME_TO_JAVA:
+                out.append(_STRPTIME_TO_JAVA[tok])
+            else:
+                raise ValueError(f"unsupported strptime directive {tok!r} "
+                                 f"in {fmt!r}")
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
 
 def _parse_ddmmmyyyy(col: Column) -> Column:
     """``15AUG2000`` -> date, case-insensitive month token.

@@ -1,0 +1,91 @@
+"""Run the engine on the reference's REAL files end-to-end.
+
+This is the parity proof the fixtures cannot give: parse the actual
+``sources_config.json`` (test_data_e2e/current/config — no
+id_attribute, strptime date formats, top-level codebooks/file_format
+maps), the real codebook TSV record format, and the real dropzone
+(test_data_e2e/current/dropzone/full_dataset), producing the 7 CSR
+entity tables (sources2csr stage, luigi-pipeline/main.py:105-112;
+recipe test_data_e2e/README.md:46-47: ``sources2csr dropzone/
+full_dataset /tmp/csr_test config``).
+
+Everything data-plane stays a Spark DataFrame; the config and the
+codebooks are driver-side plan inputs (SURVEY §2.8 f_json_parse: config
+parsed at plan time), exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pmc_conversion_spark.plans import config_model as CM
+from pmc_conversion_spark.plans.sources2csr import build_all
+from pmc_conversion_spark.sources.codebook import codebook_df
+
+#: reference e2e dataset locations (read-only)
+REF_E2E = "/root/reference/test_data_e2e/current"
+REF_CONFIG = os.path.join(REF_E2E, "config", "sources_config.json")
+REF_ONTOLOGY = os.path.join(REF_E2E, "config", "ontology_config.json")
+REF_DROPZONE_FULL = os.path.join(REF_E2E, "dropzone", "full_dataset")
+REF_DROPZONE_ALT = os.path.join(REF_E2E, "dropzone", "alternative")
+
+
+def load_sources_config(path: str = REF_CONFIG) -> CM.SourcesConfig:
+    with open(path, encoding="utf-8") as f:
+        return CM.from_json_dict(json.load(f))
+
+
+def load_ontology_nodes(path: str = REF_ONTOLOGY) -> list[dict]:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)["nodes"]
+
+
+def referenced_files(config: CM.SourcesConfig) -> list[str]:
+    """Data files referenced by any attribute source, in first-seen
+    order (the order sources_config.json declares them)."""
+    files: list[str] = []
+    for e in config.entities:
+        for a in e.attributes:
+            for s in a.sources:
+                if s.file not in files:
+                    files.append(s.file)
+    return files
+
+
+def load_frames(spark: SparkSession, data_dir: str,
+                config: CM.SourcesConfig
+                ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """Read every referenced source file and every bound codebook.
+
+    Sources read as all-string CSV with the per-file delimiter
+    (file_format map; TAB default) — schema-on-config: typing happens in
+    the compiler per declared attribute, never by inference. Codebooks
+    parse driver-side (sources/codebook.py) into broadcastable mapping
+    frames keyed by their config path.
+    """
+    frames: dict[str, DataFrame] = {}
+    for f in referenced_files(config):
+        fmt = config.fmt(f)
+        frames[f] = (spark.read
+                     .option("sep", fmt.delimiter)
+                     .option("header", True)
+                     .option("quote", '"')
+                     .option("inferSchema", False)
+                     .csv(os.path.join(data_dir, f)))
+    codebooks: dict[str, DataFrame] = {}
+    for f in referenced_files(config):
+        cb = config.fmt(f).codebook
+        if cb and cb not in codebooks:
+            codebooks[cb] = codebook_df(spark, os.path.join(data_dir, cb))
+    return frames, codebooks
+
+
+def build_csr(spark: SparkSession, data_dir: str = REF_DROPZONE_FULL,
+              config_path: str = REF_CONFIG) -> dict[str, DataFrame]:
+    """sources2csr over a real dropzone: 7 CSR entity DataFrames."""
+    config = load_sources_config(config_path)
+    frames, codebooks = load_frames(spark, data_dir, config)
+    return build_all(frames, config, codebooks)

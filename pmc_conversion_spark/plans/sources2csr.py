@@ -55,9 +55,18 @@ def project_source(df: DataFrame, entity: EntityConfig, file: str,
     if missing:
         raise ValueError(
             f"{file}: declared columns missing from header: {missing}")
-    if codebook is not None and codebook_columns:
+    if codebook is not None:
+        if codebook_columns is None:
+            # real-format configs carry no column list — the codebook
+            # itself names its columns (group lines, e.g.
+            # individual_codebook.tsv group 8: HOSPREC HOSPDIAG ...).
+            # Driver-side distinct on a config-plane dimension frame —
+            # bounded at any scale.
+            codebook_columns = [r["column"] for r in
+                                codebook.select("column").distinct().collect()]
         decode_cols = [c for c in codebook_columns if c in df.columns]
-        df = codebook_decode(df, codebook, decode_cols)
+        if decode_cols:
+            df = codebook_decode(df, codebook, decode_cols)
     cols = []
     for attr, col, fmt in contributed:
         kind = entity.attr(attr).kind

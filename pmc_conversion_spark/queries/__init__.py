@@ -81,5 +81,6 @@ def _load_modules() -> None:
         pipeline,
         events_q,
         llmdata,
+        reference_e2e,
     )
     _LOADED = True

@@ -400,9 +400,26 @@ def win_instance_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 def win_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense surrogate integers for a bounded dimension (i2b2 patient_num,
-    README.md:177-179). Global window — only valid for bounded dims."""
+    README.md:177-179). Global window — only valid for bounded dims;
+    win_surrogate_key_distributed is the unbounded-table form."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     return W.surrogate_key(c, "c_custkey")
+
+
+@register(
+    "win_surrogate_key_distributed",
+    oracle="""
+    SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+    FROM customer
+    """)
+def win_surrogate_key_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dense-global-row-number contract as win_surrogate_key but
+    scale-safe (VERDICT r1 #7): range-bucket the order key, number rows
+    inside each bucket in parallel, then add per-bucket running offsets
+    computed on the tiny bucket-count frame — the full table is never
+    sorted in one partition."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return W.surrogate_key_distributed(c, "c_custkey", buckets=32)
 
 
 @register(

@@ -94,28 +94,34 @@ def jdbc_tx_load(df: DataFrame, url: str, table: str,
         conn.close()
 
 
-def snapshot_digest(df: DataFrame) -> tuple[str, int]:
-    """Order-insensitive distributed content fingerprint of a DataFrame.
-
-    Plan shape: map (concat row -> sha1 -> 60-bit int) then ONE
-    all-partial aggregation of three commutative combines (sum mod 2^60
-    over decimal, bit_xor, count). No sort, no collect_list, no
-    single-task reduction — the only driver transfer is the final
-    1-row triple. Collision posture: 60-bit sum + 60-bit xor + count;
-    an adversarial collision is ~2^-60, fine for change detection.
-    """
-    import hashlib
-
+def snapshot_digest_plan(df: DataFrame) -> DataFrame:
+    """The 1-row digest aggregation plan (exposed for plan-quality
+    tests): map (concat row -> sha1 -> 60-bit int) then ONE all-partial
+    aggregation of three commutative combines (sum mod 2^60 over
+    decimal, bit_xor, count). No sort, no collect_list, no single-task
+    reduction."""
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
     line = F.concat_ws("\x1f", *cols)
     h = (F.conv(F.substring(F.sha1(F.encode(line, "UTF-8")), 1, 15), 16, 10)
          .cast("bigint"))
-    row = (df.select(h.alias("h"))
-           .agg((F.sum(F.col("h").cast("decimal(38,0)"))
-                 % F.lit(1 << 60)).alias("s"),
-                F.expr("bit_xor(h)").alias("x"),
-                F.count(F.lit(1)).alias("n"))
-           .collect()[0])
+    return (df.select(h.alias("h"))
+            .agg((F.sum(F.col("h").cast("decimal(38,0)"))
+                  % F.lit(1 << 60)).alias("s"),
+                 F.expr("bit_xor(h)").alias("x"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def snapshot_digest(df: DataFrame) -> tuple[str, int]:
+    """Order-insensitive distributed content fingerprint of a DataFrame.
+
+    The only driver transfer is the final 1-row combine triple, which
+    is sha1'd into the digest string. Collision posture: 60-bit sum +
+    60-bit xor + count; an adversarial collision is ~2^-60, fine for
+    change detection.
+    """
+    import hashlib
+
+    row = snapshot_digest_plan(df).collect()[0]
     s = int(row["s"]) if row["s"] is not None else 0
     x = int(row["x"]) if row["x"] is not None else 0
     n = int(row["n"])
