@@ -56,12 +56,25 @@ E2E_COUNTS = [
 def pipeline_e2e_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sources2csr over the REAL dropzone end-to-end: parse the actual
     sources_config.json + codebooks, read the real source files, build
-    all 7 CSR entities, count rows per entity (single unioned job).
+    all 7 CSR entities, WRITE one TSV per entity (the stage-2 output
+    contract, luigi-pipeline/main.py:109-112), then count rows from the
+    written files (single unioned job over the read-back TSVs).
     Expected counts hand-tallied from the dropzone files
     (test_data_e2e/README.md:46-47 recipe)."""
+    from pmc_conversion_spark.sources.scans import scan_csv_delim
+    from pmc_conversion_spark.sources.sinks import write_tsv
+
+    out_root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
+                            "pipeline_e2e_reference")
+    shutil.rmtree(out_root, ignore_errors=True)
     csr = RE.build_csr(spark)
-    tagged = [df.select(F.lit(name).alias("entity"))
-              for name, df in csr.items()]
+    tagged = []
+    for name, df in csr.items():
+        out_dir = os.path.join(out_root, name)
+        write_tsv(df.select([F.col(c).cast("string") for c in df.columns]),
+                  out_dir, single_file=True)
+        back = scan_csv_delim(spark, out_dir)
+        tagged.append(back.select(F.lit(name).alias("entity")))
     u = tagged[0]
     for t in tagged[1:]:
         u = u.unionAll(t)
@@ -337,3 +350,91 @@ def pipeline_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(RE.REF_DROPZONE_ALT, dropzone)
     one_run(3)
     return fixture_df(spark, results, "run int, task string, status string")
+
+
+# ------------------------------------------------------------------
+# The REAL ontology_config.json flattened — all 45 rows transcribed BY
+# HAND from config/ontology_config.json (6 top folders, one nested
+# Informed_consent folder, 39 concept leaves). Paths rooted at the
+# reference's top_node (luigi.cfg-sample:31).
+# ------------------------------------------------------------------
+
+_T = "\\Central Subject Registry"
+_PI = _T + "\\01. Patient information"
+_IC = _PI + "\\05. Informed_consent"
+_DI = _T + "\\02. Diagnosis information"
+_BS = _T + "\\03. Biosource information"
+_BM2 = _T + "\\04. Biomaterial information"
+_RA = _T + "\\05. Radiology information"
+_ST = _T + "\\06. Study information"
+E2E_ONTOLOGY = [
+    # (path, concept_code, depth, sort_order)
+    (_PI, None, 1, 1),
+    (_PI + "\\01. Date of birth", "Individual.birth_date", 2, 2),
+    (_PI + "\\02. Date of death", "Individual.death_date", 2, 3),
+    (_PI + "\\03. Sex", "Individual.gender", 2, 4),
+    (_PI + "\\04. Taxonomy", "Individual.taxonomy", 2, 5),
+    (_IC, None, 2, 6),
+    (_IC + "\\01. Informed consent type", "Individual.ic_type", 3, 7),
+    (_IC + "\\02. Informed consent version", "Individual.ic_version", 3, 8),
+    (_IC + "\\03. Date informed Consent given",
+     "Individual.ic_given_date", 3, 9),
+    (_IC + "\\04. Date informed consent withdrawn",
+     "Individual.ic_withdrawn_date", 3, 10),
+    (_IC + "\\05. Report hereditary susceptibility",
+     "Individual.report_her_susc", 3, 11),
+    (_DI, None, 1, 12),
+    (_DI + "\\01. Tumor type", "Diagnosis.tumor_type", 2, 13),
+    (_DI + "\\02. Topography", "Diagnosis.topography", 2, 14),
+    (_DI + "\\03. Tumor stage", "Diagnosis.tumor_stage", 2, 15),
+    (_DI + "\\04. Treatment", "Diagnosis.treatment_protocol", 2, 16),
+    (_DI + "\\05. Date of diagnosis", "Diagnosis.diagnosis_date", 2, 17),
+    (_DI + "\\06. Center of treatment", "Diagnosis.diagnosis_center", 2, 18),
+    (_BS, None, 1, 19),
+    (_BS + "\\01. Biosource parent", "Biosource.src_biosource_id", 2, 20),
+    (_BS + "\\02. Tissue", "Biosource.tissue", 2, 21),
+    (_BS + "\\03. Date of biosource", "Biosource.biosource_date", 2, 22),
+    (_BS + "\\04. Disease status", "Biosource.disease_status", 2, 23),
+    (_BS + "\\05. Tumor percentage", "Biosource.tumor_percentage", 2, 24),
+    (_BS + "\\06. Biosource dedicated for specific study",
+     "Biosource.biosource_dedicated", 2, 25),
+    (_BM2, None, 1, 26),
+    (_BM2 + "\\01. Biomaterial parent",
+     "Biomaterial.src_biomaterial_id", 2, 27),
+    (_BM2 + "\\02. Date of biomaterial",
+     "Biomaterial.biomaterial_date", 2, 28),
+    (_BM2 + "\\03. Biomaterial type", "Biomaterial.type", 2, 29),
+    (_BM2 + "\\04. Library strategy", "Biomaterial.library_strategy", 2, 30),
+    (_BM2 + "\\05. Analysis type", "Biomaterial.analysis_type", 2, 31),
+    (_RA, None, 1, 32),
+    (_RA + "\\01. Radiology ID", "Radiology.radiology_id", 2, 33),
+    (_RA + "\\02. Examination Date", "Radiology.examination_date", 2, 34),
+    (_RA + "\\03. Image Type", "Radiology.image_type", 2, 35),
+    (_RA + "\\04. Field Strength", "Radiology.field_strength", 2, 36),
+    (_RA + "\\05. Individual ID", "Radiology.individual_id", 2, 37),
+    (_RA + "\\06. Diagnosis ID", "Radiology.diagnosis_id", 2, 38),
+    (_RA + "\\07. Body Part", "Radiology.body_part", 2, 39),
+    (_ST, None, 1, 40),
+    (_ST + "\\01. Study ID", "Study.study_id", 2, 41),
+    (_ST + "\\02. Study acronym", "Study.acronym", 2, 42),
+    (_ST + "\\03. Study title", "Study.title", 2, 43),
+    (_ST + "\\04. Individual Study ID",
+     "IndividualStudy.individual_study_id", 2, 44),
+    (_ST + "\\05. Study datadictionary", "Study.datadictionary", 2, 45),
+]
+
+
+@register(
+    "pipeline_e2e_ontology",
+    oracle=f"""
+    SELECT path, concept_code, depth, sort_order
+    FROM {_values(E2E_ONTOLOGY, 'path, concept_code, depth, sort_order')}
+    """)
+def pipeline_e2e_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten the REAL ontology_config.json (45 nodes) into the
+    c_fullname path table vs a fully hand-transcribed oracle — the
+    stage-3 ontology output (ontology_config.json:1-190; paths rooted
+    at top_node, numeric prefixes as display order)."""
+    from pmc_conversion_spark.plans.ontology import ontology_df
+    ont = ontology_df(spark, RE.load_ontology_nodes(), _T)
+    return ont.select("path", "concept_code", "depth", "sort_order")

@@ -118,6 +118,26 @@ def test_alternative_dropzone_drops_pat2(spark):
     assert ind.filter(F.col("individual_id") == "PAT2").count() == 0
 
 
+# ---------------------------------------------------------- jdbc swap
+
+def test_jdbc_swap_statement_generation():
+    """The all-or-nothing publish SQL (README.md:181-183): staged table
+    renamed over the live one inside one transaction; identifiers are
+    quoted so mixed-case/keyword table names survive."""
+    from pmc_conversion_spark.sources.sinks import (
+        jdbc_staging_table, jdbc_swap_statements)
+    assert jdbc_staging_table("observation_fact") == \
+        "observation_fact__staging"
+    stmts = jdbc_swap_statements("observation_fact")
+    assert stmts == [
+        'DROP TABLE IF EXISTS "observation_fact"',
+        'ALTER TABLE "observation_fact__staging" RENAME TO '
+        '"observation_fact"',
+    ]
+    # the drop must precede the rename — swap order IS the contract
+    assert stmts[0].startswith("DROP") and stmts[1].startswith("ALTER")
+
+
 # -------------------------------------------------- scale regressions
 
 def test_snapshot_digest_distributed_plan(spark, fixture_df):
