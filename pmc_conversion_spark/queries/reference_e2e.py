@@ -424,6 +424,137 @@ E2E_ONTOLOGY = [
 ]
 
 
+# ------------------------------------------------------------------
+# Archived NGS generation (xx_archive/test_data_NGS): the real CNV
+# segment file and gene-level copy-number matrix. Sample ids join back
+# to biosource+biomaterial via the BIOS_BIOM underscore convention
+# (xx_archive README: BIOS1T_BIOM1T tumor / BIOS1N_BIOM1N normal for
+# PAT1). Expected values derived independently with awk over the files.
+# ------------------------------------------------------------------
+
+REF_NGS = ("/root/reference/test_data_e2e/xx_archive/test_data_NGS/"
+           "dropzone/full_dataset/NGS")
+
+# awk: NR>1 {c[$1,$2]++} over pmc_test_WXS.seg (2006 segments)
+_SEG_N = {1: 3, 2: 1, 3: 1, 4: 3, 5: 6, 6: 3, 7: 1, 8: 3, 9: 3, 10: 7,
+          11: 1, 12: 3, 13: 1, 14: 4, 15: 6, 16: 7, 17: 3, 18: 1,
+          19: 5, 20: 1, 21: 10, 22: 1}
+_SEG_T = {1: 317, 2: 207, 3: 249, 4: 5, 5: 11, 6: 9, 7: 40, 8: 28,
+          9: 43, 10: 153, 11: 281, 12: 7, 13: 59, 14: 42, 15: 10,
+          16: 26, 17: 123, 18: 62, 19: 9, 20: 7, 21: 11, 22: 233}
+E2E_SEG_EXPECT = (
+    [("BIOS1N", "BIOM1N", str(c), n) for c, n in sorted(_SEG_N.items())]
+    + [("BIOS1T", "BIOM1T", str(c), n) for c, n in sorted(_SEG_T.items())])
+
+
+@register(
+    "pipeline_e2e_ngs_seg",
+    oracle=f"""
+    SELECT biosource_id, biomaterial_id, chromosome, n_segments
+    FROM {_values(E2E_SEG_EXPECT,
+                  'biosource_id, biomaterial_id, chromosome, n_segments')}
+    """)
+def pipeline_e2e_ngs_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real CNV segment file (pmc_test_WXS.seg, 2006 rows): sample-id
+    split BIOS_BIOM -> (biosource_id, biomaterial_id) join keys
+    (join_sample_split on real data), per-chromosome segment counts vs
+    awk-derived expected values."""
+    seg = (spark.read.option("sep", "\t").option("header", True)
+           .csv(os.path.join(REF_NGS, "pmc_test_WXS.seg")))
+    parts = F.split(F.col("Sample"), "_")
+    return (seg.select(parts.getItem(0).alias("biosource_id"),
+                       parts.getItem(1).alias("biomaterial_id"),
+                       F.col("Chromosome").alias("chromosome"))
+            .groupBy("biosource_id", "biomaterial_id", "chromosome")
+            .agg(F.count(F.lit(1)).alias("n_segments")))
+
+
+@register(
+    "pipeline_e2e_ngs_genes",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('BIOS1N_BIOM1N', 25988, 4901),
+      ('BIOS1T_BIOM1T', 25988, 12690)) AS t(sample, n_genes, n_gained)
+    """)
+def pipeline_e2e_ngs_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real gene x sample wide matrix (pmc_test_WXS_all_data_by_genes,
+    25988 genes x 2 samples): wide -> long melt via stack, per-sample
+    gene count + positive-log-ratio count vs awk-derived values."""
+    genes = (spark.read.option("sep", "\t").option("header", True)
+             .csv(os.path.join(REF_NGS,
+                               "pmc_test_WXS_all_data_by_genes.txt")))
+    sample_cols = [c for c in genes.columns
+                   if c not in ("Gene Symbol", "Gene ID", "Cytoband")]
+    stack_expr = "stack({n}, {args}) as (sample, log_ratio)".format(
+        n=len(sample_cols),
+        args=", ".join(f"'{c}', `{c}`" for c in sample_cols))
+    long = genes.select(F.expr(stack_expr))
+    return (long.groupBy("sample")
+            .agg(F.count(F.lit(1)).alias("n_genes"),
+                 F.sum(F.when(F.col("log_ratio").cast("double") > 0, 1)
+                       .otherwise(0)).alias("n_gained")))
+
+
+# ------------------------------------------------------------------
+# Stage 3 on real data: CSR -> EAV observations. Hand-derived concept
+# stats: every Individual attribute yields one observation per non-empty
+# cell (birth_date/gender/ic_type all 17; death_date 3 = death.csv rows;
+# ic_given/withdrawn 1 each from RDP-IC; report_her_susc none);
+# Diagnosis attributes yield 19 each (tumor_stage all empty -> none)
+# over 17 patients, with PAT1/PAT2 carrying 2 diagnosis instances.
+# ------------------------------------------------------------------
+
+E2E_OBS_EXPECT = [
+    # concept_cd, n_obs, n_patients, max_instance
+    ("Diagnosis.diagnosis_center", 19, 17, 2),
+    ("Diagnosis.diagnosis_date", 19, 17, 2),
+    ("Diagnosis.topography", 19, 17, 2),
+    ("Diagnosis.tumor_type", 19, 17, 2),
+    ("Individual.birth_date", 17, 17, 1),
+    ("Individual.death_date", 3, 3, 1),
+    ("Individual.gender", 17, 17, 1),
+    ("Individual.ic_given_date", 1, 1, 1),
+    ("Individual.ic_type", 17, 17, 1),
+    ("Individual.ic_withdrawn_date", 1, 1, 1),
+]
+
+
+@register(
+    "pipeline_e2e_observations",
+    oracle=f"""
+    SELECT concept_cd, n_obs, n_patients, max_instance
+    FROM {_values(E2E_OBS_EXPECT,
+                  'concept_cd, n_obs, n_patients, max_instance')}
+    """)
+def pipeline_e2e_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference dataflow on real data through stage 3:
+    dropzone -> CSR -> EAV unpivot with instance numbering (concept
+    codes <Entity>.<attribute>, ontology_config.json:8-16) -> per-
+    concept stats. PAT1/PAT2 have two diagnoses each (diagnosis.csv
+    DIA18/DIA19), so Diagnosis concepts reach instance_num 2."""
+    from pmc_conversion_spark.plans.eav import unpivot_to_eav
+
+    csr = RE.build_csr(spark)
+    ind_obs = unpivot_to_eav(
+        csr["Individual"], entity="Individual", key="individual_id",
+        attrs={"birth_date": "date", "gender": "text",
+               "death_date": "date", "ic_type": "text",
+               "ic_given_date": "date", "ic_withdrawn_date": "date",
+               "report_her_susc": "date"})
+    dia_obs = unpivot_to_eav(
+        csr["Diagnosis"], entity="Diagnosis", key="individual_id",
+        attrs={"tumor_type": "text", "topography": "text",
+               "tumor_stage": "text", "diagnosis_date": "date",
+               "diagnosis_center": "text"},
+        extra_keys=("diagnosis_id",))
+    cols = ["individual_id", "concept_cd", "instance_num"]
+    obs = ind_obs.select(*cols).unionByName(dia_obs.select(*cols))
+    return (obs.groupBy("concept_cd")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.countDistinct("individual_id").alias("n_patients"),
+                 F.max("instance_num").alias("max_instance")))
+
+
 @register(
     "pipeline_e2e_ontology",
     oracle=f"""
