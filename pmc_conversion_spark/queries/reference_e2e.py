@@ -569,3 +569,172 @@ def pipeline_e2e_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.plans.ontology import ontology_df
     ont = ontology_df(spark, RE.load_ontology_nodes(), _T)
     return ont.select("path", "concept_code", "depth", "sort_order")
+
+
+# ------------------------------------------------------------------
+# Stage 3 -> 4: the transmart-copy staging model on real data
+# (luigi-pipeline/main.py:115-126 csr2transmart + :144-147 load;
+# public i2b2/transmart-copy staging contract — plans/transmart.py).
+# Oracles are derived from the SAME hand-transcribed entity rows the
+# entity-level queries are checked against (E2E_INDIVIDUALS /
+# E2E_DIAGNOSES / E2E_ONTOLOGY), via trivially-auditable Python below.
+# ------------------------------------------------------------------
+
+REF_STUDY_ID = "CSR_STUDY"          # luigi.cfg-sample:30
+_PATIENT_NUM = {iid: n for n, iid in enumerate(
+    sorted(r[0] for r in E2E_INDIVIDUALS), 1)}
+
+
+def _csr_and_ontology(spark):
+    from pmc_conversion_spark.plans.ontology import ontology_df
+    return (RE.build_csr(spark),
+            ontology_df(spark, RE.load_ontology_nodes(), _T))
+
+
+@register(
+    "transmart_patient_dimension",
+    oracle=f"""
+    SELECT row_number() OVER (ORDER BY individual_id) AS patient_num,
+           individual_id AS patient_ide, gender AS sex_cd,
+           birth_date::DATE AS birth_date, death_date::DATE AS death_date
+    FROM {_values([(r[0], r[1], r[2], r[3]) for r in E2E_INDIVIDUALS],
+                  'individual_id, birth_date, gender, death_date')}
+    """)
+def transmart_patient_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2b2 patient_dimension from the real dropzone: dense patient_num
+    surrogates (two-phase distributed row_number — no single-partition
+    sort) + demographics, vs the 17 hand-derived individuals."""
+    from pmc_conversion_spark.plans.transmart import patient_dimension
+    return patient_dimension(RE.build_csr(spark)["Individual"])
+
+
+@register(
+    "transmart_concept_dimension",
+    oracle=f"""
+    SELECT concept_code AS concept_cd, path || '\\' AS concept_path,
+           string_split(path, '\\')[-1] AS name_char
+    FROM {_values(E2E_ONTOLOGY, 'path, concept_code, depth, sort_order')}
+    WHERE concept_code IS NOT NULL
+    """)
+def transmart_concept_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2b2 concept_dimension: the 38 leaves of the real ontology with
+    trailing-separator concept paths (i2b2 convention)."""
+    from pmc_conversion_spark.plans.transmart import concept_dimension
+    from pmc_conversion_spark.plans.ontology import ontology_df
+    return concept_dimension(ontology_df(spark, RE.load_ontology_nodes(), _T))
+
+
+@register(
+    "transmart_i2b2_secure",
+    oracle=f"""
+    SELECT depth AS c_hlevel, path || '\\' AS c_fullname,
+           string_split(path, '\\')[-1] AS c_name,
+           concept_code AS c_basecode,
+           CASE WHEN concept_code IS NOT NULL THEN 'LA'
+                ELSE 'FA' END AS c_visualattributes,
+           '@' AS m_applied_path
+    FROM {_values(E2E_ONTOLOGY, 'path, concept_code, depth, sort_order')}
+    UNION ALL
+    SELECT 0, '\\Central Subject Registry\\', 'Central Subject Registry',
+           NULL, 'CA', '@'
+    """)
+def transmart_i2b2_secure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The i2b2_secure metadata tree: 45 real ontology nodes (LA leaf /
+    FA folder) plus the CA root row for the configured top node
+    (luigi.cfg-sample:31)."""
+    from pmc_conversion_spark.plans.transmart import tree_table
+    from pmc_conversion_spark.plans.ontology import ontology_df
+    ont = ontology_df(spark, RE.load_ontology_nodes(), _T)
+    return tree_table(ont, _T + "\\")
+
+
+def _expected_obsfact() -> list[tuple]:
+    """(patient_num, concept_cd, instance_num, valtype_cd, tval_char)
+    derived from the hand-transcribed entity rows: dates are D with the
+    ISO string in tval_char, text is T; diagnosis instances are numbered
+    by diagnosis_id within each (patient, concept)."""
+    rows = []
+    for iid, birth, gender, death, ic, icg, icw in E2E_INDIVIDUALS:
+        p = _PATIENT_NUM[iid]
+        for concept, valtype, val in (
+                ("Individual.birth_date", "D", birth),
+                ("Individual.gender", "T", gender),
+                ("Individual.death_date", "D", death),
+                ("Individual.ic_type", "T", ic),
+                ("Individual.ic_given_date", "D", icg),
+                ("Individual.ic_withdrawn_date", "D", icw)):
+            if val is not None:
+                rows.append((p, concept, 1, valtype, val))
+    by_pat: dict[str, list[tuple]] = {}
+    for row in E2E_DIAGNOSES:
+        by_pat.setdefault(row[1], []).append(row)
+    for iid, ds in by_pat.items():
+        p = _PATIENT_NUM[iid]
+        for inst, (did, _, ttype, topo, ddate) in enumerate(
+                sorted(ds, key=lambda r: r[0]), 1):
+            rows.append((p, "Diagnosis.tumor_type", inst, "T", ttype))
+            rows.append((p, "Diagnosis.topography", inst, "T", topo))
+            rows.append((p, "Diagnosis.diagnosis_date", inst, "D", ddate))
+            rows.append((p, "Diagnosis.diagnosis_center", inst, "T", "UMCU"))
+    return rows
+
+
+@register(
+    "transmart_observation_fact",
+    oracle=f"""
+    SELECT patient_num, concept_cd, instance_num, 1 AS trial_visit_num,
+           valtype_cd, tval_char, NULL::DOUBLE AS nval_num
+    FROM {_values(_expected_obsfact(),
+                  'patient_num, concept_cd, instance_num, valtype_cd, '
+                  'tval_char')}
+    """)
+def transmart_observation_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full i2b2 observation_fact on real data — all 132 rows: EAV
+    unpivot of Individual + Diagnosis, surrogate patient_num join,
+    N/T/D valtype split (dates as ISO tval_char), diagnosis instances
+    numbered by diagnosis_id (PAT1/PAT2 reach instance 2)."""
+    from pmc_conversion_spark.plans import transmart as TM
+    csr = RE.build_csr(spark)
+    pats = TM.patient_dimension(csr["Individual"])
+    return TM.observation_fact(TM.csr_observations(csr), pats)
+
+
+E2E_STAGING_COUNTS = [
+    ("i2b2demodata/concept_dimension.tsv", 38),
+    ("i2b2demodata/observation_fact.tsv", 132),
+    ("i2b2demodata/patient_dimension.tsv", 17),
+    ("i2b2demodata/patient_mapping.tsv", 17),
+    ("i2b2demodata/study.tsv", 1),
+    ("i2b2demodata/trial_visit_dimension.tsv", 1),
+    ("i2b2metadata/i2b2_secure.tsv", 46),
+]
+
+
+@register(
+    "transmart_staging_layout",
+    oracle=f"""
+    SELECT file, n_rows FROM {_values(E2E_STAGING_COUNTS, 'file, n_rows')}
+    """)
+def transmart_staging_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 4's input contract end-to-end: build ALL seven staging
+    tables from the real dropzone, write the transmart-copy directory
+    layout (i2b2demodata/ + i2b2metadata/, main.py:144-147
+    ``--directory``), read every file back and count rows."""
+    from pmc_conversion_spark.plans import transmart as TM
+    from pmc_conversion_spark.plans.ontology import ontology_df
+    from pmc_conversion_spark.sources.scans import scan_csv_delim
+
+    out_root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
+                            "transmart_staging")
+    shutil.rmtree(out_root, ignore_errors=True)
+    csr = RE.build_csr(spark)
+    ont = ontology_df(spark, RE.load_ontology_nodes(), _T)
+    tables = TM.build_staging(spark, csr, ont, REF_STUDY_ID, _T + "\\")
+    TM.write_staging(tables, out_root)
+    tagged = [scan_csv_delim(spark, os.path.join(out_root, rel))
+              .select(F.lit(rel).alias("file"))
+              for rel in sorted(TM.STAGING_LAYOUT)]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    return u.groupBy("file").agg(F.count(F.lit(1)).alias("n_rows"))
