@@ -1,0 +1,143 @@
+"""Temporal join operators: as-of, interval, and range-bin joins.
+
+The reference's micro-batch jobs never join on time, but any
+registry/event pipeline at scale needs them (latest-observation-before-
+cutoff, event-to-era assignment, stream-stream correlation). None of
+these is a built-in Spark join, so each is re-expressed as a
+composition whose physical plan stays an equi-join:
+
+- :func:`asof_join` — the union+window trick: one shuffle on the key,
+  no inequality join, no candidate explosion. This is the plan that
+  survives 100×; a ``t2.ts <= t1.ts`` theta-join would be a
+  BroadcastNestedLoop (or a per-key cross product) at scale.
+- :func:`range_bin_join` — interval dimension × fact timestamp, binned
+  to a calendar granularity so the physical join is an equi-join on the
+  bin; the exact bound check is a cheap post-join filter.
+- :func:`interval_join` — equality key + bounded time distance. The
+  equi-key keeps the physical plan a hash join; the range condition
+  prunes after. Its streaming twin (two watermarked streams) lives in
+  ``pmc_conversion_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str,
+              left_ts: str, right_ts: str,
+              right_cols: Sequence[str],
+              tolerance: str | None = None) -> DataFrame:
+    """Left as-of join: for every left row, the single most recent right
+    row with ``right.ts <= left.ts`` for the same key (inclusive).
+
+    Plan: tag both inputs, union them, and run one window per key
+    ordered by (ts, side, right-row id); ``last(payload, ignorenulls)``
+    over the growing frame carries the latest right payload forward to
+    each left row. ONE shuffle total (the window partitioning), data
+    volume |L|+|R| — never the |L|×|R| candidate set of the naive
+    inequality join. Window ordering makes ties deterministic: at equal
+    ts the right row sorts first (so same-instant matches are taken),
+    and among equal-ts right rows the highest ordering column wins.
+
+    ``right_cols`` must include ``right_ts``; matched columns keep
+    their names, so they must not collide with left columns.
+    ``tolerance`` (an INTERVAL literal body, e.g. ``'10 minutes'``)
+    turns matches older than ``left_ts - tolerance`` into nulls —
+    evaluated per-row after the window, not as a join condition.
+    """
+    if right_ts not in right_cols:
+        raise ValueError("right_cols must include right_ts")
+    left_cols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload_t = right.select(payload.alias("__r")).schema["__r"].dataType
+
+    l_side = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rord"),
+        *[F.col(c) for c in left_cols if c != on],
+        F.lit(None).cast(payload_t).alias("__r"))
+    # right ordering column: the first non-ts payload column if any
+    # (unique row ids make equal-ts picks deterministic), else the ts
+    ord_col = next((c for c in right_cols if c != right_ts), right_ts)
+    r_side = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(ord_col).cast("long").alias("__rord"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c != on],
+        payload.alias("__r"))
+
+    w = (Window.partitionBy("__k")
+         .orderBy("__ts", "__side", "__rord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (l_side.unionByName(r_side)
+               .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+               .filter(F.col("__side") == 1))
+    if tolerance is not None:
+        ok = (F.col("__m").isNotNull()
+              & (F.col("__m")[right_ts]
+                 >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")))
+        matched = matched.withColumn(
+            "__m", F.when(ok, F.col("__m")))
+    out = [F.col("__k").alias(on)]
+    out += [F.col(c) for c in left_cols if c != on]
+    out += [F.col("__m").getField(c).alias(c) for c in right_cols]
+    return matched.select(*out)
+
+
+def range_bin_join(facts: DataFrame, dims: DataFrame, *, time_col: str,
+                   start_col: str, end_col: str,
+                   granularity: str = "month",
+                   how: str = "inner") -> DataFrame:
+    """Join facts to interval dimensions (``start <= t <= end``,
+    closed bounds like SQL BETWEEN) without an inequality join.
+
+    The dimension explodes into one row per covered calendar bin
+    (tiny: |dims| × span/granularity); the fact side gets its bin with
+    a map-side ``date_trunc``. The physical join is a broadcast
+    equi-join on the bin, and the exact bound check is a post-join
+    filter — the big side never feeds a nested-loop join, which is what
+    Spark would otherwise plan for a pure range predicate.
+    """
+    bins = dims.withColumn("__bin", F.explode(F.expr(
+        f"sequence(date_trunc('{granularity}', {start_col}), "
+        f"date_trunc('{granularity}', {end_col}), "
+        f"interval 1 {granularity})")))
+    fact_binned = facts.withColumn(
+        "__bin", F.date_trunc(granularity, F.col(time_col)))
+    cond: Column = ((F.col(time_col) >= F.col(start_col))
+                    & (F.col(time_col) <= F.col(end_col)))
+    return (fact_binned.join(F.broadcast(bins), "__bin", how)
+            .filter(cond if how == "inner" else cond | F.col(start_col).isNull())
+            .drop("__bin"))
+
+
+def interval_join(left: DataFrame, right: DataFrame, *, on: str,
+                  left_ts: str, right_ts: str, lower: str,
+                  upper: str = "0 seconds") -> DataFrame:
+    """Equality-key interval join: pairs where ``left_ts - lower <=
+    right_ts <= left_ts + upper`` for the same key.
+
+    The equality key keeps the physical plan a shuffled hash join (one
+    shuffle per side on ``on``); the time-distance condition is applied
+    with the join so rows outside the interval never materialize. This
+    is the batch semantics of the Structured Streaming stream-stream
+    interval join (both sides watermarked); the streaming twin is
+    :func:`pmc_conversion_spark.streaming.joins.stream_interval_join`.
+    """
+    lcols = [F.col(c) for c in left.columns]
+    r = right
+    for c in right.columns:
+        if c in left.columns:
+            r = r.withColumnRenamed(c, f"r_{c}")
+    r_on = f"r_{on}" if on in right.columns else on
+    r_ts = f"r_{right_ts}" if right_ts in left.columns else right_ts
+    cond = ((F.col(on) == F.col(r_on))
+            & (F.col(r_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+            & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")))
+    return left.join(r, cond, "inner").drop(r_on)

@@ -81,6 +81,7 @@ def _load_modules() -> None:
         pipeline,
         events_q,
         llmdata,
+        temporal,
         reference_e2e,
     )
     _LOADED = True

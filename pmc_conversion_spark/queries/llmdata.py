@@ -688,3 +688,90 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (MM.frame_sample_plan(meta, every_n=10)
             .select("media_id", F.col("frame_index").cast("long")
                     .alias("frame_index")))
+
+
+# ------------------------------------------------- cluster-level dedup
+
+#: the jaccard-pair CTE chain (same semantics as dedup_ngram_jaccard's
+#: oracle) re-usable inside a WITH RECURSIVE — body only, no WITH
+_PAIRS_CTES = f"""
+    {_HASHED_SH_SQL.strip()[len("WITH "):]},
+    postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
+                 FROM sh),
+    capped AS (SELECT shingle FROM postings
+               GROUP BY shingle HAVING count(*) <= 10000),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+             count(*) AS inter_size
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN capped c ON c.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              WHERE 20 * inter_size >= (sz_a + sz_b - inter_size)),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) n
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node
+    ),
+    cc AS (SELECT node AS doc_id, min(r) AS component
+           FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES.strip()}
+    SELECT doc_id, component FROM cc
+    """)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    jaccard pair graph (threshold 1/20), so transitive duplicates land
+    in one cluster even when their direct pair was never emitted.
+
+    The engine runs alternating large-star/small-star
+    (functions/graph.py — O(log n) rounds of two groupBy-min shuffles,
+    lineage truncated per round); the oracle states the same fixpoint
+    via a recursive transitive-closure CTE. ``component`` is the
+    minimum doc_id of the cluster on both engines."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                   threshold_num=1, threshold_den=20,
+                                   max_posting=10_000)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES.strip()}
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM cc) AS n_in_clusters,
+           (SELECT count(DISTINCT component) FROM cc) AS n_clusters,
+           (SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM cc)
+             + (SELECT count(DISTINCT component) FROM cc) AS n_kept
+    """)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary: keep one canonical doc (the cluster's
+    minimum doc_id — it is always a member) per near-dup cluster plus
+    every singleton. The deliverable of the dedup family: pairs →
+    clusters → surviving corpus size, all oracle-exact."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold_num=1, threshold_den=20,
+                                   max_posting=10_000)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cstats = cc.agg(F.count(F.lit(1)).alias("n_in_clusters"),
+                    F.countDistinct("component").alias("n_clusters"))
+    return (total.crossJoin(cstats)
+            .select("n_docs", "n_in_clusters", "n_clusters",
+                    (F.col("n_docs") - F.col("n_in_clusters")
+                     + F.col("n_clusters")).alias("n_kept")))

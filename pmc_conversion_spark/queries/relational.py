@@ -591,3 +591,43 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = J.salted_join(e.select("event_id", "user_id"), dim,
                         "user_id", row_id="event_id", salt_buckets=8)
     return out.select("event_id", "user_id", "n_user_events")
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables: both sides are
+    written bucketed on the join key (the one-time ingest shuffle), so
+    the join itself plans with ZERO Exchange — the storage layout IS the
+    partitioning (sources/bucketed.py; plan asserted in
+    tests/test_plan_quality.py). The oracle is the plain join: bucketing
+    must be result-invisible."""
+    import os
+    import tempfile
+
+    from pmc_conversion_spark.sources.bucketed import (read_bucketed,
+                                                       write_bucketed)
+    root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
+                        "bucketed_tables")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    cust = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    write_bucketed(orders, "bkt_orders", "o_custkey", buckets=8,
+                   path=os.path.join(root, "orders"))
+    write_bucketed(cust, "bkt_customer", "c_custkey", buckets=8,
+                   path=os.path.join(root, "customer"))
+    o = read_bucketed(spark, "bkt_orders")
+    c = read_bucketed(spark, "bkt_customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return (joined.groupBy("c_mktsegment", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("total_price")))

@@ -1,0 +1,133 @@
+"""Registry: temporal join operators (as-of, range-bin, interval).
+
+Beyond-the-reference operators a large-scale event pipeline needs
+(SURVEY.md §2.11 spirit): each is a Spark-lacking join re-expressed so
+the physical plan stays an equi-join — the DuckDB oracle states the
+naive (inequality-join) semantics and the engines must agree exactly.
+Tie-breaking is part of each operator's contract so results are
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.operators.temporal import (asof_join,
+                                                     interval_join,
+                                                     range_bin_join)
+from pmc_conversion_spark.queries import register
+from pmc_conversion_spark.queries.manifest import _values, fixture_df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.p_event_id, c.c_event_id, c.c_ts,
+                 row_number() OVER (PARTITION BY p.p_event_id
+                                    ORDER BY c.c_ts DESC,
+                                             c.c_event_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.p_ts)
+    SELECT p.user_id, p.p_event_id, p.p_ts, m.c_event_id, m.c_ts
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      USING (p_event_id)
+    """)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent click by the same
+    user at or before the purchase instant (ties broken by highest
+    event_id — part of the contract).
+
+    The oracle is the naive inequality join + rank; the engine plan is
+    the union+window form (operators/temporal.py): ONE shuffle on
+    user_id over |purchases|+|clicks| rows — never the |P|×|C|
+    candidate set, which is what makes it the 100 TB plan."""
+    e = _events(spark, sf_dir)
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_event_id"),
+                     F.col("ts").alias("p_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("c_event_id"),
+                      F.col("ts").alias("c_ts")))
+    return asof_join(purch, clicks, on="user_id", left_ts="p_ts",
+                     right_ts="c_ts", right_cols=["c_event_id", "c_ts"])
+
+
+#: pricing-era interval dimension (closed [start, end] date bounds,
+#: non-overlapping, covering the whole o_orderdate range)
+PRICING_ERAS = [
+    ("launch", "1995-01-01", "1996-06-30"),
+    ("growth", "1996-07-01", "1997-12-31"),
+    ("steady", "1998-01-01", "1999-09-30"),
+    ("bubble", "1999-10-01", "2000-12-31"),
+    ("bust", "2001-01-01", "2001-12-31"),
+]
+
+
+@register(
+    "join_range_interval",
+    oracle=f"""
+    SELECT era, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders
+    JOIN {_values(PRICING_ERAS, 'era, start_d, end_d')}
+      ON CAST(o_orderdate AS DATE)
+         BETWEEN CAST(start_d AS DATE) AND CAST(end_d AS DATE)
+    GROUP BY era
+    """)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join of orders into interval dimensions, executed as a
+    month-binned broadcast equi-join (operators/temporal.py) — the big
+    side never feeds the BroadcastNestedLoop Spark would plan for a raw
+    BETWEEN predicate."""
+    orders = (tables.load(spark, sf_dir, "orders")
+              .select(F.to_date("o_orderdate").alias("o_date"),
+                      "o_totalprice"))
+    eras = fixture_df(spark, PRICING_ERAS,
+                      "era string, start_d string, end_d string").select(
+        "era", F.to_date("start_d").alias("start_d"),
+        F.to_date("end_d").alias("end_d"))
+    joined = range_bin_join(orders, eras, time_col="o_date",
+                            start_col="start_d", end_col="end_d")
+    return (joined.groupBy("era")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("total_price")))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.p_event_id, p.p_ts, c.c_event_id, c.c_ts
+    FROM p JOIN c ON c.user_id = p.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
+       AND c.c_ts <= p.p_ts
+    """)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (purchase, click-within-the-preceding-hour)
+    pair per user — the batch semantics of the watermarked
+    stream-stream interval join (streaming/joins.py, exercised with real
+    readStream machinery in tests/test_streaming.py). The equality key
+    keeps the physical plan a hash join; the time-distance condition
+    prunes with the join."""
+    e = _events(spark, sf_dir)
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_event_id"),
+                     F.col("ts").alias("p_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("c_event_id"),
+                      F.col("ts").alias("c_ts")))
+    return interval_join(purch, clicks, on="user_id", left_ts="p_ts",
+                         right_ts="c_ts", lower="1 hour")

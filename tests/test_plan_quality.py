@@ -79,3 +79,52 @@ def test_exact_dedup_shuffles_digests_not_bodies(spark, qs):
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert exchanges, "expected a hash exchange for the fingerprint groupBy"
     assert all("text" not in ln for ln in exchanges)
+
+
+def test_asof_join_is_single_shuffle_no_nested_loop(spark, qs):
+    # the union+window as-of plan: no inequality join materializes —
+    # no nested-loop/cartesian, and the only wide op is the window
+    # partitioning on the key
+    plan = plan_of(qs["join_asof"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_broadcast_equi_not_nested_loop(spark, qs):
+    # month-binned interval dim => broadcast HASH join on the bin; a raw
+    # BETWEEN would have planned a BroadcastNestedLoopJoin
+    plan = plan_of(qs["join_range_interval"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # both sides pre-bucketed on the key: the equi-join must read
+    # co-located buckets with zero shuffles (broadcast disabled so the
+    # co-location, not dimension size, is what's proven)
+    import os
+    import tempfile
+
+    from pmc_conversion_spark.sources.bucketed import (read_bucketed,
+                                                       write_bucketed)
+    root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
+                        "bucketed_plan_test")
+    orders = tables.load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = tables.load(spark, SF_DIR, "customer").select("c_custkey")
+    write_bucketed(orders, "bkt_plan_o", "o_custkey", buckets=4,
+                   path=os.path.join(root, "o"))
+    write_bucketed(cust, "bkt_plan_c", "c_custkey", buckets=4,
+                   path=os.path.join(root, "c"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = read_bucketed(spark, "bkt_plan_o")
+        c = read_bucketed(spark, "bkt_plan_c")
+        plan = plan_of(o.join(c, o.o_custkey == c.c_custkey))
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,0 +1,100 @@
+"""Temporal joins (as-of / interval / range-bin) and distributed
+connected components: unit semantics the oracle queries can't isolate
+— tolerance nulls, singleton handling, star convergence on adversarial
+chains, and the streaming twin of the interval join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark.functions.graph import connected_components
+from pmc_conversion_spark.operators.temporal import asof_join, interval_join
+
+
+def test_asof_tolerance_nulls_out_stale_matches(spark, fixture_df):
+    left = fixture_df(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "k int, lts string").select(
+        "k", F.to_timestamp("lts").alias("lts"))
+    right = fixture_df(
+        [(1, 100, "2024-01-01 09:59:00")],
+        "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rid", "rts"], tolerance="'10' minute")
+    rows = {r.lts.hour: r.rid for r in out.collect()}
+    assert rows[10] == 100          # 1 min old: within tolerance
+    assert rows[12] is None         # 2h old: nulled, row kept (left join)
+
+
+def test_asof_equal_ts_matches_inclusive_and_ties_by_id(spark, fixture_df):
+    left = fixture_df([(1, "2024-01-01 10:00:00")], "k int, lts string") \
+        .select("k", F.to_timestamp("lts").alias("lts"))
+    right = fixture_df(
+        [(1, 7, "2024-01-01 10:00:00"), (1, 9, "2024-01-01 10:00:00")],
+        "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rid", "rts"]).collect()
+    assert out[0].rid == 9          # same-instant match, highest id wins
+
+
+def test_interval_join_matches_batch_and_stream(spark, tmp_path,
+                                                fixture_df):
+    rows_l = [(1, 10, "2024-01-01 10:00:00"), (1, 11, "2024-01-01 12:00:00")]
+    rows_r = [(1, 20, "2024-01-01 09:30:00"),   # 30 min before 10:00
+              (1, 21, "2024-01-01 11:59:00"),   # 1 min before 12:00
+              (1, 22, "2024-01-01 06:00:00")]   # too early for both
+    lt = fixture_df(rows_l, "k int, lid int, lts string").select(
+        "k", "lid", F.to_timestamp("lts").alias("lts"))
+    rt = fixture_df(rows_r, "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    batch = interval_join(lt, rt, on="k", left_ts="lts", right_ts="rts",
+                          lower="1 hour")
+    got = sorted((r.lid, r.rid) for r in batch.collect())
+    assert got == [(10, 20), (11, 21)]
+
+    # streaming twin over real readStream machinery must agree
+    from pmc_conversion_spark.streaming.joins import stream_interval_join
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    lt.write.parquet(ldir)
+    rt.write.parquet(rdir)
+    ls = spark.readStream.schema(lt.schema).parquet(ldir)
+    rs = spark.readStream.schema(rt.schema).parquet(rdir)
+    joined = stream_interval_join(ls, rs, on="k", left_ts="lts",
+                                  right_ts="rts", lower="1 hour",
+                                  watermark="2 hours")
+    q = (joined.writeStream.format("memory").queryName("ivj")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    stream_got = sorted((r.lid, r.rid)
+                        for r in spark.table("ivj").collect())
+    assert stream_got == got
+
+
+def test_cc_two_components_and_transitivity(spark, fixture_df):
+    # 1-2, 2-3 transitively one cluster; 10-11 a second; 99 never appears
+    edges = fixture_df([(2, 1), (3, 2), (10, 11)], "src long, dst long")
+    cc = {r.node: r.component
+          for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_converges_on_long_chain(spark, fixture_df):
+    # a 40-node path is the adversarial case for label propagation
+    # (diameter 39); alternating star must converge well inside max_iter
+    edges = fixture_df([(i, i + 1) for i in range(40)],
+                       "src long, dst long")
+    cc = connected_components(edges, max_iter=12)
+    comps = cc.select("component").distinct().collect()
+    assert [r.component for r in comps] == [0]
+    assert cc.count() == 41
+
+
+def test_cc_self_loops_and_duplicate_edges_ignored(spark, fixture_df):
+    edges = fixture_df([(5, 5), (1, 2), (2, 1), (1, 2)],
+                       "src long, dst long")
+    cc = {r.node: r.component
+          for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1}
