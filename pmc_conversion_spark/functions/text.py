@@ -90,6 +90,20 @@ def normalize_for_fingerprint(text: Column) -> Column:
     return F.trim(t)
 
 
+#: PII patterns — conservative syntax shared by Java regex and RE2 so
+#: the DuckDB oracle replays them verbatim
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub obvious PII before a corpus ships to training: emails and
+    phone-shaped digit runs become typed placeholder tokens. Map-side
+    JVM regex — whole-stage codegen, no Python in the path."""
+    t = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Document fingerprint = md5 of the normalized text (md5 exists in
     both Spark and DuckDB, making the op oracle-checkable; the exact-dedup

@@ -79,9 +79,57 @@ def surrogate_key_distributed(df: DataFrame, order_col: str,
             .drop("__bucket", "__rn", "__offset"))
 
 
+def running_sum_distributed(df: DataFrame, order_col: str,
+                            value_col: str, out_col: str = "running",
+                            buckets: int = 1 << 10) -> DataFrame:
+    """Scale-safe global running sum (inclusive prefix sum ordered by
+    ``order_col``) — the same two-phase shape as
+    :func:`surrogate_key_distributed`: range-bucket, prefix-sum within
+    each bucket in parallel, then offset by the (tiny) per-bucket
+    totals. No single-partition sort; same observable output as
+    ``sum(value) OVER (ORDER BY order_col)`` for a unique order key."""
+    ranged = (df.repartitionByRange(buckets, F.col(order_col))
+              .withColumn("__bucket", F.spark_partition_id()))
+    w_in = (Window.partitionBy("__bucket").orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    summed = ranged.withColumn("__ps", F.sum(value_col).over(w_in))
+    totals = ranged.groupBy("__bucket").agg(F.sum(value_col).alias("__n"))
+    w_off = (Window.orderBy("__bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+    return (summed.join(F.broadcast(offsets.select("__bucket", "__offset")),
+                        "__bucket")
+            .withColumn(out_col, F.col("__offset") + F.col("__ps"))
+            .drop("__bucket", "__ps", "__offset"))
+
+
 def topk_per_group(df: DataFrame, group_cols: Sequence[str],
                    order_by: Sequence, k: int) -> DataFrame:
     """Top-k rows per group with a total order (deterministic ties)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def scd2_history(snaps: DataFrame, key: str, version_col: str,
+                 attrs: Sequence[str]) -> DataFrame:
+    """Collapse full dimension snapshots into SCD-type-2 history: one
+    row per (key, change), valid over [valid_from, valid_to) versions,
+    ``valid_to`` null for the current state.
+
+    The reference keeps whole versioned snapshots
+    (sources/sinks.py snapshot store); this derives the compact
+    slowly-changing-dimension form from them. All windows partition by
+    the key — parallel over keys, never a global sort; null-safe
+    comparison (`eqNullSafe`) so nulls don't fake changes.
+    """
+    w = Window.partitionBy(key).orderBy(version_col)
+    chg = F.lag(F.col(version_col)).over(w).isNull()
+    for a in attrs:
+        chg = chg | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    changes = snaps.withColumn("__chg", chg).filter("__chg").drop("__chg")
+    return (changes
+            .withColumn("valid_from", F.col(version_col))
+            .withColumn("valid_to", F.lead(F.col(version_col)).over(w))
+            .drop(version_col))

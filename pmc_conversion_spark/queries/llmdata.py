@@ -775,3 +775,146 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_docs", "n_in_clusters", "n_clusters",
                     (F.col("n_docs") - F.col("n_in_clusters")
                      + F.col("n_clusters")).alias("n_kept")))
+
+
+# ------------------------------------------- splits & sampling & packing
+
+#: DuckDB twin of sampling.hash_bucket (salt 'v1')
+_BUCKET_SQL = ("(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), "
+               "1, 15))::BIGINT % 10000)")
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split from a salted content
+    hash of the doc id (functions/sampling.py) — a pure function of
+    (id, salt): re-runs, repartitions, and retries can never leak rows
+    across splits the way rand()-based splits do. Map-side only."""
+    from pmc_conversion_spark.functions.sampling import split_assign
+    d = _docs(spark, sf_dir)
+    return split_assign(d.select("doc_id"), "doc_id",
+                        [("train", .8), ("val", .1), ("test", .1)],
+                        salt="v1")
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL} < CASE WHEN lang = 'en' THEN 3000 ELSE 10000 END
+    """)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample the dominant
+    language (en -> 30%), keep the tail whole — the standard
+    rebalancing move before corpus mixing. Per-stratum thresholds are a
+    literal CASE over the same salted hash: no join, no shuffle, and
+    exact membership is oracle-verified (not just counts)."""
+    from pmc_conversion_spark.functions.sampling import stratified_sample_hash
+    d = tables.load(spark, sf_dir, "documents")
+    return stratified_sample_hash(d.select("doc_id", "lang"), "lang",
+                                  "doc_id", {"en": 0.3}, salt="v1",
+                                  default=1.0)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS running
+          FROM t)
+    SELECT (running - n_tokens) // 2048 AS seq_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS seq_tokens
+    FROM r GROUP BY 1
+    """)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents in doc_id order are
+    laid end-to-end and cut into 2048-token bins (a doc belongs to the
+    bin its first token lands in). The global prefix sum uses the
+    two-phase range-bucketed running sum
+    (operators/windows.py:running_sum_distributed) — no
+    single-partition window, same contract as the surrogate-key op."""
+    from pmc_conversion_spark.functions.text import token_count_ws
+    from pmc_conversion_spark.operators.windows import running_sum_distributed
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_ws(F.lower(F.col("text"))).alias("n_tokens"))
+    r = running_sum_distributed(d, "doc_id", "n_tokens", out_col="running")
+    return (r.withColumn("seq_id",
+                         F.expr("(running - n_tokens) DIV 2048"))
+            .groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("seq_tokens")))
+
+
+_PII_SUFFIX_SQL = (" Contact: user' || CAST(doc_id AS VARCHAR) || "
+                   "'@example.com or 555-123-4567.")
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000,
+             text || '{_PII_SUFFIX_SQL}'
+      FROM documents WHERE doc_id < 20
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b',
+                 '<PHONE>', 'g') AS redacted,
+             text
+      FROM docs2
+    )
+    SELECT doc_id, redacted FROM red WHERE redacted <> text
+    """)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before corpus export: emails / phone-shaped digit runs
+    become typed placeholders (functions/text.py:redact_pii — JVM
+    regex, codegen, shared pattern text with the oracle). Synthetic PII
+    is injected into a copy of the corpus on BOTH engines (the fixture
+    docs carry none); output = the rows the scrubber changed."""
+    d = _docs(spark, sf_dir)
+    pii = (d.filter(F.col("doc_id") < 20)
+           .select((F.col("doc_id") + 200000).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(" Contact: user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com or 555-123-4567."))
+                   .alias("text")))
+    both = d.select("doc_id", "text").unionByName(pii)
+    red = both.withColumn("redacted", TX.redact_pii(F.col("text")))
+    return (red.filter(F.col("redacted") != F.col("text"))
+            .select("doc_id", "redacted"))
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    SELECT tok AS token, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, token ASC LIMIT 50
+    """)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-50 tokens by frequency
+    (count desc, token asc — a total order, so the cut is
+    deterministic). Explode -> partial-agg count -> TakeOrdered: the
+    shuffle carries (token, partial count), never document bodies."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                    .alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(50))

@@ -631,3 +631,88 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .alias("total_price")))
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           list_transform(quantile_cont(o_totalprice,
+                                        [0.25, 0.5, 0.75, 0.9]),
+                          x -> round(x, 4)) AS price_quantiles
+    FROM orders GROUP BY o_orderstatus
+    """)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per group (linear interpolation —
+    identical convention in Spark `percentile` and DuckDB
+    `quantile_cont`). For 100 TB profile jobs where exactness isn't
+    required, `approx_percentile` (t-digest sketch, map-side
+    combinable) is the drop-in — kept exact here so the oracle can
+    hash-check values."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.transform(pct, lambda x: F.round(x, 4))
+                 .alias("price_quantiles")))
+
+
+#: synthetic snapshot perturbations for the SCD2 demo — replayed
+#: identically in the oracle: v2 bumps acctbal for custkey%7==0,
+#: v3 additionally moves custkey%13==0 to segment 'MOVED'
+def _scd_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    bump = F.when(F.col("c_custkey") % 7 == 0,
+                  F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal"))
+    moved = F.when(F.col("c_custkey") % 13 == 0,
+                   F.lit("MOVED")).otherwise(F.col("c_mktsegment"))
+    v1 = c.select("c_custkey", F.lit(1).alias("version"),
+                  "c_acctbal", "c_mktsegment")
+    v2 = c.select("c_custkey", F.lit(2).alias("version"),
+                  bump.alias("c_acctbal"), "c_mktsegment")
+    v3 = c.select("c_custkey", F.lit(3).alias("version"),
+                  bump.alias("c_acctbal"), moved.alias("c_mktsegment"))
+    return v1.unionByName(v2).unionByName(v3)
+
+
+@register(
+    "win_scd2_history",
+    oracle="""
+    WITH v1 AS (SELECT c_custkey, 1 AS version, c_acctbal, c_mktsegment
+                FROM customer),
+    v2 AS (SELECT c_custkey, 2,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                       ELSE c_acctbal END, c_mktsegment FROM customer),
+    v3 AS (SELECT c_custkey, 3,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                       ELSE c_acctbal END,
+                  CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+                       ELSE c_mktsegment END FROM customer),
+    snaps AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+              UNION ALL SELECT * FROM v3),
+    flagged AS (
+      SELECT *,
+             (lag(version) OVER w IS NULL
+              OR c_acctbal IS DISTINCT FROM lag(c_acctbal) OVER w
+              OR c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w)
+               AS chg
+      FROM snaps
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+    ),
+    changes AS (SELECT * FROM flagged WHERE chg)
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           version AS valid_from,
+           lead(version) OVER (PARTITION BY c_custkey
+                               ORDER BY version) AS valid_to
+    FROM changes
+    """)
+def win_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension history derived from full versioned
+    snapshots (the compact form of the reference's snapshot store):
+    one row per (key, change) with [valid_from, valid_to) version
+    bounds, null-safe change detection, all windows partitioned by the
+    key — parallel over keys, no global sort."""
+    snaps = _scd_snapshots(spark, sf_dir)
+    return W.scd2_history(snaps, "c_custkey", "version",
+                          ["c_acctbal", "c_mktsegment"])
