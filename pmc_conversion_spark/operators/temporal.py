@@ -54,6 +54,16 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     left_cols = left.columns
     payload = F.struct(*[F.col(c) for c in right_cols])
     payload_t = right.select(payload.alias("__r")).schema["__r"].dataType
+    ord_candidate = next((c for c in right_cols if c != right_ts), None)
+    if ord_candidate is not None:
+        ord_t = right.schema[ord_candidate].dataType.simpleString()
+        if ord_t not in ("tinyint", "smallint", "int", "bigint",
+                         "long", "integer"):
+            # a non-castable tie column would cast to null and silently
+            # make equal-ts picks partitioning-dependent
+            raise ValueError(
+                f"as-of tie column {ord_candidate!r} must be integral, "
+                f"got {ord_t}")
 
     l_side = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
@@ -62,12 +72,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
         *[F.col(c) for c in left_cols if c != on],
         F.lit(None).cast(payload_t).alias("__r"))
     # right ordering column: the first non-ts payload column if any
-    # (unique row ids make equal-ts picks deterministic), else the ts
-    ord_col = next((c for c in right_cols if c != right_ts), right_ts)
+    # (unique row ids make equal-ts picks deterministic); with only the
+    # ts in the payload, equal-ts right rows are interchangeable
+    rord = (F.col(ord_candidate).cast("long") if ord_candidate is not None
+            else F.lit(0).cast("long"))
     r_side = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(ord_col).cast("long").alias("__rord"),
+        rord.alias("__rord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c != on],
         payload.alias("__r"))
@@ -92,9 +104,8 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
 
 def range_bin_join(facts: DataFrame, dims: DataFrame, *, time_col: str,
                    start_col: str, end_col: str,
-                   granularity: str = "month",
-                   how: str = "inner") -> DataFrame:
-    """Join facts to interval dimensions (``start <= t <= end``,
+                   granularity: str = "month") -> DataFrame:
+    """Inner-join facts to interval dimensions (``start <= t <= end``,
     closed bounds like SQL BETWEEN) without an inequality join.
 
     The dimension explodes into one row per covered calendar bin
@@ -102,7 +113,11 @@ def range_bin_join(facts: DataFrame, dims: DataFrame, *, time_col: str,
     a map-side ``date_trunc``. The physical join is a broadcast
     equi-join on the bin, and the exact bound check is a post-join
     filter — the big side never feeds a nested-loop join, which is what
-    Spark would otherwise plan for a pure range predicate.
+    Spark would otherwise plan for a pure range predicate. Inner
+    semantics only: an outer variant would have to re-admit bin-matched
+    rows that fail the exact bounds, which the post-filter shape cannot
+    express — callers wanting "facts without an era" anti-join the
+    result back against the facts.
     """
     bins = dims.withColumn("__bin", F.explode(F.expr(
         f"sequence(date_trunc('{granularity}', {start_col}), "
@@ -112,8 +127,8 @@ def range_bin_join(facts: DataFrame, dims: DataFrame, *, time_col: str,
         "__bin", F.date_trunc(granularity, F.col(time_col)))
     cond: Column = ((F.col(time_col) >= F.col(start_col))
                     & (F.col(time_col) <= F.col(end_col)))
-    return (fact_binned.join(F.broadcast(bins), "__bin", how)
-            .filter(cond if how == "inner" else cond | F.col(start_col).isNull())
+    return (fact_binned.join(F.broadcast(bins), "__bin", "inner")
+            .filter(cond)
             .drop("__bin"))
 
 

@@ -112,6 +112,29 @@ def topk_per_group(df: DataFrame, group_cols: Sequence[str],
             .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
+              seq_col: str, op_col: str,
+              attrs: Sequence[str]) -> DataFrame:
+    """Apply an ordered change feed (I/U/D ops) to a base table — the
+    batch MERGE: latest op per key wins, deletes drop the key.
+
+    The base counts as sequence 0 upserts; one shuffle on the key (the
+    per-key window), no join at all — at 100 TB this is the shape that
+    beats a base⨝changes MERGE when the feed is a meaningful fraction
+    of the base. ``seq_col`` must totally order each key's changes.
+    """
+    b = base.select(F.col(key), F.lit(0).cast("long").alias(seq_col),
+                    F.lit("U").alias(op_col),
+                    *[F.col(a) for a in attrs])
+    c = changes.select(F.col(key), F.col(seq_col).cast("long"),
+                       F.col(op_col), *[F.col(a) for a in attrs])
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    return (b.unionByName(c)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+            .select(key, *attrs))
+
+
 def scd2_history(snaps: DataFrame, key: str, version_col: str,
                  attrs: Sequence[str]) -> DataFrame:
     """Collapse full dimension snapshots into SCD-type-2 history: one

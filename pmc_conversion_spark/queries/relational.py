@@ -716,3 +716,103 @@ def win_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps = _scd_snapshots(spark, sf_dir)
     return W.scd2_history(snaps, "c_custkey", "version",
                           ["c_acctbal", "c_mktsegment"])
+
+
+@register(
+    "agg_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """)
+def agg_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV->wide pivot (the inverse of the unpivot stage): per-user
+    event-type count matrix. The pivot value list is EXPLICIT — with it
+    Spark pivots in one pass with a fixed output schema; without it a
+    first pass must collect the distinct values to the driver."""
+    e = tables.load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (e.groupBy("user_id").pivot("event_type", kinds).count())
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k)
+                     for k in kinds])
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+               FROM orders)
+    SELECT least(floor((o_totalprice - mn) / (mx - mn) * 10),
+                 9)::BIGINT AS bin,
+           count(*) AS n
+    FROM orders, b GROUP BY 1
+    """)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (10 bins over the global [min, max]): the
+    bounds are a 1-row broadcast, binning is map-side arithmetic (the
+    expression TEXT matches the oracle so the float math is
+    bit-identical), and the count is a partial agg on a 10-value key."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("mn"),
+                   F.max("o_totalprice").alias("mx"))
+    return (o.crossJoin(F.broadcast(bounds))
+            .select(F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")) * 10),
+                F.lit(9).cast("long")).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+    WITH base AS (SELECT c_custkey, 0 AS seq, 'U' AS op,
+                         c_acctbal, c_mktsegment FROM customer),
+    changes AS (
+      SELECT c_custkey, 1 AS seq, 'U' AS op,
+             c_acctbal + 50 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'D', c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 3, 'I', 0.0, 'NEW'
+      FROM customer WHERE c_custkey % 19 = 0
+    ),
+    all_ops AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY seq DESC) AS rn
+      FROM all_ops
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: apply an ordered I/U/D change feed to a base table
+    (operators/windows.py:apply_cdc — latest-op-per-key window, one
+    shuffle, no join). The synthetic feed updates custkey%11, deletes
+    %17 (delete beats an earlier update on keys divisible by both),
+    and inserts new %19 keys; the oracle replays it."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    upd = (c.filter(F.col("c_custkey") % 11 == 0)
+           .select("c_custkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+                   (F.col("c_acctbal") + 50).alias("c_acctbal"),
+                   "c_mktsegment"))
+    dele = (c.filter(F.col("c_custkey") % 17 == 0)
+            .select("c_custkey", F.lit(2).alias("seq"),
+                    F.lit("D").alias("op"), "c_acctbal", "c_mktsegment"))
+    ins = (c.filter(F.col("c_custkey") % 19 == 0)
+           .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                   F.lit(3).alias("seq"), F.lit("I").alias("op"),
+                   F.lit(0.0).alias("c_acctbal"),
+                   F.lit("NEW").alias("c_mktsegment")))
+    changes = upd.unionByName(dele).unionByName(ins)
+    return W.apply_cdc(c, changes, "c_custkey", "seq", "op",
+                       ["c_acctbal", "c_mktsegment"])

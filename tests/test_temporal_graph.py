@@ -98,3 +98,30 @@ def test_cc_self_loops_and_duplicate_edges_ignored(spark, fixture_df):
     cc = {r.node: r.component
           for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1}
+
+
+def test_asof_rejects_nonintegral_tie_column(spark, fixture_df):
+    import pytest
+    left = fixture_df([(1, "2024-01-01 10:00:00")], "k int, lts string") \
+        .select("k", F.to_timestamp("lts").alias("lts"))
+    right = fixture_df([(1, "x", "2024-01-01 09:00:00")],
+                       "k int, rid string, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    with pytest.raises(ValueError, match="integral"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  right_cols=["rid", "rts"])
+
+
+def test_apply_cdc_delete_beats_earlier_update(spark, fixture_df):
+    from pmc_conversion_spark.operators.windows import apply_cdc
+    base = fixture_df([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    changes = fixture_df(
+        [(1, 1, "U", "a2"),     # update k=1
+         (1, 2, "D", "a2"),     # then delete it: delete wins
+         (2, 1, "U", "b2"),     # plain update
+         (9, 1, "I", "new")],   # insert new key
+        "k long, seq long, op string, v string")
+    out = {r.k: r.v
+           for r in apply_cdc(base, changes, "k", "seq", "op",
+                              ["v"]).collect()}
+    assert out == {2: "b2", 3: "c", 9: "new"}
