@@ -251,3 +251,72 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         I.run_available_now(stream, ckpt, out)
     back = spark.read.schema(NATION_SCHEMA).parquet(out)
     return back.agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, NULL AS n_comment FROM nation
+    WHERE n_regionkey = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, 'c' || CAST(n_nationkey AS VARCHAR)
+    FROM nation WHERE n_regionkey = 1
+    """)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across ingest batches: batch 2 adds a column batch 1
+    lacks. ``mergeSchema`` unions the parquet footers at planning time;
+    old files surface the new column as null — no rewrite of existing
+    data, the 100 TB-safe evolution path (vs. a full re-ingest).
+    """
+    d = _scratch("schema_evolution")
+    n = tables.load(spark, sf_dir, "nation")
+    (n.filter(F.col("n_regionkey") == 0)
+     .select("n_nationkey", "n_name")
+     .write.mode("overwrite").parquet(os.path.join(d, "b1")))
+    (n.filter(F.col("n_regionkey") == 1)
+     .select("n_nationkey", "n_name",
+             F.concat(F.lit("c"), F.col("n_nationkey").cast("string"))
+             .alias("n_comment"))
+     .write.mode("overwrite").parquet(os.path.join(d, "b2")))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(d, "b1"), os.path.join(d, "b2")))
+    return merged.select("n_nationkey", "n_name", "n_comment")
+
+
+#: raw lines for the corrupt-record scan — two malformed rows (bad int,
+#: missing field is fine in CSV so use unparseable type instead)
+_CORRUPT_CSV_LINES = [
+    "id,qty",
+    "1,10",
+    "2,notanumber",
+    "3,30",
+    "4,oops",
+]
+
+
+@register(
+    "scan_corrupt_records",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 10, NULL),
+      (2, NULL, '2,notanumber'),
+      (3, 30, NULL),
+      (4, NULL, '4,oops')
+    ) AS t(id, qty, corrupt)
+    """)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fail-soft ingestion: PERMISSIVE CSV parsing quarantines malformed
+    rows into a corrupt-record column instead of killing the job
+    (the reference's fail-fast is one config flip away — FAILFAST mode;
+    at 100 TB you triage bad rows from a column, not from stack traces).
+    """
+    d = _scratch("corrupt_csv")
+    with open(os.path.join(d, "rows.csv"), "w") as fh:
+        fh.write("\n".join(_CORRUPT_CSV_LINES) + "\n")
+    df = (spark.read
+          .schema("id int, qty int, corrupt string")
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "corrupt")
+          .csv(d))
+    return df.select("id", "qty", "corrupt")
