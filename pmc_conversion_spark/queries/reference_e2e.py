@@ -738,3 +738,226 @@ def transmart_staging_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         u = u.unionAll(t)
     return u.groupBy("file").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ------------------------------------------------------------------
+# Full-value oracles for the five remaining CSR entities — hand-
+# transcribed from the real source files (laboratory/biosource.tsv,
+# laboratory/biomaterial.tsv, laboratory/radiology.tsv,
+# studies/study.csv, studies/individual_study.csv), with dd/MM/yyyy
+# dates converted per the config's strptime declarations. With these,
+# every one of the 7 CSR entities is value-checked, not just counted.
+# ------------------------------------------------------------------
+
+E2E_BIOSOURCES = [
+    # id, individual, diagnosis, src, dedicated, tissue, date, status, pct
+    ("BIOS1T", "PAT1", "DIA1", None, "no", "liver", "2018-01-25",
+     "primary tumor", "25"),
+    ("BIOS1N", "PAT1", None, None, "no", "liver", "2018-02-25",
+     "unaffected", "0"),
+    ("BIOS2", "PAT2", "DIA2", None, "no", "nerve", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS3T", "PAT3", "DIA3", None, "yes", "kidney", "2018-02-24",
+     "primary tumor", "15"),
+    ("BIOS3N", "PAT3", None, None, "yes", "kidney", "2018-03-04",
+     "unaffected", "0"),
+    ("BIOS4", "PAT4", "DIA4", None, "yes", "nerve", "2018-01-25",
+     "unaffected", "0"),
+    ("BIOS5", "PAT5", "DIA5", None, "yes", "eye", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS6", "PAT6", "DIA6", None, "yes", "nerve", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS7", "PAT7", "DIA7", None, "yes", "eye", "2018-01-25",
+     "unaffected", "0"),
+    ("BIOS8", "PAT8", "DIA8", None, "yes", "nerve", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS9", "PAT9", "DIA9", None, "no", "eye", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS10", "PAT10", "DIA10", None, "yes", "eye", "2018-01-25",
+     "unaffected", "0"),
+    ("BIOS11", "PAT11", "DIA11", None, "yes", "eye", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS12", "PAT12", "DIA12", None, "yes", "eye", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS13", "PAT13", "DIA13", None, "yes", "nerve", "2018-01-25",
+     "unaffected", "0"),
+    ("BIOS14", "PAT14", "DIA14", None, "yes", "nerve", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS15", "PAT15", "DIA15", None, "no", "nerve", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS16", "PAT16", "DIA16", None, "no", "nerve", "2018-01-25",
+     "unaffected", "0"),
+    ("BIOS17", "PAT17", "DIA17", None, "yes", "nerve", "2018-01-24",
+     "primary tumor", "5"),
+    ("BIOS18", "PAT1", "DIA18", "BIOS1T", "yes", "liver", "2018-01-30",
+     "primary tumor", "30"),
+    ("BIOS19", "PAT2", "DIA19", "BIOS2", "no", "nerve", "2018-01-24",
+     "primary tumor", "15"),
+]
+
+
+@register(
+    "pipeline_e2e_biosource",
+    oracle=f"""
+    SELECT biosource_id, individual_id, diagnosis_id, src_biosource_id,
+           biosource_dedicated, tissue,
+           biosource_date::DATE AS biosource_date, disease_status,
+           tumor_percentage
+    FROM {_values(E2E_BIOSOURCES,
+                  'biosource_id, individual_id, diagnosis_id, '
+                  'src_biosource_id, biosource_dedicated, tissue, '
+                  'biosource_date, disease_status, tumor_percentage')}
+    """)
+def pipeline_e2e_biosource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Biosource CSR table from the real dropzone vs 21
+    hand-transcribed rows (dd/MM/yyyy date normalization, empty-string
+    -> null for src_biosource_id/diagnosis_id, derived-biosource rows
+    BIOS18/BIOS19 carrying src links)."""
+    return RE.build_csr(spark)["Biosource"]
+
+
+E2E_BIOMATERIALS = [
+    # id, src_biosource, src_biomaterial, date, type, libstrat, analysis
+    ("BIOM1T", "BIOS1T", None, "2018-03-07", "total RNA", "A;B", None),
+    ("BIOM1N", "BIOS1N", None, "2018-11-22", "total RNA", "A;B", "X;Y;Z"),
+    ("BIOM2", "BIOS2", None, "2011-06-05", "genomic DNA", "A;B", "Z"),
+    ("BIOM3T", "BIOS3T", None, "2018-04-16", "genomic DNA", "A;B", "Z"),
+    ("BIOM3N", "BIOS3N", None, "2018-05-02", "genomic DNA", "A;B", "Y"),
+    ("BIOM4", "BIOS4", None, "2018-03-07", "mRNA", "A;C", "Y"),
+    ("BIOM5", "BIOS5", None, "2011-06-05", "mRNA", "A;C", "X"),
+    ("BIOM6", "BIOS6", None, "2011-06-05", "mRNA DNA", "A;C", "X"),
+    ("BIOM7", "BIOS7", None, "2018-03-07", "mRNA DNA", "A;C", "Y;Z"),
+    ("BIOM8", "BIOS8", None, "2011-06-05", "mRNA DNA", "A;C", "Y;Z"),
+    ("BIOM9", "BIOS9", None, "2011-06-05", "genomic DNA", "B;C", "Y;Z"),
+    ("BIOM10", "BIOS10", None, "2018-03-07", "genomic DNA", "B;C", "Y;Z"),
+    ("BIOM11", "BIOS11", None, "2011-06-05", "genomic DNA", "B;C", "Y;Z"),
+    ("BIOM12", "BIOS12", None, "2011-06-05", "genomic DNA", "B;C", "X;Z"),
+    ("BIOM13", "BIOS13", None, "2018-03-07", "mRNA", "B;C", "X;Z"),
+    ("BIOM14", "BIOS14", None, "2011-06-05", "mRNA", "A", "X;Z"),
+    ("BIOM15", "BIOS15", None, "2011-06-05", "genomic DNA", "A", "X;Z"),
+    ("BIOM16", "BIOS16", None, "2018-03-07", "genomic DNA", "B", "X;Z"),
+    ("BIOM17", "BIOS17", None, "2011-06-05", "genomic DNA", "B", "X;Y"),
+    ("BIOM18", "BIOS18", None, "2011-06-05", "mRNA", "C", "X;Y"),
+    ("BIOM19", "BIOS19", None, "2018-03-07", "mRNA", "C", "X;Y"),
+    ("BIOM20", "BIOS11", "BIOM11", "2011-06-05", "mRNA", "A;B;C", "X;Y"),
+    ("BIOM21", "BIOS12", "BIOM12", "2011-06-05", "genomic DNA", None,
+     "X;Y"),
+]
+
+
+@register(
+    "pipeline_e2e_biomaterial",
+    oracle=f"""
+    SELECT biomaterial_id, src_biosource_id, src_biomaterial_id,
+           biomaterial_date::DATE AS biomaterial_date, type,
+           library_strategy, analysis_type
+    FROM {_values(E2E_BIOMATERIALS,
+                  'biomaterial_id, src_biosource_id, src_biomaterial_id, '
+                  'biomaterial_date, type, library_strategy, '
+                  'analysis_type')}
+    """)
+def pipeline_e2e_biomaterial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Biomaterial CSR table vs 23 hand-transcribed rows
+    (multi-valued ';'-packed library_strategy/analysis_type kept
+    verbatim, derived-biomaterial rows BIOM20/BIOM21 with src links,
+    empty library_strategy -> null)."""
+    return RE.build_csr(spark)["Biomaterial"]
+
+
+E2E_RADIOLOGY = [
+    # id, exam_date, image_type, field_strength, individual, diagnosis, part
+    ("R1A", "2016-05-01", "type_2", None, "PAT1", "DIA1", "legs"),
+    ("R1B", "2016-10-31", "type_1", "20", "PAT1", "DIA18", "torso"),
+    ("R2A", "2016-07-01", "type_2", "50", "PAT2", "DIA2", "legs"),
+    ("R2B", "2016-08-31", "type_1", "30", "PAT2", "DIA19", "torso"),
+    ("R4", "2016-11-03", "type_1", "20", "PAT4", None, "legs"),
+    ("R5", "2014-06-01", "type_1", None, "PAT5", "DIA5", "legs"),
+    ("R6", "2012-07-05", "type_2", "30", "PAT6", "DIA6", "legs"),
+    ("R7", "2015-11-01", "type_1", "40", "PAT7", "DIA7", "legs"),
+    ("R8", "2011-02-01", "type_1", "40", "PAT8", None, "torso"),
+    ("R9", "2017-05-01", "type_1", "40", "PAT9", "DIA9", "torso"),
+    ("R10A", "2010-05-01", "type_1", "40", "PAT10", "DIA10", "torso"),
+    ("R10B", "2011-10-31", "type_2", "30", "PAT10", "DIA10", "torso"),
+    ("R13A", "2010-12-01", "type_2", None, "PAT13", "DIA13", "legs"),
+    ("R13B", "2011-05-01", "type_2", None, "PAT13", "DIA13", "legs"),
+    ("R14", "2016-08-31", "type_2", "30", "PAT14", None, "legs"),
+    ("R15", "2016-05-01", "type_2", None, "PAT15", "DIA15", "torso"),
+]
+
+
+@register(
+    "pipeline_e2e_radiology",
+    oracle=f"""
+    SELECT radiology_id, examination_date::DATE AS examination_date,
+           image_type, field_strength, individual_id, diagnosis_id,
+           body_part
+    FROM {_values(E2E_RADIOLOGY,
+                  'radiology_id, examination_date, image_type, '
+                  'field_strength, individual_id, diagnosis_id, '
+                  'body_part')}
+    """)
+def pipeline_e2e_radiology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Radiology CSR table vs 16 hand-transcribed rows
+    (%Y-%m-%d dates, nullable field_strength/diagnosis_id)."""
+    return RE.build_csr(spark)["Radiology"]
+
+
+_TITLE_A = ("Treatment study protocol of the Dutch Childhood Oncology "
+            "Group for children and adolescents (1-19 year) with newly "
+            "diagnosed acute lymphoblastic leukemia.")
+_TITLE_B = ("International collaborative treatment protocol for infants "
+            "under one year with acute lymphoblastic or biphenotypic "
+            "leukemia. ")  # trailing space is IN the source file
+
+E2E_STUDIES = [
+    ("PMCST000AAC", "STUDYA", _TITLE_A, "xls bestand"),
+    ("PMCST000AAB", "STUDYB", _TITLE_B, "xls bestand"),
+]
+
+
+@register(
+    "pipeline_e2e_study",
+    oracle=f"""
+    SELECT study_id, acronym, title, datadictionary
+    FROM {_values(E2E_STUDIES,
+                  'study_id, acronym, title, datadictionary')}
+    """)
+def pipeline_e2e_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Study CSR table vs both hand-transcribed rows:
+    comma-containing quoted titles survive the comma-delimited read,
+    whitespace is preserved verbatim (STUDYB's title ends in a space in
+    the source), and the unconfigured 'description' column is NOT in
+    the entity (schema-on-config, not schema-on-file)."""
+    return RE.build_csr(spark)["Study"]
+
+
+E2E_INDIVIDUAL_STUDIES = [
+    (f"{s}_{n}", str(n), p, s) for s, n, p in [
+        ("PMCST000AAC", 8301, "PAT1"), ("PMCST000AAC", 8337, "PAT2"),
+        ("PMCST000AAC", 8355, "PAT3"), ("PMCST000AAC", 8409, "PAT4"),
+        ("PMCST000AAC", 8419, "PAT5"), ("PMCST000AAC", 8436, "PAT6"),
+        ("PMCST000AAC", 8448, "PAT7"), ("PMCST000AAB", 8592, "PAT8"),
+        ("PMCST000AAB", 8637, "PAT9"), ("PMCST000AAB", 8962, "PAT10"),
+        ("PMCST000AAB", 9162, "PAT11"), ("PMCST000AAC", 9174, "PAT12"),
+        ("PMCST000AAC", 9383, "PAT13"), ("PMCST000AAC", 9571, "PAT14"),
+        ("PMCST000AAC", 9676, "PAT15"), ("PMCST000AAB", 9875, "PAT16"),
+        ("PMCST000AAB", 9931, "PAT17"),
+    ]
+]
+
+
+@register(
+    "pipeline_e2e_individual_study",
+    oracle=f"""
+    SELECT study_id_individual_study_id, individual_study_id,
+           individual_id, study_id
+    FROM {_values(E2E_INDIVIDUAL_STUDIES,
+                  'study_id_individual_study_id, individual_study_id, '
+                  'individual_id, study_id')}
+    """)
+def pipeline_e2e_individual_study(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The complete IndividualStudy bridge table vs 17 hand-transcribed
+    rows (uppercase source headers mapped to configured lowercase
+    attribute names; column order follows the config, not the file)."""
+    return RE.build_csr(spark)["IndividualStudy"]
