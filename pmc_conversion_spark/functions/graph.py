@@ -33,6 +33,9 @@ def _large_star(e: DataFrame) -> DataFrame:
     """
     und = e.select("u", "v").union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # one row per node — same cardinality class as the edge list, so the
+    # join back is a co-partitioned equi-join on u (both sides shuffle
+    # on the same key), NOT a broadcast
     mins = und.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m"))
     return (und.join(mins, "u")
@@ -74,17 +77,29 @@ def connected_components(edges: DataFrame, *, src: str = "src",
     O(log n) by the published bound; ``max_iter`` is a safety rail and
     non-convergence raises rather than returning partial clusters.
     """
+    def fingerprint(df: DataFrame) -> tuple:
+        # one cheap agg instead of two exceptAll jobs per round; a
+        # (count, order-insensitive hash-sum) collision is astronomically
+        # unlikely, and the stars are idempotent at the fixpoint so one
+        # phantom extra round could not change the result anyway
+        # decimal(38,0) accumulator: a plain long sum overflows under
+        # ANSI mode (hash values span the full int64 range)
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.xxhash64("u", "v")
+                           .cast("decimal(38,0)")).alias("h")).first()
+        return (row.n, row.h)
+
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct()
          .localCheckpoint(eager=True))
+    fp = fingerprint(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        changed = (e2.exceptAll(e).union(e.exceptAll(e2))
-                   .limit(1).count())
-        e = e2
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp2 = fingerprint(e)
+        if fp2 == fp:
             break
+        fp = fp2
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
