@@ -190,3 +190,23 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("user_id", "event_type", "event_id", "ts"))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich an event stream with a bounded
+    dimension (user profile). In streaming form the static side needs
+    no watermark and re-broadcasts per micro-batch (exercised with real
+    readStream machinery in tests/test_streaming.py); this batch twin
+    pins the join semantics. The dimension is broadcast — the event
+    side never shuffles."""
+    e = _events(spark, sf_dir)
+    c = (tables.load(spark, sf_dir, "customer")
+         .select("c_custkey", F.col("c_mktsegment").alias("segment")))
+    return (e.join(F.broadcast(c), e.user_id == c.c_custkey)
+            .select("event_id", "user_id", "event_type", "segment"))

@@ -918,3 +918,93 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("token").asc())
             .limit(50))
+
+
+# --------------------------------------------- full corpus preparation
+
+@register(
+    "pipeline_corpus_prepare",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             '  ' || replace(text, ' ', '   ') || ' ', lang
+      FROM documents WHERE doc_id < 40
+    ),
+    red AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b',
+                 '<PHONE>', 'g') AS text
+      FROM docs2 WHERE lang = 'en'
+    ),
+    feats AS (
+      SELECT doc_id, text,
+             len({_TOKS}) AS n_tokens,
+             len({_NGRAMS_ALL}) AS nt,
+             len(list_distinct({_NGRAMS_ALL})) AS nd
+      FROM red
+    ),
+    q AS (SELECT * FROM feats
+          WHERE n_tokens >= 5 AND 10 * nd >= 7 * nt),
+    fp AS (SELECT doc_id, n_tokens, md5({_NORM}) AS f FROM q),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    kept AS (SELECT fp.doc_id, fp.n_tokens
+             FROM fp JOIN keep USING (doc_id)),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+    FROM s GROUP BY split
+    """)
+def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus pipeline composed end-to-end: language
+    filter -> PII redaction -> quality gate (length floor + repetition
+    cap) -> exact dedup (whitespace-mangled injected copies must
+    collapse onto their originals) -> deterministic train/val/test
+    split -> per-split token accounting.
+
+    Every stage is one of the registry's verified operators; the
+    composite proves they compose without semantic drift. Plan: all
+    stages before the dedup groupBy are map-side on the scan, the dedup
+    shuffles 16-byte digests, the split is a map-side hash, and the
+    final agg is 3 groups — at 100 TB the corpus makes exactly one
+    narrow shuffle end-to-end."""
+    from pmc_conversion_spark.functions.sampling import split_assign
+    d = tables.load(spark, sf_dir, "documents")
+    copies = (d.filter(F.col("doc_id") < 40)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.lit("  "),
+                               F.regexp_replace("text", " ", "   "),
+                               F.lit(" ")).alias("text"),
+                      "lang"))
+    docs2 = d.select("doc_id", "text", "lang").unionByName(copies)
+    red = (docs2.filter(F.col("lang") == "en")
+           .select("doc_id",
+                   TX.redact_pii(F.col("text")).alias("text")))
+    cnt = TX.repetition_counts(F.col("text"))
+    feats = red.select(
+        "doc_id", "text",
+        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+        cnt["n_ngrams_total"].alias("nt"),
+        cnt["n_ngrams_distinct"].alias("nd"))
+    q = feats.filter((F.col("n_tokens") >= 5)
+                     & (10 * F.col("nd") >= 7 * F.col("nt")))
+    fp = q.select("doc_id", "n_tokens",
+                  TX.fingerprint_md5(F.col("text")).alias("f"))
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.select("doc_id", "n_tokens").join(
+        keep.select("doc_id"), "doc_id")
+    s = split_assign(kept, "doc_id",
+                     [("train", .8), ("val", .1), ("test", .1)],
+                     salt="v1")
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))

@@ -193,3 +193,25 @@ def test_stateful_sessionize_carries_state_across_batches(
     # closed session = merged 3 events from batches 1+2; open = the new one
     assert (1, t0.to_pydatetime(), 3) in got2
     assert (1, (t0 + 135 * m).to_pydatetime(), 1) in got2
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path, fixture_df):
+    """Stream-static join through real readStream machinery: the static
+    dim re-broadcasts per micro-batch; result must equal the batch
+    join."""
+    events = fixture_df(
+        [(1, 10, "click"), (2, 11, "view"), (3, 10, "click"),
+         (4, 99, "view")],  # user 99 not in the dim: dropped (inner)
+        "event_id long, user_id long, event_type string")
+    dim = fixture_df([(10, "A"), (11, "B")],
+                     "user_id long, segment string")
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    joined = stream.join(dim, "user_id").select("event_id", "segment")
+    q = (joined.writeStream.format("memory").queryName("sse")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.event_id, r.segment)
+                 for r in spark.table("sse").collect())
+    assert got == [(1, "A"), (2, "B"), (3, "A")]
