@@ -352,3 +352,97 @@ def embedding_near_dup_pairs(vectors: DataFrame, *, threshold: float = 0.9,
                      F.round(cosine(F.col("va"), F.col("vb")),
                              round_digits).alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def knn_join_blocked(vectors: DataFrame, k: int, *, n_blocks: int = 8,
+                     local_margin: int = 8, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_digits: int = 6) -> DataFrame:
+    """Exact k-NN self-join (every vector's k nearest neighbors by
+    cosine) with the blocked-matmul scale shape.
+
+    The O(N²·d) similarity compute is unavoidable for exactness, but
+    the O(N²) *candidate materialization* is: each block pair computes
+    its block×block sims as one BLAS matmul inside ``applyInPandas``
+    and emits only each row's local top-(k+margin) — so the data that
+    leaves Python is O(N·(k+margin)·n_blocks), never N². A true global
+    top-k neighbor is a local top-k candidate in its own block pair
+    (global rank bounds local rank), so the union of local winners
+    contains the exact answer; ``local_margin`` additionally absorbs
+    BLAS-vs-fold float ordering at the local cut boundary. Candidates
+    then rejoin the vectors and the final cosine is the same JVM fold
+    expression the exact operators use, rounded BEFORE the global rank
+    so a SQL twin ranks identically.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"))
+    pair_structs = [(i, j) for i in range(n_blocks)
+                    for j in range(i, n_blocks)]
+    pairs_df = v.select(
+        "vid", "vec", "blk",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+            for i, j in pair_structs])).alias("bp")
+    ).filter((F.col("blk") == F.col("bp.bi"))
+             | (F.col("blk") == F.col("bp.bj"))) \
+        .select("vid", "vec", "blk", "bp.bi", "bp.bj")
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}"
+    keep = k + local_margin
+
+    def local_topk(ids_q, mat_q, ids_c, mat_c, same):
+        sims = mat_q @ mat_c.T
+        if same:
+            np.fill_diagonal(sims, -np.inf)
+        take = min(keep, sims.shape[1])
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take] \
+            if take < sims.shape[1] else \
+            np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+        qs = np.repeat(ids_q, part.shape[1])
+        ns = ids_c[part.ravel()]
+        mask = np.isfinite(sims[np.repeat(np.arange(sims.shape[0]),
+                                          part.shape[1]),
+                                part.ravel()])
+        return qs[mask], ns[mask]
+
+    def per_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        def prep(part):
+            m = np.vstack(part["vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            return part["vid"].to_numpy(), m / norms[:, None]
+        ids_l, mat_l = prep(left)
+        ids_r, mat_r = prep(right)
+        q1, n1 = local_topk(ids_l, mat_l, ids_r, mat_r, bi == bj)
+        if bi == bj:
+            return pd.DataFrame({"query_id": q1, "neighbor_id": n1})
+        q2, n2 = local_topk(ids_r, mat_r, ids_l, mat_l, False)
+        return pd.DataFrame({"query_id": np.concatenate([q1, q2]),
+                             "neighbor_id": np.concatenate([n1, n2])})
+
+    cands = (pairs_df.groupBy("bi", "bj").applyInPandas(
+        per_pair, out_schema))
+    qv = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (cands.join(qv, "query_id").join(cv, "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")),
+                              round_digits).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1008,3 +1008,29 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens")))
+
+
+@register(
+    "sim_knn_join",
+    oracle="""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id)
+    WHERE rank <= 3
+    """)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN SELF-join (every vector's 3 nearest, not just a query
+    set's): blocked-matmul local top-k inside applyInPandas, so only
+    O(N·(k+margin)·blocks) candidates ever leave Python — the oracle is
+    the naive O(N²) ranked cross join, and the engines must agree
+    row-for-row (functions/similarity.py:knn_join_blocked)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.knn_join_blocked(emb, k=3)

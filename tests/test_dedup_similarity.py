@@ -159,3 +159,17 @@ def test_topk_ivf_finds_true_near_neighbors(spark, fixture_df):
             if r.rank == 1}
     found = sum(1 for q in range(20) if (q, q + 1000) in top1)
     assert found >= 18  # ±1-bucket multiprobe may miss a boundary case
+
+
+def test_knn_join_matches_bruteforce_self_query(spark):
+    """The blocked kNN self-join must equal brute-force top-k with the
+    corpus as its own query set (same rounding and tie contract)."""
+    from pmc_conversion_spark import tables
+    from pmc_conversion_spark.functions import similarity as SIM
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in SIM.knn_join_blocked(emb, k=3).collect()}
+    ref = {(r.query_id, r.rank): r.neighbor_id
+           for r in SIM.topk_bruteforce(emb, emb, k=3,
+                                        round_digits=6).collect()}
+    assert got == ref
