@@ -972,11 +972,11 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     split -> per-split token accounting.
 
     Every stage is one of the registry's verified operators; the
-    composite proves they compose without semantic drift. Plan: all
-    stages before the dedup groupBy are map-side on the scan, the dedup
-    shuffles 16-byte digests, the split is a map-side hash, and the
-    final agg is 3 groups — at 100 TB the corpus makes exactly one
-    narrow shuffle end-to-end."""
+    composite proves they compose without semantic drift. Plan: filter,
+    redaction, features, and split hash are all map-side on the scan;
+    the shuffles (dedup groupBy on the fingerprint, keep-set join on
+    doc_id, 3-group final agg) carry only 16-byte digests, ids, and
+    counts — document bodies never leave their scan stage."""
     from pmc_conversion_spark.functions.sampling import split_assign
     d = tables.load(spark, sf_dir, "documents")
     copies = (d.filter(F.col("doc_id") < 40)

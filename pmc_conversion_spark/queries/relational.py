@@ -816,3 +816,63 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = upd.unionByName(dele).unionByName(ins)
     return W.apply_cdc(c, changes, "c_custkey", "seq", "op",
                        ["c_acctbal", "c_mktsegment"])
+
+
+@register(
+    "win_ntile_percent",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles and percent_rank per
+    status group, with the row key in the ORDER BY so ties resolve
+    identically on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+
+
+@register(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): cardinality-aware removal —
+    a customer with 3 open and 1 filled order survives twice. The
+    distinct-set variants are the set_except_* queries."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O") \
+         .select(F.col("o_custkey").alias("id"))
+    b = o.filter(F.col("o_orderstatus") == "F") \
+         .select(F.col("o_custkey").alias("id"))
+    return a.exceptAll(b)
+
+
+@register(
+    "join_semi_filter",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """)
+def join_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence filter that never duplicates or widens
+    the left side (vs. inner join + distinct, which shuffles the
+    duplicates first and dedups after)."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "P"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
