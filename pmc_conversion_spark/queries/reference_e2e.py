@@ -961,3 +961,43 @@ def pipeline_e2e_individual_study(spark: SparkSession,
     rows (uppercase source headers mapped to configured lowercase
     attribute names; column order follows the config, not the file)."""
     return RE.build_csr(spark)["IndividualStudy"]
+
+
+E2E_CNV_THRESHOLD_EXPECT = [
+    # sample, cnv_call, n_genes — python-derived from the real file
+    ("BIOS1N_BIOM1N", "-2", 1),
+    ("BIOS1N_BIOM1N", "0", 25986),
+    ("BIOS1N_BIOM1N", "2", 1),
+    ("BIOS1T_BIOM1T", "-1", 1635),
+    ("BIOS1T_BIOM1T", "-2", 40),
+    ("BIOS1T_BIOM1T", "0", 19414),
+    ("BIOS1T_BIOM1T", "1", 4895),
+    ("BIOS1T_BIOM1T", "2", 4),
+]
+
+
+@register(
+    "pipeline_e2e_ngs_thresholded",
+    oracle=f"""
+    SELECT sample, cnv_call, n_genes
+    FROM {_values(E2E_CNV_THRESHOLD_EXPECT, 'sample, cnv_call, n_genes')}
+    """)
+def pipeline_e2e_ngs_thresholded(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The last unconsumed real NGS artifact: the GISTIC-style
+    thresholded copy-number matrix (pmc_test_WXS_all_thresholded.
+    by_genes.txt, 25988 genes x 2 samples). Wide -> long melt, CNV-call
+    histogram per sample vs independently (python/csv) derived counts —
+    the normal sample is flat (2 aberrant genes), the tumor carries
+    6574 aberrations."""
+    genes = (spark.read.option("sep", "\t").option("header", True)
+             .csv(os.path.join(REF_NGS,
+                               "pmc_test_WXS_all_thresholded.by_genes.txt")))
+    sample_cols = [c for c in genes.columns
+                   if c not in ("Gene Symbol", "Locus ID", "Cytoband")]
+    stack_expr = "stack({n}, {args}) as (sample, cnv_call)".format(
+        n=len(sample_cols),
+        args=", ".join(f"'{c}', `{c}`" for c in sample_cols))
+    return (genes.select(F.expr(stack_expr))
+            .groupBy("sample", "cnv_call")
+            .agg(F.count(F.lit(1)).alias("n_genes")))
