@@ -986,9 +986,18 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit(" ")).alias("text"),
                       "lang"))
     docs2 = d.select("doc_id", "text", "lang").unionByName(copies)
+    # Materialize the redacted slice ONCE: projection collapse would
+    # otherwise inline the two full-text redaction regexes into every
+    # downstream token/ngram/fingerprint expression, and those sit
+    # inside CASE branches where Spark's subexpression elimination
+    # cannot reach — measured 11x slower at sf0.1 without the persist.
+    # Materializing an intermediate that is read this many times is
+    # also the right call at cluster scale (MEMORY_AND_DISK spills).
+    from pyspark import StorageLevel
     red = (docs2.filter(F.col("lang") == "en")
            .select("doc_id",
-                   TX.redact_pii(F.col("text")).alias("text")))
+                   TX.redact_pii(F.col("text")).alias("text"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     cnt = TX.repetition_counts(F.col("text"))
     feats = red.select(
         "doc_id", "text",
@@ -997,8 +1006,12 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt["n_ngrams_distinct"].alias("nd"))
     q = feats.filter((F.col("n_tokens") >= 5)
                      & (10 * F.col("nd") >= 7 * F.col("nt")))
-    fp = q.select("doc_id", "n_tokens",
-                  TX.fingerprint_md5(F.col("text")).alias("f"))
+    # fp feeds two branches (keep-set groupBy + the join back); persist
+    # the narrow (id, count, digest) frame so the feature pipeline
+    # evaluates once — same reasoning as the minhash hashed-sets persist
+    fp = (q.select("doc_id", "n_tokens",
+                   TX.fingerprint_md5(F.col("text")).alias("f"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
     kept = fp.select("doc_id", "n_tokens").join(
         keep.select("doc_id"), "doc_id")
