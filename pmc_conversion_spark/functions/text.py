@@ -137,3 +137,16 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     space-joined string); arrays shorter than n yield a single shingle of
     the whole text so short docs still participate."""
     return F.array_distinct(ngram_multiset(tokens, n))
+
+
+def strip_html(text: Column) -> Column:
+    """Strip markup from scraped text: drop tags, decode the five
+    ubiquitous entities, collapse whitespace. Regex text is shared with
+    the DuckDB oracle; entity decode is plain `replace` (order matters:
+    &amp; last among the ampersand forms so '&amp;lt;' decodes as
+    '&lt;' text, not a tag)."""
+    t = F.regexp_replace(text, r"<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", '"')):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -1047,3 +1047,39 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row (functions/similarity.py:knn_join_blocked)."""
     emb = tables.load(spark, sf_dir, "embeddings")
     return SIM.knn_join_blocked(emb, k=3)
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             '<html><body><p class="x">' || text ||
+             '</p>&amp; more &lt;tags&gt;&nbsp;</body></html>' AS text
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+               '&gt;', '>'), '&quot;', '"'),
+             '\\s+', ' ', 'g')) AS clean
+    FROM docs2
+    """)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal for scraped corpora: tags stripped, the five
+    ubiquitous HTML entities decoded, whitespace collapsed — all JVM
+    regex/replace in one codegen stage (functions/text.py:strip_html;
+    identical expression text in the oracle). Synthetic wrapping is
+    injected on both engines since the fixture corpus is plain text."""
+    d = _docs(spark, sf_dir)
+    wrapped = (d.filter(F.col("doc_id") < 30)
+               .select("doc_id",
+                       F.concat(F.lit('<html><body><p class="x">'),
+                                F.col("text"),
+                                F.lit("</p>&amp; more &lt;tags&gt;"
+                                      "&nbsp;</body></html>"))
+                       .alias("text")))
+    return wrapped.select("doc_id",
+                          TX.strip_html(F.col("text")).alias("clean"))
