@@ -1001,3 +1001,63 @@ def pipeline_e2e_ngs_thresholded(spark: SparkSession,
     return (genes.select(F.expr(stack_expr))
             .groupBy("sample", "cnv_call")
             .agg(F.count(F.lit(1)).alias("n_genes")))
+
+
+# Expected stage-3 observations REMOVED when the dropzone switches from
+# full_dataset to alternative (PAT2 deleted, test_data_e2e/README.md:
+# 15-18): PAT2's 3 Individual observations + 2 diagnosis instances x 4
+# concepts. Derived by hand from E2E_INDIVIDUALS / E2E_DIAGNOSES.
+E2E_OBS_REMOVED = [
+    ("PAT2", "Individual.birth_date", 1, "D", "1989-02-18"),
+    ("PAT2", "Individual.gender", 1, "T", "male"),
+    ("PAT2", "Individual.ic_type", 1, "T", "no"),
+    # instance numbers follow the entity row id ORDERED AS A STRING
+    # (plans/eav.py tiebreak contract): "DIA19" < "DIA2", so DIA19 is
+    # instance 1 and DIA2 instance 2
+    ("PAT2", "Diagnosis.tumor_type", 1, "T", _AITL),
+    ("PAT2", "Diagnosis.topography", 1, "T", _LNMR),
+    ("PAT2", "Diagnosis.diagnosis_date", 1, "D", "2003-08-06"),
+    ("PAT2", "Diagnosis.diagnosis_center", 1, "T", "UMCU"),
+    ("PAT2", "Diagnosis.tumor_type", 2, "T", _NHL),
+    ("PAT2", "Diagnosis.topography", 2, "T", _BM),
+    ("PAT2", "Diagnosis.diagnosis_date", 2, "D", "2003-04-17"),
+    ("PAT2", "Diagnosis.diagnosis_center", 2, "T", "UMCU"),
+]
+
+
+@register(
+    "transmart_incremental_obs_diff",
+    oracle=f"""
+    SELECT individual_id, concept_cd, instance_num, valtype_cd, tval_char
+    FROM {_values(E2E_OBS_REMOVED,
+                  'individual_id, concept_cd, instance_num, valtype_cd, '
+                  'tval_char')}
+    """)
+def transmart_incremental_obs_diff(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental staging semantics on real data: the observation-level
+    diff between the full_dataset and alternative dropzones. The diff
+    is keyed by the STABLE external id (individual_id), not by
+    patient_num — dense surrogates renumber when a patient disappears,
+    so a naive fact-table diff would report every downstream patient as
+    changed; keyed by patient_ide the delta is exactly PAT2's 11
+    observations."""
+    from pmc_conversion_spark.plans import transmart as TM
+
+    def obs_ide(data_dir: str) -> DataFrame:
+        obs = TM.csr_observations(RE.build_csr(spark, data_dir))
+        valtype = (F.when(F.col("nval_num").isNotNull(), F.lit("N"))
+                   .when(F.col("dval").isNotNull(), F.lit("D"))
+                   .otherwise(F.lit("T")))
+        tval = (F.when(F.col("nval_num").isNotNull(), F.lit("E"))
+                .when(F.col("dval").isNotNull(),
+                      F.date_format(F.col("dval"), "yyyy-MM-dd"))
+                .otherwise(F.col("tval_char")))
+        return obs.select("individual_id", "concept_cd",
+                          F.col("instance_num").cast("int")
+                          .alias("instance_num"),
+                          valtype.alias("valtype_cd"),
+                          tval.alias("tval_char"))
+
+    return (obs_ide(RE.REF_DROPZONE_FULL)
+            .exceptAll(obs_ide(RE.REF_DROPZONE_ALT)))

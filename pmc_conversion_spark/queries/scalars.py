@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark import tables
@@ -273,3 +273,50 @@ def f_regexp_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
     (archived NGS matrices, all_data_by_genes.txt:3)."""
     df = fixture_df(spark, GENE_ROWS, "raw string")
     return df.select("raw", F.split("raw", "\\|").getItem(0).alias("gene"))
+
+
+@register(
+    "f_edit_distance",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """)
+def f_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over all nation-name pairs — the fuzzy
+    match primitive for id reconciliation (integer-exact on both
+    engines)."""
+    n = tables.load(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"),
+                 F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"),
+                 F.col("n_name").alias("name_b"))
+    return (a.join(b, F.col("ka") < F.col("kb"))
+            .select("name_a", "name_b",
+                    F.levenshtein("name_a", "name_b").alias("dist")))
+
+
+@register(
+    "agg_mode_value",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC,
+                                         o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    WHERE rn = 1
+    """)
+def agg_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a total-order tie-break (count desc, value
+    asc) — stated as count+rank on BOTH engines rather than the native
+    mode() aggregates, whose tie behavior differs between engines."""
+    o = tables.load(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc())
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority")))
