@@ -150,3 +150,38 @@ def strip_html(text: Column) -> Column:
                     ("&gt;", ">"), ("&quot;", '"')):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def chunk_documents(df, text_col: str = "text",
+                    id_cols: tuple[str, ...] = ("doc_id",), *,
+                    chunk: int = 64, stride: int = 48):
+    """Split documents into overlapping token-window chunks (training
+    context windows): chunk ``i`` covers tokens ``[i*stride,
+    i*stride+chunk)`` of the whitespace tokenization; the final window
+    is short rather than padded. Map-side only — sequence+explode, no
+    shuffle, no Python; a 100 TB corpus chunks at scan speed and the
+    chunk count per doc is ``1 + ceil((n-chunk)/stride)`` so total
+    output is bounded by ``n/stride + 1`` rows per doc.
+
+    Emits ``chunk_id`` / ``start_tok`` / ``chunk_text`` / ``n_tokens``
+    per window alongside ``id_cols``.
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk)) / F.lit(stride)).cast("int") + 1)
+    base = df.select(*id_cols, toks.alias("__toks"),
+                     n_chunks.alias("__nc"))
+    cid = F.col("chunk_id")
+    window = F.slice(F.col("__toks"), cid * stride + 1, chunk)
+    return (base
+            .select(*id_cols, "__toks",
+                    F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))
+                     .alias("chunk_id"))
+            .select(*id_cols,
+                    cid.cast("long").alias("chunk_id"),
+                    (cid * stride).cast("long").alias("start_tok"),
+                    F.array_join(window, " ").alias("chunk_text"),
+                    F.size(window).cast("long").alias("n_tokens")))

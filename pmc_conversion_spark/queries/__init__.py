@@ -83,5 +83,6 @@ def _load_modules() -> None:
         llmdata,
         temporal,
         reference_e2e,
+        storage,
     )
     _LOADED = True

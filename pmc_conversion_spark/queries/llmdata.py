@@ -1083,3 +1083,35 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("text")))
     return wrapped.select("doc_id",
                           TX.strip_html(F.col("text")).alias("clean"))
+
+
+@register(
+    "text_chunk_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN n <= 64 THEN 1
+                  ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS nc
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(nc)) AS i FROM c
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           i * 48 AS start_tok,
+           array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')
+             AS chunk_text,
+           len(list_slice(toks, i*48 + 1, i*48 + 64)) AS n_tokens
+    FROM e
+    """)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (chunk 64 tokens, stride 48):
+    the op that turns a document corpus into training sequences. Pure
+    sequence+explode over the token array — map-only, no shuffle, no
+    Python (functions/text.py:chunk_documents); the oracle replays the
+    same window algebra with DuckDB list_slice."""
+    return TX.chunk_documents(_docs(spark, sf_dir), "text", ("doc_id",),
+                              chunk=64, stride=48)

@@ -1,0 +1,110 @@
+"""Registry: partition-layout storage queries (SURVEY.md §2.13).
+
+The reference publishes flat TSV directories per entity
+(luigi-pipeline/main.py:109-112) and swaps whole staging directories
+atomically (main.py:122-126). At 100 TB the same needs are served by
+partitioned parquet layouts: directory-level pruning on scan, dynamic
+partition overwrite for incremental publish, and size-targeted
+compaction for small-file control. Each query round-trips driver test
+data through the real writer and returns a frame the DuckDB oracle can
+reproduce from the source views, so layout never changes values.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.queries import register
+from pmc_conversion_spark.sources import partitioned as P
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@register("sink_partitioned_parquet", oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'F'""")
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout write + partition-pruned read-back: the filter on the
+    partition column becomes ``PartitionFilters`` on the scan (asserted
+    in tests/test_plan_quality.py) — excluded status directories are
+    never opened. This is the scan-side contract that makes 100 TB
+    tables queryable by date/source/language."""
+    d = _scratch("sink_partitioned_parquet")
+    orders = tables.load(spark, sf_dir, "orders").select(*ORDER_COLS)
+    P.write_partitioned(orders, d, "o_orderstatus")
+    back = spark.read.parquet(d).filter(F.col("o_orderstatus") == "F")
+    return back.select(*ORDER_COLS)
+
+
+@register("sink_dynamic_overwrite", oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders""")
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level incremental publish: write the full table, then
+    re-publish ONLY the ``O`` partition with patched prices via dynamic
+    partition overwrite. Untouched ``F``/``P`` directories are not
+    rewritten — the partition analogue of the reference's staging-swap
+    (main.py:122-126), at per-partition granularity."""
+    d = _scratch("sink_dynamic_overwrite")
+    orders = tables.load(spark, sf_dir, "orders").select(*ORDER_COLS)
+    P.write_partitioned(orders, d, "o_orderstatus")
+    patch = (orders.filter(F.col("o_orderstatus") == "O")
+             .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0)))
+    P.overwrite_partitions_dynamic(patch, d, "o_orderstatus")
+    return spark.read.parquet(d).select(*ORDER_COLS)
+
+
+@register("sink_compacted_files", oracle="""
+SELECT CAST(ceil(count(*) / 2500.0) AS INT) AS n_files,
+       count(*) AS n_rows
+FROM orders""")
+def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted compaction: ceil(rows/2500) uniform files via one
+    round-robin repartition (never a single-task coalesce). Returns the
+    observed distinct file count from ``input_file_name`` so the oracle
+    checks the layout itself, not just the rows."""
+    d = _scratch("sink_compacted_files")
+    orders = tables.load(spark, sf_dir, "orders")
+    P.write_compacted(orders, d, rows_per_file=2500)
+    back = spark.read.parquet(d)
+    return (back.select(F.input_file_name().alias("f"))
+            .agg(F.countDistinct("f").cast("int").alias("n_files"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@register("join_partition_pruned_dim", oracle="""
+SELECT c_custkey, c_name, c_nationkey, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 1""")
+def join_partition_pruned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact partitioned on the join key, dim
+    filtered at runtime — Catalyst injects a ``dynamicpruningexpression``
+    subquery (reusing the broadcast exchange) so the fact scan opens
+    only the nation directories that survive the region filter. At
+    100 TB this is the difference between scanning 25 partitions and 5,
+    with no change to the query text. Plan-asserted in
+    tests/test_plan_quality.py."""
+    d = _scratch("join_partition_pruned_dim")
+    cust = tables.load(spark, sf_dir, "customer")
+    P.write_partitioned(cust, d, "c_nationkey")
+    fact = spark.read.parquet(d)
+    dim = tables.load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    return (fact.join(F.broadcast(dim),
+                      fact.c_nationkey == dim.n_nationkey)
+            .select("c_custkey", "c_name", "c_nationkey", "n_name"))

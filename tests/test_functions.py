@@ -83,3 +83,27 @@ def test_quality_features(spark, fixture_df):
                     feats["n_punct"].alias("p"),
                     feats["n_stopwords"].alias("s")).collect()[0]
     assert row.t == 4 and row.p == 3 and row.s == 1
+
+
+def test_chunk_documents_window_algebra(spark, fixture_df):
+    """Boundary cases of the overlap chunker: short doc (one chunk),
+    exact multiple (no empty tail chunk), one-past boundary (short
+    final window), empty doc (single empty chunk)."""
+    docs = fixture_df(
+        [(1, " ".join(f"t{i}" for i in range(4))),     # n=4  -> 1 chunk
+         (2, " ".join(f"t{i}" for i in range(10))),    # n=10 -> 2 chunks
+         (3, " ".join(f"t{i}" for i in range(11))),    # n=11 -> 3 chunks
+         (4, "")],                                     # n=0  -> 1 chunk
+        "doc_id int, text string")
+    out = TX.chunk_documents(docs, "text", ("doc_id",), chunk=6, stride=4)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert sorted(rows) == [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2),
+                            (4, 0)]
+    assert rows[(1, 0)].n_tokens == 4
+    # chunk 1 of doc 2 covers tokens 4..9 (6 tokens, 2 overlap with chunk 0)
+    assert rows[(2, 1)].start_tok == 4
+    assert rows[(2, 1)].chunk_text == "t4 t5 t6 t7 t8 t9"
+    # doc 3: final window is the single trailing token at start 8..10
+    assert rows[(3, 2)].start_tok == 8
+    assert rows[(3, 2)].n_tokens == 3
+    assert rows[(4, 0)].chunk_text == "" and rows[(4, 0)].n_tokens == 0

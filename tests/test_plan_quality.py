@@ -128,3 +128,25 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_sink_scan_prunes_directories(spark, qs):
+    # the status filter must become PartitionFilters (directory pruning,
+    # zero I/O for excluded partitions), NOT a data filter evaluated on
+    # rows that were already read
+    plan = plan_of(qs["sink_partitioned_parquet"](spark, SF_DIR))
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "DataFilters: []" in plan
+    # the partition column itself is directory metadata, never scanned
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," \
+           "o_totalprice:double>" in plan
+
+
+def test_join_partition_pruned_dim_uses_dpp(spark, qs):
+    # runtime dim filter must inject a dynamic-pruning subquery on the
+    # fact scan (reusing the broadcast exchange) so only surviving
+    # nation directories are opened
+    plan = plan_of(qs["join_partition_pruned_dim"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
