@@ -1115,3 +1115,45 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     same window algebra with DuckDB list_slice."""
     return TX.chunk_documents(_docs(spark, sf_dir), "text", ("doc_id",),
                               chunk=64, stride=48)
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, '. ') AS parts
+      FROM documents WHERE doc_id < 50
+    ), e AS (
+      SELECT doc_id, parts, unnest(range(len(parts))) AS i FROM p
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS sent_id,
+           parts[CAST(i AS INT) + 1] AS sentence
+    FROM e
+    """)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10): a lateral table function
+    expanding each document into sentence rows. The split rule is the
+    portable literal '. ' so the DuckDB oracle replays it verbatim.
+    Arrow-batched when the runtime supports it; the scale note stands —
+    UDTFs are the API-surface demo, heavy row expansion belongs in
+    mapInPandas (functions/text.py:chunk_documents is the chunking
+    hot path, sequence+explode with no Python at all)."""
+    from pyspark.sql.functions import udtf
+
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            for i, s in enumerate((text or "").split(". ")):
+                yield doc_id, i, s
+
+    schema = "doc_id bigint, sent_id int, sentence string"
+    try:
+        fn = udtf(SentenceSplit, returnType=schema, useArrow=True)
+    except TypeError:  # runtime without the Arrow UDTF path
+        fn = udtf(SentenceSplit, returnType=schema)
+    spark.udtf.register("sentence_split", fn)
+    _docs(spark, sf_dir).filter(F.col("doc_id") < 50) \
+        .createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_id, s.sentence "
+        "FROM udtf_docs_v d, LATERAL sentence_split(d.doc_id, d.text) s")

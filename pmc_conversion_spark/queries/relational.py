@@ -876,3 +876,31 @@ def join_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("o_orderstatus") == "P"))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
             .select("c_custkey", "c_mktsegment"))
+
+
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6)
+             AS covar_qty_price,
+           round(stddev_samp(l_quantity), 6) AS std_qty
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics surface (corr / covar_samp / stddev_samp):
+    single-pass partial-aggregate co-moments, map-side combined — one
+    shuffle of 5 doubles per group regardless of input size. Results
+    rounded to 6 dp on both engines (co-moment merge order differs
+    between Spark and DuckDB in the last float bits; same contract as
+    the cosine ops)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                  .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
+                  .alias("covar_qty_price"),
+                 F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty")))

@@ -320,3 +320,33 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("columnNameOfCorruptRecord", "corrupt")
           .csv(d))
     return df.select("id", "qty", "corrupt")
+
+
+@register("scan_jsonl", oracle="SELECT doc_id, lang, source, n_chars "
+                               "FROM documents")
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with an EXPLICIT schema — at 100 TB,
+    schema-on-read inference is a full extra pass over the data, so the
+    reader always gets the contract up front (inference also widens all
+    numerics and misses null-only columns). Mirrors the reference's JSON
+    config surface (sources_config.json) applied to data files."""
+    d = _scratch("scan_jsonl")
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").json(d)
+    return (spark.read
+            .schema("doc_id bigint, lang string, source string, "
+                    "n_chars bigint")
+            .json(d)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@register("scan_orc", oracle=NATION_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: the second columnar format the engine certifies
+    (same pushdown/pruning contract as parquet — Catalyst treats both
+    as v1 FileScan with PartitionFilters/PushedFilters)."""
+    d = _scratch("scan_orc")
+    nation = tables.load(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").orc(d)
+    return spark.read.orc(d).select("n_nationkey", "n_name", "n_regionkey")
