@@ -210,3 +210,105 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("c_custkey", F.col("c_mktsegment").alias("segment")))
     return (e.join(F.broadcast(c), e.user_id == c.c_custkey)
             .select("event_id", "user_id", "event_type", "segment"))
+
+
+@register(
+    "win_sessionize_batch",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('us', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM g
+    )
+    SELECT user_id, event_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+    FROM f
+    """)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap rule as lag + running sum of
+    new-session flags — the batch twin of stream_custom_sessionize. Both
+    windows share ONE key-partitioned sort (same (user_id, ts, event_id)
+    ordering), so the plan is a single shuffle + sort per key, no global
+    window. Gap compare is integer microseconds on both engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    is_new = F.when(prev.isNull() | (gap_us > 1_800_000_000),
+                    F.lit(1)).otherwise(F.lit(0))
+    return (ev.withColumn("is_new", is_new)
+            .withColumn("session_id",
+                        F.sum("is_new").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)).cast("long"))
+            .select("user_id", "event_id", "ts", "session_id"))
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 50) t
+    WHERE rn = 1
+    """)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink: foreachBatch merges each micro-batch into
+    a keyed parquet table (keep latest per user by (ts, event_id)),
+    publishing each epoch via the atomic staging swap
+    (sinks.tx_swap_write_parquet). Three fixture files stream one per
+    micro-batch (maxFilesPerTrigger=1, availableNow), so the merge runs
+    three times; keep-latest is associative, so the final table equals
+    the one-shot batch answer regardless of file arrival order —
+    checkpoint + idempotent publish = exactly-once."""
+    import glob as G
+    import os
+    import shutil
+
+    from pmc_conversion_spark.queries.scans import _scratch
+    from pmc_conversion_spark.sources.sinks import tx_swap_write_parquet
+    from pmc_conversion_spark.streaming.ingest import run_foreach_batch
+
+    d = _scratch("stream_foreach_batch_upsert")
+    drop, ckpt, table = (os.path.join(d, x) for x in
+                         ("drop", "ckpt", "table"))
+    os.makedirs(drop, exist_ok=True)
+    ev = (_events(spark, sf_dir).filter(F.col("user_id") < 50)
+          .select("user_id", "event_id", "ts", "value"))
+    for i in range(3):  # three arrival files = three micro-batches
+        part = os.path.join(d, f"slice{i}")
+        (ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        src = G.glob(os.path.join(part, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(drop, f"arrival_{i}.parquet"))
+
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        merged = batch_df
+        if os.path.exists(os.path.join(table, "_SUCCESS")):
+            merged = s.read.parquet(table).unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        latest = (merged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        tx_swap_write_parquet(latest, table)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    run_foreach_batch(stream, ckpt, upsert)
+    return spark.read.parquet(table).select(
+        "user_id", "event_id", "ts", "value")

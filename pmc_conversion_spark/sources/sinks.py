@@ -214,3 +214,20 @@ class SnapshotStore:
         v = version if version is not None else vs[-1]["version"]
         return scan_csv_delim(spark, os.path.join(self.root, f"v{v}"),
                               schema=schema)
+
+
+def tx_swap_write_parquet(df: DataFrame, live_dir: str) -> None:
+    """Parquet flavor of :func:`tx_swap_write` — same all-or-nothing
+    rename-swap contract (README.md:181-183), used by the foreachBatch
+    upsert sink so each micro-batch publish is atomic: readers of
+    ``live_dir`` see the old table or the new one, never a partial
+    write."""
+    staging = live_dir.rstrip("/") + ".staging"
+    backup = live_dir.rstrip("/") + ".backup"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, backup)
+    os.rename(staging, live_dir)
+    shutil.rmtree(backup, ignore_errors=True)

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-Python
+reference implementations on randomized inputs — catches boundary
+algebra the fixture corpora never hit (empty docs, exact-multiple
+lengths, single-event users, equal timestamps).
+
+Each example runs ONE Spark job over a generated batch, so example
+counts stay small; the reference implementations are deliberately
+naive (clarity over speed).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark.functions import text as TX
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _ref_chunks(tokens: list[str], chunk: int, stride: int):
+    n = len(tokens)
+    nc = 1 if n <= chunk else math.ceil((n - chunk) / stride) + 1
+    for i in range(nc):
+        window = tokens[i * stride:i * stride + chunk]
+        yield i, i * stride, " ".join(window), len(window)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=150),
+                min_size=1, max_size=12),
+       st.sampled_from([(6, 4), (8, 8), (5, 2), (64, 48)]))
+def test_chunk_documents_matches_reference(spark, doc_lens, params):
+    chunk, stride = params
+    docs = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r.doc_id, r.chunk_id): (r.start_tok, r.chunk_text, r.n_tokens)
+           for r in TX.chunk_documents(df, "text", ("doc_id",),
+                                       chunk=chunk, stride=stride).collect()}
+    want = {}
+    for i, n in enumerate(doc_lens):
+        toks = [f"w{j}" for j in range(n)]
+        for cid, start, body, nt in _ref_chunks(toks, chunk, stride):
+            want[(i, cid)] = (start, body, nt)
+    assert got == want
+
+
+def _ref_sessions(times: list[int], gap: int):
+    sid, prev = 0, None
+    out = []
+    for t in sorted(times):
+        if prev is None or t - prev > gap:
+            sid += 1
+        out.append((t, sid))
+        prev = t
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4),       # user
+              st.integers(min_value=0, max_value=100_000)),  # seconds
+    min_size=1, max_size=60, unique=True))
+def test_sessionize_matches_reference(spark, events):
+    # same 30-min-gap rule as win_sessionize_batch, distinct (user, ts)
+    # pairs so the reference's sort is unambiguous
+    gap_s = 1800
+    rows = [(u, i, t) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts_s long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("ts_s") - prev) > gap_s),
+                    F.lit(1)).otherwise(F.lit(0))
+    got = {(r.user_id, r.ts_s): r.session_id
+           for r in df.withColumn(
+               "session_id",
+               F.sum(is_new).over(
+                   w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))).collect()}
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, times in by_user.items():
+        for t, sid in _ref_sessions(times, gap_s):
+            assert got[(u, t)] == sid
