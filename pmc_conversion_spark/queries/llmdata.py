@@ -1157,3 +1157,59 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.sent_id, s.sentence "
         "FROM udtf_docs_v d, LATERAL sentence_split(d.doc_id, d.text) s")
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token
+      FROM (SELECT doc_id, lower(text) AS text FROM documents) d
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+      ORDER BY cnt DESC, token ASC LIMIT 1000
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(log10(COALESCE(CAST(v.cnt AS DOUBLE), 0.5)
+                              / CAST((SELECT n_total FROM tot) AS DOUBLE)),
+                        6) AS DECIMAL(12,6)) AS lp
+      FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT doc_id,
+           round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS lm_score,
+           count(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet/KenLM-style corpus filter,
+    deterministic stand-in): mean log10 unigram probability per doc
+    against the corpus top-1000 vocabulary, out-of-vocabulary floored
+    at count 0.5. Per-token log-probs are rounded to 6 dp and summed as
+    DECIMAL, so the per-doc sum is order-insensitive — hash-exact under
+    any partitioning. Plan: explode -> partial-agg vocab (broadcast,
+    bounded) -> one shuffle of (doc_id, decimal) pairs; at 100 TB the
+    vocab is precomputed once and reused, and bodies never shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id",
+                    F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                     .alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    vocab = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+             .limit(1000))
+    lp = F.round(
+        F.log10(F.coalesce(F.col("cnt").cast("double"), F.lit(0.5))
+                / F.col("n_total").cast("double")), 6) \
+        .cast("decimal(12,6)")
+    scored = (toks.join(F.broadcast(vocab), "token", "left")
+              .join(F.broadcast(total))
+              .select("doc_id", lp.alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("lp").cast("double")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("lm_score"),
+                 F.count(F.lit(1)).alias("n_tokens")))
