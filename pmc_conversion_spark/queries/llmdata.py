@@ -1213,3 +1213,53 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)).cast("double"), 6)
                   .alias("lm_score"),
                  F.count(F.lit(1)).alias("n_tokens")))
+
+
+@register(
+    "pipeline_chunk_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN n <= 64 THEN 1
+                  ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS nc
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(nc)) AS i FROM c
+    ), ch AS (
+      SELECT doc_id, i AS chunk_id,
+             len(list_slice(toks, i*48 + 1, i*48 + 64)) AS n_tokens
+      FROM e
+    ), r AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM ch
+    )
+    SELECT (running - n_tokens) // 2048 AS seq_id,
+           count(*) AS n_chunks,
+           sum(n_tokens) AS seq_tokens
+    FROM r GROUP BY 1
+    """)
+def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> pack composite: documents split into overlapping
+    64-token windows (stride 48), windows laid end-to-end in
+    (doc_id, chunk_id) order and cut into 2048-token training bins.
+    The global prefix sum is the two-phase range-bucketed running sum
+    (operators/windows.py) over a fused order key — chunking stays
+    map-only, so the whole composite costs the same shuffles as
+    pack_sequences alone."""
+    from pmc_conversion_spark.operators.windows import running_sum_distributed
+    ch = TX.chunk_documents(_docs(spark, sf_dir), "text", ("doc_id",),
+                            chunk=64, stride=48)
+    keyed = ch.select(
+        "doc_id", "chunk_id", "n_tokens",
+        (F.col("doc_id") * 100_000 + F.col("chunk_id")).alias("__ord"))
+    r = running_sum_distributed(keyed, "__ord", "n_tokens",
+                                out_col="running")
+    return (r.withColumn("seq_id",
+                         F.expr("(running - n_tokens) DIV 2048"))
+            .groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_tokens").alias("seq_tokens")))
