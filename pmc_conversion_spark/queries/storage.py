@@ -108,3 +108,34 @@ def join_partition_pruned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fact.join(F.broadcast(dim),
                       fact.c_nationkey == dim.n_nationkey)
             .select("c_custkey", "c_name", "c_nationkey", "n_name"))
+
+
+@register("agg_incremental_merge", oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders GROUP BY o_orderstatus""")
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by partial-aggregate merge: the
+    stored aggregate of the base slice (materialized to parquet — the
+    'MV') merges with the delta slice's aggregate via re-aggregation of
+    (count, decimal-sum) partials. Base ROWS are never rescanned — the
+    merge input is one row per group per side — which is what keeps a
+    daily refresh of a 100 TB rollup proportional to the delta, not the
+    table. Decimal sums make the merge exact and order-insensitive."""
+    d = _scratch("agg_incremental_merge")
+    orders = tables.load(spark, sf_dir, "orders")
+
+    def slice_agg(df):
+        return (df.groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      .alias("total")))
+
+    pivot = F.col("o_orderkey") % 10 < 7  # base ≈ 70%, delta ≈ 30%
+    slice_agg(orders.filter(pivot)).write.mode("overwrite").parquet(d)
+    stored_mv = spark.read.parquet(d)
+    delta_agg = slice_agg(orders.filter(~pivot))
+    return (stored_mv.unionByName(delta_agg)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total")))
