@@ -150,3 +150,19 @@ def test_join_partition_pruned_dim_uses_dpp(spark, qs):
     plan = plan_of(qs["join_partition_pruned_dim"](spark, SF_DIR))
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_broadcasts_vocab_no_sortmerge(spark, qs):
+    # vocab and total are bounded frames: both joins must broadcast —
+    # a sort-merge join would shuffle every (doc_id, token) pair twice
+    plan = plan_of(qs["text_lm_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_merge_scans_base_rows_zero_times(spark, qs):
+    # the merged refresh plan must read the stored MV parquet and the
+    # delta slice of orders — never a second scan of the base rows
+    plan = plan_of(qs["agg_incremental_merge"](spark, SF_DIR))
+    assert plan.count("orders.parquet") == 1
+    assert "agg_incremental_merge" in plan  # the stored MV scan
