@@ -372,3 +372,38 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3,
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def decontaminate(train: DataFrame, heldout: DataFrame, *, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_heldout: bool = True) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share any
+    distinct ``n``-gram shingle with a held-out evaluation set (the
+    GPT-3-style overlap filter run before every serious pretraining
+    job; the reference has no counterpart — north-star surface).
+
+    Output: (doc_id, n_hit) — one row per contaminated train doc,
+    ``n_hit`` = number of distinct shingle hashes it shares with the
+    held-out set.
+
+    Scale shape: both sides shingle once and hash each shingle to a
+    portable 60-bit long (8-byte keys, bodies never leave the scan).
+    The held-out side — benchmarks, by definition orders of magnitude
+    smaller than the corpus — collapses to a DISTINCT hash set and
+    broadcasts, so the train side is a map-side semi-probe plus ONE
+    partial-agg shuffle of (doc_id, count). With
+    ``broadcast_heldout=False`` the probe becomes a shuffled equi-join
+    for the rare case of an oversized held-out set (AQE still picks
+    broadcast when stats allow)."""
+    tr = (_hashed_shingle_sets(train, id_col, text_col, n)
+          .select("doc_id", F.explode("hs").alias("h")))
+    ev = (_hashed_shingle_sets(heldout, id_col, text_col, n)
+          .select(F.explode("hs").alias("h"))
+          .distinct())
+    if broadcast_heldout:
+        ev = F.broadcast(ev)
+    # tr rows are distinct per (doc, h) by construction, ev is distinct
+    # on h -> the join emits each overlap once; count(*) == |overlap|.
+    return (tr.join(ev, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))

@@ -83,3 +83,38 @@ def stratified_sample_hash(df: DataFrame, strata_col: str, id_col: str,
     thr = thr.otherwise(F.lit(int(round(default * BUCKETS)))) if thr is not None \
         else F.lit(int(round(default * BUCKETS)))
     return df.filter(b < thr)
+
+
+def mixture_weighted(df: DataFrame, domain_col: str, id_col: str,
+                     weights: Mapping[str, float], *, salt: str,
+                     default: float = 1.0,
+                     copy_col: str = "copy") -> DataFrame:
+    """Domain-mixture resampling: each domain's rows are emitted
+    ``floor(w)`` times plus one more for the deterministic fraction-of-
+    the-hash-space slice (w = 2.5 -> every row twice, half the rows a
+    third time) — the up/down-weighting step that turns raw corpus
+    proportions into a training mixture ("2 epochs of wiki, 0.25 of
+    crawl").
+
+    Decisions are a pure function of (id, salt): repartitions and
+    retries reproduce the exact multiset, unlike rand()-based
+    resampling. Map-side only — a literal CASE for the per-domain
+    weight, ``sequence`` + ``explode`` for the copies; no join, no
+    shuffle. Output rows carry ``copy_col`` in [1, n_copies] so the
+    result is a well-defined multiset (and hash-comparable)."""
+    b = hash_bucket(F.col(id_col), salt)
+    w10k = None
+    for k, w in weights.items():
+        lim = F.lit(int(round(w * BUCKETS)))
+        cond = F.col(domain_col) == k
+        w10k = F.when(cond, lim) if w10k is None else w10k.when(cond, lim)
+    dflt = F.lit(int(round(default * BUCKETS)))
+    w10k = w10k.otherwise(dflt) if w10k is not None else dflt
+    n_copies = ((w10k / BUCKETS).cast("long")
+                + F.when(b < w10k % BUCKETS, F.lit(1)).otherwise(F.lit(0)))
+    return (df.withColumn("__n", n_copies)
+            .filter(F.col("__n") >= 1)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.col("__n"))))
+            .drop("__n"))

@@ -36,13 +36,17 @@ _TOKS = ("(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
 _NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
          "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
 
-# DuckDB twin of text.shingles(n=3) over lowercased ws tokens
-_SHINGLES = f"""
-      CASE WHEN len({_TOKS}) >= 3
-           THEN list_distinct(list_transform(range(len({_TOKS}) - 2),
-                i -> array_to_string({_TOKS}[i+1:i+3], ' ')))
+def _shingles_sql(n: int) -> str:
+    """DuckDB twin of text.shingles(n) over lowercased ws tokens."""
+    return f"""
+      CASE WHEN len({_TOKS}) >= {n}
+           THEN list_distinct(list_transform(range(len({_TOKS}) - {n - 1}),
+                i -> array_to_string({_TOKS}[i+1:i+{n}], ' ')))
            ELSE [array_to_string({_TOKS}, ' ')] END
 """
+
+
+_SHINGLES = _shingles_sql(3)
 
 # DuckDB twin of dedup.md5_int60: 60-bit int from the first 15 md5 hex chars
 _MD5_INT60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
@@ -1263,3 +1267,107 @@ def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("seq_id")
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  F.sum("n_tokens").alias("seq_tokens")))
+
+
+# ----------------------------------- decontamination & corpus mixtures
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_shingles_sql(5)},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs,
+             {_BUCKET_SQL} AS b
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE b < 8000),
+    ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE b >= 9000)
+    SELECT tr.doc_id, count(*) AS n_hit
+    FROM tr JOIN ev USING (h)
+    GROUP BY tr.doc_id
+    """)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (functions/dedup.py:decontaminate):
+    training docs sharing any distinct 5-gram with the held-out 'test'
+    hash split are flagged with their overlap count. The held-out
+    shingle-hash set is DISTINCT'd and broadcast (benchmarks are tiny
+    next to the corpus), so the train side pays one map-side probe +
+    one partial-agg shuffle of 8-byte keys — document bodies never
+    shuffle. Splits reuse the salted-hash assignment of
+    split_train_val_test, so train/heldout membership is itself
+    deterministic and oracle-replayed."""
+    from pmc_conversion_spark.functions.sampling import hash_bucket
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "v1")
+    train = d.filter(b < 8000)
+    heldout = d.filter(b >= 9000)
+    return DD.decontaminate(train, heldout, n=5)
+
+
+#: DuckDB twin of sampling.hash_bucket (salt 'mix1')
+_MIX_BUCKET_SQL = ("(('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), "
+                   "1, 15))::BIGINT % 10000)")
+
+
+@register(
+    "sample_mixture_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 20000
+                         WHEN 'src1' THEN 15000
+                         WHEN 'src2' THEN 2500
+                         ELSE 10000 END AS w10k,
+             {_MIX_BUCKET_SQL} AS b
+      FROM documents
+    )
+    SELECT doc_id, source,
+           unnest(range(1, w10k // 10000
+                           + CASE WHEN b < w10k % 10000 THEN 1 ELSE 0 END
+                           + 1)) AS copy
+    FROM w
+    """)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling (functions/sampling.py:
+    mixture_weighted): src0 x2.0 (two epochs), src1 x1.5, src2 x0.25,
+    everything else x1.0. Fractional weights are a deterministic slice
+    of the hash space, integer weights are plain repetition — emitted
+    via sequence+explode with a copy index so the result is an exact,
+    hash-comparable multiset. Map-side only: no join, no shuffle, and
+    the sampling predicate rides the parquet scan."""
+    from pmc_conversion_spark.functions.sampling import mixture_weighted
+    d = tables.load(spark, sf_dir, "documents")
+    return mixture_weighted(d.select("doc_id", "source"), "source",
+                            "doc_id",
+                            {"src0": 2.0, "src1": 1.5, "src2": 0.25},
+                            salt="mix1")
+
+
+@register(
+    "text_ngram_counts",
+    oracle=f"""
+    SELECT g AS bigram, count(*) AS n
+    FROM (SELECT unnest(list_transform(range(len({_TOKS}) - 1),
+                 i -> array_to_string({_TOKS}[i+1:i+2], ' '))) AS g
+          FROM documents)
+    GROUP BY g ORDER BY n DESC, bigram ASC LIMIT 100
+    """)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top-100 by count desc, bigram asc
+    — a total order, so the cut is deterministic): the n-gram statistics
+    pass behind phrase vocabularies and contamination audits. Unlike
+    the shingle ops this counts the MULTISET of bigrams (repeats
+    matter), and docs shorter than 2 tokens contribute nothing.
+    Explode -> partial-agg count -> TakeOrdered; the shuffle carries
+    (bigram, partial count), never document bodies."""
+    d = _docs(spark, sf_dir).select(
+        TX.ws_tokens(F.lower(F.col("text"))).alias("toks"))
+    grams = d.select(F.explode(F.when(
+        F.size("toks") >= 2,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2))))
+        .otherwise(F.array().cast("array<string>"))).alias("bigram"))
+    return (grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(100))

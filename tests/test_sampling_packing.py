@@ -103,3 +103,74 @@ def test_redact_pii_patterns(spark, fixture_df):
     assert out[1] == "mail me: <EMAIL> or call <PHONE> now"
     assert out[2] == "no pii here 12345"
     assert out[3] == "dots <PHONE> and <EMAIL>"
+
+
+def _py_bucket(salt: str, doc_id: int) -> int:
+    """Pure-Python replay of sampling.hash_bucket (portable md5 family)."""
+    import hashlib
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % 10000
+
+
+def test_mixture_weighted_exact_multiset(spark):
+    from pmc_conversion_spark.functions.sampling import mixture_weighted
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 80 else "c"))
+         for i in range(120)], "doc_id long, dom string")
+    out = mixture_weighted(df, "dom", "doc_id",
+                           {"a": 2.0, "b": 0.5, "c": 0.0},
+                           salt="mx", default=1.0).collect()
+    got = {}
+    for r in out:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+        assert 1 <= r.copy <= got[r.doc_id] + 1
+    for i in range(120):
+        dom = "a" if i < 40 else ("b" if i < 80 else "c")
+        w10k = {"a": 20000, "b": 5000, "c": 0}[dom]
+        want = w10k // 10000 + (1 if _py_bucket("mx", i) < w10k % 10000 else 0)
+        assert got.get(i, 0) == want, (i, dom)
+    # integer weight 2.0: every 'a' row exactly twice, copies 1 and 2
+    a_copies = sorted(r.copy for r in out if r.doc_id == 0)
+    assert a_copies == [1, 2]
+
+
+def test_mixture_weighted_partitioning_invariant(spark):
+    from pmc_conversion_spark.functions.sampling import mixture_weighted
+    df = spark.range(300).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") % 3).cast("string").alias("d"))
+    w = {"0": 1.5, "1": 0.25}
+    a = sorted((r.doc_id, r.copy) for r in
+               mixture_weighted(df, "d", "doc_id", w, salt="s").collect())
+    b = sorted((r.doc_id, r.copy) for r in
+               mixture_weighted(df.repartition(11), "d", "doc_id", w,
+                                salt="s").collect())
+    assert a == b and len(a) > 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from pmc_conversion_spark.functions.dedup import decontaminate
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "noise one two alpha beta gamma delta epsilon tail"),
+         (2, "completely unrelated words with no shared five gram"),
+         (3, "alpha beta gamma delta epsilon zeta verbatim copy here")],
+        "doc_id long, text string")
+    hits = {r.doc_id: r.n_hit
+            for r in decontaminate(train, ev, n=5).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+    # doc 3 contains both 5-grams of the eval doc, doc 1 only the first
+    assert hits[3] == 2 and hits[1] == 1
+
+
+def test_decontaminate_short_docs_whole_text_rule(spark):
+    from pmc_conversion_spark.functions.dedup import decontaminate
+    # docs shorter than n shingle to the whole text: an exact short
+    # match is caught, a partial one is not
+    ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc plus more trailing words")],
+        "doc_id long, text string")
+    hits = {r.doc_id for r in decontaminate(train, ev, n=5).collect()}
+    assert hits == {1}
