@@ -181,3 +181,63 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, *,
         "__salt", F.explode(F.array(*[F.lit(i)
                                       for i in range(salt_buckets)])))
     return sb.join(ss, [key, "__salt"], how).drop("__salt")
+
+
+def bloom_prefilter_join(fact: DataFrame, dim: DataFrame, key: str, *,
+                         m_bits: int = 1 << 17, k: int = 3,
+                         how: str = "inner") -> DataFrame:
+    """Equi-join with a Bloom-filter prefilter on the fact side.
+
+    The 100 TB case this exists for: the dim side is too large to
+    broadcast as a hash relation (so Spark must shuffle BOTH sides),
+    but most fact rows have no partner. A Bloom bitmap of the dim keys
+    compresses to m_bits/8 bytes regardless of key width, broadcasts
+    where the dim itself cannot, and drops partner-less fact rows
+    BEFORE the fact-side Exchange — shuffle volume falls by the miss
+    rate while the exact join afterwards removes the false positives,
+    so the result is bit-identical to the plain join. (Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` plants the same
+    structure automatically when stats justify it; this operator is the
+    explicit, portable form with the md5 hash family so the behavior is
+    deterministic and oracle-checkable.)
+
+    Build (one pass over dim keys, all JVM built-ins): k salted 60-bit
+    hashes per key -> bit positions -> per-64-bit-word OR-aggregation ->
+    ONE row holding the bitmap as a word-index map. Probe: map lookup +
+    bitwise AND per position — a pure map-side filter under the join.
+    """
+    from pmc_conversion_spark.functions.dedup import md5_int60
+
+    def positions(col: Column) -> list[Column]:
+        return [md5_int60(F.concat(F.lit(f"bf{i}:"), col.cast("string")))
+                % m_bits for i in range(k)]
+
+    keys = dim.select(F.col(key).alias("__k")).distinct()
+    # F.shiftleft only takes a literal shift amount, so the variable
+    # shifts go through SQL expr over the named position column.
+    bits = (keys.select(F.explode(F.array(*positions(F.col("__k"))))
+                        .alias("p"))
+            .select(F.expr("p DIV 64").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(p % 64 AS INT))").alias("bit"))
+            .groupBy("word").agg(F.bit_or("bit").alias("bits")))
+    # bounded by m_bits/64 words (2 KiB..16 MiB), never by |dim|
+    bitmap = bits.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits")))
+        .alias("__bloom"))
+
+    probed = fact.join(F.broadcast(bitmap))
+    hit = None
+    for i, p in enumerate(positions(F.col(key))):
+        pc = f"__bp{i}"
+        probed = probed.withColumn(pc, p)
+        # try_element_at, not element_at: ANSI mode (on in this engine)
+        # makes plain element_at raise on a missing map key, but an
+        # absent word simply means "no dim key ever set bits there".
+        test = F.expr(
+            f"coalesce(try_element_at(__bloom, {pc} DIV 64) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT)), 0) != 0")
+        hit = test if hit is None else hit & test
+    probe_cols = [f"__bp{i}" for i in range(k)]
+    return (probed.filter(hit).drop("__bloom", *probe_cols)
+            .join(dim, on=key, how=how))

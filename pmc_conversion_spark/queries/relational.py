@@ -904,3 +904,36 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
                   .alias("covar_qty_price"),
                  F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty")))
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    """)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join (operators/joins.py:
+    bloom_prefilter_join): dim keys fold into a broadcastable bitmap
+    whose probe drops partner-less fact rows BEFORE the fact-side
+    Exchange; the exact join then removes bloom false positives, so
+    the oracle is the PLAIN join — the filter must be
+    result-invisible. The scale case: a dim too big to broadcast as a
+    hash relation still fits as a bitmap, converting a full two-sided
+    shuffle into a miss-rate-sized one."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    dim = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey", "o_orderpriority"))
+    joined = J.bloom_prefilter_join(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), dim, "o_orderkey")
+    return (joined.groupBy(F.col("o_orderkey").alias("l_orderkey"),
+                           "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))

@@ -166,3 +166,30 @@ def test_incremental_merge_scans_base_rows_zero_times(spark, qs):
     plan = plan_of(qs["agg_incremental_merge"](spark, SF_DIR))
     assert plan.count("orders.parquet") == 1
     assert "agg_incremental_merge" in plan  # the stored MV scan
+
+
+def test_bloom_prefilter_probe_sits_below_fact_exchange(spark):
+    # Force the exact join to sort-merge (the 100 TB case: dim too big
+    # to broadcast) — the explicit broadcast() hint keeps the 1-row
+    # bitmap side broadcast regardless.
+    from pmc_conversion_spark.operators.joins import bloom_prefilter_join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = tables.load(spark, SF_DIR, "lineitem") \
+            .select(F.col("l_orderkey").alias("k"), "l_quantity")
+        dim = tables.load(spark, SF_DIR, "orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT") \
+            .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+        plan = plan_of(bloom_prefilter_join(fact, dim, "k"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the exact join shuffles both sides...
+    smj = plan.index("SortMergeJoin")
+    # ...and the bloom probe (try_element_at prints as
+    # element_at(..., None, false)) sits BELOW a fact-side Exchange,
+    # i.e. it filters map-side before any shuffle.
+    ex = plan.index("Exchange hashpartitioning", smj)
+    probe = plan.index("element_at(__bloom", smj)
+    assert ex < probe, plan
+    assert "CartesianProduct" not in plan

@@ -125,3 +125,24 @@ def test_apply_cdc_delete_beats_earlier_update(spark, fixture_df):
            for r in apply_cdc(base, changes, "k", "seq", "op",
                               ["v"]).collect()}
     assert out == {2: "b2", 3: "c", 9: "new"}
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from pmc_conversion_spark.operators.joins import bloom_prefilter_join
+    from pyspark.sql import functions as F
+    fact = spark.range(2000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(120).select(
+        (F.col("id") * 3).alias("k"), F.lit("d").alias("tag"))
+    plain = sorted((r.k, r.v, r.tag) for r in
+                   fact.join(dim, "k").collect())
+    # normal bitmap: identical result
+    got = sorted((r.k, r.v, r.tag) for r in
+                 bloom_prefilter_join(fact, dim, "k").collect())
+    assert got == plain
+    # pathologically tiny bitmap (64 bits): every probe is a false
+    # positive, the exact join must still make the result identical
+    got_fp = sorted((r.k, r.v, r.tag) for r in
+                    bloom_prefilter_join(fact, dim, "k",
+                                         m_bits=64, k=1).collect())
+    assert got_fp == plain
