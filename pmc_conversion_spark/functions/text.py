@@ -185,3 +185,46 @@ def chunk_documents(df, text_col: str = "text",
                     (cid * stride).cast("long").alias("start_tok"),
                     F.array_join(window, " ").alias("chunk_text"),
                     F.size(window).cast("long").alias("n_tokens")))
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for web-corpus dedup: lowercase scheme+host, strip
+    default ports (:80/:443), drop the fragment, remove utm_* tracking
+    params, normalize dangling '?'/'&' and a trailing slash. Pure regex
+    over JVM built-ins (no parse_url — the regex text is shared
+    verbatim with the DuckDB oracle, and RE2 compatibility keeps the
+    patterns lookaround-free)."""
+    head0 = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]*", 0))
+    head = F.regexp_replace(F.regexp_replace(head0, ":80$", ""),
+                            ":443$", "")
+    rest = F.regexp_replace(url, r"^[a-zA-Z]+://[^/?#]*", "")
+    u1 = F.concat(head, F.regexp_replace(rest, "#.*$", ""))
+    u2 = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(u1, "utm_[^&#]*", ""),
+                         r"\?&", "?"),
+        "[?&]+$", "")
+    return F.regexp_replace(u2, "/$", "")
+
+
+def char_entropy_bits(text: Column) -> Column:
+    """Shannon entropy of the character distribution, in bits — the
+    classic gibberish/boilerplate quality signal (low entropy = runs of
+    one symbol, high = random noise).
+
+    Computed entirely per-row with array expressions: distinct chars
+    are SORTED so the left-fold accumulates terms in one canonical
+    order — bit-identical on any partitioning and replayed exactly by
+    the oracle's list fold. O(distinct_chars × len) comparisons per
+    row, JVM-side, zero shuffle."""
+    cs = F.split(text, "")
+    n = F.size(cs)
+    dl = F.array_sort(F.array_distinct(cs))
+
+    def step(acc, ch):
+        p = F.size(F.filter(cs, lambda x: x == ch)).cast("double") / n
+        return acc - p * F.log(p) / F.log(F.lit(2.0))
+
+    # empty text -> empty fold -> 0.0 (no division ever runs);
+    # "+ 0.0" folds IEEE -0.0 (single-repeated-char docs) to +0.0 so
+    # both engines print the same value.
+    return F.round(F.aggregate(dl, F.lit(0.0), step), 6) + F.lit(0.0)

@@ -1371,3 +1371,98 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("bigram").asc())
             .limit(100))
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+    e AS (SELECT doc_id, len(cs) AS n,
+                 list_sort(list_distinct(cs)) AS dl, cs FROM c)
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             round(list_aggregate(list_transform(dl,
+                d -> -(CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE)/n)
+                     * ln(CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE)/n)
+                     / ln(2)), 'sum'), 6) + 0.0 END AS entropy
+    FROM e
+    """)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (functions/text.py:char_entropy_bits) — the gibberish/boilerplate
+    quality gate. Distinct chars are sorted and the per-char terms
+    left-folded in that canonical order, so the double is bit-identical
+    under any partitioning and the oracle replays the same fold.
+    Map-only, zero shuffle, no Python."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    TX.char_entropy_bits(F.col("text")).alias("entropy"))
+
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'http://Example.COM/site/' || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 1 THEN 'HTTP://example.com:80/site/' || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 2 THEN 'http://example.com/site/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+               WHEN 3 THEN 'http://example.com/site/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed'
+               ELSE 'http://example.com/site/' || CAST(doc_id % 50 AS VARCHAR) || '#section2'
+             END AS url
+      FROM documents
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS ({_URL_SYNTH_SQL}),
+    p AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*')) AS head0,
+             regexp_replace(url, '^[a-zA-Z]+://[^/?#]*', '') AS rest
+      FROM u
+    ),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(head0, ':80$', ''), ':443$', '')
+             || regexp_replace(rest, '#.*$', '') AS u1
+      FROM p
+    ),
+    c2 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(u1,
+                 'utm_[^&#]*', '', 'g'), '\\?&', '?'), '[?&]+$', '') AS u2
+      FROM c
+    ),
+    c3 AS (SELECT doc_id, regexp_replace(u2, '/$', '') AS canon FROM c2)
+    SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM c3 GROUP BY canon HAVING count(*) > 1
+    """)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (functions/text.py:canonical_url) —
+    the fetch-list dedup every web-corpus pipeline runs before crawling
+    or joining page records: case-folded scheme/host, default ports and
+    fragments stripped, utm_* tracking params removed, dangling
+    separators and trailing slash normalized. Five case/port/tracking
+    variants are synthesized per doc on BOTH engines; canonical groups
+    with >1 member are the duplicates. Canonicalization is map-side
+    regex; the only shuffle is the partial-agg on the canonical key
+    (at 100 TB, group on md5 of the canon string to shuffle 16-byte
+    digests instead)."""
+    d = _docs(spark, sf_dir)
+    sid = (F.col("doc_id") % 50).cast("string")
+    m = F.col("doc_id") % 5
+    url = (F.when(m == 0, F.concat(F.lit("http://Example.COM/site/"), sid))
+           .when(m == 1, F.concat(F.lit("HTTP://example.com:80/site/"), sid))
+           .when(m == 2, F.concat(F.lit("http://example.com/site/"), sid,
+                                  F.lit("/")))
+           .when(m == 3, F.concat(F.lit("http://example.com/site/"), sid,
+                                  F.lit("?utm_source=feed")))
+           .otherwise(F.concat(F.lit("http://example.com/site/"), sid,
+                               F.lit("#section2"))))
+    canon = TX.canonical_url(url)
+    return (d.select(F.col("doc_id"), canon.alias("canon"))
+            .groupBy("canon")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_dups") > 1))

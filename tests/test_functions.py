@@ -107,3 +107,32 @@ def test_chunk_documents_window_algebra(spark, fixture_df):
     assert rows[(3, 2)].start_tok == 8
     assert rows[(3, 2)].n_tokens == 3
     assert rows[(4, 0)].chunk_text == "" and rows[(4, 0)].n_tokens == 0
+
+
+def test_char_entropy_golden_values(spark, fixture_df):
+    df = fixture_df([(1, "aaaa"), (2, "ab"), (3, "aabb"), (4, ""),
+                     (5, "abcd")], "doc_id int, text string")
+    got = {r.doc_id: r.e for r in df.select(
+        "doc_id", TX.char_entropy_bits(F.col("text")).alias("e")).collect()}
+    assert got[1] == 0.0          # one symbol -> zero bits (and +0.0, not -0.0)
+    assert str(got[1]) == "0.0"
+    assert got[2] == 1.0          # two equiprobable symbols
+    assert got[3] == 1.0
+    assert got[4] == 0.0          # empty text -> empty fold
+    assert got[5] == 2.0          # four equiprobable symbols
+
+
+def test_canonical_url_rules(spark, fixture_df):
+    cases = [
+        (1, "HTTP://Example.COM:80/a/b/", "http://example.com/a/b"),
+        (2, "https://host:443/x?utm_source=f&id=3", "https://host/x?id=3"),
+        (3, "http://h/p?id=3&utm_campaign=z", "http://h/p?id=3"),
+        (4, "http://h/p#frag", "http://h/p"),
+        (5, "http://h/p?utm_only=1", "http://h/p"),
+        (6, "http://h:8080/p", "http://h:8080/p"),   # non-default port kept
+    ]
+    df = fixture_df([(i, u) for i, u, _ in cases], "id int, url string")
+    got = {r.id: r.c for r in df.select(
+        "id", TX.canonical_url(F.col("url")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
