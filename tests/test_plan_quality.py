@@ -193,3 +193,23 @@ def test_bloom_prefilter_probe_sits_below_fact_exchange(spark):
     probe = plan.index("element_at(__bloom", smj)
     assert ex < probe, plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_heldout_no_sortmerge(spark, qs):
+    plan = plan_of(qs["dedup_decontaminate"](spark, SF_DIR))
+    # held-out shingle hashes broadcast; the train side must never
+    # sort-merge against them (that would shuffle every posting)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_resampling_is_map_side_only(spark):
+    from pmc_conversion_spark.functions.sampling import mixture_weighted
+    d = tables.load(spark, SF_DIR, "documents").select("doc_id", "source")
+    plan = plan_of(mixture_weighted(d, "source", "doc_id",
+                                    {"src0": 2.0, "src2": 0.25}, salt="s"))
+    # resampling = filter + generate over the scan; no shuffle, no join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan
