@@ -937,3 +937,48 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+#: ONE SQL text, two engines: Q1-shaped pricing summary. All money math
+#: runs in DECIMAL: the 2-dp inputs cast exactly (the double is ~1 ulp
+#: from the 2-dp value — nowhere near a rounding tie), products are
+#: exact decimal arithmetic, and the SUMs are therefore
+#: order-insensitive integers-in-disguise under any partitioning. The
+#: only double ops are the final CASTs — one deterministic conversion
+#: each. (Per-row round(double, 4) is NOT equivalent: Spark rounds the
+#: exact binary expansion, DuckDB multiplies by 1e4 first, and they
+#: disagree on ~1-in-10⁵ rows.)
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_charge,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pricing_summary", oracle=_PRICING_SUMMARY_SQL)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point: the IDENTICAL ANSI text runs via
+    spark.sql() here and via DuckDB as its own oracle — the API-surface
+    proof that the engine's SQL dialect handling, view registration,
+    and decimal/double coercions line up with a second engine on a
+    classic warehouse query (TPC-H Q1 shape). Catalyst plans it as one
+    partial/final hash aggregation over the scan with the date filter
+    pushed down — the plan you want at 100 TB."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PRICING_SUMMARY_SQL)
