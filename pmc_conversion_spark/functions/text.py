@@ -203,7 +203,7 @@ def canonical_url(url: Column) -> Column:
         F.regexp_replace(F.regexp_replace(u1, "utm_[^&#]*", ""),
                          r"\?&", "?"),
         "[?&]+$", "")
-    return F.regexp_replace(u2, "/$", "")
+    return F.regexp_replace(u2, "/+$", "")
 
 
 def char_entropy_bits(text: Column) -> Column:

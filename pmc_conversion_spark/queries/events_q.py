@@ -312,3 +312,53 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_foreach_batch(stream, ckpt, upsert)
     return spark.read.parquet(table).select(
         "user_id", "event_id", "ts", "value")
+
+
+@register(
+    "ts_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+             arg_max(value, event_id) AS lastv
+      FROM events GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      FROM b GROUP BY user_id
+    )
+    SELECT sp.user_id, sp.h AS bin_ts,
+           coalesce(b.n, 0) AS n_events,
+           last_value(b.lastv IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.h
+               ROWS UNBOUNDED PRECEDING) AS value_ffill
+    FROM sp LEFT JOIN b USING (user_id, h)
+    """)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: per-user hourly bins from the
+    user's own first to last event, empty bins carried forward with
+    the last observed value (sensor/metric densification). The
+    calendar spine is generated PER KEY from that key's min/max via
+    sequence+explode — never a global calendar cross join, so spine
+    size is bounded by each key's own span and the whole op is
+    key-partitioned: the bin aggregation, the spine left-join, and the
+    forward-fill window all share one (user_id) shuffle lineage. The
+    in-bin "last" is max_by over the unique event_id — deterministic
+    under any partitioning (and arg_max on the oracle side)."""
+    e = _events(spark, sf_dir)
+    b = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.max_by("value", "event_id").alias("lastv")))
+    sp = (b.groupBy("user_id")
+          .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+          .select("user_id",
+                  F.explode(F.sequence(
+                      "h0", "h1",
+                      F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sp.join(b, ["user_id", "h"], "left")
+            .select("user_id", F.col("h").alias("bin_ts"),
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.last("lastv", ignorenulls=True).over(w)
+                    .alias("value_ffill")))

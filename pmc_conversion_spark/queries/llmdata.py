@@ -1434,7 +1434,7 @@ _URL_SYNTH_SQL = """
                  'utm_[^&#]*', '', 'g'), '\\?&', '?'), '[?&]+$', '') AS u2
       FROM c
     ),
-    c3 AS (SELECT doc_id, regexp_replace(u2, '/$', '') AS canon FROM c2)
+    c3 AS (SELECT doc_id, regexp_replace(u2, '/+$', '') AS canon FROM c2)
     SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_id
     FROM c3 GROUP BY canon HAVING count(*) > 1
     """)

@@ -89,3 +89,49 @@ def test_sessionize_matches_reference(spark, events):
     for u, times in by_user.items():
         for t, sid in _ref_sessions(times, gap_s):
             assert got[(u, t)] == sid
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~", min_size=0, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.sampled_from(["http", "HTTP", "https"]),
+              st.sampled_from(["Host.COM", "h", "x.y.z"]),
+              st.sampled_from(["", ":80", ":443", ":8080"]),
+              _URL_CHARS,
+              st.sampled_from(["", "/", "?utm_source=a", "?id=1&utm_x=b",
+                               "#frag", "?utm_a=1&utm_b=2#f"])),
+    min_size=1, max_size=12))
+def test_canonical_url_is_idempotent(spark, parts):
+    urls = [(i, f"{s}://{h}{p}/{path}{tail}")
+            for i, (s, h, p, path, tail) in enumerate(parts)]
+    df = spark.createDataFrame(urls, "id long, url string")
+    once = df.select("id", TX.canonical_url(F.col("url")).alias("c"))
+    twice = once.select("id", TX.canonical_url(F.col("c")).alias("c2"),
+                        "c")
+    for r in twice.collect():
+        assert r.c2 == r.c, (r.c, r.c2)
+        # canonical form never keeps fragments, tracking params,
+        # default ports, or a dangling separator
+        assert "#" not in r.c and "utm_" not in r.c
+        assert ":80/" not in r.c and not r.c.endswith(("?", "&"))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="abcd \t", min_size=0, max_size=40),
+                min_size=1, max_size=16))
+def test_char_entropy_bounds_and_python_replay(spark, texts):
+    import collections
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = {r.id: r.e for r in df.select(
+        "id", TX.char_entropy_bits(F.col("text")).alias("e")).collect()}
+    for i, t in enumerate(texts):
+        cnt = collections.Counter(t)
+        n = len(t)
+        want = -sum((c / n) * math.log2(c / n) for c in cnt.values()) \
+            if n else 0.0
+        assert abs(got[i] - want) < 1e-5, (t, got[i], want)
+        assert 0.0 <= got[i] <= math.log2(max(len(cnt), 2))
