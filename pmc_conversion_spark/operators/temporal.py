@@ -30,9 +30,12 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, *, on: str,
               left_ts: str, right_ts: str,
               right_cols: Sequence[str],
-              tolerance: str | None = None) -> DataFrame:
+              tolerance: str | None = None,
+              direction: str = "backward") -> DataFrame:
     """Left as-of join: for every left row, the single most recent right
-    row with ``right.ts <= left.ts`` for the same key (inclusive).
+    row with ``right.ts <= left.ts`` for the same key (inclusive) —
+    or, with ``direction="forward"``, the single earliest right row
+    with ``right.ts >= left.ts``.
 
     Plan: tag both inputs, union them, and run one window per key
     ordered by (ts, side, right-row id); ``last(payload, ignorenulls)``
@@ -46,9 +49,19 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     ``right_cols`` must include ``right_ts``; matched columns keep
     their names, so they must not collide with left columns.
     ``tolerance`` (an INTERVAL literal body, e.g. ``'10 minutes'``)
-    turns matches older than ``left_ts - tolerance`` into nulls —
-    evaluated per-row after the window, not as a join condition.
+    turns matches older than ``left_ts - tolerance`` (forward: newer
+    than ``left_ts + tolerance``) into nulls — evaluated per-row after
+    the window, not as a join condition.
+
+    Forward ties mirror backward: at equal ts the right row is still
+    taken (same-instant match), and among equal-ts right rows the
+    LOWEST ordering column wins (backward: the highest) — the frame
+    flips to (current, unbounded following) with ``first`` instead of
+    ``last``, same single shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+    forward = direction == "forward"
     if right_ts not in right_cols:
         raise ValueError("right_cols must include right_ts")
     left_cols = left.columns
@@ -65,9 +78,13 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
                 f"as-of tie column {ord_candidate!r} must be integral, "
                 f"got {ord_t}")
 
+    # ordering puts the right side adjacent to equal-ts left rows on
+    # the frame side that can see it: before the left row for backward
+    # (right=0 < left=1), after it for forward (left=0 < right=1)
+    l_tag, r_tag = (0, 1) if forward else (1, 0)
     l_side = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_tag).alias("__side"),
         F.lit(None).cast("long").alias("__rord"),
         *[F.col(c) for c in left_cols if c != on],
         F.lit(None).cast(payload_t).alias("__r"))
@@ -78,22 +95,28 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
             else F.lit(0).cast("long"))
     r_side = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_tag).alias("__side"),
         rord.alias("__rord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c != on],
         payload.alias("__r"))
 
-    w = (Window.partitionBy("__k")
-         .orderBy("__ts", "__side", "__rord")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w = Window.partitionBy("__k").orderBy("__ts", "__side", "__rord")
+    if forward:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__r", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__r", ignorenulls=True).over(w)
     matched = (l_side.unionByName(r_side)
-               .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-               .filter(F.col("__side") == 1))
+               .withColumn("__m", pick)
+               .filter(F.col("__side") == l_tag))
     if tolerance is not None:
-        ok = (F.col("__m").isNotNull()
-              & (F.col("__m")[right_ts]
-                 >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")))
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (F.col("__m")[right_ts] <= F.col("__ts") + bound) \
+            if forward else \
+            (F.col("__m")[right_ts] >= F.col("__ts") - bound)
+        ok = F.col("__m").isNotNull() & in_tol
         matched = matched.withColumn(
             "__m", F.when(ok, F.col("__m")))
     out = [F.col("__k").alias(on)]

@@ -131,3 +131,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("ts").alias("c_ts")))
     return interval_join(purch, clicks, on="user_id", left_ts="p_ts",
                          right_ts="c_ts", lower="1 hour")
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.p_event_id, c.c_event_id, c.c_ts,
+                 row_number() OVER (PARTITION BY p.p_event_id
+                                    ORDER BY c.c_ts ASC,
+                                             c.c_event_id ASC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts >= p.p_ts)
+    SELECT p.user_id, p.p_event_id, p.p_ts, m.c_event_id, m.c_ts
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      USING (p_event_id)
+    """)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every purchase, the EARLIEST click by
+    the same user at or after the purchase instant (ties broken by
+    lowest event_id) — the attribution-window / next-action form of
+    the as-of family. Same union+window plan as join_asof with the
+    frame mirrored to (current, unbounded following): one shuffle on
+    user_id over |P|+|C| rows, never the inequality candidate set the
+    oracle states."""
+    e = _events(spark, sf_dir)
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_event_id"),
+                     F.col("ts").alias("p_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("c_event_id"),
+                      F.col("ts").alias("c_ts")))
+    return asof_join(purch, clicks, on="user_id", left_ts="p_ts",
+                     right_ts="c_ts", right_cols=["c_event_id", "c_ts"],
+                     direction="forward")

@@ -146,3 +146,32 @@ def test_bloom_prefilter_join_equals_plain_join(spark):
                     bloom_prefilter_join(fact, dim, "k",
                                          m_bits=64, k=1).collect())
     assert got_fp == plain
+
+
+def test_asof_forward_direction_ties_and_tolerance(spark, fixture_df):
+    left = fixture_df(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 13:00:00")],
+        "k int, lts string").select(
+        "k", F.to_timestamp("lts").alias("lts"))
+    right = fixture_df(
+        [(1, 7, "2024-01-01 10:00:00"),   # same instant as left #1
+         (1, 9, "2024-01-01 10:00:00"),   # tie: lowest id must win
+         (1, 5, "2024-01-01 14:30:00")],  # 90 min after left #2
+        "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rid", "rts"], direction="forward")
+    rows = {r.lts.hour: r.rid for r in out.collect()}
+    assert rows[10] == 7            # same-instant inclusive, LOWEST id
+    assert rows[13] == 5            # next future reading
+    # tolerance nulls matches further than 1h in the future
+    tol = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rid", "rts"], direction="forward",
+                    tolerance="'60' minute")
+    rows = {r.lts.hour: r.rid for r in tol.collect()}
+    assert rows[10] == 7 and rows[13] is None
+    # unknown direction rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  right_cols=["rid", "rts"], direction="nearest")
