@@ -1466,3 +1466,72 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_dups"),
                  F.min("doc_id").alias("keep_id"))
             .filter(F.col("n_dups") > 1))
+
+
+@register(
+    "pipeline_corpus_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS ntok,
+             {_BUCKET_SQL} AS b
+      FROM documents
+    ),
+    tr AS (SELECT * FROM t WHERE ntok >= 25 AND b < 8000),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_shingles_sql(5)},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs,
+             {_BUCKET_SQL} AS b
+      FROM documents
+    ),
+    tre AS (SELECT sh.doc_id, unnest(hs) AS h
+            FROM sh JOIN tr ON sh.doc_id = tr.doc_id),
+    ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE b >= 9000),
+    bad AS (SELECT DISTINCT tre.doc_id FROM tre JOIN ev USING (h)),
+    clean AS (SELECT tr.* FROM tr ANTI JOIN bad USING (doc_id)),
+    w AS (
+      SELECT doc_id, source, ntok,
+             CASE source WHEN 'src0' THEN 20000
+                         WHEN 'src1' THEN 15000
+                         WHEN 'src2' THEN 2500
+                         ELSE 10000 END AS w10k,
+             {_MIX_BUCKET_SQL} AS mb
+      FROM clean
+    ),
+    m AS (
+      SELECT source, ntok,
+             unnest(range(1, w10k // 10000
+                + CASE WHEN mb < w10k % 10000 THEN 1 ELSE 0 END + 1)) AS c
+      FROM w
+    )
+    SELECT source, count(*) AS n_rows, sum(ntok) AS train_tokens
+    FROM m GROUP BY source
+    """)
+def pipeline_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-mixture composite: quality gate (>= 25 tokens)
+    -> train split -> eval-set decontamination (5-gram overlap vs the
+    held-out split, contaminated ids broadcast-anti-joined away) ->
+    weighted domain mixture (epochs + fractional slice) -> effective
+    training tokens per domain. Everything before the final per-source
+    agg is map-side or broadcast: the only wide ops are the
+    decontaminate partial-agg (8-byte keys) and the closing per-source
+    agg — document bodies are read once and never shuffled."""
+    from pmc_conversion_spark.functions.sampling import (hash_bucket,
+                                                         mixture_weighted)
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "v1")
+    t = d.select("doc_id", "source", "text",
+                 TX.token_count_ws(F.lower(F.col("text"))).alias("ntok"),
+                 b.alias("b"))
+    train = t.filter((F.col("ntok") >= 25) & (F.col("b") < 8000))
+    heldout = d.select("doc_id", "text").filter(b >= 9000)
+    bad = (DD.decontaminate(train.select("doc_id", "text"), heldout, n=5)
+           .select("doc_id"))
+    clean = train.join(F.broadcast(bad), "doc_id", "left_anti")
+    mixed = mixture_weighted(clean.select("doc_id", "source", "ntok"),
+                             "source", "doc_id",
+                             {"src0": 2.0, "src1": 1.5, "src2": 0.25},
+                             salt="mix1")
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("ntok").alias("train_tokens")))
