@@ -134,4 +134,6 @@ def test_char_entropy_bounds_and_python_replay(spark, texts):
         want = -sum((c / n) * math.log2(c / n) for c in cnt.values()) \
             if n else 0.0
         assert abs(got[i] - want) < 1e-5, (t, got[i], want)
-        assert 0.0 <= got[i] <= math.log2(max(len(cnt), 2))
+        # the op rounds to 6 decimals, so allow half-ulp slack at the
+        # theoretical log2(k) ceiling (round(log2(3), 6) > log2(3))
+        assert 0.0 <= got[i] <= math.log2(max(len(cnt), 2)) + 5e-7
