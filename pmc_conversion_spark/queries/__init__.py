@@ -84,5 +84,6 @@ def _load_modules() -> None:
         temporal,
         reference_e2e,
         storage,
+        quality,
     )
     _LOADED = True

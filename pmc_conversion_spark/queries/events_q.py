@@ -148,19 +148,18 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pmc_conversion_spark.streaming.stateful import sessionize_with_state
 
-    raw = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),          # TIMESTAMP(NANOS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ])
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(raw)
+    # Derive the stream schema from a batch read of the same file so the
+    # source adapts to whichever timestamp encoding the parquet carries
+    # (micros-NTZ reads natively; legacy nanos surfaces as long and is
+    # rebuilt below) — a hardcoded schema silently mis-decodes when the
+    # physical type changes.
+    batch = _events(spark, sf_dir)
+    stream = (spark.readStream.schema(batch.schema)
               .option("pathGlobFilter", "events.parquet")  # dir source
-              .parquet(sf_dir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+              .parquet(sf_dir))
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     sessions = sessionize_with_state(stream, gap_minutes=30)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (sessions.writeStream.format("memory").queryName(name)
@@ -243,8 +242,11 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
-    is_new = F.when(prev.isNull() | (gap_us > 1_800_000_000),
+    # Interval arithmetic works for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ, which is what the micros-NTZ parquet
+    # testdata loads as).
+    gap_over = (F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE")
+    is_new = F.when(prev.isNull() | gap_over,
                     F.lit(1)).otherwise(F.lit(0))
     return (ev.withColumn("is_new", is_new)
             .withColumn("session_id",

@@ -1,0 +1,259 @@
+"""Registry: data-quality audit + warehouse-surface round-out.
+
+The reference gates every pipeline run on input validation (checksum
+verification, ``scripts/checksum.py``; dropzone sanity checks in
+``scripts/sync.py:142-182``) before any transform runs. The modern
+large-scale analog is a declarative expectations audit — null-rate,
+domain, range, uniqueness — computed in ONE pass over the table so the
+validation stage costs a single scan at 100 TB. This module adds that
+audit plus remaining relational surface (grouped top-k, null-safe join,
+share-of-total) and two more one-text-two-engines SQL queries (TPC-H
+Q3/Q18 shapes) exercising multi-join + IN-subquery planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------ DQ audit
+
+@register(
+    "dq_constraint_check",
+    oracle="""
+    WITH a AS (
+      SELECT
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+            AS bad_status,
+        SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 400000
+                 THEN 1 ELSE 0 END) AS price_range,
+        SUM(CASE WHEN o_orderdate > TIMESTAMP '2001-01-01 00:00:00'
+                 THEN 1 ELSE 0 END) AS late_date,
+        COUNT(*) - COUNT(DISTINCT o_custkey) AS dup_custkey,
+        COUNT(*) AS total
+      FROM orders)
+    SELECT r.rule, r.violations, a.total AS n_rows,
+           r.violations = 0 AS passed
+    FROM a,
+         LATERAL (VALUES
+            ('null_custkey', a.null_custkey),
+            ('bad_status',   a.bad_status),
+            ('price_range',  a.price_range),
+            ('late_date',    a.late_date),
+            ('dup_custkey',  a.dup_custkey)) AS r(rule, violations)
+    """)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass declarative data-quality audit: five expectation rules
+    (non-null, domain membership, numeric range, temporal sanity,
+    uniqueness) evaluated in a single aggregation over the table.
+
+    Reference analog: the pipeline refuses to load on validation
+    failure (``scripts/checksum.py`` read-and-verify;
+    ``luigi-pipeline/main.py`` gates transform on sync success). Scale
+    posture: every indicator rule is a conditional partial-sum that
+    map-side-combines, and the uniqueness rule rides the same
+    aggregation as ``count(*) - count(distinct)`` — one scan, one
+    reduce, no per-rule jobs; the result is 5 rows regardless of input
+    size. Adding a rule adds a column, not a pass.
+    """
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+         .alias("null_custkey"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+               .otherwise(0)).alias("bad_status"),
+        F.sum(F.when((F.col("o_totalprice") <= 0)
+                     | (F.col("o_totalprice") > 400000), 1)
+               .otherwise(0)).alias("price_range"),
+        F.sum(F.when(F.col("o_orderdate")
+                     > F.to_timestamp(F.lit("2001-01-01 00:00:00")), 1)
+               .otherwise(0)).alias("late_date"),
+        (F.count(F.lit(1)) - F.countDistinct("o_custkey"))
+         .alias("dup_custkey"),
+        F.count(F.lit(1)).alias("total"))
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 'null_custkey', null_custkey,"
+            " 'bad_status', bad_status,"
+            " 'price_range', price_range,"
+            " 'late_date', late_date,"
+            " 'dup_custkey', dup_custkey) AS (rule, violations)"),
+        F.col("total").alias("n_rows"),
+    ).withColumn("passed", F.col("violations") == 0)
+
+
+# ------------------------------------------------- grouped top-k
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           rn AS rank_in_group
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value within every priority class.
+
+    The grouped complement of ``sort_limit_topk`` (which is global):
+    one shuffle on the group key, per-partition sort, no global sort
+    anywhere — the rank filter prunes to k·|groups| rows immediately,
+    so at 100 TB the output (and everything downstream) stays tiny.
+    Tiebreak on the unique key keeps both engines deterministic.
+    """
+    w = (Window.partitionBy("o_orderpriority")
+               .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice")
+            .withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= 3))
+
+
+# ------------------------------------------------- null-safe join
+
+@register(
+    "join_null_safe",
+    oracle="""
+    SELECT d.label, COUNT(*) AS n
+    FROM (SELECT NULLIF(o_orderstatus, 'O') AS k FROM orders) o
+    JOIN (VALUES (CAST(NULL AS VARCHAR), 'open-missing'),
+                 ('F', 'final')) AS d(k, label)
+      ON o.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>``): NULL keys match NULL dim rows
+    instead of silently dropping.
+
+    Real pipelines decode sparse coded columns where "missing" is
+    itself a category (codebook rows for unknown codes — cf.
+    ``join_codebook_decode``); an equi-join drops those rows, a
+    null-safe join routes them to the missing bucket. Plan: the 2-row
+    dim broadcasts, the fact side never shuffles, and eqNullSafe still
+    qualifies as a broadcast-hash-join key (no fallback to BNLJ).
+    """
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")))
+    dim = spark.createDataFrame(
+        [(None, "open-missing"), ("F", "final")],
+        StructType([StructField("k", StringType()),
+                    StructField("label", StringType())]))
+    return (o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]))
+             .groupBy("label").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ------------------------------------------------- share of total
+
+@register(
+    "agg_share_of_total",
+    oracle="""
+    WITH g AS (SELECT o_orderpriority,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS grp
+               FROM orders GROUP BY o_orderpriority),
+         t AS (SELECT SUM(grp) AS tot FROM g)
+    SELECT g.o_orderpriority,
+           CAST(g.grp AS DOUBLE) AS group_total,
+           round(CAST(g.grp AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+               AS share
+    FROM g, t
+    """)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total per group without a window over the raw table.
+
+    The naive form — ``sum(x) OVER ()`` on the fact table — funnels
+    every row through one partition. The scale-safe form aggregates
+    once (partial + final hash agg over the scan), then derives the
+    grand total from the *aggregated* frame (|groups| rows) and
+    broadcast-joins it back. Money math in DECIMAL so the sums are
+    order-insensitive under any partitioning (cf. sql_pricing_summary).
+    """
+    g = (_t(spark, sf_dir, "orders")
+         .groupBy("o_orderpriority")
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .alias("grp")))
+    tot = g.agg(F.sum("grp").alias("tot"))
+    return (g.crossJoin(F.broadcast(tot))
+             .select("o_orderpriority",
+                     F.col("grp").cast("double").alias("group_total"),
+                     F.round(F.col("grp").cast("double")
+                             / F.col("tot").cast("double"), 6)
+                      .alias("share")))
+
+
+# ------------------------------------- one SQL text, two engines
+
+#: TPC-H Q3 shape: 3-way join -> revenue agg -> deterministic top-10.
+#: DECIMAL revenue (exact, order-insensitive) + unique-key tiebreak
+#: make the LIMIT stable across engines and partitionings.
+_SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey AS order_key,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       o.o_orderdate AS order_date,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, order_key
+LIMIT 10
+"""
+
+
+@register("sql_shipping_priority", oracle=_SHIPPING_PRIORITY_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped pure-SQL entry: the identical ANSI text runs via
+    spark.sql() and as its own DuckDB oracle. Exercises multi-join
+    planning: Catalyst broadcast-hash-joins customer (small side after
+    the segment filter pushes to the scan), shuffles lineitem once on
+    l_orderkey, and AQE takes the final top-10 from per-partition
+    top-10s — no global sort of the full agg output."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
+
+
+#: TPC-H Q18 shape: IN-subquery over a grouped HAVING, then re-join +
+#: re-aggregate. DECIMAL quantity sums are exact integers-in-disguise.
+_LARGE_ORDERS_SQL = """
+SELECT c.c_name AS cust_name,
+       o.o_orderkey AS order_key,
+       o.o_orderdate AS order_date,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN
+      (SELECT l_orderkey FROM lineitem
+       GROUP BY l_orderkey
+       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+"""
+
+
+@register("sql_large_orders", oracle=_LARGE_ORDERS_SQL)
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped pure-SQL entry: IN-subquery (planned as a left-semi
+    join on the grouped HAVING result), two fact shuffles on the same
+    key (l_orderkey — Catalyst reuses the exchange), customer
+    broadcast. One text, two engines, value-exact."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_LARGE_ORDERS_SQL)

@@ -29,11 +29,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which the Spark
-    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    (legacy conf) and rebuild the timestamp at microsecond precision —
-    integer division, no double round-trip (ns since epoch exceeds
-    2^53)."""
+    """events.parquet has shipped ``ts`` two ways across driver testdata
+    generations: TIMESTAMP(MICROS, isAdjustedToUTC=false) — reads
+    natively as TIMESTAMP_NTZ, nothing to do — and TIMESTAMP(NANOS),
+    which the reader only accepts as a raw long (legacy conf); that
+    long is rebuilt at microsecond precision with integer division (ns
+    since epoch exceeds 2^53, so no double round-trip). Downstream
+    event-time code must therefore stay NTZ-tolerant: compare
+    timestamps with interval arithmetic, not ``unix_micros`` (which
+    rejects NTZ)."""
     from pyspark.sql import functions as F
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
