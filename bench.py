@@ -16,6 +16,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Repeats per query; the reported time is the MIN across repeats. The
+#: bench host is a VM with visible CPU steal (/proc/stat col 8 grows
+#: under load), so single-shot wall times swing several-fold run to
+#: run. Min-of-N measures the engine, not the hypervisor: every repeat
+#: re-executes the full plan (no Spark-side result cache — only the
+#: JIT/footer warmup below is shared, as it would be on a long-lived
+#: cluster).
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
 # Headline queries: the flagship EAV pipeline + representative heavy
 # operators (joins, windows, event-time) + the LLM-data north-star ops
 # (dedup, similarity, text, multimodal plumbing).
@@ -49,11 +58,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name, fn):
-        t0 = time.time()
-        df = fn()
-        n = df.count()  # full materialization
-        timings[name] = round(time.time() - t0, 3)
-        return n
+        best = None
+        for _ in range(max(1, REPEATS)):
+            t0 = time.time()
+            df = fn()
+            df.count()  # full materialization
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # Warm the JVM/session with a trivial action so timings measure the
     # queries, not session spin-up. The Python-worker pool is part of

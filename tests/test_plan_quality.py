@@ -213,3 +213,36 @@ def test_mixture_resampling_is_map_side_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate explode" in plan
+
+
+def test_dq_audit_is_single_pass(spark, qs):
+    # the five-rule audit must cost ONE scan + one reduce: a single
+    # pair of partial/final aggregates, no join of per-rule subqueries
+    plan = plan_of(qs["dq_constraint_check"](spark, SF_DIR))
+    assert "Join" not in plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"expected one scan, saw {n_scans}"
+
+
+def test_topk_per_group_has_no_global_sort(spark, qs):
+    # one shuffle on the group key + per-partition sort; a global
+    # single-partition Exchange would be the 100 TB killer
+    plan = plan_of(qs["win_topk_per_group"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_null_safe_join_still_broadcasts(spark, qs):
+    # eqNullSafe keys must keep the broadcast-hash strategy (a fall
+    # back to BroadcastNestedLoop would scan dim x fact)
+    plan = plan_of(qs["join_null_safe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_share_of_total_avoids_unpartitioned_window(spark, qs):
+    # grand total comes from re-aggregating the grouped frame and
+    # broadcasting one row back -- never a sum() OVER () on the fact
+    plan = plan_of(qs["agg_share_of_total"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
