@@ -244,16 +244,13 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     run 1 executes both stages; run 2 (nothing changed) skips both;
     run 3 (input file changed) re-runs the chain. Fingerprints are
     distributed manifest digests over real directories."""
-    import shutil
-    import tempfile
     from pmc_conversion_spark.plans.incremental import (
         DagRunner, SignalStore, Task)
     from pmc_conversion_spark.sources.scans import scan_csv_delim
     from pmc_conversion_spark.sources.sinks import write_tsv
+    from pmc_conversion_spark.util import scratch_dir
 
-    root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
-                        "pipeline_incremental")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("pipeline_incremental")
     drop = os.path.join(root, "drop")
     staged = os.path.join(root, "staged")
     out = os.path.join(root, "out")

@@ -64,9 +64,8 @@ def pipeline_e2e_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.sources.scans import scan_csv_delim
     from pmc_conversion_spark.sources.sinks import write_tsv
 
-    out_root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
-                            "pipeline_e2e_reference")
-    shutil.rmtree(out_root, ignore_errors=True)
+    from pmc_conversion_spark.util import scratch_dir
+    out_root = scratch_dir("pipeline_e2e_reference")
     csr = RE.build_csr(spark)
     tagged = []
     for name, df in csr.items():
@@ -310,10 +309,8 @@ def pipeline_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.plans.incremental import (
         DagRunner, SignalStore, Task)
 
-    root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
-                        "pipeline_e2e_incremental")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    from pmc_conversion_spark.util import scratch_dir
+    root = scratch_dir("pipeline_e2e_incremental")
     dropzone = os.path.join(root, "dropzone")   # symlink, re-pointed
     input_data = os.path.join(root, "input_data")
     os.symlink(RE.REF_DROPZONE_FULL, dropzone)
@@ -724,9 +721,8 @@ def transmart_staging_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.plans.ontology import ontology_df
     from pmc_conversion_spark.sources.scans import scan_csv_delim
 
-    out_root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
-                            "transmart_staging")
-    shutil.rmtree(out_root, ignore_errors=True)
+    from pmc_conversion_spark.util import scratch_dir
+    out_root = scratch_dir("transmart_staging")
     csr = RE.build_csr(spark)
     ont = ontology_df(spark, RE.load_ontology_nodes(), _T)
     tables = TM.build_staging(spark, csr, ont, REF_STUDY_ID, _T + "\\")

@@ -608,24 +608,30 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join itself plans with ZERO Exchange — the storage layout IS the
     partitioning (sources/bucketed.py; plan asserted in
     tests/test_plan_quality.py). The oracle is the plain join: bucketing
-    must be result-invisible."""
+    must be result-invisible.
+
+    Hermetic by construction (the r2 driver red was cross-harness reuse
+    of a fixed /tmp path + fixed catalog names): the data lands in a
+    process-private mkdtemp root and the table names are unique per
+    invocation, so no concurrent or stale writer can alias them."""
     import os
-    import tempfile
 
     from pmc_conversion_spark.sources.bucketed import (read_bucketed,
                                                        write_bucketed)
-    root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
-                        "bucketed_tables")
+    from pmc_conversion_spark.util import scratch_dir, unique_name
+    root = scratch_dir("bucketed_tables")
+    t_orders = unique_name("bkt_orders")
+    t_cust = unique_name("bkt_customer")
     orders = tables.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     cust = tables.load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    write_bucketed(orders, "bkt_orders", "o_custkey", buckets=8,
+    write_bucketed(orders, t_orders, "o_custkey", buckets=8,
                    path=os.path.join(root, "orders"))
-    write_bucketed(cust, "bkt_customer", "c_custkey", buckets=8,
+    write_bucketed(cust, t_cust, "c_custkey", buckets=8,
                    path=os.path.join(root, "customer"))
-    o = read_bucketed(spark, "bkt_orders")
-    c = read_bucketed(spark, "bkt_customer")
+    o = read_bucketed(spark, t_orders)
+    c = read_bucketed(spark, t_cust)
     joined = o.join(c, o.o_custkey == c.c_custkey)
     return (joined.groupBy("c_mktsegment", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -633,28 +639,77 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_price")))
 
 
+#: quantile levels shared by the exact and approx quantile queries
+_Q_LEVELS = (0.25, 0.5, 0.75, 0.9)
+
+
 @register(
     "agg_quantiles",
     oracle="""
     SELECT o_orderstatus,
-           list_transform(quantile_cont(o_totalprice,
-                                        [0.25, 0.5, 0.75, 0.9]),
-                          x -> round(x, 4)) AS price_quantiles
+           unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS quantile,
+           unnest(list_transform(quantile_cont(o_totalprice,
+                                               [0.25, 0.5, 0.75, 0.9]),
+                                 x -> round(x, 4))) AS q_value
     FROM orders GROUP BY o_orderstatus
     """)
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous quantiles per group (linear interpolation —
     identical convention in Spark `percentile` and DuckDB
-    `quantile_cont`). For 100 TB profile jobs where exactness isn't
-    required, `approx_percentile` (t-digest sketch, map-side
-    combinable) is the drop-in — kept exact here so the oracle can
-    hash-check values."""
+    `quantile_cont`), returned as one SCALAR row per
+    (group, level) — exploded rather than an array column so any
+    downstream consumer (and the driver's pandas canonicalizer, which
+    cannot hash list cells — r2 red) sees hashable scalars.
+
+    Scale note: exact `percentile` buffers every group value in the
+    executor (ObjectHashAggregate) — bounded-group profiling only. The
+    registered `agg_quantiles_approx` twin is the 100 TB path
+    (t-digest-style sketch, map-side combinable, fixed memory)."""
     o = _t(spark, sf_dir, "orders")
-    pct = F.expr(
-        "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    arr = ", ".join(f"{q}D" for q in _Q_LEVELS)
+    pct = F.expr(f"percentile(o_totalprice, array({arr}))")
+    levels = F.array(*[F.lit(q) for q in _Q_LEVELS])
     return (o.groupBy("o_orderstatus")
-            .agg(F.transform(pct, lambda x: F.round(x, 4))
-                 .alias("price_quantiles")))
+            .agg(pct.alias("qs"))
+            .select("o_orderstatus",
+                    F.posexplode(F.col("qs")).alias("pos", "q_value"))
+            .select("o_orderstatus",
+                    F.element_at(levels, F.col("pos") + 1).alias("quantile"),
+                    F.round("q_value", 4).alias("q_value")))
+
+
+@register(
+    "agg_quantiles_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS quantile,
+           unnest(quantile_disc(o_totalprice, [0.25, 0.5, 0.75, 0.9]))
+             AS q_value
+    FROM orders GROUP BY o_orderstatus
+    """)
+def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: `approx_percentile` (Greenwald-Khanna
+    sketch) is map-side combinable with FIXED executor memory —
+    unlike exact `percentile`, which buffers every group value. Returns
+    discrete (dataset-element) quantiles as exploded scalar rows.
+
+    Oracle note: with accuracy >= per-group row count the GK summary
+    is lossless and Spark's result equals DuckDB `quantile_disc`
+    element-for-element (verified at sf0.01) — so the value hash is
+    checkable at test SF while the same code degrades gracefully to an
+    approximation at scales where exactness is unaffordable."""
+    o = _t(spark, sf_dir, "orders")
+    arr = ", ".join(f"{q}D" for q in _Q_LEVELS)
+    pct = F.expr(
+        f"approx_percentile(o_totalprice, array({arr}), 100000)")
+    levels = F.array(*[F.lit(q) for q in _Q_LEVELS])
+    return (o.groupBy("o_orderstatus")
+            .agg(pct.alias("qs"))
+            .select("o_orderstatus",
+                    F.posexplode(F.col("qs")).alias("pos", "q_value"))
+            .select("o_orderstatus",
+                    F.element_at(levels, F.col("pos") + 1).alias("quantile"),
+                    F.col("q_value")))
 
 
 #: synthetic snapshot perturbations for the SCD2 demo — replayed

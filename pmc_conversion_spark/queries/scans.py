@@ -28,10 +28,8 @@ NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
 def _scratch(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch", name)
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
+    from pmc_conversion_spark.util import scratch_dir
+    return scratch_dir(name)
 
 
 @register("scan_parquet", oracle="SELECT * FROM part")

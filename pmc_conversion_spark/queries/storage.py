@@ -25,10 +25,8 @@ from pmc_conversion_spark.sources import partitioned as P
 
 
 def _scratch(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch", name)
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
+    from pmc_conversion_spark.util import scratch_dir
+    return scratch_dir(name)
 
 
 ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")

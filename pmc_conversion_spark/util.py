@@ -2,7 +2,49 @@
 
 from __future__ import annotations
 
+import atexit
+import itertools
+import os
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame
+
+#: Per-process scratch root. Every process (driver harness, pytest,
+#: a concurrent bench run) gets its OWN mkdtemp root, so two harnesses
+#: can never read each other's half-written fixtures — the r2 driver's
+#: join_bucketed_colocated hash mismatch was exactly that: a fixed
+#: /tmp/pmc_spark_scratch/bucketed_tables shared across harnesses.
+_SCRATCH_ROOT: str | None = None
+_UNIQ = itertools.count()
+
+
+def scratch_root() -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="pmc_spark_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return _SCRATCH_ROOT
+
+
+def scratch_dir(name: str) -> str:
+    """A fresh, empty, process-private scratch dir for ``name``.
+
+    Re-invoking with the same name in one process wipes and reuses the
+    dir (queries are rerun-idempotent); distinct processes never share.
+    """
+    d = os.path.join(scratch_root(), name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def unique_name(prefix: str) -> str:
+    """A catalog-safe identifier unique per invocation — for temp table
+    names that must not collide across harnesses sharing a warehouse
+    or across repeated calls in one session."""
+    return f"{prefix}_{uuid.uuid4().hex[:8]}_{next(_UNIQ)}"
 
 
 def target_partitions(df: DataFrame) -> int:

@@ -105,24 +105,24 @@ def test_bucketed_join_has_no_exchange(spark):
     # co-located buckets with zero shuffles (broadcast disabled so the
     # co-location, not dimension size, is what's proven)
     import os
-    import tempfile
 
     from pmc_conversion_spark.sources.bucketed import (read_bucketed,
                                                        write_bucketed)
-    root = os.path.join(tempfile.gettempdir(), "pmc_spark_scratch",
-                        "bucketed_plan_test")
+    from pmc_conversion_spark.util import scratch_dir, unique_name
+    root = scratch_dir("bucketed_plan_test")
+    t_o, t_c = unique_name("bkt_plan_o"), unique_name("bkt_plan_c")
     orders = tables.load(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_custkey")
     cust = tables.load(spark, SF_DIR, "customer").select("c_custkey")
-    write_bucketed(orders, "bkt_plan_o", "o_custkey", buckets=4,
+    write_bucketed(orders, t_o, "o_custkey", buckets=4,
                    path=os.path.join(root, "o"))
-    write_bucketed(cust, "bkt_plan_c", "c_custkey", buckets=4,
+    write_bucketed(cust, t_c, "c_custkey", buckets=4,
                    path=os.path.join(root, "c"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        o = read_bucketed(spark, "bkt_plan_o")
-        c = read_bucketed(spark, "bkt_plan_c")
+        o = read_bucketed(spark, t_o)
+        c = read_bucketed(spark, t_c)
         plan = plan_of(o.join(c, o.o_custkey == c.c_custkey))
         assert "Exchange" not in plan
         assert "SortMergeJoin" in plan
