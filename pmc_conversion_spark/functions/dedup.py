@@ -75,28 +75,42 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str,
             .withColumn("sz", F.size("sh")))
 
 
-def _bucket_pairs(xs):
-    """All ordered combinations (i < j) of a *sorted* array of
-    (doc_id, sz) structs → array of (doc_a, sz_a, doc_b, sz_b) structs.
+def _explode_bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """All in-bucket combinations (i < j) of a column ``xs`` holding a
+    *sorted* array of (doc_id, sz) structs → rows
+    (doc_a, sz_a, doc_b, sz_b).
 
-    Pair generation happens inside the bucket row (array combinations),
-    so candidate pairs are born on the executor that owns the bucket —
-    no self-join, and bucket size is the only blowup knob (capped by the
-    caller's skew guard)."""
-    return F.flatten(F.transform(
-        xs,
-        lambda x, i: F.transform(
-            F.slice(xs, i + 2, F.greatest(F.size(xs) - i - 1, F.lit(0))),
-            lambda y: F.struct(x["doc_id"].alias("doc_a"),
-                               x["sz"].alias("sz_a"),
-                               y["doc_id"].alias("doc_b"),
-                               y["sz"].alias("sz_b")))))
+    Two-stage emission: posexplode each bucket member, then pair it
+    with the members after it. Pairs are still born on the executor
+    that owns the bucket (no self-join), but no single row ever holds
+    more than |bucket| structs — the one-shot C(n,2)-array-per-bucket
+    form peaked at ~n²/2 structs in one row (the r2 memory hazard).
+    """
+    lefts = buckets.select(F.posexplode("xs").alias("i", "x"), "xs")
+    return (lefts.select(F.explode(F.transform(
+        F.slice(F.col("xs"), F.col("i") + 2,
+                F.greatest(F.size("xs") - F.col("i") - 1, F.lit(0))),
+        lambda y: F.struct(F.col("x")["doc_id"].alias("doc_a"),
+                           F.col("x")["sz"].alias("sz_a"),
+                           y["doc_id"].alias("doc_b"),
+                           y["sz"].alias("sz_b")))).alias("p"))
+        .select("p.*"))
+
+
+#: Default hot-shingle cap: a shingle carried by more docs than this is
+#: dropped from the inverted index. 1,024 bounds one bucket's candidate
+#: pairs at C(1024,2) ≈ 5.2e5 (vs ~5e7 at the old 10,000 — an executor
+#: OOM at real scale, VERDICT r2 #3), and a shingle shared by a
+#: thousand-plus documents carries no Jaccard signal anyway. Callers
+#: and their DuckDB oracles must use the SAME value — import this
+#: constant, never restate the number.
+MAX_POSTING_DEFAULT = 1_024
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
                         threshold_den: int = 5, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_posting: int = 10_000) -> DataFrame:
+                        max_posting: int = MAX_POSTING_DEFAULT) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity join.
 
     Returns pairs (doc_a < doc_b) with
@@ -125,8 +139,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
                     .alias("xs"))
                .filter(F.size("xs").between(2, max_posting)))
-    pairs = (buckets.select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
-             .select("p.*"))
+    pairs = _explode_bucket_pairs(buckets)
     inter = (pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
              .agg(F.count(F.lit(1)).alias("inter_size")))
     return (inter
@@ -276,9 +289,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
                    .alias("xs"))
               .filter(F.size("xs") >= 2))
-    candidates = (groups
-                  .select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
-                  .select("p.doc_a", "p.doc_b").distinct())
+    candidates = (_explode_bucket_pairs(groups)
+                  .select("doc_a", "doc_b").distinct())
 
     # Exact verification on candidates only: bring both docs' hashed
     # shingle arrays to the pair and intersect in-row (map-side; AQE
@@ -349,8 +361,9 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3,
     blocks = max_hamming + 1
     width = SIMHASH_BITS // blocks
     fp = simhash64(docs, id_col=id_col, text_col=text_col)
-    # (doc_id, sz) struct convention of _bucket_pairs, with the simhash
-    # riding in the sz payload slot so the pair carries both fingerprints
+    # (doc_id, sz) struct convention of _explode_bucket_pairs, with the
+    # simhash riding in the sz payload slot so the pair carries both
+    # fingerprints
     parts = fp.select(
         F.col("doc_id"), F.col("simhash").alias("sz"),
         F.explode(F.array(*[
@@ -364,10 +377,10 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3,
               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
                    .alias("xs"))
               .filter(F.size("xs") >= 2))
-    cand = (groups.select(F.explode(_bucket_pairs(F.col("xs"))).alias("p"))
-            .select("p.doc_a", "p.doc_b",
-                    F.col("p.sz_a").alias("sh_a"),
-                    F.col("p.sz_b").alias("sh_b")).distinct())
+    cand = (_explode_bucket_pairs(groups)
+            .select("doc_a", "doc_b",
+                    F.col("sz_a").alias("sh_a"),
+                    F.col("sz_b").alias("sh_b")).distinct())
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)

@@ -118,7 +118,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- part of the operator contract, ADVICE r1: the cap must exist on
     -- both sides or a hot shingle silently diverges the engines)
     capped AS (SELECT shingle FROM postings
-               GROUP BY shingle HAVING count(*) <= 10000),
+               GROUP BY shingle HAVING count(*) <= {DD.MAX_POSTING_DEFAULT}),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
@@ -137,12 +137,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard set-similarity join (threshold 1/20,
     integer arithmetic — no floats in the hash) over hashed shingle
     sets. The inverted-index posting-bucket plan is the scale path; hot
-    shingles are capped on BOTH sides (max_posting=10000 is part of the
+    shingles are capped on BOTH sides (max_posting=MAX_POSTING_DEFAULT is part of the
     operator contract — intersections count only shingles under the
     cap)."""
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir),
                                   threshold_num=1, threshold_den=20,
-                                  max_posting=10_000)
+                                  max_posting=DD.MAX_POSTING_DEFAULT)
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
@@ -703,7 +703,7 @@ _PAIRS_CTES = f"""
     postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
                  FROM sh),
     capped AS (SELECT shingle FROM postings
-               GROUP BY shingle HAVING count(*) <= 10000),
+               GROUP BY shingle HAVING count(*) <= {DD.MAX_POSTING_DEFAULT}),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
@@ -746,7 +746,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.functions.graph import connected_components
     pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir),
                                    threshold_num=1, threshold_den=20,
-                                   max_posting=10_000)
+                                   max_posting=DD.MAX_POSTING_DEFAULT)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
 
@@ -770,7 +770,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.functions.graph import connected_components
     docs = _docs(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(docs, threshold_num=1, threshold_den=20,
-                                   max_posting=10_000)
+                                   max_posting=DD.MAX_POSTING_DEFAULT)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     cstats = cc.agg(F.count(F.lit(1)).alias("n_in_clusters"),

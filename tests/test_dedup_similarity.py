@@ -39,6 +39,30 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert (1, 6) not in got and (4, 6) not in got
 
 
+def test_ngram_jaccard_hot_shingle_cap(fixture_df):
+    """Skew guard: a shingle carried by more than ``max_posting`` docs
+    must be dropped from the inverted index on the Spark side exactly as
+    the oracle drops it — and the emission plan must stay two-stage
+    (bounded per-row arrays), never one C(n,2) flatten per bucket."""
+    # 12 docs share the hot shingle "alpha beta gamma"; every other
+    # shingle is unique to its doc, so ALL candidate pairs come from
+    # the hot bucket.
+    rows = [(i, f"alpha beta gamma unique{i}") for i in range(12)]
+    docs = fixture_df(rows, "doc_id long, text string")
+    capped = DD.ngram_jaccard_pairs(docs, threshold_num=1,
+                                    threshold_den=100, max_posting=8)
+    assert capped.count() == 0          # hot bucket dropped entirely
+    uncapped = DD.ngram_jaccard_pairs(docs, threshold_num=1,
+                                      threshold_den=100, max_posting=64)
+    assert uncapped.count() == 12 * 11 // 2   # all pairs, once each
+    # plan shape: three Generate stages (shingles, bucket members,
+    # per-member pairs) and no array-flatten of all combinations
+    plan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") >= 3
+    assert "flatten" not in plan.lower()
+    assert DD.MAX_POSTING_DEFAULT <= 1024
+
+
 def test_minhash_lsh_subset_of_exact_with_recall(docs):
     exact = {(r.doc_a, r.doc_b)
              for r in DD.ngram_jaccard_pairs(
