@@ -212,8 +212,31 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
             .filter(F.col("rank") <= k))
 
 
+#: target rows per block for auto-sized blocked matmuls: 1k×1k blocks
+#: are ~1M-dot-product BLAS calls — big enough to amortize one Arrow
+#: group's serialization, small enough that two blocks of 4-KB vectors
+#: (~8 MB) sit comfortably in an executor task
+BLOCK_TARGET_ROWS = 1_024
+
+
+def _auto_blocks(vectors: DataFrame, n_blocks: int | None) -> int:
+    """Pick the block count from the corpus size when the caller didn't.
+
+    ceil(N / BLOCK_TARGET_ROWS), clamped to [1, 64]: a small corpus
+    gets few large blocks (fewer Arrow groups — at sf0.1's 2,000
+    vectors, 8 blocks meant 36 groups of ~250 rows, pure per-group
+    overhead, the r2 bench regression), a large one gets blocks that
+    keep per-task memory flat. The count() is metadata-cheap on
+    parquet sources and negligible next to the matmul.
+    """
+    if n_blocks is not None:
+        return n_blocks
+    n = vectors.count()
+    return max(1, min(64, -(-n // BLOCK_TARGET_ROWS)))
+
+
 def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
-                               n_blocks: int = 8,
+                               n_blocks: int | None = None,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
                                round_digits: int = 6) -> DataFrame:
@@ -242,6 +265,7 @@ def embedding_near_dup_blocked(vectors: DataFrame, *, threshold: float = 0.9,
     import numpy as np
     import pandas as pd
 
+    n_blocks = _auto_blocks(vectors, n_blocks)
     # pmod, not abs(hash)%n: hash can return Integer.MIN_VALUE whose abs
     # is still negative — a negative blk would match no (bi, bj) pair
     # and silently drop the row from every comparison (ADVICE r1).
@@ -354,7 +378,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, *, threshold: float = 0.9,
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
-def knn_join_blocked(vectors: DataFrame, k: int, *, n_blocks: int = 8,
+def knn_join_blocked(vectors: DataFrame, k: int, *, n_blocks: int | None = None,
                      local_margin: int = 8, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      round_digits: int = 6) -> DataFrame:
@@ -379,6 +403,7 @@ def knn_join_blocked(vectors: DataFrame, k: int, *, n_blocks: int = 8,
     import numpy as np
     import pandas as pd
 
+    n_blocks = _auto_blocks(vectors, n_blocks)
     v = _as_double(vectors, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"))

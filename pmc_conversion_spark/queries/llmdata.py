@@ -269,10 +269,13 @@ _COSINE_PAIRS_SQL = """
 @register("dedup_embedding_cosine", oracle=_COSINE_PAIRS_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.45, rounded to 6
-    decimals on both sides). Exact pair join here; the LSH-bucketed
-    variant is the 100 TB path (sim_topk_lsh shares its machinery)."""
+    decimals on both sides). Executes the blocked-matmul plan — the
+    all-pairs crossJoin is bit-equal but O(N²)-materializing, so no
+    registered name reaches it (VERDICT r2 #4); it survives only as the
+    oracle in tests (tests/test_dedup_similarity.py pins blocked ==
+    brute-force)."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.45)
+    return SIM.embedding_near_dup_blocked(emb, threshold=0.45)
 
 
 @register("dedup_embedding_cosine_blocked", oracle=_COSINE_PAIRS_SQL)

@@ -399,11 +399,16 @@ def win_instance_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """)
 def win_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense surrogate integers for a bounded dimension (i2b2 patient_num,
-    README.md:177-179). Global window — only valid for bounded dims;
-    win_surrogate_key_distributed is the unbounded-table form."""
+    """Dense surrogate integers (i2b2 patient_num, README.md:177-179).
+
+    Executes the two-phase distributed plan unconditionally (VERDICT r2
+    #5: there is no case where a global single-partition window wins —
+    the bucketed form costs the same tiny offset frame and never
+    serializes the table). ``win_surrogate_key_distributed`` stays
+    registered as the explicitly-named scale form; both share
+    operators/windows.surrogate_key_distributed."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    return W.surrogate_key(c, "c_custkey")
+    return W.surrogate_key_distributed(c, "c_custkey", buckets=32)
 
 
 @register(
