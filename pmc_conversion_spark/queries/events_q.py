@@ -148,13 +148,17 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pmc_conversion_spark.streaming.stateful import sessionize_with_state
 
-    # Derive the stream schema from a batch read of the same file so the
-    # source adapts to whichever timestamp encoding the parquet carries
-    # (micros-NTZ reads natively; legacy nanos surfaces as long and is
-    # rebuilt below) — a hardcoded schema silently mis-decodes when the
-    # physical type changes.
-    batch = _events(spark, sf_dir)
-    stream = (spark.readStream.schema(batch.schema)
+    # Derive the stream schema from a RAW batch read of the same file
+    # (NOT tables.load, which already rebuilds nanos-long ts into a
+    # timestamp — declaring that rebuilt schema on the stream would
+    # mismatch the long the parquet source actually yields under
+    # nanosAsLong and fail the read; ADVICE r2). On micros-NTZ data the
+    # raw schema is already a timestamp and the rebuild is a no-op
+    # branch; on legacy nanos data ts arrives long and is rebuilt on
+    # the STREAM, mirroring tables._load_events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(raw.schema)
               .option("pathGlobFilter", "events.parquet")  # dir source
               .parquet(sf_dir))
     if isinstance(stream.schema["ts"].dataType, T.LongType):

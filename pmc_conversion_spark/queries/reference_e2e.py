@@ -1118,6 +1118,15 @@ def pipeline_e2e_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_swap_write(ind, live)
 
     run_foreach_batch(arrivals, ckpt, publish)
+    if individual_schema is None:
+        # publish() only runs on a non-empty batch; an empty dropzone or
+        # a stale pre-existing checkpoint means tick 1 never published —
+        # fail here with the cause, not later with an opaque
+        # read.schema(None) error (ADVICE r2).
+        raise RuntimeError(
+            "streaming pipeline published nothing on tick 1 — dropzone "
+            f"{RE.REF_DROPZONE_FULL} empty or checkpoint {ckpt} already "
+            "consumed the files")
     mtime = os.path.getmtime(live)
     run_foreach_batch(  # tick 2: no new files -> checkpoint no-ops
         (spark.readStream.format("binaryFile")
@@ -1125,7 +1134,8 @@ def pipeline_e2e_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("recursiveFileLookup", "true")
          .load(RE.REF_DROPZONE_FULL).select("path", "length")),
         ckpt, publish)
-    assert os.path.getmtime(live) == mtime, "no-op tick republished"
+    if os.path.getmtime(live) != mtime:  # not assert: must survive -O
+        raise RuntimeError("no-op tick republished the live table")
 
     return (spark.read.schema(individual_schema)
             .option("sep", "\t").option("header", True)
