@@ -40,10 +40,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine_blocked",
+    "dedup_cluster_cc",
     "sim_topk_bruteforce",
+    "sim_knn_join",
     "text_fingerprint",
     "text_quality_score",
     "mm_decode_stub",
+    "pipeline_corpus_mix",
+    "pack_sequences",
+    "transmart_observation_fact",
 ]
 
 
