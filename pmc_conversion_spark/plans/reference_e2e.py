@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pmc_conversion_spark.plans import config_model as CM
 from pmc_conversion_spark.plans.sources2csr import build_all
-from pmc_conversion_spark.sources.codebook import codebook_df
 
 #: reference e2e dataset locations (read-only)
 REF_E2E = "/root/reference/test_data_e2e/current"
@@ -66,20 +65,41 @@ def load_frames(spark: SparkSession, data_dir: str,
     parse driver-side (sources/codebook.py) into broadcastable mapping
     frames keyed by their config path.
     """
-    frames: dict[str, DataFrame] = {}
-    for f in referenced_files(config):
+    # Each header=True csv() runs a tiny header-probe job; submit them
+    # concurrently (they are independent scans) so 10 source files cost
+    # ~1 probe of wall-clock, not 10 serialized ones.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def read_csv(f: str) -> DataFrame:
         fmt = config.fmt(f)
-        frames[f] = (spark.read
-                     .option("sep", fmt.delimiter)
-                     .option("header", True)
-                     .option("quote", '"')
-                     .option("inferSchema", False)
-                     .csv(os.path.join(data_dir, f)))
+        return (spark.read
+                .option("sep", fmt.delimiter)
+                .option("header", True)
+                .option("quote", '"')
+                .option("inferSchema", False)
+                .csv(os.path.join(data_dir, f)))
+
+    ref_files = referenced_files(config)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        frames = dict(zip(ref_files, ex.map(read_csv, ref_files)))
     codebooks: dict[str, DataFrame] = {}
+    cb_columns: dict[str, list[str]] = {}
     for f in referenced_files(config):
         cb = config.fmt(f).codebook
-        if cb and cb not in codebooks:
-            codebooks[cb] = codebook_df(spark, os.path.join(data_dir, cb))
+        if not cb:
+            continue
+        if cb not in codebooks:
+            from pmc_conversion_spark.sources.codebook import \
+                parse_codebook_file
+            rows = parse_codebook_file(os.path.join(data_dir, cb))
+            cb_columns[cb] = sorted({r[0] for r in rows})
+            codebooks[cb] = spark.createDataFrame(
+                rows, "column string, code string, label string")
+        # The codebook parse is driver-side already — record each
+        # file's decodable columns in the config so the compiler never
+        # runs a distinct() Spark job just to learn them (was ~0.2 s
+        # of job overhead per codebook-bearing source, every build).
+        config.codebook_columns.setdefault(f, cb_columns[cb])
     return frames, codebooks
 
 

@@ -14,7 +14,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark.functions import dates as D
-from pmc_conversion_spark.operators.aggregates import duplicate_keys
 from pmc_conversion_spark.operators.joins import codebook_decode
 from pmc_conversion_spark.plans.config_model import EntityConfig, SourcesConfig
 
@@ -74,10 +73,45 @@ def project_source(df: DataFrame, entity: EntityConfig, file: str,
     return df.select(*cols)
 
 
+def _dup_check_frame(proj: DataFrame, entity: EntityConfig,
+                     file: str) -> DataFrame:
+    """Raw (entity, file, id) key stream for the deferred uniqueness
+    check. Aggregation happens once over the union of every source's
+    stream (``run_dup_checks``), so N sources cost one shuffle total,
+    not N separate aggregation jobs."""
+    return (proj.filter(F.col(entity.id_attr).isNotNull())
+            .select(F.lit(entity.name).alias("entity"),
+                    F.lit(file).alias("file"),
+                    F.col(entity.id_attr).cast("string").alias("id")))
+
+
+def run_dup_checks(checks: list[DataFrame]) -> None:
+    """Execute every pending uniqueness check as ONE Spark job: union
+    the raw key streams map-side, aggregate once on (entity, file, id)
+    — map-side combine makes the shuffle carry one row per distinct
+    key per task. The r2 shape was one collect per (entity, file):
+    14 driver-blocking jobs on the reference config, now 1. Raises
+    :class:`DuplicateIdError` naming the first few offenders."""
+    if not checks:
+        return
+    u = checks[0]
+    for c in checks[1:]:
+        u = u.unionByName(c)
+    dups = (u.groupBy("entity", "file", "id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(5).collect())
+    if dups:
+        msg = ", ".join(f"{r['entity']}/{r['file']}: {r['id']}"
+                        for r in dups)
+        raise DuplicateIdError(f"duplicate ids: {msg}")
+
+
 def build_entity(frames: dict[str, DataFrame], entity: EntityConfig,
                  config: SourcesConfig,
                  codebooks: dict[str, DataFrame] | None = None,
-                 validate_ids: bool = True) -> DataFrame:
+                 validate_ids: bool = True,
+                 dup_checks: list[DataFrame] | None = None) -> DataFrame:
     """Compile the full priority merge for one entity.
 
     ``frames``: file name -> raw source DataFrame. Attribute precedence
@@ -86,6 +120,12 @@ def build_entity(frames: dict[str, DataFrame], entity: EntityConfig,
     full-outer joined on the id, and each output attribute coalesces its
     layers in its declared order (sources_config.json:5-49 semantics;
     SURVEY §7.4 risk 2 — ids from any source survive).
+
+    When ``dup_checks`` is a list, id-uniqueness validation is deferred:
+    the per-source duplicate frames are appended to it and the caller
+    runs them all in one job (``run_dup_checks``) — the build_all path.
+    Otherwise validation executes eagerly, one job for all this
+    entity's sources.
     """
     codebooks = codebooks or {}
     files: list[str] = []
@@ -94,6 +134,7 @@ def build_entity(frames: dict[str, DataFrame], entity: EntityConfig,
             if s.file not in files:
                 files.append(s.file)
     projected: dict[str, DataFrame] = {}
+    own_checks: list[DataFrame] = []
     for f in files:
         if f not in frames:
             raise ValueError(f"{entity.name}: source file {f!r} not provided")
@@ -102,14 +143,10 @@ def build_entity(frames: dict[str, DataFrame], entity: EntityConfig,
         proj = project_source(frames[f], entity, f, codebook=cb,
                               codebook_columns=config.codebook_columns.get(f))
         if validate_ids:
-            dups = duplicate_keys(
-                proj.filter(F.col(entity.id_attr).isNotNull()),
-                [entity.id_attr]).limit(5).collect()
-            if dups:
-                raise DuplicateIdError(
-                    f"{entity.name}/{f}: duplicate {entity.id_attr}: "
-                    f"{[r[0] for r in dups]}")
+            target = own_checks if dup_checks is None else dup_checks
+            target.append(_dup_check_frame(proj, entity, f))
         projected[f] = proj
+    run_dup_checks(own_checks)
 
     key = entity.id_attr
     renamed = []
@@ -145,6 +182,13 @@ def build_entity(frames: dict[str, DataFrame], entity: EntityConfig,
 def build_all(frames: dict[str, DataFrame], config: SourcesConfig,
               codebooks: dict[str, DataFrame] | None = None
               ) -> dict[str, DataFrame]:
-    """All entity tables (the CSR) from one set of source frames."""
-    return {e.name: build_entity(frames, e, config, codebooks)
-            for e in config.entities}
+    """All entity tables (the CSR) from one set of source frames.
+
+    Id-uniqueness validation for every (entity, source) pair runs as a
+    single deferred Spark job, not one job each."""
+    checks: list[DataFrame] = []
+    out = {e.name: build_entity(frames, e, config, codebooks,
+                                dup_checks=checks)
+           for e in config.entities}
+    run_dup_checks(checks)
+    return out
