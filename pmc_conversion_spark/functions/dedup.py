@@ -133,6 +133,21 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
 
     Output: (doc_a, doc_b, inter_size, union_size).
     """
+    inter = _shingle_inter_counts(docs, id_col=id_col, text_col=text_col,
+                                  n=n, max_posting=max_posting)
+    return (inter
+            .withColumn("union_size",
+                        F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+            .filter(threshold_den * F.col("inter_size")
+                    >= threshold_num * F.col("union_size"))
+            .select("doc_a", "doc_b", "inter_size", "union_size"))
+
+
+def _shingle_inter_counts(docs: DataFrame, *, id_col: str, text_col: str,
+                          n: int, max_posting: int) -> DataFrame:
+    """Shared posting-bucket core of the set-similarity joins:
+    (doc_a, doc_b, sz_a, sz_b, inter_size) for every pair sharing at
+    least one under-cap shingle. 2 shuffles, no joins."""
     postings = _hashed_shingle_sets(docs, id_col, text_col, n).select(
         "doc_id", "sz", F.explode("hs").alias("shingle"))
     buckets = (postings.groupBy("shingle")
@@ -140,14 +155,36 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
                     .alias("xs"))
                .filter(F.size("xs").between(2, max_posting)))
     pairs = _explode_bucket_pairs(buckets)
-    inter = (pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-             .agg(F.count(F.lit(1)).alias("inter_size")))
+    return (pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter_size")))
+
+
+def ngram_containment_pairs(docs: DataFrame, *, threshold_num: int = 9,
+                            threshold_den: int = 10, n: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_posting: int = MAX_POSTING_DEFAULT
+                            ) -> DataFrame:
+    """Asymmetric shingle-containment join: pairs where the SMALLER
+    shingle set is (nearly) a subset of the other —
+    ``|A∩B| / min(|A|,|B|) >= threshold``.
+
+    Catches what Jaccard misses: a short document quoted wholesale
+    inside a long one has tiny Jaccard (the union is dominated by the
+    long doc) but containment ~1. This is the boilerplate/quotation
+    near-dup filter of LLM corpus pipelines (no counterpart in the
+    reference — north-star surface). Same posting-bucket plan and skew
+    cap as :func:`ngram_jaccard_pairs`; integer threshold arithmetic,
+    so the DuckDB oracle replays it exactly.
+
+    Output: (doc_a, doc_b, inter_size, min_size) with doc_a < doc_b.
+    """
+    inter = _shingle_inter_counts(docs, id_col=id_col, text_col=text_col,
+                                  n=n, max_posting=max_posting)
     return (inter
-            .withColumn("union_size",
-                        F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+            .withColumn("min_size", F.least("sz_a", "sz_b"))
             .filter(threshold_den * F.col("inter_size")
-                    >= threshold_num * F.col("union_size"))
-            .select("doc_a", "doc_b", "inter_size", "union_size"))
+                    >= threshold_num * F.col("min_size"))
+            .select("doc_a", "doc_b", "inter_size", "min_size"))
 
 
 #: modulus of the portable permutation family (Mersenne prime 2^31-1)

@@ -155,6 +155,43 @@ def range_bin_join(facts: DataFrame, dims: DataFrame, *, time_col: str,
             .drop("__bin"))
 
 
+def interval_overlap_join(small: DataFrame, big: DataFrame, *,
+                          small_start: str, small_end: str,
+                          big_start: str, big_end: str,
+                          granularity: str = "month") -> DataFrame:
+    """Overlap join of two interval sets (closed [start, end] bounds):
+    every (small, big) pair whose intervals intersect, with no key to
+    equi-join on — executed as a broadcast equi-join on calendar bins,
+    never a BroadcastNestedLoopJoin.
+
+    Both sides explode to their covered bins; a pair shares at least
+    one bin iff the intervals overlap at that granularity. Each
+    overlapping pair is emitted EXACTLY once — not once per shared bin
+    — by keeping only the match at the canonical bin, the bin of the
+    overlap's first day (``greatest(starts)`` is inside both
+    intervals, so its bin is always among the shared ones). No
+    de-duplication pass, so multiset semantics survive inputs with
+    repeated rows. The big side's intervals should be short relative
+    to the bin (shipping windows, sessions) to keep its explode factor
+    ~1-2×; the broadcast side may span arbitrarily many bins."""
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn("__bin", F.explode(F.expr(
+            f"sequence(date_trunc('{granularity}', {start}), "
+            f"date_trunc('{granularity}', {end}), "
+            f"interval 1 {granularity})")))
+
+    sb = binned(small, small_start, small_end)
+    bb = binned(big, big_start, big_end)
+    cond: Column = ((F.col(small_start) <= F.col(big_end))
+                    & (F.col(big_start) <= F.col(small_end))
+                    & (F.col("__bin") == F.date_trunc(
+                        granularity,
+                        F.greatest(F.col(small_start), F.col(big_start)))))
+    return (bb.join(F.broadcast(sb), "__bin", "inner")
+            .filter(cond)
+            .drop("__bin"))
+
+
 def interval_join(left: DataFrame, right: DataFrame, *, on: str,
                   left_ts: str, right_ts: str, lower: str,
                   upper: str = "0 seconds") -> DataFrame:

@@ -145,6 +145,170 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_posting=DD.MAX_POSTING_DEFAULT)
 
 
+#: documents ∪ planted fragments: every doc_id < 30 re-appears as
+#: doc_id+200000 holding only its first 12 whitespace tokens — a
+#: contained quotation whose Jaccard vs the full doc is small but whose
+#: containment is ~1. Shared with the oracle CTE below.
+_DOCS_WITH_FRAGS_SQL = f"""
+    WITH docs3 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string({_TOKS}[1:12], ' ') AS text
+      FROM documents WHERE doc_id < 30
+    )
+"""
+
+
+def _docs_with_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    frags = (d.filter(F.col("doc_id") < 30)
+             .select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.array_join(
+                         F.slice(ws_tokens(F.lower(F.col("text"))), 1, 12),
+                         " ").alias("text")))
+    return d.select("doc_id", "text").unionByName(frags)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    {_DOCS_WITH_FRAGS_SQL.strip()},
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs
+      FROM docs3
+    ),
+    postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
+                 FROM sh),
+    capped AS (SELECT shingle FROM postings
+               GROUP BY shingle HAVING count(*) <= {DD.MAX_POSTING_DEFAULT}),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+             count(*) AS inter_size
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN capped c ON c.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter_size,
+           least(sz_a, sz_b) AS min_size
+    FROM inter
+    WHERE 10 * inter_size >= 9 * least(sz_a, sz_b)
+    """)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment join (|A∩B|/min(|A|,|B|) >= 9/10):
+    the quotation/boilerplate near-dup filter — a short doc embedded in
+    a long one has tiny Jaccard but containment ~1. Same posting-bucket
+    plan, skew cap, and integer threshold arithmetic as
+    dedup_ngram_jaccard; exercised on planted 12-token fragments."""
+    return DD.ngram_containment_pairs(
+        _docs_with_fragments(spark, sf_dir),
+        threshold_num=9, threshold_den=10,
+        max_posting=DD.MAX_POSTING_DEFAULT)
+
+
+#: passage window (whitespace tokens per passage) for passage dedup
+_PASSAGE_K = 10
+
+
+@register(
+    "dedup_passage_exact",
+    oracle=f"""
+    {_DOCS_WITH_DUPS_SQL.strip()},
+    t AS (SELECT doc_id,
+                 (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\\s+')
+                  END) AS toks
+          FROM docs2),
+    p AS (SELECT doc_id,
+                 unnest(range(CAST(ceil(len(toks) / {_PASSAGE_K}.0)
+                                   AS BIGINT))) AS i,
+                 toks
+          FROM t),
+    ps AS (SELECT doc_id,
+                  ('0x' || substr(md5(array_to_string(
+                      toks[i*{_PASSAGE_K}+1:(i+1)*{_PASSAGE_K}], ' ')),
+                      1, 15))::BIGINT AS h
+           FROM p),
+    k AS (SELECT doc_id, h,
+                 min(doc_id) OVER (PARTITION BY h) AS keeper
+          FROM ps)
+    SELECT doc_id,
+           count(*) AS n_passages,
+           count(CASE WHEN doc_id = keeper THEN 1 END) AS n_kept
+    FROM k GROUP BY doc_id
+    """)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style passage-level exact dedup: each doc splits into
+    fixed-size (``_PASSAGE_K`` tokens) non-overlapping passages; a passage
+    survives only in the minimum-doc_id document carrying it (repeats
+    WITHIN the keeper doc survive — the rule is cross-document).
+    Returns per-doc survival counts over the planted-duplicate corpus.
+
+    Plan: map-side tokenize/slice/hash (60-bit portable passage hash —
+    the shuffle key is 8 bytes, never passage text), one shuffle for
+    the per-hash min-owner window, one map-side-combinable count per
+    doc. Passage bodies never shuffle.
+    """
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs_with_dups(spark, sf_dir)
+    toks = ws_tokens(F.lower(F.col("text")))
+    k = _PASSAGE_K
+    n_pass = F.ceil(F.size(F.col("toks")) / F.lit(float(k))).cast("int")
+    passages = F.when(
+        F.size(F.col("toks")) > 0,
+        F.transform(F.sequence(F.lit(0), n_pass - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    ps = (d.select("doc_id", toks.alias("toks"))
+          .select("doc_id", F.explode(passages).alias("passage"))
+          .select("doc_id", DD.md5_int60(F.col("passage")).alias("h")))
+    from pyspark.sql import Window
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    return (ps.withColumn("keeper", keeper)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_passages"),
+                 F.count(F.when(F.col("doc_id") == F.col("keeper"), 1))
+                 .alias("n_kept")))
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+           round(avg(len({_TOKS})), 4) AS avg_tokens,
+           count(DISTINCT lang) AS n_langs,
+           round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+             AS pct_en,
+           CAST(max(len(text)) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary block a training-data
+    release ships with (docs, token counts, language mix, size
+    extremes), computed in ONE aggregation pass (single shuffle,
+    map-side combined; the token expression is evaluated once per row
+    and feeds both the sum and the mean)."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    ntok = F.size(ws_tokens(F.lower(F.col("text"))))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ntok).cast("long").alias("n_tokens"),
+                 F.round(F.avg(ntok), 4).alias("avg_tokens"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.round(F.avg(F.when(F.col("lang") == "en", 1.0)
+                               .otherwise(0.0)), 4).alias("pct_en"),
+                 F.max(F.length("text")).cast("long").alias("max_chars")))
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8,
                      t_num: int = 1, t_den: int = 20) -> str:
     """Generate the DuckDB twin of dedup.minhash_lsh_pairs.

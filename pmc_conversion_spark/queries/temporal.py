@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pmc_conversion_spark import tables
 from pmc_conversion_spark.operators.temporal import (asof_join,
                                                      interval_join,
+                                                     interval_overlap_join,
                                                      range_bin_join)
 from pmc_conversion_spark.queries import register
 from pmc_conversion_spark.queries.manifest import _values, fixture_df
@@ -101,6 +102,50 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .alias("total_price")))
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS a_id,
+                      CAST(o_orderdate AS DATE) AS a_start,
+                      CAST(o_orderdate AS DATE) + 30 AS a_end
+               FROM orders WHERE o_orderkey % 500 = 0),
+    b AS (SELECT l_orderkey, l_linenumber,
+                 CAST(l_shipdate AS DATE) AS b_start,
+                 CAST(l_shipdate AS DATE) + (l_linenumber % 7 + 1) AS b_end
+          FROM lineitem)
+    SELECT a_id, l_orderkey, l_linenumber,
+           date_diff('day', greatest(a_start, b_start),
+                     least(a_end, b_end)) + 1 AS overlap_days
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    """)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join with NO equality key: sampled
+    30-day order windows × every lineitem's 1-7-day shipping span.
+    Executed as a month-binned broadcast equi-join + exact post-filter
+    (operators/temporal.py interval_overlap_join) — a raw pairwise
+    overlap predicate would plan as BroadcastNestedLoopJoin over the
+    whole fact table. Output carries the overlap length in days."""
+    a = (tables.load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 500 == 0)
+         .select(F.col("o_orderkey").alias("a_id"),
+                 F.to_date("o_orderdate").alias("a_start"),
+                 F.date_add(F.to_date("o_orderdate"), 30).alias("a_end")))
+    b = (tables.load(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_linenumber",
+                 F.to_date("l_shipdate").alias("b_start"),
+                 F.date_add(F.to_date("l_shipdate"),
+                            F.col("l_linenumber") % 7 + 1)
+                 .alias("b_end")))
+    out = interval_overlap_join(a, b, small_start="a_start",
+                                small_end="a_end", big_start="b_start",
+                                big_end="b_end")
+    return out.select(
+        "a_id", "l_orderkey", "l_linenumber",
+        (F.datediff(F.least("a_end", "b_end"),
+                    F.greatest("a_start", "b_start")) + 1)
+        .cast("long").alias("overlap_days"))
 
 
 @register(

@@ -75,6 +75,24 @@ def test_minhash_lsh_subset_of_exact_with_recall(docs):
     assert len(lsh) >= len(exact) - 1  # high recall on this fixture
 
 
+def test_containment_catches_fragment_jaccard_misses(fixture_df):
+    """A short doc quoted inside a long one: containment ~1 while
+    Jaccard stays below any useful threshold."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    frag = " ".join(f"w{i}" for i in range(12))          # prefix quote
+    docs = fixture_df([(1, long_words), (2, frag),
+                       (3, "totally unrelated content here")],
+                      "doc_id long, text string")
+    cont = {(r.doc_a, r.doc_b)
+            for r in DD.ngram_containment_pairs(
+                docs, threshold_num=9, threshold_den=10).collect()}
+    assert (1, 2) in cont and len(cont) == 1
+    jac = {(r.doc_a, r.doc_b)
+           for r in DD.ngram_jaccard_pairs(
+               docs, threshold_num=1, threshold_den=2).collect()}
+    assert (1, 2) not in jac   # union dominated by the long doc
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     fp = {r.doc_id: r.simhash for r in DD.simhash64(docs).collect()}
     assert fp[4] == fp[5]

@@ -92,6 +92,15 @@ def test_asof_join_is_single_shuffle_no_nested_loop(spark, qs):
     assert "Window" in plan
 
 
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, qs):
+    # interval×interval overlap with no key: the bin blocking must make
+    # it a broadcast HASH join; a raw pairwise overlap predicate would
+    # plan BroadcastNestedLoopJoin over the whole fact side
+    plan = plan_of(qs["join_interval_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_join_is_broadcast_equi_not_nested_loop(spark, qs):
     # month-binned interval dim => broadcast HASH join on the bin; a raw
     # BETWEEN would have planned a BroadcastNestedLoopJoin
