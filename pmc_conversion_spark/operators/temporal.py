@@ -125,6 +125,89 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     return matched.select(*out)
 
 
+def asof_nearest_join(left: DataFrame, right: DataFrame, *, on: str,
+                      left_ts: str, right_ts: str,
+                      right_cols: Sequence[str]) -> DataFrame:
+    """Nearest-in-either-direction as-of join: for every left row, the
+    single right row with the same key whose timestamp is CLOSEST to
+    the left timestamp, before or after.
+
+    Tie contract (total, partitioning-independent): equal distances
+    prefer the backward (<=) match; among equal-ts right rows both
+    directions take the minimum ordering column (the first non-ts
+    right column, required integral like :func:`asof_join`).
+
+    Plan: same union+window shape as :func:`asof_join` but both
+    directions resolve in ONE pass — the backward candidate is a
+    ``max`` of (ts, -ord, payload) structs over the growing frame, the
+    forward candidate a ``min`` of (ts, ord, payload) structs over the
+    shrinking frame; struct ordering is lexicographic, so the
+    aggregates ARE the tie rules. Both windows share one partitioning
+    and one sort: ONE shuffle total, |L|+|R| rows, never a candidate
+    explosion. Left rows whose key has no right rows are dropped
+    (inner semantics). Equal-ts rights sort before the left row, so
+    the backward frame sees same-instant matches; the forward frame
+    misses them, which is harmless — distance 0 always wins backward.
+    """
+    if right_ts not in right_cols:
+        raise ValueError("right_cols must include right_ts")
+    ord_candidate = next((c for c in right_cols if c != right_ts), None)
+    if ord_candidate is None:
+        raise ValueError("right_cols needs a non-ts ordering column")
+    ord_t = right.schema[ord_candidate].dataType.simpleString()
+    if ord_t not in ("tinyint", "smallint", "int", "bigint",
+                     "long", "integer"):
+        raise ValueError(
+            f"as-of tie column {ord_candidate!r} must be integral, "
+            f"got {ord_t}")
+    left_cols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload_t = right.select(payload.alias("__r")).schema["__r"].dataType
+    rord = F.col(ord_candidate).cast("long")
+
+    l_side = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rord"),
+        *[F.col(c) for c in left_cols if c != on],
+        F.lit(None).cast(payload_t).alias("__r"))
+    r_side = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rord.alias("__rord"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c != on],
+        payload.alias("__r"))
+
+    base = Window.partitionBy("__k").orderBy("__ts", "__side", "__rord")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r_struct_back = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__ts").alias("t"), (-F.col("__rord")).alias("o"),
+                 F.col("__r").alias("r")))
+    r_struct_fwd = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__ts").alias("t"), F.col("__rord").alias("o"),
+                 F.col("__r").alias("r")))
+    u = (l_side.unionByName(r_side)
+         .withColumn("__b", F.max(r_struct_back).over(w_back))
+         .withColumn("__f", F.min(r_struct_fwd).over(w_fwd))
+         .filter(F.col("__side") == 1))
+    back_d = F.col("__ts") - F.col("__b")["t"]
+    fwd_d = F.col("__f")["t"] - F.col("__ts")
+    chosen = F.when(
+        F.col("__b").isNotNull()
+        & (F.col("__f").isNull() | (back_d <= fwd_d)),
+        F.col("__b")["r"]).otherwise(F.col("__f")["r"])
+    out = [F.col("__k").alias(on)]
+    out += [F.col(c) for c in left_cols if c != on]
+    out += [F.col("__m").getField(c).alias(c) for c in right_cols]
+    return (u.withColumn("__m", chosen)
+            .filter(F.col("__m").isNotNull())
+            .select(*out))
+
+
 def range_bin_join(facts: DataFrame, dims: DataFrame, *, time_col: str,
                    start_col: str, end_col: str,
                    granularity: str = "month") -> DataFrame:

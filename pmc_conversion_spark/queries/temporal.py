@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pmc_conversion_spark import tables
 from pmc_conversion_spark.operators.temporal import (asof_join,
+                                                     asof_nearest_join,
                                                      interval_join,
                                                      interval_overlap_join,
                                                      range_bin_join)
@@ -102,6 +103,43 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .alias("total_price")))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.user_id, p.p_event_id, p.p_ts, c.c_event_id, c.c_ts,
+             abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS d,
+             CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END AS side
+      FROM p JOIN c ON c.user_id = p.user_id)
+    SELECT user_id, p_event_id, p_ts, c_event_id, c_ts
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id, p_event_id
+      ORDER BY d, side, c_event_id) = 1
+    """)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-click-to-purchase in EITHER direction per user, ties
+    preferring the earlier (backward) click, then the lowest event id.
+    One union+window pass — one shuffle, both direction candidates
+    resolved by lexicographic struct min/max (operators/temporal.py
+    asof_nearest_join); the oracle states the naive all-pairs ranking
+    the plan must never materialize."""
+    e = _events(spark, sf_dir)
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_event_id"),
+                     F.col("ts").alias("p_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("c_event_id"),
+                      F.col("ts").alias("c_ts")))
+    return asof_nearest_join(purch, clicks, on="user_id",
+                             left_ts="p_ts", right_ts="c_ts",
+                             right_cols=["c_event_id", "c_ts"])
 
 
 @register(

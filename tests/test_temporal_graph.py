@@ -9,7 +9,50 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark.functions.graph import connected_components
-from pmc_conversion_spark.operators.temporal import asof_join, interval_join
+from pmc_conversion_spark.operators.temporal import (asof_join,
+                                                     asof_nearest_join,
+                                                     interval_join)
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties(spark, fixture_df):
+    left = fixture_df(
+        [(1, 10, "2024-01-01 10:00:00"),   # back 1min vs fwd 5min -> back
+         (1, 11, "2024-01-01 12:00:00"),   # back 115min vs fwd 3min -> fwd
+         (1, 12, "2024-01-01 10:06:00"),   # 1min either way -> back wins
+         (2, 13, "2024-01-01 10:00:00")],  # key with no clicks -> dropped
+        "k int, lid int, lts string").select(
+        "k", "lid", F.to_timestamp("lts").alias("lts"))
+    right = fixture_df(
+        [(1, 100, "2024-01-01 09:59:00"),
+         (1, 101, "2024-01-01 10:05:00"),
+         (1, 102, "2024-01-01 10:07:00"),
+         (1, 103, "2024-01-01 12:03:00")],
+        "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    out = asof_nearest_join(left, right, on="k", left_ts="lts",
+                            right_ts="rts", right_cols=["rid", "rts"])
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {10: 100, 11: 103, 12: 101}
+    # plan: one shuffle (the window partitioning, shared by both
+    # direction windows), no join operator. Audit only the AQE final
+    # section — the initial plan repeats below it after execution.
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_asof_nearest_equal_ts_prefers_min_id(spark, fixture_df):
+    left = fixture_df([(1, "2024-01-01 10:00:00")], "k int, lts string") \
+        .select("k", F.to_timestamp("lts").alias("lts"))
+    right = fixture_df(
+        [(1, 7, "2024-01-01 10:00:00"), (1, 9, "2024-01-01 10:00:00")],
+        "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    out = asof_nearest_join(left, right, on="k", left_ts="lts",
+                            right_ts="rts",
+                            right_cols=["rid", "rts"]).collect()
+    assert out[0].rid == 7   # distance-0 tie -> backward -> min id
 
 
 def test_asof_tolerance_nulls_out_stale_matches(spark, fixture_df):
