@@ -192,6 +192,47 @@ def sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "version int, n_rows long")
 
 
+@register(
+    "snapshot_rollback_resume",
+    oracle="""
+    SELECT 'commit_v1' AS step, 1 AS version,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 10) AS n_rows
+    UNION ALL
+    SELECT 'commit_v2', 2, (SELECT count(*) FROM nation)
+    UNION ALL
+    SELECT 'rollback', 1,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 10)
+    UNION ALL
+    SELECT 'recommit', 3, (SELECT count(*) FROM nation)
+    """)
+def snapshot_rollback_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GitVersionTask rollback/resume end-to-end (main.py:177-192;
+    scripts/load_transmart_data.sh §3.2 semantics): commit v1, commit
+    v2, roll HEAD back to v1 — reads now see v1's content and the head
+    digest changes, so a re-commit of v2's content is DIRTY again and
+    lands as a NEW version (v3, never reusing a version dir). The
+    returned step log pins every transition; history survives rollback
+    (audit trail)."""
+    d = _scratch("snapshot_rollback_resume")
+    store = K.SnapshotStore(d)
+    nation = tables.load(spark, sf_dir, "nation")
+    small = nation.filter(F.col("n_nationkey") < 10)
+    e1 = store.commit(small)
+    e2 = store.commit(nation)
+    rb = store.rollback(e1["version"])
+    head_rows = store.read(spark, schema=NATION_SCHEMA).count()
+    if head_rows != rb["n_rows"]:  # read() must follow the moved HEAD
+        raise AssertionError(
+            f"rollback head read {head_rows} rows, expected {rb['n_rows']}")
+    e3 = store.commit(nation)  # dirty vs rolled-back head -> v3
+    rows = [("commit_v1", e1["version"], e1["n_rows"]),
+            ("commit_v2", e2["version"], e2["n_rows"]),
+            ("rollback", rb["version"], head_rows),
+            ("recommit", e3["version"], e3["n_rows"])]
+    from pmc_conversion_spark.queries.manifest import fixture_df
+    return fixture_df(spark, rows, "step string, version int, n_rows long")
+
+
 @register("source_streaming_dropzone", oracle=NATION_ORACLE)
 def source_streaming_dropzone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-zone file stream, one availableNow tick (the streaming

@@ -198,12 +198,36 @@ class SnapshotStore:
         vs = self.versions()
         if head == digest:
             return vs[-1]  # clean: skip commit
-        version = (vs[-1]["version"] + 1) if vs else 1
+        # max+1, not last+1: after a rollback the head entry points at
+        # an OLD version number, but new snapshots must never reuse a
+        # version dir that already exists
+        version = (max(v["version"] for v in vs) + 1) if vs else 1
         write_tsv(df, os.path.join(self.root, f"v{version}"), sep=sep,
                   single_file=True)
         with open(self._log_path, "a") as f:
             f.write(f"{version}\t{digest}\t{n_rows}\n")
         return {"version": version, "digest": digest, "n_rows": n_rows}
+
+    def rollback(self, version: int) -> dict:
+        """Re-point HEAD to an older snapshot — the GitVersionTask
+        resume path (luigi-pipeline/main.py:177-192: reset the staging
+        repo to a commit, so downstream fingerprints change and the
+        chain re-runs from there).
+
+        Git-reset-like but history-preserving: a new MANIFEST entry is
+        appended that re-states the old version's (version, digest,
+        n_rows), so ``read()``/``head_digest()`` see the old content
+        while every snapshot dir and the full log survive (an audit
+        trail the reference gets from git reflog). Raises if the
+        version was never committed."""
+        entry = next((v for v in self.versions()
+                      if v["version"] == version), None)
+        if entry is None:
+            raise ValueError(f"no snapshot v{version} in {self.root}")
+        with open(self._log_path, "a") as f:
+            f.write(f"{entry['version']}\t{entry['digest']}\t"
+                    f"{entry['n_rows']}\n")
+        return entry
 
     def read(self, spark: SparkSession, version: int | None = None,
              schema=None) -> DataFrame:

@@ -132,9 +132,27 @@ def test_snapshot_store_commit_if_changed(spark, tmp_path, fixture_df):
     df2 = fixture_df([("a", 1)], "k string, v int")
     e3 = store.commit(df2)
     assert e3["version"] == 2
-    # rollback: read any version
+    # read any pinned version
     v1 = store.read(spark, 1, schema="k string, v int").collect()
     assert len(v1) == 2
+
+
+def test_snapshot_store_rollback_moves_head(spark, tmp_path, fixture_df):
+    store = SnapshotStore(str(tmp_path / "snap"))
+    df1 = fixture_df([("a", 1), ("b", 2)], "k string, v int")
+    df2 = fixture_df([("a", 1)], "k string, v int")
+    e1 = store.commit(df1)
+    store.commit(df2)
+    rb = store.rollback(e1["version"])
+    assert rb["version"] == 1
+    # head read follows the moved pointer
+    assert len(store.read(spark, schema="k string, v int").collect()) == 2
+    # head digest is v1's -> committing v1's content again is clean
+    assert store.commit(df1)["version"] == 1
+    # committing v2's content is dirty again and NEVER reuses a dir
+    assert store.commit(df2)["version"] == 3
+    with pytest.raises(ValueError):
+        store.rollback(99)
 
 
 def test_poll_status_unit():
