@@ -109,3 +109,33 @@ def build_csr(spark: SparkSession, data_dir: str = REF_DROPZONE_FULL,
     config = load_sources_config(config_path)
     frames, codebooks = load_frames(spark, data_dir, config)
     return build_all(frames, config, codebooks)
+
+
+_KIND_DDL = {"date": "date", "numeric": "double"}
+
+
+def read_csr(spark: SparkSession, working_dir: str,
+             config_path: str = REF_CONFIG) -> dict[str, DataFrame]:
+    """Read back a stage-2 CSR output directory as TYPED entity frames.
+
+    The reference's stage 3 consumes stage 2's working-dir TSVs
+    (luigi-pipeline/main.py:115-126), it does not re-run the merge;
+    this is that contract. Schemas come from the config's declared
+    attribute kinds (schema-on-config — date/numeric/string), so the
+    frames are type-identical to what ``build_csr`` produced: stage 2
+    wrote dates as ISO strings and numerics as plain doubles, which
+    the declared schema parses back losslessly."""
+    from pmc_conversion_spark.sources.scans import scan_csv_delim
+    config = load_sources_config(config_path)
+    out: dict[str, DataFrame] = {}
+    for e in config.entities:
+        # build_entity's output order: id first, then the remaining
+        # attributes in declared order — the schema must match it
+        ordered = ([e.attr(e.id_attr)]
+                   + [a for a in e.attributes if a.name != e.id_attr])
+        ddl = ", ".join(
+            f"{a.name} {_KIND_DDL.get(a.kind, 'string')}"
+            for a in ordered)
+        out[e.name] = scan_csv_delim(
+            spark, os.path.join(working_dir, e.name), schema=ddl)
+    return out

@@ -1059,6 +1059,80 @@ def transmart_incremental_obs_diff(spark: SparkSession,
             .exceptAll(obs_ide(RE.REF_DROPZONE_ALT)))
 
 
+#: expected full-DAG transcript: every stage runs on pass 1, every
+#: stage skips on the unchanged pass 2 (done-signal protocol), and the
+#: stage-logged counts match the hand-derived reference numbers
+#: (14 visible dropzone files; Individual 17; observation_fact 132)
+FULL_DAG_EXPECT = (
+    [(f"run1:{t}", "ran") for t in
+     ("update_data_files", "git_commit_input", "sources2csr",
+      "csr2transmart", "git_commit_staging", "transmart_loader",
+      "transmart_api", "git_commit_load_logs")]
+    + [(f"run2:{t}", "skipped") for t in
+       ("update_data_files", "git_commit_input", "sources2csr",
+        "csr2transmart", "git_commit_staging", "transmart_loader",
+        "transmart_api", "git_commit_load_logs")]
+    + [("count:individual_rows", "17"),
+       ("count:observation_rows", "132"),
+       ("count:staged_obs", "132"),
+       ("count:loaded_obs", "132"),
+       ("count:input_files", "14"),
+       ("count:post_load_status", "1")]
+)
+
+
+@register(
+    "pipeline_e2e_full_dag",
+    oracle=f"SELECT * FROM {_values(FULL_DAG_EXPECT, 'item, value')}")
+def pipeline_e2e_full_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference pipeline — all five stages, all 8 DAG nodes
+    (luigi-pipeline/main.py:201-235) — executed twice through DagRunner
+    over the real dropzone: sync → input snapshot → sources2csr →
+    csr2transmart → staging snapshot → atomic load (transmart_loader=1
+    resource cap) → post-load REST (injected HTTP: token exchange,
+    after-data-loading, status poll to COMPLETED, subscription scan) →
+    load-log snapshot. Pass 2 with unchanged inputs must skip every
+    node (done-signal fingerprints). The transcript + logged counts
+    are the oracle."""
+    from pmc_conversion_spark.plans.post_load import TransmartPostLoadClient
+    from pmc_conversion_spark.plans.reference_dag import \
+        run_reference_pipeline
+    from pmc_conversion_spark.util import scratch_dir
+
+    root = scratch_dir("pipeline_e2e_full_dag")
+
+    class _Resp:
+        def __init__(self, payload):
+            self._p, self.ok, self.status_code = payload, True, 200
+
+        def json(self):
+            return self._p
+
+    statuses_seq = iter(["RUNNING", "COMPLETED"])
+
+    def fake_http(method, url, headers=None, params=None):
+        if url.endswith("/protocol/openid-connect/token"):
+            return _Resp({"access_token": "tok"})
+        if url.endswith("/update_status"):
+            return _Resp({"status": next(statuses_seq)})
+        return _Resp({})
+
+    def api():
+        return TransmartPostLoadClient(
+            keycloak_url="https://kc.invalid/realms/r",
+            transmart_url="http://tm.invalid",
+            gb_backend_url="http://gb.invalid",
+            client_id="c", offline_token="t", http=fake_http,
+            sleep=lambda s: None)
+
+    s1, ctx = run_reference_pipeline(spark, root=root, api=api())
+    s2, _ = run_reference_pipeline(spark, root=root, api=api())
+    rows = ([(f"run1:{n}", st) for n, st in s1]
+            + [(f"run2:{n}", st) for n, st in s2]
+            + [(f"count:{k}", str(v)) for k, v in ctx.counts.items()])
+    return fixture_df(spark, rows, "item string, value string")
+
+
 @register(
     "pipeline_e2e_streaming",
     oracle=f"""
