@@ -1091,6 +1091,77 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+#: Count-Min sketch geometry: d independent hash rows × width buckets.
+#: Width 1024 over a ~60-term synthetic vocabulary makes collisions
+#: rare but nonzero — the (deterministic) overestimates exercise the
+#: est >= true property instead of degenerating to exact counts.
+_CMS_SEEDS = ("cms0", "cms1", "cms2")
+_CMS_WIDTH = 1024
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    rows_ AS (SELECT unnest(['cms0', 'cms1', 'cms2']) AS seed),
+    cells AS (
+      SELECT seed,
+             ({_MD5_INT60.format(s="seed || ':' || tok")})
+               % {_CMS_WIDTH} AS bucket,
+             count(*) AS n
+      FROM toks, rows_
+      GROUP BY 1, 2
+    ),
+    truth AS (SELECT tok AS token, count(*) AS true_n
+              FROM toks GROUP BY tok),
+    est AS (
+      SELECT t.token, t.true_n,
+             min(c.n) AS est_n
+      FROM truth t
+      JOIN rows_ r ON true
+      JOIN cells c
+        ON c.seed = r.seed
+       AND c.bucket = ({_MD5_INT60.format(s="r.seed || ':' || t.token")})
+                        % {_CMS_WIDTH}
+      GROUP BY 1, 2
+    )
+    SELECT token, true_n, est_n FROM est
+    """)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, deterministic end-to-end:
+    d=3 portable-hash rows × 1024 buckets (_CMS_SEEDS/_CMS_WIDTH) built
+    with ONE map-side-combinable aggregation over (seed, bucket) — the
+    sketch is ~3k cells regardless of corpus size, so it broadcasts
+    back to answer point queries with no second scan shuffle. Estimate
+    = min over rows of the key's bucket count; the CMS guarantee
+    (est_n >= true_n, overestimate bounded by collisions) is
+    value-checked against exact counts for every distinct token.
+
+    At 100 TB this replaces an exact groupBy over an unbounded key
+    domain with fixed memory: cells are the only shuffled state, and
+    point lookups are map-side probes of the broadcast sketch."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                    .alias("tok"))
+    seeds = F.array(*[F.lit(s) for s in _CMS_SEEDS])
+    cells = (toks.select(F.explode(seeds).alias("seed"), "tok")
+             .select("seed",
+                     (DD.md5_int60(F.concat_ws(":", "seed", "tok"))
+                      % _CMS_WIDTH).alias("bucket"))
+             .groupBy("seed", "bucket")
+             .agg(F.count(F.lit(1)).alias("n")))
+    truth = (toks.groupBy(F.col("tok").alias("token"))
+             .agg(F.count(F.lit(1)).alias("true_n")))
+    probes = truth.select(
+        "token", "true_n", F.explode(seeds).alias("seed")).select(
+        "token", "true_n", "seed",
+        (DD.md5_int60(F.concat_ws(":", "seed", "token"))
+         % _CMS_WIDTH).alias("bucket"))
+    return (probes.join(F.broadcast(cells), ["seed", "bucket"])
+            .groupBy("token", "true_n")
+            .agg(F.min("n").alias("est_n")))
+
+
 # --------------------------------------------- full corpus preparation
 
 @register(

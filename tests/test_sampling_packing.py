@@ -174,3 +174,12 @@ def test_decontaminate_short_docs_whole_text_rule(spark):
         "doc_id long, text string")
     hits = {r.doc_id for r in decontaminate(train, ev, n=5).collect()}
     assert hits == {1}
+
+
+def test_countmin_estimates_dominate_truth(spark):
+    """CMS guarantee: every estimate >= the true count (the oracle
+    additionally pins the exact deterministic estimates)."""
+    import __spark_entry__ as E
+    out = E.queries()["sketch_countmin_freq"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r.est_n >= r.true_n for r in out)
