@@ -996,6 +996,49 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS}) AS ntok FROM documents
+      WHERE len({_TOKS}) > 0
+    ),
+    keyed AS (
+      SELECT doc_id, source, ntok,
+             ln((({_MD5_INT60.format(s="'es1:' || CAST(doc_id AS VARCHAR)")})
+                 + 1) / 1152921504606846976.0) / ntok AS k
+      FROM t
+    )
+    SELECT doc_id, source, ntok FROM keyed
+    ORDER BY k DESC, doc_id LIMIT 100
+    """)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc draws a deterministic hash-uniform u in (0,1] and
+    the 100 winners are the largest u^(1/w) keys, w = token count —
+    longer documents proportionally likelier, no rand(), identical
+    under any partitioning or retry (the salted hash is the only
+    randomness). Ranked as ln(u)/w (monotone transform; the float key
+    itself is never emitted, so libm last-ulp differences cannot show
+    up in the output). Distributed shape: map-side key, TakeOrdered
+    top-k — no shuffle of the corpus, no global sort materialization.
+
+    This is the per-item-weight counterpart of the corpus-level
+    ``sample_mixture_weighted`` (domain-weight epochs)."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    ntok = F.size(ws_tokens(F.lower(F.col("text"))))
+    t = (d.select("doc_id", "source", ntok.alias("ntok"))
+         .filter(F.col("ntok") > 0))
+    u = ((DD.md5_int60(F.concat(F.lit("es1:"),
+                                F.col("doc_id").cast("string"))) + 1)
+         / F.lit(float(1 << 60)))
+    keyed = t.withColumn("k", F.log(u) / F.col("ntok"))
+    return (keyed.orderBy(F.col("k").desc(), F.col("doc_id"))
+            .limit(100)
+            .select("doc_id", "source", "ntok"))
+
+
+@register(
     "pack_sequences",
     oracle=f"""
     WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
