@@ -644,6 +644,43 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_price")))
 
 
+@register(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT o_orderstatus AS scope,
+           count(DISTINCT o_custkey) AS exact_cnt, true AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT o_custkey), true FROM orders
+    """)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the rollup property exact
+    distinct lacks: per-group HLL sketches (Datasketches,
+    ``hll_sketch_agg``) union into the global cardinality WITHOUT
+    rescanning the fact table (``hll_union_agg`` over the tiny
+    per-group sketch frame). At 100 TB this is how distinct-users
+    rolls up from per-day to per-month to total: one scan builds the
+    leaves, every coarser level is a sketch merge. Emits per-scope
+    exact counts plus a 5%-tolerance check of the estimates (the
+    approx_ok boolean), same oracle pattern as agg_approx_distinct."""
+    o = _t(spark, sf_dir, "orders")
+    per = (o.groupBy("o_orderstatus")
+           .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+                F.countDistinct("o_custkey").alias("exact_cnt")))
+    ok = (F.abs(F.hll_sketch_estimate("sk") - F.col("exact_cnt"))
+          <= 0.05 * F.col("exact_cnt"))
+    per_rows = per.select(F.col("o_orderstatus").alias("scope"),
+                          "exact_cnt", ok.alias("approx_ok"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    glob_exact = o.agg(F.countDistinct("o_custkey").alias("exact_cnt"))
+    glob = (glob_exact.crossJoin(merged)
+            .select(F.lit("ALL").alias("scope"), "exact_cnt",
+                    (F.abs(F.col("est") - F.col("exact_cnt"))
+                     <= 0.05 * F.col("exact_cnt")).alias("approx_ok")))
+    return per_rows.unionByName(glob)
+
+
 #: quantile levels shared by the exact and approx quantile queries
 _Q_LEVELS = (0.25, 0.5, 0.75, 0.9)
 
