@@ -137,3 +137,46 @@ def test_char_entropy_bounds_and_python_replay(spark, texts):
         # the op rounds to 6 decimals, so allow half-ulp slack at the
         # theoretical log2(k) ceiling (round(log2(3), 6) > log2(3))
         assert 0.0 <= got[i] <= math.log2(max(len(cnt), 2)) + 5e-7
+
+
+def _ref_nearest(lefts, rights):
+    """Naive nearest-either-direction with the operator's tie contract:
+    min |delta|, then backward (<=) over forward, then min right id."""
+    out = {}
+    for lid, lts in lefts:
+        best = None
+        for rid, rts in rights:
+            d = abs(rts - lts)
+            side = 0 if rts <= lts else 1
+            cand = (d, side, rid)
+            if best is None or cand < best:
+                best = cand
+        if best is not None:
+            out[lid] = best[2]
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=40),
+                min_size=1, max_size=8),
+       st.lists(st.integers(min_value=0, max_value=40),
+                min_size=0, max_size=8))
+def test_asof_nearest_matches_reference(spark, lts_list, rts_list):
+    from pmc_conversion_spark.operators.temporal import asof_nearest_join
+    base = 1_700_000_000
+    lefts = [(i, t) for i, t in enumerate(lts_list)]
+    rights = [(100 + i, t) for i, t in enumerate(rts_list)]
+    ldf = spark.createDataFrame(
+        [(1, lid, base + t) for lid, t in lefts],
+        "k int, lid int, e long").selectExpr(
+        "k", "lid", "timestamp_seconds(e) AS lts")
+    rdf = spark.createDataFrame(
+        [(1, rid, base + t) for rid, t in rights] or
+        [(2, 0, base)],  # non-empty frame, disjoint key when empty
+        "k int, rid int, e long").selectExpr(
+        "k", "rid", "timestamp_seconds(e) AS rts")
+    got = {r.lid: r.rid
+           for r in asof_nearest_join(ldf, rdf, on="k", left_ts="lts",
+                                      right_ts="rts",
+                                      right_cols=["rid", "rts"]).collect()}
+    assert got == _ref_nearest(lefts, rights)
