@@ -1059,6 +1059,39 @@ def transmart_incremental_obs_diff(spark: SparkSession,
             .exceptAll(obs_ide(RE.REF_DROPZONE_ALT)))
 
 
+@register(
+    "pipeline_e2e_missing_blobs",
+    oracle="""
+    SELECT 'NGS/pmc_test1_WGS.maf.gz' AS missing_path
+    UNION ALL
+    SELECT 'NGS/pmc_test2_WGS.maf.gz'
+    """)
+def pipeline_e2e_missing_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity sweep over the real archived NGS dropzone: data files
+    whose ``.sha1`` sidecar exists but whose payload is MISSING — the
+    exact state the archive ships in (.MISSING_LARGE_BLOBS:1-4 strips
+    the large MAF blobs, leaving orphaned sidecars). Pure manifest
+    algebra: recursive file listing (paths only — no payload read),
+    sidecars anti-joined against data files on the stripped name. The
+    reference's sync would fail checksum verification here; the sweep
+    reports the losses up front."""
+    import os
+    root = os.path.dirname(REF_NGS.rstrip("/"))  # the dropzone dir
+    listing = (spark.read.format("binaryFile")
+               .option("recursiveFileLookup", "true").load(root)
+               .select("path"))
+    root_abs = "file:" + os.path.abspath(root).rstrip("/")
+    rel = F.expr(f"substring(path, {len(root_abs) + 2})")
+    files = listing.select(rel.alias("p"))
+    sidecars = (files.filter(F.col("p").endswith(".sha1"))
+                .select(F.expr("substring(p, 1, length(p) - 5)")
+                        .alias("data_path")))
+    data = files.filter(~F.col("p").endswith(".sha1"))
+    return (sidecars.join(data, sidecars.data_path == data.p,
+                          "left_anti")
+            .select(F.col("data_path").alias("missing_path")))
+
+
 #: expected full-DAG transcript: every stage runs on pass 1, every
 #: stage skips on the unchanged pass 2 (done-signal protocol), and the
 #: stage-logged counts match the hand-derived reference numbers
