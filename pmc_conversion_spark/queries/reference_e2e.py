@@ -1060,6 +1060,36 @@ def transmart_incremental_obs_diff(spark: SparkSession,
 
 
 @register(
+    "scan_codebook_datasource",
+    oracle=f"""
+    SELECT "column", code, label
+    FROM {_values(E2E_CODEBOOK_ROWS, '"column", code, label')}
+    """)
+def scan_codebook_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codebook grammar as a REGISTERED Spark data source (Python
+    DataSource API, Spark 4): ``spark.read.format("pmc_codebook")``
+    parses the real individual_codebook.tsv executor-side — one file
+    per read partition, records never split across tasks — and yields
+    the identical (column, code, label) frame as the driver-side
+    parser (same spot-check oracle as codebook_parse_real). This is
+    the extension point a user adds THEIR weird format through."""
+    from pmc_conversion_spark.sources.codebook_datasource import \
+        CodebookDataSource
+    try:
+        spark.dataSource.register(CodebookDataSource)
+    except Exception:
+        pass  # already registered in this session
+    cb = (spark.read.format("pmc_codebook")
+          .load(os.path.join(RE.REF_DROPZONE_FULL,
+                             "studies/individual_codebook.tsv")))
+    return cb.filter(
+        (F.col("column").isin("SEX", "HOSPDIAG"))
+        | ((F.col("column") == "DIAGCD")
+           & F.col("code").isin("80000", "95913", "97053"))
+        | ((F.col("column") == "IFCDATR") & (F.col("code") == "2")))
+
+
+@register(
     "pipeline_e2e_missing_blobs",
     oracle="""
     SELECT 'NGS/pmc_test1_WGS.maf.gz' AS missing_path
