@@ -74,3 +74,66 @@ def sessionize_with_state(events: DataFrame, *, gap_minutes: int = 30,
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, OUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def running_count_tws(events: DataFrame, *, key_col: str = "user_id"
+                      ) -> DataFrame:
+    """Per-key running event count via ``transformWithStateInPandas`` —
+    Spark 4's next-generation arbitrary-state API (typed state
+    variables on a StatefulProcessorHandle instead of one opaque
+    GroupState tuple; RocksDB-backed, so state scales past executor
+    heap). Functionally the streaming twin of ``groupBy(key).count()``:
+    after each micro-batch the emitted row carries the key's total so
+    far, so one availableNow batch reproduces the batch aggregate
+    exactly (the oracle-checkable contract).
+
+    Kept deliberately minimal — the point is the API surface: value
+    state declared in ``init``, per-batch Arrow row iteration in
+    ``handleInputRows``, update-mode emission.
+
+    GATED: transformWithState's Python worker serializes state over
+    protobuf; environments without a working ``google.protobuf`` (this
+    sandbox — import-checked below) get a clear error here instead of
+    an opaque mid-query worker crash. The operator is therefore
+    test-skipped rather than registry-gated; ``sessionize_with_state``
+    (applyInPandasWithState, no protobuf dependency) is the registered
+    stateful surface.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "in the Python workers; not available in this environment"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get() if self._n.exists() else None
+            total = (prev[0] if prev else 0) + batch_n
+            self._n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=RunningCount(),
+                outputStructType="user_id long, n_events long",
+                outputMode="Update",
+                timeMode="None"))

@@ -233,3 +233,37 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, fixture_df):
     got = sorted((r.event_id, r.segment)
                  for r in spark.table("sse").collect())
     assert got == [(1, "A"), (2, "B"), (3, "A")]
+
+
+def test_tws_running_count_matches_batch_or_env_gated(spark, tmp_path):
+    """transformWithStateInPandas twin: equals the batch groupBy count
+    after one availableNow tick. Skips (rather than fails) where the
+    worker-side protobuf dependency is unavailable."""
+    import pytest as _pytest
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        from pmc_conversion_spark.streaming.stateful import \
+            running_count_tws
+        df = spark.range(1).selectExpr("id AS user_id")
+        with _pytest.raises(NotImplementedError):
+            running_count_tws(df)
+        _pytest.skip("google.protobuf unavailable in this environment")
+    import uuid
+    from pmc_conversion_spark.streaming.stateful import running_count_tws
+    sf = "/root/testdata/sf0.001"
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf))
+    counts = running_count_tws(stream)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.user_id: r.n_events for r in spark.table(name).collect()}
+    want = {r.user_id: r.n for r in
+            raw.groupBy("user_id").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got == want
