@@ -316,3 +316,86 @@ def test_cycle_is_scheduling_error(tmp_path, spark):
     with pytest.raises(PipelineExit) as ei:
         runner.run_pipeline([a, b])
     assert ei.value.retcode == 35
+
+
+# ------------------------------------------------ INI config loaders
+
+LUIGI_CFG = """\
+[core]
+logging_conf_file=logging.cfg
+
+[GlobalConfig]
+drop_dir=/data/drop_zone
+data_repo_dir=/data/repo
+working_dir=/data/work
+transformation_config_dir=/data/config
+load_logs_dir_name=load_logs
+transmart_copy_jar=/libs/transmart-copy.jar  # CHANGE ME
+study_id=CSR_STUDY
+top_node=\\Central Subject Registry\\
+
+[resources]
+transmart_loader=1
+
+[retcode]
+already_running=10
+missing_data=20
+not_run=25
+task_failed=30
+scheduling_error=35
+unhandled_exception=40
+
+[TransmartApiTask]
+keycloak_url=https://kc.example.org/realms/example  # CHANGE ME
+transmart_url=http://localhost:8081
+gb_backend_url=http://localhost:8083
+client_id=transmart-client
+offline_token=secret-token
+"""
+
+EMAIL_CFG = """\
+[email]
+receiver=ops@example.org, dev@example.org
+sender=pipeline@example.org
+prefix=[CSR]
+
+[smtp]
+host=smtp.example.org
+port=587
+username=pipeline
+password=hunter2
+
+[global]
+log_file=/var/log/pipeline.log
+"""
+
+
+def test_load_pipeline_config_sample_shape(tmp_path):
+    from pmc_conversion_spark.plans.incremental import RETCODES
+    from pmc_conversion_spark.plans.pipeline_config import \
+        load_pipeline_config
+    p = tmp_path / "luigi.cfg"
+    p.write_text(LUIGI_CFG)
+    cfg = load_pipeline_config(str(p))
+    assert cfg.global_cfg.drop_dir == "/data/drop_zone"
+    assert cfg.global_cfg.study_id == "CSR_STUDY"
+    # inline CHANGE-ME comments must be stripped
+    assert cfg.global_cfg.transmart_copy_jar == "/libs/transmart-copy.jar"
+    assert cfg.api.keycloak_url == "https://kc.example.org/realms/example"
+    assert cfg.api.offline_token == "secret-token"
+    assert cfg.resources == {"transmart_loader": 1}
+    assert cfg.retcodes == RETCODES  # the sample IS our class table
+
+
+def test_load_email_config(tmp_path):
+    from pmc_conversion_spark.plans.pipeline_config import load_email_config
+    p = tmp_path / "email_config.cfg"
+    p.write_text(EMAIL_CFG)
+    cfg = load_email_config(str(p))
+    assert cfg.receivers == ["ops@example.org", "dev@example.org"]
+    assert (cfg.host, cfg.port) == ("smtp.example.org", 587)
+    assert cfg.log_file == "/var/log/pipeline.log"
+    # composing with the parsed config works end-to-end
+    from pmc_conversion_spark.plans.email_report import compose_report
+    subject, _ = compose_report(cfg, ["s"], ["e1", "e2"])
+    assert subject == "[CSR] ERRORS: 2"
