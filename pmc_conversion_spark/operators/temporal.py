@@ -125,6 +125,42 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str,
     return matched.select(*out)
 
 
+def range_bin_join_outer(facts: DataFrame, dims: DataFrame, *,
+                         time_col: str, start_col: str, end_col: str,
+                         granularity: str = "month") -> DataFrame:
+    """LEFT-outer flavor of :func:`range_bin_join`: facts matching no
+    interval survive with null dim columns.
+
+    The inner bin join cannot express this directly (a bin-matched row
+    that fails the exact bounds must be re-admitted as unmatched), so
+    the outer form composes inner + left-anti: both arms share the
+    fact scan and the broadcast bin frame, and the anti arm is the
+    same broadcast equi-join shape — still no nested loop anywhere.
+    """
+    inner = range_bin_join(facts, dims, time_col=time_col,
+                           start_col=start_col, end_col=end_col,
+                           granularity=granularity)
+    matched_cols = [c for c in inner.columns if c not in facts.columns]
+    # facts with NO matching interval: left-anti on the same bin join,
+    # then exact-bound probe — a fact fails iff no exploded bin row
+    # both bin-matches and bound-matches it
+    bins = dims.withColumn("__bin", F.explode(F.expr(
+        f"sequence(date_trunc('{granularity}', {start_col}), "
+        f"date_trunc('{granularity}', {end_col}), "
+        f"interval 1 {granularity})")))
+    fact_binned = facts.withColumn(
+        "__bin", F.date_trunc(granularity, F.col(time_col)))
+    cond = ((fact_binned["__bin"] == bins["__bin"])
+            & (F.col(time_col) >= F.col(start_col))
+            & (F.col(time_col) <= F.col(end_col)))
+    unmatched = (fact_binned.join(F.broadcast(bins), cond, "left_anti")
+                 .drop("__bin"))
+    for c in matched_cols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(inner.schema[c].dataType))
+    return inner.unionByName(unmatched.select(*inner.columns))
+
+
 def asof_nearest_join(left: DataFrame, right: DataFrame, *, on: str,
                       left_ts: str, right_ts: str,
                       right_cols: Sequence[str]) -> DataFrame:

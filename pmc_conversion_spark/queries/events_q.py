@@ -117,6 +117,32 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_watermark_dropped",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '7 days' AS cutoff FROM events)
+    SELECT event_type,
+           count(*) AS n_total,
+           count(CASE WHEN ts < wm.cutoff THEN 1 END) AS n_dropped
+    FROM events, wm
+    GROUP BY event_type
+    """)
+def stream_watermark_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data OBSERVABILITY: per event type, how many rows the
+    7-day watermark would drop (the numDroppedRows metric of a real
+    streaming query, stated declaratively so it is oracle-checkable).
+    stream_watermark_late keeps the survivors; production pipelines
+    need the complement reported, not silently discarded — one
+    aggregation pass computes kept and dropped together."""
+    e = _events(spark, sf_dir)
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (e.crossJoin(F.broadcast(cutoff))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count(F.when(F.col("ts") < F.col("cutoff"), 1))
+                 .alias("n_dropped")))
+
+
+@register(
     "stream_custom_sessionize",
     oracle="""
     WITH flagged AS (

@@ -18,7 +18,8 @@ from pmc_conversion_spark.operators.temporal import (asof_join,
                                                      asof_nearest_join,
                                                      interval_join,
                                                      interval_overlap_join,
-                                                     range_bin_join)
+                                                     range_bin_join,
+                                                     range_bin_join_outer)
 from pmc_conversion_spark.queries import register
 from pmc_conversion_spark.queries.manifest import _values, fixture_df
 
@@ -103,6 +104,37 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .alias("total_price")))
+
+
+@register(
+    "join_range_interval_outer",
+    oracle=f"""
+    WITH eras AS (SELECT * FROM {_values(
+        [e for e in PRICING_ERAS if e[0] != 'steady'],
+        'era, start_d, end_d')})
+    SELECT e.era, count(*) AS n_orders
+    FROM orders o
+    LEFT JOIN eras e
+      ON CAST(o.o_orderdate AS DATE)
+         BETWEEN CAST(e.start_d AS DATE) AND CAST(e.end_d AS DATE)
+    GROUP BY e.era
+    """)
+def join_range_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-outer range join: orders landing in an era GAP (the
+    'steady' era is removed from the dim) survive with a null era.
+    Composed as inner bin-join + left-anti re-admission — both arms
+    broadcast equi-joins on the calendar bin, no nested loop
+    (operators/temporal.py range_bin_join_outer)."""
+    orders = (tables.load(spark, sf_dir, "orders")
+              .select(F.to_date("o_orderdate").alias("o_date")))
+    eras = fixture_df(spark,
+                      [e for e in PRICING_ERAS if e[0] != "steady"],
+                      "era string, start_d string, end_d string").select(
+        "era", F.to_date("start_d").alias("start_d"),
+        F.to_date("end_d").alias("end_d"))
+    joined = range_bin_join_outer(orders, eras, time_col="o_date",
+                                  start_col="start_d", end_col="end_d")
+    return joined.groupBy("era").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 @register(
