@@ -806,6 +806,43 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_type_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png'
+                           WHEN 1 THEN 'jpeg'
+                           ELSE 'unknown' END AS sniffed,
+           octet_length(encode(text))
+             + CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 3
+                               ELSE 0 END AS n_bytes
+    FROM documents
+    """)
+def mm_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing from magic bytes — what a training
+    pipeline trusts instead of file extensions or upstream MIME
+    claims. The fixture prepends REAL magic headers (PNG's 8-byte
+    signature, JPEG's FFD8FF) to a third of the blobs each; the sniff
+    is a map-side binary-prefix compare (JVM `substring` on binary, no
+    Python, blob never leaves the scan stage). The oracle pins the
+    expected classes from the planted pattern — the sniff must
+    recover them from the BYTES."""
+    png = F.unhex(F.lit("89504E470D0A1A0A"))
+    jpg = F.unhex(F.lit("FFD8FF"))
+    m = _media(spark, sf_dir)
+    blob = (F.when(F.col("media_id") % 3 == 0,
+                   F.concat(png, F.col("content")))
+            .when(F.col("media_id") % 3 == 1,
+                  F.concat(jpg, F.col("content")))
+            .otherwise(F.col("content")))
+    tagged = m.select("media_id", blob.alias("blob"))
+    sniffed = (F.when(F.substring("blob", 1, 8) == png, "png")
+               .when(F.substring("blob", 1, 3) == jpg, "jpeg")
+               .otherwise("unknown"))
+    return tagged.select("media_id", sniffed.alias("sniffed"),
+                         F.octet_length("blob").alias("n_bytes"))
+
+
+@register(
     "mm_metadata_extract",
     oracle="""
     SELECT doc_id AS media_id, 'image' AS kind,
