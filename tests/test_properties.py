@@ -180,3 +180,58 @@ def test_asof_nearest_matches_reference(spark, lts_list, rts_list):
                                       right_ts="rts",
                                       right_cols=["rid", "rts"]).collect()}
     assert got == _ref_nearest(lefts, rights)
+
+
+def _ref_passages(docs, k):
+    """Naive passage dedup: fixed k-token windows, keep a passage only
+    in the minimum doc_id carrying its text."""
+    owner = {}
+    per_doc = {}
+    for did, toks in docs:
+        ps = [" ".join(toks[i * k:(i + 1) * k])
+              for i in range((len(toks) + k - 1) // k)]
+        per_doc[did] = ps
+        for p in ps:
+            owner[p] = min(owner.get(p, did), did)
+    return {did: (len(ps), sum(1 for p in ps if owner[p] == did))
+            for did, ps in per_doc.items() if ps}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.lists(st.integers(min_value=0, max_value=3),
+             min_size=0, max_size=25),
+    min_size=1, max_size=8))
+def test_passage_dedup_matches_reference(spark, docs_tokens):
+    """Tiny 4-word vocabulary makes cross-doc passage repeats likely;
+    covers empty docs, exact-multiple lengths, sub-window docs."""
+    import __spark_entry__  # ensure registry import side effects
+    from pyspark.sql import Window
+    from pmc_conversion_spark.functions import dedup as DD
+    from pmc_conversion_spark.functions.text import ws_tokens
+
+    k = 3
+    docs = [(i, [f"w{t}" for t in toks])
+            for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame([(i, " ".join(t)) for i, t in docs],
+                               "doc_id long, text string")
+    toks = ws_tokens(F.lower(F.col("text")))
+    n_pass = F.ceil(F.size(F.col("toks")) / F.lit(float(k))).cast("int")
+    passages = F.when(
+        F.size(F.col("toks")) > 0,
+        F.transform(F.sequence(F.lit(0), n_pass - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    ps = (df.select("doc_id", toks.alias("toks"))
+          .select("doc_id", F.explode(passages).alias("passage"))
+          .select("doc_id", DD.md5_int60(F.col("passage")).alias("h")))
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    got = {r.doc_id: (r.n_passages, r.n_kept)
+           for r in (ps.withColumn("keeper", keeper)
+                     .groupBy("doc_id")
+                     .agg(F.count(F.lit(1)).alias("n_passages"),
+                          F.count(F.when(F.col("doc_id")
+                                         == F.col("keeper"), 1))
+                          .alias("n_kept"))).collect()}
+    assert got == _ref_passages(docs, k)
