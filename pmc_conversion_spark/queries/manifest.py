@@ -176,6 +176,43 @@ def win_marker_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_email_report",
+    oracle=f"""
+    WITH log AS (SELECT * FROM {_values(LOG_LINES, 'lineno, line')}),
+    marks AS (SELECT min(lineno) AS lo, max(lineno) AS hi FROM log
+              WHERE line LIKE '%Luigi Execution Summary%'),
+    errs AS (SELECT count(*) AS n FROM log
+             WHERE line LIKE '%ERROR%'
+               AND line NOT LIKE '%luigi-interface%'),
+    summ AS (SELECT count(*) AS n FROM log, marks
+             WHERE lineno > marks.lo AND lineno < marks.hi)
+    SELECT '[CSR] ERRORS: ' || errs.n AS subject,
+           errs.n AS n_errors, summ.n AS n_summary_lines
+    FROM errs, summ
+    """)
+def pipeline_email_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage-5 failure report COMPOSED end-to-end (scripts/
+    email_client.py:117-139): the log fixture flows through the real
+    parse (marker slice + error filter) and compose (subject carries
+    the error count) of plans/email_report.py — the same code the
+    DagRunner failure path sends through the SMTP seam. Returns the
+    composed subject + section sizes; the oracle restates the parse
+    in SQL over the same fixture."""
+    from pmc_conversion_spark.plans.email_report import (EmailConfig,
+                                                         compose_report,
+                                                         parse_log)
+    lines = [line + "\n" for _, line in LOG_LINES]
+    summary, errors = parse_log(lines)
+    cfg = EmailConfig(sender="pipeline@example.org",
+                      receivers=["ops@example.org"], prefix="[CSR]",
+                      host="localhost", log_file="/var/log/pipeline.log")
+    subject, _body = compose_report(cfg, summary, errors)
+    return fixture_df(spark,
+                      [(subject, len(errors), len(summary))],
+                      "subject string, n_errors long, n_summary_lines long")
+
+
+@register(
     "agg_count_errors",
     oracle=f"""
     SELECT count(*) AS n_errors FROM {_values(LOG_LINES, 'lineno, line')}
