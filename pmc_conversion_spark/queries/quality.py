@@ -257,3 +257,38 @@ def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. One text, two engines, value-exact."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_LARGE_ORDERS_SQL)
+
+
+#: TPC-H Q5 shape: 6-table star join through BOTH fact FKs (customer
+#: and supplier must sit in the same nation), region filter, date
+#: range. DECIMAL revenue keeps the sum order-insensitive and exact.
+_LOCAL_VOLUME_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("sql_local_supplier_volume", oracle=_LOCAL_VOLUME_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped pure-SQL entry — the join-REORDERING stress test: six
+    tables, the local-supplier predicate correlating two different FK
+    paths into the fact (s_nationkey = c_nationkey), a region filter
+    that prunes through two dimension hops, and a pushed date range.
+    Catalyst broadcast-joins every dimension (nation/region/supplier/
+    customer after pruning) so lineitem — the only big side — shuffles
+    once at most; one text, two engines, value-exact."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_LOCAL_VOLUME_SQL)
