@@ -92,6 +92,16 @@ def test_asof_join_is_single_shuffle_no_nested_loop(spark, qs):
     assert "Window" in plan
 
 
+def test_q5_join_order_broadcasts_all_dimensions(spark, qs):
+    # six-table star: every dimension hop must plan as a broadcast
+    # hash join; the correlated local-supplier predicate must not
+    # degrade to a nested loop
+    plan = plan_of(qs["sql_local_supplier_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interval_overlap_join_is_equi_not_nested_loop(spark, qs):
     # interval×interval overlap with no key: the bin blocking must make
     # it a broadcast HASH join; a raw pairwise overlap predicate would
