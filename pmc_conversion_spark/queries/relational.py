@@ -644,6 +644,89 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_price")))
 
 
+def _skew_aqe_frame(spark: SparkSession, sf_dir: str):
+    """(frame, restore_confs): the skewed join built under lowered AQE
+    skew thresholds + disabled broadcast. Callers MUST execute the
+    frame and then call restore (the registry entry does both; the
+    plan test inspects the executed plan in between)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        # the join output feeds a groupBy on the same key, so a skew
+        # split would invalidate the reusable partitioning and add a
+        # shuffle; force tells AQE the split is worth that trade (the
+        # exact call a 100 TB hot key forces in production)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def restore() -> None:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    # A skewed reduce partition splits at MAP-output granularity. The
+    # single-row-group test file scans as ONE map task (nothing to
+    # split), so widen the map side explicitly — at real scale the
+    # scan has thousands of mappers and this repartition is absent.
+    f = (l.repartition(16)
+         .select(F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+                 .otherwise(F.col("l_orderkey") % 100 + 1).alias("k"),
+                 "l_quantity"))
+    # dim keys are UNIQUE already (c_custkey) — no aggregate between
+    # the dim shuffle and the join, so OptimizeSkewedJoin's
+    # Sort(ShuffleRead) pattern matches both sides and can replicate
+    # the dim partitions against the split hot fact partition
+    d = (c.filter(F.col("c_custkey") <= 100)
+         .select(F.col("c_custkey").alias("k")))
+    out = (f.join(d, "k")
+           .groupBy("k")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("total_qty")))
+    return out, restore
+
+
+
+@register(
+    "join_skew_aqe",
+    oracle="""
+    WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                           ELSE l_orderkey % 100 + 1 END AS k,
+                      l_quantity
+               FROM lineitem),
+    d AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 100)
+    SELECT f.k, count(*) AS n_rows,
+           sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM f JOIN d ON d.k = f.k
+    GROUP BY f.k
+    """)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE skew handling — the runtime complement of the manual
+    salting in join_salted_skew: 70% of the fact rows share one hot
+    key, broadcast is disabled so the join must shuffle, and AQE's
+    skew-join split carves the hot partition into multiple tasks at
+    runtime (``skew=true`` on the SortMergeJoin — plan-asserted in
+    tests/test_plan_quality.py). Thresholds are lowered to make the
+    tiny test corpus exhibit what a 100 TB hot key does naturally; the
+    split is result-invisible, which the oracle pins. The frame is
+    materialized eagerly (localCheckpoint) so the lowered confs govern
+    exactly this execution and are restored before returning —
+    nothing leaks into the session's later queries."""
+    out, restore = _skew_aqe_frame(spark, sf_dir)
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        restore()
+    return out
+
+
 @register(
     "agg_hll_mergeable",
     oracle="""

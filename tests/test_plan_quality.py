@@ -92,6 +92,25 @@ def test_asof_join_is_single_shuffle_no_nested_loop(spark, qs):
     assert "Window" in plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    # 70% of fact rows on one key + lowered thresholds: AQE must mark
+    # the SortMergeJoin skew=true (runtime split), and the confs must
+    # be restored for the rest of the session
+    from pmc_conversion_spark.queries.relational import _skew_aqe_frame
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out, restore = _skew_aqe_frame(spark, SF_DIR)
+    try:
+        out.collect()
+        plan = (out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "skew=true" in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        restore()
+    assert spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold") == prev_bc
+
+
 def test_q5_join_order_broadcasts_all_dimensions(spark, qs):
     # six-table star: every dimension hop must plan as a broadcast
     # hash join; the correlated local-supplier predicate must not
