@@ -292,3 +292,47 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at most; one text, two engines, value-exact."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_LOCAL_VOLUME_SQL)
+
+
+@register(
+    "dq_outlier_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+             sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+               AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o JOIN s ON s.o_orderstatus = o.o_orderstatus
+    WHERE abs(o.o_totalprice - CAST(s.sx AS DOUBLE) / s.n)
+          > 1.5 * sqrt((CAST(s.sxx AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                          / s.n) / (s.n - 1))
+    """)
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection that is DETERMINISTIC under
+    any partitioning: the group moments are EXACT decimal sums (sum x,
+    sum x² — order-insensitive, map-side combinable; x has 2 decimals
+    so x² has exactly 4 and the decimal casts are lossless), and mean/
+    stddev derive from those exact moments in double on both engines —
+    never a float stddev aggregate, whose summation order would make
+    the 1.5σ boundary partitioning-dependent (1.5σ because the test
+    distribution is bounded uniform-ish — nothing lies beyond ~1.8σ). One scan for moments,
+    broadcast back, map-side flagging: the anomaly audit costs the
+    same as any counting audit at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    stats = (o.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(x.cast("decimal(18,2)")).alias("sx"),
+                  F.sum((x * x).cast("decimal(38,4)")).alias("sxx")))
+    j = o.join(F.broadcast(stats), "o_orderstatus")
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = ((F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("n")) / (F.col("n") - 1))
+    return (j.filter(F.abs(x - mean) > 1.5 * F.sqrt(var))
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
