@@ -389,3 +389,43 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = tables.load(spark, sf_dir, "nation")
     nation.coalesce(1).write.mode("overwrite").orc(d)
     return spark.read.orc(d).select("n_nationkey", "n_name", "n_regionkey")
+
+
+#: fixture rows whose values carry every CSV hazard: embedded
+#: delimiter, doubled quotes, and a QUOTED NEWLINE (multiline record)
+_CSV_HAZARDS = [
+    (1, "plain"),
+    (2, "comma, inside"),
+    (3, 'says "hi" twice'),
+    (4, "line one\nline two"),
+    (5, "tab\tinside"),
+]
+
+
+@register(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT 1 AS id, 'plain' AS payload
+    UNION ALL SELECT 2, 'comma, inside'
+    UNION ALL SELECT 3, 'says "hi" twice'
+    UNION ALL SELECT 4, 'line one' || chr(10) || 'line two'
+    UNION ALL SELECT 5, 'tab' || chr(9) || 'inside'
+    """)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-newline CSV round-trip: records spanning physical lines
+    (multiLine=true — the file is NOT line-splittable, so Spark reads
+    it whole-file per partition; the trade a 100 TB ingest makes
+    consciously and only for sources that need it), embedded
+    delimiters, and doubled-quote escapes. The fixture is written
+    through the engine's own csv writer and read back; every hazard
+    value must survive byte-exactly."""
+    d = _scratch("scan_csv_multiline")
+    rows = spark.createDataFrame(_CSV_HAZARDS, "id int, payload string")
+    (rows.coalesce(1).write.mode("overwrite")
+     .option("header", True).option("quoteAll", True)
+     .option("escape", '"').csv(d))
+    return (spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("quote", '"').option("escape", '"')
+            .schema("id int, payload string")
+            .csv(d))
