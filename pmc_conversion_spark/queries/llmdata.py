@@ -1242,6 +1242,77 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("n").alias("est_n")))
 
 
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pairs AS (
+      SELECT unnest(list_concat(
+        list_transform(range(len(tk) - 1),
+                       i -> {{'a': tk[i+1], 'b': tk[i+2]}}),
+        list_transform(range(greatest(len(tk) - 2, 0)),
+                       i -> {{'a': tk[i+1], 'b': tk[i+3]}}))) AS p
+      FROM t),
+    cxy AS (SELECT p.a AS a, p.b AS b, count(*) AS n_xy
+            FROM pairs GROUP BY 1, 2),
+    cx AS (SELECT tok, count(*) AS n FROM
+           (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+    tot AS (SELECT count(*) AS n_pairs FROM pairs),
+    scored AS (
+      SELECT cxy.a, cxy.b, cxy.n_xy,
+             round(ln(CAST(cxy.n_xy AS DOUBLE) * tot.n_pairs
+                      / (CAST(ca.n AS DOUBLE) * cb.n)), 6) AS pmi
+      FROM cxy JOIN cx ca ON ca.tok = cxy.a
+               JOIN cx cb ON cb.tok = cxy.b, tot)
+    SELECT a, b, n_xy, pmi FROM scored
+    ORDER BY n_xy DESC, a, b LIMIT 100
+    """)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with pointwise mutual information (window =
+    2 following tokens) — the classic corpus-statistics input to
+    embedding/collocation work. Pair extraction is MAP-SIDE array
+    algebra (offset-1 and offset-2 struct transforms, same shape as
+    shingling — no positional self-join); unigram counts broadcast
+    back; PMI derives from exact integer counts, so the rounded double
+    is engine-identical. Top-100 by a total order."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    tk = ws_tokens(F.lower(F.col("text")))
+    t = d.select(tk.alias("tk"))
+
+    def offs(o):
+        # guard: sequence(1, 0) DESCENDS in Spark, so a doc with
+        # exactly o tokens would emit an index-0 probe — empty array
+        # instead when no pair at this offset exists
+        return F.when(
+            F.size("tk") > o,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - o),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("a"),
+                    F.element_at("tk", i + o).alias("b")))
+        ).otherwise(F.expr(
+            "CAST(array() AS array<struct<a: string, b: string>>)"))
+
+    pairs = (t.filter(F.size("tk") > 1)
+             .select(F.explode(F.concat(offs(1), offs(2))).alias("p"))
+             .select("p.a", "p.b"))
+    cxy = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_xy"))
+    cx = (t.select(F.explode("tk").alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    tot = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    ca = cx.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    cb = cx.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
+    scored = (cxy.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
+              .crossJoin(F.broadcast(tot))
+              .select("a", "b", "n_xy",
+                      F.round(F.log(F.col("n_xy").cast("double")
+                                    * F.col("n_pairs")
+                                    / (F.col("na").cast("double")
+                                       * F.col("nb"))), 6).alias("pmi")))
+    return scored.orderBy(F.col("n_xy").desc(), "a", "b").limit(100)
+
+
 # --------------------------------------------- full corpus preparation
 
 @register(
