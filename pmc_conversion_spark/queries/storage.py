@@ -137,3 +137,28 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stored_mv.unionByName(delta_agg)
             .groupBy("o_orderstatus")
             .agg(F.sum("n").alias("n"), F.sum("total").alias("total")))
+
+
+@register("sink_sorted_rowgroups", oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders WHERE o_orderdate >= '1997-06-01'""")
+def sink_sorted_rowgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-on-write for min/max data skipping: the table lands sorted
+    by the filter column with SMALL row groups, so every row group's
+    parquet min/max statistics cover a narrow, disjoint date range and
+    a range predicate skips most of the file WITHOUT reading it — the
+    columnar cousin of partition pruning, and the layout that makes
+    needle-in-100 TB date scans cheap when a directory partition per
+    day would be too many files. Row-group disjointness is asserted
+    from the real footers in tests/test_plan_quality.py; the oracle
+    pins that sorting never changes results."""
+    d = _scratch("sink_sorted_rowgroups")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    (orders.repartition(1)
+     .sortWithinPartitions("o_orderdate")
+     .write.mode("overwrite")
+     .option("parquet.block.size", 8 * 1024)
+     .parquet(d))
+    back = spark.read.parquet(d)
+    return back.filter(F.col("o_orderdate") >= "1997-06-01")

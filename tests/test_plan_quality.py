@@ -92,6 +92,28 @@ def test_asof_join_is_single_shuffle_no_nested_loop(spark, qs):
     assert "Window" in plan
 
 
+def test_sorted_rowgroups_have_disjoint_minmax(spark, qs):
+    # the sorted sink must yield MANY row groups whose date min/max
+    # ranges are non-overlapping — the footer property min/max skipping
+    # relies on; verified from the real parquet metadata
+    import glob
+    import pyarrow.parquet as pq
+    from pmc_conversion_spark.util import scratch_root
+    qs["sink_sorted_rowgroups"](spark, SF_DIR).count()
+    files = glob.glob(scratch_root() + "/sink_sorted_rowgroups/*.parquet")
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    assert md.num_row_groups >= 4
+    col_idx = [md.schema.column(i).name
+               for i in range(len(md.schema))].index("o_orderdate")
+    ranges = [(md.row_group(g).column(col_idx).statistics.min,
+               md.row_group(g).column(col_idx).statistics.max)
+              for g in range(md.num_row_groups)]
+    ranges.sort()
+    for (_, prev_max), (nxt_min, _) in zip(ranges, ranges[1:]):
+        assert prev_max <= nxt_min  # sorted write => disjoint-ish spans
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     # 70% of fact rows on one key + lowered thresholds: AQE must mark
     # the SortMergeJoin skew=true (runtime split), and the confs must
