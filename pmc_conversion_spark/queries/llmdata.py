@@ -1243,6 +1243,65 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_kmeans_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid, e.v,
+             round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+      FROM e CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) = 1),
+    comps AS (
+      SELECT cluster, unnest(generate_series(1, len(v))) AS pos, v
+      FROM assigned)
+    SELECT cluster, pos,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(v[pos], 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_val
+    FROM comps GROUP BY cluster, pos
+    """)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means step over the embedding corpus — the
+    clustering pass data-curation pipelines run to diversify or
+    stratify training data. Seeds = the first 8 vectors
+    (deterministic); every vector assigns to its max-cosine centroid
+    (6-dp rounded, ties to the lowest centroid id — a total order);
+    new per-cluster centroids come back as exploded (cluster, dim)
+    means computed over DECIMAL sums of 6-dp-rounded components, so
+    the result is partitioning-independent and engine-exact.
+
+    Plan: centroids broadcast (k rows), the N×k scoring is map-side,
+    one min-struct aggregation picks assignments, one exploded
+    aggregation (map-side combinable) yields the means — two narrow
+    shuffles total, nothing ever materializes N×k outside the map."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("v").alias("cv")))
+    sim = F.round(SIM.cosine(F.col("v"), F.col("cv")), 6)
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "v",
+                      F.struct((-sim).alias("negsim"),
+                               F.col("cid").alias("cid")).alias("key")))
+    assigned = (scored.groupBy("vec_id", "v")
+                .agg(F.min("key").alias("k"))
+                .select(F.col("k.cid").alias("cluster"), "v"))
+    comps = assigned.select(
+        "cluster", F.posexplode("v").alias("pos0", "val"))
+    return (comps.groupBy("cluster", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.round("val", 6).cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_val")))
+
+
+@register(
     "text_cooccurrence_pmi",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
