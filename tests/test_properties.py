@@ -235,3 +235,29 @@ def test_passage_dedup_matches_reference(spark, docs_tokens):
                                          == F.col("keeper"), 1))
                           .alias("n_kept"))).collect()}
     assert got == _ref_passages(docs, k)
+
+
+def test_partitioning_invariance_representative_ops(spark):
+    """Determinism harness: representative operators from every risky
+    family (LSH banding, global numbering, running-sum packing,
+    clustering, weighted sampling) must return IDENTICAL rows under
+    different shuffle-partition counts — the property that makes
+    results reproducible across cluster sizes."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    names = ["dedup_minhash_lsh", "win_surrogate_key", "pack_sequences",
+             "sim_kmeans_assign", "sample_weighted_topk",
+             "dedup_passage_exact"]
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for n in names:
+                rows = sorted(map(tuple, qs[n](spark, sf).collect()))
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} changed under repartitioning"
