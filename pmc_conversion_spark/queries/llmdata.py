@@ -1243,6 +1243,105 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_bpe_merge_step",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok),
+    sym AS (
+      SELECT tok, n,
+             list_transform(range(length(tok)), i -> tok[i+1:i+1]) AS s
+      FROM vocab WHERE length(tok) >= 2),
+    pair_counts AS (
+      SELECT p.a, p.b, sum(n) AS cnt
+      FROM (SELECT n, unnest(list_transform(range(length(tok) - 1),
+                 i -> {{'a': tok[i+1:i+1], 'b': tok[i+2:i+2]}})) AS p
+            FROM sym) GROUP BY 1, 2),
+    best AS (SELECT a, b, cnt FROM pair_counts
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    merged AS (
+      SELECT sum(sym.n * (
+        list_reduce(
+          list_prepend(0, list_transform(
+            range(len(s) - 1),
+            i -> CASE WHEN s[i+1] = best.a AND s[i+2] = best.b
+                      THEN 1 ELSE 0 END)),
+          (acc, m) -> CASE WHEN m = 1 AND acc % 2 = 0
+                           THEN acc + 3
+                           ELSE acc - acc % 2 END) // 2
+      )) AS n_merges
+      FROM sym, best),
+    tot AS (SELECT sum(n * length(tok)) AS total_symbols FROM vocab)
+    SELECT best.a AS pair_a, best.b AS pair_b,
+           CAST(best.cnt AS BIGINT) AS pair_count,
+           CAST(merged.n_merges AS BIGINT) AS n_merges,
+           CAST(tot.total_symbols - merged.n_merges AS BIGINT)
+             AS symbols_after_merge
+    FROM best, merged, tot
+    """)
+def vocab_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE byte-pair-encoding training step over the corpus vocabulary
+    — the inner loop of tokenizer training, integer-exact end-to-end:
+    (1) adjacent character-pair frequencies weighted by token counts
+    (overlapping, textbook get_stats), (2) the argmax pair under a
+    total order, (3) the number of GREEDY non-overlapping merges that
+    pair admits (the textbook replace count — 'aaa' merges once), via
+    a fold whose accumulator packs (count, last-position-used) into
+    one integer so both engines' first-element-seeded list folds can
+    run it, and (4) the corpus symbol count after the merge.
+
+    Distributed shape: vocab is one token-count aggregation; all pair
+    math is map-side array algebra over the DISTINCT-token frame
+    (vocabulary-sized, not corpus-sized — the reason BPE training
+    scales); the argmax is a 1-row broadcast back."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    vocab = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                      .alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)))
+    sym = (vocab.filter(F.length("tok") >= 2)
+           .select("tok", "n", chars.alias("s")))
+    pairs = (sym.select(
+        "n",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.struct(F.element_at("s", i).alias("a"),
+                               F.element_at("s", i + 1).alias("b"))))
+        .alias("p"))
+        .groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt")))
+    best = (pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+            .select(F.col("a").alias("ba"), F.col("b").alias("bb"),
+                    F.col("cnt").alias("pair_count")))
+    matches = F.transform(
+        F.sequence(F.lit(1), F.size("s") - 1),
+        lambda i: F.when((F.element_at("s", i) == F.col("ba"))
+                         & (F.element_at("s", i + 1) == F.col("bb")),
+                         F.lit(1)).otherwise(F.lit(0)))
+    greedy = (F.aggregate(
+        matches, F.lit(0),
+        lambda acc, m: F.when((m == 1) & (acc % 2 == 0), acc + 3)
+        .otherwise(acc - acc % 2)) / 2).cast("long")
+    merged = (sym.crossJoin(F.broadcast(best))
+              .select((F.col("n") * greedy).alias("m"),
+                      "ba", "bb", "pair_count")
+              .groupBy("ba", "bb", "pair_count")
+              .agg(F.sum("m").alias("n_merges")))
+    tot = vocab.agg(
+        F.sum(F.col("n") * F.length("tok")).alias("total_symbols"))
+    return (merged.crossJoin(F.broadcast(tot))
+            .select(F.col("ba").alias("pair_a"),
+                    F.col("bb").alias("pair_b"),
+                    F.col("pair_count").cast("long").alias("pair_count"),
+                    F.col("n_merges").cast("long").alias("n_merges"),
+                    (F.col("total_symbols") - F.col("n_merges"))
+                    .cast("long").alias("symbols_after_merge")))
+
+
+@register(
     "sim_kmeans_assign",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -183,3 +183,24 @@ def test_countmin_estimates_dominate_truth(spark):
     out = E.queries()["sketch_countmin_freq"](
         spark, "/root/testdata/sf0.001").collect()
     assert out and all(r.est_n >= r.true_n for r in out)
+
+
+def test_bpe_greedy_merge_counts_nonoverlapping(spark):
+    """'aaaa' admits 2 greedy (a,a) merges, 'aaa' only 1 — the
+    non-overlap fold must match textbook BPE replace semantics."""
+    import pandas as pd
+    import pmc_conversion_spark.queries.llmdata as L
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["aaaa aaa aa xy"]}))
+    orig = L._docs
+    L._docs = lambda s, sf: df
+    try:
+        from pmc_conversion_spark.queries import REGISTRY
+        r = REGISTRY["vocab_bpe_merge_step"].fn(
+            spark, "ignored").collect()[0]
+    finally:
+        L._docs = orig
+    assert (r.pair_a, r.pair_b) == ("a", "a")
+    assert r.pair_count == 3 + 2 + 1        # overlapping stats
+    assert r.n_merges == 2 + 1 + 1          # greedy non-overlapping
+    assert r.symbols_after_merge == (4 + 3 + 2 + 2) - 4
