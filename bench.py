@@ -49,6 +49,11 @@ HEADLINE = [
     "pipeline_corpus_mix",
     "pack_sequences",
     "transmart_observation_fact",
+    "dedup_containment",
+    "dedup_passage_exact",
+    "text_cooccurrence_pmi",
+    "sim_kmeans_assign",
+    "vocab_bpe_merge_step",
 ]
 
 
