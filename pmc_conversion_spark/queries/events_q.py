@@ -117,6 +117,49 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_funnel_detect",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_type, 1) OVER w AS t1,
+             lag(ts, 2) OVER w AS ts2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+           (epoch_us(ts) - epoch_us(ts2)) // 60000000 AS funnel_minutes
+    FROM seq
+    WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'click'
+    """)
+def stream_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE shape
+    Spark lacks): purchases immediately preceded by two clicks, the
+    conversion funnel, with the funnel duration reported. Expressed as lag-chains over ONE per-user window (single
+    shuffle, deterministic (ts, event_id) order); no self-joins, no
+    per-user collect. The same window serves any fixed-length pattern;
+    variable-length patterns graduate to the sessionizer."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.withColumn("t1", F.lag("event_type", 1).over(w))
+           .withColumn("t2", F.lag("event_type", 2).over(w))
+           .withColumn("ts2", F.lag("ts", 2).over(w)))
+    return (seq.filter((F.col("event_type") == "purchase")
+                       & (F.col("t1") == "click")
+                       & (F.col("t2") == "click"))
+            .select("user_id",
+                    F.col("event_id").alias("purchase_event_id"),
+                    F.col("ts").alias("purchase_ts"),
+                    # exact epoch-us floor-div on both engines: DuckDB
+                    # date_diff counts boundary CROSSINGS, Spark
+                    # timestampdiff counts full durations — neither
+                    # matches the other at sub-unit precision
+                    F.expr("(unix_micros(cast(ts as timestamp)) - "
+                           "unix_micros(cast(ts2 as timestamp))) "
+                           "div 60000000").alias("funnel_minutes")))
+
+
+@register(
     "stream_watermark_dropped",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL '7 days' AS cutoff FROM events)
