@@ -429,3 +429,52 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("quote", '"').option("escape", '"')
             .schema("id int, payload string")
             .csv(d))
+
+
+#: nested-JSON fixture: struct field, string array, array of structs —
+#: written verbatim, so the reader handles real nesting, not a flat row
+_JSON_NESTED_LINES = [
+    '{"id": 1, "meta": {"lang": "en", "tags": ["a", "b"]},'
+    ' "spans": [{"s": 0, "e": 5}, {"s": 6, "e": 9}]}',
+    '{"id": 2, "meta": {"lang": "nl", "tags": []},'
+    ' "spans": [{"s": 2, "e": 3}]}',
+    '{"id": 3, "meta": {"lang": "en", "tags": ["c"]}, "spans": []}',
+    '{"id": 4, "meta": {"tags": ["d"]},'
+    ' "spans": [{"s": 1}]}',  # missing lang + missing e -> nulls
+]
+
+
+@register(
+    "scan_json_nested",
+    oracle="""
+    SELECT 1 AS id, 'en' AS lang, 2 AS n_tags, 0 AS span_s, 5 AS span_e
+    UNION ALL SELECT 1, 'en', 2, 6, 9
+    UNION ALL SELECT 2, 'nl', 0, 2, 3
+    UNION ALL SELECT 3, 'en', 1, NULL, NULL
+    UNION ALL SELECT 4, NULL, 1, 1, NULL
+    """)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: declared struct/array schemas (never
+    inference — schema-on-config like everything else), dot-path
+    projection through structs, outer-explode of struct arrays (rows
+    with empty arrays survive with nulls), and absent-field tolerance
+    (missing keys and partial inner structs read as null, not as a
+    parse failure). The flatten is map-side only; column pruning
+    reaches into the nested schema so unused branches are never
+    decoded."""
+    d = _scratch("scan_json_nested")
+    with open(os.path.join(d, "data.jsonl"), "w") as f:
+        f.write("\n".join(_JSON_NESTED_LINES) + "\n")
+    schema = ("id long, meta struct<lang: string, tags: array<string>>, "
+              "spans array<struct<s: long, e: long>>")
+    df = spark.read.schema(schema).json(d)
+    return (df.select(
+        "id",
+        F.col("meta.lang").alias("lang"),
+        F.size(F.coalesce(F.col("meta.tags"),
+                          F.expr("CAST(array() AS array<string>)")))
+        .cast("int").alias("n_tags"),
+        F.explode_outer("spans").alias("sp"))
+        .select("id", "lang", "n_tags",
+                F.col("sp.s").cast("int").alias("span_s"),
+                F.col("sp.e").cast("int").alias("span_e")))
