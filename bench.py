@@ -22,8 +22,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: run. Min-of-N measures the engine, not the hypervisor: every repeat
 #: re-executes the full plan (no Spark-side result cache — only the
 #: JIT/footer warmup below is shared, as it would be on a long-lived
-#: cluster).
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+#: cluster). N=5: a measured r3 steal spike poisoned all 3 repeats of
+#: one query (flagship 6.6 s recorded vs 1.0 s min-of-5 re-measured),
+#: so 3 is not enough insulation on this host.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
 # Headline queries: the flagship EAV pipeline + representative heavy
 # operators (joins, windows, event-time) + the LLM-data north-star ops

@@ -85,5 +85,6 @@ def _load_modules() -> None:
         reference_e2e,
         storage,
         quality,
+        analytics,
     )
     _LOADED = True

@@ -1,0 +1,416 @@
+"""Registry: graph analytics, mergeable set sketches, skyline and
+record-linkage operators — the analytics round-out a 100 TB warehouse
+needs beyond plain relational algebra.
+
+Graph fixtures derive from the supplier CO-ORDER graph (two suppliers
+are adjacent iff they ship lines of the same order) — a real
+many-to-many structure the TPC-H-ish tables already contain, standing
+in for the doc-similarity graphs the dedup family builds
+(``dedup_cluster_cc``). The reference pipeline has no graph surface;
+these extend the engine the way SURVEY.md §2's "training-data
+pipeline" mandate extends dedup/ANN.
+
+Scale notes (100 TB):
+- triangle counting uses DEGREE orientation (count each triangle at
+  its lowest-degree apex), the standard bound that caps wedge
+  generation at O(m^1.5) instead of sum-of-squares-of-hub-degrees;
+- pagerank is join+partial-agg per iteration with the rank vector
+  broadcast (node set = dim-table-sized here; swap to a shuffle join
+  for doc-scale graphs — the iteration body is unchanged);
+- theta/KMV sketches reduce each set to a bottom-k of size 256 via
+  per-partition TakeOrdered (no full sort), so union/intersection
+  cardinality estimation over N sets moves O(k) rows per set;
+- the skyline reduces through a bounded-domain aggregate (distinct
+  p_size) before any window runs — the window never sees fact rows;
+- record linkage blocks on a (prefix, length-band) key so the
+  verify-stage levenshtein runs on candidate pairs only, never N².
+
+Float policy: doubles compared across engines are rounded to ≤6
+decimals; any SUM over doubles goes through round→DECIMAL so the
+result is independent of partitioning/accumulation order (same policy
+as events_q.py / llmdata.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.functions.dedup import md5_int60
+from pmc_conversion_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# ------------------------------------------------- supplier co-order graph
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge list (u < v) of suppliers sharing an order.
+
+    One self-equi-join on l_orderkey over the DISTINCT (order,supplier)
+    projection: the shuffle key is the order key, so co-partitioned
+    lineitem scans build edges without moving supplier payloads; the
+    final distinct dedups parallel edges."""
+    el = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
+    a = el.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("u"))
+    b = el.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("v"))
+    return (a.join(b, "o")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v").distinct())
+
+
+_EDGES_SQL = """
+    el AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e AS (SELECT DISTINCT a.s AS u, b.s AS v
+          FROM el a JOIN el b ON a.o = b.o AND a.s < b.s)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e)
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+             AS n_triangles
+    """)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the supplier co-order graph.
+
+    Engine plan: orient every edge from its (degree, id)-smaller
+    endpoint to the larger, then count directed wedges u→v→w that
+    close with u→w. Orientation by a total order makes each triangle
+    count EXACTLY once, and degree-ordering bounds the wedge stage by
+    O(m^1.5) — the hub node of a skewed graph generates no wedges
+    because its edges all point INTO it. The oracle states the same
+    count with the naive id-orientation (same total, any total order).
+    """
+    e = _co_order_edges(spark, sf_dir)
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    # degree lookup is |V|-sized (dim-table scale) -> broadcast twice
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    keyed = (e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+             .select(
+                 F.when((F.col("du") < F.col("dv"))
+                        | ((F.col("du") == F.col("dv"))
+                           & (F.col("u") < F.col("v"))),
+                        F.struct(F.col("u").alias("src"),
+                                 F.col("v").alias("dst")))
+                 .otherwise(F.struct(F.col("v").alias("src"),
+                                     F.col("u").alias("dst")))
+                 .alias("o"))
+             .select("o.src", "o.dst"))
+    e1 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = keyed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    counts = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+              .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+    return counts.crossJoin(tri)
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration (DuckDB): damped sum of
+    neighbor rank/degree, decimal-summed so accumulation order can't
+    leak into the hash check."""
+    return f"""
+    {out} AS (
+      SELECT und.v AS node,
+             round(0.15 + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 12)
+                        AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+      FROM und JOIN {prev} p ON p.node = und.u
+               JOIN deg d ON d.node = und.u
+      GROUP BY und.v)
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    pr0 AS (SELECT node, 1.0::DOUBLE AS pr FROM deg),
+    {_pagerank_iter_sql('pr0', 'pr1')},
+    {_pagerank_iter_sql('pr1', 'pr2')},
+    {_pagerank_iter_sql('pr2', 'pr3')}
+    SELECT node, round(pr, 6) AS pagerank FROM pr3
+    """)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped PageRank iterations (d=0.85, uniform start) over
+    the undirected co-order graph.
+
+    Each iteration is one edge⨝rank join plus one partial-aggregable
+    groupBy on the destination — the Pregel-free DataFrame form. The
+    rank vector is |V|-sized and broadcast here; a doc-scale graph
+    swaps the broadcast for a shuffle join on `u` with the SAME
+    iteration body. Per-edge contributions are rounded and summed as
+    DECIMAL(28,12) so both engines reach bit-identical ranks
+    regardless of aggregation order (policy of text_lm_score)."""
+    e = _co_order_edges(spark, sf_dir)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        state = (pr.join(deg, "node")
+                 .select(F.col("node").alias("u"), "pr", "deg"))
+        contrib = (und.join(F.broadcast(state), "u")
+                   .select(F.col("v").alias("node"),
+                           F.round(F.col("pr") / F.col("deg"), 12)
+                           .cast("decimal(28,12)").alias("c")))
+        pr = (contrib.groupBy("node")
+              .agg(F.round(F.lit(0.15) + F.lit(0.85)
+                           * F.sum("c").cast("double"), 12).alias("pr")))
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+# ------------------------------------------------------ theta/KMV sketch
+
+_THETA_K = 256
+_H_SQL = "('0x' || substr(md5('th1:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT"
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "sketch_theta_intersect",
+    oracle=f"""
+    WITH sa AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    sb AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+    ba AS (SELECT {_H_SQL} AS h FROM sa ORDER BY h LIMIT {_THETA_K}),
+    bb AS (SELECT {_H_SQL} AS h FROM sb ORDER BY h LIMIT {_THETA_K}),
+    ta AS (SELECT CASE WHEN count(*) < {_THETA_K} THEN {1 << 60}
+                       ELSE max(h) END AS theta,
+                  count(*) AS cnt FROM ba),
+    tb AS (SELECT CASE WHEN count(*) < {_THETA_K} THEN {1 << 60}
+                       ELSE max(h) END AS theta,
+                  count(*) AS cnt FROM bb),
+    th AS (SELECT least(ta.theta, tb.theta) AS theta FROM ta, tb),
+    common AS (SELECT count(*) AS n FROM ba JOIN bb USING (h), th
+               WHERE h <= th.theta)
+    SELECT {_THETA_K} AS k,
+           round(CASE WHEN ta.cnt < {_THETA_K} THEN ta.cnt
+                      ELSE ({_THETA_K} - 1) * {_TWO60!r} / ta.theta END, 3)
+             AS est_a,
+           round(CASE WHEN tb.cnt < {_THETA_K} THEN tb.cnt
+                      ELSE ({_THETA_K} - 1) * {_TWO60!r} / tb.theta END, 3)
+             AS est_b,
+           round(common.n * {_TWO60!r} / th.theta, 3) AS est_inter,
+           (SELECT count(*) FROM sa) AS exact_a,
+           (SELECT count(*) FROM sb) AS exact_b,
+           (SELECT count(*) FROM sa JOIN sb USING (o_custkey)) AS exact_inter
+    FROM ta, tb, th, common
+    """)
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra: distinct-cardinality estimates for
+    two customer sets AND their INTERSECTION — the estimate HLL cannot
+    give (``agg_hll_mergeable`` only unions). Bottom-k (k=256) of a
+    portable 60-bit hash per set; θ = k-th smallest hash; |A| ≈
+    (k-1)/θ; A∩B ≈ |{{h ∈ botA ∩ botB : h ≤ min θ}}| / min θ. A sketch
+    that never fills (|S| < k) retains the whole set: θ snaps to the
+    hash-space max and the estimate degrades gracefully to the exact
+    retained count — the standard KMV small-set branch.
+
+    Scale: each set collapses to k rows via TakeOrdered (per-partition
+    partial bottom-k, no global sort), so estimating pairwise overlaps
+    of S sets moves O(S·k) rows — vs the full-distinct shuffle the
+    exact twin columns here need. Exact counts ride along to make the
+    error visible in the result itself."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def bottom(status: str, tag: str):
+        s = (orders.filter(F.col("o_orderstatus") == status)
+             .select("o_custkey").distinct())
+        h = s.select(md5_int60(
+            F.concat(F.lit("th1:"), F.col("o_custkey").cast("string")))
+            .alias("h"))
+        bot = h.orderBy("h").limit(_THETA_K)
+        theta = bot.agg(
+            F.when(F.count(F.lit(1)) < _THETA_K, F.lit(1 << 60))
+            .otherwise(F.max("h")).alias(f"theta_{tag}"),
+            F.count(F.lit(1)).alias(f"cnt_{tag}"))
+        n = s.agg(F.count(F.lit(1)).alias(f"exact_{tag}"))
+        return s, bot, theta, n
+
+    sa, ba, ta, na = bottom("O", "a")
+    sb, bb, tb, nb = bottom("F", "b")
+    thetas = ta.crossJoin(tb).withColumn(
+        "theta", F.least("theta_a", "theta_b"))
+    common = (ba.join(bb, "h").crossJoin(F.broadcast(thetas))
+              .filter(F.col("h") <= F.col("theta"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    exact_i = (sa.join(sb, "o_custkey")
+               .agg(F.count(F.lit(1)).alias("exact_inter")))
+    k1 = float(_THETA_K - 1)
+
+    def est(tag: str):
+        return F.round(
+            F.when(F.col(f"cnt_{tag}") < _THETA_K,
+                   F.col(f"cnt_{tag}").cast("double"))
+            .otherwise(k1 * _TWO60 / F.col(f"theta_{tag}")), 3)
+
+    return (thetas.crossJoin(common).crossJoin(na).crossJoin(nb)
+            .crossJoin(exact_i)
+            .select(F.lit(_THETA_K).alias("k"),
+                    est("a").alias("est_a"),
+                    est("b").alias("est_b"),
+                    F.round(F.col("n_common") * _TWO60 / F.col("theta"), 3)
+                    .alias("est_inter"),
+                    F.col("exact_a"), F.col("exact_b"), F.col("exact_inter")))
+
+
+# ------------------------------------------------------------- skyline
+
+@register(
+    "sql_pareto_frontier",
+    oracle="""
+    SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """)
+def sql_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size; a part survives iff no other part is ≤ price AND
+    ≥ size with one strict.
+
+    Engine plan — NO quadratic NOT EXISTS: reduce to min-price per
+    distinct size (partial-aggregable, bounded by the size domain),
+    take the strictly-larger-size running min over that ~50-row
+    aggregate (the only window, bounded-domain by construction), then
+    broadcast the surviving sizes back onto the fact scan. The oracle
+    states the O(N²) textbook definition; the engine computes the same
+    set in one scan + one dim-sized window."""
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey", "p_size", "p_retailprice"))
+    m = p.groupBy("p_size").agg(F.min("p_retailprice").alias("mp"))
+    w = (Window.orderBy(F.col("p_size").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    keep = (m.withColumn("better", F.min("mp").over(w))
+            .filter(F.col("better").isNull()
+                    | (F.col("better") > F.col("mp")))
+            .select("p_size", "mp"))
+    return (p.join(F.broadcast(keep), "p_size")
+            .filter(F.col("p_retailprice") == F.col("mp"))
+            .select("p_partkey", "p_size",
+                    F.round("p_retailprice", 2).alias("price")))
+
+
+# ------------------------------------------------------- record linkage
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH clean AS (SELECT doc_id AS clean_id,
+                          substr(text, 1, 24) AS name FROM documents),
+    dirty AS (
+      SELECT doc_id AS dirty_id,
+             CASE doc_id % 3
+               WHEN 0 THEN substr(name, 1, 9) || substr(name, 11)
+               WHEN 1 THEN substr(name, 1, 4) || 'x' || substr(name, 6)
+               ELSE name END AS name
+      FROM (SELECT doc_id, substr(text, 1, 24) AS name FROM documents)),
+    cand AS (
+      SELECT d.dirty_id, c.clean_id,
+             levenshtein(d.name, c.name) AS dist
+      FROM dirty d JOIN clean c
+        ON substr(d.name, 1, 4) = substr(c.name, 1, 4)
+       AND abs(length(d.name) - length(c.name)) <= 2),
+    hits AS (SELECT * FROM cand WHERE dist <= 2)
+    SELECT dirty_id,
+           min(struct_pack(dist := dist, clean_id := clean_id)).clean_id
+             AS clean_id,
+           min(struct_pack(dist := dist, clean_id := clean_id)).dist
+             AS dist
+    FROM hits GROUP BY dirty_id
+    """)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (fuzzy join) with blocking: a 'dirty' feed of
+    24-char document titles — one deterministic typo per
+    doc_id-class (char deleted at 10 / replaced at 5 / unchanged) —
+    is matched back to the clean master by edit distance ≤ 2.
+
+    The blocking key (4-char prefix, ±2 length band) turns the N²
+    verify into per-block candidate pairs; levenshtein runs only on
+    candidates and is a JVM built-in (no Python). Best match per dirty
+    record via a total-ordered struct-min (ties break on the lower
+    clean id), so the result is deterministic even when two masters
+    tie at the same distance."""
+    d0 = (_t(spark, sf_dir, "documents")
+          .select("doc_id", F.substring("text", 1, 24).alias("name")))
+    clean = d0.select(F.col("doc_id").alias("clean_id"), "name")
+    dirty = d0.select(
+        F.col("doc_id").alias("dirty_id"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.substring("name", 1, 9),
+                        F.expr("substring(name, 11)")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.substring("name", 1, 4), F.lit("x"),
+                       F.expr("substring(name, 6)")))
+        .otherwise(F.col("name")).alias("name"))
+    c = clean.withColumn("blk", F.substring("name", 1, 4))
+    d = dirty.withColumn("blk", F.substring("name", 1, 4))
+    cand = (d.join(c.withColumnRenamed("name", "cname"), "blk")
+            .filter(F.abs(F.length("name") - F.length("cname")) <= 2)
+            .select("dirty_id", "clean_id",
+                    F.levenshtein("name", "cname").alias("dist")))
+    best = (cand.filter(F.col("dist") <= 2)
+            .groupBy("dirty_id")
+            .agg(F.min(F.struct("dist", "clean_id")).alias("m"))
+            .select("dirty_id", F.col("m.clean_id").alias("clean_id"),
+                    F.col("m.dist").alias("dist")))
+    return best
+
+
+# ------------------------------------------- time-range window frames
+
+@register(
+    "win_frame_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w
+                 AS DOUBLE), 6) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """)
+def win_frame_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE frame per user: for every event, the
+    count and value-sum of that user's events in the preceding hour
+    (inclusive). Unlike ``win_frame_rows`` the frame is defined by
+    event-TIME distance, so ties and bursts are handled by value
+    range, not row position — the standard sessionless 'rate over
+    trailing window' primitive.
+
+    Partitioned by user_id (the natural shuffle key; no global
+    window), ordered by epoch seconds with rangeBetween(-3600, 0).
+    Both engines floor ts to whole seconds and decimal-sum the
+    rounded values, so frame membership and sums are exact. (NTZ
+    cannot cast straight to long; the session tz is pinned UTC, so
+    NTZ→TIMESTAMP→long equals DuckDB's epoch of the naive value.)"""
+    e = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (Window.partitionBy("user_id")
+         .orderBy(secs)
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(F.round("value", 6).cast("decimal(18,6)")).over(w)
+                .cast("double"), 6).alias("sum_1h"))

@@ -1,0 +1,151 @@
+"""Graph analytics, theta sketches, skyline, fuzzy linkage: unit
+semantics and scale-shape invariants the DuckDB oracles can't isolate
+(orientation correctness on adversarial graphs, estimator error
+bounds, dominance law, blocking recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmc_conversion_spark.queries import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return queries()[name]
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangle_count_matches_naive_on_known_graph(spark, fixture_df):
+    # K4 plus a pendant: C(4,3)=4 triangles; pendant adds none.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    from pmc_conversion_spark.queries import analytics as A
+    e = fixture_df(edges, "u bigint, v bigint")
+    # replicate the oriented-wedge count on a raw edge DF by reusing
+    # the registered query's internals shape: degree-orient, wedge,
+    # close. (The registered query is bound to the lineitem fixture;
+    # here we exercise the orientation math on an adversarial graph —
+    # hub node 4 has max degree and must generate no wedges.)
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    keyed = (e.join(du, "u").join(dv, "v")
+             .select(F.when((F.col("du") < F.col("dv"))
+                            | ((F.col("du") == F.col("dv"))
+                               & (F.col("u") < F.col("v"))),
+                            F.struct(F.col("u").alias("src"),
+                                     F.col("v").alias("dst")))
+                     .otherwise(F.struct(F.col("v").alias("src"),
+                                         F.col("u").alias("dst")))
+                     .alias("o"))
+             .select("o.src", "o.dst"))
+    e1 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = keyed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    assert e1.join(e2, "b").join(e3, ["a", "c"]).count() == 4
+
+
+def test_triangle_registered_query_consistent(spark):
+    row = _q("graph_triangle_count")(spark, SF_DIR).collect()[0]
+    assert row.n_nodes > 0 and row.n_edges > 0
+    # triangles bounded by C(n_edges over wedges) sanity: every
+    # triangle needs 3 edges
+    assert row.n_triangles <= row.n_edges * row.n_nodes
+
+
+# ------------------------------------------------------------- pagerank
+
+def test_pagerank_mass_and_determinism(spark):
+    out = _q("graph_pagerank")(spark, SF_DIR)
+    rows = out.collect()
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    # damped PR over a connected-ish graph: total mass stays near n
+    # (exactly n at the fixpoint when every node has outlinks)
+    assert abs(total - n) / n < 0.05
+    assert all(r.pagerank > 0.14 for r in rows)
+    # determinism across partitioning: same values on a repartitioned
+    # second run (decimal-summed contributions)
+    rows2 = _q("graph_pagerank")(spark, SF_DIR).collect()
+    assert {(r.node, r.pagerank) for r in rows} == \
+        {(r.node, r.pagerank) for r in rows2}
+
+
+# ---------------------------------------------------------- theta sketch
+
+def test_theta_estimates_within_kmv_error(spark):
+    row = _q("sketch_theta_intersect")(spark, SF_DIR).collect()[0]
+    # KMV with k=256: relative standard error ~ 1/sqrt(k-2) ≈ 6.3%;
+    # assert 5 sigma. Sets smaller than k are estimated near-exactly.
+    for est, exact in [(row.est_a, row.exact_a), (row.est_b, row.exact_b)]:
+        assert exact > 0
+        assert abs(est - exact) / exact < 0.32
+    assert row.est_inter >= 0
+    if row.exact_inter > 50:
+        assert abs(row.est_inter - row.exact_inter) / row.exact_inter < 0.5
+
+
+# -------------------------------------------------------------- skyline
+
+def test_pareto_frontier_dominance_law(spark):
+    from pmc_conversion_spark import tables
+    got = {(r.p_partkey, r.p_size, r.price)
+           for r in _q("sql_pareto_frontier")(spark, SF_DIR).collect()}
+    parts = [(r.p_partkey, r.p_size, round(r.p_retailprice, 2))
+             for r in tables.load(spark, SF_DIR, "part")
+             .select("p_partkey", "p_size", "p_retailprice").collect()]
+
+    def dominated(p):
+        _, s, pr = p
+        return any((qs >= s and qp <= pr and (qs > s or qp < pr))
+                   for _, qs, qp in parts)
+
+    expect = {p for p in parts if not dominated(p)}
+    assert got == expect and got
+
+
+# ------------------------------------------------------- fuzzy linkage
+
+def test_fuzzy_blocked_links_recover_self(spark):
+    out = _q("join_fuzzy_blocked")(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # every dirty record's true master is itself; blocking must keep
+    # recall at 100% for these perturbations (prefix+length preserved)
+    by_id = {r.dirty_id: r for r in rows}
+    docs = _q("text_fingerprint")(spark, SF_DIR).count()
+    assert len(by_id) == docs
+    self_hits = sum(1 for r in rows if r.clean_id == r.dirty_id)
+    # ties on short titles may prefer a lower-id equal-distance master,
+    # but the overwhelming majority must link to themselves
+    assert self_hits >= 0.9 * len(rows)
+    assert all(r.dist <= 2 for r in rows)
+
+
+# ------------------------------------------------- range-time window
+
+def test_range_frame_counts_trailing_hour_only(spark, fixture_df):
+    rows = [(1, 100, "2024-01-01 10:00:00", 1.0),
+            (2, 100, "2024-01-01 10:30:00", 2.0),
+            (3, 100, "2024-01-01 11:30:00", 4.0),   # 10:00 falls out
+            (4, 200, "2024-01-01 10:30:00", 8.0)]   # other user
+    e = fixture_df(rows, "event_id bigint, user_id bigint, s string, value double") \
+        .select("event_id", "user_id",
+                F.to_timestamp("s").cast("timestamp_ntz").alias("ts"),
+                "value", F.lit("x").alias("event_type"),
+                F.lit("{}").alias("props"))
+    import pmc_conversion_spark.tables as T
+    orig = T.load
+    try:
+        T.load = lambda spark, sf, name, _e=e: _e if name == "events" \
+            else orig(spark, sf, name)
+        got = {r.event_id: (r.n_1h, r.sum_1h)
+               for r in _q("win_frame_range_time")(spark, SF_DIR).collect()}
+    finally:
+        T.load = orig
+    assert got == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 4: (1, 8.0)}
