@@ -13,7 +13,7 @@ pytest suite asserts containment/recall against the exact operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark import tables
@@ -2082,3 +2082,159 @@ def pipeline_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mixed.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("ntok").alias("train_tokens")))
+
+
+# ------------------------------------------- retrieval / index building
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, tok, tf,
+           round(tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS tfidf
+    FROM tf JOIN dfq USING (tok), n
+    ORDER BY tfidf DESC, doc_id, tok LIMIT 100
+    """)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting, top-100 (doc, term) cells — the lexical
+    half of a retrieval stack (the ANN family is the dense half).
+
+    One explode → (doc, term) partial-aggregable count; document
+    frequencies are a second partial agg over the tf keys whose result
+    is vocabulary-sized and broadcast back — document text is read
+    once and never shuffled. ln() runs on exact integer ratios so both
+    engines emit identical doubles; top-100 by a total order
+    (score desc, doc_id, term)."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id",
+                 F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(F.broadcast(dfq), "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", "tok", "tf",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n").cast("double")
+                                      / F.col("df")), 6).alias("tfidf")))
+    return scored.orderBy(F.col("tfidf").desc(), "doc_id", "tok").limit(100)
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+               FROM documents),
+    g AS (SELECT tok, count(*) AS df,
+                 array_to_string(list_sort(list(doc_id))[1:20], ',')
+                   AS postings
+          FROM t GROUP BY tok)
+    SELECT tok, df, postings FROM g
+    WHERE df >= 5 ORDER BY df DESC, tok LIMIT 200
+    """)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document frequency + the
+    first 20 postings (sorted doc ids, comma-joined) for the 200
+    highest-df terms.
+
+    The posting-list agg is the classic index-build shuffle: distinct
+    (term, doc) pairs partial-aggregate by term; the stored slice caps
+    per-term state so a stopword's posting row stays bounded (full
+    lists would re-create the hot-shingle skew dedup_ngram_jaccard
+    guards against). Emitted as a string column because the driver
+    canonicalizer cannot hash top-level arrays."""
+    d = _docs(spark, sf_dir)
+    t = (d.select("doc_id",
+                  F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                  .alias("tok"))
+         .distinct())
+    g = (t.groupBy("tok")
+         .agg(F.count(F.lit(1)).alias("df"),
+              F.array_join(
+                  F.transform(
+                      F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                      lambda x: x.cast("string")), ",").alias("postings")))
+    return (g.filter(F.col("df") >= 5)
+            .orderBy(F.col("df").desc(), "tok").limit(200))
+
+
+# ------------------------------------------- leakage-safe dataset split
+
+_KEY_BUCKET_SQL = ("(('0x' || substr(md5('v1:' || CAST({e} AS VARCHAR)), "
+                   "1, 15))::BIGINT % 10000)")
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES.strip()}
+    SELECT d.doc_id,
+           coalesce(cc.component, d.doc_id) AS split_key,
+           CASE WHEN {_KEY_BUCKET_SQL.format(e='coalesce(cc.component, d.doc_id)')} < 8000 THEN 'train'
+                WHEN {_KEY_BUCKET_SQL.format(e='coalesce(cc.component, d.doc_id)')} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    """)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a
+    near-duplicate cluster lands in the SAME split, so a test document
+    can never have a near-copy in train — the leakage mode a plain
+    per-doc hash split (``split_train_val_test``) cannot prevent.
+
+    Composition of the dedup family: jaccard pair graph → connected
+    components → split decided by the salted hash of the CLUSTER
+    representative (component id; singletons fall back to their own
+    id). The split stays a pure function of (cluster, salt):
+    deterministic under re-runs and repartitioning, and consistent
+    with the per-doc splitter for every singleton."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    from pmc_conversion_spark.functions.sampling import split_assign
+    d = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(d, threshold_num=1, threshold_den=20,
+                                   max_posting=DD.MAX_POSTING_DEFAULT)
+    cc = (connected_components(pairs, src="doc_a", dst="doc_b")
+          .select(F.col("node").alias("doc_id"), "component"))
+    keyed = (d.select("doc_id").join(cc, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("component", "doc_id").alias("split_key")))
+    return split_assign(keyed, "split_key",
+                        [("train", .8), ("val", .1), ("test", .1)],
+                        salt="v1")
+
+
+# ---------------------------------------- budget-capped corpus selection
+
+@register(
+    "pipeline_token_budget_select",
+    oracle=f"""
+    WITH f AS (SELECT source, doc_id, len({_TOKS}) AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY n_tokens DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM f)
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: per source, greedily keep the
+    highest-value documents until an 800-token budget fills — how a
+    mixture recipe's per-domain token quota actually gets materialized
+    (the knapsack-greedy standard: sort by value, cumulative-sum, cut).
+
+    One window partitioned by source (the natural key; skewed sources
+    are bounded by the budget itself — the cumsum can stop feeding
+    selection after ~budget/min_doc_len rows, and a two-phase
+    per-bucket presum drops in if a single source must scale past one
+    task). Integer token counts make the cut exact on both engines."""
+    d = _docs(spark, sf_dir)
+    f = d.select("source", "doc_id",
+                 TX.token_count_ws(F.lower(F.col("text"))).alias("n_tokens"))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("n_tokens").desc(), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = f.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") <= 800)

@@ -149,3 +149,54 @@ def test_range_frame_counts_trailing_hour_only(spark, fixture_df):
     finally:
         T.load = orig
     assert got == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 4: (1, 8.0)}
+
+
+# ------------------------------------- retrieval / index / splits ops
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    rows = _q("text_tfidf_topk")(spark, SF_DIR).collect()
+    assert len(rows) == 100
+    assert all(r.tfidf >= 0 for r in rows)
+    # descending by score with deterministic tie-break
+    scores = [r.tfidf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_inverted_index_postings_sorted_capped(spark):
+    rows = _q("text_inverted_index")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, 20)
+        assert r.df >= 5
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    out = _q("split_leakage_safe")(spark, SF_DIR).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    # every cluster (shared split_key) must sit in exactly one split
+    assert all(len(s) == 1 for s in by_key.values())
+    # singletons must agree with the per-doc splitter (same hash+salt)
+    plain = {r.doc_id: r.split
+             for r in _q("split_train_val_test")(spark, SF_DIR).collect()}
+    for r in out:
+        if r.split_key == r.doc_id:   # representative or singleton
+            assert r.split == plain[r.doc_id]
+
+
+def test_token_budget_select_is_greedy_prefix(spark):
+    rows = _q("pipeline_token_budget_select")(spark, SF_DIR).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, sel in by_src.items():
+        sel.sort(key=lambda r: (-r.n_tokens, r.doc_id))
+        cum = 0
+        for r in sel:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        assert cum <= 800
