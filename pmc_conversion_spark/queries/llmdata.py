@@ -2238,3 +2238,34 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = f.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return c.filter(F.col("cum_tokens") <= 800)
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_COSINE_PAIRS_SQL.strip()}),
+    und AS (SELECT id_a AS u, id_b AS v FROM p
+            UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) n
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node
+    ),
+    cc AS (SELECT node AS vec_id, min(r) AS component
+           FROM reach GROUP BY node)
+    SELECT vec_id, component FROM cc
+    """)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: connected components over the
+    embedding-cosine near-dup graph (cos >= 0.45) — the dense-vector
+    twin of ``dedup_cluster_cc``'s lexical clusters, and the grouping
+    SemDeDup-style corpus pruning keys on. Pair generation is the
+    blocked-matmul plan (no all-pairs materialization); clustering is
+    the same O(log n) large-star/small-star loop, so the composite
+    inherits both scale paths unchanged. ``component`` is the
+    cluster's minimum vec_id on both engines."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_blocked(emb, threshold=0.45)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("vec_id"), "component")

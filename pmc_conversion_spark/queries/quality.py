@@ -336,3 +336,42 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")) / (F.col("n") - 1))
     return (j.filter(F.abs(x - mean) > 1.5 * F.sqrt(var))
             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+_MARKET_SHARE_SQL = """
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN s_nation = 'NATION_5'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         ns.n_name AS s_nation
+  FROM lineitem l
+  JOIN orders o    ON o.o_orderkey  = l.l_orderkey
+  JOIN part p      ON p.p_partkey   = l.l_partkey
+  JOIN customer c  ON c.c_custkey   = o.o_custkey
+  JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+  JOIN region r    ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+  JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+) v
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("sql_market_share", oracle=_MARKET_SHARE_SQL)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped pure-SQL entry: one nation's share of ECONOMY-part
+    revenue among ASIA-customer orders, by order year — EIGHT tables
+    with the nation dimension joined TWICE under different roles
+    (customer's nation filters through region; supplier's nation only
+    labels). The conditional-share aggregate runs over exact decimal
+    volumes, so the double division is engine-identical after
+    rounding. Catalyst broadcasts every dimension and shuffles
+    lineitem once into the year agg; same text, two engines."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_MARKET_SHARE_SQL)
