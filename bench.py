@@ -56,6 +56,13 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "sim_kmeans_assign",
     "vocab_bpe_merge_step",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "sketch_theta_intersect",
+    "text_tfidf_topk",
+    "dedup_semantic_cluster",
+    "split_leakage_safe",
+    "sql_market_share",
 ]
 
 

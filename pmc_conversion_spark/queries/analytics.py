@@ -47,26 +47,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ------------------------------------------------- supplier co-order graph
 
+#: minimum co-occurrences for an edge. The raw co-order graph's
+#: density is scale-dependent (expected co-occurrences per supplier
+#: pair ~ orders/pairs, which swings 200→2 from sf0.001→sf0.1);
+#: unthresholded it approaches a complete graph at small SF and a
+#: dense one at sf0.1, where wedge generation blows up (measured
+#: 22 s at sf0.1). Thresholding to REPEATED partnerships is both the
+#: semantically meaningful graph and the density control.
+_EDGE_MIN_ORDERS = 5
+
+
 def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected edge list (u < v) of suppliers sharing an order.
+    """Undirected edge list (u < v) of suppliers sharing at least
+    ``_EDGE_MIN_ORDERS`` distinct orders.
 
     One self-equi-join on l_orderkey over the DISTINCT (order,supplier)
     projection: the shuffle key is the order key, so co-partitioned
     lineitem scans build edges without moving supplier payloads; the
-    final distinct dedups parallel edges."""
+    co-occurrence count is a partial-aggregable groupBy on (u, v)."""
     el = (_t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey").distinct())
     a = el.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("u"))
     b = el.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("v"))
-    return (a.join(b, "o")
-            .filter(F.col("u") < F.col("v"))
-            .select("u", "v").distinct())
+    e = (a.join(b, "o")
+         .filter(F.col("u") < F.col("v"))
+         .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_orders"))
+         .filter(F.col("n_orders") >= _EDGE_MIN_ORDERS)
+         .select("u", "v"))
+    # Both graph ops reference the edge list from several branches
+    # (three wedge roles / one per PR iteration); truncate lineage so
+    # the lineitem self-join runs ONCE, not once per branch — the same
+    # localCheckpoint pattern functions/graph.py uses per CC round.
+    return e.localCheckpoint(eager=True)
 
 
-_EDGES_SQL = """
+_EDGES_SQL = f"""
     el AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
-    e AS (SELECT DISTINCT a.s AS u, b.s AS v
-          FROM el a JOIN el b ON a.o = b.o AND a.s < b.s)
+    e AS (SELECT a.s AS u, b.s AS v
+          FROM el a JOIN el b ON a.o = b.o AND a.s < b.s
+          GROUP BY 1, 2 HAVING count(*) >= {_EDGE_MIN_ORDERS})
 """
 
 
