@@ -437,3 +437,154 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(0)).alias("n_events"),
                     F.last("lastv", ignorenulls=True).over(w)
                     .alias("value_ffill")))
+
+
+@register(
+    "ts_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ), f AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ), isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM f
+    )
+    SELECT user_id, island,
+           min(s) AS start_s, max(e) AS end_s,
+           max(e) - min(s) AS covered_s,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, island
+    """)
+def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge overlapping intervals): every event opens
+    a 10-minute activity interval; touching/overlapping intervals per
+    user merge into maximal islands with coverage seconds — the
+    classic uptime/exposure primitive a point-event sessionizer
+    (``win_sessionize_batch``) can't express, because membership
+    depends on the RUNNING MAX of interval ends, not the previous
+    event's gap.
+
+    Plan: two windows + the closing agg, all partitioned on user_id —
+    one shuffle total, no self-join (the naive formulation is an
+    O(N²) interval self-join). Epoch-second integers keep both
+    engines' island boundaries exact."""
+    e = _events(spark, sf_dir)
+    s = F.col("ts").cast("timestamp").cast("long")
+    iv = e.select("user_id", "event_id", s.alias("s"),
+                  (s + 600).alias("e"))
+    w_order = (Window.partitionBy("user_id").orderBy("s", "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    m = iv.withColumn("prev_max_e", F.max("e").over(w_order))
+    f = m.withColumn(
+        "is_new",
+        F.when(F.col("prev_max_e").isNull()
+               | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0))
+    w_cum = (Window.partitionBy("user_id").orderBy("s", "e")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    isl = f.withColumn("island", F.sum("is_new").over(w_cum))
+    return (isl.groupBy("user_id", "island")
+            .agg(F.min("s").alias("start_s"), F.max("e").alias("end_s"),
+                 (F.max("e") - F.min("s")).alias("covered_s"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "stream_left_outer_interval",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.p_event_id, p.p_ts, c.c_event_id, c.c_ts
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
+       AND c.c_ts <= p.p_ts
+    """)
+def stream_left_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER interval join: every purchase with its
+    preceding-hour clicks, AND purchases with no such click as
+    null-padded rows — the batch semantics of the watermarked
+    left-outer stream-stream join (Spark emits the null row once the
+    watermark passes p_ts; here the batch fixpoint). The inner twin is
+    ``stream_stream_join``; outer-ness is what state cleanup actually
+    has to get right in production, so it deserves its own gate.
+    Equality key keeps the plan a hash join, the time band prunes
+    within it."""
+    e = _events(spark, sf_dir)
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_event_id"),
+                     F.col("ts").alias("p_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("event_id").alias("c_event_id"),
+                      F.col("ts").alias("c_ts")))
+    cond = ((purch.user_id == clicks.c_user_id)
+            & (clicks.c_ts >= purch.p_ts - F.expr("INTERVAL 1 HOUR"))
+            & (clicks.c_ts <= purch.p_ts))
+    return (purch.join(clicks, cond, "left")
+            .select("user_id", "p_event_id", "p_ts", "c_event_id", "c_ts"))
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), g AS (
+      SELECT event_type, sec,
+             sec - lag(sec) OVER (PARTITION BY event_type
+                                  ORDER BY sec, event_id) AS gap_s,
+             max(sec) OVER (PARTITION BY event_type) AS last_s
+      FROM s
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           max(sec) AS last_s,
+           max(gap_s) AS max_gap_s,
+           CAST(sum(CASE WHEN sec >= last_s - 3600 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_last_hour
+    FROM g GROUP BY event_type
+    """)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-freshness audit per event type: arrival count, last
+    arrival, the WORST inter-arrival gap (the SLA killer a plain
+    max(ts) check misses — a feed can be 'fresh now' after a 6-hour
+    hole), and volume in the type's own final hour.
+
+    The reference polls for dropzone arrivals on a cron cadence
+    (luigi-pipeline, scripts/run.sh); this is that liveness check as
+    one partitioned window pass + partial agg — one shuffle on
+    event_type, integer-second arithmetic on both engines."""
+    e = _events(spark, sf_dir)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    s = e.select("event_type", "event_id", sec.alias("sec"))
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    wt = Window.partitionBy("event_type")
+    g = s.select(
+        "event_type", "sec",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap_s"),
+        F.max("sec").over(wt).alias("last_s"))
+    return (g.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("sec").alias("last_s"),
+                 F.max("gap_s").alias("max_gap_s"),
+                 F.sum(F.when(F.col("sec") >= F.col("last_s") - 3600, 1)
+                       .otherwise(0)).alias("n_last_hour")))

@@ -2269,3 +2269,47 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = SIM.embedding_near_dup_blocked(emb, threshold=0.45)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("vec_id"), "component")
+
+
+@register(
+    "text_quality_logit",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(list_filter({_TOKS},
+                 t -> list_contains(['the','and','of','to','a','in','is',
+                                     'that','for','with'], t))) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-round(
+             -2.0 + 3.0 * least(n_tokens, 200) / 200.0
+                  + 6.0 * n_stopwords / (n_tokens + 1)
+                  - 8.0 * n_punct / (n_chars + 1), 9))), 6) AS p_keep
+    FROM feats
+    """)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score: a fixed-weight logistic classifier
+    over the heuristic features (length, stopword density, punct
+    density) — the stand-in for the fasttext/linear quality filters
+    production corpora gate on (no model runtimes in this sandbox;
+    the weights are pinned so the op is oracle-exact).
+
+    Map-only JVM arithmetic, zero Python: the features come from the
+    same single-pass expressions as ``text_quality_score``; the logit
+    is rounded to 9 decimals BEFORE the sigmoid so a last-ulp exp()
+    divergence between engines cannot move the rounded output."""
+    d = _docs(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    n_tok, n_stop = feats["n_tokens"], feats["n_stopwords"]
+    n_punct, n_chars = feats["n_punct"], feats["n_chars"]
+    z = F.round(
+        F.lit(-2.0)
+        + 3.0 * F.least(n_tok, F.lit(200)) / 200.0
+        + 6.0 * n_stop / (n_tok + 1)
+        - 8.0 * n_punct / (n_chars + 1), 9)
+    return d.select("doc_id",
+                    F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("p_keep"))
