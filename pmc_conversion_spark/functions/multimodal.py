@@ -112,3 +112,41 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
                     F.explode(F.sequence(
                         F.lit(0), F.col("n_frames") - 1,
                         F.lit(every_n))).alias("frame_index")))
+
+
+def frame_energy_plan(df: DataFrame, text_col: str = "text",
+                      frame_len: int = 256, max_samples: int = 1024
+                      ) -> DataFrame:
+    """Audio-style feature extraction over a deterministic sample
+    stream: treat the first ``max_samples`` codepoints of ``text_col``
+    as PCM samples, frame them at ``frame_len``, and emit per-frame
+    energy (sum of squared samples — exact integers).
+
+    This is the REAL shape of distributed audio feature extraction —
+    Arrow-batched ``mapInPandas``, numpy vectorization inside the
+    worker, one output row per (media, frame) — with the codec
+    replaced by a deterministic synthesizer (no audio libs in this
+    container; the fixture IS the contract the decoded PCM would
+    satisfy). Integer energies make the op oracle-exact, unlike the
+    fake-decode stub whose oracle can only pin plumbing metadata."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "media_id long, frame int, energy long"
+
+    def _frames(batches):
+        for pdf in batches:
+            out_ids, out_fr, out_en = [], [], []
+            for mid, txt in zip(pdf["media_id"], pdf[text_col]):
+                s = np.fromiter((ord(c) for c in (txt or "")[:max_samples]),
+                                dtype=np.int64)
+                n_frames = len(s) // frame_len
+                for f in range(n_frames):
+                    seg = s[f * frame_len:(f + 1) * frame_len]
+                    out_ids.append(mid)
+                    out_fr.append(f)
+                    out_en.append(int(np.sum(seg * seg)))
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame": out_fr, "energy": out_en})
+
+    return df.mapInPandas(_frames, out_schema)

@@ -433,3 +433,131 @@ def win_frame_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum(F.round("value", 6).cast("decimal(18,6)")).over(w)
                 .cast("double"), 6).alias("sum_1h"))
+
+
+# ------------------------------------------- SCD2 point-in-time join
+
+_SCD2_CTES = """
+    v1 AS (SELECT c_custkey, 1 AS version, c_acctbal, c_mktsegment
+           FROM customer),
+    v2 AS (SELECT c_custkey, 2,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                       ELSE c_acctbal END, c_mktsegment FROM customer),
+    v3 AS (SELECT c_custkey, 3,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                       ELSE c_acctbal END,
+                  CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+                       ELSE c_mktsegment END FROM customer),
+    snaps AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+              UNION ALL SELECT * FROM v3),
+    flagged AS (
+      SELECT *,
+             (lag(version) OVER w IS NULL
+              OR c_acctbal IS DISTINCT FROM lag(c_acctbal) OVER w
+              OR c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w)
+               AS chg
+      FROM snaps
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+    ),
+    changes AS (SELECT * FROM flagged WHERE chg),
+    dim AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             version AS valid_from,
+             lead(version) OVER (PARTITION BY c_custkey
+                                 ORDER BY version) AS valid_to
+      FROM changes)
+"""
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle=f"""
+    WITH {_SCD2_CTES.strip()}
+    SELECT o.o_orderkey, o.o_custkey,
+           (o.o_orderkey % 3) + 1 AS as_of_version,
+           d.c_acctbal, d.c_mktsegment
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+              AND d.valid_from <= (o.o_orderkey % 3) + 1
+              AND ((o.o_orderkey % 3) + 1 < d.valid_to
+                   OR d.valid_to IS NULL)
+    """)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each fact row (order) joins the
+    SCD-type-2 customer version that was VALID at the fact's
+    as-of version — the lookup the ``win_scd2_history`` build exists
+    to serve, and the join every time-correct warehouse query runs
+    against a changing dimension.
+
+    The equality key (custkey) carries the shuffle/broadcast exactly
+    like a plain FK join; the [valid_from, valid_to) band is a
+    residual filter inside the hash join, never a range-join blowup —
+    each fact matches exactly one version by construction. A late
+    re-run gets identical history (versions are data, not wall
+    clock)."""
+    from pmc_conversion_spark.operators import windows as W
+    from pmc_conversion_spark.queries.relational import _scd_snapshots
+    dim = W.scd2_history(_scd_snapshots(spark, sf_dir),
+                         "c_custkey", "version",
+                         ["c_acctbal", "c_mktsegment"])
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey",
+                 ((F.col("o_orderkey") % 3) + 1).alias("as_of_version")))
+    cond = ((o.o_custkey == dim.c_custkey)
+            & (dim.valid_from <= o.as_of_version)
+            & (o.as_of_version < F.coalesce(dim.valid_to, F.lit(99))))
+    return (o.join(dim, cond)
+            .select("o_orderkey", "o_custkey", "as_of_version",
+                    "c_acctbal", "c_mktsegment"))
+
+
+# ------------------------------------------------- Z-order (Morton) layout
+
+def _zorder_sql(x: str, y: str, bits: int = 8) -> str:
+    """Portable Morton interleave via div/mod arithmetic (no engine
+    bit operators): z = Σ bit_i(x)·4^i·1 + bit_i(y)·4^i·2."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "sink_zorder_layout",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % 256 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, x, y, {_zorder_sql('x', 'y')} AS z
+    FROM pts ORDER BY z, o_orderkey LIMIT 100
+    """)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two query dimensions
+    (customer bucket × order day): the multi-dimensional layout that
+    makes min/max row-group stats prune BOTH dimensions at once —
+    ``sink_sorted_rowgroups``'s one-column skip generalized. A sort by
+    z before write gives every file a tight (x, y) bounding box, so a
+    2-D box predicate touches O(perimeter) files instead of all of
+    them.
+
+    The interleave is pure div/mod arithmetic (identical in both
+    engines — no engine-specific bit operators), map-side, codegen'd;
+    the ordered top-100 demonstrates the space-filling curve order
+    itself. tests/test_analytics.py pins bijectivity and the
+    locality bound vs a row-major layout."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).alias("x")
+    day = F.floor(F.col("o_orderdate").cast("timestamp").cast("long")
+                  / F.lit(86400)).cast("bigint")
+    y = (day % 256).alias("y")
+    pts = o.select("o_orderkey", x, y)
+    z = sum((((F.col("x") / (1 << i)).cast("bigint") % 2)
+             * (1 << (2 * i))
+             + ((F.col("y") / (1 << i)).cast("bigint") % 2)
+             * (1 << (2 * i + 1))) for i in range(8))
+    return (pts.withColumn("z", z)
+            .orderBy("z", "o_orderkey").limit(100))

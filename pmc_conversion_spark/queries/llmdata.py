@@ -2313,3 +2313,38 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 8.0 * n_punct / (n_chars + 1), 9)
     return d.select("doc_id",
                     F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("p_keep"))
+
+
+@register(
+    "mm_audio_frame_energy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, least(length(text), 1024) + 1),
+                            i -> unicode(substr(text, i, 1))) AS cp
+      FROM documents
+    ), fr AS (
+      SELECT media_id, cp,
+             unnest(range(len(cp) // 256)) AS frame
+      FROM t WHERE len(cp) >= 256
+    )
+    SELECT media_id, CAST(frame AS INT) AS frame,
+           list_sum(list_transform(cp[frame*256+1 : frame*256+256],
+                                   x -> x * x)) AS energy
+    FROM fr
+    """)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed frame-energy extraction over synthetic PCM — the audio
+    half of the multimodal family doing REAL per-frame numeric work
+    (numpy sum-of-squares inside Arrow-batched mapInPandas), not just
+    plumbing metadata. One output row per (media, 256-sample frame);
+    exact integer energies give this Python-side op a full value
+    oracle — the SQL twin replays the same framing with list algebra.
+
+    Scale: the blob column rides into exactly one Python stage;
+    output is O(samples/frame_len) per media row; partition sizing,
+    batch shape, and schema are the production audio-featurizer
+    contract with the codec swapped for codepoints."""
+    d = _docs(spark, sf_dir)
+    media = d.select(F.col("doc_id").alias("media_id"), "text")
+    return MM.frame_energy_plan(media)

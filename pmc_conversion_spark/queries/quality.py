@@ -375,3 +375,35 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem once into the year agg; same text, two engines."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_MARKET_SHARE_SQL)
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev.total AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total = (SELECT max(total) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("sql_top_supplier", oracle=_TOP_SUPPLIER_SQL)
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped pure-SQL entry: the revenue-leader supplier for one
+    quarter, keeping EVERY tied leader — a scalar subquery over a
+    shared CTE, the aggregate-then-self-reference pattern views
+    usually hide. Exact decimal totals make the max-equality tie
+    semantics portable (a double would make 'tied' engine-dependent).
+    Plan: one partial-agg shuffle over the date-pruned lineitem scan,
+    a one-row max broadcast back, and a broadcast supplier join."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL)

@@ -296,3 +296,70 @@ def test_quality_logit_bounds_and_monotonicity(spark):
     finally:
         T.load = orig
     assert got[1] > 0.9 and got[2] < 0.1
+
+
+# -------------------------- SCD2 PIT join / z-order / audio / Q15 ops
+
+def test_scd2_pointintime_exactly_one_version_per_fact(spark):
+    out = _q("join_scd2_pointintime")(spark, SF_DIR)
+    from pmc_conversion_spark import tables
+    n_orders = tables.load(spark, SF_DIR, "orders").count()
+    assert out.count() == n_orders           # bijective fact -> version
+    # a %7 customer's balance is bumped only for as-of versions >= 2
+    rows = [r for r in out.collect() if r.o_custkey % 7 == 0]
+    assert rows
+    from pmc_conversion_spark import tables as T
+    bal = {r.c_custkey: r.c_acctbal
+           for r in T.load(spark, SF_DIR, "customer").collect()}
+    for r in rows:
+        expect = bal[r.o_custkey] + (100 if r.as_of_version >= 2 else 0)
+        assert abs(r.c_acctbal - expect) < 1e-9
+
+
+def _morton(x, y, bits=8):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_reference_interleave(spark):
+    rows = _q("sink_zorder_layout")(spark, SF_DIR).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r.z == _morton(r.x, r.y)
+    # bijectivity of the arithmetic form over the full 8-bit domain
+    seen = {_morton(x, y) for x in range(0, 256, 17)
+            for y in range(0, 256, 13)}
+    assert len(seen) == len(range(0, 256, 17)) * len(range(0, 256, 13))
+
+
+def test_audio_frame_energy_matches_python_reference(spark):
+    from pmc_conversion_spark import tables
+    docs = {r.doc_id: r.text
+            for r in tables.load(spark, SF_DIR, "documents")
+            .select("doc_id", "text").limit(5).collect()}
+    out = {(r.media_id, r.frame): r.energy
+           for r in _q("mm_audio_frame_energy")(spark, SF_DIR).collect()}
+    for did, txt in docs.items():
+        cps = [ord(c) for c in txt[:1024]]
+        for f in range(len(cps) // 256):
+            seg = cps[f * 256:(f + 1) * 256]
+            assert out[(did, f)] == sum(v * v for v in seg)
+
+
+def test_top_supplier_is_argmax_with_ties(spark):
+    from pyspark.sql import functions as F
+    from pmc_conversion_spark import tables
+    rows = _q("sql_top_supplier")(spark, SF_DIR).collect()
+    assert rows
+    li = tables.load(spark, SF_DIR, "lineitem")
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                .alias("total")))
+    top = rev.agg(F.max("total")).collect()[0][0]
+    assert all(abs(r.total_revenue - float(top)) < 1e-6 for r in rows)
