@@ -588,3 +588,52 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("gap_s").alias("max_gap_s"),
                  F.sum(F.when(F.col("sec") >= F.col("last_s") - 3600, 1)
                        .otherwise(0)).alias("n_last_hour")))
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+    ), daily AS (
+      SELECT day, count(DISTINCT user_id) AS active_users FROM d GROUP BY day
+    ), news AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT daily.day, daily.active_users,
+           coalesce(news.new_users, 0) AS new_users,
+           daily.active_users - coalesce(news.new_users, 0)
+             AS returning_users
+    FROM daily LEFT JOIN news ON news.day = daily.day
+    """)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users split into NEW (first
+    ever appearance) vs RETURNING — the first-touch attribution
+    primitive every activation dashboard runs.
+
+    Two partial-aggregable passes (per-user first day; per-day
+    distinct actives) joined on the day key — the distinct is the only
+    wide op and shuffles 16-byte pairs, never events. No window: the
+    naive formulation (min(ts) OVER user + per-row compare) drags the
+    whole event table through a per-user window for what is an
+    aggregate-sized question."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts").cast("timestamp").cast("long") / 86400) \
+        .cast("bigint").alias("day")
+    d = e.select("user_id", day)
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (d.groupBy("day")
+             .agg(F.countDistinct("user_id").alias("active_users")))
+    news = (firsts.groupBy(F.col("first_day").alias("day"))
+            .agg(F.count(F.lit(1)).alias("new_users")))
+    return (daily.join(news, "day", "left")
+            .select("day", "active_users",
+                    F.coalesce("new_users", F.lit(0)).alias("new_users"),
+                    (F.col("active_users")
+                     - F.coalesce("new_users", F.lit(0)))
+                    .alias("returning_users")))

@@ -2348,3 +2348,60 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     media = d.select(F.col("doc_id").alias("media_id"), "text")
     return MM.frame_energy_plan(media)
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             (('0x' || substr(md5('cur1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 10000) AS shuf
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, n_tokens, shuf,
+             CASE WHEN n_tokens < 30 THEN 0
+                  WHEN n_tokens < 60 THEN 1
+                  ELSE 2 END AS band
+      FROM feats
+    )
+    SELECT doc_id, band,
+           CAST(ROW_NUMBER() OVER (ORDER BY band, shuf, doc_id) AS BIGINT)
+             AS curriculum_rank
+    FROM banded
+    """)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: documents ranked easy→hard by difficulty
+    band (token-length proxy), DETERMINISTICALLY shuffled inside each
+    band by a salted hash — the data-order recipe for curriculum
+    training where epoch order must be reproducible across re-runs
+    and cluster sizes (rand() would re-deal every retry).
+
+    The global rank is the one total order the op exists to emit; at
+    scale it runs through the two-phase range-bucketed row numbering
+    (operators/windows.surrogate_key_distributed — the same machinery
+    win_surrogate_key delegates to), never a single-partition window.
+    The (band, shuf, doc_id) order packs into one integer key so the
+    range partitioner sees a single column; bands are data, ranks are
+    derived — re-sharding cannot change the curriculum."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    from pmc_conversion_spark.operators.windows import \
+        surrogate_key_distributed
+    d = _docs(spark, sf_dir)
+    ntok = TX.token_count_ws(F.lower(F.col("text")))
+    b = F.when(ntok < 30, 0).when(ntok < 60, 1).otherwise(2)
+    shuf = md5_int60(F.concat(F.lit("cur1:"),
+                              F.col("doc_id").cast("string"))) % 10000
+    banded = d.select("doc_id", b.alias("band"), shuf.alias("shuf"))
+    # composite order key: band (0-2) . shuf (4 digits) . doc_id
+    # (doc ids are < 10^12 at every driver SF — asserted cheap-wise by
+    # the bigint not overflowing: 3*10^16 < 2^63)
+    key = (F.col("band") * F.lit(10_000_000_000_000_000)
+           + F.col("shuf") * F.lit(1_000_000_000_000)
+           + F.col("doc_id")).alias("__key")
+    ranked = surrogate_key_distributed(
+        banded.select("doc_id", "band", "shuf", key), "__key",
+        out_col="curriculum_rank", buckets=64)
+    return ranked.select("doc_id", "band",
+                         F.col("curriculum_rank").cast("bigint")
+                         .alias("curriculum_rank"))

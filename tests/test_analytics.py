@@ -363,3 +363,25 @@ def test_top_supplier_is_argmax_with_ties(spark):
                 .alias("total")))
     top = rev.agg(F.max("total")).collect()[0][0]
     assert all(abs(r.total_revenue - float(top)) < 1e-6 for r in rows)
+
+
+def test_new_vs_returning_identities(spark):
+    from pmc_conversion_spark import tables
+    rows = _q("agg_new_vs_returning")(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.active_users == r.new_users + r.returning_users
+               for r in rows)
+    n_users = (tables.load(spark, SF_DIR, "events")
+               .select("user_id").distinct().count())
+    assert sum(r.new_users for r in rows) == n_users
+    first_day = min(r.day for r in rows)
+    by_day = {r.day: r for r in rows}
+    assert by_day[first_day].returning_users == 0
+
+
+def test_curriculum_rank_dense_and_band_monotone(spark):
+    rows = sorted(_q("pipeline_curriculum_order")(spark, SF_DIR).collect(),
+                  key=lambda r: r.curriculum_rank)
+    assert [r.curriculum_rank for r in rows] == list(range(1, len(rows) + 1))
+    bands = [r.band for r in rows]
+    assert bands == sorted(bands)     # easy -> hard, never interleaved
