@@ -637,3 +637,40 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("active_users")
                      - F.coalesce("new_users", F.lit(0)))
                     .alias("returning_users")))
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id
+    )
+    SELECT f.cohort, d.day - f.cohort AS day_offset,
+           count(*) AS n_active
+    FROM d JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day
+    (cohort), activity counted at each day-offset since — the
+    triangle every retention dashboard plots, and the companion to
+    ``agg_new_vs_returning``'s daily totals.
+
+    (user, day) is deduped FIRST so the cohort join moves one row per
+    user-day, not per event; the firsts table joins back on user_id —
+    the natural shuffle key, partial-aggregable on both sides. The
+    distinct-then-count(*) form replaces count(DISTINCT) in the final
+    agg, keeping every aggregate map-side combinable."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts").cast("timestamp").cast("long") / 86400) \
+        .cast("bigint").alias("day")
+    d = e.select("user_id", day).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (d.join(firsts, "user_id")
+            .groupBy("cohort", (F.col("day") - F.col("cohort"))
+                     .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active")))

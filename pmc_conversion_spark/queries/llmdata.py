@@ -2405,3 +2405,75 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "band",
                          F.col("curriculum_rank").cast("bigint")
                          .alias("curriculum_rank"))
+
+
+_PQ_M, _PQ_DIM, _PQ_K = 4, 16, 8
+
+
+def _pq_sub_sql(arr: str, sub: int) -> str:
+    lo = sub * _PQ_DIM
+    return f"({arr}::DOUBLE[])[{lo + 1}:{lo + _PQ_DIM}]"
+
+
+@register(
+    "sim_pq_encode",
+    oracle=f"""
+    WITH c AS (
+      SELECT e.vec_id AS cid, s.sub,
+             (e.embedding::DOUBLE[])[s.sub * {_PQ_DIM} + 1 :
+                                     s.sub * {_PQ_DIM} + {_PQ_DIM}] AS cv
+      FROM embeddings e, (SELECT unnest(range({_PQ_M})) AS sub) s
+      WHERE e.vec_id < {_PQ_K}
+    ), v AS (
+      SELECT e.vec_id, s.sub,
+             (e.embedding::DOUBLE[])[s.sub * {_PQ_DIM} + 1 :
+                                     s.sub * {_PQ_DIM} + {_PQ_DIM}] AS sv
+      FROM embeddings e, (SELECT unnest(range({_PQ_M})) AS sub) s
+    ), scored AS (
+      SELECT v.vec_id, v.sub, c.cid,
+             round(list_sum(list_transform(range(1, {_PQ_DIM} + 1),
+                   i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), 6)
+               AS dist
+      FROM v JOIN c ON c.sub = v.sub
+    )
+    SELECT vec_id, sub,
+           min(struct_pack(dist := dist, cid := cid)).cid AS code
+    FROM scored GROUP BY vec_id, sub
+    """)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each 64-dim embedding splits
+    into 4 16-dim subvectors, each assigned its nearest of 8 per-
+    subspace centroids (squared-L2, centroids = the first 8 vectors'
+    slices) — the code that shrinks a vector store from 256 B to
+    4 B/vector, the storage half of an IVF-PQ ANN index
+    (``sim_topk_ivf`` is the routing half).
+
+    Assignment is the same broadcast-centroids argmin as
+    ``sim_kmeans_assign``, once per subspace: the subvector slice is
+    map-side array algebra; distances are rounded before the
+    struct-min so argmin ties break identically on both engines
+    (lower centroid id wins)."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    subs = F.array(*[F.lit(i) for i in range(_PQ_M)])
+    sliced = (emb.select("vec_id", F.explode(subs).alias("sub"), "v")
+              .select("vec_id", "sub",
+                      F.slice("v", F.col("sub") * _PQ_DIM + 1, _PQ_DIM)
+                      .alias("sv")))
+    cents = (sliced.filter(F.col("vec_id") < _PQ_K)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("sub").alias("csub"),
+                     F.col("sv").alias("cv")))
+    dist = F.round(
+        F.aggregate(F.zip_with("sv", "cv",
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (sliced.join(F.broadcast(cents),
+                          sliced.sub == cents.csub)
+              .select("vec_id", "sub",
+                      F.struct(dist.alias("dist"),
+                               F.col("cid").alias("cid")).alias("k")))
+    return (scored.groupBy("vec_id", "sub")
+            .agg(F.min("k").alias("m"))
+            .select("vec_id", "sub", F.col("m.cid").alias("code")))

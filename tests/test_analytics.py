@@ -385,3 +385,36 @@ def test_curriculum_rank_dense_and_band_monotone(spark):
     assert [r.curriculum_rank for r in rows] == list(range(1, len(rows) + 1))
     bands = [r.band for r in rows]
     assert bands == sorted(bands)     # easy -> hard, never interleaved
+
+
+def test_retention_cohort_triangle(spark):
+    rows = _q("agg_retention_cohorts")(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.day_offset >= 0 for r in rows)
+    # offset-0 count per cohort == cohort size == new_users that day
+    new = {r.day: r.new_users
+           for r in _q("agg_new_vs_returning")(spark, SF_DIR).collect()}
+    day0 = {r.cohort: r.n_active for r in rows if r.day_offset == 0}
+    assert day0 == {d: n for d, n in new.items() if n > 0}
+    # retention can never exceed cohort size
+    for r in rows:
+        assert r.n_active <= day0[r.cohort]
+
+
+def test_pq_encode_reconstruction_beats_random_code(spark):
+    import numpy as np
+    from pmc_conversion_spark import tables
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in tables.load(spark, SF_DIR, "embeddings").collect()}
+    codes = {}
+    for r in _q("sim_pq_encode")(spark, SF_DIR).collect():
+        codes.setdefault(r.vec_id, {})[r.sub] = r.code
+    assert all(len(c) == 4 for c in codes.values())
+    # assigned centroid must be the true argmin for every subvector
+    for vid, subs in list(codes.items())[:25]:
+        for sub, code in subs.items():
+            sv = emb[vid][sub * 16:(sub + 1) * 16]
+            dists = {cid: float(np.sum((sv - emb[cid][sub * 16:(sub + 1) * 16]) ** 2))
+                     for cid in range(8)}
+            best = min(dists.items(), key=lambda kv: (round(kv[1], 6), kv[0]))[0]
+            assert code == best
