@@ -2477,3 +2477,48 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.groupBy("vec_id", "sub")
             .agg(F.min("k").alias("m"))
             .select("vec_id", "sub", F.col("m.cid").alias("code")))
+
+
+def _minhash_pairs_ctes() -> str:
+    """The minhash oracle's CTE chain with the verified pair filter
+    folded into a ``pairs`` CTE — reused by the cluster composite."""
+    full = _minhash_lsh_sql()
+    marker = "SELECT doc_a, doc_b, inter_size, union_size FROM verified"
+    ctes, _tail = full.rsplit(marker, 1)
+    ctes = ctes.rstrip().rstrip(",")
+    return (ctes + """,
+    pairs AS (SELECT doc_a, doc_b FROM verified
+              WHERE 20 * inter_size >= 1 * union_size)""")
+
+
+@register(
+    "dedup_minhash_cluster",
+    oracle=f"""
+    {_minhash_pairs_ctes().replace("WITH sh", "WITH RECURSIVE sh", 1)},
+    und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und) n
+      UNION
+      SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node
+    ),
+    cc AS (SELECT node AS doc_id, min(r) AS component
+           FROM reach GROUP BY node)
+    SELECT doc_id, component FROM cc
+    """)
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production web-corpus dedup path end-to-end: MinHash(32) +
+    8-band LSH candidate generation → exact-Jaccard verification →
+    connected components — sketch-bounded pair generation (never the
+    all-pairs posting join ``dedup_cluster_cc``'s exact graph needs)
+    feeding the same O(log n) star-contraction clustering. This is the
+    composition RefinedWeb-style pipelines run at crawl scale; the
+    whole chain stays deterministic under the portable hash family, so
+    even the APPROXIMATE path is value-oracled, not just recall-tested.
+    """
+    from pmc_conversion_spark.functions.graph import connected_components
+    pairs = DD.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                 num_hashes=32, bands=8,
+                                 threshold_num=1, threshold_den=20)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")

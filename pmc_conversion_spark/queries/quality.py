@@ -407,3 +407,29 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a one-row max broadcast back, and a broadcast supplier join."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+_PRIORITY_WAITING_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("sql_priority_waiting", oracle=_PRIORITY_WAITING_SQL)
+def sql_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped pure-SQL entry: orders per priority having at least
+    one line shipped 30+ days after order date — the correlated
+    EXISTS every planner must de-correlate into a semi-join (Spark:
+    left-semi over l_orderkey with the date comparison as the join
+    residual; the fact table is scanned once, never per-order). One
+    text, two engines."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_PRIORITY_WAITING_SQL)

@@ -418,3 +418,17 @@ def test_pq_encode_reconstruction_beats_random_code(spark):
                      for cid in range(8)}
             best = min(dists.items(), key=lambda kv: (round(kv[1], 6), kv[0]))[0]
             assert code == best
+
+
+def test_minhash_clusters_refine_exact_clusters(spark):
+    # verified-LSH pairs are a subset of the exact jaccard pair graph,
+    # so every minhash cluster must sit INSIDE one exact cluster
+    exact = {r.doc_id: r.component
+             for r in _q("dedup_cluster_cc")(spark, SF_DIR).collect()}
+    approx = {}
+    for r in _q("dedup_minhash_cluster")(spark, SF_DIR).collect():
+        approx.setdefault(r.component, set()).add(r.doc_id)
+    assert approx
+    for members in approx.values():
+        outer = {exact[m] for m in members}
+        assert len(outer) == 1
