@@ -247,7 +247,13 @@ def test_partitioning_invariance_representative_ops(spark):
     qs = E.queries()
     names = ["dedup_minhash_lsh", "win_surrogate_key", "pack_sequences",
              "sim_kmeans_assign", "sample_weighted_topk",
-             "dedup_passage_exact"]
+             "dedup_passage_exact",
+             # round-3 additions of the same risk classes: iterative
+             # decimal-summed ranks, global curriculum numbering,
+             # argmin encodings, hash sketches, cluster composites
+             "graph_pagerank", "pipeline_curriculum_order",
+             "sim_pq_encode", "sketch_theta_intersect",
+             "dedup_minhash_cluster", "split_leakage_safe"]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
