@@ -478,3 +478,24 @@ def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "lang", "n_tags",
                 F.col("sp.s").cast("int").alias("span_s"),
                 F.col("sp.e").cast("int").alias("span_e")))
+
+
+@register("scan_xml", oracle=NATION_ORACLE)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip via Spark 4's NATIVE XML data source (rowTag
+    mode) — the config/interchange format the clinical-data world the
+    reference serves still ships (the reference reads structured
+    configs + TSVs; XML is the third structured-text surface after
+    CSV and JSON). Written with the same writer, read back with an
+    explicit schema: schema-on-read inference over XML is even
+    costlier than JSON at 100 TB (tag scanning), so the reader always
+    receives the contract."""
+    d = _scratch("scan_xml")
+    nation = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    (nation.coalesce(1).write.mode("overwrite")
+     .option("rowTag", "nation").format("xml").save(d))
+    return (spark.read
+            .schema("n_nationkey int, n_name string, n_regionkey int")
+            .option("rowTag", "nation").format("xml").load(d)
+            .select("n_nationkey", "n_name", "n_regionkey"))

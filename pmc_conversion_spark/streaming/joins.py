@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 def stream_interval_join(left: DataFrame, right: DataFrame, *, on: str,
                          left_ts: str, right_ts: str, lower: str,
                          upper: str = "0 seconds",
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
     """Watermarked stream-stream interval join.
 
     Same observable semantics as
@@ -27,6 +28,13 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *, on: str,
     batch twin, which carries the DuckDB oracle): pairs with equal
     ``on`` and ``left_ts - lower <= right_ts <= left_ts + upper``.
     Right columns colliding with left names are prefixed ``r_``.
+
+    ``how='leftOuter'`` emits a null-padded row for each unmatched
+    left event once the watermark passes its match window — the batch
+    fixpoint is the registered ``stream_left_outer_interval`` query.
+    Outer stream-stream joins REQUIRE both watermarks plus the
+    event-time range in the condition; Spark rejects them otherwise
+    because unmatched-row emission is driven by state eviction.
 
     Both inputs must be streaming DataFrames. The watermark must be at
     least the interval width or matches are dropped as late.
@@ -42,4 +50,4 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *, on: str,
     cond = ((F.col(on) == F.col(r_on))
             & (F.col(r_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
             & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")))
-    return lw.join(rw, cond, "inner").drop(r_on)
+    return lw.join(rw, cond, how).drop(r_on)

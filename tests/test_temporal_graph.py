@@ -218,3 +218,50 @@ def test_asof_forward_direction_ties_and_tolerance(spark, fixture_df):
     with _pt.raises(ValueError):
         asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
                   right_cols=["rid", "rts"], direction="nearest")
+
+
+def test_left_outer_interval_join_stream_emits_null_rows(spark, tmp_path,
+                                                         fixture_df):
+    from pmc_conversion_spark.streaming.joins import stream_interval_join
+    rows_l = [(1, 10, "2024-01-01 10:00:00"),   # has a match
+              (1, 11, "2024-01-01 12:00:00")]   # no click in window
+    rows_r = [(1, 20, "2024-01-01 09:30:00")]
+    lt = fixture_df(rows_l, "k int, lid int, lts string").select(
+        "k", "lid", F.to_timestamp("lts").alias("lts"))
+    rt = fixture_df(rows_r, "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))
+    ldir, rdir = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    ckpt = str(tmp_path / "lo_ckpt")
+    lt.write.parquet(ldir)
+    rt.write.parquet(rdir)
+
+    outdir = str(tmp_path / "lo_out")
+
+    def run_tick():
+        ls = spark.readStream.schema(lt.schema).parquet(ldir)
+        rs = spark.readStream.schema(rt.schema).parquet(rdir)
+        joined = stream_interval_join(ls, rs, on="k", left_ts="lts",
+                                      right_ts="rts", lower="1 hour",
+                                      watermark="2 hours", how="leftOuter")
+        q = (joined.writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return [(r.lid, r.rid)
+                for r in spark.read.parquet(outdir).collect()]
+
+    got1 = run_tick()
+    assert sorted(got1) == [(10, 20)]   # unmatched row NOT emitted yet
+
+    # Outer rows are emitted by state EVICTION, which needs the global
+    # watermark (min across both inputs) to pass the match window —
+    # push it with late disjoint-key events on BOTH sides, then tick.
+    fixture_df([(8, 80, "2024-01-01 18:00:00")],
+               "k int, lid int, lts string").select(
+        "k", "lid", F.to_timestamp("lts").alias("lts"))         .write.mode("append").parquet(ldir)
+    fixture_df([(9, 91, "2024-01-01 18:00:00")],
+               "k int, rid int, rts string").select(
+        "k", "rid", F.to_timestamp("rts").alias("rts"))         .write.mode("append").parquet(rdir)
+    got2 = run_tick()
+    assert (11, None) in got2           # null-padded after eviction
