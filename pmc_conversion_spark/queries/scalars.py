@@ -320,3 +320,42 @@ def agg_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("o_orderstatus",
                     F.col("o_orderpriority").alias("mode_priority")))
+
+
+@register(
+    "f_dateshift_deid",
+    oracle="""
+    WITH off AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             (('0x' || substr(md5('ds1:' || CAST(o_custkey AS VARCHAR)),
+                              1, 15))::BIGINT % 29) - 14 AS shift_days
+      FROM orders
+    )
+    SELECT o_orderkey,
+           o_orderdate + shift_days * INTERVAL 1 DAY AS shifted_date,
+           shift_days
+    FROM off
+    """)
+def f_dateshift_deid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-identification date shifting: every date moves by a
+    DETERMINISTIC per-patient offset in [-14, +14] days derived from a
+    salted hash of the subject key — the standard clinical de-id
+    transform (the reference pipeline feeds a patient registry;
+    TranSMART exports must not leak real dates). Per-SUBJECT constancy
+    is the whole point: intervals between one subject's events are
+    preserved exactly, so longitudinal analyses survive, while
+    cross-subject alignment is destroyed. Map-side only, re-run
+    stable (a rand() shift would re-deal on every retry).
+    Reference: the individual mapping stage of csr2transmart
+    (luigi-pipeline config; patient_dimension build)."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders")
+    shift = (md5_int60(F.concat(F.lit("ds1:"),
+                                F.col("o_custkey").cast("string")))
+             % 29 - 14).alias("shift_days")
+    return (o.select("o_orderkey", "o_orderdate", shift)
+            .select("o_orderkey",
+                    F.timestamp_add("DAY", F.col("shift_days").cast("int"),
+                                    F.col("o_orderdate"))
+                    .alias("shifted_date"),
+                    "shift_days"))

@@ -432,3 +432,21 @@ def test_minhash_clusters_refine_exact_clusters(spark):
     for members in approx.values():
         outer = {exact[m] for m in members}
         assert len(outer) == 1
+
+
+def test_dateshift_preserves_within_subject_intervals(spark):
+    from pmc_conversion_spark import tables
+    out = {r.o_orderkey: (r.shifted_date, r.shift_days)
+           for r in _q("f_dateshift_deid")(spark, SF_DIR).collect()}
+    orders = [(r.o_orderkey, r.o_custkey, r.o_orderdate)
+              for r in tables.load(spark, SF_DIR, "orders").collect()]
+    by_cust = {}
+    for ok, ck, od in orders:
+        by_cust.setdefault(ck, []).append((ok, od))
+    for ck, lst in by_cust.items():
+        shifts = {out[ok][1] for ok, _ in lst}
+        assert len(shifts) == 1               # per-subject constancy
+        (s,) = shifts
+        assert -14 <= s <= 14
+        for ok, od in lst:                    # intervals preserved
+            assert (out[ok][0] - od).days == s
