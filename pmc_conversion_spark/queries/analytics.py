@@ -561,3 +561,93 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (1 << (2 * i + 1))) for i in range(8))
     return (pts.withColumn("z", z)
             .orderBy("z", "o_orderkey").limit(100))
+
+
+# --------------------------------------------- period-over-period change
+
+@register(
+    "win_percent_change_yoy",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS o_year,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, o_year,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round((CAST(revenue AS DOUBLE)
+                  - CAST(lag(revenue) OVER w AS DOUBLE))
+                 / CAST(lag(revenue) OVER w AS DOUBLE) * 100, 4)
+             AS pct_change
+    FROM rev
+    WINDOW w AS (PARTITION BY nation ORDER BY o_year)
+    """)
+def win_percent_change_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue change per nation — the
+    period-over-period comparison every finance dashboard leads with.
+    Aggregate FIRST (partial-aggregable decimal sums shrink the fact
+    table to nation×year), THEN lag over that dim-sized frame — the
+    window never sees fact rows. First year per nation yields a null
+    change (no prior period), preserved on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("rev")))
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("rev").over(w).cast("double")
+    return rev.select(
+        "nation", "o_year",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round((F.col("rev").cast("double") - prev) / prev * 100, 4)
+        .alias("pct_change"))
+
+
+# ------------------------------------------------------- Benford audit
+
+@register(
+    "agg_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / CAST(c.digit AS INT)), 6)
+             AS benford_freq
+    FROM c, t
+    """)
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic forensic screen for fabricated monetary data (synthetic
+    uniform prices FAIL it, which the result makes visible by
+    printing observed vs expected side by side).
+
+    The leading digit comes from integer-cents STRING prefixing —
+    never floor(log10(x)) arithmetic, whose last-ulp behavior at
+    exact powers of ten differs across engines. One partial-agg
+    shuffle over single-char keys; the one-row total joins back
+    bounded."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(F.col("n").cast("double") / F.col("total"), 6)
+                    .alias("observed_freq"),
+                    F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("int")),
+                            6).alias("benford_freq")))

@@ -450,3 +450,24 @@ def test_dateshift_preserves_within_subject_intervals(spark):
         assert -14 <= s <= 14
         for ok, od in lst:                    # intervals preserved
             assert (out[ok][0] - od).days == s
+
+
+def test_yoy_change_null_first_year_and_math(spark):
+    rows = _q("win_percent_change_yoy")(spark, SF_DIR).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, lst in by_nation.items():
+        lst.sort(key=lambda r: r.o_year)
+        assert lst[0].pct_change is None
+        for prev, cur in zip(lst, lst[1:]):
+            if cur.pct_change is not None:
+                expect = (cur.revenue - prev.revenue) / prev.revenue * 100
+                assert abs(cur.pct_change - expect) < 1e-3
+
+
+def test_benford_frequencies_sum_to_one(spark):
+    rows = _q("agg_benford_audit")(spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set("123456789")
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-3
