@@ -83,6 +83,25 @@ AUDITED = [
     "pipeline_token_budget_select",
     "sql_market_share",
     "dedup_semantic_cluster",
+    "ts_interval_union",
+    "stream_left_outer_interval",
+    "dq_freshness_sla",
+    "text_quality_logit",
+    "join_scd2_pointintime",
+    "sink_zorder_layout",
+    "mm_audio_frame_energy",
+    "sql_top_supplier",
+    "agg_new_vs_returning",
+    "pipeline_curriculum_order",
+    "agg_retention_cohorts",
+    "sim_pq_encode",
+    "dedup_minhash_cluster",
+    "sql_priority_waiting",
+    "scan_variant_json",
+    "f_dateshift_deid",
+    "win_percent_change_yoy",
+    "agg_benford_audit",
+    "scan_xml",
 ]
 
 
