@@ -457,3 +457,52 @@ def decontaminate(train: DataFrame, heldout: DataFrame, *, n: int = 5,
     return (tr.join(ev, "h")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hit")))
+
+
+def ngram_jaccard_pairs_incremental(docs: DataFrame, *, new_min_id: int,
+                                    threshold_num: int = 1,
+                                    threshold_den: int = 5, n: int = 3,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    max_posting: int = MAX_POSTING_DEFAULT
+                                    ) -> DataFrame:
+    """Incremental exact-Jaccard join: pairs (doc_a < doc_b) where
+    ``doc_b >= new_min_id`` — i.e. at least the LATER member of the
+    pair belongs to the new batch.
+
+    This is the daily-increment form of :func:`ngram_jaccard_pairs`:
+    when ids are assigned monotonically (old corpus < new batch), the
+    posting buckets are sorted, so restricting pair EMISSION to
+    new-batch right members skips every old×old combination inside
+    the transform — the cost scales with the batch, not the corpus.
+    Same posting-bucket plan, skew cap, and integer threshold
+    arithmetic; the oracle replays the restriction as a WHERE on the
+    bucket join.
+
+    Output: (doc_a, doc_b, inter_size, union_size).
+    """
+    postings = _hashed_shingle_sets(docs, id_col, text_col, n).select(
+        "doc_id", "sz", F.explode("hs").alias("shingle"))
+    buckets = (postings.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
+                    .alias("xs"))
+               .filter(F.size("xs").between(2, max_posting)))
+    lefts = buckets.select(F.posexplode("xs").alias("i", "x"), "xs")
+    pairs = (lefts.select(F.explode(F.transform(
+        F.filter(
+            F.slice(F.col("xs"), F.col("i") + 2,
+                    F.greatest(F.size("xs") - F.col("i") - 1, F.lit(0))),
+            lambda y: y["doc_id"] >= F.lit(new_min_id)),
+        lambda y: F.struct(F.col("x")["doc_id"].alias("doc_a"),
+                           F.col("x")["sz"].alias("sz_a"),
+                           y["doc_id"].alias("doc_b"),
+                           y["sz"].alias("sz_b")))).alias("p"))
+        .select("p.*"))
+    inter = (pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+             .agg(F.count(F.lit(1)).alias("inter_size")))
+    return (inter
+            .withColumn("union_size",
+                        F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+            .filter(threshold_den * F.col("inter_size")
+                    >= threshold_num * F.col("union_size"))
+            .select("doc_a", "doc_b", "inter_size", "union_size"))

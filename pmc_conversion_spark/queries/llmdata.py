@@ -2522,3 +2522,108 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold_num=1, threshold_den=20)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+_INCR_NEW_BASE = 100_000
+
+_INCR_DOCS_SQL = f"""
+    docs3 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             '  ' || replace(text, ' ', '   ') || ' !!' AS text
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(list_reverse({_TOKS}), ' ') AS text
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(list_reverse({_TOKS}), ' ') AS text
+      FROM documents WHERE doc_id < 10
+    )
+"""
+
+
+@register(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH {_INCR_DOCS_SQL.strip()},
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs
+      FROM docs3
+    ),
+    postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
+                 FROM sh),
+    capped AS (SELECT shingle FROM postings
+               GROUP BY shingle HAVING count(*) <= {DD.MAX_POSTING_DEFAULT}),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+             count(*) AS inter_size
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND b.doc_id >= {_INCR_NEW_BASE}
+      JOIN capped c ON c.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              WHERE 5 * inter_size >= (sz_a + sz_b - inter_size)),
+    newdocs AS (SELECT doc_id FROM docs3
+                WHERE doc_id >= {_INCR_NEW_BASE}),
+    best AS (SELECT doc_b AS doc_id, min(doc_a) AS matched_id
+             FROM pairs GROUP BY doc_b)
+    SELECT n.doc_id,
+           CASE WHEN best.matched_id IS NULL THEN 'accept'
+                WHEN best.matched_id < {_INCR_NEW_BASE} THEN 'dup_of_old'
+                ELSE 'dup_in_batch' END AS verdict,
+           best.matched_id
+    FROM newdocs n LEFT JOIN best ON best.doc_id = n.doc_id
+    """)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-crawl) dedup: a NEW batch — 40 whitespace
+    near-copies of old docs, 40 token-reversed variants (fresh
+    content), 10 copies of those variants — is deduped against the
+    existing corpus AND itself in one pass. Each new doc gets a
+    verdict: ``dup_of_old`` (min-id match is in the corpus),
+    ``dup_in_batch`` (match is an earlier new doc), or ``accept``.
+
+    Pair emission uses the incremental posting-bucket form
+    (functions/dedup.ngram_jaccard_pairs_incremental): with monotone
+    ids, pairs whose RIGHT member is old are skipped inside the
+    bucket transform, so the combination cost scales with the batch,
+    never corpus² — the property that lets a 100 TB corpus absorb a
+    1 TB daily increment without re-deduping itself."""
+    from pmc_conversion_spark.functions.dedup import \
+        ngram_jaccard_pairs_incremental
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    copies = (d.filter(F.col("doc_id") < 40)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.lit("  "),
+                               F.regexp_replace("text", " ", "   "),
+                               F.lit(" !!")).alias("text")))
+    rev = F.array_join(F.reverse(ws_tokens(F.lower(F.col("text")))), " ")
+    reversed40 = (d.filter(F.col("doc_id") < 40)
+                  .select((F.col("doc_id") + 200000).alias("doc_id"),
+                          rev.alias("text")))
+    reversed10 = (d.filter(F.col("doc_id") < 10)
+                  .select((F.col("doc_id") + 300000).alias("doc_id"),
+                          rev.alias("text")))
+    all_docs = (d.select("doc_id", "text").unionByName(copies)
+                .unionByName(reversed40).unionByName(reversed10))
+    pairs = ngram_jaccard_pairs_incremental(
+        all_docs, new_min_id=_INCR_NEW_BASE,
+        threshold_num=1, threshold_den=5,
+        max_posting=DD.MAX_POSTING_DEFAULT)
+    best = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("doc_a").alias("matched_id")))
+    newdocs = all_docs.filter(F.col("doc_id") >= _INCR_NEW_BASE) \
+        .select("doc_id")
+    verdict = (F.when(F.col("matched_id").isNull(), "accept")
+               .when(F.col("matched_id") < _INCR_NEW_BASE, "dup_of_old")
+               .otherwise("dup_in_batch"))
+    return (newdocs.join(best, "doc_id", "left")
+            .select("doc_id", verdict.alias("verdict"), "matched_id"))

@@ -471,3 +471,38 @@ def test_benford_frequencies_sum_to_one(spark):
     assert {r.digit for r in rows} <= set("123456789")
     assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
     assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-3
+
+
+def test_incremental_dedup_verdict_classes(spark):
+    rows = _q("pipeline_incremental_dedup")(spark, SF_DIR).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r.verdict, []).append(r)
+    # every whitespace near-copy must link back to its old original
+    for r in by_v["dup_of_old"]:
+        if 100000 <= r.doc_id < 200000:
+            assert r.matched_id == r.doc_id - 100000
+    # copies of reversed variants link to the earlier new doc
+    assert by_v["dup_in_batch"]
+    for r in by_v["dup_in_batch"]:
+        assert r.matched_id >= 100000
+    assert by_v["accept"] and all(r.matched_id is None
+                                  for r in by_v["accept"])
+
+
+def test_incremental_pairs_equal_restricted_full_pairs(spark, fixture_df):
+    from pmc_conversion_spark.functions.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_incremental)
+    docs = fixture_df(
+        [(1, "a b c d e f"), (2, "a b c d e g"),
+         (100, "a b c d e f"), (101, "x y z w v u"), (102, "x y z w v u")],
+        "doc_id long, text string")
+    full = {(r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(docs, threshold_num=1,
+                                         threshold_den=5).collect()}
+    incr = {(r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs_incremental(
+                docs, new_min_id=100, threshold_num=1,
+                threshold_den=5).collect()}
+    assert incr == {p for p in full if p[1] >= 100}
+    assert (1, 2) in full and (1, 2) not in incr   # old×old skipped
