@@ -674,3 +674,49 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort", (F.col("day") - F.col("cohort"))
                      .alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+@register(
+    "win_active_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    ), streaks AS (
+      SELECT user_id, count(*) AS streak_len, min(day) AS streak_start
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(streak_len) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           min(streak_start) AS first_day
+    FROM streaks GROUP BY user_id
+    """)
+def win_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count and first active day) — the engagement metric behind every
+    'N-day streak' product surface, and the integer gaps-and-islands
+    identity: consecutive days share ``day - row_number()``.
+
+    (user, day) dedups first (one row per user-day moves, not per
+    event); both the numbering window and the aggregations partition
+    on user_id — one shuffle key end to end, integer-exact."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts").cast("timestamp").cast("long") / 86400) \
+        .cast("bigint").alias("day")
+    d = e.select("user_id", day).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = (g.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("streak_len"),
+                    F.min("day").alias("streak_start")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("streak_len").alias("longest_streak"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.min("streak_start").alias("first_day")))

@@ -2627,3 +2627,55 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise("dup_in_batch"))
     return (newdocs.join(best, "doc_id", "left")
             .select("doc_id", verdict.alias("verdict"), "matched_id"))
+
+
+@register(
+    "dq_pii_audit",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, source,
+             text || '{_PII_SUFFIX_SQL}'
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')))
+             AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')))
+             AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN regexp_matches(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+    FROM docs2 GROUP BY source
+    """)
+def dq_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure audit per source: email/phone occurrence counts
+    and affected-document counts — the release-gate REPORT that
+    decides whether ``text_pii_redact`` must run, and the number a
+    data-protection officer actually asks for. Shares the redaction
+    op's exact regexes (one definition in functions/text.py) so audit
+    and redaction can never disagree on what counts as PII. One scan,
+    map-side regexp counts, partial-agg per source."""
+    from pmc_conversion_spark.functions.text import EMAIL_RE, PHONE_RE
+    d = _docs(spark, sf_dir)
+    planted = (d.filter(F.col("doc_id") < 20)
+               .select((F.col("doc_id") + 200000).alias("doc_id"),
+                       "source",
+                       F.concat(F.col("text"), F.lit(" Contact: user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com or 555-123-4567."))
+                       .alias("text")))
+    docs2 = d.select("doc_id", "source", "text").unionByName(planted)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+    return (docs2.select("source", n_email.alias("ne"), n_phone.alias("np"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ne").alias("n_emails"),
+                 F.sum("np").alias("n_phones"),
+                 F.sum(F.when((F.col("ne") > 0) | (F.col("np") > 0), 1)
+                       .otherwise(0)).alias("n_docs_with_pii")))

@@ -433,3 +433,29 @@ def sql_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, two engines."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_PRIORITY_WAITING_SQL)
+
+
+_SHIPMODE_SQL = """
+SELECT l.l_returnflag AS shipclass,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("sql_shipmode_priority", oracle=_SHIPMODE_SQL)
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped pure-SQL entry: line counts split by order priority
+    class within each return flag — the conditional-aggregation
+    (pivot-in-SELECT) SQL shape, date-pruned at the lineitem scan and
+    joined to orders on the natural key. Integer counts, one text,
+    two engines."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SHIPMODE_SQL)

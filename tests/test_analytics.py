@@ -510,3 +510,24 @@ def test_incremental_pairs_equal_restricted_full_pairs(spark, fixture_df):
                 threshold_den=5).collect()}
     assert incr == {p for p in full if p[1] >= 100}
     assert (1, 2) in full and (1, 2) not in incr   # old×old skipped
+
+
+def test_pii_audit_counts_planted_fixture(spark):
+    rows = {r.source: r for r in _q("dq_pii_audit")(spark, SF_DIR).collect()}
+    # 20 planted docs carry exactly one email + one phone each
+    assert sum(r.n_emails for r in rows.values()) >= 20
+    assert sum(r.n_phones for r in rows.values()) >= 20
+    assert sum(r.n_docs_with_pii for r in rows.values()) >= 20
+    for r in rows.values():
+        assert r.n_docs_with_pii <= r.n_docs
+
+
+def test_active_streaks_identities(spark):
+    rows = _q("win_active_streaks")(spark, SF_DIR).collect()
+    assert rows
+    nvr = {r.day: r for r in _q("agg_new_vs_returning")(spark, SF_DIR).collect()}
+    first_overall = min(nvr)
+    for r in rows:
+        assert 1 <= r.longest_streak
+        assert r.n_streaks >= 1
+        assert r.first_day >= first_overall
