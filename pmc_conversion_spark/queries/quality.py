@@ -459,3 +459,33 @@ def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     two engines."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_SHIPMODE_SQL)
+
+
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk(start, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 500
+  UNION ALL
+  SELECT start, CAST(floor(node / 10.0) AS BIGINT), depth + 1
+  FROM walk WHERE node > 0
+)
+SELECT start AS c_custkey,
+       max(depth) AS depth,
+       sum(node) AS path_sum
+FROM walk
+GROUP BY start
+"""
+
+
+@register("sql_recursive_hierarchy", oracle=_RECURSIVE_WALK_SQL)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy closure (Spark 4 ``WITH RECURSIVE``):
+    every node walks its ancestor chain to the root, emitting depth
+    and the path-sum accumulation — the DECLARATIVE form of the
+    iterative ancestor walks the engine elsewhere runs by hand
+    (ontology closure in pipeline_e2e_ontology, star-contraction in
+    functions/graph.py). The synthetic tree (parent = key/10) stands
+    in for the reference's i2b2 ontology: depth is bounded by key
+    digits so the recursion terminates structurally. ONE SQL text
+    runs verbatim on both engines — including the recursion."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_WALK_SQL)
