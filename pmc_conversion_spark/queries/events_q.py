@@ -720,3 +720,40 @@ def win_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("streak_len").alias("longest_streak"),
                  F.count(F.lit(1)).alias("n_streaks"),
                  F.min("streak_start").alias("first_day")))
+
+
+@register(
+    "dq_observe_inline_metrics",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS total_value
+    FROM events WHERE value >= 0
+    GROUP BY event_type
+    """)
+def dq_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline pipeline observability via ``DataFrame.observe``: the
+    per-type aggregate result ships WITH accumulator-style metrics
+    (rows scanned, rows dropped by the value filter) collected during
+    the SAME execution — no second audit pass over the data, which at
+    100 TB is the difference between monitoring and doubling the
+    bill. The observation rides the plan as a zero-shuffle
+    CollectMetrics node; tests/test_analytics.py asserts the emitted
+    metric values, the oracle pins the data result."""
+    from pyspark.sql import Observation
+    e = _events(spark, sf_dir)
+    obs = Observation("dq")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .alias("rows_dropped"))
+    out = (observed.filter(F.col("value") >= 0)
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .alias("total_value")))
+    # stash the Observation so callers/tests can read obs.get after the
+    # action; the registry contract only materializes the DataFrame
+    out._dq_observation = obs
+    return out

@@ -489,3 +489,25 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs verbatim on both engines — including the recursion."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 200
+"""
+
+
+@register("sql_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two most expensive
+    orders — the for-each-row-run-a-query SQL shape. Catalyst
+    DE-CORRELATES it into a ranked window over one orders scan (the
+    plan ``win_topk_per_group`` states directly), so the notation's
+    apparent per-customer re-execution never happens physically. One
+    text, two engines; total tie order via (price desc, orderkey)."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -531,3 +531,28 @@ def test_active_streaks_identities(spark):
         assert 1 <= r.longest_streak
         assert r.n_streaks >= 1
         assert r.first_day >= first_overall
+
+
+def test_observe_metrics_collected_in_same_pass(spark):
+    from pmc_conversion_spark import tables
+    df = _q("dq_observe_inline_metrics")(spark, SF_DIR)
+    rows = df.collect()
+    obs = df._dq_observation
+    n_events = tables.load(spark, SF_DIR, "events").count()
+    got = obs.get
+    assert got["rows_scanned"] == n_events
+    assert got["rows_dropped"] == n_events - sum(r.n for r in rows)
+
+
+def test_lateral_topk_matches_window_form(spark):
+    rows = _q("sql_lateral_topk")(spark, SF_DIR).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.c_custkey, []).append(r.o_totalprice)
+    from pmc_conversion_spark import tables
+    orders = tables.load(spark, SF_DIR, "orders").collect()
+    for ck, prices in by_c.items():
+        assert len(prices) <= 2
+        expect = sorted((o.o_totalprice for o in orders
+                         if o.o_custkey == ck), reverse=True)[:2]
+        assert sorted(prices, reverse=True) == expect
