@@ -511,3 +511,30 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, two engines; total tie order via (price desc, orderkey)."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(r.r_name, '(all)') AS region,
+       coalesce(n.n_name, '(all)') AS nation,
+       GROUPING(r.r_name) AS g_region,
+       GROUPING(n.n_name) AS g_nation,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("sql_rollup_grouping_id", oracle=_ROLLUP_SQL)
+def sql_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator flags: the region→nation
+    subtotal ladder where every output row carries machine-readable
+    provenance of WHICH level produced it — the disambiguation
+    coalesce-to-'(all)' alone cannot give when a real value could
+    collide with the placeholder. Single-pass partial-aggregable
+    expansion (same engine machinery as ``agg_grouping_sets``); one
+    text, two engines, decimal-exact totals."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_ROLLUP_SQL)

@@ -529,3 +529,21 @@ def scan_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("k").alias("sum_k"),
                  F.max("k").alias("max_k")))
+
+
+@register("sink_codec_zstd", oracle=NATION_ORACLE)
+def sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec certification: parquet written with ZSTD
+    (the modern default for cold analytical data — parquet-mr's
+    snappy trades ~30% size for negligible CPU at read) and read
+    back value-exact. Codec choice is a table property, not a plan
+    property: the scan underneath is the same pushdown/pruning
+    FileScan as every other parquet read here. tests assert the
+    footer actually says ZSTD — a silent codec fallback would
+    otherwise pass the value check."""
+    d = _scratch("sink_codec_zstd")
+    nation = tables.load(spark, sf_dir, "nation")
+    (nation.coalesce(1).write.mode("overwrite")
+     .option("compression", "zstd").parquet(d))
+    return (spark.read.parquet(d)
+            .select("n_nationkey", "n_name", "n_regionkey"))

@@ -556,3 +556,23 @@ def test_lateral_topk_matches_window_form(spark):
         expect = sorted((o.o_totalprice for o in orders
                          if o.o_custkey == ck), reverse=True)[:2]
         assert sorted(prices, reverse=True) == expect
+
+
+def test_zstd_sink_footer_says_zstd(spark):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pmc_conversion_spark.util import scratch_root
+    _q("sink_codec_zstd")(spark, SF_DIR).count()
+    # locate the written file via the process-private scratch root
+    # (do NOT call scratch_dir here — it wipes on invocation)
+    base = os.path.join(scratch_root(), "sink_codec_zstd")
+    files = glob.glob(os.path.join(base, "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {meta.row_group(i).column(0).compression
+              for i in range(meta.num_row_groups)}
+    assert codecs == {"ZSTD"}
