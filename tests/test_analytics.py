@@ -576,3 +576,63 @@ def test_zstd_sink_footer_says_zstd(spark):
     codecs = {meta.row_group(i).column(0).compression
               for i in range(meta.num_row_groups)}
     assert codecs == {"ZSTD"}
+
+
+def test_zorder_layout_prunes_2d_boxes_better_than_row_major(spark):
+    """Write orders twice — z-ordered vs single-dimension-sorted —
+    with small row groups, and count row groups whose (x, y) min/max
+    boxes intersect a small 2-D query box. The z-order layout must
+    touch fewer groups: that's the whole point of the curve."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pmc_conversion_spark import tables
+    from pmc_conversion_spark.util import scratch_dir
+
+    # sf0.01: enough rows for ~100 small row groups — at sf0.001 the
+    # 12-group granularity is too coarse for the layouts to separate
+    o = tables.load(spark, "/root/testdata/sf0.01", "orders")
+    x = (F.col("o_custkey") % 256).alias("x")
+    day = F.floor(F.col("o_orderdate").cast("timestamp").cast("long")
+                  / F.lit(86400)).cast("bigint")
+    y = (day % 256).alias("y")
+    pts = o.select("o_orderkey", x, y)
+    z = sum((((F.col("x") / (1 << i)).cast("bigint") % 2) * (1 << (2 * i))
+             + ((F.col("y") / (1 << i)).cast("bigint") % 2)
+             * (1 << (2 * i + 1))) for i in range(8))
+    zdf = pts.withColumn("z", z)
+
+    def write_sorted(df, order_col, name):
+        d = scratch_dir(name)
+        (df.repartition(1).sortWithinPartitions(order_col)
+         .write.mode("overwrite")
+         .option("parquet.block.size", 4 * 1024).parquet(d))
+        return glob.glob(os.path.join(d, "*.parquet"))[0]
+
+    fz = write_sorted(zdf, "z", "zorder_test_z")
+    fx = write_sorted(zdf, "x", "zorder_test_rowmajor")
+
+    def groups_touching(path, x_lo, x_hi, y_lo, y_hi):
+        md = pq.ParquetFile(path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        xi, yi = names.index("x"), names.index("y")
+        touch = 0
+        for g in range(md.num_row_groups):
+            sx = md.row_group(g).column(xi).statistics
+            sy = md.row_group(g).column(yi).statistics
+            if sx.min <= x_hi and sx.max >= x_lo \
+                    and sy.min <= y_hi and sy.max >= y_lo:
+                touch += 1
+        return touch, md.num_row_groups
+
+    # a box NARROW in y but covering all of x: the x-sorted layout has
+    # zero y locality (every group spans the y range) while z-order
+    # clusters y bits into the curve — the case 1-D sorting cannot serve
+    tz, nz = groups_touching(fz, 0, 255, 0, 15)
+    tx, nx = groups_touching(fx, 0, 255, 0, 15)
+    assert nz >= 20 and nx >= 20        # enough groups to mean anything
+    assert tx / nx > 0.9                # 1-D layout reads ~everything
+    assert tz / nz < 0.5 * (tx / nx)    # z-order reads less than half
