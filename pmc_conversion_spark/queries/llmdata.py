@@ -2679,3 +2679,104 @@ def dq_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("np").alias("n_phones"),
                  F.sum(F.when((F.col("ne") > 0) | (F.col("np") > 0), 1)
                        .otherwise(0)).alias("n_docs_with_pii")))
+
+
+@register(
+    "mm_patch_grid",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             224 + (doc_id % 3) * 32 AS height,
+             224 + (doc_id % 5) * 32 AS width
+      FROM documents WHERE doc_id < 64
+    ), g AS (
+      SELECT media_id, height, width,
+             height // 16 AS n_rows, width // 16 AS n_cols
+      FROM m
+    )
+    SELECT media_id,
+           CAST(p AS INT) AS patch_id,
+           CAST(p // n_cols AS INT) AS patch_row,
+           CAST(p % n_cols AS INT) AS patch_col,
+           CAST((p // n_cols) * 16 AS INT) AS y0,
+           CAST((p % n_cols) * 16 AS INT) AS x0
+    FROM g, unnest(range(n_rows * n_cols)) AS t(p)
+    """)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch grid: each image (typed metadata fixture —
+    deterministic height/width per media id, 16-px patches) expands to
+    its (patch_id, row, col, pixel-origin) grid — the indexing that
+    turns an image into a token sequence for a vision transformer.
+
+    Pure map-side sequence+explode on the METADATA: the blob column
+    is never touched (column pruning drops it at the scan), so
+    planning a 100 TB patch extraction moves image bytes exactly once
+    — in the decode stage that consumes this grid, not here."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 64)
+    m = d.select(F.col("doc_id").alias("media_id"),
+                 (224 + (F.col("doc_id") % 3) * 32).alias("height"),
+                 (224 + (F.col("doc_id") % 5) * 32).alias("width"))
+    g = m.select("media_id",
+                 (F.col("height") / 16).cast("bigint").alias("n_rows"),
+                 (F.col("width") / 16).cast("bigint").alias("n_cols"))
+    return (g.select("media_id", "n_cols",
+                     F.explode(F.sequence(
+                         F.lit(0), F.col("n_rows") * F.col("n_cols") - 1))
+                     .alias("p"))
+            .select("media_id",
+                    F.col("p").cast("int").alias("patch_id"),
+                    (F.col("p") / F.col("n_cols")).cast("int")
+                    .alias("patch_row"),
+                    (F.col("p") % F.col("n_cols")).cast("int")
+                    .alias("patch_col"),
+                    ((F.col("p") / F.col("n_cols")).cast("bigint") * 16)
+                    .cast("int").alias("y0"),
+                    ((F.col("p") % F.col("n_cols")) * 16).cast("int")
+                    .alias("x0")))
+
+
+@register(
+    "mm_scene_cut_detect",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, least(length(text), 1024) + 1),
+                            i -> unicode(substr(text, i, 1))) AS cp
+      FROM documents
+    ), fr AS (
+      SELECT media_id, cp,
+             unnest(range(len(cp) // 256)) AS frame
+      FROM t WHERE len(cp) >= 512
+    ), en AS (
+      SELECT media_id, CAST(frame AS INT) AS frame,
+             list_sum(list_transform(cp[frame*256+1 : frame*256+256],
+                                     x -> x * x)) AS energy
+      FROM fr
+    ), d AS (
+      SELECT media_id, frame, energy,
+             energy - lag(energy) OVER (PARTITION BY media_id
+                                        ORDER BY frame) AS diff
+      FROM en
+    )
+    SELECT media_id, frame, energy, abs(diff) AS jump
+    FROM d WHERE abs(diff) > 50000
+    """)
+def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the frame-feature stream: a cut is a
+    frame whose feature energy JUMPS by more than a threshold vs the
+    previous frame — the shot-boundary primitive of video curation
+    pipelines, composed from ``mm_audio_frame_energy``'s Arrow-batched
+    extraction plus one lag window per media. Exact integer energies
+    make even the Python-extracted half fully value-oracled; the
+    window shuffles (media_id)-partitioned feature rows, never
+    frames/bytes."""
+    d = _docs(spark, sf_dir)
+    media = (d.filter(F.length("text") >= 512)
+             .select(F.col("doc_id").alias("media_id"), "text"))
+    en = MM.frame_energy_plan(media)
+    w = Window.partitionBy("media_id").orderBy("frame")
+    diff = (F.col("energy") - F.lag("energy").over(w)).alias("diff")
+    return (en.select("media_id", "frame", "energy", diff)
+            .filter(F.abs("diff") > 50000)
+            .select("media_id", "frame", "energy",
+                    F.abs("diff").alias("jump")))

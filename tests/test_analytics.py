@@ -636,3 +636,33 @@ def test_zorder_layout_prunes_2d_boxes_better_than_row_major(spark):
     assert nz >= 20 and nx >= 20        # enough groups to mean anything
     assert tx / nx > 0.9                # 1-D layout reads ~everything
     assert tz / nz < 0.5 * (tx / nx)    # z-order reads less than half
+
+
+def test_patch_grid_covers_image_exactly(spark):
+    rows = _q("mm_patch_grid")(spark, SF_DIR).collect()
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r.media_id, []).append(r)
+    assert by_m
+    for mid, ps in by_m.items():
+        h = 224 + (mid % 3) * 32
+        w = 224 + (mid % 5) * 32
+        assert len(ps) == (h // 16) * (w // 16)
+        ids = sorted(p.patch_id for p in ps)
+        assert ids == list(range(len(ps)))          # dense, gapless
+        for p in ps:
+            assert p.y0 == p.patch_row * 16 and p.x0 == p.patch_col * 16
+            assert 0 <= p.y0 < h and 0 <= p.x0 < w
+
+
+def test_scene_cuts_are_real_jumps(spark):
+    # cuts computed at sf0.01 (sf0.001 docs are mostly < 512 chars)
+    rows = _q("mm_scene_cut_detect")(spark, "/root/testdata/sf0.01") \
+        .collect()
+    assert rows
+    energies = {(r.media_id, r.frame): r.energy
+                for r in _q("mm_audio_frame_energy")(
+                    spark, "/root/testdata/sf0.01").collect()}
+    for r in rows:
+        prev = energies[(r.media_id, r.frame - 1)]
+        assert abs(r.energy - prev) == r.jump > 50000
