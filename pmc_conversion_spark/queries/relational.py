@@ -1162,3 +1162,125 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed down — the plan you want at 100 TB."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PRICING_SUMMARY_SQL)
+
+
+@register(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_open,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_done,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_part
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (rows → typed columns at parse time): order
+    counts by market segment with one column per status. Spark's
+    PIVOT needs the value list up front — which is exactly why it
+    scales: the output schema is static, the plan is one
+    partial-aggregable pass, and no second distinct-scan runs to
+    discover columns (the DataFrame twin ``agg_pivot_wide`` documents
+    the same contract). The oracle states the equivalent FILTER
+    aggregate, since DuckDB's PIVOT syntax differs."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT * FROM (
+          SELECT c_mktsegment, o_orderstatus
+          FROM orders JOIN customer ON c_custkey = o_custkey)
+        PIVOT (count(*) AS n
+               FOR o_orderstatus IN ('O' AS st_open, 'F' AS st_done,
+                                     'P' AS st_part))
+    """)
+
+
+@register(
+    "sql_unpivot_clause",
+    oracle="""
+    SELECT n_nationkey, 'n_regionkey' AS metric,
+           CAST(n_regionkey AS BIGINT) AS value
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'name_len', CAST(length(n_name) AS BIGINT)
+    FROM nation
+    """)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (typed columns → EAV rows at parse time) —
+    the declarative twin of the stack()-based melt the EAV pipeline
+    runs (``pipeline_eav_unpivot``). Map-side row expansion, no
+    shuffle; the oracle is the UNION ALL the clause desugars to."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_nationkey, metric, value FROM (
+          SELECT n_nationkey, CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                 CAST(length(n_name) AS BIGINT) AS name_len
+          FROM nation)
+        UNPIVOT (value FOR metric IN (n_regionkey, name_len))
+    """)
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation: the comma-joined nation list per
+    region — the denormalized label column every report/export asks
+    for. Spark has no ordered listagg aggregate, so the engine states
+    it as sort_array ∘ collect_list ∘ array_join, which is both
+    deterministic (the oracle's ORDER BY inside string_agg) and
+    bounded here by the dimension domain. For unbounded groups the
+    posting-cap pattern of ``text_inverted_index`` applies — an
+    uncapped listagg row is the same skew hazard as an uncapped
+    posting list."""
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r),
+                   n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                 .alias("nations"),
+                 F.count(F.lit(1)).alias("n_nations")))
+
+
+@register(
+    "agg_dense_grid_zerofill",
+    oracle="""
+    WITH segs AS (SELECT DISTINCT c_mktsegment FROM customer),
+    sts AS (SELECT DISTINCT o_orderstatus FROM orders),
+    grid AS (SELECT * FROM segs, sts),
+    actual AS (
+      SELECT c_mktsegment, o_orderstatus, count(*) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT g.c_mktsegment, g.o_orderstatus,
+           coalesce(actual.n, 0) AS n
+    FROM grid g LEFT JOIN actual
+      ON actual.c_mktsegment = g.c_mktsegment
+     AND actual.o_orderstatus = g.o_orderstatus
+    """)
+def agg_dense_grid_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense zero-filled matrix: every (segment × status) cell, absent
+    combinations as explicit zeros — what dashboards and downstream
+    matrix math need, and what a plain groupBy silently omits. The
+    grid is the ONE legitimate cross join in the registry: both sides
+    are bounded distinct-value dimension sets (segments × statuses),
+    so the cartesian is domain-sized by construction; the fact
+    aggregate left-joins onto it."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    segs = c.select("c_mktsegment").distinct()
+    sts = o.select("o_orderstatus").distinct()
+    grid = segs.crossJoin(F.broadcast(sts))
+    actual = (o.join(c, o.o_custkey == c.c_custkey)
+              .groupBy("c_mktsegment", "o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (grid.join(actual, ["c_mktsegment", "o_orderstatus"], "left")
+            .select("c_mktsegment", "o_orderstatus",
+                    F.coalesce("n", F.lit(0)).alias("n")))
