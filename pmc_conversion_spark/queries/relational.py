@@ -1284,3 +1284,121 @@ def agg_dense_grid_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grid.join(actual, ["c_mktsegment", "o_orderstatus"], "left")
             .select("c_mktsegment", "o_orderstatus",
                     F.coalesce("n", F.lit(0)).alias("n")))
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+                      * CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2,
+             CAST(sum(power(CAST(round(o_totalprice, 2) AS DOUBLE), 3))
+                  AS DOUBLE) AS s3
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(s1 / n, 4) AS mean_price,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS std_price,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n - (s1/n)*(s1/n))
+                  - (s1/n)*(s1/n)*(s1/n))
+                 / power(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 4)
+             AS skew_price
+    FROM s
+    """)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/std/skewness per order status derived from RAW
+    POWER SUMS — never the built-in stddev/skewness aggregates, whose
+    accumulation order makes them partitioning-nondeterministic and
+    whose sample-vs-population conventions differ between engines
+    (the same policy as ``dq_outlier_zscore``). s1/s2 are exact
+    decimal sums; s3 is a double sum of cubes, deterministic after
+    the 4-dp round because the moments divide through n before the
+    subtraction cancellation can amplify. All three moments come from
+    ONE partial-aggregable pass."""
+    o = tables.load(spark, sf_dir, "orders")
+    p = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    s = (o.groupBy("o_orderstatus")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(p).cast("double").alias("s1"),
+              F.sum(p * p).cast("double").alias("s2"),
+              F.sum(F.pow(F.round("o_totalprice", 2), 3)).alias("s3")))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    std = F.sqrt(var)
+    skew = ((F.col("s3") / F.col("n") - 3 * mean * var
+             - mean * mean * mean) / F.pow(std, 3))
+    return s.select("o_orderstatus", "n",
+                    F.round(mean, 4).alias("mean_price"),
+                    F.round(std, 4).alias("std_price"),
+                    F.round(skew, 4).alias("skew_price"))
+
+
+@register(
+    "sql_relational_division",
+    oracle="""
+    SELECT c.c_custkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = p.o_orderpriority))
+    """)
+def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION: customers who placed orders in EVERY
+    priority class — the 'for all' query SQL can only express as
+    doubled NOT EXISTS (the oracle states that textbook form). The
+    engine computes it as the aggregate identity: distinct priorities
+    per customer == total distinct priorities — one partial-agg pass
+    over (custkey, priority) pairs plus a one-row broadcast of the
+    domain size, instead of nested correlated scans."""
+    o = tables.load(spark, sf_dir, "orders")
+    total = (o.select("o_orderpriority").distinct()
+             .agg(F.count(F.lit(1)).alias("n_total")))
+    per_c = (o.select("o_custkey", "o_orderpriority").distinct()
+             .groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n_mine")))
+    return (per_c.crossJoin(F.broadcast(total))
+            .filter(F.col("n_mine") == F.col("n_total"))
+            .select(F.col("o_custkey").alias("c_custkey")))
+
+
+@register(
+    "gen_calendar_dim",
+    oracle="""
+    SELECT CAST(d AS DATE) AS cal_date,
+           EXTRACT(year FROM d) AS year,
+           EXTRACT(month FROM d) AS month,
+           EXTRACT(quarter FROM d) AS quarter,
+           CAST(EXTRACT(isodow FROM d) AS BIGINT) AS iso_dow,
+           CASE WHEN EXTRACT(isodow FROM d) >= 6 THEN 1 ELSE 0 END
+             AS is_weekend
+    FROM generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+    """)
+def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension GENERATION (no input table): two years of
+    dates with year/month/quarter/ISO-weekday/weekend flags — the dim
+    every date-keyed star schema joins through, generated by
+    sequence+explode instead of loaded. Deterministic, map-side, and
+    the pattern scales to any range: a century of days is ~37k rows,
+    always broadcastable."""
+    days = spark.range(1).select(
+        F.explode(F.sequence(F.lit("1995-01-01").cast("date"),
+                             F.lit("1996-12-31").cast("date"),
+                             F.expr("INTERVAL 1 DAY"))).alias("cal_date"))
+    iso_dow = F.when(F.dayofweek("cal_date") == 1, 7) \
+        .otherwise(F.dayofweek("cal_date") - 1)
+    return days.select(
+        "cal_date",
+        F.year("cal_date").alias("year"),
+        F.month("cal_date").alias("month"),
+        F.quarter("cal_date").alias("quarter"),
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.when(iso_dow >= 6, 1).otherwise(0).alias("is_weekend"))
