@@ -1402,3 +1402,86 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("cal_date").alias("quarter"),
         iso_dow.cast("bigint").alias("iso_dow"),
         F.when(iso_dow >= 6, 1).otherwise(0).alias("is_weekend"))
+
+
+@register(
+    "dq_dataset_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS k, count(*) AS n FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+    b AS (
+      SELECT o_orderpriority AS k, count(*) AS n FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+    ta AS (SELECT sum(n) AS t FROM a),
+    tb AS (SELECT sum(n) AS t FROM b)
+    SELECT coalesce(a.k, b.k) AS o_orderpriority,
+           coalesce(a.n, 0) AS n_before,
+           coalesce(b.n, 0) AS n_after,
+           round(CAST(coalesce(a.n, 0) AS DOUBLE) / ta.t, 6) AS share_before,
+           round(CAST(coalesce(b.n, 0) AS DOUBLE) / tb.t, 6) AS share_after,
+           round(abs(CAST(coalesce(a.n, 0) AS DOUBLE) / ta.t
+                     - CAST(coalesce(b.n, 0) AS DOUBLE) / tb.t), 6)
+             AS share_shift
+    FROM a FULL JOIN b ON b.k = a.k, ta, tb
+    """)
+def dq_dataset_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two dataset periods: per
+    category, before/after counts, shares, and absolute share shift —
+    the categorical-drift screen (sum of shifts = total variation
+    distance ×2) run before retraining on a refreshed corpus. Periods
+    full-outer-join so a category that APPEARS or VANISHES — the
+    strongest drift signal — survives with an explicit zero side.
+    Two partial-agg passes + two one-row totals broadcast back."""
+    o = tables.load(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < "1998-01-01"
+    a = (o.filter(cut).groupBy(F.col("o_orderpriority").alias("k"))
+         .agg(F.count(F.lit(1)).alias("n_before")))
+    b = (o.filter(~cut).groupBy(F.col("o_orderpriority").alias("k"))
+         .agg(F.count(F.lit(1)).alias("n_after")))
+    ta = a.agg(F.sum("n_before").alias("ta"))
+    tb = b.agg(F.sum("n_after").alias("tb"))
+    j = (a.join(b, "k", "full")
+         .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+         .select(F.col("k").alias("o_orderpriority"),
+                 F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                 F.coalesce("n_after", F.lit(0)).alias("n_after"),
+                 (F.coalesce("n_before", F.lit(0)).cast("double")
+                  / F.col("ta")).alias("sa"),
+                 (F.coalesce("n_after", F.lit(0)).cast("double")
+                  / F.col("tb")).alias("sb")))
+    return j.select("o_orderpriority", "n_before", "n_after",
+                    F.round("sa", 6).alias("share_before"),
+                    F.round("sb", 6).alias("share_after"),
+                    F.round(F.abs(F.col("sa") - F.col("sb")), 6)
+                    .alias("share_shift"))
+
+
+@register(
+    "f_date_trunc_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3m
+    FROM orders WHERE o_orderkey < 1000
+    """)
+def f_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic parity surface: month/quarter truncation,
+    month-end snapping, and add-months — the bucketing every
+    period-keyed rollup and SCD effective-date build leans on. All
+    DATE-valued outputs (exact calendar arithmetic on both engines);
+    fractional months_between is deliberately excluded — its day-31
+    conventions differ across engines and anything derived from it
+    would be oracle-unstable. Map-side, codegen'd."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_trunc("quarter", "o_orderdate").cast("date")
+        .alias("quarter_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"))
