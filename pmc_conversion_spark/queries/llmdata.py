@@ -2780,3 +2780,111 @@ def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs("diff") > 50000)
             .select("media_id", "frame", "energy",
                     F.abs("diff").alias("jump")))
+
+
+@register(
+    "sim_prefix_dim_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    full_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_cosine_similarity(q.v, c.v), 6) DESC,
+               c.vec_id) AS rnk
+      FROM q JOIN c ON c.vec_id <> q.vec_id),
+    pfx_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_cosine_similarity(q.v[1:16], c.v[1:16]), 6) DESC,
+               c.vec_id) AS rnk
+      FROM q JOIN c ON c.vec_id <> q.vec_id),
+    f5 AS (SELECT query_id, cand_id FROM full_rank WHERE rnk <= 5),
+    p5 AS (SELECT query_id, cand_id FROM pfx_rank WHERE rnk <= 5)
+    SELECT f5.query_id,
+           count(p5.cand_id) AS n_overlap,
+           round(count(p5.cand_id) / 5.0, 2) AS recall_at_5
+    FROM f5 LEFT JOIN p5 ON p5.query_id = f5.query_id
+                        AND p5.cand_id = f5.cand_id
+    GROUP BY f5.query_id
+    """)
+def sim_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: top-5 neighbors by
+    FULL 64-dim cosine vs by the FIRST 16 dims only, reporting per-
+    query overlap (recall@5) — the measurement that decides whether a
+    vector store can serve truncated prefixes (4× smaller, 4× faster
+    scans) without re-embedding. Both rankings share the exact
+    brute-force machinery of ``sim_topk_bruteforce`` (query side
+    bounded and broadcast); the recall join moves only (query, cand)
+    id pairs. The fixture embeddings are NOT MRL-trained, so low
+    recall here is the honest expected result — the op measures, it
+    does not assume."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+
+    def top5(sim_col):
+        from pyspark.sql import Window as W
+        rnk = F.row_number().over(
+            W.partitionBy("query_id")
+            .orderBy(F.round(sim_col, 6).desc(), "cand_id"))
+        return (F.broadcast(q).join(c, F.col("cand_id") != F.col("query_id"))
+                .withColumn("rnk", rnk).filter(F.col("rnk") <= 5)
+                .select("query_id", "cand_id"))
+
+    full5 = top5(SIM.cosine(F.col("qv"), F.col("cv")))
+    pfx5 = top5(SIM.cosine(F.slice("qv", 1, 16), F.slice("cv", 1, 16)))
+    p = pfx5.withColumnRenamed("cand_id", "p_cand")
+    return (full5.join(p, (p.query_id == full5.query_id)
+                       & (p.p_cand == full5.cand_id), "left")
+            .groupBy(full5.query_id)
+            .agg(F.count(p.p_cand).alias("n_overlap"),
+                 F.round(F.count(p.p_cand) / 5.0, 2).alias("recall_at_5")))
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle=f"""
+    WITH f AS (
+      SELECT source, doc_id, len({_TOKS}) AS ntok FROM documents
+    ), best AS (
+      SELECT source,
+             max(struct_pack(ntok := ntok, doc_id := -doc_id)) AS b,
+             min(struct_pack(ntok := ntok, doc_id := doc_id)) AS w
+      FROM f GROUP BY source
+    )
+    SELECT source,
+           -(b.doc_id) AS chosen_id, w.doc_id AS rejected_id,
+           b.ntok AS chosen_score, w.ntok AS rejected_score,
+           b.ntok - w.ntok AS margin
+    FROM best
+    """)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair preparation (DPO/RLHF-style): per group, the
+    highest-scoring document paired with the lowest as
+    (chosen, rejected, margin) — the contrastive construction
+    preference-tuning datasets are built from, with the quality
+    signal standing in for a reward model. ONE struct-min/max
+    aggregate per side gives argmax/argmin with a total tie order
+    (score, then id — the negated id inside the max struct makes
+    ties pick the LOWER id on both engines); no window, no sort, no
+    self-join."""
+    d = _docs(spark, sf_dir)
+    f = d.select("source", "doc_id",
+                 TX.token_count_ws(F.lower(F.col("text"))).alias("ntok"))
+    best = (f.groupBy("source")
+            .agg(F.max(F.struct(F.col("ntok"),
+                                (-F.col("doc_id")).alias("doc_id")))
+                 .alias("b"),
+                 F.min(F.struct(F.col("ntok"), F.col("doc_id"))).alias("w")))
+    return best.select(
+        "source",
+        (-F.col("b.doc_id")).alias("chosen_id"),
+        F.col("w.doc_id").alias("rejected_id"),
+        F.col("b.ntok").alias("chosen_score"),
+        F.col("w.ntok").alias("rejected_score"),
+        (F.col("b.ntok") - F.col("w.ntok")).alias("margin"))
