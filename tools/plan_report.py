@@ -102,6 +102,28 @@ AUDITED = [
     "win_percent_change_yoy",
     "agg_benford_audit",
     "scan_xml",
+    "pipeline_incremental_dedup",
+    "dq_pii_audit",
+    "win_active_streaks",
+    "sql_shipmode_priority",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topk",
+    "dq_observe_inline_metrics",
+    "sql_rollup_grouping_id",
+    "sink_codec_zstd",
+    "mm_patch_grid",
+    "mm_scene_cut_detect",
+    "sql_pivot_clause",
+    "sql_unpivot_clause",
+    "agg_string_agg",
+    "agg_dense_grid_zerofill",
+    "agg_higher_moments",
+    "sql_relational_division",
+    "gen_calendar_dim",
+    "dq_dataset_drift",
+    "f_date_trunc_arith",
+    "sim_prefix_dim_recall",
+    "pipeline_preference_pairs",
 ]
 
 
