@@ -757,3 +757,43 @@ def dq_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action; the registry contract only materializes the DataFrame
     out._dq_observation = obs
     return out
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(median(cents) OVER (
+             PARTITION BY user_id ORDER BY sec, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+             AS med_cents
+    FROM v
+    """)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-row moving MEDIAN per user — the robust smoother a
+    moving average can't replace when the series has spikes. Spark
+    has no median window aggregate, so the engine states it as
+    collect-the-frame → sort → middle element(s): the frame is
+    CONSTANT-SIZED (≤5), so per-row state is bounded and the trick
+    never becomes the unbounded-group percentile hazard
+    ``agg_quantiles`` documents. Integer cents in, exact halves out
+    (even frames average the two middles) — both engines agree
+    without float sorting."""
+    e = _events(spark, sf_dir)
+    v = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec", "event_id")
+         .rowsBetween(-2, 2))
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return v.select("user_id", "event_id",
+                    ((lo + hi) / 2.0).alias("med_cents"))

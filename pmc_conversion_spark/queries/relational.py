@@ -1485,3 +1485,53 @@ def f_date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quarter_start"),
         F.last_day(d).alias("month_end"),
         F.add_months(d, 3).alias("plus_3m"))
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, o_custkey) AS i
+      FROM cust
+    )
+    SELECT nation,
+           count(*) AS n_customers,
+           round((2.0 * sum(i * cents)) / (count(*) * sum(cents))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY nation
+    """)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue per nation — the
+    inequality coefficient (0 = everyone equal, →1 = one whale) that
+    flags revenue-concentration risk per market. Computed by the
+    rank-weighted identity G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over
+    ascending per-customer totals: one per-nation window for the rank
+    plus one partial-aggregable pass; integer-cents totals make
+    Σi·xᵢ exact so the rounded double is engine-identical."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    cust = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("cents")))
+    w = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round((2.0 * F.sum(F.col("i") * F.col("cents")))
+                         / (F.count(F.lit(1)) * F.sum("cents"))
+                         - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                         6).alias("gini")))
