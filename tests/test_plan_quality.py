@@ -306,3 +306,40 @@ def test_share_of_total_avoids_unpartitioned_window(spark, qs):
     plan = plan_of(qs["agg_share_of_total"](spark, SF_DIR))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_scd2_pointintime_stays_hash_join(spark, qs):
+    # the validity band must be a residual inside the equi-join on
+    # custkey — never a range-only BroadcastNestedLoopJoin
+    plan = plan_of(qs["join_scd2_pointintime"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_fuzzy_blocked_join_is_equi_on_block_key(spark, qs):
+    plan = plan_of(qs["join_fuzzy_blocked"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_incremental_dedup_pairgen_restriction_is_joinless(spark, qs):
+    # pair generation stays in-bucket; the only joins are the final
+    # verdict left-join and nothing resembling old-corpus self-joins
+    plan = plan_of(qs["pipeline_incremental_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_no_cartesian_except_counts(spark, qs):
+    # wedge closing is equi-joins; the only NLJ-ish nodes are the
+    # one-row count cross joins
+    plan = plan_of(qs["graph_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_scan_parses_json_once(spark, qs):
+    # one parse_json in the plan, not one per extracted field
+    plan = plan_of(qs["scan_variant_json"](spark, SF_DIR))
+    assert plan.count("parse_json") <= 2   # project + partial-agg echo
