@@ -2888,3 +2888,123 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.ntok").alias("chosen_score"),
         F.col("w.ntok").alias("rejected_score"),
         (F.col("b.ntok") - F.col("w.ntok")).alias("margin"))
+
+
+@register(
+    "sink_training_shards",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS running
+          FROM t),
+    seqs AS (
+      SELECT (running - n_tokens) // 2048 AS seq_id,
+             sum(n_tokens) AS seq_tokens
+      FROM r GROUP BY 1
+    )
+    SELECT seq_id % 8 AS shard_id,
+           count(*) AS n_seqs,
+           sum(seq_tokens) AS shard_tokens
+    FROM seqs GROUP BY 1
+    """)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard materialization: packed 2048-token sequences
+    land in 8 shard files (round-robin on sequence id — consecutive
+    sequences go to DIFFERENT shards, so every shard is a uniform
+    sample of the curriculum and data-parallel workers see balanced
+    token counts). The parquet shards are actually written
+    (partitionBy shard_id) and the returned manifest — seqs and
+    tokens per shard — is read BACK from the files, so the oracle
+    checks the on-disk layout, not just the plan."""
+    from pmc_conversion_spark.functions.text import token_count_ws
+    from pmc_conversion_spark.operators.windows import running_sum_distributed
+    from pmc_conversion_spark.util import scratch_dir
+    out = scratch_dir("sink_training_shards")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_ws(F.lower(F.col("text"))).alias("n_tokens"))
+    r = running_sum_distributed(d, "doc_id", "n_tokens", out_col="running")
+    seqs = (r.withColumn("seq_id",
+                         F.expr("(running - n_tokens) DIV 2048"))
+            .groupBy("seq_id")
+            .agg(F.sum("n_tokens").alias("seq_tokens"))
+            .withColumn("shard_id", F.col("seq_id") % 8))
+    seqs.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_seqs"),
+                 F.sum("seq_tokens").alias("shard_tokens")))
+
+
+@register(
+    "agg_label_balance",
+    oracle="""
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.label, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           round(-(CAST(c.n AS DOUBLE) / t.total)
+                 * ln(CAST(c.n AS DOUBLE) / t.total), 6) AS entropy_term
+    FROM c, t
+    """)
+def agg_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance report over the embedding labels: per-class count,
+    share, and the class's entropy contribution (−p·ln p; their sum is
+    the label entropy, maximal when balanced) — the imbalance screen
+    run before training a classifier head or stratifying an eval set.
+    One partial-agg pass plus a one-row total broadcast back; exact
+    integer ratios keep the rounded doubles engine-identical."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (c.crossJoin(F.broadcast(t))
+            .select("label", "n",
+                    F.round(p, 6).alias("share"),
+                    F.round(-p * F.log(p), 6).alias("entropy_term")))
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           count(*) AS n_rows,
+           count(o_orderstatus) AS n_nonnull,
+           count(DISTINCT o_orderstatus) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT round(o_totalprice, 2)) FROM orders
+    """)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the pandas-profiling minimum): row, non-null,
+    and distinct counts per audited column, long-form — the first
+    query anyone runs against an unknown table, and the stats a
+    cost-based optimizer wants. ALL columns profile in ONE pass: the
+    per-column aggregates are independent expressions of a single
+    groupBy-less aggregation, so the table scans once however many
+    columns are audited (the UNION in the oracle is DuckDB
+    convenience, not the engine plan)."""
+    o = tables.load(spark, sf_dir, "orders")
+    cols = [("o_orderstatus", F.col("o_orderstatus")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("o_custkey", F.col("o_custkey")),
+            ("o_totalprice", F.round("o_totalprice", 2))]
+    aggs = []
+    for name, expr in cols:
+        aggs += [F.count(F.lit(1)).alias(f"{name}__rows"),
+                 F.count(expr).alias(f"{name}__nonnull"),
+                 F.countDistinct(expr).alias(f"{name}__distinct")]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__rows, {name}__nonnull, {name}__distinct"
+        for name, _ in cols)
+    return wide.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nonnull, n_distinct)"))
