@@ -1535,3 +1535,50 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (F.count(F.lit(1)) * F.sum("cents"))
                          - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
                          6).alias("gini")))
+
+
+@register(
+    "agg_sample_estimate_audit",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice FROM orders
+      WHERE (('0x' || substr(md5('aqp1:' || CAST(o_orderkey AS VARCHAR)),
+              1, 15))::BIGINT % 10000) < 100
+    ),
+    ex AS (SELECT CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                       AS DOUBLE) AS exact_total,
+                  count(*) AS n_rows FROM orders),
+    est AS (SELECT CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) * 100 AS est_total,
+                   count(*) AS n_sampled FROM s)
+    SELECT ex.n_rows, est.n_sampled,
+           round(ex.exact_total, 2) AS exact_total,
+           round(est.est_total, 2) AS est_total,
+           round(abs(est.est_total - ex.exact_total)
+                 / ex.exact_total, 6) AS rel_err
+    FROM ex, est
+    """)
+def agg_sample_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style) audit: total
+    revenue estimated from a DETERMINISTIC 1% hash sample, scaled by
+    1/fraction, reported NEXT TO the exact answer and relative error.
+    The sample predicate is the salted-hash membership of
+    functions/sampling.py — it pushes past the scan like any filter,
+    re-runs identically (TABLESAMPLE's rand() would re-draw), and at
+    100 TB turns a full-table aggregate into a 1% scan when the
+    consumer tolerates ~1/√n error. Shipping the error in the result
+    is the contract: an estimate without its error bar is a bug."""
+    from pmc_conversion_spark.functions.sampling import hash_bucket
+    o = tables.load(spark, sf_dir, "orders")
+    p = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    ex = o.agg(F.sum(p).cast("double").alias("exact_total"),
+               F.count(F.lit(1)).alias("n_rows"))
+    s = o.filter(hash_bucket(F.col("o_orderkey"), "aqp1") < 100)
+    est = s.agg((F.sum(p).cast("double") * 100).alias("est_total"),
+                F.count(F.lit(1)).alias("n_sampled"))
+    return (ex.crossJoin(est)
+            .select("n_rows", "n_sampled",
+                    F.round("exact_total", 2).alias("exact_total"),
+                    F.round("est_total", 2).alias("est_total"),
+                    F.round(F.abs(F.col("est_total") - F.col("exact_total"))
+                            / F.col("exact_total"), 6).alias("rel_err")))

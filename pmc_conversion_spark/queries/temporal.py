@@ -282,3 +282,44 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purch, clicks, on="user_id", left_ts="p_ts",
                      right_ts="c_ts", right_cols=["c_event_id", "c_ts"],
                      direction="forward")
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.p_event_id, c.c_event_id, c.c_ts,
+                 row_number() OVER (PARTITION BY p.p_event_id
+                                    ORDER BY c.c_ts DESC,
+                                             c.c_event_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.p_ts)
+    SELECT p.user_id, p.p_event_id, p.p_ts,
+           CASE WHEN m.c_ts >= p.p_ts - INTERVAL '30' MINUTE
+                THEN m.c_event_id END AS c_event_id,
+           CASE WHEN m.c_ts >= p.p_ts - INTERVAL '30' MINUTE
+                THEN m.c_ts END AS c_ts
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      USING (p_event_id)
+    """)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE: the most recent click at
+    or before each purchase counts only if it is at most 30 minutes
+    old — older matches are nulled while the purchase row SURVIVES
+    (left-join contract). This is the attribution-window rule every
+    ads/analytics pipeline enforces; without the tolerance an as-of
+    join happily attributes to a click from last month. Same
+    one-shuffle union+window plan as ``join_asof`` — the tolerance is
+    a post-window null-out, never a second join."""
+    e = _events(spark, sf_dir)
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("p_event_id"),
+                     F.col("ts").alias("p_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("c_event_id"),
+                      F.col("ts").alias("c_ts")))
+    return asof_join(purch, clicks, on="user_id", left_ts="p_ts",
+                     right_ts="c_ts", right_cols=["c_event_id", "c_ts"],
+                     tolerance="'30' minute")
