@@ -37,6 +37,16 @@ def get_spark(app_name: str = "pmc-conversion-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate synthesizes size(child)>0 filters
+        # whose pushdown INLINES the generator child below exchanges —
+        # for expensive children (tokenize+shingle chains) the filter
+        # re-runs the whole expression, single-partition, twice
+        # (measured 4x on the shingle family at sf0.1). Our explodes
+        # never cross a shuffle before the Generate, so the inferred
+        # prune buys nothing here.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")

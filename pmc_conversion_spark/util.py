@@ -98,3 +98,10 @@ def tune_local_session(spark) -> None:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.session.timeZone", "UTC")
+    # see session.py: the inferred size()>0 Generate filter inlines
+    # expensive generator children below exchanges (4x on the shingle
+    # family); runtime-settable, so it also protects driver-owned
+    # sessions that skip our builder.
+    conf.set("spark.sql.optimizer.excludedRules",
+             "org.apache.spark.sql.catalyst.optimizer."
+             "InferFiltersFromGenerate")
