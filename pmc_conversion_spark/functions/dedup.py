@@ -67,11 +67,22 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str,
     """(doc_id, sh: array<string>, sz: int) — one row per doc, shingle
     expression evaluated exactly once per doc. Downstream operators work
     off this frame so the (expensive) tokenize+shingle expression never
-    appears more than once per plan branch."""
-    return (ensure_parallelism(docs)
+    appears more than once per plan branch.
+
+    The token array is BOUND to its own projection before shingling:
+    ``shingles``'s per-index lambda references the token array, and a
+    higher-order function's lambda body is interpreted (no codegen
+    subexpression elimination), so an INLINED tokenize expression
+    would re-run trim+lower+split once per shingle index — a measured
+    ~4× slowdown of the whole shingle family at sf0.1. As a separate
+    column it is a per-element attribute read; CollapseProject keeps
+    the multi-referenced non-cheap projection separate."""
+    toks = (ensure_parallelism(docs)
             .select(F.col(id_col).alias("doc_id"),
-                    shingles(ws_tokens(F.lower(F.col(text_col))), n)
-                    .alias("sh"))
+                    ws_tokens(F.lower(F.col(text_col))).alias("__toks")))
+    return (toks
+            .select("doc_id",
+                    shingles(F.col("__toks"), n).alias("sh"))
             .withColumn("sz", F.size("sh")))
 
 
