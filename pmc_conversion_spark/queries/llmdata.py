@@ -3008,3 +3008,45 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.expr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nonnull, n_distinct)"))
+
+
+@register(
+    "agg_host_aggregation",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com' AS host,
+             '/site/' || CAST(doc_id % 50 AS VARCHAR) AS path,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    )
+    SELECT host,
+           count(*) AS n_pages,
+           count(DISTINCT path) AS n_paths,
+           sum(n_tokens) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4)
+             AS mean_tokens
+    FROM u GROUP BY host
+    """)
+def agg_host_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl accounting: pages, distinct paths, and token
+    mass per host — the rollup crawl-budget and per-domain quota
+    decisions key on (and the grouping the robots/politeness layer
+    schedules by). Web corpora are HOST-skewed by nature; this
+    aggregate is the input to the per-domain caps ops like
+    ``pipeline_token_budget_select`` enforce. One partial-agg pass
+    over (host, path) after a map-side URL parse."""
+    d = _docs(spark, sf_dir)
+    u = d.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/site/"),
+                 (F.col("doc_id") % 50).cast("string")).alias("path"),
+        TX.token_count_ws(F.lower(F.col("text"))).alias("n_tokens"))
+    return (u.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("path").alias("n_paths"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.sum("n_tokens").cast("double")
+                         / F.count(F.lit(1)), 4).alias("mean_tokens")))

@@ -538,3 +538,29 @@ def sql_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, two engines, decimal-exact totals."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_ROLLUP_SQL)
+
+
+_CUBE_SQL = """
+SELECT coalesce(r.r_name, '(all)') AS region,
+       coalesce(c.c_mktsegment, '(all)') AS segment,
+       GROUPING(r.r_name) AS g_region,
+       GROUPING(c.c_mktsegment) AS g_segment,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY CUBE (r.r_name, c.c_mktsegment)
+"""
+
+
+@register("sql_cube_all_margins", oracle=_CUBE_SQL)
+def sql_cube_all_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four margin combinations of (region, segment) in one
+    pass — completing the grouping trio with ``agg_grouping_sets``
+    (explicit sets) and ``sql_rollup_grouping_id`` (hierarchy ladder).
+    GROUPING() flags disambiguate real values from placeholders; the
+    expansion is partial-aggregable so the fact scan still happens
+    once however many margins materialize. One text, two engines."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_CUBE_SQL)
