@@ -3050,3 +3050,104 @@ def agg_host_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("total_tokens"),
                  F.round(F.sum("n_tokens").cast("double")
                          / F.count(F.lit(1)), 4).alias("mean_tokens")))
+
+
+@register(
+    "text_readability_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             greatest(len({_TOKS}), 1) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sents,
+             greatest(len(regexp_extract_all(lower(text),
+                                             '[aeiouy]+')), 1) AS n_syl
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syl,
+           round(206.835
+                 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+                 - 84.6 * CAST(n_syl AS DOUBLE) / n_words, 4)
+             AS flesch_score
+    FROM f
+    """)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with the standard proxy counts
+    (vowel-group syllables, [.!?] sentence breaks) — the
+    readability-band signal corpus curricula and audience filters
+    sort on. All three counts come from map-side regexp extraction
+    with floors of 1 so empty/degenerate docs score without division
+    blowups; the formula is exact integer ratios into one rounded
+    double. Zero Python, zero shuffles."""
+    d = _docs(spark, sf_dir)
+    n_words = F.greatest(TX.token_count_ws(F.lower(F.col("text"))), F.lit(1))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1))
+    n_syl = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(r"[aeiouy]+"), 0)), F.lit(1))
+    f = d.select("doc_id", n_words.alias("n_words"),
+                 n_sents.alias("n_sents"), n_syl.alias("n_syl"))
+    return f.select(
+        "doc_id", "n_words", "n_sents", "n_syl",
+        F.round(F.lit(206.835)
+                - 1.015 * F.col("n_words").cast("double") / F.col("n_sents")
+                - 84.6 * F.col("n_syl").cast("double") / F.col("n_words"),
+                4).alias("flesch_score"))
+
+
+_CODE_KEYWORDS = ("def", "class", "import", "return", "void", "int",
+                  "function", "var", "const", "public", "static")
+
+
+@register(
+    "text_code_detect",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 400000,
+             'def f' || CAST(doc_id AS VARCHAR)
+               || '(x): return {{"k": x * 2}}; // todo'
+      FROM documents WHERE doc_id < 25
+    ), f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[{{}}();=\\[\\]<>]')) AS n_sym,
+             len(list_filter({_TOKS},
+                 t -> list_contains({list(_CODE_KEYWORDS)!r}::VARCHAR[], t)))
+               AS n_kw
+      FROM docs2
+    )
+    SELECT doc_id, n_sym, n_kw,
+           CASE WHEN 20 * n_sym >= n_chars OR n_kw >= 2
+                THEN 1 ELSE 0 END AS is_code
+    FROM f
+    """)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection: symbol density ([{{}}();=...] per char)
+    plus programming-keyword hits decide the is_code flag — the
+    router that keeps code in (or out of) a pretraining mixture and
+    picks the tokenizer branch. 25 planted code-like docs must flag 1;
+    the prose corpus must flag 0 (the oracle checks every row, so
+    both false-positive and false-negative behavior is pinned).
+    Integer thresholds (20·symbols ≥ chars), map-side only."""
+    d = _docs(spark, sf_dir)
+    planted = (d.filter(F.col("doc_id") < 25)
+               .select((F.col("doc_id") + 400000).alias("doc_id"),
+                       F.concat(F.lit("def f"),
+                                F.col("doc_id").cast("string"),
+                                F.lit('(x): return {"k": x * 2}; // todo'))
+                       .alias("text")))
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    kw = F.array(*[F.lit(w) for w in _CODE_KEYWORDS])
+    n_sym = F.size(F.regexp_extract_all(
+        "text", F.lit(r"[{}();=\[\]<>]"), 0))
+    n_kw = F.size(F.filter(TX.ws_tokens(F.lower(F.col("text"))),
+                           lambda t: F.array_contains(kw, t)))
+    f = docs2.select("doc_id", F.length("text").alias("n_chars"),
+                     n_sym.alias("n_sym"), n_kw.alias("n_kw"))
+    return f.select(
+        "doc_id", "n_sym", "n_kw",
+        F.when((20 * F.col("n_sym") >= F.col("n_chars"))
+               | (F.col("n_kw") >= 2), 1).otherwise(0).alias("is_code"))
