@@ -797,3 +797,48 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.element_at(frame, (n / 2 + 1).cast("int"))
     return v.select("user_id", "event_id",
                     ((lo + hi) / 2.0).alias("med_cents"))
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT from_type, sum(n) AS row_total FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+    FROM c JOIN t USING (from_type)
+    """)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from, to) counts and row-normalized probabilities —
+    the behavioral model behind next-action prediction and funnel
+    diagnostics (``stream_funnel_detect`` matches one fixed path;
+    this estimates ALL of them). One per-user lag window (the
+    sequence order is (second, event_id) — total and portable), then
+    two partial-aggregable counts; the row-total join is
+    transition-matrix-sized, broadcast by construction."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp").cast("long"), "event_id"))
+    o = e.select("user_id", "event_type",
+                 F.lag("event_type").over(w).alias("prev_type"))
+    c = (o.filter(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (c.join(F.broadcast(t), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("row_total"), 6).alias("p")))

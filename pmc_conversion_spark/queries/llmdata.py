@@ -3151,3 +3151,48 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_sym", "n_kw",
         F.when((20 * F.col("n_sym") >= F.col("n_chars"))
                | (F.col("n_kw") >= 2), 1).otherwise(0).alias("is_code"))
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, sum(len({_TOKS})) AS n_tokens FROM documents
+      GROUP BY source
+    ), pw AS (
+      SELECT source, n_tokens,
+             power(CAST(n_tokens AS DOUBLE), 0.7) AS w
+      FROM s
+    ), t AS (SELECT sum(w) AS tw, sum(n_tokens) AS tt FROM pw)
+    SELECT pw.source, pw.n_tokens,
+           round(CAST(pw.n_tokens AS DOUBLE) / t.tt, 6) AS natural_share,
+           round(pw.w / t.tw, 6) AS sampled_share,
+           round((pw.w / t.tw)
+                 / (CAST(pw.n_tokens AS DOUBLE) / t.tt), 4) AS upweight
+    FROM pw, t
+    """)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (α = 0.7): per-source
+    sampling shares ∝ tokens^α — the multilingual/multidomain
+    smoothing that upweights small sources without letting any
+    source's natural share dominate (α=1 is proportional, α=0 is
+    uniform). Emits natural vs sampled share and the implied
+    upweight factor per source — the table a mixture config is
+    cut from (``sample_mixture_weighted`` then executes it). One
+    partial-agg pass + a one-row total; pow() on exact integer token
+    counts is engine-identical after rounding."""
+    d = _docs(spark, sf_dir)
+    s = (d.select("source",
+                  TX.token_count_ws(F.lower(F.col("text"))).alias("nt"))
+         .groupBy("source").agg(F.sum("nt").alias("n_tokens")))
+    pw = s.withColumn("w", F.pow(F.col("n_tokens").cast("double"), 0.7))
+    t = pw.agg(F.sum("w").alias("tw"), F.sum("n_tokens").alias("tt"))
+    return (pw.crossJoin(F.broadcast(t))
+            .select("source", "n_tokens",
+                    F.round(F.col("n_tokens").cast("double")
+                            / F.col("tt"), 6).alias("natural_share"),
+                    F.round(F.col("w") / F.col("tw"), 6)
+                    .alias("sampled_share"),
+                    F.round((F.col("w") / F.col("tw"))
+                            / (F.col("n_tokens").cast("double")
+                               / F.col("tt")), 4).alias("upweight")))
