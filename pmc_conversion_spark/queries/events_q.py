@@ -842,3 +842,74 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n",
                     F.round(F.col("n").cast("double")
                             / F.col("row_total"), 6).alias("p")))
+
+
+@register(
+    "agg_ab_lift",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS grp,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT grp, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS s1,
+             CAST(sum(v * v) AS DOUBLE) AS s2
+      FROM g GROUP BY grp
+    ), w AS (
+      SELECT
+        max(CASE WHEN grp = 'control' THEN n END) AS n_c,
+        max(CASE WHEN grp = 'control' THEN s1 END) AS s1_c,
+        max(CASE WHEN grp = 'control' THEN s2 END) AS s2_c,
+        max(CASE WHEN grp = 'treatment' THEN n END) AS n_t,
+        max(CASE WHEN grp = 'treatment' THEN s1 END) AS s1_t,
+        max(CASE WHEN grp = 'treatment' THEN s2 END) AS s2_t
+      FROM s
+    )
+    SELECT n_c, n_t,
+           round(s1_c / n_c, 6) AS mean_control,
+           round(s1_t / n_t, 6) AS mean_treatment,
+           round((s1_t / n_t - s1_c / n_c) / (s1_c / n_c), 6) AS rel_lift,
+           round((s1_t / n_t - s1_c / n_c)
+                 / sqrt((s2_c / n_c - (s1_c/n_c)*(s1_c/n_c)) / n_c
+                        + (s2_t / n_t - (s1_t/n_t)*(s1_t/n_t)) / n_t), 4)
+             AS z_score
+    FROM w
+    """)
+def agg_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B lift analysis: purchase values split by a deterministic
+    user-id assignment into control/treatment, reporting group means,
+    relative lift, and the two-sample z statistic from power sums —
+    the experiment-readout query, computed the moments way
+    (``agg_higher_moments``'s policy) so the variance terms are
+    partitioning-exact. One partial-agg pass, then a two-row pivot
+    into one comparison row; no per-user state."""
+    e = _events(spark, sf_dir)
+    g = (e.filter(F.col("event_type") == "purchase")
+         .select(F.when(F.col("user_id") % 2 == 0, "control")
+                 .otherwise("treatment").alias("grp"),
+                 F.round("value", 6).cast("decimal(18,6)").alias("v")))
+    s = (g.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("v").cast("double").alias("s1"),
+              F.sum(F.col("v") * F.col("v")).cast("double").alias("s2")))
+    w = s.agg(
+        F.max(F.when(F.col("grp") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("grp") == "control", F.col("s1"))).alias("s1_c"),
+        F.max(F.when(F.col("grp") == "control", F.col("s2"))).alias("s2_c"),
+        F.max(F.when(F.col("grp") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("grp") == "treatment", F.col("s1"))).alias("s1_t"),
+        F.max(F.when(F.col("grp") == "treatment", F.col("s2"))).alias("s2_t"))
+    mc = F.col("s1_c") / F.col("n_c")
+    mt = F.col("s1_t") / F.col("n_t")
+    var_c = F.col("s2_c") / F.col("n_c") - mc * mc
+    var_t = F.col("s2_t") / F.col("n_t") - mt * mt
+    return w.select(
+        "n_c", "n_t",
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt, 6).alias("mean_treatment"),
+        F.round((mt - mc) / mc, 6).alias("rel_lift"),
+        F.round((mt - mc) / F.sqrt(var_c / F.col("n_c")
+                                   + var_t / F.col("n_t")), 4)
+        .alias("z_score"))

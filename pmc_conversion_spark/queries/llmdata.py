@@ -3196,3 +3196,56 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("w") / F.col("tw"))
                             / (F.col("n_tokens").cast("double")
                                / F.col("tt")), 4).alias("upweight")))
+
+
+@register(
+    "pipeline_rejection_sampling",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(list_filter({_TOKS},
+                 t -> list_contains(['the','and','of','to','a','in','is',
+                                     'that','for','with'], t))) AS n_stopwords
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-round(
+               -2.0 + 3.0 * least(n_tokens, 200) / 200.0
+                    + 6.0 * n_stopwords / (n_tokens + 1)
+                    - 8.0 * n_punct / (n_chars + 1), 9))), 6) AS p_keep,
+             (('0x' || substr(md5('rj1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 1000000) AS u
+      FROM feats
+    )
+    SELECT doc_id, p_keep FROM scored
+    WHERE u < CAST(round(p_keep * 1000000) AS BIGINT)
+    """)
+def pipeline_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering by DETERMINISTIC rejection sampling:
+    each document survives with probability equal to its classifier
+    score (``text_quality_logit``), decided by comparing the score
+    against a salted hash uniform — the standard soften-the-cliff
+    alternative to a hard score threshold (keeps a calibrated share
+    of mid-quality data instead of an arbitrary cutoff). The 'draw'
+    is a pure function of (doc_id, salt): re-runs, retries and
+    repartitionings keep the identical corpus, where rand() would
+    re-deal. Map-side only; membership is value-oracled exactly."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    d = _docs(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    z = F.round(
+        F.lit(-2.0)
+        + 3.0 * F.least(feats["n_tokens"], F.lit(200)) / 200.0
+        + 6.0 * feats["n_stopwords"] / (feats["n_tokens"] + 1)
+        - 8.0 * feats["n_punct"] / (feats["n_chars"] + 1), 9)
+    p_keep = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    u = md5_int60(F.concat(F.lit("rj1:"),
+                           F.col("doc_id").cast("string"))) % 1_000_000
+    scored = d.select("doc_id", p_keep.alias("p_keep"), u.alias("u"))
+    return (scored
+            .filter(F.col("u")
+                    < F.round(F.col("p_keep") * 1_000_000).cast("bigint"))
+            .select("doc_id", "p_keep"))
