@@ -124,6 +124,21 @@ AUDITED = [
     "f_date_trunc_arith",
     "sim_prefix_dim_recall",
     "pipeline_preference_pairs",
+    "win_moving_median",
+    "agg_gini_revenue",
+    "sink_training_shards",
+    "agg_label_balance",
+    "dq_column_profile",
+    "join_asof_tolerance",
+    "agg_sample_estimate_audit",
+    "agg_host_aggregation",
+    "sql_cube_all_margins",
+    "text_readability_score",
+    "text_code_detect",
+    "pipeline_mixture_temperature",
+    "agg_markov_transitions",
+    "pipeline_rejection_sampling",
+    "agg_ab_lift",
 ]
 
 
