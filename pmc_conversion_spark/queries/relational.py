@@ -1582,3 +1582,79 @@ def agg_sample_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("est_total", 2).alias("est_total"),
                     F.round(F.abs(F.col("est_total") - F.col("exact_total"))
                             / F.col("exact_total"), 6).alias("rel_err")))
+
+
+@register(
+    "dq_replica_reconcile",
+    oracle="""
+    WITH rowhash AS (
+      SELECT o_orderkey % 64 AS bucket,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                 || o_orderstatus || '|'
+                 || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders
+    ),
+    replica AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey IN (7, 777, 7777)
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+    ),
+    rowhash_r AS (
+      SELECT o_orderkey % 64 AS bucket,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                 || o_orderstatus || '|'
+                 || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM replica
+    ),
+    a AS (SELECT bucket, count(*) AS n_a, bit_xor(h) AS dig_a
+          FROM rowhash GROUP BY bucket),
+    b AS (SELECT bucket, count(*) AS n_b, bit_xor(h) AS dig_b
+          FROM rowhash_r GROUP BY bucket)
+    SELECT a.bucket, a.n_a, b.n_b
+    FROM a JOIN b USING (bucket)
+    WHERE a.dig_a <> b.dig_b OR a.n_a <> b.n_b
+    """)
+def dq_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation by BUCKET DIGESTS: source and
+    replica (fixture: 3 silently-corrupted rows) each reduce to 64
+    per-bucket order-insensitive digests (bit_xor of 60-bit row
+    hashes — commutative, overflow-free under ANSI, and any single
+    field edit flips the bucket digest);
+    only buckets whose digest or count disagrees surface — so
+    verifying a 100 TB replica moves 64 rows per side, and the
+    expensive row-level drill-down runs only inside flagged buckets
+    (~1/64 of the data here). XOR's commutativity makes the digest
+    partitioning-stable; the salt-free row hash covers every compared
+    column."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders")
+
+    def rowhash(df):
+        h = md5_int60(F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .cast("string")))
+        return (df.select((F.col("o_orderkey") % 64).alias("bucket"),
+                          h.alias("h"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor("h").alias("dig")))
+
+    replica = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey").isin(7, 777, 7777), "X")
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice")
+    a = rowhash(o).select("bucket", F.col("n").alias("n_a"),
+                          F.col("dig").alias("dig_a"))
+    b = rowhash(replica).select("bucket", F.col("n").alias("n_b"),
+                                F.col("dig").alias("dig_b"))
+    return (a.join(b, "bucket")
+            .filter((F.col("dig_a") != F.col("dig_b"))
+                    | (F.col("n_a") != F.col("n_b")))
+            .select("bucket", "n_a", "n_b"))
