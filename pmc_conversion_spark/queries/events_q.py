@@ -913,3 +913,56 @@ def agg_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mt - mc) / F.sqrt(var_c / F.col("n_c")
                                    + var_t / F.col("n_t")), 4)
         .alias("z_score"))
+
+
+@register(
+    "dq_json_schema_validate",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id, props FROM events
+      UNION ALL
+      SELECT event_id + 1000000,
+             CASE event_id % 3
+               WHEN 0 THEN '{"k": "oops"}'
+               WHEN 1 THEN '{"k": 1, "extra": true}'
+               ELSE '{broken'
+             END
+      FROM events WHERE event_id < 30
+    )
+    SELECT event_id,
+           CASE
+             WHEN NOT json_valid(props) THEN 'malformed'
+             WHEN list_sort(json_keys(props::JSON)) <> ['k']
+               THEN 'unexpected_keys'
+             WHEN json_type(props::JSON, '$.k') NOT IN
+                  ('BIGINT', 'UBIGINT') THEN 'wrong_type'
+             ELSE 'ok'
+           END AS verdict
+    FROM raw
+    """)
+def dq_json_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row JSON contract validation for the semi-structured props
+    column: malformed syntax, unexpected keys, and wrong value types
+    each get a distinct verdict — the triage a schema-on-read feed
+    needs BEFORE ``scan_variant_json`` trusts the column (planted
+    violations: a string where an int belongs, an extra key, a broken
+    literal). All checks are map-side JVM JSON functions; the verdict
+    taxonomy means a downstream quarantine can route rows instead of
+    failing the batch."""
+    e = _events(spark, sf_dir)
+    bad = (e.filter(F.col("event_id") < 30)
+           .select((F.col("event_id") + 1000000).alias("event_id"),
+                   F.when(F.col("event_id") % 3 == 0,
+                          F.lit('{"k": "oops"}'))
+                   .when(F.col("event_id") % 3 == 1,
+                         F.lit('{"k": 1, "extra": true}'))
+                   .otherwise(F.lit("{broken")).alias("props")))
+    raw = e.select("event_id", "props").unionByName(bad)
+    keys = F.json_object_keys("props")
+    kval = F.get_json_object("props", "$.k")
+    verdict = (
+        F.when(keys.isNull(), "malformed")
+        .when(F.sort_array(keys) != F.array(F.lit("k")), "unexpected_keys")
+        .when(kval.isNull() | ~kval.rlike(r"^-?\d+$"), "wrong_type")
+        .otherwise("ok"))
+    return raw.select("event_id", verdict.alias("verdict"))
