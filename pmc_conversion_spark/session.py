@@ -48,6 +48,15 @@ def get_spark(app_name: str = "pmc-conversion-spark",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # long-lived sessions running hundreds of distinct queries
+        # generate thousands of codegen classes; at the JVM default
+        # (240 MB) the code cache can fill mid-run, silently disabling
+        # the JIT so later queries run interpreted FOR THE REST OF THE
+        # PROCESS (observed as a whole-process 3x slow mode on the
+        # shingle ops). 1 GB keeps compilation alive for the full
+        # registry; local mode, so driver==executor.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         # shuffle/spill files on tmpfs: this host's disk FS shows long
