@@ -139,6 +139,8 @@ AUDITED = [
     "agg_markov_transitions",
     "pipeline_rejection_sampling",
     "agg_ab_lift",
+    "dq_replica_reconcile",
+    "dq_json_schema_validate",
 ]
 
 
