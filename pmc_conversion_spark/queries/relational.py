@@ -1658,3 +1658,64 @@ def dq_replica_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("dig_a") != F.col("dig_b"))
                     | (F.col("n_a") != F.col("n_b")))
             .select("bucket", "n_a", "n_b"))
+
+
+_HQ_BINS, _HQ_LO, _HQ_HI = 64, 0.0, 600_000.0
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / {_HQ_W!r}) AS BIGINT),
+                   {_HQ_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(n) FROM b) AS total
+      FROM b
+    ), qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+    hit AS (
+      SELECT qs.q, min(c.bin) AS bin
+      FROM qs JOIN c ON c.cum >= qs.q * c.total
+      GROUP BY qs.q
+    )
+    SELECT hit.q,
+           round(hit.bin * {_HQ_W!r}
+                 + (hit.q * c.total - (c.cum - c.n)) / c.n * {_HQ_W!r},
+                 4) AS est_value
+    FROM hit JOIN c ON c.bin = hit.bin
+    """)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: a fixed-domain 64-bin histogram with
+    within-bin linear interpolation for p50/p90/p99 — the scalable
+    alternative to exact percentile's buffer-every-value hazard
+    (``agg_quantiles``'s documented bound): bin counts are plain
+    map-side-combinable sums, so per-partition/per-day sketches MERGE
+    by vector addition and the estimate is order- and
+    partitioning-exact (unlike t-digest, whose centroids depend on
+    insertion order). Error is bounded by the bin width; the fixed
+    domain is the one declared contract (out-of-range clamps to the
+    edge bins, auditable via the edge-bin counts)."""
+    o = tables.load(spark, sf_dir, "orders")
+    b = (o.select(F.least(F.floor(F.col("o_totalprice") / _HQ_W)
+                          .cast("bigint"), F.lit(_HQ_BINS - 1)).alias("bin"))
+         .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    c = (b.withColumn("cum", F.sum("n").over(w))
+         .crossJoin(F.broadcast(b.agg(F.sum("n").alias("total")))))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"))
+    hit = (F.broadcast(qs).join(c, F.col("cum") >= F.col("q") * F.col("total"))
+           .groupBy("q").agg(F.min("bin").alias("bin")))
+    est = (hit.join(c, "bin")
+           .select("q",
+                   F.round(F.col("bin") * _HQ_W
+                           + (F.col("q") * F.col("total")
+                              - (F.col("cum") - F.col("n")))
+                           / F.col("n") * _HQ_W, 4).alias("est_value")))
+    return est

@@ -666,3 +666,16 @@ def test_scene_cuts_are_real_jumps(spark):
     for r in rows:
         prev = energies[(r.media_id, r.frame - 1)]
         assert abs(r.energy - prev) == r.jump > 50000
+
+
+def test_histogram_quantile_sketch_error_bounded_by_bin_width(spark):
+    from pmc_conversion_spark import tables
+    est = {r.q: r.est_value
+           for r in _q("sketch_histogram_quantiles")(spark, SF_DIR).collect()}
+    prices = sorted(r.o_totalprice
+                    for r in tables.load(spark, SF_DIR, "orders")
+                    .select("o_totalprice").collect())
+    n = len(prices)
+    for q, e in est.items():
+        exact = prices[min(int(q * n), n - 1)]
+        assert abs(e - exact) <= 600_000 / 64 + 1e-6   # one bin width
