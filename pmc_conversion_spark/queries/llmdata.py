@@ -3249,3 +3249,109 @@ def pipeline_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("u")
                     < F.round(F.col("p_keep") * 1_000_000).cast("bigint"))
             .select("doc_id", "p_keep"))
+
+
+@register(
+    "sim_adc_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT e.vec_id AS cid, s.sub,
+             (e.embedding::DOUBLE[])[s.sub * {_PQ_DIM} + 1 :
+                                     s.sub * {_PQ_DIM} + {_PQ_DIM}] AS cv
+      FROM embeddings e, (SELECT unnest(range({_PQ_M})) AS sub) s
+      WHERE e.vec_id < {_PQ_K}
+    ), v AS (
+      SELECT e.vec_id, s.sub,
+             (e.embedding::DOUBLE[])[s.sub * {_PQ_DIM} + 1 :
+                                     s.sub * {_PQ_DIM} + {_PQ_DIM}] AS sv
+      FROM embeddings e, (SELECT unnest(range({_PQ_M})) AS sub) s
+    ), scored AS (
+      SELECT v.vec_id, v.sub, c.cid,
+             round(list_sum(list_transform(range(1, {_PQ_DIM} + 1),
+                   i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), 6)
+               AS dist
+      FROM v JOIN c ON c.sub = v.sub
+    ), codes AS (
+      SELECT vec_id, sub,
+             min(struct_pack(dist := dist, cid := cid)).cid AS code
+      FROM scored GROUP BY vec_id, sub
+    ), q AS (
+      SELECT vec_id AS query_id, sub, sv FROM v WHERE vec_id < 5
+    ), lut AS (
+      SELECT q.query_id, q.sub, c.cid,
+             round(list_sum(list_transform(range(1, {_PQ_DIM} + 1),
+                   i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 6)
+               AS d
+      FROM q JOIN c ON c.sub = q.sub
+    ), adc AS (
+      SELECT l.query_id, codes.vec_id AS cand_id,
+             CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+      FROM codes JOIN lut l ON l.sub = codes.sub AND l.cid = codes.code
+      WHERE codes.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, cand_id, round(adc_dist, 6) AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, cand_id) AS rnk
+      FROM adc
+    )
+    SELECT query_id, cand_id, adc_dist, rnk FROM ranked WHERE rnk <= 3
+    """)
+def sim_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ QUERY path: asymmetric-distance (ADC)
+    top-3 — each corpus vector is represented ONLY by its 4 PQ codes
+    (``sim_pq_encode``); the query precomputes a per-subspace lookup
+    table of exact distances to the 8 centroids, and a candidate's
+    score is the LUT sum selected by its codes. This is how a
+    billion-vector store scans: 4 byte codes + 32-entry LUT per query
+    instead of 256 raw bytes per vector — the memory-bandwidth win
+    that makes PQ the storage format of serious ANN indexes.
+
+    Scale: the LUT is queries×subs×centroids (bounded, broadcast);
+    the only per-corpus work is a code-indexed LUT read + a 4-term
+    decimal sum. Rounded LUT entries + decimal accumulation keep both
+    engines bit-identical through the ranking; ties break on cand
+    id."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    subs = F.array(*[F.lit(i) for i in range(_PQ_M)])
+    sliced = (emb.select("vec_id", F.explode(subs).alias("sub"), "v")
+              .select("vec_id", "sub",
+                      F.slice("v", F.col("sub") * _PQ_DIM + 1, _PQ_DIM)
+                      .alias("sv")))
+    cents = (sliced.filter(F.col("vec_id") < _PQ_K)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("sub").alias("csub"),
+                     F.col("sv").alias("cv")))
+    sqd = F.round(
+        F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (sliced.join(F.broadcast(cents), sliced.sub == cents.csub)
+              .select("vec_id", "sub",
+                      F.struct(sqd.alias("dist"),
+                               F.col("cid").alias("cid")).alias("k")))
+    codes = (scored.groupBy("vec_id", "sub")
+             .agg(F.min("k").alias("m"))
+             .select("vec_id", "sub", F.col("m.cid").alias("code")))
+    q = (sliced.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("sub").alias("qsub"), F.col("sv").alias("qv")))
+    lut = (q.join(F.broadcast(cents), q.qsub == cents.csub)
+           .select("query_id", F.col("qsub").alias("sub"), "cid",
+                   F.round(F.aggregate(
+                       F.zip_with("qv", "cv",
+                                  lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x), 6).alias("d")))
+    adc = (codes.join(F.broadcast(lut),
+                      (lut.sub == codes.sub) & (lut.cid == codes.code))
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+           .agg(F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+                .alias("adc_dist")))
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy("adc_dist", "cand_id"))
+    return (adc.select("query_id", "cand_id",
+                       F.round("adc_dist", 6).alias("adc_dist"))
+            .withColumn("rnk", rnk).filter(F.col("rnk") <= 3))

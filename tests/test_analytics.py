@@ -679,3 +679,26 @@ def test_histogram_quantile_sketch_error_bounded_by_bin_width(spark):
     for q, e in est.items():
         exact = prices[min(int(q * n), n - 1)]
         assert abs(e - exact) <= 600_000 / 64 + 1e-6   # one bin width
+
+
+def test_adc_topk_approximates_exact_neighbors(spark):
+    import numpy as np
+    from pmc_conversion_spark import tables
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in tables.load(spark, SF_DIR, "embeddings").collect()}
+    rows = _q("sim_adc_topk")(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, lst in by_q.items():
+        assert len(lst) == 3
+        # ADC is an approximation: its top-3 must land within the
+        # exact-L2 top quartile of the corpus (coarse 8-centroid
+        # codebooks can't guarantee exact top-3)
+        qv = emb[qid]
+        exact = sorted((float(np.sum((qv - v) ** 2)), cid)
+                       for cid, v in emb.items() if cid != qid)
+        quartile_ids = {cid for _, cid in exact[:len(exact) // 4]}
+        hits = sum(1 for r in lst if r.cand_id in quartile_ids)
+        assert hits >= 2
