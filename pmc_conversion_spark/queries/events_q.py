@@ -966,3 +966,48 @@ def dq_json_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(kval.isNull() | ~kval.rlike(r"^-?\d+$"), "wrong_type")
         .otherwise("ok"))
     return raw.select("event_id", verdict.alias("verdict"))
+
+
+@register(
+    "win_time_weighted_average",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events
+    ), g AS (
+      SELECT user_id, v,
+             lead(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) - sec AS held_s
+      FROM s
+    )
+    SELECT user_id,
+           CAST(sum(held_s) AS BIGINT) AS total_held_s,
+           round(CAST(sum(v * held_s) AS DOUBLE)
+                 / CAST(sum(held_s) AS DOUBLE), 6) AS twap
+    FROM g WHERE held_s IS NOT NULL AND held_s > 0
+    GROUP BY user_id
+    """)
+def win_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user: each observation is
+    weighted by how long it HELD (until the next event) — the correct
+    mean for irregularly-sampled series, where the plain average
+    over-weights bursts (the finance/metrics standard). One lead
+    window per user for the holding interval, then a partial-agg
+    decimal dot product; integer seconds × decimal values make the
+    weighted sum order-exact. Final observations (no successor) have
+    no holding period and drop out, as the definition requires."""
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.round("value", 6).cast("decimal(18,6)").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = s.select("user_id", "v",
+                 (F.lead("sec").over(w) - F.col("sec")).alias("held_s"))
+    return (g.filter(F.col("held_s").isNotNull() & (F.col("held_s") > 0))
+            .groupBy("user_id")
+            .agg(F.sum("held_s").alias("total_held_s"),
+                 F.round(F.sum(F.col("v") * F.col("held_s")).cast("double")
+                         / F.sum("held_s").cast("double"), 6)
+                 .alias("twap")))

@@ -359,3 +359,31 @@ def f_dateshift_deid(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.col("o_orderdate"))
                     .alias("shifted_date"),
                     "shift_days"))
+
+
+_ACCENT_SRC = "àáâäãåçèéêëìíîïñòóôöõùúûüý"
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuy"
+
+
+@register(
+    "f_strip_accents",
+    oracle="""
+    SELECT n_nationkey,
+           'Café-' || n_name || '-Zürich-Ñandú' AS raw,
+           strip_accents(lower('Café-' || n_name || '-Zürich-Ñandú'))
+             AS normalized
+    FROM nation
+    """)
+def f_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding for match keys: planted diacritics normalize to
+    ASCII before joining/deduping names — the i18n half of
+    record-linkage blocking (``join_fuzzy_blocked`` assumes its keys
+    are already folded). The engine uses an explicit translate() map
+    (deterministic, no ICU dependency); the oracle uses DuckDB's
+    strip_accents — agreeing on the planted character set is exactly
+    the contract the fixture pins. Map-side, codegen'd."""
+    n = tables.load(spark, sf_dir, "nation")
+    raw = F.concat(F.lit("Café-"), F.col("n_name"), F.lit("-Zürich-Ñandú"))
+    return n.select("n_nationkey", raw.alias("raw"),
+                    F.translate(F.lower(raw), _ACCENT_SRC, _ACCENT_DST)
+                    .alias("normalized"))
