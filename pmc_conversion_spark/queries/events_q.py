@@ -1011,3 +1011,48 @@ def win_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("v") * F.col("held_s")).cast("double")
                          / F.sum("held_s").cast("double"), 6)
                  .alias("twap")))
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events
+    ), cs AS (
+      SELECT user_id, sec, event_id,
+             sum(v) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    ), c AS (
+      SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cs
+    )
+    SELECT user_id,
+           CAST(max(peak - cum) AS DOUBLE) AS max_drawdown,
+           CAST(max(peak) AS DOUBLE) AS peak_value
+    FROM c GROUP BY user_id
+    """)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough fall of
+    the cumulative value series — the risk metric a running total
+    alone can't show (a series can end positive after a deep dip).
+    Two stacked windows on the same (user, time) order — running sum,
+    then running max of it — and a closing partial agg; exact decimal
+    cumulative sums make peak and trough partitioning-exact."""
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.round("value", 6).cast("decimal(18,6)").alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("sec", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (s.withColumn("cum", F.sum("v").over(w))
+         .withColumn("peak", F.max("cum").over(w)))
+    return (c.groupBy("user_id")
+            .agg(F.max(F.col("peak") - F.col("cum")).cast("double")
+                 .alias("max_drawdown"),
+                 F.max("peak").cast("double").alias("peak_value")))

@@ -1719,3 +1719,38 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - (F.col("cum") - F.col("n")))
                            / F.col("n") * _HQ_W, 4).alias("est_value")))
     return est
+
+
+@register(
+    "agg_bitmap_membership",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             bit_or(1 << (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1))
+               AS prio_bitmap
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, prio_bitmap,
+           bit_count(CAST(prio_bitmap AS BIGINT)) AS n_classes,
+           CASE WHEN prio_bitmap = 31 THEN 1 ELSE 0 END AS has_all
+    FROM m
+    """)
+def agg_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap membership index: each customer's used order-priority
+    classes fold into ONE integer via bit_or (class k → bit k) — the
+    bitmap-index technique that turns set-membership analytics
+    (distinct classes via popcount, the for-all test as `= 31`) into
+    bitwise integer ops on 8 bytes per group. bit_or is commutative
+    and idempotent, so the aggregate is map-side combinable AND
+    duplicate-tolerant; ``sql_relational_division`` answers the same
+    for-all question by counting — this form also keeps WHICH classes
+    for free."""
+    o = tables.load(spark, sf_dir, "orders")
+    bit = F.expr(
+        "shiftleft(1, CAST(substring(o_orderpriority, 1, 1) AS INT) - 1)")
+    m = (o.groupBy("o_custkey")
+         .agg(F.bit_or(bit).alias("prio_bitmap")))
+    return m.select(
+        "o_custkey", "prio_bitmap",
+        F.bit_count(F.col("prio_bitmap").cast("bigint")).alias("n_classes"),
+        F.when(F.col("prio_bitmap") == 31, 1).otherwise(0).alias("has_all"))
