@@ -3355,3 +3355,62 @@ def sim_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (adc.select("query_id", "cand_id",
                        F.round("adc_dist", 6).alias("adc_dist"))
             .withColumn("rnk", rnk).filter(F.col("rnk") <= 3))
+
+
+@register(
+    "dedup_minhash_eval_report",
+    oracle=f"""
+    WITH exact AS (
+      WITH {_PAIRS_CTES.strip().replace("WITH RECURSIVE ", "")}
+      SELECT doc_a, doc_b FROM pairs
+    ), approx AS (
+      {_minhash_pairs_ctes().strip()}
+      SELECT doc_a, doc_b FROM pairs
+    ), j AS (
+      SELECT coalesce(e.doc_a, a.doc_a) AS doc_a,
+             (e.doc_a IS NOT NULL) AS in_exact,
+             (a.doc_a IS NOT NULL) AS in_approx
+      FROM exact e FULL JOIN approx a
+        ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+    )
+    SELECT count(*) FILTER (WHERE in_exact) AS n_exact,
+           count(*) FILTER (WHERE in_approx) AS n_approx,
+           count(*) FILTER (WHERE in_exact AND in_approx) AS n_both,
+           round(CAST(count(*) FILTER (WHERE in_exact AND in_approx)
+                      AS DOUBLE)
+                 / count(*) FILTER (WHERE in_approx), 6) AS precision,
+           round(CAST(count(*) FILTER (WHERE in_exact AND in_approx)
+                      AS DOUBLE)
+                 / count(*) FILTER (WHERE in_exact), 6) AS recall
+    FROM j
+    """)
+def dedup_minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating approximation: precision/recall of the
+    MinHash-LSH pair pipeline measured against the exact Jaccard pair
+    graph IN THE SAME QUERY — the report a corpus team checks before
+    trusting the sketch path at crawl scale. Because LSH candidates
+    are exact-verified, precision must be 1.0 (the result makes that
+    checkable, not assumed); recall shows what the 8-band sketch
+    misses. Both arms reuse their production operators; the full
+    outer join moves only id pairs."""
+    exact = DD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold_num=1, threshold_den=20,
+        max_posting=DD.MAX_POSTING_DEFAULT).select("doc_a", "doc_b")
+    approx = DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=32, bands=8,
+        threshold_num=1, threshold_den=20).select("doc_a", "doc_b")
+    e = exact.withColumn("in_exact", F.lit(True))
+    a = (approx.withColumnRenamed("doc_a", "a_a")
+         .withColumnRenamed("doc_b", "a_b")
+         .withColumn("in_approx", F.lit(True)))
+    j = e.join(a, (e.doc_a == a.a_a) & (e.doc_b == a.a_b), "full")
+    n_exact = F.sum(F.when(F.col("in_exact"), 1).otherwise(0))
+    n_approx = F.sum(F.when(F.col("in_approx"), 1).otherwise(0))
+    n_both = F.sum(F.when(F.col("in_exact") & F.col("in_approx"), 1)
+                   .otherwise(0))
+    return j.agg(
+        n_exact.alias("n_exact"),
+        n_approx.alias("n_approx"),
+        n_both.alias("n_both"),
+        F.round(n_both.cast("double") / n_approx, 6).alias("precision"),
+        F.round(n_both.cast("double") / n_exact, 6).alias("recall"))
