@@ -141,6 +141,13 @@ AUDITED = [
     "agg_ab_lift",
     "dq_replica_reconcile",
     "dq_json_schema_validate",
+    "sketch_histogram_quantiles",
+    "sim_adc_topk",
+    "f_strip_accents",
+    "win_time_weighted_average",
+    "agg_bitmap_membership",
+    "win_drawdown",
+    "dedup_minhash_eval_report",
 ]
 
 
