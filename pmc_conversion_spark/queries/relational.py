@@ -1754,3 +1754,102 @@ def agg_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "prio_bitmap",
         F.bit_count(F.col("prio_bitmap").cast("bigint")).alias("n_classes"),
         F.when(F.col("prio_bitmap") == 31, 1).otherwise(0).alias("has_all"))
+
+
+@register(
+    "agg_quantile_band_assign",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / {_HQ_W!r}) AS BIGINT),
+                   {_HQ_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT bin,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(n) FROM b) AS total
+      FROM b
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN c.cum <= 0.25 * c.total THEN 'q1'
+                WHEN c.cum <= 0.5 * c.total THEN 'q2'
+                WHEN c.cum <= 0.75 * c.total THEN 'q3'
+                ELSE 'q4' END AS price_band
+    FROM orders o
+    JOIN c ON c.bin = least(CAST(floor(o.o_totalprice / {_HQ_W!r})
+                                 AS BIGINT), {_HQ_BINS - 1})
+    """)
+def agg_quantile_band_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-band labeling via the mergeable histogram sketch: each
+    order gets its price band from the 64-bin cumulative distribution
+    (``sketch_histogram_quantiles``'s sketch REUSED for row labeling)
+    — how banding actually runs at 100 TB: the sketch is a 64-row
+    broadcast and every row's label is one map-side lookup; the exact
+    alternative (ntile over a global sort) is a single-partition
+    window by construction. Band edges quantize to bin boundaries —
+    the documented sketch tolerance."""
+    o = tables.load(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / _HQ_W).cast("bigint"),
+                      F.lit(_HQ_BINS - 1))
+    b = (o.select(bin_col.alias("bin"))
+         .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    c = (b.withColumn("cum", F.sum("n").over(w))
+         .crossJoin(F.broadcast(b.agg(F.sum("n").alias("total"))))
+         .select("bin", "cum", "total"))
+    band = (F.when(F.col("cum") <= 0.25 * F.col("total"), "q1")
+            .when(F.col("cum") <= 0.5 * F.col("total"), "q2")
+            .when(F.col("cum") <= 0.75 * F.col("total"), "q3")
+            .otherwise("q4"))
+    return (o.select("o_orderkey", bin_col.alias("bin"))
+            .join(F.broadcast(c), "bin")
+            .select("o_orderkey", band.alias("price_band")))
+
+
+@register(
+    "sql_not_in_null_trap",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < 100
+      UNION ALL SELECT NULL
+    ),
+    not_in_arm AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM keys)
+    ),
+    anti_arm AS (
+      SELECT count(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM keys k
+                        WHERE k.c_custkey = o.o_custkey)
+    )
+    SELECT not_in_arm.n AS n_not_in, anti_arm.n AS n_anti_join
+    FROM not_in_arm, anti_arm
+    """)
+def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as a value: against a key list
+    containing one NULL, ``NOT IN`` returns ZERO rows (three-valued
+    logic — every comparison is UNKNOWN) while the NOT EXISTS
+    anti-join returns the real exclusion count. Both engines must
+    agree on BOTH arms — the planner literacy every exclusion
+    pipeline needs before it silently drops its whole output
+    (``join_anti_orphans`` and kin all use the anti-join form for
+    this reason). Same text, two engines."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH keys AS (
+          SELECT c_custkey FROM customer WHERE c_custkey < 100
+          UNION ALL SELECT NULL
+        ),
+        not_in_arm AS (
+          SELECT count(*) AS n FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM keys)
+        ),
+        anti_arm AS (
+          SELECT count(*) AS n FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM keys k
+                            WHERE k.c_custkey = o.o_custkey)
+        )
+        SELECT not_in_arm.n AS n_not_in, anti_arm.n AS n_anti_join
+        FROM not_in_arm, anti_arm
+    """)
