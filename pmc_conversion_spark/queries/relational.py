@@ -1853,3 +1853,32 @@ def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT not_in_arm.n AS n_not_in, anti_arm.n AS n_anti_join
         FROM not_in_arm, anti_arm
     """)
+
+
+@register(
+    "sql_distinct_on_latest",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """)
+def sql_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON emulation: the latest order per customer — the
+    dialect feature Postgres/DuckDB users reach for first and Spark
+    lacks. The engine states it as ONE struct-max aggregate with a
+    total order packed into the struct (date desc, then orderkey desc
+    as negated sort keys) — a partial-aggregable single shuffle,
+    beating the row_number-window form (sort + filter) that most
+    migrations write. The oracle IS DuckDB's native DISTINCT ON, so
+    the emulation is pinned against the real semantics."""
+    o = tables.load(spark, sf_dir, "orders")
+    packed = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"))
+    m = (o.groupBy("o_custkey").agg(F.max(packed).alias("m")))
+    return m.select("o_custkey",
+                    F.col("m.k").alias("o_orderkey"),
+                    F.col("m.d").alias("o_orderdate"),
+                    F.col("m.p").alias("o_totalprice"))

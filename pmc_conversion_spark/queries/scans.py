@@ -547,3 +547,35 @@ def sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("compression", "zstd").parquet(d))
     return (spark.read.parquet(d)
             .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+@register(
+    "sink_parquet_bloom_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey = 421
+    """)
+def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet COLUMN BLOOM FILTERS on the write path: the file-level
+    membership structure that serves point lookups on a
+    NON-sort-order column — min/max stats can't help o_custkey point
+    probes when the file is laid out by date (``sink_sorted_rowgroups``)
+    or z-value (``sink_zorder_layout``); a bloom filter skips whole
+    row groups for absent keys at ~10 bits/key. The write sets
+    parquet.bloom.filter.enabled for the column; the read-back point
+    query returns value-exact rows, and tests assert the filter is
+    physically present in the footer."""
+    d = _scratch("sink_parquet_bloom_filter")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    (orders.coalesce(1).write.mode("overwrite")
+     # dictionary-encoded columns skip bloom writes (the dictionary is
+     # already an exact membership structure) — disable it so the
+     # bloom actually materializes on this small fixture
+     .option("parquet.enable.dictionary", "false")
+     .option("parquet.bloom.filter.enabled#o_custkey", "true")
+     .option("parquet.bloom.filter.expected.ndv#o_custkey", "2000")
+     .parquet(d))
+    return (spark.read.parquet(d)
+            .filter(F.col("o_custkey") == 421)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
