@@ -1056,3 +1056,101 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.col("peak") - F.col("cum")).cast("double")
                  .alias("max_drawdown"),
                  F.max("peak").cast("double").alias("peak_value")))
+
+
+@register(
+    "agg_survival_curve",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ), spans AS (
+      SELECT user_id, max(day) - min(day) AS span_days
+      FROM d GROUP BY user_id
+    ), t AS (SELECT count(*) AS n_users FROM spans),
+    ks AS (SELECT unnest(range(0, 8)) AS k)
+    SELECT ks.k AS day_k,
+           CAST(sum(CASE WHEN spans.span_days >= ks.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           round(CAST(sum(CASE WHEN spans.span_days >= ks.k
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / t.n_users, 6) AS survival
+    FROM ks, spans, t
+    GROUP BY ks.k, t.n_users
+    """)
+def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: the share of users whose active
+    span (last minus first day) reaches at least k days, for k=0..7 —
+    the population-level decay function the per-cohort retention
+    triangle (``agg_retention_cohorts``) aggregates into. The span
+    table is one per-user partial agg; the curve is a bounded
+    k-domain cross join over it (8 × users rows, but the span table
+    is the small side after aggregation). Monotone by construction —
+    a non-monotone curve is a bug the values expose."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts").cast("timestamp").cast("long") / 86400) \
+        .cast("bigint").alias("day")
+    spans = (e.select("user_id", day)
+             .groupBy("user_id")
+             .agg((F.max("day") - F.min("day")).alias("span_days")))
+    t = spans.agg(F.count(F.lit(1)).alias("n_users"))
+    ks = spark.range(0, 8).select(F.col("id").alias("day_k"))
+    joined = F.broadcast(ks).crossJoin(spans).crossJoin(F.broadcast(t))
+    return (joined.groupBy("day_k", "n_users")
+            .agg(F.sum(F.when(F.col("span_days") >= F.col("day_k"), 1)
+                       .otherwise(0)).alias("n_surviving"))
+            .select("day_k", "n_surviving",
+                    F.round(F.col("n_surviving").cast("double")
+                            / F.col("n_users"), 6).alias("survival")))
+
+
+@register(
+    "win_zscore_rolling",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, v,
+             count(*) OVER w AS n,
+             CAST(sum(v) OVER w AS DOUBLE) AS s1,
+             CAST(sum(v * v) OVER w AS DOUBLE) AS s2
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 3 AND s2 / n - (s1/n)*(s1/n) > 1e-12
+                THEN round((CAST(v AS DOUBLE) - s1/n)
+                           / sqrt(s2/n - (s1/n)*(s1/n)), 4)
+           END AS rolling_z
+    FROM f
+    """)
+def win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling standardization: each observation's z-score against its
+    own trailing 5-row window — the per-entity anomaly signal where
+    the GLOBAL z (``dq_outlier_zscore``) would drown slow drift. Frame
+    moments come from exact decimal power sums (constant frame, no
+    value buffering); warm-up rows (n<3) and near-zero variance yield
+    NULL rather than a division artifact — the contract a paging
+    alert needs."""
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.round("value", 6).cast("decimal(18,6)").alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("sec", "event_id")
+         .rowsBetween(-4, 0))
+    f = s.select("user_id", "event_id", "v",
+                 F.count(F.lit(1)).over(w).alias("n"),
+                 F.sum("v").over(w).cast("double").alias("s1"),
+                 F.sum(F.col("v") * F.col("v")).over(w).cast("double")
+                 .alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = F.round((F.col("v").cast("double") - mean) / F.sqrt(var), 4)
+    return f.select("user_id", "event_id",
+                    F.when((F.col("n") >= 3) & (var > 1e-12), z)
+                    .alias("rolling_z"))
