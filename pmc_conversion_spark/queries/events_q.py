@@ -1154,3 +1154,51 @@ def win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("user_id", "event_id",
                     F.when((F.col("n") >= 3) & (var > 1e-12), z)
                     .alias("rolling_z"))
+
+
+@register(
+    "win_discounted_return",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             round(value, 6) AS v
+      FROM events
+    ), l AS (
+      SELECT user_id, event_id, v,
+             lead(v, 1) OVER w AS v1,
+             lead(v, 2) OVER w AS v2,
+             lead(v, 3) OVER w AS v3,
+             lead(v, 4) OVER w AS v4
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    )
+    SELECT user_id, event_id,
+           round(v + 0.9 * coalesce(v1, 0) + 0.81 * coalesce(v2, 0)
+                 + 0.729 * coalesce(v3, 0) + 0.6561 * coalesce(v4, 0), 6)
+             AS return_g
+    FROM l
+    """)
+def win_discounted_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted forward return: G_t = Σ γ^k·v_{t+k} over the next 4
+    events (γ=0.9) per user — the n-step return that labels reward-
+    model / RL training rows from event logs. A bounded horizon makes
+    it pure lead algebra (4 leads sharing ONE window sort — no
+    recursion, no self-join); episode ends (missing leads) contribute
+    zero, which is the standard terminal-state convention. Explicit
+    γ^k literals keep both engines' arithmetic identical."""
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.round("value", 6).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    l = s.select(
+        "user_id", "event_id", "v",
+        *[F.lead("v", k).over(w).alias(f"v{k}") for k in (1, 2, 3, 4)])
+    g = (F.col("v")
+         + 0.9 * F.coalesce("v1", F.lit(0.0))
+         + 0.81 * F.coalesce("v2", F.lit(0.0))
+         + 0.729 * F.coalesce("v3", F.lit(0.0))
+         + 0.6561 * F.coalesce("v4", F.lit(0.0)))
+    return l.select("user_id", "event_id",
+                    F.round(g, 6).alias("return_g"))

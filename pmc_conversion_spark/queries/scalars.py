@@ -387,3 +387,60 @@ def f_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select("n_nationkey", raw.alias("raw"),
                     F.translate(F.lower(raw), _ACCENT_SRC, _ACCENT_DST)
                     .alias("normalized"))
+
+
+@register(
+    "f_luhn_checksum",
+    oracle="""
+    WITH acct AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+               || CAST(c_custkey % 7 AS VARCHAR) AS account_no
+      FROM customer
+    ), digits AS (
+      SELECT c_custkey, account_no,
+             list_transform(range(1, length(account_no) + 1),
+               i -> CAST(substr(account_no,
+                                length(account_no) - i + 1, 1) AS INT))
+               AS ds
+      FROM acct
+    ), summed AS (
+      SELECT c_custkey, account_no,
+             list_sum(list_transform(range(len(ds)), i ->
+               CASE WHEN i % 2 = 1
+                    THEN CASE WHEN ds[i+1] * 2 > 9 THEN ds[i+1] * 2 - 9
+                              ELSE ds[i+1] * 2 END
+                    ELSE ds[i+1] END)) AS s
+      FROM digits
+    )
+    SELECT c_custkey, account_no,
+           CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid
+    FROM summed
+    """)
+def f_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over synthetic account
+    numbers — the field-level integrity check for card/IMEI-class
+    identifiers, complementing the FILE-level sha1 verification the
+    reference runs (scripts/checksum.py). Right-to-left digit
+    explosion, alternate-position doubling with the 9-subtraction,
+    mod-10 verdict — all portable list arithmetic; the mixed fixture
+    (checkdigit = key mod 7) yields both verdicts so the oracle pins
+    false positives AND negatives."""
+    c = tables.load(spark, sf_dir, "customer")
+    acct = F.concat(F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+                    (F.col("c_custkey") % 7).cast("string"))
+    d = c.select("c_custkey", acct.alias("account_no"),
+                 F.reverse(acct).alias("rev"))
+    d = d.withColumn(
+        "ds", F.expr("transform(sequence(1, length(rev)), "
+                     "i -> CAST(substring(rev, i, 1) AS INT))"))
+    summed = d.withColumn(
+        "s", F.expr("""
+          aggregate(transform(sequence(0, size(ds) - 1), i ->
+            CASE WHEN i % 2 = 1
+                 THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                           ELSE ds[i] * 2 END
+                 ELSE ds[i] END), 0, (acc, x) -> acc + x)"""))
+    return summed.select(
+        "c_custkey", "account_no",
+        F.when(F.col("s") % 10 == 0, 1).otherwise(0).alias("luhn_valid"))
