@@ -3414,3 +3414,43 @@ def dedup_minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_both.alias("n_both"),
         F.round(n_both.cast("double") / n_approx, 6).alias("precision"),
         F.round(n_both.cast("double") / n_exact, 6).alias("recall"))
+
+
+_LICENSE_CLASSES = ["cc-by", "cc-by-sa", "mit", "proprietary", "unknown"]
+_LICENSE_ALLOWED = {"cc-by", "cc-by-sa", "mit"}
+
+
+@register(
+    "pipeline_license_gate",
+    oracle=f"""
+    WITH lic AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+             ['cc-by', 'cc-by-sa', 'mit', 'proprietary', 'unknown']
+               [CAST(substr(source, 4) AS INT) % 5 + 1] AS license
+      FROM documents
+    )
+    SELECT license,
+           CASE WHEN license IN ('cc-by', 'cc-by-sa', 'mit')
+                THEN 1 ELSE 0 END AS allowed,
+           count(*) AS n_docs,
+           sum(n_tokens) AS n_tokens
+    FROM lic GROUP BY license
+    """)
+def pipeline_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-compliance gate report: every document resolves to a
+    license class (fixture: derived from its source feed — the usual
+    reality, where license is feed metadata, not per-doc), and the
+    report shows docs/tokens per class with the allowlist verdict —
+    the table a release sign-off actually reviews, and the filter
+    (`allowed = 1`) the corpus build then applies. Map-side decode +
+    one partial agg; the allowlist is code, so the gate is
+    reviewable in diff, not in a config nobody reads."""
+    d = _docs(spark, sf_dir)
+    idx = F.substring("source", 4, 10).cast("int") % 5
+    lic = F.array(*[F.lit(x) for x in _LICENSE_CLASSES])[idx]
+    allowed = F.when(lic.isin(*sorted(_LICENSE_ALLOWED)), 1).otherwise(0)
+    t = d.select(lic.alias("license"), allowed.alias("allowed"),
+                 TX.token_count_ws(F.lower(F.col("text"))).alias("nt"))
+    return (t.groupBy("license", "allowed")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").alias("n_tokens")))

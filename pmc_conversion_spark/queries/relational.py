@@ -1882,3 +1882,35 @@ def sql_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("m.k").alias("o_orderkey"),
                     F.col("m.d").alias("o_orderdate"),
                     F.col("m.p").alias("o_totalprice"))
+
+
+@register(
+    "agg_alt_means",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(exp(sum(ln(o_totalprice)) / count(*)), 4) AS geo_mean,
+           round(count(*) / sum(1.0 / o_totalprice), 4) AS harm_mean,
+           round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                 / count(*), 4) AS arith_mean
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """)
+def agg_alt_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group: arithmetic (exact
+    decimals), geometric (exp∘mean∘ln — the right average for ratios
+    and growth rates), harmonic (the right average for rates) — and the
+    harm ≤ geo ≤ arith inequality the values themselves exhibit. ln/1-x sums are double adds whose
+    order could matter in principle; at 4-dp rounding over group-sized
+    sums both engines agree (same policy as tfidf's ln)."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.exp(F.sum(F.log("o_totalprice"))
+                               / F.count(F.lit(1))), 4).alias("geo_mean"),
+                 F.round(F.count(F.lit(1))
+                         / F.sum(1.0 / F.col("o_totalprice")), 4)
+                 .alias("harm_mean"),
+                 F.round(F.sum(F.round("o_totalprice", 2)
+                               .cast("decimal(18,2)"))
+                         / F.count(F.lit(1)), 4).alias("arith_mean")))
