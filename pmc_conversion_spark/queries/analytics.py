@@ -651,3 +651,71 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("observed_freq"),
                     F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("int")),
                             6).alias("benford_freq")))
+
+
+# ------------------------------------------------------------ geo joins
+
+_WAREHOUSES = [(0, 52.37, 4.90), (1, 40.71, -74.01), (2, 35.68, 139.69),
+               (3, -33.87, 151.21), (4, 1.35, 103.82)]
+
+
+@register(
+    "join_nearest_warehouse",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)),
+                1, 15))::BIGINT % 140000) / 1000.0 - 70.0 AS lat,
+             (('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)),
+                1, 15))::BIGINT % 360000) / 1000.0 - 180.0 AS lon
+      FROM customer
+    ), wh AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in _WAREHOUSES)})
+        AS t(wid, wlat, wlon)
+    ), scored AS (
+      SELECT c.c_custkey, w.wid,
+             round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(w.wlat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(w.wlat))
+                 * pow(sin(radians(w.wlon - c.lon) / 2), 2))), 3) AS km
+      FROM cust c, wh w
+    )
+    SELECT c_custkey,
+           min(struct_pack(km := km, wid := wid)).wid AS warehouse_id,
+           min(struct_pack(km := km, wid := wid)).km AS km
+    FROM scored GROUP BY c_custkey
+    """)
+def join_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo nearest-neighbor assignment: every customer (deterministic
+    hash-synthesized coordinates) maps to its closest of five fixed
+    warehouses by HAVERSINE distance — the fulfillment/routing join,
+    and the geo family's entry in the registry. The warehouse side is
+    constant-sized, so the plan is a broadcast cross of 5 rows + a
+    struct-argmin: never a geo self-join. Trig runs on identical
+    doubles in both engines; the 3-dp rounding before the argmin makes
+    ties (and therefore the assignment) portable. At scale the same
+    shape holds for thousands of sites (still broadcastable); beyond
+    that, geohash/S2 cell pre-bucketing replaces the cross — the
+    ``sink_zorder_layout`` interleave is exactly that cell key."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    c = _t(spark, sf_dir, "customer")
+    lat = (md5_int60(F.concat(F.lit("lat:"),
+                              F.col("c_custkey").cast("string")))
+           % 140000) / 1000.0 - 70.0
+    lon = (md5_int60(F.concat(F.lit("lon:"),
+                              F.col("c_custkey").cast("string")))
+           % 360000) / 1000.0 - 180.0
+    cust = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    wh = spark.createDataFrame(_WAREHOUSES, "wid int, wlat double, wlon double")
+    km = F.round(2 * 6371.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("wlat") - F.col("lat")) / 2), 2)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("wlat"))
+        * F.pow(F.sin(F.radians(F.col("wlon") - F.col("lon")) / 2), 2))), 3)
+    scored = (cust.crossJoin(F.broadcast(wh))
+              .select("c_custkey",
+                      F.struct(km.alias("km"),
+                               F.col("wid").alias("wid")).alias("s")))
+    return (scored.groupBy("c_custkey")
+            .agg(F.min("s").alias("m"))
+            .select("c_custkey", F.col("m.wid").alias("warehouse_id"),
+                    F.col("m.km").alias("km")))
