@@ -1202,3 +1202,42 @@ def win_discounted_return(spark: SparkSession, sf_dir: str) -> DataFrame:
          + 0.6561 * F.coalesce("v4", F.lit(0.0)))
     return l.select("user_id", "event_id",
                     F.round(g, 6).alias("return_g"))
+
+
+@register(
+    "stream_throttle_bucket_first",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), b AS (
+      SELECT user_id, event_id, event_type, sec,
+             sec // 30 AS bucket
+      FROM s
+    )
+    SELECT user_id, bucket,
+           min(struct_pack(sec := sec, event_id := event_id)).event_id
+             AS kept_event_id,
+           count(*) AS n_suppressed
+    FROM b GROUP BY user_id, bucket
+    """)
+def stream_throttle_bucket_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate limiting by bucket-first: one kept event per (user, 30 s
+    bucket) with the suppressed count — the alert/notification
+    throttle. True debouncing (suppress within N s of the last KEPT
+    event) is inherently sequential state; the bucket form is the
+    standard distributed approximation that needs only a struct-min
+    partial agg — no window, no state store in batch, and in
+    streaming it is exactly a tumbling-window first-value. Tie order
+    (sec, event_id) makes the kept representative portable."""
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"))
+    b = s.withColumn("bucket", (F.col("sec") / 30).cast("bigint"))
+    return (b.groupBy("user_id", "bucket")
+            .agg(F.min(F.struct("sec", "event_id")).alias("m"),
+                 F.count(F.lit(1)).alias("n_suppressed"))
+            .select("user_id", "bucket",
+                    F.col("m.event_id").alias("kept_event_id"),
+                    "n_suppressed"))

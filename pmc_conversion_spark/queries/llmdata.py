@@ -3454,3 +3454,114 @@ def pipeline_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.groupBy("license", "allowed")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("nt").alias("n_tokens")))
+
+
+@register(
+    "text_chunk_reassemble",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id, c AS chunk_id,
+             array_to_string(tk[c * 64 + 1 : c * 64 + 64], ' ') AS body
+      FROM t, unnest(range((len(tk) + 63) // 64)) AS u(c)
+      WHERE len(tk) > 0
+    ),
+    re AS (
+      SELECT doc_id,
+             string_agg(body, ' ' ORDER BY chunk_id) AS rebuilt
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN re.rebuilt = array_to_string(t.tk, ' ')
+                THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM t JOIN re ON re.doc_id = t.doc_id
+    WHERE len(t.tk) > 0
+    """)
+def text_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking INVERTIBILITY proven in-engine: documents split into
+    non-overlapping 64-token chunks, shuffled through the usual
+    (doc, chunk) keying, reassembled by ordered aggregation, and
+    compared token-exact against the original — the round-trip
+    contract RAG stores and long-context packers silently rely on
+    (an off-by-one in the slice or a lost final partial chunk shows
+    up as roundtrip_ok = 0 on real data, not in a unit fixture).
+    Every row must verify; the oracle checks each verdict."""
+    d = _docs(spark, sf_dir)
+    from pmc_conversion_spark.functions.text import ws_tokens
+    t = (d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("tk"))
+         .filter(F.size("tk") > 0))
+    chunks = (t.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0), F.floor((F.size("tk") + 63) / 64).cast("int") - 1))
+        .alias("chunk_id"), "tk")
+        .select("doc_id", "chunk_id",
+                F.array_join(F.slice("tk", F.col("chunk_id") * 64 + 1, 64),
+                             " ").alias("body")))
+    re = (chunks.groupBy("doc_id")
+          .agg(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("chunk_id", "body"))),
+                  lambda x: x["body"]), " ").alias("rebuilt")))
+    return (t.join(re, "doc_id")
+            .select("doc_id",
+                    F.when(F.col("rebuilt") == F.array_join("tk", " "), 1)
+                    .otherwise(0).alias("roundtrip_ok")))
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    {_HASHED_SH_SQL.strip()},
+    postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
+                 FROM sh),
+    capped AS (SELECT shingle FROM postings
+               GROUP BY shingle HAVING count(*) <= {DD.MAX_POSTING_DEFAULT}),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+             count(*) AS inter_size
+      FROM postings a JOIN postings b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN capped c ON c.shingle = a.shingle
+      GROUP BY 1, 2
+    ), u AS (
+      SELECT inter_size, sz_a + sz_b - inter_size AS union_size FROM inter
+    )
+    SELECT '1/20' AS threshold,
+           CAST(sum(CASE WHEN 20 * inter_size >= union_size
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs FROM u
+    UNION ALL
+    SELECT '1/10', CAST(sum(CASE WHEN 10 * inter_size >= union_size
+                                 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+    UNION ALL
+    SELECT '1/5', CAST(sum(CASE WHEN 5 * inter_size >= union_size
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM u
+    UNION ALL
+    SELECT '1/2', CAST(sum(CASE WHEN 2 * inter_size >= union_size
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM u
+    """)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold CALIBRATION: pair counts at four thresholds
+    from ONE posting-bucket pass — the sweep that picks a dedup
+    threshold by looking at the pair-count elbow instead of guessing.
+    The expensive intersect counting runs once; each threshold is a
+    conditional aggregate over the same (inter, union) frame, so the
+    sweep costs the same as a single-threshold run (integer
+    arithmetic keeps every verdict exact)."""
+    from pmc_conversion_spark.functions.dedup import _shingle_inter_counts
+    inter = _shingle_inter_counts(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, max_posting=DD.MAX_POSTING_DEFAULT)
+    u = inter.select(
+        "inter_size",
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+        .alias("union_size"))
+    aggs = u.agg(*[
+        F.sum(F.when(den * F.col("inter_size") >= F.col("union_size"), 1)
+              .otherwise(0)).alias(f"t{den}")
+        for den in (20, 10, 5, 2)])
+    return aggs.select(F.expr(
+        "stack(4, '1/20', t20, '1/10', t10, '1/5', t5, '1/2', t2) "
+        "AS (threshold, n_pairs)"))
