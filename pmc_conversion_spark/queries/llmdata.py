@@ -3565,3 +3565,54 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.select(F.expr(
         "stack(4, '1/20', t20, '1/10', t10, '1/5', t5, '1/2', t2) "
         "AS (threshold, n_pairs)"))
+
+
+@register(
+    "sim_embedding_mean_pool",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id // 10 AS group_id, vec_id,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT group_id, u.i AS dim, c.v[u.i] AS val
+      FROM c, unnest(range(1, 65)) AS u(i)
+    ), pooled AS (
+      SELECT group_id, dim,
+             CAST(sum(CAST(round(val, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS mean_val
+      FROM comp GROUP BY group_id, dim
+    )
+    SELECT group_id,
+           count(*) AS n_dims,
+           round(sqrt(sum(mean_val * mean_val)), 6) AS pooled_norm,
+           round(max(abs(mean_val)), 6) AS max_component
+    FROM pooled GROUP BY group_id
+    """)
+def sim_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding MEAN POOLING: chunk vectors (fixture: groups of 10
+    consecutive ids standing for one document's chunks) average into a
+    document vector — the pooling step between chunk-level embedding
+    and doc-level retrieval in every RAG store. Per-dimension
+    components explode once and partial-aggregate on (group, dim) —
+    the shuffle moves scalars, never whole vectors — and the decimal
+    component sums make the pooled vector partitioning-exact; the
+    result reports each pooled vector's norm and largest component
+    (the post-pool sanity stats, since near-zero norms flag
+    cancelling chunk sets that need attention-weighted pooling
+    instead)."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select((F.col("vec_id") / 10).cast("bigint").alias("group_id"),
+                   F.col("embedding").cast("array<double>").alias("v")))
+    comp = emb.select("group_id",
+                      F.posexplode("v").alias("dim0", "val"))
+    pooled = (comp.groupBy("group_id", (F.col("dim0") + 1).alias("dim"))
+              .agg((F.sum(F.round("val", 9).cast("decimal(28,9)"))
+                    .cast("double") / F.count(F.lit(1))).alias("mean_val")))
+    return (pooled.groupBy("group_id")
+            .agg(F.count(F.lit(1)).alias("n_dims"),
+                 F.round(F.sqrt(F.sum(F.col("mean_val")
+                                      * F.col("mean_val"))), 6)
+                 .alias("pooled_norm"),
+                 F.round(F.max(F.abs("mean_val")), 6)
+                 .alias("max_component")))

@@ -444,3 +444,49 @@ def f_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summed.select(
         "c_custkey", "account_no",
         F.when(F.col("s") % 10 == 0, 1).otherwise(0).alias("luhn_valid"))
+
+
+@register(
+    "f_ipv4_cidr_match",
+    oracle="""
+    WITH ip AS (
+      SELECT c_custkey,
+             ((10 * 16777216)
+              + ((c_custkey // 65536) % 256) * 65536
+              + ((c_custkey // 256) % 256) * 256
+              + (c_custkey % 256)) AS ip_int
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(ip_int // 16777216 AS VARCHAR) || '.'
+             || CAST((ip_int // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((ip_int // 256) % 256 AS VARCHAR) || '.'
+             || CAST(ip_int % 256 AS VARCHAR) AS ip,
+           ip_int,
+           CASE WHEN ip_int // 65536 = 10 * 256 + 0
+                THEN 1 ELSE 0 END AS in_10_0_16
+    FROM ip
+    """)
+def f_ipv4_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 arithmetic: synthetic 10.x.y.z addresses as 32-bit ints,
+    dotted-quad rendering, and CIDR membership (10.0.0.0/16) as a
+    prefix integer compare — the network-log primitive (geo/CIDR
+    enrichment joins all reduce to integer range/prefix tests once
+    addresses are ints, which is also what makes them SORTABLE for
+    the range-join and z-order layouts). Pure div/mod arithmetic,
+    identical on both engines; no regex parsing in the hot path."""
+    c = tables.load(spark, sf_dir, "customer")
+    ip_int = (F.lit(10 * 16777216)
+              + ((F.col("c_custkey") / 65536).cast("bigint") % 256) * 65536
+              + ((F.col("c_custkey") / 256).cast("bigint") % 256) * 256
+              + (F.col("c_custkey") % 256)).alias("ip_int")
+    t = c.select("c_custkey", ip_int)
+    quad = F.concat_ws(
+        ".",
+        (F.col("ip_int") / 16777216).cast("bigint").cast("string"),
+        ((F.col("ip_int") / 65536).cast("bigint") % 256).cast("string"),
+        ((F.col("ip_int") / 256).cast("bigint") % 256).cast("string"),
+        (F.col("ip_int") % 256).cast("string"))
+    return t.select("c_custkey", quad.alias("ip"), "ip_int",
+                    F.when((F.col("ip_int") / 65536).cast("bigint")
+                           == 10 * 256, 1).otherwise(0).alias("in_10_0_16"))
