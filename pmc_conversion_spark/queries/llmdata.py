@@ -3616,3 +3616,113 @@ def sim_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("pooled_norm"),
                  F.round(F.max(F.abs("mean_val")), 6)
                  .alias("max_component")))
+
+
+@register(
+    "pipeline_release_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, md5({_NORM}) AS fp, len({_TOKS}) AS nt
+      FROM documents
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0
+                      THEN trim(regexp_replace(regexp_replace(
+                             lower(text || ' revision two'),
+                             '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                      ELSE {_NORM} END) AS fp,
+             len({_TOKS}) + CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END
+               AS nt
+      FROM documents WHERE doc_id % 17 <> 0
+    ), j AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN new.doc_id IS NULL THEN 'removed'
+                  WHEN old.doc_id IS NULL THEN 'added'
+                  WHEN old.fp <> new.fp THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             coalesce(new.nt, 0) - coalesce(old.nt, 0) AS token_delta
+      FROM old FULL JOIN new ON new.doc_id = old.doc_id
+    )
+    SELECT verdict, count(*) AS n_docs,
+           CAST(sum(token_delta) AS BIGINT) AS token_delta
+    FROM j GROUP BY verdict
+    """)
+def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RELEASE DIFF: old vs new dataset versions full-outer-join
+    on doc id, classified added / removed / changed (by content
+    fingerprint, so silent edits can't hide behind stable ids) /
+    unchanged, with the token-budget delta per class — the release
+    note a dataset version bump ships with, and the audit that
+    catches an upstream feed quietly rewriting history. Fixture: new
+    drops every 17th doc and revises every 13th. Fingerprints reuse
+    ``text_fingerprint``'s normalization, so diff and dedup agree on
+    what 'same content' means."""
+    d = _docs(spark, sf_dir)
+    old = d.select("doc_id",
+                   TX.fingerprint_md5(F.col("text")).alias("fp"),
+                   TX.token_count_ws(F.lower(F.col("text"))).alias("nt"))
+    new_text = F.when(F.col("doc_id") % 13 == 0,
+                      F.concat(F.col("text"), F.lit(" revision two"))) \
+        .otherwise(F.col("text"))
+    new = (d.filter(F.col("doc_id") % 17 != 0)
+           .select("doc_id",
+                   TX.fingerprint_md5(new_text).alias("nfp"),
+                   TX.token_count_ws(F.lower(new_text)).alias("nnt")))
+    j = old.join(new, "doc_id", "full")
+    verdict = (F.when(F.col("nfp").isNull(), "removed")
+               .when(F.col("fp").isNull(), "added")
+               .when(F.col("fp") != F.col("nfp"), "changed")
+               .otherwise("unchanged"))
+    return (j.select(verdict.alias("verdict"),
+                     (F.coalesce("nnt", F.lit(0))
+                      - F.coalesce("nt", F.lit(0))).alias("td"))
+            .groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("td").alias("token_delta")))
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) t
+      GROUP BY tok
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM tf
+    ), top AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked WHERE r <= 100
+    )
+    SELECT count(*) AS n_points,
+           round((sum(x * y) - sum(x) * sum(y) / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) / count(*)), 4)
+             AS zipf_slope
+    FROM top
+    """)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the log-log regression slope of frequency vs
+    rank over the top-100 vocabulary — natural corpora slope toward
+    −1, and a flat slope is the tell of synthetic or
+    template-generated text (this fixture's small vocab reads
+    shallow, which is the point: the metric DETECTS it). Rank from a
+    vocabulary-sized total order, then a closed-form least-squares
+    slope from power sums — one pass, no iteration; 4-dp rounding
+    absorbs double-sum ordering across engines."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    tf = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    top = (tf.withColumn("r", F.row_number().over(w))
+           .filter(F.col("r") <= 100)
+           .select(F.log(F.col("r").cast("double")).alias("x"),
+                   F.log(F.col("f").cast("double")).alias("y")))
+    n = F.count(F.lit(1))
+    slope = ((F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n)
+             / (F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / n))
+    return top.agg(n.alias("n_points"),
+                   F.round(slope, 4).alias("zipf_slope"))
