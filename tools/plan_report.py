@@ -148,6 +148,24 @@ AUDITED = [
     "agg_bitmap_membership",
     "win_drawdown",
     "dedup_minhash_eval_report",
+    "agg_quantile_band_assign",
+    "sql_not_in_null_trap",
+    "sink_parquet_bloom_filter",
+    "sql_distinct_on_latest",
+    "agg_survival_curve",
+    "win_zscore_rolling",
+    "f_luhn_checksum",
+    "win_discounted_return",
+    "agg_alt_means",
+    "pipeline_license_gate",
+    "join_nearest_warehouse",
+    "stream_throttle_bucket_first",
+    "text_chunk_reassemble",
+    "dedup_threshold_sweep",
+    "f_ipv4_cidr_match",
+    "sim_embedding_mean_pool",
+    "pipeline_release_diff",
+    "text_zipf_fit",
 ]
 
 
