@@ -1914,3 +1914,114 @@ def agg_alt_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.round("o_totalprice", 2)
                                .cast("decimal(18,2)"))
                          / F.count(F.lit(1)), 4).alias("arith_mean")))
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CASE WHEN recency_days <= 180 THEN 3
+                  WHEN recency_days <= 540 THEN 2 ELSE 1 END AS r,
+             CASE WHEN frequency >= 15 THEN 3
+                  WHEN frequency >= 8 THEN 2 ELSE 1 END AS f,
+             CASE WHEN monetary >= 3000000 THEN 3
+                  WHEN monetary >= 1500000 THEN 2 ELSE 1 END AS m
+      FROM base
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+             || CAST(m AS VARCHAR) AS rfm_segment,
+           count(*) AS n_customers,
+           round(avg(CAST(recency_days AS DOUBLE)), 2) AS avg_recency,
+           round(sum(monetary), 2) AS total_monetary
+    FROM scored GROUP BY 1
+    """)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored on Recency / Frequency
+    / Monetary against fixed thresholds, rolled up per 3-digit
+    segment code — the CRM workhorse that routes retention spend
+    ('111' is churned-low-value, '333' is the VIP list). Fixed
+    thresholds (not data-dependent quantiles) keep segments
+    COMPARABLE across runs and partitions — the quantile variant
+    composes from ``agg_quantile_band_assign`` when drifting bands
+    are wanted. Two partial-agg passes: per-customer base, then
+    per-segment rollup; recency anchors on the dataset's own max
+    date so the op is wall-clock free."""
+    o = tables.load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (o.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("lastd"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+                 .cast("double").alias("monetary"))
+            .crossJoin(F.broadcast(mx))
+            .withColumn("recency_days",
+                        F.datediff(F.col("maxd").cast("date"),
+                                   F.col("lastd").cast("date"))))
+    r = (F.when(F.col("recency_days") <= 180, 3)
+         .when(F.col("recency_days") <= 540, 2).otherwise(1))
+    f_ = (F.when(F.col("frequency") >= 15, 3)
+          .when(F.col("frequency") >= 8, 2).otherwise(1))
+    m = (F.when(F.col("monetary") >= 3_000_000, 3)
+         .when(F.col("monetary") >= 1_500_000, 2).otherwise(1))
+    scored = base.select(
+        "recency_days", "monetary",
+        F.concat(r.cast("string"), f_.cast("string"), m.cast("string"))
+        .alias("rfm_segment"))
+    return (scored.groupBy("rfm_segment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.avg(F.col("recency_days").cast("double")), 2)
+                 .alias("avg_recency"),
+                 F.round(F.sum("monetary"), 2).alias("total_monetary")))
+
+
+@register(
+    "agg_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS iso_dow,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+      FROM orders
+    ), g AS (
+      SELECT iso_dow, count(*) AS n,
+             CAST(sum(p) AS DOUBLE) AS revenue
+      FROM d GROUP BY iso_dow
+    ), t AS (SELECT sum(n) AS tn, sum(revenue) AS tr FROM g)
+    SELECT g.iso_dow, g.n,
+           round(g.revenue, 2) AS revenue,
+           round(CAST(g.n AS DOUBLE) / t.tn * 7, 4) AS volume_index,
+           round(g.revenue / t.tr * 7, 4) AS revenue_index
+    FROM g, t
+    """)
+def agg_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: order volume and revenue per
+    ISO weekday with seasonality INDICES (share × 7 — 1.0 means a
+    flat week, the index form a forecaster consumes directly). One
+    partial-agg pass plus a one-row total broadcast; ISO weekday via
+    the same portable conversion as ``gen_calendar_dim``."""
+    o = tables.load(spark, sf_dir, "orders")
+    iso_dow = (F.when(F.dayofweek("o_orderdate") == 1, 7)
+               .otherwise(F.dayofweek("o_orderdate") - 1)).cast("bigint")
+    g = (o.select(iso_dow.alias("iso_dow"),
+                  F.round("o_totalprice", 2).cast("decimal(18,2)")
+                  .alias("p"))
+         .groupBy("iso_dow")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("p").cast("double").alias("revenue")))
+    t = g.agg(F.sum("n").alias("tn"), F.sum("revenue").alias("tr"))
+    return (g.crossJoin(F.broadcast(t))
+            .select("iso_dow", "n",
+                    F.round("revenue", 2).alias("revenue"),
+                    F.round(F.col("n").cast("double") / F.col("tn") * 7, 4)
+                    .alias("volume_index"),
+                    F.round(F.col("revenue") / F.col("tr") * 7, 4)
+                    .alias("revenue_index")))
