@@ -2025,3 +2025,99 @@ def agg_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("volume_index"),
                     F.round(F.col("revenue") / F.col("tr") * 7, 4)
                     .alias("revenue_index")))
+
+
+@register(
+    "agg_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    singles AS (
+      SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.ab,
+           round(CAST(p.ab AS DOUBLE) * n_orders.n
+                 / (sa.s * sb.s), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.l_partkey = p.part_a
+    JOIN singles sb ON sb.l_partkey = p.part_b, n_orders
+    ORDER BY p.ab DESC, p.part_a, p.part_b LIMIT 100
+    """)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs co-purchased in >= 3
+    orders with their LIFT (observed co-rate over independence) — the
+    recommender/assortment primitive, and the retail twin of
+    ``text_cooccurrence_pmi`` (lift is exp(PMI)). Pair generation is
+    an in-order self-join — bounded by basket size squared, the same
+    bound the co-order supplier graph rides — then single-item
+    supports broadcast back. Support floor + top-100 total order keep
+    the result release-sized."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct() \
+        .agg(F.count(F.lit(1)).alias("n"))
+    singles = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("ab"))
+             .filter(F.col("ab") >= 3))
+    sa = singles.select(F.col("l_partkey").alias("part_a"),
+                        F.col("s").alias("sa"))
+    sb = singles.select(F.col("l_partkey").alias("part_b"),
+                        F.col("s").alias("sb"))
+    return (pairs.join(F.broadcast(sa), "part_a")
+            .join(F.broadcast(sb), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "ab",
+                    F.round(F.col("ab").cast("double") * F.col("n")
+                            / (F.col("sa") * F.col("sb")), 4).alias("lift"))
+            .orderBy(F.col("ab").desc(), "part_a", "part_b").limit(100))
+
+
+@register(
+    "agg_cycle_time",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(avg(CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                          AS DOUBLE)), 4) AS avg_ship_days,
+           max(date_diff('day', o.o_orderdate, l.l_shipdate))
+             AS max_ship_days,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """)
+def agg_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per priority class: mean and worst
+    lead time plus the count past a 90-day SLA — the fulfillment
+    health readout, and the operational twin of
+    ``dq_freshness_sla``'s data-arrival gaps. Integer day diffs make
+    mean/max exact; one fact join + partial agg (the priority domain
+    is the output size)."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    d = F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", d.alias("ship_days"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.avg(F.col("ship_days").cast("double")), 4)
+                 .alias("avg_ship_days"),
+                 F.max("ship_days").alias("max_ship_days"),
+                 F.sum(F.when(F.col("ship_days") > 90, 1).otherwise(0))
+                 .alias("n_late")))
