@@ -490,3 +490,57 @@ def f_ipv4_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("c_custkey", quad.alias("ip"), "ip_int",
                     F.when((F.col("ip_int") / 65536).cast("bigint")
                            == 10 * 256, 1).otherwise(0).alias("in_10_0_16"))
+
+
+@register(
+    "f_phone_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey,
+             CASE c_custkey % 4
+               WHEN 0 THEN '(555) ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               WHEN 1 THEN '555.' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '.' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               WHEN 2 THEN '+1 555 ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || ' ' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               ELSE '555' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             END AS raw_phone
+      FROM customer
+    ), digits AS (
+      SELECT c_custkey, raw_phone,
+             regexp_replace(raw_phone, '[^0-9]', '', 'g') AS ds
+      FROM raw
+    )
+    SELECT c_custkey, raw_phone,
+           CASE WHEN length(ds) = 11 AND substr(ds, 1, 1) = '1'
+                THEN '+' || ds
+                WHEN length(ds) = 10 THEN '+1' || ds
+           END AS e164
+    FROM digits
+    """)
+def f_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phone normalization to E.164: four planted formatting variants
+    — parenthesized, dotted, spaced-international, bare — all
+    collapse to one +1XXXXXXXXXX key (strip non-digits, then the
+    10/11-digit NANP rules; anything else nulls rather than
+    guessing). The match-key prerequisite for PII detection
+    (``dq_pii_audit``'s phone regex) and identity joins: formats
+    differ per source system, the NUMBER is the entity. Map-side
+    regex + length rules, both engines identical."""
+    c = tables.load(spark, sf_dir, "customer")
+    p3 = F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0")
+    p4 = F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    raw = (F.when(F.col("c_custkey") % 4 == 0,
+                  F.concat(F.lit("(555) "), p3, F.lit("-"), p4))
+           .when(F.col("c_custkey") % 4 == 1,
+                 F.concat(F.lit("555."), p3, F.lit("."), p4))
+           .when(F.col("c_custkey") % 4 == 2,
+                 F.concat(F.lit("+1 555 "), p3, F.lit(" "), p4))
+           .otherwise(F.concat(F.lit("555"), p3, p4)))
+    t = c.select("c_custkey", raw.alias("raw_phone"))
+    ds = F.regexp_replace("raw_phone", "[^0-9]", "")
+    d = t.withColumn("ds", ds)
+    e164 = (F.when((F.length("ds") == 11)
+                   & (F.substring("ds", 1, 1) == "1"),
+                   F.concat(F.lit("+"), F.col("ds")))
+            .when(F.length("ds") == 10,
+                  F.concat(F.lit("+1"), F.col("ds"))))
+    return d.select("c_custkey", "raw_phone", e164.alias("e164"))

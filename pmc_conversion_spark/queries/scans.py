@@ -579,3 +579,31 @@ def sink_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(d)
             .filter(F.col("o_custkey") == 421)
             .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@register(
+    "scan_csv_latin1",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'café', 'Zürich'),
+      (2, 'niño', 'Málaga'),
+      (3, 'crème', 'Orléans')) AS t(id, word, city)
+    """)
+def scan_csv_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-UTF-8 ingestion: a LATIN-1 encoded CSV (the encoding
+    European clinical/ERP exports still ship) read with an explicit
+    charset option — without it the é/ü/ñ bytes mojibake into
+    replacement garbage that then poisons every downstream fingerprint
+    and join key. The fixture file is written as REAL latin-1 bytes;
+    the expected rows are pinned as VALUES, so a silently-wrong
+    decode fails the value hash, not just an eyeball check."""
+    d = _scratch("scan_csv_latin1")
+    p = os.path.join(d, "data.csv")
+    rows = "id,word,city\n1,café,Zürich\n2,niño,Málaga\n3,crème,Orléans\n"
+    with open(p, "w", encoding="latin-1") as f:
+        f.write(rows)
+    return (spark.read
+            .option("header", "true")
+            .option("encoding", "ISO-8859-1")
+            .schema("id int, word string, city string")
+            .csv(d))
