@@ -1241,3 +1241,83 @@ def stream_throttle_bucket_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "bucket",
                     F.col("m.event_id").alias("kept_event_id"),
                     "n_suppressed"))
+
+
+@register(
+    "agg_active_user_ratios",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ), anchor AS (SELECT max(day) AS maxd FROM d),
+    dau AS (SELECT count(DISTINCT user_id) AS n FROM d, anchor
+            WHERE day = anchor.maxd),
+    wau AS (SELECT count(DISTINCT user_id) AS n FROM d, anchor
+            WHERE day > anchor.maxd - 7),
+    mau AS (SELECT count(DISTINCT user_id) AS n FROM d, anchor
+            WHERE day > anchor.maxd - 30)
+    SELECT dau.n AS dau, wau.n AS wau, mau.n AS mau,
+           round(CAST(dau.n AS DOUBLE) / mau.n, 6) AS stickiness
+    FROM dau, wau, mau
+    """)
+def agg_active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio, anchored on
+    the dataset's own last day (wall-clock free) — the engagement
+    header of every growth dashboard, and the numerator/denominator
+    discipline behind it: all three windows count DISTINCT users over
+    the SAME deduped (user, day) frame, so the ratios can't disagree
+    with the retention ops built on that frame. One dedup pass, three
+    conditional distinct counts."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts").cast("timestamp").cast("long") / 86400) \
+        .cast("bigint").alias("day")
+    d = e.select("user_id", day).distinct()
+    anchor = d.agg(F.max("day").alias("maxd"))
+    j = d.crossJoin(F.broadcast(anchor))
+    out = j.agg(
+        F.countDistinct(F.when(F.col("day") == F.col("maxd"),
+                               F.col("user_id"))).alias("dau"),
+        F.countDistinct(F.when(F.col("day") > F.col("maxd") - 7,
+                               F.col("user_id"))).alias("wau"),
+        F.countDistinct(F.when(F.col("day") > F.col("maxd") - 30,
+                               F.col("user_id"))).alias("mau"))
+    return out.select(
+        "dau", "wau", "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6)
+        .alias("stickiness"))
+
+
+@register(
+    "win_last_value_ignore_nulls",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CASE WHEN value >= 0.1 THEN round(value, 6) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY sec, event_id
+             ROWS UNBOUNDED PRECEDING) AS filled
+    FROM s
+    """)
+def win_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill via ``last_value(... IGNORE NULLS)`` — the
+    sensor/telemetry gap-repair primitive (a reading holds until the
+    next one arrives), surfaced as its own op because IGNORE NULLS is
+    the windowing feature migrations most often discover missing
+    (``ts_resample_gapfill`` composes it behind a calendar join;
+    here it is the bare contract). Rows before any observation stay
+    null — fabricating a reading would be worse than missing one.
+    Fixture nulls every value below 0.1."""
+    e = _events(spark, sf_dir)
+    s = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.when(F.col("value") >= 0.1,
+                        F.round("value", 6)).alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("sec", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return s.select("user_id", "event_id", "v",
+                    F.last("v", ignorenulls=True).over(w).alias("filled"))

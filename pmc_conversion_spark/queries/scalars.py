@@ -544,3 +544,38 @@ def f_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.length("ds") == 10,
                   F.concat(F.lit("+1"), F.col("ds"))))
     return d.select("c_custkey", "raw_phone", e164.alias("e164"))
+
+
+@register(
+    "f_stable_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5('order-ns:' || CAST(o_orderkey AS VARCHAR)) AS x
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey,
+           substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-'
+             || substr(x, 13, 4) || '-' || substr(x, 17, 4) || '-'
+             || substr(x, 21, 12) AS stable_uuid
+    FROM h
+    """)
+def f_stable_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic namespaced UUIDs (v5-style: hash of
+    namespace + natural key, rendered 8-4-4-4-12) — the stable
+    surrogate identifier that survives re-runs, backfills, and
+    cross-system replays where ``uuid()`` would mint a fresh identity
+    every time (the same never-rand() reasoning as the split/sample
+    family, applied to IDs). Map-side md5 + substring formatting;
+    the reference's GUID-keyed transmart rows are the use case
+    (patient/observation identifiers must be replay-stable)."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    x = F.md5(F.concat(F.lit("order-ns:"),
+                       F.col("o_orderkey").cast("string")))
+    t = o.select("o_orderkey", x.alias("x"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring("x", 1, 8), F.substring("x", 9, 4),
+        F.substring("x", 13, 4), F.substring("x", 17, 4),
+        F.substring("x", 21, 12))
+    return t.select("o_orderkey", uuid.alias("stable_uuid"))
