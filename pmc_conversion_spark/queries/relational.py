@@ -2121,3 +2121,60 @@ def agg_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("ship_days").alias("max_ship_days"),
                  F.sum(F.when(F.col("ship_days") > 90, 1).otherwise(0))
                  .alias("n_late")))
+
+
+@register(
+    "agg_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
+             (SELECT count(*) FROM rev) AS n,
+             (SELECT sum(r) FROM rev) AS total
+      FROM rev
+    )
+    SELECT max(n) AS n_customers,
+           round(CAST(sum(CASE WHEN 5 * rk <= n THEN r ELSE 0 END)
+                      AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+             AS top20_share,
+           round(CAST(sum(CASE WHEN 100 * rk <= n THEN r ELSE 0 END)
+                      AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+             AS top1_share
+    FROM ranked
+    """)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 readout: revenue share carried by the top 20% and
+    top 1% of customers — the concentration number executives quote,
+    where ``agg_gini_revenue`` gives the statistician's coefficient.
+    Customers rank by exact decimal revenue through the two-phase
+    distributed numbering (no single-partition sort over customers);
+    the shares are conditional sums against rank thresholds. The two
+    ops together bracket the distribution: Gini for monitoring,
+    80/20 for the narrative."""
+    from pmc_conversion_spark.operators.windows import \
+        surrogate_key_distributed
+    o = tables.load(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+                .alias("r")))
+    # pack (revenue desc, custkey) into one orderable key: scale
+    # revenue cents into the high bits, custkey disambiguates ties
+    key = (-(F.col("r") * 100).cast("bigint") * F.lit(10_000_000)
+           - F.col("o_custkey")).alias("__key")
+    ranked = surrogate_key_distributed(
+        rev.select("o_custkey", "r", key), "__key", out_col="rk",
+        buckets=64)
+    t = ranked.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("r").alias("total"))
+    j = ranked.crossJoin(F.broadcast(t))
+    return j.agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.sum(F.when(5 * F.col("rk") <= F.col("n"), F.col("r"))
+                      .otherwise(F.lit(0))).cast("double")
+                / F.max("total").cast("double"), 6).alias("top20_share"),
+        F.round(F.sum(F.when(100 * F.col("rk") <= F.col("n"), F.col("r"))
+                      .otherwise(F.lit(0))).cast("double")
+                / F.max("total").cast("double"), 6).alias("top1_share"))
