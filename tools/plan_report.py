@@ -166,6 +166,16 @@ AUDITED = [
     "sim_embedding_mean_pool",
     "pipeline_release_diff",
     "text_zipf_fit",
+    "agg_rfm_segments",
+    "agg_dow_seasonality",
+    "agg_basket_lift",
+    "agg_cycle_time",
+    "scan_csv_latin1",
+    "f_phone_normalize",
+    "agg_active_user_ratios",
+    "win_last_value_ignore_nulls",
+    "f_stable_uuid",
+    "agg_pareto_8020",
 ]
 
 
