@@ -3726,3 +3726,54 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.sum("x") * F.sum("x") / n))
     return top.agg(n.alias("n_points"),
                    F.round(slope, 4).alias("zipf_slope"))
+
+
+_BLOCKLIST = ("hack", "exploit", "weapon", "toxic", "spam")
+
+
+@register(
+    "pipeline_blocklist_filter",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000,
+             text || ' how to hack the spam exploit'
+      FROM documents WHERE doc_id < 15
+    ), hits AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS.replace("text", "text")},
+                 t -> list_contains({list(_BLOCKLIST)!r}::VARCHAR[], t)))
+               AS n_hits
+      FROM docs2
+    )
+    SELECT doc_id, n_hits,
+           CASE WHEN n_hits >= 2 THEN 'quarantine'
+                WHEN n_hits = 1 THEN 'review'
+                ELSE 'pass' END AS verdict
+    FROM hits
+    """)
+def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist safety screen with a GRADED verdict: token-level
+    blocklist hits route documents to pass / review / quarantine
+    instead of a binary drop — single-hit docs go to humans, because
+    blunt term filters notoriously delete medical and security
+    EDUCATION content (the planted fixture trips quarantine; organic
+    single hits land in review). The term list is code-reviewed data
+    like the license allowlist; matching is exact-token (no substring
+    false positives on 'hackney'). Map-side only."""
+    d = _docs(spark, sf_dir)
+    planted = (d.filter(F.col("doc_id") < 15)
+               .select((F.col("doc_id") + 500000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" how to hack the spam exploit"))
+                       .alias("text")))
+    docs2 = d.select("doc_id", "text").unionByName(planted)
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    n_hits = F.size(F.filter(TX.ws_tokens(F.lower(F.col("text"))),
+                             lambda t: F.array_contains(bl, t)))
+    verdict = (F.when(F.col("n_hits") >= 2, "quarantine")
+               .when(F.col("n_hits") == 1, "review")
+               .otherwise("pass"))
+    return (docs2.select("doc_id", n_hits.alias("n_hits"))
+            .select("doc_id", "n_hits", verdict.alias("verdict")))

@@ -2178,3 +2178,41 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(100 * F.col("rk") <= F.col("n"), F.col("r"))
                       .otherwise(F.lit(0))).cast("double")
                 / F.max("total").cast("double"), 6).alias("top1_share"))
+
+
+@register(
+    "agg_catalog_coverage",
+    oracle="""
+    WITH ordered AS (SELECT DISTINCT l_partkey FROM lineitem),
+    t AS (SELECT count(*) AS n_parts FROM part),
+    o AS (SELECT count(*) AS n_ordered FROM ordered),
+    by_type AS (
+      SELECT p.p_type,
+             count(*) AS n_parts,
+             CAST(sum(CASE WHEN ordered.l_partkey IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ordered
+      FROM part p LEFT JOIN ordered ON ordered.l_partkey = p.p_partkey
+      GROUP BY p.p_type
+    )
+    SELECT p_type, n_parts, n_ordered,
+           round(CAST(n_ordered AS DOUBLE) / n_parts, 6) AS coverage
+    FROM by_type
+    """)
+def agg_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment coverage: per part type, how much of the catalog has
+    EVER been ordered — the dead-stock screen, and the left-join
+    existence pattern stated as an aggregate (a semi join would lose
+    the never-ordered denominators that are the point). The ordered
+    set dedups to one row per part before the join, so the fact table
+    contributes 8-byte keys once each."""
+    p = tables.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ordered = (tables.load(spark, sf_dir, "lineitem")
+               .select("l_partkey").distinct()
+               .withColumn("hit", F.lit(1)))
+    j = p.join(ordered, p.p_partkey == ordered.l_partkey, "left")
+    return (j.groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum(F.coalesce("hit", F.lit(0))).alias("n_ordered"))
+            .select("p_type", "n_parts", "n_ordered",
+                    F.round(F.col("n_ordered").cast("double")
+                            / F.col("n_parts"), 6).alias("coverage")))
