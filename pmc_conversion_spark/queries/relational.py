@@ -2216,3 +2216,59 @@ def agg_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_type", "n_parts", "n_ordered",
                     F.round(F.col("n_ordered").cast("double")
                             / F.col("n_parts"), 6).alias("coverage")))
+
+
+@register(
+    "win_rank_migration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nation, yr,
+             ROW_NUMBER() OVER (PARTITION BY yr
+                                ORDER BY r DESC, nation) AS rk
+      FROM rev
+    )
+    SELECT a.nation,
+           a.rk AS rank_1996, b.rk AS rank_1997,
+           a.rk - b.rk AS places_gained
+    FROM ranked a JOIN ranked b
+      ON b.nation = a.nation AND a.yr = 1996 AND b.yr = 1997
+    """)
+def win_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank migration (the movers report): each nation's revenue
+    league position in 1996 vs 1997 and the places gained — the
+    leaderboard-delta framing period comparisons get presented in,
+    where ``win_percent_change_yoy`` gives the raw growth. Aggregate
+    first (nation×year decimals), rank inside each year's dim-sized
+    partition, self-join the two years on the dimension key — fact
+    rows never reach a window."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    rev = (o.filter(F.year("o_orderdate").isin(1996, 1997))
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("yr"))
+           .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+                .alias("r")))
+    w = Window.partitionBy("yr").orderBy(F.col("r").desc(), "nation")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    a = (ranked.filter(F.col("yr") == 1996)
+         .select("nation", F.col("rk").alias("rank_1996")))
+    b = (ranked.filter(F.col("yr") == 1997)
+         .select("nation", F.col("rk").alias("rank_1997")))
+    return (a.join(b, "nation")
+            .select("nation", "rank_1996", "rank_1997",
+                    (F.col("rank_1996") - F.col("rank_1997"))
+                    .alias("places_gained")))
