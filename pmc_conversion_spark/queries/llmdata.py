@@ -3777,3 +3777,61 @@ def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise("pass"))
     return (docs2.select("doc_id", n_hits.alias("n_hits"))
             .select("doc_id", "n_hits", verdict.alias("verdict")))
+
+
+_STEM_RULES_SQL = """
+  CASE
+    WHEN length(t) > 5 AND t LIKE '%ing' THEN substr(t, 1, length(t) - 3)
+    WHEN length(t) > 4 AND t LIKE '%ed' THEN substr(t, 1, length(t) - 2)
+    WHEN length(t) > 4 AND t LIKE '%es' THEN substr(t, 1, length(t) - 2)
+    WHEN length(t) > 3 AND t LIKE '%s' AND t NOT LIKE '%ss'
+      THEN substr(t, 1, length(t) - 1)
+    ELSE t END
+"""
+
+
+@register(
+    "text_light_stem",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS t FROM documents
+    ), stemmed AS (
+      SELECT t, {_STEM_RULES_SQL} AS stem FROM toks
+    )
+    SELECT count(*) AS n_tokens,
+           count(DISTINCT t) AS vocab_before,
+           count(DISTINCT stem) AS vocab_after,
+           CAST(sum(CASE WHEN stem <> t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stemmed
+    FROM stemmed
+    """)
+def text_light_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Light suffix stemming (s/es/ed/ing rules with length guards and
+    the -ss exception) and its measured effect: vocabulary size
+    before vs after, plus how many tokens changed — the IR-era
+    normalization that still earns its keep in sparse retrieval
+    (``text_tfidf_topk``/``text_inverted_index`` keys shrink and
+    recall merges inflections). Rule-based and ordered, so both
+    engines stem identically; one explode + distinct aggregates."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                    .alias("t"))
+    t = F.col("t")
+    stem = (F.when((F.length(t) > 5) & t.endswith("ing"),
+                   F.expr("substring(t, 1, length(t) - 3)"))
+            .when((F.length(t) > 4) & t.endswith("ed"),
+                  F.expr("substring(t, 1, length(t) - 2)"))
+            .when((F.length(t) > 4) & t.endswith("es"),
+                  F.expr("substring(t, 1, length(t) - 2)"))
+            .when((F.length(t) > 3) & t.endswith("s")
+                  & ~t.endswith("ss"),
+                  F.expr("substring(t, 1, length(t) - 1)"))
+            .otherwise(t))
+    s = toks.select("t", stem.alias("stem"))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("vocab_before"),
+        F.countDistinct("stem").alias("vocab_after"),
+        F.sum(F.when(F.col("stem") != F.col("t"), 1).otherwise(0))
+        .alias("n_stemmed"))
