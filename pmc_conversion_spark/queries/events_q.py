@@ -1321,3 +1321,51 @@ def win_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return s.select("user_id", "event_id", "v",
                     F.last("v", ignorenulls=True).over(w).alias("filled"))
+
+
+@register(
+    "agg_repeat_interval",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders
+    ), gaps AS (
+      SELECT o_custkey,
+             day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day)
+               AS gap_days
+      FROM s
+    )
+    SELECT CASE WHEN gap_days = 0 THEN 'same_day'
+                WHEN gap_days <= 30 THEN 'within_month'
+                WHEN gap_days <= 90 THEN 'within_quarter'
+                ELSE 'longer' END AS interval_band,
+           count(*) AS n_gaps,
+           round(avg(CAST(gap_days AS DOUBLE)), 4) AS avg_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """)
+def agg_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: consecutive-order gaps
+    per customer, banded — the repurchase-cadence profile that sets
+    win-back campaign timing and the churn-definition threshold
+    (calling 90 quiet days 'churned' is only defensible after seeing
+    this table). One lag window per customer on day integers, then a
+    banded partial agg; date ties band as same_day rather than being
+    silently dropped."""
+    o = tables.load(spark, sf_dir, "orders")
+    day = (F.col("o_orderdate").cast("timestamp").cast("long") / 86400) \
+        .cast("bigint").alias("day")
+    s = o.select("o_custkey", day)
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = s.select(
+        (F.col("day") - F.lag("day").over(w)).alias("gap_days"))
+    band = (F.when(F.col("gap_days") == 0, "same_day")
+            .when(F.col("gap_days") <= 30, "within_month")
+            .when(F.col("gap_days") <= 90, "within_quarter")
+            .otherwise("longer"))
+    return (gaps.filter(F.col("gap_days").isNotNull())
+            .groupBy(band.alias("interval_band"))
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.round(F.avg(F.col("gap_days").cast("double")), 4)
+                 .alias("avg_gap_days")))

@@ -3835,3 +3835,56 @@ def text_light_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("stem").alias("vocab_after"),
         F.sum(F.when(F.col("stem") != F.col("t"), 1).otherwise(0))
         .alias("n_stemmed"))
+
+
+@register(
+    "pipeline_sft_render",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+      WHERE len({_TOKS}) >= 25
+    ), split AS (
+      SELECT doc_id,
+             array_to_string(tk[1:20], ' ') AS prompt,
+             array_to_string(tk[21:len(tk)], ' ') AS response,
+             len(tk) AS n_tokens
+      FROM parts
+    )
+    SELECT doc_id,
+           '<|user|>' || chr(10) || prompt || chr(10)
+             || '<|assistant|>' || chr(10)
+             || CASE WHEN n_tokens > 120
+                     THEN array_to_string(
+                            string_split(response, ' ')[1:100], ' ')
+                     ELSE response END AS rendered,
+           CASE WHEN n_tokens > 120 THEN 1 ELSE 0 END AS truncated
+    FROM split
+    """)
+def pipeline_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example rendering: (prompt, response) pairs — fixture:
+    first 20 tokens prompt the remainder — formatted into an explicit
+    chat template with a hard response budget (responses past 120
+    total tokens truncate to 100, FLAGGED so downstream can weight or
+    drop them; silent truncation corrupts loss masking). Template
+    literals live in code, token arithmetic is exact, truncation cuts
+    on token boundaries — the render step between a curated corpus
+    and a trainer's JSONL, map-side end to end."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    t = (d.select("doc_id",
+                  ws_tokens(F.lower(F.col("text"))).alias("tk"))
+         .filter(F.size("tk") >= 25))
+    split = t.select(
+        "doc_id",
+        F.array_join(F.slice("tk", 1, 20), " ").alias("prompt"),
+        F.array_join(F.slice("tk", 21, 1_000_000), " ").alias("response"),
+        F.size("tk").alias("n_tokens"))
+    resp = (F.when(F.col("n_tokens") > 120,
+                   F.array_join(F.slice(F.split("response", " "), 1, 100),
+                                " "))
+            .otherwise(F.col("response")))
+    rendered = F.concat(F.lit("<|user|>\n"), F.col("prompt"),
+                        F.lit("\n<|assistant|>\n"), resp)
+    return split.select(
+        "doc_id", rendered.alias("rendered"),
+        F.when(F.col("n_tokens") > 120, 1).otherwise(0).alias("truncated"))
