@@ -2272,3 +2272,108 @@ def win_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("nation", "rank_1996", "rank_1997",
                     (F.col("rank_1996") - F.col("rank_1997"))
                     .alias("places_gained")))
+
+
+@register(
+    "agg_seasonal_factors",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS r
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), yearly AS (
+      SELECT yr, CAST(sum(r) AS DOUBLE) / count(*) AS monthly_avg
+      FROM m GROUP BY yr
+    ), factors AS (
+      SELECT m.mo, CAST(m.r AS DOUBLE) / y.monthly_avg AS f
+      FROM m JOIN yearly y ON y.yr = m.yr
+    )
+    SELECT mo AS month,
+           count(*) AS n_years,
+           round(avg(f), 4) AS seasonal_factor
+    FROM factors GROUP BY mo
+    """)
+def agg_seasonal_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal factors: each month's revenue relative to
+    its own year's monthly average, averaged across years — the
+    multiplicative seasonal index (1.0 = typical month) that
+    deseasonalizes a forecast baseline, computed without any
+    time-series library: two partial aggs and a dim-sized join.
+    Within-year normalization first means a growth TREND cannot
+    masquerade as seasonality — the error the naive
+    month-total-over-grand-mean version bakes in. Partial years are
+    excluded so December isn't compared against a truncated
+    average."""
+    o = tables.load(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < "2001-01-01")
+    m = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                   F.month("o_orderdate").alias("mo"))
+         .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+              .alias("r")))
+    yearly = (m.groupBy("yr")
+              .agg((F.sum("r").cast("double") / F.count(F.lit(1)))
+                   .alias("monthly_avg")))
+    factors = (m.join(F.broadcast(yearly), "yr")
+               .select("mo", (F.col("r").cast("double")
+                              / F.col("monthly_avg")).alias("f")))
+    return (factors.groupBy(F.col("mo").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_years"),
+                 F.round(F.avg("f"), 4).alias("seasonal_factor")))
+
+
+@register(
+    "dq_cross_field_rules",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, o.o_orderdate,
+             CASE WHEN l.l_orderkey % 97 = 0
+                  THEN l.l_shipdate - INTERVAL 200 DAY
+                  ELSE l.l_shipdate END AS l_shipdate,
+             l.l_quantity, l.l_discount
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT 'ship_before_order' AS rule,
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM li
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM li
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM li
+    """)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FIELD consistency rules: a line cannot ship before its
+    order is placed (a JOIN-scoped rule — single-table audits like
+    ``dq_constraint_check`` cannot see it), quantities must be
+    positive, discounts in range — all evaluated in ONE pass over the
+    joined frame as conditional sums (planted violations: every 97th
+    order's lines shifted 200 days early). Rule names in the output
+    make the report self-describing for the quarantine router."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    l = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_discount")
+    ship = F.when(F.col("l_orderkey") % 97 == 0,
+                  F.col("l_shipdate") - F.expr("INTERVAL 200 DAY")) \
+        .otherwise(F.col("l_shipdate"))
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        ship.alias("l_shipdate"), "o_orderdate",
+        "l_quantity", "l_discount")
+    wide = j.agg(
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+              .otherwise(0)).alias("r1"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("r2"),
+        F.sum(F.when((F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 0.5), 1)
+              .otherwise(0)).alias("r3"))
+    return wide.select(F.expr(
+        "stack(3, 'ship_before_order', r1, 'nonpositive_quantity', r2, "
+        "'discount_out_of_range', r3) AS (rule, n_violations)"))
