@@ -3888,3 +3888,62 @@ def pipeline_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.select(
         "doc_id", rendered.alias("rendered"),
         F.when(F.col("n_tokens") > 120, 1).otherwise(0).alias("truncated"))
+
+
+@register(
+    "sim_cluster_purity",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, e.label, c.cid,
+             round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+      FROM emb e, cents c
+    ), assigned AS (
+      SELECT vec_id, label,
+             min(struct_pack(negsim := -sim, cid := cid)).cid AS cluster
+      FROM scored GROUP BY vec_id, label
+    ), cl AS (
+      SELECT cluster, label, count(*) AS n FROM assigned GROUP BY 1, 2
+    ), maj AS (
+      SELECT cluster, sum(n) AS cluster_size, max(n) AS majority_n
+      FROM cl GROUP BY cluster
+    )
+    SELECT cluster, cluster_size, majority_n,
+           round(CAST(majority_n AS DOUBLE) / cluster_size, 6) AS purity
+    FROM maj
+    """)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering EVALUATION against ground truth: vectors assign to
+    their nearest of 8 centroid seeds (``sim_kmeans_assign``'s step)
+    and each cluster is scored by majority-LABEL purity — the
+    external-validity check that separates 'k-means converged' from
+    'k-means found the classes', using the label column the
+    embeddings table carries for exactly this. Low purity on
+    hash-seeded centroids is the honest expected read; the metric
+    machinery is what the op certifies. Assignment + two partial
+    aggs; the label join rides the same row."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    cents = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("v").alias("cv")))
+    sim = F.round(SIM.cosine(F.col("v"), F.col("cv")), 6)
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "label",
+                      F.struct((-sim).alias("negsim"),
+                               F.col("cid").alias("cid")).alias("k")))
+    assigned = (scored.groupBy("vec_id", "label")
+                .agg(F.min("k").alias("m"))
+                .select("label", F.col("m.cid").alias("cluster")))
+    cl = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (cl.groupBy("cluster")
+            .agg(F.sum("n").alias("cluster_size"),
+                 F.max("n").alias("majority_n"))
+            .select("cluster", "cluster_size", "majority_n",
+                    F.round(F.col("majority_n").cast("double")
+                            / F.col("cluster_size"), 6).alias("purity")))
