@@ -2377,3 +2377,57 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.expr(
         "stack(3, 'ship_before_order', r1, 'nonpositive_quantity', r2, "
         "'discount_out_of_range', r3) AS (rule, n_violations)"))
+
+
+@register(
+    "agg_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cohort_m,
+             (EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate)) - f.cohort_m AS age_m,
+             sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort_m, count(*) AS cohort_size FROM firsts GROUP BY cohort_m
+    )
+    SELECT rev.cohort_m, rev.age_m,
+           round(CAST(sum(rev.r) OVER (PARTITION BY rev.cohort_m
+                      ORDER BY rev.age_m ROWS UNBOUNDED PRECEDING)
+                 AS DOUBLE) / sized.cohort_size, 2) AS cum_ltv_per_user
+    FROM rev JOIN sized ON sized.cohort_m = rev.cohort_m
+    WHERE rev.age_m <= 12
+    """)
+def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per user by months since
+    first purchase, one curve per acquisition-month cohort (first 12
+    months) — the money companion to ``agg_retention_cohorts``'s
+    activity triangle, and the payback-period input CAC decisions
+    divide against. Facts aggregate to (cohort, age) decimals
+    FIRST; the cumulative window then runs over the dim-sized curve
+    frame, never order rows; cohort size normalizes to per-user."""
+    o = tables.load(spark, sf_dir, "orders")
+    mon = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    firsts = (o.groupBy("o_custkey")
+              .agg(F.min(mon).alias("cohort_m")))
+    sized = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    rev = (o.join(firsts, "o_custkey")
+           .groupBy("cohort_m", (mon - F.col("cohort_m")).alias("age_m"))
+           .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+                .alias("r")))
+    w = (Window.partitionBy("cohort_m").orderBy("age_m")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (rev.withColumn("cum", F.sum("r").over(w))
+            .join(F.broadcast(sized), "cohort_m")
+            .filter(F.col("age_m") <= 12)
+            .select("cohort_m", "age_m",
+                    F.round(F.col("cum").cast("double")
+                            / F.col("cohort_size"), 2)
+                    .alias("cum_ltv_per_user")))
