@@ -3947,3 +3947,49 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cluster", "cluster_size", "majority_n",
                     F.round(F.col("majority_n").cast("double")
                             / F.col("cluster_size"), 6).alias("purity")))
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh
+    ), owners AS (
+      SELECT h, min(doc_id) AS first_doc FROM postings GROUP BY h
+    )
+    SELECT p.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN o.first_doc = p.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN o.first_doc = p.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM postings p JOIN owners o ON o.h = p.h
+    GROUP BY p.doc_id
+    """)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the share of a doc's shingles whose FIRST
+    corpus occurrence (by ingestion order = doc id) is the doc itself
+    — the marginal-contribution score that ranks what a document
+    actually adds, where dedup only asks whether it matches something
+    (a doc can evade every near-dup threshold and still be 95%
+    recombined boilerplate; this sees that). First-owner resolution
+    is one groupBy-min over 8-byte shingle keys and a posting join —
+    the dedup family's machinery pointed at a curation question."""
+    from pmc_conversion_spark.functions.dedup import _hashed_shingle_sets
+    sh = _hashed_shingle_sets(_docs(spark, sf_dir), "doc_id", "text", 3)
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    owners = postings.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    j = postings.join(owners, "h")
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_shingles"), 6).alias("novelty")))
