@@ -176,6 +176,18 @@ AUDITED = [
     "win_last_value_ignore_nulls",
     "f_stable_uuid",
     "agg_pareto_8020",
+    "pipeline_blocklist_filter",
+    "agg_catalog_coverage",
+    "win_rank_migration",
+    "text_light_stem",
+    "agg_repeat_interval",
+    "pipeline_sft_render",
+    "agg_seasonal_factors",
+    "dq_cross_field_rules",
+    "sim_cluster_purity",
+    "agg_ltv_curve",
+    "text_ngram_novelty",
+    "agg_rfm_segments",
 ]
 
 
