@@ -2431,3 +2431,54 @@ def agg_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cum").cast("double")
                             / F.col("cohort_size"), 2)
                     .alias("cum_ltv_per_user")))
+
+
+@register(
+    "agg_trend_slope",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+               + EXTRACT(month FROM o.o_orderdate) - 1 AS t,
+             CAST(sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           count(*) AS n_months,
+           round((sum(t * y) - sum(t) * sum(y) / count(*))
+                 / (sum(t * t) - sum(t) * sum(t) / count(*)), 2)
+             AS monthly_slope
+    FROM m GROUP BY nation
+    """)
+def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend slope: each nation's monthly-revenue
+    least-squares slope in closed form from power sums — the
+    grouped-regression primitive (who is growing, who is shrinking,
+    at what monthly rate) computed in ONE aggregation pass per group,
+    no ML library and no iteration (the same closed form
+    ``text_zipf_fit`` uses globally, here grouped). Facts reduce to
+    nation×month decimals before any regression arithmetic."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    t_idx = ((F.year("o_orderdate") - 1995) * 12
+             + F.month("o_orderdate") - 1)
+    m = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+         .groupBy(F.col("n_name").alias("nation"), t_idx.alias("t"))
+         .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+              .cast("double").alias("y")))
+    cnt = F.count(F.lit(1))
+    slope = ((F.sum(F.col("t") * F.col("y"))
+              - F.sum("t") * F.sum("y") / cnt)
+             / (F.sum(F.col("t") * F.col("t"))
+                - F.sum("t") * F.sum("t") / cnt))
+    return m.groupBy("nation").agg(
+        cnt.alias("n_months"),
+        F.round(slope, 2).alias("monthly_slope"))
