@@ -579,3 +579,33 @@ def f_stable_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("x", 13, 4), F.substring("x", 17, 4),
         F.substring("x", 21, 12))
     return t.select("o_orderkey", uuid.alias("stable_uuid"))
+
+
+@register(
+    "f_slugify",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             substr(text, 1, 40) AS title
+      FROM documents
+    )
+    SELECT doc_id, title,
+           trim(BOTH '-' FROM regexp_replace(regexp_replace(
+               lower(title), '[^a-z0-9]+', '-', 'g'), '-+', '-', 'g'))
+             AS slug
+    FROM raw
+    """)
+def f_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL slug generation: titles fold to lowercase, non-alphanumeric
+    runs collapse to single dashes, edges trim — the
+    content-addressing key every CMS/doc store derives, and (like the
+    accent/phone normalizers) a MATCH key: two titles that slug
+    identically are the same article to a router. Pure regex chain,
+    identical semantics both engines, map-side."""
+    d = tables.load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.substring("text", 1, 40).alias("title"))
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower("title"), "[^a-z0-9]+", "-"),
+        "-+", "-")
+    slug = F.regexp_replace(F.regexp_replace(slug, "^-", ""), "-$", "")
+    return t.select("doc_id", "title", slug.alias("slug"))
