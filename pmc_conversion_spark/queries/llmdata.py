@@ -3993,3 +3993,49 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_shingles", "n_novel",
                     F.round(F.col("n_novel").cast("double")
                             / F.col("n_shingles"), 6).alias("novelty")))
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) t
+      GROUP BY tok
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r,
+             (SELECT sum(f) FROM tf) AS total
+      FROM tf
+    ), ks AS (SELECT unnest([10, 50, 100, 500]) AS k)
+    SELECT ks.k,
+           round(CAST(sum(CASE WHEN ranked.r <= ks.k
+                               THEN ranked.f ELSE 0 END) AS DOUBLE)
+                 / max(ranked.total), 6) AS token_coverage
+    FROM ks, ranked GROUP BY ks.k
+    """)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of total token MASS the
+    top-K vocabulary types cover, for K in {{10, 50, 100, 500}} — the
+    curve that sizes a vocabulary (where it flattens, additional
+    types buy only tail mass) and the empirical face of the Zipf fit
+    (``text_zipf_fit`` gives the exponent; this gives the budget
+    table). Frequencies rank inside the vocabulary-sized frame; the
+    curve is conditional sums against rank thresholds — one pass
+    after the token count."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    tf = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    ranked = (tf.withColumn("r", F.row_number().over(w))
+              .crossJoin(F.broadcast(tf.agg(F.sum("f").alias("total")))))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (10, 50, 100, 500)]))
+        .alias("k"))
+    return (F.broadcast(ks).crossJoin(ranked)
+            .groupBy("k")
+            .agg(F.round(
+                F.sum(F.when(F.col("r") <= F.col("k"), F.col("f"))
+                      .otherwise(0)).cast("double")
+                / F.max("total"), 6).alias("token_coverage")))
