@@ -1369,3 +1369,56 @@ def agg_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_gaps"),
                  F.round(F.avg(F.col("gap_days").cast("double")), 4)
                  .alias("avg_gap_days")))
+
+
+@register(
+    "agg_burstiness",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             CAST(sec - lag(sec) OVER (PARTITION BY event_type
+                                       ORDER BY sec, event_id)
+                  AS DOUBLE) AS g
+      FROM s
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             sum(g) AS s1, sum(g * g) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s1 / n, 4) AS mean_gap_s,
+           round((sqrt(s2 / n - (s1/n)*(s1/n)) - s1/n)
+                 / (sqrt(s2 / n - (s1/n)*(s1/n)) + s1/n), 6)
+             AS burstiness
+    FROM m
+    """)
+def agg_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness coefficient B = (σ−μ)/(σ+μ) over inter-arrival gaps
+    per event type (Goh–Barabási): −1 is a metronome, 0 is Poisson,
+    →1 is bursty — the single number that says whether a feed's
+    'average rate' means anything, and the right prior for capacity
+    and watermark-lateness settings. Gap moments from power sums
+    after one per-type lag window; integer seconds in, 6-dp rounding
+    out."""
+    e = _events(spark, sf_dir)
+    s = e.select("event_type", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"))
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    gaps = s.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).cast("double").alias("g"))
+    m = (gaps.filter(F.col("g").isNotNull())
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("g").alias("s1"),
+              F.sum(F.col("g") * F.col("g")).alias("s2")))
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return m.select("event_type", "n",
+                    F.round(mean, 4).alias("mean_gap_s"),
+                    F.round((sd - mean) / (sd + mean), 6)
+                    .alias("burstiness"))

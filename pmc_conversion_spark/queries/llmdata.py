@@ -4039,3 +4039,60 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("r") <= F.col("k"), F.col("f"))
                       .otherwise(0)).cast("double")
                 / F.max("total"), 6).alias("token_coverage")))
+
+
+def _sweep_n_sql(n: int) -> str:
+    return f"""
+    SELECT '{n}-gram' AS shingle_n,
+           CAST(sum(CASE WHEN 5 * inter_size >= union_size
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+    FROM (
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform({_shingles_sql(n).strip()},
+                    s -> {_MD5_INT60.format(s='s')})) AS hs
+        FROM documents
+      ),
+      postings AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS shingle
+                   FROM sh),
+      capped AS (SELECT shingle FROM postings
+                 GROUP BY shingle HAVING count(*) <= {DD.MAX_POSTING_DEFAULT}),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+               count(*) AS inter_size
+        FROM postings a JOIN postings b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN capped c ON c.shingle = a.shingle
+        GROUP BY 1, 2
+      )
+      SELECT inter_size, sz_a + sz_b - inter_size AS union_size FROM inter
+    ) u
+    """
+
+
+@register(
+    "dedup_shingle_size_sweep",
+    oracle=(_sweep_n_sql(2) + " UNION ALL " + _sweep_n_sql(3)
+            + " UNION ALL " + _sweep_n_sql(4)))
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-SIZE sensitivity: Jaccard pair counts at n = 2, 3, 4
+    tokens under one fixed threshold — the second calibration axis
+    (``dedup_threshold_sweep`` fixes n and sweeps the threshold;
+    production tuning needs both): shorter shingles inflate matches
+    through common-phrase collisions, longer ones miss
+    light-paraphrase near-dups. Three posting-bucket passes, one per
+    n (shingle sets differ, so unlike the threshold sweep the work
+    is not shareable), unioned into one calibration table."""
+    rows = []
+    for n in (2, 3, 4):
+        pairs = DD.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold_num=1, threshold_den=5,
+            n=n, max_posting=DD.MAX_POSTING_DEFAULT)
+        rows.append(pairs.agg(
+            F.lit(f"{n}-gram").alias("shingle_n"),
+            F.count(F.lit(1)).alias("n_pairs")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
