@@ -1422,3 +1422,53 @@ def agg_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(mean, 4).alias("mean_gap_s"),
                     F.round((sd - mean) / (sd + mean), 6)
                     .alias("burstiness"))
+
+
+@register(
+    "stream_disorder_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), runs AS (
+      SELECT event_type, sec,
+             max(sec) OVER (PARTITION BY event_type ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS max_seen
+      FROM s
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN sec < max_seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           round(CAST(sum(CASE WHEN sec < max_seen THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS disorder_ratio,
+           max(CASE WHEN sec < max_seen THEN max_seen - sec END)
+             AS max_lateness_s
+    FROM runs GROUP BY event_type
+    """)
+def stream_disorder_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival measurement: per event type, how often an
+    event's TIME runs behind the maximum already seen in ARRIVAL
+    order (event_id), and the worst observed lateness — the two
+    numbers a watermark delay should be SET FROM instead of guessed
+    (``stream_watermark_dropped`` then shows what a chosen delay
+    would drop; this measures the disorder that forces the choice).
+    One running-max window per type in arrival order, integer
+    seconds."""
+    e = _events(spark, sf_dir)
+    s = e.select("event_type", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"))
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    runs = s.withColumn("max_seen", F.max("sec").over(w))
+    late = F.when(F.col("sec") < F.col("max_seen"), 1).otherwise(0)
+    return (runs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(late).alias("n_out_of_order"),
+                 F.round(F.sum(late).cast("double")
+                         / F.count(F.lit(1)), 6).alias("disorder_ratio"),
+                 F.max(F.when(F.col("sec") < F.col("max_seen"),
+                              F.col("max_seen") - F.col("sec")))
+                 .alias("max_lateness_s")))

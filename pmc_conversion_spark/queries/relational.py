@@ -2482,3 +2482,50 @@ def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("nation").agg(
         cnt.alias("n_months"),
         F.round(slope, 2).alias("monthly_slope"))
+
+
+@register(
+    "agg_reorder_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT o.o_custkey, l.l_partkey,
+             count(DISTINCT l.l_orderkey) AS n_orders
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), typed AS (
+      SELECT p.p_type, cp.n_orders
+      FROM cp JOIN part p ON p.p_partkey = cp.l_partkey
+    )
+    SELECT p_type,
+           count(*) AS n_cust_part_pairs,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reordered,
+           round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS reorder_rate
+    FROM typed GROUP BY p_type
+    """)
+def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder rate per part type: the share of (customer, part)
+    relationships that repeat across distinct orders — the
+    replenishment-vs-one-off split that separates subscription-like
+    demand from discovery demand (and the feature behind reorder
+    prediction). Distinct-order counts aggregate on the natural
+    (cust, part) key; the part-type decode is a broadcast dim join
+    after the heavy agg, not before."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    l = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    p = tables.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cp = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .groupBy("o_custkey", "l_partkey")
+          .agg(F.countDistinct("l_orderkey").alias("n_orders")))
+    typed = cp.join(F.broadcast(p), cp.l_partkey == p.p_partkey)
+    return (typed.groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n_cust_part_pairs"),
+                 F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+                 .alias("n_reordered"))
+            .select("p_type", "n_cust_part_pairs", "n_reordered",
+                    F.round(F.col("n_reordered").cast("double")
+                            / F.col("n_cust_part_pairs"), 6)
+                    .alias("reorder_rate")))
