@@ -4096,3 +4096,45 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "pipeline_context_fit_report",
+    oracle=f"""
+    WITH t AS (SELECT len({_TOKS}) AS nt FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CASE WHEN nt <= 64 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS fit_64,
+           round(CAST(sum(CASE WHEN nt <= 128 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS fit_128,
+           round(CAST(sum(CASE WHEN nt <= 256 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS fit_256,
+           round(CAST(sum(CASE WHEN nt > 256 THEN nt - 256 ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(nt), 6) AS overflow_token_share_256
+    FROM t
+    """)
+def pipeline_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit report: the share of documents fitting
+    three window budgets AND the share of token MASS lost past the
+    largest — the planning table that decides between truncation,
+    chunking (``text_chunk_split``), and packing
+    (``pack_sequences``): doc-count fit rates alone mislead because
+    the longest few percent of docs can carry most of the overflow
+    tokens. One pass of conditional sums over exact token counts."""
+    d = _docs(spark, sf_dir)
+    nt = TX.token_count_ws(F.lower(F.col("text")))
+    t = d.select(nt.alias("nt"))
+    fit = lambda b: F.round(
+        F.sum(F.when(F.col("nt") <= b, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1)), 6)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        fit(64).alias("fit_64"),
+        fit(128).alias("fit_128"),
+        fit(256).alias("fit_256"),
+        F.round(F.sum(F.when(F.col("nt") > 256, F.col("nt") - 256)
+                      .otherwise(0)).cast("double")
+                / F.sum("nt"), 6).alias("overflow_token_share_256"))
