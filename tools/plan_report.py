@@ -188,6 +188,14 @@ AUDITED = [
     "agg_ltv_curve",
     "text_ngram_novelty",
     "agg_rfm_segments",
+    "agg_trend_slope",
+    "f_slugify",
+    "vocab_coverage_curve",
+    "agg_burstiness",
+    "dedup_shingle_size_sweep",
+    "agg_reorder_rate",
+    "stream_disorder_ratio",
+    "pipeline_context_fit_report",
 ]
 
 
