@@ -2529,3 +2529,83 @@ def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_reordered").cast("double")
                             / F.col("n_cust_part_pairs"), 6)
                     .alias("reorder_rate")))
+
+
+@register(
+    "agg_discount_effectiveness",
+    oracle="""
+    SELECT CASE WHEN l_discount = 0 THEN 'none'
+                WHEN l_discount <= 0.05 THEN 'low'
+                ELSE 'high' END AS discount_band,
+           count(*) AS n_lines,
+           round(avg(CAST(l_quantity AS DOUBLE)), 4) AS avg_quantity,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE), 2) AS net_revenue
+    FROM lineitem
+    GROUP BY 1
+    """)
+def agg_discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount effectiveness: order-line volume and net revenue by
+    discount band — the does-discounting-move-quantity readout that
+    precedes any elasticity modeling (if avg quantity is flat across
+    bands, the discounts are subsidy, not stimulus). Banded
+    conditional aggregation in one pass; net revenue as exact
+    decimals."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    band = (F.when(F.col("l_discount") == 0, "none")
+            .when(F.col("l_discount") <= 0.05, "low")
+            .otherwise("high"))
+    return (li.groupBy(band.alias("discount_band"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.avg(F.col("l_quantity").cast("double")), 4)
+                 .alias("avg_quantity"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,2)")
+                               * (1 - F.col("l_discount")
+                                  .cast("decimal(18,2)")))
+                         .cast("double"), 2).alias("net_revenue")))
+
+
+@register(
+    "win_percent_of_peak",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) * 100
+               + EXTRACT(month FROM o.o_orderdate) AS ym,
+             CAST(sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, ym,
+           round(r / max(r) OVER (PARTITION BY nation), 6)
+             AS pct_of_peak
+    FROM m
+    """)
+def win_percent_of_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-peak normalization: each nation-month's revenue
+    relative to that nation's best month ever — the indexing that
+    makes differently-sized markets comparable on one chart (the
+    chart form of ``win_rank_migration``'s league table). Facts
+    reduce to nation-month decimals first; the peak is an unordered
+    max window over the dim-sized frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    m = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+         .groupBy(F.col("n_name").alias("nation"),
+                  (F.year("o_orderdate") * 100
+                   + F.month("o_orderdate")).alias("ym"))
+         .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+              .cast("double").alias("r")))
+    w = Window.partitionBy("nation")
+    return m.select("nation", "ym",
+                    F.round(F.col("r") / F.max("r").over(w), 6)
+                    .alias("pct_of_peak"))
