@@ -30,7 +30,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
     FROM events
     GROUP BY 1, 2
     """)
@@ -40,7 +41,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
-                 .alias("total_value"))
+                 .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("w_start"), "event_type",
                     "n", "total_value"))
 
@@ -727,7 +728,8 @@ def win_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS total_value
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
     FROM events WHERE value >= 0
     GROUP BY event_type
     """)
@@ -752,7 +754,7 @@ def dq_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.round("value", 6).cast("decimal(18,6)"))
-                .alias("total_value")))
+                .cast("double").alias("total_value")))
     # stash the Observation so callers/tests can read obs.get after the
     # action; the registry contract only materializes the DataFrame
     out._dq_observation = obs

@@ -603,7 +603,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, o.o_orderstatus,
            count(*) AS n_orders,
-           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2
     """)
@@ -638,10 +639,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_bucketed(spark, t_orders)
     c = read_bucketed(spark, t_cust)
     joined = o.join(c, o.o_custkey == c.c_custkey)
+    # DECIMAL keeps the sum exact and order-insensitive; the OUTPUT
+    # boundary casts to double because the driver's stringify-hash sees
+    # Spark's Decimal('x.00') and DuckDB-pandas' float64 x.0 as
+    # different strings (r3 verdict, What's-wrong #1). Exact: the
+    # unscaled value is far below 2^53, so decimal→double is lossless
+    # and identical on both engines.
     return (joined.groupBy("c_mktsegment", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .alias("total_price")))
+                 .cast("double").alias("total_price")))
 
 
 def _skew_aqe_frame(spark: SparkSession, sf_dir: str):
@@ -685,11 +692,12 @@ def _skew_aqe_frame(spark: SparkSession, sf_dir: str):
     # the dim partitions against the split hot fact partition
     d = (c.filter(F.col("c_custkey") <= 100)
          .select(F.col("c_custkey").alias("k")))
+    # output boundary → double (exact; see join_bucketed_colocated)
     out = (f.join(d, "k")
            .groupBy("k")
            .agg(F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                .alias("total_qty")))
+                .cast("double").alias("total_qty")))
     return out, restore
 
 
@@ -703,7 +711,8 @@ def _skew_aqe_frame(spark: SparkSession, sf_dir: str):
                FROM lineitem),
     d AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 100)
     SELECT f.k, count(*) AS n_rows,
-           sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS total_qty
+           CAST(sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
     FROM f JOIN d ON d.k = f.k
     GROUP BY f.k
     """)
@@ -1891,8 +1900,8 @@ def sql_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(exp(sum(ln(o_totalprice)) / count(*)), 4) AS geo_mean,
            round(count(*) / sum(1.0 / o_totalprice), 4) AS harm_mean,
-           round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
-                 / count(*), 4) AS arith_mean
+           CAST(round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                      / count(*), 4) AS DOUBLE) AS arith_mean
     FROM orders WHERE o_totalprice > 0
     GROUP BY o_orderstatus
     """)
@@ -1913,7 +1922,8 @@ def agg_alt_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("harm_mean"),
                  F.round(F.sum(F.round("o_totalprice", 2)
                                .cast("decimal(18,2)"))
-                         / F.count(F.lit(1)), 4).alias("arith_mean")))
+                         / F.count(F.lit(1)), 4)
+                 .cast("double").alias("arith_mean")))
 
 
 @register(

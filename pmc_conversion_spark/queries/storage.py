@@ -111,7 +111,7 @@ def join_partition_pruned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_incremental_merge", oracle="""
 SELECT o_orderstatus,
        count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus""")
 def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance by partial-aggregate merge: the
@@ -136,7 +136,8 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_agg = slice_agg(orders.filter(~pivot))
     return (stored_mv.unionByName(delta_agg)
             .groupBy("o_orderstatus")
-            .agg(F.sum("n").alias("n"), F.sum("total").alias("total")))
+            .agg(F.sum("n").alias("n"),
+                 F.sum("total").cast("double").alias("total")))
 
 
 @register("sink_sorted_rowgroups", oracle="""

@@ -79,7 +79,8 @@ PRICING_ERAS = [
     "join_range_interval",
     oracle=f"""
     SELECT era, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders
     JOIN {_values(PRICING_ERAS, 'era, start_d, end_d')}
       ON CAST(o_orderdate AS DATE)
@@ -103,7 +104,7 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("era")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .alias("total_price")))
+                 .cast("double").alias("total_price")))
 
 
 @register(

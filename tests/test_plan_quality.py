@@ -343,3 +343,35 @@ def test_variant_scan_parses_json_once(spark, qs):
     # one parse_json in the plan, not one per extracted field
     plan = plan_of(qs["scan_variant_json"](spark, SF_DIR))
     assert plan.count("parse_json") <= 2   # project + partial-agg echo
+
+
+def test_no_query_outputs_decimal_type(spark, qs):
+    """Registry-wide: no queries() entry may RETURN a DecimalType
+    column (top-level or nested). The driver's correctness gate
+    compares Spark-toPandas against DuckDB-to-pandas stringified; a
+    Spark Decimal('1068285.00') and DuckDB's float64 1068285.0 hash
+    differently even when numerically identical (r3 verdict,
+    What's-wrong #1). Decimals stay legal INSIDE a plan (exact
+    order-insensitive sums); the output boundary must cast to double."""
+    from pyspark.sql.types import (ArrayType, DecimalType, MapType,
+                                   StructType)
+
+    def has_dec(dt):
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF_DIR)
+        bad = [f.name for f in df.schema.fields if has_dec(f.dataType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"queries returning DecimalType output: {offenders}")

@@ -42,6 +42,26 @@ def norm_value(v):
     return str(v)
 
 
+def _decimal_columns(schema):
+    """Names of top-level or nested columns whose type contains a
+    DecimalType (driver pandas-stringify hazard)."""
+    from pyspark.sql.types import (ArrayType, DecimalType, MapType,
+                                   StructType)
+
+    def has_dec(dt):
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if has_dec(f.dataType)]
+
+
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
@@ -72,6 +92,20 @@ def main(names=None):
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # The DRIVER's gate goes through pandas: Spark Decimal
+            # objects stringify as '1068285.00' while DuckDB's pandas
+            # path yields float64 '1068285.0' — numerically equal,
+            # hash-different (r3 verdict). This checker fetches both
+            # sides natively so it cannot see that; flag the hazard
+            # structurally instead: no query may OUTPUT a DecimalType.
+            dec_cols = _decimal_columns(sdf.schema)
+            if dec_cols:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL {name}: DecimalType output column(s) "
+                      f"{dec_cols} — driver-hash hazard; cast the "
+                      f"output boundary to double")
+                continue
         except Exception:
             n_fail += 1
             failures.append(name)
