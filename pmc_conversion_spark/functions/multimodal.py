@@ -150,3 +150,129 @@ def frame_energy_plan(df: DataFrame, text_col: str = "text",
                 {"media_id": out_ids, "frame": out_fr, "energy": out_en})
 
     return df.mapInPandas(_frames, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: uncompressed 24-bit BMP (pure numpy — no image library).
+#
+# This is the one format the engine decodes end-to-end for real: the
+# encoder writes a spec-correct BITMAPFILEHEADER + BITMAPINFOHEADER
+# with bottom-up rows, BGR channel order and 4-byte row-stride padding;
+# the decoder must parse the header and undo all three to reproduce a
+# position-weighted pixel statistic whose expected value the DuckDB
+# oracle derives independently (mm_decode_real). Any flip, channel or
+# padding mistake changes the weighted sum. The generic
+# ``decode_image_meta`` stub above stays stubbed for compressed
+# formats (no PIL/opencv in this container).
+# ---------------------------------------------------------------------------
+
+BMP_DECODE_SCHEMA = ("media_id long, width long, height long, "
+                     "n_channels long, pix_sum long, pix_weighted long")
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an uncompressed 24-bit BMP
+    (BI_RGB): bottom-up row order, BGR byte order, rows padded to a
+    4-byte stride — the layout every BMP reader must handle."""
+    import struct
+
+    import numpy as np
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]          # bottom-up, RGB→BGR
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(content: bytes):
+    """REAL decode of an uncompressed 24-bit BMP to a top-down H×W×3
+    RGB uint8 array: validates the 'BM' magic and BI_RGB compression,
+    honors the pixel-array offset from the file header, strips the
+    4-byte row padding, and undoes bottom-up row order (negative
+    heights = top-down are honored too) and BGR byte order."""
+    import struct
+
+    import numpy as np
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream (missing 'BM' magic)")
+    off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", content, 14)
+    if hdr_size < 40 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0:
+        raise ValueError("compressed BMP (BI_RLE/BI_BITFIELDS) unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(content, dtype=np.uint8, offset=off,
+                        count=stride * h).reshape(h, stride)
+    px = arr[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1]                # BGR→RGB
+
+
+def synth_pixels(media_id: int, w: int, h: int):
+    """Deterministic test image: v(r,c,ch) = (id·31+r·7+c·3+ch) % 256 —
+    the same closed form the DuckDB oracle evaluates symbolically."""
+    import numpy as np
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    return ((media_id * 31 + r * 7 + c * 3 + ch) % 256).astype(np.uint8)
+
+
+def synth_bmp_images(df: DataFrame) -> DataFrame:
+    """(media_id, w, h) → (media_id, content): encode the deterministic
+    test image for each row as real BMP bytes, Arrow-batched."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_bmp(synth_pixels(int(m), int(w), int(h)))
+                       for m, w, h in zip(pdf["media_id"], pdf["w"],
+                                          pdf["h"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_bmp_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded stats via the REAL BMP parser.
+
+    Emits width/height/channels plus two integer statistics of the
+    decoded top-down RGB array: the plain pixel sum and the
+    position-weighted sum Σ v·(r+1)·(c+1)·(ch+1). The weighted sum is
+    the geometry proof — it differs under any row-flip, channel-order
+    or stride-padding error, so the oracle match certifies a correct
+    decode, not just a correct byte count."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_bmp(bytes(content)).astype(np.int64)
+                h, w, nch = px.shape
+                wgt = ((np.arange(h)[:, None, None] + 1)
+                       * (np.arange(w)[None, :, None] + 1)
+                       * (np.arange(nch)[None, None, :] + 1))
+                rows.append((int(m), w, h, nch, int(px.sum()),
+                             int((px * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)

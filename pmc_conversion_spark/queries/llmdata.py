@@ -881,6 +881,46 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_real",
+    oracle="""
+    WITH m AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+               FROM documents),
+    grid AS (
+      SELECT doc_id, w, h, r, c, ch,
+             (doc_id * 31 + r * 7 + c * 3 + ch) % 256 AS v
+      FROM m,
+           unnest(range(0, h)) AS t1(r),
+           unnest(range(0, w)) AS t2(c),
+           unnest(range(0, 3)) AS t3(ch)
+    )
+    SELECT doc_id AS media_id,
+           any_value(w) AS width, any_value(h) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v * (r + 1) * (c + 1) * (ch + 1)) AS BIGINT)
+             AS pix_weighted
+    FROM grid GROUP BY doc_id
+    """)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per-document deterministic images
+    are written as spec-correct uncompressed 24-bit BMP bytes (bottom-up
+    rows, BGR order, 4-byte stride padding) by one Arrow-batched
+    mapInPandas stage, then a SEPARATE mapInPandas stage parses the
+    header and pixel array with the pure-numpy decoder
+    (functions/multimodal.py decode_bmp) — no image library involved.
+    The oracle evaluates the pixel closed-form symbolically, and the
+    position-weighted sum certifies correct geometry: a row-flip,
+    channel-order or padding mistake in the decoder breaks it. The
+    decoder never sees the generator arithmetic — only bytes."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+                    (F.lit(4) + F.col("doc_id") % 7).cast("int").alias("h")))
+    encoded = MM.synth_bmp_images(base)
+    return MM.decode_bmp_batch(encoded)
+
+
+@register(
     "mm_frame_sample",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id,

@@ -136,3 +136,35 @@ def test_canonical_url_rules(spark, fixture_df):
         "id", TX.canonical_url(F.col("url")).alias("c")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_bmp_codec_roundtrip_and_geometry():
+    """Pure-numpy BMP codec: exact round-trip across odd widths (stride
+    padding exercised), top-down (negative height) variant honored,
+    non-BMP bytes rejected."""
+    import numpy as np
+    import pytest as _pytest
+    import struct
+
+    from pmc_conversion_spark.functions import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (4, 4), (5, 7), (13, 1), (2, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = MM.encode_bmp(px)
+        # spec checks: magic, declared size, pixel offset, stride pad
+        assert blob[:2] == b"BM"
+        assert struct.unpack_from("<I", blob, 2)[0] == len(blob)
+        assert len(blob) == 54 + ((w * 3 + 3) & ~3) * h
+        out = MM.decode_bmp(blob)
+        assert np.array_equal(out, px)
+
+    # top-down BMP: negative height in the info header, rows not flipped
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    blob = bytearray(MM.encode_bmp(px[::-1]))     # encoder wrote bottom-up
+    struct.pack_into("<i", blob, 22, -3)          # declare top-down
+    out = MM.decode_bmp(bytes(blob))
+    assert np.array_equal(out, px[::-1][::-1])    # = px, rows as stored
+
+    with _pytest.raises(ValueError):
+        MM.decode_bmp(b"GIF89a notabmp")

@@ -23,8 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
-#: Queries whose plans are the scale story; one representative per
-#: operator family (bench HEADLINE + the scale-pattern showcases).
+#: Registered names NOT plan-audited, each with the reason — keep this
+#: list short and justified; everything else is audited automatically.
+EXEMPT: dict[str, str] = {}
+
+#: Legacy curated list, retained only as the ORDERING preference for
+#: the report head (headline queries first); every other registered
+#: name is appended alphabetically by main().
 AUDITED = [
     "flagship",
     "sql_shipping_priority",
@@ -227,8 +232,18 @@ def main() -> None:
 
     spark = get_spark("plan-report")
     qs = E.queries()
+    # full-registry coverage: curated headline order first, then every
+    # remaining registered name alphabetically (minus documented
+    # exemptions); names may appear once only
+    seen = set()
+    order = []
+    for name in AUDITED + sorted(qs):
+        if name in seen or name in EXEMPT:
+            continue
+        seen.add(name)
+        order.append(name)
     rows = []
-    for name in AUDITED:
+    for name in order:
         try:
             if name == "flagship":
                 df = flagship_query(spark, SF_DIR)
@@ -266,6 +281,10 @@ def main() -> None:
         "by task count / constant, independent of input rows.",
         "Data-bearing funnels are additionally pinned at zero by",
         "tests/test_plan_quality.py.",
+        "",
+        f"Coverage: ALL {len(rows)} registered queries (headline order",
+        "first, then alphabetical)."
+        + (f" Exempt: {EXEMPT}" if EXEMPT else " Exemptions: none."),
         "",
         "| query | shuffles | SinglePart | BHJ | SMJ | NLJ/CP |"
         " codegen | pushed | py-stages |",
