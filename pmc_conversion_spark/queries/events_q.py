@@ -246,6 +246,64 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas serializes state between the JVM and
+    the Python worker over protobuf; probe it ONCE at import so the
+    Spark-4 stateful API registers the day the environment supports it
+    and stays cleanly absent (not broken) where it doesn't."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_available():
+    @register(
+        "stream_running_count_tws",
+        oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id
+        """)
+    def stream_running_count_tws(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        """Per-key running count through transformWithStateInPandas
+        (Spark 4 typed-state API, RocksDB-backed), run availableNow
+        into a memory sink. Update mode emits one row per key per
+        micro-batch with the monotone running total, so max() per key
+        is the final count — which equals the batch groupBy count the
+        oracle pins. CONDITIONALLY registered: requires a working
+        google.protobuf in the Python workers (see
+        streaming/stateful.py running_count_tws)."""
+        import tempfile
+        import uuid
+
+        from pyspark.sql import types as T
+
+        from pmc_conversion_spark.streaming.stateful import \
+            running_count_tws
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        if isinstance(stream.schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        counts = running_count_tws(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (counts.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="pmc_tws_ckpt_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return (spark.table(name).groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events")))
+
+
 @register(
     "stream_stateful_dedup",
     oracle="""

@@ -240,15 +240,24 @@ def test_tws_running_count_matches_batch_or_env_gated(spark, tmp_path):
     after one availableNow tick. Skips (rather than fails) where the
     worker-side protobuf dependency is unavailable."""
     import pytest as _pytest
+
+    import __spark_entry__ as E
+    registered = "stream_running_count_tws" in E.queries()
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
+        # outcome A: env lacks protobuf → op gated AND not registered
+        assert not registered, (
+            "stream_running_count_tws must not register without protobuf")
         from pmc_conversion_spark.streaming.stateful import \
             running_count_tws
         df = spark.range(1).selectExpr("id AS user_id")
         with _pytest.raises(NotImplementedError):
             running_count_tws(df)
         _pytest.skip("google.protobuf unavailable in this environment")
+    # outcome B: env has protobuf → op must be a registered query
+    assert registered, (
+        "protobuf available but stream_running_count_tws not registered")
     import uuid
     from pmc_conversion_spark.streaming.stateful import running_count_tws
     sf = "/root/testdata/sf0.001"
