@@ -63,6 +63,11 @@ HEADLINE = [
     "dedup_semantic_cluster",
     "split_leakage_safe",
     "sql_market_share",
+    "dedup_minhash_cluster",
+    "pipeline_incremental_dedup",
+    "text_zipf_fit",
+    "vocab_coverage_curve",
+    "mm_decode_real",
 ]
 
 

@@ -492,8 +492,38 @@ def ngram_jaccard_pairs_incremental(docs: DataFrame, *, new_min_id: int,
 
     Output: (doc_a, doc_b, inter_size, union_size).
     """
-    postings = _hashed_shingle_sets(docs, id_col, text_col, n).select(
-        "doc_id", "sz", F.explode("hs").alias("shingle"))
+    sets = _hashed_shingle_sets(docs, id_col, text_col, n)
+    return ngram_jaccard_pairs_from_sets(
+        sets, new_min_id=new_min_id, threshold_num=threshold_num,
+        threshold_den=threshold_den, max_posting=max_posting)
+
+
+def ngram_jaccard_pairs_from_sets(sets: DataFrame, *, new_min_id: int,
+                                  threshold_num: int = 1,
+                                  threshold_den: int = 5,
+                                  max_posting: int = MAX_POSTING_DEFAULT
+                                  ) -> DataFrame:
+    """Incremental exact-Jaccard pairs from a PRECOMPUTED hashed
+    shingle-set frame ``(doc_id, sz, hs)`` — the stored-state daily
+    form: the old corpus is shingled ONCE at ingest and persisted, so a
+    daily run re-shingles only the new batch.
+
+    Scale contract — cost ∝ increment, not corpus: a pair must have a
+    new-batch right member, and every shingle such a pair shares is by
+    definition one of the NEW batch's shingles, so postings are first
+    semi-joined to the new batch's distinct shingle set. Buckets for
+    shingles the increment never touches (the overwhelming majority of
+    a 100 TB corpus) are pruned BEFORE the groupBy, and the shuffle is
+    sized by the increment. The restriction is lossless: for a kept
+    shingle the bucket still holds ALL docs containing it, so bucket
+    caps and pair arithmetic are unchanged; buckets dropped can emit no
+    qualifying pair.
+    """
+    postings = sets.select("doc_id", "sz", F.explode("hs").alias("shingle"))
+    new_shingles = (sets.filter(F.col("doc_id") >= F.lit(new_min_id))
+                    .select(F.explode("hs").alias("shingle")).distinct())
+    postings = postings.join(F.broadcast(new_shingles), "shingle",
+                             "left_semi")
     buckets = (postings.groupBy("shingle")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
                     .alias("xs"))

@@ -53,12 +53,75 @@ PROBED = [
     "pipeline_incremental_dedup",
     "agg_markov_transitions",
     "pipeline_rejection_sampling",
+    "graph_pagerank",
+    "mm_decode_real",
+    "text_zipf_fit",
+    "vocab_coverage_curve",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
 #: faster than the data (2x headroom for shuffle constants and cache
 #: effects before we call it superlinear)
 SUPERLINEAR_RATIO = 20.0
+
+
+def probe_incremental_fixed_batch(spark, repeats: int) -> list[str]:
+    """Measure pipeline_incremental_dedup's COST CONTRACT directly:
+    hold the daily increment fixed (200 docs) and grow the stored base
+    corpus 10× (sf0.01 → sf0.1 documents). With stored shingle sets
+    (the daily-ingest model) and new-shingle bucket pruning
+    (functions/dedup.ngram_jaccard_pairs_from_sets), the timed daily
+    run should be ~FLAT in the base size — the measured twin of the
+    'scales with the increment, not the corpus' claim."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pmc_conversion_spark.functions.dedup import (
+        _hashed_shingle_sets, ngram_jaccard_pairs_from_sets)
+
+    lines = [
+        "",
+        "## Increment-fixed probe: pipeline_incremental_dedup",
+        "",
+        "Base corpus grows 10× while the daily increment stays at 200",
+        "docs; base shingle sets are PRECOMPUTED to parquet (untimed —",
+        "the ingest-time cost a daily pipeline pays once). The timed",
+        "daily run = shingle the increment + bucket-prune against the",
+        "stored sets + emit/verify pairs. Flat time across the rows is",
+        "the cost contract: daily cost ∝ increment, not corpus.",
+        "",
+        "| base | base docs | timed daily run (s) |",
+        "|---|---|---|",
+    ]
+    # fixed increment: 200 docs from sf0.001, ids offset past any base
+    OFFSET = 10_000_000
+    inc = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .filter(F.col("doc_id") < 200)
+           .select((F.col("doc_id") + OFFSET).alias("doc_id"), "text"))
+    for sf, label in [("/root/testdata/sf0.01", "sf0.01"),
+                      ("/root/testdata/sf0.1", "sf0.1")]:
+        base = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        n_base = base.count()
+        stored = tempfile.mkdtemp(prefix="incr_sets_")
+        _hashed_shingle_sets(base, "doc_id", "text", 3) \
+            .write.mode("overwrite").parquet(stored)
+        best = None
+        for _ in range(repeats):
+            t0 = _t.time()
+            sets = (spark.read.parquet(stored)
+                    .unionByName(_hashed_shingle_sets(inc, "doc_id",
+                                                      "text", 3)))
+            ngram_jaccard_pairs_from_sets(sets, new_min_id=OFFSET).count()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        lines.append(f"| {label} | {n_base} | {best:.3f} |")
+        print(f"incremental-fixed {label}: base={n_base} t={best:.3f}s",
+              flush=True)
+    lines.append("")
+    return lines
 
 
 def main() -> None:
@@ -123,6 +186,7 @@ def main() -> None:
                        else "≈linear or better")
         lines.append(f"| {name} | {cells[0]} | {cells[1]} | {cells[2]} |"
                      f" {rs} | {verdict} |")
+    lines.extend(probe_incremental_fixed_batch(spark, REPEATS))
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
