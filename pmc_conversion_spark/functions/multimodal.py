@@ -276,3 +276,102 @@ def decode_bmp_batch(df: DataFrame) -> DataFrame:
 
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #2: binary PPM (P6) — the other uncompressed container a
+# pure-numpy decoder can own. Unlike BMP it is top-down RGB with no
+# stride padding, but the HEADER is the parsing exercise: ASCII tokens
+# ("P6", width, height, maxval) separated by arbitrary whitespace with
+# '#' comments allowed between tokens, terminated by exactly one
+# whitespace byte before the pixel array.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels, *, comment: str = "synthetic") -> bytes:
+    """Encode an H×W×3 uint8 RGB array as binary PPM (P6), including a
+    header comment so decoders must implement comment skipping."""
+    h, w, _ = pixels.shape
+    header = f"P6\n# {comment}\n{w} {h}\n255\n".encode("ascii")
+    return header + pixels.tobytes()
+
+
+def decode_ppm(content: bytes):
+    """REAL decode of a binary PPM (P6) to an H×W×3 RGB uint8 array:
+    tokenizes the ASCII header with '#'-comment and whitespace
+    tolerance, validates the magic and maxval, and reads exactly
+    3·w·h pixel bytes after the single post-maxval whitespace byte."""
+    import numpy as np
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing 'P6' magic)")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while (pos < len(content) and not content[pos:pos + 1].isspace()
+               and content[pos:pos + 1] != b"#"):
+            pos += 1
+        tokens.append(content[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (want 8-bit)")
+    pos += 1                               # exactly one whitespace byte
+    return np.frombuffer(content, dtype=np.uint8, offset=pos,
+                         count=w * h * 3).reshape(h, w, 3)
+
+
+def synth_ppm_pixels(media_id: int, w: int, h: int):
+    """Deterministic PPM test image (distinct closed form from the BMP
+    family): v(r,c,ch) = (id·17 + r·5 + c·11 + ch·2) % 256."""
+    import numpy as np
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    return ((media_id * 17 + r * 5 + c * 11 + ch * 2) % 256).astype(np.uint8)
+
+
+def synth_ppm_images(df: DataFrame) -> DataFrame:
+    """(media_id, w, h) → (media_id, content) as real P6 bytes."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_ppm(synth_ppm_pixels(int(m), int(w), int(h)))
+                       for m, w, h in zip(pdf["media_id"], pdf["w"],
+                                          pdf["h"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_ppm_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded stats via the REAL P6 parser; same
+    position-weighted geometry proof as decode_bmp_batch."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_ppm(bytes(content)).astype(np.int64)
+                h, w, nch = px.shape
+                wgt = ((np.arange(h)[:, None, None] + 1)
+                       * (np.arange(w)[None, :, None] + 1)
+                       * (np.arange(nch)[None, None, :] + 1))
+                rows.append((int(m), w, h, nch, int(px.sum()),
+                             int((px * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)

@@ -1532,3 +1532,139 @@ def stream_disorder_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("sec") < F.col("max_seen"),
                               F.col("max_seen") - F.col("sec")))
                  .alias("max_lateness_s")))
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, round(value, 6) AS x
+      FROM events WHERE value IS NOT NULL
+    ), series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs
+      FROM v GROUP BY user_id
+    )
+    SELECT user_id, len(xs) AS n_events,
+           round(list_reduce(xs, (acc, x) -> 0.7 * acc + 0.3 * x), 6)
+             AS ewma
+    FROM series
+    """)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per key (α = 0.3, first
+    observation seeds the state) — the classic streaming smoother that
+    plain SQL windows cannot express because each step depends on the
+    previous RESULT, not a previous row. Composed Spark-first: the
+    per-key series is assembled with sort_array(collect_list(struct)),
+    then folded JVM-side with the higher-order ``aggregate`` lambda —
+    no Python, no iteration, one shuffle on the key. Per-key state is
+    the series itself; at 100 TB keys are numerous and individually
+    bounded (a user's events), which is exactly the regime groupBy
+    distributes. The oracle folds the same series with DuckDB's
+    list_reduce; identical fold order gives identical doubles, pinned
+    at 6 dp."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    series = (e.select("user_id",
+                       F.struct(F.col("ts"), F.col("event_id"),
+                                F.round("value", 6).alias("x")).alias("s"))
+              .groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss")))
+    xs = F.expr("transform(ss, s -> s.x)")
+    ewma = F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), xs[0], "
+        "(acc, x) -> 0.7D * acc + 0.3D * x)")
+    return (series.withColumn("xs", xs)
+            .select("user_id",
+                    F.size("xs").cast("long").alias("n_events"),
+                    F.round(ewma, 6).alias("ewma")))
+
+
+@register(
+    "agg_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), sized AS (
+      SELECT user_id, sess_id, count(*) AS n_events
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+    FROM sized GROUP BY user_id
+    """)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per user: share of 30-minute-gap sessions containing
+    exactly one event — the product-analytics KPI built on the same
+    gaps-and-islands sessionization the streaming path uses
+    (win_sessionize_batch), closed with a per-user aggregate. Windows
+    partition by user (parallel), then one partial-agg shuffle."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap_min = (sec - F.lag(sec).over(w)) / 60
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap_min.isNull() | (gap_min >= 30), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sized = (sess.groupBy("user_id", "sess_id")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (sized.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(bounce).alias("n_bounces"),
+                 F.round(F.sum(bounce) / F.count(F.lit(1)).cast("double"),
+                         6).alias("bounce_rate")))
+
+
+@register(
+    "win_running_distinct_count",
+    oracle="""
+    WITH seen AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM seen
+    """)
+def win_running_distinct_count(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Expanding DISTINCT count per key — how many distinct event
+    types a user has touched as of each event. SQL windows don't
+    support count(DISTINCT) over a frame; the distributed form is the
+    first-seen-flag decomposition: row_number()=1 over (user, type)
+    marks first occurrences, a running sum over (user) accumulates
+    them. Two partitioned windows, zero joins, no per-row set state."""
+    e = _events(spark, sf_dir)
+    w_first = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    seen = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0))
+    return seen.select(
+        "user_id", "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"))

@@ -921,6 +921,43 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_real_ppm",
+    oracle="""
+    WITH m AS (SELECT doc_id, 3 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
+               FROM documents),
+    grid AS (
+      SELECT doc_id, w, h, r, c, ch,
+             (doc_id * 17 + r * 5 + c * 11 + ch * 2) % 256 AS v
+      FROM m,
+           unnest(range(0, h)) AS t1(r),
+           unnest(range(0, w)) AS t2(c),
+           unnest(range(0, 3)) AS t3(ch)
+    )
+    SELECT doc_id AS media_id,
+           any_value(w) AS width, any_value(h) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v * (r + 1) * (c + 1) * (ch + 1)) AS BIGINT)
+             AS pix_weighted
+    FROM grid GROUP BY doc_id
+    """)
+def mm_decode_real_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image format: binary PPM (P6). The encoder writes
+    genuine P6 bytes including a header comment; the decoder
+    (functions/multimodal.py decode_ppm) tokenizes the whitespace-and-
+    comment ASCII header and reads the raw RGB array. Same
+    position-weighted geometry oracle as mm_decode_real, different
+    pixel closed form — together the two formats pin both container
+    layouts (bottom-up padded BGR vs top-down packed RGB)."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(3) + F.col("doc_id") % 11).cast("int").alias("w"),
+                    (F.lit(3) + F.col("doc_id") % 6).cast("int").alias("h")))
+    encoded = MM.synth_ppm_images(base)
+    return MM.decode_ppm_batch(encoded)
+
+
+@register(
     "mm_frame_sample",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id,

@@ -609,3 +609,69 @@ def f_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "-+", "-")
     slug = F.regexp_replace(F.regexp_replace(slug, "^-", ""), "-$", "")
     return t.select("doc_id", "title", slug.alias("slug"))
+
+
+@register(
+    "f_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop' || CAST(o_orderkey % 5 AS VARCHAR)
+               || '.example.com/cat/' || CAST(o_orderkey % 17 AS VARCHAR)
+               || '/item?id=' || CAST(o_orderkey AS VARCHAR)
+               || '&page=' || CAST(o_orderkey % 3 AS VARCHAR) AS url
+      FROM orders
+    )
+    SELECT o_orderkey, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS q_id
+    FROM u
+    """)
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — scheme/host/path and one query parameter —
+    with Spark's JVM-side ``parse_url`` (whole-stage codegen; the
+    native URL parser every log/clickstream pipeline leans on). The
+    oracle decomposes the same synthetic URLs with regexes, so the
+    native parser's semantics are pinned against an independent
+    implementation. Map-only; zero Python."""
+    o = tables.load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop"), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(".example.com/cat/"),
+        (F.col("o_orderkey") % 17).cast("string"),
+        F.lit("/item?id="), F.col("o_orderkey").cast("string"),
+        F.lit("&page="), (F.col("o_orderkey") % 3).cast("string"))
+    t = o.select("o_orderkey", url.alias("url"))
+    return t.select(
+        "o_orderkey", "url",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("q_id"))
+
+
+@register(
+    "f_base64_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name,
+           base64(encode(c_name)) AS b64,
+           CASE WHEN decode(from_base64(base64(encode(c_name)))) = c_name
+                THEN 1 ELSE 0 END AS roundtrip_ok,
+           octet_length(from_base64(base64(encode(c_name)))) AS n_bytes
+    FROM customer
+    """)
+def f_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round-trip integrity over a string column —
+    the blob-transport primitive (media bytes and model weights ride
+    pipelines base64-armored more often than anyone admits). Spark's
+    ``base64``/``unbase64`` against DuckDB's ``base64``/``from_base64``
+    pins RFC 4648 agreement including padding. Map-only built-ins."""
+    c = tables.load(spark, sf_dir, "customer")
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey", "c_name", b64.alias("b64"),
+        F.when(F.unbase64(b64).cast("string") == F.col("c_name"), 1)
+        .otherwise(0).alias("roundtrip_ok"),
+        F.octet_length(F.unbase64(b64)).cast("long").alias("n_bytes"))

@@ -168,3 +168,27 @@ def test_bmp_codec_roundtrip_and_geometry():
 
     with _pytest.raises(ValueError):
         MM.decode_bmp(b"GIF89a notabmp")
+
+
+def test_ppm_codec_roundtrip_and_header_tolerance():
+    """P6 codec: round-trip, comment/whitespace header tolerance,
+    maxval and magic rejection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pmc_conversion_spark.functions import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (4, 3), (7, 5)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_ppm(MM.encode_ppm(px)), px)
+
+    # exotic-but-legal header: multiple comments, CRLF-ish whitespace
+    px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    blob = (b"P6 # c1\n#c2\n  3\t2 # dims\n 255\n" + px.tobytes())
+    assert np.array_equal(MM.decode_ppm(blob), px)
+
+    with _pytest.raises(ValueError):
+        MM.decode_ppm(b"P5\n1 1\n255\n\x00")      # greyscale PGM
+    with _pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n1 1\n65535\n\x00\x00")  # 16-bit maxval
