@@ -4246,3 +4246,116 @@ def pipeline_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("nt") > 256, F.col("nt") - 256)
                       .otherwise(0)).cast("double")
                 / F.sum("nt"), 6).alias("overflow_token_share_256"))
+
+
+@register(
+    "vocab_bigram_lm_nll",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    bg AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+    vv AS (SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(toks) AS tok FROM t)),
+    contrib AS (
+      SELECT CAST(round(-c2.c2 * ln((c2.c2 + 1)
+                                    / CAST(c1.c1 + vv.v AS DOUBLE)), 8)
+                  AS DECIMAL(28,8)) AS nll
+      FROM c2 JOIN c1 USING (w1), vv
+    )
+    SELECT (SELECT count(*) FROM c2) AS n_bigram_types,
+           (SELECT CAST(sum(c2) AS BIGINT) FROM c2) AS n_bigrams,
+           (SELECT v FROM vv) AS vocab_v,
+           round(CAST(sum(nll) AS DOUBLE), 4) AS total_nll
+    FROM contrib
+    """.replace("{toks}", _TOKS))
+def vocab_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score a bigram language model with add-one smoothing
+    over the corpus — the count-based LM that seeds data-quality
+    scoring (text_lm_score consumes a vocab like the one built here):
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), corpus NLL = −Σ c·ln P. All
+    counts come from two partial-agg shuffles over 8-byte-hashable
+    token keys; the prefix totals c(w1·) re-aggregate the bigram
+    frame (vocabulary-sized, not corpus-sized); V rides in as a
+    broadcast one-row cross join. Per-type ln contributions round to
+    8 dp and sum as exact decimals (order-insensitive), double only
+    at the output boundary — the module's standard ln policy."""
+    d = _docs(spark, sf_dir)
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    t = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = t.select(F.explode(F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).alias("p")) \
+        .select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vv = (d.select(F.explode(toks).alias("tok"))
+          .agg(F.countDistinct("tok").alias("v")))
+    contrib = (c2.join(c1, "w1").crossJoin(F.broadcast(vv))
+               .select("c2", F.round(
+                   -F.col("c2") * F.log((F.col("c2") + 1)
+                                        / (F.col("c1") + F.col("v"))
+                                        .cast("double")), 8)
+                   .cast("decimal(28,8)").alias("nll")))
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_bigram_types"),
+        F.sum("c2").alias("n_bigrams"),
+        F.first(F.lit(None)).alias("_drop")).drop("_drop").crossJoin(
+        F.broadcast(vv.select(F.col("v").alias("vocab_v")))).crossJoin(
+        F.broadcast(contrib.agg(
+            F.round(F.sum("nll").cast("double"), 4).alias("total_nll"))))
+
+
+@register(
+    "pipeline_span_corruption",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(range(0, len(toks)),
+               i -> CASE WHEN (doc_id * 31 + i * 13) % 10 < 2
+                         THEN 1 ELSE 0 END) AS mask
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(list_sum(mask) AS BIGINT) AS n_masked,
+           CAST(list_sum(list_transform(range(0, n),
+                  i -> CASE WHEN mask[i + 1] = 1
+                                 AND (i = 0 OR mask[i] = 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans,
+           round(list_sum(mask) / CAST(n AS DOUBLE), 6)
+             AS corruption_rate
+    FROM m
+    """.replace("{toks}", _TOKS))
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING: a deterministic ~20% token
+    mask per document plus the span structure (count of maximal
+    masked runs) that sizes the sentinel-token budget for the
+    denoising objective. Everything is map-side array algebra over the
+    token sequence — transform/aggregate higher-order functions, zero
+    Python, zero shuffles before the (absent) aggregate — the oracle
+    replays the same closed-form mask per position."""
+    d = _docs(spark, sf_dir)
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    t = (d.select("doc_id", toks.alias("toks"))
+         .filter(F.size("toks") > 0))
+    m = t.withColumn("mask", F.expr(
+        "transform(sequence(0, size(toks) - 1), "
+        "i -> CASE WHEN (doc_id * 31 + i * 13) % 10 < 2 "
+        "THEN 1 ELSE 0 END)"))
+    n_masked = F.expr("aggregate(mask, 0, (a, x) -> a + x)")
+    n_spans = F.expr(
+        "aggregate(sequence(0, size(mask) - 1), 0, "
+        "(a, i) -> a + (CASE WHEN mask[i] = 1 "
+        "AND (i = 0 OR mask[i - 1] = 0) THEN 1 ELSE 0 END))")
+    return m.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(n_masked / F.size("toks").cast("double"), 6)
+        .alias("corruption_rate"))

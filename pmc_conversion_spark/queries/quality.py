@@ -564,3 +564,61 @@ def sql_cube_all_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     once however many margins materialize. One text, two engines."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_CUBE_SQL)
+
+
+@register(
+    "dq_outlier_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             CAST(quantile_cont(2 * c, 0.5) AS BIGINT) AS m2
+      FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.c, med.m2, abs(2 * v.c - med.m2) AS d2
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             CAST(quantile_cont(2 * d2, 0.5) AS BIGINT) AS d4
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           count(*) AS n,
+           round(any_value(dev.m2) / 200.0, 6) AS median_value,
+           round(any_value(mad.d4) / 400.0, 6) AS mad_value,
+           CAST(sum(CASE WHEN 13490 * dev.d2 > 35000 * mad.d4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by modified z-score — median absolute
+    deviation instead of stddev (dq_outlier_zscore's breakdown point
+    is 0%: one wild value shifts the mean and masks itself; MAD
+    survives 50% contamination). Flag |x−med|·0.6745/MAD > 3.5. All
+    arithmetic is doubled/quadrupled integer cents so both engines'
+    interpolated medians are EXACT integer-valued doubles and the
+    outlier test is a pure integer comparison — no float-boundary
+    flakiness. Two grouped exact percentiles + one broadcast-back
+    join; groups are the parallel unit."""
+    e = tables.load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    v = e.select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("c"))
+    med = (v.groupBy("event_type")
+           .agg(F.expr("CAST(percentile(2 * c, 0.5) AS BIGINT)")
+                .alias("m2")))
+    dev = (v.join(F.broadcast(med), "event_type")
+           .withColumn("d2", F.abs(2 * F.col("c") - F.col("m2"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("CAST(percentile(2 * d2, 0.5) AS BIGINT)")
+                .alias("d4")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.first("m2") / 200.0, 6).alias("median_value"),
+                 F.round(F.first("d4") / 400.0, 6).alias("mad_value"),
+                 F.sum(F.when(13490 * F.col("d2") > 35000 * F.col("d4"),
+                              1).otherwise(0)).alias("n_outliers")))

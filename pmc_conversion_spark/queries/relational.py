@@ -2619,3 +2619,36 @@ def win_percent_of_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("nation", "ym",
                     F.round(F.col("r") / F.max("r").over(w), 6)
                     .alias("pct_of_peak"))
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CASE WHEN cume_dist() OVER w <= 0.1 THEN 'bottom_decile'
+                WHEN cume_dist() OVER w > 0.9 THEN 'top_decile'
+                ELSE 'middle' END AS band
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+    """)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: percent_rank and cume_dist of
+    each customer's balance inside its market segment, banded into
+    deciles — the 'where does this row sit in its cohort' primitive
+    (complementary to ntile's equal-count buckets: these are exact
+    rank ratios). Tie-broken by key so both engines rank identically;
+    partitioned by segment, so the sort distributes."""
+    c = tables.load(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy("c_acctbal", "c_custkey"))
+    cume = F.cume_dist().over(w)
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
+        F.when(cume <= 0.1, "bottom_decile")
+        .when(cume > 0.9, "top_decile")
+        .otherwise("middle").alias("band"))

@@ -607,3 +607,25 @@ def scan_csv_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("encoding", "ISO-8859-1")
             .schema("id int, word string, city string")
             .csv(d))
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT i AS id, i % 7 AS bucket,
+           round((i * 37 % 1000) / 1000.0, 6) AS score
+    FROM range(0, 10000) t(i)
+    """)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch source through the PySpark 4 Python DataSource API
+    (sources/python_ds.py): a registered ``spark.read.format`` source
+    whose driver-side ``partitions()`` is the parallelism contract
+    (one InputPartition per task — the shard/offset-range mapping a
+    real feed would return) and whose per-partition ``read`` iterator
+    is Arrow-batched by the framework. The deterministic generator is
+    replayed closed-form by the oracle."""
+    from pmc_conversion_spark.sources.python_ds import \
+        register_synthetic_source
+    register_synthetic_source(spark)
+    return (spark.read.format("synthetic_events")
+            .option("n_parts", 8).load())

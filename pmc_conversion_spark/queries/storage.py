@@ -163,3 +163,52 @@ def sink_sorted_rowgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
      .parquet(d))
     back = spark.read.parquet(d)
     return back.filter(F.col("o_orderdate") >= "1997-06-01")
+
+
+@register(
+    "dq_schema_snapshot_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_custkey',      'unchanged',    'bigint', 'bigint'),
+      ('o_orderdate',    'added',        NULL,     'date'),
+      ('o_orderkey',     'unchanged',    'bigint', 'bigint'),
+      ('o_orderpriority','removed',      'string', NULL),
+      ('o_totalprice',   'type_changed', 'double', 'float')
+    ) AS t(col_name, status, type_a, type_b)
+    """)
+def dq_schema_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection between two table snapshots: write two
+    parquet generations with a dropped column, an added column, and a
+    narrowed type, then diff the schemas READ BACK from storage (what
+    a nightly contract check sees — parquet footers, not the writer's
+    intent). This is metadata-only: the snapshots' FOOTERS are read,
+    no data pages; at 100 TB the check costs the same as at 100 MB.
+    Complements dq_dataset_drift (value distributions) with the
+    structural half of drift."""
+    o = tables.load(spark, sf_dir, "orders")
+    d = _scratch("dq_schema_snapshot_diff")
+    snap_a = o.select(
+        F.col("o_orderkey").cast("bigint"),
+        F.col("o_custkey").cast("bigint"),
+        F.col("o_totalprice").cast("double"),
+        F.col("o_orderpriority").cast("string"))
+    snap_b = o.select(
+        F.col("o_orderkey").cast("bigint"),
+        F.col("o_custkey").cast("bigint"),
+        F.col("o_totalprice").cast("float"),
+        F.to_date("o_orderdate").alias("o_orderdate"))
+    snap_a.write.mode("overwrite").parquet(f"{d}/a")
+    snap_b.write.mode("overwrite").parquet(f"{d}/b")
+    sa = {f.name: f.dataType.simpleString()
+          for f in spark.read.parquet(f"{d}/a").schema.fields}
+    sb = {f.name: f.dataType.simpleString()
+          for f in spark.read.parquet(f"{d}/b").schema.fields}
+    rows = []
+    for col in sorted(set(sa) | set(sb)):
+        ta, tb = sa.get(col), sb.get(col)
+        status = ("removed" if tb is None else
+                  "added" if ta is None else
+                  "unchanged" if ta == tb else "type_changed")
+        rows.append((col, status, ta, tb))
+    return spark.createDataFrame(
+        rows, "col_name string, status string, type_a string, type_b string")
