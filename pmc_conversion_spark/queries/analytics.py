@@ -719,3 +719,45 @@ def join_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("s").alias("m"))
             .select("c_custkey", F.col("m.wid").alias("warehouse_id"),
                     F.col("m.km").alias("km")))
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL.strip()},
+    und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    seed AS (SELECT min(u) AS node FROM e),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT und.v, w.dist + 1
+      FROM walk w JOIN und ON und.u = w.node
+      WHERE w.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance (≤4 hops) over the supplier
+    co-order graph — the reachability primitive under fraud rings,
+    dependency blast-radius, and k-hop feature extraution. Engine
+    plan: frontier iteration — each round joins ONLY the newest
+    frontier against the edge list and anti-joins already-settled
+    nodes, so round r's shuffle is sized by frontier r, not the graph;
+    lineage is truncated per round (localCheckpoint) exactly like the
+    CC/PageRank loops. The oracle is a recursive CTE taking min(dist).
+    """
+    e = _co_order_edges(spark, sf_dir)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    seed = e.agg(F.min("u").alias("node"))
+    dist = seed.withColumn("dist", F.lit(0)).localCheckpoint()
+    frontier = dist.select("node")
+    for k in range(1, 5):
+        nxt = (frontier.join(und, und.u == F.col("node"))
+               .select(F.col("v").alias("node")).distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(k)))
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

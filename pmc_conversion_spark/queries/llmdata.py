@@ -4359,3 +4359,121 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_spans.cast("long").alias("n_spans"),
         F.round(n_masked / F.size("toks").cast("double"), 6)
         .alias("corruption_rate"))
+
+
+@register(
+    "mm_image_resize_nn",
+    oracle="""
+    WITH m AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 6 AS h
+               FROM documents),
+    grid AS (
+      SELECT doc_id,
+             (doc_id * 31 + ((r2 * h) // 8) * 7
+              + ((c2 * w) // 8) * 3 + ch) % 256 AS v,
+             r2, c2, ch
+      FROM m,
+           unnest(range(0, 8)) AS t1(r2),
+           unnest(range(0, 8)) AS t2(c2),
+           unnest(range(0, 3)) AS t3(ch)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v * (r2 + 1) * (c2 + 1) * (ch + 1)) AS BIGINT)
+             AS pix_weighted
+    FROM grid GROUP BY doc_id
+    """)
+def mm_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image transform: decode BMP bytes, nearest-neighbor resize
+    to a fixed 8×8 thumbnail (src index = out·src_dim // 8 — the
+    standard NN sampling every thumbnailer implements), then the
+    geometry-weighted stats of the RESIZED array. The oracle evaluates
+    the sampling arithmetic symbolically on the pixel closed form, so
+    a wrong index formula or axis swap in the resize breaks the
+    weighted sum. Decode+resize run in one Arrow-batched mapInPandas
+    stage — one pass over the blobs."""
+    import pandas as pd
+
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+                    (F.lit(4) + F.col("doc_id") % 6).cast("int").alias("h")))
+    encoded = MM.synth_bmp_images(base)
+
+    def _resize(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = MM.decode_bmp(bytes(content)).astype(np.int64)
+                h, w, _ = px.shape
+                rr = (np.arange(8) * h) // 8
+                cc = (np.arange(8) * w) // 8
+                out = px[np.ix_(rr, cc)]          # 8×8×3 NN sample
+                wgt = ((np.arange(8)[:, None, None] + 1)
+                       * (np.arange(8)[None, :, None] + 1)
+                       * (np.arange(3)[None, None, :] + 1))
+                rows.append((int(m), 8, 8, 3, int(out.sum()),
+                             int((out * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(encoded).mapInPandas(
+        _resize, MM.BMP_DECODE_SCHEMA)
+
+
+@register(
+    "mm_image_grayscale_hist",
+    oracle="""
+    WITH m AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+               FROM documents),
+    px AS (
+      SELECT doc_id,
+             ((doc_id * 31 + r * 7 + c * 3 + 0) % 256) * 299
+             + ((doc_id * 31 + r * 7 + c * 3 + 1) % 256) * 587
+             + ((doc_id * 31 + r * 7 + c * 3 + 2) % 256) * 114 AS luma1000
+      FROM m,
+           unnest(range(0, h)) AS t1(r),
+           unnest(range(0, w)) AS t2(c)
+    )
+    SELECT doc_id AS media_id,
+           (luma1000 // 1000) // 16 AS bin,
+           count(*) AS n_px
+    FROM px GROUP BY 1, 2
+    """)
+def mm_image_grayscale_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature: decode BMP, integer Rec.601 luma
+    (299R+587G+114B)//1000, 16-bin brightness histogram per image —
+    the cheap perceptual fingerprint multimodal dedup and quality
+    filters start from. Integer luma keeps both engines exact. The
+    decode+histogram is one Arrow stage; the per-image histogram rows
+    (≤16 per image) shuffle, never pixels."""
+    import pandas as pd
+
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+                    (F.lit(4) + F.col("doc_id") % 7).cast("int").alias("h")))
+    encoded = MM.synth_bmp_images(base)
+
+    def _hist(batches):
+        import numpy as np
+        for pdf in batches:
+            out_m, out_b, out_n = [], [], []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = MM.decode_bmp(bytes(content)).astype(np.int64)
+                luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587
+                        + px[:, :, 2] * 114) // 1000
+                bins, counts = np.unique(luma // 16, return_counts=True)
+                out_m.extend([int(m)] * len(bins))
+                out_b.extend(int(b) for b in bins)
+                out_n.extend(int(c) for c in counts)
+            yield pd.DataFrame({"media_id": out_m, "bin": out_b,
+                                "n_px": out_n})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(encoded).mapInPandas(
+        _hist, "media_id long, bin long, n_px long")

@@ -2652,3 +2652,72 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(cume <= 0.1, "bottom_decile")
         .when(cume > 0.9, "top_decile")
         .otherwise("middle").alias("band"))
+
+
+@register(
+    "set_intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """)
+def set_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection — min(count_left, count_right) copies per
+    key — completing the bag algebra next to set_except_all_multiset
+    (every dedup/reconciliation family needs all three: bag minus, bag
+    intersect, distinct set ops). Spark's intersectAll plans a
+    count-compare partial aggregate on both sides of one hash shuffle;
+    no row payload beyond the key moves."""
+    o = tables.load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O") \
+        .select(F.col("o_custkey").alias("id"))
+    right = o.filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("id"))
+    return left.intersectAll(right)
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, cents, qty,
+             sum(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, qty
+                            ROWS UNBOUNDED PRECEDING) AS cqty,
+             sum(qty) OVER (PARTITION BY l_returnflag) AS total
+      FROM v
+    )
+    SELECT l_returnflag,
+           CAST(any_value(total) AS BIGINT) AS total_qty,
+           round(min(CASE WHEN 2 * cqty >= total THEN cents END)
+                 / 100.0, 2) AS weighted_median_price
+    FROM cum GROUP BY l_returnflag
+    """)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the smallest price whose cumulative QUANTITY
+    reaches half the group's total quantity (the 'half the goods sold
+    below this price' statistic; a plain median would weight a
+    1000-unit line like a 1-unit line). Decomposed distributively:
+    a per-group running weight window + a closing min-over-threshold
+    aggregate, all integer cents/units so both engines agree exactly.
+    Partitioned by group; no global sort."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    w_run = (Window.partitionBy("l_returnflag").orderBy("cents", "qty")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("l_returnflag")
+    cum = (v.withColumn("cqty", F.sum("qty").over(w_run))
+           .withColumn("total", F.sum("qty").over(w_all)))
+    return (cum.groupBy("l_returnflag")
+            .agg(F.first("total").alias("total_qty"),
+                 F.round(F.min(F.when(2 * F.col("cqty") >= F.col("total"),
+                                      F.col("cents"))) / 100.0, 2)
+                 .alias("weighted_median_price")))

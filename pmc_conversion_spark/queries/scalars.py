@@ -675,3 +675,38 @@ def f_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.unbase64(b64).cast("string") == F.col("c_name"), 1)
         .otherwise(0).alias("roundtrip_ok"),
         F.octet_length(F.unbase64(b64)).cast("long").alias("n_bytes"))
+
+
+@register(
+    "f_interval_arithmetic",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od
+               FROM orders)
+    SELECT od,
+           CAST(od + INTERVAL 1 MONTH AS DATE) AS next_month,
+           last_day(od) AS month_end,
+           CAST(date_diff('day', date_trunc('month', od),
+                          last_day(od)) + 1 AS BIGINT) AS days_in_month,
+           CAST(quarter(od) AS BIGINT) AS qtr,
+           CAST(date_diff('day', od, DATE '1998-12-31') AS BIGINT)
+             AS days_to_epoch_end
+    FROM d
+    """)
+def f_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic with the end-of-month edge cases
+    pinned: add_months clamps Jan 31 + 1 month to Feb 29/28 (both
+    engines agree — the off-by-three-days bug every hand-rolled
+    '+30 days' hides), last_day, days-in-month via month-truncation,
+    quarter, and day distance to a fixed horizon. All JVM date
+    built-ins, map-only over the distinct date dimension."""
+    o = tables.load(spark, sf_dir, "orders")
+    d = o.select(F.to_date("o_orderdate").alias("od")).distinct()
+    return d.select(
+        "od",
+        F.add_months("od", 1).alias("next_month"),
+        F.last_day("od").alias("month_end"),
+        (F.datediff(F.last_day("od"), F.trunc("od", "month")) + 1)
+        .cast("long").alias("days_in_month"),
+        F.quarter("od").cast("long").alias("qtr"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("od"))
+        .cast("long").alias("days_to_epoch_end"))
