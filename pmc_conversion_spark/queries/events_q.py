@@ -1668,3 +1668,78 @@ def win_running_distinct_count(spark: SparkSession,
     return seen.select(
         "user_id", "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"))
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT w_start, event_type, n,
+             row_number() OVER (PARTITION BY w_start
+                                ORDER BY n DESC, event_type) AS r
+      FROM wc
+    )
+    SELECT w_start, event_type, n, CAST(r AS BIGINT) AS r
+    FROM ranked WHERE r <= 3
+    """)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour — the 'trending now' query:
+    event-time windowed counts (the streaming aggregate shape) closed
+    with a per-window rank. The rank window partitions by the TIME
+    window, so at any scale each partition holds at most |event
+    types| rows — windowed top-k never becomes a global sort."""
+    e = _events(spark, sf_dir)
+    wc = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.col("w.start").alias("w_start"), "event_type", "n"))
+    r = F.row_number().over(
+        Window.partitionBy("w_start").orderBy(F.col("n").desc(),
+                                              "event_type"))
+    return (wc.withColumn("r", r.cast("long"))
+            .filter(F.col("r") <= 3))
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """)
+def stream_dedup_within_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state via
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+): unlike plain
+    dropDuplicates — whose key state grows forever — expired keys are
+    evicted once the watermark passes, which is the only form that
+    survives an unbounded stream. Run availableNow into a memory
+    sink; the surviving ROW per key is arrival-order-dependent, so
+    the registered output is the deduplicated KEY SET, which is
+    deterministic and equals batch DISTINCT (the oracle)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (stream.withWatermark("ts", "2 hours")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="pmc_ddww_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type").distinct()

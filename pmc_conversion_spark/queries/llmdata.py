@@ -4477,3 +4477,48 @@ def mm_image_grayscale_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(encoded).mapInPandas(
         _hist, "media_id long, bin long, n_px long")
+
+
+@register(
+    "sketch_bottomk_sample",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, event_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, event_id, hv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hv, event_id) AS r
+      FROM h
+    ), kth AS (
+      SELECT event_type, hv AS h8 FROM r WHERE r = 8
+    )
+    SELECT r.event_type, r.r, r.event_id, r.hv,
+           CAST(round(7.0 * 1152921504606846976 / kth.h8) AS BIGINT)
+             AS est_n
+    FROM r JOIN kth USING (event_type)
+    WHERE r.r <= 8
+    """)
+def sketch_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) hash sketch per group: the k=8 rows with the
+    smallest portable 60-bit hash of their id are simultaneously (a) a
+    MERGEABLE uniform sample — the bottom-k of a union is the bottom-k
+    of the two bottom-k's, which is why this sketch survives
+    map-side partial aggregation and day-over-day merges where naive
+    sampling cannot — and (b) a cardinality estimator: n̂ =
+    (k−1)·2⁶⁰/h₍ₖ₎ from the k-th minimum alone. Hash family is the
+    module's md5_int60, replayed verbatim in the oracle."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    e = tables.load(spark, sf_dir, "events")
+    h = e.select("event_type", "event_id",
+                 md5_int60(F.col("event_id").cast("string")).alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    r = h.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 8)
+    kth = (r.filter(F.col("r") == 8)
+           .select("event_type", F.col("hv").alias("h8")))
+    return (r.join(F.broadcast(kth), "event_type")
+            .select("event_type", "r", "event_id", "hv",
+                    F.round(F.lit(7.0) * F.lit(1152921504606846976.0)
+                            / F.col("h8")).cast("long").alias("est_n")))

@@ -212,3 +212,48 @@ def dq_schema_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((col, status, ta, tb))
     return spark.createDataFrame(
         rows, "col_name string, status string, type_a string, type_b string")
+
+
+@register("sink_merge_on_read", oracle="""
+WITH log AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice + 5.0 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'O' OR o_orderkey % 97 = 0
+)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+FROM orders o LEFT JOIN log ON log.o_orderkey = o.o_orderkey
+WHERE log.o_orderkey IS NULL
+UNION ALL
+SELECT l.o_orderkey, o.o_orderstatus, l.o_totalprice
+FROM log l JOIN orders o ON o.o_orderkey = l.o_orderkey
+WHERE l.op = 'U'""")
+def sink_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read table layout with plain parquet: a base snapshot
+    plus an append-only delta log of upserts ('U') and tombstones
+    ('D'); the READ reconciles — base rows anti-joined against logged
+    keys, union the live upserts. This is the write-cheap half of the
+    lakehouse trade (copy-on-write = sink_dynamic_overwrite rewrites
+    partitions on every change; MOR appends a small log and pays a
+    key-join at read). The log is delta-sized, so the reconcile join
+    broadcasts at daily-increment scale."""
+    d = _scratch("sink_merge_on_read")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").parquet(f"{d}/base")
+    log = (orders.filter((F.col("o_orderstatus") == "O")
+                         | (F.col("o_orderkey") % 97 == 0))
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 97 == 0, "D")
+                   .otherwise("U").alias("op"),
+                   (F.col("o_totalprice") + 5.0).alias("o_totalprice")))
+    log.write.mode("overwrite").parquet(f"{d}/log")
+    base = spark.read.parquet(f"{d}/base")
+    logged = spark.read.parquet(f"{d}/log")
+    untouched = base.join(logged.select("o_orderkey"), "o_orderkey",
+                          "left_anti")
+    upserts = (logged.filter(F.col("op") == "U")
+               .join(base.select("o_orderkey", "o_orderstatus"),
+                     "o_orderkey")
+               .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    return untouched.unionByName(upserts)
