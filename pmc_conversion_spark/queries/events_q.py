@@ -1743,3 +1743,48 @@ def stream_dedup_within_watermark(spark: SparkSession,
          .start())
     q.awaitTermination()
     return spark.table(name).select("user_id", "event_type").distinct()
+
+
+@register(
+    "agg_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_view, first_purchase,
+           CAST(CASE WHEN first_purchase >= first_view
+                THEN floor(epoch(first_purchase) - epoch(first_view))
+                END AS BIGINT) AS secs_to_convert
+    FROM firsts
+    WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    """)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: seconds between a user's first view and
+    first purchase — conditional-min aggregation, ONE pass over the
+    events (no per-type self-joins, the classic anti-pattern this
+    replaces: N event types would mean N scans + N−1 joins; here they
+    are N conditional partial aggs in one shuffle). Users who
+    purchased before ever viewing surface as NULL rather than a
+    negative artifact."""
+    e = _events(spark, sf_dir)
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view",
+                                F.col("ts"))).alias("first_view"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.col("ts"))).alias("first_purchase")))
+    # floor AFTER subtracting (floor(a)-floor(b) != floor(a-b)); both
+    # engines compute micros/1e6 doubles, so the difference is
+    # bit-identical before the floor
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")
+    return (firsts
+            .filter(F.col("first_view").isNotNull()
+                    & F.col("first_purchase").isNotNull())
+            .select("user_id", "first_view", "first_purchase",
+                    F.when(F.col("first_purchase") >= F.col("first_view"),
+                           F.floor(sec("first_purchase")
+                                   - sec("first_view")))
+                    .cast("long").alias("secs_to_convert")))

@@ -710,3 +710,41 @@ def f_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("od").cast("long").alias("qtr"),
         F.datediff(F.lit("1998-12-31").cast("date"), F.col("od"))
         .cast("long").alias("days_to_epoch_end"))
+
+
+@register(
+    "f_map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           'prio=' || lower(split_part(o_orderpriority, '-', 2))
+             || ',status=' || lower(o_orderstatus) AS kept_entries,
+           2 AS n_keys
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+    """)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column algebra: build a map from row fields
+    (map_from_arrays), normalize every value (transform_values),
+    filter entries by predicate (map_filter), then export as a
+    key-sorted ``k=v,...`` string — the canonical trick for making
+    map output comparable across engines, since map iteration order
+    is unspecified everywhere. All JVM higher-order functions,
+    map-only."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F"))
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("prio"), F.lit("drop_me")),
+        F.array(F.col("o_orderstatus"),
+                F.split(F.col("o_orderpriority"), "-")[1],
+                F.lit("x")))
+    cleaned = F.map_filter(
+        F.transform_values(m, lambda k, v: F.lower(v)),
+        lambda k, v: k != F.lit("drop_me"))
+    entries = F.array_join(
+        F.transform(F.sort_array(F.map_entries(cleaned)),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        ",")
+    return o.select(
+        "o_orderkey",
+        entries.alias("kept_entries"),
+        F.size(F.map_keys(cleaned)).alias("n_keys"))
