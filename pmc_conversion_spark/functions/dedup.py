@@ -547,3 +547,77 @@ def ngram_jaccard_pairs_from_sets(sets: DataFrame, *, new_min_id: int,
             .filter(threshold_den * F.col("inter_size")
                     >= threshold_num * F.col("union_size"))
             .select("doc_a", "doc_b", "inter_size", "union_size"))
+
+
+def bbit_minhash_pairs(docs: DataFrame, *, num_hashes: int = 64,
+                       bands: int = 8, min_agree: int = 40,
+                       n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """b-bit MinHash with b=1 (Li & König's published memory-reduction
+    of MinHash): keep only the LOWEST BIT of each of ``num_hashes``
+    permutation minima — an 8-byte signature where the full 64-hash
+    signature costs 512, which is the difference between a sketch that
+    fits executor memory at 100 TB and one that doesn't. Similarity is
+    then ESTIMATED from bit agreement (for b=1, E[agree/k] → (1+J)/2
+    as the vocabulary grows), and candidates come from banded LSH over
+    the bit signature exactly like full MinHash.
+
+    The output carries BOTH the estimate (agree_bits, est_sim) and the
+    exact Jaccard (inter/union from the hashed shingle sets) so the
+    op is self-calibrating — the estimator's error is visible in every
+    row, the point of registering it next to dedup_minhash_lsh.
+
+    Output: (doc_a, doc_b, agree_bits, est_sim, inter_size,
+    union_size), filtered to agree_bits ≥ min_agree.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into equal bands")
+    rpb = num_hashes // bands
+    from pyspark import StorageLevel
+    sets = (_hashed_shingle_sets(docs, id_col, text_col, n)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    bits = sets.select(
+        "doc_id", "hs",
+        F.transform(_minhash_sig_expr(num_hashes),
+                    lambda s: s % 2).alias("bits"))
+    band_exprs = [
+        F.aggregate(F.slice("bits", b * rpb + 1, rpb),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc * 2 + x).alias(f"bh{b}")
+        for b in range(bands)]
+    banded = (bits.select("doc_id", *band_exprs)
+              .select("doc_id", F.posexplode(F.array(
+                  *[F.col(f"bh{b}") for b in range(bands)]))
+                  .alias("band", "bh")))
+    cand = (banded.alias("l").join(
+        banded.alias("r"),
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct())
+    la = bits.select(F.col("doc_id").alias("doc_a"),
+                     F.col("bits").alias("bits_a"),
+                     F.col("hs").alias("hs_a"))
+    lb = bits.select(F.col("doc_id").alias("doc_b"),
+                     F.col("bits").alias("bits_b"),
+                     F.col("hs").alias("hs_b"))
+    joined = cand.join(la, "doc_a").join(lb, "doc_b")
+    agree = F.aggregate(
+        F.zip_with("bits_a", "bits_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (joined
+            .select("doc_a", "doc_b", agree.alias("agree_bits"),
+                    inter.alias("inter_size"),
+                    (F.size("hs_a") + F.size("hs_b") - inter)
+                    .alias("union_size"))
+            .filter(F.col("agree_bits") >= min_agree)
+            .select("doc_a", "doc_b", "agree_bits",
+                    F.round(F.greatest(
+                        F.lit(0.0),
+                        2.0 * F.col("agree_bits") / num_hashes - 1.0), 6)
+                    .alias("est_sim"),
+                    "inter_size", "union_size"))

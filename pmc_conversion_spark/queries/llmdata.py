@@ -4522,3 +4522,106 @@ def sketch_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "r", "event_id", "hv",
                     F.round(F.lit(7.0) * F.lit(1152921504606846976.0)
                             / F.col("h8")).cast("long").alias("est_n")))
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id,
+             ({_MD5_INT60.format(s='tok')}) % 256 AS bucket,
+             count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*) AS nnz,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           round(sqrt(CAST(sum(tf * tf) AS DOUBLE)), 6) AS l2_norm
+    FROM tf GROUP BY doc_id
+    """.replace("{toks}", _TOKS))
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens land in a fixed 256-bucket feature
+    space via the portable 60-bit hash — the featurizer that needs NO
+    vocabulary pass (and therefore no vocabulary-sized shuffle or
+    broadcast: the reason feature hashing scales where dictionary
+    encoding struggles at 100 TB). Per-doc sparse stats: nonzero
+    buckets, total mass, L2 norm. IEEE sqrt is correctly rounded, so
+    the norm is engine-identical on exact integer sums."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    d = _docs(spark, sf_dir)
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    tf = (d.select("doc_id", F.explode(toks).alias("tok"))
+          .select("doc_id", (md5_int60(F.col("tok")) % 256).alias("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    return (tf.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nnz"),
+                 F.sum("tf").alias("total_tf"),
+                 F.round(F.sqrt(F.sum(F.col("tf") * F.col("tf"))
+                                .cast("double")), 6).alias("l2_norm")))
+
+
+def _bbit_minhash_sql(num_hashes: int = 64, bands: int = 8,
+                      min_agree: int = 40) -> str:
+    """DuckDB twin of dedup.bbit_minhash_pairs — same portable hash
+    family, same bit extraction, band folds and agreement count."""
+    rpb = num_hashes // bands
+    bit_entries = ",\n             ".join(
+        f"list_min(list_transform(h30, h -> "
+        f"({a}::BIGINT*h + {b}) % {DD.MINHASH_PRIME})) % 2"
+        for a, b in DD.minhash_ab(num_hashes))
+    band_structs = []
+    for b in range(bands):
+        s = f"bits[{b * rpb + 1}]"
+        for r in range(1, rpb):
+            s = f"({s}*2 + bits[{b * rpb + r + 1}])"
+        band_structs.append(f"{{band: {b}, bh: {s}}}")
+    return f"""
+    {_HASHED_SH_SQL.strip()},
+    base AS (SELECT doc_id, hs,
+                    list_transform(hs, h -> h % {DD.MINHASH_H30}) AS h30
+             FROM sh),
+    sig AS (SELECT doc_id, hs,
+             [{bit_entries}] AS bits
+            FROM base),
+    bands AS (SELECT doc_id,
+                     unnest([{', '.join(band_structs)}]) AS b
+              FROM sig),
+    cand AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.b.band = r.b.band AND l.b.bh = r.b.bh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(range(1, {num_hashes + 1}),
+               i -> CASE WHEN la.bits[i] = lb.bits[i]
+                         THEN 1 ELSE 0 END)) AS agree_bits,
+             len(list_intersect(la.hs, lb.hs)) AS inter_size,
+             len(la.hs) + len(lb.hs)
+               - len(list_intersect(la.hs, lb.hs)) AS union_size
+      FROM cand
+      JOIN sig la ON la.doc_id = doc_a
+      JOIN sig lb ON lb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(agree_bits AS BIGINT) AS agree_bits,
+           round(greatest(0.0,
+                 2.0 * agree_bits / {num_hashes} - 1.0), 6) AS est_sim,
+           inter_size, union_size
+    FROM scored WHERE agree_bits >= {min_agree}
+    """
+
+
+@register("dedup_minhash_bbit", oracle=_bbit_minhash_sql())
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (b=1): 64 permutation minima reduced to their
+    lowest bits — an 8-byte signature (64× smaller than the full
+    64-hash signature), banded-LSH candidates, similarity ESTIMATED
+    from bit agreement and carried next to the exact Jaccard so the
+    estimator's error is visible per pair (functions/dedup.py
+    bbit_minhash_pairs). The sketch whose memory footprint survives a
+    100 TB corpus when full signatures don't."""
+    return DD.bbit_minhash_pairs(_docs(spark, sf_dir))

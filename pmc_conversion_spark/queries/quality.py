@@ -622,3 +622,26 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.first("d4") / 400.0, 6).alias("mad_value"),
                  F.sum(F.when(13490 * F.col("d2") > 35000 * F.col("d4"),
                               1).otherwise(0)).alias("n_outliers")))
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+            AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the modern ANSI-adjacent shorthand (grouping
+    keys inferred as every non-aggregate select item) that Spark ≥3.4
+    and DuckDB both implement; the IDENTICAL query text runs on both
+    engines, pinning that the inference picks the same keys. Decimal
+    revenue, double at the boundary."""
+    for t in ("orders",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -2721,3 +2721,32 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min(F.when(2 * F.col("cqty") >= F.col("total"),
                                       F.col("cents"))) / 100.0, 2)
                  .alias("weighted_median_price")))
+
+
+@register(
+    "agg_histogram_log2",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT length(bin(cents)) AS log2_bucket,
+           count(*) AS n,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM v GROUP BY 1
+    """)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned histogram — the heavy-tail companion to the linear
+    agg_histogram: bucket = bit length of the integer cents, i.e.
+    ⌊log₂ x⌋+1 computed EXACTLY from the binary representation (never
+    a float log whose last ulp could split a boundary value across
+    engines). One partial-agg shuffle over ≤64 buckets."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0)
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents"))
+    return (v.groupBy(F.length(F.bin("cents")).alias("log2_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("cents").alias("min_cents"),
+                 F.max("cents").alias("max_cents")))
