@@ -375,3 +375,37 @@ def test_no_query_outputs_decimal_type(spark, qs):
             offenders[name] = bad
     assert not offenders, (
         f"queries returning DecimalType output: {offenders}")
+
+
+def test_bbit_minhash_no_cartesian_and_bounded_joins(spark, qs):
+    # candidates come from band-bucket equi-joins; nothing all-pairs
+    plan = plan_of(qs["dedup_minhash_bbit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_frontier_iteration_no_cartesian(spark, qs):
+    plan = plan_of(qs["graph_bfs_distance"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_mm_decode_real_is_two_arrow_stages_no_shuffle(spark, qs):
+    # encode + decode are both mapInPandas; no Exchange between them
+    plan = plan_of(qs["mm_decode_real"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_feature_hashing_no_vocab_join(spark, qs):
+    # the hashing trick's point: no dictionary join or broadcast
+    plan = plan_of(qs["text_feature_hashing"](spark, SF_DIR))
+    assert "Join" not in plan
+
+
+def test_vocab_rankings_use_take_ordered_not_window(spark, qs):
+    # r3 verdict #2: the full-vocabulary rank must pre-cut via a
+    # distributed TakeOrdered and never plan a WindowExec
+    for name in ("text_zipf_fit", "vocab_coverage_curve"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "TakeOrdered" in plan, name
+        assert "Window" not in plan, name
