@@ -4625,3 +4625,47 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbit_minhash_pairs). The sketch whose memory footprint survives a
     100 TB corpus when full signatures don't."""
     return DD.bbit_minhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "text_stats_mapinarrow",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_chars,
+           len({{toks}}) AS n_tokens
+    FROM documents
+    """.replace("{toks}", "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+                "ELSE string_split_regex(trim(text), '\\s+') END)"))
+def text_stats_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte/char/token stats computed via ``mapInArrow`` —
+    the third Python execution surface next to mapInPandas and
+    applyInPandas: the UDF receives raw pyarrow RecordBatches and
+    computes with Arrow kernels (zero pandas materialization, zero
+    per-row Python). For wide scans this halves the Python-side copy
+    cost vs the pandas bridge; the plan shows PythonMapInArrow. The
+    same stats exist as JVM built-ins (text_token_count) — this entry
+    pins the Arrow-native path's correctness against them."""
+    import pyarrow as pa
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def _stats(batches):
+        import pyarrow.compute as pc
+        for b in batches:
+            text = b.column("text")
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            n_toks = pc.if_else(pc.equal(trimmed, ""),
+                                pa.scalar(0, pa.int32()),
+                                pc.list_value_length(toks))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"),
+                 pc.binary_length(pc.cast(text, pa.binary())),
+                 pc.utf8_length(text),
+                 pc.cast(n_toks, pa.int64())],
+                names=["doc_id", "n_bytes", "n_chars", "n_tokens"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(d).mapInArrow(
+        _stats, "doc_id long, n_bytes int, n_chars int, n_tokens long")

@@ -645,3 +645,33 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders",):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus
+    """)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting surface: a typed session variable
+    (DECLARE VARIABLE / SET VAR) parameterizes the query and EXECUTE
+    IMMEDIATE runs assembled SQL text — the migration path for
+    procedure-style warehouse workloads (the reference drives its SQL
+    from Python the same way, luigi-pipeline/main.py). The oracle
+    inlines the variable's value, pinning that parameterization is
+    result-invisible."""
+    for t in ("orders",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 150000.0")
+    return spark.sql("""
+        EXECUTE IMMEDIATE
+        'SELECT o_orderstatus, count(*) AS n,
+                round(avg(o_totalprice), 4) AS avg_price
+         FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
+        USING price_floor
+    """)
