@@ -589,13 +589,22 @@ def bbit_minhash_pairs(docs: DataFrame, *, num_hashes: int = 64,
               .select("doc_id", F.posexplode(F.array(
                   *[F.col(f"bh{b}") for b in range(bands)]))
                   .alias("band", "bh")))
-    cand = (banded.alias("l").join(
-        banded.alias("r"),
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bh") == F.col("r.bh"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"))
+    # In-bucket pair emission, same pattern as the whole dedup family
+    # (never a posting self-join), with the hot-bucket cap. The cap
+    # matters MORE here than for shingles: a 1-bit band has only
+    # 2^rpb distinct values, so unrelated docs collide at rate
+    # 2^-rpb per band — the b-bit literature's r·b tradeoff. The cap
+    # bounds any bucket's pair fan-out at C(cap,2), making the
+    # candidate stage's cost linear in docs at fixed cap.
+    buckets = (banded.groupBy("band", "bh")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("xs"))
+               .filter(F.size("xs").between(2, MAX_POSTING_DEFAULT)))
+    lefts = buckets.select(F.posexplode("xs").alias("i", "a"), "xs")
+    cand = (lefts.select(
+        F.col("a").alias("doc_a"),
+        F.explode(F.slice(F.col("xs"), F.col("i") + 2,
+                          F.greatest(F.size("xs") - F.col("i") - 1,
+                                     F.lit(0)))).alias("doc_b"))
         .distinct())
     la = bits.select(F.col("doc_id").alias("doc_a"),
                      F.col("bits").alias("bits_a"),

@@ -4589,10 +4589,16 @@ def _bbit_minhash_sql(num_hashes: int = 64, bands: int = 8,
     bands AS (SELECT doc_id,
                      unnest([{', '.join(band_structs)}]) AS b
               FROM sig),
+    sizes AS (
+      SELECT b.band AS band, b.bh AS bh
+      FROM bands GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND {DD.MAX_POSTING_DEFAULT}
+    ),
     cand AS (
       SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM bands l JOIN bands r
         ON l.b.band = r.b.band AND l.b.bh = r.b.bh AND l.doc_id < r.doc_id
+      JOIN sizes s ON s.band = l.b.band AND s.bh = l.b.bh
       GROUP BY 1, 2
     ),
     scored AS (
