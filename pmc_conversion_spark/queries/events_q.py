@@ -1788,3 +1788,70 @@ def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.floor(sec("first_purchase")
                                    - sec("first_view")))
                     .cast("long").alias("secs_to_convert")))
+
+
+@register(
+    "ts_autocorr_lag",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, k, x, y FROM (
+        SELECT event_type, x,
+               lag(x, 1) OVER w AS y1,
+               lag(x, 2) OVER w AS y2,
+               lag(x, 3) OVER w AS y3
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      ) s, LATERAL (VALUES (1, s.y1), (2, s.y2), (3, s.y3)) AS l(k, y)
+      WHERE y IS NOT NULL
+    ), sums AS (
+      SELECT event_type, k, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM lagged GROUP BY 1, 2
+    )
+    SELECT event_type, k AS lag_hours, CAST(n AS BIGINT) AS n_pairs,
+           round((n*sxy - sx*sy)
+                 / sqrt(CAST((n*sxx - sx*sx) AS DOUBLE)
+                        * (n*syy - sy*sy)), 6) AS autocorr
+    FROM sums
+    """)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1–3 —
+    the seasonality detector that decides whether a forecast needs an
+    hourly term. Pearson r over (x_t, x_{t−k}) pairs computed from
+    INTEGER power sums (n·Σxy − ΣxΣy …), so the only float op is one
+    final quotient+sqrt (IEEE sqrt is correctly rounded) — engine-
+    identical at 6 dp. One windowed lag per type + one partial-agg
+    shuffle; series are per-type partitions."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("x"))
+              .select("event_type", F.col("w.start").alias("h"), "x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    s = hourly.select(
+        "event_type", "x",
+        *[F.lag("x", k).over(w).alias(f"y{k}") for k in (1, 2, 3)])
+    lagged = (s.select("event_type", "x", F.explode(F.array(*[
+        F.struct(F.lit(k).alias("k"), F.col(f"y{k}").alias("y"))
+        for k in (1, 2, 3)])).alias("p"))
+        .select("event_type", F.col("p.k").alias("k"), "x",
+                F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull()))
+    sums = (lagged.groupBy("event_type", "k")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = ((n * F.col("sxy") - sx * sy)
+         / F.sqrt((n * F.col("sxx") - sx * sx).cast("double")
+                  * (n * F.col("syy") - sy * sy)))
+    return sums.select("event_type", F.col("k").alias("lag_hours"),
+                       F.col("n").alias("n_pairs"),
+                       F.round(r, 6).alias("autocorr"))

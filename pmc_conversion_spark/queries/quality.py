@@ -675,3 +675,74 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
         USING price_floor
     """)
+
+
+@register(
+    "dq_annotator_agreement",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('a1:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 3 AS a1,
+             ('0x' || substr(md5('a2:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h2
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, a1,
+             CASE WHEN h2 % 10 < 7 THEN a1 ELSE h2 % 3 END AS a2
+      FROM h
+    ), cm AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS agree,
+             sum(CASE WHEN a1 = 0 THEN 1 ELSE 0 END) AS r0,
+             sum(CASE WHEN a1 = 1 THEN 1 ELSE 0 END) AS r1,
+             sum(CASE WHEN a1 = 2 THEN 1 ELSE 0 END) AS r2,
+             sum(CASE WHEN a2 = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN a2 = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN a2 = 2 THEN 1 ELSE 0 END) AS c2
+      FROM lab
+    )
+    SELECT n, CAST(agree AS BIGINT) AS n_agree,
+           round(agree / CAST(n AS DOUBLE), 6) AS p_observed,
+           round((r0*c0 + r1*c1 + r2*c2) / (CAST(n AS DOUBLE) * n), 6)
+             AS p_chance,
+           round((agree / CAST(n AS DOUBLE)
+                  - (r0*c0 + r1*c1 + r2*c2) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (r0*c0 + r1*c1 + r2*c2)
+                          / (CAST(n AS DOUBLE) * n)), 6) AS cohens_kappa
+    FROM cm
+    """)
+def dq_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ) between two label columns —
+    the labeling-pipeline QA gate: observed agreement corrected for the
+    agreement two raters would reach by chance given their marginals.
+    κ = (p₀ − pₑ)/(1 − pₑ). Labels here are deterministic hash
+    functions of the doc id (annotator 2 copies annotator 1 ~70% of
+    the time), so both engines derive identical confusion counts; the
+    whole statistic is ONE aggregation pass of conditional sums —
+    never a per-label-pair join."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    d = tables.load(spark, sf_dir, "documents")
+    h = d.select(
+        (md5_int60(F.concat(F.lit("a1:"),
+                            F.col("doc_id").cast("string"))) % 3)
+        .alias("a1"),
+        md5_int60(F.concat(F.lit("a2:"),
+                           F.col("doc_id").cast("string"))).alias("h2"))
+    lab = h.select("a1", F.when(F.col("h2") % 10 < 7, F.col("a1"))
+                   .otherwise(F.col("h2") % 3).alias("a2"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    cm = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("a1") == F.col("a2")).alias("agree"),
+        *[cnt(F.col("a1") == k).alias(f"r{k}") for k in range(3)],
+        *[cnt(F.col("a2") == k).alias(f"c{k}") for k in range(3)])
+    nd = F.col("n").cast("double")
+    pe = ((F.col("r0") * F.col("c0") + F.col("r1") * F.col("c1")
+           + F.col("r2") * F.col("c2")) / (nd * F.col("n")))
+    po = F.col("agree") / nd
+    return cm.select(
+        "n", F.col("agree").alias("n_agree"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"))

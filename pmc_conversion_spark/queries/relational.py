@@ -2750,3 +2750,42 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("cents").alias("min_cents"),
                  F.max("cents").alias("max_cents")))
+
+
+@register(
+    "agg_target_encoding_loo",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), g AS (
+      SELECT cat, sum(y) AS s, count(*) AS n FROM t GROUP BY cat
+    )
+    SELECT t.o_orderkey, t.cat, t.y,
+           CASE WHEN g.n > 1
+                THEN round((g.s - t.y) / CAST(g.n - 1 AS DOUBLE), 6)
+           END AS loo_encoding
+    FROM t JOIN g USING (cat)
+    """)
+def agg_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the ML featurization that
+    replaces a categorical with its target mean while EXCLUDING the
+    row's own label ((Σy − yᵢ)/(n−1)), the standard guard against the
+    self-leakage that makes naive target encoding overfit. One
+    category-sized aggregate broadcast back to the rows; singleton
+    categories yield null (undefined without the own label). Integer
+    sums, double only at the rounded boundary."""
+    o = tables.load(spark, sf_dir, "orders")
+    t = o.select("o_orderkey",
+                 F.col("o_orderpriority").alias("cat"),
+                 F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+                 .alias("y"))
+    g = t.groupBy("cat").agg(F.sum("y").alias("s"),
+                             F.count(F.lit(1)).alias("n"))
+    return (t.join(F.broadcast(g), "cat")
+            .select("o_orderkey", "cat", "y",
+                    F.when(F.col("n") > 1,
+                           F.round((F.col("s") - F.col("y"))
+                                   / (F.col("n") - 1).cast("double"), 6))
+                    .alias("loo_encoding")))
