@@ -36,6 +36,19 @@ EMPTY_SAFE = [
     "sim_topk_bruteforce",
     "sim_pq_encode",
     "dedup_embedding_cosine_blocked",
+    # round-4 families
+    "dedup_minhash_bbit",
+    "text_feature_hashing",
+    "vocab_bigram_lm_nll",
+    "pipeline_span_corruption",
+    "mm_decode_real",
+    "mm_image_grayscale_hist",
+    "ts_ewma",
+    "agg_bounce_rate",
+    "win_running_distinct_count",
+    "sketch_bottomk_sample",
+    "ts_autocorr_lag",
+    "text_stats_mapinarrow",
 ]
 
 

@@ -253,7 +253,11 @@ def test_partitioning_invariance_representative_ops(spark):
              # argmin encodings, hash sketches, cluster composites
              "graph_pagerank", "pipeline_curriculum_order",
              "sim_pq_encode", "sketch_theta_intersect",
-             "dedup_minhash_cluster", "split_leakage_safe"]
+             "dedup_minhash_cluster", "split_leakage_safe",
+             # round-4 additions of the same classes: bit-sketch
+             # candidates, hash featurization, KMV samples, folds
+             "dedup_minhash_bbit", "text_feature_hashing",
+             "sketch_bottomk_sample", "ts_ewma"]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -267,3 +271,23 @@ def test_partitioning_invariance_representative_ops(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n} changed under repartitioning"
+
+
+def test_bmp_ppm_codec_roundtrip_property():
+    """Property: ANY uint8 RGB array round-trips exactly through both
+    real codecs, across the stride/padding and header regimes."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from pmc_conversion_spark.functions import multimodal as MM
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 25),
+           seed=st.integers(0, 2**31 - 1))
+    def check(w, h, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+        assert np.array_equal(MM.decode_ppm(MM.encode_ppm(px)), px)
+
+    check()
