@@ -761,3 +761,75 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "join_geo_grid_radius",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             c_custkey % 83 AS latc,
+             c_custkey % 97 AS lonc
+      FROM customer
+    ), cells AS (
+      SELECT id, latc, lonc,
+             latc // 5 AS gr, lonc // 5 AS gc
+      FROM pts
+    ), expanded AS (
+      SELECT id, latc, lonc, gr + dr AS gr, gc + dc AS gc
+      FROM cells,
+           unnest([-1, 0, 1]) AS t1(dr),
+           unnest([-1, 0, 1]) AS t2(dc)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt(CAST((a.latc - b.latc) * (a.latc - b.latc)
+                 + (a.lonc - b.lonc) * (a.lonc - b.lonc) AS DOUBLE))
+                 / 100.0, 6) AS dist
+    FROM expanded a JOIN cells b ON a.gr = b.gr AND a.gc = b.gc
+                                 AND a.id < b.id
+    WHERE (a.latc - b.latc) * (a.latc - b.latc)
+          + (a.lonc - b.lonc) * (a.lonc - b.lonc) <= 25
+    GROUP BY 1, 2, 3
+    """)
+def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within a radius via GRID-CELL blocking — the
+    spatial self-join that must never be a cross join: each point
+    registers in its own cell plus the 8 neighbors (one side only, so
+    every nearby pair meets in exactly one probe direction), the join
+    is an EQUI-join on the cell key, and the exact distance filter
+    runs only inside matched cells. With cell size ≥ radius the result
+    is complete; cost is Σ|cell|² over occupied cells instead of N².
+    The geohash/S2 pattern, in INTEGER centi-degree units so the cell
+    assignment and the radius test are exact on both engines (a float
+    grid would put boundary points in different cells per engine —
+    DuckDB evaluates 0.01-literals as exact decimals, Spark as
+    doubles)."""
+    c = tables.load(spark, sf_dir, "customer")
+    pts = c.select(F.col("c_custkey").alias("id"),
+                   (F.col("c_custkey") % 83).alias("latc"),
+                   (F.col("c_custkey") % 97).alias("lonc"))
+    cells = pts.select(
+        "id", "latc", "lonc",
+        F.floor(F.col("latc") / 5).cast("bigint").alias("gr"),
+        F.floor(F.col("lonc") / 5).cast("bigint").alias("gc"))
+    offs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    expanded = cells.select(
+        "id", "latc", "lonc", F.explode(F.array(*[
+            F.struct((F.col("gr") + dr).alias("gr"),
+                     (F.col("gc") + dc).alias("gc"))
+            for dr, dc in offs])).alias("cell")) \
+        .select("id", "latc", "lonc", "cell.gr", "cell.gc")
+    a, b = expanded.alias("a"), cells.alias("b")
+    d2 = ((F.col("a.latc") - F.col("b.latc"))
+          * (F.col("a.latc") - F.col("b.latc"))
+          + (F.col("a.lonc") - F.col("b.lonc"))
+          * (F.col("a.lonc") - F.col("b.lonc")))
+    return (a.join(b, (F.col("a.gr") == F.col("b.gr"))
+                   & (F.col("a.gc") == F.col("b.gc"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .filter(d2 <= 25)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(F.sqrt(d2.cast("double")) / 100.0, 6)
+                    .alias("dist"))
+            .distinct())

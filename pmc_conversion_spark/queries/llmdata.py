@@ -4675,3 +4675,66 @@ def text_stats_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(d).mapInArrow(
         _stats, "doc_id long, n_bytes int, n_chars int, n_tokens long")
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id,
+             'mirror' AS source,
+             '  ' || replace(text, ' ', '   ') || ' !!' AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ), fps AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM docs2
+    ), grouped AS (
+      SELECT fp, list_sort(list(struct_pack(doc_id := doc_id,
+                                            source := source))) AS xs
+      FROM fps GROUP BY fp HAVING count(*) > 1
+    ), pairs AS (
+      SELECT xs[i + 1].source AS source_a,
+             xs[j + 1].source AS source_b
+      FROM grouped,
+           unnest(range(0, len(xs))) AS t1(i),
+           unnest(range(0, len(xs))) AS t2(j)
+      WHERE i < j
+    )
+    SELECT source_a, source_b, count(*) AS n_dup_pairs
+    FROM pairs GROUP BY 1, 2
+    """)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: the source×source duplicate-pair
+    matrix (every third doc re-appears under a 'mirror' source with
+    whitespace/punctuation noise; normalization-equal, so exact
+    fingerprints pair them). The corpus diagnostic that decides which
+    FEED to fix rather than which documents to drop — a crawl that
+    mirrors another is cheaper to exclude than to dedup forever.
+    Same fingerprint hash-groupBy as dedup_exact; pairs are emitted
+    in-group from the sorted member array (never a fingerprint
+    self-join), then collapse to the source-pair matrix."""
+    from pmc_conversion_spark.functions.text import fingerprint_md5
+    base = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    mirror = (base.filter(F.col("doc_id") % 3 == 0)
+              .select((F.col("doc_id") + 600000).alias("doc_id"),
+                      F.lit("mirror").alias("source"),
+                      F.concat(F.lit("  "),
+                               F.regexp_replace("text", " ", "   "),
+                               F.lit(" !!")).alias("text")))
+    docs2 = base.unionByName(mirror)
+    fp = docs2.select("doc_id", "source",
+                      fingerprint_md5(F.col("text")).alias("fp"))
+    grouped = (fp.groupBy("fp")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("doc_id", "source"))).alias("xs"))
+               .filter(F.size("xs") > 1))
+    lefts = grouped.select(F.posexplode("xs").alias("i", "x"), "xs")
+    pairs = (lefts.select(
+        F.col("x.source").alias("source_a"),
+        F.explode(F.slice(F.col("xs"), F.col("i") + 2,
+                          F.greatest(F.size("xs") - F.col("i") - 1,
+                                     F.lit(0)))).alias("y"))
+        .select("source_a", F.col("y.source").alias("source_b")))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_dup_pairs")))

@@ -746,3 +746,29 @@ def dq_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("p_observed"),
         F.round(pe, 6).alias("p_chance"),
         F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"))
+
+
+_FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+         AS finished_revenue
+FROM orders
+GROUP BY o_orderpriority
+HAVING count(*) FILTER (WHERE o_orderstatus = 'F') > 100
+"""
+
+
+@register("sql_filtered_agg_having", oracle=_FILTERED_AGG_SQL)
+def sql_filtered_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate clauses — per-aggregate
+    predicates in ONE scan/shuffle (the declarative form of the
+    CASE-WHEN conditional-sum idiom used across this repo), plus a
+    HAVING on a filtered aggregate. Identical query text on both
+    engines; decimal revenue, double boundary."""
+    for t in ("orders",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_FILTERED_AGG_SQL)
