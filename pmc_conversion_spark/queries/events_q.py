@@ -1855,3 +1855,59 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("event_type", F.col("k").alias("lag_hours"),
                        F.col("n").alias("n_pairs"),
                        F.round(r, 6).alias("autocorr"))
+
+
+@register(
+    "stream_union_two_sources",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           CASE WHEN event_type IN ('purchase', 'click')
+                THEN 'txn' ELSE 'telemetry' END AS feed,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """)
+def stream_union_two_sources(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Two independent streaming feeds UNIONED before one event-time
+    aggregate — the multi-source topology where the engine must run
+    each source's watermark and take the MINIMUM as the global one
+    (a lagging feed holds back window finalization rather than
+    dropping the other feed's data). Both feeds are real readStream
+    sources (disjoint type filters over the drop zone), unioned,
+    watermarked, and aggregated availableNow into a memory sink; the
+    oracle is the batch union-then-window."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def feed(types, label):
+        s = (spark.readStream.schema(raw.schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if isinstance(s.schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts",
+                             F.timestamp_micros(F.expr("ts div 1000")))
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (s.filter(F.col("event_type").isin(*types))
+                .withColumn("feed", F.lit(label)))
+
+    txn = feed(["purchase", "click"], "txn")
+    telem = feed(["view", "signup", "error"], "telemetry")
+    unioned = txn.unionByName(telem).withWatermark("ts", "2 hours")
+    agg = (unioned.groupBy(F.window("ts", "1 hour").alias("w"), "feed")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("w_start"), "feed", "n"))
+    name = f"u2s_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would withhold windows the end-of-stream
+    # watermark has not passed (the last 2h of data would never emit)
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="pmc_u2s_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -4738,3 +4738,49 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_a", F.col("y.source").alias("source_b")))
     return (pairs.groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+
+
+@register(
+    "sample_importance_reweight",
+    oracle="""
+    WITH cur AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), tot AS (SELECT sum(n) AS total, count(*) AS k FROM cur)
+    SELECT c.source, CAST(c.n AS BIGINT) AS n_docs,
+           round(c.n / CAST(t.total AS DOUBLE), 6) AS current_share,
+           round(1.0 / t.k, 6) AS target_share,
+           round((1.0 / t.k) / (c.n / CAST(t.total AS DOUBLE)), 6)
+             AS importance_weight,
+           round(CAST(t.total AS DOUBLE) * t.total
+                 / (t.k * t.k * sum(c.n * ((1.0 / t.k)
+                    / (c.n / CAST(t.total AS DOUBLE)))
+                    * ((1.0 / t.k) / (c.n / CAST(t.total AS DOUBLE))))
+                    OVER ()), 4) AS effective_sample_size
+    FROM cur c, tot t
+    """)
+def sample_importance_reweight(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Importance reweighting toward a uniform source mixture: per
+    source, weight = target_share/current_share, plus Kish's effective
+    sample size n_eff = (Σw)²/Σw² for the whole reweighted corpus —
+    the number that says HOW MUCH a mixture shift costs in variance
+    (resampling to a distant target can shrink a billion docs to an
+    effective few million; this op makes that visible BEFORE training).
+    One source-sized aggregate; totals broadcast back as one-row cross
+    joins."""
+    d = _docs(spark, sf_dir)
+    cur = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cur.agg(F.sum("n").alias("total"),
+                  F.count(F.lit(1)).alias("k"))
+    j = cur.crossJoin(F.broadcast(tot))
+    share = F.col("n") / F.col("total").cast("double")
+    w = (1.0 / F.col("k")) / share
+    w2sum = F.sum(F.col("n") * w * w).over(Window.partitionBy())
+    return j.select(
+        "source", F.col("n").alias("n_docs"),
+        F.round(share, 6).alias("current_share"),
+        F.round(1.0 / F.col("k"), 6).alias("target_share"),
+        F.round(w, 6).alias("importance_weight"),
+        F.round(F.col("total").cast("double") * F.col("total")
+                / (F.col("k") * F.col("k") * w2sum), 4)
+        .alias("effective_sample_size"))

@@ -772,3 +772,26 @@ def sql_filtered_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders",):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_FILTERED_AGG_SQL)
+
+
+_NAMED_WINDOW_SQL = """
+SELECT c_mktsegment, c_custkey,
+       rank() OVER w AS bal_rank,
+       round(c_acctbal - avg(c_acctbal) OVER w_all, 4) AS bal_vs_avg
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey),
+       w_all AS (PARTITION BY c_mktsegment)
+"""
+
+
+@register("sql_named_window", oracle=_NAMED_WINDOW_SQL)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI named ``WINDOW`` clause — one definition shared by
+    several window functions (the deduplication that keeps real
+    analytics SQL reviewable, and lets the optimizer see the shared
+    sort). Identical text on both engines; two windows over one
+    segment partitioning -> ONE shuffle+sort in the plan."""
+    for t in ("customer",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NAMED_WINDOW_SQL)

@@ -629,3 +629,35 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_synthetic_source(spark)
     return (spark.read.format("synthetic_events")
             .option("n_parts", 8).load())
+
+
+@register(
+    "scan_file_metadata_column",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           'status=' || o_orderstatus AS file_dir,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """)
+def scan_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_metadata`` hidden file column: every file-based scan can
+    expose provenance (path, name, size, row index) WITHOUT the writer
+    cooperating — the lineage primitive for 'which file did this bad
+    row come from' at 100 TB. Rows are written partitioned by status,
+    read back selecting ``_metadata.file_path``, and the provenance
+    directory is parsed from the path; the oracle pins that the
+    extracted provenance equals the partition value."""
+    d = _scratch("scan_file_metadata_column")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    (orders.write.mode("overwrite").partitionBy("o_orderstatus")
+     .parquet(d))
+    back = spark.read.parquet(d).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("_metadata.file_path").alias("fp"))
+    file_dir = F.regexp_extract("fp", r"(o_orderstatus=[^/]+)", 1)
+    return (back.select("status",
+                        F.regexp_replace(file_dir, "o_orderstatus=",
+                                         "status=").alias("file_dir"))
+            .groupBy("status", "file_dir")
+            .agg(F.count(F.lit(1)).alias("n")))
