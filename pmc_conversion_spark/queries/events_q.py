@@ -1911,3 +1911,34 @@ def stream_union_two_sources(spark: SparkSession,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "ts_dow_hour_matrix",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(sum(CASE WHEN hour(ts) BETWEEN 0 AND 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS night,
+           CAST(sum(CASE WHEN hour(ts) BETWEEN 6 AND 11
+                         THEN 1 ELSE 0 END) AS BIGINT) AS morning,
+           CAST(sum(CASE WHEN hour(ts) BETWEEN 12 AND 17
+                         THEN 1 ELSE 0 END) AS BIGINT) AS afternoon,
+           CAST(sum(CASE WHEN hour(ts) BETWEEN 18 AND 23
+                         THEN 1 ELSE 0 END) AS BIGINT) AS evening
+    FROM events GROUP BY 1
+    """)
+def ts_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × day-part activity matrix — the ops-dashboard
+    heatmap behind capacity planning, widened with conditional sums
+    (one pass, 7 output rows) rather than a pivot (same shape, no
+    second aggregation). Engine gotcha pinned by the oracle: Spark's
+    dayofweek is 1=Sunday..7, DuckDB's 0=Sunday..6."""
+    e = _events(spark, sf_dir)
+    h = F.hour("ts")
+    part = lambda lo, hi: F.sum(
+        F.when(h.between(lo, hi), 1).otherwise(0))
+    return (e.groupBy(F.dayofweek("ts").cast("long").alias("dow"))
+            .agg(part(0, 5).alias("night"),
+                 part(6, 11).alias("morning"),
+                 part(12, 17).alias("afternoon"),
+                 part(18, 23).alias("evening")))

@@ -4784,3 +4784,143 @@ def sample_importance_reweight(spark: SparkSession,
         F.round(F.col("total").cast("double") * F.col("total")
                 / (F.col("k") * F.col("k") * w2sum), 4)
         .alias("effective_sample_size"))
+
+
+@register(
+    "mm_image_ahash",
+    oracle="""
+    WITH m AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 6 AS h
+               FROM documents),
+    g AS (
+      SELECT doc_id, r2, c2,
+             ((doc_id * 31 + ((r2 * h) // 8) * 7
+               + ((c2 * w) // 8) * 3 + 0) % 256) * 299
+             + ((doc_id * 31 + ((r2 * h) // 8) * 7
+                 + ((c2 * w) // 8) * 3 + 1) % 256) * 587
+             + ((doc_id * 31 + ((r2 * h) // 8) * 7
+                 + ((c2 * w) // 8) * 3 + 2) % 256) * 114 AS luma1000
+      FROM m,
+           unnest(range(0, 8)) AS t1(r2),
+           unnest(range(0, 8)) AS t2(c2)
+    ), tot AS (
+      SELECT doc_id, sum(luma1000) AS s FROM g GROUP BY doc_id
+    )
+    SELECT g.doc_id AS media_id,
+           CAST(sum(CASE WHEN g.luma1000 * 64 > t.s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bits_set,
+           CAST(sum(CASE WHEN g.luma1000 * 64 > t.s
+                         THEN power(2, 63 - (g.r2 * 8 + g.c2))::HUGEINT
+                         ELSE 0 END) % 9223372036854775807 AS BIGINT)
+             AS ahash_mod
+    FROM g JOIN tot t ON t.doc_id = g.doc_id
+    GROUP BY g.doc_id
+    """)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) computed from REAL decoded
+    pixels: decode BMP → NN-resize to 8×8 → integer Rec.601 luma →
+    bit r,c set iff luma > mean — the 64-bit fingerprint behind
+    image near-dup detection (Hamming distance on aHashes ≈ visual
+    similarity). The mean comparison is kept integer-exact
+    (luma·64 > Σluma — no float mean), and the hash is reported
+    modulo 2⁶³−1 so it stays in BIGINT on both engines. One Arrow
+    stage; 1 row of 2 ints per image shuffles."""
+    import pandas as pd
+
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+                    (F.lit(4) + F.col("doc_id") % 6).cast("int").alias("h")))
+    encoded = MM.synth_bmp_images(base)
+
+    def _ahash(batches):
+        import numpy as np
+        M = 9223372036854775807
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = MM.decode_bmp(bytes(content)).astype(np.int64)
+                h, w, _ = px.shape
+                rr = (np.arange(8) * h) // 8
+                cc = (np.arange(8) * w) // 8
+                small = px[np.ix_(rr, cc)]
+                luma = (small[:, :, 0] * 299 + small[:, :, 1] * 587
+                        + small[:, :, 2] * 114)
+                s = int(luma.sum())
+                bits = (luma * 64 > s).astype(np.int64).ravel()
+                hash_mod = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        hash_mod = (hash_mod + pow(2, 63 - i, M)) % M
+                rows.append((int(m), int(bits.sum()), hash_mod))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bits_set", "ahash_mod"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(encoded).mapInPandas(
+        _ahash, "media_id long, n_bits_set long, ahash_mod long")
+
+
+@register(
+    "pack_length_bucketing_eval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({{toks}}) AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             row_number() OVER (ORDER BY n * 1000000000 + doc_id)
+               AS sk_sorted,
+             row_number() OVER (ORDER BY doc_id) AS sk_arrival
+      FROM t
+    ), batched AS (
+      SELECT 'length_sorted' AS strategy,
+             (sk_sorted - 1) // 32 AS batch, n FROM s
+      UNION ALL
+      SELECT 'arrival_order', (sk_arrival - 1) // 32, n FROM s
+    ), per_batch AS (
+      SELECT strategy, batch, count(*) AS cnt,
+             max(n) AS mx, sum(n) AS sm
+      FROM batched GROUP BY 1, 2
+    )
+    SELECT strategy,
+           count(*) AS n_batches,
+           CAST(sum(sm) AS BIGINT) AS total_tokens,
+           CAST(sum(mx * cnt - sm) AS BIGINT) AS total_padding,
+           round(sum(mx * cnt - sm)
+                 / CAST(sum(mx * cnt) AS DOUBLE), 6) AS padding_ratio
+    FROM per_batch GROUP BY strategy
+    """.replace("{toks}", _TOKS))
+def pack_length_bucketing_eval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Length-bucketed batching vs arrival-order batching: total
+    PADDING WASTE when documents batch 32-at-a-time and every batch
+    pads to its longest member — the percentage of FLOPs a training
+    run burns on pad tokens, and the number that justifies length
+    sorting in every serious data loader. Both global orderings use
+    the two-phase distributed numbering (operators/windows.py — no
+    single-partition sort); per-batch max/sum close the metric. The
+    composite sort key packs (n_tokens, doc_id) into one bigint so
+    range bucketing keeps a total order."""
+    from pmc_conversion_spark.operators.windows import \
+        surrogate_key_distributed
+    d = _docs(spark, sf_dir)
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    t = d.select("doc_id", F.size(toks).alias("n"))
+    t = t.withColumn("__k", F.col("n").cast("bigint")
+                     * F.lit(1_000_000_000) + F.col("doc_id"))
+    by_len = surrogate_key_distributed(t, "__k", out_col="sk") \
+        .select(F.lit("length_sorted").alias("strategy"),
+                F.floor((F.col("sk") - 1) / 32).alias("batch"), "n")
+    by_arrival = surrogate_key_distributed(t, "doc_id", out_col="sk") \
+        .select(F.lit("arrival_order").alias("strategy"),
+                F.floor((F.col("sk") - 1) / 32).alias("batch"), "n")
+    per_batch = (by_len.unionByName(by_arrival)
+                 .groupBy("strategy", "batch")
+                 .agg(F.count(F.lit(1)).alias("cnt"),
+                      F.max("n").alias("mx"), F.sum("n").alias("sm")))
+    pad = F.col("mx") * F.col("cnt") - F.col("sm")
+    return (per_batch.groupBy("strategy")
+            .agg(F.count(F.lit(1)).alias("n_batches"),
+                 F.sum("sm").alias("total_tokens"),
+                 F.sum(pad).alias("total_padding"),
+                 F.round(F.sum(pad)
+                         / F.sum(F.col("mx") * F.col("cnt"))
+                         .cast("double"), 6).alias("padding_ratio")))
