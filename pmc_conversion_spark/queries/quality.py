@@ -795,3 +795,30 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer",):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NAMED_WINDOW_SQL)
+
+
+_CORR_SUBQ_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       (SELECT max(l.l_shipdate) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS last_ship,
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R') AS n_returned
+FROM orders o
+WHERE o_orderkey % 7 = 0
+"""
+
+
+@register("sql_correlated_scalar_subquery", oracle=_CORR_SUBQ_SQL)
+def sql_correlated_scalar_subquery(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries in the select list — the form
+    analysts write and engines must DECORRELATE: Catalyst rewrites
+    each subquery to an aggregate + left outer join (visible in the
+    plan; no per-row re-execution), which is the difference between
+    O(N+M) and O(N·M) at scale. Identical text on both engines; the
+    count subquery also pins the empty-group semantics (COUNT over no
+    rows is 0, not NULL, even under the outer join rewrite)."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORR_SUBQ_SQL)

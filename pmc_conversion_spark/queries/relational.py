@@ -2789,3 +2789,56 @@ def agg_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round((F.col("s") - F.col("y"))
                                    / (F.col("n") - 1).cast("double"), 6))
                     .alias("loo_encoding")))
+
+
+@register(
+    "agg_half_sample_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 10)) AS r),
+    member AS (
+      SELECT r.r, o.o_orderkey,
+             CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) AS p
+      FROM orders o JOIN reps r
+        ON ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                           || CAST(o.o_orderkey AS VARCHAR)), 1, 15))
+           ::BIGINT % 2 = 0
+    ), means AS (
+      SELECT r, round(CAST(sum(p) AS DOUBLE) / count(*), 4) AS m
+      FROM member GROUP BY r
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS rk,
+             count(*) OVER () AS nr
+      FROM means
+    )
+    SELECT (SELECT count(*) FROM means) AS n_replicas,
+           (SELECT min(m) FROM means) AS ci_low,
+           (SELECT max(m) FROM means) AS ci_high,
+           (SELECT round(avg(m), 4) FROM means) AS mean_of_means
+    """)
+def agg_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-sample replication: 10 deterministic hash-defined
+    half-samples of the orders table, each yielding a decimal-exact
+    mean price; the replica spread is a variance/CI estimate for the
+    full-data mean — the resampling idea (jackknife/bootstrap family)
+    made cluster-friendly: membership is a PURE FUNCTION of
+    (replica, key) so no replica materializes, shuffles stay on the
+    original rows × a constant factor, and reruns are bit-identical
+    (no rand()). Replica means are exact decimal sums / counts,
+    rounded once."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2)
+        .cast("decimal(18,2)").alias("p"))
+    reps = spark.range(10).select(F.col("id").alias("r"))
+    member = (o.crossJoin(F.broadcast(reps))
+              .filter(md5_int60(
+                  F.concat(F.col("r").cast("string"), F.lit(":"),
+                           F.col("o_orderkey").cast("string"))) % 2 == 0))
+    means = (member.groupBy("r")
+             .agg(F.round(F.sum("p").cast("double")
+                          / F.count(F.lit(1)), 4).alias("m")))
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.min("m").alias("ci_low"),
+        F.max("m").alias("ci_high"),
+        F.round(F.avg("m"), 4).alias("mean_of_means"))

@@ -661,3 +661,39 @@ def scan_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          "status=").alias("file_dir"))
             .groupBy("status", "file_dir")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "scan_partition_evolution",
+    oracle="""
+    SELECT 'gen1' AS generation, o_orderstatus, count(*) AS n
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'gen2', o_orderstatus, count(*)
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus
+    """)
+def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scheme evolution: generation 1 lands partitioned by
+    STATUS, generation 2 repartitions the layout by PRIORITY — the
+    migration every long-lived table eventually makes. The two
+    generations cannot be one recursive scan (their directory schemas
+    differ), so the read path scans each root separately and unions —
+    with the partition column materializing back as a normal column
+    in both. The oracle pins that layout evolution never changes the
+    DATA, only the directory shape."""
+    d = _scratch("scan_partition_evolution")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .write.mode("overwrite").partitionBy("o_orderstatus")
+     .parquet(f"{d}/gen1"))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .write.mode("overwrite").partitionBy("o_orderpriority")
+     .parquet(f"{d}/gen2"))
+    g1 = (spark.read.parquet(f"{d}/gen1")
+          .select(F.lit("gen1").alias("generation"), "o_orderstatus"))
+    g2 = (spark.read.parquet(f"{d}/gen2")
+          .select(F.lit("gen2").alias("generation"), "o_orderstatus"))
+    return (g1.unionByName(g2)
+            .groupBy("generation", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -257,3 +257,52 @@ def sink_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "o_orderkey")
                .select("o_orderkey", "o_orderstatus", "o_totalprice"))
     return untouched.unionByName(upserts)
+
+
+@register("gen_surrogate_incremental", oracle="""
+WITH base AS (
+  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS sk
+  FROM orders WHERE o_orderkey % 10 < 7
+), hwm AS (SELECT max(sk) AS m FROM base),
+delta AS (
+  SELECT o_orderkey,
+         (SELECT m FROM hwm)
+           + row_number() OVER (ORDER BY o_orderkey) AS sk
+  FROM orders WHERE o_orderkey % 10 >= 7
+)
+SELECT o_orderkey, CAST(sk AS BIGINT) AS sk, 'base' AS generation
+FROM base
+UNION ALL
+SELECT o_orderkey, CAST(sk AS BIGINT), 'delta' FROM delta""")
+def gen_surrogate_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """High-watermark surrogate keys across load generations: the base
+    load numbers its rows 1..N (two-phase distributed numbering, no
+    single-partition sort) and PERSISTS them; the nightly delta reads
+    the stored max (one driver-side scalar from a stored aggregate —
+    metadata cost) and numbers its rows N+1... — the pattern every
+    warehouse dimension uses so keys never recycle across loads.
+    Both generations round-trip through parquet; the oracle replays
+    the numbering with plain window SQL."""
+    from pmc_conversion_spark.operators.windows import \
+        surrogate_key_distributed
+    d = _scratch("gen_surrogate_incremental")
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey")
+    base = surrogate_key_distributed(
+        orders.filter(F.col("o_orderkey") % 10 < 7), "o_orderkey",
+        out_col="sk")
+    base.write.mode("overwrite").parquet(f"{d}/base")
+    stored = spark.read.parquet(f"{d}/base")
+    hwm = stored.agg(F.max("sk").alias("m")).collect()[0]["m"]
+    delta = (surrogate_key_distributed(
+        orders.filter(F.col("o_orderkey") % 10 >= 7), "o_orderkey",
+        out_col="sk0")
+        .select("o_orderkey",
+                (F.col("sk0") + F.lit(int(hwm))).alias("sk")))
+    delta.write.mode("append").parquet(f"{d}/delta")
+    return (stored.select("o_orderkey",
+                          F.col("sk").cast("long").alias("sk"),
+                          F.lit("base").alias("generation"))
+            .unionByName(spark.read.parquet(f"{d}/delta").select(
+                "o_orderkey", F.col("sk").cast("long").alias("sk"),
+                F.lit("delta").alias("generation"))))
