@@ -1942,3 +1942,57 @@ def ts_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  part(6, 11).alias("morning"),
                  part(12, 17).alias("afternoon"),
                  part(18, 23).alias("evening")))
+
+
+@register(
+    "agg_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_step1_view,
+           (SELECT count(*) FROM s2) AS n_step2_click,
+           (SELECT count(*) FROM s3) AS n_step3_purchase,
+           round((SELECT count(*) FROM s3)
+                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6)
+             AS full_funnel_rate
+    """)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    counts at step k only if the step-k event happened AFTER their
+    step-(k−1) time (the ordering constraint that separates a funnel
+    from three independent counts). Each stage is a per-user
+    conditional-min aggregate joined forward — k−1 key-partitioned
+    joins for a k-step funnel, shuffles on user_id only, no event
+    self-joins. Complements the streaming pattern-match form
+    (stream_funnel_detect) with the whole-history batch answer."""
+    e = _events(spark, sf_dir)
+    s1 = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (e.filter(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (e.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_step1_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_step2_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_step3_purchase"))
+    return (c1.crossJoin(c2).crossJoin(c3)
+            .select("n_step1_view", "n_step2_click", "n_step3_purchase",
+                    F.round(F.col("n_step3_purchase")
+                            / F.col("n_step1_view").cast("double"), 6)
+                    .alias("full_funnel_rate")))

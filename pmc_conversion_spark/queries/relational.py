@@ -2842,3 +2842,75 @@ def agg_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("m").alias("ci_low"),
         F.max("m").alias("ci_high"),
         F.round(F.avg("m"), 4).alias("mean_of_means"))
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+      FROM orders
+    ), m AS (
+      SELECT grp, count(*) AS n,
+             CAST(sum(p) AS DOUBLE) AS s,
+             CAST(sum(p * p) AS DOUBLE) AS ss
+      FROM g GROUP BY grp
+    ), w AS (
+      SELECT
+        (SELECT s / n FROM m WHERE grp = 'A') AS ma,
+        (SELECT s / n FROM m WHERE grp = 'B') AS mb,
+        (SELECT (ss - s * s / n) / (n - 1) / n FROM m WHERE grp = 'A')
+          AS va_n,
+        (SELECT (ss - s * s / n) / (n - 1) / n FROM m WHERE grp = 'B')
+          AS vb_n,
+        (SELECT n FROM m WHERE grp = 'A') AS na,
+        (SELECT n FROM m WHERE grp = 'B') AS nb
+    )
+    SELECT na, nb,
+           round(ma - mb, 4) AS mean_diff,
+           round((ma - mb) / sqrt(va_n + vb_n), 4) AS t_stat,
+           round((va_n + vb_n) * (va_n + vb_n)
+                 / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)), 2)
+             AS welch_df
+    FROM w
+    """)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t — the unequal-variance test every A/B
+    readout should use instead of Student's t (which silently assumes
+    the variant didn't change the variance). Group moments come from
+    EXACT decimal power sums; means, the t statistic and the
+    Welch–Satterthwaite degrees of freedom are a handful of double ops
+    on those exact sums (IEEE sqrt correctly rounded), so both engines
+    agree at the rounded boundary. One grouped aggregate — the data is
+    scanned once regardless of how many statistics close over it."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("grp"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"))
+    m = (g.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("p").cast("double").alias("s"),
+              F.sum(F.col("p") * F.col("p")).cast("double").alias("ss")))
+    a = m.filter(F.col("grp") == "A").select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"))
+    b = m.filter(F.col("grp") == "B").select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"))
+    j = a.crossJoin(b)
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va_n = ((F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+            / (F.col("na") - 1) / F.col("na"))
+    vb_n = ((F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
+            / (F.col("nb") - 1) / F.col("nb"))
+    return j.select(
+        "na", "nb",
+        F.round(ma - mb, 4).alias("mean_diff"),
+        F.round((ma - mb) / F.sqrt(va_n + vb_n), 4).alias("t_stat"),
+        F.round((va_n + vb_n) * (va_n + vb_n)
+                / (va_n * va_n / (F.col("na") - 1)
+                   + vb_n * vb_n / (F.col("nb") - 1)), 2)
+        .alias("welch_df"))

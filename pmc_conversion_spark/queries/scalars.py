@@ -748,3 +748,36 @@ def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         entries.alias("kept_entries"),
         F.size(F.map_keys(cleaned)).alias("n_keys"))
+
+
+#: Golden soundex vectors from the classic algorithm's published
+#: examples (Odell-Russell; the NARA standard examples). DuckDB has no
+#: soundex(), so the oracle carries expected literals — the same
+#: golden-fixture pattern as f_sha1.
+SOUNDEX_ROWS = [
+    ("Robert", "R163"), ("Rupert", "R163"),
+    ("Ashcraft", "A261"), ("Ashcroft", "A261"),
+    ("Tymczak", "T522"), ("Pfister", "P236"),
+    ("Honeyman", "H555"), ("Smith", "S530"),
+    ("Smyth", "S530"), ("Washington", "W252"),
+]
+
+
+@register(
+    "f_soundex_golden",
+    oracle=f"""
+    SELECT name, expected AS code,
+           CASE WHEN TRUE THEN expected END IS NOT NULL AS match_pair
+    FROM {_values(SOUNDEX_ROWS, 'name, expected')}
+    """)
+def f_soundex_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding via Spark's native ``soundex`` pinned against
+    the algorithm's published golden vectors (incl. the tricky
+    adjacent-same-code collapses: Pfister→P236, Tymczak→T522,
+    Ashcraft→A261) — the name-matching primitive that complements
+    edit distance in entity resolution: soundex BLOCKS candidate
+    pairs cheaply, edit distance verifies them."""
+    df = fixture_df(spark, SOUNDEX_ROWS, "name string, expected string")
+    return df.select(
+        "name", F.soundex("name").alias("code"),
+        (F.soundex("name") == F.col("expected")).alias("match_pair"))
