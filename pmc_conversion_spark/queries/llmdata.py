@@ -4924,3 +4924,81 @@ def pack_length_bucketing_eval(spark: SparkSession,
                  F.round(F.sum(pad)
                          / F.sum(F.col("mx") * F.col("cnt"))
                          .cast("double"), 6).alias("padding_ratio")))
+
+
+@register(
+    "mm_keyframe_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, least(length(text), 1024) + 1),
+                            i -> unicode(substr(text, i, 1))) AS cp
+      FROM documents
+    ), fr AS (
+      SELECT media_id, cp,
+             unnest(range(len(cp) // 256)) AS frame
+      FROM t WHERE len(cp) >= 512
+    ), en AS (
+      SELECT media_id, CAST(frame AS INT) AS frame,
+             CAST(list_sum(list_transform(
+                 cp[frame*256+1 : frame*256+256], x -> x * x))
+               AS BIGINT) AS energy
+      FROM fr
+    ), cuts AS (
+      SELECT media_id, frame, energy,
+             CASE WHEN abs(energy - lag(energy) OVER w) > 50000
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM en WINDOW w AS (PARTITION BY media_id ORDER BY frame)
+    ), scenes AS (
+      SELECT media_id, frame, energy,
+             sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame
+                               ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM cuts
+    )
+    SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
+           count(*) AS n_frames,
+           CAST(9999 - max(energy * 10000 + (9999 - frame)) % 10000
+                AS BIGINT) AS keyframe,
+           max(energy) AS keyframe_energy
+    FROM scenes GROUP BY 1, 2
+    """)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection: frames segment into scenes at energy jumps
+    (the mm_scene_cut_detect boundary rule turned into scene ids via a
+    running cut count), then each scene elects its highest-energy
+    frame (earliest frame on ties — a total order, pinned via
+    struct-argmax) — the representative-frame step every video
+    training pipeline runs between shot detection and captioning.
+    Per-media windows and a grouped struct-argmax; frame energies
+    shuffle, never frames."""
+    d = _docs(spark, sf_dir)
+    t = (d.select(F.col("doc_id").alias("media_id"),
+                  F.expr("transform(sequence(1, least(length(text), 1024)),"
+                         " i -> ascii(substr(text, i, 1)))").alias("cp"))
+         .filter(F.size("cp") >= 512))
+    fr = t.select("media_id", "cp",
+                  F.explode(F.sequence(
+                      F.lit(0), F.floor(F.size("cp") / 256).cast("int") - 1))
+                  .alias("frame"))
+    en = fr.select(
+        "media_id", F.col("frame").cast("int").alias("frame"),
+        F.expr("aggregate(slice(cp, frame * 256 + 1, 256), 0L, "
+               "(acc, x) -> acc + CAST(x AS BIGINT) * x)").alias("energy"))
+    w = Window.partitionBy("media_id").orderBy("frame")
+    cuts = en.withColumn(
+        "is_cut",
+        F.when(F.abs(F.col("energy") - F.lag("energy").over(w)) > 50000,
+               1).otherwise(0))
+    scenes = cuts.withColumn(
+        "scene_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    # argmax as a packed integer (energy·10⁴ + reversed frame) — the
+    # max prefers higher energy, then the EARLIER frame; exact on both
+    # engines (energy < 2^23·10⁴ fits bigint comfortably)
+    packed = F.max(F.col("energy") * 10000 + (9999 - F.col("frame")))
+    return (scenes.groupBy("media_id",
+                           F.col("scene_id").cast("long").alias("scene_id"))
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 (F.lit(9999) - packed % 10000).cast("long")
+                 .alias("keyframe"),
+                 F.max("energy").alias("keyframe_energy")))
