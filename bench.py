@@ -68,6 +68,11 @@ HEADLINE = [
     "text_zipf_fit",
     "vocab_coverage_curve",
     "mm_decode_real",
+    "dedup_minhash_bbit",
+    "mm_image_resize_nn",
+    "join_geo_grid_radius",
+    "vocab_bigram_lm_nll",
+    "pack_length_bucketing_eval",
 ]
 
 

@@ -57,6 +57,10 @@ PROBED = [
     "mm_decode_real",
     "text_zipf_fit",
     "vocab_coverage_curve",
+    "dedup_minhash_bbit",
+    "join_geo_grid_radius",
+    "pack_length_bucketing_eval",
+    "dedup_cross_source_matrix",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
