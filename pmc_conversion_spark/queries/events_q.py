@@ -1996,3 +1996,52 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_step3_purchase")
                             / F.col("n_step1_view").cast("double"), 6)
                     .alias("full_funnel_rate")))
+
+
+@register(
+    "win_max_concurrency",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_type, ts AS start_ts,
+             ts + INTERVAL 10 MINUTE AS end_ts
+      FROM events
+    ), deltas AS (
+      SELECT event_type, start_ts AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT event_type, end_ts, -1 FROM sess
+    ), running AS (
+      SELECT event_type, t, d,
+             sum(d) OVER (PARTITION BY event_type
+                          ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS live
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST(max(live) AS BIGINT) AS max_concurrent,
+           count(*) / 2 AS n_intervals
+    FROM running GROUP BY event_type
+    """)
+def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per type — the classic sweep-line: each
+    10-minute activity interval contributes a +1 at its start and a
+    −1 at its end; the running sum over the time-ordered deltas is the
+    live count, and its max is the capacity number (−1 sorts before
+    +1 at the same instant via the (t, d) order, so back-to-back
+    intervals don't double-count). One partitioned window over 2N
+    delta rows — never an interval×interval overlap join."""
+    e = _events(spark, sf_dir)
+    sess = e.select("event_type",
+                    F.col("ts").alias("start_ts"),
+                    (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                    .alias("end_ts"))
+    deltas = (sess.select("event_type",
+                          F.col("start_ts").alias("t"), F.lit(1).alias("d"))
+              .unionByName(sess.select("event_type",
+                                       F.col("end_ts").alias("t"),
+                                       F.lit(-1).alias("d"))))
+    w = (Window.partitionBy("event_type").orderBy("t", "d")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    running = deltas.withColumn("live", F.sum("d").over(w))
+    return (running.groupBy("event_type")
+            .agg(F.max("live").cast("long").alias("max_concurrent"),
+                 (F.count(F.lit(1)) / 2).alias("n_intervals")))

@@ -5002,3 +5002,149 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.lit(9999) - packed % 10000).cast("long")
                  .alias("keyframe"),
                  F.max("energy").alias("keyframe_energy")))
+
+
+#: A tiny fixed merge table (rank-ordered) applied by vocab_bpe_apply —
+#: the inference half of BPE next to vocab_bpe_merge_step's training
+#: half. Merges replace space-separated symbol pairs left-to-right.
+_BPE_MERGES = [("t h", "th"), ("th e", "the"), ("i n", "in")]
+
+
+@register(
+    "vocab_bpe_apply",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    words AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ), spelled AS (
+      SELECT doc_id, w,
+             array_to_string(list_transform(
+               range(1, length(w) + 1), i -> substr(w, i, 1)), ' ')
+               AS sym
+      FROM words
+    ), merged AS (
+      SELECT doc_id, w,
+             replace(replace(replace(sym,
+               '{_BPE_MERGES[0][0]}', '{_BPE_MERGES[0][1]}'),
+               '{_BPE_MERGES[1][0]}', '{_BPE_MERGES[1][1]}'),
+               '{_BPE_MERGES[2][0]}', '{_BPE_MERGES[2][1]}') AS sym
+      FROM spelled
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(len(string_split(sym, ' '))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars
+    FROM merged GROUP BY doc_id
+    """.replace("{toks}", _TOKS))
+def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a BPE merge table (the inference half; vocab_bpe_merge_step
+    is the training half): words spell out as space-separated symbols,
+    each rank-ordered merge rewrites its pair corpus-wide — string
+    ``replace`` scans leftmost-first non-overlapping on both engines,
+    which IS the greedy BPE application order for a fixed merge — and
+    the result is the per-doc BPE token count vs raw chars (the
+    compression ratio a tokenizer buys). Map-only string algebra; one
+    closing partial agg."""
+    d = _docs(spark, sf_dir)
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    words = d.select("doc_id", F.explode(toks).alias("w"))
+    sym = F.array_join(
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        " ")
+    for pat, rep in _BPE_MERGES:
+        sym = F.replace(sym, F.lit(pat), F.lit(rep))
+    merged = words.select("doc_id", "w", sym.alias("sym"))
+    return (merged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.size(F.split("sym", " "))).alias("n_bpe_tokens"),
+                 F.sum(F.length("w")).alias("n_chars")))
+
+
+def _jl_signs(k: int = 16, d: int = 64) -> list:
+    """Deterministic ±1 JL sign matrix from md5 — computed ONCE in
+    Python and embedded as literals into BOTH the Spark plan and the
+    oracle SQL, so neither engine hashes in-query."""
+    import hashlib
+    out = []
+    for j in range(k):
+        row = []
+        for i in range(d):
+            h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:15], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def _jl_sql() -> str:
+    S = _jl_signs()
+    s_lit = "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]" for row in S) + "]"
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(x * 1000) AS BIGINT)) AS vi
+      FROM embeddings WHERE vec_id < 20
+    ), pr AS (
+      SELECT vec_id, vi,
+             list_transform(range(1, 17), j ->
+               list_sum(list_transform(range(1, 65), i ->
+                 ({s_lit})[j][i] * vi[i]))) AS pj
+      FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt(
+             CAST(list_sum(list_transform(range(1, 17),
+               j -> (a.pj[j] - b.pj[j]) * (a.pj[j] - b.pj[j])))
+               AS DOUBLE)
+             / (16 * list_sum(list_transform(range(1, 65),
+               i -> (a.vi[i] - b.vi[i]) * (a.vi[i] - b.vi[i]))))), 4)
+             AS distortion
+    FROM pr a JOIN pr b ON a.vec_id < 10 AND b.vec_id >= 10
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> (a.vi[i] - b.vi[i]) * (a.vi[i] - b.vi[i]))) > 0
+    """
+
+
+@register("sim_random_projection_jl", oracle=_jl_sql())
+def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection, 64→16 dims, with
+    the distortion measured pair-by-pair: r = ‖Pa−Pb‖/‖a−b‖ should
+    concentrate near 1, and THIS op reports the actual r per sampled
+    pair — the dimensionality-reduction audit run before trusting a
+    projected ANN index. Embeddings quantize to integer thousandths
+    so projections and squared distances are EXACT integers on both
+    engines (the sign matrix is a shared literal); the only float op
+    is the final ratio+sqrt. Projection is map-side; the 10×10 pair
+    sample broadcasts."""
+    S = _jl_signs()
+    s_expr = ("array(" + ", ".join(
+        "array(" + ", ".join(str(x) for x in row) + ")"
+        for row in S) + ")")
+    emb = tables.load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 20)
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, "
+               "x -> CAST(round(x * 1000) AS BIGINT))").alias("vi"))
+    pr = v.withColumn("pj", F.expr(
+        f"transform(sequence(0, 15), j -> "
+        f"aggregate(sequence(0, 63), 0L, "
+        f"(acc, i) -> acc + ({s_expr})[j][i] * vi[i]))"))
+    a = pr.select(F.col("vec_id").alias("id_a"),
+                  F.col("vi").alias("va"), F.col("pj").alias("pa")) \
+        .filter(F.col("id_a") < 10)
+    b = pr.select(F.col("vec_id").alias("id_b"),
+                  F.col("vi").alias("vb"), F.col("pj").alias("pb")) \
+        .filter(F.col("id_b") >= 10)
+    j = a.crossJoin(F.broadcast(b))
+    d2p = F.expr("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), "
+                 "0L, (acc, x) -> acc + x)")
+    d2o = F.expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), "
+                 "0L, (acc, x) -> acc + x)")
+    return (j.withColumn("__d2o", d2o).filter(F.col("__d2o") > 0)
+            .select("id_a", "id_b",
+                    F.round(F.sqrt(d2p.cast("double")
+                                   / (16 * F.col("__d2o"))), 4)
+                    .alias("distortion")))
