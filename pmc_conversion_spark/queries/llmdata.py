@@ -5148,3 +5148,107 @@ def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sqrt(d2p.cast("double")
                                    / (16 * F.col("__d2o"))), 4)
                     .alias("distortion")))
+
+
+@register(
+    "mm_audio_zero_crossings",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(1, least(length(text), 1024) + 1),
+                            i -> unicode(substr(text, i, 1)) - 96) AS s
+      FROM documents
+    ), fr AS (
+      SELECT media_id, s, unnest(range(len(s) // 256)) AS frame
+      FROM t WHERE len(s) >= 256
+    )
+    SELECT media_id, CAST(frame AS INT) AS frame,
+           CAST(list_sum(list_transform(range(1, 256), i ->
+             CASE WHEN (s[frame*256 + i] >= 0)
+                       <> (s[frame*256 + i + 1] >= 0)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_crossings
+    FROM fr
+    """)
+def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate per frame — the second REAL audio feature
+    (after frame energy): signed samples (codepoints re-centered
+    around zero, the stand-in PCM) flip sign n times per 256-sample
+    frame; ZCR separates voiced/unvoiced/noise cheaply and is the
+    classic first column of an audio quality filter. Real numpy sign
+    logic in Arrow-batched mapInPandas; exact integer counts give a
+    full value oracle."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+    media = d.select(F.col("doc_id").alias("media_id"), "text")
+
+    def _zcr(batches):
+        import numpy as np
+        for pdf in batches:
+            out_m, out_f, out_n = [], [], []
+            for m, text in zip(pdf["media_id"], pdf["text"]):
+                s = np.frombuffer(text[:1024].encode("utf-8", "ignore"),
+                                  dtype=np.uint8).astype(np.int64) - 96
+                n_frames = len(s) // 256
+                for fidx in range(n_frames):
+                    # 255 in-frame pairs; never the cross-frame pair
+                    w = s[fidx * 256:(fidx + 1) * 256]
+                    nz = int(((w[:-1] >= 0) != (w[1:] >= 0)).sum())
+                    out_m.append(int(m)); out_f.append(fidx)
+                    out_n.append(nz)
+            yield pd.DataFrame({"media_id": out_m, "frame": out_f,
+                                "n_zero_crossings": out_n})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(media).mapInPandas(
+        _zcr, "media_id long, frame int, n_zero_crossings long")
+
+
+@register(
+    "sketch_linear_counting",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('lc:' || CAST(user_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1024 AS bit
+      FROM events
+    ), occ AS (
+      SELECT event_type, count(DISTINCT bit) AS n_set
+      FROM h GROUP BY event_type
+    ), truth AS (
+      SELECT event_type, count(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT o.event_type, CAST(o.n_set AS BIGINT) AS bits_set,
+           CAST(round(-1024 * ln((1024 - o.n_set) / 1024.0)) AS BIGINT)
+             AS lc_estimate,
+           t.true_distinct
+    FROM occ o JOIN truth t USING (event_type)
+    """)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear counting — the small-cardinality half of the HLL family
+    (HLL itself switches to exactly this estimator when most registers
+    are empty): hash each key into an m=1024-bit bitmap, estimate
+    n̂ = −m·ln(empty/m) from the occupancy alone. The bitmap is
+    mergeable (OR), which is why the sketch survives partial
+    aggregation; here occupancy is a distinct-count over hash buckets
+    (8-byte keys). True distinct rides along so the estimator's error
+    is visible per group — same self-calibrating shape as
+    sketch_countmin_freq and dedup_minhash_bbit."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    e = tables.load(spark, sf_dir, "events")
+    h = e.select("event_type",
+                 (md5_int60(F.concat(F.lit("lc:"),
+                                     F.col("user_id").cast("string")))
+                  % 1024).alias("bit"))
+    occ = h.groupBy("event_type").agg(
+        F.countDistinct("bit").alias("n_set"))
+    truth = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct"))
+    return (occ.join(truth, "event_type")
+            .select("event_type",
+                    F.col("n_set").alias("bits_set"),
+                    F.round(-1024 * F.log((1024 - F.col("n_set"))
+                                          / F.lit(1024.0)))
+                    .cast("long").alias("lc_estimate"),
+                    "true_distinct"))

@@ -2914,3 +2914,29 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (va_n * va_n / (F.col("na") - 1)
                    + vb_n * vb_n / (F.col("nb") - 1)), 2)
         .alias("welch_df"))
+
+
+@register(
+    "agg_bitwise_fold",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_or(o_orderkey % 256) AS BIGINT) AS flags_any,
+           CAST(bit_and(o_orderkey % 256 + 256) AS BIGINT)
+             AS flags_all,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_parity
+    FROM orders GROUP BY o_orderstatus
+    """)
+def agg_bitwise_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate folds — OR ('was the flag ever set'),
+    AND ('was it always set'; offset +256 keeps a sentinel bit so the
+    fold isn't trivially 0), XOR (parity — the checksum trick for
+    detecting single-row loss between replicas). Bit folds are
+    commutative+associative, so they partial-aggregate map-side like
+    sums; the flags pattern compresses N boolean columns into one
+    int at 100 TB."""
+    o = tables.load(spark, sf_dir, "orders")
+    flags = F.col("o_orderkey") % 256
+    return (o.groupBy("o_orderstatus")
+            .agg(F.bit_or(flags).alias("flags_any"),
+                 F.bit_and(flags + 256).alias("flags_all"),
+                 F.bit_xor(flags).alias("flags_parity")))
