@@ -822,3 +822,77 @@ def sql_correlated_scalar_subquery(spark: SparkSession,
     for t in ("orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+@register(
+    "dq_simpsons_check",
+    oracle="""
+    WITH j AS (
+      SELECT CASE WHEN o.o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             c.c_mktsegment AS stratum,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), strat AS (
+      SELECT stratum,
+             round(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END)
+                   / CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) AS rate_a,
+             round(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END)
+                   / CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) AS rate_b
+      FROM j GROUP BY stratum
+    ), overall AS (
+      SELECT 'OVERALL' AS stratum,
+             round(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END)
+                   / CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) AS rate_a,
+             round(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END)
+                   / CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) AS rate_b
+      FROM j
+    )
+    SELECT stratum, rate_a, rate_b,
+           CASE WHEN rate_a > rate_b THEN 'A'
+                WHEN rate_b > rate_a THEN 'B'
+                ELSE 'tie' END AS winner
+    FROM strat
+    UNION ALL
+    SELECT stratum, rate_a, rate_b,
+           CASE WHEN rate_a > rate_b THEN 'A'
+                WHEN rate_b > rate_a THEN 'B'
+                ELSE 'tie' END FROM overall
+    """)
+def dq_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox guard: the A/B winner computed OVERALL and
+    within every stratum, side by side — if the overall winner loses
+    in (most) strata, the aggregate is confounded by stratum mix and
+    must not be shipped as a conclusion. One scan builds the joint
+    frame; stratum and overall rates are conditional sums (partial-agg
+    friendly); the dim join broadcasts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .select(F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+                 .alias("arm"),
+                 F.col("c_mktsegment").alias("stratum"),
+                 F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+                 .alias("y")))
+
+    def rates(grouped):
+        arm_sum = lambda a: F.sum(F.when(F.col("arm") == a,
+                                         F.col("y")).otherwise(0))
+        arm_n = lambda a: F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+        return grouped.agg(
+            F.round(arm_sum("A") / arm_n("A").cast("double"), 6)
+            .alias("rate_a"),
+            F.round(arm_sum("B") / arm_n("B").cast("double"), 6)
+            .alias("rate_b"))
+
+    strat = rates(j.groupBy("stratum"))
+    overall = rates(j.groupBy(F.lit("OVERALL").alias("stratum")))
+    out = strat.unionByName(overall)
+    winner = (F.when(F.col("rate_a") > F.col("rate_b"), "A")
+              .when(F.col("rate_b") > F.col("rate_a"), "B")
+              .otherwise("tie"))
+    return out.select("stratum", "rate_a", "rate_b",
+                      winner.alias("winner"))

@@ -781,3 +781,29 @@ def f_soundex_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "name", F.soundex("name").alias("code"),
         (F.soundex("name") == F.col("expected")).alias("match_pair"))
+
+
+@register(
+    "f_printf_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('ORD-%08d', o_orderkey) AS padded_id,
+           printf('%.2f USD', round(o_totalprice, 2)) AS price_label,
+           printf('%s/%d', o_orderstatus, o_orderkey % 10) AS bucket_tag
+    FROM orders WHERE o_orderkey % 13 = 0
+    """)
+def f_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style formatting pinned across engines (Spark format_string ≙
+    DuckDB printf): zero-padded ids, fixed-decimal money labels,
+    composed tags — the display normalization layer whose %08d/%.2f
+    conventions must agree wherever two systems render the same key.
+    Map-only."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%08d", "o_orderkey").alias("padded_id"),
+        F.format_string("%.2f USD", F.round("o_totalprice", 2))
+        .alias("price_label"),
+        F.format_string("%s/%d", "o_orderstatus",
+                        F.col("o_orderkey") % 10).alias("bucket_tag"))
