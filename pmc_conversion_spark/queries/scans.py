@@ -697,3 +697,40 @@ def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (g1.unionByName(g2)
             .groupBy("generation", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    SELECT i % 7 AS bucket, count(*) AS n,
+           round(sum(round((i * 37 % 1000) / 1000.0, 6)), 4) AS score_sum
+    FROM range(0, 5000) t(i)
+    GROUP BY 1
+    """)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom source through the Python DataSource API
+    (sources/python_ds.py SyntheticTickerDataSource): engine-managed
+    dict offsets, driver-side partition planning per micro-batch,
+    Arrow-batched executor read — the full contract an in-house feed
+    implements to appear as readStream. The bounded offset range
+    drains in one micro-batch into a memory sink; the oracle replays
+    the generator closed-form. Completes the API pair with the batch
+    scan_python_datasource."""
+    import uuid
+
+    from pmc_conversion_spark.sources.python_ds import \
+        register_ticker_source
+    register_ticker_source(spark)
+    stream = spark.readStream.format("synthetic_ticker").load()
+    agg = (stream.groupBy((F.col("id") % 7).alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("score"), 4).alias("score_sum")))
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="pmc_pyds_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -18,6 +18,7 @@ amortized the same way mapInPandas is.
 from __future__ import annotations
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
                                     InputPartition)
 
 #: rows per generated partition; fixed so the layout is deterministic
@@ -56,3 +57,64 @@ class SyntheticEventsReader(DataSourceReader):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the Python DataSource API: a bounded synthetic
+# ticker. Offsets are dict payloads managed by the engine; each
+# micro-batch covers [start, end) rows. The generator is finite
+# (TICKER_ROWS), so an availableNow-style run drains it in a bounded
+# number of batches — which is what makes the stream value-oracle-able.
+# ---------------------------------------------------------------------------
+
+TICKER_ROWS = 5_000
+TICKER_BATCH = 1_000
+
+
+class SyntheticTickerDataSource(DataSource):
+    """spark.readStream.format("synthetic_ticker")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticker"
+
+    def schema(self) -> str:
+        return "id long, bucket long, score double"
+
+    def streamReader(self, schema) -> "SyntheticTickerStreamReader":
+        return SyntheticTickerStreamReader()
+
+
+class SyntheticTickerStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader contract: offset planning on the driver,
+    per-partition row iterators on executors (Arrow-batched)."""
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # the full bounded range is available at once, so a single
+        # micro-batch (availableNow included) drains the source —
+        # that bounded drain is what makes the stream value-oracle-able
+        return {"pos": TICKER_ROWS}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        step = max(1, (hi - lo + 3) // 4)
+        return [InputPartition((i, min(i + step, hi)))
+                for i in range(lo, hi, step)]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, i % 7, round((i * 37 % 1000) / 1000.0, 6))
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
+
+
+def register_ticker_source(spark) -> None:
+    spark.dataSource.register(SyntheticTickerDataSource)
