@@ -896,3 +896,57 @@ def dq_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise("tie"))
     return out.select("stratum", "rate_a", "rate_b",
                       winner.alias("winner"))
+
+
+@register(
+    "dq_auc_score",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), per_score AS (
+      SELECT s, sum(y) AS pos_at, count(*) - sum(y) AS neg_at
+      FROM labeled GROUP BY s
+    ), cum AS (
+      SELECT s, pos_at, neg_at,
+             sum(neg_at) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+               - neg_at AS neg_below
+      FROM per_score
+    ), tot AS (
+      SELECT sum(pos_at) AS p, sum(neg_at) AS n FROM per_score
+    )
+    SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
+           round(sum(2 * c.neg_below * c.pos_at + c.neg_at * c.pos_at)
+                 / (2.0 * t.p * t.n), 6) AS auc
+    FROM cum c, tot t GROUP BY t.p, t.n
+    """)
+def dq_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a ranking score against binary labels WITHOUT
+    enumerating pairs: the Mann–Whitney identity with tie handling —
+    AUC = [Σ_s neg_below(s)·pos(s) + ½·neg(s)·pos(s)] / (P·N),
+    computed from per-score counts (one groupBy) and one running sum
+    over the DISTINCT-SCORE frame (bounded by the score's domain, ~
+    hundreds of rows — never the corpus), then one exact integer
+    numerator. The evaluation primitive for every learned quality /
+    reranker score; pair-enumeration would be P·N ≈ quadratic."""
+    d = tables.load(spark, sf_dir, "documents")
+    labeled = d.select(F.col("n_chars").alias("s"),
+                       F.when(F.col("lang") == "en", 1).otherwise(0)
+                       .alias("y"))
+    per_score = (labeled.groupBy("s")
+                 .agg(F.sum("y").alias("pos_at"),
+                      (F.count(F.lit(1)) - F.sum("y")).alias("neg_at")))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_score.withColumn(
+        "neg_below", F.sum("neg_at").over(w) - F.col("neg_at"))
+    tot = per_score.agg(F.sum("pos_at").alias("p"),
+                        F.sum("neg_at").alias("n"))
+    num = F.sum(2 * F.col("neg_below") * F.col("pos_at")
+                + F.col("neg_at") * F.col("pos_at"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("p", "n")
+            .agg(F.round(num / (2.0 * F.col("p") * F.col("n")), 6)
+                 .alias("auc"))
+            .select(F.col("p").alias("n_pos"),
+                    F.col("n").alias("n_neg"), "auc"))
