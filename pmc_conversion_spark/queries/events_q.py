@@ -2045,3 +2045,60 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (running.groupBy("event_type")
             .agg(F.max("live").cast("long").alias("max_concurrent"),
                  (F.count(F.lit(1)) / 2).alias("n_intervals")))
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, count(*) AS n, sum(x) AS s
+      FROM hourly GROUP BY event_type
+    ), cs AS (
+      SELECT h.event_type, h.h, t.n, t.s,
+             row_number() OVER w AS k,
+             sum(h.x * t.n - t.s) OVER (PARTITION BY h.event_type
+                                        ORDER BY h.h
+                                        ROWS UNBOUNDED PRECEDING)
+               AS cusum_scaled
+      FROM hourly h JOIN tot t USING (event_type)
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.h)
+    )
+    SELECT event_type,
+           CAST(max(abs(cusum_scaled)) AS BIGINT) AS max_cusum_scaled,
+           CAST(9999 - max(abs(cusum_scaled) * 10000 + (9999 - k))
+                % 10000 AS BIGINT) AS changepoint_k,
+           CAST(any_value(n) AS BIGINT) AS n_buckets
+    FROM cs GROUP BY event_type
+    """)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the hourly series: the running
+    sum of deviations from the series mean peaks (in absolute value)
+    at the most likely level-shift point — the monitoring primitive
+    that catches 'volume quietly dropped 20% on Tuesday' when
+    threshold alerts miss it. Deviations are scaled by n (x·n − S) so
+    the whole statistic stays in EXACT integers; the argmax position
+    uses the packed-integer trick (earliest bucket wins ties).
+    Per-type partitioned windows; one closing aggregate."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("x"))
+              .select("event_type", F.col("w.start").alias("h"), "x"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    cs = (hourly.join(F.broadcast(tot), "event_type")
+          .withColumn("k", F.row_number().over(w))
+          .withColumn("cusum_scaled",
+                      F.sum(F.col("x") * F.col("n") - F.col("s"))
+                      .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+    packed = F.max(F.abs("cusum_scaled") * 10000
+                   + (F.lit(9999) - F.col("k")))
+    return (cs.groupBy("event_type")
+            .agg(F.max(F.abs("cusum_scaled")).alias("max_cusum_scaled"),
+                 (F.lit(9999) - packed % 10000).cast("long")
+                 .alias("changepoint_k"),
+                 F.first("n").cast("long").alias("n_buckets")))

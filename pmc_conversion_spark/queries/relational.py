@@ -2940,3 +2940,49 @@ def agg_bitwise_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.bit_or(flags).alias("flags_any"),
                  F.bit_and(flags + 256).alias("flags_all"),
                  F.bit_xor(flags).alias("flags_parity")))
+
+
+@register(
+    "agg_ab_mde",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+      FROM orders
+    ), m AS (
+      SELECT arm, count(*) AS n,
+             CAST(sum(p) AS DOUBLE) AS s,
+             CAST(sum(p * p) AS DOUBLE) AS ss
+      FROM g GROUP BY arm
+    )
+    SELECT arm, n,
+           round(s / n, 4) AS mean,
+           round(sqrt((ss - s * s / n) / (n - 1)), 4) AS stddev,
+           round((1.959964 + 0.841621)
+                 * sqrt(2 * ((ss - s * s / n) / (n - 1)) / n), 4)
+             AS mde_abs
+    FROM m
+    """)
+def agg_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha:
+    MDE = (z_{0.975}+z_{0.8})·sqrt(2·s²/n) per arm — the pre-test
+    sizing number that says whether an experiment CAN see the lift it
+    hopes for before anyone runs it. Variance from exact decimal power
+    sums; the z quantiles are shared literals (no engine erf)."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"))
+    m = (g.groupBy("arm")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("p").cast("double").alias("s"),
+              F.sum(F.col("p") * F.col("p")).cast("double").alias("ss")))
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) \
+        / (F.col("n") - 1)
+    return m.select(
+        "arm", "n",
+        F.round(F.col("s") / F.col("n"), 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("stddev"),
+        F.round((1.959964 + 0.841621)
+                * F.sqrt(2 * var / F.col("n")), 4).alias("mde_abs"))
