@@ -5252,3 +5252,42 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           / F.lit(1024.0)))
                     .cast("long").alias("lc_estimate"),
                     "true_distinct"))
+
+
+@register(
+    "dedup_lsh_s_curve_planner",
+    oracle="""
+    WITH configs AS (
+      SELECT b, 32 // b AS r
+      FROM (SELECT unnest([2, 4, 8, 16]) AS b)
+    ), js AS (SELECT unnest(range(1, 10)) / 10.0 AS j)
+    SELECT c.b AS bands, CAST(c.r AS BIGINT) AS rows_per_band,
+           round(pow(1.0 / c.b, 1.0 / c.r), 4) AS threshold_50ish,
+           round(j.j, 1) AS jaccard,
+           round(1 - pow(1 - pow(j.j, c.r), c.b), 6) AS p_candidate
+    FROM configs c, js j
+    """)
+def dedup_lsh_s_curve_planner(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The LSH S-curve planning table: for each (bands, rows) split of
+    a 32-hash MinHash signature, the candidate probability
+    1−(1−J^r)^b at J∈{0.1..0.9} plus the (1/b)^(1/r) threshold — the
+    closed form an engineer consults to pick the banding that catches
+    J≥0.8 near-dups without drowning in J≈0.3 candidates. This is the
+    planner that JUSTIFIES dedup_minhash_lsh's 8×4 choice; kept as a
+    registered query so the curve ships with the engine. Generated
+    from ranges; pow on identical rationals, pinned at rounding."""
+    b_df = spark.range(5).select(
+        F.pow(F.lit(2), F.col("id") + 1).cast("int").alias("b")) \
+        .filter(F.col("b") <= 16)
+    configs = b_df.select("b", (32 / F.col("b")).cast("int").alias("r"))
+    js = spark.range(1, 10).select((F.col("id") / 10.0).alias("j"))
+    j = configs.crossJoin(js)
+    return j.select(
+        F.col("b").alias("bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4)
+        .alias("threshold_50ish"),
+        F.round("j", 1).alias("jaccard"),
+        F.round(1 - F.pow(1 - F.pow("j", F.col("r")), F.col("b")), 6)
+        .alias("p_candidate"))

@@ -2986,3 +2986,47 @@ def agg_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 4).alias("stddev"),
         F.round((1.959964 + 0.841621)
                 * F.sqrt(2 * var / F.col("n")), 4).alias("mde_abs"))
+
+
+@register(
+    "cdc_diff_snapshots",
+    oracle="""
+    WITH s1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+      WHERE o_orderkey % 11 <> 0
+    ), s2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS v
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(s1.k, s2.k) AS k,
+           CASE WHEN s1.k IS NULL THEN 'I'
+                WHEN s2.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           s1.v AS old_v, s2.v AS new_v
+    FROM s1 FULL JOIN s2 ON s1.k = s2.k
+    WHERE s1.k IS NULL OR s2.k IS NULL OR s1.v <> s2.v
+    """)
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE a change stream from two table snapshots — the inverse
+    of cdc_merge_apply (which consumes one): a keyed FULL OUTER join
+    classifies every key as Insert (new side only), Delete (old side
+    only) or Update (both, values differ); unchanged rows are filtered
+    OUT, which is the property that makes snapshot-diff CDC cheap to
+    ship — the emitted stream is change-sized, not table-sized. One
+    co-partitioned shuffle on the key."""
+    o = tables.load(spark, sf_dir, "orders")
+    s1 = (o.filter(F.col("o_orderkey") % 11 != 0)
+          .select(F.col("o_orderkey").alias("k"),
+                  F.col("o_orderstatus").alias("old_v")))
+    s2 = (o.filter(F.col("o_orderkey") % 13 != 0)
+          .select(F.col("o_orderkey").alias("k"),
+                  F.when(F.col("o_orderkey") % 7 == 0, "X")
+                  .otherwise(F.col("o_orderstatus")).alias("new_v")))
+    j = s1.join(s2, "k", "full_outer")
+    op = (F.when(F.col("old_v").isNull(), "I")
+          .when(F.col("new_v").isNull(), "D").otherwise("U"))
+    return (j.filter(F.col("old_v").isNull() | F.col("new_v").isNull()
+                     | (F.col("old_v") != F.col("new_v")))
+            .select("k", op.alias("op"), "old_v", "new_v"))
