@@ -3030,3 +3030,53 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.filter(F.col("old_v").isNull() | F.col("new_v").isNull()
                      | (F.col("old_v") != F.col("new_v")))
             .select("k", op.alias("op"), "old_v", "new_v"))
+
+
+@register(
+    "join_role_playing_dim",
+    oracle="""
+    WITH cal AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+             year(CAST(o_orderdate AS DATE)) AS y,
+             quarter(CAST(o_orderdate AS DATE)) AS q
+      FROM orders
+    ), li AS (
+      SELECT CAST(l.l_shipdate AS DATE) AS ship_d,
+             CAST(o.o_orderdate AS DATE) AS ord_d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_orderkey % 5 = 0
+    )
+    SELECT s.y AS ship_year, s.q AS ship_quarter,
+           r.y AS ord_year, r.q AS ord_quarter,
+           count(*) AS n
+    FROM li JOIN cal s ON s.d = li.ship_d
+            JOIN cal r ON r.d = li.ord_d
+    GROUP BY 1, 2, 3, 4
+    """)
+def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension: ONE calendar dim joined twice under two
+    roles (ship date, receipt date) — the star-schema idiom that keeps
+    a single conformed calendar instead of N date copies. Both roles
+    broadcast the same small dim; Catalyst reuses the broadcast
+    exchange across the two joins (one build, two probes), which is
+    the plan-level payoff of conforming the dimension."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = (tables.load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 5 == 0)
+          .join(o.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select(F.to_date("l_shipdate").alias("ship_d"),
+                  F.to_date("o_orderdate").alias("ord_d")))
+    cal = (o.select(F.to_date("o_orderdate").alias("d")).distinct()
+           .select("d", F.year("d").alias("y"), F.quarter("d").alias("q")))
+    s = cal.select(F.col("d").alias("ship_d"),
+                   F.col("y").alias("ship_year"),
+                   F.col("q").alias("ship_quarter"))
+    r = cal.select(F.col("d").alias("ord_d"),
+                   F.col("y").alias("ord_year"),
+                   F.col("q").alias("ord_quarter"))
+    return (li.join(F.broadcast(s), "ship_d")
+            .join(F.broadcast(r), "ord_d")
+            .groupBy("ship_year", "ship_quarter",
+                     "ord_year", "ord_quarter")
+            .agg(F.count(F.lit(1)).alias("n")))
