@@ -86,5 +86,6 @@ def _load_modules() -> None:
         storage,
         quality,
         analytics,
+        olap_sql,
     )
     _LOADED = True

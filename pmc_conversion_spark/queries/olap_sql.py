@@ -1,0 +1,485 @@
+"""Registry: the remaining TPC-H query shapes, one text for two engines.
+
+The reference's analytic surface is batch SQL over a star schema
+(``luigi-pipeline/main.py`` drives staging tables that downstream
+tranSMART SQL queries consume); SURVEY §2 therefore counts the classic
+decision-support query shapes as required coverage. Rounds 1-4 landed
+Q1/Q3/Q4/Q5/Q8/Q12/Q15/Q18; this module completes the family with the
+remaining shapes — Q2 (correlated min-cost lookup), Q6 (pure
+filter+agg), Q7 (bi-directional nation pairing), Q9 (profit with a
+negative term), Q10 (returned-item top-k), Q11 (global-fraction
+HAVING), Q13 (outer-join count distribution), Q14 (conditional share),
+Q16 (NOT IN + count distinct), Q17 (correlated avg threshold), Q19
+(OR-of-ANDs join predicate), Q20 (nested semi-join), Q21
+(EXISTS/NOT EXISTS multi-self-join), Q22 (scalar-avg anti-join).
+
+The driver testdata is a REDUCED TPC-H (no partsupp, no comment/phone/
+address/commitdate columns), so partsupp-dependent shapes derive their
+supply relation from lineitem (supply cost = min unit price observed;
+stock value = shipped quantity x retail price) and text predicates use
+the columns that exist. The SHAPE — and therefore the Catalyst plan
+family being exercised (decorrelation, semi/anti joins, scalar
+subqueries, disjunctive pushdown) — is preserved.
+
+Determinism policy (same as queries/quality.py): every float-summing
+aggregate runs over ``DECIMAL(18,2)`` casts so partial aggregation is
+order-insensitive and exact on both engines; doubles appear only in a
+final handful of ops, rounded at the output boundary. min/avg over
+integer-valued doubles are exact as-is. Identical SQL text runs on
+Spark and DuckDB, so the oracle is the query itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pmc_conversion_spark import tables
+from pmc_conversion_spark.queries import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    tables.register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+_VOL = ("CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l.l_discount AS DECIMAL(18,2)))")
+
+
+# --------------------------------------------------------------- Q6
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_forecast_revenue", oracle=_FORECAST_REVENUE_SQL)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped pure-SQL entry: the what-if revenue delta of dropping
+    small discounts — a SINGLE-table filter+agg whose entire cost is
+    the scan, which makes it the predicate-pushdown benchmark: all
+    three filters (date range, discount band, quantity cap) reach the
+    parquet reader as PushedFilters, and the aggregate partial-combines
+    map-side so the exchange carries one row per task. Decimal products
+    keep the sum exact on both engines."""
+    return _sql(spark, sf_dir, _FORECAST_REVENUE_SQL)
+
+
+# --------------------------------------------------------------- Q7
+_VOLUME_SHIPPING_SQL = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       EXTRACT(year FROM l.l_shipdate) AS l_year,
+       CAST(SUM({_VOL}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey  = l.l_orderkey
+JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+JOIN customer c  ON c.c_custkey   = o.o_custkey
+JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+@register("sql_volume_shipping", oracle=_VOLUME_SHIPPING_SQL)
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped pure-SQL entry: trade volume between two nations in
+    BOTH directions — the nation dimension joins twice under different
+    roles and the symmetric disjunction over the pair can't be pushed
+    into either single join, so the optimizer must keep it as a join
+    filter while still broadcasting both tiny nation sides. Yearly
+    decimal revenue; lineitem shuffles once into the 3-key agg."""
+    return _sql(spark, sf_dir, _VOLUME_SHIPPING_SQL)
+
+
+# --------------------------------------------------------------- Q9
+_PRODUCT_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM o.o_orderdate) AS o_year,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                      - CAST(0.6 AS DECIMAL(2,1))
+                        * CAST(p.p_retailprice AS DECIMAL(12,2))
+                        * CAST(l.l_quantity AS DECIMAL(4,0)))
+                  AS DOUBLE), 2) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey  = l.l_partkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+@register("sql_product_profit", oracle=_PRODUCT_PROFIT_SQL)
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped pure-SQL entry: profit per supplier-nation per year
+    for one product family — revenue MINUS a cost term (supply cost
+    modeled as 60% of retail price, the partsupp-free adaptation), so
+    the summand can go negative and the aggregate can't be reordered
+    into separate positive sums without the decimal exactness this
+    text pins. The %gear% infix predicate is non-sargable — it filters
+    after the part scan, and Catalyst still prunes part to the two
+    columns used. Five tables, one lineitem shuffle."""
+    return _sql(spark, sf_dir, _PRODUCT_PROFIT_SQL)
+
+
+# --------------------------------------------------------------- Q10
+_RETURNED_ITEMS_SQL = f"""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         SUM({_VOL}) AS revenue_x
+  FROM customer c
+  JOIN orders o   ON o.o_custkey  = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+SELECT c_custkey, c_name, CAST(revenue_x AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM rev
+ORDER BY revenue_x DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_returned_items", oracle=_RETURNED_ITEMS_SQL)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped pure-SQL entry: the quarter's top-20 customers by
+    RETURNED revenue — the support-ticket triage query. Group on the
+    full customer tuple (no re-join needed after the agg), then a
+    global top-k that Spark plans as TakeOrderedAndProject: each
+    partition ships only its local top 20, never the full grouped
+    frame. Ordering on the EXACT decimal revenue with a custkey
+    tie-break makes the cut deterministic on both engines; the double
+    appears only in the projected output."""
+    return _sql(spark, sf_dir, _RETURNED_ITEMS_SQL)
+
+
+# --------------------------------------------------------------- Q11
+_IMPORTANT_STOCK_SQL = """
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(4,0))
+             * CAST(p.p_retailprice AS DECIMAL(12,2))) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN part p     ON p.p_partkey  = l.l_partkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT partkey, CAST(v AS DOUBLE) AS value
+FROM val
+WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+"""
+
+
+@register("sql_important_stock", oracle=_IMPORTANT_STOCK_SQL)
+def sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped pure-SQL entry: parts whose stock value (shipped
+    quantity x retail price through one nation's suppliers — the
+    partsupp-free adaptation) exceeds a FRACTION OF THE GLOBAL TOTAL.
+    The scalar subquery over the same CTE is the shape that punishes
+    naive engines with a rescan; Catalyst evaluates the CTE once per
+    reference but the threshold side collapses to a one-row broadcast,
+    so the filter is a map-side compare, not a join. Decimal values
+    make the > boundary partitioning-independent."""
+    return _sql(spark, sf_dir, _IMPORTANT_STOCK_SQL)
+
+
+# --------------------------------------------------------------- Q13
+_CUST_DISTRIBUTION_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("sql_cust_distribution", oracle=_CUST_DISTRIBUTION_SQL)
+def sql_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped pure-SQL entry: the distribution of customers by
+    order count INCLUDING the zero bucket — which forces a LEFT OUTER
+    join with the filter in the JOIN CONDITION (in WHERE it would
+    silently delete the zero-order customers: the classic outer-join
+    bug this query exists to catch). COUNT(column) counting only
+    matched rows is the second semantic pin. Two cascaded aggregates,
+    each partial-combining; the histogram is at most a few dozen
+    rows."""
+    return _sql(spark, sf_dir, _CUST_DISTRIBUTION_SQL)
+
+
+# --------------------------------------------------------------- Q14
+_PROMO_EFFECT_SQL = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN {_VOL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_VOL}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("sql_promo_effect", oracle=_PROMO_EFFECT_SQL)
+def sql_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped pure-SQL entry: the month's PROMO share of revenue —
+    a conditional-sum ratio computed in ONE pass (never two queries
+    diffed): both sums ride the same scan and partial-agg, the CASE
+    costs nothing JVM-side, and the division happens once on exact
+    decimal totals. The date range prunes lineitem at the reader."""
+    return _sql(spark, sf_dir, _PROMO_EFFECT_SQL)
+
+
+# --------------------------------------------------------------- Q16
+_PARTS_SUPPLIER_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p.p_size IN (1, 4, 7, 14, 23, 36, 45, 50)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("sql_parts_supplier", oracle=_PARTS_SUPPLIER_SQL)
+def sql_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped pure-SQL entry: how many distinct suppliers can ship
+    each surviving (brand, type, size) — supplier diversity for the
+    sourcing team. NOT IN over a non-nullable key column plans as a
+    broadcast anti-join (no null-trap here; the trap variant is
+    registered separately as sql_not_in_null_trap), and COUNT(DISTINCT)
+    expands to a two-phase aggregate so the distinct set never
+    concentrates on one node. All part predicates prune before the
+    fact join."""
+    return _sql(spark, sf_dir, _PARTS_SUPPLIER_SQL)
+
+
+# --------------------------------------------------------------- Q17
+_SMALL_QTY_REVENUE_SQL = """
+SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("sql_small_qty_revenue", oracle=_SMALL_QTY_REVENUE_SQL)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped pure-SQL entry: revenue locked in small-quantity
+    orders of one brand — the CORRELATED AVERAGE threshold. Catalyst
+    decorrelates the per-part average into an aggregate + join instead
+    of re-running it per row (the O(N·M) -> O(N+M) rewrite this shape
+    exists to verify). Quantities are integer-valued doubles, so the
+    average is exact under any summation order; the revenue sum is
+    decimal; one double division at the boundary."""
+    return _sql(spark, sf_dir, _SMALL_QTY_REVENUE_SQL)
+
+
+# --------------------------------------------------------------- Q19
+_DISJUNCT_REVENUE_SQL = f"""
+SELECT CAST(SUM({_VOL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("sql_disjunct_revenue", oracle=_DISJUNCT_REVENUE_SQL)
+def sql_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped pure-SQL entry: revenue under an OR-of-ANDs mixing
+    columns from BOTH join sides — the disjunctive-predicate planning
+    test. A good optimizer derives the IMPLIED single-side filters
+    (p_brand IN (...) AND p_size <= 15; l_quantity <= 30) and pushes
+    them below the join so neither side scans full, while the exact
+    disjunction stays as a post-join filter; Catalyst's constraint
+    propagation does exactly this (visible as PushedFilters on both
+    scans). Decimal revenue, one row out."""
+    return _sql(spark, sf_dir, _DISJUNCT_REVENUE_SQL)
+
+
+# --------------------------------------------------------------- Q20
+_PROMO_CANDIDATES_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'blue%'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(l.l_quantity) > 100
+)
+"""
+
+
+@register("sql_promo_candidates", oracle=_PROMO_CANDIDATES_SQL)
+def sql_promo_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped pure-SQL entry: suppliers who moved real volume of
+    the promoted family (>100 units of some blue part) — an IN
+    subquery whose inner side is itself a join + grouped HAVING.
+    Plans as aggregate -> distinct suppkeys -> LEFT SEMI join into
+    supplier: the supplier table is never multiplied by its lineitem
+    fan-out, which is the entire point of semi-join planning at scale.
+    The 'blue%' prefix LIKE is sargable and prunes part first."""
+    return _sql(spark, sf_dir, _PROMO_CANDIDATES_SQL)
+
+
+# --------------------------------------------------------------- Q21
+_WAITING_SUPPLIERS_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+           AS n_late_supp
+  FROM late
+  GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+JOIN supplier s   ON s.s_suppkey   = l1.l_suppkey
+WHERE l1.is_late = 1
+  AND po.n_supp > 1
+  AND po.n_late_supp = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register("sql_waiting_suppliers", oracle=_WAITING_SUPPLIERS_SQL)
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped pure-SQL entry: suppliers SOLELY responsible for
+    late multi-supplier orders ('late' = shipped >90 days after order
+    date — the commitdate-free adaptation). The textbook form is a
+    double EXISTS / NOT EXISTS self-join on lineitem; this text is the
+    scale-correct REWRITE of that same semantics: one pass computes
+    per-order supplier and late-supplier counts, and the two EXISTS
+    become cheap integer predicates on the re-join — O(lineitem)
+    instead of two extra self-joins. Deterministic top-20 via the
+    exact count with a name tie-break."""
+    return _sql(spark, sf_dir, _WAITING_SUPPLIERS_SQL)
+
+
+# --------------------------------------------------------------- Q22
+_GLOBAL_SALES_OPP_SQL = """
+WITH pool AS (
+  SELECT c_custkey, c_custkey % 7 AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE c_custkey % 7 IN (0, 1, 2)
+), thresh AS (
+  SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM pool
+  WHERE bal > 0
+)
+SELECT p.cntrycode, COUNT(*) AS numcust,
+       round(CAST(SUM(p.bal) AS DOUBLE), 2) AS totacctbal
+FROM pool p, thresh t
+WHERE p.bal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderdate >=
+                        TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY p.cntrycode
+"""
+
+
+@register("sql_global_sales_opp", oracle=_GLOBAL_SALES_OPP_SQL)
+def sql_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped pure-SQL entry: rich customers with no RECENT order
+    (nothing since 1999), bucketed by country code (custkey mod 7 —
+    the phone-prefix-free adaptation). Three planning shapes in one text: a scalar-average
+    subquery (one-row broadcast, computed from an EXACT decimal sum so
+    the > boundary can't flip with partitioning), a NOT EXISTS that
+    plans as a LEFT ANTI join against orders, and a final grouped
+    decimal sum. The anti-join probes only the filtered pool, not all
+    of customer."""
+    return _sql(spark, sf_dir, _GLOBAL_SALES_OPP_SQL)
+
+
+# --------------------------------------------------------------- Q2
+_MIN_COST_SUPPLIER_SQL = """
+WITH uc AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name,
+       round(u.cost, 4) AS cost
+FROM part p
+JOIN uc u ON u.partkey  = p.p_partkey
+JOIN eu e ON e.s_suppkey = u.suppkey
+WHERE p.p_size BETWEEN 10 AND 30 AND p.p_type = 'LARGE'
+  AND u.cost = (SELECT MIN(u2.cost)
+                FROM uc u2
+                JOIN eu e2 ON e2.s_suppkey = u2.suppkey
+                WHERE u2.partkey = p.p_partkey)
+"""
+
+
+@register("sql_min_cost_supplier", oracle=_MIN_COST_SUPPLIER_SQL)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped pure-SQL entry: for each qualifying part, the
+    EUROPEAN supplier offering it cheapest (supply cost = best unit
+    price observed in lineitem — the partsupp-free adaptation). The
+    correlated MIN subquery is the canonical decorrelation test:
+    Catalyst rewrites it to a per-part min aggregate joined back, so
+    the 'cheapest per group' lookup costs one extra agg+join, not a
+    per-row rescan. MIN over identical IEEE doubles is
+    order-insensitive, so the equality match is engine-stable;
+    rounding happens only in the projection."""
+    return _sql(spark, sf_dir, _MIN_COST_SUPPLIER_SQL)
