@@ -2102,3 +2102,112 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.lit(9999) - packed % 10000).cast("long")
                  .alias("changepoint_k"),
                  F.first("n").cast("long").alias("n_buckets")))
+
+
+@register(
+    "agg_attribution_touch",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.event_type IN ('click', 'view') AND e.ts < c.conv_ts
+    ),
+    ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn_last
+      FROM touches
+    ),
+    ft AS (SELECT user_id, event_type AS first_touch
+           FROM ranked WHERE rn_first = 1),
+    lt AS (SELECT user_id, event_type AS last_touch
+           FROM ranked WHERE rn_last = 1)
+    SELECT coalesce(f.first_touch, 'none') AS first_touch,
+           coalesce(l.last_touch, 'none') AS last_touch,
+           count(*) AS n_users
+    FROM conv c
+    LEFT JOIN ft f ON f.user_id = c.user_id
+    LEFT JOIN lt l ON l.user_id = c.user_id
+    GROUP BY 1, 2
+    """)
+def agg_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    converting user (first 'purchase'), which touch type (click/view)
+    opened the path and which closed it — the marketing-credit query
+    every growth team runs, and a two-window pattern (ascending and
+    descending row_number over the same per-user sort) that costs ONE
+    shuffle+sort because both windows share the partitioning. Users
+    who convert with no prior touch surface as 'none' via the outer
+    joins instead of silently dropping. Ties on timestamp break on
+    the unique event_id, so attribution is deterministic under any
+    partitioning."""
+    e = _events(spark, sf_dir)
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id").agg(F.min("ts").alias("conv_ts")))
+    touches = (e.join(conv, "user_id")
+               .filter(F.col("event_type").isin("click", "view")
+                       & (F.col("ts") < F.col("conv_ts")))
+               .select("user_id", "ts", "event_id", "event_type"))
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = touches.select(
+        "user_id", "event_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"))
+    ft = (ranked.filter(F.col("rn_first") == 1)
+          .select("user_id", F.col("event_type").alias("first_touch")))
+    lt = (ranked.filter(F.col("rn_last") == 1)
+          .select("user_id", F.col("event_type").alias("last_touch")))
+    return (conv.join(ft, "user_id", "left").join(lt, "user_id", "left")
+            .groupBy(F.coalesce("first_touch", F.lit("none"))
+                     .alias("first_touch"),
+                     F.coalesce("last_touch", F.lit("none"))
+                     .alias("last_touch"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register(
+    "stream_chained_windows",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 day', h) AS d, event_type,
+           max(n) AS peak_hourly,
+           count(*) AS active_hours,
+           CAST(sum(n) AS BIGINT) AS total
+    FROM hourly GROUP BY 1, 2
+    """)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained event-time window aggregations: hourly counts per event
+    type re-windowed into daily peak / active-hour / total rollups —
+    the two-level cascade Spark 4's multiple-stateful-operator support
+    runs as ONE streaming query (window-on-window, each level with its
+    own watermark-tracked state; pre-Spark-3.4 this required two jobs
+    and an intermediate sink). Registered on the batch-equivalent
+    frame (identical results for complete data); the cascade shape —
+    second groupBy keyed on the first window's START, integer-only
+    aggregates — is exactly what the streaming form executes. The
+    hourly level partial-aggregates map-side, so the daily level sees
+    at most 24 rows per (day, type)."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("h"), "event_type", "n"))
+    return (hourly.groupBy(F.window("h", "1 day").alias("w"), "event_type")
+            .agg(F.max("n").alias("peak_hourly"),
+                 F.count(F.lit(1)).alias("active_hours"),
+                 F.sum("n").alias("total"))
+            .select(F.col("w.start").alias("d"), "event_type",
+                    "peak_hourly", "active_hours", "total"))

@@ -5291,3 +5291,235 @@ def dedup_lsh_s_curve_planner(spark: SparkSession,
         F.round("j", 1).alias("jaccard"),
         F.round(1 - F.pow(1 - F.pow("j", F.col("r")), F.col("b")), 6)
         .alias("p_candidate"))
+
+
+# ----------------------------------------------- retrieval scoring v2
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    per_term = " + ".join(
+        f"coalesce(s_{t}, 0.0)" for t in _BM25_TERMS)
+    per_term_cols = ",\n           ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN score END) AS s_{t}"
+        for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    dfq AS (SELECT tok, count(*) AS df FROM tf
+            WHERE tok IN ({terms}) GROUP BY tok),
+    per AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               AS score
+      FROM tf
+      JOIN dfq USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+    ),
+    wide AS (
+      SELECT doc_id,
+           count(*) AS n_terms_hit,
+           {per_term_cols}
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, round({per_term}, 6) AS bm25
+    FROM wide
+    ORDER BY round({per_term}, 6) DESC, doc_id
+    LIMIT 50
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_sql())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term set — the
+    lexical retrieval scorer production search stacks actually run
+    (TF-IDF's saturating, length-normalized successor). One explode
+    builds (doc, term) counts and doc lengths in two partial aggs;
+    document frequencies for the 3 query terms and the (N, avgdl)
+    stats are one-row/tiny broadcasts, so scoring is map-side against
+    the tf frame — document text is read once and never shuffled, and
+    the top-50 plans as TakeOrdered. Determinism: per-term scores are
+    conditional single-element sums (never a multi-float fold), the
+    3-term total is one fixed-order left-assoc addition, avgdl comes
+    from an exact integer sum, and ranking happens on the ROUNDED
+    score with a doc_id tie-break so both engines cut rank 50
+    identically."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id",
+                 F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    dfq = (tf.filter(F.col("tok").isin(*_BM25_TERMS))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    per = (tf.join(F.broadcast(dfq), "tok")
+           .join(dl, "doc_id")
+           .crossJoin(F.broadcast(stats))
+           .select(
+               "doc_id", "tok",
+               (F.log((F.col("n") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (_BM25_K1 + 1)
+                / (F.col("tf") + _BM25_K1
+                   * (1 - _BM25_B
+                      + _BM25_B * F.col("dl") / F.col("avgdl"))))
+               .alias("score")))
+    wide = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        *[F.sum(F.when(F.col("tok") == t, F.col("score")))
+          .alias(f"s_{t}") for t in _BM25_TERMS])
+    total = None
+    for t_ in _BM25_TERMS:
+        term = F.coalesce(F.col(f"s_{t_}"), F.lit(0.0))
+        total = term if total is None else total + term
+    scored = wide.select("doc_id", "n_terms_hit",
+                         F.round(total, 6).alias("bm25"))
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+
+
+@register(
+    "text_chi2_feature_select",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, pos, unnest({_TOKS}) AS tok FROM lab),
+    per_tok AS (
+      SELECT tok,
+             sum(pos) AS a,
+             sum(1 - pos) AS b
+      FROM t GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS DOUBLE) AS tot_pos,
+             CAST(sum(b) AS DOUBLE) AS tot_neg
+      FROM per_tok
+    )
+    SELECT tok, a AS n_en, b AS n_other, round(chi2, 6) AS chi2
+    FROM (
+      SELECT tok, a, b,
+             (tot_pos + tot_neg)
+               * pow(a * (tot_neg - b) - b * (tot_pos - a), 2)
+               / ((a + b) * (tot_pos + tot_neg - a - b)
+                  * tot_pos * tot_neg) AS chi2
+      FROM per_tok, tot
+      WHERE (a + b) < (tot_pos + tot_neg))
+    ORDER BY round(chi2, 6) DESC, tok
+    LIMIT 20
+    """)
+def text_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: which tokens are most associated
+    with English vs non-English documents — the classic filter for
+    building language / quality classifiers over a crawl, and a
+    contamination detector (a token that should be language-neutral
+    scoring high is a data bug). Observations are token OCCURRENCES
+    (the 2x2 contingency per token: occurrences in en / other vs all
+    remaining occurrences), so the statistic is defined even when the
+    small synthetic vocabulary appears in nearly every document. One
+    explode -> per-token conditional counts (partial-agg, 8-byte
+    keys); totals are a one-row broadcast; chi2 is a double formula
+    over exact integer-valued inputs, ranked on the rounded value with
+    a token tie-break. Tokens present in every slot (a+b = total) are
+    excluded (zero denominator, zero information)."""
+    d = _docs(spark, sf_dir)
+    lab = d.select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"))
+    t = lab.select(
+        "pos", F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
+    per_tok = t.groupBy("tok").agg(
+        F.sum("pos").alias("a"),
+        F.sum(1 - F.col("pos")).alias("b"))
+    tot = per_tok.agg(
+        F.sum("a").cast("double").alias("tot_pos"),
+        F.sum("b").cast("double").alias("tot_neg"))
+    j = per_tok.crossJoin(F.broadcast(tot))
+    chi2 = ((F.col("tot_pos") + F.col("tot_neg"))
+            * F.pow(F.col("a") * (F.col("tot_neg") - F.col("b"))
+                    - F.col("b") * (F.col("tot_pos") - F.col("a")), 2)
+            / ((F.col("a") + F.col("b"))
+               * (F.col("tot_pos") + F.col("tot_neg")
+                  - F.col("a") - F.col("b"))
+               * F.col("tot_pos") * F.col("tot_neg")))
+    out = (j.filter((F.col("a") + F.col("b"))
+                    < (F.col("tot_pos") + F.col("tot_neg")))
+           .select(F.col("tok"), F.col("a").alias("n_en"),
+                   F.col("b").alias("n_other"),
+                   F.round(chi2, 6).alias("chi2")))
+    return out.orderBy(F.col("chi2").desc(), "tok").limit(20)
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+    WITH exact_k AS ({_topk_bruteforce_body()}),
+    ivf_k AS ({_topk_ivf_sql()})
+    SELECT e.query_id,
+           count(i.neighbor_id) AS n_hit,
+           round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM exact_k e
+    LEFT JOIN ivf_k i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+def _topk_bruteforce_body() -> str:
+    """The sim_topk_bruteforce oracle text, reusable as a CTE body."""
+    return """
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rank <= 5
+    """
+
+
+@register("sim_ivf_recall_eval", oracle=_ivf_recall_sql())
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN path against the exact brute-force
+    baseline, per query — the self-measurement that turns 'we have an
+    approximate index' into 'we know what it costs in recall' (the
+    MinHash twin is dedup_minhash_eval_report). Runs BOTH registered
+    plans — broadcast exact scan and multiprobe cell join — on the
+    same 10 queries and counts the overlap of the two rounded-ranked
+    top-5 sets; both sides are deterministic, so the DuckDB oracle
+    replays index, probe, rank, and intersection exactly. At corpus
+    scale the exact side runs on a SAMPLED query panel (as here: 10
+    queries), which is the standard way to price ANN recall without
+    an O(N²) pass."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ex = SIM.topk_bruteforce(queries, emb, k=5, round_digits=6)
+    iv = SIM.topk_ivf(queries, emb, k=5, n_planes=4, dim=64, width=0.25)
+    hits = (ex.alias("e")
+            .join(iv.alias("i"),
+                  (F.col("e.query_id") == F.col("i.query_id"))
+                  & (F.col("e.neighbor_id") == F.col("i.neighbor_id")),
+                  "left")
+            .groupBy(F.col("e.query_id").alias("query_id"))
+            .agg(F.count(F.col("i.neighbor_id")).alias("n_hit")))
+    return hits.select(
+        "query_id", "n_hit",
+        F.round(F.col("n_hit") / 5.0, 4).alias("recall_at_5"))
