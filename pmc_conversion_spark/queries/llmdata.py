@@ -5523,3 +5523,122 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", "n_hit",
         F.round(F.col("n_hit") / 5.0, 4).alias("recall_at_5"))
+
+
+def _ndcg_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    dfq AS (SELECT tok, count(*) AS df FROM tf
+            WHERE tok IN ({terms}) GROUP BY tok),
+    per AS (
+      SELECT tf.doc_id, tf.tok,
+             least(tf.tf, 3) AS rel,
+             round(ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1}
+                      * (1 - {_BM25_B}
+                         + {_BM25_B} * dl.dl / s.avgdl)), 6) AS score
+      FROM tf
+      JOIN dfq USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+    ),
+    ranked AS (
+      SELECT tok, rel,
+             ROW_NUMBER() OVER (PARTITION BY tok
+                 ORDER BY score DESC, doc_id) AS rnk,
+             ROW_NUMBER() OVER (PARTITION BY tok
+                 ORDER BY rel DESC, doc_id) AS ideal_rnk
+      FROM per
+    ),
+    dcg AS (
+      SELECT tok,
+             list_reduce(list((pow(2, rel) - 1) * ln(2) / ln(rnk + 1)
+                              ORDER BY rnk), (acc, x) -> acc + x) AS dcg
+      FROM ranked WHERE rnk <= 10 GROUP BY tok
+    ),
+    idcg AS (
+      SELECT tok,
+             list_reduce(list((pow(2, rel) - 1) * ln(2)
+                              / ln(ideal_rnk + 1)
+                              ORDER BY ideal_rnk),
+                         (acc, x) -> acc + x) AS idcg
+      FROM ranked WHERE ideal_rnk <= 10 GROUP BY tok
+    )
+    SELECT d.tok AS term, round(d.dcg, 6) AS dcg_at_10,
+           round(i.idcg, 6) AS idcg_at_10,
+           round(d.dcg / i.idcg, 6) AS ndcg_at_10
+    FROM dcg d JOIN idcg i ON i.tok = d.tok
+    """
+
+
+@register("agg_ndcg_eval", oracle=_ndcg_sql())
+def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded term-frequency
+    relevance (rel = min(tf,3)) — the position-discounted ranking
+    metric that completes the eval suite (AUC grades classifiers,
+    recall@k grades ANN, NDCG grades RANKERS). Why BM25 doesn't score
+    1.0: its length normalization reorders docs away from the pure-tf
+    ideal, and that gap is exactly what the metric prices. Scale
+    shape: per-term rankings are windows PARTITIONED by term (never a
+    global sort), rank<=10 cuts before any float work, and each DCG is
+    a SEQUENTIAL fold over the <=10 collected gains (sort_array then
+    left-fold aggregate), so the float sum has one fixed association
+    order on both engines — the ts_ewma pattern applied to ranking
+    evaluation."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id",
+                 F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    dfq = (tf.filter(F.col("tok").isin(*_BM25_TERMS))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    per = (tf.join(F.broadcast(dfq), "tok")
+           .join(dl, "doc_id")
+           .crossJoin(F.broadcast(stats))
+           .select(
+               "doc_id", "tok",
+               F.least(F.col("tf"), F.lit(3)).alias("rel"),
+               F.round(
+                   F.log((F.col("n") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5) + 1)
+                   * F.col("tf") * (_BM25_K1 + 1)
+                   / (F.col("tf") + _BM25_K1
+                      * (1 - _BM25_B
+                         + _BM25_B * F.col("dl") / F.col("avgdl"))), 6)
+               .alias("score")))
+    w_rank = Window.partitionBy("tok").orderBy(
+        F.col("score").desc(), "doc_id")
+    w_ideal = Window.partitionBy("tok").orderBy(
+        F.col("rel").desc(), "doc_id")
+    ranked = per.select(
+        "tok", "rel",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.row_number().over(w_ideal).alias("ideal_rnk"))
+
+    def _fold_gain(rank_col: str) -> F.Column:
+        gain = ((F.pow(F.lit(2), F.col("rel")) - 1) * F.log(F.lit(2.0))
+                / F.log(F.col(rank_col) + 1))
+        pairs = F.sort_array(F.collect_list(
+            F.struct(F.col(rank_col).alias("r"), gain.alias("g"))))
+        return F.aggregate(F.transform(pairs, lambda x: x.g),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    dcg = (ranked.filter(F.col("rnk") <= 10).groupBy("tok")
+           .agg(_fold_gain("rnk").alias("dcg")))
+    idcg = (ranked.filter(F.col("ideal_rnk") <= 10).groupBy("tok")
+            .agg(_fold_gain("ideal_rnk").alias("idcg")))
+    return (dcg.join(idcg, "tok")
+            .select(F.col("tok").alias("term"),
+                    F.round("dcg", 6).alias("dcg_at_10"),
+                    F.round("idcg", 6).alias("idcg_at_10"),
+                    F.round(F.col("dcg") / F.col("idcg"), 6)
+                    .alias("ndcg_at_10")))

@@ -483,3 +483,25 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive, so the equality match is engine-stable;
     rounding happens only in the projection."""
     return _sql(spark, sf_dir, _MIN_COST_SUPPLIER_SQL)
+
+
+# ------------------------------------------------ deterministic output
+_ORDER_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_order_by_all", oracle=_ORDER_BY_ALL_SQL)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the deterministic-report idiom
+    (every non-aggregate column groups, every output column orders)
+    added in Spark 4 and long native in DuckDB, so ONE text runs on
+    both engines. ORDER BY ALL makes the output a total order without
+    naming columns — the property that turns a report query into a
+    diffable artifact. The sort is a tiny post-agg exchange (status x
+    priority = 15 groups), so 'deterministic' costs nothing here."""
+    return _sql(spark, sf_dir, _ORDER_BY_ALL_SQL)

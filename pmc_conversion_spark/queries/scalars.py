@@ -807,3 +807,87 @@ def f_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_label"),
         F.format_string("%s/%d", "o_orderstatus",
                         F.col("o_orderkey") % 10).alias("bucket_tag"))
+
+
+@register(
+    "f_array_hof",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS toks
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+           CASE WHEN len(toks) = 0 THEN 0
+                ELSE list_reduce(list_transform(toks, x -> length(x)),
+                                 (acc, x) -> acc + x) END AS total_chars,
+           list_contains(toks, 'spark') AS has_spark,
+           len(list_filter(toks,
+               x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS all_alpha,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',')
+             AS first3_sorted
+    FROM t
+    """)
+def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function surface exported as one entry:
+    transform (per-element map), filter (predicate subset), a
+    left-fold aggregate (sequential, so the integer total is
+    order-identical on both engines), exists-membership, a forall
+    expressed as an empty-violations filter, and sorted-distinct
+    slicing. HOFs run INSIDE the JVM row — no explode, no shuffle, no
+    Python — which is why array columns are the right carrier for
+    per-document token data at 100 TB: the alternative explode/groupBy
+    costs a shuffle per derived statistic."""
+    d = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0)
+    from pmc_conversion_spark.functions.text import ws_tokens
+    t = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(F.transform("toks", lambda x: F.length(x)),
+                    F.lit(0), lambda acc, x: acc + x).alias("total_chars"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        (F.size(F.filter("toks",
+                         lambda x: ~x.rlike("^[a-z]+$"))) == 0)
+        .alias("all_alpha"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct("toks")), 1, 3),
+                     ",").alias("first3_sorted"))
+
+
+@register(
+    "f_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                 ELSE o_totalprice / (o_orderkey % 5) END, 4) AS safe_div,
+           CAST(CASE WHEN o_orderkey = 0
+                THEN 9223372036854775807 END AS BIGINT) AS overflow_add,
+           CAST(CASE WHEN o_orderkey % 4 = 0 THEN 0
+                     WHEN o_orderkey % 4 = 1 THEN 4611686018427387904
+                END AS BIGINT) AS overflow_mul
+    FROM orders WHERE o_orderkey % 11 = 0
+    """)
+def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: ``try_divide`` /``try_add`` /
+    ``try_multiply`` return NULL instead of raising on division by
+    zero and bigint overflow — the semantics batch pipelines need so
+    one poisoned row quarantines itself instead of killing a 10-hour
+    job (Spark 4 runs ANSI ON by default, where plain operators
+    THROW). The oracle replays each null-producing condition as an
+    explicit CASE, pinning exactly which rows degrade. Map-only."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice").cast("double"),
+                             (F.col("o_orderkey") % 5).cast("double")), 4)
+        .alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807),
+                  F.col("o_orderkey")).alias("overflow_add"),
+        F.try_multiply(F.lit(4611686018427387904),
+                       F.col("o_orderkey") % 4).alias("overflow_mul"))
