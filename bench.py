@@ -73,6 +73,10 @@ HEADLINE = [
     "join_geo_grid_radius",
     "vocab_bigram_lm_nll",
     "pack_length_bucketing_eval",
+    "text_bm25_topk",
+    "agg_ndcg_eval",
+    "sim_ivf_recall_eval",
+    "sql_product_profit",
 ]
 
 

@@ -2148,7 +2148,11 @@ def agg_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     who convert with no prior touch surface as 'none' via the outer
     joins instead of silently dropping. Ties on timestamp break on
     the unique event_id, so attribution is deterministic under any
-    partitioning."""
+    partitioning. The Spark plan replaces the oracle's two
+    row_number windows + two self-joins with ONE grouped
+    min_by/max_by over the (ts, event_id) struct — identical
+    semantics (the struct order IS the window order), one shuffle
+    instead of a window sort plus re-joins."""
     e = _events(spark, sf_dir)
     conv = (e.filter(F.col("event_type") == "purchase")
             .groupBy("user_id").agg(F.min("ts").alias("conv_ts")))
@@ -2156,18 +2160,12 @@ def agg_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("event_type").isin("click", "view")
                        & (F.col("ts") < F.col("conv_ts")))
                .select("user_id", "ts", "event_id", "event_type"))
-    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_last = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc())
-    ranked = touches.select(
-        "user_id", "event_type",
-        F.row_number().over(w_first).alias("rn_first"),
-        F.row_number().over(w_last).alias("rn_last"))
-    ft = (ranked.filter(F.col("rn_first") == 1)
-          .select("user_id", F.col("event_type").alias("first_touch")))
-    lt = (ranked.filter(F.col("rn_last") == 1)
-          .select("user_id", F.col("event_type").alias("last_touch")))
-    return (conv.join(ft, "user_id", "left").join(lt, "user_id", "left")
+    tl = touches.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id"))
+        .alias("first_touch"),
+        F.max_by("event_type", F.struct("ts", "event_id"))
+        .alias("last_touch"))
+    return (conv.join(tl, "user_id", "left")
             .groupBy(F.coalesce("first_touch", F.lit("none"))
                      .alias("first_touch"),
                      F.coalesce("last_touch", F.lit("none"))

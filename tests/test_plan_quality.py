@@ -409,3 +409,52 @@ def test_vocab_rankings_use_take_ordered_not_window(spark, qs):
         plan = plan_of(qs[name](spark, SF_DIR))
         assert "TakeOrdered" in plan, name
         assert "Window" not in plan, name
+
+
+# ---------------------------------------------- round-4 continuation
+
+def test_tpch_q6_pushes_all_filters_no_join(spark, qs):
+    plan = plan_of(qs["sql_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan  # quantity cap reaches the scan
+    assert "Join" not in plan
+
+
+def test_tpch_star_joins_broadcast_no_cartesian(spark, qs):
+    for name in ("sql_product_profit", "sql_volume_shipping",
+                 "sql_returned_items", "sql_parts_supplier"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q19_derives_single_side_pushdown(spark, qs):
+    # the OR-of-ANDs must yield implied per-side filters at the scans
+    plan = plan_of(qs["sql_disjunct_revenue"](spark, SF_DIR))
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    lineitem_scan = next(ln for ln in scans if "l_quantity" in ln)
+    part_scan = next(ln for ln in scans if "p_size" in ln)
+    assert "l_quantity" in lineitem_scan
+    assert "p_size" in part_scan
+
+
+def test_bm25_takeordered_not_global_sort(spark, qs):
+    plan = plan_of(qs["text_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_agg_no_window_sort(spark, qs):
+    # min_by/max_by over the (ts,event_id) struct replaces two
+    # row_number windows + two self-joins: no Window operator at all
+    plan = plan_of(qs["agg_attribution_touch"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 3
+
+
+def test_ndcg_windows_partition_by_term(spark, qs):
+    # per-term rankings must never globalize: every Window partitions
+    plan = plan_of(qs["agg_ndcg_eval"](spark, SF_DIR))
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln.lower():
+            assert "tok" in ln, f"unpartitioned ranking window: {ln[:120]}"
