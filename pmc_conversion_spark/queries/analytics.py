@@ -833,3 +833,62 @@ def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sqrt(d2.cast("double")) / 100.0, 6)
                     .alias("dist"))
             .distinct())
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One unrolled label-propagation round (DuckDB): each node takes
+    the most frequent neighbor label, minimum label on frequency
+    ties — the deterministic tie-break that makes LPA replayable."""
+    return f"""
+    {out} AS (
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT und.v AS node, p.lbl, count(*) AS c,
+               max(count(*)) OVER (PARTITION BY und.v) AS mx
+        FROM und JOIN {prev} p ON p.node = und.u
+        GROUP BY und.v, p.lbl)
+      WHERE c = mx GROUP BY node)
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+    {_lpa_iter_sql('l0', 'l1')},
+    {_lpa_iter_sql('l1', 'l2')},
+    {_lpa_iter_sql('l2', 'l3')}
+    SELECT lbl AS community, count(*) AS n_members
+    FROM l3 GROUP BY lbl
+    """)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous label-propagation rounds over the supplier
+    co-order graph — the near-linear community detector (Raghavan et
+    al.) that complements PageRank (importance), triangle count
+    (cohesion), BFS (reachability) and connected components (the
+    degenerate LPA where any touch merges). Deterministic variant:
+    every node starts as its own label and adopts the most frequent
+    neighbor label with MIN-label tie-break, so rounds are replayable
+    — asynchronous/random-order LPA would not oracle-check. Each round
+    is one edge⨝label join + a (node,label) partial agg + an argmax
+    per node expressed as max(struct(count, -label)) — no windows over
+    unbounded frames; label state is |V|-sized and broadcast (doc-scale
+    graphs swap the broadcast for a shuffle join on u, same body)."""
+    e = _co_order_edges(spark, sf_dir)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    labels = und.select(F.col("u").alias("node")).distinct() \
+        .select("node", F.col("node").alias("lbl"))
+    for _ in range(3):
+        state = labels.select(F.col("node").alias("u"), "lbl")
+        cnt = (und.join(F.broadcast(state), "u")
+               .groupBy(F.col("v").alias("node"), "lbl")
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lbl")).alias("nl"),
+                                      F.col("lbl"))).alias("m"))
+                  .select("node", F.col("m.lbl").alias("lbl")))
+    return (labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members")))

@@ -3080,3 +3080,150 @@ def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("ship_year", "ship_quarter",
                      "ord_year", "ord_quarter")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "agg_ab_sprt",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    c AS (
+      SELECT arm, o_orderkey,
+             sum(y) OVER w AS k,
+             count(*) OVER w AS n
+      FROM t WINDOW w AS (PARTITION BY arm ORDER BY o_orderkey)
+    ),
+    l AS (SELECT arm, n, k,
+                 (2 * k - n) * ln(0.55 / 0.45) AS llr FROM c),
+    x AS (SELECT arm, min(n) AS first_cross_n,
+                 arg_min(llr, n) AS llr_cross
+          FROM l WHERE abs(llr) >= ln(19.0) GROUP BY arm),
+    tot AS (SELECT arm, count(*) AS n_total,
+                   CAST(sum(y) AS BIGINT) AS k_total
+            FROM t GROUP BY arm)
+    SELECT tot.arm, tot.n_total, tot.k_total,
+           x.first_cross_n,
+           round(x.llr_cross, 6) AS llr_at_cross,
+           CASE WHEN x.first_cross_n IS NULL THEN 'continue'
+                WHEN x.llr_cross > 0 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM tot LEFT JOIN x ON x.arm = tot.arm
+    """)
+def agg_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per experiment arm —
+    the early-stopping readout that lets an A/B experiment END the day
+    the evidence crosses ln((1-beta)/alpha), instead of waiting for a
+    fixed horizon (completing the experiment family: lift, MDE,
+    Welch's t, Simpson's guard). Trials are orders in arrival-key
+    order; H1: p=0.55 vs H0: p=0.45 of status 'F'. Because the two
+    hypotheses are symmetric, the LLR reduces to (2k-n)*ln(11/9) — an
+    INTEGER-scaled statistic, so the crossing row is decided by exact
+    integer arithmetic on both engines and floats appear only in the
+    reported LLR. Scale shape: the cumulative (k, n) prefix sums run
+    through running_sum_distributed (range-bucket, in-bucket window,
+    tiny offset frame — operators/windows.py), never an unpartitioned
+    ORDER BY window over half the fact table; the crossing search is
+    a filter + one grouped min/arg_min."""
+    from pmc_conversion_spark.operators.windows import (
+        running_sum_distributed)
+    o = tables.load(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.lit(1).alias("one"))
+    import math
+    c1 = math.log(0.55 / 0.45)  # = ln(11/9) ~= 0.200671
+    arms = []
+    for arm in ("A", "B"):
+        part = t.filter(F.col("arm") == arm)
+        part = running_sum_distributed(part, "o_orderkey", "y", "k")
+        part = running_sum_distributed(part, "o_orderkey", "one", "n")
+        arms.append(part)
+    c = arms[0].unionAll(arms[1])
+    l = c.select("arm", "n", "k",
+                 ((2 * F.col("k") - F.col("n")) * F.lit(c1)).alias("llr"))
+    x = (l.filter(F.abs(F.col("llr")) >= F.log(F.lit(19.0)))
+         .groupBy("arm")
+         .agg(F.min("n").alias("first_cross_n"),
+              F.min_by("llr", "n").alias("llr_cross")))
+    tot = (t.groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n_total"),
+                F.sum("y").alias("k_total")))
+    return (tot.join(x, "arm", "left")
+            .select(
+                "arm", "n_total", "k_total", "first_cross_n",
+                F.round("llr_cross", 6).alias("llr_at_cross"),
+                F.when(F.col("first_cross_n").isNull(), "continue")
+                .when(F.col("llr_cross") > 0, "accept_h1")
+                .otherwise("accept_h0").alias("decision")))
+
+
+@register(
+    "join_late_arriving_dim",
+    oracle="""
+    WITH onhand AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 10 <> 7
+    ),
+    initial AS (
+      SELECT o.o_orderkey,
+             coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+             CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) AS p
+      FROM orders o LEFT JOIN onhand d ON d.c_custkey = o.o_custkey
+    ),
+    backfill AS (
+      SELECT i.o_orderkey, c.c_mktsegment AS segment, i.p
+      FROM initial i
+      JOIN orders o ON o.o_orderkey = i.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE i.segment = 'UNKNOWN'
+    )
+    SELECT stage, segment, count(*) AS n_orders,
+           CAST(sum(p) AS DOUBLE) AS total_price
+    FROM (
+      SELECT 'initial' AS stage, segment, p FROM initial
+      UNION ALL
+      SELECT 'backfill' AS stage, segment, p FROM backfill
+    ) GROUP BY stage, segment
+    """)
+def join_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late-arriving-dimension protocol: facts whose dimension row
+    hasn't landed yet (10% of customers withheld here) join to an
+    explicit 'UNKNOWN' placeholder instead of being dropped or
+    blocking the load — the inferred-member pattern — and a BACKFILL
+    pass re-resolves exactly the placeholder rows once the dimension
+    completes. The report shows both generations side by side, so the
+    reconciliation (every UNKNOWN order reappears under its real
+    segment, decimal totals conserved) is checkable in one frame. Cost
+    shape: the initial join is fact-sized; the backfill probe re-joins
+    ONLY the unknown slice — cost scales with the dimension gap, not
+    the fact table."""
+    o = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    onhand = (cust.filter(F.col("c_custkey") % 10 != 7)
+              .select("c_custkey", "c_mktsegment"))
+    initial = (o.join(F.broadcast(onhand),
+                      o.o_custkey == onhand.c_custkey, "left")
+               .select("o_orderkey", "o_custkey",
+                       F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                       .alias("segment"),
+                       F.round("o_totalprice", 2).cast("decimal(18,2)")
+                       .alias("p")))
+    backfill = (initial.filter(F.col("segment") == "UNKNOWN")
+                .drop("segment")
+                .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .select("o_orderkey",
+                        F.col("c_mktsegment").alias("segment"), "p"))
+    both = (initial.select(F.lit("initial").alias("stage"), "segment", "p")
+            .unionAll(backfill.select(F.lit("backfill").alias("stage"),
+                                      "segment", "p")))
+    return (both.groupBy("stage", "segment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("p").cast("double").alias("total_price")))

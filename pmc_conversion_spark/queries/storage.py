@@ -306,3 +306,54 @@ def gen_surrogate_incremental(spark: SparkSession,
             .unionByName(spark.read.parquet(f"{d}/delta").select(
                 "o_orderkey", F.col("sk").cast("long").alias("sk"),
                 F.lit("delta").alias("generation"))))
+
+
+@register(
+    "pipeline_quarantine_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'price_gt_300k'
+                  WHEN o_orderpriority = '5-LOW' THEN 'low_priority_hold'
+                  ELSE 'ok' END AS reason,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS p
+      FROM orders
+    )
+    SELECT CASE WHEN reason = 'ok' THEN 'valid'
+                ELSE 'quarantine' END AS bucket,
+           reason, count(*) AS n_rows,
+           CAST(sum(p) AS DOUBLE) AS total_price
+    FROM tagged GROUP BY 1, 2
+    """)
+def pipeline_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine: every row is tagged with its FIRST failed
+    expectation (price cap, priority hold) and the stream splits into
+    a valid sink and a quarantine sink carrying the reason column —
+    the operational complement of dq_constraint_check (which only
+    counts violations): bad rows are preserved for triage, good rows
+    ship, and neither blocks the other. Both sinks are REAL parquet
+    writes read back before reporting, so the summary counts prove the
+    split round-trips. One scan tags everything; the two filtered
+    writes each prune to their slice; reasons partial-agg map-side."""
+    d = _scratch("pipeline_quarantine_split")
+    o = tables.load(spark, sf_dir, "orders")
+    tagged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "price_gt_300k")
+        .when(F.col("o_orderpriority") == "5-LOW", "low_priority_hold")
+        .otherwise("ok").alias("reason"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"))
+    valid_path = os.path.join(d, "valid")
+    quar_path = os.path.join(d, "quarantine")
+    tagged.filter(F.col("reason") == "ok").write.mode("overwrite") \
+        .parquet(valid_path)
+    tagged.filter(F.col("reason") != "ok").write.mode("overwrite") \
+        .parquet(quar_path)
+    back = (spark.read.parquet(valid_path)
+            .select(F.lit("valid").alias("bucket"), "reason", "p")
+            .unionAll(spark.read.parquet(quar_path)
+                      .select(F.lit("quarantine").alias("bucket"),
+                              "reason", "p")))
+    return (back.groupBy("bucket", "reason")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("p").cast("double").alias("total_price")))
