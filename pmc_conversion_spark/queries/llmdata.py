@@ -5642,3 +5642,80 @@ def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("idcg", 6).alias("idcg_at_10"),
                     F.round(F.col("dcg") / F.col("idcg"), 6)
                     .alias("ndcg_at_10")))
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    {_DOCS_WITH_DUPS_SQL.strip()},
+    t AS (SELECT doc_id,
+                 (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(lower(text)), '\\s+')
+                  END) AS toks
+          FROM docs2),
+    p AS (SELECT doc_id,
+                 unnest(range(CAST(ceil(len(toks) / {_PASSAGE_K}.0)
+                                   AS BIGINT))) AS i,
+                 toks
+          FROM t),
+    ps AS (SELECT doc_id, i,
+                  least({_PASSAGE_K},
+                        len(toks) - i * {_PASSAGE_K}) AS plen,
+                  ('0x' || substr(md5(array_to_string(
+                      toks[i*{_PASSAGE_K}+1:(i+1)*{_PASSAGE_K}], ' ')),
+                      1, 15))::BIGINT AS h
+           FROM p),
+    hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ps GROUP BY h)
+    SELECT ps.doc_id,
+           count(*) AS n_passages,
+           count(CASE WHEN hd.nd >= 2 THEN 1 END) AS n_boiler,
+           CAST(sum(ps.plen) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN hd.nd < 2 THEN ps.plen ELSE 0 END)
+                AS BIGINT) AS tokens_after,
+           round(count(CASE WHEN hd.nd >= 2 THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS boiler_ratio
+    FROM ps JOIN hd USING (h)
+    GROUP BY ps.doc_id
+    """)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal, the cleaning half of passage dedup (C4's
+    'discard any line seen more than once' generalized to fixed-size
+    passages): a passage carried by >= 2 DISTINCT documents is
+    boilerplate (navigation chrome, license footers, templated
+    headers) and is stripped from EVERY document — unlike
+    dedup_passage_exact, which keeps one owner. Reports per-doc
+    before/after token budgets over the planted-duplicate corpus, so
+    the strip is value-checkable. Plan: map-side passage hashing
+    (8-byte keys, text never shuffles), one partial-agg for distinct
+    carriers per hash, one hash join back (key-sized), one per-doc
+    agg."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs_with_dups(spark, sf_dir)
+    k = _PASSAGE_K
+    toks = ws_tokens(F.lower(F.col("text")))
+    t = d.select("doc_id", toks.alias("toks"))
+    n_pass = F.ceil(F.size("toks") / F.lit(float(k))).cast("long")
+    ps = (t.filter(F.size("toks") > 0)
+          .select("doc_id", "toks",
+                  F.explode(F.sequence(F.lit(0).cast("long"),
+                                       n_pass - 1)).alias("i"))
+          .select(
+              "doc_id", "i",
+              F.least(F.lit(k),
+                      F.size("toks") - F.col("i") * k).alias("plen"),
+              DD.md5_int60(
+                  F.array_join(F.slice(F.col("toks"),
+                                       (F.col("i") * k + 1).cast("int"),
+                                       k), " ")).alias("h")))
+    hd = ps.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    j = ps.join(hd, "h")
+    boiler = F.col("nd") >= 2
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_passages"),
+                 F.count(F.when(boiler, 1)).alias("n_boiler"),
+                 F.sum("plen").alias("tokens_before"),
+                 F.sum(F.when(boiler, 0).otherwise(F.col("plen")))
+                 .alias("tokens_after"),
+                 F.round(F.count(F.when(boiler, 1))
+                         / F.count(F.lit(1)).cast("double"), 4)
+                 .alias("boiler_ratio")))

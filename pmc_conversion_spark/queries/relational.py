@@ -3227,3 +3227,94 @@ def join_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (both.groupBy("stage", "segment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("p").cast("double").alias("total_price")))
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n AS (SELECT
+            sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+          FROM t),
+    per_v AS (
+      SELECT cents,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+      FROM t GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents) AS ka,
+             sum(cb) OVER (ORDER BY cents) AS kb
+      FROM per_v
+    ),
+    best AS (
+      SELECT cents, abs(ka * n.nb - kb * n.na) AS d_num,
+             ka, kb
+      FROM cum, n
+      ORDER BY abs(ka * n.nb - kb * n.na) DESC, cents
+      LIMIT 1
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           round(best.cents / 100.0, 2) AS at_value,
+           CAST(best.d_num AS BIGINT) AS d_num,
+           round(CAST(best.d_num AS DOUBLE) / (n.na * n.nb), 6)
+             AS d_stat,
+           CAST(best.d_num AS DOUBLE) / (n.na * n.nb)
+             > 1.358 * sqrt((n.na + n.nb)
+                            / (CAST(n.na AS DOUBLE) * n.nb))
+             AS reject_05
+    FROM best, n
+    """)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution test between the
+    experiment arms — the drift detector that sees SHAPE changes a
+    mean test misses (completing the stats suite: Welch compares
+    means, chi2 compares categories, KS compares whole CDFs). The
+    supremum |F_A - F_B| is found in EXACT integer arithmetic:
+    maximize |k_A*n_B - k_B*n_A| over integer cents, so the argmax
+    can't flip with float summation order (doubles appear only in the
+    reported statistic; at 10^11-row arms the cross product nears
+    int64 range — move to the decimal path there, same plan).
+    Scale shape: one groupBy collapses the data to DISTINCT values
+    before any ordering; the cumulative counts run over that
+    value-domain frame (bounded by price granularity, not row count);
+    the argmax is a TakeOrdered top-1, never a global sort."""
+    o = tables.load(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    n = t.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"))
+    per_v = (t.groupBy("cents")
+             .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                  .alias("ca"),
+                  F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                  .alias("cb")))
+    from pmc_conversion_spark.operators.windows import (
+        running_sum_distributed)
+    cum = running_sum_distributed(per_v, "cents", "ca", "ka")
+    cum = running_sum_distributed(cum, "cents", "cb", "kb")
+    best = (cum.crossJoin(F.broadcast(n))
+            .select("cents", "ka", "kb", "na", "nb",
+                    F.abs(F.col("ka") * F.col("nb")
+                          - F.col("kb") * F.col("na")).alias("d_num"))
+            .orderBy(F.col("d_num").desc(), "cents").limit(1))
+    return best.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.col("cents") / 100.0, 2).alias("at_value"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(F.col("d_num").cast("double")
+                / (F.col("na") * F.col("nb")), 6).alias("d_stat"),
+        (F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))
+         > 1.358 * F.sqrt((F.col("na") + F.col("nb"))
+                          / (F.col("na").cast("double") * F.col("nb"))))
+        .alias("reject_05"))
