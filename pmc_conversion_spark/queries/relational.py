@@ -3318,3 +3318,73 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
          > 1.358 * F.sqrt((F.col("na") + F.col("nb"))
                           / (F.col("na").cast("double") * F.col("nb"))))
         .alias("reject_05"))
+
+
+@register(
+    "join_cogroup_arrow",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_orderkey % 64 AS b, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    l2 AS (
+      SELECT l_orderkey % 64 AS b, l_orderkey,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT o2.b,
+           count(DISTINCT o2.o_orderkey) AS n_orders,
+           count(l2.l_orderkey) AS n_lines,
+           CAST(sum(coalesce(l2.qty, 0)) AS BIGINT) AS qty_total,
+           CAST(sum(CASE WHEN l2.rn = 1 OR l2.l_orderkey IS NULL
+                    THEN o2.cents ELSE 0 END)
+                AS BIGINT) AS cents_total
+    FROM o2 LEFT JOIN (
+      SELECT b, l_orderkey, qty,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY qty, l_orderkey) AS rn
+      FROM l2) l2
+      ON l2.l_orderkey = o2.o_orderkey
+    GROUP BY o2.b
+    """)
+def join_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED Arrow surface — ``df.groupBy(k).cogroup(other
+    .groupBy(k)).applyInPandas(...)`` — the fourth Python execution
+    API next to mapInPandas / applyInPandas(WithState) / mapInArrow:
+    both sides of a key arrive as aligned pandas frames, which is the
+    escape hatch for per-key logic no SQL join expresses (pandas
+    merge_asof, per-key model scoring, custom reconciliation). Keyed
+    by a 64-way hash BUCKET, not the raw order key: each Python call
+    receives thousands of rows to merge vectorized, instead of
+    per-order calls whose interpreter overhead would dominate at
+    scale (the group count is a tunable constant, so the Arrow batch
+    size stays fat as data grows). The demo merge is deliberately
+    SQL-replayable (left merge + integer aggregates; each order's
+    cents counted once) so the cogroup path itself is value-oracled."""
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 64).alias("b"), "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 64).alias("b"), "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty"))
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        m = odf.merge(ldf, left_on="o_orderkey", right_on="l_orderkey",
+                      how="left")
+        matched = m["l_orderkey"].notna()
+        return pd.DataFrame({
+            "b": [int(key[0])],
+            "n_orders": [int(odf["o_orderkey"].nunique())],
+            "n_lines": [int(matched.sum())],
+            "qty_total": [int(m.loc[matched, "qty"].sum())
+                          if matched.any() else 0],
+            "cents_total": [int(odf["cents"].sum())],
+        })
+
+    return (o.groupBy("b").cogroup(li.groupBy("b"))
+            .applyInPandas(merge, "b bigint, n_orders bigint, "
+                                  "n_lines bigint, qty_total bigint, "
+                                  "cents_total bigint"))
