@@ -61,6 +61,15 @@ PROBED = [
     "join_geo_grid_radius",
     "pack_length_bucketing_eval",
     "dedup_cross_source_matrix",
+    "text_boilerplate_strip",
+    "graph_label_propagation",
+    "agg_ks_test",
+    "text_bm25_topk",
+    "agg_ndcg_eval",
+    "join_cogroup_arrow",
+    "agg_ab_sprt",
+    "sql_product_profit",
+    "sql_waiting_suppliers",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
