@@ -5719,3 +5719,63 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count(F.when(boiler, 1))
                          / F.count(F.lit(1)).cast("double"), 4)
                  .alias("boiler_ratio")))
+
+
+@register(
+    "text_langid_confusion_eval",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS true_lang,
+             {_lang_hits_sql('de', TX.LANG_LEXICONS['de'])} AS h_de,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])} AS h_en,
+             {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])} AS h_es,
+             {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])} AS h_fr,
+             {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])} AS h_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT true_lang,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0
+                    THEN 'und'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                    THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                    THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                    THEN 'es'
+                  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh)
+                    THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM hits
+    ),
+    tot AS (SELECT true_lang, count(*) AS n_true
+            FROM pred GROUP BY true_lang)
+    SELECT p.true_lang, p.pred_lang, count(*) AS n_docs,
+           round(count(*) / CAST(t.n_true AS DOUBLE), 4) AS frac_of_true
+    FROM pred p JOIN tot t ON t.true_lang = p.true_lang
+    GROUP BY p.true_lang, p.pred_lang, t.n_true
+    """)
+def text_langid_confusion_eval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The confusion matrix of the lexicon language-ID against the
+    corpus's true labels — the evaluation that turns 'we have a
+    classifier' into 'we know its per-language recall' (the
+    classifier twin of sim_ivf_recall_eval and
+    dedup_minhash_eval_report: every approximate component ships with
+    its own measured error). Each (true, predicted) cell carries its
+    count and its share of the true class, so per-language recall is
+    the diagonal and every off-diagonal names a specific confusion.
+    One map-side scoring pass (the same argmax the classifier runs),
+    one 8-byte-key partial agg, one broadcast of per-language
+    totals."""
+    d = _docs(spark, sf_dir)
+    pred = d.select(F.col("lang").alias("true_lang"),
+                    TX.lang_id(F.col("text")).alias("pred_lang"))
+    tot = pred.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return (pred.groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(F.broadcast(tot), "true_lang")
+            .select("true_lang", "pred_lang", "n_docs",
+                    F.round(F.col("n_docs")
+                            / F.col("n_true").cast("double"), 4)
+                    .alias("frac_of_true")))

@@ -3388,3 +3388,91 @@ def join_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(merge, "b bigint, n_orders bigint, "
                                   "n_lines bigint, qty_total bigint, "
                                   "cents_total bigint"))
+
+
+@register(
+    "agg_ratio_delta_method",
+    oracle="""
+    WITH unit AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS x,
+             count(*) AS nl
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ),
+    m AS (
+      SELECT arm, count(*) AS k,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(nl) AS DOUBLE) AS sn,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(nl * nl) AS DOUBLE) AS snn,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * nl) AS DOUBLE) AS sxn
+      FROM unit GROUP BY arm
+    )
+    SELECT arm, k AS n_units,
+           round(sx / sn / 100.0, 6) AS cents_per_line_ratio,
+           round(sqrt(greatest(
+               ((sxx - sx * sx / k) / (k - 1)
+                - 2 * (sx / sn) * (sxn - sx * sn / k) / (k - 1)
+                + (sx / sn) * (sx / sn) * (snn - sn * sn / k) / (k - 1))
+               / k / ((sn / k) * (sn / k)), 0.0)) / 100.0, 6) AS se,
+           round((sx / sn - 1.96 * sqrt(greatest(
+               ((sxx - sx * sx / k) / (k - 1)
+                - 2 * (sx / sn) * (sxn - sx * sn / k) / (k - 1)
+                + (sx / sn) * (sx / sn) * (snn - sn * sn / k) / (k - 1))
+               / k / ((sn / k) * (sn / k)), 0.0))) / 100.0, 6) AS ci_lo,
+           round((sx / sn + 1.96 * sqrt(greatest(
+               ((sxx - sx * sx / k) / (k - 1)
+                - 2 * (sx / sn) * (sxn - sx * sn / k) / (k - 1)
+                + (sx / sn) * (sx / sn) * (snn - sn * sn / k) / (k - 1))
+               / k / ((sn / k) * (sn / k)), 0.0))) / 100.0, 6) AS ci_hi
+    FROM m
+    """)
+def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per line, randomized by order) — the standard hard case in
+    experimentation: the metric's numerator and denominator are
+    correlated per randomization unit, so naive per-row variance is
+    WRONG; the delta method expands var(X̄/N̄) from the unit-level
+    (co)variances. All five power sums (Σx, Σn, Σx², Σn², Σxn) are
+    EXACT — integer cents and line counts, decimal-widened products —
+    so both engines derive identical doubles; the formula itself is a
+    handful of ops on one row per arm. Cost: one fact-sized groupBy
+    to the unit level, one tiny arm-level agg. The same five-sum
+    frame also yields lift tests between arms at zero extra scans."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    unit = (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(o.o_orderkey)
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).alias("x"),
+                 F.count(F.lit(1)).alias("nl"))
+            .select(F.when(F.col("o_orderkey") % 2 == 0, "A")
+                    .otherwise("B").alias("arm"), "x", "nl"))
+    m = (unit.groupBy("arm")
+         .agg(F.count(F.lit(1)).alias("k"),
+              F.sum("x").cast("double").alias("sx"),
+              F.sum("nl").cast("double").alias("sn"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+              .cast("double").alias("sxx"),
+              F.sum(F.col("nl") * F.col("nl")).cast("double")
+              .alias("snn"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("nl"))
+              .cast("double").alias("sxn")))
+    r = F.col("sx") / F.col("sn")
+    k = F.col("k")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / k) / (k - 1)
+    vn = (F.col("snn") - F.col("sn") * F.col("sn") / k) / (k - 1)
+    cxn = (F.col("sxn") - F.col("sx") * F.col("sn") / k) / (k - 1)
+    var = F.greatest(
+        (vx - 2 * r * cxn + r * r * vn) / k
+        / ((F.col("sn") / k) * (F.col("sn") / k)), F.lit(0.0))
+    se = F.sqrt(var)
+    return m.select(
+        "arm", F.col("k").alias("n_units"),
+        F.round(r / 100.0, 6).alias("cents_per_line_ratio"),
+        F.round(se / 100.0, 6).alias("se"),
+        F.round((r - 1.96 * se) / 100.0, 6).alias("ci_lo"),
+        F.round((r + 1.96 * se) / 100.0, 6).alias("ci_hi"))
