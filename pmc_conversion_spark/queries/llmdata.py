@@ -5779,3 +5779,119 @@ def text_langid_confusion_eval(spark: SparkSession,
                     F.round(F.col("n_docs")
                             / F.col("n_true").cast("double"), 4)
                     .alias("frac_of_true")))
+
+
+@register(
+    "mm_image_neardup_ahash",
+    oracle="""
+    WITH m AS (
+      SELECT t.i AS media_id, t.i % 30 AS seed,
+             4 + (t.i % 30) % 13 AS w, 4 + (t.i % 30) % 6 AS h
+      FROM unnest(range(0, 60)) AS t(i)
+    ),
+    g AS (
+      SELECT media_id, r2, c2,
+             ((seed * 31 + ((r2 * h) // 8) * 7
+               + ((c2 * w) // 8) * 3 + 0) % 256) * 299
+             + ((seed * 31 + ((r2 * h) // 8) * 7
+                 + ((c2 * w) // 8) * 3 + 1) % 256) * 587
+             + ((seed * 31 + ((r2 * h) // 8) * 7
+                 + ((c2 * w) // 8) * 3 + 2) % 256) * 114 AS luma1000
+      FROM m,
+           unnest(range(0, 8)) AS t1(r2),
+           unnest(range(0, 8)) AS t2(c2)
+    ),
+    tot AS (SELECT media_id, sum(luma1000) AS s FROM g GROUP BY media_id),
+    blocks AS (
+      SELECT g.media_id, (g.r2 * 8 + g.c2) // 16 AS blk,
+             CAST(sum(CASE WHEN g.luma1000 * 64 > t.s
+                      THEN power(2, (g.r2 * 8 + g.c2) % 16)::BIGINT
+                      ELSE 0 END) AS BIGINT) AS val
+      FROM g JOIN tot t USING (media_id)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.val = b.val AND a.media_id < b.media_id
+    ),
+    ham AS (
+      SELECT c.ma, c.mb,
+             CAST(sum(bit_count(xor(ba.val, bb.val))) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN blocks ba ON ba.media_id = c.ma
+      JOIN blocks bb ON bb.media_id = c.mb AND bb.blk = ba.blk
+      GROUP BY c.ma, c.mb
+    )
+    SELECT ma AS media_id_a, mb AS media_id_b, hamming
+    FROM ham WHERE hamming <= 6
+    """)
+def mm_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection — the multimodal twin of
+    simhash text dedup: real BMP decode → 8×8 aHash → the 64-bit
+    fingerprint split into four 16-bit blocks; candidates must agree
+    on AT LEAST ONE block (pigeonhole: Hamming ≤ 3 guarantees a match;
+    the ≤ 6 report threshold keeps resized variants), then exact
+    Hamming verification by per-block XOR popcount. The planted corpus
+    re-issues each of 30 pictures under a second media_id, so the
+    detector must find every planted pair and reject coincidental
+    block collisions. Scale shape: candidates come from an EQUI-join
+    on (block, value) — never an all-pairs Hamming scan; pixels stay
+    inside one Arrow stage and only (id, block, value) triples
+    shuffle."""
+    import pandas as pd
+
+    seeds = spark.range(30).select(
+        F.col("id").alias("media_id"),
+        (4 + F.col("id") % 13).cast("int").alias("w"),
+        (4 + F.col("id") % 6).cast("int").alias("h"))
+    imgs = MM.synth_bmp_images(seeds)
+
+    def _blocks(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = MM.decode_bmp(bytes(content)).astype(np.int64)
+                h, w, _ = px.shape
+                rr = (np.arange(8) * h) // 8
+                cc = (np.arange(8) * w) // 8
+                small = px[np.ix_(rr, cc)]
+                luma = (small[:, :, 0] * 299 + small[:, :, 1] * 587
+                        + small[:, :, 2] * 114)
+                s = int(luma.sum())
+                bits = (luma * 64 > s).astype(np.int64).ravel()
+                for blk in range(4):
+                    val = 0
+                    for j in range(16):
+                        if bits[blk * 16 + j]:
+                            val += 1 << j
+                    rows.append((int(m), blk, val))
+            yield pd.DataFrame(rows, columns=["seed", "blk", "val"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    seed_blocks = ensure_parallelism(imgs).mapInPandas(
+        _blocks, "seed long, blk int, val long")
+    ids = spark.range(60).select(F.col("id").alias("media_id"),
+                                 (F.col("id") % 30).alias("seed"))
+    blocks = ids.join(seed_blocks, "seed").select("media_id", "blk", "val")
+    a = blocks.select(F.col("media_id").alias("ma"), "blk", "val")
+    b = blocks.select(F.col("media_id").alias("mb"), "blk", "val")
+    cand = (a.join(b, ["blk", "val"])
+            .filter(F.col("ma") < F.col("mb"))
+            .select("ma", "mb").distinct())
+    ba = blocks.select(F.col("media_id").alias("ma"),
+                       F.col("blk").alias("blk"),
+                       F.col("val").alias("va"))
+    bb = blocks.select(F.col("media_id").alias("mb"),
+                       F.col("blk").alias("blk"),
+                       F.col("val").alias("vb"))
+    ham = (cand.join(ba, "ma").join(bb, ["mb", "blk"])
+           .groupBy("ma", "mb")
+           .agg(F.sum(F.bit_count(
+               F.col("va").bitwiseXOR(F.col("vb")))).alias("hamming")))
+    return (ham.filter(F.col("hamming") <= 6)
+            .select(F.col("ma").alias("media_id_a"),
+                    F.col("mb").alias("media_id_b"),
+                    F.col("hamming").cast("bigint").alias("hamming")))

@@ -3476,3 +3476,77 @@ def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se / 100.0, 6).alias("se"),
         F.round((r - 1.96 * se) / 100.0, 6).alias("ci_lo"),
         F.round((r + 1.96 * se) / 100.0, 6).alias("ci_hi"))
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT grp, count(*) AS k,
+             sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+             sum(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+      FROM g GROUP BY grp
+    ),
+    tot AS (
+      SELECT count(*) AS gcnt, CAST(sum(k) AS BIGINT) AS n,
+             CAST(sum(sx) AS DOUBLE) AS tsx,
+             CAST(sum(sxx) AS DOUBLE) AS tsxx,
+             list_reduce(
+               list(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / k
+                    ORDER BY grp),
+               (acc, x) -> acc + x) AS sum_sq_over_k
+      FROM m
+    )
+    SELECT gcnt AS n_groups, n AS n_total,
+           round((sum_sq_over_k - tsx * tsx / n) / (gcnt - 1)
+                 / ((tsxx - sum_sq_over_k) / (n - gcnt)), 4) AS f_stat,
+           round((sum_sq_over_k - tsx * tsx / n)
+                 / (tsxx - tsx * tsx / n), 6) AS eta_sq
+    FROM tot
+    """)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order-priority groups — the
+    multi-group mean test that extends Welch's two-arm t: F is the
+    between/within variance ratio, eta² the share of variance the
+    grouping explains. Per-group moments are EXACT integer-cent
+    decimal sums; the one cross-group float reduction (Σ sx²/k) is a
+    SEQUENTIAL fold over the group terms sorted by group key (the
+    ts_ewma pattern), so the 5-term double sum has a single
+    association order on both engines. One fact scan, a 5-row group
+    frame, one row out."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(F.col("o_orderpriority").alias("grp"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    m = (g.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("k"),
+              F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+              F.sum(F.col("cents").cast("decimal(38,0)")
+                    * F.col("cents")).alias("sxx")))
+    term = (F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("k"))
+    tot = m.agg(
+        F.count(F.lit(1)).alias("gcnt"),
+        F.sum("k").alias("n"),
+        F.sum("sx").cast("double").alias("tsx"),
+        F.sum("sxx").cast("double").alias("tsxx"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("grp"), term.alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x).alias("sum_sq_over_k"))
+    ssb = F.col("sum_sq_over_k") - F.col("tsx") * F.col("tsx") / F.col("n")
+    ssw = F.col("tsxx") - F.col("sum_sq_over_k")
+    sst = F.col("tsxx") - F.col("tsx") * F.col("tsx") / F.col("n")
+    return tot.select(
+        F.col("gcnt").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.round(ssb / (F.col("gcnt") - 1)
+                / (ssw / (F.col("n") - F.col("gcnt"))), 4).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"))
