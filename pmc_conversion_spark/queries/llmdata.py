@@ -5895,3 +5895,99 @@ def mm_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("ma").alias("media_id_a"),
                     F.col("mb").alias("media_id_b"),
                     F.col("hamming").cast("bigint").alias("hamming")))
+
+
+@register(
+    "agg_calibration_ece",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])} AS h_en,
+             greatest({_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                      {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                      {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                      {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+               AS h_other
+      FROM documents
+    ),
+    scored AS (
+      SELECT y,
+             CAST(round(1.0 / (1.0 + exp(-(h_en - h_other) / 5.0)), 6)
+                  AS DECIMAL(8,6)) AS p
+      FROM hits
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+             count(*) AS n,
+             sum(p) AS sp,
+             sum(y) AS sy,
+             sum(p * p) AS spp,
+             sum(CAST(y AS DECIMAL(8,6)) * p) AS spy
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             list_reduce(
+               list(n * abs(CAST(sy AS DOUBLE) / n
+                            - CAST(sp AS DOUBLE) / n) ORDER BY bin),
+               (acc, x) -> acc + x) AS ece_num,
+             CAST(sum(spp) AS DOUBLE) AS t_pp,
+             CAST(sum(spy) AS DOUBLE) AS t_py,
+             CAST(sum(sy) AS DOUBLE) AS t_y
+      FROM binned
+    )
+    SELECT n_docs,
+           round(ece_num / n_docs, 6) AS ece,
+           round((t_pp - 2 * t_py + t_y) / n_docs, 6) AS brier
+    FROM tot
+    """)
+def agg_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error + Brier score of a probabilistic
+    classifier (here: sigmoid of the English-stopword margin,
+    evaluated against the true label) — the metric that asks not 'is
+    the ranking right' (AUC/NDCG) but 'does 0.8 MEAN 80%': the
+    property selection thresholds and mixture weights silently assume.
+    Ten confidence bins; per-bin counts and DECIMAL-exact probability
+    sums (p rounded to 6 places BEFORE aggregation, so sums are
+    order-free); Brier expands to exact moments (Σp², Σpy, Σy); the
+    one 10-term float reduction folds in bin order. One scan, a
+    10-row bin frame, one row out."""
+    d = _docs(spark, sf_dir)
+    from pmc_conversion_spark.functions.text import (LANG_LEXICONS,
+                                                     stopword_hits)
+    h_en = stopword_hits(F.lower(F.col("text")), LANG_LEXICONS["en"])
+    h_other = F.greatest(*[
+        stopword_hits(F.lower(F.col("text")), LANG_LEXICONS[c])
+        for c in ("de", "es", "fr", "zh")])
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(1.0 / (1.0 + F.exp(-(h_en - h_other) / F.lit(5.0))), 6)
+        .cast("decimal(8,6)").alias("p"))
+    binned = (scored
+              .groupBy(F.least(F.floor(F.col("p") * 10).cast("int"),
+                               F.lit(9)).alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("p").alias("sp"),
+                   F.sum("y").alias("sy"),
+                   F.sum(F.col("p") * F.col("p")).alias("spp"),
+                   F.sum(F.col("y").cast("decimal(8,6)") * F.col("p"))
+                   .alias("spy")))
+    term = (F.col("n") * F.abs(F.col("sy").cast("double") / F.col("n")
+                               - F.col("sp").cast("double") / F.col("n")))
+    tot = binned.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("bin"), term.alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x).alias("ece_num"),
+        F.sum("spp").cast("double").alias("t_pp"),
+        F.sum("spy").cast("double").alias("t_py"),
+        F.sum("sy").cast("double").alias("t_y"))
+    return tot.select(
+        "n_docs",
+        F.round(F.col("ece_num") / F.col("n_docs"), 6).alias("ece"),
+        F.round((F.col("t_pp") - 2 * F.col("t_py") + F.col("t_y"))
+                / F.col("n_docs"), 6).alias("brier"))

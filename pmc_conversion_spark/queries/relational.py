@@ -3550,3 +3550,86 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssb / (F.col("gcnt") - 1)
                 / (ssw / (F.col("n") - F.col("gcnt"))), 4).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_sq"))
+
+
+@register(
+    "agg_trimmed_robust_mean",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT grp, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY grp) AS k
+      FROM g
+    ),
+    b AS (
+      SELECT grp, cents, rn, k,
+             CAST(floor(k * 0.1) AS BIGINT) AS lo
+      FROM r
+    ),
+    cuts AS (
+      SELECT grp,
+             max(CASE WHEN rn = lo + 1 THEN cents END) AS p_lo,
+             max(CASE WHEN rn = k - lo THEN cents END) AS p_hi
+      FROM b GROUP BY grp
+    )
+    SELECT b.grp, max(b.k) AS n,
+           round(CAST(sum(b.cents) AS DOUBLE)
+                 / max(b.k) / 100.0, 2) AS mean,
+           round(CAST(sum(CASE WHEN b.rn > b.lo AND b.rn <= b.k - b.lo
+                          THEN b.cents END) AS DOUBLE)
+                 / CAST(max(b.k) - 2 * max(b.lo) AS DOUBLE) / 100.0, 2)
+             AS trimmed_mean,
+           round(CAST(sum(least(greatest(b.cents, c.p_lo), c.p_hi))
+                      AS DOUBLE) / max(b.k) / 100.0, 2) AS winsor_mean
+    FROM b JOIN cuts c ON c.grp = b.grp
+    GROUP BY b.grp
+    """)
+def agg_trimmed_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates per group: the 10% trimmed mean
+    (drop each tail) and the winsorized mean (CLAMP each tail to the
+    cut values) next to the plain mean — the estimators that keep a
+    revenue dashboard honest when a few whale orders or bad-feed
+    zeros land (complementing the MAD outlier flags, which only
+    DETECT). All arithmetic is exact integer cents: ranks come from a
+    per-group window (partitioned — never a global sort), the two cut
+    values are rank lookups, and every mean divides an exact integer
+    sum, so both engines agree at the cent boundary."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(F.col("o_orderpriority").alias("grp"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"),
+                 "o_orderkey")
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wk = Window.partitionBy("grp")
+    b = g.select(
+        "grp", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k")) \
+        .withColumn("lo", F.floor(F.col("k") * 0.1).cast("bigint"))
+    cuts = (b.groupBy("grp")
+            .agg(F.max(F.when(F.col("rn") == F.col("lo") + 1,
+                              F.col("cents"))).alias("p_lo"),
+                 F.max(F.when(F.col("rn") == F.col("k") - F.col("lo"),
+                              F.col("cents"))).alias("p_hi")))
+    j = b.join(F.broadcast(cuts), "grp")
+    in_trim = (F.col("rn") > F.col("lo")) & (F.col("rn")
+                                             <= F.col("k") - F.col("lo"))
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p_lo")),
+                      F.col("p_hi"))
+    return (j.groupBy("grp")
+            .agg(F.max("k").alias("n"),
+                 F.round(F.sum("cents").cast("double")
+                         / F.max("k") / 100.0, 2).alias("mean"),
+                 F.round(F.sum(F.when(in_trim, F.col("cents")))
+                         .cast("double")
+                         / (F.max("k") - 2 * F.max("lo")).cast("double")
+                         / 100.0, 2).alias("trimmed_mean"),
+                 F.round(F.sum(clamped).cast("double")
+                         / F.max("k") / 100.0, 2).alias("winsor_mean")))
