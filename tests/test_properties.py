@@ -257,7 +257,14 @@ def test_partitioning_invariance_representative_ops(spark):
              # round-4 additions of the same classes: bit-sketch
              # candidates, hash featurization, KMV samples, folds
              "dedup_minhash_bbit", "text_feature_hashing",
-             "sketch_bottomk_sample", "ts_ewma"]
+             "sketch_bottomk_sample", "ts_ewma",
+             # round-4 continuation: fold-ordered float reductions,
+             # distributed prefix sums, LPA argmax ties, block-hash
+             # candidate joins, cogrouped Arrow merges
+             "agg_ndcg_eval", "agg_ab_sprt", "agg_ks_test",
+             "graph_label_propagation", "mm_image_neardup_ahash",
+             "join_cogroup_arrow", "agg_anova_oneway",
+             "agg_calibration_ece", "text_boilerplate_strip"]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
