@@ -2209,3 +2209,53 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n").alias("total"))
             .select(F.col("w.start").alias("d"), "event_type",
                     "peak_hourly", "active_hours", "total"))
+
+
+@register(
+    "agg_time_decay_engagement",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS t_max FROM events),
+    scored AS (
+      SELECT e.user_id,
+             CAST(round(
+               CAST(e.value AS DOUBLE)
+               * exp(-(date_diff('microsecond', e.ts, r.t_max)
+                       / 1000000.0)
+                     / 604800.0), 6) AS DECIMAL(18,6)) AS w
+      FROM events e, ref r
+      WHERE e.event_type IN ('click', 'view', 'purchase')
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(CAST(sum(w) AS DOUBLE), 4) AS decayed_score
+    FROM scored GROUP BY user_id
+    """)
+def agg_time_decay_engagement(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per user (one-week
+    half-life-ish decay, λ = 1/604800 s) — the recency-weighted
+    feature every recommender and churn model starts from: yesterday's
+    click outweighs last month's purchase, with no arbitrary window
+    cliff. The anchor is max(ts) (one-row broadcast), each event's
+    decayed weight is computed map-side and ROUNDED TO 6 PLACES before
+    a DECIMAL sum — the order-free-aggregation policy — so per-user
+    scores are identical under any partitioning. NTZ-tolerant: ages
+    come from interval seconds, not unix epoch."""
+    e = _events(spark, sf_dir)
+    ref = e.agg(F.max("ts").alias("t_max"))
+    scored = (e.filter(F.col("event_type")
+                       .isin("click", "view", "purchase"))
+              .crossJoin(F.broadcast(ref))
+              .select(
+                  "user_id",
+                  F.round(
+                      F.col("value").cast("double")
+                      * F.exp(-(F.expr(
+                          "timestampdiff(MICROSECOND, ts, t_max)")
+                          / F.lit(1000000.0))
+                          / F.lit(604800.0)), 6)
+                  .cast("decimal(18,6)").alias("w")))
+    return (scored.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("w").cast("double"), 4)
+                 .alias("decayed_score")))

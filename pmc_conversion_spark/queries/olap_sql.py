@@ -505,3 +505,49 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffable artifact. The sort is a tiny post-agg exchange (status x
     priority = 15 groups), so 'deterministic' costs nothing here."""
     return _sql(spark, sf_dir, _ORDER_BY_ALL_SQL)
+
+
+# ------------------------------------------------ SQL scripting (4.0+)
+_SCRIPTING_SQL = """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 100.0;
+  DECLARE cnt BIGINT DEFAULT 0;
+  SET cnt = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+  WHILE cnt >= 100 DO
+    SET thr = thr * 2;
+    SET cnt = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+  END WHILE;
+  SELECT thr AS threshold, cnt AS n_above;
+END
+"""
+
+_SCRIPTING_ORACLE = """
+WITH steps AS (
+  SELECT 100.0 * power(2, t.j) AS thr
+  FROM unnest(range(0, 24)) AS t(j)
+),
+counts AS (
+  SELECT thr,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_totalprice > s.thr) AS n
+  FROM steps s
+)
+SELECT thr AS threshold, CAST(n AS BIGINT) AS n_above
+FROM counts WHERE n < 100 ORDER BY thr LIMIT 1
+"""
+
+
+@register("sql_scripting_control_flow", oracle=_SCRIPTING_ORACLE)
+def sql_scripting_control_flow(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4's BEGIN/END procedural blocks): DECLARE
+    variables, scalar-subquery SETs, and a WHILE loop that doubles a
+    price threshold until fewer than 100 orders exceed it — the
+    migration target for stored-procedure logic that previously needed
+    a driver-side Python loop. Each loop iteration is a full
+    distributed count (the script only sequences JOBS, it never pulls
+    data to the driver); the oracle states the same fixpoint
+    closed-form over the doubling sequence. Exponentially shrinking
+    counts bound the iterations at log2(maxprice/100)."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SCRIPTING_SQL)
