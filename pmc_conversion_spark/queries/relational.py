@@ -3633,3 +3633,78 @@ def agg_trimmed_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / 100.0, 2).alias("trimmed_mean"),
                  F.round(F.sum(clamped).cast("double")
                          / F.max("k") / 100.0, 2).alias("winsor_mean")))
+
+
+@register(
+    "agg_gtest_mi",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(o) AS nr FROM cells GROUP BY r),
+    ct AS (SELECT c, sum(o) AS nc FROM cells GROUP BY c),
+    n AS (SELECT sum(o) AS n FROM cells),
+    terms AS (
+      SELECT cells.r, cells.c,
+             cells.o * ln(CAST(cells.o AS DOUBLE) * n.n
+                          / (rt.nr * ct.nc)) AS term
+      FROM cells JOIN rt USING (r) JOIN ct USING (c), n
+    ),
+    folded AS (
+      SELECT list_reduce(list(term ORDER BY r, c),
+                         (acc, x) -> acc + x) AS s,
+             (SELECT count(DISTINCT r) FROM cells) AS nr_d,
+             (SELECT count(DISTINCT c) FROM cells) AS nc_d,
+             (SELECT n FROM n) AS n
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST((nr_d - 1) * (nc_d - 1) AS BIGINT) AS df,
+           round(2 * s, 4) AS g_stat,
+           round(s / (n * ln(2)), 6) AS mi_bits
+    FROM folded
+    """)
+def agg_gtest_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence + mutual information (bits) between
+    order priority and order status — the likelihood-ratio twin of
+    the chi-squared test, and MI is the number feature stores rank
+    candidate features by (G = 2·N·ln2·MI, so one pass prices both).
+    Cell/margin counts are exact integers; each cell's o·ln(oN/(nr·nc))
+    term is deterministic given those integers, and the ≤15-term
+    float reduction folds in (row, col) order on both engines. One
+    fact-sized groupBy; everything after runs on the tiny cell
+    frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    cells = (o.groupBy(F.col("o_orderpriority").alias("r"),
+                       F.col("o_orderstatus").alias("c"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("nr"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("nc"))
+    n = cells.agg(F.sum("o").alias("n"),
+                  F.countDistinct("r").alias("nr_d"),
+                  F.countDistinct("c").alias("nc_d"))
+    terms = (cells.join(F.broadcast(rt), "r")
+             .join(F.broadcast(ct), "c")
+             .crossJoin(F.broadcast(n))
+             .select("r", "c", "n", "nr_d", "nc_d",
+                     (F.col("o") * F.log(F.col("o").cast("double")
+                                         * F.col("n")
+                                         / (F.col("nr") * F.col("nc"))))
+                     .alias("term")))
+    folded = terms.groupBy("n", "nr_d", "nc_d").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("r"), F.col("c"),
+                             F.col("term").alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x).alias("s"))
+    return folded.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        ((F.col("nr_d") - 1) * (F.col("nc_d") - 1)).cast("bigint")
+        .alias("df"),
+        F.round(2 * F.col("s"), 4).alias("g_stat"),
+        F.round(F.col("s") / (F.col("n") * F.log(F.lit(2.0))), 6)
+        .alias("mi_bits"))

@@ -891,3 +891,40 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("o_orderkey")).alias("overflow_add"),
         F.try_multiply(F.lit(4611686018427387904),
                        F.col("o_orderkey") % 4).alias("overflow_mul"))
+
+
+@register(
+    "f_collation_ci",
+    oracle="""
+    WITH variants AS (
+      SELECT n_name AS name FROM nation
+      UNION ALL SELECT lower(n_name) FROM nation
+      UNION ALL SELECT upper(n_name) FROM nation WHERE n_nationkey < 10
+    )
+    SELECT min(lower(name)) AS k, count(*) AS n,
+           count(DISTINCT name) AS n_case_variants
+    FROM variants
+    GROUP BY lower(name)
+    """)
+def f_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4's COLLATE UNICODE_CI): the
+    mixed-case variants of each nation name land in ONE group under
+    the case-insensitive collation — the engine-level answer to the
+    lower()-everywhere idiom (collation survives into joins, distinct
+    and sort orders, and unlike lower() it composes with locale rules
+    beyond ASCII). The emitted key is min(lower(name)) so the group
+    representative is deterministic; the distinct-variant count
+    proves >1 casing actually merged. Oracle replays the equivalence
+    with lower() grouping — identical partitions for this ASCII
+    domain."""
+    nation = tables.load(spark, sf_dir, "nation")
+    variants = (nation.select(F.col("n_name").alias("name"))
+                .unionAll(nation.select(F.lower("n_name").alias("name")))
+                .unionAll(nation.filter(F.col("n_nationkey") < 10)
+                          .select(F.upper("n_name").alias("name"))))
+    return (variants
+            .groupBy(F.expr("name COLLATE UNICODE_CI").alias("ck"))
+            .agg(F.min(F.lower("name")).alias("k"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("name").alias("n_case_variants"))
+            .select("k", "n", "n_case_variants"))

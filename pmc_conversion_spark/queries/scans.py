@@ -734,3 +734,57 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "pipeline_snapshot_gc",
+    oracle="""
+    SELECT 1 AS version, (SELECT count(*) FROM nation) AS n_rows,
+           'removed' AS status
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM nation) - 1, 'removed'
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM nation) - 2, 'kept'
+    UNION ALL
+    SELECT 4, (SELECT count(*) FROM nation) - 3, 'kept_head'
+    """)
+def pipeline_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention GC (Delta VACUUM / Iceberg expire_snapshots
+    semantics on the engine's SnapshotStore): commit four distinct
+    versions, expire all but the newest two, and report each
+    version's fate. Invariants pinned by the check: expired dirs are
+    gone (a read of v1 must fail), survivors still read their exact
+    content, HEAD is always kept, and the MANIFEST audit trail keeps
+    ALL entries (history outlives data, like the reference's git
+    log)."""
+    d = _scratch("pipeline_snapshot_gc")
+    store = K.SnapshotStore(d)
+    nation = tables.load(spark, sf_dir, "nation")
+    entries = []
+    for drop in (None, 0, 1, 2):
+        df = nation if drop is None else nation.filter(
+            ~F.col("n_nationkey").isin(*range(drop + 1)))
+        entries.append(store.commit(df))
+    gc = store.vacuum(keep_last=2)
+    try:
+        store.read(spark, version=entries[0]["version"],
+                   schema=NATION_SCHEMA).count()
+        raise AssertionError("expired v1 must not be readable")
+    except Exception as exc:
+        if isinstance(exc, AssertionError):
+            raise
+    head_rows = store.read(spark, schema=NATION_SCHEMA).count()
+    if head_rows != entries[-1]["n_rows"]:
+        raise AssertionError(
+            f"head read {head_rows} != {entries[-1]['n_rows']}")
+    if len(store.versions()) != 4:
+        raise AssertionError("MANIFEST must keep all entries after GC")
+    head_v = entries[-1]["version"]
+    rows = []
+    for e in entries:
+        status = ("kept_head" if e["version"] == head_v
+                  else "removed" if e["version"] in gc["removed"]
+                  else "kept")
+        rows.append((e["version"], e["n_rows"], status))
+    from pmc_conversion_spark.queries.manifest import fixture_df
+    return fixture_df(spark, rows, "version int, n_rows long, status string")

@@ -229,6 +229,34 @@ class SnapshotStore:
                     f"{entry['n_rows']}\n")
         return entry
 
+    def vacuum(self, keep_last: int) -> dict:
+        """Retention GC: delete snapshot dirs older than the newest
+        ``keep_last`` DISTINCT versions — the time-travel/storage
+        trade every versioned store exposes (Delta VACUUM / Iceberg
+        expire_snapshots semantics on this store). The version HEAD
+        currently points at is always kept, even when a rollback has
+        re-pointed HEAD outside the retention window — GC must never
+        delete the readable present. MANIFEST is preserved whole (the
+        audit trail outlives the data, like the reference's git log);
+        ``read()`` of an expired version raises on the missing dir."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        if not vs:
+            return {"kept": [], "removed": []}
+        head_version = vs[-1]["version"]
+        distinct = sorted({v["version"] for v in vs})
+        keep = set(distinct[-keep_last:]) | {head_version}
+        removed = []
+        for version in distinct:
+            if version in keep:
+                continue
+            d = os.path.join(self.root, f"v{version}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(version)
+        return {"kept": sorted(keep), "removed": removed}
+
     def read(self, spark: SparkSession, version: int | None = None,
              schema=None) -> DataFrame:
         from pmc_conversion_spark.sources.scans import scan_csv_delim
