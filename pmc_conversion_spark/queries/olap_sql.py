@@ -31,6 +31,8 @@ Spark and DuckDB, so the oracle is the query itself.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pmc_conversion_spark import tables
@@ -551,3 +553,47 @@ def sql_scripting_control_flow(spark: SparkSession,
     counts bound the iterations at log2(maxprice/100)."""
     tables.register_views(spark, sf_dir)
     return spark.sql(_SCRIPTING_SQL)
+
+
+# ------------------------------------------- parameterized SQL (3.4+)
+_PARAM_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_totalprice > 1000.0
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+"""
+
+
+@register("sql_parameterized_query", oracle=_PARAM_ORACLE)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(text, args={...})``): the
+    query text carries ``:cutoff_date`` / ``:min_price`` /
+    ``:priorities`` markers and values bind server-side as TYPED
+    literals — the injection-safe form every templated report should
+    use instead of f-string SQL (a malicious value cannot terminate
+    the string and append clauses, because it never enters the text).
+    Parameters land in Catalyst BEFORE optimization, so constant
+    folding and parquet pushdown see them exactly like inline
+    literals — zero plan cost for the safety. The oracle is the same
+    query with the values inlined."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff_date
+          AND o_totalprice > :min_price
+          AND o_orderpriority IN (:p1, :p2)
+        GROUP BY o_orderstatus
+        """,
+        args={
+            "cutoff_date": datetime.datetime(1996, 1, 1),
+            "min_price": 1000.0,
+            "p1": "1-URGENT",
+            "p2": "2-HIGH",
+        })
