@@ -892,3 +892,64 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("node", F.col("m.lbl").alias("lbl")))
     return (labels.groupBy(F.col("lbl").alias("community"))
             .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+def _kcore_round_sql(prev: str, out: str, k: int) -> str:
+    """One unrolled peeling round: drop every node whose CURRENT
+    degree is below k, keep only edges between survivors."""
+    return f"""
+    d_{out} AS (SELECT u, count(*) AS d FROM {prev} GROUP BY u),
+    k_{out} AS (SELECT u FROM d_{out} WHERE d >= {k}),
+    {out} AS (SELECT e.u, e.v FROM {prev} e
+              JOIN k_{out} a ON a.u = e.u
+              JOIN k_{out} b ON b.u = e.v)
+    """
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    r0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    {_kcore_round_sql('r0', 'r1', 3)},
+    {_kcore_round_sql('r1', 'r2', 3)},
+    {_kcore_round_sql('r2', 'r3', 3)},
+    {_kcore_round_sql('r3', 'r4', 3)},
+    {_kcore_round_sql('r4', 'r5', 3)},
+    {_kcore_round_sql('r5', 'r6', 3)}
+    SELECT u AS node, count(*) AS core_degree
+    FROM r6 GROUP BY u
+    """)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the supplier co-order graph — iterative peeling
+    (drop nodes with degree < 3, re-count, repeat) until fixpoint:
+    the densest-region extractor used for community cores, spam-farm
+    detection, and graph sparsification before expensive algorithms
+    (triangle counting on the core only). Peeling is monotone, so
+    each round is one degree aggregate + two semi-join-shaped edge
+    filters (never a window), with per-round localCheckpoint lineage
+    truncation like the CC loop; the engine VERIFIES convergence
+    (round 6 == round 5 edge count) and raises otherwise, so the
+    6-round unrolled oracle states the true fixpoint, not a
+    truncation."""
+    e = _co_order_edges(spark, sf_dir)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    cur = und.localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    for rnd in range(6):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 3).select("u")
+        cur = (cur.join(F.broadcast(keep), "u")
+               .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
+               .select("u", "v").localCheckpoint(eager=True))
+        n_edges = cur.count()
+        if rnd >= 4 and n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    final = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    if final.filter(F.col("d") < 3).count() > 0:
+        raise AssertionError("3-core peeling did not converge in 6 rounds")
+    return final.select(F.col("u").alias("node"),
+                        F.col("d").alias("core_degree"))
