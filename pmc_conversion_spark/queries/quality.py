@@ -950,3 +950,65 @@ def dq_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("auc"))
             .select(F.col("p").alias("n_pos"),
                     F.col("n").alias("n_neg"), "auc"))
+
+
+@register(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+      SELECT o_orderkey AS det, o_custkey AS dep FROM orders
+    ),
+    fd2 AS (
+      SELECT o_custkey AS det, o_orderpriority AS dep FROM orders
+    ),
+    fd3 AS (
+      SELECT c_custkey AS det, c_mktsegment AS dep FROM customer
+    ),
+    p1 AS (SELECT det, count(DISTINCT dep) AS nd FROM fd1 GROUP BY det),
+    p2 AS (SELECT det, count(DISTINCT dep) AS nd FROM fd2 GROUP BY det),
+    p3 AS (SELECT CAST(det AS BIGINT) AS det, count(DISTINCT dep) AS nd
+           FROM fd3 GROUP BY det)
+    SELECT 'o_orderkey->o_custkey' AS fd,
+           count(*) AS n_determinants,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM p1
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority', count(*),
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+    FROM p2
+    UNION ALL
+    SELECT 'c_custkey->c_mktsegment', count(*),
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+    FROM p3
+    """)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does A determine B? — the
+    profiling question behind key discovery, normalization, and
+    dirty-join debugging (a 'dimension' whose natural key maps to two
+    segment values is how silent fan-out joins are born). Each
+    candidate FD costs one (determinant → distinct-dependent-count)
+    partial aggregate; a determinant with more than one dependent
+    value is a violation, and holds = zero violations. Three
+    candidates audited side by side: a true key FD, a deliberately
+    false FD, and a true dimension FD."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def audit(df, det, dep, label):
+        p = (df.select(F.col(det).cast("long").alias("det"),
+                       F.col(dep).alias("dep"))
+             .groupBy("det").agg(F.countDistinct("dep").alias("nd")))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        return p.agg(F.lit(label).alias("fd"),
+                     F.count(F.lit(1)).alias("n_determinants"),
+                     viol.alias("n_violating"),
+                     (viol == 0).alias("holds"))
+
+    return (audit(o, "o_orderkey", "o_custkey", "o_orderkey->o_custkey")
+            .unionAll(audit(o, "o_custkey", "o_orderpriority",
+                            "o_custkey->o_orderpriority"))
+            .unionAll(audit(c, "c_custkey", "c_mktsegment",
+                            "c_custkey->c_mktsegment")))

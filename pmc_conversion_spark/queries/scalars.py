@@ -928,3 +928,55 @@ def f_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n"),
                  F.countDistinct("name").alias("n_case_variants"))
             .select("k", "n", "n_case_variants"))
+
+
+KV_ROWS = [
+    (1, "retries=3;timeout=30;mode=fast"),
+    (2, "timeout=60;mode=safe"),
+    (3, "retries=1"),
+    (4, ""),
+]
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle=f"""
+    SELECT id AS row_id,
+           nullif(regexp_extract(cfg, 'retries=([^;]*)', 1), '')
+             AS retries,
+           nullif(regexp_extract(cfg, 'mode=([^;]*)', 1), '') AS mode
+    FROM {_values(KV_ROWS, 'id, cfg')}
+    """)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 3.5+/4): the ``analyze()``
+    static method runs at PLAN time and derives the output schema
+    from a constant argument — here ``array('retries','mode')``
+    becomes two typed output COLUMNS — which static UDTFs (fixed
+    returnType, udtf_sentence_split) cannot express. This is the
+    config-shredding / dynamic-pivot shape: callers choose the
+    projection per query, the optimizer sees real named columns (so
+    downstream pruning works), and missing keys surface as NULLs.
+    eval() itself stays a cheap per-row generator."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class KvExpand:
+        @staticmethod
+        def analyze(rid, cfg, keys):
+            st = StructType().add("row_id", LongType())
+            for k in keys.value:
+                st = st.add(k, StringType())
+            from pyspark.sql.udtf import AnalyzeResult
+            return AnalyzeResult(schema=st)
+
+        def eval(self, rid, cfg, keys):
+            d = dict(p.split("=", 1)
+                     for p in (cfg or "").split(";") if "=" in p)
+            yield (rid, *[d.get(k) for k in keys])
+
+    spark.udtf.register("kv_expand", udtf(KvExpand))
+    fixture_df(spark, KV_ROWS, "id long, cfg string") \
+        .createOrReplaceTempView("kv_cfg_v")
+    return spark.sql(
+        "SELECT s.* FROM kv_cfg_v t, "
+        "LATERAL kv_expand(t.id, t.cfg, array('retries', 'mode')) s")
