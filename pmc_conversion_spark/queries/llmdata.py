@@ -5991,3 +5991,109 @@ def agg_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ece_num") / F.col("n_docs"), 6).alias("ece"),
         F.round((F.col("t_pp") - 2 * F.col("t_py") + F.col("t_y"))
                 / F.col("n_docs"), 6).alias("brier"))
+
+
+@register(
+    "agg_auc_pr",
+    oracle=f"""
+    WITH hits AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])}
+             - greatest({_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                        {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                        {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                        {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+               AS z
+      FROM documents
+    ),
+    per_z AS (
+      SELECT z, sum(y) AS pos_z, sum(1 - y) AS neg_z
+      FROM hits GROUP BY z
+    ),
+    cum AS (
+      SELECT z,
+             sum(pos_z) OVER (ORDER BY z DESC) AS tp,
+             sum(neg_z) OVER (ORDER BY z DESC) AS fp
+      FROM per_z
+    ),
+    tot AS (SELECT sum(y) AS p, sum(1 - y) AS n FROM hits),
+    pr AS (
+      SELECT z,
+             CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+             CAST(tp AS DOUBLE) / t.p AS rec,
+             CAST(tp AS DOUBLE) / t.p
+               - coalesce(CAST(lag(tp) OVER (ORDER BY z DESC)
+                               AS DOUBLE) / t.p, 0.0) AS dr
+      FROM cum, tot t
+    )
+    SELECT (SELECT CAST(p AS BIGINT) FROM tot) AS n_pos,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_neg,
+           count(*) AS n_thresholds,
+           round(list_reduce(list(dr * prec ORDER BY z DESC),
+                             (acc, x) -> acc + x), 6) AS avg_precision,
+           round(max(CASE WHEN prec + rec = 0 THEN 0.0
+                     ELSE round(2 * prec * rec / (prec + rec), 6)
+                     END), 6) AS best_f1
+    FROM pr
+    """)
+def agg_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    integration) + best-F1 for the English-margin classifier — the
+    metric that stays honest under CLASS IMBALANCE, where ROC-AUC
+    (dq_auc_score) flatters any model because true negatives dominate
+    it. Thresholds are the DISTINCT integer margins, so the curve
+    frame is bounded by the lexicon size (≤ ~40 rows) regardless of
+    corpus size — cumulative tp/fp windows run over that bounded
+    domain (the histogram-bins exemption class), and the ΔR·P terms
+    fold in threshold order on both engines. One scan, one margin
+    partial-agg."""
+    d = _docs(spark, sf_dir)
+    from pmc_conversion_spark.functions.text import (LANG_LEXICONS,
+                                                     stopword_hits)
+    low = F.lower(F.col("text"))
+    z = (stopword_hits(low, LANG_LEXICONS["en"])
+         - F.greatest(*[stopword_hits(low, LANG_LEXICONS[c])
+                        for c in ("de", "es", "fr", "zh")]))
+    hits = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        z.alias("z"))
+    per_z = hits.groupBy("z").agg(
+        F.sum("y").alias("pos_z"),
+        F.sum(1 - F.col("y")).alias("neg_z"))
+    tot = hits.agg(F.sum("y").alias("p"),
+                   F.sum(1 - F.col("y")).alias("n"))
+    w = Window.orderBy(F.col("z").desc())  # bounded: distinct margins
+    cum = per_z.select(
+        "z",
+        F.sum("pos_z").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("tp"),
+        F.sum("neg_z").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("fp"))
+    pr = (cum.crossJoin(F.broadcast(tot))
+          .select(
+              "z",
+              (F.col("tp").cast("double")
+               / (F.col("tp") + F.col("fp"))).alias("prec"),
+              (F.col("tp").cast("double") / F.col("p")).alias("rec"),
+              (F.col("tp").cast("double") / F.col("p")
+               - F.coalesce(F.lag("tp").over(w).cast("double")
+                            / F.col("p"), F.lit(0.0))).alias("dr")))
+    term = (F.col("dr") * F.col("prec"))
+    return (pr.agg(
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.round(F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct((-F.col("z")).alias("nz"),
+                             term.alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x), 6).alias("avg_precision"),
+        F.round(F.max(
+            F.when(F.col("prec") + F.col("rec") == 0, 0.0)
+            .otherwise(F.round(2 * F.col("prec") * F.col("rec")
+                               / (F.col("prec") + F.col("rec")), 6))),
+            6).alias("best_f1"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("p").cast("bigint").alias("n_pos"),
+                F.col("n").cast("bigint").alias("n_neg"),
+                "n_thresholds", "avg_precision", "best_f1"))

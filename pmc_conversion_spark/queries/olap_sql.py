@@ -597,3 +597,35 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1": "1-URGENT",
             "p2": "2-HIGH",
         })
+
+
+# ------------------------------------------------ IDENTIFIER (3.5+)
+_IDENTIFIER_ORACLE = """
+SELECT o_orderstatus AS grp, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENTIFIER_ORACLE)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause: table AND column names arrive as bound
+    PARAMETERS (``IDENTIFIER(:tbl)``, ``IDENTIFIER(:grp_col)``) —
+    the safe form of dynamic SQL that multi-tenant report templates
+    need ('same query, per-tenant table/column') without f-string
+    identifier splicing, which no value-parameter API can protect.
+    The identifier is validated as a NAME at parse time (a value like
+    'orders; DROP ...' fails to resolve instead of executing).
+    Catalyst sees an ordinary resolved reference, so pruning/pushdown
+    are unchanged; the oracle is the resolved static query."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp, count(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:price_col) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={"tbl": "orders", "grp_col": "o_orderstatus",
+              "price_col": "o_totalprice"})
