@@ -3708,3 +3708,58 @@ def agg_gtest_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2 * F.col("s"), 4).alias("g_stat"),
         F.round(F.col("s") / (F.col("n") * F.log(F.lit(2.0))), 6)
         .alias("mi_bits"))
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT o_orderpriority || '/' || o_orderstatus AS item,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1
+    """)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native ``approx_top_k`` heavy-hitters sketch (Spark 4):
+    one pass, mergeable across partitions, bounded memory — the
+    engine-level answer to the hand-rolled count-min top-k
+    (sketch_countmin_freq). Tracked capacity (10,000) exceeds this
+    15-value domain, so the sketch is EXACT here and value-oracles
+    against the plain group-by — the honest way to pin a sketch API:
+    prove it degenerates to truth when capacity covers the domain
+    (its error regime is priced separately by the countmin entry).
+    k=20 > |domain| returns every item; the exploded rows re-sort
+    deterministically downstream."""
+    o = tables.load(spark, sf_dir, "orders")
+    item = F.concat_ws("/", "o_orderpriority", "o_orderstatus")
+    sketch = o.select(item.alias("item")).agg(
+        F.expr("approx_top_k(item, 20)").alias("tk"))
+    return (sketch.select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("item"),
+                    F.col("e.count").alias("cnt")))
+
+
+@register(
+    "sql_listagg_clause",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """)
+def sql_listagg_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``LISTAGG (... ) WITHIN GROUP (ORDER BY ...)`` — the
+    standard-SQL ordered string aggregation Spark 4 added (DuckDB
+    spells it string_agg with an ORDER BY argument; same semantics,
+    so the oracle differs only in the function name). The WITHIN
+    GROUP ordering is the determinism contract: without it,
+    concatenation order is partition-dependent and the result
+    unhashable — exactly why agg_string_agg's DataFrame form sorts
+    before joining. Dimension-sized groups; partial-agg friendly."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+                 AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """)
