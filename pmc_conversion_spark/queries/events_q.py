@@ -2259,3 +2259,82 @@ def agg_time_decay_engagement(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("w").cast("double"), 4)
                  .alias("decayed_score")))
+
+
+@register(
+    "ts_fourier_energy",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t0 AS (SELECT min(h) AS t0 FROM hourly),
+    idx AS (
+      SELECT date_diff('hour', t0.t0, h.h) AS n, h.c
+      FROM hourly h, t0
+    ),
+    per AS (SELECT unnest([12, 24, 168]) AS period),
+    terms AS (
+      SELECT p.period, i.n,
+             i.c * cos(2 * pi() * i.n / p.period) AS ct,
+             i.c * sin(2 * pi() * i.n / p.period) AS st
+      FROM idx i, per p
+    ),
+    folded AS (
+      SELECT period,
+             list_reduce(list(ct ORDER BY n), (a, x) -> a + x) AS ca,
+             list_reduce(list(st ORDER BY n), (a, x) -> a + x) AS sb,
+             count(*) AS n_hours
+      FROM terms GROUP BY period
+    )
+    SELECT period, n_hours,
+           round(sqrt(ca * ca + sb * sb) / n_hours, 2) AS amplitude
+    FROM folded
+    """)
+def ts_fourier_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency Fourier probes of the hourly event series at
+    candidate periods (12 h, 24 h, 1 week): amplitude =
+    |Σ cₙ·e^(2πi·n/P)| / N — the spectral test that CONFIRMS
+    seasonality instead of assuming it (agg_dow_seasonality measures
+    the daily profile; this measures whether the daily cycle
+    dominates the half-day and weekly ones). The series is the
+    hourly-count frame (bounded by the time RANGE, never row count);
+    each period's cos/sin reductions fold in hour order (ts_ewma
+    policy) so the float sums are association-fixed on both engines;
+    rounding at 2 decimals absorbs the per-term libm ulp. One
+    events-sized partial agg, then everything runs on the tiny
+    series."""
+    import math
+
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .select(F.col("w.start").alias("h"), "c"))
+    t0 = hourly.agg(F.min("h").alias("t0"))
+    idx = (hourly.crossJoin(F.broadcast(t0))
+           .select(F.expr("timestampdiff(HOUR, t0, h)").alias("n"), "c"))
+    periods = F.array(F.lit(12), F.lit(24), F.lit(168))
+    terms = (idx.select("n", "c", F.explode(periods).alias("period"))
+             .select(
+                 "period", "n",
+                 (F.col("c") * F.cos(2 * math.pi * F.col("n")
+                                     / F.col("period"))).alias("ct"),
+                 (F.col("c") * F.sin(2 * math.pi * F.col("n")
+                                     / F.col("period"))).alias("st")))
+
+    def fold(col: str) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("n"), F.col(col).alias("v")))),
+                lambda x: x.v),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    folded = (terms.groupBy("period")
+              .agg(fold("ct").alias("ca"), fold("st").alias("sb"),
+                   F.count(F.lit(1)).alias("n_hours")))
+    return folded.select(
+        "period", "n_hours",
+        F.round(F.sqrt(F.col("ca") * F.col("ca")
+                       + F.col("sb") * F.col("sb"))
+                / F.col("n_hours"), 2).alias("amplitude"))

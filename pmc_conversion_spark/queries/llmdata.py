@@ -6097,3 +6097,67 @@ def agg_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").cast("bigint").alias("n_pos"),
                 F.col("n").cast("bigint").alias("n_neg"),
                 "n_thresholds", "avg_precision", "best_f1"))
+
+
+@register(
+    "pipeline_gopher_rules_funnel",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tok,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE (length(text)
+                        - (len({_TOKS}) - 1)) * 1.0 / len({_TOKS})
+             END AS mean_tok_len,
+             len(list_filter({_TOKS},
+                 t -> list_contains(['the','a'], t))) AS n_stop
+      FROM documents
+    ),
+    ruled AS (
+      SELECT doc_id,
+             CASE WHEN n_tok < 40 THEN 'r1_too_short'
+                  WHEN n_tok > 5000 THEN 'r2_too_long'
+                  WHEN mean_tok_len < 2.5 THEN 'r3_tokens_too_short'
+                  WHEN mean_tok_len > 12.0 THEN 'r4_tokens_too_long'
+                  WHEN n_stop = 0 THEN 'r5_no_stopwords'
+                  ELSE 'survives' END AS verdict
+      FROM feats
+    ),
+    tot AS (SELECT count(*) AS n FROM ruled)
+    SELECT verdict, count(*) AS n_docs,
+           round(count(*) / CAST(t.n AS DOUBLE), 4) AS share
+    FROM ruled, tot t
+    GROUP BY verdict, t.n
+    """)
+def pipeline_gopher_rules_funnel(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """A Gopher-style quality-rule CASCADE with per-rule attrition:
+    each document is attributed to the FIRST rule that kills it
+    (token-count bounds, mean-token-length bounds, stopword
+    presence), so the report is the funnel a corpus engineer actually
+    debugs — 'which rule is eating my data' — rather than a single
+    survivor count (pipeline_corpus_clean's shape). First-kill
+    attribution via one CASE ladder keeps it a single map-side pass +
+    one tiny verdict agg; rules are integer/ratio tests on exact
+    token statistics, so both engines agree exactly. The stopword
+    rule uses a fixed 2-word probe lexicon shared with the oracle."""
+    d = _docs(spark, sf_dir)
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    mean_len = F.when(n_tok == 0, 0.0).otherwise(
+        (F.length("text") - (n_tok - 1)) * 1.0 / n_tok)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    ruled = d.select(
+        F.when(n_tok < 40, "r1_too_short")
+        .when(n_tok > 5000, "r2_too_long")
+        .when(mean_len < 2.5, "r3_tokens_too_short")
+        .when(mean_len > 12.0, "r4_tokens_too_long")
+        .when(n_stop == 0, "r5_no_stopwords")
+        .otherwise("survives").alias("verdict"))
+    tot = ruled.agg(F.count(F.lit(1)).alias("n"))
+    return (ruled.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(tot))
+            .select("verdict", "n_docs",
+                    F.round(F.col("n_docs") / F.col("n").cast("double"),
+                            4).alias("share")))
