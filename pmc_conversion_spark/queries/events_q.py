@@ -2338,3 +2338,84 @@ def ts_fourier_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("ca") * F.col("ca")
                        + F.col("sb") * F.col("sb"))
                 / F.col("n_hours"), 2).alias("amplitude"))
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t0 AS (SELECT min(h) AS t0 FROM hourly),
+    s AS (
+      SELECT date_diff('hour', t0.t0, h.h) AS n,
+             EXTRACT(hour FROM h.h) AS hod, h.c
+      FROM hourly h, t0
+    ),
+    tr AS (
+      SELECT n, hod, c,
+             CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w AS trend
+      FROM s
+      WINDOW w AS (ORDER BY n ROWS BETWEEN 12 PRECEDING
+                   AND 12 FOLLOWING)
+    ),
+    dt AS (SELECT n, hod,
+                  CAST(round(c - trend, 6) AS DECIMAL(18,6)) AS d
+           FROM tr),
+    se AS (SELECT hod, count(*) AS n_obs,
+                  CAST(sum(d) AS DOUBLE) / count(*) AS seasonal
+           FROM dt GROUP BY hod),
+    re AS (SELECT dt.d,
+                  CAST(round(dt.d - se.seasonal, 6) AS DECIMAL(18,6))
+                    AS r
+           FROM dt JOIN se USING (hod)),
+    v AS (SELECT CAST(sum(d * d) AS DOUBLE) AS tv,
+                 CAST(sum(r * r) AS DOUBLE) AS rv
+          FROM re)
+    SELECT se.hod, se.n_obs, round(se.seasonal, 4) AS seasonal,
+           round(1 - v.rv / v.tv, 4) AS var_explained
+    FROM se, v
+    """)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the hourly event series: trend = the
+    centered 25-hour moving average, seasonal = the mean detrended
+    value per hour-of-day, and the share of detrended variance the
+    daily profile explains — the additive decomposition behind every
+    'is traffic actually up, or is it just 3 pm' question
+    (ts_fourier_energy asks IF seasonality dominates; this extracts
+    the shape and prices the fit). Determinism: the moving average is
+    an exact integer-sum/count ratio; detrended values and residuals
+    are ROUNDED THEN DECIMAL-SUMMED (order-free), so per-hour means
+    and both variance sums match bit-for-bit. The series windows run
+    over the hourly frame — bounded by the time range, never by row
+    count."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .select(F.col("w.start").alias("h"), "c"))
+    t0 = hourly.agg(F.min("h").alias("t0"))
+    s = (hourly.crossJoin(F.broadcast(t0))
+         .select(F.expr("timestampdiff(HOUR, t0, h)").alias("n"),
+                 F.hour("h").alias("hod"), "c"))
+    w = Window.orderBy("n").rowsBetween(-12, 12)  # bounded series frame
+    tr = s.select("n", "hod", "c",
+                  (F.sum("c").over(w).cast("double")
+                   / F.count(F.lit(1)).over(w)).alias("trend"))
+    dt = tr.select("n", "hod",
+                   F.round(F.col("c") - F.col("trend"), 6)
+                   .cast("decimal(18,6)").alias("d"))
+    se = (dt.groupBy("hod")
+          .agg(F.count(F.lit(1)).alias("n_obs"),
+               (F.sum("d").cast("double") / F.count(F.lit(1)))
+               .alias("seasonal")))
+    re = (dt.join(F.broadcast(se), "hod")
+          .select("d", F.round(F.col("d") - F.col("seasonal"), 6)
+                  .cast("decimal(18,6)").alias("r")))
+    v = re.agg(F.sum(F.col("d") * F.col("d")).cast("double").alias("tv"),
+               F.sum(F.col("r") * F.col("r")).cast("double").alias("rv"))
+    return (se.crossJoin(F.broadcast(v))
+            .select("hod", "n_obs",
+                    F.round("seasonal", 4).alias("seasonal"),
+                    F.round(1 - F.col("rv") / F.col("tv"), 4)
+                    .alias("var_explained")))

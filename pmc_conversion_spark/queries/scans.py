@@ -788,3 +788,28 @@ def pipeline_snapshot_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((e["version"], e["n_rows"], status))
     from pmc_conversion_spark.queries.manifest import fixture_df
     return fixture_df(spark, rows, "version int, n_rows long, status string")
+
+
+@register(
+    "scan_csv_dropmalformed",
+    oracle="""
+    SELECT * FROM (VALUES (1, 10), (3, 30)) AS t(id, qty)
+    """)
+def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROPMALFORMED reader mode — the third point on the fail-soft
+    spectrum next to PERMISSIVE-with-quarantine (scan_corrupt_records)
+    and FAILFAST: malformed rows vanish silently and only clean rows
+    land. Registered so the SEMANTIC difference is pinned: the same
+    corrupt fixture yields 4 rows under PERMISSIVE (2 quarantined)
+    and exactly the 2 clean rows here — the mode to use when bad rows
+    are expected noise, never when attrition must be audited (then
+    PERMISSIVE + a quarantine count is the contract)."""
+    d = _scratch("dropmalformed_csv")
+    with open(os.path.join(d, "rows.csv"), "w") as fh:
+        fh.write("\n".join(_CORRUPT_CSV_LINES) + "\n")
+    df = (spark.read
+          .schema("id int, qty int")
+          .option("header", "true")
+          .option("mode", "DROPMALFORMED")
+          .csv(d))
+    return df.select("id", "qty")
