@@ -6161,3 +6161,85 @@ def pipeline_gopher_rules_funnel(spark: SparkSession,
             .select("verdict", "n_docs",
                     F.round(F.col("n_docs") / F.col("n").cast("double"),
                             4).alias("share")))
+
+
+_MM_NEARDUP_CTES = """
+    m AS (
+      SELECT t.i AS media_id, t.i % 30 AS seed,
+             4 + (t.i % 30) % 13 AS w, 4 + (t.i % 30) % 6 AS h
+      FROM unnest(range(0, 60)) AS t(i)
+    ),
+    g AS (
+      SELECT media_id, r2, c2,
+             ((seed * 31 + ((r2 * h) // 8) * 7
+               + ((c2 * w) // 8) * 3 + 0) % 256) * 299
+             + ((seed * 31 + ((r2 * h) // 8) * 7
+                 + ((c2 * w) // 8) * 3 + 1) % 256) * 587
+             + ((seed * 31 + ((r2 * h) // 8) * 7
+                 + ((c2 * w) // 8) * 3 + 2) % 256) * 114 AS luma1000
+      FROM m,
+           unnest(range(0, 8)) AS t1(r2),
+           unnest(range(0, 8)) AS t2(c2)
+    ),
+    tot AS (SELECT media_id, sum(luma1000) AS s FROM g GROUP BY media_id),
+    blocks AS (
+      SELECT g.media_id, (g.r2 * 8 + g.c2) // 16 AS blk,
+             CAST(sum(CASE WHEN g.luma1000 * 64 > t.s
+                      THEN power(2, (g.r2 * 8 + g.c2) % 16)::BIGINT
+                      ELSE 0 END) AS BIGINT) AS val
+      FROM g JOIN tot t USING (media_id)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.val = b.val AND a.media_id < b.media_id
+    ),
+    ham AS (
+      SELECT c.ma, c.mb,
+             CAST(sum(bit_count(xor(ba.val, bb.val))) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN blocks ba ON ba.media_id = c.ma
+      JOIN blocks bb ON bb.media_id = c.mb AND bb.blk = ba.blk
+      GROUP BY c.ma, c.mb
+    ),
+    ipairs AS (SELECT ma, mb FROM ham WHERE hamming <= 6),
+    iund AS (SELECT ma AS u, mb AS v FROM ipairs
+             UNION SELECT mb, ma FROM ipairs),
+    ireach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM iund) n
+      UNION
+      SELECT iund.v, ireach.r FROM ireach JOIN iund ON iund.u = ireach.node
+    ),
+    icc AS (SELECT node AS media_id, min(r) AS component
+            FROM ireach GROUP BY node)
+"""
+
+
+@register(
+    "mm_image_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}}
+    SELECT component, count(*) AS n_members,
+           min(media_id) AS canonical
+    FROM icc GROUP BY component
+    """.format(ctes=_MM_NEARDUP_CTES.strip()))
+def mm_image_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: the aHash block-join pairs
+    (mm_image_neardup_ahash) closed under transitivity with the same
+    large-star/small-star connected-components loop the text dedup
+    family uses — so a picture re-encoded twice at different sizes
+    collapses into ONE cluster with a canonical (minimum media_id)
+    representative, exactly like text near-dup canonicalization.
+    Reuses the registered pair query end-to-end; the oracle restates
+    pairs + a recursive transitive closure. Cluster rows are
+    component-sized — tiny next to the image corpus."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    pairs = mm_image_neardup_ahash(spark, sf_dir)
+    cc = connected_components(
+        pairs.select("media_id_a", "media_id_b"),
+        src="media_id_a", dst="media_id_b")
+    return (cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node").alias("canonical")))

@@ -3763,3 +3763,81 @@ def sql_listagg_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation
         GROUP BY n_regionkey
     """)
+
+
+@register(
+    "win_rolling_bands",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS grp, o_orderdate, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    m AS (
+      SELECT grp, o_orderkey, cents,
+             sum(cents) OVER w AS sx,
+             sum(cents * cents) OVER w AS sxx,
+             count(*) OVER w AS k
+      FROM s
+      WINDOW w AS (PARTITION BY grp ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT grp, o_orderkey,
+           cents / 100.0 AS price,
+           floor(CAST(sx AS DOUBLE) / k + 0.5) / 100.0 AS mid,
+           floor(CAST(sx AS DOUBLE) / k
+                 - 2 * sqrt(greatest((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx / k)
+                            / greatest(k - 1, 1), 0.0))
+                 + 0.5) / 100.0 AS lower_band,
+           floor(CAST(sx AS DOUBLE) / k
+                 + 2 * sqrt(greatest((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx / k)
+                            / greatest(k - 1, 1), 0.0))
+                 + 0.5) / 100.0 AS upper_band,
+           cents > CAST(sx AS DOUBLE) / k
+                   + 2 * sqrt(greatest((CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * sx / k)
+                              / greatest(k - 1, 1), 0.0))
+             AS above_band
+    FROM m
+    """)
+def win_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean ± 2σ bands (Bollinger form) over each priority's
+    price series — the streaming-friendly anomaly envelope: a point
+    outside its own recent band is 'unusual relative to its local
+    regime', which a global z-score (dq_outlier_zscore) cannot say.
+    The 20-row frame carries EXACT integer power sums (Σx, Σx² over
+    cents — window sums of integers), so mean, variance and the band
+    test derive from exact numbers and both engines agree at the cent
+    boundary; windows partition by group and the frame is constant-
+    sized. The 1-in-20 key sample keeps the demo output reviewable."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0)
+    s = o.select(F.col("o_orderpriority").alias("grp"),
+                 "o_orderdate", "o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    w = (Window.partitionBy("grp").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-19, 0))
+    m = s.select("grp", "o_orderkey", "cents",
+                 F.sum("cents").over(w).alias("sx"),
+                 F.sum(F.col("cents") * F.col("cents")).over(w)
+                 .alias("sxx"),
+                 F.count(F.lit(1)).over(w).alias("k"))
+    mean = F.col("sx").cast("double") / F.col("k")
+    var = F.greatest(
+        (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx") / F.col("k"))
+        / F.greatest(F.col("k") - 1, F.lit(1)), F.lit(0.0))
+    sd = F.sqrt(var)
+    # floor(x+0.5)/100 instead of round(x,2): a pure double op both
+    # engines evaluate identically, immune to round-half divergence on
+    # rationals that land exactly on a cent boundary.
+    return m.select(
+        "grp", "o_orderkey",
+        (F.col("cents") / 100.0).alias("price"),
+        (F.floor(mean + 0.5) / 100.0).alias("mid"),
+        (F.floor(mean - 2 * sd + 0.5) / 100.0).alias("lower_band"),
+        (F.floor(mean + 2 * sd + 0.5) / 100.0).alias("upper_band"),
+        (F.col("cents") > mean + 2 * sd).alias("above_band"))
