@@ -2419,3 +2419,99 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("seasonal", 4).alias("seasonal"),
                     F.round(1 - F.col("rv") / F.col("tv"), 4)
                     .alias("var_explained")))
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(arg_max(value, event_id) * 100) AS BIGINT)
+               AS vcents
+      FROM events GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+               AS h
+      FROM b GROUP BY user_id
+    ),
+    j AS (
+      SELECT sp.user_id, sp.h, b.vcents,
+             date_diff('hour', (SELECT min(h) FROM b b2
+                                WHERE b2.user_id = sp.user_id), sp.h)
+               AS n
+      FROM sp LEFT JOIN b USING (user_id, h)
+    ),
+    f AS (
+      SELECT user_id, h, n, vcents,
+             last_value(vcents IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN vcents IS NOT NULL THEN n END
+                        IGNORE NULLS) OVER wp AS pn,
+             first_value(vcents IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN vcents IS NOT NULL THEN n END
+                         IGNORE NULLS) OVER wf AS nn
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY n
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY n
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS bin_ts,
+           vcents IS NOT NULL AS observed,
+           floor(CASE
+             WHEN vcents IS NOT NULL THEN CAST(vcents AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE pv + (nv - pv) * CAST(n - pn AS DOUBLE) / (nn - pn)
+           END + 0.5) / 100.0 AS value_interp
+    FROM f
+    """)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly points — the
+    densification rule for CONTINUOUS signals (sensor readings,
+    prices), where forward-fill (ts_resample_gapfill) would hold a
+    stale value flat across the gap: each missing bin takes
+    prev + (next-prev)·Δt/T between its nearest observed neighbors,
+    with edge gaps falling back to the single available neighbor. All
+    inputs are exact integers (cents, hour indexes), the ratio is one
+    double expression both engines evaluate identically, and the
+    floor-cent rounding avoids round-half divergence. Everything —
+    spine, neighbor windows (both directions), interpolation — shares
+    one user_id partitioning; per-key spine bounds the frame."""
+    e = _events(spark, sf_dir)
+    b = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+         .agg(F.round(F.max_by("value", "event_id") * 100)
+              .cast("bigint").alias("vcents")))
+    span = b.groupBy("user_id").agg(F.min("h").alias("h0"),
+                                    F.max("h").alias("h1"))
+    sp = span.select(
+        "user_id", "h0",
+        F.explode(F.sequence("h0", "h1",
+                             F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    j = (sp.join(b, ["user_id", "h"], "left")
+         .select("user_id", "h", "vcents",
+                 F.expr("timestampdiff(HOUR, h0, h)").alias("n")))
+    wp = (Window.partitionBy("user_id").orderBy("n")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy("n")
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_n = F.when(F.col("vcents").isNotNull(), F.col("n"))
+    f = j.select(
+        "user_id", "h", "n", "vcents",
+        F.last("vcents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_n, ignorenulls=True).over(wp).alias("pn"),
+        F.first("vcents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_n, ignorenulls=True).over(wf).alias("nn"))
+    interp = (
+        F.when(F.col("vcents").isNotNull(), F.col("vcents").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(F.col("pv")
+                   + (F.col("nv") - F.col("pv"))
+                   * (F.col("n") - F.col("pn")).cast("double")
+                   / (F.col("nn") - F.col("pn"))))
+    return f.select(
+        "user_id", F.col("h").alias("bin_ts"),
+        F.col("vcents").isNotNull().alias("observed"),
+        (F.floor(interp + 0.5) / 100.0).alias("value_interp"))

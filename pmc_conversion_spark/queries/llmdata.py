@@ -6243,3 +6243,49 @@ def mm_image_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cc.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("node").alias("canonical")))
+
+
+@register(
+    "split_kfold_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             len({_TOKS}) AS ntok,
+             ({_MD5_INT60.format(s="'kf1:' || CAST(doc_id AS VARCHAR)")}
+              % 10000) % 5 AS fold
+      FROM documents
+    ),
+    tot AS (SELECT lang, count(*) AS n_lang FROM assigned GROUP BY lang)
+    SELECT a.fold, a.lang,
+           count(*) AS n_docs,
+           CAST(sum(a.ntok) AS BIGINT) AS n_tokens,
+           round(count(*) / CAST(t.n_lang AS DOUBLE), 4) AS lang_share
+    FROM assigned a JOIN tot t USING (lang)
+    GROUP BY a.fold, a.lang, t.n_lang
+    """)
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) for cross-validated
+    evaluation: fold = salted-hash bucket mod k, a PURE FUNCTION of
+    the document id — so folds are reproducible across runs and
+    cluster sizes, rows never need a global shuffle-split, and any
+    worker can recompute its fold membership locally (the same
+    contract as split_train_val_test, extended to rotation). The
+    report shows per-(fold, language) document/token balance with
+    each language's share across folds — the check that the hash
+    didn't correlate with a stratum (shares should sit near 1/k).
+    Map-side assignment; one small agg + broadcast totals."""
+    from pmc_conversion_spark.functions.sampling import hash_bucket
+    d = _docs(spark, sf_dir)
+    assigned = d.select(
+        "lang",
+        TX.token_count_ws(F.lower(F.col("text"))).alias("ntok"),
+        (hash_bucket(F.col("doc_id"), "kf1") % 5).alias("fold"))
+    tot = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (assigned.groupBy("fold", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ntok").alias("n_tokens"))
+            .join(F.broadcast(tot), "lang")
+            .select("fold", "lang", "n_docs", "n_tokens",
+                    F.round(F.col("n_docs")
+                            / F.col("n_lang").cast("double"), 4)
+                    .alias("lang_share")))
