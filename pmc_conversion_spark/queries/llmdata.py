@@ -6289,3 +6289,116 @@ def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_docs")
                             / F.col("n_lang").cast("double"), 4)
                     .alias("lang_share")))
+
+
+def _capstone_stage_sql(name: str, src: str) -> str:
+    return (f"SELECT '{name}' AS stage, count(*) AS n_docs, "
+            f"CAST(coalesce(sum(ntok), 0) AS BIGINT) AS n_tokens, "
+            f"CAST(ceil(coalesce(sum(ntok), 0) / 512.0) AS BIGINT) "
+            f"AS n_packed_512 FROM {src}")
+
+
+@register(
+    "pipeline_e2e_llm_capstone",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES.strip()},
+    docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             '  ' || replace(text, ' ', '   ') || ' !!' AS text
+      FROM documents WHERE doc_id < 40
+    ),
+    lang_map AS (SELECT doc_id AS lid, lang FROM documents),
+    st AS (
+      SELECT d2.doc_id, d2.text, lm.lang, len({_TOKS}) AS ntok
+      FROM docs2 d2 JOIN lang_map lm ON lm.lid = d2.doc_id % 100000
+    ),
+    s1 AS (SELECT * FROM st WHERE lang = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE ntok BETWEEN 40 AND 5000),
+    fp AS (SELECT doc_id, md5({_NORM}) AS f FROM docs2),
+    keep3 AS (SELECT fp.f, min(fp.doc_id) AS k
+              FROM fp JOIN s2 ON s2.doc_id = fp.doc_id GROUP BY fp.f),
+    s3 AS (SELECT s2.* FROM s2
+           JOIN fp ON fp.doc_id = s2.doc_id
+           JOIN keep3 ON keep3.f = fp.f AND keep3.k = s2.doc_id),
+    keep4 AS (SELECT cc.component, min(cc.doc_id) AS k
+              FROM cc JOIN s3 ON s3.doc_id = cc.doc_id
+              GROUP BY cc.component),
+    s4 AS (SELECT s3.* FROM s3
+           LEFT JOIN cc ON cc.doc_id = s3.doc_id
+           LEFT JOIN keep4 ON keep4.component = cc.component
+           WHERE cc.doc_id IS NULL OR keep4.k = s3.doc_id)
+    {_capstone_stage_sql('0_raw', 'st')}
+    UNION ALL {_capstone_stage_sql('1_lang_en', 's1')}
+    UNION ALL {_capstone_stage_sql('2_quality', 's2')}
+    UNION ALL {_capstone_stage_sql('3_exact_dedup', 's3')}
+    UNION ALL {_capstone_stage_sql('4_neardup_canonical', 's4')}
+    """)
+def pipeline_e2e_llm_capstone(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The training-corpus ATTRITION FUNNEL end-to-end: raw (with
+    planted duplicates) → language gate → quality bounds → exact
+    dedup (min-id keeper per normalized fingerprint, decided among
+    survivors) → near-dup CLUSTER canonicalization (jaccard pairs →
+    connected components; a cluster's keeper is its minimum surviving
+    member, so transitive duplicates die even when their direct pair
+    was pruned) — with per-stage document/token counts and the packed
+    512-token sequence budget. This is the number a pretraining run
+    is actually provisioned from, and the stage deltas are the
+    engineering dashboard ('dedup cost us 8% of tokens'). Every stage
+    reuses a verified registry operator; shuffles carry digests, ids,
+    and 8-byte shingle keys — never document bodies."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    from pmc_conversion_spark.functions.text import (
+        normalize_for_fingerprint, token_count_ws)
+    d = _docs_with_dups(spark, sf_dir)
+    lang_map = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("lid"), "lang")
+    st = (d.join(F.broadcast(lang_map),
+                 d.doc_id % 100000 == F.col("lid"))
+          .select("doc_id", "text", "lang",
+                  token_count_ws(F.lower(F.col("text"))).alias("ntok")))
+    st = st.localCheckpoint(eager=True)  # reused by 5 stage reports
+    s1 = st.filter(F.col("lang") == "en")
+    s2 = s1.filter(F.col("ntok").between(40, 5000))
+    fp = st.select("doc_id",
+                   F.md5(normalize_for_fingerprint(F.col("text")))
+                   .alias("f"))
+    keep3 = (fp.join(s2.select("doc_id"), "doc_id")
+             .groupBy("f").agg(F.min("doc_id").alias("k")))
+    s3 = (s2.join(fp, "doc_id")
+          .join(keep3, "f")
+          .filter(F.col("k") == F.col("doc_id"))
+          .select(s2.columns))
+    # pairs/clusters over the PLAIN corpus (dedup_cluster_cc's exact
+    # frame): injected copies are fingerprint-equal and die at stage 3,
+    # so the near-dup stage only ever adjudicates original doc_ids
+    pairs = DD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        threshold_num=1, threshold_den=20,
+        max_posting=DD.MAX_POSTING_DEFAULT)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b") \
+        .select(F.col("node").alias("doc_id"), "component")
+    keep4 = (cc.join(s3.select("doc_id"), "doc_id")
+             .groupBy("component").agg(F.min("doc_id").alias("k4")))
+    s4 = (s3.join(cc, "doc_id", "left")
+          .join(F.broadcast(keep4), "component", "left")
+          .filter(F.col("component").isNull()
+                  | (F.col("k4") == F.col("doc_id")))
+          .select(s3.columns))
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            F.ceil(F.coalesce(F.sum("ntok"), F.lit(0)) / 512.0)
+            .cast("bigint").alias("n_packed_512"))
+
+    return (stage("0_raw", st)
+            .unionAll(stage("1_lang_en", s1))
+            .unionAll(stage("2_quality", s2))
+            .unionAll(stage("3_exact_dedup", s3))
+            .unionAll(stage("4_neardup_canonical", s4)))
