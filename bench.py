@@ -77,6 +77,11 @@ HEADLINE = [
     "agg_ndcg_eval",
     "sim_ivf_recall_eval",
     "sql_product_profit",
+    "pipeline_e2e_llm_capstone",
+    "mm_image_neardup_ahash",
+    "graph_kcore",
+    "text_boilerplate_strip",
+    "ts_seasonal_decompose",
 ]
 
 

@@ -70,6 +70,11 @@ PROBED = [
     "agg_ab_sprt",
     "sql_product_profit",
     "sql_waiting_suppliers",
+    "pipeline_e2e_llm_capstone",
+    "graph_kcore",
+    "ts_seasonal_decompose",
+    "mm_image_dedup_cluster",
+    "ts_linear_interpolate",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
