@@ -6402,3 +6402,207 @@ def pipeline_e2e_llm_capstone(spark: SparkSession,
             .unionAll(stage("2_quality", s2))
             .unionAll(stage("3_exact_dedup", s3))
             .unionAll(stage("4_neardup_canonical", s4)))
+
+
+@register(
+    "agg_gains_table",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])}
+             - greatest({_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                        {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                        {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                        {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+               AS z
+      FROM documents
+    ),
+    ranked AS (
+      SELECT y, ntile(10) OVER (ORDER BY z DESC, doc_id) AS decile
+      FROM hits
+    ),
+    per AS (
+      SELECT decile, count(*) AS n, sum(y) AS n_pos
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT sum(n_pos) AS p, sum(n) AS nn FROM per)
+    SELECT per.decile, per.n, CAST(per.n_pos AS BIGINT) AS n_pos,
+           round(per.n_pos / CAST(per.n AS DOUBLE), 4) AS response_rate,
+           round(sum(per.n_pos) OVER (ORDER BY per.decile)
+                 / CAST(t.p AS DOUBLE), 4) AS cum_capture,
+           round((per.n_pos / CAST(per.n AS DOUBLE))
+                 / (t.p / CAST(t.nn AS DOUBLE)), 4) AS lift
+    FROM per, tot t
+    """)
+def agg_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gains/lift table: score-ranked deciles with response rate,
+    cumulative capture, and lift over base rate — how a targeting or
+    filtering model is actually presented to decision-makers ('the
+    top 20% of scores captures 58% of positives at 2.9x lift'), and
+    the decile twin of PR-AUC's threshold sweep. ntile runs over a
+    TOTAL order (score desc, doc_id) so decile boundaries are
+    deterministic; per-decile counts are exact integers and the
+    cumulative window runs over the 10-row decile frame. Scale note:
+    ntile over a global order is a range-partitioned sort at corpus
+    scale — acceptable for a scoring run's reporting pass; the
+    bounded-threshold agg_auc_pr form is the cheaper continuous
+    audit."""
+    d = _docs(spark, sf_dir)
+    from pmc_conversion_spark.functions.text import (LANG_LEXICONS,
+                                                     stopword_hits)
+    low = F.lower(F.col("text"))
+    z = (stopword_hits(low, LANG_LEXICONS["en"])
+         - F.greatest(*[stopword_hits(low, LANG_LEXICONS[c])
+                        for c in ("de", "es", "fr", "zh")]))
+    hits = d.select("doc_id",
+                    F.when(F.col("lang") == "en", 1).otherwise(0)
+                    .alias("y"), z.alias("z"))
+    ranked = hits.select(
+        "y", F.ntile(10).over(
+            Window.orderBy(F.col("z").desc(), "doc_id")).alias("decile"))
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    tot = per.agg(F.sum("n_pos").alias("p"), F.sum("n").alias("nn"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)  # bounded: 10 decile rows
+    return (per.crossJoin(F.broadcast(tot))
+            .select("decile", "n",
+                    F.col("n_pos").cast("bigint").alias("n_pos"),
+                    F.round(F.col("n_pos") / F.col("n").cast("double"),
+                            4).alias("response_rate"),
+                    F.round(F.sum("n_pos").over(wcum)
+                            / F.col("p").cast("double"), 4)
+                    .alias("cum_capture"),
+                    F.round((F.col("n_pos") / F.col("n").cast("double"))
+                            / (F.col("p") / F.col("nn").cast("double")),
+                            4).alias("lift")))
+
+
+_BBOX_GEN_SQL = """
+    imgs AS (SELECT t.i AS img FROM unnest(range(0, 100)) AS t(i)),
+    truth AS (
+      SELECT img, t.k AS tk,
+             (img * 7 + t.k * 13) % 40 AS x1,
+             (img * 11 + t.k * 17) % 40 AS y1,
+             (img * 7 + t.k * 13) % 40 + 8 + (img + t.k) % 8 AS x2,
+             (img * 11 + t.k * 17) % 40 + 8 + (img + 2 * t.k) % 6 AS y2
+      FROM imgs, unnest(range(0, 3)) AS t(k)
+    ),
+    pred AS (
+      SELECT img, t.k AS pk,
+             CASE WHEN t.k = 2 THEN 20 ELSE (img + t.k) % 3 - 1 END
+               + (img * 7 + t.k * 13) % 40 AS x1,
+             CASE WHEN t.k = 2 THEN 20 ELSE (img + 2 * t.k) % 3 - 1 END
+               + (img * 11 + t.k * 17) % 40 AS y1,
+             CASE WHEN t.k = 2 THEN 20 ELSE (img + t.k) % 3 - 1 END
+               + (img * 7 + t.k * 13) % 40 + 8 + (img + t.k) % 8 AS x2,
+             CASE WHEN t.k = 2 THEN 20 ELSE (img + 2 * t.k) % 3 - 1 END
+               + (img * 11 + t.k * 17) % 40 + 8 + (img + 2 * t.k) % 6
+               AS y2
+      FROM imgs, unnest(range(0, 3)) AS t(k)
+    )
+"""
+
+
+@register(
+    "mm_bbox_iou_join",
+    oracle=f"""
+    WITH {_BBOX_GEN_SQL.strip()},
+    iou AS (
+      SELECT p.img, p.pk, t.tk,
+             greatest(0, least(p.x2, t.x2) - greatest(p.x1, t.x1))
+             * greatest(0, least(p.y2, t.y2) - greatest(p.y1, t.y1))
+               AS inter,
+             (p.x2 - p.x1) * (p.y2 - p.y1)
+             + (t.x2 - t.x1) * (t.y2 - t.y1)
+             - greatest(0, least(p.x2, t.x2) - greatest(p.x1, t.x1))
+               * greatest(0, least(p.y2, t.y2) - greatest(p.y1, t.y1))
+               AS un
+      FROM pred p JOIN truth t ON t.img = p.img
+    ),
+    best AS (
+      SELECT img, pk, tk AS best_tk, r AS best_iou FROM (
+        SELECT img, pk, tk, CAST(inter AS DOUBLE) / un AS r,
+               ROW_NUMBER() OVER (PARTITION BY img, pk
+                   ORDER BY CAST(inter AS DOUBLE) / un DESC, tk) AS rn
+        FROM iou) WHERE rn = 1
+    ),
+    matched AS (
+      SELECT img, count(*) AS n_matched,
+             count(DISTINCT best_tk) AS n_truth_hit
+      FROM best WHERE best_iou >= 0.5 GROUP BY img
+    )
+    SELECT i.img,
+           3 AS n_truth, 3 AS n_pred,
+           coalesce(m.n_truth_hit, 0) AS n_truth_hit,
+           round(coalesce(m.n_matched, 0) / 3.0, 4) AS precision_05,
+           round(coalesce(m.n_truth_hit, 0) / 3.0, 4) AS recall_05
+    FROM imgs i LEFT JOIN matched m ON m.img = i.img
+    """)
+def mm_bbox_iou_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box IoU matching — detection-dataset QA: predicted
+    boxes join their image's ground-truth boxes, IoU computes in
+    EXACT integer geometry (intersection/union areas are integer; the
+    one division is a double both engines evaluate identically), each
+    prediction claims its best-IoU truth box (max_by with a
+    deterministic tie-break), and per-image precision/recall at
+    IoU≥0.5 falls out. The synthetic set plants two slightly-jittered
+    true matches and one displaced miss per image, so expected
+    precision/recall hover at 2/3 — a planted answer the oracle
+    restates. Scale shape: the IoU join is per-image (equi-join on
+    the image key, 3x3 pairs each) — never a cross-image pair
+    explosion; boxes are rows, pixels never appear."""
+    imgs = spark.range(100).select(F.col("id").alias("img"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+    base = imgs.select("img", ks)
+    x1 = (F.col("img") * 7 + F.col("k") * 13) % 40
+    y1 = (F.col("img") * 11 + F.col("k") * 17) % 40
+    w = 8 + (F.col("img") + F.col("k")) % 8
+    h = 8 + (F.col("img") + 2 * F.col("k")) % 6
+    truth = base.select("img", F.col("k").alias("tk"),
+                        x1.alias("x1"), y1.alias("y1"),
+                        (x1 + w).alias("x2"), (y1 + h).alias("y2"))
+    dx = F.when(F.col("k") == 2, 20).otherwise(
+        (F.col("img") + F.col("k")) % 3 - 1)
+    dy = F.when(F.col("k") == 2, 20).otherwise(
+        (F.col("img") + 2 * F.col("k")) % 3 - 1)
+    pred = base.select("img", F.col("k").alias("pk"),
+                       (x1 + dx).alias("x1"), (y1 + dy).alias("y1"),
+                       (x1 + w + dx).alias("x2"),
+                       (y1 + h + dy).alias("y2"))
+    p = pred.alias("p")
+    t = truth.alias("t")
+    inter = (F.greatest(F.lit(0),
+                        F.least(F.col("p.x2"), F.col("t.x2"))
+                        - F.greatest(F.col("p.x1"), F.col("t.x1")))
+             * F.greatest(F.lit(0),
+                          F.least(F.col("p.y2"), F.col("t.y2"))
+                          - F.greatest(F.col("p.y1"), F.col("t.y1"))))
+    area_p = ((F.col("p.x2") - F.col("p.x1"))
+              * (F.col("p.y2") - F.col("p.y1")))
+    area_t = ((F.col("t.x2") - F.col("t.x1"))
+              * (F.col("t.y2") - F.col("t.y1")))
+    iou = (p.join(t, F.col("p.img") == F.col("t.img"))
+           .select(F.col("p.img").alias("img"), "p.pk", "t.tk",
+                   inter.alias("inter"),
+                   (area_p + area_t - inter).alias("un")))
+    r = F.col("inter").cast("double") / F.col("un")
+    best = (iou.groupBy("img", "pk")
+            .agg(F.max_by("tk", F.struct(r.alias("r"),
+                                         (-F.col("tk")).alias("nt")))
+                 .alias("best_tk"),
+                 F.max(r).alias("best_iou")))
+    matched = (best.filter(F.col("best_iou") >= 0.5)
+               .groupBy("img")
+               .agg(F.count(F.lit(1)).alias("n_matched"),
+                    F.countDistinct("best_tk").alias("n_truth_hit")))
+    return (imgs.join(matched, "img", "left")
+            .select("img", F.lit(3).alias("n_truth"),
+                    F.lit(3).alias("n_pred"),
+                    F.coalesce("n_truth_hit", F.lit(0)).cast("bigint")
+                    .alias("n_truth_hit"),
+                    F.round(F.coalesce("n_matched", F.lit(0)) / 3.0, 4)
+                    .alias("precision_05"),
+                    F.round(F.coalesce("n_truth_hit", F.lit(0)) / 3.0,
+                            4).alias("recall_05")))
