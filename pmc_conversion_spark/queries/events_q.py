@@ -2515,3 +2515,55 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("h").alias("bin_ts"),
         F.col("vcents").isNotNull().alias("observed"),
         (F.floor(interp + 0.5) / 100.0).alias("value_interp"))
+
+
+@register(
+    "dedup_event_neartime",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type,
+             CASE WHEN prev_ts IS NOT NULL
+                   AND date_diff('microsecond', prev_ts, ts)
+                       < 120000000
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM ranked
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           CAST(sum(is_dup) AS BIGINT) AS n_neartime_dups,
+           count(*) - CAST(sum(is_dup) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY user_id, event_type
+    """)
+def dedup_event_neartime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-time event dedup — the telemetry rule for double-fired
+    beacons and retried webhooks: an event is a duplicate if the SAME
+    (user, type) emitted one less than 2 minutes earlier (chained
+    semantics: each event compares to its immediate predecessor, so a
+    burst collapses to its first firing plus sub-2-minute followers
+    flagged). The batch twin of stream_stateful_dedup's
+    watermark-bounded state: one lag window per (user, type) —
+    partitioned, never global — with microsecond-exact interval
+    arithmetic (NTZ-safe), and integer outputs. At 100 TB the window
+    key is the dedup key, so state never exceeds a partition."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    ranked = e.select("user_id", "event_type", "ts",
+                      F.lag("ts").over(w).alias("prev_ts"))
+    is_dup = F.when(
+        F.col("prev_ts").isNotNull()
+        & (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+           < 120_000_000), 1).otherwise(0)
+    return (ranked.select("user_id", "event_type",
+                          is_dup.alias("is_dup"))
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("is_dup").cast("bigint").alias("n_neartime_dups"),
+                 (F.count(F.lit(1)) - F.sum("is_dup")).cast("bigint")
+                 .alias("n_kept")))

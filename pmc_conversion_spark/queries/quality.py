@@ -1012,3 +1012,61 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "o_custkey->o_orderpriority"))
             .unionAll(audit(c, "c_custkey", "c_mktsegment",
                             "c_custkey->c_mktsegment")))
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    groups AS (
+      SELECT seg, nat, bal_band, count(*) AS k
+      FROM quasi GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT count(*) AS n_rows FROM quasi)
+    SELECT CAST(min(g.k) AS BIGINT) AS k_anonymity,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN g.k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(sum(CASE WHEN g.k < 5 THEN g.k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           round(sum(CASE WHEN g.k < 5 THEN g.k ELSE 0 END)
+                 / CAST(t.n_rows AS DOUBLE), 4) AS suppression_rate
+    FROM groups g, tot t GROUP BY t.n_rows
+    """)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (segment,
+    nation, coarse balance band) — the re-identification risk
+    measure that complements PII detection (dq_pii_audit finds
+    direct identifiers; THIS prices what the 'harmless' demographic
+    columns leak in combination): the dataset's k is the SMALLEST
+    equivalence-class size, and every row in a class below k=5 would
+    need suppression or coarser banding before release. One grouped
+    count over the quasi-identifier key (partial-agg, tiny class
+    frame), then class-level aggregates — the audit costs one scan at
+    any scale, and the banding knob (floor(bal/1000)) is exactly what
+    an anonymization loop would tune."""
+    c = _t(spark, sf_dir, "customer")
+    quasi = c.select(F.col("c_mktsegment").alias("seg"),
+                     F.col("c_nationkey").alias("nat"),
+                     F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+                     .alias("bal_band"))
+    groups = quasi.groupBy("seg", "nat", "bal_band").agg(
+        F.count(F.lit(1)).alias("k"))
+    tot = quasi.agg(F.count(F.lit(1)).alias("n_rows"))
+    small = F.when(F.col("k") < 5, F.col("k")).otherwise(0)
+    return (groups.crossJoin(F.broadcast(tot))
+            .groupBy("n_rows")
+            .agg(F.min("k").cast("bigint").alias("k_anonymity"),
+                 F.count(F.lit(1)).alias("n_classes"),
+                 F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+                 .cast("bigint").alias("n_small_classes"),
+                 F.sum(small).cast("bigint").alias("n_rows_at_risk"))
+            .select("k_anonymity", "n_classes", "n_small_classes",
+                    "n_rows_at_risk",
+                    F.round(F.col("n_rows_at_risk")
+                            / F.col("n_rows").cast("double"), 4)
+                    .alias("suppression_rate")))
