@@ -3841,3 +3841,80 @@ def win_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mean - 2 * sd + 0.5) / 100.0).alias("lower_band"),
         (F.floor(mean + 2 * sd + 0.5) / 100.0).alias("upper_band"),
         (F.col("cents") > mean + 2 * sd).alias("above_band"))
+
+
+@register(
+    "agg_rate_volume_mix",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+    ),
+    per AS (
+      SELECT seg, yr, count(*) AS q,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM j GROUP BY seg, yr
+    ),
+    wide AS (
+      SELECT seg,
+             max(CASE WHEN yr = 1996 THEN q END) AS q0,
+             max(CASE WHEN yr = 1997 THEN q END) AS q1,
+             max(CASE WHEN yr = 1996 THEN rev_cents END) AS r0,
+             max(CASE WHEN yr = 1997 THEN rev_cents END) AS r1
+      FROM per GROUP BY seg
+    )
+    SELECT seg, q0, q1,
+           round(r0 / 100.0, 2) AS rev_prev,
+           round(r1 / 100.0, 2) AS rev_cur,
+           round((r1 - r0) / 100.0, 2) AS delta_total,
+           round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0) / 100.0, 2)
+             AS volume_effect,
+           round(q1 * (CAST(r1 AS DOUBLE) / q1
+                       - CAST(r0 AS DOUBLE) / q0) / 100.0, 2)
+             AS rate_effect
+    FROM wide
+    """)
+def agg_rate_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue-bridge decomposition (rate/volume analysis): for
+    each market segment, year-over-year revenue change split into a
+    VOLUME effect ((q₁−q₀)·rate₀) and a RATE effect (q₁·(rate₁−rate₀))
+    — the two sum exactly to the total delta, which is the
+    reconciliation property every finance bridge is audited on
+    (derivable here: Δ = q₁r₁ − q₀r₀ = (q₁−q₀)r₀ + q₁(r₁−r₀)).
+    Counts and cent-sums are exact integers; rates are two double
+    divisions on exact numbers; one fact-sized join+agg and a 5-row
+    pivot."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    j = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                o.o_custkey == F.col("c_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.year("o_orderdate").alias("yr"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+         .filter(F.col("yr").isin(1996, 1997)))
+    per = j.groupBy("seg", "yr").agg(
+        F.count(F.lit(1)).alias("q"),
+        F.sum("cents").cast("bigint").alias("rev_cents"))
+    wide = per.groupBy("seg").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1996, F.col("rev_cents")))
+        .alias("r0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("rev_cents")))
+        .alias("r1"))
+    rate0 = F.col("r0").cast("double") / F.col("q0")
+    rate1 = F.col("r1").cast("double") / F.col("q1")
+    return wide.select(
+        "seg", "q0", "q1",
+        F.round(F.col("r0") / 100.0, 2).alias("rev_prev"),
+        F.round(F.col("r1") / 100.0, 2).alias("rev_cur"),
+        F.round((F.col("r1") - F.col("r0")) / 100.0, 2)
+        .alias("delta_total"),
+        F.round((F.col("q1") - F.col("q0")) * rate0 / 100.0, 2)
+        .alias("volume_effect"),
+        F.round(F.col("q1") * (rate1 - rate0) / 100.0, 2)
+        .alias("rate_effect"))
