@@ -6606,3 +6606,81 @@ def mm_bbox_iou_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("precision_05"),
                     F.round(F.coalesce("n_truth_hit", F.lit(0)) / 3.0,
                             4).alias("recall_05")))
+
+
+def _method_agreement_sql() -> str:
+    from pmc_conversion_spark.queries import REGISTRY
+    jac = REGISTRY["dedup_ngram_jaccard"].oracle
+    mh = REGISTRY["dedup_minhash_lsh"].oracle
+    sh2 = REGISTRY["dedup_simhash"].oracle
+    return f"""
+    WITH jac AS ({jac}),
+    mh AS ({mh}),
+    simh AS ({sh2}),
+    allp AS (
+      SELECT doc_a, doc_b FROM jac
+      UNION SELECT doc_a, doc_b FROM mh
+      UNION SELECT doc_a, doc_b FROM simh
+    ),
+    flagged AS (
+      SELECT p.doc_a, p.doc_b,
+             EXISTS (SELECT 1 FROM jac j
+                     WHERE j.doc_a = p.doc_a AND j.doc_b = p.doc_b)
+               AS in_jaccard,
+             EXISTS (SELECT 1 FROM mh m
+                     WHERE m.doc_a = p.doc_a AND m.doc_b = p.doc_b)
+               AS in_minhash,
+             EXISTS (SELECT 1 FROM simh s
+                     WHERE s.doc_a = p.doc_a AND s.doc_b = p.doc_b)
+               AS in_simhash
+      FROM allp p
+    )
+    SELECT in_jaccard, in_minhash, in_simhash,
+           count(*) AS n_pairs
+    FROM flagged GROUP BY 1, 2, 3
+    """
+
+
+@register("dedup_method_agreement", oracle=_method_agreement_sql())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup METHOD-AGREEMENT matrix: every pair surfaced by
+    exact n-gram Jaccard (the ground truth at threshold 1/20), MinHash
+    LSH (its sketch approximation), or SimHash (a different signal —
+    weighted-feature Hamming), bucketed by which detectors found it —
+    the Venn diagram that tells a corpus team what switching or
+    ensembling detectors would actually change (minhash misses =
+    banding recall loss; simhash-only pairs = near-dups Jaccard's
+    set view can't see). Each leg is THE registered operator's own
+    pair generator, so the report is also a standing consistency
+    check between the three pipelines; legs share the scan but emit
+    only id pairs."""
+    docs = _docs(spark, sf_dir)
+    jac = DD.ngram_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=20,
+        max_posting=DD.MAX_POSTING_DEFAULT).select("doc_a", "doc_b")
+    mh = DD.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, n=3,
+        threshold_num=1, threshold_den=20).select("doc_a", "doc_b")
+    simh = DD.simhash_near_pairs(docs, max_hamming=3) \
+        .select("doc_a", "doc_b")
+    allp = (jac.unionByName(mh).unionByName(simh).distinct()
+            .localCheckpoint(eager=True))
+
+    def flag(side: DataFrame, name: str) -> DataFrame:
+        return side.distinct().select(
+            "doc_a", "doc_b", F.lit(True).alias(name))
+
+    flagged = (allp
+               .join(flag(jac, "in_jaccard"), ["doc_a", "doc_b"], "left")
+               .join(flag(mh, "in_minhash"), ["doc_a", "doc_b"], "left")
+               .join(flag(simh, "in_simhash"), ["doc_a", "doc_b"],
+                     "left")
+               .select(
+                   F.coalesce("in_jaccard", F.lit(False))
+                   .alias("in_jaccard"),
+                   F.coalesce("in_minhash", F.lit(False))
+                   .alias("in_minhash"),
+                   F.coalesce("in_simhash", F.lit(False))
+                   .alias("in_simhash")))
+    return (flagged.groupBy("in_jaccard", "in_minhash", "in_simhash")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

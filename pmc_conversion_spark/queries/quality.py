@@ -1070,3 +1070,54 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_rows_at_risk")
                             / F.col("n_rows").cast("double"), 4)
                     .alias("suppression_rate")))
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_nationkey AS nat,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    classes AS (
+      SELECT nat, bal_band, count(*) AS k,
+             count(DISTINCT sensitive) AS l
+      FROM quasi GROUP BY 1, 2
+    )
+    SELECT CAST(min(l) AS BIGINT) AS l_diversity,
+           CAST(min(k) AS BIGINT) AS k_anonymity,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity_classes,
+           CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_attr_disclosable
+    FROM classes
+    """)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can
+    be large (high k) yet carry only ONE sensitive value, so
+    membership alone discloses the attribute (homogeneity attack).
+    Per quasi-identifier class (nation, coarse balance band) this
+    reports the DISTINCT sensitive values (market segment); the
+    dataset's l is the minimum, and classes with l < 3 leak even
+    after k-anonymization. Same one-scan cost shape as
+    dq_k_anonymity: a grouped (count, count distinct) partial agg
+    over the class key, then class-frame aggregates."""
+    c = _t(spark, sf_dir, "customer")
+    quasi = c.select(F.col("c_nationkey").alias("nat"),
+                     F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+                     .alias("bal_band"),
+                     F.col("c_mktsegment").alias("sensitive"))
+    classes = quasi.groupBy("nat", "bal_band").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("sensitive").alias("l"))
+    return classes.agg(
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.min("k").cast("bigint").alias("k_anonymity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("bigint")
+        .alias("n_low_diversity_classes"),
+        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
+        .cast("bigint").alias("n_rows_attr_disclosable"))
