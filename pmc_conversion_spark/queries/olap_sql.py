@@ -34,6 +34,7 @@ from __future__ import annotations
 import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pmc_conversion_spark import tables
 from pmc_conversion_spark.queries import register
@@ -629,3 +630,41 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "grp_col": "o_orderstatus",
               "price_col": "o_totalprice"})
+
+
+# ------------------------------------------- pandas API on Spark
+_PANDAS_API_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("api_pandas_on_spark", oracle=_PANDAS_API_ORACLE)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``): the same grouped
+    aggregate written as a pandas idiom — assign a derived column,
+    groupby().agg(), reset_index — executing as DISTRIBUTED Spark
+    plans underneath (no driver materialization; .to_spark() hands
+    back the lazy frame). This is the migration surface for
+    pandas-notebook code hitting 100 TB: the idioms survive, the
+    single-machine ceiling doesn't. Determinism: the summed column is
+    integer cents (exact under any partial-agg order), converted to
+    dollars at the boundary; the default distributed index is never
+    exposed."""
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
+    orders = tables.load(spark, sf_dir, "orders")
+    pdf = orders.select("o_orderstatus", "o_totalprice").pandas_api()
+    pdf = pdf.assign(
+        cents=(pdf["o_totalprice"] * 100).round(0).astype("int64"))
+    out = (pdf.groupby("o_orderstatus")
+           .agg(n=("cents", "count"), cents_total=("cents", "sum"))
+           .reset_index())
+    sdf = out.to_spark()
+    return sdf.select(F.col("o_orderstatus").alias("status"),
+                      F.col("n").cast("bigint").alias("n"),
+                      (F.col("cents_total").cast("double") / 100.0)
+                      .alias("total"))

@@ -3918,3 +3918,73 @@ def agg_rate_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("volume_effect"),
         F.round(F.col("q1") * (rate1 - rate0) / 100.0, 2)
         .alias("rate_effect"))
+
+
+@register(
+    "agg_two_proportion_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT
+        sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS ka,
+        sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+        sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS kb
+      FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS k_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS k_b,
+           round(CAST(ka AS DOUBLE) / na, 6) AS rate_a,
+           round(CAST(kb AS DOUBLE) / nb, 6) AS rate_b,
+           round((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+                 / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z_stat,
+           abs((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+               / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                      * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb))) > 1.96 AS reject_05
+    FROM m
+    """)
+def agg_two_proportion_ztest(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The two-proportion z-test — THE conversion-rate readout (Welch
+    compares means, this compares rates, and it is the test most A/B
+    dashboards actually run): pooled-variance z over the arm
+    conversion counts. Everything derives from four exact integers in
+    ONE conditional-sum pass; the statistic is a handful of double
+    ops both engines evaluate identically, rounded at the boundary.
+    Pairs with agg_ab_mde (which sizes the experiment this test
+    reads out) and agg_ab_sprt (its sequential, early-stopping
+    form)."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    m = g.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .alias("ka"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0))
+        .alias("kb"))
+    ra = F.col("ka").cast("double") / F.col("na")
+    rb = F.col("kb").cast("double") / F.col("nb")
+    pool = (F.col("ka") + F.col("kb")).cast("double") \
+        / (F.col("na") + F.col("nb"))
+    z = (ra - rb) / F.sqrt(pool * (1 - pool)
+                           * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ka").cast("bigint").alias("k_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("kb").cast("bigint").alias("k_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("reject_05"))
