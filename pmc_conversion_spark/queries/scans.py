@@ -813,3 +813,100 @@ def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("mode", "DROPMALFORMED")
           .csv(d))
     return df.select("id", "qty")
+
+
+@register(
+    "scan_glob_filtered",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """)
+def scan_glob_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Option-driven directory filtering: ``recursiveFileLookup`` +
+    ``pathGlobFilter='*.tsv'`` scans a mixed drop-zone tree (TSVs
+    interleaved with .sha1 sidecars, logs, and hidden files across
+    nested dirs) and reads ONLY the data files — the declarative form
+    of the reference's extension filtering (scripts/sync.py:15-16,37)
+    that happens at FILE-LISTING time on the driver, so excluded
+    files are never opened, never split, and never counted toward
+    partitions (at 100 TB the listing is the first scan bottleneck;
+    glob-at-listing beats read-then-filter by the excluded bytes)."""
+    d = _scratch("scan_glob_filtered")
+    nation = tables.load(spark, sf_dir, "nation")
+    sub = os.path.join(d, "batch1", "nested")
+    os.makedirs(sub, exist_ok=True)
+    rows = [(r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in nation.collect()]  # 25-row dim: bounded fixture
+    def _tsv(path, rs):
+        with open(path, "w") as fh:
+            for nk, nm, rk in rs:
+                fh.write(f"{nk}\t{nm}\t{rk}\n")
+    _tsv(os.path.join(d, "batch1", "a.tsv"),
+         [r for r in rows if r[0] < 10])
+    _tsv(os.path.join(sub, "b.tsv"), [r for r in rows if r[0] >= 10])
+    for noise in ("a.tsv.sha1", "run.log", ".hidden.tsv.bak"):
+        with open(os.path.join(d, "batch1", noise), "w") as fh:
+            fh.write("not data\n")
+    return (spark.read
+            .schema(NATION_SCHEMA)
+            .option("sep", "\t")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.tsv")
+            .csv(d))
+
+
+DIALECT_ROWS = [
+    (1, 'plain text'),
+    (2, 'has,comma and "quotes"'),
+    (3, 'tab\there'),
+    (4, 'new\nline inside'),
+    (5, 'trailing space '),
+    (6, ''),
+]
+
+
+@register(
+    "sink_csv_dialect_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'plain text'),
+      (2, 'has,comma and "quotes"'),
+      (3, 'tab' || chr(9) || 'here'),
+      (4, 'new' || chr(10) || 'line inside'),
+      (5, 'trailing space '),
+      (6, '')
+    ) AS t(id, payload)
+    """)
+def sink_csv_dialect_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CSV dialect round-trip for the strings that BREAK naive
+    exporters: embedded delimiters, double quotes, tabs, NEWLINES
+    inside fields, trailing whitespace, and empty-vs-null. Written
+    with quoting+escaping enabled, read back with ``multiLine`` and
+    the matching quote/escape dialect, and value-checked against the
+    fixture — the contract that data can leave and re-enter the
+    engine through the reference's delimited interchange format
+    (luigi-pipeline/main.py:109-126) without corruption. One-file
+    bounded fixture; the reader settings are the documented dialect,
+    not defaults."""
+    d = _scratch("sink_csv_dialect_roundtrip")
+    from pmc_conversion_spark.queries.manifest import fixture_df
+    df = fixture_df(spark, DIALECT_ROWS, "id int, payload string")
+    out = os.path.join(d, "out")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("header", True)
+     .option("quoteAll", True)
+     .option("escape", '"')
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
+     .csv(out))
+    back = (spark.read
+            .schema("id int, payload string")
+            .option("header", True)
+            .option("multiLine", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(out))
+    return back.select(
+        "id", F.coalesce("payload", F.lit("")).alias("payload"))
