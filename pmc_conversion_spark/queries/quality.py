@@ -1121,3 +1121,46 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_low_diversity_classes"),
         F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
         .cast("bigint").alias("n_rows_attr_disclosable"))
+
+
+@register(
+    "dq_missing_ranges",
+    oracle="""
+    WITH present AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    gaps AS (
+      SELECT k AS prev_k,
+             lead(k) OVER (ORDER BY k) AS next_k
+      FROM present
+    )
+    SELECT prev_k + 1 AS gap_start, next_k - 1 AS gap_end,
+           next_k - prev_k - 1 AS n_missing
+    FROM gaps
+    WHERE next_k - prev_k > 1
+    ORDER BY gap_start
+    LIMIT 50
+    """)
+def dq_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection: the COMPACT missing-ranges report
+    ('ids 4107-4112 absent') that a completeness audit publishes
+    instead of millions of individual missing keys — the check behind
+    'did the extractor drop a batch'. One lead window over the
+    PRESENT keys collapses every run of missing ids into a single
+    (start, end, count) row, so output size is the number of GAPS,
+    not the number of missing rows. At 100 TB the global-ordered
+    window becomes the two-phase range-bucket numbering
+    (operators/windows.py) — gaps interior to a bucket need no
+    cross-bucket data, and only bucket boundaries exchange; here the
+    demo keeps the single window over the filtered key column (ids
+    only, never payloads). Top-50 gaps by position, deterministic."""
+    o = tables.load(spark, sf_dir, "orders")
+    present = (o.filter(F.col("o_orderstatus") != "O")
+               .select(F.col("o_orderkey").alias("k")))
+    w = Window.orderBy("k")
+    gaps = present.select("k", F.lead("k").over(w).alias("next_k"))
+    return (gaps.filter(F.col("next_k") - F.col("k") > 1)
+            .select((F.col("k") + 1).alias("gap_start"),
+                    (F.col("next_k") - 1).alias("gap_end"),
+                    (F.col("next_k") - F.col("k") - 1).alias("n_missing"))
+            .orderBy("gap_start").limit(50))

@@ -3988,3 +3988,75 @@ def agg_two_proportion_ztest(spark: SparkSession,
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("reject_05"))
+
+
+@register(
+    "agg_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    s AS (SELECT CAST(sum(sg) AS BIGINT) AS s,
+                 (SELECT count(*) FROM daily) AS n
+          FROM pairs)
+    SELECT n, s,
+           round((s - CASE WHEN s > 0 THEN 1
+                           WHEN s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(n * (n - 1.0) * (2 * n + 5) / 18), 4) AS z_mk,
+           CASE WHEN abs((s - CASE WHEN s > 0 THEN 1
+                               WHEN s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(n * (n - 1.0) * (2 * n + 5) / 18)) > 1.96
+                THEN CASE WHEN s > 0 THEN 'increasing'
+                          ELSE 'decreasing' END
+                ELSE 'no_trend' END AS verdict
+    FROM s
+    """)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mann–Kendall trend test on daily revenue — the
+    NONPARAMETRIC 'is this series drifting' answer (agg_trend_slope
+    fits a line; MK only counts concordant vs discordant day pairs,
+    so one spike day can't fake a trend and no normality is assumed).
+    S = Σ sign(x_j − x_i) over ordered day pairs is pure integer
+    counting on exact cent sums; the continuity-corrected z uses the
+    standard no-ties variance (cent-level daily revenues are
+    tie-free in practice; ties would only lower |S|, conservative).
+    The pair join runs on the DAILY frame — bounded by the date
+    range, never row count — after one fact-sized partial agg."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01"))
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("rev")))
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = (a.join(b, F.col("db") > F.col("da"))
+             .select(F.when(F.col("rb") > F.col("ra"), 1)
+                     .when(F.col("rb") < F.col("ra"), -1)
+                     .otherwise(0).alias("sg")))
+    n_df = daily.agg(F.count(F.lit(1)).alias("n"))
+    s_df = pairs.agg(F.sum("sg").cast("bigint").alias("s"))
+    j = s_df.crossJoin(F.broadcast(n_df))
+    corr = (F.when(F.col("s") > 0, 1)
+            .when(F.col("s") < 0, -1).otherwise(0))
+    z = ((F.col("s") - corr)
+         / F.sqrt(F.col("n") * (F.col("n") - 1.0)
+                  * (2 * F.col("n") + 5) / 18))
+    return j.select(
+        "n", "s",
+        F.round(z, 4).alias("z_mk"),
+        F.when(F.abs(z) > 1.96,
+               F.when(F.col("s") > 0, "increasing")
+               .otherwise("decreasing"))
+        .otherwise("no_trend").alias("verdict"))
