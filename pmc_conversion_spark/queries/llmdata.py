@@ -6684,3 +6684,62 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("in_simhash")))
     return (flagged.groupBy("in_jaccard", "in_minhash", "in_simhash")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+@register(
+    "sim_mips_topk",
+    oracle="""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(
+               list_transform(range(1, 65),
+                              j -> q.v[j] * c.v[j]),
+               (x, y) -> x + y), 6) AS dot
+      FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, dot, rank FROM (
+      SELECT query_id, neighbor_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS) top-5 — the retrieval
+    objective recommender and reranker embeddings are actually
+    trained for, which COSINE top-k silently distorts: under cosine,
+    a long vector (popular item, confident doc) loses its magnitude,
+    so the two rankings disagree exactly where popularity matters.
+    Exact baseline form: broadcast query panel × corpus scan, the dot
+    product as a sequential in-row fold (same association order as
+    the oracle's list_reduce), ranking on the ROUNDED score with an
+    id tie-break. The scale path is the standard MIPS→cosine
+    reduction (augment corpus vectors with sqrt(M²−‖x‖²), then any
+    cosine ANN index applies — sim_topk_ivf/lsh); this entry is the
+    ground truth that reduction is validated against."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # float[] -> double[] BEFORE the fold: the per-element products
+    # must round in double exactly like the oracle's DOUBLE[] path
+    # (float-precision products can drift past the 1e-6 boundary)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("qv")))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").cast("array<double>")
+                        .alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(dot, 6).alias("dot")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "dot", "rank"))

@@ -4060,3 +4060,72 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.when(F.col("s") > 0, "increasing")
                .otherwise("decreasing"))
         .otherwise("no_trend").alias("verdict"))
+
+
+@register(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey AS ck,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    ranked AS (
+      SELECT ck,
+             ROW_NUMBER() OVER (ORDER BY bal_cents, ck) AS r_bal,
+             ROW_NUMBER() OVER (ORDER BY spend_cents, ck) AS r_spend
+      FROM per_cust
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum((r_bal - r_spend) * (r_bal - r_spend))
+                  AS BIGINT) AS d2
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           d2 AS sum_d2,
+           round(1 - 6.0 * d2 / (CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) * n - 1)), 6) AS spearman_rho
+    FROM s
+    """)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between account balance and total
+    spend per customer — the monotone-association measure that
+    survives outliers and nonlinearity where Pearson (agg_corr_stats)
+    breaks: replace values with RANKS, then 1 − 6Σd²/(n(n²−1)).
+    Ranks use row_number over a TOTAL order (cents, custkey) — the
+    tie-broken variant, deterministic on both engines — and Σd² is
+    exact integer arithmetic; one double expression at the boundary.
+    Scale note: the two global rankings are the
+    surrogate_key_distributed two-phase shape at corpus size; the
+    demo keeps plain windows over the customer-sized frame."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    per = (o.join(F.broadcast(c.select("c_custkey", "c_acctbal")),
+                  o.o_custkey == F.col("c_custkey"))
+           .groupBy("c_custkey", "c_acctbal")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("bigint")).cast("bigint")
+                .alias("spend_cents"))
+           .select(F.col("c_custkey").alias("ck"),
+                   F.round(F.col("c_acctbal") * 100).cast("bigint")
+                   .alias("bal_cents"), "spend_cents"))
+    ranked = per.select(
+        "ck",
+        F.row_number().over(Window.orderBy("bal_cents", "ck"))
+        .alias("r_bal"),
+        F.row_number().over(Window.orderBy("spend_cents", "ck"))
+        .alias("r_spend"))
+    d = F.col("r_bal") - F.col("r_spend")
+    s = ranked.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(d * d).cast("bigint").alias("sum_d2"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        "sum_d2",
+        F.round(1 - 6.0 * F.col("sum_d2")
+                / (F.col("n").cast("double")
+                   * (F.col("n").cast("double") * F.col("n") - 1)), 6)
+        .alias("spearman_rho"))
