@@ -4129,3 +4129,96 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n").cast("double")
                    * (F.col("n").cast("double") * F.col("n") - 1)), 6)
         .alias("spearman_rho"))
+
+
+@register(
+    "api_stat_crosstab",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """)
+def api_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrameStatFunctions surface: ``df.stat.crosstab`` builds
+    the priority × status contingency table in one pass (the
+    interactive profiling API data scientists reach for before
+    writing a groupBy), then the wide row-per-priority result is
+    UNPIVOTED back to tidy (priority, status, n) rows — pinning both
+    the stat API and the melt round-trip. Counts are exact integers;
+    column names come from the data's own status domain. The
+    underlying plan is the same partial-agg groupBy the oracle
+    states, so the convenience API costs nothing over hand-written
+    aggregation."""
+    o = tables.load(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    statuses = [c for c in ct.columns
+                if c != "o_orderpriority_o_orderstatus"]
+    stack_expr = ", ".join(f"'{s}', `{s}`" for s in sorted(statuses))
+    return (ct.select(
+        F.col("o_orderpriority_o_orderstatus").alias("priority"),
+        F.expr(f"stack({len(statuses)}, {stack_expr}) AS (status, n)"))
+        .filter(F.col("n") > 0)
+        .select("priority", "status", F.col("n").cast("bigint")
+                .alias("n")))
+
+
+@register(
+    "agg_tail_risk",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d, rev,
+             ROW_NUMBER() OVER (ORDER BY rev, d) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    cut AS (
+      SELECT n, CAST(ceil(n * 0.05) AS BIGINT) AS k FROM ranked
+      LIMIT 1
+    )
+    SELECT c.n AS n_days, c.k AS n_tail_days,
+           round(max(CASE WHEN r.rn = c.k THEN r.rev END)
+                 / 100.0, 2) AS var_95,
+           round(CAST(sum(CASE WHEN r.rn <= c.k THEN r.rev END)
+                      AS DOUBLE) / c.k / 100.0, 2)
+             AS expected_shortfall_95
+    FROM ranked r, cut c
+    GROUP BY c.n, c.k
+    """)
+def agg_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-risk measures on daily revenue: VaR₉₅ (the 5th-percentile
+    worst day, by rank) and expected shortfall (the MEAN of the worst
+    5% of days) — ES is the number risk teams moved to because VaR
+    says where the tail starts but nothing about how bad it is
+    inside. Both derive from exact integer cent sums and integer
+    ranks (tie-broken by date), so the tail cut is deterministic; ES
+    divides an exact tail sum. The ranking runs over the daily frame
+    (bounded by the date range); one fact-sized partial agg feeds
+    it."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("rev")))
+    w = Window.orderBy("rev", "d")
+    ranked = daily.select(
+        "d", "rev", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    k = F.ceil(F.col("n") * 0.05).cast("bigint")
+    return (ranked.withColumn("k", k)
+            .groupBy("n", "k")
+            .agg(F.max(F.when(F.col("rn") == F.col("k"), F.col("rev")))
+                 .alias("var_cents"),
+                 F.sum(F.when(F.col("rn") <= F.col("k"), F.col("rev")))
+                 .alias("tail_cents"))
+            .select(F.col("n").cast("bigint").alias("n_days"),
+                    F.col("k").alias("n_tail_days"),
+                    F.round(F.col("var_cents") / 100.0, 2)
+                    .alias("var_95"),
+                    F.round(F.col("tail_cents").cast("double")
+                            / F.col("k") / 100.0, 2)
+                    .alias("expected_shortfall_95")))
