@@ -910,3 +910,83 @@ def sink_csv_dialect_roundtrip(spark: SparkSession,
             .csv(out))
     return back.select(
         "id", F.coalesce("payload", F.lit("")).alias("payload"))
+
+
+@register(
+    "sink_json_nested_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           round(o_totalprice, 2) AS price,
+           CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+           concat('tag', CAST(o_orderkey % 3 AS VARCHAR)) AS first_tag
+    FROM orders WHERE o_orderkey % 50 = 0
+    """)
+def sink_json_nested_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """NESTED-structure JSON round-trip: rows leave as JSON lines
+    carrying a struct column and an array column, come back through a
+    schema-first read, and re-flatten to the original values — the
+    interchange contract for config/event payloads where CSV's flat
+    model can't go (and the write/read pair that silently reorders or
+    NULLs struct fields in sloppy engines). Schema-on-read (never
+    inference); struct field access after the round-trip proves field
+    identity, the array head proves element order survived."""
+    d = _scratch("sink_json_nested_roundtrip")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(F.col("o_orderstatus").alias("status"),
+                 F.round("o_totalprice", 2).alias("price")).alias("meta"),
+        F.array(F.concat(F.lit("tag"),
+                         (F.col("o_orderkey") % 3).cast("string")),
+                F.lit("tagX")).alias("tags"),
+        (F.col("o_orderkey") % 5).alias("bucket"))
+    out = os.path.join(d, "out")
+    nested.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, "
+        "meta struct<status: string, price: double>, "
+        "tags array<string>, bucket bigint").json(out)
+    return back.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.price").alias("price"),
+        "bucket",
+        F.col("tags")[0].alias("first_tag"))
+
+
+@register(
+    "scan_nested_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+    """)
+def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO nested parquet structs: filters on
+    ``meta.status`` and ``meta.price`` reach the reader as
+    ``PushedFilters: [..EqualTo(meta.status,F)..]`` and the scan's
+    ReadSchema prunes to exactly the struct fields used — the two
+    properties that keep deeply-nested event/telemetry schemas
+    queryable at 100 TB (without them every nested query reads every
+    field of every row group). Round-trips through a REAL nested
+    parquet write; plan-asserted in tests/test_plan_quality.py."""
+    d = _scratch("scan_nested_pushdown")
+    o = tables.load(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(F.col("o_orderstatus").alias("status"),
+                 F.round("o_totalprice", 2).alias("price"),
+                 F.col("o_orderpriority").alias("unused_field"))
+        .alias("meta"))
+    out = os.path.join(d, "out")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.filter((F.col("meta.status") == "F")
+                        & (F.col("meta.price") > 200000))
+            .select("o_orderkey",
+                    F.col("meta.status").alias("status"),
+                    F.col("meta.price").alias("price")))

@@ -458,3 +458,13 @@ def test_ndcg_windows_partition_by_term(spark, qs):
     for ln in plan.splitlines():
         if "Window" in ln and "windowspecdefinition" in ln.lower():
             assert "tok" in ln, f"unpartitioned ranking window: {ln[:120]}"
+
+
+def test_nested_pushdown_reaches_scan(spark, qs):
+    plan = plan_of(qs["scan_nested_pushdown"](spark, SF_DIR))
+    scan = next(ln for ln in plan.splitlines()
+                if "FileScan parquet" in ln and "meta" in ln)
+    assert "PushedFilters" in scan
+    assert "meta.status" in scan or "status" in scan
+    # pruning: the unused struct field must not be read
+    assert "unused_field" not in scan.split("ReadSchema")[-1]
