@@ -2567,3 +2567,178 @@ def dedup_event_neartime(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("is_dup").cast("bigint").alias("n_neartime_dups"),
                  (F.count(F.lit(1)) - F.sum("is_dup")).cast("bigint")
                  .alias("n_kept")))
+
+
+@register(
+    "agg_covisitation_topk",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(props ->> 'k' AS BIGINT) AS item,
+             CASE WHEN date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts)
+                    > 1800000000
+                   OR lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    numbered AS (
+      SELECT user_id, item,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess_id
+      FROM sess
+    ),
+    items AS (
+      SELECT DISTINCT user_id, sess_id, item FROM numbered
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM items a JOIN items b
+        ON b.user_id = a.user_id AND b.sess_id = a.sess_id
+       AND b.item <> a.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_co, rnk FROM (
+      SELECT item_a, item_b, n_co,
+             ROW_NUMBER() OVER (PARTITION BY item_a
+                 ORDER BY n_co DESC, item_b) AS rnk
+      FROM pairs)
+    WHERE rnk <= 5
+    """)
+def agg_covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation candidates — the batch job behind
+     'people who viewed this also viewed': items (the ``k`` field of
+    the event props JSON) sharing a 30-minute-gap session pair up,
+    pair counts aggregate, and each item keeps its top-5 co-visited
+    neighbors (the candidate-generation stage of every production
+    recommender before any model scores). Scale shape:
+    sessionization is the gaps-and-islands pattern (two partitioned
+    windows, one user_id shuffle lineage); the pair join is
+    WITHIN-(user, session) — bounded by session length, never a
+    cross-user explosion; the per-item rank partitions by item.
+    Deterministic: distinct items per session, count-then-id
+    tie-break."""
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = e.select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.expr("timestampdiff(MICROSECOND, "
+                         "lag(ts) OVER (PARTITION BY user_id "
+                         "ORDER BY ts, event_id), ts)")
+                  > 1_800_000_000), 1).otherwise(0).alias("new_sess"))
+    wc = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    numbered = sess.select(
+        "user_id", "item", F.sum("new_sess").over(wc).alias("sess_id"))
+    items = numbered.select("user_id", "sess_id", "item").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.sess_id") == F.col("b.sess_id"))
+                    & (F.col("a.item") != F.col("b.item")))
+             .groupBy(F.col("a.item").alias("item_a"),
+                      F.col("b.item").alias("item_b"))
+             .agg(F.count(F.lit(1)).alias("n_co")))
+    wr = Window.partitionBy("item_a").orderBy(
+        F.col("n_co").desc(), "item_b")
+    return (pairs.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= 5)
+            .select("item_a", "item_b", "n_co", "rnk"))
+
+
+@register(
+    "pipeline_contrastive_triplets",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(props ->> 'k' AS BIGINT) AS item,
+             CASE WHEN date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), ts)
+                    > 1800000000
+                   OR lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    numbered AS (
+      SELECT user_id, item,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess_id
+      FROM sess
+    ),
+    items AS (SELECT DISTINCT user_id, sess_id, item FROM numbered),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM items a JOIN items b
+        ON b.user_id = a.user_id AND b.sess_id = a.sess_id
+       AND b.item <> a.item
+      GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT item_a AS anchor, item_b AS positive FROM (
+        SELECT item_a, item_b,
+               ROW_NUMBER() OVER (PARTITION BY item_a
+                   ORDER BY n_co DESC, item_b) AS rnk
+        FROM pairs) WHERE rnk = 1
+    ),
+    dom AS (
+      SELECT item,
+             ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx,
+             count(*) OVER () AS n
+      FROM (SELECT DISTINCT item FROM items)
+    ),
+    trip AS (
+      SELECT p.anchor, p.positive, d.item AS negative
+      FROM pos p
+      JOIN dom d
+        ON d.idx = ('0x' || substr(md5('neg1:'
+                    || CAST(p.anchor AS VARCHAR)), 1, 15))::BIGINT
+                   % d.n
+    )
+    SELECT anchor, positive, negative
+    FROM trip
+    WHERE negative <> anchor AND negative <> positive
+    """)
+def pipeline_contrastive_triplets(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, negative) for
+    embedding models: the positive is the anchor's strongest session
+    co-visitation neighbor (real behavioral signal), the negative a
+    SALTED-HASH draw from the item domain — deterministic, so the
+    training set is bit-reproducible across runs and cluster sizes
+    (the rand() version never is). Hash collisions with the
+    anchor/positive are DROPPED, not re-rolled (the standard
+    noise-contrastive simplification — a bounded, deterministic
+    undersample), which keeps the plan join-shaped: top-1 positives
+    from the covisitation ranks, one numbered-domain equi-join for
+    negatives, no loops. Item domain is numbered once (bounded
+    dimension)."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    pairs = agg_covisitation_topk(spark, sf_dir)
+    pos = (pairs.filter(F.col("rnk") == 1)
+           .select(F.col("item_a").alias("anchor"),
+                   F.col("item_b").alias("positive")))
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase"))
+    dom = (e.select(F.get_json_object("props", "$.k").cast("bigint")
+                    .alias("item")).distinct()
+           .select("item",
+                   (F.row_number().over(Window.orderBy("item")) - 1)
+                   .alias("idx"),
+                   F.count(F.lit(1)).over(Window.partitionBy())
+                   .alias("n")))
+    neg_idx = md5_int60(F.concat(F.lit("neg1:"),
+                                 F.col("anchor").cast("string"))) \
+        % F.col("n")
+    trip = (pos.crossJoin(F.broadcast(dom.select("idx", "n", "item")))
+            .filter(F.col("idx") == neg_idx)
+            .select("anchor", "positive",
+                    F.col("item").alias("negative")))
+    return trip.filter((F.col("negative") != F.col("anchor"))
+                       & (F.col("negative") != F.col("positive")))
