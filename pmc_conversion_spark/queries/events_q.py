@@ -2742,3 +2742,68 @@ def pipeline_contrastive_triplets(spark: SparkSession,
                     F.col("item").alias("negative")))
     return trip.filter((F.col("negative") != F.col("anchor"))
                        & (F.col("negative") != F.col("positive")))
+
+
+@register(
+    "win_forecast_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t0 AS (SELECT min(h) AS t0 FROM hourly),
+    s AS (SELECT date_diff('hour', t0.t0, h.h) AS n, h.c
+          FROM hourly h, t0),
+    pred AS (
+      SELECT n, c,
+             lag(c, 1) OVER (ORDER BY n) AS naive,
+             lag(c, 24) OVER (ORDER BY n) AS snaive
+      FROM s
+    ),
+    scored AS (SELECT * FROM pred WHERE snaive IS NOT NULL)
+    SELECT count(*) AS n_hours,
+           CAST(sum(abs(c - naive)) AS BIGINT) AS mae_naive_x,
+           CAST(sum(abs(c - snaive)) AS BIGINT) AS mae_snaive_x,
+           round(CAST(sum(abs(c - naive)) AS DOUBLE) / count(*), 4)
+             AS mae_naive,
+           round(CAST(sum(abs(c - snaive)) AS DOUBLE) / count(*), 4)
+             AS mae_snaive,
+           round(CAST(sum(abs(c - snaive)) AS DOUBLE)
+                 / sum(abs(c - naive)), 4) AS mase_ratio
+    FROM scored
+    """)
+def win_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING with the two baselines every model must
+    beat: naive (last hour) and seasonal-naive (same hour yesterday),
+    scored by MAE and their ratio (the MASE idea: a model whose error
+    ratio vs seasonal-naive exceeds 1 is worse than knowing
+    yesterday). Absolute errors are exact integers (counts), so both
+    MAEs and the ratio derive from exact sums — no float drift — and
+    the whole backtest is two lag windows over the hourly frame
+    (bounded by the time range). Scoring starts where the 24-hour lag
+    exists, so both baselines grade the same hours."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .select(F.col("w.start").alias("h"), "c"))
+    t0 = hourly.agg(F.min("h").alias("t0"))
+    s = (hourly.crossJoin(F.broadcast(t0))
+         .select(F.expr("timestampdiff(HOUR, t0, h)").alias("n"), "c"))
+    w = Window.orderBy("n")  # bounded hourly series frame
+    pred = s.select(
+        "n", "c",
+        F.lag("c", 1).over(w).alias("naive"),
+        F.lag("c", 24).over(w).alias("snaive"))
+    scored = pred.filter(F.col("snaive").isNotNull())
+    ae_n = F.abs(F.col("c") - F.col("naive"))
+    ae_s = F.abs(F.col("c") - F.col("snaive"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(ae_n).cast("bigint").alias("mae_naive_x"),
+        F.sum(ae_s).cast("bigint").alias("mae_snaive_x"),
+        F.round(F.sum(ae_n).cast("double") / F.count(F.lit(1)), 4)
+        .alias("mae_naive"),
+        F.round(F.sum(ae_s).cast("double") / F.count(F.lit(1)), 4)
+        .alias("mae_snaive"),
+        F.round(F.sum(ae_s).cast("double") / F.sum(ae_n), 4)
+        .alias("mase_ratio"))

@@ -1164,3 +1164,77 @@ def dq_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("next_k") - 1).alias("gap_end"),
                     (F.col("next_k") - F.col("k") - 1).alias("n_missing"))
             .orderBy("gap_start").limit(50))
+
+
+@register(
+    "dq_fk_coverage_matrix",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """)
+def dq_fk_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The referential-integrity MATRIX: every declared FK edge of the
+    star schema audited in one report (child rows, orphan rows) — the
+    sweep a warehouse runs nightly, where join_anti_orphans is the
+    single-edge drill-down. Each edge is one LEFT ANTI join counting
+    unmatched children; dimension sides broadcast, so the whole
+    matrix costs one pass per fact table. All-zero orphans is the
+    pass state; any nonzero names exactly which edge broke
+    ingestion."""
+    def audit(child, ckey, parent, pkey, label):
+        orphans = child.join(F.broadcast(parent),
+                             child[ckey] == parent[pkey], "left_anti")
+        return (child.agg(F.count(F.lit(1)).alias("n_child"))
+                .crossJoin(orphans.agg(F.count(F.lit(1))
+                                       .alias("n_orphans")))
+                .select(F.lit(label).alias("fk"), "n_child",
+                        "n_orphans"))
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    out = audit(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+                "lineitem.l_orderkey->orders")
+    out = out.unionAll(audit(
+        li, "l_partkey", _t(spark, sf_dir, "part").select("p_partkey"),
+        "p_partkey", "lineitem.l_partkey->part"))
+    out = out.unionAll(audit(
+        li, "l_suppkey",
+        _t(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey", "lineitem.l_suppkey->supplier"))
+    out = out.unionAll(audit(
+        o, "o_custkey",
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey", "orders.o_custkey->customer"))
+    out = out.unionAll(audit(
+        _t(spark, sf_dir, "customer"), "c_nationkey",
+        _t(spark, sf_dir, "nation").select("n_nationkey"),
+        "n_nationkey", "customer.c_nationkey->nation"))
+    return out

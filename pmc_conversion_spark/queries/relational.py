@@ -4222,3 +4222,83 @@ def agg_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("tail_cents").cast("double")
                             / F.col("k") / 100.0, 2)
                     .alias("expected_shortfall_95")))
+
+
+@register(
+    "agg_causal_did",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'treated'
+                  ELSE 'control' END AS grp,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    ),
+    m AS (
+      SELECT grp, period, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM t GROUP BY grp, period
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN grp='treated' AND period='post'
+            THEN CAST(s AS DOUBLE)/n END) AS tp,
+        max(CASE WHEN grp='treated' AND period='pre'
+            THEN CAST(s AS DOUBLE)/n END) AS tq,
+        max(CASE WHEN grp='control' AND period='post'
+            THEN CAST(s AS DOUBLE)/n END) AS cp,
+        max(CASE WHEN grp='control' AND period='pre'
+            THEN CAST(s AS DOUBLE)/n END) AS cq
+      FROM m
+    )
+    SELECT round(tp / 100.0, 2) AS treated_post,
+           round(tq / 100.0, 2) AS treated_pre,
+           round(cp / 100.0, 2) AS control_post,
+           round(cq / 100.0, 2) AS control_pre,
+           round(((tp - tq) - (cp - cq)) / 100.0, 2) AS did_estimate
+    FROM w
+    """)
+def agg_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental workhorse
+    when randomization wasn't possible: the treated group's pre→post
+    change MINUS the control group's (which absorbs seasonality and
+    shared shocks under the parallel-trends assumption; the
+    experiment family's randomized tests don't need it, observational
+    rollouts do). Four cell means from exact integer cent sums in ONE
+    conditional pass; the estimate is three subtractions at the
+    boundary. The 2x2 pivot frame is constant-sized at any data
+    scale."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1999-01-01"))
+    t = o.select(
+        F.when(F.col("o_custkey") % 2 == 0, "treated")
+        .otherwise("control").alias("grp"),
+        F.when(F.col("o_orderdate") >= "1998-01-01", "post")
+        .otherwise("pre").alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    m = t.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"))
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def cell(g, p):
+        return F.max(F.when((F.col("grp") == g)
+                            & (F.col("period") == p), mean))
+
+    w = m.agg(cell("treated", "post").alias("tp"),
+              cell("treated", "pre").alias("tq"),
+              cell("control", "post").alias("cp"),
+              cell("control", "pre").alias("cq"))
+    return w.select(
+        F.round(F.col("tp") / 100.0, 2).alias("treated_post"),
+        F.round(F.col("tq") / 100.0, 2).alias("treated_pre"),
+        F.round(F.col("cp") / 100.0, 2).alias("control_post"),
+        F.round(F.col("cq") / 100.0, 2).alias("control_pre"),
+        F.round(((F.col("tp") - F.col("tq"))
+                 - (F.col("cp") - F.col("cq"))) / 100.0, 2)
+        .alias("did_estimate"))
