@@ -6743,3 +6743,98 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)
             .select("query_id", "neighbor_id", "dot", "rank"))
+
+
+@register(
+    "agg_uplift_qini",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             CASE WHEN ({_MD5_INT60.format(
+                 s="'arm1:' || CAST(doc_id AS VARCHAR)")}) % 2 = 0
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])}
+             - greatest({_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                        {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                        {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                        {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+               AS z
+      FROM documents
+    ),
+    ranked AS (
+      SELECT treated, y,
+             ntile(5) OVER (ORDER BY z DESC, doc_id) AS quintile
+      FROM hits
+    ),
+    per AS (
+      SELECT quintile,
+             sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS nt,
+             sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS kt,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS kc
+      FROM ranked GROUP BY quintile
+    )
+    SELECT quintile,
+           CAST(nt AS BIGINT) AS n_treated,
+           CAST(nc AS BIGINT) AS n_control,
+           round(CAST(kt AS DOUBLE) / nt, 4) AS rate_treated,
+           round(CAST(kc AS DOUBLE) / nc, 4) AS rate_control,
+           round(CAST(kt AS DOUBLE) / nt
+                 - CAST(kc AS DOUBLE) / nc, 4) AS uplift,
+           round(sum(kt - CAST(kc AS DOUBLE) * nt / nc)
+                   OVER (ORDER BY quintile), 4) AS qini_cum
+    FROM per
+    """)
+def agg_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model evaluation: per score quintile, the treated-minus-
+    control response difference and the cumulative Qini value
+    (incremental conversions captured so far, control-normalized to
+    the treated volume) — the readout for models that target WHO TO
+    TREAT rather than who converts (a persuadable-ranking model looks
+    mediocre on plain AUC; Qini is the curve that prices it). Arms
+    come from a salted hash (deterministic pseudo-assignment),
+    quintiles from a total-order ntile; per-cell counts are exact
+    integers and the cumulative window runs over the 5-row quintile
+    frame."""
+    from pmc_conversion_spark.functions.sampling import hash_bucket
+    from pmc_conversion_spark.functions.text import (LANG_LEXICONS,
+                                                     stopword_hits)
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    z = (stopword_hits(low, LANG_LEXICONS["en"])
+         - F.greatest(*[stopword_hits(low, LANG_LEXICONS[c])
+                        for c in ("de", "es", "fr", "zh")]))
+    hits = d.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id"), "arm1") % 2 == 0).cast("int")
+        .alias("treated"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        z.alias("z"))
+    ranked = hits.select(
+        "treated", "y",
+        F.ntile(5).over(Window.orderBy(F.col("z").desc(), "doc_id"))
+        .alias("quintile"))
+    per = ranked.groupBy("quintile").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .alias("kt"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .alias("kc"))
+    wq = Window.orderBy("quintile").rowsBetween(
+        Window.unboundedPreceding, 0)  # 5-row quintile frame
+    qini_term = (F.col("kt")
+                 - F.col("kc").cast("double") * F.col("nt") / F.col("nc"))
+    return per.select(
+        "quintile",
+        F.col("nt").cast("bigint").alias("n_treated"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.round(F.col("kt").cast("double") / F.col("nt"), 4)
+        .alias("rate_treated"),
+        F.round(F.col("kc").cast("double") / F.col("nc"), 4)
+        .alias("rate_control"),
+        F.round(F.col("kt").cast("double") / F.col("nt")
+                - F.col("kc").cast("double") / F.col("nc"), 4)
+        .alias("uplift"),
+        F.round(F.sum(qini_term).over(wq), 4).alias("qini_cum"))

@@ -1238,3 +1238,84 @@ def dq_fk_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation").select("n_nationkey"),
         "n_nationkey", "customer.c_nationkey->nation"))
     return out
+
+
+@register(
+    "dq_psi_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS k, count(*) AS n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT o_orderpriority AS k, count(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    t AS (SELECT (SELECT sum(n) FROM a) AS na,
+                 (SELECT sum(n) FROM b) AS nb),
+    terms AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             greatest(coalesce(a.n, 0) / CAST(t.na AS DOUBLE), 1e-6)
+               AS pa,
+             greatest(coalesce(b.n, 0) / CAST(t.nb AS DOUBLE), 1e-6)
+               AS pb
+      FROM a FULL OUTER JOIN b ON b.k = a.k, t
+    )
+    SELECT count(*) AS n_categories,
+           round(list_reduce(
+             list((pb - pa) * ln(pb / pa) ORDER BY k),
+             (acc, x) -> acc + x), 6) AS psi,
+           CASE WHEN list_reduce(
+                  list((pb - pa) * ln(pb / pa) ORDER BY k),
+                  (acc, x) -> acc + x) < 0.1 THEN 'stable'
+                WHEN list_reduce(
+                  list((pb - pa) * ln(pb / pa) ORDER BY k),
+                  (acc, x) -> acc + x) < 0.25 THEN 'moderate_shift'
+                ELSE 'major_shift' END AS verdict
+    FROM terms
+    """)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods — the
+    risk-model monitoring standard (PSI < 0.1 stable, 0.1-0.25
+    watch, > 0.25 rebuild) that weights share shifts by their LOG
+    ratio, so a category going 1% → 4% screams while 40% → 43%
+    whispers (dq_dataset_drift's TVD treats both the same — the two
+    indexes disagree exactly where it matters). Shares floor at 1e-6
+    (the standard zero-cell guard); the per-category terms fold in
+    key order so the float sum is association-fixed. Two partial-agg
+    passes, a category-sized outer join, one verdict row."""
+    o = tables.load(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < "1998-01-01"
+    a = (o.filter(cut).groupBy(F.col("o_orderpriority").alias("k"))
+         .agg(F.count(F.lit(1)).alias("na_k")))
+    b = (o.filter(~cut).groupBy(F.col("o_orderpriority").alias("k"))
+         .agg(F.count(F.lit(1)).alias("nb_k")))
+    tot = (a.agg(F.sum("na_k").alias("na"))
+           .crossJoin(b.agg(F.sum("nb_k").alias("nb"))))
+    terms = (a.join(b, "k", "full_outer")
+             .crossJoin(F.broadcast(tot))
+             .select(
+                 "k",
+                 F.greatest(F.coalesce("na_k", F.lit(0))
+                            / F.col("na").cast("double"),
+                            F.lit(1e-6)).alias("pa"),
+                 F.greatest(F.coalesce("nb_k", F.lit(0))
+                            / F.col("nb").cast("double"),
+                            F.lit(1e-6)).alias("pb")))
+    term = (F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))
+    folded = terms.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("k"), term.alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x).alias("psi_raw"))
+    return folded.select(
+        "n_categories",
+        F.round("psi_raw", 6).alias("psi"),
+        F.when(F.col("psi_raw") < 0.1, "stable")
+        .when(F.col("psi_raw") < 0.25, "moderate_shift")
+        .otherwise("major_shift").alias("verdict"))
