@@ -4302,3 +4302,58 @@ def agg_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((F.col("tp") - F.col("tq"))
                  - (F.col("cp") - F.col("cq"))) / 100.0, 2)
         .alias("did_estimate"))
+
+
+@register(
+    "agg_ab_srm_check",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN ('0x' || substr(md5('srm1:'
+                  || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                  % 10 < 5
+             THEN 'A' ELSE 'B' END AS arm
+      FROM orders
+    ),
+    m AS (SELECT
+            sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+          FROM g)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(na AS DOUBLE) / (na + nb), 6) AS share_a,
+           round(pow(na - (na + nb) * 0.5, 2) / ((na + nb) * 0.5)
+                 + pow(nb - (na + nb) * 0.5, 2) / ((na + nb) * 0.5),
+                 4) AS chi2,
+           (pow(na - (na + nb) * 0.5, 2) / ((na + nb) * 0.5)
+            + pow(nb - (na + nb) * 0.5, 2) / ((na + nb) * 0.5))
+             > 3.841 AS srm_detected
+    FROM m
+    """)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch — the FIRST gate on any experiment
+    readout: if the observed arm split deviates from the designed
+    50/50 beyond chi-square chance (3.841 = χ²₁ at α=0.05), the
+    assignment or logging pipeline is broken and every downstream
+    test (z, t, SPRT) is invalid regardless of its p-value. Counts
+    come from the deterministic salted-hash assignment the engine's
+    split family uses, so this entry doubles as a standing check that
+    hash bucketing is actually unbiased. One conditional count pass;
+    the statistic is a few double ops on two exact integers."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(
+        F.when(md5_int60(F.concat(F.lit("srm1:"),
+                                  F.col("o_orderkey").cast("string")))
+               % 10 < 5, "A").otherwise("B").alias("arm"))
+    m = g.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"))
+    n = F.col("na") + F.col("nb")
+    exp = n * 0.5
+    chi2 = (F.pow(F.col("na") - exp, 2) / exp
+            + F.pow(F.col("nb") - exp, 2) / exp)
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.col("na").cast("double") / n, 6).alias("share_a"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"))

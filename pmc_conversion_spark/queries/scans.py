@@ -990,3 +990,36 @@ def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey",
                     F.col("meta.status").alias("status"),
                     F.col("meta.price").alias("price")))
+
+
+@register(
+    "scan_csv_bom_handling",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha', 10),
+      (2, 'beta', 20),
+      (3, 'gamma', 30)
+    ) AS t(id, name, qty)
+    """)
+def scan_csv_bom_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 BOM handling — the invisible three bytes Excel and many
+    Windows exporters prepend, which naive readers fold into the
+    first header name (yielding a phantom '\\ufeffid' column whose
+    lookups then silently miss). The fixture file carries a real BOM;
+    the reader must yield clean column names and unpolluted first-row
+    values. Pinned alongside the encoding corner scan_csv_latin1 —
+    together they cover the two classic interchange-encoding
+    landmines."""
+    d = _scratch("scan_csv_bom")
+    p = os.path.join(d, "data.csv")
+    with open(p, "wb") as fh:
+        fh.write(b"\xef\xbb\xbf")  # UTF-8 BOM
+        fh.write(b"id,name,qty\n1,alpha,10\n2,beta,20\n3,gamma,30\n")
+    df = (spark.read
+          .schema("id int, name string, qty int")
+          .option("header", True)
+          .option("encoding", "UTF-8")
+          .csv(d))
+    if "﻿id" in df.columns:
+        raise AssertionError("BOM leaked into the header name")
+    return df.select("id", "name", "qty")
