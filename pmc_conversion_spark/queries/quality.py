@@ -1319,3 +1319,74 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("psi_raw") < 0.1, "stable")
         .when(F.col("psi_raw") < 0.25, "moderate_shift")
         .otherwise("major_shift").alias("verdict"))
+
+
+@register(
+    "dq_hash_collision_audit",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5('hc1:'
+              || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             % 4096 AS bucket
+      FROM orders
+    ),
+    per AS (SELECT bucket, count(*) AS n FROM h GROUP BY bucket),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 count(*) AS used_buckets,
+                 CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs
+          FROM per)
+    SELECT total AS n_keys, used_buckets,
+           pairs AS colliding_pairs,
+           round(total * CAST(total - 1 AS DOUBLE) / 2 / 4096, 2)
+             AS expected_pairs,
+           round(list_reduce(
+             (SELECT list(pow(p.n - t2.total / 4096.0, 2)
+                          / (t2.total / 4096.0) ORDER BY p.bucket)
+              FROM per p, t t2),
+             (acc, x) -> acc + x)
+             + (4096 - used_buckets) * (total / 4096.0), 2)
+             AS chi2_uniformity
+    FROM t
+    """)
+def dq_hash_collision_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Hash-family health check: bucket the key space through the
+    engine's portable md5 hash (4096 buckets) and compare OBSERVED
+    colliding pairs against the birthday bound n(n−1)/2m, plus a
+    chi-square uniformity statistic over all buckets (empty buckets
+    contribute their expectation) — the audit that catches a broken
+    or biased hash BEFORE it silently skews every split, sample,
+    sketch, and salted join built on it (χ² should sit near the 4095
+    degrees of freedom; a multiple of it means structure in the
+    keys leaked through). Pair counts are exact integers; the χ²
+    terms fold in bucket order."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders")
+    h = o.select((md5_int60(
+        F.concat(F.lit("hc1:"), F.col("o_orderkey").cast("string")))
+        % 4096).alias("bucket"))
+    per = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = per.agg(F.sum("n").cast("bigint").alias("total"),
+                F.count(F.lit(1)).alias("used_buckets"),
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+                .alias("pairs"))
+    j = per.crossJoin(F.broadcast(t))
+    exp = F.col("total") / 4096.0
+    term = F.pow(F.col("n") - exp, 2) / exp
+    folded = j.groupBy("total", "used_buckets", "pairs").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("bucket"), term.alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x).alias("chi2_used"))
+    return folded.select(
+        F.col("total").alias("n_keys"),
+        "used_buckets",
+        F.col("pairs").alias("colliding_pairs"),
+        F.round(F.col("total") * (F.col("total") - 1).cast("double")
+                / 2 / 4096, 2).alias("expected_pairs"),
+        F.round(F.col("chi2_used")
+                + (4096 - F.col("used_buckets"))
+                * (F.col("total") / 4096.0), 2)
+        .alias("chi2_uniformity"))

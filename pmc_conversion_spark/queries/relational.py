@@ -4357,3 +4357,37 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("na").cast("double") / n, 6).alias("share_a"),
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"))
+
+
+@register(
+    "api_union_by_name",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region,
+           NULL AS extra
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey + 1000, r_name, NULL,
+           'from_region' FROM region
+    """)
+def api_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — schema-tolerant
+    append: the two sides share only part of their columns, matching
+    happens BY NAME (never by position — the positional union bug
+    that silently swaps columns when schemas drift), and each side's
+    missing columns surface as explicit NULLs. This is the ingestion
+    idiom for multi-generation data where new columns appear over
+    time (the DataFrame twin of scan_schema_evolution's reader-level
+    merge). Map-only; no shuffle."""
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    a = nation.select(F.col("n_nationkey").alias("k"),
+                      F.col("n_name").alias("name"),
+                      F.col("n_regionkey").cast("bigint")
+                      .alias("region"))
+    b = region.select((F.col("r_regionkey") + 1000).alias("k"),
+                      F.col("r_name").alias("name"),
+                      F.lit("from_region").alias("extra"))
+    return (a.unionByName(b, allowMissingColumns=True)
+            .select("k", "name", "region",
+                    F.col("extra").cast("string").alias("extra")))
