@@ -2807,3 +2807,95 @@ def win_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mae_snaive"),
         F.round(F.sum(ae_s).cast("double") / F.sum(ae_n), 4)
         .alias("mase_ratio"))
+
+
+@register(
+    "ts_anomaly_residual",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t0 AS (SELECT min(h) AS t0 FROM hourly),
+    s AS (
+      SELECT date_diff('hour', t0.t0, h.h) AS n,
+             EXTRACT(hour FROM h.h) AS hod, h.h, h.c
+      FROM hourly h, t0
+    ),
+    tr AS (
+      SELECT n, hod, h, c,
+             CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w AS trend
+      FROM s
+      WINDOW w AS (ORDER BY n ROWS BETWEEN 12 PRECEDING
+                   AND 12 FOLLOWING)
+    ),
+    dt AS (SELECT n, hod, h, c,
+                  CAST(round(c - trend, 6) AS DECIMAL(18,6)) AS d
+           FROM tr),
+    se AS (SELECT hod, CAST(sum(d) AS DOUBLE) / count(*) AS seasonal
+           FROM dt GROUP BY hod),
+    re AS (SELECT dt.n, dt.h, dt.c,
+                  CAST(round(dt.d - se.seasonal, 6)
+                       AS DECIMAL(18,6)) AS r
+           FROM dt JOIN se USING (hod)),
+    mo AS (SELECT count(*) AS k,
+                  CAST(sum(r) AS DOUBLE) AS sr,
+                  CAST(sum(r * r) AS DOUBLE) AS srr
+           FROM re)
+    SELECT re.h AS hour_ts, re.c AS observed,
+           round(CAST(re.r AS DOUBLE), 2) AS residual,
+           round((re.r - mo.sr / mo.k)
+                 / sqrt((mo.srr - mo.sr * mo.sr / mo.k)
+                        / (mo.k - 1)), 2) AS z_score
+    FROM re, mo
+    WHERE abs((re.r - mo.sr / mo.k)
+              / sqrt((mo.srr - mo.sr * mo.sr / mo.k)
+                     / (mo.k - 1))) > 3
+    """)
+def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: hours whose RESIDUAL
+    (after removing the 25-hour trend and the hour-of-day profile —
+    the ts_seasonal_decompose components) sits beyond 3σ of the
+    residual distribution. Detecting on residuals is the whole
+    point: a 3 pm spike that is merely 'normal 3 pm' never fires,
+    and a quiet-hour bump that raw thresholds miss does. Residuals
+    are rounded-then-decimal (order-free sums); σ comes from exact
+    residual moments; the z boundary is partitioning-independent.
+    Series frames are bounded by the time range."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .select(F.col("w.start").alias("h"), "c"))
+    t0 = hourly.agg(F.min("h").alias("t0"))
+    s = (hourly.crossJoin(F.broadcast(t0))
+         .select(F.expr("timestampdiff(HOUR, t0, h)").alias("n"),
+                 F.hour("h").alias("hod"), "h", "c"))
+    w = Window.orderBy("n").rowsBetween(-12, 12)
+    tr = s.select("n", "hod", "h", "c",
+                  (F.sum("c").over(w).cast("double")
+                   / F.count(F.lit(1)).over(w)).alias("trend"))
+    dt = tr.select("n", "hod", "h", "c",
+                   F.round(F.col("c") - F.col("trend"), 6)
+                   .cast("decimal(18,6)").alias("d"))
+    se = dt.groupBy("hod").agg(
+        (F.sum("d").cast("double") / F.count(F.lit(1)))
+        .alias("seasonal"))
+    re = (dt.join(F.broadcast(se), "hod")
+          .select("n", "h", "c",
+                  F.round(F.col("d") - F.col("seasonal"), 6)
+                  .cast("decimal(18,6)").alias("r")))
+    mo = re.agg(F.count(F.lit(1)).alias("k"),
+                F.sum("r").cast("double").alias("sr"),
+                F.sum(F.col("r") * F.col("r")).cast("double")
+                .alias("srr"))
+    j = re.crossJoin(F.broadcast(mo))
+    mean_r = F.col("sr") / F.col("k")
+    sd_r = F.sqrt((F.col("srr") - F.col("sr") * F.col("sr")
+                   / F.col("k")) / (F.col("k") - 1))
+    z = (F.col("r") - mean_r) / sd_r
+    return (j.filter(F.abs(z) > 3)
+            .select(F.col("h").alias("hour_ts"),
+                    F.col("c").alias("observed"),
+                    F.round(F.col("r").cast("double"), 2)
+                    .alias("residual"),
+                    F.round(z, 2).alias("z_score")))

@@ -4391,3 +4391,77 @@ def api_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.unionByName(b, allowMissingColumns=True)
             .select("k", "name", "region",
                     F.col("extra").cast("string").alias("extra")))
+
+
+@register(
+    "join_drill_across_facts",
+    oracle="""
+    WITH f1 AS (
+      SELECT c.c_nationkey AS nat,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS order_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    f2 AS (
+      SELECT s.s_nationkey AS nat,
+             count(*) AS n_lines,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS supply_cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           coalesce(f1.n_orders, 0) AS n_orders,
+           round(coalesce(f1.order_cents, 0) / 100.0, 2)
+             AS demand_revenue,
+           coalesce(f2.n_lines, 0) AS n_supply_lines,
+           round(coalesce(f2.supply_cents, 0) / 100.0, 2)
+             AS supply_revenue
+    FROM nation n
+    LEFT JOIN f1 ON f1.nat = n.n_nationkey
+    LEFT JOIN f2 ON f2.nat = n.n_nationkey
+    """)
+def join_drill_across_facts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DRILL-ACROSS: two fact tables (demand-side orders, supply-side
+    lineitem) combined through the conformed nation dimension — by
+    aggregating EACH fact to the conformed grain FIRST and only then
+    joining. Joining raw facts directly would fan out rows
+    (order × its lines) and silently double-count every measure;
+    the aggregate-then-join shape is the only correct multi-fact
+    pattern, and it is also the cheap one (two partial aggs + a
+    dimension-sized join, instead of a fact × fact shuffle). The
+    dimension LEFT side keeps nations with no activity visible as
+    explicit zeros. Exact cent sums; one row per nation."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = tables.load(spark, sf_dir, "customer")
+    su = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    f1 = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                 o.o_custkey == F.col("c_custkey"))
+          .groupBy(F.col("c_nationkey").alias("nat"))
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.sum(F.round(F.col("o_totalprice") * 100)
+                     .cast("bigint")).cast("bigint")
+               .alias("order_cents")))
+    f2 = (li.join(F.broadcast(su.select("s_suppkey", "s_nationkey")),
+                  li.l_suppkey == F.col("s_suppkey"))
+          .groupBy(F.col("s_nationkey").alias("nat"))
+          .agg(F.count(F.lit(1)).alias("n_lines"),
+               F.sum(F.round(F.col("l_extendedprice") * 100)
+                     .cast("bigint")).cast("bigint")
+               .alias("supply_cents")))
+    return (n.join(F.broadcast(f1),
+                   n.n_nationkey == f1.nat, "left")
+            .join(F.broadcast(f2), n.n_nationkey == f2.nat, "left")
+            .select(F.col("n_name").alias("nation"),
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.round(F.coalesce("order_cents", F.lit(0))
+                            / 100.0, 2).alias("demand_revenue"),
+                    F.coalesce("n_lines", F.lit(0))
+                    .alias("n_supply_lines"),
+                    F.round(F.coalesce("supply_cents", F.lit(0))
+                            / 100.0, 2).alias("supply_revenue")))
