@@ -6838,3 +6838,48 @@ def agg_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("kc").cast("double") / F.col("nc"), 4)
         .alias("uplift"),
         F.round(F.sum(qini_term).over(wq), 4).alias("qini_cum"))
+
+
+@register(
+    "pipeline_active_learning_select",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])}
+             - greatest({_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                        {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                        {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                        {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+               AS z
+      FROM documents
+    )
+    SELECT doc_id, lang AS true_lang, z AS margin, rnk FROM (
+      SELECT doc_id, lang, z,
+             ROW_NUMBER() OVER (ORDER BY abs(z), doc_id) AS rnk
+      FROM hits)
+    WHERE rnk <= 25
+    """)
+def pipeline_active_learning_select(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for annotation — the active-learning
+    selection rule: queue the documents whose classifier MARGIN sits
+    closest to the decision boundary (|en-margin| smallest), because
+    labels there move the model most per annotation dollar; the true
+    label rides along so the queue doubles as the audit of what the
+    classifier was actually unsure about. Deterministic: integer
+    margins, |z| order with doc_id tie-break, top-25 as a
+    TakeOrdered — at corpus scale the selection never globally sorts,
+    it takes the per-partition heads."""
+    from pmc_conversion_spark.functions.text import (LANG_LEXICONS,
+                                                     stopword_hits)
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    z = (stopword_hits(low, LANG_LEXICONS["en"])
+         - F.greatest(*[stopword_hits(low, LANG_LEXICONS[c])
+                        for c in ("de", "es", "fr", "zh")]))
+    hits = d.select("doc_id", F.col("lang").alias("true_lang"),
+                    z.alias("margin"))
+    w = Window.orderBy(F.abs(F.col("margin")), "doc_id")
+    return (hits.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 25)
+            .select("doc_id", "true_lang", "margin", "rnk"))

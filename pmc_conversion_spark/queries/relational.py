@@ -4465,3 +4465,60 @@ def join_drill_across_facts(spark: SparkSession,
                     .alias("n_supply_lines"),
                     F.round(F.coalesce("supply_cents", F.lit(0))
                             / 100.0, 2).alias("supply_revenue")))
+
+
+@register(
+    "agg_bayes_shrunk_means",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_nationkey AS nat, count(*) AS n,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderkey % 97 = 0
+      GROUP BY c.c_nationkey
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS tc,
+                 CAST(sum(n) AS BIGINT) AS tn FROM g)
+    SELECT g.nat, g.n AS n_obs,
+           round(CAST(g.cents AS DOUBLE) / g.n / 100.0, 2)
+             AS raw_mean,
+           round(CAST(t.tc AS DOUBLE) / t.tn / 100.0, 2)
+             AS global_mean,
+           round((g.cents + 20.0 * t.tc / t.tn)
+                 / (g.n + 20.0) / 100.0, 2) AS shrunk_mean,
+           round(20.0 / (g.n + 20.0), 4) AS shrink_weight
+    FROM g, t
+    """)
+def agg_bayes_shrunk_means(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation mean order value on a
+    SPARSE sample (1-in-97 orders, so some nations have a handful of
+    observations): each group mean pulls toward the global mean with
+    pseudo-count k=20 — shrunk = (Σx + k·μ)/(n + k) — the smoothing
+    every per-segment CTR/LTV dashboard needs before a 3-observation
+    segment tops the leaderboard on noise. The reported shrink weight
+    k/(n+k) says HOW MUCH each group was borrowed. All inputs are
+    exact integer cent sums; the blend is a double expression at the
+    boundary; one sampled-fact agg + a one-row global broadcast."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0)
+    c = tables.load(spark, sf_dir, "customer")
+    g = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                o.o_custkey == F.col("c_custkey"))
+         .groupBy(F.col("c_nationkey").alias("nat"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.round(F.col("o_totalprice") * 100)
+                    .cast("bigint")).cast("bigint").alias("cents")))
+    t = g.agg(F.sum("cents").cast("bigint").alias("tc"),
+              F.sum("n").cast("bigint").alias("tn"))
+    j = g.crossJoin(F.broadcast(t))
+    gmean = F.col("tc").cast("double") / F.col("tn")
+    return j.select(
+        "nat", F.col("n").alias("n_obs"),
+        F.round(F.col("cents").cast("double") / F.col("n") / 100.0, 2)
+        .alias("raw_mean"),
+        F.round(gmean / 100.0, 2).alias("global_mean"),
+        F.round((F.col("cents") + 20.0 * gmean)
+                / (F.col("n") + 20.0) / 100.0, 2).alias("shrunk_mean"),
+        F.round(20.0 / (F.col("n") + 20.0), 4).alias("shrink_weight"))
