@@ -980,3 +980,62 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM kv_cfg_v t, "
         "LATERAL kv_expand(t.id, t.cfg, array('retries', 'mode')) s")
+
+
+@register(
+    "f_snowflake_id_codec",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id,
+             date_diff('millisecond',
+                       TIMESTAMP '2024-01-01 00:00:00', ts) AS ms
+      FROM events WHERE event_id % 50 = 0
+    ),
+    enc AS (
+      SELECT event_id,
+             ms * 4194304 + (user_id % 1024) * 4096
+               + (event_id % 4096) AS snowflake,
+             ms, user_id % 1024 AS worker, event_id % 4096 AS seq
+      FROM src
+    )
+    SELECT event_id, snowflake,
+           snowflake // 4194304 AS ms_decoded,
+           (snowflake // 4096) % 1024 AS worker_decoded,
+           snowflake % 4096 AS seq_decoded,
+           snowflake // 4194304 = ms
+             AND (snowflake // 4096) % 1024 = worker
+             AND snowflake % 4096 = seq AS roundtrip_ok
+    FROM enc
+    """)
+def f_snowflake_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-style ID codec: pack (custom-epoch milliseconds,
+    worker, sequence) into one time-sortable BIGINT — the
+    coordination-free distributed ID scheme whose killer property is
+    that ORDER BY id ≈ ORDER BY time (so range scans and compactions
+    stay time-local without a timestamp column) — and decode it back
+    by pure integer arithmetic, proving every field survives. The
+    custom 2024 epoch keeps the 22-bit shift far from int64 overflow
+    (the reason real deployments never use the unix epoch).
+    Multiplication/division by 2²² and 2¹² instead of bit operators
+    keeps one text semantics on both engines; map-only."""
+    e = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_id") % 50 == 0)
+    ms = F.expr("timestampdiff(MILLISECOND, "
+                "TIMESTAMP '2024-01-01 00:00:00', ts)")
+    src = e.select("event_id", "user_id", ms.alias("ms"))
+    sf = (F.col("ms") * 4194304 + (F.col("user_id") % 1024) * 4096
+          + (F.col("event_id") % 4096))
+    enc = src.select(
+        "event_id", sf.alias("snowflake"), "ms",
+        (F.col("user_id") % 1024).alias("worker"),
+        (F.col("event_id") % 4096).alias("seq"))
+    ms_d = F.floor(F.col("snowflake") / 4194304)
+    worker_d = F.floor(F.col("snowflake") / 4096) % 1024
+    seq_d = F.col("snowflake") % 4096
+    return enc.select(
+        "event_id", "snowflake",
+        ms_d.alias("ms_decoded"),
+        worker_d.alias("worker_decoded"),
+        seq_d.alias("seq_decoded"),
+        ((ms_d == F.col("ms")) & (worker_d == F.col("worker"))
+         & (seq_d == F.col("seq"))).alias("roundtrip_ok"))
