@@ -82,6 +82,8 @@ HEADLINE = [
     "graph_kcore",
     "text_boilerplate_strip",
     "ts_seasonal_decompose",
+    "agg_covisitation_topk",
+    "dedup_method_agreement",
 ]
 
 

@@ -75,6 +75,9 @@ PROBED = [
     "ts_seasonal_decompose",
     "mm_image_dedup_cluster",
     "ts_linear_interpolate",
+    "agg_covisitation_topk",
+    "dedup_method_agreement",
+    "pipeline_contrastive_triplets",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
