@@ -2899,3 +2899,68 @@ def ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("r").cast("double"), 2)
                     .alias("residual"),
                     F.round(z, 2).alias("z_score")))
+
+
+@register(
+    "agg_littles_law",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id,
+             min(ts) AS t_in, max(ts) AS t_out
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT min(t_in) AS h0, max(t_out) AS h1 FROM sess
+    ),
+    m AS (
+      SELECT count(*) AS n_users,
+             CAST(sum(date_diff('microsecond', s.t_in, s.t_out))
+                  AS BIGINT) AS busy_us,
+             (SELECT date_diff('microsecond', h0, h1) FROM horizon)
+               AS span_us
+      FROM sess s
+    )
+    SELECT n_users,
+           round(n_users / (span_us / 3600e6), 4) AS lambda_per_hour,
+           round(busy_us / CAST(n_users AS DOUBLE) / 3600e6, 4)
+             AS w_hours,
+           round(CAST(busy_us AS DOUBLE) / span_us, 4)
+             AS l_avg_in_system,
+           round((n_users / (span_us / 3600e6))
+                 * (busy_us / CAST(n_users AS DOUBLE) / 3600e6)
+                 - CAST(busy_us AS DOUBLE) / span_us, 6)
+             AS littles_residual
+    FROM m
+    """)
+def agg_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = λ·W) measured from both sides on user
+    activity spans: arrival rate λ (users per hour over the horizon),
+    mean time-in-system W (each user's first-to-last event span), and
+    average concurrency L computed INDEPENDENTLY as total busy time
+    over the horizon — the queueing identity that turns two cheap
+    aggregates into a capacity model, and whose residual is an
+    internal-consistency audit (here exactly 0 by construction:
+    λW = (N/T)·(Σspan/N) = Σspan/T = L — the engine must reproduce
+    the algebra bit-for-bit through three separately-computed
+    ratios). Microsecond-exact integer spans; two grouped aggregates
+    and a one-row report."""
+    e = _events(spark, sf_dir)
+    sess = e.groupBy("user_id").agg(F.min("ts").alias("t_in"),
+                                    F.max("ts").alias("t_out"))
+    span = F.expr("timestampdiff(MICROSECOND, t_in, t_out)")
+    horizon = sess.agg(F.min("t_in").alias("h0"),
+                       F.max("t_out").alias("h1"))
+    m = (sess.agg(F.count(F.lit(1)).alias("n_users"),
+                  F.sum(span).cast("bigint").alias("busy_us"))
+         .crossJoin(F.broadcast(horizon.select(
+             F.expr("timestampdiff(MICROSECOND, h0, h1)")
+             .alias("span_us")))))
+    lam = F.col("n_users") / (F.col("span_us") / 3600e6)
+    w = F.col("busy_us") / F.col("n_users").cast("double") / 3600e6
+    l = F.col("busy_us").cast("double") / F.col("span_us")
+    return m.select(
+        "n_users",
+        F.round(lam, 4).alias("lambda_per_hour"),
+        F.round(w, 4).alias("w_hours"),
+        F.round(l, 4).alias("l_avg_in_system"),
+        F.round(lam * w - l, 6).alias("littles_residual"))

@@ -6883,3 +6883,73 @@ def pipeline_active_learning_select(spark: SparkSession,
     return (hits.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 25)
             .select("doc_id", "true_lang", "margin", "rnk"))
+
+
+@register(
+    "text_source_stylometry",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    tf AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+    norm AS (
+      SELECT source,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE) AS ss
+      FROM tf GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(CAST(a.n AS DECIMAL(38,0)) * b.n) AS DOUBLE)
+               AS dot
+      FROM tf a JOIN tf b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b,
+           round(d.dot / (sqrt(na.ss) * sqrt(nb.ss)), 6)
+             AS profile_cosine
+    FROM dots d
+    JOIN norm na ON na.source = d.src_a
+    JOIN norm nb ON nb.source = d.src_b
+    """)
+def text_source_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source stylometry: cosine similarity between per-source TOKEN
+    FREQUENCY PROFILES — the corpus-forensics primitive behind 'are
+    these two crawls actually the same site', mixture-collapse
+    detection (two "sources" with cosine ≈ 1 add no diversity), and
+    contamination tracing. The profile dot products and norms are
+    EXACT decimal sums of integer count products (order-free), so the
+    one double division per source pair is engine-identical. Cost
+    shape: one explode → (source, token) partial agg; the pair join
+    runs on the vocabulary-keyed frequency frame (8-byte-ish keys),
+    and the output is source-pair-sized — at a thousand sources
+    that's half a million rows, nothing."""
+    d = _docs(spark, sf_dir).filter(
+        F.col("source").isin("src0", "src1", "src2", "src3"))
+    t = d.select("source",
+                 F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                 .alias("tok"))
+    tf = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    norm = tf.groupBy("source").agg(
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("double").alias("ss"))
+    a = tf.select(F.col("source").alias("src_a"), "tok",
+                  F.col("n").alias("na"))
+    b = tf.select(F.col("source").alias("src_b"), "tok",
+                  F.col("n").alias("nb"))
+    dots = (a.join(b, "tok")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.sum(F.col("na").cast("decimal(38,0)") * F.col("nb"))
+                 .cast("double").alias("dot")))
+    na = norm.select(F.col("source").alias("src_a"),
+                     F.col("ss").alias("ssa"))
+    nb = norm.select(F.col("source").alias("src_b"),
+                     F.col("ss").alias("ssb"))
+    return (dots.join(F.broadcast(na), "src_a")
+            .join(F.broadcast(nb), "src_b")
+            .select("src_a", "src_b",
+                    F.round(F.col("dot")
+                            / (F.sqrt(F.col("ssa"))
+                               * F.sqrt(F.col("ssb"))), 6)
+                    .alias("profile_cosine")))
