@@ -6953,3 +6953,95 @@ def text_source_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.sqrt(F.col("ssa"))
                                * F.sqrt(F.col("ssb"))), 6)
                     .alias("profile_cosine")))
+
+
+@register(
+    "mm_audio_neardup_energy",
+    oracle="""
+    WITH m AS (
+      SELECT t.i AS media_id, t.i % 30 AS seed
+      FROM unnest(range(0, 60)) AS t(i)
+    ),
+    fr AS (
+      SELECT media_id, seed, f.k AS frame,
+             list_sum(list_transform(range(0, 256),
+               j -> ((seed * 13 + (f.k * 256 + j) * 7) % 256)
+                    * ((seed * 13 + (f.k * 256 + j) * 7) % 256)))
+               AS energy
+      FROM m, unnest(range(0, 4)) AS f(k)
+    ),
+    blocks AS (
+      SELECT media_id, frame, energy,
+             energy // 4096 AS q
+      FROM fr
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+      FROM blocks a JOIN blocks b
+        ON a.frame = b.frame AND a.q = b.q
+       AND a.media_id < b.media_id
+    ),
+    dist AS (
+      SELECT c.ma, c.mb,
+             CAST(sum(abs(ba.energy - bb.energy)) AS BIGINT)
+               AS energy_l1
+      FROM cand c
+      JOIN blocks ba ON ba.media_id = c.ma
+      JOIN blocks bb ON bb.media_id = c.mb AND bb.frame = ba.frame
+      GROUP BY c.ma, c.mb
+    )
+    SELECT ma AS media_id_a, mb AS media_id_b, energy_l1
+    FROM dist WHERE energy_l1 <= 1000
+    """)
+def mm_audio_neardup_energy(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection — completing the modality triad
+    (text simhash, image aHash, now audio): each clip's per-frame
+    energy signature (real numpy sum-of-squares in an Arrow stage, the
+    mm_audio_frame_energy path) quantizes into coarse blocks;
+    candidates must collide on at least one (frame, quantized-energy)
+    block — an equi-join, never all-pairs — and exact L1 energy
+    distance verifies. The planted corpus re-issues 30 synthetic
+    signals under second media_ids, so every planted pair must
+    surface with distance 0 and coincidental block collisions must
+    die at the threshold. Integer-exact end to end."""
+    import pandas as pd
+
+    ids = spark.range(60).select(F.col("id").alias("media_id"),
+                                 (F.col("id") % 30).alias("seed"))
+
+    def _energies(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for mid, seed in zip(pdf["media_id"], pdf["seed"]):
+                j = np.arange(1024, dtype=np.int64)
+                sig = (int(seed) * 13 + j * 7) % 256
+                for k in range(4):
+                    fr = sig[k * 256:(k + 1) * 256]
+                    rows.append((int(mid), k, int((fr * fr).sum())))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "frame", "energy"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    blocks = (ensure_parallelism(ids).mapInPandas(
+        _energies, "media_id long, frame int, energy long")
+        .withColumn("q", F.floor(F.col("energy") / 4096)))
+    a = blocks.select(F.col("media_id").alias("ma"), "frame", "q")
+    b = blocks.select(F.col("media_id").alias("mb"), "frame", "q")
+    cand = (a.join(b, ["frame", "q"])
+            .filter(F.col("ma") < F.col("mb"))
+            .select("ma", "mb").distinct())
+    ba = blocks.select(F.col("media_id").alias("ma"),
+                       F.col("frame").alias("frame"),
+                       F.col("energy").alias("ea"))
+    bb = blocks.select(F.col("media_id").alias("mb"),
+                       F.col("frame").alias("frame"),
+                       F.col("energy").alias("eb"))
+    dist = (cand.join(ba, "ma").join(bb, ["mb", "frame"])
+            .groupBy("ma", "mb")
+            .agg(F.sum(F.abs(F.col("ea") - F.col("eb")))
+                 .cast("bigint").alias("energy_l1")))
+    return (dist.filter(F.col("energy_l1") <= 1000)
+            .select(F.col("ma").alias("media_id_a"),
+                    F.col("mb").alias("media_id_b"), "energy_l1"))
