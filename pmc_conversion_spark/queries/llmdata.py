@@ -7045,3 +7045,113 @@ def mm_audio_neardup_energy(spark: SparkSession,
     return (dist.filter(F.col("energy_l1") <= 1000)
             .select(F.col("ma").alias("media_id_a"),
                     F.col("mb").alias("media_id_b"), "energy_l1"))
+
+
+@register(
+    "pipeline_weak_supervision_vote",
+    oracle=f"""
+    WITH lf AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])}
+                  > greatest(
+                      {_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                      {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                      {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                      {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+                  THEN 1
+                  WHEN {_lang_hits_sql('en', TX.LANG_LEXICONS['en'])}
+                  < greatest(
+                      {_lang_hits_sql('de', TX.LANG_LEXICONS['de'])},
+                      {_lang_hits_sql('es', TX.LANG_LEXICONS['es'])},
+                      {_lang_hits_sql('fr', TX.LANG_LEXICONS['fr'])},
+                      {_lang_hits_sql('zh', TX.LANG_LEXICONS['zh'])})
+                  THEN 0 ELSE NULL END AS lf_margin,
+             CASE WHEN len({_TOKS}) >= 60 THEN 1
+                  WHEN len({_TOKS}) < 30 THEN 0
+                  ELSE NULL END AS lf_length,
+             CASE WHEN CAST(substr(source, 4) AS BIGINT) % 3 = 0
+                  THEN 1 ELSE 0 END AS lf_source
+      FROM documents
+    ),
+    voted AS (
+      SELECT doc_id, y,
+             coalesce(lf_margin, 0) + coalesce(lf_length, 0)
+               + coalesce(lf_source, 0) AS yes_votes,
+             (CASE WHEN lf_margin IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN lf_length IS NULL THEN 0 ELSE 1 END)
+               + 1 AS n_votes
+      FROM lf
+    ),
+    labeled AS (
+      SELECT y,
+             CASE WHEN 2 * yes_votes > n_votes THEN 1
+                  WHEN 2 * yes_votes < n_votes THEN 0
+                  ELSE NULL END AS pred
+      FROM voted
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN pred IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abstain,
+           CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                 / CAST(sum(CASE WHEN pred IS NOT NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE), 4)
+             AS accuracy_on_labeled,
+           round(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS coverage
+    FROM labeled
+    """)
+def pipeline_weak_supervision_vote(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Weak supervision by labeling-function vote (the Snorkel-style
+    majority label model): three noisy heuristics — lexicon margin
+    (abstains on ties), token-length band (abstains mid-band), and a
+    source prior (never abstains) — vote per document; strict
+    majority labels, exact splits abstain, and the report prices the
+    result with accuracy-on-labeled vs coverage, the trade every
+    weak-supervision pipeline tunes before training on the generated
+    labels. All votes are integer CASE expressions in ONE map-side
+    pass; one closing aggregate."""
+    from pmc_conversion_spark.functions.text import (LANG_LEXICONS,
+                                                     stopword_hits)
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    h_en = stopword_hits(low, LANG_LEXICONS["en"])
+    h_other = F.greatest(*[stopword_hits(low, LANG_LEXICONS[c])
+                           for c in ("de", "es", "fr", "zh")])
+    ntok = TX.token_count_ws(low)
+    lf_margin = (F.when(h_en > h_other, 1)
+                 .when(h_en < h_other, 0))
+    lf_length = (F.when(ntok >= 60, 1).when(ntok < 30, 0))
+    lf_source = F.when(
+        F.substring("source", 4, 10).cast("bigint") % 3 == 0, 1) \
+        .otherwise(0)
+    lf = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        lf_margin.alias("lf_margin"),
+        lf_length.alias("lf_length"),
+        lf_source.alias("lf_source"))
+    yes = (F.coalesce("lf_margin", F.lit(0))
+           + F.coalesce("lf_length", F.lit(0)) + F.col("lf_source"))
+    nv = (F.when(F.col("lf_margin").isNull(), 0).otherwise(1)
+          + F.when(F.col("lf_length").isNull(), 0).otherwise(1) + 1)
+    voted = lf.select("y", yes.alias("yes_votes"), nv.alias("n_votes"))
+    pred = (F.when(2 * F.col("yes_votes") > F.col("n_votes"), 1)
+            .when(2 * F.col("yes_votes") < F.col("n_votes"), 0))
+    labeled = voted.select("y", pred.alias("pred"))
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("pred").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_abstain"),
+        F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0))
+        .cast("bigint").alias("n_correct"),
+        F.round(F.sum(F.when(F.col("pred") == F.col("y"), 1)
+                      .otherwise(0))
+                / F.sum(F.when(F.col("pred").isNotNull(), 1)
+                        .otherwise(0)).cast("double"), 4)
+        .alias("accuracy_on_labeled"),
+        F.round(F.sum(F.when(F.col("pred").isNotNull(), 1)
+                      .otherwise(0)) / F.count(F.lit(1)).cast("double"),
+                4).alias("coverage"))
