@@ -4522,3 +4522,147 @@ def agg_bayes_shrunk_means(spark: SparkSession,
         F.round((F.col("cents") + 20.0 * gmean)
                 / (F.col("n") + 20.0) / 100.0, 2).alias("shrunk_mean"),
         F.round(20.0 / (F.col("n") + 20.0), 4).alias("shrink_weight"))
+
+
+@register(
+    "agg_ab_cuped",
+    oracle="""
+    WITH unit AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CASE WHEN o_orderdate
+                           >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN o_orderdate
+                           < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT count(*) AS k,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+      FROM unit
+    )
+    SELECT k AS n_units,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6)
+             AS theta,
+           round((syy - sy * sy / k) / (k - 1) / 10000, 2)
+             AS var_y,
+           round(((syy - sy * sy / k)
+                  - pow(sxy - sx * sy / k, 2) / (sxx - sx * sx / k))
+                 / (k - 1) / 10000, 2) AS var_cuped,
+           round(pow(sxy - sx * sy / k, 2)
+                 / ((sxx - sx * sx / k) * (syy - sy * sy / k)), 4)
+             AS variance_reduction
+    FROM m
+    """)
+def agg_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the standard trick that makes
+    experiments readable weeks sooner: adjust each unit's experiment
+    metric by its PRE-PERIOD covariate, Y' = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X), shrinking metric variance by exactly the
+    squared X-Y correlation (reported here as variance_reduction —
+    the fraction of the sample size the covariate buys back). Every
+    moment (Σx, Σy, Σx², Σy², Σxy) is an exact decimal sum of integer
+    cents per customer, so θ and both variances are deterministic
+    doubles on exact inputs. One unit-level agg, one moment agg."""
+    o = tables.load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    post = F.col("o_orderdate") >= "1998-01-01"
+    unit = (o.groupBy("o_custkey")
+            .agg(F.sum(F.when(post, cents).otherwise(0)).cast("bigint")
+                 .alias("y"),
+                 F.sum(F.when(~post, cents).otherwise(0)).cast("bigint")
+                 .alias("x")))
+    m = unit.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+        .alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double").alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double").alias("sxy"))
+    k = F.col("k")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / k
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / k
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / k
+    return m.select(
+        F.col("k").alias("n_units"),
+        F.round(cxy / vx, 6).alias("theta"),
+        F.round(vy / (k - 1) / 10000, 2).alias("var_y"),
+        F.round((vy - F.pow(cxy, 2) / vx) / (k - 1) / 10000, 2)
+        .alias("var_cuped"),
+        F.round(F.pow(cxy, 2) / (vx * vy), 4)
+        .alias("variance_reduction"))
+
+
+@register(
+    "agg_ips_policy_eval",
+    oracle="""
+    WITH logged AS (
+      SELECT o_orderkey,
+             CASE WHEN ('0x' || substr(md5('pol1:'
+                  || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                  % 2 = 0
+                  THEN 'discount' ELSE 'none' END AS action_logged,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END AS reward_cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'discount' ELSE 'none' END AS action_new
+      FROM orders
+    )
+    SELECT count(*) AS n_logged,
+           CAST(sum(CASE WHEN action_new = action_logged
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           round(CAST(sum(reward_cents) AS DOUBLE)
+                 / count(*) / 100.0, 4) AS logged_policy_value,
+           round(CAST(sum(CASE WHEN action_new = action_logged
+                          THEN reward_cents * 2 ELSE 0 END) AS DOUBLE)
+                 / count(*) / 100.0, 4) AS ips_new_policy_value
+    FROM logged
+    """)
+def agg_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate
+    what a NEW targeting policy (discount urgent/high-priority
+    orders) would earn, using only data logged under a uniform 50/50
+    hash randomization — each logged reward where the new policy
+    AGREES with the logged action is reweighted by 1/p = 2, and
+    disagreements contribute zero (the unbiased counterfactual
+    estimator, usable because the logging propensities are known
+    deterministic hashes). This is the evaluation that lets policy
+    changes be screened WITHOUT an experiment. Integer cent rewards
+    and exact match counts; one conditional-sum pass."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders")
+    logged = o.select(
+        F.when(md5_int60(F.concat(F.lit("pol1:"),
+                                  F.col("o_orderkey").cast("string")))
+               % 2 == 0, "discount").otherwise("none")
+        .alias("action_logged"),
+        F.when(F.col("o_orderstatus") == "F",
+               F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .otherwise(0).alias("reward_cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+               "discount").otherwise("none").alias("action_new"))
+    match = F.col("action_new") == F.col("action_logged")
+    return logged.agg(
+        F.count(F.lit(1)).alias("n_logged"),
+        F.sum(F.when(match, 1).otherwise(0)).cast("bigint")
+        .alias("n_matched"),
+        F.round(F.sum("reward_cents").cast("double")
+                / F.count(F.lit(1)) / 100.0, 4)
+        .alias("logged_policy_value"),
+        F.round(F.sum(F.when(match, F.col("reward_cents") * 2)
+                      .otherwise(0)).cast("double")
+                / F.count(F.lit(1)) / 100.0, 4)
+        .alias("ips_new_policy_value"))
