@@ -2964,3 +2964,141 @@ def agg_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 4).alias("w_hours"),
         F.round(l, 4).alias("l_avg_in_system"),
         F.round(lam * w - l, 6).alias("littles_residual"))
+
+
+@register(
+    "ts_locf_limited",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(arg_max(value, event_id) * 100) AS BIGINT)
+               AS vcents
+      FROM events GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT user_id,
+             unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+               AS h
+      FROM b GROUP BY user_id
+    ),
+    j AS (
+      SELECT sp.user_id, sp.h, b.vcents,
+             date_diff('hour', (SELECT min(h) FROM b b2
+                                WHERE b2.user_id = sp.user_id), sp.h)
+               AS n
+      FROM sp LEFT JOIN b USING (user_id, h)
+    ),
+    f AS (
+      SELECT user_id, h, n, vcents,
+             last_value(vcents IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN vcents IS NOT NULL THEN n END
+                        IGNORE NULLS) OVER wp AS pn
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY n
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, h AS bin_ts,
+           vcents IS NOT NULL AS observed,
+           CASE WHEN vcents IS NOT NULL THEN round(vcents / 100.0, 2)
+                WHEN n - pn <= 3 THEN round(pv / 100.0, 2)
+                ELSE NULL END AS value_ffill_max3
+    FROM f
+    """)
+def ts_locf_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill with a STALENESS LIMIT: carry the last observation
+    at most 3 hours, then surface NULL — the honest sensor
+    densification (unbounded LOCF, ts_resample_gapfill's rule, will
+    happily report a dead sensor's last reading for a week; the limit
+    is what turns 'filled' into 'stale, escalate'). One extra
+    last-observed-INDEX column alongside the last-observed-value
+    window decides staleness by integer subtraction; same single
+    per-user partitioning as the other densifiers."""
+    e = _events(spark, sf_dir)
+    b = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+         .agg(F.round(F.max_by("value", "event_id") * 100)
+              .cast("bigint").alias("vcents")))
+    span = b.groupBy("user_id").agg(F.min("h").alias("h0"),
+                                    F.max("h").alias("h1"))
+    sp = span.select("user_id", "h0",
+                     F.explode(F.sequence("h0", "h1",
+                                          F.expr("INTERVAL 1 HOUR")))
+                     .alias("h"))
+    j = (sp.join(b, ["user_id", "h"], "left")
+         .select("user_id", "h", "vcents",
+                 F.expr("timestampdiff(HOUR, h0, h)").alias("n")))
+    wp = (Window.partitionBy("user_id").orderBy("n")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    obs_n = F.when(F.col("vcents").isNotNull(), F.col("n"))
+    f = j.select("user_id", "h", "n", "vcents",
+                 F.last("vcents", ignorenulls=True).over(wp).alias("pv"),
+                 F.last(obs_n, ignorenulls=True).over(wp).alias("pn"))
+    return f.select(
+        "user_id", F.col("h").alias("bin_ts"),
+        F.col("vcents").isNotNull().alias("observed"),
+        F.when(F.col("vcents").isNotNull(),
+               F.round(F.col("vcents") / 100.0, 2))
+        .when(F.col("n") - F.col("pn") <= 3,
+              F.round(F.col("pv") / 100.0, 2))
+        .alias("value_ffill_max3"))
+
+
+@register(
+    "agg_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS errs
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT h, n, errs,
+             CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+             CAST(sum(errs) OVER w6 AS BIGINT) AS e6
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT h AS hour_ts,
+           round(CAST(errs AS DOUBLE) / n / 0.2, 4) AS burn_1h,
+           round(CAST(e6 AS DOUBLE) / n6 / 0.2, 4) AS burn_6h,
+           CASE WHEN CAST(errs AS DOUBLE) / n / 0.2 > 1.2
+                 AND CAST(e6 AS DOUBLE) / n6 / 0.2 > 1.2
+                THEN 'page'
+                WHEN CAST(e6 AS DOUBLE) / n6 / 0.2 > 1.0
+                THEN 'ticket' ELSE 'ok' END AS verdict
+    FROM w
+    ORDER BY h
+    LIMIT 100
+    """)
+def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook policy):
+    with an 80% success SLO (error budget 0.2), the burn rate is
+    observed-error-ratio / budget per 1-hour and 6-hour windows, and
+    the verdict pages only when BOTH windows burn hot — the two-window
+    AND is what kills flappy single-spike pages while still catching
+    sustained burns fast. Error ratios are exact integer counts over
+    window sums (bounded series frames); thresholds compare
+    engine-identical doubles. The first-100-hours report keeps the
+    demo reviewable."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(F.col("event_type") == "error", 1)
+                         .otherwise(0)).alias("errs"))
+              .select(F.col("w.start").alias("h"), "n", "errs"))
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    w = hourly.select(
+        "h", "n", "errs",
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+        F.sum("errs").over(w6).cast("bigint").alias("e6"))
+    burn1 = F.col("errs").cast("double") / F.col("n") / 0.2
+    burn6 = F.col("e6").cast("double") / F.col("n6") / 0.2
+    return (w.select(
+        F.col("h").alias("hour_ts"),
+        F.round(burn1, 4).alias("burn_1h"),
+        F.round(burn6, 4).alias("burn_6h"),
+        F.when((burn1 > 1.2) & (burn6 > 1.2), "page")
+        .when(burn6 > 1.0, "ticket").otherwise("ok").alias("verdict"))
+        .orderBy("hour_ts").limit(100))

@@ -668,3 +668,36 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n").cast("bigint").alias("n"),
                       (F.col("cents_total").cast("double") / 100.0)
                       .alias("total"))
+
+
+# ------------------------------------------- Arrow interchange (4.0+)
+_ARROW_INTERCHANGE_ORACLE = """
+SELECT n_regionkey AS region, count(*) AS n,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("api_arrow_interchange", oracle=_ARROW_INTERCHANGE_ORACLE)
+def api_arrow_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow interchange surface (Spark 4's ``DataFrame.toArrow``
+    + ``createDataFrame(pyarrow.Table)``): a BOUNDED aggregate leaves
+    the JVM as a zero-copy pyarrow Table, is transformed with a
+    pyarrow compute kernel, and re-enters as a DataFrame — the
+    integration contract with the Arrow ecosystem (polars, duckdb,
+    pandas 2.x share this memory layout, so this pair of calls is the
+    bridge to ALL of them without a CSV in sight). Driver-side by
+    design, so the rule stands: collect only dimension-sized frames —
+    the aggregate runs distributed, only its 5-row result crosses."""
+    import pyarrow.compute as pc
+
+    nation = tables.load(spark, sf_dir, "nation")
+    agg = (nation.groupBy(F.col("n_regionkey").alias("region"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").alias("key_sum_raw")))
+    t = agg.toArrow()
+    t = t.append_column("key_sum",
+                        pc.cast(t.column("key_sum_raw"), "int64"))
+    t = t.drop_columns(["key_sum_raw"])
+    back = spark.createDataFrame(t)
+    return back.select("region", "n", "key_sum")
