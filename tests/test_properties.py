@@ -264,7 +264,12 @@ def test_partitioning_invariance_representative_ops(spark):
              "agg_ndcg_eval", "agg_ab_sprt", "agg_ks_test",
              "graph_label_propagation", "mm_image_neardup_ahash",
              "join_cogroup_arrow", "agg_anova_oneway",
-             "agg_calibration_ece", "text_boilerplate_strip"]
+             "agg_calibration_ece", "text_boilerplate_strip",
+             # later round-4 continuation fold/rank/hash classes:
+             "dq_psi_drift", "agg_gtest_mi", "agg_covisitation_topk",
+             "pipeline_contrastive_triplets", "agg_uplift_qini",
+             "mm_audio_neardup_energy", "agg_tail_risk",
+             "pipeline_e2e_llm_capstone", "agg_spearman_rank_corr"]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
