@@ -3102,3 +3102,67 @@ def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((burn1 > 1.2) & (burn6 > 1.2), "page")
         .when(burn6 > 1.0, "ticket").otherwise("ok").alias("verdict"))
         .orderBy("hour_ts").limit(100))
+
+
+@register(
+    "agg_spc_control_chart",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    mr AS (
+      SELECT h, c,
+             abs(c - lag(c) OVER (ORDER BY h)) AS moving_range
+      FROM hourly
+    ),
+    lim AS (
+      SELECT CAST(sum(c) AS DOUBLE) / count(*) AS xbar,
+             CAST(sum(moving_range) AS DOUBLE)
+               / count(moving_range) AS mrbar
+      FROM mr
+    )
+    SELECT mr.h AS hour_ts, mr.c AS observed,
+           round(lim.xbar, 2) AS center,
+           round(lim.xbar - 2.66 * lim.mrbar, 2) AS lcl,
+           round(lim.xbar + 2.66 * lim.mrbar, 2) AS ucl,
+           mr.c < lim.xbar - 2.66 * lim.mrbar
+             OR mr.c > lim.xbar + 2.66 * lim.mrbar AS out_of_control
+    FROM mr, lim
+    WHERE mr.c < lim.xbar - 2.66 * lim.mrbar
+       OR mr.c > lim.xbar + 2.66 * lim.mrbar
+    """)
+def agg_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The individuals/moving-range (X-mR) control chart — Shewhart's
+    SPC applied to pipeline throughput: control limits are
+    x̄ ± 2.66·(mean moving range), estimating short-term variation
+    from CONSECUTIVE differences so a slow drift doesn't inflate the
+    limits that are supposed to catch it (the classic failure of
+    naive ±3σ on a trending series; 2.66 = 3/d₂ for n=2). Out-of-
+    control hours are the report. Moving ranges are exact integer
+    |Δcount| from one lag window over the bounded hourly frame; both
+    means derive from exact sums; the limit compare is
+    engine-identical."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .select(F.col("w.start").alias("h"), "c"))
+    w = Window.orderBy("h")  # bounded hourly series frame
+    mr = hourly.select(
+        "h", "c",
+        F.abs(F.col("c") - F.lag("c").over(w)).alias("moving_range"))
+    lim = mr.agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (F.sum("moving_range").cast("double")
+         / F.count("moving_range")).alias("mrbar"))
+    j = mr.crossJoin(F.broadcast(lim))
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    return (j.filter((F.col("c") < lcl) | (F.col("c") > ucl))
+            .select(F.col("h").alias("hour_ts"),
+                    F.col("c").alias("observed"),
+                    F.round(F.col("xbar"), 2).alias("center"),
+                    F.round(lcl, 2).alias("lcl"),
+                    F.round(ucl, 2).alias("ucl"),
+                    ((F.col("c") < lcl) | (F.col("c") > ucl))
+                    .alias("out_of_control")))
