@@ -572,20 +572,42 @@ def bbit_minhash_pairs(docs: DataFrame, *, num_hashes: int = 64,
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into equal bands")
+    if num_hashes > 63:
+        # The signature is carried as ONE signed BIGINT (the literal
+        # point of b=1 minhash); 63 usable bits without touching the
+        # sign bit through arithmetic folds.
+        if num_hashes != 64:
+            raise ValueError("packed b-bit signature supports <= 64 hashes")
     rpb = num_hashes // bands
     from pyspark import StorageLevel
-    sets = (_hashed_shingle_sets(docs, id_col, text_col, n)
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    bits = sets.select(
-        "doc_id", "hs",
-        F.transform(_minhash_sig_expr(num_hashes),
-                    lambda s: s % 2).alias("bits"))
+    sets = _hashed_shingle_sets(docs, id_col, text_col, n)
+    # Pack the whole b=1 signature into ONE BIGINT word — the literal
+    # memory claim of b-bit minhash made physical: the verify join
+    # moves 8 bytes per side instead of a 64-element array, and bit
+    # agreement is a single XOR + bit_count instead of a 64-wide zip.
+    # Folded with shiftleft|bitwiseOR (not acc*2+x) so bit 64 lands in
+    # the sign bit without arithmetic-overflow semantics; XOR/popcount
+    # are sign-agnostic. Bit 1 of the signature is the word's MSB, so
+    # band b's hash is an unsigned right shift + mask — identical to
+    # the per-band MSB-first fold the oracle computes.
+    bit_arr = F.transform(_minhash_sig_expr(num_hashes),
+                          lambda s: s % 2)
+    word = F.aggregate(
+        bit_arr, F.lit(0).cast("bigint"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x))
+    # Persist the PACKED frame: it feeds banding and both sides of the
+    # agree join, and the 64-permutation minimum is by far the most
+    # expensive expression in the plan — caching upstream of it would
+    # recompute it per reader. hs rides along only for the final
+    # exact-Jaccard join over the (far fewer) agree-filtered survivors.
+    sig = sets.select("doc_id", "hs", word.alias("w"))\
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    mask = (1 << rpb) - 1
     band_exprs = [
-        F.aggregate(F.slice("bits", b * rpb + 1, rpb),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc * 2 + x).alias(f"bh{b}")
+        F.shiftrightunsigned("w", (bands - 1 - b) * rpb)
+        .bitwiseAND(F.lit(mask)).alias(f"bh{b}")
         for b in range(bands)]
-    banded = (bits.select("doc_id", *band_exprs)
+    banded = (sig.select("doc_id", *band_exprs)
               .select("doc_id", F.posexplode(F.array(
                   *[F.col(f"bh{b}") for b in range(bands)]))
                   .alias("band", "bh")))
@@ -606,27 +628,38 @@ def bbit_minhash_pairs(docs: DataFrame, *, num_hashes: int = 64,
                           F.greatest(F.size("xs") - F.col("i") - 1,
                                      F.lit(0)))).alias("doc_b"))
         .distinct())
-    la = bits.select(F.col("doc_id").alias("doc_a"),
-                     F.col("bits").alias("bits_a"),
-                     F.col("hs").alias("hs_a"))
-    lb = bits.select(F.col("doc_id").alias("doc_b"),
-                     F.col("bits").alias("bits_b"),
-                     F.col("hs").alias("hs_b"))
-    joined = cand.join(la, "doc_a").join(lb, "doc_b")
-    agree = F.aggregate(
-        F.zip_with("bits_a", "bits_b",
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    # Stage 1 — agree filter on the packed words only. For b=1 with
+    # min_agree just ~2σ above the random-pair mean, MOST candidates
+    # pass or fail on this cheap test; the expensive shingle-set
+    # intersection must not run for the ones that fail. The join
+    # carries (pair, 8-byte word); the shuffle is pinned to full
+    # parallelism with a numbered repartition because its BYTES are
+    # tiny and AQE's byte-based coalescing would otherwise serialize
+    # the popcount stage onto 1-2 partitions.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    wa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("w").alias("wa"))
+    wb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("w").alias("wb"))
+    agree = (F.lit(num_hashes)
+             - F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))))
+    survivors = (cand.repartition(par, "doc_a")
+                 .join(wa, "doc_a").join(wb, "doc_b")
+                 .select("doc_a", "doc_b",
+                         agree.cast("bigint").alias("agree_bits"))
+                 .filter(F.col("agree_bits") >= min_agree))
+    # Stage 2 — exact Jaccard only for survivors.
+    ha = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("hs").alias("hs_a"))
+    hb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    return (joined
-            .select("doc_a", "doc_b", agree.alias("agree_bits"),
-                    inter.alias("inter_size"),
-                    (F.size("hs_a") + F.size("hs_b") - inter)
-                    .alias("union_size"))
-            .filter(F.col("agree_bits") >= min_agree)
+    return (survivors.join(ha, "doc_a").join(hb, "doc_b")
             .select("doc_a", "doc_b", "agree_bits",
                     F.round(F.greatest(
                         F.lit(0.0),
                         2.0 * F.col("agree_bits") / num_hashes - 1.0), 6)
                     .alias("est_sim"),
-                    "inter_size", "union_size"))
+                    inter.alias("inter_size"),
+                    (F.size("hs_a") + F.size("hs_b") - inter)
+                    .alias("union_size")))
