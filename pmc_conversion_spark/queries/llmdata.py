@@ -6653,8 +6653,18 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     set view can't see). Each leg is THE registered operator's own
     pair generator, so the report is also a standing consistency
     check between the three pipelines; legs share the scan but emit
-    only id pairs."""
+    only id pairs. The Venn is computed as ONE tagged union + ONE
+    pair-keyed aggregate, so each detector pipeline is evaluated
+    exactly once (per-leg membership joins would re-run every leg a
+    second time) and the only post-leg shuffle moves tiny id pairs."""
     docs = _docs(spark, sf_dir)
+
+    def tagged(side: DataFrame, j: int, m: int, s: int) -> DataFrame:
+        return side.select(
+            "doc_a", "doc_b",
+            F.lit(j).alias("j"), F.lit(m).alias("m"),
+            F.lit(s).alias("s"))
+
     jac = DD.ngram_jaccard_pairs(
         docs, threshold_num=1, threshold_den=20,
         max_posting=DD.MAX_POSTING_DEFAULT).select("doc_a", "doc_b")
@@ -6663,25 +6673,13 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=1, threshold_den=20).select("doc_a", "doc_b")
     simh = DD.simhash_near_pairs(docs, max_hamming=3) \
         .select("doc_a", "doc_b")
-    allp = (jac.unionByName(mh).unionByName(simh).distinct()
-            .localCheckpoint(eager=True))
-
-    def flag(side: DataFrame, name: str) -> DataFrame:
-        return side.distinct().select(
-            "doc_a", "doc_b", F.lit(True).alias(name))
-
-    flagged = (allp
-               .join(flag(jac, "in_jaccard"), ["doc_a", "doc_b"], "left")
-               .join(flag(mh, "in_minhash"), ["doc_a", "doc_b"], "left")
-               .join(flag(simh, "in_simhash"), ["doc_a", "doc_b"],
-                     "left")
-               .select(
-                   F.coalesce("in_jaccard", F.lit(False))
-                   .alias("in_jaccard"),
-                   F.coalesce("in_minhash", F.lit(False))
-                   .alias("in_minhash"),
-                   F.coalesce("in_simhash", F.lit(False))
-                   .alias("in_simhash")))
+    allp = (tagged(jac, 1, 0, 0)
+            .unionByName(tagged(mh, 0, 1, 0))
+            .unionByName(tagged(simh, 0, 0, 1)))
+    flagged = (allp.groupBy("doc_a", "doc_b")
+               .agg((F.max("j") == 1).alias("in_jaccard"),
+                    (F.max("m") == 1).alias("in_minhash"),
+                    (F.max("s") == 1).alias("in_simhash")))
     return (flagged.groupBy("in_jaccard", "in_minhash", "in_simhash")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
 
