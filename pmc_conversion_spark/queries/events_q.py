@@ -3166,3 +3166,73 @@ def agg_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(ucl, 2).alias("ucl"),
                     ((F.col("c") < lcl) | (F.col("c") > ucl))
                     .alias("out_of_control")))
+
+
+@register(
+    "ts_holt_forecast",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ), series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs
+      FROM v GROUP BY user_id
+      HAVING count(*) >= 2
+    ), fitted AS (
+      SELECT user_id, len(xs) AS n_events,
+             list_reduce(
+               list_prepend({'l': xs[2]::DOUBLE,
+                             'b': (xs[2] - xs[1])::DOUBLE},
+                            list_transform(xs[3:], x ->
+                              {'l': x::DOUBLE, 'b': 0.0::DOUBLE})),
+               (acc, s) ->
+                 {'l': 0.3::DOUBLE * s.l
+                       + 0.7::DOUBLE * (acc.l + acc.b),
+                  'b': 0.2::DOUBLE * ((0.3::DOUBLE * s.l
+                         + 0.7::DOUBLE * (acc.l + acc.b)) - acc.l)
+                       + 0.8::DOUBLE * acc.b}) AS st
+      FROM series
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           round(st.l, 6) AS level,
+           round(st.b, 6) AS trend,
+           round(st.l + 3 * st.b, 6) AS forecast_3
+    FROM fitted
+    """)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR (double-exponential) smoothing per key — level
+    AND trend state (α=0.3, β=0.2), the forecaster that extrapolates
+    a drifting series where plain EWMA (ts_ewma) flattens it. Like
+    every state-fold in this family the recurrence depends on the
+    previous RESULT, so SQL windows can't express it: the per-key
+    series is assembled once (sort_array ∘ collect_list, one shuffle)
+    and folded JVM-side with the higher-order ``aggregate`` carrying a
+    (level, trend) STRUCT accumulator — no Python, no iteration, and
+    per-key state bounded by that key's own history, the regime groupBy
+    distributes at 100 TB. Initialization is the textbook l₂=x₂,
+    b₂=x₂−x₁; output includes the h=3 forecast l+3b. The oracle folds
+    the same list with DuckDB's list_reduce over an identical struct
+    (literals pinned to DOUBLE on both engines so the fold is the same
+    IEEE sequence), rounded at 6 dp."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    series = (e.select("user_id",
+                       F.struct(F.col("ts"), F.col("event_id"),
+                                F.round("value", 6).cast("double")
+                                .alias("x")).alias("s"))
+              .groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 2))
+    fitted = series.withColumn("xs", F.expr("transform(ss, s -> s.x)")) \
+        .withColumn("st", F.expr(
+            "aggregate(slice(xs, 3, greatest(size(xs) - 2, 0)), "
+            "named_struct('l', xs[1], 'b', xs[1] - xs[0]), "
+            "(acc, x) -> named_struct("
+            "'l', 0.3D * x + 0.7D * (acc.l + acc.b), "
+            "'b', 0.2D * ((0.3D * x + 0.7D * (acc.l + acc.b)) - acc.l) "
+            "+ 0.8D * acc.b))"))
+    return fitted.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_3"))
