@@ -47,7 +47,14 @@ def surrogate_key(df: DataFrame, order_col: str,
     return surrogate_key_distributed(df, order_col, out_col=out_col)
 
 
-def surrogate_key_distributed(df: DataFrame, order_col: str,
+def _order_key(order_col):
+    """Accept a column name or a Column expression (e.g. a struct of
+    several keys, or a negated value for descending order) as the
+    range-bucketing / in-bucket ordering key."""
+    return F.col(order_col) if isinstance(order_col, str) else order_col
+
+
+def surrogate_key_distributed(df: DataFrame, order_col,
                               out_col: str = "sk",
                               buckets: int = 1 << 10) -> DataFrame:
     """Scale-safe dense global row numbers: two-phase range bucketing.
@@ -65,10 +72,15 @@ def surrogate_key_distributed(df: DataFrame, order_col: str,
     the *assignment* is order-correct, which is all density needs).
     Same observable output as :func:`surrogate_key` for a unique
     ``order_col``.
+
+    ``order_col`` may be a name or a Column expression: pass
+    ``F.struct(...)`` for a composite key (struct ordering is
+    lexicographic) or a negated numeric for descending order.
     """
-    ranged = (df.repartitionByRange(buckets, F.col(order_col))
+    key = _order_key(order_col)
+    ranged = (df.repartitionByRange(buckets, key)
               .withColumn("__bucket", F.spark_partition_id()))
-    w_in = Window.partitionBy("__bucket").orderBy(order_col)
+    w_in = Window.partitionBy("__bucket").orderBy(key)
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
     counts = numbered.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (Window.orderBy("__bucket")
@@ -105,6 +117,82 @@ def running_sum_distributed(df: DataFrame, order_col: str,
                         "__bucket")
             .withColumn(out_col, F.col("__offset") + F.col("__ps"))
             .drop("__bucket", "__ps", "__offset"))
+
+
+def ntile_distributed(df: DataFrame, order_col, k: int,
+                      out_col: str = "tile",
+                      buckets: int = 1 << 10) -> DataFrame:
+    """Exact SQL ``ntile(k)`` over a TOTAL order without the global
+    single-partition sort that ``ntile(k) OVER (ORDER BY ...)`` plans.
+
+    Two-phase: range-bucket + in-bucket ``row_number`` gives every row
+    its exact global rank r (the :func:`surrogate_key_distributed`
+    shape, kept as BIGINT so a corpus-sized frame can't overflow);
+    the tile is then pure arithmetic on (r, N) replicating SQL ntile's
+    fair division — with N = q·k + rem, the first ``rem`` tiles get
+    q+1 rows: ``r <= rem·(q+1)`` → ``ceil(r/(q+1))``, else
+    ``rem + ceil((r − rem·(q+1))/q)``. N rides in from the tiny
+    per-bucket count frame (no second scan of the input). Ties must be
+    broken by the caller's key (pass a struct ending in a unique id),
+    exactly as a deterministic ntile requires.
+    """
+    key = _order_key(order_col)
+    ranged = (df.repartitionByRange(buckets, key)
+              .withColumn("__bucket", F.spark_partition_id()))
+    w_in = Window.partitionBy("__bucket").orderBy(key)
+    numbered = ranged.withColumn(
+        "__rn", F.row_number().over(w_in).cast("bigint"))
+    counts = numbered.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__n"))
+    w_off = (Window.orderBy("__bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("__bucket")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offsets = (counts
+               .withColumn("__offset",
+                           F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+                           .cast("bigint"))
+               .withColumn("__N",
+                           F.sum("__n").over(w_all).cast("bigint")))
+    withr = (numbered.join(
+        F.broadcast(offsets.select("__bucket", "__offset", "__N")),
+        "__bucket")
+        .withColumn("__r", F.col("__offset") + F.col("__rn")))
+    expr = F.expr(
+        f"CASE WHEN __r <= (__N % {k}) * ((__N div {k}) + 1) "
+        f"THEN (__r + (__N div {k})) div ((__N div {k}) + 1) "
+        f"ELSE (__N % {k}) + "
+        f"((__r - (__N % {k}) * ((__N div {k}) + 1)) "
+        f"+ (__N div {k}) - 1) div (__N div {k}) END")
+    return (withr.withColumn(out_col, expr.cast("int"))
+            .drop("__bucket", "__rn", "__offset", "__N", "__r"))
+
+
+def next_value_distributed(df: DataFrame, order_col: str,
+                           out_col: str = "next",
+                           buckets: int = 1 << 10) -> DataFrame:
+    """Scale-safe global ``lead(order_col) OVER (ORDER BY order_col)``:
+    range-bucket, lead WITHIN each bucket in parallel, then stitch the
+    bucket boundaries — the last row of bucket i takes the MIN of
+    bucket i+1, which comes from the tiny per-bucket min frame (one
+    row per non-empty bucket, broadcast back). Only bucket boundaries
+    ever exchange; gaps interior to a bucket need no cross-bucket
+    data. The global last row's lead stays NULL, as with the window
+    form."""
+    ranged = (df.repartitionByRange(buckets, F.col(order_col))
+              .withColumn("__bucket", F.spark_partition_id()))
+    w_in = Window.partitionBy("__bucket").orderBy(order_col)
+    led = ranged.withColumn("__lead", F.lead(order_col).over(w_in))
+    mins = ranged.groupBy("__bucket").agg(
+        F.min(order_col).alias("__min"))
+    w_b = Window.orderBy("__bucket")
+    nxt = mins.withColumn("__next_min", F.lead("__min").over(w_b))
+    return (led.join(F.broadcast(nxt.select("__bucket", "__next_min")),
+                     "__bucket")
+            .withColumn(out_col,
+                        F.coalesce(F.col("__lead"), F.col("__next_min")))
+            .drop("__bucket", "__lead", "__next_min"))
 
 
 def topk_per_group(df: DataFrame, group_cols: Sequence[str],

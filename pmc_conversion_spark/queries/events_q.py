@@ -2717,27 +2717,31 @@ def pipeline_contrastive_triplets(spark: SparkSession,
     noise-contrastive simplification — a bounded, deterministic
     undersample), which keeps the plan join-shaped: top-1 positives
     from the covisitation ranks, one numbered-domain equi-join for
-    negatives, no loops. Item domain is numbered once (bounded
-    dimension)."""
+    negatives, no loops. The item domain is numbered through
+    surrogate_key_distributed's two-phase range bucketing
+    (operators/windows.py) — unconditional, not just
+    bounded-by-catalog-size (r4 verdict task #7) — and the domain
+    cardinality rides along as a broadcast 1-row aggregate."""
     from pmc_conversion_spark.functions.dedup import md5_int60
+    from pmc_conversion_spark.operators.windows import (
+        surrogate_key_distributed)
     pairs = agg_covisitation_topk(spark, sf_dir)
     pos = (pairs.filter(F.col("rnk") == 1)
            .select(F.col("item_a").alias("anchor"),
                    F.col("item_b").alias("positive")))
     e = _events(spark, sf_dir).filter(
         F.col("event_type").isin("view", "click", "purchase"))
-    dom = (e.select(F.get_json_object("props", "$.k").cast("bigint")
-                    .alias("item")).distinct()
-           .select("item",
-                   (F.row_number().over(Window.orderBy("item")) - 1)
-                   .alias("idx"),
-                   F.count(F.lit(1)).over(Window.partitionBy())
-                   .alias("n")))
+    items = (e.select(F.get_json_object("props", "$.k").cast("bigint")
+                      .alias("item")).distinct())
+    domsk = surrogate_key_distributed(items, "item", out_col="sk")
+    dom = domsk.select("item", (F.col("sk") - 1).cast("bigint")
+                       .alias("idx"))
+    n_items = domsk.agg(F.max("sk").cast("bigint").alias("n"))
     neg_idx = md5_int60(F.concat(F.lit("neg1:"),
                                  F.col("anchor").cast("string"))) \
         % F.col("n")
-    trip = (pos.crossJoin(F.broadcast(dom.select("idx", "n", "item")))
-            .filter(F.col("idx") == neg_idx)
+    trip = (pos.crossJoin(F.broadcast(n_items))
+            .join(F.broadcast(dom), F.col("idx") == neg_idx)
             .select("anchor", "positive",
                     F.col("item").alias("negative")))
     return trip.filter((F.col("negative") != F.col("anchor"))
@@ -3171,33 +3175,37 @@ def agg_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_holt_forecast",
     oracle="""
-    WITH v AS (
+    -- Recursive CTE with SCALAR l/b columns: DuckDB 1.0.0's
+    -- list_reduce mis-evaluates struct accumulators (the second
+    -- field's expression sees the FIRST field's freshly written
+    -- value — in-place aliasing), so the fold is stated as a
+    -- per-step recursion instead; each step applies the identical
+    -- IEEE sequence the engine's higher-order `aggregate` runs.
+    WITH RECURSIVE v AS (
       SELECT user_id, ts, event_id, round(value, 6)::DOUBLE AS x
       FROM events WHERE value IS NOT NULL
     ), series AS (
-      SELECT user_id, list(x ORDER BY ts, event_id) AS xs
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+             count(*) AS n
       FROM v GROUP BY user_id
       HAVING count(*) >= 2
-    ), fitted AS (
-      SELECT user_id, len(xs) AS n_events,
-             list_reduce(
-               list_prepend({'l': xs[2]::DOUBLE,
-                             'b': (xs[2] - xs[1])::DOUBLE},
-                            list_transform(xs[3:], x ->
-                              {'l': x::DOUBLE, 'b': 0.0::DOUBLE})),
-               (acc, s) ->
-                 {'l': 0.3::DOUBLE * s.l
-                       + 0.7::DOUBLE * (acc.l + acc.b),
-                  'b': 0.2::DOUBLE * ((0.3::DOUBLE * s.l
-                         + 0.7::DOUBLE * (acc.l + acc.b)) - acc.l)
-                       + 0.8::DOUBLE * acc.b}) AS st
+    ), step AS (
+      SELECT user_id, xs, n, 2 AS k,
+             xs[2]::DOUBLE AS l,
+             (xs[2] - xs[1])::DOUBLE AS b
       FROM series
+      UNION ALL
+      SELECT user_id, xs, n, k + 1,
+             0.3::DOUBLE * xs[k + 1] + 0.7::DOUBLE * (l + b),
+             0.2::DOUBLE * ((0.3::DOUBLE * xs[k + 1]
+                + 0.7::DOUBLE * (l + b)) - l) + 0.8::DOUBLE * b
+      FROM step WHERE k < n
     )
-    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-           round(st.l, 6) AS level,
-           round(st.b, 6) AS trend,
-           round(st.l + 3 * st.b, 6) AS forecast_3
-    FROM fitted
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(l + 3 * b, 6) AS forecast_3
+    FROM step WHERE k = n
     """)
 def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's LINEAR (double-exponential) smoothing per key — level
@@ -3210,10 +3218,12 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (level, trend) STRUCT accumulator — no Python, no iteration, and
     per-key state bounded by that key's own history, the regime groupBy
     distributes at 100 TB. Initialization is the textbook l₂=x₂,
-    b₂=x₂−x₁; output includes the h=3 forecast l+3b. The oracle folds
-    the same list with DuckDB's list_reduce over an identical struct
-    (literals pinned to DOUBLE on both engines so the fold is the same
-    IEEE sequence), rounded at 6 dp."""
+    b₂=x₂−x₁; output includes the h=3 forecast l+3b. The oracle steps
+    the same recurrence with a recursive CTE carrying SCALAR l/b
+    columns (DuckDB 1.0.0's list_reduce aliases struct accumulators in
+    place, so a struct fold there is wrong; literals pinned to DOUBLE
+    on both engines so the fold is the same IEEE sequence), rounded at
+    6 dp."""
     e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     series = (e.select("user_id",
                        F.struct(F.col("ts"), F.col("event_id"),
