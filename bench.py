@@ -84,6 +84,10 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "agg_covisitation_topk",
     "dedup_method_agreement",
+    # r5: the de-serialized ntile/rank evaluators, perf-tracked so the
+    # two-phase plans stay honest (r4 verdict task #8)
+    "agg_gains_table",
+    "agg_uplift_qini",
 ]
 
 

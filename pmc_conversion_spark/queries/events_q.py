@@ -3255,3 +3255,310 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l"), 6).alias("level"),
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_3"))
+
+
+@register(
+    "win_ewma_irregular",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, event_id, sec, x,
+             sec - lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) AS dt
+      FROM v
+    ),
+    series AS (
+      SELECT user_id,
+             list({'dt': dt, 'x': x} ORDER BY sec, event_id) AS xs,
+             count(*) AS n
+      FROM d GROUP BY user_id HAVING count(*) >= 2
+    ),
+    step AS (
+      SELECT user_id, xs, n, 1 AS k, xs[1].x::DOUBLE AS y
+      FROM series
+      UNION ALL
+      SELECT user_id, xs, n, k + 1,
+             y + (1.0::DOUBLE - exp(-(xs[k + 1].dt::DOUBLE)
+                                    / 3600.0::DOUBLE))
+                 * (xs[k + 1].x - y)
+      FROM step WHERE k < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(y, 6) AS ewma_irregular
+    FROM step WHERE k = n
+    """)
+def win_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over an IRREGULARLY-SAMPLED series — the effective
+    smoothing weight adapts to the actual gap between observations
+    (α_eff = 1 − e^(−Δt/τ), τ = 1 h), which is the correct
+    exponential decay for event streams where fixed-α EWMA (ts_ewma)
+    over-weights bursts and under-weights sparse stretches. The
+    recurrence depends on the previous RESULT, so windows can't
+    express it: per-user gaps come from one key-partitioned lag
+    window, the (Δt, x) series is assembled with sort_array ∘
+    collect_list (one shuffle, per-key state bounded by that key's
+    history), and the fold runs JVM-side with a SCALAR double
+    accumulator through the higher-order ``aggregate`` — the safe
+    list_reduce shape, but the oracle still uses the recursive-CTE
+    restatement because element structs + scalar init can't share a
+    list_reduce type in DuckDB. 6-dp rounding at the boundary."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = (e.select("user_id", "event_id", sec.alias("sec"),
+                  F.round("value", 6).cast("double").alias("x"))
+         .withColumn("dt", F.col("sec") - F.lag("sec").over(w)))
+    series = (d.select("user_id",
+                       F.struct("sec", "event_id", "dt", "x").alias("s"))
+              .groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 2))
+    folded = series.withColumn("y", F.expr(
+        "aggregate(slice(ss, 2, greatest(size(ss) - 1, 0)), "
+        "CAST(ss[0].x AS DOUBLE), "
+        "(acc, s) -> acc + (1.0D - exp(-CAST(s.dt AS DOUBLE) / 3600.0D))"
+        " * (s.x - acc))"))
+    return folded.select(
+        "user_id",
+        F.size("ss").cast("long").alias("n_events"),
+        F.round(F.col("y"), 6).alias("ewma_irregular"))
+
+
+@register(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(x ORDER BY h) AS xs, count(*) AS n
+      FROM hourly GROUP BY event_type HAVING count(*) >= 49
+    ),
+    init AS (
+      SELECT event_type, xs, n,
+             list_sum(xs[1:24]) / 24.0::DOUBLE AS l0
+      FROM series
+    ),
+    start AS (
+      SELECT event_type, xs, n, 24 AS k,
+             l0 AS l,
+             (list_sum(xs[25:48]) / 24.0::DOUBLE - l0)
+               / 24.0::DOUBLE AS b,
+             list_transform(xs[1:24], v -> v - l0) AS s
+      FROM init
+    ),
+    step AS (
+      SELECT event_type, xs, n, k, l, b, s FROM start
+      UNION ALL
+      SELECT event_type, xs, n, k + 1,
+             0.3::DOUBLE * (xs[k + 1] - s[1])
+               + 0.7::DOUBLE * (l + b),
+             0.1::DOUBLE * ((0.3::DOUBLE * (xs[k + 1] - s[1])
+                             + 0.7::DOUBLE * (l + b)) - l)
+               + 0.9::DOUBLE * b,
+             list_append(s[2:],
+               0.2::DOUBLE * (xs[k + 1]
+                 - (0.3::DOUBLE * (xs[k + 1] - s[1])
+                    + 0.7::DOUBLE * (l + b)))
+               + 0.8::DOUBLE * s[1])
+      FROM step WHERE k < n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + 1 * b + s[1], 6) AS forecast_1,
+           round(l + 2 * b + s[2], 6) AS forecast_2,
+           round(l + 3 * b + s[3], 6) AS forecast_3
+    FROM step WHERE k = n
+    """)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) on hourly
+    event volume per type: level + trend + a 24-slot DAILY seasonal
+    profile (α=0.3, β=0.1, γ=0.2) — the classic capacity-planning
+    forecaster that ts_holt_forecast cannot be when the series has a
+    within-day shape. Textbook init: level = mean of season 1,
+    trend = (mean of season 2 − mean of season 1)/24, seasonals =
+    deviations from season 1's mean (counts are integers, so both
+    init means are EXACT and the fold starts from identical state on
+    both engines). The recurrence carries (l, b, s[24]) — state
+    depends on the previous RESULT, inexpressible as a window — so
+    the per-type series is assembled once (sort_array ∘ collect_list)
+    and folded JVM-side by the higher-order ``aggregate`` with a
+    struct{double, double, array} accumulator that ROTATES the
+    seasonal array each step. Per-key state is bounded by that key's
+    own history; the type-keyed groupBy distributes. The oracle steps
+    the same recurrence as a recursive CTE (scalar l/b + list s
+    columns — never a DuckDB struct-accumulator list_reduce, which
+    r4 proved aliased). Forecasts at h=1..3 include the seasonal
+    slot; 6-dp rounding."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x"))
+              .select("event_type", F.col("w.start").alias("h"), "x"))
+    series = (hourly.select("event_type",
+                            F.struct("h", "x").alias("s"))
+              .groupBy("event_type")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 49)
+              .withColumn("xs", F.expr("transform(ss, s -> s.x)")))
+    upd_l = ("0.3D * (x - element_at(acc.s, 1)) "
+             "+ 0.7D * (acc.l + acc.b)")
+    fitted = series.withColumn("st", F.expr(
+        "aggregate(slice(xs, 25, greatest(size(xs) - 24, 0)), "
+        "named_struct("
+        "'l', aggregate(slice(xs, 1, 24), 0D, (a, v) -> a + v) / 24.0D, "
+        "'b', (aggregate(slice(xs, 25, 24), 0D, (a, v) -> a + v) / 24.0D"
+        "      - aggregate(slice(xs, 1, 24), 0D, (a, v) -> a + v)"
+        "        / 24.0D) / 24.0D, "
+        "'s', transform(slice(xs, 1, 24), v -> "
+        "     v - aggregate(slice(xs, 1, 24), 0D, (a, w) -> a + w)"
+        "         / 24.0D)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {upd_l}, "
+        f"'b', 0.1D * (({upd_l}) - acc.l) + 0.9D * acc.b, "
+        f"'s', concat(slice(acc.s, 2, 23), "
+        f"array(0.2D * (x - ({upd_l})) "
+        f"+ 0.8D * element_at(acc.s, 1)))))"))
+    h = [(F.col("st.l") + k * F.col("st.b")
+          + F.element_at(F.col("st.s"), k)) for k in (1, 2, 3)]
+    return fitted.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_hours"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(h[0], 6).alias("forecast_1"),
+        F.round(h[1], 6).alias("forecast_2"),
+        F.round(h[2], 6).alias("forecast_3"))
+
+
+@register(
+    "ts_piecewise_trend",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS k,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(x) OVER (PARTITION BY event_type) AS s
+      FROM hourly
+    ),
+    cs AS (
+      SELECT event_type, x, k, n,
+             sum(x * n - s) OVER (PARTITION BY event_type ORDER BY k)
+               AS cusum
+      FROM idx
+    ),
+    cp AS (
+      SELECT event_type,
+             CAST(9999 - max(abs(cusum) * 10000 + (9999 - k)) % 10000
+                  AS BIGINT) AS kstar
+      FROM cs GROUP BY event_type
+    ),
+    seg AS (
+      SELECT c.event_type, c.kstar,
+             sum(CASE WHEN i.k <= c.kstar THEN 1 ELSE 0 END) AS m1,
+             sum(CASE WHEN i.k <= c.kstar THEN i.k ELSE 0 END) AS k1,
+             sum(CASE WHEN i.k <= c.kstar THEN i.k * i.k ELSE 0 END)
+               AS kk1,
+             sum(CASE WHEN i.k <= c.kstar THEN i.x ELSE 0 END) AS x1,
+             sum(CASE WHEN i.k <= c.kstar THEN i.k * i.x ELSE 0 END)
+               AS kx1,
+             sum(CASE WHEN i.k > c.kstar THEN 1 ELSE 0 END) AS m2,
+             sum(CASE WHEN i.k > c.kstar THEN i.k ELSE 0 END) AS k2,
+             sum(CASE WHEN i.k > c.kstar THEN i.k * i.k ELSE 0 END)
+               AS kk2,
+             sum(CASE WHEN i.k > c.kstar THEN i.x ELSE 0 END) AS x2,
+             sum(CASE WHEN i.k > c.kstar THEN i.k * i.x ELSE 0 END)
+               AS kx2
+      FROM idx i JOIN cp c ON c.event_type = i.event_type
+      GROUP BY 1, 2
+    )
+    SELECT event_type, kstar AS changepoint_k,
+           CAST(m1 AS BIGINT) AS n_before,
+           CAST(m2 AS BIGINT) AS n_after,
+           round((CAST(m1 AS DOUBLE) * kx1 - CAST(k1 AS DOUBLE) * x1)
+                 / (CAST(m1 AS DOUBLE) * kk1
+                    - CAST(k1 AS DOUBLE) * k1), 6) AS slope_before,
+           round((CAST(m2 AS DOUBLE) * kx2 - CAST(k2 AS DOUBLE) * x2)
+                 / (CAST(m2 AS DOUBLE) * kk2
+                    - CAST(k2 AS DOUBLE) * k2), 6) AS slope_after
+    FROM seg
+    """)
+def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIECEWISE-LINEAR trend: split each event type's hourly series
+    at its CUSUM changepoint (ts_cusum_changepoint's argmax, same
+    packed-integer tie-break with the same loud radix guard) and fit
+    closed-form least-squares slopes on each side — the 'did growth
+    actually bend, and by how much' readout behind every
+    trajectory-change postmortem, and the 2-segment core of
+    Prophet-style piecewise trend models. Every regression moment
+    (Σk, Σk², Σx, Σkx per side) is an EXACT integer conditional sum
+    collected in ONE pass after the changepoint broadcast-joins back;
+    the two slope divisions are the only doubles. Per-type windows
+    partition; nothing global."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("x"))
+              .select("event_type", F.col("w.start").alias("h"), "x"))
+    wt = Window.partitionBy("event_type")
+    wk = wt.orderBy("h")
+    idx = hourly.select(
+        "event_type", "x",
+        F.row_number().over(wk).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).alias("s"))
+    cs = idx.withColumn(
+        "cusum", F.sum(F.col("x") * F.col("n") - F.col("s"))
+        .over(wt.orderBy("k")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+    k_term = F.when(F.col("k") <= 9999, F.lit(9999) - F.col("k")) \
+        .otherwise(F.raise_error(F.lit(
+            "ts_piecewise_trend: >9999 hourly buckets per event_type"
+            " exceeds the argmax packing radix")))
+    cp = (cs.groupBy("event_type")
+          .agg((F.lit(9999)
+                - F.max(F.abs("cusum") * 10000 + k_term) % 10000)
+               .cast("bigint").alias("kstar")))
+    j = idx.join(F.broadcast(cp), "event_type")
+    pre = F.col("k") <= F.col("kstar")
+
+    def s(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0)))
+
+    seg = j.groupBy("event_type", "kstar").agg(
+        s(pre, F.lit(1)).alias("m1"), s(pre, F.col("k")).alias("k1"),
+        s(pre, F.col("k") * F.col("k")).alias("kk1"),
+        s(pre, F.col("x")).alias("x1"),
+        s(pre, F.col("k") * F.col("x")).alias("kx1"),
+        s(~pre, F.lit(1)).alias("m2"), s(~pre, F.col("k")).alias("k2"),
+        s(~pre, F.col("k") * F.col("k")).alias("kk2"),
+        s(~pre, F.col("x")).alias("x2"),
+        s(~pre, F.col("k") * F.col("x")).alias("kx2"))
+
+    def slope(m, kk, k, x, kx):
+        md = F.col(m).cast("double")
+        return ((md * F.col(kx) - F.col(k).cast("double") * F.col(x))
+                / (md * F.col(kk)
+                   - F.col(k).cast("double") * F.col(k)))
+
+    return seg.select(
+        "event_type", F.col("kstar").alias("changepoint_k"),
+        F.col("m1").cast("bigint").alias("n_before"),
+        F.col("m2").cast("bigint").alias("n_after"),
+        F.round(slope("m1", "kk1", "k1", "x1", "kx1"), 6)
+        .alias("slope_before"),
+        F.round(slope("m2", "kk2", "k2", "x2", "kx2"), 6)
+        .alias("slope_after"))

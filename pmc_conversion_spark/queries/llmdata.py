@@ -7167,3 +7167,237 @@ def pipeline_weak_supervision_vote(spark: SparkSession,
         F.round(F.sum(F.when(F.col("pred").isNotNull(), 1)
                       .otherwise(0)) / F.count(F.lit(1)).cast("double"),
                 4).alias("coverage"))
+
+
+_AMS_COUNTERS = 16
+
+
+def _ams_sign_sql(j: int) -> str:
+    """DuckDB twin of the engine's ±1 AMS sign hash for counter j."""
+    return (f"(1 - 2 * (('0x' || substr(md5('ams{j}:' || tok), 1, 15))"
+            f"::BIGINT % 2))")
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS f FROM t GROUP BY tok),
+    z AS (
+      SELECT count(*) AS n_distinct,
+             sum(CAST(f AS DECIMAL(38,0)) * f) AS f2_exact,
+             {', '.join(f'sum({_ams_sign_sql(j)} * f) AS z{j}'
+                        for j in range(_AMS_COUNTERS))}
+      FROM tf
+    )
+    SELECT CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(f2_exact AS BIGINT) AS f2_exact,
+           round(CAST(({' + '.join(f'CAST(z{j} AS DECIMAL(38,0)) * z{j}'
+                                   for j in range(_AMS_COUNTERS))})
+                      AS DOUBLE) / {_AMS_COUNTERS}, 2) AS f2_estimate,
+           round(abs(CAST(({' + '.join(f'CAST(z{j} AS DECIMAL(38,0)) * z{j}'
+                                       for j in range(_AMS_COUNTERS))})
+                          AS DOUBLE) / {_AMS_COUNTERS}
+                     - CAST(f2_exact AS DOUBLE))
+                 / CAST(f2_exact AS DOUBLE), 6) AS rel_error
+    FROM z
+    """)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) tug-of-war sketch for the SECOND
+    frequency moment F₂ = Σf² of the token distribution — the
+    mergeable 16-counter sketch behind self-join-size estimation,
+    repetitiveness/skew monitoring, and join planning, published in
+    the AMS '96 paper. Each counter j keeps Z_j = Σ s_j(t)·f_t with a
+    ±1 hash s_j; E[Z²] = F₂, and the estimate is the mean of Z²
+    over counters. Every Z_j is an EXACT integer sum under the
+    portable md5 sign family (the same base hash the minhash family
+    replays in SQL), so sketch and oracle agree bit-for-bit — the
+    fixture also reports exact F₂ and the realized relative error,
+    making this the self-evaluating form. One partial-agg pass over
+    the (token, count) frame computes all 16 counters; counters merge
+    across partitions/days by addition (the mergeability contract,
+    same as agg_hll_mergeable)."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    tf = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+
+    def sign(j: int):
+        return (F.lit(1) - 2 * (md5_int60(
+            F.concat(F.lit(f"ams{j}:"), F.col("tok"))) % 2))
+
+    z = tf.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+        .alias("f2_exact"),
+        *[F.sum(sign(j) * F.col("f")).alias(f"z{j}")
+          for j in range(_AMS_COUNTERS)])
+    sq_sum = " + ".join(f"CAST(z{j} AS DECIMAL(38,0)) * z{j}"
+                        for j in range(_AMS_COUNTERS))
+    # mean of squares divided by a POWER OF TWO in double: the decimal
+    # sum is exact and /16 only shifts the exponent, so both engines
+    # produce the identical double (a decimal `div` differed by 1 ulp
+    # of truncation between engines)
+    mean_sq = F.expr(f"CAST(({sq_sum}) AS DOUBLE) / {_AMS_COUNTERS}")
+    return z.select(
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("f2_exact").cast("bigint").alias("f2_exact"),
+        F.round(mean_sq, 2).alias("f2_estimate"),
+        F.round(F.abs(mean_sq - F.col("f2_exact").cast("double"))
+                / F.col("f2_exact").cast("double"), 6)
+        .alias("rel_error"))
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len({_TOKS}) AS n_words,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS n_pieces,
+             length(text) AS n_chars
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 4)
+             AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_words), 4)
+             AS chars_per_word
+    FROM d GROUP BY lang
+    """)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — pieces-per-word, the metric
+    tokenizer papers report to show how a segmentation over- or
+    under-splits each language (high fertility = more sequence
+    positions per word = higher serving cost and worse effective
+    context for that language), plus chars-per-word as the
+    length-normalizer. Words are whitespace tokens (the shared _TOKS
+    contract); pieces are the alnum-run proxy segmentation (a real
+    subword tokenizer slots in behind the same counts — the
+    aggregation contract is what this op pins). Exact integer sums
+    per language in one partial-agg pass; two boundary divisions."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = (_docs(spark, sf_dir)
+         .filter(F.trim(F.col("text")) != "")
+         .select("lang",
+                 F.size(ws_tokens(F.lower(F.col("text"))))
+                 .alias("n_words"),
+                 F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                             F.lit("[a-z0-9]+"), 0))
+                 .alias("n_pieces"),
+                 F.length("text").alias("n_chars")))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+                 F.round(F.sum("n_pieces").cast("double")
+                         / F.sum("n_words"), 4).alias("fertility"),
+                 F.round(F.sum("n_chars").cast("double")
+                         / F.sum("n_words"), 4).alias("chars_per_word")))
+
+
+@register(
+    "pipeline_filter_ablation_matrix",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id,
+             (length(text) < 100) AS r_short,
+             (lang <> 'en') AS r_non_en,
+             (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   AS DOUBLE) / length(text) < 0.55) AS r_low_alpha,
+             (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   AS DOUBLE) / length(text) > 0.2) AS r_digit_heavy
+      FROM documents WHERE length(text) > 0
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS a1,
+             sum(CASE WHEN r_non_en THEN 1 ELSE 0 END) AS a2,
+             sum(CASE WHEN r_low_alpha THEN 1 ELSE 0 END) AS a3,
+             sum(CASE WHEN r_digit_heavy THEN 1 ELSE 0 END) AS a4,
+             sum(CASE WHEN r_short AND NOT r_non_en AND NOT r_low_alpha
+                       AND NOT r_digit_heavy THEN 1 ELSE 0 END) AS u1,
+             sum(CASE WHEN r_non_en AND NOT r_short AND NOT r_low_alpha
+                       AND NOT r_digit_heavy THEN 1 ELSE 0 END) AS u2,
+             sum(CASE WHEN r_low_alpha AND NOT r_short AND NOT r_non_en
+                       AND NOT r_digit_heavy THEN 1 ELSE 0 END) AS u3,
+             sum(CASE WHEN r_digit_heavy AND NOT r_short AND NOT r_non_en
+                       AND NOT r_low_alpha THEN 1 ELSE 0 END) AS u4,
+             sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS m1,
+             sum(CASE WHEN r_non_en AND NOT r_short
+                      THEN 1 ELSE 0 END) AS m2,
+             sum(CASE WHEN r_low_alpha AND NOT r_short AND NOT r_non_en
+                      THEN 1 ELSE 0 END) AS m3,
+             sum(CASE WHEN r_digit_heavy AND NOT r_short AND NOT r_non_en
+                       AND NOT r_low_alpha THEN 1 ELSE 0 END) AS m4
+      FROM flags
+    )
+    SELECT t.rule,
+           CAST(t.n_alone AS BIGINT) AS n_alone,
+           CAST(t.n_unique AS BIGINT) AS n_unique,
+           CAST(t.n_marginal AS BIGINT) AS n_marginal,
+           round(CAST(t.n_alone AS DOUBLE) / t.n, 4) AS share_alone
+    FROM (
+      SELECT 'short' AS rule, a1 AS n_alone, u1 AS n_unique,
+             m1 AS n_marginal, n FROM agg
+      UNION ALL SELECT 'non_en', a2, u2, m2, n FROM agg
+      UNION ALL SELECT 'low_alpha', a3, u3, m3, n FROM agg
+      UNION ALL SELECT 'digit_heavy', a4, u4, m4, n FROM agg
+    ) t
+    """)
+def pipeline_filter_ablation_matrix(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Filter ABLATION for a quality cascade — per rule: documents it
+    would remove ALONE, documents ONLY it catches (unique value: drop
+    the rule and these leak through), and its MARGINAL kill in
+    cascade order (what pipeline_gopher_rules_funnel attributes) —
+    the governance table that decides whether a rule earns its
+    false-positive budget. All twelve cells come from ONE pass over
+    the corpus: boolean flags per doc, conditional integer sums, then
+    a constant 4-row unpivot; nothing rescans per rule, which is what
+    makes the matrix affordable to recompute per corpus release."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    low = F.lower(F.col("text"))
+    alpha_ratio = (F.length(F.regexp_replace(low, "[^a-z]", ""))
+                   .cast("double") / F.length("text"))
+    digit_ratio = (F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+                   .cast("double") / F.length("text"))
+    flags = d.select(
+        (F.length("text") < 100).alias("r1"),
+        (F.col("lang") != "en").alias("r2"),
+        (alpha_ratio < 0.55).alias("r3"),
+        (digit_ratio > 0.2).alias("r4"))
+    c = [F.col(f"r{i}") for i in range(1, 5)]
+
+    def s(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[s(c[i]).alias(f"a{i + 1}") for i in range(4)],
+        *[s(c[i] & ~c[(i + 1) % 4] & ~c[(i + 2) % 4]
+            & ~c[(i + 3) % 4]).alias(f"u{i + 1}") for i in range(4)],
+        s(c[0]).alias("m1"),
+        s(c[1] & ~c[0]).alias("m2"),
+        s(c[2] & ~c[0] & ~c[1]).alias("m3"),
+        s(c[3] & ~c[0] & ~c[1] & ~c[2]).alias("m4"))
+    rules = ["short", "non_en", "low_alpha", "digit_heavy"]
+    stack = ", ".join(
+        f"'{r}', a{i + 1}, u{i + 1}, m{i + 1}"
+        for i, r in enumerate(rules))
+    return (agg.select(
+        F.expr(f"stack(4, {stack}) AS (rule, n_alone, n_unique,"
+               f" n_marginal)"), "n")
+        .select("rule",
+                F.col("n_alone").cast("bigint").alias("n_alone"),
+                F.col("n_unique").cast("bigint").alias("n_unique"),
+                F.col("n_marginal").cast("bigint").alias("n_marginal"),
+                F.round(F.col("n_alone").cast("double") / F.col("n"), 4)
+                .alias("share_alone")))

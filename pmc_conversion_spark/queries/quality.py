@@ -1400,3 +1400,44 @@ def dq_hash_collision_audit(spark: SparkSession,
                 + (4096 - F.col("used_buckets"))
                 * (F.col("total") / 4096.0), 2)
         .alias("chi2_uniformity"))
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH present AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    g AS (
+      SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp
+      FROM present
+    )
+    SELECT min(k) AS island_start, max(k) AS island_end,
+           count(*) AS n_rows
+    FROM g GROUP BY grp
+    ORDER BY island_start LIMIT 50
+    """)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse the PRESENT keys into maximal
+    consecutive runs — the inverse report of dq_missing_ranges (which
+    emits the gaps) and the classic warehouse interview problem, used
+    for 'which id ranges were fully loaded' manifests and contiguous
+    range compaction. The standard trick (k − row_number is constant
+    within a run) needs a GLOBAL row numbering; here it runs through
+    surrogate_key_distributed's two-phase range bucketing
+    (operators/windows.py), so island detection never sorts all keys
+    in one partition — only the per-bucket count frame exchanges.
+    Top-50 islands by position, deterministic."""
+    from pmc_conversion_spark.operators.windows import (
+        surrogate_key_distributed)
+    o = _t(spark, sf_dir, "orders")
+    present = (o.filter(F.col("o_orderstatus") != "O")
+               .select(F.col("o_orderkey").alias("k")))
+    g = (surrogate_key_distributed(present, "k", out_col="rn")
+         .withColumn("grp", F.col("k") - F.col("rn")))
+    return (g.groupBy("grp")
+            .agg(F.min("k").alias("island_start"),
+                 F.max("k").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .drop("grp")
+            .orderBy("island_start").limit(50))

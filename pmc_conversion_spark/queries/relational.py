@@ -4666,3 +4666,345 @@ def agg_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(0)).cast("double")
                 / F.count(F.lit(1)) / 100.0, 4)
         .alias("ips_new_policy_value"))
+
+
+@register(
+    "agg_exact_kth_element",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT okey, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, okey) AS rnk,
+             count(*) OVER () AS n
+      FROM v
+    )
+    SELECT CASE WHEN rnk = 100 THEN 'k100' ELSE 'median' END AS which,
+           CAST(rnk AS BIGINT) AS rnk,
+           round(cents / 100.0, 2) AS value
+    FROM r WHERE rnk = 100 OR rnk = (n + 1) // 2
+    """)
+def agg_exact_kth_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics by distributed selection — the k-th
+    smallest order value (k=100) and the exact median — without ever
+    sorting the table in one partition: the two-phase range-bucket
+    ranking (operators/windows.py surrogate_key_distributed) numbers
+    every row in parallel, and the k-th element is then a FILTER on
+    the rank, not a sort-take. This is the exact-selection primitive
+    approx quantile sketches (agg_quantiles_approx) trade away; at
+    100 TB the plan moves each row once and exchanges only the tiny
+    per-bucket count frame. Total order (cents, key) makes the
+    selection deterministic under ties on both engines."""
+    o = tables.load(spark, sf_dir, "orders")
+    v = o.select(F.col("o_orderkey").alias("okey"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    ranked = W.surrogate_key_distributed(
+        v, F.struct("cents", "okey"), out_col="rnk")
+    tot = v.agg(F.count(F.lit(1)).alias("n"))
+    return (ranked.crossJoin(F.broadcast(tot))
+            .filter((F.col("rnk") == 100)
+                    | (F.col("rnk") == F.expr("(n + 1) div 2")))
+            .select(F.when(F.col("rnk") == 100, "k100")
+                    .otherwise("median").alias("which"),
+                    F.col("rnk").cast("bigint").alias("rnk"),
+                    F.round(F.col("cents") / 100.0, 2).alias("value")))
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    q AS (
+      SELECT quantile_cont(cents, 0.05) AS lo,
+             quantile_cont(cents, 0.95) AS hi
+      FROM v
+    )
+    SELECT count(*) AS n,
+           round(q.lo / 100.0, 2) AS p05,
+           round(q.hi / 100.0, 2) AS p95,
+           round(avg(cents) / 100.0, 4) AS raw_mean,
+           round(avg(least(greatest(cents, q.lo), q.hi)) / 100.0, 4)
+             AS winsorized_mean
+    FROM v, q GROUP BY q.lo, q.hi
+    """)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean — clamp to the exact [p05, p95] band instead of
+    DROPPING the tails (agg_trimmed_robust_mean's variant): the robust
+    location estimate that keeps n constant, standard for revenue
+    metrics where a fat tail is real signal but a single whale must
+    not move the average. Exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, identical linear
+    interpolation on integer cents) computed in ONE distributed agg,
+    broadcast back as thresholds, then a map-side clamp feeds the
+    mean — two passes, no sort, no window. 4-dp rounding absorbs
+    double-sum ordering of the clamped mean."""
+    o = tables.load(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    q = v.agg(F.expr("percentile(cents, 0.05)").alias("lo"),
+              F.expr("percentile(cents, 0.95)").alias("hi"))
+    clamped = F.least(F.greatest(F.col("cents").cast("double"),
+                                 F.col("lo")), F.col("hi"))
+    return (v.crossJoin(F.broadcast(q))
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("cents") / 100.0, 4).alias("raw_mean"),
+                 F.round(F.avg(clamped) / 100.0, 4)
+                 .alias("winsorized_mean"))
+            .select("n",
+                    F.round(F.col("lo") / 100.0, 2).alias("p05"),
+                    F.round(F.col("hi") / 100.0, 2).alias("p95"),
+                    "raw_mean", "winsorized_mean"))
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey AS ck, c.c_mktsegment AS seg,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n, avg(x) AS mu FROM cust),
+    segs AS (SELECT seg, count(*) AS ng, avg(x) AS mug
+             FROM cust GROUP BY seg),
+    terms AS (
+      SELECT c.seg, s.ng, s.mug, t.n, t.mu,
+             sum((c.x / s.mug) * ln(c.x / s.mug)) AS sw,
+             sum((c.x / t.mu) * ln(c.x / t.mu)) AS st
+      FROM cust c JOIN segs s USING (seg), tot t
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(sum(st) / n, 4) AS theil_total,
+           round(sum(mug / (n * mu) * sw), 4) AS theil_within,
+           round(sum((CAST(ng AS DOUBLE) / n) * (mug / mu)
+                     * ln(mug / mu)), 4) AS theil_between
+    FROM terms GROUP BY n
+    """)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend with its EXACT
+    within/between market-segment decomposition — the inequality
+    measure (unlike agg_gini_revenue's rank-based Gini) that is
+    additively decomposable: T_total = Σ_g share_g·T_g +
+    Σ_g share_g·ln(μ_g/μ), which is how concentration gets attributed
+    to 'inside segments' vs 'between segments' in revenue audits and
+    dataset-balance reports. Per-customer spend is an exact integer
+    cent sum; segment and grand means come from one small aggregate
+    each, broadcast back; the x·ln(x/μ) sums are one partial-agg pass.
+    4-dp rounding absorbs double-sum ordering across engines."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    cust = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                   o.o_custkey == F.col("c_custkey"))
+            .groupBy(F.col("c_custkey").alias("ck"),
+                     F.col("c_mktsegment").alias("seg"))
+            .agg((F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("double") / 100.0)
+                 .alias("x")))
+    tot = cust.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mu"))
+    segs = cust.groupBy("seg").agg(F.count(F.lit(1)).alias("ng"),
+                                   F.avg("x").alias("mug"))
+    terms = (cust.join(F.broadcast(segs), "seg")
+             .crossJoin(F.broadcast(tot))
+             .groupBy("seg", "ng", "mug", "n", "mu")
+             .agg(F.sum((F.col("x") / F.col("mug"))
+                        * F.log(F.col("x") / F.col("mug"))).alias("sw"),
+                  F.sum((F.col("x") / F.col("mu"))
+                        * F.log(F.col("x") / F.col("mu"))).alias("st")))
+    return (terms.groupBy("n")
+            .agg(F.round(F.sum("st") / F.col("n"), 4)
+                 .alias("theil_total"),
+                 F.round(F.sum(F.col("mug") / (F.col("n") * F.col("mu"))
+                               * F.col("sw")), 4).alias("theil_within"),
+                 F.round(F.sum((F.col("ng").cast("double") / F.col("n"))
+                               * (F.col("mug") / F.col("mu"))
+                               * F.log(F.col("mug") / F.col("mu"))), 4)
+                 .alias("theil_between"))
+            .select(F.col("n").cast("bigint").alias("n_customers"),
+                    "theil_total", "theil_within", "theil_between"))
+
+
+#: Poisson(1) CDF cut points scaled to 2^60 (floor(P[X<=k] * 2^60) for
+#: k = 0..4; draws past the last cut take w = 5). Integer literals so
+#: both engines compare the SAME 60-bit hash against the SAME bounds —
+#: no float thresholds anywhere in the draw.
+_POISSON_CUTS = (424136118829305344, 848272237658610688,
+                 1060340297073263360, 1131029650211480960,
+                 1148701988496035328)
+_BOOT_B = 16
+
+
+def _poisson_w_sql(b: int) -> str:
+    h = (f"('0x' || substr(md5('boot{b}:' || o_orderkey), 1, 15))"
+         f"::BIGINT")
+    cases = " ".join(
+        f"WHEN {h} < {c} THEN {k}"
+        for k, c in enumerate(_POISSON_CUTS))
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(cents) AS sx,
+             {', '.join(f'sum({_poisson_w_sql(b)} * cents) AS wx{b}, '
+                        f'sum({_poisson_w_sql(b)}) AS w{b}'
+                        for b in range(_BOOT_B))}
+      FROM v
+    ),
+    m AS (
+      SELECT n, CAST(sx AS DOUBLE) / n / 100.0 AS point_mean,
+             {', '.join(f'CAST(wx{b} AS DOUBLE) / w{b} / 100.0 AS m{b}'
+                        for b in range(_BOOT_B))}
+      FROM s
+    ),
+    agg AS (
+      SELECT n, point_mean,
+             ({' + '.join(f'm{b}' for b in range(_BOOT_B))})
+               / {_BOOT_B} AS bm,
+             ({' + '.join(f'm{b} * m{b}' for b in range(_BOOT_B))})
+               AS sq
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(point_mean, 4) AS point_mean,
+           round(bm, 4) AS boot_mean,
+           round(sqrt((sq - {_BOOT_B} * bm * bm)
+                      / ({_BOOT_B} - 1)), 4) AS boot_se,
+           round(bm - 1.96 * sqrt((sq - {_BOOT_B} * bm * bm)
+                                  / ({_BOOT_B} - 1)), 4) AS ci_lo,
+           round(bm + 1.96 * sqrt((sq - {_BOOT_B} * bm * bm)
+                                  / ({_BOOT_B} - 1)), 4) AS ci_hi
+    FROM agg
+    """)
+def sample_poisson_bootstrap(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The POISSON BOOTSTRAP — the only bootstrap that distributes:
+    classic resampling needs n draws WITH replacement from the whole
+    dataset (a global operation), but Poisson(1) per-row weights are
+    iid across rows, so every replicate is a map-side weighted sum
+    and all B=16 replicates ride in ONE aggregation pass. Weights
+    come from the portable 60-bit hash compared against EXACT integer
+    CDF cut points (no float thresholds), so the 'random' draws are
+    bit-identical on both engines and across cluster sizes — a
+    reproducible confidence interval for the mean order value, with
+    the replicate mean/SE/±1.96·SE band computed in a fixed fold
+    order. The estimator of Kleiner et al.'s scalable-bootstrap line,
+    reduced to pure SQL algebra."""
+    from pmc_conversion_spark.functions.dedup import md5_int60
+    o = tables.load(spark, sf_dir, "orders")
+    v = o.select("o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+
+    def w(b: int):
+        h = md5_int60(F.concat(F.lit(f"boot{b}:"),
+                               F.col("o_orderkey").cast("string")))
+        expr = F.lit(5)
+        for k, c in reversed(list(enumerate(_POISSON_CUTS))):
+            expr = F.when(h < F.lit(c), F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sx")]
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(w(b) * F.col("cents")).alias(f"wx{b}"))
+        aggs.append(F.sum(w(b)).alias(f"w{b}"))
+    s = v.agg(*aggs)
+    means = [(F.col(f"wx{b}").cast("double") / F.col(f"w{b}") / 100.0)
+             .alias(f"m{b}") for b in range(_BOOT_B)]
+    m = s.select("n", (F.col("sx").cast("double") / F.col("n") / 100.0)
+                 .alias("point_mean"), *means)
+    bm_expr = " + ".join(f"m{b}" for b in range(_BOOT_B))
+    sq_expr = " + ".join(f"m{b} * m{b}" for b in range(_BOOT_B))
+    agg = m.select("n", "point_mean",
+                   F.expr(f"({bm_expr}) / {_BOOT_B}").alias("bm"),
+                   F.expr(f"{sq_expr}").alias("sq"))
+    se = F.sqrt((F.col("sq") - _BOOT_B * F.col("bm") * F.col("bm"))
+                / (_BOOT_B - 1))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("point_mean", 4).alias("point_mean"),
+        F.round("bm", 4).alias("boot_mean"),
+        F.round(se, 4).alias("boot_se"),
+        F.round(F.col("bm") - 1.96 * se, 4).alias("ci_lo"),
+        F.round(F.col("bm") + 1.96 * se, 4).alias("ci_hi"))
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey AS ck,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents, ck) AS decile
+      FROM cust
+    ),
+    per AS (
+      SELECT decile, count(*) AS n, sum(cents) AS s
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(s) AS ss FROM per)
+    SELECT per.decile, per.n AS n_customers,
+           round(per.s / 100.0, 2) AS decile_spend,
+           round(sum(per.n) OVER (ORDER BY per.decile)
+                 / CAST(t.nn AS DOUBLE), 4) AS cum_pop_share,
+           round(sum(per.s) OVER (ORDER BY per.decile)
+                 / CAST(t.ss AS DOUBLE), 4) AS cum_spend_share
+    FROM per, tot t
+    """)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LORENZ CURVE at decile resolution — cumulative spend share
+    vs cumulative population share, customers ordered poorest-first —
+    the chart behind every Gini number (agg_gini_revenue integrates
+    this curve) and the concentration readout executives actually
+    read ('the bottom half of customers carries 18% of revenue').
+    Deciles follow exact SQL-ntile fair division via ntile_distributed
+    (operators/windows.py two-phase range bucketing — no global
+    sort); per-decile sums are exact integer cents; the cumulative
+    window runs over the 10-row decile frame only."""
+    from pmc_conversion_spark.operators.windows import ntile_distributed
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    cust = (o.join(F.broadcast(c.select("c_custkey")),
+                   o.o_custkey == F.col("c_custkey"))
+            .groupBy(F.col("c_custkey").alias("ck"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")).cast("bigint").alias("cents")))
+    ranked = ntile_distributed(
+        cust, F.struct("cents", "ck"), 10, out_col="decile")
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)  # bounded: 10 decile rows
+    return (per.crossJoin(F.broadcast(tot))
+            .select("decile",
+                    F.col("n").alias("n_customers"),
+                    F.round(F.col("s") / 100.0, 2).alias("decile_spend"),
+                    F.round(F.sum("n").over(wcum)
+                            / F.col("nn").cast("double"), 4)
+                    .alias("cum_pop_share"),
+                    F.round(F.sum("s").over(wcum)
+                            / F.col("ss").cast("double"), 4)
+                    .alias("cum_spend_share")))

@@ -568,3 +568,26 @@ def test_auc_running_sum_is_two_phase(spark, qs):
     df = qs["dq_auc_score"](spark, SF_DIR)
     assert not _unbounded_unpartitioned_windows(df)
     assert "rangepartitioning" in plan_of(df)
+
+
+def test_every_registered_query_is_in_latest_fullgate_log(qs):
+    """Process gate (r4 verdict, What's-wrong #1): ts_holt_forecast
+    shipped red because it was registered AFTER the last full gate
+    run. Every queries() name must appear (as ok/FAIL — presence, not
+    verdict; other rows assert verdicts) in the NEWEST FULLGATE_r*.log
+    so a registry append can never ship unverified again. When this
+    fails: run  python -u tools/check_oracle.py > FULLGATE_r<N>.log."""
+    import glob
+    import os
+    import re
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    logs = glob.glob(os.path.join(repo, "FULLGATE_r*.log"))
+    assert logs, "no FULLGATE log — run tools/check_oracle.py first"
+    latest = max(logs, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    with open(latest) as fh:
+        text = fh.read()
+    gated = set(re.findall(r"^(?:ok|FAIL|weak)\s+(\S+)", text, re.M))
+    missing = sorted(set(qs) - gated)
+    assert not missing, (
+        f"registered but absent from {os.path.basename(latest)} "
+        f"(gate before shipping): {missing}")

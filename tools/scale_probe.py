@@ -78,6 +78,20 @@ PROBED = [
     "agg_covisitation_topk",
     "dedup_method_agreement",
     "pipeline_contrastive_triplets",
+    # r4 verdict task #5 completions
+    "sim_ivf_recall_eval",
+    "mm_image_neardup_ahash",
+    # r5: the de-serialized two-phase ntile/rank plans and the new
+    # heavy families (full-rank selection, token-explode sketch,
+    # wedge-join link prediction, gaps/islands two-phase lead)
+    "agg_gains_table",
+    "agg_exact_kth_element",
+    "sketch_ams_f2",
+    "graph_link_prediction",
+    "win_gaps_islands",
+    "dq_missing_ranges",
+    "sample_poisson_bootstrap",
+    "ts_holt_winters",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
