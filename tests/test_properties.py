@@ -303,3 +303,78 @@ def test_bmp_ppm_codec_roundtrip_property():
         assert np.array_equal(MM.decode_ppm(MM.encode_ppm(px)), px)
 
     check()
+
+
+def _ref_ntile(n: int, k: int) -> list[int]:
+    """SQL ntile reference: first n%k tiles get one extra row."""
+    q, rem = divmod(n, k)
+    out = []
+    for tile in range(1, k + 1):
+        out.extend([tile] * (q + (1 if tile <= rem else 0)))
+    return out
+
+
+def test_ntile_distributed_matches_sql_ntile_property(spark):
+    """Property: ntile_distributed == Window ntile for arbitrary
+    (value, id) data, ANY k, ANY bucket count — including the fair-
+    division edge the naive floor((r-1)k/N)+1 formula gets wrong
+    (e.g. N=27, k=5 must split 6,6,5,5,5 — extras FIRST)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pmc_conversion_spark.operators.windows import ntile_distributed
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+           k=st.integers(2, 11), buckets=st.sampled_from([2, 7, 32]))
+    def check(vals, k, buckets):
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "z int, rid int")
+        key = F.struct((-F.col("z")).alias("nz"),
+                       F.col("rid").alias("r"))
+        got = {r.rid: r.t for r in ntile_distributed(
+            df, key, k, out_col="t", buckets=buckets).collect()}
+        exp = {r.rid: r.t for r in df.select(
+            "rid", F.ntile(k).over(
+                Window.orderBy(F.col("z").desc(), "rid")).alias("t"))
+            .collect()}
+        assert got == exp
+        # and both agree with the closed-form fair division
+        order = sorted(range(len(vals)),
+                       key=lambda i: (-vals[i], i))
+        ref = _ref_ntile(len(vals), k)
+        assert [got[rid] for rid in order] == ref[:len(vals)]
+
+    check()
+
+
+def test_next_value_distributed_matches_lead_property(spark):
+    """Property: next_value_distributed == lead() OVER (ORDER BY k)
+    for arbitrary key sets and bucket counts — bucket boundaries must
+    stitch to the NEXT NON-EMPTY bucket's min."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pmc_conversion_spark.operators.windows import (
+        next_value_distributed)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(keys=st.sets(st.integers(0, 10_000), min_size=1,
+                        max_size=80),
+           buckets=st.sampled_from([2, 7, 32]))
+    def check(keys, buckets):
+        df = spark.createDataFrame([(x,) for x in keys], "k long")
+        got = {r.k: r.nk for r in next_value_distributed(
+            df, "k", out_col="nk", buckets=buckets).collect()}
+        exp = {r.k: r.nk for r in df.select(
+            "k", F.lead("k").over(Window.orderBy("k")).alias("nk"))
+            .collect()}
+        assert got == exp
+
+    check()
