@@ -3562,3 +3562,182 @@ def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_before"),
         F.round(slope("m2", "kk2", "k2", "x2", "kx2"), 6)
         .alias("slope_after"))
+
+
+@register(
+    "agg_quantile_forecast_pinball",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS k,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    train AS (
+      SELECT event_type,
+             quantile_cont(x, 0.1) AS q10,
+             quantile_cont(x, 0.5) AS q50,
+             quantile_cont(x, 0.9) AS q90
+      FROM idx WHERE k <= n // 2 GROUP BY event_type
+    ),
+    test AS (SELECT event_type, x FROM idx WHERE k > n // 2)
+    SELECT t.event_type, count(*) AS n_test,
+           round(q10, 2) AS q10, round(q50, 2) AS q50,
+           round(q90, 2) AS q90,
+           round(avg(greatest(0.1 * (t.x - tr.q10),
+                              -0.9 * (t.x - tr.q10))), 4)
+             AS pinball_10,
+           round(avg(greatest(0.5 * (t.x - tr.q50),
+                              -0.5 * (t.x - tr.q50))), 4)
+             AS pinball_50,
+           round(avg(greatest(0.9 * (t.x - tr.q90),
+                              -0.1 * (t.x - tr.q90))), 4)
+             AS pinball_90
+    FROM test t JOIN train tr ON tr.event_type = t.event_type
+    GROUP BY t.event_type, tr.q10, tr.q50, tr.q90
+    """)
+def agg_quantile_forecast_pinball(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS backtest — the proper scoring rule for
+    quantile forecasts, which MAE/MASE (win_forecast_backtest) cannot
+    grade: fit q10/q50/q90 of hourly volume on the FIRST HALF of each
+    type's history (exact interpolated percentiles, identical
+    semantics both engines), score them on the second half with
+    τ·(y−q)⁺ + (1−τ)·(q−y)⁺. A well-calibrated q90 scores low
+    precisely because it over-covers — this asymmetry is why capacity
+    planners use pinball, not MAE, for percentile SLAs. Time split by
+    per-type row number (partitioned window); quantiles broadcast
+    back; one conditional-sum scoring pass."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("x"))
+              .select("event_type", F.col("w.start").alias("h"), "x"))
+    wt = Window.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type", "x",
+        F.row_number().over(wt.orderBy("h")).alias("k"),
+        F.count(F.lit(1)).over(wt).alias("n"))
+    train = (idx.filter(F.col("k") <= F.expr("n div 2"))
+             .groupBy("event_type")
+             .agg(F.expr("percentile(x, 0.1)").alias("q10"),
+                  F.expr("percentile(x, 0.5)").alias("q50"),
+                  F.expr("percentile(x, 0.9)").alias("q90")))
+    test = idx.filter(F.col("k") > F.expr("n div 2"))
+
+    def pinball(tau, q):
+        d = F.col("x") - F.col(q)
+        return F.avg(F.greatest(tau * d, (tau - 1) * d))
+
+    return (test.join(F.broadcast(train), "event_type")
+            .groupBy("event_type", "q10", "q50", "q90")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.round(pinball(0.1, "q10"), 4).alias("pinball_10"),
+                 F.round(pinball(0.5, "q50"), 4).alias("pinball_50"),
+                 F.round(pinball(0.9, "q90"), 4).alias("pinball_90"))
+            .select("event_type", "n_test",
+                    F.round("q10", 2).alias("q10"),
+                    F.round("q50", 2).alias("q50"),
+                    F.round("q90", 2).alias("q90"),
+                    "pinball_10", "pinball_50", "pinball_90"))
+
+
+@register(
+    "agg_shapley_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    sets AS (
+      SELECT a, b, c, count(*) AS n, sum(conv) AS k,
+             CAST(sum(conv) AS DOUBLE) / count(*) AS v
+      FROM touched GROUP BY a, b, c
+    ),
+    vfn AS (
+      SELECT
+        max(CASE WHEN a=0 AND b=0 AND c=0 THEN v ELSE 0 END) AS v000,
+        max(CASE WHEN a=1 AND b=0 AND c=0 THEN v ELSE 0 END) AS v100,
+        max(CASE WHEN a=0 AND b=1 AND c=0 THEN v ELSE 0 END) AS v010,
+        max(CASE WHEN a=0 AND b=0 AND c=1 THEN v ELSE 0 END) AS v001,
+        max(CASE WHEN a=1 AND b=1 AND c=0 THEN v ELSE 0 END) AS v110,
+        max(CASE WHEN a=1 AND b=0 AND c=1 THEN v ELSE 0 END) AS v101,
+        max(CASE WHEN a=0 AND b=1 AND c=1 THEN v ELSE 0 END) AS v011,
+        max(CASE WHEN a=1 AND b=1 AND c=1 THEN v ELSE 0 END) AS v111
+      FROM sets
+    )
+    SELECT t.channel, round(t.shapley, 6) AS shapley FROM (
+      SELECT 'view' AS channel,
+             ((v100 - v000) * 2 + (v110 - v010) + (v101 - v001)
+              + (v111 - v011) * 2) / 6.0 AS shapley FROM vfn
+      UNION ALL
+      SELECT 'click',
+             ((v010 - v000) * 2 + (v110 - v100) + (v011 - v001)
+              + (v111 - v101) * 2) / 6.0 FROM vfn
+      UNION ALL
+      SELECT 'signup',
+             ((v001 - v000) * 2 + (v101 - v100) + (v011 - v010)
+              + (v111 - v110) * 2) / 6.0 FROM vfn
+    ) t
+    """)
+def agg_shapley_attribution(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution — the game-theoretic split
+    of conversion credit across touch channels that first/last-touch
+    (agg_attribution_touch) cannot give: each channel's Shapley value
+    averages its marginal contribution over every arrival order
+    (weights 2/6, 1/6, 1/6, 2/6 for the 3-player coalitions), the
+    attribution marketing platforms actually ship. The coalition
+    value function is the observed conversion rate per EXACT touched
+    set — 8 cells from one user-level flag aggregate (two partial-agg
+    passes over events, nothing else); the Shapley sum is then a
+    constant-size closed-form expression. Exact integer cell counts;
+    doubles only in the final rates."""
+    e = _events(spark, sf_dir)
+    touched = e.groupBy("user_id").agg(
+        *[F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+          .alias(n) for t, n in (("view", "a"), ("click", "b"),
+                                 ("signup", "c"))],
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("conv"))
+    sets = (touched.groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("conv").alias("k"))
+            .withColumn("v", F.col("k").cast("double") / F.col("n")))
+    cells = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    vfn = sets.agg(*[
+        F.max(F.when((F.col("a") == a) & (F.col("b") == b)
+                     & (F.col("c") == c), F.col("v")).otherwise(0.0))
+        .alias(f"v{a}{b}{c}") for a, b, c in cells])
+
+    def v(s):
+        return F.col(f"v{s}")
+
+    shap = {
+        "view": ((v("100") - v("000")) * 2 + (v("110") - v("010"))
+                 + (v("101") - v("001")) + (v("111") - v("011")) * 2)
+        / 6.0,
+        "click": ((v("010") - v("000")) * 2 + (v("110") - v("100"))
+                  + (v("011") - v("001")) + (v("111") - v("101")) * 2)
+        / 6.0,
+        "signup": ((v("001") - v("000")) * 2 + (v("101") - v("100"))
+                   + (v("011") - v("010")) + (v("111") - v("110")) * 2)
+        / 6.0,
+    }
+    rows = None
+    for ch, expr in shap.items():
+        r = vfn.select(F.lit(ch).alias("channel"),
+                       F.round(expr, 6).alias("shapley"))
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

@@ -7401,3 +7401,171 @@ def pipeline_filter_ablation_matrix(spark: SparkSession,
                 F.col("n_marginal").cast("bigint").alias("n_marginal"),
                 F.round(F.col("n_alone").cast("double") / F.col("n"), 4)
                 .alias("share_alone")))
+
+
+_SPAN_K = 5
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= {_SPAN_K}
+    ),
+    grams AS (
+      SELECT doc_id, len(toks) - {_SPAN_K} + 1 AS n_pos,
+             unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+               i -> ('0x' || substr(md5(array_to_string(
+                      toks[i:i + {_SPAN_K} - 1], ' ')), 1, 15))::BIGINT))
+               AS h
+      FROM d
+    ),
+    cnt AS (SELECT h, count(*) AS c FROM grams GROUP BY h),
+    flagged AS (
+      SELECT g.doc_id, g.n_pos, g.pos, (cnt.c >= 2) AS dup
+      FROM grams g JOIN cnt ON cnt.h = g.h
+    ),
+    runs AS (
+      SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+      FROM flagged WHERE dup
+    ),
+    longest AS (
+      SELECT doc_id, max(c) AS longest_run FROM (
+        SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    per AS (
+      SELECT f.doc_id, max(f.n_pos) AS n_grams,
+             sum(CASE WHEN f.dup THEN 1 ELSE 0 END) AS n_dup
+      FROM flagged f GROUP BY f.doc_id
+    )
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(p.n_dup AS BIGINT) AS n_dup,
+           round(CAST(p.n_dup AS DOUBLE) / p.n_grams, 4)
+             AS dup_fraction,
+           CAST(coalesce(l.longest_run, 0) AS BIGINT) AS longest_run
+    FROM per p LEFT JOIN longest l ON l.doc_id = p.doc_id
+    ORDER BY dup_fraction DESC, p.doc_id LIMIT 20
+    """)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication audit — the Lee et al.
+    ('Deduplicating Training Data Makes Language Models Better',
+    dedup by repeated token SPANS rather than whole/near documents)
+    diagnostic: for every document, the fraction of its 5-token
+    gram positions whose gram occurs more than once in the corpus,
+    and the LONGEST consecutive duplicated run (the actual copied
+    span). Document dedup misses this entirely — a doc can pass
+    every near-dup threshold and still be half recombined
+    boilerplate. Plan: positional grams hash to 8-byte keys
+    (position list bounded by doc length), one corpus-wide gram
+    count, flag join on the gram key, then the k − row_number
+    islands trick PER DOCUMENT (partitioned window) for run
+    lengths. Top-20 by duplicated fraction, deterministic."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    K = _SPAN_K
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", ws_tokens(F.lower(F.col("text")))
+                 .alias("toks"))
+         .filter(F.size("toks") >= K))
+    grams = (d.select(
+        "doc_id",
+        (F.size("toks") - K + 1).alias("n_pos"),
+        F.explode(F.expr(
+            f"transform(sequence(1, size(toks) - {K} + 1), i -> "
+            f"named_struct('pos', i, 'h', "
+            f"cast(conv(substring(md5(concat_ws(' ', "
+            f"slice(toks, i, {K}))), 1, 15), 16, 10) as bigint)))"))
+        .alias("s"))
+        .select("doc_id", "n_pos", F.col("s.pos").alias("pos"),
+                F.col("s.h").alias("h")))
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    flagged = (grams.join(cnt, "h")
+               .select("doc_id", "n_pos", "pos",
+                       (F.col("c") >= 2).alias("dup")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (flagged.filter("dup")
+            .withColumn("grp", F.col("pos") - F.row_number().over(w)))
+    longest = (runs.groupBy("doc_id", "grp")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("doc_id")
+               .agg(F.max("c").alias("longest_run")))
+    per = flagged.groupBy("doc_id").agg(
+        F.max("n_pos").alias("n_grams"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"))
+    return (per.join(longest, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_grams").cast("bigint").alias("n_grams"),
+                    F.col("n_dup").cast("bigint").alias("n_dup"),
+                    F.round(F.col("n_dup").cast("double")
+                            / F.col("n_grams"), 4).alias("dup_fraction"),
+                    F.coalesce(F.col("longest_run"), F.lit(0))
+                    .cast("bigint").alias("longest_run"))
+            .orderBy(F.col("dup_fraction").desc(), "doc_id").limit(20))
+
+
+_MRR_TERMS = ("data", "model", "system", "value", "result")
+
+
+@register(
+    "agg_mrr_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT tok, doc_id, any_value(lang) AS lang, count(*) AS f
+      FROM t WHERE tok IN {_MRR_TERMS!r}
+      GROUP BY tok, doc_id
+    ),
+    ranked AS (
+      SELECT tok, doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY tok
+                                ORDER BY f DESC, doc_id) AS rnk
+      FROM tf
+    )
+    SELECT tok AS query_term,
+           count(*) AS n_ranked,
+           CAST(min(CASE WHEN lang = 'en' THEN rnk END) AS BIGINT)
+             AS first_rel_rank,
+           round(1.0 / min(CASE WHEN lang = 'en' THEN rnk END), 6)
+             AS reciprocal_rank,
+           CAST(sum(CASE WHEN rnk <= 5 AND lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_top5,
+           round(sum(CASE WHEN rnk <= 5 AND lang = 'en'
+                          THEN 1 ELSE 0 END) / 5.0, 4) AS precision_at_5
+    FROM ranked GROUP BY tok
+    """)
+def agg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + precision@5 — the remaining standard IR metrics next to
+    NDCG (agg_ndcg_eval) and the BM25 ranker (text_bm25_topk): per
+    query term, rank candidate documents by term frequency
+    (tie-broken total order), take English docs as the relevance
+    proxy, and report the reciprocal rank of the FIRST relevant hit —
+    the metric that grades 'did anything useful come up at all',
+    which NDCG's graded gains smooth over. Rankings partition BY TERM
+    (never global); candidates are only docs containing the term, so
+    the per-term frame is posting-list-sized. Exact integer ranks;
+    one division per term."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", "lang",
+                 F.explode(ws_tokens(F.lower(F.col("text"))))
+                 .alias("tok"))
+    tf = (t.filter(F.col("tok").isin(*_MRR_TERMS))
+          .groupBy("tok", "doc_id")
+          .agg(F.first("lang").alias("lang"),
+               F.count(F.lit(1)).alias("f")))
+    w = Window.partitionBy("tok").orderBy(F.col("f").desc(), "doc_id")
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    rel = F.when(F.col("lang") == "en", F.col("rnk"))
+    top5rel = F.sum(F.when((F.col("rnk") <= 5)
+                           & (F.col("lang") == "en"), 1).otherwise(0))
+    return (ranked.groupBy(F.col("tok").alias("query_term"))
+            .agg(F.count(F.lit(1)).alias("n_ranked"),
+                 F.min(rel).cast("bigint").alias("first_rel_rank"),
+                 F.round(1.0 / F.min(rel), 6).alias("reciprocal_rank"),
+                 top5rel.cast("bigint").alias("rel_in_top5"),
+                 F.round(top5rel / 5.0, 4).alias("precision_at_5")))

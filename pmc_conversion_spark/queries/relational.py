@@ -5008,3 +5008,48 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sum("s").over(wcum)
                             / F.col("ss").cast("double"), 4)
                     .alias("cum_spend_share")))
+
+
+@register(
+    "agg_price_elasticity",
+    oracle="""
+    WITH v AS (
+      SELECT p.p_brand AS brand,
+             ln(l.l_extendedprice / l.l_quantity) AS lp,
+             ln(l.l_quantity) AS lq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0
+    )
+    SELECT brand, count(*) AS n,
+           round((count(*) * sum(lp * lq) - sum(lp) * sum(lq))
+                 / (count(*) * sum(lp * lp) - sum(lp) * sum(lp)),
+                 4) AS elasticity
+    FROM v GROUP BY brand
+    """)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY of demand per brand — the log-log regression
+    slope of quantity on unit price (β = cov(ln p, ln q)/var(ln p)),
+    the pricing-team number that says 'a 1% price increase costs
+    β% of volume'. Complements agg_discount_effectiveness (which
+    measures promo LIFT, not the continuous demand curve). One
+    partial-agg pass per brand over the five regression moments; the
+    dimension join broadcasts. Double ln-sums round at 4 dp (the
+    zipf/theil policy — relative error ~1e-12 at any realistic group
+    size)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    v = (li.filter(F.col("l_quantity") > 0)
+         .join(F.broadcast(p.select("p_partkey", "p_brand")),
+               li.l_partkey == F.col("p_partkey"))
+         .select(F.col("p_brand").alias("brand"),
+                 F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("lp"),
+                 F.log(F.col("l_quantity")).alias("lq")))
+    n = F.count(F.lit(1))
+    return (v.groupBy("brand")
+            .agg(n.alias("n"),
+                 F.round((n * F.sum(F.col("lp") * F.col("lq"))
+                          - F.sum("lp") * F.sum("lq"))
+                         / (n * F.sum(F.col("lp") * F.col("lp"))
+                            - F.sum("lp") * F.sum("lp")), 4)
+                 .alias("elasticity")))

@@ -10,7 +10,7 @@ deterministic under any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark import tables
@@ -324,3 +324,87 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purch, clicks, on="user_id", left_ts="p_ts",
                      right_ts="c_ts", right_cols=["c_event_id", "c_ts"],
                      tolerance="'30' minute")
+
+
+@register(
+    "join_interval_allen",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + 300 + (event_id % 7) * 120 AS e
+      FROM events
+    ),
+    pairs AS (
+      SELECT user_id, event_id AS a_id, s AS a_s, e AS a_e,
+             lead(event_id) OVER w AS b_id,
+             lead(s) OVER w AS b_s,
+             lead(e) OVER w AS b_e
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    rel AS (
+      SELECT user_id, a_id, b_id,
+             CASE
+               WHEN a_e < b_s THEN 'precedes'
+               WHEN a_e = b_s THEN 'meets'
+               WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+               WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+               WHEN a_s = b_s AND a_e > b_e THEN 'started_by'
+               WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+               WHEN a_s > b_s AND a_e < b_e THEN 'during'
+               WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'
+               WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+               WHEN a_s < b_s AND a_e < b_e THEN 'overlaps'
+               ELSE 'other' END AS relation
+      FROM pairs WHERE b_id IS NOT NULL
+    )
+    SELECT relation, count(*) AS n_pairs,
+           count(DISTINCT user_id) AS n_users
+    FROM rel GROUP BY relation
+    """)
+def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA classification — each consecutive
+    pair of a user's activity intervals labeled with its Allen
+    relation (precedes/meets/overlaps/starts/during/finishes/equals
+    and inverses), the formal vocabulary (Allen 1983) underneath
+    every temporal join this module ships: join_interval_overlap
+    keeps ONE of these relations, stream_left_outer_interval another
+    — this op audits the full distribution, the profiling step before
+    choosing an interval-join strategy. Intervals derive
+    deterministically from event times (duration varies by event id
+    so every relation class is populated); pairing is a per-user lag
+    window (key-partitioned, never global); classification is a
+    CASE over six endpoint comparisons; output is the
+    relation-class histogram."""
+    e = _events(spark, sf_dir)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = e.select("user_id", "event_id", sec.alias("s"),
+                  (sec + 300 + (F.col("event_id") % 7) * 120)
+                  .alias("e"))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = (iv.select("user_id",
+                       F.col("event_id").alias("a_id"),
+                       F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+                       F.lead("event_id").over(w).alias("b_id"),
+                       F.lead("s").over(w).alias("b_s"),
+                       F.lead("e").over(w).alias("b_e"))
+             .filter(F.col("b_id").isNotNull()))
+    a_s, a_e, b_s, b_e = (F.col(c) for c in ("a_s", "a_e", "b_s", "b_e"))
+    relation = (
+        F.when(a_e < b_s, "precedes")
+        .when(a_e == b_s, "meets")
+        .when((a_s == b_s) & (a_e == b_e), "equals")
+        .when((a_s == b_s) & (a_e < b_e), "starts")
+        .when((a_s == b_s) & (a_e > b_e), "started_by")
+        .when((a_s < b_s) & (a_e > b_e), "contains")
+        .when((a_s > b_s) & (a_e < b_e), "during")
+        .when((a_e == b_e) & (a_s < b_s), "finished_by")
+        .when((a_e == b_e) & (a_s > b_s), "finishes")
+        .when((a_s < b_s) & (a_e < b_e), "overlaps")
+        .otherwise("other"))
+    return (pairs.withColumn("relation", relation)
+            .groupBy("relation")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("user_id").alias("n_users")))
