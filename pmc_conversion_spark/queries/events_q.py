@@ -3741,3 +3741,176 @@ def agg_shapley_attribution(spark: SparkSession,
                        F.round(expr, 6).alias("shapley"))
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+@register(
+    "agg_growth_accounting",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS m
+      FROM events
+    ),
+    flags AS (
+      SELECT user_id, m,
+             min(m) OVER (PARTITION BY user_id) AS first_m,
+             lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+      FROM am
+    ),
+    cls AS (
+      SELECT m,
+             CASE WHEN m = first_m THEN 'new'
+                  WHEN prev_m = m - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS c
+      FROM flags
+    ),
+    per AS (
+      SELECT m, count(*) AS active,
+             sum(CASE WHEN c = 'new' THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN c = 'retained' THEN 1 ELSE 0 END)
+               AS n_retained,
+             sum(CASE WHEN c = 'resurrected' THEN 1 ELSE 0 END)
+               AS n_resurrected
+      FROM cls GROUP BY m
+    )
+    SELECT p.m AS week_idx,
+           CAST(p.active AS BIGINT) AS active,
+           CAST(p.n_new AS BIGINT) AS new_users,
+           CAST(p.n_retained AS BIGINT) AS retained,
+           CAST(p.n_resurrected AS BIGINT) AS resurrected,
+           CAST(coalesce(prev.active, 0) - p.n_retained AS BIGINT)
+             AS churned
+    FROM per p LEFT JOIN per prev ON prev.m = p.m - 1
+    """)
+def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU GROWTH ACCOUNTING — the new / retained / resurrected /
+    churned identity (active(w) = new + retained + resurrected;
+    churned(w) = active(w−1) − retained(w)) that product teams close
+    every period, and the decomposition behind 'growth is hiding a
+    leaky bucket'. Weekly grain (epoch-week index — the fixture spans
+    ~a month, so weeks populate every class where months degenerate).
+    One distinct (user, week) projection, each user's classification
+    from a per-user lag window (new = first active week, retained =
+    consecutive, else resurrected), then week-level integer counts
+    with churn from a self-join on the week-sized frame. Everything
+    after the distinct is bounded by users x active-weeks; the week
+    frame is tiny."""
+    e = _events(spark, sf_dir)
+    am = (e.select("user_id",
+                   F.expr("CAST(cast(ts as timestamp) as long)"
+                          " div 604800").alias("m"))
+          .distinct())
+    wu = Window.partitionBy("user_id")
+    flags = am.select(
+        "user_id", "m",
+        F.min("m").over(wu).alias("first_m"),
+        F.lag("m").over(wu.orderBy("m")).alias("prev_m"))
+    cls = flags.select(
+        "m",
+        F.when(F.col("m") == F.col("first_m"), "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected").alias("c"))
+    per = cls.groupBy("m").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("c") == "new", 1).otherwise(0))
+        .alias("n_new"),
+        F.sum(F.when(F.col("c") == "retained", 1).otherwise(0))
+        .alias("n_retained"),
+        F.sum(F.when(F.col("c") == "resurrected", 1).otherwise(0))
+        .alias("n_resurrected"))
+    prev = per.select((F.col("m") + 1).alias("m"),
+                      F.col("active").alias("prev_active"))
+    return (per.join(F.broadcast(prev), "m", "left")
+            .select(F.col("m").alias("week_idx"),
+                    F.col("active").cast("bigint").alias("active"),
+                    F.col("n_new").cast("bigint").alias("new_users"),
+                    F.col("n_retained").cast("bigint").alias("retained"),
+                    F.col("n_resurrected").cast("bigint")
+                    .alias("resurrected"),
+                    (F.coalesce(F.col("prev_active"), F.lit(0))
+                     - F.col("n_retained")).cast("bigint")
+                    .alias("churned")))
+
+
+@register(
+    "agg_retention_curve_expfit",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cohorted AS (
+      SELECT user_id, w,
+             min(w) OVER (PARTITION BY user_id) AS c
+      FROM am
+    ),
+    cohort_sizes AS (
+      SELECT c, count(DISTINCT user_id) AS n0 FROM cohorted GROUP BY c
+    ),
+    points AS (
+      SELECT co.c, co.w - co.c AS o,
+             count(DISTINCT co.user_id) AS k, any_value(s.n0) AS n0
+      FROM cohorted co JOIN cohort_sizes s ON s.c = co.c
+      WHERE co.w > co.c
+      GROUP BY co.c, co.w - co.c
+    ),
+    xy AS (
+      SELECT CAST(o AS DOUBLE) AS x,
+             ln(CAST(k AS DOUBLE) / n0) AS y
+      FROM points WHERE k > 0
+    )
+    SELECT count(*) AS n_points,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+             AS decay_slope,
+           round((sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+                  / (count(*) * sum(x * x) - sum(x) * sum(x)) * sum(x))
+                 / count(*), 6) AS log_intercept,
+           round(-ln(2) / ((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x))), 4)
+             AS halflife_weeks
+    FROM xy
+    """)
+def agg_retention_curve_expfit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """EXPONENTIAL-DECAY FIT of the retention curve — pool every
+    (cohort, week-offset) retention point, fit ln(retention) = a + b·o
+    by closed-form least squares, and report the decay slope and
+    HALF-LIFE in weeks (−ln2/b) — the single number that turns
+    agg_retention_cohorts' triangle into a forecastable model ('half
+    the cohort is gone every N weeks') and prices LTV projections.
+    Weekly cohorts from a per-user min window; per-point rates are
+    exact integer ratios; the regression moments are one
+    partial-agg pass over the offset-bounded point frame. 6-dp/4-dp
+    rounding absorbs double-sum ordering."""
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    am = (e.select("user_id",
+                   F.expr("CAST(cast(ts as timestamp) as long)"
+                          " div 604800").alias("w"))
+          .distinct())
+    cohorted = am.withColumn(
+        "c", F.min("w").over(Window.partitionBy("user_id")))
+    sizes = cohorted.groupBy("c").agg(
+        F.countDistinct("user_id").alias("n0"))
+    points = (cohorted.filter(F.col("w") > F.col("c"))
+              .join(F.broadcast(sizes), "c")
+              .groupBy("c", (F.col("w") - F.col("c")).alias("o"))
+              .agg(F.countDistinct("user_id").alias("k"),
+                   F.first("n0").alias("n0")))
+    xy = (points.filter(F.col("k") > 0)
+          .select(F.col("o").cast("double").alias("x"),
+                  F.log(F.col("k").cast("double") / F.col("n0"))
+                  .alias("y")))
+    n = F.count(F.lit(1))
+    slope = ((n * F.sum(F.col("x") * F.col("y"))
+              - F.sum("x") * F.sum("y"))
+             / (n * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")))
+    return xy.agg(
+        n.alias("n_points"),
+        F.round(slope, 6).alias("decay_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 6)
+        .alias("log_intercept"),
+        F.round(-F.log(F.lit(2.0)) / slope, 4).alias("halflife_weeks"))

@@ -7579,3 +7579,97 @@ def agg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(1.0 / F.min(rel), 6).alias("reciprocal_rank"),
                  top5rel.cast("bigint").alias("rel_in_top5"),
                  F.round(top5rel / 5.0, 4).alias("precision_at_5")))
+
+
+@register(
+    "pipeline_decontamination_eval",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_shingles_sql(5)},
+                  s -> {_MD5_INT60.format(s='s')})) AS hs,
+             {_BUCKET_SQL} AS b
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id + 90000000 AS doc_id, hs
+      FROM sh WHERE b >= 9000 AND doc_id % 17 = 0
+    ),
+    train AS (
+      SELECT doc_id, hs FROM sh WHERE b < 8000
+      UNION ALL SELECT doc_id, hs FROM planted
+    ),
+    tr AS (SELECT doc_id, unnest(hs) AS h FROM train),
+    ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE b >= 9000),
+    flagged AS (
+      SELECT tr.doc_id, count(*) AS n_hit
+      FROM tr JOIN ev USING (h) GROUP BY tr.doc_id
+    ),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM planted) AS n_planted,
+        (SELECT count(*) FROM flagged
+          WHERE doc_id >= 90000000) AS n_planted_flagged,
+        (SELECT count(*) FROM flagged
+          WHERE doc_id < 90000000) AS n_organic_flagged,
+        (SELECT count(*) FROM train
+          WHERE doc_id < 90000000) AS n_clean_train
+    )
+    SELECT CAST(n_planted AS BIGINT) AS n_planted,
+           CAST(n_planted_flagged AS BIGINT) AS n_planted_flagged,
+           round(CAST(n_planted_flagged AS DOUBLE) / n_planted, 4)
+             AS planted_recall,
+           CAST(n_organic_flagged AS BIGINT) AS n_organic_flagged,
+           round(CAST(n_organic_flagged AS DOUBLE) / n_clean_train, 4)
+             AS organic_flag_rate
+    FROM stats
+    """)
+def pipeline_decontamination_eval(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """SELF-EVALUATION of the decontamination gate — plant a known
+    contamination set (every 17th held-out document re-inserted into
+    the training split under a new id) and measure what
+    dedup_decontaminate actually catches: planted RECALL must be 1.0
+    (an exact-copy leak the 5-gram probe misses would be a broken
+    gate), alongside the organic flag rate on clean train docs (the
+    collateral-removal price). The same harness pattern as
+    dedup_minhash_eval_report / sim_ivf_recall_eval: the detector
+    under test runs unmodified on the planted corpus, and the report
+    is exact integer counts. Planted shingle sets reuse the already-
+    hashed frame — no re-shingling pass."""
+    from pmc_conversion_spark.functions.dedup import _hashed_shingle_sets
+    from pmc_conversion_spark.functions.sampling import hash_bucket
+    d = _docs(spark, sf_dir)
+    sh = (_hashed_shingle_sets(d, "doc_id", "text", 5)
+          .withColumn("b", hash_bucket(F.col("doc_id"), "v1")))
+    heldout = sh.filter(F.col("b") >= 9000)
+    planted = (heldout.filter(F.col("doc_id") % 17 == 0)
+               .select((F.col("doc_id") + 90000000).alias("doc_id"),
+                       "hs"))
+    train = (sh.filter(F.col("b") < 8000).select("doc_id", "hs")
+             .unionAll(planted.select("doc_id", "hs")))
+    tr = train.select("doc_id", F.explode("hs").alias("h"))
+    ev = heldout.select(F.explode("hs").alias("h")).distinct()
+    flagged = (tr.join(F.broadcast(ev), "h")
+               .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    is_planted = F.col("doc_id") >= 90000000
+    agg = (flagged.agg(
+        F.sum(F.when(is_planted, 1).otherwise(0))
+        .alias("n_planted_flagged"),
+        F.sum(F.when(~is_planted, 1).otherwise(0))
+        .alias("n_organic_flagged"))
+        .crossJoin(F.broadcast(
+            planted.agg(F.count(F.lit(1)).alias("n_planted"))))
+        .crossJoin(F.broadcast(
+            sh.filter(F.col("b") < 8000)
+            .agg(F.count(F.lit(1)).alias("n_clean_train")))))
+    return agg.select(
+        F.col("n_planted").cast("bigint").alias("n_planted"),
+        F.col("n_planted_flagged").cast("bigint")
+        .alias("n_planted_flagged"),
+        F.round(F.col("n_planted_flagged").cast("double")
+                / F.col("n_planted"), 4).alias("planted_recall"),
+        F.col("n_organic_flagged").cast("bigint")
+        .alias("n_organic_flagged"),
+        F.round(F.col("n_organic_flagged").cast("double")
+                / F.col("n_clean_train"), 4).alias("organic_flag_rate"))

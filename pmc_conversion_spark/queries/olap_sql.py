@@ -701,3 +701,36 @@ def api_arrow_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t.drop_columns(["key_sum_raw"])
     back = spark.createDataFrame(t)
     return back.select("region", "n", "key_sum")
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag, l_linestatus
+    """)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE SYNTAX (`FROM t |> WHERE ... |>
+    AGGREGATE ... GROUP BY ...`) — the linear query dialect
+    (SIGMOD'24 'SQL Has Problems. We Can Fix Them' / ZetaSQL pipes)
+    that reads top-to-bottom like a DataFrame chain and lands in
+    Spark 4 as a first-class parser mode. Same Catalyst plan as the
+    nested form — this op pins that the dialect parses AND that its
+    plan hits the identical partial-agg shape (the oracle states the
+    classic syntax). Exact integer cent sums; filter pushed to the
+    scan like any WHERE."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE count(*) AS n_lines,
+                     CAST(sum(CAST(round(l_extendedprice * 100)
+                              AS BIGINT)) AS BIGINT) AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, revenue_cents
+    """)
