@@ -152,7 +152,8 @@ MAX_POSTING_DEFAULT = 1_024
 def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
                         threshold_den: int = 5, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_posting: int = MAX_POSTING_DEFAULT) -> DataFrame:
+                        max_posting: int = MAX_POSTING_DEFAULT,
+                        sets: DataFrame | None = None) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity join.
 
     Returns pairs (doc_a < doc_b) with
@@ -174,9 +175,15 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
     would quadratically blow up its bucket at scale).
 
     Output: (doc_a, doc_b, inter_size, union_size).
+
+    ``sets`` (optional): a precomputed/persisted hashed-shingle frame
+    from ``_hashed_shingle_sets(docs, id_col, text_col, n)`` — pass it
+    when several detectors share the same shingling so the
+    tokenize+shingle+md5 pass runs once (dedup_method_agreement).
     """
     inter = _shingle_inter_counts(docs, id_col=id_col, text_col=text_col,
-                                  n=n, max_posting=max_posting)
+                                  n=n, max_posting=max_posting,
+                                  sets=sets)
     return (inter
             .withColumn("union_size",
                         F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
@@ -186,11 +193,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold_num: int = 1,
 
 
 def _shingle_inter_counts(docs: DataFrame, *, id_col: str, text_col: str,
-                          n: int, max_posting: int) -> DataFrame:
+                          n: int, max_posting: int,
+                          sets: DataFrame | None = None) -> DataFrame:
     """Shared posting-bucket core of the set-similarity joins:
     (doc_a, doc_b, sz_a, sz_b, inter_size) for every pair sharing at
     least one under-cap shingle. 2 shuffles, no joins."""
-    postings = _hashed_shingle_sets(docs, id_col, text_col, n).select(
+    if sets is None:
+        sets = _hashed_shingle_sets(docs, id_col, text_col, n)
+    postings = sets.select(
         "doc_id", "sz", F.explode("hs").alias("shingle"))
     buckets = (postings.groupBy("shingle")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz")))
@@ -314,8 +324,8 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 32,
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
                       bands: int = 8, n: int = 3,
                       threshold_num: int = 1, threshold_den: int = 5,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      sets: DataFrame | None = None) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified exactly.
 
     Candidate pairs = docs sharing at least one band hash (bands of
@@ -340,9 +350,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 32,
     # pressure, so at cluster scale the worst case degrades to a local
     # disk read — still cheaper than re-hashing every shingle twice.
     # Lifecycle: tracked in _PERSISTED; callers running repeated
-    # batches release via release_persisted_caches().
-    sets = _persist_tracked(_hashed_shingle_sets(docs, id_col,
-                                                 text_col, n))
+    # batches release via release_persisted_caches(). A caller-supplied
+    # ``sets`` frame (already persisted by the caller) is used as-is so
+    # detectors sharing one shingling never re-hash (method agreement).
+    if sets is None:
+        sets = _persist_tracked(_hashed_shingle_sets(docs, id_col,
+                                                     text_col, n))
     sig = sets.select("doc_id", _minhash_sig_expr(num_hashes).alias("sig"))
 
     def band_value(b):

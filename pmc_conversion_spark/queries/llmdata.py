@@ -6663,8 +6663,13 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     only id pairs. The Venn is computed as ONE tagged union + ONE
     pair-keyed aggregate, so each detector pipeline is evaluated
     exactly once (per-leg membership joins would re-run every leg a
-    second time) and the only post-leg shuffle moves tiny id pairs."""
+    second time) and the only post-leg shuffle moves tiny id pairs.
+    The Jaccard and MinHash legs additionally SHARE one persisted
+    hashed-shingle frame (same n=3 shingling), so the dominant
+    tokenize+shingle+md5 pass runs once, not twice (r5)."""
     docs = _docs(spark, sf_dir)
+    shared_sets = DD._persist_tracked(
+        DD._hashed_shingle_sets(docs, "doc_id", "text", 3))
 
     def tagged(side: DataFrame, j: int, m: int, s: int) -> DataFrame:
         return side.select(
@@ -6674,10 +6679,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jac = DD.ngram_jaccard_pairs(
         docs, threshold_num=1, threshold_den=20,
-        max_posting=DD.MAX_POSTING_DEFAULT).select("doc_a", "doc_b")
+        max_posting=DD.MAX_POSTING_DEFAULT,
+        sets=shared_sets).select("doc_a", "doc_b")
     mh = DD.minhash_lsh_pairs(
         docs, num_hashes=32, bands=8, n=3,
-        threshold_num=1, threshold_den=20).select("doc_a", "doc_b")
+        threshold_num=1, threshold_den=20,
+        sets=shared_sets).select("doc_a", "doc_b")
     simh = DD.simhash_near_pairs(docs, max_hamming=3) \
         .select("doc_a", "doc_b")
     allp = (tagged(jac, 1, 0, 0)
