@@ -3914,3 +3914,66 @@ def agg_retention_curve_expfit(spark: SparkSession,
         F.round((F.sum("y") - slope * F.sum("x")) / n, 6)
         .alias("log_intercept"),
         F.round(-F.log(F.lit(2.0)) / slope, 4).alias("halflife_weeks"))
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    rolled AS (
+      SELECT h, x, y,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT h AS hour_ts, CAST(n AS BIGINT) AS n_window,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS rolling_corr
+    FROM rolled WHERE n = 24
+    """)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 24-hour Pearson correlation between view and click
+    volume — the co-movement monitor that catches decoupling ('views
+    are flat but clicks fell — the button broke') long before either
+    single-series alert (ts_anomaly_residual) fires. All five moments
+    are exact integer sums over the 24-row frame of the HOURLY
+    aggregate — the window runs on the time-range-bounded frame after
+    the partial agg, never on raw events (the benign pattern the
+    registry-wide window test whitelists structurally: an Aggregate
+    sits below). One double expression per row at the boundary;
+    emitted only for full windows, so every correlation is a true
+    24-point estimate."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                         .otherwise(0)).alias("x"),
+                   F.sum(F.when(F.col("event_type") == "click", 1)
+                         .otherwise(0)).alias("y"))
+              .select(F.col("w.start").alias("h"), "x", "y"))
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    rolled = hourly.select(
+        "h", F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"), F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.sqrt((F.col("n") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")).cast("double"))
+           * F.sqrt((F.col("n") * F.col("syy")
+                     - F.col("sy") * F.col("sy")).cast("double")))
+    return (rolled.filter(F.col("n") == 24)
+            .select(F.col("h").alias("hour_ts"),
+                    F.col("n").cast("bigint").alias("n_window"),
+                    F.round(num / den, 6).alias("rolling_corr")))

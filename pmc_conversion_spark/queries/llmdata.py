@@ -7680,3 +7680,77 @@ def pipeline_decontamination_eval(spark: SparkSession,
         .alias("n_organic_flagged"),
         F.round(F.col("n_organic_flagged").cast("double")
                 / F.col("n_clean_train"), 4).alias("organic_flag_rate"))
+
+
+@register(
+    "vocab_spell_variants",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS f FROM t
+      WHERE len(tok) >= 4 GROUP BY tok HAVING count(*) >= 3
+    ),
+    dels AS (
+      SELECT tok, f,
+             unnest(list_transform(range(1, len(tok) + 1), i ->
+               substr(tok, 1, i - 1) || substr(tok, i + 1))) AS v
+      FROM vocab
+    ),
+    keys AS (
+      SELECT tok, f, v FROM dels
+      UNION ALL SELECT tok, f, tok FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+             any_value(a.f) AS f_a, any_value(b.f) AS f_b
+      FROM keys a JOIN keys b ON b.v = a.v AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b,
+           CAST(f_a AS BIGINT) AS f_a, CAST(f_b AS BIGINT) AS f_b
+    FROM cand
+    WHERE levenshtein(tok_a, tok_b) = 1
+    """)
+def vocab_spell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPELLING-VARIANT pairs in the vocabulary by SymSpell's
+    DELETION-NEIGHBORHOOD blocking (Garbe's symmetric-delete
+    algorithm): two terms are edit-distance-1 candidates iff they
+    share a delete-1 variant (or one IS the other's variant), so
+    candidates come from an EQUI-JOIN on the variant key — never an
+    all-pairs levenshtein over the vocabulary, which is the quadratic
+    wall every naive fuzzy-vocab pass hits (join_fuzzy_blocked blocks
+    by prefix; this is the stronger guarantee: the block key is
+    complete for distance 1). Verification is one levenshtein per
+    candidate. Cost ∝ vocab × term-length (the variant explosion),
+    shuffled on short string keys; frequencies ride along so the
+    output doubles as a normalize-to-the-frequent-form map."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    vocab = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                      .alias("tok"))
+             .filter(F.length("tok") >= 4)
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+             .filter(F.col("f") >= 3))
+    dels = vocab.select(
+        "tok", "f",
+        F.explode(F.expr(
+            "transform(sequence(1, length(tok)), i -> "
+            "concat(substring(tok, 1, i - 1), "
+            "substring(tok, i + 1, length(tok))))")).alias("v"))
+    keys = dels.unionByName(
+        vocab.select("tok", "f", F.col("tok").alias("v")))
+    a = keys.select(F.col("tok").alias("tok_a"),
+                    F.col("f").alias("f_a"), "v")
+    b = keys.select(F.col("tok").alias("tok_b"),
+                    F.col("f").alias("f_b"), "v")
+    cand = (a.join(b, "v")
+            .filter(F.col("tok_a") < F.col("tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(F.first("f_a").alias("f_a"),
+                 F.first("f_b").alias("f_b")))
+    return (cand.filter(F.levenshtein("tok_a", "tok_b") == 1)
+            .select("tok_a", "tok_b",
+                    F.col("f_a").cast("bigint").alias("f_a"),
+                    F.col("f_b").cast("bigint").alias("f_b")))

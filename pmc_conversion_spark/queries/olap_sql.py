@@ -734,3 +734,51 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, n_lines, revenue_cents
     """)
+
+
+@register(
+    "sql_lateral_view_outer",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+')
+             END AS toks
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_token_rows,
+           CAST(sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_rows,
+           CAST(sum(greatest(len(toks), 1)) AS BIGINT) AS n_rows_total
+    FROM d GROUP BY lang
+    """)
+def sql_lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL's ``LATERAL VIEW OUTER explode`` — the OUTER variant
+    preserves rows whose array is EMPTY as a single null-element row
+    instead of dropping the document entirely: the difference between
+    'tokenize the corpus' and 'silently lose every empty document'
+    (plain LATERAL VIEW/explode drops them — the classic audit-count
+    mismatch). This pins the Hive-compat SQL surface next to the
+    DataFrame explode_outer; the oracle restates the row-accounting
+    identity (total rows = token rows + one null row per empty doc).
+    Still one explode + partial agg — OUTER costs nothing."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT lang,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(count(tok) AS BIGINT) AS n_token_rows,
+               CAST(count_if(tok IS NULL) AS BIGINT) AS n_null_rows,
+               CAST(count(*) AS BIGINT) AS n_rows_total
+        FROM (
+          SELECT doc_id, lang, tok
+          FROM (SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN array()
+                            ELSE split(trim(lower(text)), '\\\\s+')
+                       END AS toks
+                FROM documents)
+          LATERAL VIEW OUTER explode(toks) t AS tok
+        )
+        GROUP BY lang
+    """)

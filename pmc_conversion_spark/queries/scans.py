@@ -1023,3 +1023,44 @@ def scan_csv_bom_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "﻿id" in df.columns:
         raise AssertionError("BOM leaked into the header name")
     return df.select("id", "name", "qty")
+
+
+@register(
+    "scan_text_wholefile",
+    oracle="""
+    SELECT r_name AS fname, 1 + r_regionkey AS n_lines,
+           24 * (1 + r_regionkey) AS n_chars
+    FROM region
+    """)
+def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.text(..., wholetext=True)`` — ONE ROW PER FILE
+    instead of one per line: the ingestion mode for documents whose
+    unit IS the file (markdown corpora, code files, configuration
+    dumps) where line-splitting destroys the record. Five synthetic
+    files (one per region, r_regionkey+1 lines of 24 chars + LF) are
+    written then read back whole; the query proves the mode by
+    recovering each file's line and char counts from the single
+    wholetext value. File name arrives via input_file_name-style
+    metadata (_metadata.file_name), so no content sniffing. At
+    corpus scale each file is one task-local read — no shuffle at
+    all until the final tiny aggregate."""
+    import os
+    d = _scratch("scan_text_wholefile")
+    os.makedirs(d, exist_ok=True)
+    region = tables.load(spark, sf_dir, "region").collect()
+    for r in region:
+        line = ("x" * 24 + "\n") * (1 + r["r_regionkey"])
+        with open(os.path.join(d, f"{r['r_name']}.txt"), "w") as fh:
+            fh.write(line)
+    df = (spark.read.text(d, wholetext=True)
+          .select(F.url_decode(F.element_at(
+              F.split(F.col("_metadata.file_name"), "\\.txt"), 1))
+              .alias("fname"),
+              F.col("value")))
+    return df.select(
+        "fname",
+        (F.length("value")
+         - F.length(F.regexp_replace("value", "\n", ""))).cast("bigint")
+        .alias("n_lines"),
+        F.length(F.regexp_replace("value", "\n", "")).cast("bigint")
+        .alias("n_chars"))
