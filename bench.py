@@ -88,6 +88,13 @@ HEADLINE = [
     # two-phase plans stay honest (r4 verdict task #8)
     "agg_gains_table",
     "agg_uplift_qini",
+    # r5 wave 2: the new heavy families — iterative HITS, the DSIR
+    # curation scorer, RAKE (two corpus token passes + windows), and
+    # the cross-implementation pandas-UDF jaro-winkler
+    "graph_hits",
+    "pipeline_dsir_select",
+    "text_rake_keywords",
+    "f_jaro_winkler",
 ]
 
 

@@ -228,3 +228,71 @@ def char_entropy_bits(text: Column) -> Column:
     # "+ 0.0" folds IEEE -0.0 (single-repeated-char docs) to +0.0 so
     # both engines print the same value.
     return F.round(F.aggregate(dl, F.lit(0.0), step), 6) + F.lit(0.0)
+
+
+def jaro_winkler_pairs_udf():
+    """Arrow-batched pandas UDF computing the textbook Jaro-Winkler
+    similarity (prefix scale p=0.1 over at most 4 chars, boost
+    threshold 0.7) — the match-window/transposition algorithm that no
+    built-in Spark expression provides. Vectorized over Arrow record
+    batches (never row-at-a-time Python); per-pair cost is
+    O(len_a·len_b) on short attribute strings. The DuckDB oracle runs
+    its NATIVE jaro_winkler_similarity, so the correctness gate is a
+    genuine cross-implementation check of this code against an
+    independent C++ implementation."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _jaro(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        md = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        matches = 0
+        for i, c in enumerate(s1):
+            lo, hi = max(0, i - md), min(l2, i + md + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if matches == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / l1 + matches / l2
+                + (matches - t) / matches) / 3
+
+    def _jw(s1: str, s2: str) -> float:
+        j = _jaro(s1, s2)
+        if j > 0.7:
+            pl = 0
+            for a, b in zip(s1[:4], s2[:4]):
+                if a != b:
+                    break
+                pl += 1
+            j = j + pl * 0.1 * (1 - j)
+        return j
+
+    def _batch(a, b):
+        return pd.Series([_jw(x, y) for x, y in zip(a, b)],
+                         dtype="float64")
+
+    # explicit signature: local type hints would be unresolvable
+    # strings under `from __future__ import annotations`
+    _batch.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                              "return": pd.Series}
+    return pandas_udf(_batch, DoubleType())

@@ -1145,3 +1145,180 @@ def graph_degree_assortativity(spark: SparkSession,
     return s.select(
         F.expr("CAST(m div 2 AS BIGINT)").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"))
+
+
+@register(
+    "join_record_linkage_fs",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             CASE WHEN floor(c.c_acctbal / 1000.0)
+                       = floor(s.s_acctbal / 1000.0)
+                  THEN 1 ELSE 0 END AS a_band,
+             CASE WHEN (c.c_acctbal >= 0) = (s.s_acctbal >= 0)
+                  THEN 1 ELSE 0 END AS a_sign,
+             CASE WHEN c.c_custkey % 97 = s.s_suppkey % 97
+                  THEN 1 ELSE 0 END AS a_key
+      FROM customer c JOIN supplier s
+        ON s.s_nationkey = c.c_nationkey
+    ),
+    u AS (
+      SELECT avg(a_band) AS u1, avg(a_sign) AS u2, avg(a_key) AS u3
+      FROM pairs
+    ),
+    w AS (
+      SELECT
+        (CASE WHEN a_band = 1 THEN log2(0.95 / u1)
+              ELSE log2(0.05 / (1 - u1)) END)
+        + (CASE WHEN a_sign = 1 THEN log2(0.9 / u2)
+                ELSE log2(0.1 / (1 - u2)) END)
+        + (CASE WHEN a_key = 1 THEN log2(0.85 / u3)
+                ELSE log2(0.15 / (1 - u3)) END) AS wt
+      FROM pairs, u
+    )
+    SELECT CAST(floor(wt) AS BIGINT) AS weight_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(wt), 6) AS avg_weight
+    FROM w GROUP BY 1
+    """)
+def join_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI–SUNTER probabilistic record linkage — the 1969
+    framework behind Splink/dedupe.io: candidate pairs from BLOCKING
+    (equi-join on nation, never a cross join), an agreement VECTOR
+    per pair (balance band, balance sign, key residue), and a match
+    weight Σᵢ log₂(mᵢ/uᵢ) on agreement vs log₂((1−mᵢ)/(1−uᵢ)) on
+    disagreement. The u-probabilities (chance agreement among
+    non-matches) are ESTIMATED FROM THE DATA as the observed
+    agreement rates over all blocked pairs — one partial-agg pass,
+    broadcast back as a 1-row frame — while m is the usual fixed
+    prior. Output is the weight-band histogram a linkage analyst
+    thresholds on. At 100 TB the plan is: blocked equi-join (the
+    standard linkage scale move; block key cardinality controls the
+    fan-out), one scalar agg, one broadcast, partial-agg histogram —
+    no global sort, no quadratic beyond the block. Weight algebra is
+    identical IEEE on both engines (log2 of exact count ratios);
+    band boundaries are log2 sums that never land on exact
+    integers."""
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    pairs = (c.join(F.broadcast(s),
+                    s.s_nationkey == c.c_nationkey)
+             .select(
+                 F.when(F.floor(F.col("c_acctbal") / 1000.0)
+                        == F.floor(F.col("s_acctbal") / 1000.0), 1)
+                 .otherwise(0).alias("a_band"),
+                 F.when((F.col("c_acctbal") >= 0)
+                        == (F.col("s_acctbal") >= 0), 1)
+                 .otherwise(0).alias("a_sign"),
+                 F.when(F.col("c_custkey") % 97
+                        == F.col("s_suppkey") % 97, 1)
+                 .otherwise(0).alias("a_key")))
+    u = pairs.agg(F.avg("a_band").alias("u1"),
+                  F.avg("a_sign").alias("u2"),
+                  F.avg("a_key").alias("u3"))
+    wt = (F.when(F.col("a_band") == 1,
+                 F.log2(0.95 / F.col("u1")))
+          .otherwise(F.log2(0.05 / (1 - F.col("u1"))))
+          + F.when(F.col("a_sign") == 1, F.log2(0.9 / F.col("u2")))
+          .otherwise(F.log2(0.1 / (1 - F.col("u2"))))
+          + F.when(F.col("a_key") == 1, F.log2(0.85 / F.col("u3")))
+          .otherwise(F.log2(0.15 / (1 - F.col("u3")))))
+    w = pairs.crossJoin(F.broadcast(u)).select(wt.alias("wt"))
+    return (w.groupBy(F.floor("wt").cast("bigint").alias("weight_band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.avg("wt"), 6).alias("avg_weight")))
+
+
+def _hits_iter_sql(prev_h: str, prev_a: str, h_out: str, a_out: str) -> str:
+    """One HITS iteration (auth from hubs, then hubs from NEW auth),
+    L1-normalized, all sums over DECIMAL(28,12) rounded contributions
+    (the pagerank bit-identical policy)."""
+    return f"""
+    {a_out}_raw AS (
+      SELECT g.s AS node,
+             sum(round(h.score, 12)::DECIMAL(28,12)) AS raw
+      FROM g JOIN {prev_h} h ON h.node = g.c GROUP BY g.s
+    ),
+    {a_out} AS (
+      SELECT node,
+             round(raw::DOUBLE / (SELECT sum(raw)::DOUBLE
+                                  FROM {a_out}_raw), 12) AS score
+      FROM {a_out}_raw
+    ),
+    {h_out}_raw AS (
+      SELECT g.c AS node,
+             sum(round(a.score, 12)::DECIMAL(28,12)) AS raw
+      FROM g JOIN {a_out} a ON a.node = g.s GROUP BY g.c
+    ),
+    {h_out} AS (
+      SELECT node,
+             round(raw::DOUBLE / (SELECT sum(raw)::DOUBLE
+                                  FROM {h_out}_raw), 12) AS score
+      FROM {h_out}_raw
+    )"""
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c AS node, 1.0::DOUBLE AS score FROM g),
+    {_hits_iter_sql('h0', 'a0', 'h1', 'a1').strip()},
+    {_hits_iter_sql('h1', 'a1', 'h2', 'a2').strip()}
+    SELECT 'hub' AS role, node, round(score * 1000, 6) AS score_x1000
+    FROM h2 WHERE round(score * 1000, 6) >= 1.2
+    UNION ALL
+    SELECT 'authority', node, round(score * 1000, 6)
+    FROM a2 WHERE round(score * 1000, 6) >= 1.2
+    """)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs-and-authorities) on the DIRECTED
+    customer→supplier purchase graph — the two-sided eigenvector
+    ranking PageRank can't give: hub scores rank customers whose
+    baskets span the important suppliers, authority scores rank
+    suppliers bought by the important customers, each defined in
+    terms of the other. Two mutual-reinforcement iterations, each one
+    edge⨝score join + a partial-agg groupBy per side, with L1
+    normalization via a 1-row broadcast scalar — the same
+    Pregel-free DataFrame shape as graph_pagerank, and the same
+    DECIMAL(28,12) rounded-contribution policy so both engines sum
+    bit-identically in any partition order. The ≥1.2‰ emission
+    threshold bounds the report to the interesting head. At 100 TB
+    the score frames shuffle-join on node id instead of
+    broadcasting; the iteration body is unchanged."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    g = (o.join(li, li.l_orderkey == o.o_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+         .distinct())
+    h = g.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(1.0).alias("score"))
+
+    def l1_step(edges, scores, src, dst):
+        raw = (edges.join(F.broadcast(
+                   scores.select(F.col("node").alias(src), "score")), src)
+               .select(F.col(dst).alias("node"),
+                       F.round("score", 12).cast("decimal(28,12)")
+                       .alias("c"))
+               .groupBy("node").agg(F.sum("c").alias("raw")))
+        tot = raw.agg(F.sum("raw").cast("double").alias("t"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.round(F.col("raw").cast("double")
+                                / F.col("t"), 12).alias("score")))
+
+    for _ in range(2):
+        a = l1_step(g, h, "c", "s")
+        h = l1_step(g, a, "s", "c")
+    out_h = h.select(F.lit("hub").alias("role"), "node",
+                     F.round(F.col("score") * 1000, 6)
+                     .alias("score_x1000"))
+    out_a = a.select(F.lit("authority").alias("role"), "node",
+                     F.round(F.col("score") * 1000, 6)
+                     .alias("score_x1000"))
+    return (out_h.unionByName(out_a)
+            .filter(F.col("score_x1000") >= 1.2))

@@ -3977,3 +3977,281 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("h").alias("hour_ts"),
                     F.col("n").cast("bigint").alias("n_window"),
                     F.round(num / den, 6).alias("rolling_corr")))
+
+
+@register(
+    "ts_kalman_1d",
+    oracle="""
+    -- Scalar m/p recursion (NOT a struct-accumulator list_reduce —
+    -- see ts_holt_forecast for the DuckDB 1.0.0 aliasing bug); each
+    -- step applies the identical IEEE double sequence the engine's
+    -- higher-order `aggregate` fold runs.
+    WITH RECURSIVE v AS (
+      SELECT user_id, ts, event_id, round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ), series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM v GROUP BY user_id
+      HAVING count(*) >= 2
+    ), step AS (
+      SELECT user_id, xs, n, 1 AS k,
+             xs[1]::DOUBLE AS m, 1.0::DOUBLE AS p
+      FROM series
+      UNION ALL
+      SELECT user_id, xs, n, k + 1,
+             m + ((p + 0.01::DOUBLE) / (p + 0.01::DOUBLE + 1.0::DOUBLE))
+                 * (xs[k + 1] - m),
+             (1.0::DOUBLE - (p + 0.01::DOUBLE)
+                / (p + 0.01::DOUBLE + 1.0::DOUBLE)) * (p + 0.01::DOUBLE)
+      FROM step WHERE k < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(m, 6) AS estimate,
+           round(p, 6) AS variance,
+           round((p + 0.01) / (p + 0.01 + 1.0), 6) AS gain
+    FROM step WHERE k = n
+    """)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER per key — the random-walk state-space model
+    (process noise Q=0.01, measurement noise R=1.0) that underlies
+    every online sensor-smoothing / metric-denoising loop. Unlike the
+    fixed-α EWMA family, the gain ADAPTS: it starts high (uncertain
+    prior, trust the data) and converges to the steady-state Riccati
+    fixed point, so the filter self-tunes its memory. The recurrence
+    m' = m + K(x − m), p' = (1−K)(p+Q), K = (p+Q)/(p+Q+R) depends on
+    the previous RESULT — no SQL window expresses it — so the per-key
+    series is assembled once (sort_array ∘ collect_list, one shuffle)
+    and folded JVM-side with the higher-order ``aggregate`` carrying a
+    (m, p) STRUCT accumulator; per-key state is bounded by that key's
+    own history, the regime groupBy distributes at 100 TB. The oracle
+    steps the same recurrence with a recursive CTE carrying SCALAR
+    m/p columns (the holt-forecast discipline), rounded at 6 dp."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    series = (e.select("user_id",
+                       F.struct(F.col("ts"), F.col("event_id"),
+                                F.round("value", 6).cast("double")
+                                .alias("x")).alias("s"))
+              .groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 2))
+    fitted = (series
+              .withColumn("xs", F.expr("transform(ss, s -> s.x)"))
+              .withColumn("st", F.expr(
+                  "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "
+                  "named_struct('m', xs[0], 'p', 1.0D), "
+                  "(acc, x) -> named_struct("
+                  "'m', acc.m + ((acc.p + 0.01D) "
+                  "/ (acc.p + 0.01D + 1.0D)) * (x - acc.m), "
+                  "'p', (1.0D - (acc.p + 0.01D) "
+                  "/ (acc.p + 0.01D + 1.0D)) * (acc.p + 0.01D)))")))
+    return fitted.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(F.col("st.m"), 6).alias("estimate"),
+        F.round(F.col("st.p"), 6).alias("variance"),
+        F.round((F.col("st.p") + 0.01)
+                / (F.col("st.p") + 0.01 + 1.0), 6).alias("gain"))
+
+
+@register(
+    "agg_negbin_fit",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+             count(*) AS k
+      FROM events GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(k) AS sk, sum(k * k) AS skk
+      FROM c GROUP BY 1
+    ),
+    mv AS (
+      SELECT event_type, n,
+             sk / CAST(n AS DOUBLE) AS m,
+             (skk - sk * sk / CAST(n AS DOUBLE)) / (n - 1) AS v
+      FROM s WHERE n >= 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_cells,
+           round(m, 6) AS mean_count,
+           round(v, 6) AS var_count,
+           round(v / m, 6) AS dispersion,
+           CASE WHEN v > m
+                THEN round(m * m / (v - m), 6) END AS nb_r,
+           CASE WHEN v > m THEN round(m / v, 6) END AS nb_p,
+           CASE WHEN v / m > 1.5 THEN 'overdispersed'
+                WHEN v / m < 0.67 THEN 'underdispersed'
+                ELSE 'poisson_like' END AS verdict
+    FROM mv
+    """)
+def agg_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MODEL diagnosis per event type — are per-user daily
+    event counts Poisson, or overdispersed enough to need a NEGATIVE
+    BINOMIAL (the single most common modeling mistake in event-rate
+    alerting: a Poisson threshold on bursty traffic pages constantly)?
+    Method-of-moments everything: the count cells are one partial agg,
+    the moments another, and the NB parameters have closed forms
+    r = m²/(v−m), p = m/v — no likelihood iteration, no driver math.
+    The dispersion index v/m and its verdict bands mirror the
+    agg_burstiness family but at the DISTRIBUTION-FIT level the
+    on-call runbook actually consumes ('use NB(r,p) for this
+    signal'). Two shuffles total, both keyed on (type[, user, day]) —
+    the 100 TB shape. Sample variance (n−1); guarded NULL fit when
+    v ≤ m (NB undefined — the Poisson-or-better case)."""
+    e = _events(spark, sf_dir)
+    c = (e.groupBy("event_type", "user_id",
+                   F.col("ts").cast("date").alias("d"))
+         .agg(F.count(F.lit(1)).alias("k")))
+    s = (c.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("k").alias("sk"),
+              F.sum(F.col("k") * F.col("k")).alias("skk"))
+         .filter(F.col("n") >= 2))
+    nn = F.col("n").cast("double")
+    mv = s.select(
+        "event_type", "n",
+        (F.col("sk") / nn).alias("m"),
+        ((F.col("skk") - F.col("sk") * F.col("sk") / nn)
+         / (F.col("n") - 1)).alias("v"))
+    disp = F.col("v") / F.col("m")
+    return mv.select(
+        "event_type", F.col("n").cast("bigint").alias("n_cells"),
+        F.round("m", 6).alias("mean_count"),
+        F.round("v", 6).alias("var_count"),
+        F.round(disp, 6).alias("dispersion"),
+        F.when(F.col("v") > F.col("m"),
+               F.round(F.col("m") * F.col("m")
+                       / (F.col("v") - F.col("m")), 6)).alias("nb_r"),
+        F.when(F.col("v") > F.col("m"),
+               F.round(F.col("m") / F.col("v"), 6)).alias("nb_p"),
+        F.when(disp > 1.5, F.lit("overdispersed"))
+        .when(disp < 0.67, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson_like")).alias("verdict"))
+
+
+@register(
+    "agg_seq_pattern_count",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+             AS n_browse_buy,
+           CAST(len(regexp_extract_all(seq, 'e')) AS BIGINT) AS n_errors
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'v[vc]*p')) >= 1
+    """)
+def agg_seq_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PATTERN matching over per-user event histories — the
+    poor man's MATCH_RECOGNIZE (a SQL:2016 feature Spark lacks):
+    encode each user's time-ordered event types as a one-char-per-
+    event string, then count behavioral motifs with a REGEX —
+    here `v[vc]*p`, the 'view, keep browsing, then purchase'
+    conversion run (leftmost non-overlapping; the character class
+    excludes the terminator, so RE2 and Java's engines agree
+    exactly). The encode step is the usual sort_array∘collect_list
+    per-key assembly (one shuffle, state bounded by each user's own
+    history); matching is a JVM-side regexp_extract_all — no
+    Python, no per-event join chain like agg_funnel_steps needs per
+    step, and arbitrarily complex motifs are one pattern edit away.
+    This is how a 100 TB behavioral cohort ('users who error-loop
+    then convert') gets selected with one scan + one shuffle."""
+    e = _events(spark, sf_dir)
+    s = (e.select("user_id",
+                  F.struct("ts", "event_id",
+                           F.substring("event_type", 1, 1)
+                           .alias("ch")).alias("r"))
+         .groupBy("user_id")
+         .agg(F.array_join(F.transform(
+                  F.array_sort(F.collect_list("r")),
+                  lambda r: r.ch), "").alias("seq")))
+    n_bb = F.size(F.regexp_extract_all(F.col("seq"),
+                                       F.lit("v[vc]*p"), F.lit(0)))
+    return (s.select("user_id",
+                     F.length("seq").cast("bigint").alias("n_events"),
+                     n_bb.cast("bigint").alias("n_browse_buy"),
+                     F.size(F.regexp_extract_all(
+                         F.col("seq"), F.lit("e"), F.lit(0)))
+                     .cast("bigint").alias("n_errors"))
+            .filter(n_bb >= 1))
+
+
+@register(
+    "ts_ses_alpha_sweep",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT user_id, ts, event_id, round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ), series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM v GROUP BY user_id
+      HAVING count(*) >= 2
+    ), alphas AS (
+      SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9])::DOUBLE AS alpha
+    ), grid AS (
+      SELECT s.user_id, a.alpha, s.xs, s.n FROM series s, alphas a
+    ), step AS (
+      SELECT user_id, alpha, xs, n, 1 AS k,
+             xs[1]::DOUBLE AS l, 0.0::DOUBLE AS sse
+      FROM grid
+      UNION ALL
+      SELECT user_id, alpha, xs, n, k + 1,
+             l + alpha * (xs[k + 1] - l),
+             sse + (xs[k + 1] - l) * (xs[k + 1] - l)
+      FROM step WHERE k < n
+    ), fin AS (
+      SELECT user_id, alpha,
+             round(sse, 6)::DECIMAL(18,6) AS sse_r
+      FROM step WHERE k = n
+    )
+    SELECT alpha, CAST(count(*) AS BIGINT) AS n_series,
+           CAST(sum(sse_r) AS DOUBLE) AS total_sse
+    FROM fin GROUP BY alpha
+    """)
+def ts_ses_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERPARAMETER SWEEP for simple exponential smoothing — the
+    one-step-ahead SSE of five candidate α values over every series,
+    evaluated in a single job: the α grid is a VALUE-BOUNDED 5-row
+    frame cross-joined onto the assembled per-key series, and the
+    fold lambda reads α as an ordinary column, so one higher-order
+    `aggregate` pass scores all (series × α) cells with no Python
+    and no per-candidate rescan of the fact table (the series
+    assembly — the only corpus-sized shuffle — happens ONCE and is
+    reused by all five folds). This is the pattern any fold-based
+    model selection takes at 100 TB: data shuffles once,
+    hyperparameters ride a tiny broadcast. Per-cell SSE is rounded
+    at 6 dp and summed as DECIMAL(18,6), so the cross-series total
+    is bit-identical in any aggregation order (the pagerank
+    policy); the oracle replays the identical IEEE fold with a
+    recursive CTE over the (user × α) grid."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    series = (e.select("user_id",
+                       F.struct(F.col("ts"), F.col("event_id"),
+                                F.round("value", 6).cast("double")
+                                .alias("x")).alias("s"))
+              .groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 2)
+              .withColumn("xs", F.expr("transform(ss, s -> s.x)")))
+    alphas = spark.createDataFrame(
+        [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "alpha double")
+    grid = series.crossJoin(F.broadcast(alphas))
+    fin = grid.withColumn("st", F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "
+        "named_struct('l', xs[0], 'sse', 0.0D), "
+        "(acc, x) -> named_struct("
+        "'l', acc.l + alpha * (x - acc.l), "
+        "'sse', acc.sse + (x - acc.l) * (x - acc.l)))"))
+    return (fin.select("alpha",
+                       F.round(F.col("st.sse"), 6)
+                       .cast("decimal(18,6)").alias("sse_r"))
+            .groupBy("alpha")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_series"),
+                 F.sum("sse_r").cast("double").alias("total_sse")))

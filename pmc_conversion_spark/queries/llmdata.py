@@ -7754,3 +7754,323 @@ def vocab_spell_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tok_a", "tok_b",
                     F.col("f_a").cast("bigint").alias("f_a"),
                     F.col("f_b").cast("bigint").alias("f_b")))
+
+
+@register(
+    "pipeline_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             ({_MD5_INT60.format(s='tok')}) % 64 AS b
+      FROM (SELECT doc_id, source, lang, unnest({_TOKS}) AS tok
+            FROM documents)
+    ),
+    allb AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+    tgtb AS (SELECT b, count(*) AS c FROM tok WHERE lang = 'en'
+             GROUP BY b),
+    tot AS (SELECT (SELECT sum(c) FROM allb) AS ta,
+                   (SELECT sum(c) FROM tgtb) AS tt),
+    lnr AS (
+      SELECT allb.b,
+             ln((coalesce(tgtb.c, 0) + 1)
+                / CAST(tot.tt + 64 AS DOUBLE))
+             - ln((allb.c + 1) / CAST(tot.ta + 64 AS DOUBLE)) AS r
+      FROM allb LEFT JOIN tgtb ON tgtb.b = allb.b, tot
+    ),
+    w AS (
+      SELECT tok.doc_id, any_value(tok.source) AS source,
+             sum(lnr.r) AS wt
+      FROM tok JOIN lnr ON lnr.b = tok.b
+      GROUP BY tok.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (wt > 0) AS n_selected,
+           round(avg(wt), 6) AS avg_weight
+    FROM w GROUP BY source
+    """)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): score every raw
+    document by the log importance ratio of a TARGET hashed-n-gram
+    language model (here: the English slice) over the RAW-pool model,
+    then keep the positively-weighted docs. Features are hashed
+    unigram buckets (portable md5 hash mod 64 — the same vocabulary-
+    free trick as text_feature_hashing, so the 'LM' is a fixed
+    64-row table no matter how large the corpus); both models are
+    Laplace-smoothed bucket frequencies. The per-doc weight is one
+    broadcast join (64 rows) over the token stream plus a partial-agg
+    sum — no vocabulary shuffle, no per-doc Python — and the report
+    aggregates selection rate per source, which is how a 100 TB
+    curation run would consume it (pick sources, then sample). Spark
+    and DuckDB compute the identical smoothed ln-ratio table, so the
+    oracle is exact at 6 dp."""
+    d = _docs(spark, sf_dir)
+    tok = (d.select("doc_id", "source", "lang",
+                    F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                    .alias("tok"))
+           .withColumn("b", DD.md5_int60(F.col("tok")) % 64)
+           .drop("tok"))
+    allb = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_all"))
+    tgtb = (tok.filter(F.col("lang") == "en")
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt")))
+    tots = (allb.agg(F.sum("c_all").alias("ta"))
+            .crossJoin(tgtb.agg(F.sum("c_tgt").alias("tt"))))
+    lnr = (allb.join(tgtb, "b", "left").crossJoin(F.broadcast(tots))
+           .select("b",
+                   (F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                          / (F.col("tt") + 64).cast("double"))
+                    - F.log((F.col("c_all") + 1)
+                            / (F.col("ta") + 64).cast("double")))
+                   .alias("r")))
+    w = (tok.join(F.broadcast(lnr), "b")
+         .groupBy("doc_id")
+         .agg(F.first("source").alias("source"),
+              F.sum("r").alias("wt")))
+    return (w.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_if(F.col("wt") > 0).alias("n_selected"),
+                 F.round(F.avg("wt"), 6).alias("avg_weight")))
+
+
+@register(
+    "vocab_kneser_ney_bigram",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_TOKS} AS toks FROM documents WHERE len({_TOKS}) >= 2
+    ),
+    bg AS (
+      SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             count(*) AS c
+      FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                     i -> toks[i+1] || ' ' || toks[i+2])) AS b
+            FROM t)
+      GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM bg GROUP BY w1),
+    n1p AS (SELECT w2, count(*) AS n1p FROM bg GROUP BY w2),
+    tot AS (SELECT count(*) AS nb FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+           round((bg.c - 0.75) / c1.c1
+                 + 0.75 * c1.n1f / c1.c1
+                   * (n1p.n1p / CAST(tot.nb AS DOUBLE)), 6) AS p_kn
+    FROM bg JOIN c1 ON c1.w1 = bg.w1
+            JOIN n1p ON n1p.w2 = bg.w2, tot
+    WHERE bg.c >= 20
+    """)
+def vocab_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY smoothed bigram probabilities (fixed
+    discount D=0.75) — the classical n-gram LM estimator whose
+    CONTINUATION probability (how many distinct left-contexts a word
+    follows) famously fixes the 'San Francisco' problem that plain
+    MLE/add-k smoothing has. Everything is exact counting: bigram
+    counts, left-context totals c(w1), follower fan-out N1+(w1,·),
+    continuation fan-in N1+(·,w2), and the distinct-bigram total —
+    five partial-agg shuffles on token keys, each output bounded by
+    vocabulary (not corpus) size, then two vocabulary-keyed joins.
+    The c >= 20 emission threshold bounds the report; at 100 TB the
+    same plan holds because every frame after the first groupBy is
+    vocabulary-sized. Complements vocab_bigram_lm_nll (unsmoothed
+    NLL) with the estimator an actual LM would ship."""
+    d = _docs(spark, sf_dir)
+    t = (d.select(TX.ws_tokens(F.lower(F.col("text"))).alias("toks"))
+         .filter(F.size("toks") >= 2))
+    bg = (t.select(F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i - 1], ' ', toks[i]))")).alias("b"))
+          .select(F.split_part(F.col("b"), F.lit(" "), F.lit(1))
+                  .alias("w1"),
+                  F.split_part(F.col("b"), F.lit(" "), F.lit(2))
+                  .alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    c1 = (bg.groupBy("w1")
+          .agg(F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")))
+    n1p = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tot = bg.agg(F.count(F.lit(1)).alias("nb"))
+    return (bg.filter(F.col("c") >= 20)
+            .join(c1, "w1").join(n1p, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", F.col("c").cast("bigint").alias("c"),
+                    F.round((F.col("c") - 0.75) / F.col("c1")
+                            + 0.75 * F.col("n1f") / F.col("c1")
+                              * (F.col("n1p")
+                                 / F.col("nb").cast("double")), 6)
+                    .alias("p_kn")))
+
+
+@register(
+    "sim_pca_2d",
+    oracle="""
+    WITH s AS (
+      SELECT label, count(*) AS n,
+             sum(embedding[1]::DOUBLE) AS sx,
+             sum(embedding[2]::DOUBLE) AS sy,
+             sum(embedding[1]::DOUBLE * embedding[1]::DOUBLE) AS sxx,
+             sum(embedding[2]::DOUBLE * embedding[2]::DOUBLE) AS syy,
+             sum(embedding[1]::DOUBLE * embedding[2]::DOUBLE) AS sxy
+      FROM embeddings WHERE len(embedding) >= 2
+      GROUP BY label
+    ),
+    c AS (
+      SELECT label, n,
+             (sxx - sx * sx / n) / (n - 1) AS cxx,
+             (syy - sy * sy / n) / (n - 1) AS cyy,
+             (sxy - sx * sy / n) / (n - 1) AS cxy
+      FROM s WHERE n >= 2
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round((cxx + cyy + sqrt((cxx - cyy) * (cxx - cyy)
+                 + 4 * cxy * cxy)) / 2, 6) AS lambda1,
+           round((cxx + cyy - sqrt((cxx - cyy) * (cxx - cyy)
+                 + 4 * cxy * cxy)) / 2, 6) AS lambda2,
+           round((cxx + cyy + sqrt((cxx - cyy) * (cxx - cyy)
+                 + 4 * cxy * cxy)) / (2 * (cxx + cyy)), 6)
+             AS explained_ratio,
+           round(atan2(2 * cxy, cxx - cyy) / 2, 6) AS angle
+    FROM c
+    """)
+def sim_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-FORM 2-D PCA per label over the first two embedding
+    coordinates — the eigendecomposition of a 2×2 covariance matrix
+    has an exact algebraic solution (λ = (tr ± √((cxx−cyy)² +
+    4cxy²))/2, principal angle = atan2(2cxy, cxx−cyy)/2), so the
+    whole decomposition is ONE partial-agg pass over five raw moments
+    plus O(1) per-group algebra — no iterative power method, no
+    driver-side linear-algebra library, no collect. This is the
+    pattern a 100 TB embedding-drift monitor wants: the shuffle
+    carries one 5-number sketch per label regardless of corpus size,
+    and the eigen-geometry (spread anisotropy via explained_ratio,
+    orientation via angle) reads directly off it. Sample covariance
+    (n−1); float→double casts are exact so both engines run the same
+    IEEE sequence, rounded at 6 dp."""
+    e = (tables.load(spark, sf_dir, "embeddings")
+         .filter(F.size("embedding") >= 2)
+         .select("label",
+                 F.col("embedding")[0].cast("double").alias("x"),
+                 F.col("embedding")[1].cast("double").alias("y")))
+    s = (e.groupBy("label")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"))
+         .filter(F.col("n") >= 2))
+    nn = F.col("n")
+    c = s.select(
+        "label", "n",
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / nn) / (nn - 1))
+        .alias("cxx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / nn) / (nn - 1))
+        .alias("cyy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (nn - 1))
+        .alias("cxy"))
+    tr = F.col("cxx") + F.col("cyy")
+    disc = F.sqrt((F.col("cxx") - F.col("cyy"))
+                  * (F.col("cxx") - F.col("cyy"))
+                  + 4 * F.col("cxy") * F.col("cxy"))
+    return c.select(
+        "label", F.col("n").cast("bigint").alias("n"),
+        F.round((tr + disc) / 2, 6).alias("lambda1"),
+        F.round((tr - disc) / 2, 6).alias("lambda2"),
+        F.round((tr + disc) / (2 * tr), 6).alias("explained_ratio"),
+        F.round(F.atan2(2 * F.col("cxy"),
+                        F.col("cxx") - F.col("cyy")) / 2, 6)
+        .alias("angle"))
+
+
+_RAKE_STOPS = ("the", "and", "of", "to", "in", "a", "is", "for",
+               "with", "on", "as", "by", "at", "it", "this", "that",
+               "are", "was", "be", "or")
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(range(len({_TOKS}))) AS pos,
+             unnest({_TOKS}) AS tok
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, pos, tok,
+             tok IN {_RAKE_STOPS!r} AS is_stop,
+             sum(CASE WHEN tok IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM tok
+    ),
+    pw AS (SELECT doc_id, pid, pos, tok FROM seg WHERE NOT is_stop),
+    phrases AS (
+      SELECT doc_id, pid,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words
+      FROM pw GROUP BY doc_id, pid
+    ),
+    ws AS (
+      SELECT pw.tok,
+             count(*) AS freq,
+             sum(phrases.n_words) AS deg
+      FROM pw JOIN phrases ON phrases.doc_id = pw.doc_id
+                          AND phrases.pid = pw.pid
+      GROUP BY pw.tok
+    ),
+    scored AS (
+      SELECT phrases.doc_id, phrases.pid,
+             any_value(phrases.phrase) AS phrase,
+             any_value(phrases.n_words) AS n_words,
+             sum(ws.deg / CAST(ws.freq AS DOUBLE)) AS score
+      FROM phrases JOIN pw ON pw.doc_id = phrases.doc_id
+                          AND pw.pid = phrases.pid
+                   JOIN ws ON ws.tok = pw.tok
+      GROUP BY phrases.doc_id, phrases.pid
+    )
+    SELECT phrase, CAST(any_value(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           round(max(score), 6) AS score
+    FROM scored
+    GROUP BY phrase HAVING count(*) >= 5
+    """)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — candidate phrases
+    are the maximal runs of non-stopword tokens (the gaps-and-islands
+    segmentation: a per-doc running count of stopword delimiters is
+    the phrase id), scored by the classic degree/frequency word
+    statistic where deg(w) sums the lengths of every phrase containing
+    w. All three frames are partial-agg shaped: segmentation windows
+    partition BY DOCUMENT (never global), word stats are
+    vocabulary-bounded, and the phrase table shuffles on (doc, pid).
+    The ≥5-occurrence emission threshold bounds the report the same
+    way vocab_kneser_ney_bigram's count floor does. Phrase scores for
+    identical phrase text are identical by construction (corpus-level
+    word scores), so the cross-occurrence max is deterministic at
+    6 dp."""
+    d = _docs(spark, sf_dir)
+    stops = F.array(*[F.lit(s) for s in _RAKE_STOPS])
+    tok = (d.select("doc_id",
+                    F.posexplode(TX.ws_tokens(F.lower(F.col("text"))))
+                    .alias("pos", "tok")))
+    seg = (tok.withColumn("is_stop", F.array_contains(stops, F.col("tok")))
+           .withColumn("pid", F.sum(F.when(F.col("is_stop"), 1)
+                                    .otherwise(0))
+                       .over(Window.partitionBy("doc_id").orderBy("pos"))))
+    pw = seg.filter(~F.col("is_stop")).select("doc_id", "pid", "pos", "tok")
+    phrases = (pw.groupBy("doc_id", "pid")
+               .agg(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "tok"))),
+                        lambda s: s.tok)).alias("phrase"),
+                    F.count(F.lit(1)).alias("n_words")))
+    ws = (pw.join(phrases.select("doc_id", "pid", "n_words"),
+                  ["doc_id", "pid"])
+          .groupBy("tok")
+          .agg(F.count(F.lit(1)).alias("freq"),
+               F.sum("n_words").alias("deg")))
+    scored = (pw.join(ws, "tok")
+              .groupBy("doc_id", "pid")
+              .agg(F.sum(F.col("deg") / F.col("freq").cast("double"))
+                   .alias("score"))
+              .join(phrases, ["doc_id", "pid"]))
+    return (scored.groupBy("phrase")
+            .agg(F.first("n_words").cast("bigint").alias("n_words"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+                 F.round(F.max("score"), 6).alias("score"))
+            .filter(F.col("n_occ") >= 5))

@@ -782,3 +782,92 @@ def sql_lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY lang
     """)
+
+
+@register(
+    "api_sql_udf_scalar",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     * (1 + l_tax)), 2) AS charged,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE l_extendedprice END), 2) AS net_promo
+    FROM lineitem GROUP BY 1
+    """)
+def api_sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCALAR UDFs (Spark 4 `CREATE FUNCTION … RETURNS … RETURN
+    expr`) — named, reusable business logic that stays ENTIRELY inside
+    Catalyst: the function body is inlined into the calling plan at
+    analysis time, so `charged_price` and `promo_net` below cost
+    exactly what the hand-written expression costs — whole-stage
+    codegen, pushdown, the lot. This is the governance surface a
+    platform team wants at 100 TB: one blessed revenue definition,
+    zero UDF serialization tax (contrast every Python-UDF path, which
+    exits the JVM). The oracle states the inlined algebra directly —
+    which is also a check that inlining preserves semantics."""
+    tables.register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_price(
+            p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE
+        RETURN p * (1 - d) * (1 + t)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION promo_net(
+            p DOUBLE, d DOUBLE) RETURNS DOUBLE
+        RETURN CASE WHEN d > 0.05 THEN p * (1 - d) ELSE p END
+    """)
+    return spark.sql("""
+        SELECT l_returnflag AS returnflag,
+               round(sum(charged_price(l_extendedprice, l_discount,
+                                       l_tax)), 2) AS charged,
+               round(sum(promo_net(l_extendedprice, l_discount)), 2)
+                 AS net_promo
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+@register(
+    "api_sql_table_function",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest(range(0, 4)) AS q
+    ),
+    o AS (
+      SELECT quarter(o_orderdate) - 1 AS q, o_totalprice
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    )
+    SELECT CAST(b.q + 1 AS INT) AS quarter,
+           CAST(count(o.q) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM buckets b LEFT JOIN o ON o.q = b.q
+    GROUP BY b.q
+    """)
+def api_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE functions (Spark 4 `CREATE FUNCTION … RETURNS TABLE`)
+    — set-returning SQL UDFs usable directly in FROM, here generating
+    the dense quarter spine that a zero-fill report joins against
+    (the generator side of the gen_calendar_dim pattern, but packaged
+    as a reusable catalog object instead of inline code). Like scalar
+    SQL UDFs the body inlines into the calling plan — the spine is a
+    4-row local relation, the join broadcasts, and the orders side
+    keeps its pushed filter; nothing about the UDF indirection costs
+    a byte of shuffle. Demonstrates the missing-quarter case staying
+    present with zero revenue (LEFT join from the spine)."""
+    tables.register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION quarter_spine()
+        RETURNS TABLE(q INT)
+        RETURN SELECT explode(sequence(0, 3)) AS q
+    """)
+    return spark.sql("""
+        SELECT CAST(b.q + 1 AS INT) AS quarter,
+               CAST(count(o.q) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+        FROM quarter_spine() b
+        LEFT JOIN (
+          SELECT quarter(o_orderdate) - 1 AS q, o_totalprice
+          FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        ) o ON o.q = b.q
+        GROUP BY b.q
+    """)

@@ -1441,3 +1441,105 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_rows"))
             .drop("grp")
             .orderBy("island_start").limit(50))
+
+
+@register(
+    "dq_js_divergence_drift",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'ref' ELSE 'cur' END AS side,
+             event_type,
+             CAST(hour(ts) AS VARCHAR) AS hr
+      FROM events
+    ),
+    f AS (
+      SELECT 'event_type' AS feature, side, event_type AS k, count(*) AS n
+      FROM lab GROUP BY 2, 3
+      UNION ALL
+      SELECT 'hour_of_day', side, hr, count(*) FROM lab GROUP BY 2, 3
+    ),
+    tot AS (
+      SELECT feature, side, sum(n) AS t FROM f GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT f.feature, f.k,
+             coalesce(sum(CASE WHEN f.side = 'ref'
+                               THEN f.n / CAST(tot.t AS DOUBLE) END), 0)
+               AS pa,
+             coalesce(sum(CASE WHEN f.side = 'cur'
+                               THEN f.n / CAST(tot.t AS DOUBLE) END), 0)
+               AS pb
+      FROM f JOIN tot ON tot.feature = f.feature AND tot.side = f.side
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT feature,
+             CASE WHEN pa > 0
+                  THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+             + CASE WHEN pb > 0
+                    THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END
+               AS term
+      FROM p
+    )
+    SELECT feature, CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(term), 6) AS jsd,
+           CASE WHEN sum(term) < 0.02 THEN 'stable'
+                WHEN sum(term) < 0.1 THEN 'moderate_shift'
+                ELSE 'major_shift' END AS verdict
+    FROM terms GROUP BY feature
+    """)
+def dq_js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence drift check between the reference
+    window (first half-month) and the current window, per monitored
+    feature — the symmetric, bounded-[0, ln 2] cousin of dq_psi_drift's
+    PSI that never blows up on a bin one side lacks (KL against the
+    MIXTURE is always finite), which is exactly why production drift
+    monitors (Evidently, whylogs) default to it for categorical
+    features. One labeled pass builds both feature histograms
+    (event_type, hour-of-day) via a unioned partial-agg; probabilities
+    and the 0.5·KL(P‖M) + 0.5·KL(Q‖M) terms are per-bin algebra over
+    the bin-bounded frame; the shuffle payload is bin-counts, never
+    rows, so a 100 TB event store monitors for the cost of one scan.
+    Zero-mass bins contribute exactly their finite one-sided term (the
+    0·ln 0 = 0 convention, stated identically on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    lab = e.select(
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+               F.lit("ref")).otherwise(F.lit("cur")).alias("side"),
+        F.col("event_type"),
+        F.hour("ts").cast("string").alias("hr"))
+    f = (lab.groupBy("side", F.col("event_type").alias("k"))
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("event_type").alias("feature"), "side", "k", "n")
+         .unionByName(
+             lab.groupBy("side", F.col("hr").alias("k"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("hour_of_day").alias("feature"),
+                     "side", "k", "n")))
+    tot = f.groupBy("feature", "side").agg(F.sum("n").alias("t"))
+    p = (f.join(tot, ["feature", "side"])
+         .groupBy("feature", "k")
+         .agg(F.coalesce(F.sum(F.when(F.col("side") == "ref",
+                                      F.col("n") / F.col("t")
+                                      .cast("double"))), F.lit(0.0))
+              .alias("pa"),
+              F.coalesce(F.sum(F.when(F.col("side") == "cur",
+                                      F.col("n") / F.col("t")
+                                      .cast("double"))), F.lit(0.0))
+              .alias("pb")))
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (F.when(F.col("pa") > 0,
+                   0.5 * F.col("pa") * F.log(F.col("pa") / m))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("pb") > 0,
+                     0.5 * F.col("pb") * F.log(F.col("pb") / m))
+            .otherwise(F.lit(0.0)))
+    terms = p.select("feature", term.alias("term"))
+    jsd = F.sum("term")
+    return (terms.groupBy("feature")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                 F.round(jsd, 6).alias("jsd"),
+                 F.when(jsd < 0.02, F.lit("stable"))
+                 .when(jsd < 0.1, F.lit("moderate_shift"))
+                 .otherwise(F.lit("major_shift")).alias("verdict")))

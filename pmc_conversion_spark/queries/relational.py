@@ -5053,3 +5053,153 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (n * F.sum(F.col("lp") * F.col("lp"))
                             - F.sum("lp") * F.sum("lp")), 4)
                  .alias("elasticity")))
+
+
+@register(
+    "agg_ols_std_beta",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS returnflag,
+             count(*) AS n,
+             sum(l_quantity) AS s1, sum(l_quantity * l_quantity) AS s11,
+             sum(l_discount) AS s2, sum(l_discount * l_discount) AS s22,
+             sum(l_extendedprice) AS sy,
+             sum(l_extendedprice * l_extendedprice) AS syy,
+             sum(l_quantity * l_discount) AS s12,
+             sum(l_quantity * l_extendedprice) AS s1y,
+             sum(l_discount * l_extendedprice) AS s2y
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT returnflag, n,
+             (n * s12 - s1 * s2)
+               / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) AS r12,
+             (n * s1y - s1 * sy)
+               / sqrt((n * s11 - s1 * s1) * (n * syy - sy * sy)) AS r1y,
+             (n * s2y - s2 * sy)
+               / sqrt((n * s22 - s2 * s2) * (n * syy - sy * sy)) AS r2y
+      FROM s
+    )
+    SELECT returnflag, CAST(n AS BIGINT) AS n,
+           round((r1y - r12 * r2y) / (1 - r12 * r12), 6) AS beta_qty,
+           round((r2y - r12 * r1y) / (1 - r12 * r12), 6) AS beta_disc,
+           round(((r1y - r12 * r2y) / (1 - r12 * r12)) * r1y
+                 + ((r2y - r12 * r1y) / (1 - r12 * r12)) * r2y, 6)
+             AS r_squared
+    FROM r
+    """)
+def agg_ols_std_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-FEATURE multiple regression per group, reported as
+    STANDARDIZED beta weights — price regressed on quantity and
+    discount. The normal equations for standardized variables involve
+    only the three pairwise CORRELATIONS (β₁ = (r₁y − r₁₂r₂y)/(1 −
+    r₁₂²)), so the whole fit is one partial-agg pass over eleven raw
+    moments followed by O(1) closed-form algebra per group — the
+    map-side-combine shape that runs at any scale, vs the naive
+    gradient-descent or matrix-library detour. Standardization is
+    deliberate numerics, not just statistics: every intermediate is a
+    dimensionless O(1) ratio, so the cross-engine IEEE agreement holds
+    to ~1e-12 and the 6 dp rounding is safe where raw-unit
+    coefficients (thousands of dollars per unit discount) would
+    amplify partial-sum ordering noise past the rounding boundary.
+    R² = β₁r₁y + β₂r₂y falls out for free. Extends agg_trend_slope /
+    agg_price_elasticity (univariate) to the multivariate normal-
+    equation form."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s = (li.groupBy(F.col("l_returnflag").alias("returnflag"))
+         .agg(n.alias("n"),
+              F.sum("l_quantity").alias("s1"),
+              F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s11"),
+              F.sum("l_discount").alias("s2"),
+              F.sum(F.col("l_discount") * F.col("l_discount")).alias("s22"),
+              F.sum("l_extendedprice").alias("sy"),
+              F.sum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+              .alias("syy"),
+              F.sum(F.col("l_quantity") * F.col("l_discount")).alias("s12"),
+              F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+              .alias("s1y"),
+              F.sum(F.col("l_discount") * F.col("l_extendedprice"))
+              .alias("s2y")))
+    nn = F.col("n")
+    r12 = ((nn * F.col("s12") - F.col("s1") * F.col("s2"))
+           / F.sqrt((nn * F.col("s11") - F.col("s1") * F.col("s1"))
+                    * (nn * F.col("s22") - F.col("s2") * F.col("s2"))))
+    r1y = ((nn * F.col("s1y") - F.col("s1") * F.col("sy"))
+           / F.sqrt((nn * F.col("s11") - F.col("s1") * F.col("s1"))
+                    * (nn * F.col("syy") - F.col("sy") * F.col("sy"))))
+    r2y = ((nn * F.col("s2y") - F.col("s2") * F.col("sy"))
+           / F.sqrt((nn * F.col("s22") - F.col("s2") * F.col("s2"))
+                    * (nn * F.col("syy") - F.col("sy") * F.col("sy"))))
+    r = s.select("returnflag", "n",
+                 r12.alias("r12"), r1y.alias("r1y"), r2y.alias("r2y"))
+    b1 = (F.col("r1y") - F.col("r12") * F.col("r2y")) \
+        / (1 - F.col("r12") * F.col("r12"))
+    b2 = (F.col("r2y") - F.col("r12") * F.col("r1y")) \
+        / (1 - F.col("r12") * F.col("r12"))
+    return r.select("returnflag", F.col("n").cast("bigint").alias("n"),
+                    F.round(b1, 6).alias("beta_qty"),
+                    F.round(b2, 6).alias("beta_disc"),
+                    F.round(b1 * F.col("r1y") + b2 * F.col("r2y"), 6)
+                    .alias("r_squared"))
+
+
+@register(
+    "agg_tukey_hsd",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS grp, count(*) AS n,
+             avg(l_extendedprice) AS m,
+             var_samp(l_extendedprice) AS s2
+      FROM lineitem GROUP BY 1
+    ),
+    pool AS (
+      SELECT sum((n - 1) * s2) / sum(n - 1) AS msw FROM g
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m - b.m, 4) AS mean_diff,
+           round(sqrt(pool.msw / 2
+                      * (1.0 / a.n + 1.0 / b.n)), 4) AS se,
+           round(abs(a.m - b.m)
+                 / sqrt(pool.msw / 2
+                        * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
+    FROM g a JOIN g b ON a.grp < b.grp, pool
+    """)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY'S HSD pairwise comparisons — the post-hoc step after
+    agg_anova_oneway says 'the groups differ': WHICH pairs differ,
+    via the studentized-range statistic q = |m̄ᵢ−m̄ⱼ| / √(MSW/2 ·
+    (1/nᵢ+1/nⱼ)) with the variance POOLED across all groups (that
+    pooling — borrowing strength from every group — is what makes it
+    HSD rather than a pile of t-tests with inflated family-wise
+    error). The plan is the bounded-domain pattern at its purest:
+    one partial-agg pass collapses the fact table to k group
+    sketches (count/mean/variance), the pooled MSW is a 1-row
+    broadcast, and the pairwise frame is the k×k self-join of a
+    k-row frame — the quadratic lives on the GROUP domain, never the
+    data. var_samp on both engines; 4 dp (dollar-scale means, same
+    policy as the t-test family)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    g = (li.groupBy(F.col("l_returnflag").alias("grp"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.avg("l_extendedprice").alias("m"),
+              F.var_samp("l_extendedprice").alias("s2")))
+    pool = g.agg((F.sum((F.col("n") - 1) * F.col("s2"))
+                  / F.sum(F.col("n") - 1)).alias("msw"))
+    a = g.select(F.col("grp").alias("grp_a"), F.col("n").alias("n_a"),
+                 F.col("m").alias("m_a"))
+    b = g.select(F.col("grp").alias("grp_b"), F.col("n").alias("n_b"),
+                 F.col("m").alias("m_b"))
+    se = F.sqrt(F.col("msw") / 2
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return (a.join(b, F.col("grp_a") < F.col("grp_b"))
+            .crossJoin(F.broadcast(pool))
+            .select("grp_a", "grp_b",
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.round(F.col("m_a") - F.col("m_b"), 4)
+                    .alias("mean_diff"),
+                    F.round(se, 4).alias("se"),
+                    F.round(F.abs(F.col("m_a") - F.col("m_b")) / se, 4)
+                    .alias("q_stat")))

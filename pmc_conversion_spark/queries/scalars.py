@@ -1039,3 +1039,45 @@ def f_snowflake_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_d.alias("seq_decoded"),
         ((ms_d == F.col("ms")) & (worker_d == F.col("worker"))
          & (seq_d == F.col("seq"))).alias("roundtrip_ok"))
+
+
+@register(
+    "f_jaro_winkler",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM names a JOIN names b ON a.p_name < b.p_name
+    )
+    SELECT name_a, name_b,
+           round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+    FROM pairs
+    WHERE round(jaro_winkler_similarity(name_a, name_b), 4) >= 0.7
+    """)
+def f_jaro_winkler(spark, sf_dir: str):
+    """JARO-WINKLER similarity over every distinct part-name pair —
+    the record-linkage string comparator (match window + transposition
+    count + Winkler common-prefix boost) that neither Spark nor ANSI
+    SQL ships as a built-in. Implemented as an Arrow-batched pandas
+    UDF (functions/text.py jaro_winkler_pairs_udf — the sanctioned
+    Python surface, never row-at-a-time); the DuckDB oracle calls its
+    NATIVE jaro_winkler_similarity, making this gate a true
+    cross-implementation check: a Python re-derivation of the
+    algorithm must agree with DuckDB's independent C++ one to 4 dp on
+    every pair, including the boost-threshold and zero-match-window
+    edge cases. The pair frame is the DISTINCT attribute domain
+    (partial-agg first, 64 names → ~2k pairs), so the quadratic stays
+    on the value domain, never the row count — the same bounded-domain
+    discipline as vocab_spell_variants, and the scale reason this is
+    a broadcast nested-loop over a tiny frame at 100 TB."""
+    from pmc_conversion_spark.functions.text import jaro_winkler_pairs_udf
+    jw = jaro_winkler_pairs_udf()
+    names = (tables.load(spark, sf_dir, "part")
+             .select("p_name").distinct())
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(b, F.col("name_a") < F.col("name_b"))
+    scored = pairs.select(
+        "name_a", "name_b",
+        F.round(jw(F.col("name_a"), F.col("name_b")), 4).alias("jw"))
+    return scored.filter(F.col("jw") >= 0.7)
