@@ -4255,3 +4255,127 @@ def ts_ses_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("alpha")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_series"),
                  F.sum("sse_r").cast("double").alias("total_sse")))
+
+
+@register(
+    "agg_gmm_em_step",
+    oracle="""
+    WITH v AS (
+      SELECT value AS x FROM events WHERE value IS NOT NULL
+    ),
+    resp AS (
+      SELECT x,
+             (0.5 * exp(-(x - 75.0) * (x - 75.0) / (2.0 * 400.0)))
+             / (0.5 * exp(-(x - 25.0) * (x - 25.0) / (2.0 * 400.0))
+                + 0.5 * exp(-(x - 75.0) * (x - 75.0) / (2.0 * 400.0)))
+               AS r
+      FROM v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(r) / count(*), 6) AS pi2_new,
+           round(sum((1 - r) * x) / sum(1 - r), 6) AS mu1_new,
+           round(sum(r * x) / sum(r), 6) AS mu2_new,
+           round(sqrt(sum((1 - r) * x * x) / sum(1 - r)
+                      - (sum((1 - r) * x) / sum(1 - r))
+                        * (sum((1 - r) * x) / sum(1 - r))), 6)
+             AS sigma1_new
+    FROM resp
+    """)
+def agg_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXPECTATION-MAXIMIZATION step for a 2-component Gaussian
+    mixture on the event-value distribution — the E-step
+    responsibilities are CLOSED-FORM per row (softmax of two
+    log-densities; fixed current params μ=(25,75), σ=20, π=0.5, so
+    the step is deterministic and exactly replayable), and the
+    M-step is nothing but WEIGHTED partial-agg moments: π' = Σr/n,
+    μ'ₖ = Σrx/Σr. That is the whole scale story of EM on a cluster —
+    every iteration is one map-side-weighted aggregation pass, state
+    is a handful of scalars, and a full fit is this op in a short
+    driver loop (the graph_pagerank iteration discipline applied to
+    ML fitting). σ₁' uses the μ₁'-centered second moment in one
+    window-free identity pass."""
+    e = (_events(spark, sf_dir).filter(F.col("value").isNotNull())
+         .select(F.col("value").alias("x")))
+    d1 = F.exp(-(F.col("x") - 25.0) * (F.col("x") - 25.0)
+               / (2.0 * 400.0))
+    d2 = F.exp(-(F.col("x") - 75.0) * (F.col("x") - 75.0)
+               / (2.0 * 400.0))
+    resp = e.select("x", (0.5 * d2 / (0.5 * d1 + 0.5 * d2)).alias("r"))
+    s = resp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum((1 - F.col("r")) * F.col("x")).alias("s1x"),
+        F.sum(F.col("r") * F.col("x")).alias("s2x"),
+        F.sum(1 - F.col("r")).alias("s1"),
+        F.sum((1 - F.col("r")) * F.col("x") * F.col("x")).alias("s1xx"))
+    mu1 = F.col("s1x") / F.col("s1")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sr") / F.col("n"), 6).alias("pi2_new"),
+        F.round(mu1, 6).alias("mu1_new"),
+        F.round(F.col("s2x") / F.col("sr"), 6).alias("mu2_new"),
+        F.round(F.sqrt(F.col("s1xx") / F.col("s1") - mu1 * mu1), 6)
+        .alias("sigma1_new"))
+
+
+@register(
+    "agg_capture_recapture",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    s AS (
+      SELECT (SELECT count(*) FROM w1) AS n1,
+             (SELECT count(*) FROM w2) AS n2,
+             (SELECT count(*) FROM w1 JOIN w2 USING (user_id)) AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_first,
+           CAST(n2 AS BIGINT) AS n_second,
+           CAST(m AS BIGINT) AS n_recaptured,
+           round(n1 * CAST(n2 AS DOUBLE) / m, 4) AS lincoln_petersen,
+           round((n1 + 1) * CAST(n2 + 1 AS DOUBLE) / (m + 1) - 1, 4)
+             AS chapman,
+           round(sqrt((n1 + 1.0) * (n2 + 1) * (n1 - m)
+                      * (CAST(n2 AS DOUBLE) - m)
+                      / ((m + 1.0) * (m + 1) * (m + 2))), 4)
+             AS chapman_se
+    FROM s
+    """)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE–RECAPTURE population estimation (Lincoln–Petersen +
+    the bias-corrected Chapman estimator with its SE) — the ecology
+    method that answers a data-platform question nothing else here
+    does: how many TOTAL users/entities exist, including the ones we
+    have never observed, from the overlap of two observation windows
+    (N̂ = n₁n₂/m: if the second sample recaptures half of the first,
+    we have seen half the population). The same estimator sizes
+    hidden duplicate populations and un-crawled corpus mass. Two
+    DISTINCT passes + one semi-join-shaped overlap count — all
+    partial-agg/shuffle-on-key shapes; output is one row of
+    scalars."""
+    e = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w1 = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    w2 = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+    s = (w1.agg(F.count(F.lit(1)).alias("n1"))
+         .crossJoin(w2.agg(F.count(F.lit(1)).alias("n2")))
+         .crossJoin(w1.join(w2, "user_id")
+                    .agg(F.count(F.lit(1)).alias("m"))))
+    n1c, n2c, mc = F.col("n1"), F.col("n2"), F.col("m")
+    return s.select(
+        n1c.cast("bigint").alias("n_first"),
+        n2c.cast("bigint").alias("n_second"),
+        mc.cast("bigint").alias("n_recaptured"),
+        F.round(n1c * n2c.cast("double") / mc, 4)
+        .alias("lincoln_petersen"),
+        F.round((n1c + 1) * (n2c + 1).cast("double") / (mc + 1) - 1, 4)
+        .alias("chapman"),
+        F.round(F.sqrt((n1c + 1.0) * (n2c + 1) * (n1c - mc)
+                       * (n2c.cast("double") - mc)
+                       / ((mc + 1.0) * (mc + 1) * (mc + 2))), 4)
+        .alias("chapman_se"))

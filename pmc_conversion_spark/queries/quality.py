@@ -1543,3 +1543,55 @@ def dq_js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(jsd < 0.02, F.lit("stable"))
                  .when(jsd < 0.1, F.lit("moderate_shift"))
                  .otherwise(F.lit("major_shift")).alias("verdict")))
+
+
+@register(
+    "dq_dp_sensitivity_audit",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             count(*) AS k,
+             sum(abs(coalesce(value, 0))) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(k) AS BIGINT) AS count_sensitivity,
+           round(max(sv), 6) AS sum_sensitivity,
+           round(max(k) / 1.0, 6) AS laplace_b_count_eps1,
+           round(max(sv) / 1.0, 6) AS laplace_b_sum_eps1,
+           round(avg(k), 6) AS avg_user_rows,
+           round(max(k) / avg(k), 6) AS contribution_skew
+    FROM per_user GROUP BY event_type
+    """)
+def dq_dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY sensitivity audit — the DETERMINISTIC
+    half of releasing DP aggregates (the noise draw itself is random
+    and belongs at release time; what the pipeline must compute is
+    the L1 SENSITIVITY the noise scale depends on): for each
+    per-event-type count and sum release, the max rows and max
+    absolute value-mass any single user contributes, hence the
+    Laplace scale b = Δ/ε (ε=1 shown). The contribution-skew column
+    is the practical red flag: when max/avg user contribution is
+    large, naive user-level DP destroys utility and the pipeline
+    should CLAMP contributions first — this audit is how you pick
+    the clamp. Completes the privacy family next to dq_k_anonymity /
+    dq_l_diversity (re-identification) with the query-release side.
+    One partial-agg pass to user cells, one to the type rollup —
+    max/avg are partial-aggregable, nothing global."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (e.groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).alias("k"),
+                     F.sum(F.abs(F.coalesce(F.col("value"), F.lit(0.0))))
+                     .alias("sv")))
+    return (per_user.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.max("k").cast("bigint").alias("count_sensitivity"),
+                 F.round(F.max("sv"), 6).alias("sum_sensitivity"),
+                 F.round(F.max("k") / 1.0, 6)
+                 .alias("laplace_b_count_eps1"),
+                 F.round(F.max("sv") / 1.0, 6)
+                 .alias("laplace_b_sum_eps1"),
+                 F.round(F.avg("k"), 6).alias("avg_user_rows"),
+                 F.round(F.max("k") / F.avg("k"), 6)
+                 .alias("contribution_skew")))

@@ -5203,3 +5203,350 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(se, 4).alias("se"),
                     F.round(F.abs(F.col("m_a") - F.col("m_b")) / se, 4)
                     .alias("q_stat")))
+
+
+# Abramowitz & Stegun 7.1.26 erf approximation (|err| < 1.5e-7),
+# stated ONCE and rendered into both engines so the polynomial, its
+# coefficient literals, and the evaluation order are identical IEEE.
+_AS_ERF = ("(1.0 - (((((1.061405429 * {t} - 1.453152027) * {t}) "
+           "+ 1.421413741) * {t} - 0.284496736) * {t} + 0.254829592) "
+           "* {t} * exp(-({x}) * ({x})))")
+_AS_T = "(1.0 / (1.0 + 0.3275911 * ({x})))"
+
+
+def _phi_2sided_sql(z: str) -> str:
+    """two-sided normal p-value 2·(1−Φ(|z|)) via the A&S erf form."""
+    ax = f"(abs({z}) / sqrt(2.0))"
+    t = _AS_T.format(x=ax)
+    erf = _AS_ERF.format(t=t, x=ax)
+    return f"(1.0 - {erf})"
+
+
+@register(
+    "agg_bh_fdr",
+    oracle=f"""
+    WITH g AS (
+      SELECT n.n_name AS nation,
+             count(*) AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(x) / CAST(sum(n) AS DOUBLE) AS p0 FROM g),
+    z AS (
+      SELECT nation, n, x,
+             (x / CAST(n AS DOUBLE) - p0)
+               / sqrt(p0 * (1 - p0) / n) AS z
+      FROM g, tot
+    ),
+    p AS (
+      SELECT nation, n, z,
+             {_phi_2sided_sql('z')} AS pval
+      FROM z
+    ),
+    r AS (
+      SELECT nation, n, z, pval,
+             row_number() OVER (ORDER BY pval, nation) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    cut AS (
+      SELECT *, max(CASE WHEN pval <= rk * 0.1 / m THEN rk ELSE 0 END)
+                  OVER () AS k
+      FROM r
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n,
+           round(z, 6) AS z, round(pval, 6) AS pval,
+           CAST(rk AS BIGINT) AS rk,
+           round(rk * 0.1 / m, 6) AS bh_threshold,
+           rk <= k AS significant
+    FROM cut
+    """)
+def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG false-discovery-rate control over a FAMILY
+    of hypothesis tests — 25 per-nation two-proportion z-tests of
+    return rate vs the global rate, corrected the way any serious
+    metrics platform must when it fires dozens of tests per day
+    (Bonferroni is too blunt; uncorrected p<0.05 fires ~1 false alarm
+    per screen). The fact-table work is ONE partial-agg pass; the BH
+    step-up (sort p-values, find the largest k with p₍ₖ₎ ≤ k·q/m,
+    reject all below) runs entirely on the 25-row GROUP-DOMAIN frame,
+    where unpartitioned windows are free by construction — the same
+    bounded-frame discipline as agg_tukey_hsd. The normal CDF uses
+    the Abramowitz–Stegun 7.1.26 erf polynomial, stated once and
+    rendered into BOTH engines so the IEEE sequence is identical
+    (Spark has no native erf). q = 0.1."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    g = (li.join(o, o.o_orderkey == li.l_orderkey)
+         .join(c, c.c_custkey == o.o_custkey)
+         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+         .groupBy(F.col("n_name").alias("nation"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("x")))
+    tot = g.agg((F.sum("x") / F.sum("n").cast("double")).alias("p0"))
+    z = (g.crossJoin(F.broadcast(tot))
+         .select("nation", "n",
+                 ((F.col("x") / F.col("n").cast("double") - F.col("p0"))
+                  / F.sqrt(F.col("p0") * (1 - F.col("p0"))
+                           / F.col("n"))).alias("z")))
+    p = z.withColumn("pval", F.expr(_phi_2sided_sql("z")))
+    w = Window.orderBy("pval", "nation")
+    r = (p.withColumn("rk", F.row_number().over(w))
+         .withColumn("m", F.count(F.lit(1)).over(
+             Window.partitionBy())))
+    cut = r.withColumn(
+        "k", F.max(F.when(F.col("pval") <= F.col("rk") * 0.1
+                          / F.col("m"), F.col("rk")).otherwise(0))
+        .over(Window.partitionBy()))
+    return cut.select(
+        "nation", F.col("n").cast("bigint").alias("n"),
+        F.round("z", 6).alias("z"), F.round("pval", 6).alias("pval"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.round(F.col("rk") * 0.1 / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("rk") <= F.col("k")).alias("significant"))
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, l.l_suppkey AS suppkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT regionkey, sum(r) AS t, count(*) AS n_sup,
+             max(r) AS top_r
+      FROM rev GROUP BY 1
+    )
+    SELECT r.r_name AS region,
+           CAST(t.n_sup AS BIGINT) AS n_suppliers,
+           round(sum((rev.r / t.t) * (rev.r / t.t)) * 10000, 4)
+             AS hhi,
+           round(t.top_r / t.t, 6) AS top_share,
+           CASE WHEN sum((rev.r / t.t) * (rev.r / t.t)) * 10000
+                     > 2500 THEN 'high'
+                WHEN sum((rev.r / t.t) * (rev.r / t.t)) * 10000
+                     > 1500 THEN 'moderate'
+                ELSE 'competitive' END AS concentration
+    FROM rev
+    JOIN tot t ON t.regionkey = rev.regionkey
+    JOIN region r ON r.r_regionkey = rev.regionkey
+    GROUP BY r.r_name, t.n_sup, t.top_r, t.t
+    """)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN market-concentration index per region —
+    the antitrust-desk number (Σ of squared supplier revenue shares ×
+    10000, DOJ bands at 1500/2500) that completes the inequality
+    family next to agg_gini_revenue / agg_theil_index /
+    agg_lorenz_curve: Gini ranks households, HHI flags oligopoly. Two
+    stacked partial aggs (supplier revenue, then region totals) and a
+    region-keyed join — every frame after the first groupBy is
+    supplier- or region-bounded, nothing global. Shares are exact-sum
+    ratios; 4 dp on the 0–10000 index."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    rev = (li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+           .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+           .groupBy(F.col("n_regionkey").alias("regionkey"),
+                    F.col("l_suppkey").alias("suppkey"))
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("r")))
+    tot = (rev.groupBy("regionkey")
+           .agg(F.sum("r").alias("t"),
+                F.count(F.lit(1)).alias("n_sup"),
+                F.max("r").alias("top_r")))
+    share2 = (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
+    hhi = F.sum(share2) * 10000
+    return (rev.join(F.broadcast(tot), "regionkey")
+            .join(F.broadcast(r.select(F.col("r_regionkey")
+                                       .alias("regionkey"),
+                                       F.col("r_name").alias("region"))),
+                  "regionkey")
+            .groupBy("region", "n_sup", "top_r", "t")
+            .agg(F.round(hhi, 4).alias("hhi"),
+                 F.when(hhi > 2500, F.lit("high"))
+                 .when(hhi > 1500, F.lit("moderate"))
+                 .otherwise(F.lit("competitive")).alias("concentration"))
+            .select("region",
+                    F.col("n_sup").cast("bigint").alias("n_suppliers"),
+                    "hhi",
+                    F.round(F.col("top_r") / F.col("t"), 6)
+                    .alias("top_share"),
+                    "concentration"))
+
+
+@register(
+    "agg_eb_beta_shrinkage",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+             count(*) AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    fit AS (
+      SELECT avg(x / CAST(n AS DOUBLE)) AS m,
+             var_samp(x / CAST(n AS DOUBLE)) AS v
+      FROM cr
+    ),
+    ab AS (
+      SELECT m, v,
+             m * (m * (1 - m) / v - 1) AS alpha,
+             (1 - m) * (m * (1 - m) / v - 1) AS beta
+      FROM fit
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(any_value(alpha), 6) AS alpha,
+           round(any_value(beta), 6) AS beta,
+           round(avg(x / CAST(n AS DOUBLE)), 6) AS avg_raw_rate,
+           round(avg((x + alpha) / (n + alpha + beta)), 6)
+             AS avg_shrunk_rate,
+           round(avg(n / (n + alpha + beta)), 6) AS avg_weight_on_data
+    FROM cr, ab GROUP BY seg
+    """)
+def agg_eb_beta_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES beta-binomial shrinkage of per-customer return
+    rates — the conversion-rate twin of agg_bayes_shrunk_means
+    (which shrinks MEANS under a normal prior): fit Beta(α, β) to the
+    observed rate distribution by METHOD OF MOMENTS (α = m·c,
+    β = (1−m)·c, c = m(1−m)/v − 1 — closed form, no likelihood loop),
+    then shrink every customer toward the prior mean with weight
+    n/(n+α+β) — small-sample customers pulled hard, heavy buyers
+    barely moved. This is the estimator behind every 'sorted by
+    rating' list that doesn't put a 1-review 5-star item first. One
+    partial-agg pass to customer cells, a 1-row moment fit broadcast
+    back, and a segment rollup — rate algebra on exact count ratios,
+    6 dp."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    cr = (li.join(o, o.o_orderkey == li.l_orderkey)
+          .join(c, c.c_custkey == o.o_custkey)
+          .groupBy(F.col("c_mktsegment").alias("seg"),
+                   F.col("o_custkey").alias("cust"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                     .otherwise(0)).alias("x"))
+          .filter(F.col("n") >= 5))
+    rate = F.col("x") / F.col("n").cast("double")
+    fit = cr.agg(F.avg(rate).alias("m"), F.var_samp(rate).alias("v"))
+    cfac = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ab = fit.select("m", "v", (F.col("m") * cfac).alias("alpha"),
+                    ((1 - F.col("m")) * cfac).alias("beta"))
+    j = cr.crossJoin(F.broadcast(ab))
+    return (j.groupBy("seg")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.round(F.first("alpha"), 6).alias("alpha"),
+                 F.round(F.first("beta"), 6).alias("beta"),
+                 F.round(F.avg(rate), 6).alias("avg_raw_rate"),
+                 F.round(F.avg((F.col("x") + F.col("alpha"))
+                               / (F.col("n") + F.col("alpha")
+                                  + F.col("beta"))), 6)
+                 .alias("avg_shrunk_rate"),
+                 F.round(F.avg(F.col("n")
+                               / (F.col("n") + F.col("alpha")
+                                  + F.col("beta"))), 6)
+                 .alias("avg_weight_on_data")))
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c2
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT v, c1, c2, c1 + c2 AS c,
+             coalesce(sum(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM h
+    ),
+    s AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c) AS n,
+             sum(c1 * (cum_before + (c + 1) / 2.0)) AS r1,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+           round(n1 * CAST(n2 AS DOUBLE) / 2.0, 4) AS mu_u,
+           round(sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                 * ((n + 1) - tie_term
+                    / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS sigma_u,
+           round(((r1 - n1 * (n1 + 1) / 2.0)
+                  - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                   * ((n + 1) - tie_term
+                      / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z
+    FROM s
+    """)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U (Wilcoxon rank-sum) — the nonparametric
+    two-sample test the t-test family can't replace when the
+    distribution is skewed — computed WITHOUT EVER RANKING ROWS: on
+    a value-bounded domain (quantities 1..50), midranks are pure
+    algebra over the per-value HISTOGRAM (avg rank of value v =
+    count-below + (tie-count+1)/2), so the plan is one partial-agg
+    histogram pass plus a 50-row bounded-frame prefix sum — where the
+    textbook implementation global-sorts the fact table. Tie
+    correction Σ(t³−t) included exactly (with 50 distinct values
+    everything is tied; uncorrected σ would be badly wrong). The
+    normal-approximation z completes the nonparametric family next
+    to agg_ks_test (distribution shape) and agg_welch_ttest
+    (parametric means)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.filter(F.col("l_returnflag").isin("R", "N"))
+         .groupBy(F.col("l_quantity").alias("v"))
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("c1"),
+              F.sum(F.when(F.col("l_returnflag") == "N", 1)
+                    .otherwise(0)).alias("c2")))
+    c = F.col("c1") + F.col("c2")
+    r = h.select(
+        "v", "c1", "c2", c.alias("c"),
+        F.coalesce(F.sum(c).over(
+            Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("cum_before"))
+    s = r.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c1") * (F.col("cum_before")
+                             + (F.col("c") + 1) / 2.0)).alias("r1"),
+        F.sum(F.col("c").cast("double") * F.col("c") * F.col("c")
+              - F.col("c")).alias("tie_term"))
+    n1d = F.col("n1") * F.col("n2").cast("double")
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sig = F.sqrt(n1d / 12.0
+                 * ((F.col("n") + 1) - F.col("tie_term")
+                    / (F.col("n").cast("double") * (F.col("n") - 1))))
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(u, 4).alias("u_stat"),
+        F.round(n1d / 2.0, 4).alias("mu_u"),
+        F.round(sig, 6).alias("sigma_u"),
+        F.round((u - n1d / 2.0) / sig, 6).alias("z"))

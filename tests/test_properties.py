@@ -269,7 +269,13 @@ def test_partitioning_invariance_representative_ops(spark):
              "dq_psi_drift", "agg_gtest_mi", "agg_covisitation_topk",
              "pipeline_contrastive_triplets", "agg_uplift_qini",
              "mm_audio_neardup_energy", "agg_tail_risk",
-             "pipeline_e2e_llm_capstone", "agg_spearman_rank_corr"]
+             "pipeline_e2e_llm_capstone", "agg_spearman_rank_corr",
+             # round-5 wave 2: state-space/fold recurrences, iterative
+             # decimal-normalized scores, token-hash LM ratios,
+             # pandas-UDF pair scoring, regex sequence encodes
+             "ts_kalman_1d", "ts_ses_alpha_sweep", "graph_hits",
+             "pipeline_dsir_select", "f_jaro_winkler",
+             "agg_seq_pattern_count", "text_rake_keywords"]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

