@@ -1322,3 +1322,85 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("score_x1000"))
     return (out_h.unionByName(out_a)
             .filter(F.col("score_x1000") >= 1.2))
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@register(
+    "f_geohash_encode",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ((c_custkey % 160) - 79.5) * 0.01 AS lat,
+             ((c_custkey % 350) - 174.5) * 0.01 AS lon
+      FROM customer
+    ),
+    q AS (
+      SELECT id, lat, lon,
+             CAST(floor((lat + 90.0) / 180.0 * 1073741824.0) AS BIGINT)
+               AS lat30,
+             CAST(floor((lon + 180.0) / 360.0 * 1073741824.0) AS BIGINT)
+               AS lon30
+      FROM pts
+    ),
+    bits AS (
+      SELECT id, lat, lon,
+             list_reduce(list_transform(range(30), i ->
+               2 * ((lon30 // (1::BIGINT << (29 - i))) % 2)
+               + ((lat30 // (1::BIGINT << (29 - i))) % 2)),
+               (acc, d) -> acc * 4 + d) AS b
+      FROM q
+    ),
+    gh AS (
+      SELECT id, lat, lon,
+             list_reduce(list_transform(range(12), j ->
+               substr('{_GH32}',
+                      CAST((b // (1::BIGINT << (60 - 5 * (j + 1)))) % 32
+                           AS INT) + 1, 1)),
+               (acc, ch) -> acc || ch) AS geohash12
+      FROM bits
+    )
+    SELECT substr(geohash12, 1, 5) AS cell5,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(geohash12) AS sample_hash
+    FROM gh GROUP BY 1
+    """)
+def f_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH encoding as PURE COLUMN ALGEBRA — no geo library: the
+    classic bisection loop is algebraically just the binary expansion
+    of the quantized coordinates (bit i of floor((lat+90)/180·2³⁰)),
+    so the 60-bit interleave is one higher-order fold with a SCALAR
+    integer accumulator (acc·4 + 2·lonbit + latbit — scalar on
+    purpose: DuckDB's list_reduce struct-accumulator aliasing bug,
+    see ts_holt_forecast) and the base32 render is a second 12-step
+    fold over the alphabet. Everything is exact integer arithmetic —
+    bit-identical across engines with no float-boundary cell flips
+    (the hazard join_geo_grid_radius's docstring warns about). The
+    report groups by the 5-char prefix — the standard 'bucket points
+    into ~5 km cells' move that turns spatial joins into equi-joins
+    at 100 TB; encode is map-only, the rollup partial-agg."""
+    c = tables.load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") % 160) - 79.5) * 0.01).alias("lat"),
+        (((F.col("c_custkey") % 350) - 174.5) * 0.01).alias("lon"))
+    q = pts.select(
+        "id", "lat", "lon",
+        F.floor((F.col("lat") + 90.0) / 180.0 * 1073741824.0)
+        .cast("bigint").alias("lat30"),
+        F.floor((F.col("lon") + 180.0) / 360.0 * 1073741824.0)
+        .cast("bigint").alias("lon30"))
+    bits = q.withColumn("b", F.expr(
+        "aggregate(transform(sequence(0, 29), i -> "
+        "2 * ((lon30 div (shiftleft(1L, 29 - i))) % 2) "
+        "+ ((lat30 div (shiftleft(1L, 29 - i))) % 2)), "
+        "0L, (acc, d) -> acc * 4 + d)"))
+    gh = bits.withColumn("geohash12", F.expr(
+        f"aggregate(transform(sequence(1, 12), j -> "
+        f"substring('{_GH32}', "
+        f"cast((b div (shiftleft(1L, 60 - 5 * j))) % 32 as int) + 1, 1)), "
+        f"'', (acc, ch) -> acc || ch)"))
+    return (gh.groupBy(F.substring("geohash12", 1, 5).alias("cell5"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                 F.min("geohash12").alias("sample_hash")))

@@ -5550,3 +5550,65 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n1d / 2.0, 4).alias("mu_u"),
         F.round(sig, 6).alias("sigma_u"),
         F.round((u - n1d / 2.0) / sig, 6).alias("z"))
+
+
+@register(
+    "f_business_days",
+    oracle="""
+    WITH d AS (
+      SELECT l.l_linestatus AS linestatus,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o.o_orderdate AS DATE)) + 3 AS e1,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l.l_shipdate AS DATE)) + 3 AS e2
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    b AS (
+      SELECT linestatus,
+             (5 * (e2 // 7) + least(e2 % 7, 5))
+             - (5 * (e1 // 7) + least(e1 % 7, 5)) AS bdays,
+             e2 - e1 AS caldays
+      FROM d
+    )
+    SELECT linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(bdays), 4) AS avg_business_days,
+           round(avg(caldays), 4) AS avg_calendar_days,
+           CAST(max(bdays) AS BIGINT) AS max_business_days
+    FROM b GROUP BY linestatus
+    """)
+def f_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY arithmetic in closed form — order→ship lead time
+    counted in WEEKDAYS, the number an ops SLA is actually written
+    in, computed without a calendar-table join or a per-day explode:
+    shift the epoch-day so weeks start Monday (1970-01-01 was a
+    Thursday), then g(d) = 5·⌊e/7⌋ + min(e mod 7, 5) counts business
+    days before d and the lead time is g(ship) − g(order) — exact
+    integer algebra, identical on both engines, deliberately avoiding
+    the engine-specific dayofweek() functions (Spark counts Sunday=1,
+    DuckDB Sunday=0 — the classic cross-engine off-by-one). Map-only
+    + one partial agg; the calendar-days column sits alongside so the
+    weekday/calendar ratio (~5/7) audits the formula at a glance."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    d = (li.join(o, o.o_orderkey == li.l_orderkey)
+         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+         .select("l_linestatus",
+                 (F.datediff(F.col("o_orderdate").cast("date"), epoch)
+                  + 3).alias("e1"),
+                 (F.datediff(F.col("l_shipdate").cast("date"), epoch)
+                  + 3).alias("e2")))
+
+    def g(e):
+        return 5 * F.floor(e / 7) + F.least(e % 7, F.lit(5))
+
+    b = d.select(F.col("l_linestatus").alias("linestatus"),
+                 (g(F.col("e2")) - g(F.col("e1"))).alias("bdays"),
+                 (F.col("e2") - F.col("e1")).alias("caldays"))
+    return (b.groupBy("linestatus")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("bdays"), 4).alias("avg_business_days"),
+                 F.round(F.avg("caldays"), 4).alias("avg_calendar_days"),
+                 F.max("bdays").cast("bigint").alias("max_business_days")))

@@ -289,3 +289,66 @@ def test_dp_sensitivity_matches_bruteforce_max(spark):
     """).fetchall()
     for et, mx in want:
         assert rows[et].count_sensitivity == mx
+
+
+def test_geohash_matches_reference_library_algorithm(spark):
+    """Cross-check the fold-based encoder against a direct Python
+    reimplementation of the textbook bisection algorithm."""
+    import __spark_entry__ as E
+
+    def ref_geohash(lat, lon, length=12):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < length:
+            if even:
+                mid = (lon_r[0] + lon_r[1]) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lon_r[0] = mid
+                else:
+                    ch = ch * 2
+                    lon_r[1] = mid
+            else:
+                mid = (lat_r[0] + lat_r[1]) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lat_r[0] = mid
+                else:
+                    ch = ch * 2
+                    lat_r[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(b32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rows = E.queries()["f_geohash_encode"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # recompute from any id in the cell: sample_hash is the min
+        # full hash, whose prefix must equal the cell key
+        assert r.sample_hash.startswith(r.cell5)
+        assert len(r.sample_hash) == 12
+    # direct vector check on a few known points (the synthetic grid)
+    for key in (0, 1, 42, 99, 149):  # sf0.001 has custkeys 0..149
+        lat = ((key % 160) - 79.5) * 0.01
+        lon = ((key % 350) - 174.5) * 0.01
+        want5 = ref_geohash(lat, lon)[:5]
+        cells = {r.cell5 for r in rows}
+        assert want5 in cells, (key, want5)
+
+
+def test_business_days_weekday_ratio(spark):
+    """Business days must be 5/7 of calendar days up to weekday
+    truncation: bdays in [5*floor(cal/7), ceil(cal*5/7)+4] and the
+    averages respect the ~0.714 ratio loosely."""
+    import __spark_entry__ as E
+    rows = E.queries()["f_business_days"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.avg_business_days <= r.avg_calendar_days
+        ratio = r.avg_business_days / max(r.avg_calendar_days, 1e-9)
+        assert 0.55 <= ratio <= 0.95, r
