@@ -4379,3 +4379,88 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (n2c.cast("double") - mc)
                        / ((mc + 1.0) * (mc + 1) * (mc + 2))), 4)
         .alias("chapman_se"))
+
+
+def _markov_iter_sql(prev: str, out: str) -> str:
+    """One power-iteration step pi' = pi · P on the state-bounded
+    transition frame, decimal-rounded (the pagerank policy)."""
+    return f"""
+    {out} AS (
+      SELECT p.to_type AS state,
+             round(sum(round(pi.pr * p.pr_t, 12)::DECIMAL(28,12))
+                   ::DOUBLE, 12) AS pr
+      FROM tm p JOIN {prev} pi ON pi.state = p.from_type
+      GROUP BY p.to_type
+    )"""
+
+
+@register(
+    "agg_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tm AS (
+      SELECT from_type, to_type,
+             n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS pr_t
+      FROM c
+    ),
+    pi0 AS (
+      SELECT from_type AS state, 0.2::DOUBLE AS pr
+      FROM tm GROUP BY from_type
+    ),
+    {','.join(_markov_iter_sql(f'pi{i}', f'pi{i + 1}').strip()
+              for i in range(8))}
+    SELECT state, round(pr, 6) AS stationary_p
+    FROM pi8
+    """)
+def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the behavioral Markov chain — where
+    user activity settles in the long run, the single vector that
+    turns agg_markov_transitions' matrix into 'X% of steady-state
+    attention is purchases'. Eight power iterations π' = πP — but
+    unlike PageRank's node-sized vector, EVERYTHING here lives on the
+    STATE-BOUNDED frame (5 event types → ≤25 transition cells), so
+    after one corpus-sized lag-window pass the entire eigenproblem
+    costs nothing at any data scale: the fact table is touched ONCE,
+    the iteration runs on a frame the size of the state space.
+    Contributions are decimal-rounded per step (the pagerank
+    bit-identical policy) so both engines converge through the same
+    IEEE sequence; uniform 1/5 start, rounded at 6 dp."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp").cast("long"), "event_id"))
+    o = e.select("user_id", "event_type",
+                 F.lag("event_type").over(w).alias("prev_type"))
+    c = (o.filter(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tw = Window.partitionBy("from_type")
+    tm = c.select("from_type", "to_type",
+                  (F.col("n") / F.sum("n").over(tw).cast("double"))
+                  .alias("pr_t"))
+    pi = (tm.select("from_type").distinct()
+          .select(F.col("from_type").alias("state"),
+                  F.lit(0.2).alias("pr")))
+    for _ in range(8):
+        pi = (tm.join(F.broadcast(pi),
+                      pi.state == tm.from_type)
+              .select(F.col("to_type").alias("state"),
+                      F.round(F.col("pr") * F.col("pr_t"), 12)
+                      .cast("decimal(28,12)").alias("contrib"))
+              .groupBy("state")
+              .agg(F.round(F.sum("contrib").cast("double"), 12)
+                   .alias("pr")))
+    return pi.select("state", F.round("pr", 6).alias("stationary_p"))

@@ -5612,3 +5612,319 @@ def f_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("bdays"), 4).alias("avg_business_days"),
                  F.round(F.avg("caldays"), 4).alias("avg_calendar_days"),
                  F.max("bdays").cast("bigint").alias("max_business_days")))
+
+
+_PERM_B = 16
+_PERM_H = ("('0x' || substr(md5('perm' || CAST({b} AS VARCHAR) || ':' "
+           "|| CAST(l_orderkey AS VARCHAR) || '-' "
+           "|| CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 2")
+
+
+@register(
+    "agg_permutation_test",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS y,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    obs AS (
+      SELECT avg(CASE WHEN g = 1 THEN y END)
+             - avg(CASE WHEN g = 0 THEN y END) AS d_obs,
+             count(*) AS n
+      FROM v
+    ),
+    reps AS (
+      {' UNION ALL '.join(
+          f"SELECT {b} AS b, "
+          f"avg(CASE WHEN {_PERM_H.format(b=b)} = 1 THEN y END) - "
+          f"avg(CASE WHEN {_PERM_H.format(b=b)} = 0 THEN y END) AS d "
+          f"FROM v" for b in range(_PERM_B))}
+    )
+    SELECT CAST(obs.n AS BIGINT) AS n,
+           round(obs.d_obs, 4) AS observed_diff,
+           CAST(sum(CASE WHEN abs(reps.d) >= abs(obs.d_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+           round((1.0 + sum(CASE WHEN abs(reps.d) >= abs(obs.d_obs)
+                                 THEN 1 ELSE 0 END))
+                 / (1.0 + {_PERM_B}), 4) AS p_value
+    FROM reps, obs
+    GROUP BY obs.n, obs.d_obs
+    """)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION (permutation) test for a mean difference — the
+    assumption-free alternative to the t-test family: re-assign group
+    labels at random, recompute the difference, and ask how often
+    chance alone beats the observed gap. The {B}=16 'permutations'
+    are HASH-DERIVED label reshuffles (portable md5 of replicate ×
+    row key — the sample_poisson_bootstrap discipline), so they are
+    deterministic, identical on both engines, and embarrassingly
+    parallel: all replicates are CONDITIONAL AGGREGATES in ONE scan —
+    no data duplication, no shuffle per replicate, the only plan a
+    100 TB randomization test can have. The p-value uses the
+    standard (1+k)/(1+B) add-one form. Hash reshuffles approximate
+    exact permutation (binomial group sizes, exchangeable under H0) —
+    the documented trade for one-pass scale."""
+    li = (tables.load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag").isin("R", "N"))
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_extendedprice").alias("y"),
+                  F.when(F.col("l_returnflag") == "R", 1)
+                  .otherwise(0).alias("g")))
+
+    def perm_bit(b: int):
+        key = F.concat(F.lit(f"perm{b}:"),
+                       F.col("l_orderkey").cast("string"),
+                       F.lit("-"),
+                       F.col("l_linenumber").cast("string"))
+        from pmc_conversion_spark.functions.dedup import md5_int60
+        return md5_int60(key) % 2
+
+    aggs = [F.count(F.lit(1)).alias("n"),
+            (F.avg(F.when(F.col("g") == 1, F.col("y")))
+             - F.avg(F.when(F.col("g") == 0, F.col("y"))))
+            .alias("d_obs")]
+    for b in range(_PERM_B):
+        pb = perm_bit(b)
+        aggs.append((F.avg(F.when(pb == 1, F.col("y")))
+                     - F.avg(F.when(pb == 0, F.col("y"))))
+                    .alias(f"d{b}"))
+    s = li.agg(*aggs)
+    ge = sum(F.when(F.abs(F.col(f"d{b}")) >= F.abs(F.col("d_obs")), 1)
+             .otherwise(0) for b in range(_PERM_B))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("d_obs", 4).alias("observed_diff"),
+        ge.cast("bigint").alias("n_as_extreme"),
+        F.round((1.0 + ge) / (1.0 + _PERM_B), 4).alias("p_value"))
+
+
+@register(
+    "agg_gini_split_finder",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             sum(pos) OVER (ORDER BY v) AS cpos,
+             sum(cnt) OVER (ORDER BY v) AS ccnt,
+             (SELECT sum(pos) FROM h) AS tpos,
+             (SELECT sum(cnt) FROM h) AS tcnt
+      FROM h
+    ),
+    splits AS (
+      SELECT v AS cut, ccnt AS n_left, tcnt - ccnt AS n_right,
+             (ccnt / CAST(tcnt AS DOUBLE))
+               * (2.0 * (cpos / CAST(ccnt AS DOUBLE))
+                  * (1 - cpos / CAST(ccnt AS DOUBLE)))
+             + ((tcnt - ccnt) / CAST(tcnt AS DOUBLE))
+               * (2.0 * ((tpos - cpos)
+                         / CAST(tcnt - ccnt AS DOUBLE))
+                  * (1 - (tpos - cpos)
+                       / CAST(tcnt - ccnt AS DOUBLE))) AS gini,
+             2.0 * (tpos / CAST(tcnt AS DOUBLE))
+                 * (1 - tpos / CAST(tcnt AS DOUBLE)) AS gini_root
+      FROM c WHERE ccnt < tcnt
+    )
+    SELECT CAST(cut AS DOUBLE) AS cut,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           round(gini, 6) AS weighted_gini,
+           round(gini_root - gini, 6) AS gini_gain
+    FROM splits
+    ORDER BY gini, cut LIMIT 5
+    """)
+def agg_gini_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-TREE SPLIT FINDING as histogram algebra — the exact
+    kernel inside XGBoost/LightGBM's histogram mode: the best
+    'feature ≤ cut' split for predicting returns never sorts or
+    scans per-candidate; ONE partial-agg histogram over the
+    value-bounded feature domain (quantities 1..50) plus a prefix
+    sum gives every candidate's left/right class counts, and the
+    weighted Gini impurity of all 49 splits is pure per-row algebra
+    on that 50-row frame. The top-5 cut report (TakeOrdered on a
+    bounded frame) shows the gain curve. This is the agg_mann_whitney
+    histogram trick pointed at supervised learning, and the reason
+    histogram-based GBDTs train on 100 TB: split finding is O(bins),
+    not O(rows log rows), after one scan."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.groupBy(F.col("l_quantity").alias("v"))
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("pos"),
+              F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = h.select(
+        "v",
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("cnt").over(w).alias("ccnt"),
+        F.sum("pos").over(tot).alias("tpos"),
+        F.sum("cnt").over(tot).alias("tcnt"))
+
+    def gini2(p):
+        return 2.0 * p * (1 - p)
+
+    pl = F.col("cpos") / F.col("ccnt").cast("double")
+    pr = (F.col("tpos") - F.col("cpos")) \
+        / (F.col("tcnt") - F.col("ccnt")).cast("double")
+    wg = ((F.col("ccnt") / F.col("tcnt").cast("double")) * gini2(pl)
+          + ((F.col("tcnt") - F.col("ccnt"))
+             / F.col("tcnt").cast("double")) * gini2(pr))
+    groot = gini2(F.col("tpos") / F.col("tcnt").cast("double"))
+    splits = (c.filter(F.col("ccnt") < F.col("tcnt"))
+              .select(F.col("v").cast("double").alias("cut"),
+                      F.col("ccnt").cast("bigint").alias("n_left"),
+                      (F.col("tcnt") - F.col("ccnt")).cast("bigint")
+                      .alias("n_right"),
+                      F.round(wg, 6).alias("weighted_gini"),
+                      F.round(groot - wg, 6).alias("gini_gain")))
+    return splits.orderBy("weighted_gini", "cut").limit(5)
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH ct AS (
+      SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT sum(n) AS tot,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS c
+      FROM ct
+    ),
+    ex AS (
+      SELECT ct.n,
+             (SELECT sum(n) FROM ct c2 WHERE c2.a = ct.a)
+               * (SELECT sum(n) FROM ct c2 WHERE c2.b = ct.b)
+               / CAST(m.tot AS DOUBLE) AS e,
+             m.tot, m.r, m.c
+      FROM ct, m
+    )
+    SELECT CAST(any_value(tot) AS BIGINT) AS n,
+           CAST(any_value(r) AS BIGINT) AS n_rows_dim,
+           CAST(any_value(c) AS BIGINT) AS n_cols_dim,
+           round(sum((n - e) * (n - e) / e), 4) AS chi2,
+           round(sqrt(sum((n - e) * (n - e) / e)
+                 / (any_value(tot)
+                    * (least(any_value(r), any_value(c)) - 1))), 6)
+             AS cramers_v
+    FROM ex
+    """)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V — the normalized [0,1] association strength between
+    two categoricals that raw χ² (which grows with n) cannot give:
+    V = √(χ²/(n·(min(r,c)−1))). One contingency-table partial agg,
+    margins via two vocabulary-sized re-aggregations, and the χ²
+    algebra on the cell-bounded frame — the categorical complement to
+    agg_corr_stats (numeric Pearson) and agg_gtest_mi (information-
+    theoretic), giving the analyst all three association dialects.
+    Expected counts are exact ratios of counts; 6 dp."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    ct = (li.groupBy(F.col("l_returnflag").alias("a"),
+                     F.col("l_linestatus").alias("b"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    ma = ct.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = ct.groupBy("b").agg(F.sum("n").alias("nb"))
+    m = ct.agg(F.sum("n").alias("tot"),
+               F.countDistinct("a").alias("r"),
+               F.countDistinct("b").alias("c"))
+    ex = (ct.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+          .crossJoin(F.broadcast(m))
+          .select("n", (F.col("na") * F.col("nb")
+                        / F.col("tot").cast("double")).alias("e"),
+                  "tot", "r", "c"))
+    chi2 = F.sum((F.col("n") - F.col("e")) * (F.col("n") - F.col("e"))
+                 / F.col("e"))
+    return ex.agg(
+        F.first("tot").cast("bigint").alias("n"),
+        F.first("r").cast("bigint").alias("n_rows_dim"),
+        F.first("c").cast("bigint").alias("n_cols_dim"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.first("tot")
+                               * (F.least(F.first("r"), F.first("c"))
+                                  - 1))), 6).alias("cramers_v"))
+
+
+@register(
+    "agg_causal_cem",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS qband,
+             l_linestatus AS status,
+             CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS t,
+             l_extendedprice AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT qband, status,
+             sum(t) AS n1, sum(1 - t) AS n0,
+             sum(CASE WHEN t = 1 THEN y END) AS y1,
+             sum(CASE WHEN t = 0 THEN y END) AS y0
+      FROM v GROUP BY 1, 2
+    ),
+    matched AS (SELECT * FROM s WHERE n1 > 0 AND n0 > 0),
+    tot AS (
+      SELECT sum(n1) AS m1,
+             (SELECT sum(n1) FROM s) AS all1,
+             (SELECT sum(n0) FROM s) AS all0
+      FROM matched
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata_matched,
+           CAST(any_value(tot.all1) - any_value(tot.m1) AS BIGINT)
+             AS n_treated_pruned,
+           round(sum((n1 / CAST(tot.m1 AS DOUBLE))
+                     * (y1 / n1 - y0 / n0)), 4) AS att,
+           round(sum(CASE WHEN n1 > 0 THEN n1 * (y1 / n1) END)
+                 / any_value(tot.m1)
+                 - sum(CASE WHEN n0 > 0 THEN n0 * (y0 / n0) END)
+                   / sum(n0), 4) AS naive_diff_matched
+    FROM matched, tot
+    """)
+def agg_causal_cem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COARSENED EXACT MATCHING (Iacus–King–Porro) — the causal
+    estimator that makes 'compare discounted vs full-price' honest:
+    coarsen the confounders into bins (quantity decades × line
+    status), keep only strata where BOTH treated and control exist
+    (the pruning that kills off-support extrapolation — reported, not
+    hidden), and weight each stratum's treated-minus-control gap by
+    its share of matched treated units: ATT = Σ (n₁ₛ/M₁)(ȳ₁ₛ − ȳ₀ₛ).
+    Completes the causal family (agg_causal_did needs panel time,
+    agg_ab_cuped needs randomization, agg_ips_policy_eval needs
+    propensities; CEM needs only the coarsening). The whole estimator
+    is ONE partial-agg pass to stratum cells plus algebra on the
+    bin-bounded frame — matching via GROUP BY, the only form that
+    survives 100 TB (pair-matching is a quadratic dead end). The
+    naive matched-pool difference sits alongside so the
+    stratification's correction is visible."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_quantity") / 10.0).cast("bigint").alias("qband"),
+        F.col("l_linestatus").alias("status"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("t"),
+        F.col("l_extendedprice").alias("y"))
+    s = (v.groupBy("qband", "status")
+         .agg(F.sum("t").alias("n1"),
+              F.sum(1 - F.col("t")).alias("n0"),
+              F.sum(F.when(F.col("t") == 1, F.col("y"))).alias("y1"),
+              F.sum(F.when(F.col("t") == 0, F.col("y"))).alias("y0")))
+    alltot = s.agg(F.sum("n1").alias("all1"))
+    matched = s.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    tot = matched.agg(F.sum("n1").alias("m1"))
+    j = matched.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(alltot))
+    att = F.sum((F.col("n1") / F.col("m1").cast("double"))
+                * (F.col("y1") / F.col("n1") - F.col("y0") / F.col("n0")))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_matched"),
+        (F.first("all1") - F.first("m1")).cast("bigint")
+        .alias("n_treated_pruned"),
+        F.round(att, 4).alias("att"),
+        F.round(F.sum(F.col("n1") * (F.col("y1") / F.col("n1")))
+                / F.first("m1")
+                - F.sum(F.col("n0") * (F.col("y0") / F.col("n0")))
+                / F.sum("n0"), 4).alias("naive_diff_matched"))

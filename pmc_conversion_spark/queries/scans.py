@@ -1064,3 +1064,30 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lines"),
         F.length(F.regexp_replace("value", "\n", "")).cast("bigint")
         .alias("n_chars"))
+
+
+@register("scan_fixed_width", oracle=NATION_ORACLE)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH (copybook-style) ingest — the mainframe extract
+    format that still feeds clinical/finance landing zones: no
+    delimiters, fields live at byte offsets. The fixture renders
+    nation into a 32-byte layout (key@1+6, name@7+20, region@27+6,
+    space-padded via printf), the reader is sources/scans.py
+    scan_fixed_width — ONE spark.read.text line scan plus
+    substring/trim/cast projections, JVM-side and splittable, so a
+    100 TB fixed-width dump parallelizes exactly like CSV. The
+    oracle round-trips back to the nation view, proving the
+    pad→slice→trim→cast path is lossless."""
+    d = _scratch("scan_fixed_width")
+    nation = tables.load(spark, sf_dir, "nation")
+    fixed = nation.select(
+        F.format_string("%-6d%-20s%-6d",
+                        F.col("n_nationkey"), F.col("n_name"),
+                        F.col("n_regionkey")).alias("value"))
+    shutil.rmtree(d, ignore_errors=True)
+    fixed.coalesce(1).write.mode("overwrite").text(d)
+    return S.scan_fixed_width(spark, d, [
+        ("n_nationkey", 1, 6, "int"),
+        ("n_name", 7, 20, "string"),
+        ("n_regionkey", 27, 6, "int"),
+    ])

@@ -104,3 +104,19 @@ def manifest_with_checksums(spark: SparkSession, root: str) -> DataFrame:
     return (df.filter(~basename.startswith(".") & ~rel.endswith(".sha1")
                       & ~rel.contains("/."))
             .select(rel.alias("path"), "sha1"))
+
+
+def scan_fixed_width(spark: SparkSession, path: str,
+                     fields: list[tuple[str, int, int, str]]) -> DataFrame:
+    """Fixed-width (mainframe/COBOL copybook style) text reader: one
+    `spark.read.text` line scan plus per-field substring/trim/cast
+    projections — all JVM-side column algebra, no Python, and because
+    `text` is a splittable line source the scan parallelizes like any
+    CSV at 100 TB. ``fields`` is (name, start_1based, width, type)."""
+    from pyspark.sql import functions as F
+    lines = spark.read.text(path)
+    cols = [
+        F.trim(F.substring("value", start, width)).cast(typ).alias(name)
+        for name, start, width, typ in fields
+    ]
+    return lines.select(*cols)

@@ -275,7 +275,12 @@ def test_partitioning_invariance_representative_ops(spark):
              # pandas-UDF pair scoring, regex sequence encodes
              "ts_kalman_1d", "ts_ses_alpha_sweep", "graph_hits",
              "pipeline_dsir_select", "f_jaro_winkler",
-             "agg_seq_pattern_count", "text_rake_keywords"]
+             "agg_seq_pattern_count", "text_rake_keywords",
+             # round-5 wave 3: decimal-iterated eigenvector, hash
+             # label reshuffles, bounded-domain prefix-sum splits,
+             # fold-encoded geohash cells
+             "agg_markov_stationary", "agg_permutation_test",
+             "agg_gini_split_finder", "f_geohash_encode"]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -102,6 +102,11 @@ PROBED = [
     "f_jaro_winkler",
     "agg_seq_pattern_count",
     "ts_ses_alpha_sweep",
+    # r5 wave 3: one-scan 16-replicate randomization test (should be
+    # ~flat vs plain agg), and the state-bounded eigenvector whose
+    # iteration cost must NOT grow with data
+    "agg_permutation_test",
+    "agg_markov_stationary",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
