@@ -5928,3 +5928,203 @@ def agg_causal_cem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.first("m1")
                 - F.sum(F.col("n0") * (F.col("y0") / F.col("n0")))
                 / F.sum("n0"), 4).alias("naive_diff_matched"))
+
+
+@register(
+    "agg_cox_ph_1step",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS x,
+             date_diff('day', CAST(min(o.o_orderdate) AS DATE),
+                       CAST(max(o.o_orderdate) AS DATE)) AS dur,
+             CASE WHEN max(o.o_orderdate)
+                       < TIMESTAMP '2001-02-01 00:00:00'
+                  THEN 1 ELSE 0 END AS ev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+      HAVING count(*) >= 2
+    ),
+    bytime AS (
+      SELECT dur, count(*) AS m, sum(x) AS mx,
+             sum(ev) AS d, sum(ev * x) AS dx
+      FROM cust GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, dx,
+             sum(m) OVER (ORDER BY dur DESC) AS n_t,
+             sum(mx) OVER (ORDER BY dur DESC) AS nx_t
+      FROM bytime
+    ),
+    s AS (
+      SELECT sum(dx - d * (nx_t / CAST(n_t AS DOUBLE))) AS u,
+             sum(d * (nx_t / CAST(n_t AS DOUBLE))
+                 * (1 - nx_t / CAST(n_t AS DOUBLE))) AS i,
+             CAST(sum(d) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_times
+      FROM risk WHERE d > 0
+    )
+    SELECT n_events, n_times,
+           round(u, 6) AS score_u,
+           round(i, 6) AS info_i,
+           round(u / i, 6) AS beta_1step,
+           round(exp(u / i), 6) AS hazard_ratio,
+           round(u / sqrt(i), 6) AS logrank_z
+    FROM s
+    """)
+def agg_cox_ph_1step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COX PROPORTIONAL-HAZARDS regression, one exact Newton step
+    from β=0 — which is simultaneously the LOG-RANK TEST (U/√I is
+    exactly the log-rank z for a binary covariate) and the standard
+    first iterate every survival library takes: β̂₁ = U(0)/I(0) with
+    Breslow tie handling, hazard ratio e^β̂. The scale trick is that
+    the risk-set sums the partial likelihood needs (n_t, and the
+    covariate mass nxₜ, over everyone surviving ≥ t) are SUFFIX SUMS
+    over the DISTINCT-duration frame — customer-level durations
+    partial-agg to one row per day-valued duration (a bounded
+    domain, the mann-whitney/gini-split discipline), so the
+    'iterate over risk sets' loop every textbook writes is one
+    descending prefix sum on a few-thousand-row frame, never a scan
+    per event time. Censoring (still active past the cutoff) enters
+    only through the event masks. Complements agg_survival_curve
+    (the KM estimate) with the REGRESSION view of the same data."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    cust = (c.join(o, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderdate").alias("first_o"),
+                 F.max("o_orderdate").alias("last_o"))
+            .filter(F.col("n_orders") >= 2)
+            .select(F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                    .otherwise(0).alias("x"),
+                    F.datediff(F.col("last_o").cast("date"),
+                               F.col("first_o").cast("date"))
+                    .alias("dur"),
+                    F.when(F.col("last_o")
+                           < F.lit("2001-02-01 00:00:00")
+                           .cast("timestamp"), 1)
+                    .otherwise(0).alias("ev")))
+    bytime = (cust.groupBy("dur")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("x").alias("mx"),
+                   F.sum("ev").alias("d"),
+                   F.sum(F.col("ev") * F.col("x")).alias("dx")))
+    w = (Window.orderBy(F.col("dur").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    risk = bytime.select(
+        "dur", "d", "dx",
+        F.sum("m").over(w).alias("n_t"),
+        F.sum("mx").over(w).alias("nx_t"))
+    px = F.col("nx_t") / F.col("n_t").cast("double")
+    s = (risk.filter(F.col("d") > 0)
+         .agg(F.sum(F.col("dx") - F.col("d") * px).alias("u"),
+              F.sum(F.col("d") * px * (1 - px)).alias("i"),
+              F.sum("d").cast("bigint").alias("n_events"),
+              F.count(F.lit(1)).cast("bigint").alias("n_times")))
+    return s.select(
+        "n_events", "n_times",
+        F.round("u", 6).alias("score_u"),
+        F.round("i", 6).alias("info_i"),
+        F.round(F.col("u") / F.col("i"), 6).alias("beta_1step"),
+        F.round(F.exp(F.col("u") / F.col("i")), 6).alias("hazard_ratio"),
+        F.round(F.col("u") / F.sqrt("i"), 6).alias("logrank_z"))
+
+
+@register(
+    "agg_km_greenwood",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey,
+             date_diff('day', CAST(min(o.o_orderdate) AS DATE),
+                       CAST(max(o.o_orderdate) AS DATE)) AS dur,
+             CASE WHEN max(o.o_orderdate)
+                       < TIMESTAMP '2001-02-01 00:00:00'
+                  THEN 1 ELSE 0 END AS ev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+      HAVING count(*) >= 2
+    ),
+    bytime AS (
+      SELECT dur, count(*) AS m, sum(ev) AS d
+      FROM cust GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             sum(m) OVER (ORDER BY dur DESC) AS n_t
+      FROM bytime
+    ),
+    km AS (
+      SELECT dur, d, n_t,
+             exp(sum(ln(1 - d / CAST(n_t AS DOUBLE)))
+                 OVER (ORDER BY dur)) AS s,
+             sum(d / (CAST(n_t AS DOUBLE) * (n_t - d)))
+               OVER (ORDER BY dur) AS gw
+      FROM risk WHERE d > 0 AND d < n_t
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(d AS BIGINT) AS d,
+           CAST(n_t AS BIGINT) AS at_risk,
+           round(s, 6) AS survival,
+           round(s * sqrt(gw), 6) AS greenwood_se,
+           round(greatest(s - 1.96 * s * sqrt(gw), 0.0), 6) AS ci_lo,
+           round(least(s + 1.96 * s * sqrt(gw), 1.0), 6) AS ci_hi
+    FROM km WHERE dur % 50 = 0
+    """)
+def agg_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER with GREENWOOD confidence bands — the estimator
+    agg_survival_curve approximates (it ignores censoring) done
+    properly: customers still ordering past the cutoff are CENSORED
+    (they leave the risk set without contributing a death factor),
+    S(t) = Π(1 − dᵢ/nᵢ), and the Greenwood variance
+    S²·Σ d/(n(n−d)) gives the pointwise 95% band every survival plot
+    shades. The distributed form: risk sets are DESCENDING suffix
+    sums and the KM product is exp of an ASCENDING running log-sum —
+    both windows over the bounded distinct-duration frame (the Cox
+    discipline; running window sums accumulate in frame order on
+    both engines, so the float sequence is identical). Reported at
+    50-day ticks to bound the curve sample."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    cust = (c.join(o, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderdate").alias("first_o"),
+                 F.max("o_orderdate").alias("last_o"))
+            .filter(F.col("n_orders") >= 2)
+            .select(F.datediff(F.col("last_o").cast("date"),
+                               F.col("first_o").cast("date"))
+                    .alias("dur"),
+                    F.when(F.col("last_o")
+                           < F.lit("2001-02-01 00:00:00")
+                           .cast("timestamp"), 1)
+                    .otherwise(0).alias("ev")))
+    bytime = (cust.groupBy("dur")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("ev").alias("d")))
+    wdesc = (Window.orderBy(F.col("dur").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    risk = bytime.select("dur", "d",
+                         F.sum("m").over(wdesc).alias("n_t"))
+    wasc = (Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    dn = F.col("d") / F.col("n_t").cast("double")
+    km = (risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_t")))
+          .select("dur", "d", "n_t",
+                  F.exp(F.sum(F.log(1 - dn)).over(wasc)).alias("s"),
+                  F.sum(F.col("d")
+                        / (F.col("n_t").cast("double")
+                           * (F.col("n_t") - F.col("d"))))
+                  .over(wasc).alias("gw")))
+    se = F.col("s") * F.sqrt(F.col("gw"))
+    return (km.filter(F.col("dur") % 50 == 0)
+            .select(F.col("dur").cast("bigint").alias("dur_days"),
+                    F.col("d").cast("bigint").alias("d"),
+                    F.col("n_t").cast("bigint").alias("at_risk"),
+                    F.round("s", 6).alias("survival"),
+                    F.round(se, 6).alias("greenwood_se"),
+                    F.round(F.greatest(F.col("s") - 1.96 * se,
+                                       F.lit(0.0)), 6).alias("ci_lo"),
+                    F.round(F.least(F.col("s") + 1.96 * se,
+                                    F.lit(1.0)), 6).alias("ci_hi")))
