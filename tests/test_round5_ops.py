@@ -352,3 +352,32 @@ def test_business_days_weekday_ratio(spark):
         assert 0 < r.avg_business_days <= r.avg_calendar_days
         ratio = r.avg_business_days / max(r.avg_calendar_days, 1e-9)
         assert 0.55 <= ratio <= 0.95, r
+
+
+def test_cox_1step_internal_consistency(spark):
+    """beta = U/I, HR = exp(beta), z = U/sqrt(I) must all cohere,
+    and the information must be positive."""
+    import math
+    import __spark_entry__ as E
+    r = E.queries()["agg_cox_ph_1step"](spark, SF_DIR).collect()[0]
+    assert r.info_i > 0
+    assert r.beta_1step == pytest.approx(r.score_u / r.info_i, abs=2e-6)
+    assert r.hazard_ratio == pytest.approx(math.exp(r.beta_1step),
+                                           rel=1e-4)
+    assert r.logrank_z == pytest.approx(
+        r.score_u / math.sqrt(r.info_i), abs=2e-6)
+
+
+def test_km_greenwood_monotone_and_banded(spark):
+    """S(t) must be non-increasing in t; the CI must contain the
+    estimate and stay in [0,1]."""
+    import __spark_entry__ as E
+    rows = sorted(E.queries()["agg_km_greenwood"](spark, SF_DIR)
+                  .collect(), key=lambda r: r.dur_days)
+    assert rows
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert r.survival <= prev + 1e-9
+        prev = r.survival
+        assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
+        assert r.at_risk >= r.d >= 1
