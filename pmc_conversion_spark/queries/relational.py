@@ -6128,3 +6128,90 @@ def agg_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.lit(0.0)), 6).alias("ci_lo"),
                     F.round(F.least(F.col("s") + 1.96 * se,
                                     F.lit(1.0)), 6).alias("ci_hi")))
+
+
+@register(
+    "agg_holm_bonferroni",
+    oracle=f"""
+    WITH g AS (
+      SELECT n.n_name AS nation,
+             count(*) AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(x) / CAST(sum(n) AS DOUBLE) AS p0 FROM g),
+    p AS (
+      SELECT nation,
+             {_phi_2sided_sql(
+                 '((x / CAST(n AS DOUBLE) - p0)'
+                 ' / sqrt(p0 * (1 - p0) / n))')} AS pval
+      FROM g, tot
+    ),
+    r AS (
+      SELECT nation, pval,
+             row_number() OVER (ORDER BY pval, nation) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    st AS (
+      SELECT *,
+             pval * (m - rk + 1) AS holm_raw,
+             max(CASE WHEN pval > 0.1 / (m - rk + 1) THEN rk
+                      ELSE m + 1 END)
+               OVER (ORDER BY rk DESC) AS first_fail_from
+      FROM r
+    )
+    SELECT nation, round(pval, 6) AS pval,
+           CAST(rk AS BIGINT) AS rk,
+           round(least(holm_raw, 1.0), 6) AS holm_adj_raw,
+           rk < (SELECT min(CASE WHEN pval > 0.1 / (m - rk + 1)
+                                 THEN rk ELSE m + 1 END) FROM st)
+             AS significant
+    FROM st
+    """)
+def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLM step-DOWN multiple-testing correction over the same
+    25-nation z-test family as agg_bh_fdr — the pairing every stats
+    review asks for: Holm controls the strict FAMILY-WISE error
+    (any false positive at all; reject while p₍ᵢ₎ ≤ α/(m−i+1), stop
+    at the FIRST failure — order matters, unlike plain Bonferroni)
+    where BH controls the false-discovery RATE (a tolerable fraction
+    of false alarms). Same one-pass fact-table agg, same A&S erf
+    polynomial; the step-down stop rule is a min over the bounded
+    group frame (the first failing rank gates everything after it).
+    α = 0.1; the unclamped step-adjusted p accompanies each row."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    g = (li.join(o, o.o_orderkey == li.l_orderkey)
+         .join(c, c.c_custkey == o.o_custkey)
+         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+         .groupBy(F.col("n_name").alias("nation"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("x")))
+    tot = g.agg((F.sum("x") / F.sum("n").cast("double")).alias("p0"))
+    z = ((F.col("x") / F.col("n").cast("double") - F.col("p0"))
+         / F.sqrt(F.col("p0") * (1 - F.col("p0")) / F.col("n")))
+    p = (g.crossJoin(F.broadcast(tot))
+         .withColumn("zc", z)
+         .withColumn("pval", F.expr(_phi_2sided_sql("zc"))))
+    r = (p.select("nation", "pval")
+         .withColumn("rk", F.row_number().over(
+             Window.orderBy("pval", "nation")))
+         .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy())))
+    fail_rk = F.when(F.col("pval") > 0.1 / (F.col("m") - F.col("rk") + 1),
+                     F.col("rk")).otherwise(F.col("m") + 1)
+    st = r.withColumn("first_fail", F.min(fail_rk).over(
+        Window.partitionBy()))
+    return st.select(
+        "nation", F.round("pval", 6).alias("pval"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.round(F.least(F.col("pval") * (F.col("m") - F.col("rk") + 1),
+                        F.lit(1.0)), 6).alias("holm_adj_raw"),
+        (F.col("rk") < F.col("first_fail")).alias("significant"))
