@@ -4464,3 +4464,102 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.round(F.sum("contrib").cast("double"), 12)
                    .alias("pr")))
     return pi.select("state", F.round("pr", 6).alias("stationary_p"))
+
+
+@register(
+    "win_ema_crossover",
+    oracle="""
+    -- scalar-column recursion (fast, slow, prev sign, crossings):
+    -- the list_reduce struct-aliasing rule (see ts_holt_forecast)
+    WITH RECURSIVE v AS (
+      SELECT user_id, ts, event_id, round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ), series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM v GROUP BY user_id
+      HAVING count(*) >= 8
+    ), step AS (
+      SELECT user_id, xs, n, 1 AS k,
+             xs[1]::DOUBLE AS f, xs[1]::DOUBLE AS s,
+             0 AS sgn, 0 AS golden, 0 AS death
+      FROM series
+      UNION ALL
+      SELECT user_id, xs, n, k + 1,
+             f + 0.4::DOUBLE * (xs[k + 1] - f),
+             s + 0.1::DOUBLE * (xs[k + 1] - s),
+             CASE WHEN f + 0.4::DOUBLE * (xs[k + 1] - f)
+                       > s + 0.1::DOUBLE * (xs[k + 1] - s) THEN 1
+                  WHEN f + 0.4::DOUBLE * (xs[k + 1] - f)
+                       < s + 0.1::DOUBLE * (xs[k + 1] - s) THEN -1
+                  ELSE sgn END,
+             golden + CASE WHEN sgn <= 0
+                            AND f + 0.4::DOUBLE * (xs[k + 1] - f)
+                                > s + 0.1::DOUBLE * (xs[k + 1] - s)
+                            AND sgn <> 0
+                           THEN 1 ELSE 0 END,
+             death + CASE WHEN sgn >= 0
+                           AND f + 0.4::DOUBLE * (xs[k + 1] - f)
+                               < s + 0.1::DOUBLE * (xs[k + 1] - s)
+                           AND sgn <> 0
+                          THEN 1 ELSE 0 END
+      FROM step WHERE k < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(f, 6) AS ema_fast, round(s, 6) AS ema_slow,
+           CAST(golden AS BIGINT) AS golden_crosses,
+           CAST(death AS BIGINT) AS death_crosses,
+           CASE WHEN sgn > 0 THEN 'above'
+                WHEN sgn < 0 THEN 'below' ELSE 'flat' END AS regime
+    FROM step WHERE k = n
+    """)
+def win_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA CROSSOVER state machine per key — the fast(α=0.4)/slow
+    (α=0.1) moving-average crossing detector (finance's golden/death
+    cross, ops' 'short-term load has crossed the baseline' alarm) —
+    the first fold in this family whose accumulator is a genuine
+    MULTI-FIELD state MACHINE: two filter states, the previous
+    relative-position sign, and two event counters that fire only on
+    sign CHANGES (flat start doesn't count as a cross). SQL windows
+    can't express it (each output depends on the previous RESULT);
+    the per-key series folds JVM-side once assembled
+    (sort_array ∘ collect_list — one shuffle, per-key state bounded
+    by that key's history). The oracle steps the identical IEEE
+    sequence with scalar recursion columns. Crossing counts are
+    integer-exact; filter states at 6 dp."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    series = (e.select("user_id",
+                       F.struct(F.col("ts"), F.col("event_id"),
+                                F.round("value", 6).cast("double")
+                                .alias("x")).alias("s"))
+              .groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 8)
+              .withColumn("xs", F.expr("transform(ss, s -> s.x)")))
+    st = series.withColumn("st", F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "
+        "named_struct('f', xs[0], 's', xs[0], "
+        "'sgn', 0, 'golden', 0, 'death', 0), "
+        "(acc, x) -> named_struct("
+        "'f', acc.f + 0.4D * (x - acc.f), "
+        "'s', acc.s + 0.1D * (x - acc.s), "
+        "'sgn', CASE WHEN acc.f + 0.4D * (x - acc.f) "
+        "> acc.s + 0.1D * (x - acc.s) THEN 1 "
+        "WHEN acc.f + 0.4D * (x - acc.f) "
+        "< acc.s + 0.1D * (x - acc.s) THEN -1 ELSE acc.sgn END, "
+        "'golden', acc.golden + CASE WHEN acc.sgn <= 0 "
+        "AND acc.f + 0.4D * (x - acc.f) > acc.s + 0.1D * (x - acc.s) "
+        "AND acc.sgn <> 0 THEN 1 ELSE 0 END, "
+        "'death', acc.death + CASE WHEN acc.sgn >= 0 "
+        "AND acc.f + 0.4D * (x - acc.f) < acc.s + 0.1D * (x - acc.s) "
+        "AND acc.sgn <> 0 THEN 1 ELSE 0 END))"))
+    return st.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.round(F.col("st.f"), 6).alias("ema_fast"),
+        F.round(F.col("st.s"), 6).alias("ema_slow"),
+        F.col("st.golden").cast("bigint").alias("golden_crosses"),
+        F.col("st.death").cast("bigint").alias("death_crosses"),
+        F.when(F.col("st.sgn") > 0, F.lit("above"))
+        .when(F.col("st.sgn") < 0, F.lit("below"))
+        .otherwise(F.lit("flat")).alias("regime"))

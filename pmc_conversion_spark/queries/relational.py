@@ -6215,3 +6215,74 @@ def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.col("pval") * (F.col("m") - F.col("rk") + 1),
                         F.lit(1.0)), 6).alias("holm_adj_raw"),
         (F.col("rk") < F.col("first_fail")).alias("significant"))
+
+
+@register(
+    "agg_price_index_fisher",
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey AS pk, year(l_shipdate) AS y,
+             sum(l_extendedprice) / sum(l_quantity) AS p,
+             sum(l_quantity) AS q
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1996, 2000) AND l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    basket AS (
+      SELECT b.pk, b.p AS p0, b.q AS q0, t.p AS p1, t.q AS q1
+      FROM pp b JOIN pp t ON t.pk = b.pk AND t.y = 2000
+      WHERE b.y = 1996
+    ),
+    s AS (
+      SELECT count(*) AS n_parts,
+             sum(p1 * q0) / sum(p0 * q0) AS laspeyres,
+             sum(p1 * q1) / sum(p0 * q1) AS paasche
+      FROM basket
+    )
+    SELECT CAST(n_parts AS BIGINT) AS n_parts,
+           round(laspeyres, 6) AS laspeyres,
+           round(paasche, 6) AS paasche,
+           round(sqrt(laspeyres * paasche), 6) AS fisher,
+           round((laspeyres - 1) * 100, 4) AS inflation_pct_laspeyres
+    FROM s
+    """)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE INDEX NUMBERS between a base and current period —
+    Laspeyres (base-period basket: what the old mix costs now),
+    Paasche (current basket), and Fisher's ideal index (their
+    geometric mean, the form national statistics agencies publish) —
+    the economy-wide 'did prices move' aggregate that
+    agg_price_elasticity's per-brand slopes can't give. The basket is
+    the per-part unit price/quantity in each period from ONE
+    filtered partial-agg pass (year pushdown reaches the scan), the
+    base⨝current join is part-keyed, and the indices are three
+    weighted-sum ratios — textbook index-number theory as two narrow
+    shuffles. Only parts traded in BOTH periods enter (the matched
+    basket — reported via n_parts so basket attrition is visible)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pp = (li.filter(F.year("l_shipdate").isin(1996, 2000)
+                    & (F.col("l_quantity") > 0))
+          .groupBy(F.col("l_partkey").alias("pk"),
+                   F.year("l_shipdate").alias("y"))
+          .agg((F.sum("l_extendedprice") / F.sum("l_quantity"))
+               .alias("p"),
+               F.sum("l_quantity").alias("q")))
+    b = (pp.filter(F.col("y") == 1996)
+         .select("pk", F.col("p").alias("p0"), F.col("q").alias("q0")))
+    t = (pp.filter(F.col("y") == 2000)
+         .select("pk", F.col("p").alias("p1"), F.col("q").alias("q1")))
+    basket = b.join(t, "pk")
+    s = basket.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.col("p1") * F.col("q0"))
+         / F.sum(F.col("p0") * F.col("q0"))).alias("laspeyres"),
+        (F.sum(F.col("p1") * F.col("q1"))
+         / F.sum(F.col("p0") * F.col("q1"))).alias("paasche"))
+    return s.select(
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round("laspeyres", 6).alias("laspeyres"),
+        F.round("paasche", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6)
+        .alias("fisher"),
+        F.round((F.col("laspeyres") - 1) * 100, 4)
+        .alias("inflation_pct_laspeyres"))
