@@ -4621,3 +4621,83 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n_days").cast("bigint").alias("n_days"),
                     "n_pairs", "theil_sen_slope",
                     "mean_pairwise_slope"))
+
+
+@register(
+    "win_runs_test",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT user_id, round(avg(value), 6) AS mu, count(*) AS n
+      FROM v GROUP BY user_id HAVING count(*) >= 20
+    ),
+    s AS (
+      SELECT v.user_id,
+             CASE WHEN v.value > m.mu THEN 1 ELSE 0 END AS a,
+             lag(CASE WHEN v.value > m.mu THEN 1 ELSE 0 END)
+               OVER (PARTITION BY v.user_id
+                     ORDER BY v.ts, v.event_id) AS pa
+      FROM v JOIN m ON m.user_id = v.user_id
+    ),
+    r AS (
+      SELECT user_id,
+             sum(a) AS n1, sum(1 - a) AS n2,
+             1 + sum(CASE WHEN pa IS NOT NULL AND a <> pa
+                          THEN 1 ELSE 0 END) AS runs
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(runs AS BIGINT) AS runs,
+           round(1 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           round((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z
+    FROM r WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 2
+    """)
+def win_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST per key — is a sequence RANDOM, or
+    does it trend/oscillate? Count the maximal runs of above-mean vs
+    below-mean observations; too FEW runs means trending (an
+    autocorrelated metric, a drifting sensor), too MANY means
+    oscillation (overcorrection, thermostat wars) — the sequence
+    diagnostic the distribution tests (KS, Mann-Whitney) are blind
+    to because they ignore ORDER entirely. One per-key mean
+    (partial agg, rejoined on the key), one per-key lag window for
+    the sign changes, one partial-agg rollup — all key-partitioned,
+    the regime groupBy distributes at any scale. The per-key mean is
+    6-dp-rounded on both engines before the comparison so the
+    above/below encoding is engine-exact; z uses the standard
+    normal approximation."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    m = (e.groupBy("user_id")
+         .agg(F.round(F.avg("value"), 6).alias("mu"),
+              F.count(F.lit(1)).alias("n"))
+         .filter(F.col("n") >= 20))
+    a = F.when(F.col("value") > F.col("mu"), 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (e.join(m.select("user_id", "mu"), "user_id")
+         .select("user_id", "ts", "event_id", a.alias("a"))
+         .withColumn("pa", F.lag("a").over(w)))
+    r = (s.groupBy("user_id")
+         .agg(F.sum("a").alias("n1"),
+              F.sum(1 - F.col("a")).alias("n2"),
+              (1 + F.sum(F.when(F.col("pa").isNotNull()
+                                & (F.col("a") != F.col("pa")), 1)
+                         .otherwise(0))).alias("runs")))
+    n1, n2 = F.col("n1"), F.col("n2")
+    er = 1 + 2.0 * n1 * n2 / (n1 + n2)
+    sd = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / ((n1 + n2).cast("double") * (n1 + n2)
+                   * (n1 + n2 - 1)))
+    return (r.filter((n1 > 0) & (n2 > 0) & (n1 + n2 > 2))
+            .select("user_id",
+                    n1.cast("bigint").alias("n1"),
+                    n2.cast("bigint").alias("n2"),
+                    F.col("runs").cast("bigint").alias("runs"),
+                    F.round(er, 4).alias("expected_runs"),
+                    F.round((F.col("runs") - er) / sd, 6).alias("z")))

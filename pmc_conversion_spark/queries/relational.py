@@ -6286,3 +6286,65 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fisher"),
         F.round((F.col("laspeyres") - 1) * 100, 4)
         .alias("inflation_pct_laspeyres"))
+
+
+@register(
+    "agg_mcc_confusion",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS act
+      FROM lineitem
+    ),
+    c AS (
+      SELECT sum(pred * act) AS tp,
+             sum(pred * (1 - act)) AS fp,
+             sum((1 - pred) * act) AS fn,
+             sum((1 - pred) * (1 - act)) AS tn
+      FROM v
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_p,
+           round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc,
+           round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+             AS accuracy
+    FROM c
+    """)
+def agg_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION-MATRIX metrics with MATTHEWS CORRELATION — the one
+    threshold-classifier number that stays honest under class
+    imbalance (accuracy and even F1 look great on a 95/5 split;
+    MCC = (TP·TN−FP·FN)/√(…) does not), completing the evaluation
+    family around agg_auc_pr / dq_auc_score (ranking) and
+    agg_calibration_ece (calibration) with the HARD-DECISION view.
+    The whole matrix is four products summed in ONE partial-agg scan
+    — the indicator-algebra trick that needs no join, no pivot, no
+    second pass; every derived metric is O(1) algebra on the 4-cell
+    frame. Exact integer counts; ratios at 6 dp."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("pred"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("act"))
+    c = v.agg(
+        F.sum(F.col("pred") * F.col("act")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("act"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("act")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("act"))).alias("tn"))
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        tp.cast("bigint").alias("tp"), fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"), tn.cast("bigint").alias("tn"),
+        F.round(tp / (tp + fp).cast("double"), 6).alias("precision_p"),
+        F.round(tp / (tp + fn).cast("double"), 6).alias("recall"),
+        F.round(2.0 * tp / (2 * tp + fp + fn).cast("double"), 6)
+        .alias("f1"),
+        F.round((tp.cast("double") * tn - fp.cast("double") * fn)
+                / F.sqrt((tp + fp).cast("double") * (tp + fn)
+                         * (tn + fp) * (tn + fn)), 6).alias("mcc"),
+        F.round((tp + tn) / (tp + fp + fn + tn).cast("double"), 6)
+        .alias("accuracy"))
