@@ -4201,7 +4201,13 @@ def agg_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the date range); one fact-sized partial agg feeds
     it."""
     o = tables.load(spark, sf_dir, "orders")
-    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+    # materialize the calendar-date key BEFORE the groupBy so the
+    # physical aggregate's grouping key is the *named* column `d`
+    # (groupBy(expr.alias(...)) leaves Catalyst's anonymous
+    # `_groupingexpression`, which the plan-quality window audit
+    # cannot classify as date-domain-bounded)
+    daily = (o.withColumn("d", F.to_date("o_orderdate"))
+             .groupBy("d")
              .agg(F.sum(F.round(F.col("o_totalprice") * 100)
                         .cast("bigint")).cast("bigint").alias("rev")))
     w = Window.orderBy("rev", "d")

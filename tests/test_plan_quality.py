@@ -481,16 +481,37 @@ def test_nested_pushdown_reaches_scan(spark, qs):
 
 _WINDOW_NODES = {"WindowExec", "WindowInPandasExec",
                  "WindowGroupLimitExec"}
-# A frame is bounded when the window's input subtree contains an
-# aggregate (per-group rows: bucket counts, per-score counts, decile
-# cells...), an explicit limit/TakeOrdered pre-cut, or a local
-# fixture/range dimension. An unpartitioned window above such a frame
-# carries group-domain-many rows, never the corpus.
-_BOUNDED_MARKERS = ("Aggregate", "TakeOrderedAndProject", "GlobalLimit",
-                    "LocalLimit", "CollectLimit", "LocalTableScan",
-                    "RDDScan", "Range")
+# Hard boundedness gates: an explicit limit/TakeOrdered pre-cut or a
+# local fixture/range dimension below the window caps its input rows
+# regardless of what sits underneath.
+_MARK_NODES = ("TakeOrderedAndProjectExec", "GlobalLimitExec",
+               "LocalLimitExec", "CollectLimitExec",
+               "LocalTableScanExec", "RDDScanExec", "RangeExec")
+_AGG_NODES = ("HashAggregateExec", "ObjectHashAggregateExec",
+              "SortAggregateExec")
+# KEY-AWARE aggregate gate (r5 verdict, What's-wrong #1): treating
+# *any* Aggregate as bounding is gameable — groupBy(doc_id) keeps
+# corpus cardinality. An aggregate bounds its output iff its grouping
+# keys all come from data-volume-independent domains. Each entry's
+# domain, with why it does not grow with corpus size:
+_BOUNDED_GROUP_KEYS = frozenset({
+    "__bucket",    # two-phase range-bucket ops: numBuckets-capped
+                   # (operators/windows.py caps adaptively, ≤ 10k)
+    "decile",      # ntile(10) output ∈ {1..10}
+    "quintile",    # ntile(5) output ∈ {1..5}
+    "bin",         # fixed-width histogram bin: (max-min)/width cells
+    "z",           # score-grid cell in agg_auc_pr (threshold sweep)
+    "window",      # time-window struct: domain = date span / slide,
+                   # grows with TIME, never with rows-per-window
+    "d",           # calendar date key (date-span domain)
+    "dur",         # day-granular survival duration (date-span domain)
+    "n_name",      # nation dimension (25 rows, fixed)
+    "l_quantity",  # TPC-H integer quantity domain 1..50
+    "p_size",      # TPC-H part size domain 1..50
+    "source",      # corpus-mixture source label (handful of corpora)
+})
 # Known-benign unpartitioned-window queries whose boundedness the
-# marker walk cannot see (NONE today — keep empty unless a new op
+# key-aware walk cannot see (NONE today — keep empty unless a new op
 # genuinely needs it, and justify inline).
 _UNPART_WINDOW_ALLOWLIST: set[str] = set()
 
@@ -509,16 +530,52 @@ def _walk_exec(jn):
         yield from _walk_exec(ch.apply(i))
 
 
+def _grouping_key_names(agg_node):
+    names = []
+    ge = agg_node.groupingExpressions()
+    for i in range(ge.length()):
+        e = ge.apply(i)
+        try:
+            names.append(e.name())
+        except Exception:          # non-named expression: unauditable
+            names.append(e.toString())
+    return names
+
+
+def _subtree_bounded(jn):
+    """True iff every root-to-leaf path through `jn` passes a
+    boundedness gate before reaching a corpus-sized leaf (FileScan,
+    shuffle-read of a scan, ...). Gates: an explicit limit / local
+    fixture (_MARK_NODES), or an aggregate whose grouping keys are all
+    data-volume-independent (_BOUNDED_GROUP_KEYS; empty grouping = one
+    global row). An aggregate on unlisted keys (e.g. doc_id — corpus
+    cardinality) does NOT gate: it is bounded only if its own input
+    already is. Multi-child nodes (joins, unions) require ALL children
+    bounded — bounded ⨝ unbounded is unbounded."""
+    nm = jn.getClass().getSimpleName()
+    if nm == "AdaptiveSparkPlanExec":
+        return _subtree_bounded(jn.initialPlan())
+    if nm == "ReusedExchangeExec":
+        return _subtree_bounded(jn.child())
+    if nm in _MARK_NODES:
+        return True
+    if nm in _AGG_NODES:
+        keys = _grouping_key_names(jn)
+        if all(k in _BOUNDED_GROUP_KEYS for k in keys):
+            return True                      # incl. empty → global agg
+        # corpus-keyed aggregate: only as bounded as its input
+    ch = jn.children()
+    if ch.length() == 0:
+        return False                         # scan leaf: corpus-sized
+    return all(_subtree_bounded(ch.apply(i)) for i in range(ch.length()))
+
+
 def _unbounded_unpartitioned_windows(df):
     out = []
     for n in _walk_exec(df._jdf.queryExecution().executedPlan()):
         nm = n.getClass().getSimpleName()
         if nm in _WINDOW_NODES and n.partitionSpec().isEmpty():
-            bounded = any(
-                any(b in c.getClass().getSimpleName()
-                    for b in _BOUNDED_MARKERS)
-                for c in _walk_exec(n.child()))
-            if not bounded:
+            if not _subtree_bounded(n.child()):
                 out.append(nm)
     return out
 
@@ -544,6 +601,44 @@ def test_registry_wide_no_corpus_sized_unpartitioned_window(spark, qs):
     assert not offenders, (
         "corpus-sized unpartitioned windows (add a TakeOrdered pre-cut "
         f"or the two-phase operators/windows.py form): {offenders}")
+
+
+def test_window_audit_flags_corpus_keyed_aggregate(spark):
+    """Adversarial fixture pinning the CHECKER itself (r5 verdict,
+    What's-wrong #1): groupBy(doc_id) keeps corpus cardinality, so an
+    unpartitioned window above it is exactly the r4 serialization
+    defect one abstraction level up. The old marker-based audit
+    (any Aggregate = bounded) passed this shape; the key-aware audit
+    MUST flag it."""
+    from pyspark.sql import Window
+    docs = tables.load(spark, SF_DIR, "documents")
+    evil = (docs.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+            .withColumn("run", F.sum("cnt").over(Window.orderBy("doc_id"))))
+    assert _unbounded_unpartitioned_windows(evil), (
+        "audit failed to flag a corpus-keyed aggregate under an "
+        "unpartitioned window")
+    # a window straight over the scan must flag too (r4 base case)
+    evil2 = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")))
+    assert _unbounded_unpartitioned_windows(evil2)
+    # and bounded ⨝ unbounded must NOT launder boundedness through
+    # the bounded side
+    small = docs.groupBy("lang").agg(F.count("*").alias("c")).limit(5)
+    evil3 = (docs.join(small, "lang")
+             .withColumn("rn", F.row_number().over(Window.orderBy("doc_id"))))
+    assert _unbounded_unpartitioned_windows(evil3)
+
+
+def test_window_audit_accepts_bounded_domain_aggregate(spark):
+    """Control for the adversarial fixture: a decile-keyed aggregate
+    (ntile output, 10 rows) under an unpartitioned window is the
+    legitimate two-phase shape and must stay green."""
+    from pyspark.sql import Window
+    docs = tables.load(spark, SF_DIR, "documents")
+    dec = (docs.withColumn("decile", F.col("doc_id") % 10)
+           .groupBy("decile").agg(F.count("*").alias("cnt"))
+           .withColumn("run", F.sum("cnt").over(Window.orderBy("decile"))))
+    assert not _unbounded_unpartitioned_windows(dec)
 
 
 def test_r4_weak_five_are_deserialized(spark, qs):
