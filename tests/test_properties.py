@@ -237,12 +237,45 @@ def test_passage_dedup_matches_reference(spark, docs_tokens):
     assert got == _ref_passages(docs, k)
 
 
+_FOLD_HOF = __import__("re").compile(r"\b(?:aggregate|reduce)\(")
+_PY_EVAL = __import__("re").compile(
+    r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas"
+    r"|PythonMapInArrow|FlatMapCoGroupsInPandas|AggregateInPandas"
+    r"|WindowInPandas|MapInArrow")
+
+
+def _registry_nondeterminism_risk_ops(spark, qs, sf):
+    """Auto-derive the invariance sweep from the registry (r5 verdict,
+    What's-wrong #2): the two highest-risk classes for
+    partitioning-dependent results are (a) higher-order folds over
+    collected series — float fold order is fixed by sort_array, but a
+    missing sort or an under-specified sort key silently breaks under
+    repartitioning — and (b) pandas-UDF stages, whose batch boundaries
+    move with the partitioning. Any query whose analyzed plan contains
+    an aggregate()/reduce() HOF, or whose executed plan contains a
+    Python-eval node, is swept automatically; a hand-curated seed list
+    covers the remaining classes (LSH banding, global numbering,
+    running-sum packing, clustering, weighted sampling)."""
+    derived = set()
+    for name, fn in qs.items():
+        try:
+            qe = fn(spark, sf)._jdf.queryExecution()
+            if _FOLD_HOF.search(qe.analyzed().toString()) or \
+                    _PY_EVAL.search(qe.executedPlan().toString()):
+                derived.add(name)
+        except Exception:
+            continue  # build errors are the gate's business
+    return derived
+
+
 def test_partitioning_invariance_representative_ops(spark):
     """Determinism harness: representative operators from every risky
     family (LSH banding, global numbering, running-sum packing,
     clustering, weighted sampling) must return IDENTICAL rows under
     different shuffle-partition counts — the property that makes
-    results reproducible across cluster sizes."""
+    results reproducible across cluster sizes. The fold/pandas-UDF
+    classes are DERIVED from the registry plans, not hand-curated, so
+    new ops of those classes join the sweep automatically."""
     import __spark_entry__ as E
     qs = E.queries()
     names = ["dedup_minhash_lsh", "win_surrogate_key", "pack_sequences",
@@ -282,13 +315,24 @@ def test_partitioning_invariance_representative_ops(spark):
              "agg_markov_stationary", "agg_permutation_test",
              "agg_gini_split_finder", "f_geohash_encode"]
     sf = "/root/testdata/sf0.001"
+    derived = _registry_nondeterminism_risk_ops(spark, qs, sf)
+    # pin that the derivation actually sees the classes it claims to:
+    # the three r5 fold ops the hand list missed, plus one per marker
+    for must in ("win_ema_crossover", "ts_holt_winters",
+                 "win_ewma_irregular", "ts_kalman_1d",
+                 "mm_image_neardup_ahash", "f_jaro_winkler"):
+        assert must in derived, f"derivation lost {must}"
+    sweep = sorted(set(names) | derived)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
         for nparts in ("3", "13"):
             spark.conf.set("spark.sql.shuffle.partitions", nparts)
-            for n in names:
-                rows = sorted(map(tuple, qs[n](spark, sf).collect()))
+            for n in sweep:
+                # key=repr: derived ops may emit None/array cells that
+                # plain tuple ordering cannot compare
+                rows = sorted(map(tuple, qs[n](spark, sf).collect()),
+                              key=repr)
                 results.setdefault(n, []).append(rows)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
