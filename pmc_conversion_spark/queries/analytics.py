@@ -196,6 +196,108 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+#: convergence loop bounds for graph_pagerank_converged: relative-L1
+#: tolerance 1/4 (exact decimal compare: 4*diff < base) and a hard
+#: iteration cap. With damping 0.85 the L1 delta contracts ~0.85 per
+#: round, so tol 1/4 converges in ~9 rounds on a connected graph and
+#: the cap is slack, not the expected stop.
+_PRC_CAP = 12
+
+
+def _prc_round_sql(r: int) -> str:
+    """One PageRank round + its L1-delta row (DuckDB). MATERIALIZED:
+    each round's vector is referenced by the next round, two delta
+    CTEs and the final union — default inlining would expand the
+    12-round chain exponentially (graph_kcore lesson)."""
+    prev, out = f"pr{r - 1}", f"pr{r}"
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT und.v AS node,
+             round(0.15 + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 12)
+                        AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+      FROM und JOIN {prev} p ON p.node = und.u
+               JOIN deg d ON d.node = und.u
+      GROUP BY und.v),
+    dl{r} AS MATERIALIZED (
+      SELECT {r} AS r,
+             sum(CAST(round(abs(a.pr - b.pr), 12)
+                      AS DECIMAL(28,12))) AS diff,
+             sum(CAST(round(b.pr, 12) AS DECIMAL(28,12))) AS base
+      FROM {out} a JOIN {prev} b USING (node))
+    """
+
+
+@register(
+    "graph_pagerank_converged",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS MATERIALIZED (SELECT u AS node, count(*) AS deg
+                         FROM und GROUP BY u),
+    pr0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS pr FROM deg),
+    {",".join(_prc_round_sql(r) for r in range(1, _PRC_CAP + 1))},
+    alldl AS ({" UNION ALL ".join(f"SELECT * FROM dl{r}"
+                                  for r in range(1, _PRC_CAP + 1))}),
+    conv AS (SELECT coalesce(min(CASE WHEN diff * 4 < base THEN r END),
+                             {_PRC_CAP}) AS k FROM alldl),
+    allpr AS ({" UNION ALL ".join(
+        f"SELECT {r} AS r, node, pr FROM pr{r}"
+        for r in range(1, _PRC_CAP + 1))})
+    SELECT node, round(pr, 6) AS pagerank, conv.k AS n_iters
+    FROM allpr, conv WHERE allpr.r = conv.k
+    """)
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank iterated TO CONVERGENCE (relative-L1 stop), not a
+    fixed round count — the production form of ``graph_pagerank``:
+    loop while ``sum|pr_r - pr_{{r-1}}| >= base/4`` (both sums exact
+    DECIMAL(28,12) over 12-dp-rounded doubles, so the stop decision is
+    bit-identical across engines and partitionings), hard-capped at
+    {_PRC_CAP} rounds. The oracle replays the SAME rule by unrolling
+    the cap and selecting the first converged round.
+
+    Scale: each round is the unchanged join + partial-agg iteration
+    body with the rank vector broadcast; ``localCheckpoint`` truncates
+    lineage EVERY round because the convergence test takes a per-round
+    action — without it round r would recompute rounds 1..r-1, turning
+    O(r) total work into O(r²) (the measured flat-per-round discipline
+    of the CC/k-core loops). The delta aggregate moves one row per
+    round."""
+    e = _co_order_edges(spark, sf_dir)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+           .localCheckpoint(eager=True))
+    deg = (und.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=True))
+    pr = (deg.select("node", F.lit(1.0).alias("pr"))
+          .localCheckpoint(eager=True))
+    n_iters = _PRC_CAP
+    for r in range(1, _PRC_CAP + 1):
+        state = (pr.join(deg, "node")
+                 .select(F.col("node").alias("u"), "pr", "deg"))
+        contrib = (und.join(F.broadcast(state), "u")
+                   .select(F.col("v").alias("node"),
+                           F.round(F.col("pr") / F.col("deg"), 12)
+                           .cast("decimal(28,12)").alias("c")))
+        nxt = (contrib.groupBy("node")
+               .agg(F.round(F.lit(0.15) + F.lit(0.85)
+                            * F.sum("c").cast("double"), 12).alias("pr"))
+               .localCheckpoint(eager=True))
+        d = (nxt.join(pr.withColumnRenamed("pr", "prev"), "node")
+             .agg(F.sum(F.round(F.abs(F.col("pr") - F.col("prev")), 12)
+                        .cast("decimal(28,12)")).alias("diff"),
+                  F.sum(F.round("prev", 12).cast("decimal(28,12)"))
+                  .alias("base"))
+             .first())
+        pr = nxt
+        if d["diff"] * 4 < d["base"]:
+            n_iters = r
+            break
+    return pr.select("node", F.round("pr", 6).alias("pagerank"),
+                     F.lit(n_iters).cast("int").alias("n_iters"))
+
+
 # ------------------------------------------------------ theta/KMV sketch
 
 _THETA_K = 256

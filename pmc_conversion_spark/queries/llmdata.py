@@ -1477,6 +1477,146 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mean_val")))
 
 
+#: Lloyd-iteration cap for sim_kmeans_lloyd. The stop rule is the
+#: assignment FIXPOINT (0 vectors change cluster); the cap only bounds
+#: the unrolled oracle and pathological non-convergence — both engines
+#: report n_iters = cap identically in that case.
+_LLOYD_CAP = 6
+
+
+def _lloyd_round_sql(r: int) -> str:
+    """One Lloyd round (DuckDB): M-step centroid lists from the
+    previous assignment, E-step reassignment carrying the previous
+    cluster, and the per-round changed count. MATERIALIZED throughout
+    — each assignment is referenced by the next round, the changed
+    count and the final union (graph_kcore inlining lesson)."""
+    return f"""
+    m{r} AS MATERIALIZED (
+      SELECT cluster AS cid, list(mv ORDER BY pos) AS cv
+      FROM (SELECT cluster, pos,
+                   round(CAST(sum(CAST(round(v[pos], 6)
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS mv
+            FROM (SELECT cluster,
+                         unnest(generate_series(1, len(v))) AS pos, v
+                  FROM a{r - 1})
+            GROUP BY cluster, pos)
+      GROUP BY cluster),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, v, cid AS cluster, prev
+      FROM (SELECT e.vec_id, e.v, c.cid, p.cluster AS prev,
+                   round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+            FROM e CROSS JOIN m{r} c
+                 JOIN a{r - 1} p USING (vec_id))
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) = 1),
+    ch{r} AS MATERIALIZED (
+      SELECT {r} AS r, count(*) FILTER (cluster != prev) AS changed
+      FROM a{r})
+    """
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    a0 AS MATERIALIZED (
+      SELECT vec_id, v, cid AS cluster
+      FROM (SELECT e.vec_id, e.v, c.cid,
+                   round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+            FROM e CROSS JOIN c0 c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) = 1),
+    {",".join(_lloyd_round_sql(r) for r in range(1, _LLOYD_CAP + 1))},
+    allch AS ({" UNION ALL ".join(f"SELECT * FROM ch{r}"
+                                  for r in range(1, _LLOYD_CAP + 1))}),
+    conv AS (SELECT coalesce(min(CASE WHEN changed = 0 THEN r END),
+                             {_LLOYD_CAP}) AS k FROM allch),
+    alla AS ({" UNION ALL ".join(
+        f"SELECT {r} AS r, vec_id, v, cluster FROM a{r}"
+        for r in range(1, _LLOYD_CAP + 1))}),
+    fin AS (SELECT a.vec_id, a.v, a.cluster
+            FROM alla a, conv WHERE a.r = conv.k),
+    comps AS (SELECT cluster,
+                     unnest(generate_series(1, len(v))) AS pos, v
+              FROM fin)
+    SELECT cluster, pos, count(*) AS n,
+           round(CAST(sum(CAST(round(v[pos], 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_val,
+           conv.k AS n_iters
+    FROM comps, conv GROUP BY cluster, pos, conv.k
+    """)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means TO THE ASSIGNMENT FIXPOINT — the iterated
+    form of ``sim_kmeans_assign``'s single step: E-step (max-cosine
+    assignment, 6-dp rounded, ties to the lowest centroid id — a
+    total order), M-step (per-dimension DECIMAL-exact means, 6-dp
+    rounded), looped until NO vector changes cluster, capped at
+    {_LLOYD_CAP} rounds. Every decision is a pure function of exact
+    integers/rounded doubles, so the round-by-round assignments — and
+    therefore the stop round — are identical across engines and
+    partitionings; the oracle replays the same rule unrolled.
+
+    Plan per round: the k-row centroid frame broadcasts, N×k scoring
+    is map-side under the broadcast cross join and collapses to one
+    row per vector in the map-side combine of the min-struct
+    aggregation, so each round shuffles N rows once; ``localCheckpoint``
+    per round keeps the per-round cost FLAT (the changed-count action
+    would otherwise replay all prior rounds — O(r²) total). The
+    changed-count test moves one long per round to the driver;
+    centroids stay k×dim regardless of corpus size."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+
+    def estep(frame, cc):
+        sim = F.round(SIM.cosine(F.col("v"), F.col("cv")), 6)
+        return (frame.withColumnRenamed("cluster", "prev")
+                .crossJoin(F.broadcast(cc))
+                .select("vec_id", "v", "prev",
+                        F.struct((-sim).alias("negsim"),
+                                 F.col("cid").alias("cid")).alias("key"))
+                .groupBy("vec_id", "v", "prev")
+                .agg(F.min("key").alias("k"))
+                .select("vec_id", "v", "prev",
+                        F.col("k.cid").alias("cluster")))
+
+    def mstep(assign):
+        comps = assign.select(
+            "cluster", F.posexplode("v").alias("pos0", "val"))
+        means = (comps.groupBy("cluster", "pos0")
+                 .agg(F.round(F.sum(F.round("val", 6)
+                                    .cast("decimal(18,6)")).cast("double")
+                              / F.count(F.lit(1)), 6).alias("mv")))
+        return (means.groupBy(F.col("cluster").alias("cid"))
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "mv"))),
+                    lambda s: s["mv"]).alias("cv")))
+
+    assign = (estep(emb.withColumn("cluster", F.lit(-1).cast("long")),
+                    cents)
+              .localCheckpoint(eager=True))
+    n_iters = _LLOYD_CAP
+    for r in range(1, _LLOYD_CAP + 1):
+        assign = (estep(assign.drop("prev"), mstep(assign))
+                  .localCheckpoint(eager=True))
+        if assign.filter(F.col("cluster") != F.col("prev")).count() == 0:
+            n_iters = r
+            break
+    comps = assign.select("cluster",
+                          F.posexplode("v").alias("pos0", "val"))
+    return (comps.groupBy("cluster", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.round("val", 6).cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_val"))
+            .withColumn("n_iters", F.lit(n_iters).cast("int")))
+
+
 @register(
     "text_cooccurrence_pmi",
     oracle=f"""
