@@ -1,13 +1,16 @@
 """INI config loaders for the reference's deployment files.
 
-A user of the reference configures everything through two INI files:
-``luigi.cfg`` ([GlobalConfig] paths + study settings, [resources],
-[retcode], [TransmartApiTask] endpoints — luigi.cfg-sample:16-60) and
-``email_config.cfg`` ([email]/[smtp]/[global] — scripts/
-email_client.py:11-27). These loaders turn those exact files into the
-engine's dataclasses, so an existing deployment's configs drive
-``build_reference_dag`` / ``TransmartPostLoadClient`` /
-``EmailConfig`` unchanged.
+A user of the reference configures everything through three INI
+files: ``luigi.cfg`` ([GlobalConfig] paths + study settings,
+[resources], [retcode], [TransmartApiTask] endpoints —
+luigi.cfg-sample:16-60), ``email_config.cfg`` ([email]/[smtp]/
+[global] — scripts/email_client.py:11-27), and ``logging.cfg``
+(stdlib ``logging.config.fileConfig`` format: [loggers]/[handlers]/
+[formatters] sections, consumed by the reference at startup). These
+loaders turn those exact files into the engine's dataclasses, so an
+existing deployment's configs drive ``build_reference_dag`` /
+``TransmartPostLoadClient`` / ``EmailConfig`` / driver logging
+unchanged.
 
 Inline ``#`` comments are stripped (the sample file carries
 ``CHANGE ME`` comments on value lines).
@@ -102,3 +105,78 @@ def load_email_config(path: str):
         username=s.get("username", ""),
         password=s.get("password", ""),
         log_file=cp.get("global", "log_file", fallback=""))
+
+
+@dataclass
+class LogHandlerConfig:
+    """One [handler_*] block of logging.cfg (stdlib fileConfig
+    schema): handler class name, threshold level, formatter reference
+    and the raw args tuple source (kept as TEXT — fileConfig eval()s
+    it; the loader never does)."""
+    name: str
+    cls: str
+    level: str
+    formatter: str
+    args: str
+
+
+@dataclass
+class LogFormatterConfig:
+    """One [formatter_*] block: printf-style format + datefmt."""
+    name: str
+    format: str
+    datefmt: str
+
+
+@dataclass
+class LoggingConfig:
+    """Parsed logging.cfg (reference ``logging.cfg``: root logger at
+    NOTSET fanning out to an INFO console handler and a DEBUG file
+    handler)."""
+    root_level: str
+    root_handlers: list[str]
+    handlers: dict[str, LogHandlerConfig]
+    formatters: dict[str, LogFormatterConfig]
+
+    def apply(self) -> None:
+        """Hand the file to stdlib ``logging.config.fileConfig`` —
+        the exact call the reference makes — without killing loggers
+        other code (py4j, Spark) already created."""
+        import logging.config
+        logging.config.fileConfig(self._path,
+                                  disable_existing_loggers=False)
+
+
+def load_logging_config(path: str) -> LoggingConfig:
+    """Parse a logging.cfg (stdlib fileConfig INI schema) into the
+    engine's dataclasses. The [loggers]/[handlers]/[formatters] key
+    lists are honored — a section not listed there is ignored, same
+    as fileConfig. Interpolation is OFF — format strings are full of
+    ``%(asctime)s``-style tokens that BasicInterpolation would choke
+    on (fileConfig itself reads with raw=True)."""
+    cp = ConfigParser(interpolation=None,
+                      inline_comment_prefixes=("#", ";"))
+    with open(path, encoding="utf-8") as f:
+        cp.read_file(f)
+    handlers = {}
+    for h in (x.strip() for x in cp["handlers"]["keys"].split(",") if x):
+        sec = cp[f"handler_{h}"]
+        handlers[h] = LogHandlerConfig(
+            name=h, cls=sec["class"],
+            level=sec.get("level", "NOTSET"),
+            formatter=sec.get("formatter", ""),
+            args=sec.get("args", "()"))
+    formatters = {}
+    for f in (x.strip() for x in cp["formatters"]["keys"].split(",") if x):
+        sec = cp[f"formatter_{f}"]
+        formatters[f] = LogFormatterConfig(
+            name=f, format=sec.get("format", "%(message)s"),
+            datefmt=sec.get("datefmt", ""))
+    root = cp["logger_root"]
+    out = LoggingConfig(
+        root_level=root.get("level", "NOTSET"),
+        root_handlers=[x.strip()
+                       for x in root.get("handlers", "").split(",") if x],
+        handlers=handlers, formatters=formatters)
+    out._path = path
+    return out

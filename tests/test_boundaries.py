@@ -387,6 +387,73 @@ def test_load_pipeline_config_sample_shape(tmp_path):
     assert cfg.retcodes == RETCODES  # the sample IS our class table
 
 
+LOGGING_CFG = """\
+[loggers]
+keys=root
+
+[handlers]
+keys=consoleHandler,fileHandler
+
+[formatters]
+keys=consoleFormatter,fileFormatter
+
+[logger_root]
+level=NOTSET
+handlers=consoleHandler,fileHandler
+
+[handler_consoleHandler]
+class=StreamHandler
+level=INFO
+formatter=consoleFormatter
+args=(sys.stdout,)
+
+[handler_fileHandler]
+class=FileHandler
+level=DEBUG
+formatter=fileFormatter
+args=('python.log','w')
+
+[formatter_consoleFormatter]
+format=%(asctime)s; %(levelname)-7s %(name)-25s - %(message)s
+datefmt=%Y-%m-%d %H:%M:%S
+
+[formatter_fileFormatter]
+format=%(asctime)s  %(levelname)-7s %(name)-25s %(message)s
+datefmt=%Y-%m-%d %H:%M:%S
+"""
+
+
+def test_load_logging_config(tmp_path):
+    """logging.cfg (the last reference deployment file): the stdlib
+    fileConfig schema parses into typed handlers/formatters and the
+    root fan-out, and applying it actually reconfigures stdlib
+    logging the way the reference's startup does."""
+    import logging
+    from pmc_conversion_spark.plans.pipeline_config import \
+        load_logging_config
+    p = tmp_path / "logging.cfg"
+    # the reference writes its file log next to the cwd; point the
+    # fixture's FileHandler into tmp_path so apply() is hermetic
+    p.write_text(LOGGING_CFG.replace(
+        "'python.log'", repr(str(tmp_path / "python.log"))))
+    cfg = load_logging_config(str(p))
+    assert cfg.root_level == "NOTSET"
+    assert cfg.root_handlers == ["consoleHandler", "fileHandler"]
+    assert cfg.handlers["consoleHandler"].cls == "StreamHandler"
+    assert cfg.handlers["consoleHandler"].level == "INFO"
+    assert cfg.handlers["fileHandler"].level == "DEBUG"
+    assert cfg.formatters["fileFormatter"].datefmt == "%Y-%m-%d %H:%M:%S"
+    assert "%(levelname)-7s" in cfg.formatters["consoleFormatter"].format
+    prev = logging.getLogger().handlers[:]
+    try:
+        cfg.apply()
+        root = logging.getLogger()
+        kinds = {type(h).__name__ for h in root.handlers}
+        assert {"StreamHandler", "FileHandler"} <= kinds
+    finally:
+        logging.getLogger().handlers[:] = prev
+
+
 def test_load_email_config(tmp_path):
     from pmc_conversion_spark.plans.pipeline_config import load_email_config
     p = tmp_path / "email_config.cfg"

@@ -107,6 +107,11 @@ PROBED = [
     # iteration cost must NOT grow with data
     "agg_permutation_test",
     "agg_markov_stationary",
+    # r6: convergence-loop capstones — per-round localCheckpoint must
+    # keep total cost ∝ rounds × data, so the sf ratio stays linear
+    # even though the ROUND COUNT is data-dependent
+    "graph_pagerank_converged",
+    "sim_kmeans_lloyd",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
