@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         tuned.__name__ = fn.__name__
         tuned.__doc__ = fn.__doc__
+        tuned.__wrapped__ = fn  # inspect.unwrap → real file:line
         REGISTRY[name] = RegisteredQuery(name=name, fn=tuned, oracle=oracle)
         return fn
 

@@ -665,6 +665,28 @@ def test_auc_running_sum_is_two_phase(spark, qs):
     assert "rangepartitioning" in plan_of(df)
 
 
+def test_operators_index_matches_registry(qs):
+    """OPERATORS.md (tools/operators_index.py) is the browsable table
+    of contents for the registry; it must list exactly the live
+    queries() names, each with a resolvable defining file. When this
+    fails: python -u tools/operators_index.py."""
+    import os
+    import re
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "OPERATORS.md")
+    assert os.path.exists(path), "run tools/operators_index.py"
+    listed = {}
+    for ln in open(path):
+        m = re.match(r"\| `([^`]+)` \| .* \| ([\w/.]+\.py):\d+ \|", ln)
+        if m:
+            listed[m.group(1)] = m.group(2)
+    assert set(listed) == set(qs), (
+        f"index drift — regenerate: missing={sorted(set(qs) - set(listed))[:5]} "
+        f"stale={sorted(set(listed) - set(qs))[:5]}")
+    for name, rel in listed.items():
+        assert os.path.exists(os.path.join(repo, rel)), (name, rel)
+
+
 def test_every_registered_query_is_in_latest_fullgate_log(qs):
     """Process gate (r4 verdict, What's-wrong #1): ts_holt_forecast
     shipped red because it was registered AFTER the last full gate
