@@ -248,14 +248,12 @@ def stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _protobuf_available() -> bool:
     """transformWithStateInPandas serializes state between the JVM and
-    the Python worker over protobuf; probe it ONCE at import so the
-    Spark-4 stateful API registers the day the environment supports it
-    and stays cleanly absent (not broken) where it doesn't."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    the Python worker over protobuf; probe it ONCE at import (via
+    ensure_protobuf, which falls back to the bundled-runtime shim) so
+    the Spark-4 stateful API registers wherever a runtime exists and
+    stays cleanly absent (not broken) where none does."""
+    from pmc_conversion_spark.streaming.stateful import ensure_protobuf
+    return ensure_protobuf()
 
 
 if _protobuf_available():

@@ -18,7 +18,72 @@ state lives in the state store, not the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+_SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "protobuf_shim")
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable in THIS process, installing
+    the bundled-runtime shim (``protobuf_shim/google/protobuf``) on
+    sys.path if no real package exists. Returns whether protobuf is
+    usable — the registration gate for the transformWithState surface.
+    Idempotent; never raises."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        pass
+    import sys
+    if _SHIM_DIR not in sys.path:
+        sys.path.insert(0, _SHIM_DIR)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _shim_workers(spark) -> None:
+    """Make the shim resolvable in every SPAWNED Python process of
+    this session: the transformWithState machinery runs a long-lived
+    'driver worker' plus per-task workers, all spawned by the JVM's
+    PythonWorkerFactory with the envVars snapshotted from
+    ``sc.environment`` at UDF creation — so prepending the shim dir to
+    that PYTHONPATH (verified to reach the driver worker, which
+    addPyFile includes do NOT) is the delivery that works even on a
+    vanilla session whose JVM env predates us. Also ships the shim as
+    a pyfile for task workers on a real cluster, where a driver-local
+    path would not exist. Both are no-ops when a real protobuf is
+    installed (the shim never enters sys.path then). Must run BEFORE
+    the stateful transform is constructed."""
+    import sys
+    import zipfile
+
+    if _SHIM_DIR not in sys.path:
+        return  # real google.protobuf in use; nothing to deliver
+    env = spark.sparkContext.environment
+    parts = env.get("PYTHONPATH", "").split(os.pathsep)
+    if _SHIM_DIR not in parts:
+        env["PYTHONPATH"] = _SHIM_DIR + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    scratch = "/tmp/pmc_spark_scratch"
+    os.makedirs(scratch, exist_ok=True)
+    zpath = os.path.join(scratch, "pmc_protobuf_shim.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(_SHIM_DIR):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _SHIM_DIR))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+
 
 OUT_SCHEMA = "user_id long, session_start timestamp, n_events long"
 STATE_SCHEMA = "session_start long, last_ts long, n long"  # micros since epoch
@@ -92,20 +157,19 @@ def running_count_tws(events: DataFrame, *, key_col: str = "user_id"
     ``handleInputRows``, update-mode emission.
 
     GATED: transformWithState's Python worker serializes state over
-    protobuf; environments without a working ``google.protobuf`` (this
-    sandbox — import-checked below) get a clear error here instead of
-    an opaque mid-query worker crash. The operator is therefore
-    test-skipped rather than registry-gated; ``sessionize_with_state``
-    (applyInPandasWithState, no protobuf dependency) is the registered
-    stateful surface.
+    protobuf. Where no ``google.protobuf`` is installed,
+    ``ensure_protobuf`` falls back to the bundled-runtime shim
+    (protobuf_shim/ — re-roots onto the GCloud-SDK pure-Python runtime
+    with a same-major version waiver) and ``_shim_pyfile`` ships it to
+    the workers; only if BOTH are unavailable does this raise a clear
+    error instead of an opaque mid-query worker crash.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    if not ensure_protobuf():
         raise NotImplementedError(
             "transformWithStateInPandas needs a working google.protobuf "
-            "in the Python workers; not available in this environment"
-        ) from e
+            "in the Python workers; neither an installed package nor "
+            "the bundled-runtime shim is available in this environment")
+    _shim_workers(events.sparkSession)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
