@@ -97,6 +97,32 @@ HEADLINE = [
     "f_jaro_winkler",
 ]
 
+#: Cross-round normalization (r5 verdict, next-round task #3): this
+#: VM's wall clocks drift ±40% BETWEEN sessions (host steal / cache
+#: state), which is larger than any real per-round signal. Fix: a
+#: small calibration set of plan-stable probes spanning the engine's
+#: cost classes (broadcast-join pipeline, map-only JVM, tiny window,
+#: hash-agg dedup, Arrow/Python worker path) is timed at the START and
+#: END of every bench session. The per-query ratio to the recorded
+#: REFERENCE epoch gives this session's host factor; "normalized"
+#: timings are raw/host_factor and are the cross-round-comparable
+#: numbers. start-vs-end disagreement estimates residual in-session
+#: drift (error bar, not correction).
+CALIBRATION = ["flagship", "text_fingerprint", "win_frame_rows",
+               "dedup_exact", "mm_decode_stub"]
+#: reference epoch: the round-5 driver bench session (BENCH_r05.json,
+#: sf0.1, local[32]) — chosen because every judged round so far is
+#: compared against its numbers.
+REFERENCE_CAL = {"flagship": 1.016, "text_fingerprint": 0.103,
+                 "win_frame_rows": 0.125, "dedup_exact": 0.505,
+                 "mm_decode_stub": 0.377}
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
 
 def main() -> None:
     from pmc_conversion_spark.session import get_spark
@@ -143,11 +169,41 @@ def main() -> None:
                "documents", "embeddings"):
         _T.load(spark, SF_DIR, _t).limit(1).count()
 
+    def time_query(name):
+        fn = (lambda: flagship_query(spark, SF_DIR)) if name == "flagship" \
+            else (lambda n=name: qs[n](spark, SF_DIR))
+        best = None
+        for _ in range(max(1, REPEATS)):
+            t0 = time.time()
+            fn().count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    # one untimed pass first: the calibration probes must measure the
+    # steady-state host, not residual JIT/footer warmup (which would
+    # bias cal_start high and masquerade as in-session drift)
+    for n in CALIBRATION:
+        (flagship_query(spark, SF_DIR) if n == "flagship"
+         else qs[n](spark, SF_DIR)).count()
+    cal_start = {n: time_query(n) for n in CALIBRATION}
+
     for name in HEADLINE:
         if name == "flagship":
             run(name, lambda: flagship_query(spark, SF_DIR))
         elif name in qs:
             run(name, lambda n=name: qs[n](spark, SF_DIR))
+
+    cal_end = {n: time_query(n) for n in CALIBRATION}
+
+    # session-vs-reference host factor (median of per-probe ratios,
+    # robust to one probe hitting a steal spike) and the residual
+    # start-vs-end in-session drift
+    host_factor = round(_median(
+        [cal_start[n] / REFERENCE_CAL[n] for n in CALIBRATION]), 3)
+    drift = round(_median(
+        [cal_end[n] / cal_start[n] for n in CALIBRATION]), 3)
+    normalized = {k: round(v / host_factor, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -156,6 +212,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "normalization": {
+            "reference_epoch": "BENCH_r05.json driver session "
+                               "(sf0.1, local[32])",
+            "calibration_start": cal_start,
+            "calibration_end": cal_end,
+            "host_factor_vs_reference": host_factor,
+            "within_session_drift": drift,
+            "value_normalized": round(sum(normalized.values()), 3),
+            "queries_normalized": normalized,
+        },
     }))
 
 
