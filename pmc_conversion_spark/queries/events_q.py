@@ -301,6 +301,101 @@ if _protobuf_available():
         return (spark.table(name).groupBy("user_id")
                 .agg(F.max("n_events").alias("n_events")))
 
+    def _tws_run(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+        """Shared harness for the transformWithState registry entries:
+        events file stream (NTZ-tolerant ts) → build(stream) → memory
+        sink, availableNow, update mode → the sink table."""
+        import tempfile
+        import uuid
+
+        from pyspark.sql import types as T
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        if isinstance(stream.schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out = build(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="pmc_tws_ckpt_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.table(name)
+
+    @register(
+        "stream_topn_liststate_tws",
+        oracle="""
+        SELECT user_id, rn::INT AS rn, value_cents, event_id FROM (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents,
+                 event_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                            event_id) AS rn
+          FROM events)
+        WHERE rn <= 3
+        """)
+    def stream_topn_liststate_tws(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        """Per-user running TOP-3 event values through a
+        transformWithState LIST state (streaming/stateful.py
+        topn_liststate_tws), availableNow into a memory sink. Each
+        batch emits the monotone top-3-so-far, so re-ranking the
+        distinct union of emissions equals the batch top-3 the oracle
+        pins — ties broken by event_id, values as exact cents."""
+        from pmc_conversion_spark.streaming.stateful import \
+            topn_liststate_tws
+
+        got = _tws_run(
+            spark, sf_dir,
+            lambda s: topn_liststate_tws(
+                s.select(
+                    "user_id", "event_id",
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("value_cents"))))
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value_cents").desc(), "event_id")
+        return (got.select("user_id", "value_cents", "event_id")
+                .distinct()
+                .withColumn("rn", F.row_number().over(w).cast("int"))
+                .filter(F.col("rn") <= 3)
+                .select("user_id", "rn", "value_cents", "event_id"))
+
+    @register(
+        "stream_pertype_mapstate_tws",
+        oracle="""
+        SELECT user_id, event_type,
+               count(*) AS n_events,
+               epoch_us(max(ts)) AS last_us
+        FROM events GROUP BY user_id, event_type
+        """)
+    def stream_pertype_mapstate_tws(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        """Per-(user, event_type) running count + last-seen through a
+        transformWithState MAP state (streaming/stateful.py
+        per_type_stats_tws), availableNow into a memory sink. Every
+        emission carries the full per-type map, so max-per-group over
+        all emissions equals the batch aggregate the oracle pins;
+        timestamps ride as epoch micros to stay NTZ-exact."""
+        from pmc_conversion_spark.streaming.stateful import \
+            per_type_stats_tws
+
+        got = _tws_run(
+            spark, sf_dir,
+            lambda s: per_type_stats_tws(
+                s.select("user_id", "event_type", "ts")))
+        return (got.groupBy("user_id", "event_type")
+                .agg(F.max("n_events").alias("n_events"),
+                     F.max("last_us").alias("last_us")))
+
 
 @register(
     "stream_stateful_dedup",

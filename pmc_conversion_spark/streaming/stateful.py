@@ -201,3 +201,125 @@ def running_count_tws(events: DataFrame, *, key_col: str = "user_id"
                 outputStructType="user_id long, n_events long",
                 outputMode="Update",
                 timeMode="None"))
+
+
+def _tws_prepare(events: DataFrame) -> None:
+    """Shared preamble for every transformWithState operator: protobuf
+    (shimmed if needed), worker delivery, RocksDB state store."""
+    if not ensure_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "in the Python workers; neither an installed package nor "
+            "the bundled-runtime shim is available in this environment")
+    spark = events.sparkSession
+    _shim_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
+
+def topn_liststate_tws(events: DataFrame, *, n: int = 3,
+                       key_col: str = "user_id") -> DataFrame:
+    """Per-key running top-N event values via transformWithState
+    LIST state — the typed-state API's bounded-collection form (the
+    state the ValueState running count cannot hold). Input must carry
+    ``value_cents``/``event_id``; the state is the current top-N
+    (cents DESC, event_id ASC — a total order), re-derived and emitted
+    after every micro-batch. Emissions are monotone: each batch's
+    output is the top-N over everything seen, so the union of all
+    emissions re-ranked gives exactly the final top-N (the collapse
+    the registered query applies).
+
+    Scale: state is N rows per key regardless of event volume, and the
+    in-batch work is one pandas sort of (carried N + batch rows)."""
+    _tws_prepare(events)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class TopN(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState(
+                "top", "value_cents long, event_id long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = [tuple(t) for t in self._top.get()] \
+                if self._top.exists() else []
+            for pdf in rows:
+                cur.extend(zip(
+                    pdf["value_cents"].astype("int64").tolist(),
+                    pdf["event_id"].astype("int64").tolist()))
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:n]
+            self._top.put(cur)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(cur),
+                "rn": pd.Series(range(1, len(cur) + 1), dtype="int32"),
+                "value_cents": pd.Series([c for c, _ in cur],
+                                         dtype="int64"),
+                "event_id": pd.Series([e for _, e in cur],
+                                      dtype="int64")})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=TopN(),
+                outputStructType="user_id long, rn int, "
+                                 "value_cents long, event_id long",
+                outputMode="Update",
+                timeMode="None"))
+
+
+def per_type_stats_tws(events: DataFrame, *, key_col: str = "user_id"
+                       ) -> DataFrame:
+    """Per-(key, event_type) running count and last-seen timestamp via
+    transformWithState MAP state — the keyed-substate form (one value
+    per dynamic sub-key, which ValueState/ListState cannot index).
+    Input must carry ``event_type``/``ts`` (converted to epoch micros
+    pandas-side — the NTZ-exact route, no session-tz
+    reinterpretation); after each micro-batch the full map is emitted,
+    so a later emission supersedes an earlier one per (key, type) and
+    the max-per-group collapse reproduces the batch aggregate exactly.
+
+    Scale: state is one (count, last) pair per live (key, type); the
+    in-batch update is one pandas groupby, one map put per type."""
+    _tws_prepare(events)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class PerType(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "m", "event_type string", "n long, last_us long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                g = (pdf.assign(_us=us).groupby("event_type")
+                     .agg(n=("event_type", "size"), last=("_us", "max")))
+                for et, row in g.iterrows():
+                    prev = self._m.getValue((et,))
+                    n0, l0 = prev if prev else (0, -(1 << 62))
+                    self._m.updateValue(
+                        (et,), (n0 + int(row["n"]),
+                                max(l0, int(row["last"]))))
+            out = [(key[0], k[0], v[0], v[1])
+                   for k, v in self._m.iterator()]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type",
+                              "n_events", "last_us"])
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=PerType(),
+                outputStructType="user_id long, event_type string, "
+                                 "n_events long, last_us long",
+                outputMode="Update",
+                timeMode="None"))
