@@ -1229,6 +1229,104 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redact_eval",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text, doc_id % 7 AS r,
+             'p' || CAST(doc_id AS VARCHAR) || '@leak.org' AS em,
+             '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                   4, '0') AS ph
+      FROM documents),
+    planted AS (
+      SELECT doc_id, r, em, ph,
+             CASE WHEN r = 3 THEN text || ' mail ' || em
+                  WHEN r = 5 THEN text || ' call ' || ph
+                  ELSE text END AS text2,
+             text
+      FROM base),
+    red AS (
+      SELECT *,
+             regexp_replace(regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                 '<PHONE>', 'g') AS redacted
+      FROM planted)
+    SELECT
+      count(*) FILTER (r = 3) AS n_email_planted,
+      count(*) FILTER (r = 3 AND contains(redacted, '<EMAIL>')
+                       AND NOT contains(redacted, em)) AS n_email_caught,
+      count(*) FILTER (r = 5) AS n_phone_planted,
+      count(*) FILTER (r = 5 AND contains(redacted, '<PHONE>')
+                       AND NOT contains(redacted, ph)) AS n_phone_caught,
+      round(count(*) FILTER (r = 3 AND contains(redacted, '<EMAIL>')
+                             AND NOT contains(redacted, em))::DOUBLE
+            / count(*) FILTER (r = 3), 6) AS email_recall,
+      round(count(*) FILTER (r = 5 AND contains(redacted, '<PHONE>')
+                             AND NOT contains(redacted, ph))::DOUBLE
+            / count(*) FILTER (r = 5), 6) AS phone_recall,
+      count(*) FILTER (r NOT IN (3, 5)) AS n_clean,
+      count(*) FILTER (r NOT IN (3, 5) AND redacted <> text)
+        AS n_false_redactions
+    FROM red
+    """)
+def text_pii_redact_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-PII recall harness for the scrubber — the measurement
+    that turns ``text_pii_redact`` from 'ran some regexes' into an
+    audited control (the decontamination-eval discipline applied to
+    PII): a deterministic 1-in-7 slice of docs gets a unique synthetic
+    email planted, another slice a unique phone number, the redactor
+    runs over the whole corpus, and the output reports per-type plant
+    counts, catch counts (placeholder present AND the planted literal
+    gone), recall — 1.0 or the control failed — and the
+    false-redaction count on untouched docs (fixture text carries no
+    real PII, so any change there is a precision bug).
+
+    Plan: map-only (plant, redact, classify are all per-row JVM
+    expressions) into one global aggregate — one scan, one row out."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "text", (F.col("doc_id") % 7).alias("r"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string"),
+                 F.lit("@leak.org")).alias("em"),
+        F.concat(F.lit("555-"),
+                 F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                 F.lit("-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+        .alias("ph"))
+    planted = base.withColumn(
+        "text2",
+        F.when(F.col("r") == 3,
+               F.concat(F.col("text"), F.lit(" mail "), F.col("em")))
+        .when(F.col("r") == 5,
+              F.concat(F.col("text"), F.lit(" call "), F.col("ph")))
+        .otherwise(F.col("text")))
+    red = planted.withColumn("redacted", TX.redact_pii(F.col("text2")))
+    em_ok = ((F.col("r") == 3) & F.col("redacted").contains("<EMAIL>")
+             & ~F.col("redacted").contains(F.col("em")))
+    ph_ok = ((F.col("r") == 5) & F.col("redacted").contains("<PHONE>")
+             & ~F.col("redacted").contains(F.col("ph")))
+    clean = ~F.col("r").isin(3, 5)
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    return red.agg(
+        cnt(F.col("r") == 3).alias("n_email_planted"),
+        cnt(em_ok).alias("n_email_caught"),
+        cnt(F.col("r") == 5).alias("n_phone_planted"),
+        cnt(ph_ok).alias("n_phone_caught"),
+        F.round(cnt(em_ok).cast("double")
+                / cnt(F.col("r") == 3), 6).alias("email_recall"),
+        F.round(cnt(ph_ok).cast("double")
+                / cnt(F.col("r") == 5), 6).alias("phone_recall"),
+        cnt(clean).alias("n_clean"),
+        cnt(clean & (F.col("redacted") != F.col("text")))
+        .alias("n_false_redactions"))
+
+
+@register(
     "vocab_topk",
     oracle=f"""
     SELECT tok AS token, count(*) AS n
@@ -1615,6 +1713,124 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("mean_val"))
             .withColumn("n_iters", F.lit(n_iters).cast("int")))
+
+
+#: Newton/IRLS iteration cap for agg_logreg_irls. Newton on a
+#: 2-parameter logistic converges quadratically — the 1e-7 stop
+#: typically fires by round 5-6; the cap bounds the unrolled oracle
+#: and pathological separation (both engines then report cap).
+_IRLS_CAP = 8
+
+
+def _irls_round_sql(r: int) -> str:
+    """One Newton round (DuckDB): per-row probabilities at the
+    previous weights (9-dp rounded so the doubles match Spark's),
+    DECIMAL-exact gradient/Hessian sums, closed-form 2x2 solve,
+    9-dp-rounded step. MATERIALIZED — each round is referenced by the
+    next round and the final union."""
+    prev = f"w{r - 1}"
+    return f"""
+    w{r} AS MATERIALIZED (
+      SELECT round(w.a + t.dw0, 9) AS a, round(w.b + t.dw1, 9) AS b,
+             greatest(abs(t.dw0), abs(t.dw1)) AS delta
+      FROM (
+        SELECT round((h11*g0 - h01*g1) / (h00*h11 - h01*h01), 9) AS dw0,
+               round((h00*g1 - h01*g0) / (h00*h11 - h01*h01), 9) AS dw1
+        FROM (
+          SELECT
+            CAST(sum(CAST(round(y - p, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS g0,
+            CAST(sum(CAST(round((y - p) * z, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS g1,
+            CAST(sum(CAST(round(p * (1 - p), 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS h00,
+            CAST(sum(CAST(round(p * (1 - p) * z, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS h01,
+            CAST(sum(CAST(round(p * (1 - p) * z * z, 9)
+                          AS DECIMAL(24,9))) AS DOUBLE) AS h11
+          FROM (SELECT y, z,
+                       round(1.0 / (1.0 + exp(-(w.a + w.b * z))), 9) AS p
+                FROM d, {prev} w))) t, {prev} w)
+    """
+
+
+@register(
+    "agg_logreg_irls",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0::DOUBLE
+                  ELSE 0.0::DOUBLE END AS y,
+             round(n_chars::DOUBLE / 1000.0, 9) AS z
+      FROM documents),
+    w0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b,
+                  1.0::DOUBLE AS delta),
+    {",".join(_irls_round_sql(r) for r in range(1, _IRLS_CAP + 1))},
+    allw AS ({" UNION ALL ".join(
+        f"SELECT {r} AS r, a, b, delta FROM w{r}"
+        for r in range(1, _IRLS_CAP + 1))}),
+    conv AS (SELECT coalesce(min(CASE WHEN delta < 1e-7 THEN r END),
+                             {_IRLS_CAP}) AS k FROM allw)
+    SELECT a AS w_intercept, b AS w_slope, conv.k AS n_iters
+    FROM allw, conv WHERE allw.r = conv.k
+    """)
+def agg_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN-ENGINE to convergence by
+    Newton/IRLS — the quality/language-classifier primitive curation
+    pipelines otherwise farm out to sklearn: label = (lang = 'en'),
+    feature = kilochars, weights updated by the closed-form 2x2 Newton
+    solve until the 9-dp-rounded step is below 1e-7 (capped at
+    {_IRLS_CAP}). Every per-row probability is 9-dp rounded and every
+    gradient/Hessian entry is an exact DECIMAL(24,9) sum, so the
+    weight trajectory — and the stop round — are bit-identical across
+    engines and partitionings; the oracle replays the same rule
+    unrolled.
+
+    Scale: one partial-aggregable full scan per round (five decimal
+    sums — map-side combine collapses to one row per partition), two
+    scalar weights to the driver per round; no per-round state grows
+    with the data, and Newton's quadratic convergence keeps the round
+    count ~5 regardless of corpus size."""
+    d = (_docs(spark, sf_dir)
+         .select(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+                 .alias("y"),
+                 F.round(F.col("n_chars") / 1000.0, 9).alias("z")))
+    a, b = 0.0, 0.0
+    n_iters = _IRLS_CAP
+    for r in range(1, _IRLS_CAP + 1):
+        p = F.round(F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.lit(a) + F.lit(b)
+                                            * F.col("z")))), 9)
+
+        def dsum(expr):
+            return F.sum(F.round(expr, 9).cast("decimal(24,9)")) \
+                .cast("double")
+
+        sums = d.agg(
+            dsum(F.col("y") - p).alias("g0"),
+            dsum((F.col("y") - p) * F.col("z")).alias("g1"),
+            dsum(p * (F.lit(1.0) - p)).alias("h00"),
+            dsum(p * (F.lit(1.0) - p) * F.col("z")).alias("h01"),
+            dsum(p * (F.lit(1.0) - p) * F.col("z") * F.col("z"))
+            .alias("h11"))
+        det = (F.col("h00") * F.col("h11")
+               - F.col("h01") * F.col("h01"))
+        dws = sums.select(
+            F.round((F.col("h11") * F.col("g0")
+                     - F.col("h01") * F.col("g1")) / det, 9).alias("dw0"),
+            F.round((F.col("h00") * F.col("g1")
+                     - F.col("h01") * F.col("g0")) / det, 9).alias("dw1"))
+        res = dws.select(
+            F.round(F.lit(a) + F.col("dw0"), 9).alias("a"),
+            F.round(F.lit(b) + F.col("dw1"), 9).alias("b"),
+            F.greatest(F.abs("dw0"), F.abs("dw1")).alias("delta")
+        ).first()
+        a, b = res["a"], res["b"]
+        if res["delta"] < 1e-7:
+            n_iters = r
+            break
+    return spark.range(1).select(
+        F.lit(a).alias("w_intercept"), F.lit(b).alias("w_slope"),
+        F.lit(n_iters).cast("int").alias("n_iters"))
 
 
 @register(

@@ -3553,6 +3553,100 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_levene_test",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT grp, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx
+          FROM g GROUP BY grp),
+    mu AS (SELECT grp, round(sx::DOUBLE / n, 9) AS mu FROM m),
+    z AS (SELECT g.grp, round(abs(g.cents::DOUBLE - mu.mu), 9) AS z
+          FROM g JOIN mu USING (grp)),
+    per AS (SELECT grp, count(*) AS n,
+                   sum(CAST(z AS DECIMAL(28,9))) AS sz,
+                   sum(CAST(round(z * z, 9) AS DECIMAL(38,9))) AS szz
+            FROM z GROUP BY grp),
+    per2 AS (SELECT grp, n, szz,
+                    round(CAST(sz AS DOUBLE) / n, 9) AS zbar, sz
+             FROM per),
+    tot AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                   round(CAST(sum(sz) AS DOUBLE)
+                         / CAST(sum(n) AS BIGINT), 9) AS zbar_g
+            FROM per2),
+    terms AS (SELECT
+                sum(CAST(round(p.n * (p.zbar - t.zbar_g)
+                               * (p.zbar - t.zbar_g), 9)
+                         AS DECIMAL(38,9))) AS num,
+                sum(CAST(round(CAST(p.szz AS DOUBLE)
+                               - p.n * p.zbar * p.zbar, 9)
+                         AS DECIMAL(38,9))) AS den
+              FROM per2 p, tot t)
+    SELECT t.k AS n_groups, t.nn AS n_total,
+           round((t.nn - t.k)::DOUBLE / (t.k - 1)
+                 * CAST(terms.num AS DOUBLE)
+                 / CAST(terms.den AS DOUBLE), 4) AS w_stat
+    FROM tot t, terms
+    """)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-centered form) for homogeneity of variance
+    across the five order-priority groups — the precondition check for
+    ``agg_anova_oneway``: ANOVA's F assumes equal group variances, and
+    Levene is the standard screen (one-way ANOVA applied to the
+    absolute deviations Z = |x − mean_g|). Group means come from exact
+    integer-cent sums (9-dp rounded), Z and Z² ride as DECIMAL sums,
+    and the two cross-group reductions run over the 5-row group frame
+    with 9-dp-rounded terms decimal-summed — order-independent, so
+    both engines and any partitioning agree to the digit.
+
+    Plan: two fact scans (means, then deviations with the 5-row mean
+    frame broadcast back), both partial-aggregable; everything after
+    is 5-row algebra."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(F.col("o_orderpriority").alias("grp"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    mu = (g.groupBy("grp")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sx"))
+          .select("grp", F.round(F.col("sx").cast("double")
+                                 / F.col("n"), 9).alias("mu")))
+    z = (g.join(F.broadcast(mu), "grp")
+         .select("grp", F.round(F.abs(F.col("cents").cast("double")
+                                      - F.col("mu")), 9).alias("z")))
+    per = (z.groupBy("grp")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("z").cast("decimal(28,9)")).alias("sz"),
+                F.sum(F.round(F.col("z") * F.col("z"), 9)
+                      .cast("decimal(38,9)")).alias("szz")))
+    per2 = per.select("grp", "n", "szz", "sz",
+                      F.round(F.col("sz").cast("double")
+                              / F.col("n"), 9).alias("zbar"))
+    tot = per2.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.round(F.sum("sz").cast("double")
+                / F.sum("n").cast("bigint"), 9).alias("zbar_g"))
+    terms = (per2.crossJoin(F.broadcast(tot))
+             .agg(F.sum(F.round(F.col("n")
+                                * (F.col("zbar") - F.col("zbar_g"))
+                                * (F.col("zbar") - F.col("zbar_g")), 9)
+                        .cast("decimal(38,9)")).alias("num"),
+                  F.sum(F.round(F.col("szz").cast("double")
+                                - F.col("n") * F.col("zbar")
+                                * F.col("zbar"), 9)
+                        .cast("decimal(38,9)")).alias("den")))
+    return (tot.crossJoin(F.broadcast(terms))
+            .select(F.col("k").alias("n_groups"),
+                    F.col("nn").cast("bigint").alias("n_total"),
+                    F.round((F.col("nn") - F.col("k")).cast("double")
+                            / (F.col("k") - F.lit(1))
+                            * F.col("num").cast("double")
+                            / F.col("den").cast("double"), 4)
+                    .alias("w_stat")))
+
+
+@register(
     "agg_trimmed_robust_mean",
     oracle="""
     WITH g AS (
