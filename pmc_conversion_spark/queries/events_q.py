@@ -1951,6 +1951,123 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_pacf_durbin",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    tot AS (SELECT count(*) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS s,
+                   CAST(sum(CAST(x AS DECIMAL(38,0)) * x)
+                        AS DECIMAL(38,0)) AS sxx
+            FROM daily),
+    lagged AS (
+      SELECT j, x, y FROM (
+        SELECT x, lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+               lead(x, 3) OVER w AS y3
+        FROM daily WINDOW w AS (ORDER BY d)
+      ) s, LATERAL (VALUES (1, s.y1), (2, s.y2), (3, s.y3)) AS l(j, y)
+      WHERE y IS NOT NULL),
+    cj AS (
+      SELECT j, count(*) AS m,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy
+      FROM lagged GROUP BY j),
+    r AS (
+      SELECT cj.j,
+             CAST(t.n*t.n*cj.sxy - t.n*t.s*(cj.sx + cj.sy)
+                  + cj.m*t.s*t.s AS DOUBLE)
+             / CAST(t.n*t.n*t.sxx - t.n*t.s*t.s AS DOUBLE) AS rj
+      FROM cj, tot t),
+    rw AS (
+      SELECT (SELECT n FROM tot) AS n_days,
+             max(CASE WHEN j = 1 THEN rj END) AS r1,
+             max(CASE WHEN j = 2 THEN rj END) AS r2,
+             max(CASE WHEN j = 3 THEN rj END) AS r3
+      FROM r),
+    phi AS (
+      SELECT n_days, r1 AS phi11,
+             (r2 - r1*r1) / (1 - r1*r1) AS phi22,
+             r1, r2, r3
+      FROM rw),
+    phi2 AS (
+      SELECT n_days, phi11, phi22,
+             phi11 - phi22 * phi11 AS phi21, r1, r2, r3
+      FROM phi)
+    SELECT n_days,
+           round(phi11, 6) AS pacf1,
+           round(phi22, 6) AS pacf2,
+           round((r3 - phi21*r2 - phi22*r1)
+                 / (1 - phi21*r1 - phi22*r2), 6) AS pacf3
+    FROM phi2
+    """)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily-revenue series at lags
+    1–3 via the Durbin–Levinson recursion — the AR-order selector
+    (where the PACF cuts off is the p of an AR(p) fit) that plain
+    autocorrelation (``ts_autocorr_lag``) cannot give because it
+    confounds direct and propagated dependence. Every autocovariance
+    is assembled from INTEGER power sums scaled by n² (so the series
+    mean never materializes as a float — the ts_autocorr_lag
+    discipline), leaving one double division per lag and the
+    constant-size recursion algebra; engine-identical at 6 dp.
+
+    Plan: one fact scan to the date-keyed daily frame, three windowed
+    leads over it (bounded by the date span, never the fact table),
+    one 3-row aggregate, then scalar algebra."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.withColumn("d", F.to_date("o_orderdate"))
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("x")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    tot = daily.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(dec("x")).cast("decimal(38,0)").alias("s"),
+                    F.sum(dec("x") * F.col("x")).cast("decimal(38,0)")
+                    .alias("sxx"))
+    w = Window.orderBy("d")
+    s = daily.select(
+        "x", *[F.lead("x", j).over(w).alias(f"y{j}") for j in (1, 2, 3)])
+    lagged = (s.select("x", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"y{j}").alias("y"))
+        for j in (1, 2, 3)])).alias("p"))
+        .select(F.col("p.j").alias("j"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull()))
+    cj = (lagged.groupBy("j")
+          .agg(F.count(F.lit(1)).alias("m"),
+               F.sum(dec("x") * F.col("y")).cast("decimal(38,0)")
+               .alias("sxy"),
+               F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+               F.sum(dec("y")).cast("decimal(38,0)").alias("sy")))
+    n, ss = F.col("n"), F.col("s")
+    rj = ((n * n * F.col("sxy") - n * ss * (F.col("sx") + F.col("sy"))
+           + F.col("m") * ss * ss).cast("double")
+          / (n * n * F.col("sxx") - n * ss * ss).cast("double"))
+    rw = (cj.crossJoin(F.broadcast(tot))
+          .agg(F.first("n").alias("n_days"),
+               *[F.max(F.when(F.col("j") == j, rj)).alias(f"r{j}")
+                 for j in (1, 2, 3)]))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi = rw.select(
+        "n_days", "r1", "r2", "r3", r1.alias("phi11"),
+        ((r2 - r1 * r1) / (F.lit(1) - r1 * r1)).alias("phi22"))
+    phi2 = phi.withColumn(
+        "phi21", F.col("phi11") - F.col("phi22") * F.col("phi11"))
+    return phi2.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round("phi11", 6).alias("pacf1"),
+        F.round("phi22", 6).alias("pacf2"),
+        F.round((r3 - F.col("phi21") * r2 - F.col("phi22") * r1)
+                / (F.lit(1) - F.col("phi21") * r1
+                   - F.col("phi22") * r2), 6).alias("pacf3"))
+
+
+@register(
     "stream_union_two_sources",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,

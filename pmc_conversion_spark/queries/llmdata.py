@@ -1327,6 +1327,62 @@ def text_pii_redact_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_causal_lm_shift",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ), c AS (
+      SELECT doc_id, toks, CAST(ceil(n / 32.0) AS INT) AS nc
+      FROM t WHERE n >= 2
+    ), e AS (
+      SELECT doc_id, unnest(range(nc)) AS chunk_id,
+             unnest(list_transform(
+               range(nc), i -> list_slice(toks, i*32 + 1, i*32 + 32)))
+               AS chunk
+      FROM c
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           list_slice(chunk, 1, len(chunk) - 1) AS input_tokens,
+           list_slice(chunk, 2, len(chunk)) AS label_tokens,
+           (len(chunk) - 1)::BIGINT AS n_pairs
+    FROM e WHERE len(chunk) >= 2
+    """)
+def pipeline_causal_lm_shift(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Next-token training-pair rendering — the last hop before a
+    causal-LM loss: documents tokenize, split into 32-token blocks,
+    and each block becomes (input = tokens[:-1], labels = tokens[1:]),
+    the one-position shift that aligns every input position with its
+    prediction target. Tail blocks shorter than 2 tokens carry no
+    trainable pair and are dropped, on both engines.
+
+    Plan: map-only array algebra end to end (tokenize, slice-chunk,
+    shift are all per-row JVM expressions after one explode) — zero
+    shuffles, so the 100 TB cost is exactly one corpus scan and the
+    output write."""
+    d = _docs(spark, sf_dir)
+    from pmc_conversion_spark.functions.text import ws_tokens
+    t = (d.select("doc_id",
+                  ws_tokens(F.lower(F.col("text"))).alias("toks"))
+         .withColumn("n", F.size("toks"))
+         .filter(F.col("n") >= 2))
+    nc = F.ceil(F.col("n") / 32.0).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.slice(F.col("toks"), i * 32 + 1, 32))
+    e = (t.select("doc_id", F.posexplode(chunks)
+                  .alias("chunk_id", "chunk"))
+         .filter(F.size("chunk") >= 2))
+    return e.select(
+        "doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.slice(F.col("chunk"), 1, F.size("chunk") - 1)
+        .alias("input_tokens"),
+        F.slice(F.col("chunk"), 2, F.size("chunk") - 1)
+        .alias("label_tokens"),
+        (F.size("chunk") - 1).cast("bigint").alias("n_pairs"))
+
+
+@register(
     "vocab_topk",
     oracle=f"""
     SELECT tok AS token, count(*) AS n
@@ -1713,6 +1769,81 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("mean_val"))
             .withColumn("n_iters", F.lit(n_iters).cast("int")))
+
+
+#: seed count for sim_kmeans_pp_seed — matches the k the Lloyd loop
+#: consumes.
+_SEED_K = 8
+
+
+def _fps_round_sql(r: int) -> str:
+    """One farthest-point round (DuckDB): min 6-dp cosine distance of
+    every vector to the chosen set, argmax with (dist DESC, vec_id)
+    total order. MATERIALIZED — each chosen set feeds the next round
+    and the final union."""
+    return f"""
+    p{r} AS MATERIALIZED (
+      SELECT e.vec_id, e.v,
+             min(round(1 - list_cosine_similarity(e.v, c.v), 6)) AS dmin
+      FROM e, c{r - 1} c GROUP BY e.vec_id, e.v),
+    s{r} AS MATERIALIZED (
+      SELECT vec_id, v, dmin FROM p{r}
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    c{r} AS (SELECT vec_id, v FROM c{r - 1}
+             UNION ALL SELECT vec_id, v FROM s{r})
+    """
+
+
+@register(
+    "sim_kmeans_pp_seed",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+    {",".join(_fps_round_sql(r) for r in range(2, _SEED_K + 1))}
+    SELECT 1 AS seed_rank,
+           (SELECT vec_id FROM c1) AS vec_id, 0.0::DOUBLE AS dist
+    {" ".join(f"UNION ALL SELECT {r}, vec_id, dmin FROM s{r}"
+              for r in range(2, _SEED_K + 1))}
+    """)
+def sim_kmeans_pp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means seeding by farthest-point traversal — the
+    derandomized k-means++ (k-center greedy): start from vector 0,
+    then {_SEED_K - 1} times pick the vector with the LARGEST minimum
+    cosine distance to everything already chosen (6-dp rounded, ties
+    to the lowest vec_id — a total order, so the seed sequence is a
+    pure function of the data). Spread-out seeds are what keeps Lloyd
+    (``sim_kmeans_lloyd``) out of the collapsed-cluster local optima
+    that first-k seeding risks; the oracle replays the traversal
+    unrolled.
+
+    Plan per round: the chosen set (≤ {_SEED_K} rows) broadcasts, the
+    N×|chosen| scoring is map-side and collapses to one row per vector
+    in the min aggregation's map-side combine, and the argmax is a
+    TakeOrdered (per-partition top-1, no global sort);
+    ``localCheckpoint`` per round keeps the growing chosen-set lineage
+    from re-running earlier rounds."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    chosen = (emb.filter(F.col("vec_id") == 0)
+              .select(F.lit(1).alias("seed_rank"), "vec_id",
+                      F.lit(0.0).alias("dist"), "v")
+              .localCheckpoint(eager=True))
+    for r in range(2, _SEED_K + 1):
+        cv = chosen.select(F.col("v").alias("cv"))
+        dd = F.round(F.lit(1) - SIM.cosine(F.col("v"), F.col("cv")), 6)
+        dmin = (emb.crossJoin(F.broadcast(cv))
+                .select("vec_id", "v", dd.alias("dd"))
+                .groupBy("vec_id", "v")
+                .agg(F.min("dd").alias("dmin")))
+        nxt = (dmin.orderBy(F.col("dmin").desc(), F.col("vec_id"))
+               .limit(1)
+               .select(F.lit(r).alias("seed_rank"), "vec_id",
+                       F.col("dmin").alias("dist"), "v"))
+        chosen = chosen.unionAll(nxt).localCheckpoint(eager=True)
+    return chosen.select(F.col("seed_rank").cast("int")
+                         .alias("seed_rank"), "vec_id", "dist")
 
 
 #: Newton/IRLS iteration cap for agg_logreg_irls. Newton on a

@@ -3647,6 +3647,106 @@ def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_welch_anova",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS MATERIALIZED (
+      SELECT grp, count(*) AS n,
+             round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(*), 6) AS mu,
+             (CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+              - count(*) * round(CAST(sum(CAST(cents AS DECIMAL(38,0)))
+                                      AS DOUBLE) / count(*), 6)
+                         * round(CAST(sum(CAST(cents AS DECIMAL(38,0)))
+                                      AS DOUBLE) / count(*), 6))
+             / (count(*) - 1) AS s2
+      FROM g GROUP BY grp),
+    tot AS (
+      SELECT count(*) AS k,
+             list_reduce(list(n / s2 ORDER BY grp),
+                         (a, x) -> a + x) AS w,
+             list_reduce(list(n / s2 * mu ORDER BY grp),
+                         (a, x) -> a + x) AS wm
+      FROM m),
+    t2 AS (SELECT k, w, wm / w AS ybar FROM tot),
+    t3 AS (
+      SELECT t.k, t.w, t.ybar,
+             (SELECT list_reduce(
+                list(n / s2 * (mu - t.ybar) * (mu - t.ybar)
+                     ORDER BY grp), (a, x) -> a + x) FROM m) AS anum,
+             (SELECT list_reduce(
+                list((1 - n / s2 / t.w) * (1 - n / s2 / t.w)
+                     / (n - 1) ORDER BY grp), (a, x) -> a + x)
+              FROM m) AS hsum
+      FROM t2 t)
+    SELECT k AS n_groups,
+           round((anum / (k - 1))
+                 / (1 + 2.0 * (k - 2) / (k * k - 1) * hsum), 4)
+             AS f_stat,
+           round((k * k - 1.0) / (3 * hsum), 2) AS df2
+    FROM t3
+    """)
+def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the test to reach for
+    when ``agg_levene_test`` rejects equal variances (classic ANOVA's
+    F is anticonservative there): groups weighted by n/s², an
+    adjusted F* and Satterthwaite-style df2. Group moments are exact
+    integer-cent decimal sums (means 6-dp rounded on both engines);
+    every cross-group float reduction is a SEQUENTIAL fold over the
+    5-element group list sorted by group key (the agg_anova_oneway
+    pattern), so association order — the one nondeterminism a 5-row
+    double sum allows — is pinned on both engines.
+
+    Plan: one fact scan into a 5-row group frame; everything after is
+    constant-size algebra."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = o.select(F.col("o_orderpriority").alias("grp"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    mu = F.round(F.col("sx").cast("double") / F.col("n"), 6)
+    m = (g.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+              F.sum(F.col("cents").cast("decimal(38,0)")
+                    * F.col("cents")).alias("sxx"))
+         .select("grp", "n", mu.alias("mu"),
+                 ((F.col("sxx").cast("double") - F.col("n") * mu * mu)
+                  / (F.col("n") - 1)).alias("s2")))
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("grp"), term.alias("t")))),
+                lambda x: x.t),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    w_i = F.col("n") / F.col("s2")
+    tot = m.agg(F.count(F.lit(1)).alias("k"),
+                fold(w_i).alias("w"),
+                fold(w_i * F.col("mu")).alias("wm"))
+    t2 = tot.select("k", "w", (F.col("wm") / F.col("w")).alias("ybar"))
+    t3 = (m.crossJoin(F.broadcast(t2))
+          .agg(F.first("k").alias("k"),
+               fold(w_i * (F.col("mu") - F.col("ybar"))
+                    * (F.col("mu") - F.col("ybar"))).alias("anum"),
+               fold((F.lit(1) - w_i / F.col("w"))
+                    * (F.lit(1) - w_i / F.col("w"))
+                    / (F.col("n") - 1)).alias("hsum")))
+    return t3.select(
+        F.col("k").alias("n_groups"),
+        F.round((F.col("anum") / (F.col("k") - 1))
+                / (F.lit(1) + F.lit(2.0) * (F.col("k") - 2)
+                   / (F.col("k") * F.col("k") - 1) * F.col("hsum")), 4)
+        .alias("f_stat"),
+        F.round((F.col("k") * F.col("k") - F.lit(1.0))
+                / (F.lit(3) * F.col("hsum")), 2).alias("df2"))
+
+
+@register(
     "agg_trimmed_robust_mean",
     oracle="""
     WITH g AS (
