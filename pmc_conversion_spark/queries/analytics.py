@@ -978,6 +978,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded frames; label state is |V|-sized and broadcast (doc-scale
     graphs swap the broadcast for a shuffle join on u, same body)."""
     e = _co_order_edges(spark, sf_dir)
+    labels = _lpa3_labels(e)
+    return (labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+def _lpa3_labels(e: DataFrame) -> DataFrame:
+    """Three deterministic synchronous LPA rounds (the
+    graph_label_propagation body) -> (node, lbl)."""
     und = (e.select("u", "v")
            .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     labels = und.select(F.col("u").alias("node")).distinct() \
@@ -992,8 +1000,74 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       (-F.col("lbl")).alias("nl"),
                                       F.col("lbl"))).alias("m"))
                   .select("node", F.col("m.lbl").alias("lbl")))
-    return (labels.groupBy(F.col("lbl").alias("community"))
-            .agg(F.count(F.lit(1)).alias("n_members")))
+    return labels
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+    {_lpa_iter_sql('l0', 'l1')},
+    {_lpa_iter_sql('l1', 'l2')},
+    {_lpa_iter_sql('l2', 'l3')},
+    m AS (SELECT count(*) AS m FROM e),
+    within AS (
+      SELECT count(*) AS lc FROM e
+      JOIN l3 a ON a.node = e.u JOIN l3 b ON b.node = e.v
+      WHERE a.lbl = b.lbl),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    dc AS (SELECT lbl, CAST(sum(d) AS BIGINT) AS dc
+           FROM deg JOIN l3 USING (node) GROUP BY lbl),
+    dd AS (SELECT count(*) AS n_comm,
+                  CAST(sum(CAST(dc AS DECIMAL(38,0)) * dc)
+                       AS DECIMAL(38,0)) AS sum_dc2
+           FROM dc)
+    SELECT dd.n_comm AS n_communities,
+           m.m AS n_edges,
+           round(CAST(4 * m.m * within.lc - dd.sum_dc2 AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity
+    FROM m, within, dd
+    """)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the number that says
+    whether ``graph_label_propagation``'s partition is actually
+    community-like (Q well above 0) or no better than random edge
+    placement (Q ≈ 0): Q = Σ_c [L_c/m − (d_c/2m)²]. Assembled as ONE
+    exact integer ratio (4m·ΣL_c − Σd_c²) / 4m², so no per-community
+    float accumulation exists to order — the cross-engine-exact form
+    of a sum over an unbounded community count.
+
+    Plan: the 3-round LPA loop (shared body), then one edge⨝label⨝
+    label semi-join for within-community edge count and one degree
+    aggregate — label state broadcasts, fact-sized frames shuffle
+    once each."""
+    e = _co_order_edges(spark, sf_dir)
+    lab = _lpa3_labels(e).localCheckpoint(eager=True)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(F.col("node").alias("u"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("v"), F.col("lbl").alias("lb"))
+    within = (e.join(F.broadcast(la), "u").join(F.broadcast(lb), "v")
+              .filter(F.col("la") == F.col("lb"))
+              .agg(F.count(F.lit(1)).alias("lc")))
+    deg = (und.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).alias("d")))
+    dc = (deg.join(F.broadcast(lab), "node")
+          .groupBy("lbl").agg(F.sum("d").cast("bigint").alias("dc")))
+    dd = dc.agg(F.count(F.lit(1)).alias("n_comm"),
+                F.sum(F.col("dc").cast("decimal(38,0)") * F.col("dc"))
+                .cast("decimal(38,0)").alias("sum_dc2"))
+    return (m.crossJoin(within).crossJoin(dd)
+            .select(F.col("n_comm").alias("n_communities"),
+                    F.col("m").alias("n_edges"),
+                    F.round((4 * F.col("m") * F.col("lc")
+                             - F.col("sum_dc2")).cast("double")
+                            / (4 * F.col("m") * F.col("m"))
+                            .cast("double"), 6).alias("modularity")))
 
 
 def _kcore_round_sql(prev: str, out: str, k: int) -> str:

@@ -953,6 +953,77 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_hampel_filter",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    lw AS (
+      SELECT user_id, event_id, cents,
+             list_sort(list(cents) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS ls
+      FROM v),
+    m AS (SELECT *, len(ls) AS k,
+                 (ls[(len(ls)+1)//2] + ls[len(ls)//2 + 1])
+                   * 0.5::DOUBLE AS med
+          FROM lw),
+    d AS (SELECT *,
+                 list_sort(list_transform(ls, e -> abs(e - med))) AS dl
+          FROM m),
+    h AS (SELECT *, (dl[(k+1)//2] + dl[k//2 + 1]) * 0.5::DOUBLE AS mad
+          FROM d)
+    SELECT user_id, event_id, cents,
+           round(med, 2) AS med, round(mad, 2) AS mad
+    FROM h
+    WHERE mad > 0 AND abs(cents - med) > 4.4478::DOUBLE * mad
+    """)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter on each user's value series: flag points
+    more than 3 scaled MADs (3·1.4826 = 4.4478) from the centered
+    7-point rolling MEDIAN — the robust despiker used on sensor/price
+    series where a z-score filter (``win_zscore_rolling``) gets
+    dragged by the very outliers it should catch. Median AND MAD both
+    come from the CONSTANT-SIZED collected frame (≤7 integer cents →
+    exact halves), the ``win_moving_median`` discipline extended one
+    level: the MAD is the median of |neighbor − this row's median|,
+    which no precomputed-column window aggregate can state.
+
+    Plan: one partitioned window per user series (one shuffle), all
+    list algebra per-row JVM expressions; output only flagged rows."""
+    e = _events(spark, sf_dir)
+    v = e.select("user_id", "event_id",
+                 F.col("ts").cast("timestamp").cast("long").alias("sec"),
+                 F.round(F.col("value") * 100).cast("bigint")
+                 .alias("cents"))
+    w7 = (Window.partitionBy("user_id").orderBy("sec", "event_id")
+          .rowsBetween(-3, 3))
+    ls = F.sort_array(F.collect_list("cents").over(w7))
+    lw = v.select("user_id", "event_id", "cents", ls.alias("ls"))
+    k = F.size("ls")
+    med = ((F.element_at("ls", ((k + 1) / 2).cast("int"))
+            + F.element_at("ls", (k / 2 + 1).cast("int")))
+           * F.lit(0.5))
+    m = lw.select("*", k.alias("k"), med.alias("med"))
+    dl = F.sort_array(F.transform(
+        "ls", lambda x: F.abs(x - F.col("med"))))
+    d = m.select("*", dl.alias("dl"))
+    kk = F.col("k")
+    mad = ((F.element_at("dl", ((kk + 1) / 2).cast("int"))
+            + F.element_at("dl", (kk / 2 + 1).cast("int")))
+           * F.lit(0.5))
+    h = d.select("*", mad.alias("mad"))
+    return (h.filter((F.col("mad") > 0)
+                     & (F.abs(F.col("cents") - F.col("med"))
+                        > F.lit(4.4478) * F.col("mad")))
+            .select("user_id", "event_id", "cents",
+                    F.round("med", 2).alias("med"),
+                    F.round("mad", 2).alias("mad")))
+
+
+@register(
     "agg_markov_transitions",
     oracle="""
     WITH o AS (
@@ -1950,10 +2021,12 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(r, 6).alias("autocorr"))
 
 
-@register(
-    "ts_pacf_durbin",
-    oracle="""
-    WITH daily AS MATERIALIZED (
+#: Shared DuckDB prefix for the lag-1..3 autocorrelations of the
+#: daily-revenue series, assembled from n²-scaled INTEGER power sums
+#: (the series mean never materializes as a float): rw = one row of
+#: (n_days, r1, r2, r3). Consumed by ts_pacf_durbin / ts_ljung_box.
+_ACF3_SQL = """
+    daily AS MATERIALIZED (
       SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS x
@@ -1989,7 +2062,51 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN j = 1 THEN rj END) AS r1,
              max(CASE WHEN j = 2 THEN rj END) AS r2,
              max(CASE WHEN j = 3 THEN rj END) AS r3
-      FROM r),
+      FROM r)
+"""
+
+
+def _acf3_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _ACF3_SQL: one row (n_days, r1, r2, r3) of
+    daily-revenue autocorrelations from n²-scaled integer power sums."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.withColumn("d", F.to_date("o_orderdate"))
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("x")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    tot = daily.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(dec("x")).cast("decimal(38,0)").alias("s"),
+                    F.sum(dec("x") * F.col("x")).cast("decimal(38,0)")
+                    .alias("sxx"))
+    w = Window.orderBy("d")
+    s = daily.select(
+        "x", *[F.lead("x", j).over(w).alias(f"y{j}") for j in (1, 2, 3)])
+    lagged = (s.select("x", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"y{j}").alias("y"))
+        for j in (1, 2, 3)])).alias("p"))
+        .select(F.col("p.j").alias("j"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull()))
+    cj = (lagged.groupBy("j")
+          .agg(F.count(F.lit(1)).alias("m"),
+               F.sum(dec("x") * F.col("y")).cast("decimal(38,0)")
+               .alias("sxy"),
+               F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+               F.sum(dec("y")).cast("decimal(38,0)").alias("sy")))
+    n, ss = F.col("n"), F.col("s")
+    rj = ((n * n * F.col("sxy") - n * ss * (F.col("sx") + F.col("sy"))
+           + F.col("m") * ss * ss).cast("double")
+          / (n * n * F.col("sxx") - n * ss * ss).cast("double"))
+    return (cj.crossJoin(F.broadcast(tot))
+            .agg(F.first("n").alias("n_days"),
+                 *[F.max(F.when(F.col("j") == j, rj)).alias(f"r{j}")
+                   for j in (1, 2, 3)]))
+
+
+@register(
+    "ts_pacf_durbin",
+    oracle=f"""
+    WITH {_ACF3_SQL.strip()},
     phi AS (
       SELECT n_days, r1 AS phi11,
              (r2 - r1*r1) / (1 - r1*r1) AS phi22,
@@ -2020,38 +2137,7 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one fact scan to the date-keyed daily frame, three windowed
     leads over it (bounded by the date span, never the fact table),
     one 3-row aggregate, then scalar algebra."""
-    o = tables.load(spark, sf_dir, "orders")
-    daily = (o.withColumn("d", F.to_date("o_orderdate"))
-             .groupBy("d")
-             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
-                        .cast("bigint")).cast("bigint").alias("x")))
-    dec = lambda c: F.col(c).cast("decimal(38,0)")
-    tot = daily.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(dec("x")).cast("decimal(38,0)").alias("s"),
-                    F.sum(dec("x") * F.col("x")).cast("decimal(38,0)")
-                    .alias("sxx"))
-    w = Window.orderBy("d")
-    s = daily.select(
-        "x", *[F.lead("x", j).over(w).alias(f"y{j}") for j in (1, 2, 3)])
-    lagged = (s.select("x", F.explode(F.array(*[
-        F.struct(F.lit(j).alias("j"), F.col(f"y{j}").alias("y"))
-        for j in (1, 2, 3)])).alias("p"))
-        .select(F.col("p.j").alias("j"), "x", F.col("p.y").alias("y"))
-        .filter(F.col("y").isNotNull()))
-    cj = (lagged.groupBy("j")
-          .agg(F.count(F.lit(1)).alias("m"),
-               F.sum(dec("x") * F.col("y")).cast("decimal(38,0)")
-               .alias("sxy"),
-               F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
-               F.sum(dec("y")).cast("decimal(38,0)").alias("sy")))
-    n, ss = F.col("n"), F.col("s")
-    rj = ((n * n * F.col("sxy") - n * ss * (F.col("sx") + F.col("sy"))
-           + F.col("m") * ss * ss).cast("double")
-          / (n * n * F.col("sxx") - n * ss * ss).cast("double"))
-    rw = (cj.crossJoin(F.broadcast(tot))
-          .agg(F.first("n").alias("n_days"),
-               *[F.max(F.when(F.col("j") == j, rj)).alias(f"r{j}")
-                 for j in (1, 2, 3)]))
+    rw = _acf3_frame(spark, sf_dir)
     r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
     phi = rw.select(
         "n_days", "r1", "r2", "r3", r1.alias("phi11"),
@@ -2065,6 +2151,37 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((r3 - F.col("phi21") * r2 - F.col("phi22") * r1)
                 / (F.lit(1) - F.col("phi21") * r1
                    - F.col("phi22") * r2), 6).alias("pacf3"))
+
+
+@register(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH {_ACF3_SQL.strip()}
+    SELECT n_days,
+           3 AS df,
+           round(n_days * (n_days + 2.0::DOUBLE)
+                 * (r1*r1 / (n_days - 1) + r2*r2 / (n_days - 2)
+                    + r3*r3 / (n_days - 3)), 4) AS q_stat
+    FROM rw
+    """)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on the daily-revenue series (lags
+    1–3): Q = n(n+2)·Σ r_j²/(n−j) — the 'is there ANY autocorrelation
+    left' test run on forecast residuals to decide whether a model
+    (``ts_holt_winters``, ``ts_ses_alpha_sweep``) is done, here on the
+    raw series where it complements ``ts_pacf_durbin`` (which says
+    WHICH lag carries the dependence). Same n²-scaled integer power
+    sums as the PACF, so both engines agree at 4 dp via identical
+    double algebra on one row."""
+    rw = _acf3_frame(spark, sf_dir)
+    n = F.col("n_days")
+    q = n * (n + F.lit(2.0)) * (
+        F.col("r1") * F.col("r1") / (n - 1)
+        + F.col("r2") * F.col("r2") / (n - 2)
+        + F.col("r3") * F.col("r3") / (n - 3))
+    return rw.select(n.cast("bigint").alias("n_days"),
+                     F.lit(3).cast("int").alias("df"),
+                     F.round(q, 4).alias("q_stat"))
 
 
 @register(

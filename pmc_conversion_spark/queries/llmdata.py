@@ -1771,6 +1771,59 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_iters", F.lit(n_iters).cast("int")))
 
 
+@register(
+    "text_classifier_mcnemar",
+    oracle=f"""
+    WITH d AS (
+      SELECT (lang = 'en') AS truth,
+             (n_chars > 400) AS pred_a,
+             (len({_TOKS}) > 80) AS pred_b
+      FROM documents),
+    c AS (SELECT count(*) AS n_docs,
+                 count(*) FILTER (pred_a = truth AND pred_b <> truth)
+                   AS b,
+                 count(*) FILTER (pred_a <> truth AND pred_b = truth)
+                   AS c
+          FROM d)
+    SELECT n_docs, b, c,
+           round((abs(b - c) - 1) * (abs(b - c) - 1)
+                 / (b + c)::DOUBLE, 4) AS chi2
+    FROM c
+    """)
+def text_classifier_mcnemar(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """McNemar's test for two quality classifiers scored on the SAME
+    documents — the paired comparison that a pair of independent
+    accuracy numbers gets wrong (shared docs correlate the errors):
+    only the DISAGREEMENT cells matter, b = A right/B wrong, c =
+    A wrong/B right, χ² = (|b−c|−1)²/(b+c) with continuity
+    correction. Classifier A = chars>400, B = tokens>80, truth =
+    lang='en' — the cheap-heuristic shootout a curation pipeline runs
+    before committing to one filter. Pure integer counts; one map-only
+    scan into a global aggregate."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir).select(
+        (F.col("lang") == "en").alias("truth"),
+        (F.col("n_chars") > 400).alias("pred_a"),
+        (F.size(ws_tokens(F.lower(F.col("text")))) > 80).alias("pred_b"))
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    c = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt((F.col("pred_a") == F.col("truth"))
+            & (F.col("pred_b") != F.col("truth"))).alias("b"),
+        cnt((F.col("pred_a") != F.col("truth"))
+            & (F.col("pred_b") == F.col("truth"))).alias("c"))
+    return c.select(
+        "n_docs", "b", "c",
+        F.round((F.abs(F.col("b") - F.col("c")) - 1)
+                * (F.abs(F.col("b") - F.col("c")) - 1)
+                / (F.col("b") + F.col("c")).cast("double"), 4)
+        .alias("chi2"))
+
+
 #: seed count for sim_kmeans_pp_seed — matches the k the Lloyd loop
 #: consumes.
 _SEED_K = 8
