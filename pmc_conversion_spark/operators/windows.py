@@ -69,6 +69,32 @@ def _order_key(order_col):
     return F.col(order_col) if isinstance(order_col, str) else order_col
 
 
+def _range_bucketed(df: DataFrame, buckets: int, key) -> DataFrame:
+    """Range-bucket ``df`` by ``key`` and FREEZE the bucket ids.
+
+    CORRECTNESS-CRITICAL (r6, found by the sf0.1 gate): every two-phase
+    helper consumes the bucketed frame from TWO branches (the in-bucket
+    window and the per-bucket totals). ``repartitionByRange`` picks its
+    boundaries by SAMPLING, and ``spark_partition_id`` reads whatever
+    partitioning the consuming stage actually sees — if the two
+    branches do not physically reuse one exchange (AQE stage planning
+    around the broadcast side can re-execute it, especially when
+    helpers chain), their bucket assignments can disagree, and offsets
+    computed under one bucketing join onto rows numbered under another
+    (agg_ks_test at sf0.1: 147k of 150k prefix sums wrong, while sf0.01
+    happened to reuse the exchange). The lazy ``localCheckpoint``
+    materializes each partition exactly once on first touch, so every
+    consumer reads the SAME frozen (row, __bucket) pairs; lineage
+    truncation also stops re-scans of expensive upstreams (the r5 perf
+    issue). Lazy, not eager: query BUILDERS must stay action-free.
+    Note the checkpoint makes the sub-plan opaque to .explain (a Scan
+    ExistingRDD) — plan tests assert the two-phase shape on this
+    helper's own frame, not through the final plan."""
+    ranged = (df.repartitionByRange(buckets, key)
+              .withColumn("__bucket", F.spark_partition_id()))
+    return ranged.localCheckpoint(eager=False)
+
+
 def surrogate_key_distributed(df: DataFrame, order_col,
                               out_col: str = "sk",
                               buckets: int | None = None) -> DataFrame:
@@ -94,8 +120,7 @@ def surrogate_key_distributed(df: DataFrame, order_col,
     """
     key = _order_key(order_col)
     buckets = _resolve_buckets(df, buckets)
-    ranged = (df.repartitionByRange(buckets, key)
-              .withColumn("__bucket", F.spark_partition_id()))
+    ranged = _range_bucketed(df, buckets, key)
     w_in = Window.partitionBy("__bucket").orderBy(key)
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
     counts = numbered.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
@@ -120,8 +145,7 @@ def running_sum_distributed(df: DataFrame, order_col: str,
     totals. No single-partition sort; same observable output as
     ``sum(value) OVER (ORDER BY order_col)`` for a unique order key."""
     buckets = _resolve_buckets(df, buckets)
-    ranged = (df.repartitionByRange(buckets, F.col(order_col))
-              .withColumn("__bucket", F.spark_partition_id()))
+    ranged = _range_bucketed(df, buckets, F.col(order_col))
     w_in = (Window.partitionBy("__bucket").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     summed = ranged.withColumn("__ps", F.sum(value_col).over(w_in))
@@ -155,8 +179,7 @@ def ntile_distributed(df: DataFrame, order_col, k: int,
     """
     key = _order_key(order_col)
     buckets = _resolve_buckets(df, buckets)
-    ranged = (df.repartitionByRange(buckets, key)
-              .withColumn("__bucket", F.spark_partition_id()))
+    ranged = _range_bucketed(df, buckets, key)
     w_in = Window.partitionBy("__bucket").orderBy(key)
     numbered = ranged.withColumn(
         "__rn", F.row_number().over(w_in).cast("bigint"))
@@ -199,8 +222,7 @@ def next_value_distributed(df: DataFrame, order_col: str,
     data. The global last row's lead stays NULL, as with the window
     form."""
     buckets = _resolve_buckets(df, buckets)
-    ranged = (df.repartitionByRange(buckets, F.col(order_col))
-              .withColumn("__bucket", F.spark_partition_id()))
+    ranged = _range_bucketed(df, buckets, F.col(order_col))
     w_in = Window.partitionBy("__bucket").orderBy(order_col)
     led = ranged.withColumn("__lead", F.lead(order_col).over(w_in))
     mins = ranged.groupBy("__bucket").agg(

