@@ -95,6 +95,13 @@ HEADLINE = [
     "pipeline_dsir_select",
     "text_rake_keywords",
     "f_jaro_winkler",
+    # r6: the convergence-loop capstones (iteration cost must stay
+    # flat), the typed-state streaming path, and the in-engine
+    # classifier trainer
+    "graph_pagerank_converged",
+    "sim_kmeans_lloyd",
+    "stream_running_count_tws",
+    "agg_logreg_irls",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this
