@@ -176,6 +176,29 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
 
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
+    cand = ivf_candidates(queries, corpus, n_planes=n_planes, seed=seed,
+                          dim=dim, width=width, id_col=id_col,
+                          vec_col=vec_col, multiprobe=multiprobe)
+    scored = (cand.select("query_id", "neighbor_id",
+                          F.round(cosine(F.col("qv"), F.col("cv")),
+                                  round_digits).alias("cos_sim"))
+              .distinct())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_candidates(queries: DataFrame, corpus: DataFrame, *,
+                   n_planes: int = 4, seed: int = 7, dim: int = 64,
+                   width: float = 0.35, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   multiprobe: bool = True) -> DataFrame:
+    """The IVF coarse-quantization CANDIDATE stage alone:
+    (query_id, qv, neighbor_id, cv) pairs from the probed cells, no
+    scoring — the reusable front half of :func:`topk_ivf`, composable
+    with any re-ranker (exact cosine, or PQ/ADC codes in
+    sim_ivfpq_topk)."""
     planes = random_hyperplanes(dim, n_planes, seed)
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -200,16 +223,8 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, *,
     c = _as_double(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         quant_cell(F.col(vec_col), planes, width).alias("cell"))
-    scored = (c.join(F.broadcast(q), "cell")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")),
-                              round_digits).alias("cos_sim"))
-              .distinct())
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return (c.join(F.broadcast(q), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id")))
 
 
 #: target rows per block for auto-sized blocked matmuls: 1k×1k blocks

@@ -3974,6 +3974,170 @@ def sim_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", rnk).filter(F.col("rnk") <= 3))
 
 
+def _pq_codes_and_lut(spark: SparkSession, sf_dir: str,
+                      n_queries: int = 5):
+    """PQ index parts shared by the ADC scorers (the ``sim_adc_topk``
+    construction, factored for composition): corpus codes
+    (vec_id, sub, code) and per-query LUT (query_id, sub, cid, d)."""
+    emb = (tables.load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    subs = F.array(*[F.lit(i) for i in range(_PQ_M)])
+    sliced = (emb.select("vec_id", F.explode(subs).alias("sub"), "v")
+              .select("vec_id", "sub",
+                      F.slice("v", F.col("sub") * _PQ_DIM + 1, _PQ_DIM)
+                      .alias("sv")))
+    cents = (sliced.filter(F.col("vec_id") < _PQ_K)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("sub").alias("csub"),
+                     F.col("sv").alias("cv")))
+    sqd = F.round(
+        F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (sliced.join(F.broadcast(cents), sliced.sub == cents.csub)
+              .select("vec_id", "sub",
+                      F.struct(sqd.alias("dist"),
+                               F.col("cid").alias("cid")).alias("k")))
+    codes = (scored.groupBy("vec_id", "sub")
+             .agg(F.min("k").alias("m"))
+             .select("vec_id", "sub", F.col("m.cid").alias("code")))
+    q = (sliced.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("sub").alias("qsub"), F.col("sv").alias("qv")))
+    lut = (q.join(F.broadcast(cents), q.qsub == cents.csub)
+           .select("query_id", F.col("qsub").alias("sub"), "cid",
+                   F.round(F.aggregate(
+                       F.zip_with("qv", "cv",
+                                  lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x), 6).alias("d")))
+    return codes, lut
+
+
+def _ivfpq_sql(k: int = 3, n_q: int = 5, n_planes: int = 4,
+               seed: int = 7, dim: int = 64, width: float = 0.25) -> str:
+    """DuckDB twin of sim_ivfpq_topk: the _topk_ivf_sql cell/probe
+    machinery restricted to candidate-id pairs, composed with the
+    sim_adc_topk PQ code/LUT scoring over those candidates only."""
+    planes = SIM.random_hyperplanes(dim, n_planes, seed)
+    plane_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
+    weights = {i: 10_000 ** (n_planes - 1 - i) for i in range(n_planes)}
+    w_case = ("CASE i " + " ".join(
+        f"WHEN {i} THEN {w}::BIGINT" for i, w in weights.items())
+        + " END")
+    shifts = ", ".join(["(-1, 0)"] +
+                       [f"({ax}, {s})" for ax in range(n_planes)
+                        for s in (-1, 1)])
+    dot_vp = _fold_dot_sql("v", "p", dim)
+    return f"""
+    WITH pl AS (SELECT * FROM (VALUES
+        {plane_rows}) AS t(i, p)),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+      SELECT vec_id, i,
+             floor({dot_vp} / {width!r})::BIGINT AS idx
+      FROM vecs, pl),
+    cells AS (
+      SELECT vec_id, sum((idx % 10000) * {w_case}) AS cell
+      FROM proj GROUP BY vec_id),
+    qprobe AS (
+      SELECT DISTINCT query_id, cell FROM (
+        SELECT qp.vec_id AS query_id, s.ax, s.step,
+               sum((((CASE WHEN qp.i = s.ax THEN qp.idx + s.step
+                      ELSE qp.idx END) % 10000)) * {w_case}) AS cell
+        FROM (SELECT * FROM proj WHERE vec_id < {n_q}) qp
+        CROSS JOIN (VALUES {shifts}) AS s(ax, step)
+        GROUP BY 1, 2, 3)),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+      FROM qprobe q JOIN cells c USING (cell)
+      WHERE c.vec_id <> q.query_id),
+    pc AS (
+      SELECT e.vec_id AS cid, s.sub,
+             (e.embedding::DOUBLE[])[s.sub * {_PQ_DIM} + 1 :
+                                     s.sub * {_PQ_DIM} + {_PQ_DIM}] AS cv
+      FROM embeddings e, (SELECT unnest(range({_PQ_M})) AS sub) s
+      WHERE e.vec_id < {_PQ_K}),
+    pv AS (
+      SELECT e.vec_id, s.sub,
+             (e.embedding::DOUBLE[])[s.sub * {_PQ_DIM} + 1 :
+                                     s.sub * {_PQ_DIM} + {_PQ_DIM}] AS sv
+      FROM embeddings e, (SELECT unnest(range({_PQ_M})) AS sub) s),
+    pscored AS (
+      SELECT pv.vec_id, pv.sub, pc.cid,
+             round(list_sum(list_transform(range(1, {_PQ_DIM} + 1),
+                   i -> (pv.sv[i] - pc.cv[i]) * (pv.sv[i] - pc.cv[i]))), 6)
+               AS dist
+      FROM pv JOIN pc ON pc.sub = pv.sub),
+    codes AS (
+      SELECT vec_id, sub,
+             min(struct_pack(dist := dist, cid := cid)).cid AS code
+      FROM pscored GROUP BY vec_id, sub),
+    q AS (SELECT vec_id AS query_id, sub, sv FROM pv
+          WHERE vec_id < {n_q}),
+    lut AS (
+      SELECT q.query_id, q.sub, pc.cid,
+             round(list_sum(list_transform(range(1, {_PQ_DIM} + 1),
+                   i -> (q.sv[i] - pc.cv[i]) * (q.sv[i] - pc.cv[i]))), 6)
+               AS d
+      FROM q JOIN pc ON pc.sub = q.sub),
+    adc AS (
+      SELECT l.query_id, codes.vec_id AS cand_id,
+             CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+      FROM codes
+      JOIN lut l ON l.sub = codes.sub AND l.cid = codes.code
+      JOIN cand ON cand.query_id = l.query_id
+               AND cand.cand_id = codes.vec_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, cand_id, round(adc_dist, 6) AS adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, cand_id) AS rnk
+      FROM adc)
+    SELECT query_id, cand_id, adc_dist, rnk::INT AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ index shape — FAISS's workhorse layout,
+    composed from the two halves the registry already proves
+    separately: the IVF coarse quantizer (``sim_topk_ivf``'s cell +
+    multiprobe stage) prunes the corpus to each query's candidate
+    cells, and the PQ asymmetric-distance scorer (``sim_adc_topk``'s
+    codes + LUT) ranks ONLY those candidates from 4 byte codes per
+    vector. This is the billion-scale query path: candidate count is
+    bounded by cell occupancy (never the corpus), and per-candidate
+    work is a 4-term LUT sum.
+
+    Scale: cells prune (equi-join on cell id, queries broadcast), the
+    LUT is queries×subs×centroids (bounded, broadcast), the candidate
+    set broadcasts per query batch; decimal accumulation and total-
+    order ties keep both engines identical through the ranking."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cand = (SIM.ivf_candidates(emb.filter(F.col("vec_id") < 5), emb,
+                               n_planes=4, seed=7, dim=64, width=0.25)
+            .select("query_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct())
+    codes, lut = _pq_codes_and_lut(spark, sf_dir, n_queries=5)
+    adc = (codes.join(F.broadcast(cand),
+                      codes.vec_id == cand.cand_id)
+           .join(F.broadcast(lut),
+                 (lut.sub == codes.sub) & (lut.cid == codes.code)
+                 & (lut.query_id == cand.query_id))
+           .groupBy(cand.query_id, cand.cand_id)
+           .agg(F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+                .alias("adc_dist")))
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy("adc_dist", "cand_id"))
+    return (adc.select("query_id", "cand_id",
+                       F.round("adc_dist", 6).alias("adc_dist"))
+            .withColumn("rnk", rnk).filter(F.col("rnk") <= 3))
+
+
 @register(
     "dedup_minhash_eval_report",
     oracle=f"""
