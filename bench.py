@@ -1,8 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (r6 verdict What's-wrong #1: the driver
+stores only a bounded output tail, and the ~6 KB single line carrying
+63 raw + 63 normalized timings got truncated mid-object, leaving
+BENCH_r06.json with parsed:null). The stdout line now carries only the
+headline scalars — raw total, normalized total, host factor, drift,
+sf, query count — a few hundred bytes that survive any tail capture.
+The full per-query detail (raw + normalized + calibration) is written
+to the file named by $SPARK_GRAFT_BENCH_DETAIL (default
+BENCH_local_latest.json next to this script); the builder commits it
+as BENCH_local_r{N}.json each round.
 """
 
 from __future__ import annotations
@@ -15,6 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_local_latest.json"))
 
 #: Repeats per query; the reported time is the MIN across repeats. The
 #: bench host is a VM with visible CPU steal (/proc/stat col 8 grows
@@ -213,7 +225,8 @@ def main() -> None:
     normalized = {k: round(v / host_factor, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    total_norm = round(sum(normalized.values()), 3)
+    detail = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
@@ -226,9 +239,24 @@ def main() -> None:
             "calibration_end": cal_end,
             "host_factor_vs_reference": host_factor,
             "within_session_drift": drift,
-            "value_normalized": round(sum(normalized.values()), 3),
+            "value_normalized": total_norm,
             "queries_normalized": normalized,
         },
+    }
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh)
+        fh.write("\n")
+    # the driver-facing line: compact scalars only (see module docstring)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "value_normalized": total_norm,
+        "host_factor": host_factor,
+        "within_session_drift": drift,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "detail": os.path.basename(DETAIL_PATH),
     }))
 
 

@@ -659,13 +659,17 @@ def test_r4_weak_five_are_deserialized(spark, qs):
 def test_auc_running_sum_is_two_phase(spark, qs):
     # r4 task #4: dq_auc_score's cumulative negatives must survive a
     # continuous score domain — range-bucketed prefix sum, window only
-    # over the tiny per-bucket count frame. Since r6 the bucketed frame
-    # is a frozen localCheckpoint (bucket-consistency fix), so the
-    # range exchange lives inside the opaque ExistingRDD scan; assert
-    # the frozen frame is there and no corpus window slipped back in.
+    # over the tiny per-bucket count frame. r7: deterministic bucketing
+    # (pure-function __bucket from broadcast boundaries) replaced the
+    # r6 frozen localCheckpoint, so the END-TO-END executed plan is
+    # visible again (r6 verdict What's-wrong #3): assert the two-phase
+    # bucket column on the final plan and that no opaque checkpoint
+    # scan hides the shape.
     df = qs["dq_auc_score"](spark, SF_DIR)
     assert not _unbounded_unpartitioned_windows(df)
-    assert "ExistingRDD" in plan_of(df)
+    plan = plan_of(df)
+    assert "__bucket" in plan
+    assert "ExistingRDD" not in plan
 
 
 def test_chained_prefix_sums_match_window_form(spark):
@@ -690,9 +694,19 @@ def test_chained_prefix_sums_match_window_form(spark):
     w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
     want = df.select("k", F.sum("a").over(w).alias("ka"),
                      F.sum("b").over(w).alias("kb"))
-    g = {r["k"]: (r["ka"], r["kb"]) for r in got.collect()}
-    for r in want.collect():
-        assert g[r["k"]] == (r["ka"], r["kb"]), r["k"]
+    expect = {r["k"]: (r["ka"], r["kb"]) for r in want.collect()}
+    # r7 done-criterion: green under VARIED shuffle settings — the r6
+    # failure was physical-plan-dependent (exchange reuse vs re-plan),
+    # so exercise materially different stage layouts.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "57"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            g = {r["k"]: (r["ka"], r["kb"]) for r in got.collect()}
+            for k, v in expect.items():
+                assert g[k] == v, (parts, k)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_operators_index_matches_registry(qs):

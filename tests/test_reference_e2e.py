@@ -167,11 +167,18 @@ def test_surrogate_key_distributed_matches_global(spark, fixture_df):
     b = {(r["k"], r["sk"]) for r in
          surrogate_key_distributed(df, "k", buckets=16).collect()}
     assert a == b
-    # the data path is range-bucketed into a FROZEN localCheckpoint
-    # (r6 bucket-consistency fix), not a global single-partition sort:
-    # the final plan reads the frozen frame, and the frozen frame's RDD
-    # really carries the requested bucket count
+    # the data path is range-bucketed DETERMINISTICALLY (r7: pure
+    # hash-sample boundaries, replacing the r6 frozen localCheckpoint),
+    # not a global single-partition sort: the end-to-end plan is
+    # transparent (no checkpoint scan) and the bucketing REALLY spreads
+    # the rows — with 1000 distinct keys and 16 requested buckets the
+    # assignment must use many distinct bucket ids (ADVICE r6: assert
+    # the actual bucket property, not a vacuous partition count).
+    from pmc_conversion_spark.operators.windows import _range_bucketed
     ranged_df = surrogate_key_distributed(df, "k", buckets=16)
     plan = ranged_df._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in plan
-    assert ranged_df._jdf.rdd().getNumPartitions() >= 1
+    assert "ExistingRDD" not in plan
+    assert "__bucket" in plan
+    n_buckets = (_range_bucketed(df, 16, F.col("k"))
+                 .select("__bucket").distinct().count())
+    assert 8 <= n_buckets <= 16, n_buckets
