@@ -137,13 +137,20 @@ class LoggingConfig:
     root_handlers: list[str]
     handlers: dict[str, LogHandlerConfig]
     formatters: dict[str, LogFormatterConfig]
+    #: source file apply() re-reads; a declared field (ADVICE r6 #5) so
+    #: directly-constructed instances get a typed default instead of an
+    #: AttributeError, and repr/eq see it
+    path: str = ""
 
     def apply(self) -> None:
         """Hand the file to stdlib ``logging.config.fileConfig`` —
         the exact call the reference makes — without killing loggers
         other code (py4j, Spark) already created."""
         import logging.config
-        logging.config.fileConfig(self._path,
+        if not self.path:
+            raise ValueError("LoggingConfig.apply() needs a source "
+                             "path (load via load_logging_config)")
+        logging.config.fileConfig(self.path,
                                   disable_existing_loggers=False)
 
 
@@ -177,6 +184,5 @@ def load_logging_config(path: str) -> LoggingConfig:
         root_level=root.get("level", "NOTSET"),
         root_handlers=[x.strip()
                        for x in root.get("handlers", "").split(",") if x],
-        handlers=handlers, formatters=formatters)
-    out._path = path
+        handlers=handlers, formatters=formatters, path=path)
     return out

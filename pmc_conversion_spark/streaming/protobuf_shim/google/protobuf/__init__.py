@@ -48,7 +48,16 @@ _strict_validate = _rv.ValidateProtobufRuntimeVersion
 
 
 def _same_major_validate(domain, major, minor, patch, suffix, location):
-    if major != _rv.MAJOR:
+    # ADVICE r6 #3: the minor/patch waiver is SCOPED to the one gencode
+    # module the round-trip test vouches for — Spark's StateMessage
+    # (``location`` is the gencode's proto source path,
+    # "org/apache/spark/sql/execution/streaming/StateMessage.proto").
+    # Any other pb2 module imported afterwards still goes through the
+    # strict validator, so gencode genuinely relying on a newer runtime
+    # feature fails loudly at import instead of opaquely at parse time.
+    loc = str(location)
+    waived = "StateMessage.proto" in loc and "spark" in loc
+    if major != _rv.MAJOR or not waived:
         _strict_validate(domain, major, minor, patch, suffix, location)
 
 

@@ -44,6 +44,19 @@ def ensure_protobuf() -> bool:
         from google.protobuf import descriptor  # noqa: F401
         return True
     except ImportError:
+        # ADVICE r6 #1: don't leave the shim dir on sys.path when the
+        # fallback import itself failed — a lingering entry (plus a
+        # cached half-initialized 'google' module) would break
+        # unrelated google.* imports process-wide.
+        try:
+            sys.path.remove(_SHIM_DIR)
+        except ValueError:
+            pass
+        for mod in [m for m in sys.modules
+                    if m == "google" or m.startswith("google.")]:
+            if (getattr(sys.modules[mod], "__file__", None)
+                    or "").startswith(_SHIM_DIR):
+                del sys.modules[mod]
         return False
 
 
@@ -70,9 +83,13 @@ def _shim_workers(spark) -> None:
     if _SHIM_DIR not in parts:
         env["PYTHONPATH"] = _SHIM_DIR + (
             os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-    scratch = "/tmp/pmc_spark_scratch"
-    os.makedirs(scratch, exist_ok=True)
-    zpath = os.path.join(scratch, "pmc_protobuf_shim.zip")
+    # ADVICE r6 #2: the zip lives under this process's PRIVATE mkdtemp
+    # scratch root (util.scratch_root), never a fixed world-predictable
+    # /tmp path another user could pre-create, and is rebuilt
+    # unconditionally per process so a stale zip can't outlive shim
+    # updates. addPyFile dedupes re-adds of the same path in-session.
+    from pmc_conversion_spark.util import scratch_root
+    zpath = os.path.join(scratch_root(), "pmc_protobuf_shim.zip")
     if not os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
