@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf=0.01, comparing row count, sorted column names, and the
 order-insensitive multiset of values (stringified). Usage:
 
-    python tools/check_oracle.py [name ...]    # default: all
+    python tools/check_oracle.py [name ...]          # default: all
+    python tools/check_oracle.py --sample N --round R
+        # rotating driver-style sample (r6 verdict task #5): the N
+        # names whose sha256(f"r{R}:{name}") digests are smallest —
+        # deterministic, seeded on the round number, disjoint-ish
+        # across consecutive rounds so every op gets an independently
+        # logged check within ~registry/N rounds.
 """
 
 from __future__ import annotations
@@ -81,6 +87,17 @@ def main(names=None):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     selected = names or list(qs)
+    if names and names[0] == "--sample":
+        import hashlib
+        n = int(names[1])
+        rnd = int(names[names.index("--round") + 1]) \
+            if "--round" in names else 0
+        key = (lambda q:
+               hashlib.sha256(f"r{rnd}:{q}".encode()).hexdigest())
+        selected = sorted(sorted(qs), key=key)[:n]
+        selected.sort()
+        print(f"# rotating sample: {n} of {len(qs)} registry names, "
+              f"key=sha256('r{rnd}:'+name), round={rnd}, sf_dir={SF_DIR}")
     n_pass = n_fail = n_weak = 0
     failures = []
     for name in selected:
