@@ -5028,3 +5028,142 @@ def win_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("runs").cast("bigint").alias("runs"),
                     F.round(er, 4).alias("expected_runs"),
                     F.round((F.col("runs") - er) / sd, 6).alias("z")))
+
+
+# ------------------------------------------------------------- r7 wave
+
+@register(
+    "ts_ar2_forecast",
+    oracle=f"""
+    WITH {_ACF3_SQL.strip()},
+    phi AS (
+      SELECT n_days, r1 * (1 - r2) / (1 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS phi2
+      FROM rw),
+    last2 AS (
+      SELECT arg_max(x, d) AS xt, arg_min(x, d) AS xt1
+      FROM (SELECT d, x FROM daily ORDER BY d DESC LIMIT 2)),
+    mu AS (SELECT CAST(s AS DOUBLE) / n AS xbar FROM tot),
+    f1 AS (
+      SELECT n_days, phi1, phi2, xbar, xt, xt1,
+             xbar + phi1 * (xt - xbar) + phi2 * (xt1 - xbar) AS fc1
+      FROM phi, last2, mu),
+    f2 AS (
+      SELECT *, xbar + phi1 * (fc1 - xbar) + phi2 * (xt - xbar) AS fc2
+      FROM f1)
+    SELECT n_days,
+           round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+           round(fc1, 4) AS fc1, round(fc2, 4) AS fc2,
+           round(xbar + phi1 * (fc2 - xbar) + phi2 * (fc1 - xbar), 4)
+             AS fc3
+    FROM f2
+    """)
+def ts_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE–WALKER AR(2) fit + 3-step forecast of the daily-revenue
+    series (cents) — the modeling step the diagnostics point at:
+    ``ts_pacf_durbin`` says WHERE the PACF cuts off; this fits the
+    AR(2) those coefficients imply (φ1 = r1(1−r2)/(1−r1²),
+    φ2 = (r2−r1²)/(1−r1²)) and iterates the demeaned recursion
+    x̂(t+h) = x̄ + φ1(x̂(t+h−1)−x̄) + φ2(x̂(t+h−2)−x̄) three steps out.
+    Same n²-scaled INTEGER power sums as the PACF (the mean never
+    materializes until the last division), last two observations via
+    arg_max over a TakeOrdered-2 — all remaining algebra is
+    constant-size doubles, engine-identical at 4/6 dp.
+
+    Plan: one fact scan to the date-bounded daily frame, the shared
+    3-lag windowed-lead aggregate, a top-2 TakeOrdered, scalar
+    algebra on one row."""
+    rw = _acf3_frame(spark, sf_dir)
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.withColumn("d", F.to_date("o_orderdate"))
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("x")))
+    last2 = (daily.orderBy(F.col("d").desc()).limit(2)
+             .agg(F.max_by("x", "d").alias("xt"),
+                  F.min_by("x", "d").alias("xt1")))
+    mu = daily.agg((F.sum(F.col("x").cast("decimal(38,0)"))
+                    .cast("double")
+                    / F.count(F.lit(1))).alias("xbar"))
+    r1, r2 = F.col("r1"), F.col("r2")
+    j = (rw.crossJoin(F.broadcast(last2)).crossJoin(F.broadcast(mu))
+         .select("n_days", "xbar", "xt", "xt1",
+                 (r1 * (1 - r2) / (1 - r1 * r1)).alias("phi1"),
+                 ((r2 - r1 * r1) / (1 - r1 * r1)).alias("phi2")))
+    xbar, p1, p2 = F.col("xbar"), F.col("phi1"), F.col("phi2")
+    f1 = j.withColumn(
+        "fc1", xbar + p1 * (F.col("xt") - xbar)
+        + p2 * (F.col("xt1") - xbar))
+    f2 = f1.withColumn(
+        "fc2", xbar + p1 * (F.col("fc1") - xbar)
+        + p2 * (F.col("xt") - xbar))
+    return f2.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(p1, 6).alias("phi1"), F.round(p2, 6).alias("phi2"),
+        F.round(F.col("fc1"), 4).alias("fc1"),
+        F.round(F.col("fc2"), 4).alias("fc2"),
+        F.round(xbar + p1 * (F.col("fc2") - xbar)
+                + p2 * (F.col("fc1") - xbar), 4).alias("fc3"))
+
+
+@register(
+    "win_max_subarray",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           WHEN event_type = 'click' THEN -1
+                           ELSE 0 END) AS BIGINT) AS net
+      FROM events GROUP BY 1),
+    pp AS (
+      SELECT d, CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS pfx
+      FROM daily),
+    p AS (
+      SELECT d, pfx,
+             CAST(coalesce(min(pfx)
+                    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS minb
+      FROM pp),
+    g AS (
+      SELECT d, pfx - least(minb, 0) AS gain FROM p),
+    best AS (SELECT max(gain) AS max_gain FROM g)
+    SELECT CAST(b.max_gain AS BIGINT) AS max_gain,
+           min(g.d) AS end_day,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days
+    FROM g, best b WHERE g.gain = b.max_gain
+    GROUP BY b.max_gain
+    """)
+def win_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM-SUBARRAY (Kadane) over the daily purchase-minus-click
+    net series: the best contiguous run of days where purchases
+    outpace clicks — the streak detector behind "longest winning
+    stretch" product analytics, and the classic divide-and-conquer
+    algorithm re-expressed as pure prefix algebra: gain ending at day
+    t = P(t) − min(0, min prefix before t), answer = max gain, with
+    the earliest achieving day as the deterministic tie-break. All
+    integers end to end — counts, prefix sums, running minima — so
+    engines agree exactly.
+
+    Plan: one partial-agg scan to the date-bounded daily frame, two
+    ordered windows over it (bounded by the date span, never the
+    fact table), one max + equality filter."""
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .when(F.col("event_type") == "click", -1)
+                        .otherwise(0)).cast("bigint").alias("net")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    p = (daily.withColumn("pfx", F.sum("net").over(w))
+         .withColumn("minb", F.coalesce(F.min(F.col("pfx")).over(wb),
+                                        F.lit(0))))
+    g = p.select("d", (F.col("pfx")
+                       - F.least(F.col("minb"), F.lit(0))).alias("gain"))
+    best = g.agg(F.max("gain").alias("max_gain"))
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (g.join(F.broadcast(best), F.col("gain") == F.col("max_gain"))
+            .groupBy("max_gain")
+            .agg(F.min("d").alias("end_day"))
+            .crossJoin(F.broadcast(nd))
+            .select(F.col("max_gain").cast("bigint").alias("max_gain"),
+                    "end_day", "n_days"))

@@ -1595,3 +1595,79 @@ def dq_dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("k"), 6).alias("avg_user_rows"),
                  F.round(F.max("k") / F.avg("k"), 6)
                  .alias("contribution_skew")))
+
+
+@register(
+    "dq_page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT d, x,
+             CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    dev AS (
+      SELECT d, CAST(round(CAST(s AS DOUBLE) / t, 6)
+                     AS DECIMAL(24,6)) AS mbar, x
+      FROM c),
+    u AS (
+      SELECT d,
+             CAST(sum(CAST(x AS DECIMAL(24,6)) - mbar) OVER (ORDER BY d)
+                  AS DECIMAL(24,6)) AS ut
+      FROM dev),
+    ph AS (
+      SELECT d, ut - min(ut) OVER (ORDER BY d) AS pht
+      FROM u),
+    mx AS (SELECT max(pht) AS max_ph FROM ph)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(mx.max_ph AS DOUBLE) AS max_ph,
+           min(ph.d) AS peak_day,
+           (SELECT min(d) FROM ph
+            WHERE pht > 50000000) AS alarm_day
+    FROM ph, mx WHERE ph.pht = mx.max_ph
+    GROUP BY mx.max_ph
+    """)
+def dq_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE–HINKLEY mean-shift detector over the daily-revenue series
+    — the sequential changepoint test a drift monitor runs where
+    ``dq_psi_drift`` / ``dq_js_divergence_drift`` compare two static
+    windows: U(t) = Σ(x_i − x̄_i) accumulates deviations from the
+    RUNNING mean, PH(t) = U(t) − min U raises the alarm when the mean
+    shifts upward (threshold 500k cents, a literal). The running mean
+    is a rational (prefix-sum / t) rounded at 6 dp and every
+    accumulation after that is DECIMAL-exact, so running sums are
+    order-free and both engines agree bit-for-bit — no float prefix
+    sum whose summation grouping could differ between engines.
+
+    Plan: one partial-agg scan to the date-bounded daily frame, three
+    ordered windows over it, one max + equality filter; the fact
+    table is never windowed."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("x")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = (daily.withColumn("s", F.sum("x").over(w))
+         .withColumn("t", F.row_number().over(Window.orderBy("d"))))
+    dev = c.select(
+        "d", "x",
+        F.round(F.col("s").cast("double") / F.col("t"), 6)
+        .cast("decimal(24,6)").alias("mbar"))
+    u = dev.select(
+        "d", F.sum(F.col("x").cast("decimal(24,6)") - F.col("mbar"))
+        .over(w).alias("ut"))
+    ph = u.select("d", (F.col("ut") - F.min("ut").over(w)).alias("pht"))
+    mx = ph.agg(F.max("pht").alias("max_ph"))
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    alarm = (ph.filter(F.col("pht") > 50000000)
+             .agg(F.min("d").alias("alarm_day")))
+    return (ph.join(F.broadcast(mx), F.col("pht") == F.col("max_ph"))
+            .groupBy("max_ph").agg(F.min("d").alias("peak_day"))
+            .crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(alarm))
+            .select("n_days",
+                    F.col("max_ph").cast("double").alias("max_ph"),
+                    "peak_day", "alarm_day"))

@@ -6548,3 +6548,360 @@ def agg_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (tn + fp) * (tn + fn)), 6).alias("mcc"),
         F.round((tp + tn) / (tp + fp + fn + tn).cast("double"), 6)
         .alias("accuracy"))
+
+
+# ------------------------------------------------------------- r7 wave
+# Rank statistics over CONTINUOUS domains (the two-phase prefix-sum
+# path agg_mann_whitney_u's bounded 50-value histogram never needs),
+# complete-block designs, exact rank correlation, and an in-plan
+# closed-form regression solve.
+
+@register(
+    "agg_kruskal_wallis",
+    oracle="""
+    WITH gv AS (
+      SELECT o_totalprice AS v, o_orderpriority AS g, count(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    vt AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS t FROM gv GROUP BY v),
+    vr AS (
+      SELECT v, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM vt),
+    gr AS (
+      SELECT gv.g,
+             CAST(sum(gv.cnt) AS BIGINT) AS ng,
+             CAST(sum(gv.cnt * (2 * vr.cb + vr.t + 1)) AS BIGINT) AS s2
+      FROM gv JOIN vr USING (v) GROUP BY gv.g),
+    ties AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie3 FROM vt),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS INT) AS k_groups,
+             sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / ng) AS ss
+      FROM gr)
+    SELECT n, k_groups, k_groups - 1 AS df,
+           round(3.0 * ss / (CAST(n AS DOUBLE) * (n + 1))
+                 - 3.0 * (n + 1), 4) AS h_stat,
+           round((3.0 * ss / (CAST(n AS DOUBLE) * (n + 1))
+                  - 3.0 * (n + 1))
+                 / (1.0 - tie3
+                    / (CAST(n AS DOUBLE) * n * n - n)), 4) AS h_adj
+    FROM tot, ties
+    """)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL–WALLIS rank ANOVA of order value across the 5 order
+    priorities — the k-sample extension of ``agg_mann_whitney_u``,
+    and deliberately over the CONTINUOUS o_totalprice domain (~one
+    distinct value per row), where the bounded-histogram midrank
+    trick is unavailable: midranks come from a corpus-sized
+    prefix sum over the per-value histogram, computed with the
+    two-phase ``running_sum_distributed`` helper (range-bucket,
+    in-bucket window, broadcast per-bucket offsets) — never a
+    single-partition global sort. Midranks stay EXACT integers in
+    doubled form (2·rank = 2·count-below + ties + 1), per-group rank
+    sums are exact BIGINTs, and only the final H algebra is double
+    (identical expressions both engines, 4 dp). Tie correction
+    Σ(t³−t)/(N³−N) exact-integer in the numerator.
+
+    Plan: one (value, group) partial-agg scan, a value-keyed
+    re-aggregate, the two-phase prefix sum over the value frame, one
+    value-keyed join back, a 5-row group aggregate, scalar algebra."""
+    o = tables.load(spark, sf_dir, "orders")
+    gv = (o.groupBy(F.col("o_totalprice").alias("v"),
+                    F.col("o_orderpriority").alias("g"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    vt = gv.groupBy("v").agg(F.sum("cnt").alias("t"))
+    vr = (W.running_sum_distributed(vt, "v", "t", "cum")
+          .select("v", "t", (F.col("cum") - F.col("t")).alias("cb")))
+    gr = (gv.join(vr, "v")
+          .groupBy("g")
+          .agg(F.sum("cnt").alias("ng"),
+               F.sum(F.col("cnt") * (2 * F.col("cb") + F.col("t") + 1))
+               .alias("s2")))
+    ties = vt.agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                        - F.col("t")).alias("tie3"))
+    tot = gr.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k_groups"),
+        F.sum(F.col("s2").cast("double") * F.col("s2").cast("double")
+              / F.col("ng")).alias("ss"))
+    n = F.col("n")
+    h = (F.lit(3.0) * F.col("ss") / (n.cast("double") * (n + 1))
+         - F.lit(3.0) * (n + 1))
+    return (tot.crossJoin(F.broadcast(ties))
+            .select(n.cast("bigint").alias("n"), "k_groups",
+                    (F.col("k_groups") - 1).alias("df"),
+                    F.round(h, 4).alias("h_stat"),
+                    F.round(h / (F.lit(1.0) - F.col("tie3")
+                                 / (n.cast("double") * n * n - n)), 4)
+                    .alias("h_adj")))
+
+
+@register(
+    "agg_friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT date_trunc('month', o_orderdate) AS b, o_orderpriority AS g,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS val
+      FROM orders GROUP BY 1, 2),
+    kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cell),
+    full_blocks AS (
+      SELECT b FROM cell GROUP BY b
+      HAVING count(*) = (SELECT k FROM kk)),
+    ranked AS (
+      SELECT c.g,
+             2 * (count(*) OVER (PARTITION BY c.b ORDER BY c.val
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - count(*) OVER (PARTITION BY c.b, c.val))
+             + count(*) OVER (PARTITION BY c.b, c.val) + 1 AS r2
+      FROM cell c JOIN full_blocks USING (b)),
+    gr AS (
+      SELECT g, CAST(sum(r2) AS BIGINT) AS rj2,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM ranked GROUP BY g),
+    tot AS (
+      SELECT max(nb) AS n_blocks, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rj2 * rj2) AS BIGINT) AS ssq
+      FROM gr)
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(k AS INT) AS k_treatments,
+           CAST(k - 1 AS INT) AS df,
+           round(3.0 * ssq / (n_blocks * CAST(k AS DOUBLE) * (k + 1))
+                 - 3.0 * n_blocks * (k + 1), 6) AS q_stat
+    FROM tot
+    """)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN test — the repeated-measures companion to
+    ``agg_kruskal_wallis``: blocks = order months, treatments = the 5
+    priorities, response = the block×treatment revenue (exact cents).
+    Ranking happens WITHIN each block over k=5 rows — partitioned
+    windows, embarrassingly parallel across blocks, never a global
+    sort — with midranks in exact doubled-integer form and incomplete
+    blocks dropped (a month missing a priority cannot be ranked 1..k).
+    Q = 12/(nk(k+1))·ΣRj² − 3n(k+1) where ΣRj² = Σ(Rj2)²/4 stays an
+    exact integer sum, so the only double is the final one-row
+    algebra: engine-identical at 6 dp.
+
+    Plan: one partial-agg scan to the bounded month×priority frame,
+    two block-partitioned window passes, a k-row aggregate."""
+    o = tables.load(spark, sf_dir, "orders")
+    cell = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                      .alias("b"),
+                      F.col("o_orderpriority").alias("g"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")).cast("bigint").alias("val")))
+    kk = cell.agg(F.countDistinct("g").alias("k"))
+    full_b = (cell.groupBy("b").agg(F.count(F.lit(1)).alias("nt"))
+              .join(F.broadcast(kk), F.col("nt") == F.col("k"))
+              .select("b"))
+    w_le = (Window.partitionBy("b").orderBy("val")
+            .rangeBetween(Window.unboundedPreceding, 0))
+    cnt_le = F.count(F.lit(1)).over(w_le)
+    cnt_eq = F.count(F.lit(1)).over(Window.partitionBy("b", "val"))
+    ranked = (cell.join(full_b, "b")
+              .select("g", (2 * (cnt_le - cnt_eq) + cnt_eq + 1)
+                      .alias("r2")))
+    gr = ranked.groupBy("g").agg(F.sum("r2").alias("rj2"),
+                                 F.count(F.lit(1)).alias("nb"))
+    tot = gr.agg(F.max("nb").alias("n_blocks"),
+                 F.count(F.lit(1)).alias("k"),
+                 F.sum(F.col("rj2") * F.col("rj2")).alias("ssq"))
+    nb, k = F.col("n_blocks"), F.col("k")
+    return tot.select(
+        nb.cast("bigint").alias("n_blocks"),
+        k.cast("int").alias("k_treatments"),
+        (k - 1).cast("int").alias("df"),
+        F.round(F.lit(3.0) * F.col("ssq")
+                / (nb * k.cast("double") * (k + 1))
+                - F.lit(3.0) * nb * (k + 1), 6).alias("q_stat"))
+
+
+@register(
+    "agg_kendall_tau_b",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.d > a.d THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN b.d < a.d THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS disc
+      FROM h a JOIN h b ON b.q > a.q),
+    m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * (c - 1)) / 2 AS BIGINT) AS txy
+      FROM h),
+    tq AS (SELECT CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS t1 FROM
+           (SELECT sum(c) AS t FROM h GROUP BY q)),
+    td AS (SELECT CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS t2 FROM
+           (SELECT sum(c) AS t FROM h GROUP BY d))
+    SELECT n, conc AS concordant, disc AS discordant,
+           round((conc - disc)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - t1)
+                        * (CAST(n AS DOUBLE) * (n - 1) / 2 - t2)), 6)
+             AS tau_b
+    FROM pairs, m, tq, td
+    """)
+def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL τ-b between quantity and discount — the
+    concordant/discordant-pair rank correlation, tie-adjusted, that
+    complements ``agg_spearman_rank_corr`` (which a few heavy ties
+    distort differently). The naive form is O(N²) over row pairs; on
+    the BOUNDED value grid (50 quantities × 11 discounts = 550 cells)
+    every pair count is a product of two histogram cells, so
+    concordant/discordant collapse to one 550×550 self-join of the
+    broadcast cell frame — exact integers, map-side, nothing scales
+    with the fact table but the first partial-agg scan. Tie terms
+    come exact from the two marginals; the τ-b normalization is the
+    only double (6 dp).
+
+    Plan: one partial-agg scan → 550-cell frame, broadcast self-join
+    on the inequality, two marginal aggregates, scalar algebra."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.groupBy(F.round("l_quantity").cast("bigint").alias("q"),
+                    F.round(F.col("l_discount") * 100).cast("bigint")
+                    .alias("d"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    a = h.select(F.col("q").alias("qa"), F.col("d").alias("da"),
+                 F.col("c").alias("ca"))
+    b = h.select(F.col("q").alias("qb"), F.col("d").alias("db"),
+                 F.col("c").alias("cb"))
+    pairs = (a.join(F.broadcast(b), F.col("qb") > F.col("qa"))
+             .agg(F.sum(F.when(F.col("db") > F.col("da"),
+                               F.col("ca") * F.col("cb"))
+                        .otherwise(0)).alias("conc"),
+                  F.sum(F.when(F.col("db") < F.col("da"),
+                               F.col("ca") * F.col("cb"))
+                        .otherwise(0)).alias("disc")))
+    m = h.agg(F.sum("c").alias("n"))
+    tq = (h.groupBy("q").agg(F.sum("c").alias("t"))
+          .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
+               .cast("bigint").alias("t1")))
+    td = (h.groupBy("d").agg(F.sum("c").alias("t"))
+          .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
+               .cast("bigint").alias("t2")))
+    n = F.col("n")
+    n0 = n.cast("double") * (n - 1) / 2
+    return (pairs.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(tq))
+            .crossJoin(F.broadcast(td))
+            .select(n.cast("bigint").alias("n"),
+                    F.col("conc").cast("bigint").alias("concordant"),
+                    F.col("disc").cast("bigint").alias("discordant"),
+                    F.round((F.col("conc") - F.col("disc"))
+                            / F.sqrt((n0 - F.col("t1"))
+                                     * (n0 - F.col("t2"))), 6)
+                    .alias("tau_b")))
+
+
+@register(
+    "agg_ridge_regression",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+             CAST(s2 AS DOUBLE) AS a13,
+             CAST(s11 AS DOUBLE) + 1000000.0 AS a22,
+             CAST(s12 AS DOUBLE) AS a23,
+             CAST(s22 AS DOUBLE) + 1000000.0 AS a33,
+             CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+             CAST(s2y AS DOUBLE) AS b3, n
+      FROM m),
+    s AS (
+      SELECT n,
+             a11 * (a22 * a33 - a23 * a23)
+             - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13) AS det,
+             b1 * (a22 * a33 - a23 * a23)
+             - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3) AS det0,
+             a11 * (b2 * a33 - b3 * a23)
+             - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13) AS det1,
+             a11 * (a22 * b3 - a23 * b2)
+             - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13) AS det2
+      FROM d)
+    SELECT n, round(det0 / det, 6) AS beta0,
+           round(det1 / det, 6) AS beta1,
+           round(det2 / det, 6) AS beta2
+    FROM s
+    """)
+def agg_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE regression of line price on (quantity, discount) solved
+    ENTIRELY IN-PLAN — no driver round-trips (the contrast with
+    ``agg_logreg_irls``, whose Newton loop must iterate): the 3×3
+    regularized normal equations (XᵀX + λ·diag(0,1,1))β = Xᵀy have a
+    closed form, so one partial-aggregable scan collects the nine
+    exact integer moments (inputs scaled to integer cents/points) and
+    a 1-row projection applies Cramer's rule with literal-identical
+    determinant expressions in both engines. λ = 1e6 on the
+    non-intercept diagonal (never the intercept — standard ridge).
+    Units: y in cents, x1 in units, x2 in discount points.
+
+    Plan: ONE scan with map-side combine into nine moments; the solve
+    is constant-size scalar algebra. This is the d²≪N regime where
+    normal equations beat iterative solvers at any corpus size; the
+    d×d frame stays 3×3 no matter how many rows feed it."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"))
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"))
+    lam = F.lit(1000000.0)
+    d = m.select(
+        F.col("n"),
+        F.col("n").cast("double").alias("a11"),
+        F.col("s1").cast("double").alias("a12"),
+        F.col("s2").cast("double").alias("a13"),
+        (F.col("s11").cast("double") + lam).alias("a22"),
+        F.col("s12").cast("double").alias("a23"),
+        (F.col("s22").cast("double") + lam).alias("a33"),
+        F.col("sy").cast("double").alias("b1"),
+        F.col("s1y").cast("double").alias("b2"),
+        F.col("s2y").cast("double").alias("b3"))
+    c = {x: F.col(x) for x in
+         ("a11", "a12", "a13", "a22", "a23", "a33", "b1", "b2", "b3")}
+    det = (c["a11"] * (c["a22"] * c["a33"] - c["a23"] * c["a23"])
+           - c["a12"] * (c["a12"] * c["a33"] - c["a23"] * c["a13"])
+           + c["a13"] * (c["a12"] * c["a23"] - c["a22"] * c["a13"]))
+    det0 = (c["b1"] * (c["a22"] * c["a33"] - c["a23"] * c["a23"])
+            - c["a12"] * (c["b2"] * c["a33"] - c["a23"] * c["b3"])
+            + c["a13"] * (c["b2"] * c["a23"] - c["a22"] * c["b3"]))
+    det1 = (c["a11"] * (c["b2"] * c["a33"] - c["b3"] * c["a23"])
+            - c["b1"] * (c["a12"] * c["a33"] - c["a23"] * c["a13"])
+            + c["a13"] * (c["a12"] * c["b3"] - c["b2"] * c["a13"]))
+    det2 = (c["a11"] * (c["a22"] * c["b3"] - c["a23"] * c["b2"])
+            - c["a12"] * (c["a12"] * c["b3"] - c["b2"] * c["a13"])
+            + c["b1"] * (c["a12"] * c["a23"] - c["a22"] * c["a13"]))
+    return d.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"))
