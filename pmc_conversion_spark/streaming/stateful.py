@@ -180,6 +180,15 @@ def running_count_tws(events: DataFrame, *, key_col: str = "user_id"
     with a same-major version waiver) and ``_shim_pyfile`` ships it to
     the workers; only if BOTH are unavailable does this raise a clear
     error instead of an opaque mid-query worker crash.
+
+    COST (measured, SCALING.md "State-machinery pricing"): on this
+    trivial count the TWS machinery costs ~2.5 s per query at sf0.01
+    and grows only ~1.3× for 10× data — a FIXED floor (RocksDB
+    provider spin-up, state server, protobuf round-trips), roughly 2×
+    applyInPandasWithState's floor and ~13× the plain batch groupBy.
+    Reach for TWS when you need typed/multiple state or timers on a
+    LONG-LIVED stream, where the floor amortizes; for a one-shot
+    bounded aggregation the batch form is strictly better.
     """
     if not ensure_protobuf():
         raise NotImplementedError(

@@ -112,6 +112,14 @@ PROBED = [
     # even though the ROUND COUNT is data-dependent
     "graph_pagerank_converged",
     "sim_kmeans_lloyd",
+    # r7: the seeded-Lloyd composition (two loops chained — cost must
+    # stay rounds × data), the continuous-domain two-phase rank test,
+    # the bounded-grid pair collapse (should be ~flat in sf), and the
+    # broadcast-centroid silhouette
+    "sim_kmeans_pp_lloyd",
+    "agg_kruskal_wallis",
+    "agg_kendall_tau_b",
+    "sim_silhouette_simplified",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
@@ -179,6 +187,115 @@ def probe_incremental_fixed_batch(spark, repeats: int) -> list[str]:
     return lines
 
 
+def probe_tws_pricing(spark, repeats: int) -> list[str]:
+    """Price the Spark-4 state machinery (r6 verdict task #7): the
+    SAME aggregation — per-user event count — three ways, so the
+    fixed-vs-variable cost split of each stateful API is on record
+    before anyone reaches for it at scale. transformWithStateInPandas
+    (RocksDB provider + state-server protobuf round-trips) and
+    applyInPandasWithState (Arrow group iteration, default provider)
+    both pay a per-query streaming-machinery floor that the batch
+    groupBy never pays; what matters at scale is that the floor is
+    FIXED (per query, per key-partition) while the data-dependent part
+    tracks rows."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from pmc_conversion_spark import tables
+
+    qs = E.queries()
+    if "stream_running_count_tws" not in qs:
+        return ["", "## State-machinery pricing: protobuf unavailable,"
+                    " TWS not registered", ""]
+
+    def apws_count(spark, sf_dir):
+        # applyInPandasWithState twin of running_count_tws, same
+        # streaming harness (availableNow file stream -> memory sink)
+        import tempfile
+        import uuid
+
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+
+        def fn(key, pdfs, state):
+            n = sum(len(p) for p in pdfs)
+            total = (state.get[0] if state.exists else 0) + n
+            state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [total]})
+
+        out = (stream.groupBy("user_id").applyInPandasWithState(
+            fn, "user_id long, n_events long", "n long",
+            "update", GroupStateTimeout.NoTimeout))
+        name = f"apws_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="pmc_apws_ckpt_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return (spark.table(name).groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events")))
+
+    def batch_count(spark, sf_dir):
+        return (tables.load(spark, sf_dir, "events")
+                .groupBy("user_id").count())
+
+    approaches = [
+        ("transformWithStateInPandas (RocksDB)",
+         lambda sf: qs["stream_running_count_tws"](spark, sf)),
+        ("applyInPandasWithState (default provider)",
+         lambda sf: apws_count(spark, sf)),
+        ("batch groupBy().count()",
+         lambda sf: batch_count(spark, sf)),
+    ]
+    lines = [
+        "",
+        "## State-machinery pricing: per-user running count three ways",
+        "",
+        "The same aggregation through each stateful API (availableNow",
+        "file stream → memory sink) vs the plain batch aggregate. The",
+        "streaming APIs pay a fixed per-query machinery floor (state",
+        "server spin-up, RocksDB provider, checkpoint dir, protobuf",
+        "round-trips for TWS); the near-flat sf0.01 → sf0.1 growth",
+        "shows the floor dominates at these sizes — on a real cluster",
+        "the floor amortizes over the stream's lifetime while state",
+        "partitions by key, so the VARIABLE cost is what scales.",
+        "",
+        "| approach | sf0.01 (s) | sf0.1 (s) |",
+        "|---|---|---|",
+    ]
+    for label, fn in approaches:
+        cells = []
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            best = None
+            try:
+                for _ in range(repeats):
+                    t0 = _t.time()
+                    fn(sf).count()
+                    dt = _t.time() - t0
+                    best = dt if best is None else min(best, dt)
+                cells.append("%.3f" % best)
+            except Exception as exc:  # noqa: BLE001 - report, don't die
+                cells.append("ERR")
+                print(f"tws-pricing error {label} @ {sf}: {exc}",
+                      flush=True)
+        lines.append(f"| {label} | {cells[0]} | {cells[1]} |")
+        print(f"tws-pricing {label}: {cells}", flush=True)
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     from pmc_conversion_spark.session import get_spark
     import __spark_entry__ as E
@@ -242,6 +359,7 @@ def main() -> None:
         lines.append(f"| {name} | {cells[0]} | {cells[1]} | {cells[2]} |"
                      f" {rs} | {verdict} |")
     lines.extend(probe_incremental_fixed_batch(spark, REPEATS))
+    lines.extend(probe_tws_pricing(spark, REPEATS))
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
