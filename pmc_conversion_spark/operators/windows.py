@@ -157,10 +157,9 @@ def surrogate_key_distributed(df: DataFrame, order_col,
     and broadcast-joins the offsets back. No stage ever sorts the whole
     table in one partition, unlike ``row_number() OVER (ORDER BY ...)``.
 
-    The bucket id comes from ``ntile``-free range math: we use a
-    repartitionByRange + spark_partition_id, which preserves global
-    order across buckets (range partitioner boundaries are sampled but
-    the *assignment* is order-correct, which is all density needs).
+    The bucket id is a PURE FUNCTION of the key (deterministic
+    boundary array, :func:`_range_bucketed`), monotone in the key —
+    which preserves global order across buckets, all density needs.
     Same observable output as :func:`surrogate_key` for a unique
     ``order_col``.
 

@@ -5148,7 +5148,10 @@ def win_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered windows over it (bounded by the date span, never the
     fact table), one max + equality filter."""
     ev = _events(spark, sf_dir)
-    daily = (ev.groupBy(F.to_date("ts").alias("d"))
+    # withColumn-then-groupBy so the date key stays a NAMED attribute
+    # in the partial aggregate (the key-aware window audit's gate)
+    daily = (ev.withColumn("d", F.to_date("ts"))
+             .groupBy("d")
              .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
                         .when(F.col("event_type") == "click", -1)
                         .otherwise(0)).cast("bigint").alias("net")))

@@ -1647,7 +1647,11 @@ def dq_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered windows over it, one max + equality filter; the fact
     table is never windowed."""
     o = _t(spark, sf_dir, "orders")
-    daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
+    # withColumn-then-groupBy (not groupBy(expr.alias)): the named
+    # attribute reaches the PARTIAL aggregate's grouping too, so the
+    # key-aware window audit can see the date-bounded domain
+    daily = (o.withColumn("d", F.to_date("o_orderdate"))
+             .groupBy("d")
              .agg(F.sum(F.round(F.col("o_totalprice") * 100)
                         .cast("bigint")).cast("bigint").alias("x")))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
