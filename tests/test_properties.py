@@ -433,3 +433,32 @@ def test_next_value_distributed_matches_lead_property(spark):
         assert got == exp
 
     check()
+
+
+def test_bucket_boundaries_deterministic_across_executions(spark):
+    """r7 deterministic-bucketing invariant: the boundary frame is a
+    pure function of the DATA — re-executing the sub-plan (as AQE
+    branch re-planning does) must yield bit-identical boundaries, and
+    the per-row __bucket assignment must be identical no matter which
+    physical branch computes it. This is the property whose absence
+    was the r6 sf0.1 bug (repartitionByRange re-sampling across plan
+    branches)."""
+    from pmc_conversion_spark.operators.windows import (
+        _bucket_boundaries, _range_bucketed)
+    df = (spark.range(0, 5000)
+          .select((F.col("id") * 2654435761 % 99991).alias("k")))
+    b1 = _bucket_boundaries(df, 16, F.col("k")).collect()[0]["__bnds"]
+    b2 = _bucket_boundaries(df, 16, F.col("k")).collect()[0]["__bnds"]
+    b3 = _bucket_boundaries(df.repartition(7), 16,
+                            F.col("k")).collect()[0]["__bnds"]
+    assert b1 == b2 == b3
+    assert b1 == sorted(x for x in b1 if x is not None)
+    # assignment is monotone in the key and stable across executions
+    a1 = {r["k"]: r["__bucket"]
+          for r in _range_bucketed(df, 16, F.col("k")).collect()}
+    a2 = {r["k"]: r["__bucket"]
+          for r in _range_bucketed(df.repartition(13), 16,
+                                   F.col("k")).collect()}
+    assert a1 == a2
+    ks = sorted(a1)
+    assert all(a1[ks[i]] <= a1[ks[i + 1]] for i in range(len(ks) - 1))
