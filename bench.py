@@ -114,6 +114,13 @@ HEADLINE = [
     "sim_kmeans_lloyd",
     "stream_running_count_tws",
     "agg_logreg_irls",
+    # r7: the seeded-Lloyd composition (two chained loops), the
+    # continuous-domain two-phase rank test, the bounded-grid pair
+    # collapse, and the broadcast-centroid cluster-quality score
+    "sim_kmeans_pp_lloyd",
+    "agg_kruskal_wallis",
+    "agg_kendall_tau_b",
+    "sim_silhouette_simplified",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this
