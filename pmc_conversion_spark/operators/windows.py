@@ -198,7 +198,11 @@ def running_sum_distributed(df: DataFrame, order_col: str,
     w_in = (Window.partitionBy("__bucket").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     summed = ranged.withColumn("__ps", F.sum(value_col).over(w_in))
-    totals = ranged.groupBy("__bucket").agg(F.sum(value_col).alias("__n"))
+    # totals from the POST-window frame, not `ranged`: same values,
+    # but the single consumer of `ranged` lets Spark reuse one window
+    # exchange for both phases instead of re-running the bucket
+    # assignment (and its boundary scan) in a second branch
+    totals = summed.groupBy("__bucket").agg(F.sum(value_col).alias("__n"))
     w_off = (Window.orderBy("__bucket")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
@@ -274,7 +278,9 @@ def next_value_distributed(df: DataFrame, order_col: str,
     ranged = _range_bucketed(df, buckets, F.col(order_col))
     w_in = Window.partitionBy("__bucket").orderBy(order_col)
     led = ranged.withColumn("__lead", F.lead(order_col).over(w_in))
-    mins = ranged.groupBy("__bucket").agg(
+    # mins from the post-window frame (single consumer of `ranged`)
+    # so the window exchange is reused across both phases
+    mins = led.groupBy("__bucket").agg(
         F.min(order_col).alias("__min"))
     w_b = Window.orderBy("__bucket")
     nxt = mins.withColumn("__next_min", F.lead("__min").over(w_b))
