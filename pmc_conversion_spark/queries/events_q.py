@@ -396,6 +396,54 @@ if _protobuf_available():
                 .agg(F.max("n_events").alias("n_events"),
                      F.max("last_us").alias("last_us")))
 
+    @register(
+        "stream_timer_flush_tws",
+        oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id
+        """)
+    def stream_timer_flush_tws(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """Per-key count flushed by a transformWithState EVENT-TIME
+        TIMER (streaming/stateful.py flush_on_watermark_tws): data
+        batches only accumulate state; the no-data batch availableNow
+        runs to advance the watermark fires each key's timer, and
+        handleExpiredTimer emits the final total — exactly one append
+        row per key, equal to the batch count the oracle pins. This is
+        the session-timeout/TTL-flush shape for unbounded streams,
+        exercising the one TWS surface (timers + EventTime mode) the
+        Update-mode trio does not. Append mode, 0-second watermark on
+        ts (cast to instant-typed TIMESTAMP — EventTime rejects NTZ)."""
+        import tempfile
+        import uuid
+
+        from pyspark.sql import types as T
+
+        from pmc_conversion_spark.streaming.stateful import \
+            flush_on_watermark_tws
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        if isinstance(stream.schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = (stream
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+                  .withWatermark("ts", "0 seconds"))
+        flushed = flush_on_watermark_tws(stream)
+        name = f"twst_{uuid.uuid4().hex[:8]}"
+        q = (flushed.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="pmc_twst_ckpt_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.table(name)
+
 
 @register(
     "stream_stateful_dedup",

@@ -349,3 +349,63 @@ def per_type_stats_tws(events: DataFrame, *, key_col: str = "user_id"
                                  "n_events long, last_us long",
                 outputMode="Update",
                 timeMode="None"))
+
+
+def flush_on_watermark_tws(events: DataFrame, *, key_col: str = "user_id"
+                           ) -> DataFrame:
+    """Per-key event count flushed by an EVENT-TIME TIMER — the last
+    transformWithState surface (timers) not covered by the
+    ValueState/ListState/MapState trio. ``handleInputRows`` only
+    accumulates state and registers a timer just past the current
+    watermark; nothing is emitted until the watermark passes and
+    ``handleExpiredTimer`` fires, which emits the key's final total and
+    clears its state. Input must already carry ``withWatermark`` on a
+    TIMESTAMP column (timeMode=EventTime requires it).
+
+    Determinism under availableNow: after the final data batch the
+    watermark advances to max(event time) − delay and Spark runs one
+    more (no-data) batch in which every registered timer ≤ watermark
+    fires — so exactly one row per key is emitted, equal to the batch
+    ``groupBy(key).count()``, and the query terminates. (Processing-
+    time timers are the opposite: availableNow cannot know no future
+    timer work remains, so the query re-batches forever — measured at
+    100+ micro-batches before we killed it; that is why this op is
+    event-time.)
+
+    Scale: state is one long per live key, freed at flush; timers are
+    per-key entries in the RocksDB timer column family, fired by
+    watermark sweep — the standard session-timeout shape for
+    unbounded streams."""
+    _tws_prepare(events)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class FlushOnWatermark(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get() if self._n.exists() else None
+            self._n.update(((prev[0] if prev else 0) + batch_n,))
+            # fires in the first batch whose watermark passes this
+            self._h.registerTimer(
+                timerValues.getCurrentWatermarkInMs() + 1)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = self._n.get()[0] if self._n.exists() else 0
+            self._n.clear()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=FlushOnWatermark(),
+                outputStructType="user_id long, n_events long",
+                outputMode="Append",
+                timeMode="EventTime"))
