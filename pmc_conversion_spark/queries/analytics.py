@@ -1580,3 +1580,78 @@ def f_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (gh.groupBy(F.substring("geohash12", 1, 5).alias("cell5"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
                  F.min("geohash12").alias("sample_hash")))
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corner AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT node, count(*) AS tri FROM corner GROUP BY node),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node)
+    SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(tcnt.tri, 0)
+                 / (deg.d * (deg.d - 1)), 6) AS local_cc
+    FROM deg LEFT JOIN tcnt USING (node)
+    WHERE deg.d >= 2
+    """)
+def graph_clustering_coefficient(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node of the supplier co-order
+    graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how close each
+    node's neighborhood is to a clique, the standard small-world /
+    community signal ``graph_triangle_count`` only reports globally.
+    The engine enumerates each triangle ONCE via the same
+    degree-ordered wedge join as the global count (O(m^1.5) bound,
+    hub-safe), then credits all THREE corners with one explode —
+    per-node counts are a partial-aggregable groupBy, never a
+    per-node neighborhood materialization. Degrees broadcast (|V| is
+    dim-table scale). The oracle restates corners from the naive
+    id-oriented triple join — different orientation, same multiset
+    of corners."""
+    e = _co_order_edges(spark, sf_dir)
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    keyed = (e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+             .select(
+                 F.when((F.col("du") < F.col("dv"))
+                        | ((F.col("du") == F.col("dv"))
+                           & (F.col("u") < F.col("v"))),
+                        F.struct(F.col("u").alias("src"),
+                                 F.col("v").alias("dst")))
+                 .otherwise(F.struct(F.col("v").alias("src"),
+                                     F.col("u").alias("dst")))
+                 .alias("o"))
+             .select("o.src", "o.dst"))
+    e1 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = keyed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (tri.select(F.col("a").alias("node"))
+               .unionAll(tri.select(F.col("b").alias("node")))
+               .unionAll(tri.select(F.col("c").alias("node"))))
+    tcnt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri"))
+    return (deg.filter(F.col("d") >= 2)
+            .select(F.col("n").alias("node"), "d")
+            .join(tcnt, "node", "left")
+            .select("node",
+                    F.col("d").cast("bigint").alias("degree"),
+                    F.coalesce(F.col("tri"), F.lit(0)).cast("bigint")
+                    .alias("n_triangles"),
+                    F.round(F.lit(2.0) * F.coalesce(F.col("tri"), F.lit(0))
+                            / (F.col("d") * (F.col("d") - 1)), 6)
+                    .alias("local_cc")))

@@ -5218,3 +5218,94 @@ def win_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(nd))
             .select(F.col("max_gain").cast("bigint").alias("max_gain"),
                     "end_day", "n_days"))
+
+
+@register(
+    "win_rsi_wilder",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, event_id, sec,
+             x - lag(x) OVER (PARTITION BY user_id
+                              ORDER BY sec, event_id) AS dx
+      FROM v
+    ),
+    series AS (
+      SELECT user_id,
+             list({'g': greatest(dx, 0.0::DOUBLE),
+                   'l': greatest(-dx, 0.0::DOUBLE)}
+                  ORDER BY sec, event_id) AS xs,
+             count(*) AS n
+      FROM d WHERE dx IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 15
+    ),
+    step AS (
+      SELECT user_id, xs, n, 14 AS k,
+             list_sum(list_transform(xs[1:14], s -> s.g))
+               / 14.0::DOUBLE AS ag,
+             list_sum(list_transform(xs[1:14], s -> s.l))
+               / 14.0::DOUBLE AS al
+      FROM series
+      UNION ALL
+      SELECT user_id, xs, n, k + 1,
+             (ag * 13.0::DOUBLE + xs[k + 1].g) / 14.0::DOUBLE,
+             (al * 13.0::DOUBLE + xs[k + 1].l) / 14.0::DOUBLE
+      FROM step WHERE k < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_deltas,
+           round(CASE WHEN al = 0.0::DOUBLE THEN 100.0::DOUBLE
+                      ELSE 100.0::DOUBLE
+                           - 100.0::DOUBLE / (1.0::DOUBLE + ag / al)
+                 END, 6) AS rsi14
+    FROM step WHERE k = n
+    """)
+def win_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILDER RSI(14) over each user's event-value series — the
+    momentum oscillator whose smoothing is a RECURRENCE on the
+    previous result (avg_t = (avg_{t-1}·13 + x_t)/14), which no
+    window frame can express: like ``win_ewma_irregular``, the
+    per-user (gain, loss) series is assembled with sort_array ∘
+    collect_list (one shuffle, state bounded by that key's history)
+    and folded JVM-side through the higher-order ``aggregate`` with a
+    STRUCT accumulator carrying both smoothed averages at once. Seed
+    = simple mean of the first 14 gains/losses (Wilder's convention),
+    fold over the rest, RSI = 100 − 100/(1 + ag/al) with the all-loss
+    branch pinned to 100. The oracle restates the fold as a
+    recursive CTE (struct elements + struct init can't share a
+    list_reduce type in DuckDB). 6-dp boundary."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = (e.select("user_id", "event_id", sec.alias("sec"),
+                  F.round("value", 6).cast("double").alias("x"))
+         .withColumn("dx", F.col("x") - F.lag("x").over(w))
+         .filter(F.col("dx").isNotNull()))
+    series = (d.select(
+        "user_id",
+        F.struct("sec", "event_id",
+                 F.greatest(F.col("dx"), F.lit(0.0)).alias("g"),
+                 F.greatest(-F.col("dx"), F.lit(0.0)).alias("l"))
+        .alias("s"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 15))
+    folded = series.withColumn("acc", F.expr(
+        "aggregate(slice(ss, 15, greatest(size(ss) - 14, 0)), "
+        "named_struct("
+        "  'ag', aggregate(slice(ss, 1, 14), 0D, (a, s) -> a + s.g) / 14.0D, "
+        "  'al', aggregate(slice(ss, 1, 14), 0D, (a, s) -> a + s.l) / 14.0D), "
+        "(acc, s) -> named_struct("
+        "  'ag', (acc.ag * 13.0D + s.g) / 14.0D, "
+        "  'al', (acc.al * 13.0D + s.l) / 14.0D))"))
+    rsi = F.when(F.col("acc.al") == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0)
+        / (F.lit(1.0) + F.col("acc.ag") / F.col("acc.al")))
+    return folded.select(
+        "user_id",
+        F.size("ss").cast("long").alias("n_deltas"),
+        F.round(rsi, 6).alias("rsi14"))

@@ -6905,3 +6905,430 @@ def agg_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det0 / det, 6).alias("beta0"),
         F.round(det1 / det, 6).alias("beta1"),
         F.round(det2 / det, 6).alias("beta2"))
+
+
+# ------------------------------------------------------- round-7 wave 2
+
+@register(
+    "agg_jarque_bera",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
+    m AS (SELECT count(*) AS n, sum(xc) AS s FROM c),
+    mu AS (SELECT n, s // n AS mu FROM m),
+    d AS (SELECT CAST(c.xc - mu.mu AS HUGEINT) AS d FROM c, mu),
+    s AS (SELECT sum(d) AS s1, sum(d*d) AS s2,
+                 sum(d*d*d) AS s3, sum(d*d*d*d) AS s4 FROM d),
+    alg AS (
+      SELECT CAST(n AS DOUBLE) AS nd, n,
+             CAST(s1 AS DOUBLE) / n AS dl,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s, mu),
+    mm AS (
+      SELECT n, nd,
+             r2 - dl*dl AS m2,
+             r3 - 3*dl*r2 + 2*dl*dl*dl AS m3,
+             r4 - 4*dl*r3 + 6*dl*dl*r2 - 3*dl*dl*dl*dl AS m4
+      FROM alg),
+    gg AS (
+      SELECT n, nd, m3 / (m2 * sqrt(m2)) AS g1,
+             m4 / (m2 * m2) - 3.0 AS g2
+      FROM mm)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(g1, 6) AS skew,
+           round(g2, 6) AS ex_kurtosis,
+           round(nd / 6.0 * (g1*g1 + g2*g2/4.0), 4) AS jb_stat,
+           round(exp(-(nd / 6.0 * (g1*g1 + g2*g2/4.0)) / 2.0), 8)
+             AS p_value
+    FROM gg
+    """)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test of order value: JB = n/6*(g1^2 +
+    g2^2/4) with the chi-square(2) survival in CLOSED FORM
+    (p = e^(-JB/2) -- no CDF table needed). Moments come from EXACT
+    integer power sums of mean-shifted cents: pass 1 pins an integer
+    shift mu = sum DIV n, pass 2 sums d..d^4 as DECIMAL(38,0)
+    (hugeint in the oracle) around it, so both engines feed IDENTICAL
+    exact sums into identical one-row double algebra -- no
+    accumulation-order nondeterminism, no engine skew/kurtosis
+    convention mismatch (population g1/g2 stated explicitly).
+
+    Plan: two partial-aggregable scans (sum+count, then the shifted
+    power sums with the 1-row shift broadcast), one-row algebra.
+    d^4 ~ 6e30 and its corpus sum ~ 9e36 both fit DECIMAL(38,0)
+    through sf1."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100)
+                 .cast("long").alias("xc"))
+    m = c.agg(F.count(F.lit(1)).alias("n"), F.sum("xc").alias("s"))
+    mu = m.select("n", F.expr("s DIV n").alias("mu"))
+    d = (c.crossJoin(F.broadcast(mu))
+         .select((F.col("xc") - F.col("mu"))
+                 .cast("decimal(19,0)").alias("d")))
+    dd = F.col("d")
+    s = d.agg(F.sum(dd).alias("s1"),
+              F.sum(dd * dd).alias("s2"),
+              F.sum(dd * dd * dd).alias("s3"),
+              F.sum(dd * dd * dd * dd).alias("s4"))
+    alg = (s.crossJoin(F.broadcast(mu.select("n")))
+           .select(F.col("n"),
+                   F.col("n").cast("double").alias("nd"),
+                   (F.col("s1").cast("double") / F.col("n")).alias("dl"),
+                   (F.col("s2").cast("double") / F.col("n")).alias("r2"),
+                   (F.col("s3").cast("double") / F.col("n")).alias("r3"),
+                   (F.col("s4").cast("double") / F.col("n")).alias("r4")))
+    dl, r2, r3, r4 = (F.col(x) for x in ("dl", "r2", "r3", "r4"))
+    mm = alg.select(
+        "n", "nd",
+        (r2 - dl * dl).alias("m2"),
+        (r3 - 3 * dl * r2 + 2 * dl * dl * dl).alias("m3"),
+        (r4 - 4 * dl * r3 + 6 * dl * dl * r2
+         - 3 * dl * dl * dl * dl).alias("m4"))
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    gg = mm.select(
+        "n", "nd",
+        (m3 / (m2 * F.sqrt(m2))).alias("g1"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("g2"))
+    g1, g2, nd = F.col("g1"), F.col("g2"), F.col("nd")
+    jb = nd / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    return gg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(g1, 6).alias("skew"),
+        F.round(g2, 6).alias("ex_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        F.round(F.exp(-jb / F.lit(2.0)), 8).alias("p_value"))
+
+
+@register(
+    "agg_fisher_exact",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN 1 ELSE 0 END) AS r,
+        sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c,
+        sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a
+      FROM orders),
+    ix AS (SELECT row_number() OVER () AS i FROM orders),
+    lf AS (SELECT i, sum(ln(i)) OVER (ORDER BY i) AS lf FROM ix),
+    ks AS (
+      SELECT lf.i AS k, lf.lf AS lfk, m.n, m.r, m.c, m.a
+      FROM lf CROSS JOIN m
+      WHERE lf.i BETWEEN m.a AND least(m.r, m.c)),
+    term AS (
+      SELECT ks.k, ks.a,
+             ks.lfk, coalesce(l1.lf, 0) AS lf_rk,
+             coalesce(l2.lf, 0) AS lf_ck, coalesce(l3.lf, 0) AS lf_nk
+      FROM ks
+      LEFT JOIN lf l1 ON l1.i = ks.r - ks.k
+      LEFT JOIN lf l2 ON l2.i = ks.c - ks.k
+      LEFT JOIN lf l3 ON l3.i = ks.n - ks.r - ks.c + ks.k),
+    cst AS (
+      SELECT max(CASE WHEN lf.i = m.r THEN lf.lf END) AS lf_r,
+             max(CASE WHEN lf.i = m.n - m.r THEN lf.lf END) AS lf_nr,
+             max(CASE WHEN lf.i = m.c THEN lf.lf END) AS lf_c,
+             max(CASE WHEN lf.i = m.n - m.c THEN lf.lf END) AS lf_nc,
+             max(CASE WHEN lf.i = m.n THEN lf.lf END) AS lf_n
+      FROM lf CROSS JOIN m),
+    lt AS (
+      SELECT term.k, term.a,
+             (cst.lf_r - term.lfk - term.lf_rk)
+             + (cst.lf_nr - term.lf_ck - term.lf_nk)
+             - (cst.lf_n - cst.lf_c - cst.lf_nc) AS lt
+      FROM term CROSS JOIN cst),
+    agg AS (
+      SELECT sum(exp(lt)) AS p_upper,
+             max(CASE WHEN k = a THEN lt END) AS lt_obs
+      FROM lt)
+    SELECT CAST(m.a AS BIGINT) AS a_count,
+           CAST(m.r AS BIGINT) AS r_margin,
+           CAST(m.c AS BIGINT) AS c_margin,
+           CAST(m.n AS BIGINT) AS n,
+           round(agg.lt_obs / ln(10), 4) AS log10_p_obs,
+           round(agg.p_upper, 6) AS p_upper
+    FROM m CROSS JOIN agg
+    """)
+def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER EXACT test (one-sided upper) of the 2x2 contingency
+    urgent-priority x finished-status: p = sum over k >= a of the
+    hypergeometric pmf C(r,k)C(N-r,c-k)/C(N,c). The log-factorial
+    table ln(i!) is built FROM THE DATA ITSELF -- row_number over
+    orders gives the index set 1..N (two-phase surrogate keys, no
+    driver-side count round-trip), and ln(i!) is a corpus-sized
+    prefix sum over ln(i) (two-phase running_sum_distributed, never a
+    single-partition window). This sidesteps both engines' missing
+    lgamma AND makes the summation construction identical, so the
+    only cross-engine noise is double-add association (~1e-11 of a
+    ~1e5-magnitude log-factorial), absorbed by the boundary rounds.
+
+    Plan: one margins aggregate, the i/lf two-phase frames, a
+    broadcast of the ~min(r,c)-row tail-term frame against lf for the
+    three per-k lookups, a one-row logsum algebra. Tail terms and lf
+    both scale linearly with the corpus; nothing is quadratic."""
+    o = tables.load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+              .otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+              .otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("o_orderpriority") == "1-URGENT")
+                     & (F.col("o_orderstatus") == "F"), 1)
+              .otherwise(0)).alias("a"))
+    ix = (W.surrogate_key_distributed(
+        o.select("o_orderkey"), "o_orderkey", out_col="i")
+        .select("i"))
+    lf = (W.running_sum_distributed(
+        ix.select("i", F.log(F.col("i").cast("double")).alias("lni")),
+        "i", "lni", out_col="lf")
+        .select("i", "lf"))
+    ks = (lf.crossJoin(F.broadcast(m))
+          .filter((F.col("i") >= F.col("a"))
+                  & (F.col("i") <= F.least(F.col("r"), F.col("c"))))
+          .select(F.col("i").alias("k"), F.col("lf").alias("lfk"),
+                  "n", "r", "c", "a"))
+    term = ks
+    for suffix, key in (("rk", F.col("r") - F.col("k")),
+                        ("ck", F.col("c") - F.col("k")),
+                        ("nk", F.col("n") - F.col("r") - F.col("c")
+                         + F.col("k"))):
+        look = lf.select(F.col("i").alias(f"__i_{suffix}"),
+                         F.col("lf").alias(f"lf_{suffix}"))
+        term = (term.withColumn(f"__k_{suffix}", key)
+                .join(look,
+                      F.col(f"__k_{suffix}") == F.col(f"__i_{suffix}"),
+                      "left")
+                .drop(f"__i_{suffix}", f"__k_{suffix}")
+                .withColumn(f"lf_{suffix}",
+                            F.coalesce(F.col(f"lf_{suffix}"), F.lit(0.0))))
+    cst = (lf.crossJoin(F.broadcast(m)).agg(
+        F.max(F.when(F.col("i") == F.col("r"), F.col("lf"))).alias("lf_r"),
+        F.max(F.when(F.col("i") == F.col("n") - F.col("r"),
+                     F.col("lf"))).alias("lf_nr"),
+        F.max(F.when(F.col("i") == F.col("c"), F.col("lf"))).alias("lf_c"),
+        F.max(F.when(F.col("i") == F.col("n") - F.col("c"),
+                     F.col("lf"))).alias("lf_nc"),
+        F.max(F.when(F.col("i") == F.col("n"), F.col("lf"))).alias("lf_n")))
+    lt_col = ((F.col("lf_r") - F.col("lfk") - F.col("lf_rk"))
+              + (F.col("lf_nr") - F.col("lf_ck") - F.col("lf_nk"))
+              - (F.col("lf_n") - F.col("lf_c") - F.col("lf_nc")))
+    lt = (term.crossJoin(F.broadcast(cst))
+          .select("k", "a", lt_col.alias("lt")))
+    agg = lt.agg(
+        F.sum(F.exp(F.col("lt"))).alias("p_upper"),
+        F.max(F.when(F.col("k") == F.col("a"), F.col("lt")))
+        .alias("lt_obs"))
+    return (m.crossJoin(F.broadcast(agg))
+            .select(F.col("a").cast("bigint").alias("a_count"),
+                    F.col("r").cast("bigint").alias("r_margin"),
+                    F.col("c").cast("bigint").alias("c_margin"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("lt_obs") / F.log(F.lit(10.0)), 4)
+                    .alias("log10_p_obs"),
+                    F.round(F.col("p_upper"), 6).alias("p_upper")))
+
+
+@register(
+    "agg_cvm_test",
+    oracle="""
+    WITH gv AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS tx,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 0 ELSE 1 END) AS ty
+      FROM orders GROUP BY 1),
+    pr AS (
+      SELECT v, tx, ty, tx + ty AS t,
+             sum(tx) OVER (ORDER BY v) - tx AS cbx,
+             sum(tx + ty) OVER (ORDER BY v) - (tx + ty) AS cb
+      FROM gv),
+    av AS (
+      SELECT tx, ty,
+             2 * cb + t + 1 AS r2,
+             cbx AS bx, cb - cbx AS by
+      FROM pr),
+    pa AS (
+      SELECT CAST(tx AS HUGEINT) * r2 * r2
+             - 4 * CAST(r2 AS HUGEINT)
+               * (tx * bx + tx * (tx + 1) // 2)
+             + 4 * (CAST(tx AS HUGEINT) * bx * bx
+                    + CAST(bx AS HUGEINT) * tx * (tx + 1)
+                    + tx * (tx + 1) * (2 * tx + 1) // 6) AS ax,
+             CAST(ty AS HUGEINT) * r2 * r2
+             - 4 * CAST(r2 AS HUGEINT)
+               * (ty * by + ty * (ty + 1) // 2)
+             + 4 * (CAST(ty AS HUGEINT) * by * by
+                    + CAST(by AS HUGEINT) * ty * (ty + 1)
+                    + ty * (ty + 1) * (2 * ty + 1) // 6) AS ay,
+             tx, ty
+      FROM av),
+    s AS (
+      SELECT sum(ax) AS axs, sum(ay) AS ays,
+             CAST(sum(tx) AS BIGINT) AS n,
+             CAST(sum(ty) AS BIGINT) AS m
+      FROM pa),
+    alg AS (
+      SELECT n, m,
+             CAST(n * axs + m * ays AS DOUBLE) / 4.0 AS u,
+             CAST(n AS DOUBLE) AS nd, CAST(m AS DOUBLE) AS md
+      FROM s)
+    SELECT n AS n_x, m AS n_y,
+           round(u / (nd * md * (nd + md))
+                 - (4.0 * nd * md - 1.0) / (6.0 * (nd + md)), 6)
+             AS t_cvm
+    FROM alg
+    """)
+def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample CRAMER-VON MISES test (urgent-priority order values
+    vs the rest) -- the omnibus EDF companion to ``agg_ks_test``
+    (sup-norm) and ``agg_mann_whitney_u`` (location): T =
+    U/(nm(n+m)) - (4nm-1)/(6(n+m)) with U = n*SUM(r_i - i)^2 +
+    m*SUM(s_j - j)^2 over combined-sample midranks. Everything up to
+    the final one-row algebra is EXACT integers: per-value counts,
+    two corpus-sized prefix sums (combined + X-only, both the
+    two-phase running_sum_distributed shape -- no global sort), and
+    the per-value tie-run closed form SUM_{i=b+1..b+w}(R2-2i)^2 =
+    w*R2^2 - 4*R2*S1 + 4*S2 in doubled-rank form, so tied
+    observations never need row-level ranks at all. Accumulated as
+    DECIMAL(38,0)/HUGEINT (~1e19 per value worst-case, ~1e16 corpus
+    sum at sf0.1) -- overflow-safe through sf1.
+
+    Plan: one (value, flag) partial-agg scan, two two-phase prefix
+    sums over the distinct-value frame, a value-keyed map stage, one
+    exact one-row reduce."""
+    o = tables.load(spark, sf_dir, "orders")
+    gv = (o.groupBy(F.round(F.col("o_totalprice") * 100)
+                    .cast("long").alias("v"))
+          .agg(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                     .otherwise(0)).alias("tx"),
+               F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 0)
+                     .otherwise(1)).alias("ty")))
+    gv = gv.withColumn("t", F.col("tx") + F.col("ty"))
+    pr = W.running_sum_distributed(gv, "v", "tx", out_col="cumx")
+    pr = W.running_sum_distributed(pr, "v", "t", out_col="cumt")
+    av = pr.select(
+        "tx", "ty",
+        (2 * (F.col("cumt") - F.col("t")) + F.col("t") + 1).alias("r2"),
+        (F.col("cumx") - F.col("tx")).alias("bx"),
+        ((F.col("cumt") - F.col("t"))
+         - (F.col("cumx") - F.col("tx"))).alias("by"))
+
+    def _a(w, b, r2):
+        wd = w.cast("decimal(38,0)")
+        bd = b.cast("decimal(38,0)")
+        rd = r2.cast("decimal(38,0)")
+        s1 = (wd * bd + (wd * (wd + 1)) / 2).cast("decimal(38,0)")
+        s2 = (wd * bd * bd + bd * wd * (wd + 1)
+              + (wd * (wd + 1) * (2 * wd + 1)) / 6).cast("decimal(38,0)")
+        return wd * rd * rd - 4 * rd * s1 + 4 * s2
+
+    pa = av.select(
+        _a(F.col("tx"), F.col("bx"), F.col("r2")).alias("ax"),
+        _a(F.col("ty"), F.col("by"), F.col("r2")).alias("ay"),
+        "tx", "ty")
+    s = pa.agg(F.sum(F.col("ax").cast("decimal(38,0)")).alias("axs"),
+               F.sum(F.col("ay").cast("decimal(38,0)")).alias("ays"),
+               F.sum("tx").cast("bigint").alias("n"),
+               F.sum("ty").cast("bigint").alias("m"))
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    u = ((F.col("n").cast("decimal(19,0)") * F.col("axs")
+          + F.col("m").cast("decimal(19,0)") * F.col("ays"))
+         .cast("double") / F.lit(4.0))
+    return s.select(
+        F.col("n").alias("n_x"), F.col("m").alias("n_y"),
+        F.round(u / (nd * md * (nd + md))
+                - (F.lit(4.0) * nd * md - 1.0)
+                / (F.lit(6.0) * (nd + md)), 6).alias("t_cvm"))
+
+
+@register(
+    "agg_isotonic_pava",
+    oracle="""
+    WITH lv AS (
+      SELECT CAST(floor(o_totalprice / 1000) AS INT) AS xb,
+             count(*) AS c,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS sy
+      FROM orders GROUP BY 1),
+    ix AS (
+      SELECT xb, c, sy,
+             row_number() OVER (ORDER BY xb) AS i
+      FROM lv),
+    ps AS (
+      SELECT i, xb, c, sy,
+             sum(c) OVER (ORDER BY i) AS pc,
+             sum(sy) OVER (ORDER BY i) AS py
+      FROM ix),
+    pairs AS (
+      SELECT j.i AS j, k.i AS k,
+             CAST(k.py - coalesce(jm.py, 0) AS DOUBLE)
+             / (k.pc - coalesce(jm.pc, 0)) AS a
+      FROM ps j
+      JOIN ps k ON k.i >= j.i
+      LEFT JOIN ps jm ON jm.i = j.i - 1),
+    minr AS (
+      SELECT j, k,
+             min(a) OVER (PARTITION BY j ORDER BY k DESC) AS mn
+      FROM pairs),
+    fit AS (SELECT k AS i, max(mn) AS f FROM minr GROUP BY k)
+    SELECT ix.xb, CAST(ix.c AS BIGINT) AS n,
+           round(fit.f, 6) AS fit
+    FROM ix JOIN fit USING (i)
+    """)
+def agg_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (pool-adjacent-violators) of the
+    finished-status rate against order-value buckets -- the
+    calibration-curve fit every model-eval pipeline needs (reliability
+    diagrams, threshold calibration). The engine runs the O(n) PAVA
+    stack over the BOUNDED level frame (fixed $1000 buckets, ~600
+    levels at any scale factor: corpus rows never reach the driver or
+    a single task -- one partial-agg scan reduces to levels first),
+    with pooling decisions made in EXACT integer cross-multiplication
+    (s1*c2 > s2*c1), immune to fp-division comparison flips. The
+    oracle states the INDEPENDENT minimax characterization fit(i) =
+    max_{j<=i} min_{k>=i} avg(j..k) as an O(n^2) pair join -- two
+    different algorithms agreeing on the same fit is the strongest
+    correctness evidence either could give.
+
+    Plan: partial-agg scan -> ~600-row frame -> single-group
+    applyInPandas (Arrow batch, linear stack) -> 6-dp boundary."""
+    import pandas as pd
+
+    o = tables.load(spark, sf_dir, "orders")
+    lv = (o.groupBy(F.floor(F.col("o_totalprice") / 1000)
+                    .cast("int").alias("xb"))
+          .agg(F.count(F.lit(1)).alias("c"),
+               F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                     .otherwise(0)).alias("sy")))
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("xb").reset_index(drop=True)
+        # stack of pooled blocks: [start_idx, count_sum, y_sum]
+        blocks: list[list[int]] = []
+        for row in pdf.itertuples(index=False):
+            blocks.append([1, int(row.c), int(row.sy)])
+            # pool while the left block's mean EXCEEDS the right's
+            # (exact integer cross-multiply -- no fp comparisons)
+            while (len(blocks) >= 2
+                   and blocks[-2][2] * blocks[-1][1]
+                   > blocks[-1][2] * blocks[-2][1]):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        fits: list[float] = []
+        for span, cs, ys in blocks:
+            fits.extend([ys / cs] * span)
+        out = pdf[["xb", "c"]].copy()
+        out["fit"] = fits
+        return out
+
+    fitted = (lv.groupBy(F.lit(1).alias("__g"))
+              .applyInPandas(pava, schema="xb int, c long, fit double")
+              .select("xb", F.col("c").alias("n"),
+                      F.round("fit", 6).alias("fit")))
+    return fitted
