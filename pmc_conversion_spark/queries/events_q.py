@@ -5309,3 +5309,61 @@ def win_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("ss").cast("long").alias("n_deltas"),
         F.round(rsi, 6).alias("rsi14"))
+
+
+def _register_tws_initial_state() -> None:
+    """Registered via the same protobuf gate as the other TWS ops."""
+    from pmc_conversion_spark.streaming.stateful import ensure_protobuf
+    if not ensure_protobuf():  # pragma: no cover - env without protobuf
+        return
+
+    @register(
+        "stream_tws_initial_state",
+        oracle="""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id
+        HAVING sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) >= 1
+        """)
+    def stream_tws_initial_state(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        """transformWithState WARM START (streaming/stateful.py
+        warm_start_count_tws): per-user counts of the even-event_id
+        half are planted as ``initialState`` (the state-migration /
+        backfill-cutover surface), the odd half streams in, and the
+        emitted totals equal the FULL batch per-user count — the
+        oracle's HAVING guard pins the Update-mode contract that
+        seed-only keys (no streamed rows) never emit."""
+        import tempfile
+        import uuid
+
+        from pyspark.sql import types as T
+
+        from pmc_conversion_spark.streaming.stateful import \
+            warm_start_count_tws
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        seed = (raw.filter(F.col("event_id") % 2 == 0)
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_seed")))
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        if isinstance(stream.schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = stream.filter(F.col("event_id") % 2 != 0)
+        counts = warm_start_count_tws(stream, seed)
+        name = f"twsi_{uuid.uuid4().hex[:8]}"
+        q = (counts.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="pmc_twsi_ckpt_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return (spark.table(name).groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events")))
+
+
+_register_tws_initial_state()

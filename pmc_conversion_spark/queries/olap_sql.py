@@ -871,3 +871,41 @@ def api_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o ON o.q = b.q
         GROUP BY b.q
     """)
+
+
+@register(
+    "sql_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(percentile_cont(0.5)
+                 WITHIN GROUP (ORDER BY o_totalprice), 4) AS median,
+           round(percentile_cont(0.9)
+                 WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+           round(percentile_disc(0.25)
+                 WITHIN GROUP (ORDER BY o_totalprice), 2) AS q1_disc
+    FROM orders GROUP BY o_orderpriority
+    """)
+def sql_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ORDERED-SET AGGREGATES — `percentile_cont / percentile_disc
+    … WITHIN GROUP (ORDER BY …)` (Spark 3.4+/4 syntax, same spelling
+    in DuckDB): the standard's inverse-distribution functions, exact
+    by definition (cont = linear interpolation between the straddling
+    order statistics, disc = first value whose cumulative distribution
+    reaches p). Exercised per order priority so each group's sort is
+    key-partitioned. `mode()` is deliberately left out: its tie-break
+    is engine-arbitrary, so no oracle could pin it. Both engines
+    select the SAME order statistics and interpolate with the same
+    arithmetic, so 4/2-dp rounds are pure formatting."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(percentile_cont(0.5)
+                     WITHIN GROUP (ORDER BY o_totalprice), 4) AS median,
+               round(percentile_cont(0.9)
+                     WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+               round(percentile_disc(0.25)
+                     WITHIN GROUP (ORDER BY o_totalprice), 2) AS q1_disc
+        FROM orders GROUP BY o_orderpriority
+    """)

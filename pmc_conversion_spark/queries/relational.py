@@ -7332,3 +7332,173 @@ def agg_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("xb", F.col("c").alias("n"),
                       F.round("fit", 6).alias("fit")))
     return fitted
+
+
+@register(
+    "agg_mantel_haenszel",
+    oracle="""
+    WITH st AS (
+      SELECT r.r_name AS stratum,
+        sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+        sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  AND o.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS b,
+        sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                  AND o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c,
+        sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                  AND o.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS d
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation na ON na.n_nationkey = cu.c_nationkey
+      JOIN region r ON r.r_regionkey = na.n_regionkey
+      GROUP BY 1),
+    alg AS (
+      SELECT count(*) AS k,
+        sum(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS num,
+        sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS den,
+        sum(CAST(a AS DOUBLE)) AS sa,
+        sum(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)) AS se,
+        sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+            / (CAST(a + b + c + d AS DOUBLE)
+               * (a + b + c + d) * (a + b + c + d - 1))) AS sv
+      FROM st)
+    SELECT CAST(k AS INT) AS k_strata,
+           round(num / den, 6) AS or_mh,
+           round((sa - se) * (sa - se) / sv, 4) AS cmh_stat
+    FROM alg
+    """)
+def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANTEL-HAENSZEL stratified 2x2 analysis -- the meta-analytic
+    common odds ratio OR_MH = SUM(a_i d_i/n_i)/SUM(b_i c_i/n_i) and
+    the Cochran-MH chi-square (SUM a - SUM E)^2 / SUM V across region
+    strata (urgent priority x finished status, stratified by the
+    customer's region through the orders->customer->nation->region
+    dim chain). The confounding-aware complement to the marginal
+    ``agg_fisher_exact`` / ``agg_cramers_v``: Simpson's-paradox-proof
+    because association is pooled WITHIN strata. Per-stratum cells
+    are exact integer conditional sums from one partial-agg pass
+    after broadcast dim joins (customer is the only shuffled side);
+    the 5-row stratum frame reduces with identical double algebra in
+    both engines. No continuity correction (stated convention)."""
+    o = tables.load(spark, sf_dir, "orders")
+    cu = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    na = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    r = tables.load(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    ex = F.col("o_orderpriority") == "1-URGENT"
+    out = F.col("o_orderstatus") == "F"
+    st = (o.join(cu, o["o_custkey"] == cu["c_custkey"])
+          .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+          .join(F.broadcast(r), na["n_regionkey"] == r["r_regionkey"])
+          .groupBy(F.col("r_name").alias("stratum"))
+          .agg(F.sum(F.when(ex & out, 1).otherwise(0)).alias("a"),
+               F.sum(F.when(ex & ~out, 1).otherwise(0)).alias("b"),
+               F.sum(F.when(~ex & out, 1).otherwise(0)).alias("c"),
+               F.sum(F.when(~ex & ~out, 1).otherwise(0)).alias("d")))
+    a, b, c, d = (F.col(x) for x in "abcd")
+    n = a + b + c + d
+    alg = st.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(a.cast("double") * d / n).alias("num"),
+        F.sum(b.cast("double") * c / n).alias("den"),
+        F.sum(a.cast("double")).alias("sa"),
+        F.sum((a + b).cast("double") * (a + c) / n).alias("se"),
+        F.sum((a + b).cast("double") * (c + d) * (a + c) * (b + d)
+              / (n.cast("double") * n * (n - 1))).alias("sv"))
+    return alg.select(
+        F.col("k").cast("int").alias("k_strata"),
+        F.round(F.col("num") / F.col("den"), 6).alias("or_mh"),
+        F.round((F.col("sa") - F.col("se")) * (F.col("sa") - F.col("se"))
+                / F.col("sv"), 4).alias("cmh_stat"))
+
+
+@register(
+    "agg_tost_equivalence",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             (o_orderpriority = '1-URGENT') AS g
+      FROM orders),
+    s AS (
+      SELECT
+        sum(CASE WHEN g THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN g THEN xc ELSE 0 END) AS s1,
+        sum(CASE WHEN g THEN CAST(xc AS HUGEINT) * xc
+                 ELSE 0 END) AS q1,
+        sum(CASE WHEN g THEN 0 ELSE 1 END) AS n2,
+        sum(CASE WHEN g THEN 0 ELSE xc END) AS s2,
+        sum(CASE WHEN g THEN 0
+                 ELSE CAST(xc AS HUGEINT) * xc END) AS q2
+      FROM c),
+    alg AS (
+      SELECT n1, n2,
+        CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+        0.005 * (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))
+          / (n1 + n2) AS margin,
+        sqrt((CAST(q1 AS DOUBLE) / n1
+              - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))
+               * n1 / (n1 - 1) / n1
+             + (CAST(q2 AS DOUBLE) / n2
+                - (CAST(s2 AS DOUBLE) / n2) * (CAST(s2 AS DOUBLE) / n2))
+               * n2 / (n2 - 1) / n2) AS se
+      FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(diff / 100.0, 4) AS diff_dollars,
+           round(margin / 100.0, 4) AS margin_dollars,
+           round((diff + margin) / se, 4) AS t_lower,
+           round((margin - diff) / se, 4) AS t_upper,
+           ((diff + margin) / se > 1.6448536269514722
+            AND (margin - diff) / se > 1.6448536269514722)
+             AS equivalent
+    FROM alg
+    """)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE test (two one-sided tests) for urgent-vs-rest
+    mean order value -- the A/B question ``agg_welch_ttest`` cannot
+    answer: absence of evidence of a difference is NOT evidence of
+    equivalence; TOST flips the null to |diff| >= margin and demands
+    BOTH one-sided rejections. Margin = 0.5% of the pooled mean
+    (stated convention), Welch standard error from EXACT integer
+    cents sums (hugeint/decimal squares -- one partial-agg pass, no
+    variance-accumulation order nondeterminism), decision against the
+    stated z_0.95 constant (normal approximation; both engines
+    compare the same expression to the same literal)."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = F.col("o_orderpriority") == "1-URGENT"
+    xc = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(xc.alias("xc"), g.alias("g"))
+    xq = F.col("xc").cast("decimal(38,0)") * F.col("xc")
+    s = c.agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g"), F.col("xc")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("g"), xq).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("g"), 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(F.col("g"), 0).otherwise(F.col("xc"))).alias("s2"),
+        F.sum(F.when(F.col("g"), F.lit(0).cast("decimal(38,0)"))
+              .otherwise(xq)).alias("q2"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    diff = m1 - m2
+    margin = (F.lit(0.005)
+              * (F.col("s1").cast("double") + F.col("s2").cast("double"))
+              / (n1d + n2d))
+    se = F.sqrt(
+        (F.col("q1").cast("double") / n1d - m1 * m1)
+        * n1d / (n1d - 1) / n1d
+        + (F.col("q2").cast("double") / n2d - m2 * m2)
+        * n2d / (n2d - 1) / n2d)
+    zc = F.lit(1.6448536269514722)
+    tl = (diff + margin) / se
+    tu = (margin - diff) / se
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(diff / 100.0, 4).alias("diff_dollars"),
+        F.round(margin / 100.0, 4).alias("margin_dollars"),
+        F.round(tl, 4).alias("t_lower"),
+        F.round(tu, 4).alias("t_upper"),
+        ((tl > zc) & (tu > zc)).alias("equivalent"))

@@ -409,3 +409,52 @@ def flush_on_watermark_tws(events: DataFrame, *, key_col: str = "user_id"
                 outputStructType="user_id long, n_events long",
                 outputMode="Append",
                 timeMode="EventTime"))
+
+
+def warm_start_count_tws(events: DataFrame, seed: DataFrame,
+                         *, key_col: str = "user_id") -> DataFrame:
+    """Per-key running count WARM-STARTED from a batch seed frame via
+    transformWithState's ``initialState`` — the state-migration
+    surface (job upgrade, backfill-then-stream cutover) none of the
+    other TWS operators exercise. Before the first micro-batch Spark
+    routes each seed row to its key's ``handleInitialState``, which
+    plants the prior total in ValueState; data batches then increment
+    as usual, so the emitted total is seed + streamed — for a
+    seed/stream partition of one corpus, exactly the full batch
+    aggregate. Seed-only keys never fire ``handleInputRows`` and thus
+    never emit (Update-mode contract; the registered oracle states
+    that HAVING-guard explicitly).
+
+    ``seed`` must carry (key_col, n_seed). Scale: the seed frame is
+    itself distributed state — routed by key, one row per key, never
+    driver-side."""
+    _tws_prepare(events)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class WarmCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._n.update((int(initialState["n_seed"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get() if self._n.exists() else None
+            total = (prev[0] if prev else 0) + batch_n
+            self._n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=WarmCount(),
+                outputStructType="user_id long, n_events long",
+                outputMode="Update",
+                timeMode="None",
+                initialState=seed.groupBy(key_col)))
