@@ -375,3 +375,185 @@ def decode_ppm_batch(df: DataFrame) -> DataFrame:
 
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #3: RLE8-COMPRESSED 8-bit palettized BMP (BI_RLE8) — the
+# first genuinely COMPRESSED format the engine decodes end-to-end
+# (closing part of the "compressed codecs" gap: RLE8 is a real
+# lossless compression scheme a pure-numpy/bytes decoder can own,
+# unlike entropy-coded JPEG/PNG which stay stubbed without an image
+# library). The decoder must run a packet state machine — encoded
+# runs (n, v), absolute literal packets (0, n, bytes..., word pad),
+# end-of-line (0,0), end-of-bitmap (0,1) — resolve indices through
+# the 256-entry BGRX palette, and undo bottom-up row order.
+# ---------------------------------------------------------------------------
+
+
+def _rle8_encode_row(row) -> bytearray:
+    """RLE8-encode one pixel-index row: runs >= 3 become encoded
+    packets, literal stretches >= 3 become absolute packets (padded to
+    a word boundary), shorter stretches fall back to count-1 encoded
+    packets. Ends with the end-of-line marker."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j < n and row[j] == row[i] and j - i < 255:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out += bytes((run, row[i]))
+            i = j
+            continue
+        k = i
+        while k < n and k - i < 255:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        lit = k - i
+        if lit >= 3:
+            out += bytes((0, lit)) + bytes(row[i:k])
+            if lit % 2:
+                out += b"\x00"
+        else:
+            for t in range(i, k):
+                out += bytes((1, row[t]))
+        i = k
+    out += b"\x00\x00"
+    return out
+
+
+def encode_bmp_rle8(indices, palette) -> bytes:
+    """Encode an H×W uint8 index array + 256×3 RGB palette as a
+    spec-correct BI_RLE8 BMP: 8 bpp, compression=1, 256-entry BGRX
+    color table, bottom-up RLE-compressed pixel data."""
+    import struct
+
+    h, w = indices.shape
+    data = bytearray()
+    for r in range(h - 1, -1, -1):          # bottom-up row order
+        data += _rle8_encode_row(indices[r])
+    data[-2:] = b"\x00\x01"                  # last EOL -> end-of-bitmap
+    off = 14 + 40 + 256 * 4
+    file_header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                              len(data), 2835, 2835, 256, 0)
+    pal = bytearray()
+    for i in range(256):
+        r8, g8, b8 = palette[i]
+        pal += bytes((b8, g8, r8, 0))        # BGRX entries
+    return file_header + info_header + bytes(pal) + bytes(data)
+
+
+def decode_bmp_rle8(content: bytes):
+    """REAL decode of a BI_RLE8 BMP to a top-down H×W×3 RGB uint8
+    array: validates magic/bpp/compression, reads the BGRX palette,
+    runs the RLE packet state machine (encoded runs, absolute packets
+    with word padding, EOL, EOB; delta is rejected), undoes bottom-up
+    order, and resolves indices through the palette."""
+    import struct
+
+    import numpy as np
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream (missing 'BM' magic)")
+    off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", content, 14)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if hdr_size < 40 or bpp != 8 or compression != 1:
+        raise ValueError(
+            f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    pal = (np.frombuffer(content, dtype=np.uint8, offset=14 + hdr_size,
+                         count=256 * 4).reshape(256, 4))
+    rgb_pal = pal[:, [2, 1, 0]]              # BGRX -> RGB
+    idx = np.zeros((h, w), dtype=np.uint8)
+    p, row, col = off, 0, 0
+    while True:
+        n, v = content[p], content[p + 1]
+        p += 2
+        if n > 0:                            # encoded run
+            idx[row, col:col + n] = v
+            col += n
+        elif v == 0:                         # end of line
+            row += 1
+            col = 0
+        elif v == 1:                         # end of bitmap
+            break
+        elif v == 2:                         # delta (offset) — unused here
+            raise ValueError("RLE8 delta packets unsupported")
+        else:                                # absolute literal packet
+            idx[row, col:col + v] = np.frombuffer(
+                content, dtype=np.uint8, offset=p, count=v)
+            col += v
+            p += v + (v & 1)                 # word-boundary pad
+    if bottom_up:
+        idx = idx[::-1]
+    return rgb_pal[idx]
+
+
+def synth_rle8_indices(media_id: int, w: int, h: int):
+    """Deterministic index image built to exercise BOTH RLE packet
+    kinds every 7 columns: columns c%7 in 0..3 share one value (a
+    run-4 -> encoded packet), c%7 in 4..6 step by 5 (a literal-3 ->
+    absolute packet). Closed form mirrored symbolically by the
+    oracle."""
+    import numpy as np
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    return ((media_id * 11 + r * 13 + (c // 7) * 19
+             + np.maximum(c % 7 - 3, 0) * 5) % 256).astype(np.uint8)
+
+
+def _rle8_palette():
+    """Deterministic non-identity palette: entry i, channel ch ->
+    (i*(2*ch+3) + 11*ch) % 256 (RGB order) — forces the decoder to
+    actually resolve the color table."""
+    return [tuple((i * (2 * ch + 3) + 11 * ch) % 256 for ch in range(3))
+            for i in range(256)]
+
+
+def synth_rle8_images(df: DataFrame) -> DataFrame:
+    """(media_id, w, h) → (media_id, content): real BI_RLE8 bytes."""
+    import pandas as pd
+
+    pal = _rle8_palette()
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_bmp_rle8(
+                synth_rle8_indices(int(m), int(w), int(h)), pal)
+                for m, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_rle8_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded stats via the REAL RLE8 parser —
+    same position-weighted geometry proof as decode_bmp_batch (any
+    run-length, padding, palette or row-order mistake changes it)."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_bmp_rle8(bytes(content)).astype(np.int64)
+                h, w, nch = px.shape
+                wgt = ((np.arange(h)[:, None, None] + 1)
+                       * (np.arange(w)[None, :, None] + 1)
+                       * (np.arange(nch)[None, None, :] + 1))
+                rows.append((int(m), w, h, nch, int(px.sum()),
+                             int((px * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)

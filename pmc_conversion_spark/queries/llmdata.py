@@ -8948,3 +8948,171 @@ def sim_silhouette_simplified(spark: SparkSession,
                  F.round(F.sum(F.col("sil").cast("decimal(18,6)"))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("mean_sil")))
+
+
+@register(
+    "mm_decode_real_rle8",
+    oracle="""
+    WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+               FROM documents),
+    grid AS (
+      SELECT doc_id, w, h, r, c, ch,
+             ((doc_id * 11 + r * 13 + (c // 7) * 19
+               + greatest((c % 7) - 3, 0) * 5) % 256) AS idx
+      FROM m,
+           unnest(range(0, h)) AS t1(r),
+           unnest(range(0, w)) AS t2(c),
+           unnest(range(0, 3)) AS t3(ch)
+    ),
+    px AS (
+      SELECT doc_id, w, h, r, c, ch,
+             (idx * (2 * ch + 3) + 11 * ch) % 256 AS v
+      FROM grid
+    )
+    SELECT doc_id AS media_id,
+           any_value(w) AS width, any_value(h) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v * (r + 1) * (c + 1) * (ch + 1)) AS BIGINT)
+             AS pix_weighted
+    FROM px GROUP BY doc_id
+    """)
+def mm_decode_real_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image format — and the first COMPRESSED one: BI_RLE8
+    BMP (functions/multimodal.py encode_bmp_rle8 / decode_bmp_rle8).
+    The encoder emits genuine run-length packets, absolute literal
+    packets (word-padded), end-of-line and end-of-bitmap markers plus
+    a 256-entry BGRX palette; the index image is built so BOTH packet
+    kinds occur every 7 columns. The decoder runs the packet state
+    machine, resolves the (non-identity) palette, and undoes bottom-up
+    rows — the oracle evaluates index and palette closed forms
+    symbolically, and the position-weighted sum certifies geometry,
+    run lengths, padding, and palette resolution at once. Entropy-
+    coded JPEG/PNG remain honestly stubbed (no image libs here);
+    RLE8 is real lossless compression a bytes-level decoder can own."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("w"),
+                    (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("h")))
+    encoded = MM.synth_rle8_images(base)
+    return MM.decode_rle8_batch(encoded)
+
+
+_WP_VOCAB: list[str] = (
+    [chr(x) for x in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(x) for x in range(ord("a"), ord("z") + 1)]
+    + ["th", "the", "in", "re", "an", "er", "on", "st", "en", "wh",
+       "he", "to", "of", "and",
+       "##e", "##ed", "##er", "##es", "##ing", "##ly", "##nd", "##nt",
+       "##on", "##or", "##re", "##st", "##th", "##at", "##an", "##en",
+       "##it", "##is", "##ion"])
+
+
+def _wp_vocab_sql() -> str:
+    """VALUES list (body, cont) for the oracle's vocab relation."""
+    rows = []
+    for p in _WP_VOCAB:
+        cont = p.startswith("##")
+        body = p[2:] if cont else p
+        rows.append(f"('{body}', {str(cont).lower()})")
+    return ", ".join(rows)
+
+
+@register(
+    "vocab_wordpiece_longest_match",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    dw AS (SELECT DISTINCT w FROM words),
+    vocab(body, cont) AS (SELECT * FROM (VALUES {{vocab}}) v(body, cont)),
+    step AS (
+      SELECT w, 0 AS pos, 0 AS ntok, false AS unk FROM dw
+      UNION ALL
+      SELECT w,
+             CASE WHEN L IS NULL THEN length(w) ELSE pos + L END,
+             CASE WHEN L IS NULL THEN ntok ELSE ntok + 1 END,
+             unk OR L IS NULL
+      FROM (
+        SELECT s.w, s.pos, s.ntok, s.unk,
+               (SELECT max(length(v.body)) FROM vocab v
+                WHERE v.cont = (s.pos > 0)
+                  AND substr(s.w, s.pos + 1, length(v.body)) = v.body) AS L
+        FROM step s WHERE s.pos < length(s.w))
+    ),
+    toks AS (
+      SELECT w,
+             CASE WHEN unk THEN 1 ELSE ntok END AS n_tok,
+             CASE WHEN unk THEN 1 ELSE 0 END AS is_unk
+      FROM step WHERE pos = length(w)
+    )
+    SELECT words.doc_id,
+           count(*) AS n_words,
+           CAST(sum(toks.n_tok) AS BIGINT) AS n_wp_tokens,
+           CAST(sum(toks.is_unk) AS BIGINT) AS n_unk_words
+    FROM words JOIN toks ON words.w = toks.w
+    GROUP BY words.doc_id
+    """.replace("{toks}", _TOKS).replace("{vocab}", _wp_vocab_sql()))
+def vocab_wordpiece_longest_match(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """WORDPIECE tokenization (greedy longest-match-first, the BERT
+    inference algorithm — the OTHER subword scheme next to BPE's
+    merge-replay ``vocab_bpe_apply``): at each position take the
+    longest vocab piece (continuations carry the ## prefix); any
+    position with no match makes the whole word [UNK] (1 token).
+    The engine tokenizes each DISTINCT word once with an
+    Arrow-batched pandas_udf (vocab in the closure — broadcast-sized,
+    grouped by length for the longest-first probe) and joins counts
+    back to word instances — the layout that keeps 100 TB of text
+    from re-tokenizing duplicates. The oracle replays the greedy scan
+    as a recursive CTE over (word, pos) with a correlated longest-
+    match subquery — same vocab literals, different algorithm shape."""
+    import pandas as pd
+
+    vocab = list(_WP_VOCAB)
+
+    def _wp_tokenize(batches):
+        plain: dict[int, set] = {}
+        cont: dict[int, set] = {}
+        for piece in vocab:
+            if piece.startswith("##"):
+                b = piece[2:]
+                cont.setdefault(len(b), set()).add(b)
+            else:
+                plain.setdefault(len(piece), set()).add(piece)
+        p_lens = sorted(plain, reverse=True)
+        c_lens = sorted(cont, reverse=True)
+        for pdf in batches:
+            n_out, u_out = [], []
+            for w in pdf["w"]:
+                pos, ntok, unk = 0, 0, False
+                while pos < len(w):
+                    table, lens = ((plain, p_lens) if pos == 0
+                                   else (cont, c_lens))
+                    hit = 0
+                    for ln in lens:
+                        if (ln <= len(w) - pos
+                                and w[pos:pos + ln] in table[ln]):
+                            hit = ln
+                            break
+                    if hit == 0:
+                        unk = True
+                        break
+                    pos += hit
+                    ntok += 1
+                n_out.append(1 if unk else ntok)
+                u_out.append(1 if unk else 0)
+            yield pd.DataFrame({"w": pdf["w"], "n_tok": n_out,
+                                "is_unk": u_out})
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("w"))
+    dw = words.select("w").distinct()
+    toks = dw.mapInPandas(_wp_tokenize,
+                          "w string, n_tok int, is_unk int")
+    return (words.join(toks, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_tok").cast("bigint").alias("n_wp_tokens"),
+                 F.sum("is_unk").cast("bigint").alias("n_unk_words")))

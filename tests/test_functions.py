@@ -192,3 +192,53 @@ def test_ppm_codec_roundtrip_and_header_tolerance():
         MM.decode_ppm(b"P5\n1 1\n255\n\x00")      # greyscale PGM
     with _pytest.raises(ValueError):
         MM.decode_ppm(b"P6\n1 1\n65535\n\x00\x00")  # 16-bit maxval
+
+
+def test_rle8_codec_roundtrip_and_packets():
+    """BI_RLE8 codec: exact round-trip through real run-length
+    compression for arbitrary index images (runs, literals, odd
+    literal padding), both packet kinds present in the synthetic
+    pattern, palette actually resolved, delta packets rejected."""
+    import numpy as np
+    import pytest as _pytest
+    import struct
+
+    from pmc_conversion_spark.functions import multimodal as MM
+
+    pal = MM._rle8_palette()
+    pal_arr = np.array(pal, dtype=np.uint8)
+    rng = np.random.default_rng(13)
+    for w, h in [(1, 1), (8, 3), (16, 7), (9, 5), (255, 2)]:
+        # random small alphabet -> mixes runs and literal stretches
+        idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+        blob = MM.encode_bmp_rle8(idx, pal)
+        assert blob[:2] == b"BM"
+        assert struct.unpack_from("<H", blob, 28)[0] == 8     # bpp
+        assert struct.unpack_from("<I", blob, 30)[0] == 1     # BI_RLE8
+        out = MM.decode_bmp_rle8(blob)
+        assert np.array_equal(out, pal_arr[idx])
+
+    # the registry op's synthetic pattern exercises BOTH packet kinds
+    idx = MM.synth_rle8_indices(1, 16, 7)
+    data = MM.encode_bmp_rle8(idx, pal)[14 + 40 + 1024:]
+    kinds, p = set(), 0
+    while p < len(data):
+        n, v = data[p], data[p + 1]
+        p += 2
+        if n > 0:
+            kinds.add("run")
+        elif v == 0:
+            kinds.add("eol")
+        elif v == 1:
+            kinds.add("eob")
+            break
+        else:
+            kinds.add("abs")
+            p += v + (v & 1)
+    assert kinds == {"run", "abs", "eol", "eob"}
+
+    # delta packet (0,2) is declared unsupported, not silently wrong
+    hdr = MM.encode_bmp_rle8(np.zeros((1, 4), dtype=np.uint8),
+                             pal)[:14 + 40 + 1024]
+    with _pytest.raises(ValueError):
+        MM.decode_bmp_rle8(bytes(hdr) + b"\x00\x02\x01\x01\x00\x01")
