@@ -557,3 +557,122 @@ def decode_rle8_batch(df: DataFrame) -> DataFrame:
 
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL container #4: RIFF/WAV (PCM16 mono). The parsing exercise is the
+# CHUNK WALK: a RIFF file is a sequence of (fourcc, size, payload)
+# chunks padded to even byte boundaries; a correct reader must skip
+# unknown chunks (LIST/JUNK/custom) — including ODD-sized ones — and
+# locate 'fmt ' and 'data' wherever they sit. The encoder deliberately
+# plants a LIST chunk and an odd-sized custom chunk between fmt and
+# data so a reader that assumes the canonical 44-byte layout fails.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Encode an int16 numpy array as RIFF/WAVE PCM16 mono, with a
+    LIST(INFO) chunk and an odd-sized 'junk'-style chunk between
+    'fmt ' and 'data' (both must be skipped by readers; odd sizes
+    take a pad byte per the RIFF rule)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    info = b"INFOISFT" + struct.pack("<I", 5) + b"pmc\x00\x00" + b"\x00"
+    lst = struct.pack("<4sI", b"LIST", len(info)) + info \
+        + (b"\x00" if len(info) % 2 else b"")
+    odd_payload = b"odd-sized-chunk!?"          # 17 bytes -> pad byte
+    junk = struct.pack("<4sI", b"xtra", len(odd_payload)) + odd_payload \
+        + (b"\x00" if len(odd_payload) % 2 else b"")
+    dat = struct.pack("<4sI", b"data", len(data)) + data \
+        + (b"\x00" if len(data) % 2 else b"")
+    body = b"WAVE" + fmt + lst + junk + dat
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav_pcm16(content: bytes):
+    """REAL decode of RIFF/WAVE PCM16 mono: validates the RIFF/WAVE
+    magic, walks the chunk sequence honoring even-byte padding, skips
+    unknown chunks, parses 'fmt ' (PCM, mono, 16-bit enforced) and
+    returns (sample_rate, int16 sample array) from 'data'."""
+    import struct
+
+    import numpy as np
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack_from("<I", content, 4)[0]
+    fmt = None
+    data = None
+    while pos + 8 <= min(end, len(content)):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        payload = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            (audio_fmt, n_ch, sr, _br, _ba,
+             bits) = struct.unpack_from("<HHIIHH", payload, 0)
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={n_ch} "
+                    f"bits={bits} (PCM16 mono only)")
+            fmt = sr
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2")
+        pos += 8 + size + (size & 1)         # RIFF even-byte padding
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return fmt, data
+
+
+def synth_pcm16(media_id: int, n: int):
+    """Deterministic PCM16 test signal s(i) = ((id*7 + i*13) % 4096)
+    - 2048 — the closed form the oracle evaluates symbolically."""
+    import numpy as np
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id * 7 + i * 13) % 4096 - 2048).astype(np.int16)
+
+
+def synth_wav_files(df: DataFrame) -> DataFrame:
+    """(media_id, n, sr) → (media_id, content): real RIFF/WAV bytes."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_wav_pcm16(synth_pcm16(int(m), int(n)),
+                                        int(sr))
+                       for m, n, sr in zip(pdf["media_id"], pdf["n"],
+                                           pdf["sr"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+WAV_DECODE_SCHEMA = ("media_id long, sample_rate long, n_samples long, "
+                     "energy long, weighted long")
+
+
+def decode_wav_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded PCM stats via the REAL RIFF
+    parser: sample count, rate, energy Σs² and the position-weighted
+    Σ s·(i+1) that certifies sample ORDER (an endianness or offset
+    slip changes it)."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                sr, s = decode_wav_pcm16(bytes(content))
+                s64 = s.astype(np.int64)
+                rows.append((int(m), sr, len(s), int((s64 * s64).sum()),
+                             int((s64 * (np.arange(len(s64)) + 1)).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples",
+                "energy", "weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(_decode, WAV_DECODE_SCHEMA)

@@ -9116,3 +9116,42 @@ def vocab_wordpiece_longest_match(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_tok").cast("bigint").alias("n_wp_tokens"),
                  F.sum("is_unk").cast("bigint").alias("n_unk_words")))
+
+
+@register(
+    "mm_decode_real_wav",
+    oracle="""
+    WITH m AS (SELECT doc_id, 64 + doc_id % 128 AS n,
+                      8000 + (doc_id % 4) * 4000 AS sr
+               FROM documents),
+    pcm AS (
+      SELECT doc_id, n, sr, i,
+             ((doc_id * 7 + i * 13) % 4096) - 2048 AS s
+      FROM m, unnest(range(0, n)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           any_value(sr)::BIGINT AS sample_rate,
+           any_value(n)::BIGINT AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(sum(s * (i + 1)) AS BIGINT) AS weighted
+    FROM pcm GROUP BY doc_id
+    """)
+def mm_decode_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container: RIFF/WAV PCM16 mono
+    (functions/multimodal.py encode_wav_pcm16 / decode_wav_pcm16).
+    The encoder writes a genuine RIFF chunk sequence with a LIST(INFO)
+    chunk AND an odd-sized custom chunk planted between 'fmt ' and
+    'data' — so the decoder must actually WALK chunks honoring the
+    even-byte padding rule (the canonical 44-byte-offset shortcut
+    reads garbage). Stats are exact integers; the position-weighted
+    sum certifies sample order (endianness/offset slips change it).
+    Together with BMP/PPM/RLE8 this pins four real container layouts
+    end-to-end with zero media libraries."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(64) + F.col("doc_id") % 128).cast("int")
+                    .alias("n"),
+                    (F.lit(8000) + (F.col("doc_id") % 4) * 4000)
+                    .cast("int").alias("sr")))
+    encoded = MM.synth_wav_files(base)
+    return MM.decode_wav_batch(encoded)

@@ -242,3 +242,33 @@ def test_rle8_codec_roundtrip_and_packets():
                              pal)[:14 + 40 + 1024]
     with _pytest.raises(ValueError):
         MM.decode_bmp_rle8(bytes(hdr) + b"\x00\x02\x01\x01\x00\x01")
+
+
+def test_wav_codec_chunk_walk():
+    """RIFF/WAV codec: exact PCM16 round-trip, chunk-walk required
+    (data is NOT at the canonical 44-byte offset), odd-size padding
+    honored, non-PCM and truncated streams rejected."""
+    import numpy as np
+    import pytest as _pytest
+    import struct
+
+    from pmc_conversion_spark.functions import multimodal as MM
+
+    rng = np.random.default_rng(17)
+    for n, sr in [(1, 8000), (64, 16000), (255, 44100)]:
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        blob = MM.encode_wav_pcm16(s, sr)
+        sr2, s2 = MM.decode_wav_pcm16(blob)
+        assert sr2 == sr and np.array_equal(s, s2)
+        # the planted LIST + odd chunk push 'data' past offset 44
+        assert blob[36:40] != b"data"
+
+    with _pytest.raises(ValueError):
+        MM.decode_wav_pcm16(b"OggS not a riff stream")
+    # stereo (n_ch=2) must be rejected, not misread
+    s = MM.synth_pcm16(3, 8)
+    blob = bytearray(MM.encode_wav_pcm16(s, 8000))
+    off = blob.index(b"fmt ") + 8
+    struct.pack_into("<H", blob, off + 2, 2)
+    with _pytest.raises(ValueError):
+        MM.decode_wav_pcm16(bytes(blob))
