@@ -7502,3 +7502,180 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tl, 4).alias("t_lower"),
         F.round(tu, 4).alias("t_upper"),
         ((tl > zc) & (tu > zc)).alias("equivalent"))
+
+
+_GMM_ROUNDS = 8
+
+# Shared E/M round body: from previous params (w1, mu1, v1, mu2, v2)
+# and the weighted $100-bucket histogram h(v, w), compute per-row
+# responsibilities, 12-dp-rounded DECIMAL(38,12) term sums (exact =>
+# order-independent), and 8-dp-rounded new params — so both engines
+# carry BIT-IDENTICAL parameters into every round.
+
+
+def _gmm_round_sql(r: int) -> str:
+    p = f"em{r - 1}"
+    return f"""
+    em{r} AS (
+      SELECT round(CAST(a0 AS DOUBLE)
+                   / (CAST(a0 AS DOUBLE) + CAST(b0 AS DOUBLE)), 8) AS w1,
+             round(CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE), 8) AS mu1,
+             round(CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE)
+                   - (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                   * (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE)), 8) AS v1,
+             round(CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE), 8) AS mu2,
+             round(CAST(b2 AS DOUBLE) / CAST(b0 AS DOUBLE)
+                   - (CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE))
+                   * (CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE)), 8) AS v2
+      FROM (
+        SELECT sum(CAST(round(w * r1, 12) AS DECIMAL(38,12))) AS a0,
+               sum(CAST(round(w * r1 * v, 12) AS DECIMAL(38,12))) AS a1,
+               sum(CAST(round(w * r1 * v * v, 12)
+                        AS DECIMAL(38,12))) AS a2,
+               sum(CAST(round(w * (1.0 - r1), 12)
+                        AS DECIMAL(38,12))) AS b0,
+               sum(CAST(round(w * (1.0 - r1) * v, 12)
+                        AS DECIMAL(38,12))) AS b1,
+               sum(CAST(round(w * (1.0 - r1) * v * v, 12)
+                        AS DECIMAL(38,12))) AS b2
+        FROM (
+          SELECT h.w, h.v,
+                 CASE WHEN d1 + d2 = 0.0 THEN 0.5
+                      ELSE d1 / (d1 + d2) END AS r1
+          FROM (
+            SELECT h.w, h.v,
+                   {p}.w1 * exp(-(h.v - {p}.mu1) * (h.v - {p}.mu1)
+                                / (2.0 * {p}.v1)) / sqrt({p}.v1) AS d1,
+                   (1.0 - {p}.w1)
+                   * exp(-(h.v - {p}.mu2) * (h.v - {p}.mu2)
+                         / (2.0 * {p}.v2)) / sqrt({p}.v2) AS d2
+            FROM h CROSS JOIN {p}) h)))
+    """
+
+
+@register(
+    "agg_gmm_em_converged",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(floor(o_totalprice / 100) AS BIGINT) * 100 + 50 AS v,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders GROUP BY 1),
+    init AS (
+      SELECT min(v) AS lo, max(v) AS hi,
+             CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) AS sw,
+             CAST(sum(CAST(w AS BIGINT) * v) AS DOUBLE) AS swv,
+             CAST(sum(CAST(w AS BIGINT) * v * v) AS DOUBLE) AS swv2
+      FROM h),
+    em0 AS (
+      SELECT 0.5 AS w1,
+             round(lo + (hi - lo) / 4.0, 8) AS mu1,
+             round(swv2 / sw - (swv / sw) * (swv / sw), 8) AS v1,
+             round(lo + 3.0 * (hi - lo) / 4.0, 8) AS mu2,
+             round(swv2 / sw - (swv / sw) * (swv / sw), 8) AS v2
+      FROM init),
+    {",".join(_gmm_round_sql(r) for r in range(1, _GMM_ROUNDS + 1))}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_levels,
+           CAST({_GMM_ROUNDS} AS INT) AS n_iters,
+           round(w1, 4) AS weight1,
+           round(mu1, 2) AS mean1, round(sqrt(v1), 2) AS sigma1,
+           round(mu2, 2) AS mean2, round(sqrt(v2), 2) AS sigma2
+    FROM em{_GMM_ROUNDS}
+    """)
+def agg_gmm_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D GAUSSIAN MIXTURE fit by FULL EM iteration —
+    the third convergence-loop capstone next to Lloyd k-means and
+    converged PageRank, and the completion of ``agg_gmm_em_step``
+    (one E/M step): {rounds} unrolled rounds over the bounded
+    $100-bucket value histogram. Cross-engine bit-identity uses the
+    converged-PageRank discipline: per-row E-step terms round to
+    12 dp and sum as EXACT DECIMAL(38,12) (order-independent), and
+    every M-step parameter rounds to 8 dp — so both engines carry
+    identical parameters into every round and no fp drift can
+    compound across iterations. Deterministic quartile-anchored init;
+    responsibilities guard the both-tails-underflow case to 0.5
+    identically.
+
+    Scale: the corpus collapses to the bounded histogram in ONE
+    partial-agg pass; each EM round is a ~5k-row broadcast-join +
+    aggregate against a 1-ROW param frame, chained IN-PLAN (no
+    driver round-trips at all, unlike the k-means loop which needs a
+    per-round action for its data-dependent stop — a fixed round
+    count keeps the whole fit one job)."""
+    o = tables.load(spark, sf_dir, "orders")
+    h = (o.groupBy((F.floor(F.col("o_totalprice") / 100)
+                    .cast("bigint") * 100 + 50).alias("v"))
+         .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    init = h.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum(F.col("w").cast("bigint")).cast("double").alias("sw"),
+        F.sum(F.col("w").cast("bigint") * F.col("v")).cast("double")
+        .alias("swv"),
+        F.sum(F.col("w").cast("bigint") * F.col("v") * F.col("v"))
+        .cast("double").alias("swv2"))
+    gvar = F.round(F.col("swv2") / F.col("sw")
+                   - (F.col("swv") / F.col("sw"))
+                   * (F.col("swv") / F.col("sw")), 8)
+    em = init.select(
+        F.lit(0.5).alias("w1"),
+        F.round(F.col("lo") + (F.col("hi") - F.col("lo")) / 4.0, 8)
+        .alias("mu1"),
+        gvar.alias("v1"),
+        F.round(F.col("lo") + 3.0 * (F.col("hi") - F.col("lo")) / 4.0, 8)
+        .alias("mu2"),
+        gvar.alias("v2"))
+    for _ in range(_GMM_ROUNDS):
+        d1 = (F.col("w1")
+              * F.exp(-(F.col("v") - F.col("mu1"))
+                      * (F.col("v") - F.col("mu1"))
+                      / (2.0 * F.col("v1"))) / F.sqrt(F.col("v1")))
+        d2 = ((1.0 - F.col("w1"))
+              * F.exp(-(F.col("v") - F.col("mu2"))
+                      * (F.col("v") - F.col("mu2"))
+                      / (2.0 * F.col("v2"))) / F.sqrt(F.col("v2")))
+        est = (h.crossJoin(F.broadcast(em))
+               .select("w", "v", d1.alias("d1"), d2.alias("d2"))
+               .select("w", "v",
+                       F.when(F.col("d1") + F.col("d2") == 0.0,
+                              F.lit(0.5))
+                       .otherwise(F.col("d1")
+                                  / (F.col("d1") + F.col("d2")))
+                       .alias("r1")))
+
+        def _dterm(expr):
+            return F.sum(F.round(expr, 12).cast("decimal(38,12)"))
+
+        sums = est.agg(
+            _dterm(F.col("w") * F.col("r1")).alias("a0"),
+            _dterm(F.col("w") * F.col("r1") * F.col("v")).alias("a1"),
+            _dterm(F.col("w") * F.col("r1") * F.col("v")
+                   * F.col("v")).alias("a2"),
+            _dterm(F.col("w") * (1.0 - F.col("r1"))).alias("b0"),
+            _dterm(F.col("w") * (1.0 - F.col("r1"))
+                   * F.col("v")).alias("b1"),
+            _dterm(F.col("w") * (1.0 - F.col("r1")) * F.col("v")
+                   * F.col("v")).alias("b2"))
+        a0 = F.col("a0").cast("double")
+        a1 = F.col("a1").cast("double")
+        a2 = F.col("a2").cast("double")
+        b0 = F.col("b0").cast("double")
+        b1 = F.col("b1").cast("double")
+        b2 = F.col("b2").cast("double")
+        em = sums.select(
+            F.round(a0 / (a0 + b0), 8).alias("w1"),
+            F.round(a1 / a0, 8).alias("mu1"),
+            F.round(a2 / a0 - (a1 / a0) * (a1 / a0), 8).alias("v1"),
+            F.round(b1 / b0, 8).alias("mu2"),
+            F.round(b2 / b0 - (b1 / b0) * (b1 / b0), 8).alias("v2"))
+    nlev = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_levels"))
+    return (nlev.crossJoin(F.broadcast(em))
+            .select("n_levels",
+                    F.lit(_GMM_ROUNDS).cast("int").alias("n_iters"),
+                    F.round(F.col("w1"), 4).alias("weight1"),
+                    F.round(F.col("mu1"), 2).alias("mean1"),
+                    F.round(F.sqrt(F.col("v1")), 2).alias("sigma1"),
+                    F.round(F.col("mu2"), 2).alias("mean2"),
+                    F.round(F.sqrt(F.col("v2")), 2).alias("sigma2")))
+
+
+agg_gmm_em_converged.__doc__ = agg_gmm_em_converged.__doc__.replace(
+    "{rounds}", str(_GMM_ROUNDS))
