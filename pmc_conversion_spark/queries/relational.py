@@ -7679,3 +7679,140 @@ def agg_gmm_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 agg_gmm_em_converged.__doc__ = agg_gmm_em_converged.__doc__.replace(
     "{rounds}", str(_GMM_ROUNDS))
+
+
+@register(
+    "agg_hurst_exponent",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    ix AS (
+      SELECT x, row_number() OVER (ORDER BY d) - 1 AS i FROM daily),
+    win AS (SELECT unnest([16, 32, 64, 128]) AS n),
+    blk AS (
+      SELECT win.n, ix.i // win.n AS b,
+             ix.i % win.n AS k, ix.x
+      FROM ix CROSS JOIN win),
+    full_blk AS (
+      SELECT n, b FROM blk GROUP BY n, b HAVING count(*) = n),
+    z AS (
+      SELECT blk.n, blk.b, blk.k,
+             CAST(blk.n AS HUGEINT)
+               * sum(blk.x) OVER (PARTITION BY blk.n, blk.b
+                                  ORDER BY blk.k)
+             - CAST(blk.k + 1 AS HUGEINT)
+               * sum(blk.x) OVER (PARTITION BY blk.n, blk.b) AS zk,
+             sum(blk.x) OVER (PARTITION BY blk.n, blk.b) AS s1,
+             sum(CAST(blk.x AS HUGEINT) * blk.x)
+               OVER (PARTITION BY blk.n, blk.b) AS s2
+      FROM blk JOIN full_blk USING (n, b)),
+    per_blk AS (
+      SELECT n, b,
+             CAST(max(zk) - least(min(zk), 0) AS DOUBLE) AS rn,
+             CAST(any_value(s2) AS DOUBLE) / n
+               - (CAST(any_value(s1) AS DOUBLE) / n)
+               * (CAST(any_value(s1) AS DOUBLE) / n) AS var
+      FROM z GROUP BY n, b),
+    rs AS (
+      SELECT n,
+             CAST(sum(CAST(round(rn / (n * sqrt(var)), 10)
+                           AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*) AS mean_rs,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM per_blk WHERE var > 0 GROUP BY n),
+    ols AS (
+      SELECT count(*) AS k,
+             sum(ln(CAST(n AS DOUBLE))) AS sx,
+             sum(ln(mean_rs)) AS sy,
+             sum(ln(CAST(n AS DOUBLE)) * ln(mean_rs)) AS sxy,
+             sum(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxx
+      FROM rs)
+    SELECT (SELECT CAST(sum(n_blocks) AS BIGINT) FROM rs)
+             AS n_blocks_total,
+           round((SELECT max(CASE WHEN n = 16 THEN mean_rs END)
+                  FROM rs), 6) AS rs16,
+           round((SELECT max(CASE WHEN n = 128 THEN mean_rs END)
+                  FROM rs), 6) AS rs128,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+             AS hurst
+    FROM ols
+    """)
+def agg_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT by rescaled-range (R/S) analysis of the daily
+    revenue series — the long-memory diagnostic (H > 0.5 persistent,
+    < 0.5 mean-reverting) behind burstiness-aware capacity planning.
+    For window sizes n in {16,32,64,128}: split the day-index series
+    into complete n-day blocks, compute the range of cumulative
+    mean-deviations over each block IN EXACT INTEGERS (scaled by n:
+    z_k = n*prefix(x,k) - (k+1)*total — hugeint/decimal, no fp
+    cancellation), divide by n*sigma (population, from exact block
+    power sums), average per-block R/S with the 10-dp-round +
+    exact-decimal-sum discipline (order-independent), and fit
+    ln(R/S) on ln(n) with closed-form OLS. R uses the standard
+    max(z)−min(z,0) convention (deviations start at 0).
+
+    Plan: one partial-agg scan to the bounded daily frame (~2.4k
+    rows), a 4x block fan-out with (n, block)-partitioned windows —
+    embarrassingly parallel, no global sort — and a 4-row OLS."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("x")))
+    ix = (W.surrogate_key_distributed(daily, "d", out_col="rn")
+          .select("x", (F.col("rn") - 1).alias("i")))
+    win = ix.sparkSession.createDataFrame(
+        [(16,), (32,), (64,), (128,)], "n int")
+    blk = (ix.crossJoin(F.broadcast(win))
+           .select("n", F.expr("i div n").alias("b"),
+                   (F.col("i") % F.col("n")).alias("k"), "x"))
+    full_blk = (blk.groupBy("n", "b").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") == F.col("n")).select("n", "b"))
+    wb = Window.partitionBy("n", "b")
+    wk = wb.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    z = (blk.join(full_blk, ["n", "b"])
+         .select("n", "b", "k",
+                 (F.col("n").cast("decimal(38,0)")
+                  * F.sum("x").over(wk)
+                  - (F.col("k") + 1).cast("decimal(38,0)")
+                  * F.sum("x").over(wb)).alias("zk"),
+                 F.sum("x").over(wb).alias("s1"),
+                 F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                 .over(wb).alias("s2")))
+    per_blk = (z.groupBy("n", "b")
+               .agg((F.max("zk")
+                     - F.least(F.min("zk"),
+                               F.lit(0).cast("decimal(38,0)")))
+                    .cast("double").alias("rn"),
+                    (F.any_value("s2").cast("double") / F.col("n")
+                     - (F.any_value("s1").cast("double") / F.col("n"))
+                     * (F.any_value("s1").cast("double") / F.col("n")))
+                    .alias("var")))
+    rs = (per_blk.filter(F.col("var") > 0)
+          .groupBy("n")
+          .agg((F.sum(F.round(F.col("rn")
+                              / (F.col("n") * F.sqrt(F.col("var"))), 10)
+                      .cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))).alias("mean_rs"),
+               F.count(F.lit(1)).cast("bigint").alias("n_blocks")))
+    lnn = F.log(F.col("n").cast("double"))
+    lnr = F.log(F.col("mean_rs"))
+    ols = rs.agg(F.count(F.lit(1)).alias("k"),
+                 F.sum(lnn).alias("sx"), F.sum(lnr).alias("sy"),
+                 F.sum(lnn * lnr).alias("sxy"),
+                 F.sum(lnn * lnn).alias("sxx"),
+                 F.sum("n_blocks").cast("bigint")
+                 .alias("n_blocks_total"),
+                 F.max(F.when(F.col("n") == 16, F.col("mean_rs")))
+                 .alias("r16"),
+                 F.max(F.when(F.col("n") == 128, F.col("mean_rs")))
+                 .alias("r128"))
+    return ols.select(
+        "n_blocks_total",
+        F.round(F.col("r16"), 6).alias("rs16"),
+        F.round(F.col("r128"), 6).alias("rs128"),
+        F.round((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")), 4).alias("hurst"))
