@@ -121,6 +121,13 @@ HEADLINE = [
     "agg_kruskal_wallis",
     "agg_kendall_tau_b",
     "sim_silhouette_simplified",
+    # r7 wave 2: the in-plan EM capstone (8 chained rounds, zero
+    # driver round-trips), the data-derived log-factorial Fisher tail
+    # (two-phase lf frame + three per-k lookups), and the first real
+    # COMPRESSED codec (RLE8 packet state machine in Arrow workers)
+    "agg_gmm_em_converged",
+    "agg_fisher_exact",
+    "mm_decode_real_rle8",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

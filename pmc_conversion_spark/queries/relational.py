@@ -7816,3 +7816,112 @@ def agg_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
                 / (F.col("k") * F.col("sxx")
                    - F.col("sx") * F.col("sx")), 4).alias("hurst"))
+
+
+@register(
+    "agg_grubbs_test",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      FROM orders),
+    m AS (SELECT count(*) AS n, sum(xc) AS s,
+                 sum(CAST(xc AS HUGEINT) * xc) AS q
+          FROM c),
+    d AS (
+      SELECT abs(CAST(m.n AS HUGEINT) * c.xc - m.s) AS dev, c.xc
+      FROM c, m),
+    mx AS (SELECT max(dev) AS maxdev FROM d),
+    pick AS (
+      SELECT max(d.xc) AS outlier_cents
+      FROM d, mx WHERE d.dev = mx.maxdev)
+    SELECT CAST(m.n AS BIGINT) AS n,
+           round(pick.outlier_cents / 100.0, 2) AS outlier_value,
+           round(CAST(mx.maxdev AS DOUBLE)
+                 / (m.n * sqrt((CAST(m.q AS DOUBLE)
+                                - CAST(m.s AS DOUBLE) * m.s / m.n)
+                               / (m.n - 1))), 6) AS g_stat
+    FROM m, mx, pick
+    """)
+def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS outlier statistic G = max|x - mean| / s over order
+    values, with the flagged observation reported. The argmax is
+    found in EXACT integers: |n*x_c - sum| is an exact hugeint per
+    row (scaling by n clears the rational mean -- no fp comparison
+    can misrank two near-tied deviations), ties broken to the larger
+    value in both engines. Sample s from exact power sums; only the
+    final one-row division is double. Two partial-agg passes (sums,
+    then the max against the broadcast 1-row totals)."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100)
+                 .cast("long").alias("xc"))
+    m = c.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("xc").alias("s"),
+              F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+              .alias("q"))
+    d = (c.crossJoin(F.broadcast(m))
+         .select(F.abs(F.col("n").cast("decimal(38,0)") * F.col("xc")
+                       - F.col("s")).alias("dev"),
+                 "xc", "n", "s", "q"))
+    agg = d.agg(
+        F.max("dev").alias("maxdev"),
+        F.max_by("xc", F.struct(F.col("dev"), F.col("xc")))
+        .alias("outlier_cents"),
+        F.max("n").alias("n"), F.max("s").alias("s"),
+        F.max("q").alias("q"))
+    nd = F.col("n").cast("double")
+    svar = ((F.col("q").cast("double")
+             - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("outlier_cents") / 100.0, 2).alias("outlier_value"),
+        F.round(F.col("maxdev").cast("double") / (nd * F.sqrt(svar)), 6)
+        .alias("g_stat"))
+
+
+@register(
+    "agg_sign_test",
+    oracle="""
+    WITH mo AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT rev - lag(rev) OVER (ORDER BY m) AS diff FROM mo),
+    s AS (
+      SELECT count(*) FILTER (WHERE diff > 0) AS pos,
+             count(*) FILTER (WHERE diff < 0) AS neg
+      FROM d WHERE diff IS NOT NULL AND diff <> 0)
+    SELECT CAST(pos AS BIGINT) AS n_pos,
+           CAST(neg AS BIGINT) AS n_neg,
+           round((2.0 * pos - (pos + neg))
+                 / sqrt(CAST(pos + neg AS DOUBLE)), 4) AS z_stat
+    FROM s
+    """)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED SIGN TEST on month-over-month revenue movement -- the
+    assumption-free companion to the rank-based tests: under H0
+    (no trend) up-moves are Binomial(n, 1/2); report the up/down
+    counts and the normal-approximation z = (2B - n)/sqrt(n). Exact
+    integer month revenues (cents), zero diffs dropped per the
+    standard convention, one bounded-frame lag window (months are
+    dim-scale). The weakest-power but fewest-assumptions member of
+    the trend-test family (vs agg_mann_kendall_trend)."""
+    o = tables.load(spark, sf_dir, "orders")
+    mo = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                    .alias("m"))
+          .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+               .alias("rev")))
+    w = Window.orderBy("m")
+    d = (mo.select((F.col("rev") - F.lag("rev").over(w)).alias("diff"))
+         .filter(F.col("diff").isNotNull() & (F.col("diff") != 0)))
+    s = d.agg(
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("diff") < 0, 1).otherwise(0)).alias("neg"))
+    tot = (F.col("pos") + F.col("neg")).cast("double")
+    return s.select(
+        F.col("pos").cast("bigint").alias("n_pos"),
+        F.col("neg").cast("bigint").alias("n_neg"),
+        F.round((2.0 * F.col("pos") - (F.col("pos") + F.col("neg")))
+                / F.sqrt(tot), 4).alias("z_stat"))
