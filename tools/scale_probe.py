@@ -120,6 +120,18 @@ PROBED = [
     "agg_kruskal_wallis",
     "agg_kendall_tau_b",
     "sim_silhouette_simplified",
+    # r7 wave 2: the in-plan EM loop (fixed 8 rounds over a BOUNDED
+    # histogram — should be ~flat in sf), the data-derived
+    # log-factorial Fisher tail (lf frame grows with the corpus —
+    # linear), the two-prefix-sum CvM rank test (linear), the
+    # compressed-codec decode (linear in documents), and the
+    # distinct-word WordPiece tokenizer (sublinear once the word
+    # domain saturates)
+    "agg_gmm_em_converged",
+    "agg_fisher_exact",
+    "agg_cvm_test",
+    "mm_decode_real_rle8",
+    "vocab_wordpiece_longest_match",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
