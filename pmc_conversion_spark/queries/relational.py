@@ -7909,8 +7909,13 @@ def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-scale). The weakest-power but fewest-assumptions member of
     the trend-test family (vs agg_mann_kendall_trend)."""
     o = tables.load(spark, sf_dir, "orders")
-    mo = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
-                    .alias("m"))
+    # project the month key BEFORE grouping so the physical aggregate
+    # keys on the named attribute `m` (date-span domain) — the
+    # key-aware window audit can then see the bounded grouping instead
+    # of an opaque extracted _groupingexpression
+    mo = (o.select(F.date_trunc("month", F.col("o_orderdate"))
+                   .alias("m"), "o_totalprice")
+          .groupBy("m")
           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                .alias("rev")))
     w = Window.orderBy("m")

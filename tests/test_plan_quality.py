@@ -504,6 +504,9 @@ _BOUNDED_GROUP_KEYS = frozenset({
     "window",      # time-window struct: domain = date span / slide,
                    # grows with TIME, never with rows-per-window
     "d",           # calendar date key (date-span domain)
+    "m",           # calendar month key (date-span domain — agg_sign_test
+                   # lags month revenue: ~84 rows per 7 TPC-H years,
+                   # grows with TIME, never with rows-per-month)
     "dur",         # day-granular survival duration (date-span domain)
     "n_name",      # nation dimension (25 rows, fixed)
     "l_quantity",  # TPC-H integer quantity domain 1..50
