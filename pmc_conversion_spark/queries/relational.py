@@ -7930,3 +7930,284 @@ def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg").cast("bigint").alias("n_neg"),
         F.round((2.0 * F.col("pos") - (F.col("pos") + F.col("neg")))
                 / F.sqrt(tot), 4).alias("z_stat"))
+
+
+@register(
+    "agg_cohens_d",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             (o_orderpriority = '1-URGENT') AS g
+      FROM orders),
+    s AS (
+      SELECT
+        sum(CASE WHEN g THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN g THEN xc ELSE 0 END) AS s1,
+        sum(CASE WHEN g THEN CAST(xc AS HUGEINT) * xc ELSE 0 END) AS q1,
+        sum(CASE WHEN g THEN 0 ELSE 1 END) AS n2,
+        sum(CASE WHEN g THEN 0 ELSE xc END) AS s2,
+        sum(CASE WHEN g THEN 0 ELSE CAST(xc AS HUGEINT) * xc END) AS q2
+      FROM c),
+    alg AS (
+      SELECT n1, n2,
+        CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+        sqrt(((CAST(q1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * s1 / n1)
+              + (CAST(q2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * s2 / n2))
+             / (n1 + n2 - 2)) AS sp
+      FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(diff / sp, 6) AS cohens_d,
+           round(diff / sp
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM alg
+    """)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S D and HEDGES' G effect sizes for urgent-vs-rest order
+    value -- the magnitude question the p-value family
+    (welch/mwu/tost) deliberately doesn't answer: d = diff / pooled
+    SD from exact integer cents power sums (one partial-agg pass,
+    hugeint/decimal squares), g = d * (1 - 3/(4N - 9)) (the standard
+    small-sample correction, stated closed form). At corpus N the
+    correction is ~1 but the convention is pinned explicitly so both
+    engines compute the identical expression."""
+    o = tables.load(spark, sf_dir, "orders")
+    g = F.col("o_orderpriority") == "1-URGENT"
+    xc = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(xc.alias("xc"), g.alias("g"))
+    xq = F.col("xc").cast("decimal(38,0)") * F.col("xc")
+    s = c.agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g"), F.col("xc")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("g"), xq)
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q1"),
+        F.sum(F.when(F.col("g"), 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(F.col("g"), 0).otherwise(F.col("xc"))).alias("s2"),
+        F.sum(F.when(F.col("g"), F.lit(0).cast("decimal(38,0)"))
+              .otherwise(xq)).alias("q2"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    diff = (F.col("s1").cast("double") / n1d
+            - F.col("s2").cast("double") / n2d)
+    sp = F.sqrt(
+        ((F.col("q1").cast("double")
+          - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+         + (F.col("q2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2") / F.col("n2")))
+        / (n1d + n2d - 2))
+    d = diff / sp
+    corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1d + n2d) - 9.0)
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"))
+
+
+@register(
+    "agg_cliffs_delta",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS b
+      FROM lineitem
+      GROUP BY 1),
+    pr AS (
+      SELECT q, a, b,
+             coalesce(sum(b) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS b_less,
+             sum(b) OVER () - b
+             - coalesce(sum(b) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS b_more
+      FROM h),
+    s AS (
+      SELECT sum(CAST(a AS HUGEINT) * b_less) AS gt,
+             sum(CAST(a AS HUGEINT) * b_more) AS lt,
+             CAST(sum(a) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS m
+      FROM pr)
+    SELECT n AS n_open, m AS n_finished,
+           round(CAST(gt - lt AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * m), 6) AS cliffs_delta
+    FROM s
+    """)
+def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA -- the nonparametric effect size (P[X>Y] -
+    P[X<Y]) for AIR-vs-TRUCK shipped quantities, computed ENTIRELY on
+    the bounded l_quantity histogram (TPC-H domain 1..50): per-value
+    counts, a 50-row prefix sum for below/above masses, and the exact
+    integer cross products a*b_less / a*b_more (hugeint -- row-pair
+    counts reach n*m ~ 1e13 at sf0.1 and beyond 2^63 at larger SFs).
+    Nothing row-pairwise ever materializes; the window rides a
+    partial-aggregated bounded frame. The ordinal companion to
+    agg_cohens_d's interval-scale d."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    # key the aggregate on l_quantity itself (a bounded-domain name
+    # the key-aware window audit recognizes); rename above the agg
+    h = (li.groupBy("l_quantity")
+         .agg(F.sum(F.when(F.col("l_linestatus") == "O", 1)
+                    .otherwise(0)).alias("a"),
+              F.sum(F.when(F.col("l_linestatus") == "F", 1)
+                    .otherwise(0)).alias("b"))
+         .withColumnRenamed("l_quantity", "q"))
+    wl = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy()
+    pr = h.select(
+        "q", "a", "b",
+        F.coalesce(F.sum("b").over(wl), F.lit(0)).alias("b_less"),
+        (F.sum("b").over(wt) - F.col("b")
+         - F.coalesce(F.sum("b").over(wl), F.lit(0))).alias("b_more"))
+    s = pr.agg(
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b_less"))
+        .alias("gt"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b_more"))
+        .alias("lt"),
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"))
+    return s.select(
+        F.col("n").alias("n_open"), F.col("m").alias("n_finished"),
+        F.round((F.col("gt") - F.col("lt")).cast("double")
+                / (F.col("n").cast("double") * F.col("m")), 6)
+        .alias("cliffs_delta"))
+
+
+@register(
+    "agg_quantile_shape",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round((percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                  + percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                  - 2 * percentile_disc(0.5)
+                        WITHIN GROUP (ORDER BY o_totalprice))
+                 / (percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                    - percentile_disc(0.25)
+                      WITHIN GROUP (ORDER BY o_totalprice)), 6)
+             AS bowley_skew,
+           round(((percentile_disc(0.875) WITHIN GROUP (ORDER BY o_totalprice)
+                   - percentile_disc(0.625)
+                     WITHIN GROUP (ORDER BY o_totalprice))
+                  + (percentile_disc(0.375)
+                     WITHIN GROUP (ORDER BY o_totalprice)
+                     - percentile_disc(0.125)
+                       WITHIN GROUP (ORDER BY o_totalprice)))
+                 / (percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                    - percentile_disc(0.25)
+                      WITHIN GROUP (ORDER BY o_totalprice)), 6)
+             AS moors_kurtosis
+    FROM orders GROUP BY o_orderpriority
+    """)
+def agg_quantile_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST (quantile-based) distribution shape per order priority:
+    BOWLEY skewness (Q3 + Q1 - 2*Q2)/(Q3 - Q1) and MOORS kurtosis
+    ((E7-E5)+(E3-E1))/(E6-E2) on octiles -- the outlier-immune
+    complements to agg_jarque_bera's moment-based g1/g2 (one wild
+    value moves moments arbitrarily but no quantile at all). All
+    quantiles are percentile_disc: EXACT order statistics, so both
+    engines select the same element and the only arithmetic is the
+    final ratio. Exercised through the ANSI WITHIN GROUP syntax,
+    key-partitioned per group."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round((percentile_disc(0.75)
+                        WITHIN GROUP (ORDER BY o_totalprice)
+                      + percentile_disc(0.25)
+                        WITHIN GROUP (ORDER BY o_totalprice)
+                      - 2 * percentile_disc(0.5)
+                            WITHIN GROUP (ORDER BY o_totalprice))
+                     / (percentile_disc(0.75)
+                          WITHIN GROUP (ORDER BY o_totalprice)
+                        - percentile_disc(0.25)
+                          WITHIN GROUP (ORDER BY o_totalprice)), 6)
+                 AS bowley_skew,
+               round(((percentile_disc(0.875)
+                         WITHIN GROUP (ORDER BY o_totalprice)
+                       - percentile_disc(0.625)
+                         WITHIN GROUP (ORDER BY o_totalprice))
+                      + (percentile_disc(0.375)
+                         WITHIN GROUP (ORDER BY o_totalprice)
+                         - percentile_disc(0.125)
+                           WITHIN GROUP (ORDER BY o_totalprice)))
+                     / (percentile_disc(0.75)
+                          WITHIN GROUP (ORDER BY o_totalprice)
+                        - percentile_disc(0.25)
+                          WITHIN GROUP (ORDER BY o_totalprice)), 6)
+                 AS moors_kurtosis
+        FROM orders GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "agg_brier_decomposition",
+    oracle="""
+    WITH p AS (
+      SELECT least(CAST(floor(o_totalprice / 25000) AS INT), 19) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    b AS (
+      SELECT bin, (bin + 0.5) / 20.0 AS fc,
+             count(*) AS nb, sum(y) AS yb
+      FROM p GROUP BY bin),
+    tot AS (
+      SELECT CAST(sum(nb) AS DOUBLE) AS n,
+             CAST(sum(yb) AS DOUBLE) / sum(nb) AS ybar
+      FROM b),
+    parts AS (
+      SELECT
+        sum(nb * (fc - CAST(yb AS DOUBLE) / nb)
+               * (fc - CAST(yb AS DOUBLE) / nb)) / max(tot.n) AS rel,
+        sum(nb * (CAST(yb AS DOUBLE) / nb - tot.ybar)
+               * (CAST(yb AS DOUBLE) / nb - tot.ybar))
+          / max(tot.n) AS res,
+        max(tot.ybar * (1.0 - tot.ybar)) AS unc
+      FROM b CROSS JOIN tot)
+    SELECT round(rel - res + unc, 8) AS brier,
+           round(rel, 8) AS reliability,
+           round(res, 8) AS resolution,
+           round(unc, 8) AS uncertainty
+    FROM parts
+    """)
+def agg_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the MURPHY DECOMPOSITION (reliability -
+    resolution + uncertainty) for a binned value-based forecast of
+    order completion -- the eval that separates a model's CALIBRATION
+    error (reliability) from its discrimination power (resolution),
+    one level deeper than agg_calibration_ece's single number.
+    Forecast = the bin midpoint of a 20-bin value score, so the
+    within-bin mean forecast is exactly the midpoint and the identity
+    brier = rel - res + unc holds EXACTLY (not just in expectation);
+    the oracle computes each term independently and the 8-dp match
+    certifies all three. One partial-agg pass to the 20-row bin
+    frame; exact integer counts; double algebra on the bounded frame
+    only."""
+    o = tables.load(spark, sf_dir, "orders")
+    p = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 25000).cast("int"),
+                F.lit(19)).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    b = (p.groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("nb"), F.sum("y").alias("yb"))
+         .withColumn("fc", (F.col("bin") + 0.5) / 20.0))
+    tot = b.agg(
+        F.sum("nb").cast("double").alias("n"),
+        (F.sum("yb").cast("double") / F.sum("nb")).alias("ybar"))
+    j = b.crossJoin(F.broadcast(tot))
+    ybm = F.col("yb").cast("double") / F.col("nb")
+    ybar = F.col("ybar")
+    parts = j.agg(
+        (F.sum(F.col("nb") * (F.col("fc") - ybm) * (F.col("fc") - ybm))
+         / F.max("n")).alias("rel"),
+        (F.sum(F.col("nb") * (ybm - ybar) * (ybm - ybar))
+         / F.max("n")).alias("res"),
+        F.max(ybar * (F.lit(1.0) - ybar)).alias("unc"))
+    return parts.select(
+        F.round(F.col("rel") - F.col("res") + F.col("unc"), 8)
+        .alias("brier"),
+        F.round(F.col("rel"), 8).alias("reliability"),
+        F.round(F.col("res"), 8).alias("resolution"),
+        F.round(F.col("unc"), 8).alias("uncertainty"))
