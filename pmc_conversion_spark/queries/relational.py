@@ -8211,3 +8211,439 @@ def agg_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rel"), 8).alias("reliability"),
         F.round(F.col("res"), 8).alias("resolution"),
         F.round(F.col("unc"), 8).alias("uncertainty"))
+
+
+@register(
+    "agg_bartlett_test",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      FROM orders),
+    g AS (
+      SELECT grp, count(*) AS n, sum(xc) AS s,
+             sum(CAST(xc AS HUGEINT) * xc) AS q
+      FROM c GROUP BY 1),
+    v AS (
+      SELECT n,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+             / (n - 1.0) AS s2
+      FROM g),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS nn,
+             sum((n - 1.0) * ln(s2)) AS sumlog,
+             sum((n - 1.0) * s2) AS ssw,
+             sum(1.0 / (n - 1.0)) AS invsum
+      FROM v)
+    SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+           round(((nn - k) * ln(ssw / (nn - k)) - sumlog)
+                 / (1.0 + (invsum - 1.0 / (nn - k))
+                    / (3.0 * (k - 1.0))), 6) AS bartlett_t,
+           round(1.0 + (invsum - 1.0 / (nn - k))
+                 / (3.0 * (k - 1.0)), 6) AS corr_c
+    FROM t
+    """)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S TEST for homogeneity of variances across the five
+    order-priority groups -- the parametric (normality-assuming)
+    sibling of agg_levene_test: T = [(N-k) ln(sp^2) - SUM (n_i-1)
+    ln(s_i^2)] / C with the Box correction C. Per-group variances
+    come from exact integer cents power sums (hugeint/decimal
+    squares, one partial-agg shuffle of 3 numbers per group); the
+    k-row frame then folds to one row. Both engines evaluate the
+    identical double expression from identical exact integers, so
+    round-6 agreement is structural, not luck."""
+    o = tables.load(spark, sf_dir, "orders")
+    xc = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(F.col("o_orderpriority").alias("grp"), xc.alias("xc"))
+    g = c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+        .alias("q"))
+    s2 = ((F.col("q").cast("double")
+           - F.col("s").cast("double") * F.col("s") / F.col("n"))
+          / (F.col("n") - 1.0))
+    v = g.select("n", s2.alias("s2"))
+    t = v.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum((F.col("n") - 1.0) * F.log(F.col("s2"))).alias("sumlog"),
+        F.sum((F.col("n") - 1.0) * F.col("s2")).alias("ssw"),
+        F.sum(1.0 / (F.col("n") - 1.0)).alias("invsum"))
+    nn, k = F.col("nn"), F.col("k")
+    cbox = (F.lit(1.0) + (F.col("invsum") - 1.0 / (nn - k))
+            / (3.0 * (k - 1.0)))
+    stat = ((nn - k) * F.log(F.col("ssw") / (nn - k))
+            - F.col("sumlog")) / cbox
+    return t.select(
+        k.cast("bigint").alias("k"), nn.cast("bigint").alias("n"),
+        F.round(stat, 6).alias("bartlett_t"),
+        F.round(cbox, 6).alias("corr_c"))
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+    WITH mo AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT rev - lag(rev, 12) OVER (ORDER BY m) AS diff FROM mo),
+    nz AS (
+      SELECT abs(diff) AS ad, (diff > 0) AS pos
+      FROM d WHERE diff IS NOT NULL AND diff <> 0),
+    r AS (
+      SELECT pos, ad,
+             rank() OVER (ORDER BY ad)
+             + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS avgrank
+      FROM nz),
+    ties AS (
+      SELECT coalesce(sum(CAST(t * t * t - t AS DOUBLE)), 0.0) AS tsum
+      FROM (SELECT count(*) AS t FROM nz GROUP BY ad) WHERE t > 1),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN pos THEN avgrank ELSE 0 END) AS wplus
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(wplus, 1) AS w_plus,
+           round((wplus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                        - tsum / 48.0), 6) AS z_stat
+    FROM s, ties
+    """)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK TEST on year-over-year monthly revenue
+    (month m paired with m-12) -- the rank-powered upgrade of
+    agg_sign_test: W+ = sum of midranks of |diff| over the positive
+    diffs, z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - SUM(t^3-t)/48)
+    with the standard tie correction and zero diffs dropped (no
+    continuity correction -- pinned so both engines agree exactly).
+    Midranks are rank() + (ties-1)/2 -- integer + halves, exact in
+    doubles. Every window rides the month-keyed aggregate (date-span
+    domain, ~84 rows), so the audit sees bounded frames throughout."""
+    o = tables.load(spark, sf_dir, "orders")
+    mo = (o.select(F.date_trunc("month", F.col("o_orderdate"))
+                   .alias("m"), "o_totalprice")
+          .groupBy("m")
+          .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+               .alias("rev")))
+    w = Window.orderBy("m")
+    d = (mo.select((F.col("rev") - F.lag("rev", 12).over(w))
+                   .alias("diff"))
+         .filter(F.col("diff").isNotNull() & (F.col("diff") != 0)))
+    nz = d.select(F.abs("diff").alias("ad"),
+                  (F.col("diff") > 0).alias("pos"))
+    wr = Window.orderBy("ad")
+    wt = Window.partitionBy("ad")
+    r = nz.select(
+        "pos",
+        (F.rank().over(wr)
+         + (F.count(F.lit(1)).over(wt) - 1) / 2.0).alias("avgrank"))
+    ties = (nz.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum((F.col("t") * F.col("t") * F.col("t")
+                       - F.col("t")).cast("double")),
+                F.lit(0.0)).alias("tsum")))
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), F.col("avgrank"))
+              .otherwise(0.0)).alias("wplus"))
+    j = s.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    sig = F.sqrt(n * (n + F.lit(1.0)) * (2 * n + 1) / 24.0
+                 - F.col("tsum") / 48.0)
+    return j.select(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(F.col("wplus"), 1).alias("w_plus"),
+        F.round((F.col("wplus") - n * (n + 1) / 4.0) / sig, 6)
+        .alias("z_stat"))
+
+
+@register(
+    "agg_mood_median_test",
+    oracle="""
+    WITH med AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+             AS gm
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag AS grp,
+             sum(CASE WHEN l_quantity > gm THEN 1 ELSE 0 END) AS above,
+             sum(CASE WHEN l_quantity <= gm THEN 1 ELSE 0 END) AS below
+      FROM lineitem, med GROUP BY 1),
+    tot AS (
+      SELECT sum(above) AS ta, sum(below) AS tb FROM g),
+    chi AS (
+      SELECT sum(
+        (above - (above + below) * CAST(ta AS DOUBLE) / (ta + tb))
+        * (above - (above + below) * CAST(ta AS DOUBLE) / (ta + tb))
+        / ((above + below) * CAST(ta AS DOUBLE) / (ta + tb))
+        + (below - (above + below) * CAST(tb AS DOUBLE) / (ta + tb))
+        * (below - (above + below) * CAST(tb AS DOUBLE) / (ta + tb))
+        / ((above + below) * CAST(tb AS DOUBLE) / (ta + tb))) AS t,
+        count(*) AS k,
+        max(ta + tb) AS nn
+      FROM g, tot)
+    SELECT (SELECT CAST(gm AS DOUBLE) FROM med) AS grand_median,
+           CAST(nn AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS df,
+           round(t, 6) AS chi2
+    FROM chi
+    """)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST across return-flag groups: classify every
+    line item as above / at-or-below the GRAND median quantity
+    (percentile_disc -- an exact order statistic, identical in both
+    engines), then the 2xk chi-square on the resulting contingency
+    table. The robust-to-everything k-sample location test (only the
+    counts matter), complementing agg_kruskal_wallis (rank sums) and
+    agg_welch_anova (means). One broadcast of the 1-row median, one
+    grouped count pass, a 3-row fold -- all counts exact integers."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    med = li.agg(F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .alias("gm"))
+    g = (li.crossJoin(F.broadcast(med))
+         .groupBy(F.col("l_returnflag").alias("grp"))
+         .agg(F.sum(F.when(F.col("l_quantity") > F.col("gm"), 1)
+                    .otherwise(0)).alias("above"),
+              F.sum(F.when(F.col("l_quantity") <= F.col("gm"), 1)
+                    .otherwise(0)).alias("below")))
+    tot = g.agg(F.sum("above").alias("ta"), F.sum("below").alias("tb"))
+    jg = g.crossJoin(F.broadcast(tot))
+    rt = (F.col("above") + F.col("below"))
+    ea = rt * F.col("ta").cast("double") / (F.col("ta") + F.col("tb"))
+    eb = rt * F.col("tb").cast("double") / (F.col("ta") + F.col("tb"))
+    chi = jg.agg(
+        F.sum((F.col("above") - ea) * (F.col("above") - ea) / ea
+              + (F.col("below") - eb) * (F.col("below") - eb) / eb)
+        .alias("t"),
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.col("ta") + F.col("tb")).alias("nn"))
+    out = chi.crossJoin(F.broadcast(med))
+    return out.select(
+        F.col("gm").cast("double").alias("grand_median"),
+        F.col("nn").cast("bigint").alias("n"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.round(F.col("t"), 6).alias("chi2"))
+
+
+@register(
+    "agg_ansari_bradley",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END) AS c2
+      FROM lineitem GROUP BY 1),
+    pr AS (
+      SELECT q, c1, c2, c1 + c2 AS cnt,
+             1 + coalesce(sum(c1 + c2) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS lo,
+             coalesce(sum(c1 + c2) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c1 + c2) AS hi,
+             sum(c1 + c2) OVER () AS nn
+      FROM h),
+    blk AS (
+      SELECT c1, c2, cnt, nn,
+             CAST((CAST(nn + 1 AS DOUBLE)
+                   - ((nn + 1) % 2)) / 2 AS BIGINT) AS p,
+             lo, hi
+      FROM pr),
+    sc AS (
+      SELECT c1, c2, cnt, nn,
+             (CASE WHEN least(hi, p) >= lo
+               THEN CAST(least(hi, p) AS HUGEINT) * (least(hi, p) + 1)
+                    - CAST(lo - 1 AS HUGEINT) * lo
+               ELSE 0 END
+              + CASE WHEN hi >= greatest(lo, p + 1)
+               THEN 2 * CAST(hi - greatest(lo, p + 1) + 1 AS HUGEINT)
+                      * (nn + 1)
+                    - (CAST(hi AS HUGEINT) * (hi + 1)
+                       - CAST(greatest(lo, p + 1) - 1 AS HUGEINT)
+                         * greatest(lo, p + 1))
+               ELSE 0 END) AS s2
+      FROM blk),
+    agg AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2, max(nn) AS nn,
+             sum(CAST(c1 AS DOUBLE) * s2 / (2.0 * cnt)) AS ab,
+             sum(CAST(s2 AS DOUBLE)) AS t2,
+             sum(CAST(s2 AS DOUBLE) * s2 / (4.0 * cnt)) AS sq
+      FROM sc)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(ab, 1) AS ab_stat,
+           round((ab - n1 * (t2 / (2.0 * nn)))
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / (nn * (nn - 1.0))
+                        * (sq - nn * (t2 / (2.0 * nn))
+                                    * (t2 / (2.0 * nn)))), 6) AS z_stat
+    FROM agg
+    """)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSARI-BRADLEY TEST for equal DISPERSION of discounted vs
+    full-price shipped quantities -- the scale counterpart of the
+    location tests (MWU/Mood): score each pooled observation
+    a_r = min(r, N+1-r) (small at both extremes, large in the
+    middle), AB = sum of scores in group 1, z from the exact
+    finite-population linear-rank-statistic variance
+    n1*n2/(N(N-1)) * SUM(a - abar)^2 which absorbs ties naturally.
+    Computed ENTIRELY on the bounded l_quantity histogram
+    (cliffs_delta's layout): each tied block [lo,hi] gets its midrank
+    score from the closed-form DOUBLED sum of min(r, N+1-r) over an
+    integer interval (exact hugeint arithmetic, the single /2 deferred
+    into one double division), so nothing row-pairwise or row-ranked
+    ever materializes -- the 6-billion-row form ranks 50 rows."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.groupBy("l_quantity")
+         .agg(F.sum(F.when(F.col("l_discount") >= 0.05, 1)
+                    .otherwise(0)).alias("c1"),
+              F.sum(F.when(F.col("l_discount") >= 0.05, 0)
+                    .otherwise(1)).alias("c2"))
+         .withColumnRenamed("l_quantity", "q"))
+    wl = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy()
+    cnt = F.col("c1") + F.col("c2")
+    before = F.coalesce(F.sum(cnt).over(wl), F.lit(0))
+    pr = h.select(
+        "q", "c1", "c2", cnt.alias("cnt"),
+        (before + 1).alias("lo"),
+        (before + cnt).alias("hi"),
+        F.sum(cnt).over(wt).alias("nn"))
+    p = (((F.col("nn") + 1).cast("double")
+          - ((F.col("nn") + 1) % 2)) / 2).cast("bigint")
+    blk = pr.select("c1", "c2", "cnt", "nn", p.alias("p"), "lo", "hi")
+    dec = lambda c: c.cast("decimal(38,0)")
+    a = F.least(F.col("hi"), F.col("p"))
+    b = F.greatest(F.col("lo"), F.col("p") + 1)
+    part1 = F.when(a >= F.col("lo"),
+                   dec(a) * (a + 1)
+                   - dec(F.col("lo") - 1) * F.col("lo")) \
+             .otherwise(F.lit(0).cast("decimal(38,0)"))
+    part2 = F.when(F.col("hi") >= b,
+                   F.lit(2).cast("decimal(38,0)")
+                   * dec(F.col("hi") - b + 1) * (F.col("nn") + 1)
+                   - (dec(F.col("hi")) * (F.col("hi") + 1)
+                      - dec(b - 1) * b)) \
+             .otherwise(F.lit(0).cast("decimal(38,0)"))
+    sc = blk.select("c1", "c2", "cnt", "nn",
+                    (part1 + part2).alias("s2"))
+    agg = sc.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("c1").cast("double") * F.col("s2")
+              / (2.0 * F.col("cnt"))).alias("ab"),
+        F.sum(F.col("s2").cast("double")).alias("t2"),
+        F.sum(F.col("s2").cast("double") * F.col("s2")
+              / (4.0 * F.col("cnt"))).alias("sq"))
+    nn = F.col("nn")
+    abar = F.col("t2") / (2.0 * nn)
+    var = (F.col("n1").cast("double") * F.col("n2")
+           / (nn * (nn - F.lit(1.0)))
+           * (F.col("sq") - nn * abar * abar))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("ab"), 1).alias("ab_stat"),
+        F.round((F.col("ab") - F.col("n1") * abar) / F.sqrt(var), 6)
+        .alias("z_stat"))
+
+
+@register(
+    "agg_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    td AS (
+      SELECT d, y,
+             datediff('day', TIMESTAMP '1992-01-01', d) AS t
+      FROM daily),
+    s AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(CAST(t AS HUGEINT) * y) AS sty,
+             sum(CAST(t AS HUGEINT) * t) AS stt
+      FROM td),
+    coef AS (
+      SELECT n,
+             CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+             / CAST(n * stt - CAST(st AS HUGEINT) * st AS DOUBLE)
+               AS b,
+             st, sy
+      FROM s),
+    resid AS (
+      SELECT d,
+             CAST(y AS DOUBLE)
+             - (CAST(sy AS DOUBLE) - b * st) / n
+             - b * t AS e
+      FROM td, coef),
+    dd AS (
+      SELECT e, e - lag(e) OVER (ORDER BY d) AS de FROM resid),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN de IS NULL THEN 0 ELSE de * de END) AS num,
+             sum(e * e) AS den
+      FROM dd)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           (SELECT round(b / 100.0, 6) FROM coef)
+             AS slope_dollars_per_day,
+           round(num / den, 6) AS dw_stat
+    FROM agg
+    """)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON TEST for first-order autocorrelation in the
+    residuals of the daily-revenue-on-time OLS trend -- the classic
+    'is my regression lying about its standard errors' diagnostic:
+    DW = SUM (e_t - e_{t-1})^2 / SUM e_t^2 (~2 means independent,
+    ->0 positive, ->4 negative autocorrelation). The OLS slope comes
+    from EXACT hugeint normal-equation sums (n*Sty - St*Sy over
+    n*Stt - St^2 -- one double division at the end), residuals are
+    the identical double expression in both engines, and the lag
+    window rides the day-keyed aggregate (date-span domain, ~2.4k
+    rows), so the full scan never serializes through one partition."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"), "o_totalprice")
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("y")))
+    td = daily.select(
+        "d", "y",
+        F.datediff(F.col("d"), F.lit("1992-01-01")).cast("long")
+        .alias("t"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = td.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"), F.sum("y").alias("sy"),
+        F.sum(dec("t") * F.col("y")).alias("sty"),
+        F.sum(dec("t") * F.col("t")).alias("stt"))
+    b = ((F.col("n") * F.col("sty")
+          - dec("st") * F.col("sy")).cast("double")
+         / (F.col("n") * F.col("stt")
+            - dec("st") * F.col("st")).cast("double"))
+    coef = s.select("n", b.alias("b"), "st", "sy")
+    resid = (td.crossJoin(F.broadcast(coef))
+             .select("d",
+                     (F.col("y").cast("double")
+                      - (F.col("sy").cast("double")
+                         - F.col("b") * F.col("st")) / F.col("n")
+                      - F.col("b") * F.col("t")).alias("e")))
+    w = Window.orderBy("d")
+    dd = resid.select("e", (F.col("e") - F.lag("e").over(w))
+                      .alias("de"))
+    agg = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("de").isNull(), 0.0)
+              .otherwise(F.col("de") * F.col("de"))).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"))
+    out = agg.crossJoin(F.broadcast(coef.select(
+        F.round(F.col("b") / 100.0, 6).alias("slope_dollars_per_day"))))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        "slope_dollars_per_day",
+        F.round(F.col("num") / F.col("den"), 6).alias("dw_stat"))
