@@ -5367,3 +5367,250 @@ def _register_tws_initial_state() -> None:
 
 
 _register_tws_initial_state()
+
+
+@register(
+    "ts_adf_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    lagd AS (
+      SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+             lag(y) OVER (ORDER BY d) AS x
+      FROM daily),
+    v AS (SELECT dy, x FROM lagd WHERE x IS NOT NULL),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(dy) AS sdy,
+             sum(CAST(x AS HUGEINT) * dy) AS sxdy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(dy AS HUGEINT) * dy) AS sdd
+      FROM v),
+    e AS (
+      SELECT n,
+        CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS sxxn,
+        CAST(n * sxdy - CAST(sx AS HUGEINT) * sdy AS DOUBLE) AS sxyn,
+        CAST(n * sdd - CAST(sdy AS HUGEINT) * sdy AS DOUBLE) AS syyn
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(sxyn / sxxn, 6) AS rho_hat,
+           round((sxyn / sxxn)
+                 / sqrt(((syyn - sxyn * sxyn / sxxn) / n) * n
+                        / ((n - 2.0) * sxxn)), 6) AS adf_t
+    FROM e
+    """)
+def ts_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(Augmented) DICKEY-FULLER unit-root test, lag-0 with constant,
+    on the daily order-count series: regress delta-y_t on y_{t-1} and
+    report rho-hat and its t-statistic (compare to the DF critical
+    values; near-0 rho with a large negative t rejects the unit
+    root => the series is stationary and differencing would
+    OVER-difference it). Both delta-y and the lagged level are exact
+    integers, so every normal-equation sum is an exact hugeint and
+    the t-stat is one identical double expression in both engines.
+    The lag window rides the day-keyed aggregate (date-span domain);
+    the full scan is one partial count."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("d")
+    v = (daily.select((F.col("y") - F.lag("y").over(w)).alias("dy"),
+                      F.lag("y").over(w).alias("x"))
+         .filter(F.col("x").isNotNull()))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("dy").alias("sdy"),
+        F.sum(dec("x") * F.col("dy")).alias("sxdy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("dy") * F.col("dy")).alias("sdd"))
+    e = s.select(
+        "n",
+        (F.col("n") * F.col("sxx") - dec("sx") * F.col("sx"))
+        .cast("double").alias("sxxn"),
+        (F.col("n") * F.col("sxdy") - dec("sx") * F.col("sdy"))
+        .cast("double").alias("sxyn"),
+        (F.col("n") * F.col("sdd") - dec("sdy") * F.col("sdy"))
+        .cast("double").alias("syyn"))
+    rho = F.col("sxyn") / F.col("sxxn")
+    ssr = (F.col("syyn")
+           - F.col("sxyn") * F.col("sxyn") / F.col("sxxn")) / F.col("n")
+    se2 = ssr * F.col("n") / ((F.col("n") - 2.0) * F.col("sxxn"))
+    return e.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(rho, 6).alias("rho_hat"),
+        F.round(rho / F.sqrt(se2), 6).alias("adf_t"))
+
+
+@register(
+    "ts_croston",
+    oracle="""
+    WITH RECURSIVE pd AS (
+      SELECT l_partkey,
+             datediff('day', TIMESTAMP '1992-01-01',
+                      date_trunc('day', l_shipdate)) AS t,
+             round(sum(l_quantity), 6) AS q
+      FROM lineitem GROUP BY 1, 2),
+    series AS (
+      SELECT l_partkey, list({'t': t, 'q': q} ORDER BY t) AS xs,
+             count(*) AS n
+      FROM pd GROUP BY 1 HAVING count(*) >= 2),
+    step AS (
+      SELECT l_partkey, xs, n, 1 AS k,
+             xs[1].q::DOUBLE AS z, -1.0::DOUBLE AS p, xs[1].t AS tp
+      FROM series
+      UNION ALL
+      SELECT l_partkey, xs, n, k + 1,
+             0.2::DOUBLE * xs[k + 1].q + 0.8::DOUBLE * z,
+             CASE WHEN p < 0
+               THEN (xs[k + 1].t - tp)::DOUBLE
+               ELSE 0.2::DOUBLE * (xs[k + 1].t - tp)
+                    + 0.8::DOUBLE * p END,
+             xs[k + 1].t
+      FROM step WHERE k < n)
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_demands,
+           round(z, 6) AS level_demand,
+           round(p, 6) AS level_interval,
+           round(z / p, 6) AS forecast_rate
+    FROM step WHERE k = n
+    """)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for INTERMITTENT demand — the forecaster for
+    series that are mostly zero (a part sells ~30 days out of 2 400):
+    plain SES collapses toward zero between demands, so Croston
+    smooths the nonzero demand SIZES and the inter-demand INTERVALS
+    separately (both alpha = 0.2) and forecasts their ratio z/p per
+    period. Per-part demand days come from one (part, day) partial
+    aggregate; each part's series is assembled once (sort_array over
+    collect_list, one shuffle, state bounded by that part's own
+    history) and folded JVM-side with a (z, p, t_prev) STRUCT
+    accumulator through the higher-order ``aggregate`` — the interval
+    state seeds lazily (sentinel p = -1 until the first gap), pinned
+    identically in the oracle's recursive CTE (scalar columns — the
+    DuckDB 1.0.0 list_reduce struct-aliasing rule, see
+    ts_holt_forecast)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pd_ = (li.groupBy(
+        "l_partkey",
+        F.datediff(F.date_trunc("day", F.col("l_shipdate")),
+                   F.lit("1992-01-01")).alias("t"))
+        .agg(F.round(F.sum("l_quantity"), 6).alias("q")))
+    series = (pd_.select("l_partkey",
+                         F.struct("t", "q").alias("s"))
+              .groupBy("l_partkey")
+              .agg(F.sort_array(F.collect_list("s")).alias("xs"))
+              .filter(F.size("xs") >= 2))
+    folded = series.withColumn("st", F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "
+        "named_struct('z', CAST(xs[0].q AS DOUBLE), "
+        "'p', CAST(-1.0 AS DOUBLE), 'tp', xs[0].t), "
+        "(acc, s) -> named_struct("
+        "'z', 0.2D * s.q + 0.8D * acc.z, "
+        "'p', CASE WHEN acc.p < 0 THEN CAST(s.t - acc.tp AS DOUBLE) "
+        "ELSE 0.2D * (s.t - acc.tp) + 0.8D * acc.p END, "
+        "'tp', s.t))"))
+    return folded.select(
+        "l_partkey",
+        F.size("xs").cast("bigint").alias("n_demands"),
+        F.round(F.col("st.z"), 6).alias("level_demand"),
+        F.round(F.col("st.p"), 6).alias("level_interval"),
+        F.round(F.col("st.z") / F.col("st.p"), 6).alias("forecast_rate"))
+
+
+@register(
+    "ts_theta_forecast",
+    oracle="""
+    WITH mo AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY m) AS t, rev FROM mo),
+    s AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(rev) AS sy,
+             sum(CAST(t AS HUGEINT) * rev) AS sty,
+             sum(CAST(t AS HUGEINT) * t) AS stt
+      FROM idx),
+    coef AS (
+      SELECT n,
+        CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+        / CAST(n * stt - CAST(st AS HUGEINT) * st AS DOUBLE) AS b,
+        st, sy
+      FROM s),
+    th AS (
+      SELECT list(2.0 * rev
+                  - ((CAST(sy AS DOUBLE) - b * st) / n + b * t)
+             ORDER BY t) AS ds,
+             max(n) AS n,
+             max((CAST(sy AS DOUBLE) - b * st) / n) AS a,
+             max(b) AS b
+      FROM idx, coef),
+    ses AS (
+      SELECT n, a, b,
+             list_reduce(ds, (acc, x) -> 0.5 * x + 0.5 * acc) AS l
+      FROM th)
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(b / 100.0, 6) AS trend_dollars_per_month,
+           round(l / 100.0, 4) AS theta_ses_level,
+           round(0.5 * (a + b * (n + 1)) / 100.0
+                 + 0.5 * l / 100.0, 4) AS forecast_next
+    FROM ses
+    """)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-METHOD one-step forecast (theta = 2, the M3-winning
+    configuration) of monthly revenue: decompose the series into the
+    theta = 0 line (the OLS linear trend, here from exact hugeint
+    normal equations) and the theta = 2 line (2y_t - trend_t, double
+    curvature), SES the theta-2 line (alpha = 0.5, init l1 = d1 — the
+    seed-with-first-element fold both engines share), and combine
+    half-and-half: forecast = (trend extrapolated to n+1 + SES
+    level) / 2. The month aggregate is exact integer cents; the
+    84-point fold runs JVM-side via the higher-order ``aggregate``
+    with a scalar accumulator (list_reduce-safe shape in the
+    oracle)."""
+    o = tables.load(spark, sf_dir, "orders")
+    mo = (o.select(F.date_trunc("month", F.col("o_orderdate"))
+                   .alias("m"), "o_totalprice")
+          .groupBy("m")
+          .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+               .alias("rev")))
+    idx = mo.select(F.row_number().over(Window.orderBy("m"))
+                    .alias("t"), "rev")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"), F.sum("rev").alias("sy"),
+        F.sum(dec("t") * F.col("rev")).alias("sty"),
+        F.sum(dec("t") * F.col("t")).alias("stt"))
+    b = ((F.col("n") * F.col("sty") - dec("st") * F.col("sy"))
+         .cast("double")
+         / (F.col("n") * F.col("stt") - dec("st") * F.col("st"))
+         .cast("double"))
+    coef = s.select("n", b.alias("b"), "st", "sy")
+    a = (F.col("sy").cast("double") - F.col("b") * F.col("st")) \
+        / F.col("n")
+    th = (idx.crossJoin(F.broadcast(coef))
+          .select(F.struct("t",
+                           (2.0 * F.col("rev") - (a + F.col("b")
+                                                  * F.col("t")))
+                           .alias("dv")).alias("sd"),
+                  "n", a.alias("a"), "b")
+          .groupBy()
+          .agg(F.expr("transform(sort_array(collect_list(sd)),"
+                      " s -> s.dv)").alias("ds"),
+               F.max("n").alias("n"), F.max("a").alias("a"),
+               F.max("b").alias("b")))
+    ses = th.select(
+        "n", "a", "b",
+        F.expr("aggregate(slice(ds, 2, greatest(size(ds) - 1, 0)), "
+               "CAST(ds[0] AS DOUBLE), "
+               "(acc, x) -> 0.5D * x + 0.5D * acc)").alias("l"))
+    return ses.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(F.col("b") / 100.0, 6).alias("trend_dollars_per_month"),
+        F.round(F.col("l") / 100.0, 4).alias("theta_ses_level"),
+        F.round(0.5 * (F.col("a") + F.col("b") * (F.col("n") + 1))
+                / 100.0 + 0.5 * F.col("l") / 100.0, 4)
+        .alias("forecast_next"))

@@ -8647,3 +8647,216 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         "slope_dollars_per_day",
         F.round(F.col("num") / F.col("den"), 6).alias("dw_stat"))
+
+
+#: Newton/IRLS iteration cap for agg_poisson_irls — the canonical-link
+#: Poisson Newton from the log-mean start converges in ~4-5 rounds;
+#: the cap bounds the unrolled oracle.
+_POIS_CAP = 8
+
+
+def _pois_round_sql(r: int) -> str:
+    """One Poisson-IRLS round (DuckDB): 9-dp-rounded per-row rates at
+    the previous weights, DECIMAL-exact gradient/Hessian sums,
+    closed-form 2x2 solve, 9-dp-rounded step. MATERIALIZED — each
+    round is referenced by the next and by the final union."""
+    prev = f"pw{r - 1}"
+    return f"""
+    pw{r} AS MATERIALIZED (
+      SELECT round(w.a + t.dw0, 9) AS a, round(w.b + t.dw1, 9) AS b,
+             greatest(abs(t.dw0), abs(t.dw1)) AS delta
+      FROM (
+        SELECT round((h11*g0 - h01*g1) / (h00*h11 - h01*h01), 9) AS dw0,
+               round((h00*g1 - h01*g0) / (h00*h11 - h01*h01), 9) AS dw1
+        FROM (
+          SELECT
+            CAST(sum(CAST(round(y - lam, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS g0,
+            CAST(sum(CAST(round((y - lam) * z, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS g1,
+            CAST(sum(CAST(round(lam, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS h00,
+            CAST(sum(CAST(round(lam * z, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS h01,
+            CAST(sum(CAST(round(lam * z * z, 9) AS DECIMAL(24,9)))
+                 AS DOUBLE) AS h11
+          FROM (SELECT y, z, round(exp(w.a + w.b * z), 9) AS lam
+                FROM pd, {prev} w))) t, {prev} w)
+    """
+
+
+@register(
+    "agg_poisson_irls",
+    oracle=f"""
+    WITH pd AS MATERIALIZED (
+      SELECT CAST(count(*) AS DOUBLE) AS y,
+             round(datediff('day', TIMESTAMP '1992-01-01',
+                            min(l_shipdate)) / 3000.0, 9) AS z
+      FROM lineitem GROUP BY l_orderkey),
+    pw0 AS (SELECT round(ln(avg(y)), 9) AS a, 0.0::DOUBLE AS b,
+                   1.0::DOUBLE AS delta FROM pd),
+    {",".join(_pois_round_sql(r) for r in range(1, _POIS_CAP + 1))},
+    allw AS ({" UNION ALL ".join(
+        f"SELECT {r} AS r, a, b, delta FROM pw{r}"
+        for r in range(1, _POIS_CAP + 1))}),
+    conv AS (SELECT coalesce(min(CASE WHEN delta < 1e-7 THEN r END),
+                             {_POIS_CAP}) AS k FROM allw)
+    SELECT a AS w_intercept, b AS w_slope, conv.k AS n_iters
+    FROM allw, conv WHERE allw.r = conv.k
+    """)
+def agg_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON REGRESSION trained in-engine by Newton/IRLS — the
+    count-data GLM (log link) that complements agg_logreg_irls's
+    binary one: y = lines per order, z = ship-epoch (days/3000),
+    rate lambda = exp(a + b z). Canonical-link Newton: gradient
+    SUM (y - lambda) [1, z], Hessian SUM lambda [1,z][1,z]^T, 2x2
+    closed-form solve, started at the textbook a0 = ln(mean y)
+    (starting at 0 would overshoot exp catastrophically). Every
+    per-row rate is 9-dp rounded and every moment an exact
+    DECIMAL(24,9) sum, so the weight trajectory and the stop round
+    (step < 1e-7, cap {_POIS_CAP}) are identical across engines and
+    partitionings; the oracle replays the rule unrolled with
+    MATERIALIZED rounds.
+
+    Scale: each round is one groupBy(l_orderkey) partial count +
+    five decimal partial sums (map-side combinable), two scalars to
+    the driver; state never grows with data."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pd_ = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).cast("double").alias("y"),
+                F.round(F.datediff(F.min("l_shipdate"),
+                                   F.lit("1992-01-01")) / 3000.0, 9)
+                .alias("z")))
+    a0 = pd_.agg(F.round(F.log(F.avg("y")), 9).alias("a")).first()["a"]
+    a, b = float(a0), 0.0
+    n_iters = _POIS_CAP
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(24,9)")) \
+            .cast("double")
+
+    for r in range(1, _POIS_CAP + 1):
+        lam = F.round(F.exp(F.lit(a) + F.lit(b) * F.col("z")), 9)
+        sums = pd_.agg(
+            dsum(F.col("y") - lam).alias("g0"),
+            dsum((F.col("y") - lam) * F.col("z")).alias("g1"),
+            dsum(lam).alias("h00"),
+            dsum(lam * F.col("z")).alias("h01"),
+            dsum(lam * F.col("z") * F.col("z")).alias("h11"))
+        det = (F.col("h00") * F.col("h11")
+               - F.col("h01") * F.col("h01"))
+        res = sums.select(
+            F.round((F.col("h11") * F.col("g0")
+                     - F.col("h01") * F.col("g1")) / det, 9)
+            .alias("dw0"),
+            F.round((F.col("h00") * F.col("g1")
+                     - F.col("h01") * F.col("g0")) / det, 9)
+            .alias("dw1")).first()
+        a = round(a + res["dw0"], 9)
+        b = round(b + res["dw1"], 9)
+        if max(abs(res["dw0"]), abs(res["dw1"])) < 1e-7:
+            n_iters = r
+            break
+    return spark.range(1).select(
+        F.lit(a).alias("w_intercept"), F.lit(b).alias("w_slope"),
+        F.lit(n_iters).cast("int").alias("n_iters"))
+
+
+@register(
+    "agg_chow_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    td AS (
+      SELECT CASE WHEN d < TIMESTAMP '1995-07-01' THEN 0 ELSE 1 END
+               AS seg,
+             datediff('day', TIMESTAMP '1992-01-01', d) AS t, y
+      FROM daily),
+    g AS (
+      SELECT seg, count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(CAST(t AS HUGEINT) * y) AS sty,
+             sum(CAST(t AS HUGEINT) * t) AS stt,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM td GROUP BY 1),
+    seg_ssr AS (
+      SELECT sum(
+        (CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+         - CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+           * CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n * stt - CAST(st AS HUGEINT) * st AS DOUBLE))
+        / n) AS ssr_split,
+        sum(n) AS n, sum(st) AS st, sum(sy) AS sy, sum(sty) AS sty,
+        sum(stt) AS stt, sum(syy) AS syy
+      FROM g),
+    pooled AS (
+      SELECT ssr_split, n,
+        (CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+         - CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+           * CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n * stt - CAST(st AS HUGEINT) * st AS DOUBLE))
+        / n AS ssr_pool
+      FROM seg_ssr)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(ssr_pool / 1e16, 6) AS ssr_pooled_e16,
+           round(ssr_split / 1e16, 6) AS ssr_split_e16,
+           round(((ssr_pool - ssr_split) / 2.0)
+                 / (ssr_split / (n - 4.0)), 6) AS chow_f
+    FROM pooled
+    """)
+def agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHOW TEST for a STRUCTURAL BREAK in the daily-revenue trend at
+    1995-07-01 (the series midpoint): F = ((SSR_pooled - SSR_1 -
+    SSR_2)/k) / ((SSR_1 + SSR_2)/(n - 2k)) with k = 2 (intercept +
+    slope). Each segment's SSR comes from the n-scaled exact
+    normal-equation sums (SSR = (n*Syy - Sy^2 - (n*Sty - St*Sy)^2 /
+    (n*Stt - St^2)) / n — every bracketed quantity an exact
+    hugeint/decimal integer, one double division at the end), and the
+    pooled SSR reuses the SAME per-segment sums re-added — the
+    two-segment groupBy IS the whole computation, no second scan.
+    SSRs are reported in 1e16-cent^2 units to keep round(x, 6) inside
+    the 2^53 cross-engine-exact window."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"), "o_totalprice")
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("y")))
+    td = daily.select(
+        F.when(F.col("d") < F.lit("1995-07-01").cast("timestamp"), 0)
+        .otherwise(1).alias("seg"),
+        F.datediff(F.col("d"), F.lit("1992-01-01")).cast("long")
+        .alias("t"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = td.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"), F.sum("y").alias("sy"),
+        F.sum(dec("t") * F.col("y")).alias("sty"),
+        F.sum(dec("t") * F.col("t")).alias("stt"),
+        F.sum(dec("y") * F.col("y")).alias("syy"))
+
+    def ssr():
+        syyn = (F.col("n") * F.col("syy")
+                - dec("sy") * F.col("sy")).cast("double")
+        sxyn = (F.col("n") * F.col("sty")
+                - dec("st") * F.col("sy")).cast("double")
+        sxxn = (F.col("n") * F.col("stt")
+                - dec("st") * F.col("st")).cast("double")
+        return (syyn - sxyn * sxyn / sxxn) / F.col("n")
+
+    seg_ssr = g.select("n", "st", "sy", "sty", "stt", "syy",
+                       ssr().alias("ssr_i")) \
+        .agg(F.sum("ssr_i").alias("ssr_split"),
+             F.sum("n").alias("n"), F.sum("st").alias("st"),
+             F.sum("sy").alias("sy"), F.sum("sty").alias("sty"),
+             F.sum("stt").alias("stt"), F.sum("syy").alias("syy"))
+    pooled = seg_ssr.select("ssr_split", "n", ssr().alias("ssr_pool"))
+    return pooled.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("ssr_pool") / 1e16, 6).alias("ssr_pooled_e16"),
+        F.round(F.col("ssr_split") / 1e16, 6).alias("ssr_split_e16"),
+        F.round(((F.col("ssr_pool") - F.col("ssr_split")) / 2.0)
+                / (F.col("ssr_split") / (F.col("n") - 4.0)), 6)
+        .alias("chow_f"))
