@@ -5614,3 +5614,99 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * (F.col("a") + F.col("b") * (F.col("n") + 1))
                 / 100.0 + 0.5 * F.col("l") / 100.0, 4)
         .alias("forecast_next"))
+
+
+@register(
+    "ts_sax",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS rn, y FROM daily),
+    tot AS (
+      SELECT count(*) AS n, sum(y) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM idx),
+    segm AS (
+      SELECT CAST(floor((rn - 1) * 16 / CAST(n AS DOUBLE)) AS BIGINT)
+               AS seg,
+             y, n, sy, syy
+      FROM idx, tot),
+    paa AS (
+      SELECT seg, count(*) AS n_days,
+             (CAST(sum(y) AS DOUBLE) / count(*)
+              - CAST(max(sy) AS DOUBLE) / max(n))
+             / sqrt((CAST(max(n) AS DOUBLE) * max(syy)
+                     - CAST(max(sy) AS DOUBLE) * max(sy))
+                    / (CAST(max(n) AS DOUBLE) * (max(n) - 1)))
+               AS z
+      FROM segm GROUP BY seg),
+    sym AS (
+      SELECT seg, n_days, z,
+             CASE WHEN z < -0.6745 THEN 'a'
+                  WHEN z < 0.0 THEN 'b'
+                  WHEN z < 0.6745 THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM paa),
+    word AS (SELECT string_agg(symbol, '' ORDER BY seg) AS w FROM sym)
+    SELECT seg, CAST(n_days AS BIGINT) AS n_days,
+           round(z, 6) AS paa_z, symbol,
+           (SELECT w FROM word) AS sax_word
+    FROM sym
+    """)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the daily-revenue
+    series: PAA into 16 equal-width segments, z-normalized against
+    the whole series, quantized to a 4-letter alphabet at the
+    standard N(0,1) quartile breakpoints (-0.6745, 0, 0.6745) -- the
+    classic time-series indexing/motif representation (Lin-Keogh).
+    The z-normalization is applied ALGEBRAICALLY to the per-segment
+    integer sums ((sum/cnt - mu)/sigma with mu/sigma from exact
+    global hugeint sums), so no per-row double ever feeds an
+    unordered sum and the letters are engine-identical by
+    construction. Segment assignment floor((rn-1)*w/n) is exact
+    double math below 2^53. The 16-row symbol frame folds into the
+    SAX word with an ORDER BY string_agg."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"), "o_totalprice")
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("y")))
+    idx = daily.select(F.row_number().over(Window.orderBy("d"))
+                       .alias("rn"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    tot = idx.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("y").alias("sy"),
+                  F.sum(dec("y") * F.col("y")).alias("syy"))
+    segm = (idx.crossJoin(F.broadcast(tot))
+            .select(F.floor((F.col("rn") - 1) * 16
+                            / F.col("n").cast("double"))
+                    .cast("bigint").alias("seg"),
+                    "y", "n", "sy", "syy"))
+    paa = segm.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        ((F.sum("y").cast("double") / F.count(F.lit(1))
+          - F.max("sy").cast("double") / F.max("n"))
+         / F.sqrt((F.max("n").cast("double") * F.max("syy")
+                   - F.max("sy").cast("double") * F.max("sy"))
+                  / (F.max("n").cast("double") * (F.max("n") - 1))))
+        .alias("z"))
+    sym = paa.select(
+        "seg", "n_days", "z",
+        F.when(F.col("z") < -0.6745, "a")
+        .when(F.col("z") < 0.0, "b")
+        .when(F.col("z") < 0.6745, "c")
+        .otherwise("d").alias("symbol"))
+    word = (sym.select(F.struct("seg", "symbol").alias("s"))
+            .agg(F.concat_ws(
+                "", F.expr("transform(sort_array(collect_list(s)),"
+                           " x -> x.symbol)")).alias("w")))
+    return (sym.crossJoin(F.broadcast(word))
+            .select("seg", F.col("n_days").cast("bigint")
+                    .alias("n_days"),
+                    F.round("z", 6).alias("paa_z"), "symbol",
+                    F.col("w").alias("sax_word")))

@@ -9155,3 +9155,211 @@ def mm_decode_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("sr")))
     encoded = MM.synth_wav_files(base)
     return MM.decode_wav_batch(encoded)
+
+
+@register(
+    "text_collocations_llr",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(len(tk) - 1),
+                    i -> {{'a': tk[i+1], 'b': tk[i+2]}})) AS p
+      FROM t WHERE len(tk) >= 2),
+    cxy AS (SELECT p.a AS a, p.b AS b, count(*) AS k11
+            FROM pairs GROUP BY 1, 2),
+    ca AS (SELECT a, sum(k11) AS r FROM cxy GROUP BY 1),
+    cb AS (SELECT b, sum(k11) AS c FROM cxy GROUP BY 1),
+    tot AS (SELECT sum(k11) AS nn FROM cxy),
+    scored AS (
+      SELECT cxy.a, cxy.b, k11, ca.r AS r, cb.c AS c, tot.nn AS nn,
+             ca.r - k11 AS k12, cb.c - k11 AS k21,
+             tot.nn - ca.r - cb.c + k11 AS k22
+      FROM cxy JOIN ca ON ca.a = cxy.a
+               JOIN cb ON cb.b = cxy.b, tot),
+    llr AS (
+      SELECT a, b, k11,
+        round(2.0 * (
+          CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * nn
+               / (CAST(r AS DOUBLE) * c)) ELSE 0 END
+        + CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * nn
+               / (CAST(r AS DOUBLE) * (nn - c))) ELSE 0 END
+        + CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * nn
+               / (CAST(nn - r AS DOUBLE) * c)) ELSE 0 END
+        + CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * nn
+               / (CAST(nn - r AS DOUBLE) * (nn - c))) ELSE 0 END), 6)
+          AS llr
+      FROM scored)
+    SELECT a, b, CAST(k11 AS BIGINT) AS n_pair, llr
+    FROM llr ORDER BY n_pair DESC, a, b LIMIT 100
+    """)
+def text_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNNING LOG-LIKELIHOOD-RATIO collocation extraction over
+    adjacent bigrams -- the statistically honest replacement for raw
+    PMI (text_cooccurrence_pmi), which over-rewards rare pairs: LLR =
+    2 * SUM k_ij ln(k_ij N / (R_i C_j)) over the full 2x2 contingency
+    of (first = a) x (second = b) bigram events, so one co-occurrence
+    of two hapaxes no longer outranks a frequent true collocation.
+    Pair extraction is map-side array adjacency (no positional
+    self-join); the row/column margins derive from the PAIR counts
+    themselves (two grouped re-aggregations of the vocab-sized pair
+    table, never a second corpus scan); all counts are exact
+    integers, so the rounded LLR is engine-identical. Deterministic
+    top-100 by the integer pair count with (a, b) tie-break."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    t = d.select(ws_tokens(F.lower(F.col("text"))).alias("tk")) \
+         .filter(F.size("tk") >= 2)
+    pairs = t.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(F.element_at("tk", i).alias("a"),
+                           F.element_at("tk", i + 1).alias("b"))))
+        .alias("p")).select("p.a", "p.b")
+    cxy = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k11"))
+    ca = cxy.groupBy("a").agg(F.sum("k11").alias("r"))
+    cb = cxy.groupBy("b").agg(F.sum("k11").alias("c"))
+    tot = cxy.agg(F.sum("k11").alias("nn"))
+    scored = (cxy.join(ca, "a").join(cb, "b")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("k12", F.col("r") - F.col("k11"))
+              .withColumn("k21", F.col("c") - F.col("k11"))
+              .withColumn("k22", F.col("nn") - F.col("r")
+                          - F.col("c") + F.col("k11")))
+
+    def term(k, num, den):
+        return F.when(k > 0, k * F.log(k.cast("double") * F.col("nn")
+                                       / den)).otherwise(0.0)
+
+    nn, r, c = F.col("nn"), F.col("r"), F.col("c")
+    llr = 2.0 * (
+        term(F.col("k11"), None, r.cast("double") * c)
+        + term(F.col("k12"), None, r.cast("double") * (nn - c))
+        + term(F.col("k21"), None, (nn - r).cast("double") * c)
+        + term(F.col("k22"), None, (nn - r).cast("double") * (nn - c)))
+    return (scored.select("a", "b",
+                          F.col("k11").cast("bigint").alias("n_pair"),
+                          F.round(llr, 6).alias("llr"))
+            .orderBy(F.desc("n_pair"), "a", "b").limit(100))
+
+
+@register(
+    "sketch_bloom_explicit",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    kpos AS (
+      SELECT k,
+             ((k * 48271) % 2147483647
+              + j * (1 + (k * 69621) % 2147483646)) % 16384 AS pos
+      FROM keys, unnest([0, 1, 2, 3]) AS t(j)),
+    filt AS (
+      SELECT CAST(floor(pos / 32.0) AS BIGINT) AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM kpos GROUP BY 1),
+    probes AS (
+      SELECT c.c_custkey AS pk,
+             (EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey))
+               AS is_member
+      FROM customer c),
+    ppos AS (
+      SELECT pk, is_member,
+             ((pk * 48271) % 2147483647
+              + j * (1 + (pk * 69621) % 2147483646)) % 16384 AS pos
+      FROM probes, unnest([0, 1, 2, 3]) AS t(j)),
+    checked AS (
+      SELECT pk, bool_and(is_member) AS is_member,
+             bool_and(coalesce(
+               (f.bits & (1::BIGINT
+                          << CAST(p.pos % 32 AS INTEGER)))
+               = (1::BIGINT << CAST(p.pos % 32 AS INTEGER)),
+               FALSE)) AS maybe
+      FROM ppos p LEFT JOIN filt f
+        ON f.word = CAST(floor(p.pos / 32.0) AS BIGINT)
+      GROUP BY pk),
+    fstats AS (SELECT sum(bit_count(bits)) AS bits_set FROM filt)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+           16384 AS m_bits, 4 AS k_hashes,
+           CAST(bits_set AS BIGINT) AS bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM checked) AS n_probes,
+           (SELECT CAST(count(*) FILTER (WHERE is_member) AS BIGINT)
+            FROM checked) AS n_members,
+           (SELECT CAST(count(*) FILTER (WHERE maybe) AS BIGINT)
+            FROM checked) AS n_maybe,
+           (SELECT CAST(count(*) FILTER (WHERE maybe AND NOT is_member)
+                        AS BIGINT) FROM checked) AS n_false_pos,
+           (SELECT round(CAST(count(*) FILTER
+                    (WHERE maybe AND NOT is_member) AS DOUBLE)
+                   / greatest(count(*) FILTER (WHERE NOT is_member), 1),
+                   6) FROM checked) AS fp_rate
+    FROM fstats
+    """)
+def sketch_bloom_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE BLOOM FILTER built and probed entirely in SQL
+    arithmetic -- unlike Spark's built-in bloom_filter_agg (whose
+    bit layout is engine-private), this one pins the hash family
+    (double hashing: pos_j = (h1 + j*h2) mod m with two
+    Lehmer-style multiplicative hashes mod the Mersenne primes-ish
+    2^31-1 / 2^31-2), m = 16384 bits packed into 512 32-bit words
+    via bit_or of shifted masks, k = 4 probes. Build: 4 positions
+    per distinct ordering customer, one grouped bit_or -- the filter
+    is 512 rows and BROADCASTS, which is the whole point at 100 TB:
+    a semi-join against a billion-key set becomes a map-side bitmask
+    test with zero false negatives (verified: every member probes
+    'maybe') and a measured false-positive rate on the true
+    negatives (customers who never ordered). No false negative is
+    possible by construction; the oracle rebuilds the identical
+    filter bit-for-bit because every step is exact integer math."""
+    o = tables.load(spark, sf_dir, "orders")
+    cu = tables.load(spark, sf_dir, "customer")
+    keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    js = F.explode(F.array([F.lit(j) for j in range(4)])).alias("j")
+
+    def positions(col):
+        h1 = (col * 48271) % 2147483647
+        h2 = 1 + (col * 69621) % 2147483646
+        return (h1 + F.col("j") * h2) % 16384
+
+    kpos = keys.select("k", js).select(
+        "k", positions(F.col("k")).alias("pos"))
+    filt = (kpos.select(
+        F.floor(F.col("pos") / 32.0).cast("bigint").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")))
+    probes = (cu.select(F.col("c_custkey").alias("pk"))
+              .join(keys.withColumnRenamed("k", "pk")
+                    .withColumn("m", F.lit(True)), "pk", "left")
+              .select("pk", F.coalesce(F.col("m"), F.lit(False))
+                      .alias("is_member")))
+    ppos = probes.select("pk", "is_member", js).select(
+        "pk", "is_member", positions(F.col("pk")).alias("pos"))
+    mask = F.expr("shiftleft(1L, CAST(pos % 32 AS INT))")
+    checked = (ppos
+               .join(F.broadcast(filt),
+                     F.col("word") == F.floor(F.col("pos") / 32.0)
+                     .cast("bigint"), "left")
+               .groupBy("pk")
+               .agg(F.bool_and("is_member").alias("is_member"),
+                    F.bool_and(F.coalesce(
+                        (F.col("bits").bitwiseAND(mask)) == mask,
+                        F.lit(False))).alias("maybe")))
+    cstats = checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+        .cast("bigint").alias("n_maybe"),
+        F.sum(F.when(F.col("maybe") & ~F.col("is_member"), 1)
+              .otherwise(0)).cast("bigint").alias("n_false_pos"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .alias("n_neg"))
+    fstats = filt.agg(F.sum(F.bit_count("bits")).cast("bigint")
+                      .alias("bits_set"))
+    nk = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    out = (fstats.crossJoin(F.broadcast(cstats))
+           .crossJoin(F.broadcast(nk)))
+    return out.select(
+        "n_keys", F.lit(16384).alias("m_bits"),
+        F.lit(4).alias("k_hashes"), "bits_set",
+        "n_probes", "n_members", "n_maybe", "n_false_pos",
+        F.round(F.col("n_false_pos").cast("double")
+                / F.greatest(F.col("n_neg"), F.lit(1)), 6)
+        .alias("fp_rate"))

@@ -8860,3 +8860,131 @@ def agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((F.col("ssr_pool") - F.col("ssr_split")) / 2.0)
                 / (F.col("ssr_split") / (F.col("n") - 4.0)), 6)
         .alias("chow_f"))
+
+
+@register(
+    "agg_hill_tail_index",
+    oracle="""
+    WITH topk AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      FROM orders
+      ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+      LIMIT 1001),
+    mn AS (SELECT min(xc) AS xmin FROM topk)
+    SELECT 1000 AS hill_k,
+           round(max(xmin) / 100.0, 2) AS xmin_dollars,
+           round(1000.0
+                 / sum(ln(CAST(xc AS DOUBLE) / xmin)), 6) AS hill_alpha
+    FROM topk, mn
+    """)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the Pareto tail index over the top-1000
+    order values: alpha-hat = k / SUM ln(x_i / x_(k+1)) -- the
+    standard heavy-tail diagnostic (alpha <= 2 means infinite
+    variance: sample means of revenue stop concentrating and
+    percentile-based planning is mandatory). The top-(k+1) cut is a
+    TakeOrdered with a total order (value desc, key) so the threshold
+    order statistic is deterministic; the k+1-th value contributes
+    ln(1) = 0 so the single limited frame feeds one aggregate.
+    Complements agg_pareto_8020 (mass concentration) and
+    agg_tail_risk (fixed-quantile CVaR) with the index itself."""
+    o = tables.load(spark, sf_dir, "orders")
+    xc = F.round(F.col("o_totalprice") * 100).cast("long")
+    topk = (o.select(xc.alias("xc"), "o_orderkey")
+            .orderBy(F.desc("xc"), "o_orderkey").limit(1001)
+            .select("xc"))
+    mn = topk.agg(F.min("xc").alias("xmin"))
+    j = topk.crossJoin(F.broadcast(mn))
+    return j.agg(
+        F.lit(1000).alias("hill_k"),
+        F.round(F.max("xmin") / 100.0, 2).alias("xmin_dollars"),
+        F.round(1000.0 / F.sum(F.log(F.col("xc").cast("double")
+                                     / F.col("xmin"))), 6)
+        .alias("hill_alpha"))
+
+
+@register(
+    "agg_conformal_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 0
+                  WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1
+                  ELSE 2 END AS fold
+      FROM orders),
+    model AS (
+      SELECT grp, CAST(sum(y) AS DOUBLE) / count(*) AS yhat,
+             count(*) AS n_train
+      FROM base WHERE fold = 0 GROUP BY 1),
+    cal AS (
+      SELECT abs(b.y - m.yhat) AS s
+      FROM base b JOIN model m ON m.grp = b.grp WHERE b.fold = 1),
+    q AS (
+      SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY s) AS qhat,
+             count(*) AS n_cal
+      FROM cal),
+    test AS (
+      SELECT count(*) AS n_test,
+             sum(CASE WHEN abs(b.y - m.yhat) <= q.qhat
+                 THEN 1 ELSE 0 END) AS covered
+      FROM base b JOIN model m ON m.grp = b.grp, q
+      WHERE b.fold = 2)
+    SELECT (SELECT CAST(sum(n_train) AS BIGINT) FROM model) AS n_train,
+           (SELECT CAST(n_cal AS BIGINT) FROM q) AS n_cal,
+           CAST(n_test AS BIGINT) AS n_test,
+           (SELECT round(qhat / 100.0, 2) FROM q) AS qhat_dollars,
+           round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
+    FROM test
+    """)
+def agg_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION interval evaluation -- the
+    distribution-free uncertainty wrapper every deployed regressor
+    should ship with: train (pre-1997) fits a per-priority group-mean
+    model, calibration (1997) takes the 0.9 exact order statistic
+    (percentile_disc) of the absolute residuals as the interval
+    half-width qhat, test (1998+) measures empirical coverage of
+    yhat +/- qhat, which conformal theory guarantees ~90% regardless
+    of the model. (The textbook ceil((n+1)(1-alpha))/n index is
+    stated as the plain 0.9 quantile here -- pinned so both engines
+    select the identical calibration score.) Time-based folds make
+    it leakage-honest; the 5-row model broadcasts; scores are exact
+    integer-cents residuals against an identical double mean."""
+    o = tables.load(spark, sf_dir, "orders")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"), y.alias("y"),
+        F.when(F.col("o_orderdate")
+               < F.lit("1997-01-01").cast("timestamp"), 0)
+        .when(F.col("o_orderdate")
+              < F.lit("1998-01-01").cast("timestamp"), 1)
+        .otherwise(2).alias("fold"))
+    model = (base.filter(F.col("fold") == 0).groupBy("grp")
+             .agg((F.sum("y").cast("double") / F.count(F.lit(1)))
+                  .alias("yhat"),
+                  F.count(F.lit(1)).alias("n_train")))
+    cal = (base.filter(F.col("fold") == 1)
+           .join(F.broadcast(model), "grp")
+           .select(F.abs(F.col("y") - F.col("yhat")).alias("s")))
+    q = cal.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY s)")
+        .alias("qhat"),
+        F.count(F.lit(1)).alias("n_cal"))
+    test = (base.filter(F.col("fold") == 2)
+            .join(F.broadcast(model), "grp")
+            .crossJoin(F.broadcast(q))
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(F.when(F.abs(F.col("y") - F.col("yhat"))
+                              <= F.col("qhat"), 1).otherwise(0))
+                 .alias("covered"),
+                 F.max("qhat").alias("qhat"),
+                 F.max("n_cal").alias("n_cal")))
+    ntr = model.agg(F.sum("n_train").cast("bigint").alias("n_train"))
+    return (test.crossJoin(F.broadcast(ntr))
+            .select("n_train",
+                    F.col("n_cal").cast("bigint").alias("n_cal"),
+                    F.col("n_test").cast("bigint").alias("n_test"),
+                    F.round(F.col("qhat") / 100.0, 2)
+                    .alias("qhat_dollars"),
+                    F.round(F.col("covered").cast("double")
+                            / F.col("n_test"), 6).alias("coverage")))
