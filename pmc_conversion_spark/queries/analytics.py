@@ -1655,3 +1655,89 @@ def graph_clustering_coefficient(spark: SparkSession,
                     F.round(F.lit(2.0) * F.coalesce(F.col("tri"), F.lit(0))
                             / (F.col("d") * (F.col("d") - 1)), 6)
                     .alias("local_cc")))
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH el AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                FROM lineitem),
+    pc AS (SELECT a.s AS u, b.s AS v, count(*) AS c
+           FROM el a JOIN el b ON a.o = b.o AND a.s < b.s
+           GROUP BY 1, 2),
+    thr AS (SELECT quantile_cont(c, 0.9) AS t FROM pc),
+    e AS (SELECT u, v FROM pc, thr WHERE c >= thr.t),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    aa AS (
+      SELECT a.u AS a, b.u AS b,
+             count(*) AS common,
+             sum(floor(1048576.0 / ln(dw.d) + 0.5) / 1048576) AS score
+      FROM und a
+      JOIN und b ON b.v = a.v AND a.u < b.u
+      JOIN deg dw ON dw.u = a.v
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT a, b, common, score FROM aa c
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.u = c.a AND e.v = c.b))
+    SELECT a AS u, b AS v,
+           CAST(common AS BIGINT) AS common_neighbors,
+           round(score, 6) AS adamic_adar
+    FROM nonadj
+    ORDER BY score DESC, common DESC, u, v LIMIT 20
+    """)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction on the co-order supplier graph --
+    the refinement of plain common-neighbor/Jaccard scoring
+    (graph_link_prediction): each shared neighbor w contributes
+    1/ln(deg(w)), so a promiscuous hub vouches for almost nothing
+    while a rare shared partner counts heavily. Same top-decile edge
+    construction; the score's per-neighbor terms are quantized to the
+    binary 2^-20 grid (floor(x*2^20+0.5)/2^20, exact division), which
+    makes the SUM over common neighbors order-independent and
+    engine-identical -- the top-20 ordering is then fully
+    deterministic (score, count, pair), no double-tie ambiguity.
+    Every common neighbor has degree >= 2 by construction, so
+    ln(deg) is always positive."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    el = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_suppkey").alias("s")).distinct())
+    a_, b_ = el.alias("a"), el.alias("b")
+    pc = (a_.join(b_, (F.col("a.o") == F.col("b.o"))
+                  & (F.col("a.s") < F.col("b.s")))
+          .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+          .groupBy("u", "v").agg(F.count(F.lit(1)).alias("c")))
+    thr = pc.agg(F.expr("percentile(c, 0.9)").alias("t"))
+    e = (pc.crossJoin(F.broadcast(thr))
+         .filter(F.col("c") >= F.col("t"))
+         .select("u", "v")
+         .localCheckpoint(eager=True))
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n1 = und.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    n2 = und.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    dw = deg.select(F.col("u").alias("w"),
+                    (F.floor(F.lit(1048576.0)
+                             / F.log(F.col("d").cast("double")) + 0.5)
+                     / 1048576).alias("term"))
+    aa = (n1.join(n2, "w")
+          .filter(F.col("a") < F.col("b"))
+          .join(F.broadcast(dw), "w")
+          .groupBy("a", "b")
+          .agg(F.count(F.lit(1)).alias("common"),
+               F.sum("term").alias("score")))
+    nonadj = aa.join(
+        F.broadcast(e.select(F.col("u").alias("a"),
+                             F.col("v").alias("b"))),
+        ["a", "b"], "left_anti")
+    return (nonadj
+            .orderBy(F.desc("score"), F.desc("common"), "a", "b")
+            .limit(20)
+            .select(
+                F.col("a").alias("u"), F.col("b").alias("v"),
+                F.col("common").cast("bigint")
+                .alias("common_neighbors"),
+                F.round(F.col("score"), 6).alias("adamic_adar")))

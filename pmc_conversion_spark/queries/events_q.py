@@ -5710,3 +5710,82 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_days"),
                     F.round("z", 6).alias("paa_z"), "symbol",
                     F.col("w").alias("sax_word")))
+
+
+@register(
+    "ts_ccf",
+    oracle="""
+    WITH xd AS (
+      SELECT datediff('day', TIMESTAMP '1992-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             count(*) AS x
+      FROM orders GROUP BY 1),
+    yd AS (
+      SELECT datediff('day', TIMESTAMP '1992-01-01',
+                      date_trunc('day', l_shipdate)) AS t,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    j AS (
+      SELECT l.lag, x.x, y.y
+      FROM lags l
+      JOIN xd x ON TRUE
+      JOIN yd y ON y.t = x.t + l.lag),
+    s AS (
+      SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM j GROUP BY 1)
+    SELECT lag, CAST(n AS BIGINT) AS n_obs,
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                             AS DOUBLE)
+                        * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                               AS DOUBLE)), 6) AS ccf
+    FROM s ORDER BY lag
+    """)
+def ts_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between two daily series — order
+    arrivals (count) vs shipped quantity — at lags -7..+7: the
+    lead/lag detector that answers 'how many days after demand does
+    fulfilment peak' before anyone fits a transfer-function model.
+    Each lag's Pearson correlation comes from n-scaled EXACT hugeint
+    sums over the lag-shifted day join (integer day keys, a 15-row
+    broadcast lag dimension fanned against the 2.4k-day frames), so
+    all 15 coefficients are engine-identical doubles. The two daily
+    partial aggregates are the only corpus scans; everything after is
+    dimension-sized."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    xd = (o.select(F.datediff(F.date_trunc("day", F.col("o_orderdate")),
+                              F.lit("1992-01-01")).alias("t"))
+          .groupBy("t").agg(F.count(F.lit(1)).alias("x")))
+    yd = (li.select(F.datediff(F.date_trunc("day", F.col("l_shipdate")),
+                               F.lit("1992-01-01")).alias("t"),
+                    "l_quantity")
+          .groupBy("t")
+          .agg(F.round(F.sum("l_quantity")).cast("long").alias("y")))
+    lags = spark.range(-7, 8).select(F.col("id").cast("int")
+                                     .alias("lag"))
+    j = (xd.crossJoin(F.broadcast(lags))
+         .join(yd.withColumnRenamed("t", "ty"),
+               F.col("ty") == F.col("t") + F.col("lag"))
+         .select("lag", "x", "y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - dec("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - dec("sx") * F.col("sx"))
+        .cast("double")
+        * (F.col("n") * F.col("syy") - dec("sy") * F.col("sy"))
+        .cast("double"))
+    return (s.select("lag", F.col("n").cast("bigint").alias("n_obs"),
+                     F.round(num / den, 6).alias("ccf"))
+            .orderBy("lag"))

@@ -9363,3 +9363,82 @@ def sketch_bloom_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_false_pos").cast("double")
                 / F.greatest(F.col("n_neg"), F.lit(1)), 6)
         .alias("fp_rate"))
+
+
+@register(
+    "mm_audio_goertzel",
+    oracle="""
+    WITH m AS (SELECT doc_id, 64 + doc_id % 128 AS n,
+                      8000 + (doc_id % 4) * 4000 AS sr
+               FROM documents),
+    pcm AS (
+      SELECT doc_id, n, sr, i,
+             ((doc_id * 7 + i * 13) % 4096) - 2048 AS s
+      FROM m, unnest(range(0, n)) AS t(i)),
+    sums AS (
+      SELECT doc_id, any_value(n) AS n, any_value(sr) AS sr,
+             sum(s * (floor(cos(2 * pi() * 4 * i / n) * 1048576
+                            + 0.5) / 1048576)) AS cr,
+             sum(s * (floor(sin(2 * pi() * 4 * i / n) * 1048576
+                            + 0.5) / 1048576)) AS ci,
+             sum(s) AS ss
+      FROM pcm GROUP BY doc_id)
+    SELECT doc_id AS media_id,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round((cr * cr + ci * ci) / (n * n), 4) AS bin4_power,
+           round(CAST(ss AS DOUBLE) / n, 6) AS dc_mean
+    FROM sums
+    """)
+def mm_audio_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-BIN DFT (Goertzel-style tone detection) on REALLY
+    DECODED audio: each clip goes through the full RIFF/WAV chunk
+    walk (mm_decode_real_wav's parser), then the k = 4 DFT bin power
+    |SUM s_i e^{-j 2 pi k i / n}|^2 / n^2 is computed from the PCM --
+    the DTMF/pilot-tone primitive that answers 'is frequency f
+    present' without a full FFT. Cross-engine trig is pinned by
+    quantizing cos/sin to the BINARY 2^-20 grid (floor(x*2^20+0.5)/
+    2^20 -- the division is exact, every product s*c is an exact
+    multiple of 2^-20 below 2^53, so the per-clip sums are
+    order-independent and engine-identical; no libm ulp ever reaches
+    the output). The oracle regenerates the fixture PCM by formula
+    and applies the identical quantized kernel. Arrow-batched
+    mapInPandas, one shuffle-free pass per clip."""
+    import pandas as pd
+
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(64) + F.col("doc_id") % 128).cast("int")
+                    .alias("n"),
+                    (F.lit(8000) + (F.col("doc_id") % 4) * 4000)
+                    .cast("int").alias("sr")))
+    encoded = MM.synth_wav_files(base)
+
+    def _goertzel(batches):
+        import numpy as np
+        from pmc_conversion_spark.functions.multimodal import \
+            decode_wav_pcm16
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                sr, s = decode_wav_pcm16(bytes(content))
+                s64 = s.astype(np.float64)
+                nn = float(len(s))
+                idx = np.arange(len(s), dtype=np.float64)
+                ang = 2.0 * np.pi * 4.0 * idx / nn
+                c = np.floor(np.cos(ang) * 1048576.0 + 0.5) / 1048576.0
+                d = np.floor(np.sin(ang) * 1048576.0 + 0.5) / 1048576.0
+                cr = float((s64 * c).sum())
+                ci = float((s64 * d).sum())
+                rows.append((int(m), int(sr), len(s),
+                             round((cr * cr + ci * ci) / (nn * nn), 4),
+                             round(float(s64.sum()) / nn, 6)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples",
+                "bin4_power", "dc_mean"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(encoded).mapInPandas(
+        _goertzel,
+        "media_id bigint, sample_rate bigint, n_samples bigint, "
+        "bin4_power double, dc_mean double")

@@ -8988,3 +8988,133 @@ def agg_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("qhat_dollars"),
                     F.round(F.col("covered").cast("double")
                             / F.col("n_test"), 6).alias("coverage")))
+
+
+@register(
+    "agg_cochran_q",
+    oracle="""
+    WITH cy AS (
+      SELECT DISTINCT o_custkey AS c,
+             CAST(year(o_orderdate) AS INTEGER) AS yr
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'),
+    rows_ AS (
+      SELECT c, count(*) AS r FROM cy GROUP BY 1),
+    cols AS (
+      SELECT yr, count(*) AS cj FROM cy GROUP BY 1),
+    s AS (
+      SELECT (SELECT sum(r) FROM rows_) AS nn,
+             (SELECT sum(CAST(r AS HUGEINT) * r) FROM rows_) AS sr2,
+             (SELECT sum(CAST(cj AS HUGEINT) * cj) FROM cols) AS sc2,
+             (SELECT count(*) FROM rows_) AS n_blocks)
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           3 AS k_treatments,
+           CAST(nn AS BIGINT) AS n_successes,
+           round(2.0 * (3.0 * CAST(sc2 AS DOUBLE)
+                        - CAST(nn AS DOUBLE) * nn)
+                 / (3.0 * nn - CAST(sr2 AS DOUBLE)), 6) AS q_stat,
+           2 AS df
+    FROM s
+    """)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q TEST for k related binary outcomes -- 'did the
+    same customers keep ordering across 1995/1996/1997?': blocks are
+    customers, treatments are years, x_ij = ordered-that-year. Q =
+    (k-1)(k SUM C_j^2 - N^2) / (k N - SUM R_i^2), the k-sample
+    generalization of McNemar (text_classifier_mcnemar) for matched
+    binary panels. All-zero blocks contribute nothing to any sum, so
+    the distinct (customer, year) frame IS the sufficient statistic:
+    two grouped counts and four exact integer totals -- no pivot, no
+    per-customer bitmap, engine-identical by integer arithmetic."""
+    o = tables.load(spark, sf_dir, "orders")
+    cy = (o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .select(F.col("o_custkey").alias("c"),
+                F.year("o_orderdate").cast("int").alias("yr"))
+        .distinct())
+    dec38 = "decimal(38,0)"
+    rows_ = cy.groupBy("c").agg(F.count(F.lit(1)).alias("r"))
+    cols = cy.groupBy("yr").agg(F.count(F.lit(1)).alias("cj"))
+    rstats = rows_.agg(
+        F.sum("r").alias("nn"),
+        F.sum(F.col("r").cast(dec38) * F.col("r")).alias("sr2"),
+        F.count(F.lit(1)).alias("n_blocks"))
+    cstats = cols.agg(
+        F.sum(F.col("cj").cast(dec38) * F.col("cj")).alias("sc2"))
+    s = rstats.crossJoin(F.broadcast(cstats))
+    nn = F.col("nn").cast("double")
+    q = (2.0 * (3.0 * F.col("sc2").cast("double") - nn * nn)
+         / (3.0 * nn - F.col("sr2").cast("double")))
+    return s.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.lit(3).alias("k_treatments"),
+        F.col("nn").cast("bigint").alias("n_successes"),
+        F.round(q, 6).alias("q_stat"),
+        F.lit(2).alias("df"))
+
+
+@register(
+    "win_anchored_vwap",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS anchor,
+             l_orderkey, l_linenumber, l_shipdate,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    w AS (
+      SELECT anchor, l_orderkey, l_linenumber,
+             sum(CAST(pc AS HUGEINT) * q) OVER win AS run_pq,
+             sum(q) OVER win AS run_q
+      FROM li
+      WINDOW win AS (PARTITION BY anchor
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              pc, q
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+    SELECT anchor, l_orderkey, l_linenumber,
+           CAST(run_q AS BIGINT) AS cum_qty,
+           round(CAST(run_pq AS DOUBLE) / run_q / 100.0, 6)
+             AS anchored_vwap
+    FROM w
+    """)
+def win_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCHORED VWAP -- the volume-weighted average price RESET at
+    each anchor (here: ship month), the execution-quality benchmark
+    a trading desk pins to a session open and a supply chain pins to
+    a period start: running SUM(price*qty)/SUM(qty) within the
+    anchor partition in strict event order (shipdate, orderkey,
+    linenumber -- a total order, so every prefix is deterministic).
+    Running numerator is an exact hugeint (price-cents x qty can
+    reach 2^63 x row-count at warehouse scale), one per-row double
+    division at the end. The window is PARTITIONED by anchor month:
+    at 100 TB each month's partition processes independently --
+    nothing global, nothing single-partition."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date")
+        .alias("anchor"),
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("pc"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"))
+    # (shipdate, orderkey, linenumber) is NOT unique in the driver
+    # testdata (planted duplicate line rows) — pc/q complete the
+    # total order so duplicate keys with different amounts prefix-sum
+    # identically in both engines
+    win = (Window.partitionBy("anchor")
+           .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+                    "pc", "q")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w = base.select(
+        "anchor", "l_orderkey", "l_linenumber",
+        F.sum(F.col("pc").cast("decimal(38,0)") * F.col("q"))
+        .over(win).alias("run_pq"),
+        F.sum("q").over(win).alias("run_q"))
+    return w.select(
+        "anchor", "l_orderkey", "l_linenumber",
+        F.col("run_q").cast("bigint").alias("cum_qty"),
+        F.round(F.col("run_pq").cast("double") / F.col("run_q")
+                / 100.0, 6).alias("anchored_vwap"))
