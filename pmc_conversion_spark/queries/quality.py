@@ -1675,3 +1675,100 @@ def dq_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_days",
                     F.col("max_ph").cast("double").alias("max_ph"),
                     "peak_day", "alarm_day"))
+
+
+@register(
+    "dq_multicollinearity_vif",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_tax * 100) AS BIGINT) AS x3
+      FROM lineitem),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(x3 AS HUGEINT) * x3) AS s33,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * x3) AS s13,
+             sum(CAST(x2 AS HUGEINT) * x3) AS s23
+      FROM c),
+    r AS (
+      SELECT n,
+        CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE)
+        / sqrt(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               * CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE))
+          AS r12,
+        CAST(n * s13 - CAST(s1 AS HUGEINT) * s3 AS DOUBLE)
+        / sqrt(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               * CAST(n * s33 - CAST(s3 AS HUGEINT) * s3 AS DOUBLE))
+          AS r13,
+        CAST(n * s23 - CAST(s2 AS HUGEINT) * s3 AS DOUBLE)
+        / sqrt(CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+               * CAST(n * s33 - CAST(s3 AS HUGEINT) * s3 AS DOUBLE))
+          AS r23
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n,
+      round(1.0 / (1.0 - (r12*r12 + r13*r13 - 2*r12*r13*r23)
+                         / (1.0 - r23*r23)), 6) AS vif_quantity,
+      round(1.0 / (1.0 - (r12*r12 + r23*r23 - 2*r12*r23*r13)
+                         / (1.0 - r13*r13)), 6) AS vif_discount,
+      round(1.0 / (1.0 - (r13*r13 + r23*r23 - 2*r13*r23*r12)
+                         / (1.0 - r12*r12)), 6) AS vif_tax
+    FROM r
+    """)
+def dq_multicollinearity_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE INFLATION FACTORS for the three line-item numeric
+    features (quantity, discount, tax) -- the multicollinearity
+    screen that should gate any 'throw the columns into a
+    regression' pipeline: VIF_j = 1/(1 - R^2_j) where R^2_j regresses
+    feature j on the other two, here in CLOSED FORM from the 3x3
+    correlation matrix (R^2_1 = (r12^2 + r13^2 - 2 r12 r13 r23) /
+    (1 - r23^2)). Every co-moment is an n-scaled exact hugeint sum
+    from one partial-agg scan -- nine numbers total shuffle; VIF near
+    1 clears the features, VIF > 5-10 says drop or orthogonalize."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x3"))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum(dec("x1") * F.col("x1")).alias("s11"),
+        F.sum(dec("x2") * F.col("x2")).alias("s22"),
+        F.sum(dec("x3") * F.col("x3")).alias("s33"),
+        F.sum(dec("x1") * F.col("x2")).alias("s12"),
+        F.sum(dec("x1") * F.col("x3")).alias("s13"),
+        F.sum(dec("x2") * F.col("x3")).alias("s23"))
+
+    def corr(sij, si, sj, sii, sjj):
+        num = (F.col("n") * F.col(sij)
+               - dec(si) * F.col(sj)).cast("double")
+        den = F.sqrt(
+            (F.col("n") * F.col(sii) - dec(si) * F.col(si))
+            .cast("double")
+            * (F.col("n") * F.col(sjj) - dec(sj) * F.col(sj))
+            .cast("double"))
+        return num / den
+
+    r = s.select(
+        "n",
+        corr("s12", "s1", "s2", "s11", "s22").alias("r12"),
+        corr("s13", "s1", "s3", "s11", "s33").alias("r13"),
+        corr("s23", "s2", "s3", "s22", "s33").alias("r23"))
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+
+    def vif(a, b, c_):
+        return F.round(1.0 / (1.0 - (a * a + b * b - 2 * a * b * c_)
+                              / (1.0 - c_ * c_)), 6)
+
+    return r.select(
+        F.col("n").cast("bigint").alias("n"),
+        vif(r12, r13, r23).alias("vif_quantity"),
+        vif(r12, r23, r13).alias("vif_discount"),
+        vif(r13, r23, r12).alias("vif_tax"))

@@ -9118,3 +9118,402 @@ def win_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("run_q").cast("bigint").alias("cum_qty"),
         F.round(F.col("run_pq").cast("double") / F.col("run_q")
                 / 100.0, 6).alias("anchored_vwap"))
+
+
+@register(
+    "win_stochastic_osc",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    k AS (
+      SELECT d, y,
+             min(y) OVER w AS lo14, max(y) OVER w AS hi14
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                   AND CURRENT ROW)),
+    pk AS (
+      SELECT d, y,
+             CASE WHEN hi14 > lo14
+               THEN 100.0 * (y - lo14) / CAST(hi14 - lo14 AS DOUBLE)
+               END AS pct_k
+      FROM k)
+    SELECT d, round(y / 100.0, 2) AS revenue,
+           round(pct_k, 6) AS pct_k,
+           round((pct_k
+                  + lag(pct_k, 1) OVER (ORDER BY d)
+                  + lag(pct_k, 2) OVER (ORDER BY d)) / 3.0, 6)
+             AS pct_d
+    FROM pk
+    """)
+def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCHASTIC OSCILLATOR (%K / %D) over daily revenue -- the
+    range-position momentum indicator: %K = 100 (y - 14-day low) /
+    (14-day high - low), %D = 3-day simple average of %K (written as
+    an explicit 3-term lag sum so the averaging order is pinned, not
+    left to an engine's windowed-avg accumulation order). Flat
+    14-day ranges yield NULL rather than a division blowup (pinned).
+    Completes the technical-indicator family (RSI, EMA crossover,
+    rolling bands, drawdown) with the min/max-range member; all
+    windows ride the day-keyed aggregate -- date-span domain, never
+    corpus-sized."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .cast("date").alias("d"), "o_totalprice")
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("y")))
+    w14 = Window.orderBy("d").rowsBetween(-13, Window.currentRow)
+    k = daily.select(
+        "d", "y",
+        F.min("y").over(w14).alias("lo14"),
+        F.max("y").over(w14).alias("hi14"))
+    pk = k.select(
+        "d", "y",
+        F.when(F.col("hi14") > F.col("lo14"),
+               100.0 * (F.col("y") - F.col("lo14"))
+               / (F.col("hi14") - F.col("lo14")).cast("double"))
+        .alias("pct_k"))
+    wd = Window.orderBy("d")
+    return pk.select(
+        "d", F.round(F.col("y") / 100.0, 2).alias("revenue"),
+        F.round(F.col("pct_k"), 6).alias("pct_k"),
+        F.round((F.col("pct_k")
+                 + F.lag("pct_k", 1).over(wd)
+                 + F.lag("pct_k", 2).over(wd)) / 3.0, 6)
+        .alias("pct_d"))
+
+
+@register(
+    "agg_gumbel_block_maxima",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    blocks AS (
+      SELECT date_trunc('month', d) AS m, max(y) AS mx
+      FROM daily GROUP BY 1),
+    s AS (
+      SELECT count(*) AS n, sum(mx) AS sm,
+             sum(CAST(mx AS HUGEINT) * mx) AS smm
+      FROM blocks),
+    fit AS (
+      SELECT n,
+        CAST(sm AS DOUBLE) / n AS xbar,
+        sqrt((CAST(n * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1)))
+          * 0.7796968012336761 AS sigma
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round((xbar - 0.5772156649015329 * sigma) / 100.0, 2)
+             AS gumbel_mu_dollars,
+           round(sigma / 100.0, 2) AS gumbel_sigma_dollars,
+           round(((xbar - 0.5772156649015329 * sigma)
+                  - sigma * ln(-ln(1.0 - 1.0 / 100.0))) / 100.0, 2)
+             AS return_level_100_dollars
+    FROM fit
+    """)
+def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME VALUE ANALYSIS by BLOCK MAXIMA: monthly maxima of
+    daily revenue fitted to a GUMBEL distribution by the method of
+    moments (sigma = s sqrt(6)/pi stated as the pinned constant
+    0.7796968..., mu = xbar - gamma sigma with Euler-Mascheroni
+    gamma), then the 100-month RETURN LEVEL mu - sigma ln(-ln(1 -
+    1/100)) -- 'the daily revenue spike we should expect once every
+    ~8 years', the capacity-planning number tail quantiles of the
+    RAW distribution (agg_tail_risk) systematically underestimate.
+    Two nested date-keyed aggregates (day then month) and exact
+    hugeint moments of the 84 block maxima."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"), "o_totalprice")
+             .groupBy("d")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("y")))
+    blocks = (daily.select(F.date_trunc("month", F.col("d"))
+                           .alias("m"), "y")
+              .groupBy("m").agg(F.max("y").alias("mx")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = blocks.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("mx").alias("sm"),
+                   F.sum(dec("mx") * F.col("mx")).alias("smm"))
+    xbar = F.col("sm").cast("double") / F.col("n")
+    sigma = (F.sqrt((F.col("n") * F.col("smm")
+                     - dec("sm") * F.col("sm")).cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1)))
+             * 0.7796968012336761)
+    fit = s.select("n", xbar.alias("xbar"), sigma.alias("sigma"))
+    mu = F.col("xbar") - 0.5772156649015329 * F.col("sigma")
+    import math
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.round(mu / 100.0, 2).alias("gumbel_mu_dollars"),
+        F.round(F.col("sigma") / 100.0, 2)
+        .alias("gumbel_sigma_dollars"),
+        F.round((mu - F.col("sigma")
+                 * F.log(-F.log(F.lit(1.0) - 1.0 / 100.0))) / 100.0, 2)
+        .alias("return_level_100_dollars"))
+
+
+@register(
+    "agg_wasserstein_1d",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM h),
+    cdf AS (
+      SELECT q,
+             sum(a) OVER (ORDER BY q) AS ca,
+             sum(b) OVER (ORDER BY q) AS cb
+      FROM h)
+    SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_returned,
+           (SELECT CAST(nb AS BIGINT) FROM tot) AS n_accepted,
+           round(sum(abs(CAST(ca AS DOUBLE) / tot.na
+                         - CAST(cb AS DOUBLE) / tot.nb)), 6)
+             AS wasserstein_1
+    FROM cdf, tot
+    """)
+def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (earth mover's) DISTANCE between the
+    returned-vs-accepted quantity distributions: on an ordered
+    discrete domain W1 = SUM_k |CDF_A(k) - CDF_B(k)| * delta -- the
+    drift measure that, unlike PSI/JS divergence (dq_psi_drift,
+    dq_js_divergence_drift), respects the METRIC on the support: mass
+    moving from bin 10 to bin 11 costs 1/50th of mass moving to bin
+    50, so it distinguishes 'slightly shifted' from 'torn apart'.
+    Exact counts on the bounded 1..50 histogram, a 50-row prefix-sum
+    window, one double |CDF gap| sum -- the corpus never ranks."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.filter(F.col("l_returnflag").isin("R", "A"))
+         .groupBy("l_quantity")
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("a"),
+              F.sum(F.when(F.col("l_returnflag") == "A", 1)
+                    .otherwise(0)).alias("b"))
+         .withColumnRenamed("l_quantity", "q"))
+    tot = h.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    wc = Window.orderBy("q").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cdf = h.select("q", F.sum("a").over(wc).alias("ca"),
+                   F.sum("b").over(wc).alias("cb"))
+    j = cdf.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.max("na").cast("bigint").alias("n_returned"),
+        F.max("nb").cast("bigint").alias("n_accepted"),
+        F.round(F.sum(F.abs(F.col("ca").cast("double") / F.col("na")
+                            - F.col("cb").cast("double")
+                            / F.col("nb"))), 6).alias("wasserstein_1"))
+
+
+@register(
+    "agg_bhattacharyya",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM h),
+    bc AS (
+      SELECT sum(sqrt((CAST(a AS DOUBLE) / tot.na)
+                      * (CAST(b AS DOUBLE) / tot.nb))) AS bc
+      FROM h, tot)
+    SELECT round(bc, 8) AS bhattacharyya_coef,
+           round(-ln(bc), 8) AS bhattacharyya_dist,
+           round(sqrt(1.0 - bc), 8) AS hellinger
+    FROM bc
+    """)
+def agg_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BHATTACHARYYA COEFFICIENT / DISTANCE and HELLINGER DISTANCE
+    between the returned-vs-accepted quantity histograms: BC = SUM
+    sqrt(p_k q_k) (overlap of the two distributions, 1 = identical),
+    D_B = -ln BC, H = sqrt(1 - BC). The classifier-oriented member
+    of the histogram-distance family -- BC bounds the Bayes error of
+    any classifier separating the two groups, which PSI/JS/W1 do not
+    -- and the geometry (Hellinger) is a true metric. Exact integer
+    bin counts over the bounded domain; the 50-term double sum is
+    identical in both engines because every summand derives from the
+    same exact ratios."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.filter(F.col("l_returnflag").isin("R", "A"))
+         .groupBy("l_quantity")
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("a"),
+              F.sum(F.when(F.col("l_returnflag") == "A", 1)
+                    .otherwise(0)).alias("b"))
+         .withColumnRenamed("l_quantity", "q"))
+    tot = h.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    j = h.crossJoin(F.broadcast(tot))
+    bc = j.agg(F.sum(F.sqrt(
+        (F.col("a").cast("double") / F.col("na"))
+        * (F.col("b").cast("double") / F.col("nb")))).alias("bc"))
+    return bc.select(
+        F.round(F.col("bc"), 8).alias("bhattacharyya_coef"),
+        F.round(-F.log(F.col("bc")), 8).alias("bhattacharyya_dist"),
+        F.round(F.sqrt(F.lit(1.0) - F.col("bc")), 8).alias("hellinger"))
+
+
+#: Coordinate-descent round cap for agg_lasso_cd — with |r12| < 1 the
+#: two-coordinate descent contracts geometrically; the 9-dp-rounded
+#: fixpoint lands well inside 20 rounds, and the cap bounds the
+#: unrolled oracle.
+_LASSO_CAP = 20
+_LASSO_LAMBDA = 0.05
+
+
+def _lasso_round_sql(r: int) -> str:
+    """One coordinate-descent round (DuckDB): update b1 from the
+    previous b2, then b2 from the FRESH b1 (true Gauss-Seidel order,
+    pinned), both soft-thresholded and 9-dp rounded."""
+    prev = f"lw{r - 1}"
+    return f"""
+    lw{r} AS MATERIALIZED (
+      SELECT t.b1n AS b1,
+             round(CASE WHEN (m.r2y - m.r12 * t.b1n) > {_LASSO_LAMBDA}
+                     THEN (m.r2y - m.r12 * t.b1n) - {_LASSO_LAMBDA}
+                   WHEN (m.r2y - m.r12 * t.b1n) < -{_LASSO_LAMBDA}
+                     THEN (m.r2y - m.r12 * t.b1n) + {_LASSO_LAMBDA}
+                   ELSE 0.0 END, 9) AS b2,
+             t.b1n, w.b1 AS b1p, w.b2 AS b2p
+      FROM (
+        SELECT round(CASE
+                 WHEN (m.r1y - m.r12 * w.b2) > {_LASSO_LAMBDA}
+                   THEN (m.r1y - m.r12 * w.b2) - {_LASSO_LAMBDA}
+                 WHEN (m.r1y - m.r12 * w.b2) < -{_LASSO_LAMBDA}
+                   THEN (m.r1y - m.r12 * w.b2) + {_LASSO_LAMBDA}
+                 ELSE 0.0 END, 9) AS b1n
+        FROM m, {prev} w) t, m, {prev} w)
+    """
+
+
+@register(
+    "agg_lasso_cd",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS s2y
+      FROM c),
+    m AS MATERIALIZED (
+      SELECT
+        CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS DOUBLE)
+        / sqrt(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+          AS r1y,
+        CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS DOUBLE)
+        / sqrt(CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+               * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+          AS r2y,
+        CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE)
+        / sqrt(CAST(n * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               * CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE))
+          AS r12
+      FROM s),
+    lw0 AS (SELECT 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2,
+                   0.0::DOUBLE AS b1n, 0.0::DOUBLE AS b1p,
+                   0.0::DOUBLE AS b2p),
+    {",".join(_lasso_round_sql(r) for r in range(1, _LASSO_CAP + 1))},
+    allw AS ({" UNION ALL ".join(
+        f"SELECT {r} AS r, b1, b2, "
+        f"greatest(abs(b1 - b1p), abs(b2 - b2p)) AS delta FROM lw{r}"
+        for r in range(1, _LASSO_CAP + 1))}),
+    conv AS (SELECT coalesce(min(CASE WHEN delta = 0 THEN r END),
+                             {_LASSO_CAP}) AS k FROM allw)
+    SELECT {_LASSO_LAMBDA} AS lambda,
+           b1 AS beta_quantity_std, b2 AS beta_discount_std,
+           conv.k AS n_iters
+    FROM allw, conv WHERE allw.r = conv.k
+    """)
+def agg_lasso_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASSO via COORDINATE DESCENT on the standardized two-feature
+    problem (extended price ~ quantity + discount, correlation
+    scale): b_j <- SoftThreshold(r_jy - r_12 b_other, lambda) in true
+    Gauss-Seidel order (b2 sees the FRESH b1 -- pinned in both
+    engines), 9-dp-rounded coordinates so the descent trajectory and
+    the stop round (both deltas exactly 0 at 9 dp) are
+    engine-identical. The soft-thresholding operator is what neither
+    ridge (agg_ridge_regression, closed form) nor OLS can express --
+    at lambda = {_LASSO_LAMBDA} the near-orthogonal discount feature
+    is driven EXACTLY to zero, demonstrating selection, not just
+    shrinkage.
+
+    Scale: the correlation moments come from ONE partial-agg scan
+    (nine exact hugeint sums); the descent itself is driver-side
+    scalar arithmetic -- zero further data passes, unlike the IRLS
+    family which rescans per round."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("y"))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x1") * F.col("x1")).alias("s11"),
+        F.sum(dec("x2") * F.col("x2")).alias("s22"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x1") * F.col("x2")).alias("s12"),
+        F.sum(dec("x1") * F.col("y")).alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).alias("s2y"))
+
+    def corr(sij, si, sj, sii, sjj):
+        num = (F.col("n") * F.col(sij)
+               - dec(si) * F.col(sj)).cast("double")
+        den = F.sqrt(
+            (F.col("n") * F.col(sii) - dec(si) * F.col(si))
+            .cast("double")
+            * (F.col("n") * F.col(sjj) - dec(sj) * F.col(sj))
+            .cast("double"))
+        return num / den
+
+    row = s.select(
+        corr("s1y", "s1", "sy", "s11", "syy").alias("r1y"),
+        corr("s2y", "s2", "sy", "s22", "syy").alias("r2y"),
+        corr("s12", "s1", "s2", "s11", "s22").alias("r12")).first()
+    r1y, r2y, r12 = row["r1y"], row["r2y"], row["r12"]
+    lam = _LASSO_LAMBDA
+
+    def soft(z):
+        if z > lam:
+            return z - lam
+        if z < -lam:
+            return z + lam
+        return 0.0
+
+    b1 = b2 = 0.0
+    n_iters = _LASSO_CAP
+    for r in range(1, _LASSO_CAP + 1):
+        b1n = round(soft(r1y - r12 * b2), 9)
+        b2n = round(soft(r2y - r12 * b1n), 9)
+        delta = max(abs(b1n - b1), abs(b2n - b2))
+        b1, b2 = b1n, b2n
+        if delta == 0:
+            n_iters = r
+            break
+    return spark.range(1).select(
+        F.lit(lam).alias("lambda"),
+        F.lit(b1).alias("beta_quantity_std"),
+        F.lit(b2).alias("beta_discount_std"),
+        F.lit(n_iters).cast("int").alias("n_iters"))
