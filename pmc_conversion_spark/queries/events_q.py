@@ -5789,3 +5789,288 @@ def ts_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.select("lag", F.col("n").cast("bigint").alias("n_obs"),
                      F.round(num / den, 6).alias("ccf"))
             .orderBy("lag"))
+
+
+# ------------------------------------------------- r7 diagnostics wave
+
+@register(
+    "ts_arch_lm_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    dif AS (
+      SELECT y - lag(y) OVER (ORDER BY d) AS dy
+      FROM daily),
+    sq AS (
+      SELECT CAST(dy AS HUGEINT) * dy AS e2,
+             lag(CAST(dy AS HUGEINT) * dy) OVER (ORDER BY rn) AS e2l
+      FROM (SELECT dy, row_number() OVER () AS rn
+            FROM dif WHERE dy IS NOT NULL)),
+    v AS (SELECT e2, e2l FROM sq WHERE e2l IS NOT NULL),
+    s AS (
+      SELECT count(*) AS n, sum(e2) AS sy, sum(e2l) AS sx,
+             sum(e2 * e2l) AS sxy,
+             sum(e2l * e2l) AS sxx,
+             sum(e2 * e2) AS syy
+      FROM v),
+    e AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS axy,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS axx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS ayy
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(axy / axx, 6) AS arch_slope,
+           round(n * (axy * axy) / (axx * ayy), 6) AS lm_stat
+    FROM e
+    """)
+def ts_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE'S ARCH LM TEST for conditional heteroskedasticity on the
+    daily order-count changes: regress the SQUARED innovation e2_t on
+    e2_{t-1}; LM = n*R2 ~ chi2(1) under the no-ARCH null. Volatility
+    clustering (today's variance predicting tomorrow's) is invisible
+    to autocorrelation tests on the LEVELS (`ts_ljung_box` on dy can
+    pass while dy^2 is strongly dependent) -- this is the standard
+    pre-test before reaching for GARCH. The innovations are exact
+    integer differences, their squares exact, and every
+    normal-equation sum an exact decimal, so slope and LM are single
+    identical double expressions. One day-grouped aggregate + two lag
+    windows on the 2.4k-row date-span frame: the row scan never
+    shuffles more than the daily partial counts."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("d")
+    dec38 = "decimal(38,0)"
+    dif = (daily.select((F.col("y") - F.lag("y").over(w)).alias("dy"),
+                        F.col("d"))
+           .filter(F.col("dy").isNotNull()))
+    sq = dif.select(
+        (F.col("dy").cast(dec38) * F.col("dy")).alias("e2"), "d")
+    v = (sq.select("e2", F.lag("e2").over(Window.orderBy("d"))
+                   .alias("e2l"))
+         .filter(F.col("e2l").isNotNull()))
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e2").alias("sy"), F.sum("e2l").alias("sx"),
+        F.sum(F.col("e2") * F.col("e2l")).alias("sxy"),
+        F.sum(F.col("e2l") * F.col("e2l")).alias("sxx"),
+        F.sum(F.col("e2") * F.col("e2")).alias("syy"))
+    e = s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double").alias("axy"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double").alias("axx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double").alias("ayy"))
+    return e.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(F.col("axy") / F.col("axx"), 6).alias("arch_slope"),
+        F.round(F.col("n") * (F.col("axy") * F.col("axy"))
+                / (F.col("axx") * F.col("ayy")), 6).alias("lm_stat"))
+
+
+@register(
+    "ts_granger_f",
+    oracle="""
+    WITH oy AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    lx AS (
+      SELECT date_trunc('day', l_shipdate) AS d, count(*) AS x
+      FROM lineitem GROUP BY 1),
+    z AS (
+      SELECT oy.y,
+             lag(oy.y) OVER (ORDER BY oy.d) AS u,
+             lag(lx.x) OVER (ORDER BY oy.d) AS v
+      FROM oy JOIN lx ON oy.d = lx.d),
+    r AS (SELECT y, u, v FROM z WHERE u IS NOT NULL AND v IS NOT NULL),
+    s AS (
+      SELECT count(*) AS n, sum(y) AS sy, sum(u) AS su, sum(v) AS sv,
+             sum(CAST(u AS HUGEINT) * y) AS suy,
+             sum(CAST(v AS HUGEINT) * y) AS svy,
+             sum(CAST(u AS HUGEINT) * v) AS suv,
+             sum(CAST(u AS HUGEINT) * u) AS suu,
+             sum(CAST(v AS HUGEINT) * v) AS svv,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM r),
+    a AS (
+      SELECT n,
+             CAST(n * suu - CAST(su AS HUGEINT) * su AS DOUBLE) AS auu,
+             CAST(n * svv - CAST(sv AS HUGEINT) * sv AS DOUBLE) AS avv,
+             CAST(n * suv - CAST(su AS HUGEINT) * sv AS DOUBLE) AS auv,
+             CAST(n * suy - CAST(su AS HUGEINT) * sy AS DOUBLE) AS auy,
+             CAST(n * svy - CAST(sv AS HUGEINT) * sy AS DOUBLE) AS avy,
+             CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS ayy
+      FROM s),
+    f AS (
+      SELECT n, ayy - auy * auy / auu AS sser,
+             ayy - (avv * auy * auy - 2 * auv * auy * avy
+                    + auu * avy * avy) / (auu * avv - auv * auv)
+               AS sseu
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round((sser - sseu) * (n - 3) / sseu, 6) AS granger_f
+    FROM f
+    """)
+def ts_granger_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY F-TEST (lag 1): does yesterday's SHIPMENT
+    volume improve today's ORDER-count forecast beyond yesterday's
+    order count alone? Restricted model y_t ~ y_{t-1}; unrestricted
+    adds x_{t-1}; F = (SSE_r - SSE_u) / (SSE_u / (n-3)). Both SSEs
+    come from CLOSED-FORM normal equations on centered second moments
+    -- no iterative fit, no matrix library: six exact-integer moment
+    sums per model, one scalar expression each. The two engines cast
+    the exact centered moments to double and evaluate the identical
+    expression tree, so the F statistic hashes equal. Cost at any
+    scale: two day-grouped partial counts (orders, lineitem), a
+    2.4k-row day join, two lag windows, one 10-cell aggregate."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    oy = (o.select(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    lx = (li.select(F.date_trunc("day", F.col("l_shipdate")).alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).alias("x")))
+    w = Window.orderBy("d")
+    z = (oy.join(lx, "d")
+         .select("d", "y", F.lag("y").over(w).alias("u"),
+                 F.lag("x").over(w).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = z.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"), F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(dec("u") * F.col("y")).alias("suy"),
+        F.sum(dec("v") * F.col("y")).alias("svy"),
+        F.sum(dec("u") * F.col("v")).alias("suv"),
+        F.sum(dec("u") * F.col("u")).alias("suu"),
+        F.sum(dec("v") * F.col("v")).alias("svv"),
+        F.sum(dec("y") * F.col("y")).alias("syy"))
+    cm = lambda sab, sa, sb: (F.col("n") * F.col(sab)
+                              - dec(sa) * F.col(sb)).cast("double")
+    a = s.select(
+        "n",
+        cm("suu", "su", "su").alias("auu"),
+        cm("svv", "sv", "sv").alias("avv"),
+        cm("suv", "su", "sv").alias("auv"),
+        cm("suy", "su", "sy").alias("auy"),
+        cm("svy", "sv", "sy").alias("avy"),
+        cm("syy", "sy", "sy").alias("ayy"))
+    sser = F.col("ayy") - F.col("auy") * F.col("auy") / F.col("auu")
+    sseu = (F.col("ayy")
+            - (F.col("avv") * F.col("auy") * F.col("auy")
+               - 2 * F.col("auv") * F.col("auy") * F.col("avy")
+               + F.col("auu") * F.col("avy") * F.col("avy"))
+            / (F.col("auu") * F.col("avv") - F.col("auv") * F.col("auv")))
+    f = a.select("n", sser.alias("sser"), sseu.alias("sseu"))
+    return f.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round((F.col("sser") - F.col("sseu")) * (F.col("n") - 3)
+                / F.col("sseu"), 6).alias("granger_f"))
+
+
+@register(
+    "ts_matrix_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    pos AS (SELECT row_number() OVER (ORDER BY d) AS p, y FROM daily),
+    win AS (
+      SELECT p, y AS w0,
+             lead(y, 1) OVER (ORDER BY p) AS w1,
+             lead(y, 2) OVER (ORDER BY p) AS w2,
+             lead(y, 3) OVER (ORDER BY p) AS w3,
+             lead(y, 4) OVER (ORDER BY p) AS w4,
+             lead(y, 5) OVER (ORDER BY p) AS w5,
+             lead(y, 6) OVER (ORDER BY p) AS w6
+      FROM pos),
+    v AS (
+      SELECT p, w0, w1, w2, w3, w4, w5, w6,
+             w0 + w1 + w2 + w3 + w4 + w5 + w6 AS s1,
+             CAST(w0 AS HUGEINT) * w0 + CAST(w1 AS HUGEINT) * w1
+             + CAST(w2 AS HUGEINT) * w2 + CAST(w3 AS HUGEINT) * w3
+             + CAST(w4 AS HUGEINT) * w4 + CAST(w5 AS HUGEINT) * w5
+             + CAST(w6 AS HUGEINT) * w6 AS s2
+      FROM win WHERE w6 IS NOT NULL),
+    st AS (
+      SELECT p, w0, w1, w2, w3, w4, w5, w6,
+             CAST(s1 AS DOUBLE) / 7.0 AS mu,
+             sqrt(CAST(s2 AS DOUBLE) / 7.0
+                  - (CAST(s1 AS DOUBLE) / 7.0)
+                    * (CAST(s1 AS DOUBLE) / 7.0)) AS sg
+      FROM v),
+    g AS (SELECT * FROM st WHERE sg > 0),
+    mp AS (
+      SELECT a.p AS pos,
+             min(sqrt(greatest(0.0, 14.0 * (1.0 -
+               (CAST(CAST(a.w0 AS HUGEINT) * b.w0
+                     + CAST(a.w1 AS HUGEINT) * b.w1
+                     + CAST(a.w2 AS HUGEINT) * b.w2
+                     + CAST(a.w3 AS HUGEINT) * b.w3
+                     + CAST(a.w4 AS HUGEINT) * b.w4
+                     + CAST(a.w5 AS HUGEINT) * b.w5
+                     + CAST(a.w6 AS HUGEINT) * b.w6 AS DOUBLE)
+                - 7.0 * a.mu * b.mu)
+               / (7.0 * a.sg * b.sg))))) AS nn_dist_raw
+      FROM g a JOIN g b ON abs(a.p - b.p) >= 4
+      GROUP BY 1)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           round(nn_dist_raw, 4) AS nn_dist
+    FROM mp
+    """)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE (Yeh et al., ICDM 2016) over the daily
+    order-count series, m=7: for every length-7 subsequence, the
+    z-normalized Euclidean distance to its nearest non-trivial match
+    (exclusion zone |i-j| >= m/2). Low profile values = MOTIFS
+    (repeated weekly shapes), high values = DISCORDS (anomalous
+    weeks) -- the one structure that answers both queries at once.
+    dist = sqrt(2m(1 - r)) where r is the Pearson correlation of the
+    two windows, computed from an exact-integer dot product and
+    window moments (counts are ints, so s1/s2/dot are exact; mu and
+    sigma are identical double expressions in both engines;
+    zero-variance windows are excluded as z-norm-undefined). The
+    all-pairs form here is O(n^2) over the DATE-SPAN domain (2.4k
+    positions -> 5.7M pairs, a broadcast nested-loop the 60k-row
+    corpus scan never joins into); at 100 TB the series length is
+    still calendar-bounded, and for genuinely long series the same
+    pair frame bands into SCRIMP-style diagonal blocks (each block an
+    independent task) -- the composition, not the cross join, is the
+    scale path."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    pos = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("p"), "y")
+    wp = Window.orderBy("p")
+    ws = [F.col("y").alias("w0")] + [
+        F.lead("y", k).over(wp).alias(f"w{k}") for k in range(1, 7)]
+    win = pos.select("p", *ws).filter(F.col("w6").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s1 = sum(F.col(f"w{k}") for k in range(7))
+    s2 = sum(dec(f"w{k}") * F.col(f"w{k}") for k in range(7))
+    mu = s1.cast("double") / 7.0
+    st = win.select(
+        "p", *[f"w{k}" for k in range(7)],
+        mu.alias("mu"),
+        F.sqrt(s2.cast("double") / 7.0 - mu * mu).alias("sg"))
+    g = st.filter(F.col("sg") > 0)
+    b = g.select(F.col("p").alias("q"), F.col("mu").alias("mu_b"),
+                 F.col("sg").alias("sg_b"),
+                 *[F.col(f"w{k}").alias(f"v{k}") for k in range(7)])
+    pairs = g.join(F.broadcast(b),
+                   F.abs(F.col("p") - F.col("q")) >= 4)
+    dot = sum(dec(f"w{k}") * F.col(f"v{k}") for k in range(7))
+    r = ((dot.cast("double") - 7.0 * F.col("mu") * F.col("mu_b"))
+         / (7.0 * F.col("sg") * F.col("sg_b")))
+    dist = F.sqrt(F.greatest(F.lit(0.0), 14.0 * (F.lit(1.0) - r)))
+    return (pairs.groupBy("p")
+            .agg(F.min(dist).alias("nn_dist_raw"))
+            .select(F.col("p").cast("bigint").alias("pos"),
+                    F.round("nn_dist_raw", 4).alias("nn_dist")))

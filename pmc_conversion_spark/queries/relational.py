@@ -9517,3 +9517,215 @@ def agg_lasso_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b1).alias("beta_quantity_std"),
         F.lit(b2).alias("beta_discount_std"),
         F.lit(n_iters).cast("int").alias("n_iters"))
+
+
+# ------------------------------------------------- r7 diagnostics wave
+
+@register(
+    "agg_gpd_pot",
+    oracle="""
+    WITH exc AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) - 9000000 AS y
+      FROM lineitem
+      WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 9000000),
+    s AS (
+      SELECT count(*) AS n, sum(y) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM exc),
+    m AS (
+      SELECT n,
+             CAST(sy AS DOUBLE) / n AS mean_y,
+             CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_y
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_exceed,
+           round(mean_y / 100.0, 4) AS mean_excess_dollars,
+           round(0.5 * (1.0 - mean_y * mean_y / var_y), 6) AS xi_hat,
+           round(0.5 * mean_y * (mean_y * mean_y / var_y + 1.0)
+                 / 100.0, 4) AS beta_hat_dollars
+    FROM m
+    """)
+def agg_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZED PARETO peaks-over-threshold fit (extreme-value
+    theory's other half: `agg_gumbel_block_maxima` models block
+    maxima via GEV; POT models ALL exceedances over a high threshold,
+    using far more of the tail data). Excesses over the $90,000
+    line-price threshold, GPD (xi, beta) by method of moments --
+    xi = (1 - m^2/s^2)/2, beta = m(m^2/s^2 + 1)/2 -- which needs only
+    mean and variance of the excesses: pure partial aggregates, NO
+    order statistics, no sort, no window. Prices are exact cents
+    (bigint) so every moment sum is exact; the two closed-form doubles
+    are single identical expressions in both engines. At 100 TB this
+    is one filtered scan + one 3-cell aggregate -- the cheapest
+    possible tail-risk fit (contrast Hill, which needs top-k order
+    statistics)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    exc = (li.select((cents - 9000000).alias("y"))
+           .filter(F.col("y") > 0))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = exc.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("sy"),
+                F.sum(dec("y") * F.col("y")).alias("syy"))
+    mean_y = F.col("sy").cast("double") / F.col("n")
+    var_y = ((F.col("n") * F.col("syy") - dec("sy") * F.col("sy"))
+             .cast("double")
+             / (F.col("n").cast("double") * (F.col("n") - 1)))
+    ratio = mean_y * mean_y / var_y
+    return s.select(
+        F.col("n").cast("bigint").alias("n_exceed"),
+        F.round(mean_y / 100.0, 4).alias("mean_excess_dollars"),
+        F.round(0.5 * (F.lit(1.0) - ratio), 6).alias("xi_hat"),
+        F.round(0.5 * mean_y * (ratio + 1.0) / 100.0, 4)
+        .alias("beta_hat_dollars"))
+
+
+@register(
+    "agg_anderson_darling_2s",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb, sum(a + b) AS nn FROM h),
+    cdf AS (
+      SELECT a + b AS hj,
+             sum(a) OVER (ORDER BY q) AS mj,
+             sum(a + b) OVER (ORDER BY q) AS hh
+      FROM h),
+    ad AS (
+      SELECT sum(CAST(hj AS DOUBLE)
+                 * (CAST(tot.nn AS DOUBLE) * mj
+                    - CAST(tot.na AS DOUBLE) * hh)
+                 * (CAST(tot.nn AS DOUBLE) * mj
+                    - CAST(tot.na AS DOUBLE) * hh)
+                 / (CAST(hh AS DOUBLE) * (tot.nn - hh))) AS s
+      FROM cdf, tot WHERE hh < tot.nn)
+    SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_returned,
+           (SELECT CAST(nb AS BIGINT) FROM tot) AS n_accepted,
+           round((SELECT s FROM ad)
+                 / (CAST((SELECT na FROM tot) AS DOUBLE)
+                    * (SELECT nb FROM tot)
+                    * (SELECT nn FROM tot)), 8) AS ad_stat
+    """)
+def agg_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample ANDERSON-DARLING statistic (right-continuous,
+    tie-adjusted Pettitt form) between the returned and accepted
+    quantity distributions: A2 = 1/(na*nb*N) * SUM_j h_j *
+    (N*M_j - na*H_j)^2 / (H_j*(N-H_j)) over the pooled support,
+    where H_j is the pooled CDF count and M_j the sample-A CDF count.
+    AD weights the CDF gap by 1/(H(N-H)) -- heavy in the TAILS --
+    so it detects tail-only shifts that KS (`agg_ks_test`, max gap,
+    center-sensitive) and CVM (`agg_cvm_test`, uniform weight) both
+    dilute. All counts are exact integers on the bounded 1..50
+    support; the prefix sums are a 50-row window -- the 60k-row scan
+    never ranks. Same histogram-first shape as `agg_wasserstein_1d`:
+    at 100 TB the only shuffle is the 50-group partial aggregate."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.filter(F.col("l_returnflag").isin("R", "A"))
+         .groupBy("l_quantity")
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("a"),
+              F.sum(F.when(F.col("l_returnflag") == "A", 1)
+                    .otherwise(0)).alias("b"))
+         .withColumnRenamed("l_quantity", "q"))
+    tot = h.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"),
+                F.sum(F.col("a") + F.col("b")).alias("nn"))
+    wc = Window.orderBy("q").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cdf = h.select((F.col("a") + F.col("b")).alias("hj"),
+                   F.sum("a").over(wc).alias("mj"),
+                   F.sum(F.col("a") + F.col("b")).over(wc).alias("hh"))
+    j = cdf.crossJoin(F.broadcast(tot)).filter(F.col("hh") < F.col("nn"))
+    gap = (F.col("nn").cast("double") * F.col("mj")
+           - F.col("na").cast("double") * F.col("hh"))
+    s = j.agg(
+        F.max("na").cast("bigint").alias("n_returned"),
+        F.max("nb").cast("bigint").alias("n_accepted"),
+        F.sum(F.col("hj").cast("double") * gap * gap
+              / (F.col("hh").cast("double")
+                 * (F.col("nn") - F.col("hh")))).alias("s"),
+        F.max("na").alias("xna"), F.max("nb").alias("xnb"),
+        F.max("nn").alias("xnn"))
+    return s.select(
+        "n_returned", "n_accepted",
+        F.round(F.col("s") / (F.col("xna").cast("double")
+                              * F.col("xnb") * F.col("xnn")), 8)
+        .alias("ad_stat"))
+
+
+@register(
+    "win_rolling_ols_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT n_name,
+             datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS t,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT n_name, t,
+             count(*) OVER w AS n,
+             sum(t) OVER w AS st,
+             sum(y) OVER w AS sy,
+             sum(CAST(t AS HUGEINT) * y) OVER w AS sty,
+             sum(CAST(t AS HUGEINT) * t) OVER w AS stt,
+             row_number() OVER (PARTITION BY n_name ORDER BY t) AS rn
+      FROM daily
+      WINDOW w AS (PARTITION BY n_name ORDER BY t
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT n_name, t AS day_num,
+           round(CAST(n * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * stt - CAST(st AS HUGEINT) * st AS DOUBLE)
+                 / 100.0, 6) AS slope_dollars_per_day
+    FROM r WHERE rn >= 28
+    """)
+def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS TREND: per-nation 28-observation rolling regression
+    slope of daily revenue on time, entirely from ROLLING SUMS --
+    slope = (n*Sty - St*Sy) / (n*Stt - St*St) where every S is a
+    windowed sum over the trailing 28 days. No refit per position, no
+    UDF, no matrix: the normal equation for simple OLS collapses to
+    four rolling moments the window operator maintains incrementally.
+    Revenue is exact cents and t an exact day number, so the moment
+    sums are exact (decimal) and the final slope one identical double
+    expression. Windows partition by nation -- 25 independent series,
+    each date-span-bounded, so the window never sees corpus-sized
+    partitions and the plan scales with nations x days, not rows."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    daily = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name",
+                      F.datediff(F.col("o_orderdate").cast("date"),
+                                 F.lit("1992-01-01").cast("date"))
+                      .alias("t"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100)).cast("bigint").alias("y")))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    w = (Window.partitionBy("n_name").orderBy("t")
+         .rowsBetween(-27, Window.currentRow))
+    wn = Window.partitionBy("n_name").orderBy("t")
+    r = daily.select(
+        "n_name", "t",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).alias("st"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(dec("t") * F.col("y")).over(w).alias("sty"),
+        F.sum(dec("t") * F.col("t")).over(w).alias("stt"),
+        F.row_number().over(wn).alias("rn"))
+    num = (F.col("n") * F.col("sty") - dec("st") * F.col("sy")) \
+        .cast("double")
+    den = (F.col("n") * F.col("stt") - dec("st") * F.col("st")) \
+        .cast("double")
+    return (r.filter(F.col("rn") >= 28)
+            .select("n_name", F.col("t").alias("day_num"),
+                    F.round(num / den / 100.0, 6)
+                    .alias("slope_dollars_per_day")))
