@@ -6074,3 +6074,88 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(dist).alias("nn_dist_raw"))
             .select(F.col("p").cast("bigint").alias("pos"),
                     F.round("nn_dist_raw", 4).alias("nn_dist")))
+
+
+@register(
+    "ts_binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    pos AS (
+      SELECT row_number() OVER (ORDER BY d) AS k, d, y,
+             sum(y) OVER (ORDER BY d) AS cs1,
+             sum(CAST(y AS HUGEINT) * y) OVER (ORDER BY d) AS cs2,
+             count(*) OVER () AS n,
+             sum(y) OVER () AS t1,
+             sum(CAST(y AS HUGEINT) * y) OVER () AS t2
+      FROM daily),
+    cost AS (
+      SELECT k, d, n, t1, t2,
+             (CAST(cs2 AS DOUBLE)
+              - CAST(cs1 AS DOUBLE) * cs1 / k)
+             + (CAST(t2 - cs2 AS DOUBLE)
+                - CAST(t1 - cs1 AS DOUBLE) * (t1 - cs1) / (n - k))
+               AS sse,
+             CAST(cs1 AS DOUBLE) / k AS mean_l,
+             CAST(t1 - cs1 AS DOUBLE) / (n - k) AS mean_r
+      FROM pos WHERE k >= 30 AND k <= n - 30)
+    SELECT CAST(k AS BIGINT) AS split_k,
+           CAST(d AS DATE) AS split_day,
+           round(mean_l, 6) AS mean_left,
+           round(mean_r, 6) AS mean_right,
+           round((CAST(t2 AS DOUBLE)
+                  - CAST(t1 AS DOUBLE) * t1 / n) - sse, 6)
+             AS sse_reduction
+    FROM cost ORDER BY sse, k LIMIT 1
+    """)
+def ts_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SEGMENTATION CHANGEPOINT (one split) on the daily
+    order-count series: the split k minimizing SSE_left + SSE_right,
+    where each segment SSE collapses to cs2 - cs1^2/len from PREFIX
+    SUMS -- so evaluating ALL candidate splits costs one cumulative
+    window pass, not n refits (the identity that makes binary
+    segmentation O(n) per level; recursing on each side yields the
+    full changepoint tree). CUSUM (`ts_cusum_changepoint`) detects
+    drift against a global mean; this finds the LS-optimal mean
+    break, with both segment means reported. Min-segment guard of 30
+    days; counts are exact ints so prefix sums are exact and each
+    candidate's SSE is one identical double expression; the argmin is
+    a TakeOrdered(1). The windows ride the 2.4k-row date-span frame,
+    never the corpus."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    wall = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    pos = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("k"), "d",
+        F.sum("y").over(wc).alias("cs1"),
+        F.sum(dec("y") * F.col("y")).over(wc).alias("cs2"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("y").over(wall).alias("t1"),
+        F.sum(dec("y") * F.col("y")).over(wall).alias("t2"))
+    rl = F.col("cs1").cast("double")
+    rr = (F.col("t1") - F.col("cs1")).cast("double")
+    sse = ((F.col("cs2").cast("double") - rl * F.col("cs1") / F.col("k"))
+           + ((F.col("t2") - F.col("cs2")).cast("double")
+              - rr * (F.col("t1") - F.col("cs1"))
+              / (F.col("n") - F.col("k"))))
+    cost = (pos.filter((F.col("k") >= 30)
+                       & (F.col("k") <= F.col("n") - 30))
+            .select("k", "d", "n", "t1", "t2", sse.alias("sse"),
+                    (rl / F.col("k")).alias("mean_l"),
+                    (rr / (F.col("n") - F.col("k"))).alias("mean_r")))
+    return (cost.orderBy("sse", "k").limit(1)
+            .select(F.col("k").cast("bigint").alias("split_k"),
+                    F.col("d").cast("date").alias("split_day"),
+                    F.round("mean_l", 6).alias("mean_left"),
+                    F.round("mean_r", 6).alias("mean_right"),
+                    F.round((F.col("t2").cast("double")
+                             - F.col("t1").cast("double") * F.col("t1")
+                             / F.col("n")) - F.col("sse"), 6)
+                    .alias("sse_reduction")))
