@@ -1741,3 +1741,69 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("common").cast("bigint")
                 .alias("common_neighbors"),
                 F.round(F.col("score"), 6).alias("adamic_adar")))
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1),
+    ks AS (SELECT unnest([2, 4, 6, 8]) AS k),
+    rich AS (
+      SELECT ks.k, deg.n FROM ks JOIN deg ON deg.d > ks.k),
+    nk AS (SELECT k, count(*) AS n_rich FROM rich GROUP BY 1),
+    ek AS (
+      SELECT r1.k, count(*) AS e_rich
+      FROM e JOIN rich r1 ON e.u = r1.n
+             JOIN rich r2 ON e.v = r2.n AND r2.k = r1.k
+      GROUP BY 1)
+    SELECT ks.k,
+           CAST(coalesce(nk.n_rich, 0) AS BIGINT) AS n_rich,
+           CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
+           round(CASE WHEN coalesce(nk.n_rich, 0) >= 2
+                 THEN 2.0 * coalesce(ek.e_rich, 0)
+                      / (CAST(nk.n_rich AS DOUBLE) * (nk.n_rich - 1))
+                 ELSE 0.0 END, 6) AS phi
+    FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+    """)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT profile phi(k) of the supplier co-order
+    graph: among nodes of degree > k, the realized fraction of
+    possible edges -- rising phi(k) means the hubs form a densely
+    interconnected CORE (supply-chain oligopoly; in an infrastructure
+    graph, a resilience risk: the core is a correlated failure
+    domain). Degree is one edge-list aggregate; each k-level is a
+    semi-join of the edge list against the rich set on BOTH
+    endpoints; the four k levels share one degree frame. All counts
+    exact. Scale: edges shuffle by endpoint key twice (u then v);
+    the rich sets are degree-filtered and small, so both joins
+    broadcast at any corpus size."""
+    e = _co_order_edges(spark, sf_dir)
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    ks = spark.createDataFrame([(2,), (4,), (6,), (8,)], "k int")
+    rich = ks.join(deg, deg.d > ks.k).select("k", "n")
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).alias("n_rich"))
+    r1 = rich.select(F.col("k"), F.col("n").alias("u"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("n").alias("v2"))
+    ek = (e.join(F.broadcast(r1), "u")
+          .join(F.broadcast(r2),
+                (F.col("v") == F.col("v2")) & (F.col("k") == F.col("k2")))
+          .groupBy("k").agg(F.count(F.lit(1)).alias("e_rich")))
+    out = (ks.join(nk, "k", "left").join(ek, "k", "left")
+           .select(
+               "k",
+               F.coalesce("n_rich", F.lit(0)).cast("bigint")
+               .alias("n_rich"),
+               F.coalesce("e_rich", F.lit(0)).cast("bigint")
+               .alias("e_rich")))
+    phi = F.when(
+        F.col("n_rich") >= 2,
+        F.round(2.0 * F.col("e_rich")
+                / (F.col("n_rich").cast("double")
+                   * (F.col("n_rich") - 1)), 6)).otherwise(0.0)
+    return out.select("k", "n_rich", "e_rich", phi.alias("phi"))

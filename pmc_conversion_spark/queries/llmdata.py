@@ -9442,3 +9442,311 @@ def mm_audio_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _goertzel,
         "media_id bigint, sample_rate bigint, n_samples bigint, "
         "bin4_power double, dc_mean double")
+
+
+@register(
+    "mm_image_sobel_energy",
+    oracle="""
+    WITH m AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+               FROM documents),
+    lum AS (
+      SELECT doc_id, w, h, r, c,
+             (((doc_id * 31 + r * 7 + c * 3 + 0) % 256) * 299
+              + ((doc_id * 31 + r * 7 + c * 3 + 1) % 256) * 587
+              + ((doc_id * 31 + r * 7 + c * 3 + 2) % 256) * 114) // 1000
+               AS l
+      FROM m, unnest(range(0, h)) AS t1(r), unnest(range(0, w)) AS t2(c)),
+    off AS (SELECT * FROM (VALUES
+      (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+      (0, -1, -2, 0), (0, 1, 2, 0),
+      (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1)) AS t(dr, dc, wx, wy)),
+    g AS (
+      SELECT i.doc_id, i.r, i.c,
+             sum(off.wx * n.l) AS gx, sum(off.wy * n.l) AS gy
+      FROM lum i
+      JOIN off ON TRUE
+      JOIN lum n ON n.doc_id = i.doc_id
+                AND n.r = i.r + off.dr AND n.c = i.c + off.dc
+      WHERE i.r >= 1 AND i.r <= i.h - 2
+        AND i.c >= 1 AND i.c <= i.w - 2
+      GROUP BY 1, 2, 3)
+    SELECT m.doc_id AS media_id,
+           CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_interior,
+           CAST(sum(abs(g.gx) + abs(g.gy)) AS BIGINT) AS edge_energy
+    FROM g JOIN m ON g.doc_id = m.doc_id
+    GROUP BY 1, 2, 3
+    """)
+def mm_image_sobel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOBEL EDGE ENERGY over the real BMP decode path: encode
+    deterministic images as spec-correct BMP bytes, decode with the
+    pure-numpy parser, collapse to integer luma, and convolve the 3x3
+    Sobel pair on the valid interior -- the standard cheap
+    sharpness/structure score used to FILTER degenerate images
+    (flat-color, synthetic banding) from multimodal training corpora
+    before expensive featurization. The kernel runs as numpy slice
+    arithmetic inside one Arrow-batched mapInPandas stage: per-image
+    work is O(pixels), rows never leave their partition, and only the
+    5-column stat row shuffles. The oracle replays luma and both
+    kernels symbolically (conv-as-join on an 8-row offset table) --
+    integer end-to-end, so the match is exact. Compressed codecs stay
+    stubbed (functions/multimodal.py:56); the conv pipeline is real."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(4) + F.col("doc_id") % 13).cast("int")
+                    .alias("w"),
+                    (F.lit(4) + F.col("doc_id") % 7).cast("int")
+                    .alias("h")))
+    encoded = MM.synth_bmp_images(base)
+    return MM.sobel_energy_batch(encoded)
+
+
+def _maxsim_sql(n_sub: int = 4, sub_dim: int = 16) -> str:
+    """DuckDB twin of sim_maxsim_multivector: sub-vector slices, fold
+    dots/norms, per-(i) max pivoted to a fixed-order sum."""
+    nrm = ("sqrt(list_reduce(list_transform(range(1, {d} + 1), "
+           "j -> {v}[j] * {v}[j]), (x, y) -> x + y))")
+    dot = _fold_dot_sql("qs", "cs", sub_dim)
+    maxes = ", ".join(
+        f"max(CASE WHEN i = {i} THEN nd END) AS m{i}"
+        for i in range(1, n_sub + 1))
+    score = " + ".join(f"m{i}" for i in range(1, n_sub + 1))
+    return f"""
+    WITH subs AS (
+      SELECT vec_id, i,
+             list_slice(embedding::DOUBLE[],
+                        (i - 1) * {sub_dim} + 1, i * {sub_dim}) AS s
+      FROM embeddings, unnest(range(1, {n_sub + 1})) AS t(i)),
+    q AS (SELECT vec_id AS qid, i, s AS qs FROM subs WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, i AS j, s AS cs FROM subs
+          WHERE vec_id >= 8),
+    nd AS (
+      SELECT qid, cid, i,
+             max({dot} / ({nrm.format(d=sub_dim, v='qs')}
+                          * {nrm.format(d=sub_dim, v='cs')})) AS nd
+      FROM q JOIN c ON TRUE
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT qid, cid, {maxes}
+      FROM nd GROUP BY 1, 2),
+    rk AS (
+      SELECT qid AS query_id, cid AS neighbor_id,
+             round({score}, 6) AS maxsim_score,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round({score}, 6) DESC, cid) AS rank
+      FROM sc)
+    SELECT query_id, neighbor_id, maxsim_score, rank
+    FROM rk WHERE rank <= 3
+    """
+
+
+@register("sim_maxsim_multivector", oracle=_maxsim_sql())
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION MaxSim retrieval (ColBERT, SIGIR 2020): each
+    vector is treated as FOUR 16-dim sub-vectors ("token embeddings");
+    score(q, c) = SUM_i max_j cos(q_i, c_j) -- every query token finds
+    its best-matching document token, so a document matching all
+    facets of the query beats one matching a single facet strongly,
+    the precision jump single-vector cosine (`sim_topk_bruteforce`)
+    cannot express. Sub-vectors come from array slices (one explode by
+    a 4-row literal, never a corpus-width shuffle); the (q-sub x c-sub)
+    scoring is map-side over the broadcast 32-row query-sub frame; the
+    per-i maxima pivot into FIXED-ORDER columns so the final sum is
+    deterministic (no order-dependent double reduction); ranking uses
+    the rounded score with an id tie-break. At 100 TB the corpus side
+    streams: per candidate it is 16 fold-dots and one 4-column pivot,
+    and the usual scale path (IVF cells pruning candidates,
+    `sim_ivfpq_topk`) composes in front unchanged."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    idx = spark.range(1, 5).select(F.col("id").cast("int").alias("i"))
+    subs = (emb.withColumn("v", F.col("embedding").cast("array<double>"))
+            .crossJoin(F.broadcast(idx))
+            .select("vec_id", "i",
+                    F.slice(F.col("v"), (F.col("i") - 1) * 16 + 1, 16)
+                    .alias("s")))
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.col(c), F.lit(0.0), lambda acc, v: acc + v * v))
+    q = (subs.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"), "i",
+                 F.col("s").alias("qs")))
+    c = (subs.filter(F.col("vec_id") >= 8)
+         .select(F.col("vec_id").alias("cid"), F.col("i").alias("j"),
+                 F.col("s").alias("cs")))
+    dot = F.aggregate(F.zip_with(F.col("qs"), F.col("cs"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nd = (c.crossJoin(F.broadcast(q))
+          .groupBy("qid", "cid", "i")
+          .agg(F.max(dot / (nrm("qs") * nrm("cs"))).alias("nd")))
+    sc = nd.groupBy("qid", "cid").agg(
+        *[F.max(F.when(F.col("i") == i, F.col("nd"))).alias(f"m{i}")
+          for i in range(1, 5)])
+    score = F.round(F.col("m1") + F.col("m2") + F.col("m3")
+                    + F.col("m4"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim_score"),
+                                               "neighbor_id")
+    rk = (sc.select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"),
+                    score.alias("maxsim_score"))
+          .withColumn("rank", F.row_number().over(w)))
+    return rk.filter(F.col("rank") <= 3)
+
+
+def _mmr_sql(pool_k: int = 8, lam: float = 0.7) -> str:
+    """DuckDB twin of sim_mmr_rerank: pooled top-k relevance, rounded
+    pairwise sims, three unrolled greedy selections."""
+    nrm = ("sqrt(list_reduce(list_transform(range(1, 65), "
+           "j -> {v}[j] * {v}[j]), (x, y) -> x + y))")
+    cos_qc = (f"{_fold_dot_sql('qv', 'cv', 64)} / "
+              f"({nrm.format(v='qv')} * {nrm.format(v='cv')})")
+    cos_ab = (f"{_fold_dot_sql('av', 'bv', 64)} / "
+              f"({nrm.format(v='av')} * {nrm.format(v='bv')})")
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 4),
+    scored AS (
+      SELECT qid, cid, cv, round({cos_qc}, 6) AS rel,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round({cos_qc}, 6) DESC, cid) AS rk
+      FROM q JOIN c ON TRUE),
+    pool AS (SELECT qid, cid, cv, rel FROM scored WHERE rk <= {pool_k}),
+    sims AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             round({_fold_dot_sql('a.cv', 'b.cv', 64)}
+                   / ({nrm.format(v='a.cv')} * {nrm.format(v='b.cv')}),
+                   6) AS sim
+      FROM pool a JOIN pool b
+        ON a.qid = b.qid AND a.cid <> b.cid),
+    s1 AS (
+      SELECT qid, cid AS sel, rel AS score FROM pool
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY rel DESC, cid) = 1),
+    sc2 AS (
+      SELECT p.qid, p.cid, {lam} * p.rel - {1 - lam:.1f} * s.sim
+               AS score
+      FROM pool p JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.sel
+      JOIN sims s ON s.qid = p.qid AND s.ca = p.cid AND s.cb = s1.sel),
+    s2 AS (
+      SELECT qid, cid AS sel, score FROM sc2
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY score DESC, cid) = 1),
+    sc3 AS (
+      SELECT p.qid, p.cid,
+             {lam} * p.rel
+             - {1 - lam:.1f} * greatest(x1.sim, x2.sim) AS score
+      FROM pool p
+      JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.sel
+      JOIN s2 ON s2.qid = p.qid AND p.cid <> s2.sel
+      JOIN sims x1 ON x1.qid = p.qid AND x1.ca = p.cid
+                  AND x1.cb = s1.sel
+      JOIN sims x2 ON x2.qid = p.qid AND x2.ca = p.cid
+                  AND x2.cb = s2.sel),
+    s3 AS (
+      SELECT qid, cid AS sel, score FROM sc3
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY score DESC, cid) = 1)
+    SELECT qid AS query_id, 1 AS step, sel AS selected_id,
+           round(score, 6) AS mmr_score FROM s1
+    UNION ALL
+    SELECT qid, 2, sel, round(score, 6) FROM s2
+    UNION ALL
+    SELECT qid, 3, sel, round(score, 6) FROM s3
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): from each query's top-8 cosine pool, greedily select
+    3 results maximizing lambda*rel(c) - (1-lambda)*max_{s in S}
+    sim(c, s) -- the diversity objective that stops a retrieval page
+    (or a RAG context window) from filling with near-duplicates of
+    one passage: after the best hit is taken, its clones' marginal
+    scores collapse. The DISTRIBUTED stage is the relevance scan
+    (broadcast 4 queries x corpus, identical shape to
+    `sim_topk_bruteforce`); the greedy recursion runs as three
+    unrolled DataFrame steps over the pooled 32 rows -- per-query
+    pools are bounded by construction, so the sequential part is O(k)
+    on tiny frames, never a corpus operation. Relevance and pairwise
+    sims are rounded to 6dp BEFORE the score arithmetic so both
+    engines select identically at every step."""
+    lam, mu = 0.7, 0.3  # mu as a literal: 1-0.7 != 0.3 in IEEE
+    emb = tables.load(spark, sf_dir, "embeddings")
+    vecs = emb.withColumn("v", F.col("embedding").cast("array<double>"))
+    q = (vecs.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    c = (vecs.filter(F.col("vec_id") >= 4)
+         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda a: F.sqrt(F.aggregate(
+        F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
+    rel = F.round(dot("qv", "cv") / (nrm("qv") * nrm("cv")), 6)
+    wq = Window.partitionBy("qid")
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("qid", "cid", "cv", rel.alias("rel"))
+              .withColumn("rk", F.row_number().over(
+                  wq.orderBy(F.desc("rel"), "cid"))))
+    pool = scored.filter(F.col("rk") <= 8).drop("rk")
+    pb = pool.select(F.col("qid").alias("qid_b"),
+                     F.col("cid").alias("cb"),
+                     F.col("cv").alias("bv"))
+    sims = (pool.join(pb, (F.col("qid") == F.col("qid_b"))
+                      & (F.col("cid") != F.col("cb")))
+            .select(F.col("qid").alias("qs"), F.col("cid").alias("ca"),
+                    "cb",
+                    F.round(dot("cv", "bv") / (nrm("cv") * nrm("bv")),
+                            6).alias("sim")))
+    s1 = (pool.withColumn("rk", F.row_number().over(
+        wq.orderBy(F.desc("rel"), "cid")))
+          .filter(F.col("rk") == 1)
+          .select("qid", F.col("cid").alias("sel"),
+                  F.col("rel").alias("score")))
+    sel1 = s1.select(F.col("qid").alias("q1"), F.col("sel").alias("x1"))
+    x1s = sims.select(F.col("qs").alias("qs1"), F.col("ca").alias("a1"),
+                      F.col("cb").alias("b1"), F.col("sim").alias("sim1"))
+    x2s = sims.select(F.col("qs").alias("qs2"), F.col("ca").alias("a2"),
+                      F.col("cb").alias("b2"), F.col("sim").alias("sim2"))
+    sc2 = (pool.join(sel1, (F.col("qid") == F.col("q1"))
+                     & (F.col("cid") != F.col("x1")))
+           .join(x1s, (F.col("qs1") == F.col("qid"))
+                 & (F.col("a1") == F.col("cid"))
+                 & (F.col("b1") == F.col("x1")))
+           .select("qid", "cid",
+                   (lam * F.col("rel") - mu * F.col("sim1"))
+                   .alias("score")))
+    s2 = (sc2.withColumn("rk", F.row_number().over(
+        wq.orderBy(F.desc("score"), "cid")))
+          .filter(F.col("rk") == 1)
+          .select("qid", F.col("cid").alias("sel"), "score"))
+    sel2 = s2.select(F.col("qid").alias("q2"), F.col("sel").alias("x2"))
+    sc3 = (pool.join(sel1, (F.col("qid") == F.col("q1"))
+                     & (F.col("cid") != F.col("x1")))
+           .join(sel2, (F.col("qid") == F.col("q2"))
+                 & (F.col("cid") != F.col("x2")))
+           .join(x1s, (F.col("qs1") == F.col("qid"))
+                 & (F.col("a1") == F.col("cid"))
+                 & (F.col("b1") == F.col("x1")))
+           .join(x2s, (F.col("qs2") == F.col("qid"))
+                 & (F.col("a2") == F.col("cid"))
+                 & (F.col("b2") == F.col("x2")))
+           .select("qid", "cid",
+                   (lam * F.col("rel") - mu
+                    * F.greatest(F.col("sim1"), F.col("sim2")))
+                   .alias("score")))
+    s3 = (sc3.withColumn("rk", F.row_number().over(
+        wq.orderBy(F.desc("score"), "cid")))
+          .filter(F.col("rk") == 1)
+          .select("qid", F.col("cid").alias("sel"), "score"))
+    out = (s1.select("qid", F.lit(1).alias("step"), "sel", "score")
+           .unionAll(s2.select("qid", F.lit(2).alias("step"), "sel",
+                               "score"))
+           .unionAll(s3.select("qid", F.lit(3).alias("step"), "sel",
+                               "score")))
+    return out.select(F.col("qid").alias("query_id"),
+                      F.col("step").cast("int").alias("step"),
+                      F.col("sel").alias("selected_id"),
+                      F.round("score", 6).alias("mmr_score"))

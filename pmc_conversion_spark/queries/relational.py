@@ -10141,3 +10141,121 @@ def agg_tukey_biweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("swx").cast("double") / F.col("sw").cast("double")
                 / 100.0, 4).alias("biweight_location_dollars"),
         F.col("nu").cast("bigint").alias("n_unclipped"))
+
+
+@register(
+    "agg_competing_risks_cif",
+    oracle="""
+    WITH ev AS (
+      SELECT datediff('day', o_orderdate, l_shipdate) AS t,
+             CASE WHEN l_returnflag = 'R' THEN 1
+                  WHEN l_returnflag = 'A' THEN 2
+                  ELSE 0 END AS cause
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    byt AS (
+      SELECT t,
+             sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS dr,
+             sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS da,
+             count(*) AS leav
+      FROM ev GROUP BY 1),
+    tot AS (SELECT sum(leav) AS nn FROM byt),
+    risk AS (
+      SELECT t, dr, da,
+             tot.nn - coalesce(sum(leav) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM byt, tot),
+    hz AS (
+      SELECT t, dr, da, n_risk,
+             CAST(dr + da AS DOUBLE) / n_risk AS h,
+             CAST(dr AS DOUBLE) / n_risk AS hr,
+             CAST(da AS DOUBLE) / n_risk AS ha
+      FROM risk),
+    km AS (
+      SELECT t, dr, da, n_risk, hr, ha,
+             exp(coalesce(sum(ln(greatest(1.0 - h, 1e-300)))
+               OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+               AS s_prev,
+             exp(sum(ln(greatest(1.0 - h, 1e-300))) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS s_cur
+      FROM hz)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(dr AS BIGINT) AS d_returned,
+           CAST(da AS BIGINT) AS d_accepted,
+           round(sum(s_prev * hr) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cif_returned,
+           round(sum(s_prev * ha) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cif_accepted,
+           round(s_cur, 6) AS km_any_event
+    FROM km
+    """)
+def agg_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AALEN-JOHANSEN CUMULATIVE INCIDENCE for COMPETING RISKS: ship
+    -> receipt delay as event time, 'returned' vs 'accepted' as
+    competing causes ('N' rows censor). CIF_k(t) = sum_{s<=t}
+    S(s-) * d_k(s)/n(s) -- the quantity 1-KM systematically
+    OVERSTATES when another cause removes subjects first (the classic
+    competing-risks bias `agg_survival_curve`/`agg_km_greenwood`
+    can't see: KM treats the other cause as censoring and inflates
+    both incidences; the two CIFs here sum to 1 - KM_any exactly).
+    One grouped count on the bounded delay support (~31 rows), then
+    ordered prefix windows: the KM factor as exp(cumsum ln(1-h)) and
+    each CIF as a cumulative hazard-weighted sum -- ordered cumsums
+    of doubles are order-deterministic, so both engines produce
+    identical IEEE values. The corpus contributes one partial-agg
+    scan; everything after is a 31-row frame."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    ev = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(
+              F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+              .alias("t"),
+              F.when(F.col("l_returnflag") == "R", 1)
+              .when(F.col("l_returnflag") == "A", 2).otherwise(0)
+              .alias("cause")))
+    byt = (ev.groupBy("t")
+           .agg(F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+                .alias("dr"),
+                F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+                .alias("da"),
+                F.count(F.lit(1)).alias("leav")))
+    tot = byt.agg(F.sum("leav").alias("nn"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                             -1)
+    w_cur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    risk = (byt.crossJoin(F.broadcast(tot))
+            .select("t", "dr", "da",
+                    (F.col("nn")
+                     - F.coalesce(F.sum("leav").over(w_prev),
+                                  F.lit(0))).alias("n_risk")))
+    hz = risk.select(
+        "t", "dr", "da", "n_risk",
+        ((F.col("dr") + F.col("da")).cast("double") / F.col("n_risk"))
+        .alias("h"),
+        (F.col("dr").cast("double") / F.col("n_risk")).alias("hr"),
+        (F.col("da").cast("double") / F.col("n_risk")).alias("ha"))
+    km = hz.select(
+        "t", "dr", "da", "n_risk", "hr", "ha",
+        F.exp(F.coalesce(
+            F.sum(F.log(F.greatest(F.lit(1.0) - F.col("h"),
+                                   F.lit(1e-300)))).over(w_prev),
+            F.lit(0.0))).alias("s_prev"),
+        F.exp(F.sum(F.log(F.greatest(F.lit(1.0) - F.col("h"),
+                                     F.lit(1e-300)))).over(w_cur))
+        .alias("s_cur"))
+    return km.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("dr").cast("bigint").alias("d_returned"),
+        F.col("da").cast("bigint").alias("d_accepted"),
+        F.round(F.sum(F.col("s_prev") * F.col("hr")).over(w_cur), 6)
+        .alias("cif_returned"),
+        F.round(F.sum(F.col("s_prev") * F.col("ha")).over(w_cur), 6)
+        .alias("cif_accepted"),
+        F.round("s_cur", 6).alias("km_any_event"))
