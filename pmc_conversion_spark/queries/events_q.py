@@ -6159,3 +6159,342 @@ def ts_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                              - F.col("t1").cast("double") * F.col("t1")
                              / F.col("n")) - F.col("sse"), 6)
                     .alias("sse_reduction")))
+
+
+@register(
+    "ts_garch11_filter",
+    oracle="""
+    -- Scalar rp/sig2 recursion (same shape as ts_kalman_1d; see the
+    -- struct-accumulator caveat there).
+    WITH RECURSIVE v AS (
+      SELECT user_id, ts, event_id, round(value, 6)::DOUBLE AS x
+      FROM events WHERE value IS NOT NULL
+    ), series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM v GROUP BY user_id
+      HAVING count(*) >= 3
+    ), step AS (
+      SELECT user_id, xs, n, 2 AS i,
+             (xs[2] - xs[1])::DOUBLE AS rp,
+             ((xs[2] - xs[1]) * (xs[2] - xs[1]))::DOUBLE AS sig2,
+             ((xs[2] - xs[1]) * (xs[2] - xs[1]))::DOUBLE AS mx
+      FROM series
+      UNION ALL
+      SELECT user_id, xs, n, i + 1,
+             (xs[i + 1] - xs[i])::DOUBLE,
+             0.1::DOUBLE + 0.2::DOUBLE * rp * rp
+               + 0.7::DOUBLE * sig2,
+             greatest(mx, 0.1::DOUBLE + 0.2::DOUBLE * rp * rp
+               + 0.7::DOUBLE * sig2)
+      FROM step WHERE i <= n - 1
+    )
+    SELECT user_id, CAST(n - 1 AS BIGINT) AS n_diffs,
+           round(sig2, 6) AS sigma2_last,
+           round(mx, 6) AS sigma2_peak
+    FROM step WHERE i = n
+    """)
+def ts_garch11_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) VOLATILITY FILTER per key (omega=0.1, alpha=0.2,
+    beta=0.7, sigma2_1 = r_1^2) over each user's value-difference
+    series: sigma2_t = omega + alpha*r_{t-1}^2 + beta*sigma2_{t-1} --
+    the conditional-variance recursion that turns the ARCH-effect
+    DIAGNOSIS (`ts_arch_lm_test`) into a usable per-step volatility
+    estimate; the peak/last ratio flags users whose variance spiked
+    and has not yet decayed (persistence alpha+beta = 0.9). The
+    recursion depends on its own previous output, so -- like
+    `ts_kalman_1d` -- the per-key series is assembled once
+    (sort_array of structs, one shuffle) and folded JVM-side with the
+    higher-order ``aggregate``: keys parallelize across the cluster,
+    the fold is O(n) per key, and no Python touches the hot path."""
+    e = _events(spark, sf_dir)
+    s = (e.filter(F.col("value").isNotNull())
+         .select("user_id",
+                 F.struct(F.col("ts").alias("ts"),
+                          F.col("event_id").alias("event_id"),
+                          F.round("value", 6).cast("double").alias("x"))
+                 .alias("s")))
+    series = (s.groupBy("user_id")
+              .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+              .filter(F.size("ss") >= 3))
+    fitted = (series
+              .withColumn("xs", F.expr("transform(ss, s -> s.x)"))
+              .withColumn("rs", F.expr(
+                  "transform(sequence(1, size(xs) - 1), "
+                  "i -> xs[i] - xs[i - 1])"))
+              .withColumn("st", F.expr(
+                  "aggregate(slice(rs, 2, greatest(size(rs) - 1, 0)), "
+                  "named_struct('rp', rs[0], "
+                  "'sig2', rs[0] * rs[0], 'mx', rs[0] * rs[0]), "
+                  "(acc, r) -> named_struct("
+                  "'rp', r, "
+                  "'sig2', 0.1D + 0.2D * acc.rp * acc.rp "
+                  "+ 0.7D * acc.sig2, "
+                  "'mx', greatest(acc.mx, 0.1D + 0.2D * acc.rp "
+                  "* acc.rp + 0.7D * acc.sig2)))")))
+    return fitted.select(
+        "user_id",
+        F.size("rs").cast("bigint").alias("n_diffs"),
+        F.round(F.col("st.sig2"), 6).alias("sigma2_last"),
+        F.round(F.col("st.mx"), 6).alias("sigma2_peak"))
+
+
+@register(
+    "ts_dtw_distance",
+    oracle="""
+    -- Anti-diagonal wavefront DP: diagonal d depends only on d-1 and
+    -- d-2, so the recursive CTE carries two 52-wide lists and never
+    -- needs same-row recursion. Costs are exact cross-normalized
+    -- integers (share comparison without division).
+    WITH RECURSIVE weeks AS (SELECT unnest(range(0, 52)) AS w),
+    wk AS (
+      SELECT n_name,
+             least(51, (dayofyear(o_orderdate) - 1) // 7) AS w,
+             count(*) AS c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    nat AS (SELECT DISTINCT n_name FROM wk),
+    a AS (
+      SELECT nat.n_name, weeks.w, coalesce(wk.c, 0) AS c
+      FROM nat CROSS JOIN weeks
+      LEFT JOIN wk ON wk.n_name = nat.n_name AND wk.w = weeks.w),
+    al AS (SELECT n_name, list(c ORDER BY w) AS av, sum(c) AS na
+           FROM a GROUP BY 1),
+    gw AS (
+      SELECT least(51, (dayofyear(o_orderdate) - 1) // 7) AS w,
+             count(*) AS c
+      FROM orders GROUP BY 1),
+    gd AS (
+      SELECT weeks.w, coalesce(gw.c, 0) AS c
+      FROM weeks LEFT JOIN gw ON gw.w = weeks.w),
+    gl AS (SELECT list(c ORDER BY w) AS bv, sum(c) AS nb FROM gd),
+    dtw AS (
+      SELECT al.n_name, al.av, al.na, gl.bv, gl.nb, 2 AS d,
+             list_transform(range(1, 53), i ->
+               CASE WHEN i = 1 THEN
+                 abs(CAST(al.av[1] AS HUGEINT) * gl.nb
+                     - CAST(gl.bv[1] AS HUGEINT) * al.na)
+               END) AS cur,
+             list_transform(range(1, 53),
+                            i -> CAST(NULL AS HUGEINT)) AS prev
+      FROM al, gl
+      UNION ALL
+      SELECT n_name, av, na, bv, nb, d + 1,
+             list_transform(range(1, 53), i ->
+               CASE WHEN d + 1 - i BETWEEN 1 AND 52
+                         AND abs(2 * i - (d + 1)) <= 3 THEN
+                 abs(CAST(av[i] AS HUGEINT) * nb
+                     - CAST(bv[d + 1 - i] AS HUGEINT) * na)
+                 + least(CASE WHEN i > 1 THEN cur[i - 1] END,
+                         cur[i],
+                         CASE WHEN i > 1 THEN prev[i - 1] END)
+               END),
+             cur
+      FROM dtw WHERE d < 104)
+    SELECT n_name,
+           CAST(cur[52] AS BIGINT) AS dtw_dist,
+           round(CAST(cur[52] AS DOUBLE)
+                 / (52.0 * na * nb), 8) AS dtw_norm
+    FROM dtw WHERE d = 104
+    """)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance (Sakoe-Chiba band r=3) between
+    each nation's 52-week order-count profile and the global profile:
+    unlike the lockstep L1/L2 or correlation, DTW aligns SHIFTED
+    seasonality (a nation whose holiday peak lands two weeks late
+    matches cheaply along the warped path instead of paying twice).
+    Local cost |a_i*N_b - b_j*N_a| is the share difference
+    CROSS-MULTIPLIED into exact integers -- the whole DP is
+    integer-exact in both engines, no float drift on any path. The
+    corpus contributes one grouped count; the DP runs per key over
+    52x52 banded cells inside one Arrow-batched mapInPandas stage --
+    keys parallelize across executors (the scale story for
+    fleet-sized profile collections), and the oracle replays the DP
+    as an anti-diagonal wavefront so no same-row recursion is needed.
+    Band width 3 bounds warping to +/-3 weeks and cuts the DP to
+    O(n*r)."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    wcol = F.least(F.lit(51),
+                   ((F.dayofyear("o_orderdate") - 1) / 7).cast("int"))
+    wk = (o.join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .groupBy("n_name", wcol.alias("w"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    al = (wk.groupBy("n_name")
+          .agg(F.map_from_entries(F.collect_list(
+              F.struct("w", "c"))).alias("m"),
+               F.sum("c").alias("na"))
+          .select("n_name", "na", F.expr(
+              "transform(sequence(0, 51), "
+              "w -> coalesce(element_at(m, w), 0L))").alias("av")))
+    gw = (o.groupBy(wcol.alias("w"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    gl = (gw.agg(F.map_from_entries(F.collect_list(
+        F.struct("w", "c"))).alias("m"), F.sum("c").alias("nb"))
+        .select("nb", F.expr(
+            "transform(sequence(0, 51), "
+            "w -> coalesce(element_at(m, w), 0L))").alias("bv")))
+    frame = al.crossJoin(F.broadcast(gl))
+
+    def _dtw(batches):
+        import numpy as np
+        import pandas as pd
+        BIG = np.int64(2) ** 62
+        for pdf in batches:
+            rows = []
+            for nm, na, av, nb, bv in zip(
+                    pdf["n_name"], pdf["na"], pdf["av"],
+                    pdf["nb"], pdf["bv"]):
+                a = np.asarray(av, dtype=np.int64)
+                b = np.asarray(bv, dtype=np.int64)
+                na_i, nb_i = int(na), int(nb)
+                m = 52
+                D = np.full((m, m), BIG, dtype=np.int64)
+                for i in range(m):
+                    for j in range(max(0, i - 3),
+                                   min(m, i + 4)):
+                        cst = abs(a[i] * nb_i - b[j] * na_i)
+                        if i == 0 and j == 0:
+                            D[i, j] = cst
+                            continue
+                        best = BIG
+                        if i > 0 and D[i - 1, j] < best:
+                            best = D[i - 1, j]
+                        if j > 0 and D[i, j - 1] < best:
+                            best = D[i, j - 1]
+                        if i > 0 and j > 0 and D[i - 1, j - 1] < best:
+                            best = D[i - 1, j - 1]
+                        D[i, j] = cst + best
+                rows.append((nm, int(D[m - 1, m - 1]), na_i, nb_i))
+            yield pd.DataFrame(rows, columns=[
+                "n_name", "dtw_dist", "na", "nb"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    res = ensure_parallelism(frame).mapInPandas(
+        _dtw, "n_name string, dtw_dist long, na long, nb long")
+    return res.select(
+        "n_name", "dtw_dist",
+        F.round(F.col("dtw_dist").cast("double")
+                / (52.0 * F.col("na") * F.col("nb")), 8)
+        .alias("dtw_norm"))
+
+
+@register(
+    "ts_spectral_entropy",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    t0 AS (SELECT min(d) AS t0, count(*) AS nn FROM daily),
+    idx AS (
+      SELECT date_diff('day', t0.t0, daily.d) AS n, daily.y, t0.nn
+      FROM daily, t0),
+    ks AS (SELECT unnest(range(1, 17)) AS k),
+    terms AS (
+      SELECT ks.k, i.n, i.nn,
+             i.y * cos(2 * pi() * ks.k * i.n / i.nn) AS ct,
+             i.y * sin(2 * pi() * ks.k * i.n / i.nn) AS st
+      FROM idx i, ks),
+    folded AS (
+      SELECT k, any_value(nn) AS nn,
+             list_reduce(list(ct ORDER BY n), (a, x) -> a + x) AS ca,
+             list_reduce(list(st ORDER BY n), (a, x) -> a + x) AS sb
+      FROM terms GROUP BY k),
+    pw AS (SELECT k, nn, ca * ca + sb * sb AS p FROM folded),
+    tot AS (
+      SELECT list_reduce(list(p ORDER BY k), (a, x) -> a + x) AS tp,
+             list_reduce(list(ln(p) ORDER BY k), (a, x) -> a + x)
+               AS tlp
+      FROM pw),
+    ent AS (
+      SELECT list_reduce(
+               list(-(p / tot.tp) * ln(p / tot.tp) ORDER BY k),
+               (a, x) -> a + x) / ln(16.0) AS h,
+             exp(tot.tlp / 16.0) / (tot.tp / 16.0) AS flat
+      FROM pw, tot GROUP BY tot.tp, tot.tlp),
+    peak AS (
+      SELECT k FROM pw, tot
+      ORDER BY round(p / tot.tp, 6) DESC, k LIMIT 1)
+    SELECT (SELECT CAST(any_value(nn) AS BIGINT) FROM pw) AS n_days,
+           (SELECT CAST(k AS BIGINT) FROM peak) AS peak_harmonic,
+           round((SELECT h FROM ent), 4) AS spectral_entropy_norm,
+           round((SELECT flat FROM ent), 4) AS spectral_flatness
+    """)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY + FLATNESS of the daily order series over the
+    first 16 Fourier harmonics: H = -sum p_k ln p_k / ln K on the
+    normalized periodogram, flatness = geometric/arithmetic power
+    mean (Wiener entropy). H near 1 = white noise (no structure to
+    forecast); H near 0 = one dominant cycle -- THE one-number
+    forecastability screen run before fitting any seasonal model
+    (`ts_holt_winters`, `ts_seasonal_decompose` assume what this
+    measures). The peak harmonic is reported on the 6dp-rounded
+    normalized power with a deterministic tie-break. Per-harmonic
+    cos/sin reductions fold in day order (`ts_fourier_energy`
+    policy) so float sums are association-fixed; the 16-term entropy
+    and log-power sums fold in k order for the same reason; 4dp
+    rounding absorbs per-term libm ulps. One day-grouped partial agg
+    scans the corpus; all spectral math rides the 2.4k-row frame."""
+    import math
+
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    t0 = daily.agg(F.min("d").alias("t0"),
+                   F.count(F.lit(1)).alias("nn"))
+    idx = (daily.crossJoin(F.broadcast(t0))
+           .select(F.datediff(F.col("d"), F.col("t0")).alias("n"),
+                   "y", "nn"))
+    ks = spark.range(1, 17).select(F.col("id").alias("k"))
+    ang = 2 * math.pi * F.col("k") * F.col("n") / F.col("nn")
+    terms = (idx.crossJoin(F.broadcast(ks))
+             .select("k", "n", "nn",
+                     (F.col("y") * F.cos(ang)).alias("ct"),
+                     (F.col("y") * F.sin(ang)).alias("st")))
+    fold = lambda c: F.expr(
+        f"aggregate(slice({c}, 2, greatest(size({c}) - 1, 0)), "
+        f"{c}[0], (a, x) -> a + x)")
+    folded = (terms.groupBy("k")
+              .agg(F.max("nn").alias("nn"),
+                   F.expr("transform(array_sort(collect_list("
+                          "struct(n, ct))), s -> s.ct)").alias("cl"),
+                   F.expr("transform(array_sort(collect_list("
+                          "struct(n, st))), s -> s.st)").alias("sl"))
+              .select("k", "nn", fold("cl").alias("ca"),
+                      fold("sl").alias("sb")))
+    pw = folded.select(
+        "k", "nn",
+        (F.col("ca") * F.col("ca") + F.col("sb") * F.col("sb"))
+        .alias("p"))
+    tot = (pw.agg(
+        F.expr("transform(array_sort(collect_list(struct(k, p))), "
+               "s -> s.p)").alias("pl"))
+        .select(fold("pl").alias("tp"),
+                F.expr("aggregate(slice(transform(pl, x -> ln(x)), 2, "
+                       "greatest(size(pl) - 1, 0)), "
+                       "transform(pl, x -> ln(x))[0], "
+                       "(a, x) -> a + x)").alias("tlp")))
+    pt = pw.crossJoin(F.broadcast(tot))
+    ent = (pt.agg(
+        F.expr("transform(array_sort(collect_list(struct(k, "
+               "-(p / tp) * ln(p / tp) as e))), s -> s.e)")
+        .alias("el"),
+        F.max("tp").alias("tp2"), F.max("tlp").alias("tlp2"))
+        .select((fold("el") / math.log(16.0)).alias("h"),
+                (F.exp(F.col("tlp2") / 16.0)
+                 / (F.col("tp2") / 16.0)).alias("flat")))
+    peak = (pt.select("k", F.round(F.col("p") / F.col("tp"), 6)
+                      .alias("pn"))
+            .orderBy(F.desc("pn"), "k").limit(1))
+    nd = pw.agg(F.max("nn").cast("bigint").alias("n_days"))
+    return (nd.crossJoin(F.broadcast(peak))
+            .crossJoin(F.broadcast(ent))
+            .select("n_days",
+                    F.col("k").cast("bigint").alias("peak_harmonic"),
+                    F.round("h", 4).alias("spectral_entropy_norm"),
+                    F.round("flat", 4).alias("spectral_flatness")))

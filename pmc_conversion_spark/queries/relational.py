@@ -10259,3 +10259,217 @@ def agg_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("s_prev") * F.col("ha")).over(w_cur), 6)
         .alias("cif_accepted"),
         F.round("s_cur", 6).alias("km_any_event"))
+
+
+@register(
+    "agg_variance_components",
+    oracle="""
+    WITH x AS (
+      SELECT c_nationkey AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    pg AS (
+      SELECT g, count(*) AS n, sum(v) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS ss
+      FROM x GROUP BY 1),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ts,
+             sum(ss) AS tss,
+             sum(CAST(s AS DOUBLE) * s / n) AS sb,
+             sum(CAST(n AS HUGEINT) * n) AS sn2
+      FROM pg),
+    ms AS (
+      SELECT k, nn,
+             (CAST(tss AS DOUBLE) - sb) / (nn - k) AS msw,
+             (sb - CAST(ts AS DOUBLE) * ts / nn) / (k - 1) AS msb,
+             (nn - CAST(sn2 AS DOUBLE) / nn) / (k - 1) AS n0
+      FROM t)
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_obs,
+           round(msw / 10000.0, 4) AS sigma2_within_dollars2,
+           round((msb - msw) / n0 / 10000.0, 4)
+             AS sigma2_between_dollars2,
+           round(((msb - msw) / n0)
+                 / ((msb - msw) / n0 + msw), 6) AS icc
+    FROM ms
+    """)
+def agg_variance_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY RANDOM-EFFECTS VARIANCE COMPONENTS (ANOVA method of
+    moments, unbalanced design): decompose order-value variance into
+    between-nation and within-nation parts -- sigma2_u = (MSB-MSW)/n0
+    with n0 = (N - sum n_g^2/N)/(k-1) -- and report the INTRACLASS
+    CORRELATION, the number that decides whether clustered standard
+    errors / mixed models are needed at all (ICC ~ 0: pooling is
+    fine; ICC large: every per-customer inference must cluster by
+    nation). Group sums and sums-of-squares are exact integers from
+    one grouped pass; the 25 per-group ratio terms are the only
+    doubles, summed over a bounded frame. One shuffle on the join
+    key, one on the 25-group aggregate -- nothing corpus-wide."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    x = (o.join(c, o.o_custkey == c.c_custkey)
+         .select(F.col("c_nationkey").alias("g"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("v")))
+    dec = lambda cn: F.col(cn).cast("decimal(38,0)")
+    pg = x.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.sum(dec("v") * F.col("v")).alias("ss"))
+    t = pg.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
+        F.sum("s").alias("ts"), F.sum("ss").alias("tss"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n"))
+        .alias("sb"),
+        F.sum(dec("n") * F.col("n")).alias("sn2"))
+    msw = (F.col("tss").cast("double") - F.col("sb")) \
+        / (F.col("nn") - F.col("k"))
+    msb = (F.col("sb") - F.col("ts").cast("double") * F.col("ts")
+           / F.col("nn")) / (F.col("k") - 1)
+    n0 = (F.col("nn") - F.col("sn2").cast("double") / F.col("nn")) \
+        / (F.col("k") - 1)
+    ms = t.select("k", "nn", msw.alias("msw"), msb.alias("msb"),
+                  n0.alias("n0"))
+    s2u = (F.col("msb") - F.col("msw")) / F.col("n0")
+    return ms.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("nn").cast("bigint").alias("n_obs"),
+        F.round(F.col("msw") / 10000.0, 4)
+        .alias("sigma2_within_dollars2"),
+        F.round(s2u / 10000.0, 4).alias("sigma2_between_dollars2"),
+        F.round(s2u / (s2u + F.col("msw")), 6).alias("icc"))
+
+
+def _eig3_oracle(iters: int = 12) -> str:
+    """Chained-CTE power iteration on the 3x3 correlation matrix."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    s{t} AS (
+      SELECT rxy, rxz, ryz,
+             v1 + rxy * v2 + rxz * v3 AS w1,
+             rxy * v1 + v2 + ryz * v3 AS w2,
+             rxz * v1 + ryz * v2 + v3 AS w3
+      FROM {prev}),
+    v{t} AS (
+      SELECT rxy, rxz, ryz,
+             sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS lam,
+             w1 / sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS v1,
+             w2 / sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS v2,
+             w3 / sqrt(w1 * w1 + w2 * w2 + w3 * w3) AS v3
+      FROM s{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH m AS (
+      SELECT count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_discount * 100) AS BIGINT)) AS sz,
+             sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                 * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             sum(CAST(CAST(round(l_discount * 100) AS BIGINT)
+                 AS HUGEINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS szz,
+             sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS sxz,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS HUGEINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS syz
+      FROM lineitem),
+    r AS (
+      SELECT CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE)
+                      * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                        AS DOUBLE)) AS rxy,
+             CAST(n * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+               / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE)
+                      * CAST(n * szz - CAST(sz AS HUGEINT) * sz
+                        AS DOUBLE)) AS rxz,
+             CAST(n * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+               / sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                      AS DOUBLE)
+                      * CAST(n * szz - CAST(sz AS HUGEINT) * sz
+                        AS DOUBLE)) AS ryz
+      FROM m),
+    v0 AS (
+      SELECT rxy, rxz, ryz,
+             1.0 / sqrt(3.0) AS v1, 1.0 / sqrt(3.0) AS v2,
+             1.0 / sqrt(3.0) AS v3
+      FROM r),{",".join(steps)}
+    SELECT round(lam, 6) AS lambda1,
+           round(v1, 6) AS evec_quantity,
+           round(v2, 6) AS evec_price,
+           round(v3, 6) AS evec_discount
+    FROM v{iters}
+    """
+
+
+@register("agg_power_iteration_eig3", oracle=_eig3_oracle())
+def agg_power_iteration_eig3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEADING EIGENVECTOR of the 3x3 (quantity, price, discount)
+    correlation matrix by 12 UNROLLED POWER ITERATIONS -- the
+    principal component in 3-D, where `sim_pca_2d`'s closed form
+    stops working and the iterative path begins (the same v <- Rv /
+    ||Rv|| loop that, at d in the thousands, becomes distributed
+    matrix-free PCA: R*v computed as one pass of partial aggregates).
+    Here R is DENSE AND TINY: one exact-integer moment scan builds
+    the three correlations; the 12 iterations are pure scalar
+    expressions on a 1-row frame -- zero extra data passes, and both
+    engines evaluate the identical IEEE sequence so the eigenpair
+    matches to the last rounded digit. lambda1 >> 1 reads as 'one
+    latent factor drives all three columns'."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("y"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("z"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("z") * F.col("z")).alias("szz"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("z")).alias("sxz"),
+        F.sum(dec("y") * F.col("z")).alias("syz"))
+    cn = lambda sab, sa, sb: (F.col("n") * F.col(sab)
+                              - dec(sa) * F.col(sb)).cast("double")
+    corr = lambda sab, sa, sb, saa, sbb: (
+        cn(sab, sa, sb)
+        / F.sqrt(cn(saa, sa, sa) * cn(sbb, sb, sb)))
+    v = m.select(corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+                 corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+                 corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+                 (F.lit(1.0) / F.sqrt(F.lit(3.0))).alias("v1"),
+                 (F.lit(1.0) / F.sqrt(F.lit(3.0))).alias("v2"),
+                 (F.lit(1.0) / F.sqrt(F.lit(3.0))).alias("v3"))
+    for _ in range(12):
+        w1 = F.col("v1") + F.col("rxy") * F.col("v2") \
+            + F.col("rxz") * F.col("v3")
+        w2 = F.col("rxy") * F.col("v1") + F.col("v2") \
+            + F.col("ryz") * F.col("v3")
+        w3 = F.col("rxz") * F.col("v1") + F.col("ryz") * F.col("v2") \
+            + F.col("v3")
+        s = v.select("rxy", "rxz", "ryz", w1.alias("w1"),
+                     w2.alias("w2"), w3.alias("w3"))
+        lam = F.sqrt(F.col("w1") * F.col("w1")
+                     + F.col("w2") * F.col("w2")
+                     + F.col("w3") * F.col("w3"))
+        v = s.select("rxy", "rxz", "ryz", lam.alias("lam"),
+                     (F.col("w1") / lam).alias("v1"),
+                     (F.col("w2") / lam).alias("v2"),
+                     (F.col("w3") / lam).alias("v3"))
+    return v.select(F.round("lam", 6).alias("lambda1"),
+                    F.round("v1", 6).alias("evec_quantity"),
+                    F.round("v2", 6).alias("evec_price"),
+                    F.round("v3", 6).alias("evec_discount"))
