@@ -1807,3 +1807,66 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_rich").cast("double")
                    * (F.col("n_rich") - 1)), 6)).otherwise(0.0)
     return out.select("k", "n_rich", "e_rich", phi.alias("phi"))
+
+
+_EIG_ROUNDS = 10
+
+
+def _eigc_round_sql(r: int) -> str:
+    return f"""
+    w{r} AS (
+      SELECT und.u AS node, round(sum(v.val), 12) AS w
+      FROM und JOIN v{r - 1} v ON v.node = und.v
+      GROUP BY 1),
+    m{r} AS (SELECT max(w) AS m FROM w{r}),
+    v{r} AS (SELECT node, w / m{r}.m AS val FROM w{r}, m{r})"""
+
+
+@register(
+    "graph_eigencentrality_power",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip()},
+    und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, 1.0::DOUBLE AS val FROM und),
+    {",".join(_eigc_round_sql(r) for r in range(1, _EIG_ROUNDS + 1))}
+    SELECT node, round(val, 6) AS eigencentrality
+    FROM v{_EIG_ROUNDS}
+    """)
+def graph_eigencentrality_power(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """EIGENVECTOR CENTRALITY of the supplier co-order graph by 10
+    unrolled POWER-METHOD rounds with sup-norm scaling: v <- Av /
+    max(Av). Unlike degree (edge count) or PageRank (random-surfer
+    with teleport), eigencentrality weights a node by the centrality
+    OF ITS NEIGHBORS recursively -- the 'connected to important
+    suppliers' score. Each round is matvec-as-relational-algebra:
+    one edge join + per-node partial aggregate (the identical
+    distributed shape as `graph_pagerank`'s iteration body, which is
+    why the power method IS the scalable eigensolver: no matrix is
+    ever materialized). Per-round sums round to 12dp before the
+    sup-norm division (the pagerank discipline), so both engines
+    iterate identical doubles regardless of partial-agg order; each
+    round's matvec is materialized once (see the in-loop comment) so
+    the two consumers per round cannot re-derive the whole prefix."""
+    e = _co_order_edges(spark, sf_dir)
+    und = (e.select("u", "v")
+           .unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    v = und.select(F.col("u").alias("node")).distinct() \
+        .withColumn("val", F.lit(1.0))
+    for _ in range(_EIG_ROUNDS):
+        # materialize the matvec once per round: `w` feeds BOTH the
+        # sup-norm aggregate and the scaled vector, and without
+        # truncation each round would re-derive the previous round's
+        # two consumers — a 2^rounds plan blowup (the same reason the
+        # pagerank loop checkpoints per round).
+        w = (und.join(v.select(F.col("node").alias("nv"), "val"),
+                      F.col("v") == F.col("nv"))
+             .groupBy(F.col("u").alias("node"))
+             .agg(F.round(F.sum("val"), 12).alias("w"))
+             .localCheckpoint(eager=True))
+        m = w.agg(F.max("w").alias("m"))
+        v = (w.crossJoin(F.broadcast(m))
+             .select("node", (F.col("w") / F.col("m")).alias("val")))
+    return v.select("node", F.round("val", 6).alias("eigencentrality"))

@@ -6498,3 +6498,65 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("k").cast("bigint").alias("peak_harmonic"),
                     F.round("h", 4).alias("spectral_entropy_norm"),
                     F.round("flat", 4).alias("spectral_flatness")))
+
+
+@register(
+    "stream_cep_followed_by",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.ts
+      FROM c JOIN v ON v.user_id = c.user_id
+       AND v.ts < c.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE),
+    qp AS (
+      SELECT DISTINCT p.user_id, p.event_id
+      FROM p JOIN qc ON qc.user_id = p.user_id
+       AND qc.ts < p.ts AND p.ts <= qc.ts + INTERVAL 30 MINUTE)
+    SELECT p.user_id,
+           count(*) AS n_purchases,
+           count(qp.event_id) AS n_matched
+    FROM p LEFT JOIN qp ON qp.user_id = p.user_id
+                       AND qp.event_id = p.event_id
+    GROUP BY 1
+    """)
+def stream_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLEX-EVENT-PROCESSING 'followedBy' pattern (the RELAXED
+    contiguity Flink CEP calls followedBy, vs the strict-adjacency
+    lag-chain of `stream_funnel_detect`): purchase matched iff SOME
+    click happened in the 30 minutes before it AND that click had
+    SOME view in the 30 minutes before IT -- other events may
+    interleave freely, which is how real funnels look (error and
+    signup events between steps must not break the match). Expressed
+    as two per-user interval SEMI-JOIN stages (qualified clicks, then
+    qualified purchases): each stage shuffles once on user_id and the
+    range predicate prunes inside the per-user group, exactly the
+    keyed-state + event-time-timer layout the streaming form would
+    run under `transformWithState`. Exact counts, no floats."""
+    e = _events(spark, sf_dir)
+    v = (e.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("vu"),
+                 F.col("ts").alias("vts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"),
+                 F.col("ts").alias("cts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts", "event_id"))
+    qc = (c.join(v, (F.col("vu") == F.col("cu"))
+                 & (F.col("vts") < F.col("cts"))
+                 & (F.col("cts") <= F.col("vts")
+                    + F.expr("INTERVAL 30 MINUTES")), "leftsemi")
+          .distinct())
+    qp = (p.join(qc, (F.col("cu") == F.col("user_id"))
+                 & (F.col("cts") < F.col("ts"))
+                 & (F.col("ts") <= F.col("cts")
+                    + F.expr("INTERVAL 30 MINUTES")), "leftsemi")
+          .select("user_id", "event_id").distinct()
+          .withColumn("hit", F.lit(1)))
+    return (p.join(qp, ["user_id", "event_id"], "left")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.count("hit").alias("n_matched")))

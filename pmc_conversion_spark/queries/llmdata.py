@@ -9750,3 +9750,105 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("step").cast("int").alias("step"),
                       F.col("sel").alias("selected_id"),
                       F.round("score", 6).alias("mmr_score"))
+
+
+def _centroid_sql(n_bins: int = 8) -> str:
+    """DuckDB twin of mm_audio_spectral_centroid: per-bin quantized
+    Goertzel kernels, fixed-order centroid sum."""
+    sums = ",\n             ".join(
+        f"sum(s * (floor(cos(2 * pi() * {k} * i / n) * 1048576 + 0.5) "
+        f"/ 1048576)) AS cr{k},\n             "
+        f"sum(s * (floor(sin(2 * pi() * {k} * i / n) * 1048576 + 0.5) "
+        f"/ 1048576)) AS ci{k}"
+        for k in range(1, n_bins + 1))
+    pw = ", ".join(
+        f"(cr{k} * cr{k} + ci{k} * ci{k}) / (CAST(n AS DOUBLE) * n) "
+        f"AS p{k}" for k in range(1, n_bins + 1))
+    num = " + ".join(f"{k} * p{k}" for k in range(1, n_bins + 1))
+    den = " + ".join(f"p{k}" for k in range(1, n_bins + 1))
+    return f"""
+    WITH m AS (SELECT doc_id, 64 + doc_id % 128 AS n
+               FROM documents),
+    pcm AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 7 + i * 13) % 4096) - 2048 AS s
+      FROM m, unnest(range(0, n)) AS t(i)),
+    sums AS (
+      SELECT doc_id, any_value(n) AS n,
+             {sums}
+      FROM pcm GROUP BY doc_id),
+    pows AS (SELECT doc_id, n, {pw} FROM sums)
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           round(({num}) / ({den}), 6) AS centroid_bin,
+           round({den}, 4) AS total_power
+    FROM pows
+    """
+
+
+@register("mm_audio_spectral_centroid", oracle=_centroid_sql())
+def mm_audio_spectral_centroid(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SPECTRAL CENTROID over really-decoded audio: the power-weighted
+    mean DFT bin (k = 1..8) of each clip's PCM -- the canonical
+    'brightness' feature that separates hiss from hum and, in a
+    training-data pipeline, screens silent/tonal/broadband-noise
+    clips before expensive featurization (`mm_audio_goertzel` answers
+    'is bin 4 present'; this summarizes WHERE the energy lives).
+    Every clip walks the full RIFF/WAV chunk parse, then 8 quantized
+    Goertzel kernels (cos/sin on the binary 2^-20 grid -- per-product
+    exactness makes the per-clip sums order-independent, the
+    mm_audio_goertzel discipline); bin powers combine in a FIXED
+    left-to-right chain so the centroid is one identical double
+    expression in both engines. Arrow-batched mapInPandas, one
+    shuffle-free pass per clip; the oracle regenerates the PCM by
+    formula and replays the identical kernels."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.lit(64) + F.col("doc_id") % 128).cast("int")
+                    .alias("n"),
+                    (F.lit(8000) + (F.col("doc_id") % 4) * 4000)
+                    .cast("int").alias("sr")))
+    encoded = MM.synth_wav_files(base)
+
+    def _centroid(batches):
+        import numpy as np
+        import pandas as pd
+        from pmc_conversion_spark.functions.multimodal import \
+            decode_wav_pcm16
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                _, s = decode_wav_pcm16(bytes(content))
+                s64 = s.astype(np.float64)
+                nn = float(len(s))
+                idx = np.arange(len(s), dtype=np.float64)
+                ps = []
+                for k in range(1, 9):
+                    ang = 2.0 * np.pi * float(k) * idx / nn
+                    c = (np.floor(np.cos(ang) * 1048576.0 + 0.5)
+                         / 1048576.0)
+                    d = (np.floor(np.sin(ang) * 1048576.0 + 0.5)
+                         / 1048576.0)
+                    cr = float((s64 * c).sum())
+                    ci = float((s64 * d).sum())
+                    ps.append((cr * cr + ci * ci) / (nn * nn))
+                num = 0.0
+                den = 0.0
+                # fixed left-to-right chains mirroring the SQL text
+                num = ((((((((1 * ps[0]) + 2 * ps[1]) + 3 * ps[2])
+                           + 4 * ps[3]) + 5 * ps[4]) + 6 * ps[5])
+                        + 7 * ps[6]) + 8 * ps[7])
+                den = ((((((ps[0] + ps[1]) + ps[2] + ps[3])
+                          + ps[4]) + ps[5]) + ps[6]) + ps[7])
+                rows.append((int(m), int(nn), num / den, den))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "cb", "tp"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    res = ensure_parallelism(encoded).mapInPandas(
+        _centroid, "media_id long, n_samples long, cb double, "
+                   "tp double")
+    return res.select("media_id", "n_samples",
+                      F.round("cb", 6).alias("centroid_bin"),
+                      F.round("tp", 4).alias("total_power"))

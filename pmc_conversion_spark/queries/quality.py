@@ -1772,3 +1772,112 @@ def dq_multicollinearity_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         vif(r12, r13, r23).alias("vif_quantity"),
         vif(r12, r23, r13).alias("vif_discount"),
         vif(r13, r23, r12).alias("vif_tax"))
+
+
+_SLICE_DIMS = [
+    ("priority", "o_orderpriority"),
+    ("linestatus", "l_linestatus"),
+    ("ship_month", "CAST(month(l_shipdate) AS VARCHAR)"),
+    ("qty_band", "CAST(CAST((l_quantity - 1) AS BIGINT) // 10 "
+                 "AS VARCHAR)"),
+]
+
+
+def _slice_pair_sql(d1, e1, d2, e2) -> str:
+    return f"""
+      SELECT '{d1}' AS dim1, {e1} AS val1,
+             '{d2}' AS dim2, {e2} AS val2,
+             count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM base GROUP BY 2, 4"""
+
+
+@register(
+    "dq_slice_finder",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus, l_shipdate, l_quantity,
+             o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    tot AS (
+      SELECT count(*) AS nn,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rr
+      FROM base),
+    slices AS ({" UNION ALL ".join(
+        _slice_pair_sql(d1, e1, d2, e2)
+        for i, (d1, e1) in enumerate(_SLICE_DIMS)
+        for (d2, e2) in _SLICE_DIMS[i + 1:])}),
+    z AS (
+      SELECT dim1, val1, dim2, val2, n,
+             round(CAST(r AS DOUBLE) / n, 6) AS slice_rate,
+             round((CAST(r AS DOUBLE) / n
+                    - CAST(tot.rr AS DOUBLE) / tot.nn)
+                   / sqrt((CAST(tot.rr AS DOUBLE) / tot.nn)
+                          * (1.0 - CAST(tot.rr AS DOUBLE) / tot.nn)
+                          / n), 6) AS z_score
+      FROM slices, tot WHERE n >= 100)
+    SELECT dim1, val1, dim2, val2, CAST(n AS BIGINT) AS n,
+           slice_rate, z_score
+    FROM z
+    ORDER BY abs(z_score) DESC, dim1, val1, dim2, val2
+    LIMIT 10
+    """)
+def dq_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLICE FINDER (SliceLine-style data debugging): scan all
+    two-dimension slices over four bounded dimensions (order
+    priority, line status, ship month, quantity band) for the
+    subgroups whose RETURN RATE deviates most from the global rate,
+    ranked by one-proportion z-score -- the standard answer to 'my
+    aggregate metric moved; WHICH slice is responsible?', and the
+    ML-eval twin of 'which subgroup does the model fail on?'. Each
+    dimension pair is one grouped count over bounded cardinality
+    (the 6 pairs union into one frame); z uses exact integer counts
+    in a single identical double expression; n >= 100 suppresses
+    noise slices and the top-10 is ordered on the rounded score with
+    a full deterministic tie-break. At 100 TB: 6 partial-agg passes
+    (or one multi-grouping-sets pass), no row ever leaves its
+    partition before aggregation."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    base = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("l_returnflag", "l_linestatus", "l_shipdate",
+                    "l_quantity", "o_orderpriority"))
+    dims = {
+        "priority": F.col("o_orderpriority"),
+        "linestatus": F.col("l_linestatus"),
+        "ship_month": F.month("l_shipdate").cast("string"),
+        "qty_band": F.floor((F.col("l_quantity") - 1) / 10)
+        .cast("bigint").cast("string"),
+    }
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .alias("rr"))
+    names = list(dims)
+    parts = []
+    for i, d1 in enumerate(names):
+        for d2 in names[i + 1:]:
+            parts.append(
+                base.groupBy(dims[d1].alias("val1"),
+                             dims[d2].alias("val2"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                           .otherwise(0)).alias("r"))
+                .select(F.lit(d1).alias("dim1"), "val1",
+                        F.lit(d2).alias("dim2"), "val2", "n", "r"))
+    slices = parts[0]
+    for pp in parts[1:]:
+        slices = slices.unionAll(pp)
+    p0 = F.col("rr").cast("double") / F.col("nn")
+    z = (slices.filter(F.col("n") >= 100)
+         .crossJoin(F.broadcast(tot))
+         .select("dim1", "val1", "dim2", "val2",
+                 F.col("n").cast("bigint").alias("n"),
+                 F.round(F.col("r").cast("double") / F.col("n"), 6)
+                 .alias("slice_rate"),
+                 F.round((F.col("r").cast("double") / F.col("n") - p0)
+                         / F.sqrt(p0 * (F.lit(1.0) - p0)
+                                  / F.col("n")), 6).alias("z_score")))
+    return (z.orderBy(F.abs(F.col("z_score")).desc(),
+                      "dim1", "val1", "dim2", "val2")
+            .limit(10))
