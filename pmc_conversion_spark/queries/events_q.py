@@ -6560,3 +6560,214 @@ def stream_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.count("hit").alias("n_matched")))
+
+
+@register(
+    "ts_sample_entropy",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    pos AS (
+      SELECT row_number() OVER (ORDER BY d) AS p, y AS w0,
+             lead(y, 1) OVER (ORDER BY d) AS w1,
+             lead(y, 2) OVER (ORDER BY d) AS w2
+      FROM daily),
+    pairs AS (
+      SELECT
+        sum(CASE WHEN a.w1 IS NOT NULL AND b.w1 IS NOT NULL
+                  AND greatest(abs(a.w0 - b.w0), abs(a.w1 - b.w1)) <= 2
+            THEN 1 ELSE 0 END) AS b_cnt,
+        sum(CASE WHEN a.w2 IS NOT NULL AND b.w2 IS NOT NULL
+                  AND greatest(abs(a.w0 - b.w0), abs(a.w1 - b.w1),
+                               abs(a.w2 - b.w2)) <= 2
+            THEN 1 ELSE 0 END) AS a_cnt
+      FROM pos a JOIN pos b ON a.p < b.p),
+    n AS (SELECT count(*) AS nn FROM daily)
+    SELECT (SELECT CAST(nn AS BIGINT) FROM n) AS n_days,
+           CAST(b_cnt AS BIGINT) AS template_matches_m2,
+           CAST(a_cnt AS BIGINT) AS template_matches_m3,
+           round(-ln(CAST(a_cnt AS DOUBLE) / b_cnt), 6) AS sampen
+    FROM pairs
+    """)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE ENTROPY (Richman & Moorman 2000; m=2, Chebyshev
+    tolerance r=2 counts) of the daily order series: SampEn =
+    -ln(A/B) where B counts length-2 template matches and A counts
+    length-3 -- the REGULARITY measure from physiologic time-series
+    analysis: low SampEn = patterns that repeat (predictable), high =
+    each new point is news. Complements the linear diagnostics
+    (`ts_autocorr_lag`, `ts_spectral_entropy`) because template
+    matching sees NONLINEAR recurrence that autocorrelation misses.
+    Counts are exact integers on integer data with an integer
+    tolerance -- no float enters until the final log ratio. The
+    all-pairs template join is O(n^2) on the DATE-SPAN frame (2.4k
+    positions, `ts_matrix_profile` precedent), never the corpus; for
+    long series the same counts bucket by value range (templates
+    within tolerance share a coarse grid cell) -- the standard
+    lattice speedup, same composition as the LSH family."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("d")
+    pos = daily.select(
+        F.row_number().over(w).alias("p"),
+        F.col("y").alias("w0"),
+        F.lead("y", 1).over(w).alias("w1"),
+        F.lead("y", 2).over(w).alias("w2"))
+    b = pos.select(F.col("p").alias("q"), F.col("w0").alias("v0"),
+                   F.col("w1").alias("v1"), F.col("w2").alias("v2"))
+    pairs = pos.join(F.broadcast(b), F.col("p") < F.col("q"))
+    chb2 = F.greatest(F.abs(F.col("w0") - F.col("v0")),
+                      F.abs(F.col("w1") - F.col("v1")))
+    chb3 = F.greatest(F.abs(F.col("w0") - F.col("v0")),
+                      F.abs(F.col("w1") - F.col("v1")),
+                      F.abs(F.col("w2") - F.col("v2")))
+    agg = pairs.agg(
+        F.sum(F.when(F.col("w1").isNotNull() & F.col("v1").isNotNull()
+                     & (chb2 <= 2), 1).otherwise(0)).alias("b_cnt"),
+        F.sum(F.when(F.col("w2").isNotNull() & F.col("v2").isNotNull()
+                     & (chb3 <= 2), 1).otherwise(0)).alias("a_cnt"))
+    n = daily.agg(F.count(F.lit(1)).alias("nn"))
+    return (agg.crossJoin(F.broadcast(n))
+            .select(F.col("nn").cast("bigint").alias("n_days"),
+                    F.col("b_cnt").cast("bigint")
+                    .alias("template_matches_m2"),
+                    F.col("a_cnt").cast("bigint")
+                    .alias("template_matches_m3"),
+                    F.round(-F.log(F.col("a_cnt").cast("double")
+                                   / F.col("b_cnt")), 6)
+                    .alias("sampen")))
+
+
+@register(
+    "agg_adstock_effect",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS x,
+             sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT d, x,
+             lead(rev) OVER (ORDER BY d) AS ynext
+      FROM daily),
+    pairs AS (
+      SELECT list(x ORDER BY d) AS xs,
+             list(CAST(ynext AS DOUBLE) ORDER BY d) AS ys,
+             count(*) AS m
+      FROM seq WHERE ynext IS NOT NULL),
+    step AS (
+      SELECT xs, ys, m, 1 AS k,
+             xs[1]::DOUBLE AS a,
+             xs[1]::DOUBLE AS sa,
+             (xs[1]::DOUBLE * xs[1]) AS saa,
+             (xs[1]::DOUBLE * ys[1]) AS say,
+             ys[1]::DOUBLE AS sy,
+             (ys[1] * ys[1])::DOUBLE AS syy
+      FROM pairs
+      UNION ALL
+      SELECT xs, ys, m, k + 1,
+             xs[k + 1] + 0.5::DOUBLE * a,
+             sa + (xs[k + 1] + 0.5::DOUBLE * a),
+             saa + (xs[k + 1] + 0.5::DOUBLE * a)
+                 * (xs[k + 1] + 0.5::DOUBLE * a),
+             say + (xs[k + 1] + 0.5::DOUBLE * a) * ys[k + 1],
+             sy + ys[k + 1],
+             syy + ys[k + 1] * ys[k + 1]
+      FROM step WHERE k < m),
+    fin AS (SELECT * FROM step WHERE k = m),
+    raw AS (
+      SELECT count(*) AS n, sum(x) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * CAST(round(ynext) AS HUGEINT))
+               AS sxy,
+             sum(CAST(round(ynext) AS HUGEINT)) AS syr,
+             sum(CAST(round(ynext) AS HUGEINT)
+                 * CAST(round(ynext) AS HUGEINT)) AS syy
+      FROM seq WHERE ynext IS NOT NULL)
+    SELECT CAST(fin.m AS BIGINT) AS n_pairs,
+           round(fin.a, 4) AS adstock_final,
+           round((fin.m * fin.say - fin.sa * fin.sy)
+                 / sqrt((fin.m * fin.saa - fin.sa * fin.sa)
+                        * (fin.m * fin.syy - fin.sy * fin.sy)), 6)
+             AS r_adstock,
+           round(CAST(raw.n * raw.sxy
+                      - CAST(raw.sx AS HUGEINT) * raw.syr AS DOUBLE)
+                 / sqrt(CAST(raw.n * raw.sxx
+                        - CAST(raw.sx AS HUGEINT) * raw.sx AS DOUBLE)
+                        * CAST(raw.n * raw.syy
+                          - CAST(raw.syr AS HUGEINT) * raw.syr
+                          AS DOUBLE)), 6) AS r_raw
+    FROM fin, raw
+    """)
+def agg_adstock_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC ADSTOCK (advertising carryover, lambda=0.5): a_t =
+    x_t + 0.5*a_{t-1} turns daily order VOLUME into accumulated
+    'pressure', then correlates it with NEXT-day revenue alongside
+    the raw same-lag correlation -- r_adstock > r_raw is the
+    marketing-mix-model evidence that impact DECAYS rather than
+    expires (the transform every MMM fits before regression; lambda
+    would be grid-searched, here pinned at the half-life-one-day
+    point). The recursion and all five adstock moment sums run in
+    ONE sequential fold over the day-ordered series (a single
+    accumulator struct -- `ts_kalman_1d` discipline, so both engines
+    execute the identical IEEE sequence); the raw correlation uses
+    exact integer moments. One day-grouped scan; the fold rides the
+    2.4k-row date-span frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("d"))
+             .agg(F.count(F.lit(1)).alias("x"),
+                  F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("decimal(38,0)")).alias("rev")))
+    w = Window.orderBy("d")
+    seq = daily.select("d", "x",
+                       F.lead("rev").over(w).cast("double")
+                       .alias("ynext"))
+    pairs = (seq.filter(F.col("ynext").isNotNull())
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("d", "x", "ynext"))).alias("ss"),
+                 F.count(F.lit(1)).alias("m")))
+    folded = pairs.select("m", F.expr(
+        "aggregate(slice(ss, 2, greatest(size(ss) - 1, 0)), "
+        "named_struct("
+        "'a', CAST(ss[0].x AS DOUBLE), "
+        "'sa', CAST(ss[0].x AS DOUBLE), "
+        "'saa', CAST(ss[0].x AS DOUBLE) * ss[0].x, "
+        "'say', CAST(ss[0].x AS DOUBLE) * ss[0].ynext, "
+        "'sy', ss[0].ynext, "
+        "'syy', ss[0].ynext * ss[0].ynext), "
+        "(acc, s) -> named_struct("
+        "'a', s.x + 0.5D * acc.a, "
+        "'sa', acc.sa + (s.x + 0.5D * acc.a), "
+        "'saa', acc.saa + (s.x + 0.5D * acc.a) "
+        "* (s.x + 0.5D * acc.a), "
+        "'say', acc.say + (s.x + 0.5D * acc.a) * s.ynext, "
+        "'sy', acc.sy + s.ynext, "
+        "'syy', acc.syy + s.ynext * s.ynext))").alias("st"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    raw = (seq.filter(F.col("ynext").isNotNull())
+           .select("x", F.round("ynext").cast("bigint").alias("yr"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                F.sum(dec("x") * F.col("x")).alias("sxx"),
+                F.sum(dec("x") * F.col("yr")).alias("sxy"),
+                F.sum("yr").alias("syr"),
+                F.sum(dec("yr") * F.col("yr")).alias("syy")))
+    r_ad = ((F.col("m") * F.col("st.say")
+             - F.col("st.sa") * F.col("st.sy"))
+            / F.sqrt((F.col("m") * F.col("st.saa")
+                      - F.col("st.sa") * F.col("st.sa"))
+                     * (F.col("m") * F.col("st.syy")
+                        - F.col("st.sy") * F.col("st.sy"))))
+    r_raw = ((F.col("n") * F.col("sxy") - dec("sx") * F.col("syr"))
+             .cast("double")
+             / F.sqrt((F.col("n") * F.col("sxx")
+                       - dec("sx") * F.col("sx")).cast("double")
+                      * (F.col("n") * F.col("syy")
+                         - dec("syr") * F.col("syr")).cast("double")))
+    return (folded.crossJoin(F.broadcast(raw))
+            .select(F.col("m").cast("bigint").alias("n_pairs"),
+                    F.round(F.col("st.a"), 4).alias("adstock_final"),
+                    F.round(r_ad, 6).alias("r_adstock"),
+                    F.round(r_raw, 6).alias("r_raw")))

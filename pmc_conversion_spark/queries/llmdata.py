@@ -9852,3 +9852,90 @@ def mm_audio_spectral_centroid(spark: SparkSession,
     return res.select("media_id", "n_samples",
                       F.round("cb", 6).alias("centroid_bin"),
                       F.round("tp", 4).alias("total_power"))
+
+
+_TR_ROUNDS = 10
+
+
+def _tr_round_sql(r: int) -> str:
+    return f"""
+    pr{r} AS (
+      SELECT und.v AS word,
+             0.15 + 0.85 * round(sum(p.pr / d.deg), 12) AS pr
+      FROM und
+      JOIN pr{r - 1} p ON p.word = und.u
+      JOIN deg d ON d.word = und.u
+      GROUP BY 1)"""
+
+
+@register(
+    "text_keyphrase_textrank",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(len(tk) - 1),
+                    i -> {{'a': tk[i+1], 'b': tk[i+2]}})) AS p
+      FROM t),
+    ew AS (
+      SELECT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v,
+             count(*) AS n
+      FROM bg WHERE p.a <> p.b
+        AND length(p.a) >= 4 AND length(p.b) >= 4
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    und AS MATERIALIZED (
+      SELECT u, v FROM ew UNION ALL SELECT v, u FROM ew),
+    deg AS MATERIALIZED (
+      SELECT u AS word, count(*) AS deg FROM und GROUP BY 1),
+    pr0 AS MATERIALIZED (SELECT word, 1.0::DOUBLE AS pr FROM deg),
+    {",".join(_tr_round_sql(r) for r in range(1, _TR_ROUNDS + 1))}
+    SELECT word, round(pr, 6) AS textrank
+    FROM pr{_TR_ROUNDS}
+    ORDER BY round(pr, 6) DESC, word LIMIT 20
+    """)
+def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau, EMNLP 2004):
+    damped PageRank over the word co-occurrence graph (adjacent
+    tokens, both >= 4 chars, edge support >= 3), top-20 by score --
+    the unsupervised keyword baseline that beats raw frequency
+    (`vocab_topk`) because a word is ranked by the IMPORTANCE of its
+    neighbors, not its count: a mid-frequency term gluing many
+    strong collocations outranks a ubiquitous filler. Bigram edges
+    come from the same map-side offset transform as
+    `text_cooccurrence_pmi` (no positional self-join); the 10
+    damped-PR rounds are per-round edge join + partial agg with
+    12dp rounding before the damping (the `graph_pagerank`
+    discipline), edge/degree frames materialized once. The corpus
+    contributes one tokenize-and-count pass; everything else rides
+    the bounded vocabulary graph."""
+    d = _docs(spark, sf_dir)
+    tk = d.select(TX.ws_tokens(F.lower(F.col("text"))).alias("tk"))
+    bg = tk.select(F.explode(F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(tk[i - 1] as a, tk[i] as b))")).alias("p")) \
+        .select("p.a", "p.b")
+    ew = (bg.filter((F.col("a") != F.col("b"))
+                    & (F.length("a") >= 4) & (F.length("b") >= 4))
+          .groupBy(F.least("a", "b").alias("u"),
+                   F.greatest("a", "b").alias("v"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .filter(F.col("n") >= 3))
+    und = (ew.select("u", "v")
+           .unionAll(ew.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+           .localCheckpoint(eager=True))
+    deg = (und.groupBy(F.col("u").alias("word"))
+           .agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=True))
+    pr = deg.select("word", F.lit(1.0).alias("pr"))
+    undd = und.join(deg.withColumnRenamed("word", "u_"),
+                    F.col("u") == F.col("u_")) \
+        .select("u", "v", "deg").localCheckpoint(eager=True)
+    for _ in range(_TR_ROUNDS):
+        pr = (undd.join(pr.withColumnRenamed("word", "pu"),
+                        F.col("u") == F.col("pu"))
+              .groupBy(F.col("v").alias("word"))
+              .agg((F.lit(0.15) + 0.85
+                    * F.round(F.sum(F.col("pr") / F.col("deg")), 12))
+                   .alias("pr")))
+    return (pr.select("word", F.round("pr", 6).alias("textrank"))
+            .orderBy(F.desc("textrank"), "word").limit(20))

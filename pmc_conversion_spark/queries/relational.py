@@ -10549,3 +10549,64 @@ def win_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / F.col("n")
                                    / (4.0 * F.log(F.lit(2.0)))), 6)
                     .alias("parkinson_vol")))
+
+
+@register(
+    "win_obv_accumulation",
+    oracle="""
+    WITH daily AS (
+      SELECT n_name,
+             datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS t,
+             count(*) AS vol,
+             sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    sg AS (
+      SELECT n_name, t, vol,
+             CASE WHEN rev > lag(rev) OVER w THEN 1
+                  WHEN rev < lag(rev) OVER w THEN -1
+                  ELSE 0 END AS sgn
+      FROM daily WINDOW w AS (PARTITION BY n_name ORDER BY t))
+    SELECT n_name, t AS day_num,
+           CAST(sum(sgn * vol) OVER (PARTITION BY n_name ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS obv
+    FROM sg
+    """)
+def win_obv_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-BALANCE VOLUME per nation: cumulative signed volume where
+    each day's order count adds with the SIGN of the day-over-day
+    revenue change -- the classic confirmation indicator (volume
+    flowing with or against the price trend: OBV rising while
+    revenue falls = accumulation under weakness). First-day sign is
+    0 (lag null -> ELSE branch), so both engines anchor identically;
+    everything is exact integers: a lag window for the sign, an
+    ordered cumulative sum for the accumulation, both riding the
+    nation-partitioned date-span frame from one grouped pass."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    daily = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name",
+                      F.datediff(F.col("o_orderdate").cast("date"),
+                                 F.lit("1992-01-01").cast("date"))
+                      .alias("t"))
+             .agg(F.count(F.lit(1)).alias("vol"),
+                  F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("decimal(38,0)")).alias("rev")))
+    w = Window.partitionBy("n_name").orderBy("t")
+    sg = daily.select(
+        "n_name", "t", "vol",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1)
+        .when(F.col("rev") < F.lag("rev").over(w), -1)
+        .otherwise(0).alias("sgn"))
+    wc = (Window.partitionBy("n_name").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return sg.select(
+        "n_name", F.col("t").alias("day_num"),
+        F.sum(F.col("sgn") * F.col("vol")).over(wc).cast("bigint")
+        .alias("obv"))
