@@ -128,6 +128,14 @@ HEADLINE = [
     "agg_gmm_em_converged",
     "agg_fisher_exact",
     "mm_decode_real_rle8",
+    # r7 wave 3: the all-pairs date-span profiles (matrix profile,
+    # sample entropy share the bounded pair frame), late-interaction
+    # retrieval, per-key numpy DP, and the two word-graph iterators
+    "ts_matrix_profile",
+    "sim_maxsim_multivector",
+    "ts_dtw_distance",
+    "graph_eigencentrality_power",
+    "text_keyphrase_textrank",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

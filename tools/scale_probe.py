@@ -132,6 +132,20 @@ PROBED = [
     "agg_cvm_test",
     "mm_decode_real_rle8",
     "vocab_wordpiece_longest_match",
+    # r7 wave 3+: the date-span all-pairs frames (matrix profile,
+    # sample entropy — pair count is CALENDAR-bounded, so time should
+    # be ~flat in sf while the day-grouped scan grows linearly), the
+    # per-key DTW DP (flat — 52-week profiles), the sub-vector
+    # late-interaction scorer (linear in candidates), the two word/
+    # supplier-graph power iterations (rounds × edges), and the
+    # interval-semi-join CEP chain (linear in per-user events)
+    "ts_matrix_profile",
+    "ts_sample_entropy",
+    "ts_dtw_distance",
+    "sim_maxsim_multivector",
+    "graph_eigencentrality_power",
+    "text_keyphrase_textrank",
+    "stream_cep_followed_by",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
