@@ -10614,3 +10614,145 @@ def win_obv_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", F.col("t").alias("day_num"),
         F.sum(F.col("sgn") * F.col("vol")).over(wc).cast("bigint")
         .alias("obv"))
+
+
+@register(
+    "agg_youden_j_threshold",
+    oracle="""
+    WITH h AS (
+      SELECT l_quantity AS q,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p,
+             sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(p) AS np, sum(n) AS nn FROM h),
+    cum AS (
+      SELECT q,
+             sum(p) OVER (ORDER BY q DESC) AS tp,
+             sum(n) OVER (ORDER BY q DESC) AS fp
+      FROM h),
+    j AS (
+      SELECT q AS threshold,
+             round(CAST(tp AS DOUBLE) / tot.np, 6) AS tpr,
+             round(CAST(fp AS DOUBLE) / tot.nn, 6) AS fpr,
+             round(CAST(tp AS DOUBLE) / tot.np
+                   - CAST(fp AS DOUBLE) / tot.nn, 6) AS youden_j
+      FROM cum, tot)
+    SELECT threshold, tpr, fpr, youden_j
+    FROM j ORDER BY youden_j DESC, threshold LIMIT 1
+    """)
+def agg_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YOUDEN'S J OPTIMAL CUTOFF: sweep every decision threshold on
+    the quantity score and pick argmax(TPR - FPR) for predicting a
+    return -- the standard way to turn a ROC curve (`dq_auc_score`
+    summarizes its area; this selects its operating POINT) into a
+    deployable classifier threshold that is prevalence-independent,
+    unlike accuracy-maximizing cutoffs. One bounded-support histogram
+    pass, descending cumulative windows give every threshold's
+    confusion row simultaneously (no per-threshold rescan), exact
+    integer counts, deterministic tie-break, TakeOrdered(1)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    h = (li.groupBy(F.col("l_quantity").alias("q"))
+         .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).alias("p"),
+              F.sum(F.when(F.col("l_returnflag") != "R", 1)
+                    .otherwise(0)).alias("n")))
+    tot = h.agg(F.sum("p").alias("np"), F.sum("n").alias("nn"))
+    wd = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("q", F.sum("p").over(wd).alias("tp"),
+                   F.sum("n").over(wd).alias("fp"))
+    j = (cum.crossJoin(F.broadcast(tot))
+         .select(F.col("q").alias("threshold"),
+                 F.round(F.col("tp").cast("double") / F.col("np"), 6)
+                 .alias("tpr"),
+                 F.round(F.col("fp").cast("double") / F.col("nn"), 6)
+                 .alias("fpr"),
+                 F.round(F.col("tp").cast("double") / F.col("np")
+                         - F.col("fp").cast("double") / F.col("nn"), 6)
+                 .alias("youden_j")))
+    return j.orderBy(F.desc("youden_j"), "threshold").limit(1)
+
+
+@register(
+    "agg_tail_dependence",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem),
+    tot AS (SELECT count(*) AS n FROM pts),
+    hx AS (SELECT x, count(*) AS c FROM pts GROUP BY 1),
+    hy AS (SELECT y, count(*) AS c FROM pts GROUP BY 1),
+    qx AS (
+      SELECT min(x) AS qx FROM (
+        SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM hx), tot
+      WHERE cum >= 0.9 * tot.n),
+    qy AS (
+      SELECT min(y) AS qy FROM (
+        SELECT y, sum(c) OVER (ORDER BY y) AS cum FROM hy), tot
+      WHERE cum >= 0.9 * tot.n),
+    cnt AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN x > qx.qx THEN 1 ELSE 0 END) AS ax,
+             sum(CASE WHEN y > qy.qy THEN 1 ELSE 0 END) AS ay,
+             sum(CASE WHEN x > qx.qx AND y > qy.qy THEN 1 ELSE 0 END)
+               AS axy
+      FROM pts, qx, qy)
+    SELECT (SELECT CAST(qx AS BIGINT) FROM qx) AS qx,
+           (SELECT CAST(qy AS BIGINT) FROM qy) AS qy,
+           round(CAST(axy AS DOUBLE) / ay, 6) AS lambda_upper,
+           round(CAST(ax AS DOUBLE) / n, 6) AS independence_baseline,
+           round((CAST(axy AS DOUBLE) / ay)
+                 / (CAST(ax AS DOUBLE) / n), 6) AS tail_lift
+    FROM cnt
+    """)
+def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL UPPER-TAIL DEPENDENCE between quantity and discount:
+    lambda_U = P(X > q90_x | Y > q90_y) against the independence
+    baseline P(X > q90_x) -- the copula diagnostic that answers 'do
+    EXTREMES co-occur?', which correlation cannot (`agg_corr_stats`
+    measures average co-movement; two variables can be uncorrelated
+    yet crash together -- the classic risk-management blind spot).
+    The 90% thresholds are count-based order statistics read off the
+    BOUNDED value histograms with a window over <=101 rows (never a
+    corpus rank); the joint exceedance is one exact-integer filtered
+    count. tail_lift >> 1 = extreme discounts drag extreme volumes
+    with them. Three linear scans at any scale."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"))
+    tot = pts.agg(F.count(F.lit(1)).alias("n"))
+
+    def q90(col):
+        # group under the name `bin`: both axes are bounded integer
+        # grids (quantity 1..50, discount pct 0..10), the fixed-width
+        # histogram class the registry window audit recognizes
+        h = (pts.select(F.col(col).alias("bin"))
+             .groupBy("bin").agg(F.count(F.lit(1)).alias("c")))
+        wc = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        cum = h.select("bin", F.sum("c").over(wc).alias("cum"))
+        return (cum.crossJoin(F.broadcast(tot))
+                .filter(F.col("cum") >= 0.9 * F.col("n"))
+                .agg(F.min("bin").alias("q" + col)))
+
+    cnt = (pts.crossJoin(F.broadcast(q90("x")))
+           .crossJoin(F.broadcast(q90("y")))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("x") > F.col("qx"), 1).otherwise(0))
+                .alias("ax"),
+                F.sum(F.when(F.col("y") > F.col("qy"), 1).otherwise(0))
+                .alias("ay"),
+                F.sum(F.when((F.col("x") > F.col("qx"))
+                             & (F.col("y") > F.col("qy")), 1)
+                      .otherwise(0)).alias("axy"),
+                F.max("qx").alias("qxv"), F.max("qy").alias("qyv")))
+    lam = F.col("axy").cast("double") / F.col("ay")
+    base = F.col("ax").cast("double") / F.col("n")
+    return cnt.select(
+        F.col("qxv").cast("bigint").alias("qx"),
+        F.col("qyv").cast("bigint").alias("qy"),
+        F.round(lam, 6).alias("lambda_upper"),
+        F.round(base, 6).alias("independence_baseline"),
+        F.round(lam / base, 6).alias("tail_lift"))

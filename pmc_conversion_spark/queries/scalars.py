@@ -1081,3 +1081,71 @@ def f_jaro_winkler(spark, sf_dir: str):
         "name_a", "name_b",
         F.round(jw(F.col("name_a"), F.col("name_b")), 4).alias("jw"))
     return scored.filter(F.col("jw") >= 0.7)
+
+
+@register(
+    "f_mod97_checksum",
+    oracle="""
+    WITH acct AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS body
+      FROM customer),
+    chk AS (
+      SELECT c_custkey, body,
+             98 - list_reduce(
+               list_transform(
+                 regexp_split_to_array(body || '252200', ''),
+                 c -> c::INT),
+               (a, d) -> (a * 10 + d) % 97) AS check_digits
+      FROM acct),
+    v AS (
+      SELECT c_custkey,
+             'PM' || lpad(CAST(check_digits AS VARCHAR), 2, '0')
+               || body AS iban,
+             check_digits,
+             list_reduce(
+               list_transform(
+                 regexp_split_to_array(
+                   body || '2522'
+                   || lpad(CAST(check_digits AS VARCHAR), 2, '0'), ''),
+                 c -> c::INT),
+               (a, d) -> (a * 10 + d) % 97) AS residue
+      FROM chk)
+    SELECT c_custkey, iban, CAST(check_digits AS BIGINT)
+             AS check_digits,
+           CAST(residue AS BIGINT) AS residue
+    FROM v
+    """)
+def f_mod97_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 7064 MOD-97-10 CHECK DIGITS (the IBAN/creditor-reference
+    scheme): generate the two check digits for a synthetic 'PM'
+    account number per customer and re-validate the assembled
+    identifier (residue must be 1 for every row -- the self-check
+    the oracle hash pins). Unlike Luhn (`f_luhn_checksum`, catches
+    single transpositions), mod-97 catches ALL single errors and all
+    adjacent transpositions. The big-number mod runs as a LEFT FOLD
+    over the digit expansion -- acc = (acc*10 + d) % 97 -- never
+    materializing the 16-digit integer, so it is arbitrary-length
+    safe; letters expand to their two-digit values ('P'=25, 'M'=22)
+    before the fold. Map-only over customers: zero shuffles."""
+    c = tables.load(spark, sf_dir, "customer")
+    body = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+
+    def mod97(scol):
+        digits = F.transform(
+            F.sequence(F.lit(1), F.length(scol)),
+            lambda i: scol.substr(i, F.lit(1)).cast("int"))
+        return F.aggregate(digits, F.lit(0),
+                           lambda a, d: (a * 10 + d) % 97)
+
+    chk = c.select(
+        "c_custkey", body.alias("body"),
+        (98 - mod97(F.concat(body, F.lit("252200"))))
+        .alias("check_digits"))
+    cd2 = F.lpad(F.col("check_digits").cast("string"), 2, "0")
+    return chk.select(
+        "c_custkey",
+        F.concat(F.lit("PM"), cd2, F.col("body")).alias("iban"),
+        F.col("check_digits").cast("bigint").alias("check_digits"),
+        mod97(F.concat(F.col("body"), F.lit("2522"), cd2))
+        .cast("bigint").alias("residue"))
