@@ -5800,13 +5800,12 @@ def ts_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
       FROM orders GROUP BY 1),
     dif AS (
-      SELECT y - lag(y) OVER (ORDER BY d) AS dy
+      SELECT d, y - lag(y) OVER (ORDER BY d) AS dy
       FROM daily),
     sq AS (
       SELECT CAST(dy AS HUGEINT) * dy AS e2,
-             lag(CAST(dy AS HUGEINT) * dy) OVER (ORDER BY rn) AS e2l
-      FROM (SELECT dy, row_number() OVER () AS rn
-            FROM dif WHERE dy IS NOT NULL)),
+             lag(CAST(dy AS HUGEINT) * dy) OVER (ORDER BY d) AS e2l
+      FROM dif WHERE dy IS NOT NULL),
     v AS (SELECT e2, e2l FROM sq WHERE e2l IS NOT NULL),
     s AS (
       SELECT count(*) AS n, sum(e2) AS sy, sum(e2l) AS sx,
@@ -6575,7 +6574,7 @@ def stream_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily),
     pairs AS (
       SELECT
-        sum(CASE WHEN a.w1 IS NOT NULL AND b.w1 IS NOT NULL
+        sum(CASE WHEN a.w2 IS NOT NULL AND b.w2 IS NOT NULL
                   AND greatest(abs(a.w0 - b.w0), abs(a.w1 - b.w1)) <= 2
             THEN 1 ELSE 0 END) AS b_cnt,
         sum(CASE WHEN a.w2 IS NOT NULL AND b.w2 IS NOT NULL
@@ -6594,7 +6593,11 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLE ENTROPY (Richman & Moorman 2000; m=2, Chebyshev
     tolerance r=2 counts) of the daily order series: SampEn =
     -ln(A/B) where B counts length-2 template matches and A counts
-    length-3 -- the REGULARITY measure from physiologic time-series
+    length-3, BOTH restricted to the first N-m templates (positions
+    whose length-3 window exists) so the two counts range over the
+    same template set, as the definition requires (r7 ADVICE fix:
+    the earlier form let B see one extra template) -- the REGULARITY
+    measure from physiologic time-series
     analysis: low SampEn = patterns that repeat (predictable), high =
     each new point is news. Complements the linear diagnostics
     (`ts_autocorr_lag`, `ts_spectral_entropy`) because template
@@ -6625,7 +6628,7 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.abs(F.col("w1") - F.col("v1")),
                       F.abs(F.col("w2") - F.col("v2")))
     agg = pairs.agg(
-        F.sum(F.when(F.col("w1").isNotNull() & F.col("v1").isNotNull()
+        F.sum(F.when(F.col("w2").isNotNull() & F.col("v2").isNotNull()
                      & (chb2 <= 2), 1).otherwise(0)).alias("b_cnt"),
         F.sum(F.when(F.col("w2").isNotNull() & F.col("v2").isNotNull()
                      & (chb3 <= 2), 1).otherwise(0)).alias("a_cnt"))

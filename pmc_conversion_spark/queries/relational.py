@@ -9872,11 +9872,6 @@ def agg_jackknife_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("th"),
                    (F.col("tp").cast("double") / F.col("tq")
                     .cast("double")).alias("theta")))
-    jk = loo.agg(F.count(F.lit(1)).alias("k"),
-                 F.avg("th").alias("thbar"),
-                 F.max("theta").alias("theta"),
-                 F.sum(F.col("th") * F.col("th")).alias("sthh"),
-                 F.sum("th").alias("sth"))
     # ss = sum((th - thbar)^2) computed the SAME way as the oracle:
     # DuckDB's scalar-subquery form expands to sum(th^2) - 2*thbar*
     # sum(th) + k*thbar^2 only up to float assoc; mirror the oracle's
