@@ -9089,9 +9089,20 @@ def win_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     linenumber -- a total order, so every prefix is deterministic).
     Running numerator is an exact hugeint (price-cents x qty can
     reach 2^63 x row-count at warehouse scale), one per-row double
-    division at the end. The window is PARTITIONED by anchor month:
-    at 100 TB each month's partition processes independently --
-    nothing global, nothing single-partition."""
+    division at the end. r8 (r7 verdict What's-wrong #3): a plain
+    PARTITION BY anchor window puts a whole month in ONE sort
+    partition -- fine at sf0.1, ~1 TB per partition at 100 TB.
+    Now composed over the two-phase grouped prefix-sum helper
+    (:func:`~pmc_conversion_spark.operators.windows.
+    running_sums_grouped_distributed`): range-bucket by the total
+    order, prefix-sum per (anchor, bucket) cell in parallel, offset
+    by the tiny per-cell totals frame -- no window partition exceeds
+    ~N/buckets rows no matter how big a month gets. Identical
+    observable values (the in-cell order is the same total order);
+    tests/test_plan_quality.py asserts every window in the plan
+    partitions on the bucket column."""
+    from pmc_conversion_spark.operators.windows import \
+        running_sums_grouped_distributed
     li = tables.load(spark, sf_dir, "lineitem")
     base = li.select(
         F.date_trunc("month", F.col("l_shipdate")).cast("date")
@@ -9103,16 +9114,16 @@ def win_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (shipdate, orderkey, linenumber) is NOT unique in the driver
     # testdata (planted duplicate line rows) — pc/q complete the
     # total order so duplicate keys with different amounts prefix-sum
-    # identically in both engines
-    win = (Window.partitionBy("anchor")
-           .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
-                    "pc", "q")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w = base.select(
-        "anchor", "l_orderkey", "l_linenumber",
-        F.sum(F.col("pc").cast("decimal(38,0)") * F.col("q"))
-        .over(win).alias("run_pq"),
-        F.sum("q").over(win).alias("run_q"))
+    # identically in both engines. anchor leads the bucket key so
+    # bucket ids sort groups contiguously (helper contract); it is
+    # month(l_shipdate), so the struct stays monotone in event order.
+    key = F.struct(F.col("anchor"), F.col("l_shipdate"),
+                   F.col("l_orderkey"), F.col("l_linenumber"),
+                   F.col("pc"), F.col("q"))
+    w = running_sums_grouped_distributed(
+        base, ["anchor"], key,
+        {"run_pq": F.col("pc").cast("decimal(38,0)") * F.col("q"),
+         "run_q": F.col("q")})
     return w.select(
         "anchor", "l_orderkey", "l_linenumber",
         F.col("run_q").cast("bigint").alias("cum_qty"),

@@ -755,3 +755,45 @@ def test_every_registered_query_is_in_latest_fullgate_log(qs):
     assert not missing, (
         f"registered but absent from {os.path.basename(latest)} "
         f"(gate before shipping): {missing}")
+
+
+def test_anchored_vwap_has_no_group_sized_window_partition(spark, qs):
+    """r7 verdict What's-wrong #3: the anchored-VWAP prefix sum must
+    never put a whole anchor month in one window partition (a month of
+    lineitem at 100 TB is ~1 TB). The two-phase composition bounds
+    every data-bearing window partition at ~N/buckets rows: each
+    Window node in the executed plan must either partition on the
+    range-bucket column (the in-cell prefix sum) or sit on top of an
+    aggregate (the tiny per-cell totals/offsets frame)."""
+    df = qs["win_anchored_vwap"](spark, SF_DIR)
+    df.count()  # settle AQE so the walked tree is the executed shape
+
+    def walk(jn):
+        nm = jn.getClass().getSimpleName()
+        if nm == "AdaptiveSparkPlanExec":
+            yield from walk(jn.finalPhysicalPlan())
+            return
+        if nm in ("QueryStageExec", "ShuffleQueryStageExec",
+                  "BroadcastQueryStageExec", "TableCacheQueryStageExec",
+                  "ResultQueryStageExec"):
+            yield from walk(jn.plan())
+            return
+        yield jn
+        ch = jn.children()
+        for i in range(ch.length()):
+            yield from walk(ch.apply(i))
+
+    windows = [n for n in walk(df._jdf.queryExecution().executedPlan())
+               if n.getClass().getSimpleName() in
+               ("WindowExec", "WindowInPandasExec")]
+    assert windows, "expected window nodes in the anchored-VWAP plan"
+    for n in windows:
+        spec = n.partitionSpec().toString()
+        assert not n.partitionSpec().isEmpty(), "unpartitioned window"
+        if "__bucket" in spec:
+            continue  # in-cell prefix sum: bounded by bucket width
+        subtree = [c.getClass().getSimpleName() for c in walk(n.child())]
+        assert any("Aggregate" in s for s in subtree), (
+            f"window partitioned only by {spec} over non-aggregated "
+            f"input — a group-sized partition that grows with corpus "
+            f"scale")

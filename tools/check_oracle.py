@@ -109,6 +109,7 @@ def main(names=None):
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            t_engine = time.time() - t0
             # The DRIVER's gate goes through pandas: Spark Decimal
             # objects stringify as '1068285.00' while DuckDB's pandas
             # path yields float64 '1068285.0' — numerically equal,
@@ -134,10 +135,12 @@ def main(names=None):
             print(f"weak {name}: rows-only ({len(srows)} rows) "
                   f"[{time.time()-t0:.1f}s]")
             continue
+        t1 = time.time()
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
             drows = rel.fetchall()
+            t_oracle = time.time() - t1
         except Exception:
             n_fail += 1
             failures.append(name)
@@ -162,7 +165,13 @@ def main(names=None):
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             n_pass += 1
-            print(f"ok   {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            # engine-vs-oracle split (r7 verdict #5): heavy-gate
+            # entries like graph_eigencentrality_power read as engine
+            # cost when ~98% is DuckDB replaying an unrolled loop —
+            # annotate the split so the log is self-explanatory.
+            print(f"ok   {name} ({len(srows)} rows) "
+                  f"[{time.time()-t0:.1f}s: engine {t_engine:.1f}s / "
+                  f"oracle {t_oracle:.1f}s]")
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail "
           f"of {len(selected)}")
     if failures:
