@@ -11,6 +11,21 @@ The full per-query detail (raw + normalized + calibration) is written
 to the file named by $SPARK_GRAFT_BENCH_DETAIL (default
 BENCH_local_latest.json next to this script); the builder commits it
 as BENCH_local_r{N}.json each round.
+
+r8 instrument upgrade (r7 verdict What's-wrong #1 / next-round #1):
+calibration is no longer two passes at the session's ends —
+checkpoints run every CAL_EVERY queries and each query normalizes by
+the host factor interpolated between ITS surrounding checkpoints;
+per-query repeat sigma ships in the detail file. New driver-line
+fields: `drift_span` (max/min checkpoint factor — the raw host
+wobble), `residual_segment_drift` (max adjacent-checkpoint ratio —
+the normalization error left within one segment),
+`median_rel_sigma` (typical per-query repeat noise). A cross-round
+per-query movement is attributable iff it clears both
+residual_segment_drift and that query's sigma.
+
+$SPARK_GRAFT_BENCH_QUERIES (comma-separated) restricts the run to a
+subset of HEADLINE, for pinned-replay comparisons and smoke runs.
 """
 
 from __future__ import annotations
@@ -158,11 +173,31 @@ REFERENCE_CAL = {"flagship": 1.016, "text_fingerprint": 0.103,
                  "win_frame_rows": 0.125, "dedup_exact": 0.505,
                  "mm_decode_stub": 0.377}
 
+#: r7 verdict What's-wrong #1: with ONE calibration pass at each end
+#: of a ~30-minute session, a start-vs-end disagreement of 0.62-0.74
+#: cannot be localized — 31 queries moved 1.15-1.9x normalized with
+#: identical plans and nobody could prove it was host noise. r8 form:
+#: a calibration CHECKPOINT (3-repeat min per probe) runs every
+#: CAL_EVERY headline queries; each query is normalized by the host
+#: factor LINEARLY INTERPOLATED between its two surrounding
+#: checkpoints, so a mid-session host-speed shift is corrected where
+#: it happens instead of smeared across the whole run. Per-query
+#: error bars (sigma of the REPEATS raw times) ship in the detail
+#: file so any future cross-round movement can be tested against the
+#: measured noise instead of eyeballed.
+CAL_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "12"))
+CAL_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_REPEATS", "3"))
+
 
 def _median(xs):
     xs = sorted(xs)
     n = len(xs)
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def _stdev(xs):
+    m = sum(xs) / len(xs)
+    return (sum((x - m) ** 2 for x in xs) / max(1, len(xs) - 1)) ** 0.5
 
 
 def main() -> None:
@@ -174,16 +209,8 @@ def main() -> None:
     qs = E.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
-
-    def run(name, fn):
-        best = None
-        for _ in range(max(1, REPEATS)):
-            t0 = time.time()
-            df = fn()
-            df.count()  # full materialization
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    medians: dict[str, float] = {}
+    sigmas: dict[str, float] = {}
 
     # Warm the JVM/session with a trivial action so timings measure the
     # queries, not session spin-up. The Python-worker pool is part of
@@ -210,57 +237,99 @@ def main() -> None:
                "documents", "embeddings"):
         _T.load(spark, SF_DIR, _t).limit(1).count()
 
-    def time_query(name):
+    def time_query(name, repeats):
         fn = (lambda: flagship_query(spark, SF_DIR)) if name == "flagship" \
             else (lambda n=name: qs[n](spark, SF_DIR))
-        best = None
-        for _ in range(max(1, REPEATS)):
+        ts = []
+        for _ in range(max(1, repeats)):
             t0 = time.time()
             fn().count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 3)
+            ts.append(time.time() - t0)
+        return ts
 
     # one untimed pass first: the calibration probes must measure the
     # steady-state host, not residual JIT/footer warmup (which would
-    # bias cal_start high and masquerade as in-session drift)
+    # bias the first checkpoint high and masquerade as drift)
     for n in CALIBRATION:
         (flagship_query(spark, SF_DIR) if n == "flagship"
          else qs[n](spark, SF_DIR)).count()
-    cal_start = {n: time_query(n) for n in CALIBRATION}
 
-    for name in HEADLINE:
-        if name == "flagship":
-            run(name, lambda: flagship_query(spark, SF_DIR))
-        elif name in qs:
-            run(name, lambda n=name: qs[n](spark, SF_DIR))
+    def checkpoint():
+        """min-of-CAL_REPEATS per probe → this instant's host factor
+        (median of per-probe ratios to the reference epoch, robust to
+        one probe catching a steal spike)."""
+        probes = {n: round(min(time_query(n, CAL_REPEATS)), 3)
+                  for n in CALIBRATION}
+        return probes, round(_median(
+            [probes[n] / REFERENCE_CAL[n] for n in CALIBRATION]), 3)
 
-    cal_end = {n: time_query(n) for n in CALIBRATION}
+    names = [n for n in HEADLINE if n == "flagship" or n in qs]
+    # optional subset (pinned-replay runs / quick smoke): keep HEADLINE
+    # order, filter to the requested names
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        want = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in want]
+    checkpoints = []        # (query_index_reached, probes, factor)
+    p0, f0 = checkpoint()
+    checkpoints.append((0, p0, f0))
+    for i, name in enumerate(names):
+        raw = time_query(name, REPEATS)
+        timings[name] = round(min(raw), 3)
+        medians[name] = round(_median(raw), 3)
+        sigmas[name] = round(_stdev(raw), 3)
+        if (i + 1) % CAL_EVERY == 0 and (i + 1) < len(names):
+            pc, fc = checkpoint()
+            checkpoints.append((i + 1, pc, fc))
+    pe, fe = checkpoint()
+    checkpoints.append((len(names), pe, fe))
 
-    # session-vs-reference host factor (median of per-probe ratios,
-    # robust to one probe hitting a steal spike) and the residual
-    # start-vs-end in-session drift
-    host_factor = round(_median(
-        [cal_start[n] / REFERENCE_CAL[n] for n in CALIBRATION]), 3)
-    drift = round(_median(
-        [cal_end[n] / cal_start[n] for n in CALIBRATION]), 3)
-    normalized = {k: round(v / host_factor, 3) for k, v in timings.items()}
+    # host factor per QUERY: linear interpolation between the two
+    # surrounding checkpoints (by headline index), so a host-speed
+    # shift mid-session corrects the queries it actually affected
+    factors = {}
+    for i, name in enumerate(names):
+        lo = max(c for c in checkpoints if c[0] <= i)
+        hi = min(c for c in checkpoints if c[0] >= i + 1)
+        span = max(1, hi[0] - lo[0])
+        w = (i + 0.5 - lo[0]) / span
+        factors[name] = lo[2] + (hi[2] - lo[2]) * w
+    host_factor = round(_median([c[2] for c in checkpoints]), 3)
+    drift = round(fe / f0, 3)
+    cal_factors = [c[2] for c in checkpoints]
+    drift_span = round(max(cal_factors) / min(cal_factors), 3)
+    normalized = {k: round(v / factors[k], 3) for k, v in timings.items()}
+    # residual drift AFTER piecewise normalization: adjacent-checkpoint
+    # factor ratios — the error left inside one CAL_EVERY segment
+    resid = round(max(max(a, b) / min(a, b) for a, b in
+                      zip(cal_factors, cal_factors[1:])), 3)
 
     total = round(sum(timings.values()), 3)
     total_norm = round(sum(normalized.values()), 3)
+    # median relative sigma: the typical per-query repeat noise, the
+    # error bar any cross-round per-query comparison must clear
+    rel_sig = round(_median(
+        [sigmas[k] / max(1e-9, medians[k]) for k in timings]), 3)
     detail = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_sigma": sigmas,
         "sf": float(sf),
         "normalization": {
             "reference_epoch": "BENCH_r05.json driver session "
                                "(sf0.1, local[32])",
-            "calibration_start": cal_start,
-            "calibration_end": cal_end,
+            "calibration_checkpoints": [
+                {"after_query": c[0], "probes": c[1], "factor": c[2]}
+                for c in checkpoints],
+            "cal_every": CAL_EVERY,
             "host_factor_vs_reference": host_factor,
             "within_session_drift": drift,
+            "drift_span": drift_span,
+            "residual_segment_drift": resid,
+            "median_rel_sigma": rel_sig,
             "value_normalized": total_norm,
             "queries_normalized": normalized,
         },
@@ -276,6 +345,10 @@ def main() -> None:
         "value_normalized": total_norm,
         "host_factor": host_factor,
         "within_session_drift": drift,
+        "drift_span": drift_span,
+        "residual_segment_drift": resid,
+        "median_rel_sigma": rel_sig,
+        "n_cal_checkpoints": len(checkpoints),
         "sf": float(sf),
         "n_queries": len(timings),
         "detail": os.path.basename(DETAIL_PATH),
