@@ -518,6 +518,111 @@ _BOUNDED_GROUP_KEYS = frozenset({
 # genuinely needs it, and justify inline).
 _UNPART_WINDOW_ALLOWLIST: set[str] = set()
 
+# PROVENANCE verification (r7 ADVICE: "an audit satisfied by column
+# naming gives false assurance — a genuinely unbounded key named
+# `dur` would pass the same check"). A name in _BOUNDED_GROUP_KEYS is
+# no longer load-bearing on its own: the audit resolves the grouping
+# attribute back to its DEFINING expression (the Alias with the same
+# exprId in the aggregate's subtree, or the FileScan that emits it)
+# and requires the expression to match the domain class the name
+# claims. A corpus-sized key renamed `dur` resolves to a plain column
+# alias, matches nothing below, and the aggregate stops gating.
+# Each entry: (regex over the defining expression string | None,
+#              scan-table name when the key is a raw table column | None).
+import re as _re
+_CALENDAR = (r"^(date_trunc\(|datediff\(|cast\(date_trunc\("
+             r"|cast\(\w+(#\d+)? as date\))")
+_KEY_PROVENANCE: dict[str, tuple[str | None, str | None]] = {
+    # count of broadcast boundary values <= key — the two-phase
+    # bucket id, numBuckets-capped by construction
+    "__bucket": (r"^size\(filter\(__bnds", None),
+    # two-phase ntile fair-division arithmetic on (global rank, N)
+    "decile": (r"^cast\(CASE WHEN \(__r", None),
+    "quintile": (r"^cast\(CASE WHEN \(__r", None),
+    # explicit cap (least(floor(x/width), cells)) or a bounded TPC-H
+    # value domain (quantity 1..50, discount-cents 0..10)
+    "bin": (r"^(least\(FLOOR\(|cast\(l_quantity|"
+            r"cast\(round\(\(l_discount)", None),
+    # per-document token-count grid (doc-length domain, not corpus)
+    "z": (r"^\(?size\(filter\(", None),
+    # event-time window struct: domain = date span / slide
+    "window": (r"^named_struct\(start, ", None),
+    # calendar keys: day/month truncations, date casts, day spans
+    "d": (_CALENDAR, None),
+    "m": (r"^date_trunc\(month", None),
+    "dur": (r"^datediff\(", None),
+    # raw bounded-domain table columns: must come off THAT table's
+    # scan (or ride a float-normalization wrapper of the column)
+    "n_name": (None, "nation"),
+    "l_quantity": (r"^knownfloatingpointnormalized\("
+                   r"normalizenanandzero\(l_quantity", "lineitem"),
+    "p_size": (None, "part"),
+    "source": (None, "documents"),
+}
+
+
+def _find_alias_def(e, eid):
+    """Defining expression string for exprId `eid` if `e` (an
+    expression tree) contains `Alias(child) AS name#eid`."""
+    try:
+        if (e.getClass().getSimpleName() == "Alias"
+                and e.exprId().id() == eid):
+            return e.child().toString()
+    except Exception:
+        pass
+    try:
+        ch = e.children()
+    except Exception:
+        return None
+    for i in range(ch.length()):
+        f = _find_alias_def(ch.apply(i), eid)
+        if f:
+            return f
+    return None
+
+
+def _key_provenance(sub_root, eid):
+    """('alias', defining-expr-string) | ('scan', table-name) | (None,
+    None) for the attribute `eid`, resolved within `sub_root`'s
+    subtree (definitions sit below their consumers)."""
+    for n in _walk_exec(sub_root):
+        nm = n.getClass().getSimpleName()
+        try:
+            exprs = n.expressions()
+        except Exception:
+            exprs = None
+        if exprs is not None:
+            for i in range(exprs.length()):
+                f = _find_alias_def(exprs.apply(i), eid)
+                if f:
+                    return ("alias", f)
+        if "FileSourceScan" in nm or "BatchScan" in nm:
+            out = n.output()
+            for i in range(out.length()):
+                if out.apply(i).exprId().id() == eid:
+                    m = _re.search(r"(\w+)\.parquet", n.toString())
+                    return ("scan", m.group(1) if m else "")
+    return (None, None)
+
+
+def _key_bounded(agg_node, key_name, expr):
+    """True iff the grouping key's NAME is an allowlisted bounded
+    domain AND its defining expression structurally matches that
+    domain's class — the name alone is never load-bearing."""
+    if key_name not in _BOUNDED_GROUP_KEYS:
+        return False
+    pat, table = _KEY_PROVENANCE.get(key_name, (None, None))
+    try:
+        eid = expr.exprId().id()
+    except Exception:
+        return False               # unnamed/computed: unauditable
+    kind, prov = _key_provenance(agg_node, eid)
+    if kind == "alias" and pat and _re.match(pat, prov):
+        return True
+    if kind == "scan" and table and prov == table:
+        return True
+    return False
+
 
 def _walk_exec(jn):
     nm = jn.getClass().getSimpleName()
@@ -563,10 +668,18 @@ def _subtree_bounded(jn):
     if nm in _MARK_NODES:
         return True
     if nm in _AGG_NODES:
-        keys = _grouping_key_names(jn)
-        if all(k in _BOUNDED_GROUP_KEYS for k in keys):
+        ge = jn.groupingExpressions()
+        pairs = []
+        for i in range(ge.length()):
+            e = ge.apply(i)
+            try:
+                pairs.append((e.name(), e))
+            except Exception:
+                pairs.append((e.toString(), e))
+        if all(_key_bounded(jn, k, e) for k, e in pairs):
             return True                      # incl. empty → global agg
-        # corpus-keyed aggregate: only as bounded as its input
+        # corpus-keyed aggregate (or a bounded-NAMED key whose
+        # provenance does not verify): only as bounded as its input
     ch = jn.children()
     if ch.length() == 0:
         return False                         # scan leaf: corpus-sized
@@ -633,15 +746,39 @@ def test_window_audit_flags_corpus_keyed_aggregate(spark):
 
 
 def test_window_audit_accepts_bounded_domain_aggregate(spark):
-    """Control for the adversarial fixture: a decile-keyed aggregate
-    (ntile output, 10 rows) under an unpartitioned window is the
-    legitimate two-phase shape and must stay green."""
+    """Control for the adversarial fixture: a histogram-bin-keyed
+    aggregate whose bin expression carries an explicit cell cap
+    (least(floor(x/width), cells) — 64 rows max) under an
+    unpartitioned window is the legitimate two-phase shape and must
+    stay green. (r8: was `decile = doc_id % 10`, which the hardened
+    provenance audit rightly rejects — a mod expression is not the
+    ntile fair-division shape the `decile` name claims.)"""
     from pyspark.sql import Window
     docs = tables.load(spark, SF_DIR, "documents")
-    dec = (docs.withColumn("decile", F.col("doc_id") % 10)
-           .groupBy("decile").agg(F.count("*").alias("cnt"))
-           .withColumn("run", F.sum("cnt").over(Window.orderBy("decile"))))
+    dec = (docs.withColumn(
+               "bin", F.least(F.floor(F.col("doc_id") / 100.0),
+                              F.lit(63)))
+           .groupBy("bin").agg(F.count("*").alias("cnt"))
+           .withColumn("run", F.sum("cnt").over(Window.orderBy("bin"))))
     assert not _unbounded_unpartitioned_windows(dec)
+
+
+def test_window_audit_rejects_corpus_key_wearing_bounded_name(spark):
+    """The r7 ADVICE adversarial case, pinned: a corpus-cardinality
+    key RENAMED to an allowlisted name (`dur`, `d`, `bin`) must not
+    launder boundedness through the name — the provenance resolver
+    sees a plain column alias where the name claims a calendar span /
+    capped histogram expression, and the aggregate stops gating."""
+    from pyspark.sql import Window
+    docs = tables.load(spark, SF_DIR, "documents")
+    for name in ("dur", "d", "bin"):
+        evil = (docs.withColumn(name, F.col("doc_id"))
+                .groupBy(name).agg(F.count("*").alias("cnt"))
+                .withColumn("run",
+                            F.sum("cnt").over(Window.orderBy(name))))
+        assert _unbounded_unpartitioned_windows(evil), (
+            f"corpus key renamed '{name}' laundered boundedness "
+            f"through the name allowlist")
 
 
 def test_r4_weak_five_are_deserialized(spark, qs):
