@@ -638,18 +638,6 @@ def _walk_exec(jn):
         yield from _walk_exec(ch.apply(i))
 
 
-def _grouping_key_names(agg_node):
-    names = []
-    ge = agg_node.groupingExpressions()
-    for i in range(ge.length()):
-        e = ge.apply(i)
-        try:
-            names.append(e.name())
-        except Exception:          # non-named expression: unauditable
-            names.append(e.toString())
-    return names
-
-
 def _subtree_bounded(jn):
     """True iff every root-to-leaf path through `jn` passes a
     boundedness gate before reaching a corpus-sized leaf (FileScan,
