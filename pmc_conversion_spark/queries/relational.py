@@ -10762,3 +10762,413 @@ def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lam, 6).alias("lambda_upper"),
         F.round(base, 6).alias("independence_baseline"),
         F.round(lam / base, 6).alias("tail_lift"))
+
+
+# ------------------------------------------------- r8 diagnostics wave
+
+@register(
+    "agg_breusch_pagan",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS x,
+             count(*) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily),
+    u AS (
+      SELECT x,
+             CAST(round(
+               (CAST((s.n * s.sxx - s.sx * s.sx) * y
+                     - (s.sy * s.sxx - s.sx * s.sxy)
+                     - (s.n * s.sxy - s.sx * s.sy) * x AS DOUBLE)
+                / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+               * (CAST((s.n * s.sxx - s.sx * s.sx) * y
+                       - (s.sy * s.sxx - s.sx * s.sxy)
+                       - (s.n * s.sxy - s.sx * s.sy) * x AS DOUBLE)
+                  / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+               * 1000000.0) AS HUGEINT) AS v
+      FROM daily, s),
+    t AS (
+      SELECT count(*) AS m,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS tx,
+             CAST(sum(v) AS HUGEINT) AS tu,
+             CAST(sum(CAST(x AS HUGEINT) * v) AS HUGEINT) AS txu,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS txx,
+             CAST(sum(v * v) AS HUGEINT) AS tuu
+      FROM u),
+    e AS (
+      SELECT m,
+             CAST(m * txu - tx * tu AS DOUBLE) AS cxu,
+             CAST(m * txx - tx * tx AS DOUBLE) AS cxx,
+             CAST(m * tuu - tu * tu AS DOUBLE) AS cuu
+      FROM t)
+    SELECT CAST(m AS BIGINT) AS n_days,
+           round(m * (cxu * cxu) / (cxx * cuu), 6) AS bp_lm,
+           CAST(m * (cxu * cxu) / (cxx * cuu) > 3.841 AS BOOLEAN)
+             AS heteroskedastic_5pct
+    FROM e
+    """)
+def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREUSCH–PAGAN LM test for heteroskedasticity of the daily
+    order-count trend regression: regress SQUARED residuals on the
+    regressor; LM = n·R² ~ chi²(1) under homoskedasticity. The
+    complement of `ts_arch_lm_test` (which tests time-dependence of
+    variance): BP tests LEVEL-dependence — growing daily volume with
+    growing variance is exactly what Poisson-ish arrivals produce,
+    and OLS confidence intervals that ignore it are wrong. Exactness:
+    residuals are first kept exact by cross-multiplying through the
+    normal-equation determinant — u_i = D·y_i − A − B·x_i with D, A,
+    B exact hugeint sums — then e_i² = (u_i/D)² is QUANTIZED to a
+    1e-6 integer grid after one pinned double division (the u⁴
+    moments of the raw integers overflow decimal(38); the grid is
+    the win_parkinson_vol convention and both engines compute the
+    identical double expression). R² collapses to corr²(x, v) over
+    the exact grid integers v, one double expression with pinned
+    order, and the 5% verdict compares against the literal chi²₁
+    critical value 3.841. One day-grouped aggregate + one 1-row
+    broadcast join + one re-aggregate: linear at any scale."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.datediff(F.col("o_orderdate"),
+                                 F.lit("1992-01-01")).alias("x"))
+             .groupBy("x").agg(F.count(F.lit(1)).alias("y")))
+    s = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"))
+    ud = (((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.col("y")
+           - (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+           - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+           * F.col("x")).cast("double")
+          / (F.col("n") * F.col("sxx")
+             - F.col("sx") * F.col("sx")).cast("double"))
+    u = (daily.crossJoin(F.broadcast(s))
+         .select("x",
+                 F.round(ud * ud * 1000000.0).cast(dec).alias("v")))
+    t = u.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x").cast(dec)).alias("tx"),
+        F.sum("v").alias("tu"),
+        F.sum(F.col("x").cast(dec) * F.col("v")).alias("txu"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("txx"),
+        F.sum(F.col("v") * F.col("v")).alias("tuu"))
+    e = t.select(
+        "m",
+        (F.col("m") * F.col("txu") - F.col("tx") * F.col("tu"))
+        .cast("double").alias("cxu"),
+        (F.col("m") * F.col("txx") - F.col("tx") * F.col("tx"))
+        .cast("double").alias("cxx"),
+        (F.col("m") * F.col("tuu") - F.col("tu") * F.col("tu"))
+        .cast("double").alias("cuu"))
+    lm = F.col("m") * (F.col("cxu") * F.col("cxu")) \
+        / (F.col("cxx") * F.col("cuu"))
+    return e.select(F.col("m").cast("bigint").alias("n_days"),
+                    F.round(lm, 6).alias("bp_lm"),
+                    (lm > 3.841).alias("heteroskedastic_5pct"))
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS a,
+             CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS b
+      FROM lineitem),
+    c AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+      FROM r),
+    e AS (
+      SELECT n, n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / n AS po,
+             (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+              + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
+               / (CAST(n AS DOUBLE) * n) AS pe
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(n11 AS BIGINT) AS both_yes,
+           CAST(n00 AS BIGINT) AS both_no,
+           round(po, 6) AS observed_agreement,
+           round(pe, 6) AS expected_agreement,
+           round((po - pe) / (1.0 - pe), 6) AS kappa
+    FROM e
+    """)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between two binary
+    'raters' derived per line item (deep-discount flag vs high-tax
+    flag): kappa = (p_o − p_e)/(1 − p_e), the standard for judging
+    whether two labelers (or a model vs a human, or two heuristic
+    quality filters in an LLM-data pipeline) agree BEYOND what their
+    marginal rates force. Raw agreement (`observed_agreement`) is
+    meaningless when both raters say 'no' 90% of the time — kappa is
+    what the annotation-quality literature actually reports. One
+    map-side conditional aggregate (4 exact counts shuffle, nothing
+    else); marginals product kept hugeint-exact before the single
+    double division chain."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("a"),
+        F.when(F.col("l_tax") >= 0.04, 1).otherwise(0).alias("b"))
+    dec = "decimal(38,0)"
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)
+              .otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)
+              .otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)
+              .otherwise(0)).alias("n00"))
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = ((F.col("n11") + F.col("n10")).cast(dec)
+          * (F.col("n11") + F.col("n01"))
+          + (F.col("n01") + F.col("n00")).cast(dec)
+          * (F.col("n10") + F.col("n00"))).cast("double") \
+        / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("n11").cast("bigint").alias("both_yes"),
+        F.col("n00").cast("bigint").alias("both_no"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"))
+
+
+@register(
+    "agg_newey_west_se",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    dif AS (
+      SELECT d, y - lag(y) OVER (ORDER BY d) AS x,
+             lag(y, 1) OVER (ORDER BY d) AS y1
+      FROM daily),
+    lx AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY d) AS x1,
+             lag(x, 2) OVER (ORDER BY d) AS x2,
+             lag(x, 3) OVER (ORDER BY d) AS x3,
+             lag(x, 4) OVER (ORDER BY d) AS x4,
+             lag(x, 5) OVER (ORDER BY d) AS x5
+      FROM dif WHERE x IS NOT NULL),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS p0,
+             CAST(sum(CASE WHEN x1 IS NOT NULL
+                      THEN CAST(x AS HUGEINT) * x1 END) AS HUGEINT) AS p1,
+             CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS HUGEINT) AS a1,
+             CAST(sum(x1) AS HUGEINT) AS b1,
+             CAST(sum(CASE WHEN x2 IS NOT NULL
+                      THEN CAST(x AS HUGEINT) * x2 END) AS HUGEINT) AS p2,
+             CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS HUGEINT) AS a2,
+             CAST(sum(x2) AS HUGEINT) AS b2,
+             CAST(sum(CASE WHEN x3 IS NOT NULL
+                      THEN CAST(x AS HUGEINT) * x3 END) AS HUGEINT) AS p3,
+             CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS HUGEINT) AS a3,
+             CAST(sum(x3) AS HUGEINT) AS b3,
+             CAST(sum(CASE WHEN x4 IS NOT NULL
+                      THEN CAST(x AS HUGEINT) * x4 END) AS HUGEINT) AS p4,
+             CAST(sum(CASE WHEN x4 IS NOT NULL THEN x END) AS HUGEINT) AS a4,
+             CAST(sum(x4) AS HUGEINT) AS b4,
+             CAST(sum(CASE WHEN x5 IS NOT NULL
+                      THEN CAST(x AS HUGEINT) * x5 END) AS HUGEINT) AS p5,
+             CAST(sum(CASE WHEN x5 IS NOT NULL THEN x END) AS HUGEINT) AS a5,
+             CAST(sum(x5) AS HUGEINT) AS b5
+      FROM lx),
+    g AS (
+      SELECT m, sx,
+             m * m * p0 - m * sx * sx - m * sx * sx + m * sx * sx AS g0,
+             m * m * p1 - m * sx * a1 - m * sx * b1
+               + (m - 1) * sx * sx AS g1,
+             m * m * p2 - m * sx * a2 - m * sx * b2
+               + (m - 2) * sx * sx AS g2,
+             m * m * p3 - m * sx * a3 - m * sx * b3
+               + (m - 3) * sx * sx AS g3,
+             m * m * p4 - m * sx * a4 - m * sx * b4
+               + (m - 4) * sx * sx AS g4,
+             m * m * p5 - m * sx * a5 - m * sx * b5
+               + (m - 5) * sx * sx AS g5
+      FROM s),
+    t AS (
+      SELECT m,
+             6 * g0 + 2 * (5 * g1 + 4 * g2 + 3 * g3 + 2 * g4 + 1 * g5)
+               AS tt,
+             g0 AS v0
+      FROM g)
+    SELECT CAST(m AS BIGINT) AS n_obs,
+           round(sqrt(CAST(v0 AS DOUBLE) / m / m / m / m), 6)
+             AS se_iid,
+           round(sqrt(CAST(tt AS DOUBLE) / 6.0 / m / m / m / m), 6)
+             AS se_newey_west,
+           round(sqrt(CAST(tt AS DOUBLE) / 6.0 / m / m / m / m)
+                 / sqrt(CAST(v0 AS DOUBLE) / m / m / m / m), 6)
+             AS hac_inflation
+    FROM t
+    """)
+def agg_newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWEY–WEST (HAC) standard error of the mean daily order-count
+    change, Bartlett kernel, L = 5 lags: S = γ₀ + 2Σ(1 − l/6)γ_l.
+    THE fix the econometrics literature demands before trusting a
+    t-test on a time series — autocorrelated innovations make the
+    iid SE wrong by exactly the `hac_inflation` factor reported
+    (negative autocorrelation from differencing DEFLATES it — the
+    test still bites, in the other direction). Exactness: every
+    autocovariance is cross-multiplied to the exact integer
+    G_l = m²·Σx_i x_{i−l} − m·Sx·(partial sums) + (m−l)·Sx², and the
+    Bartlett weights are folded in as the exact rationals 6G₀ +
+    2Σ(6−l)G_l before a single documented double chain; lag pairing
+    rides one ordered window pass (d-ordered, the ts_arch_lm_test r8
+    convention). One day-grouped aggregate, one window, one 1-row
+    reduce: linear at any scale, window domain calendar-bounded."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("d")
+    dif = (daily.select("d", (F.col("y") - F.lag("y").over(w))
+                        .alias("x"))
+           .filter(F.col("x").isNotNull()))
+    lx = dif.select(
+        "x", *[F.lag("x", l).over(Window.orderBy("d")).alias(f"x{l}")
+               for l in range(1, 6)])
+    aggs = [F.count(F.lit(1)).cast(dec).alias("m"),
+            F.sum("x").cast(dec).alias("sx"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("p0")]
+    for l in range(1, 6):
+        xl = F.col(f"x{l}")
+        aggs += [
+            F.sum(F.when(xl.isNotNull(),
+                         F.col("x").cast(dec) * xl)).alias(f"p{l}"),
+            F.sum(F.when(xl.isNotNull(), F.col("x"))).cast(dec)
+            .alias(f"a{l}"),
+            F.sum(xl).cast(dec).alias(f"b{l}")]
+    s = lx.agg(*aggs)
+    m, sx = F.col("m"), F.col("sx")
+    g0 = m * m * F.col("p0") - m * sx * sx - m * sx * sx + m * sx * sx
+    gs = [g0]
+    for l in range(1, 6):
+        gs.append(m * m * F.col(f"p{l}") - m * sx * F.col(f"a{l}")
+                  - m * sx * F.col(f"b{l}") + (m - l) * sx * sx)
+    t = s.select(
+        "m",
+        (6 * gs[0] + 2 * (5 * gs[1] + 4 * gs[2] + 3 * gs[3]
+                          + 2 * gs[4] + 1 * gs[5])).alias("tt"),
+        gs[0].alias("v0"))
+    md = F.col("m").cast("double")
+    se_iid = F.sqrt(F.col("v0").cast("double") / md / md / md / md)
+    se_nw = F.sqrt(F.col("tt").cast("double") / 6.0
+                   / md / md / md / md)
+    return t.select(
+        F.col("m").cast("bigint").alias("n_obs"),
+        F.round(se_iid, 6).alias("se_iid"),
+        F.round(se_nw, 6).alias("se_newey_west"),
+        F.round(se_nw / se_iid, 6).alias("hac_inflation"))
+
+
+@register(
+    "agg_hoeffding_d",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY 1),
+    pc AS (
+      SELECT a.d,
+             CAST(2 + 2 * sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS r2,
+             CAST(2 + 2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN b.x < a.x AND b.y < a.y THEN 4
+                      WHEN b.x = a.x AND b.y < a.y THEN 2
+                      WHEN b.x < a.x AND b.y = a.y THEN 2
+                      WHEN b.x = a.x AND b.y = a.y THEN 1
+                      ELSE 0 END) AS HUGEINT) AS c4
+      FROM daily a JOIN daily b ON a.d <> b.d
+      GROUP BY a.d),
+    t AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(c4 * (c4 - 4)) AS a1,
+             sum((r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)) AS a2,
+             sum((r2 - 4) * (s2 - 4) * c4) AS a3
+      FROM pc)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(30.0 * (CAST((n - 2) * (n - 3) * a1 + a2
+                              - 2 * (n - 2) * a3 AS DOUBLE) / 16.0)
+                 / CAST(n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+                        AS DOUBLE), 8) AS hoeffding_d
+    FROM t
+    """)
+def agg_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOEFFDING'S D test of general bivariate dependence between
+    daily order count and daily revenue — the rank statistic that
+    detects ANY departure from independence, including the
+    non-monotone shapes Spearman/Kendall are blind to (a U-shaped
+    relation has rho ≈ tau ≈ 0 but D > 0). Midrank tie handling
+    (Hollander–Wolfe): ranks and concordance counts are kept as the
+    SCALED exact integers 2R, 2S, 4c (halves and quarters from ties
+    never touch a float), the three sums A1/A2/A3 are exact hugeints
+    and the single /16 rescale rides the final documented double
+    expression. The O(n²) pair frame is the CALENDAR-BOUNDED daily
+    aggregate (~2.4k rows → 5.7M pairs as one broadcast NLJ, the
+    ts_matrix_profile precedent) — the corpus itself never joins
+    pairwise; for long series the counts bucket by value grid, the
+    standard lattice speedup."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"),
+                      F.round(F.col("o_totalprice") * 100).cast(dec)
+                      .alias("pc"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("x"),
+                               F.sum("pc").alias("y")))
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("bx"),
+                     F.col("y").alias("by"))
+    pairs = daily.join(F.broadcast(b), F.col("d") != F.col("bd"))
+    xlt = F.when(F.col("bx") < F.col("x"), 1).otherwise(0)
+    xeq = F.when(F.col("bx") == F.col("x"), 1).otherwise(0)
+    ylt = F.when(F.col("by") < F.col("y"), 1).otherwise(0)
+    yeq = F.when(F.col("by") == F.col("y"), 1).otherwise(0)
+    pc = pairs.groupBy("d").agg(
+        (2 + 2 * F.sum(xlt) + F.sum(xeq)).cast(dec).alias("r2"),
+        (2 + 2 * F.sum(ylt) + F.sum(yeq)).cast(dec).alias("s2"),
+        F.sum(F.when((F.col("bx") < F.col("x"))
+                     & (F.col("by") < F.col("y")), 4)
+              .when((F.col("bx") == F.col("x"))
+                    & (F.col("by") < F.col("y")), 2)
+              .when((F.col("bx") < F.col("x"))
+                    & (F.col("by") == F.col("y")), 2)
+              .when((F.col("bx") == F.col("x"))
+                    & (F.col("by") == F.col("y")), 1)
+              .otherwise(0)).cast(dec).alias("c4"))
+    t = pc.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("c4") * (F.col("c4") - 4)).alias("a1"),
+        F.sum((F.col("r2") - 2) * (F.col("r2") - 4)
+              * (F.col("s2") - 2) * (F.col("s2") - 4)).alias("a2"),
+        F.sum((F.col("r2") - 4) * (F.col("s2") - 4) * F.col("c4"))
+        .alias("a3"))
+    n = F.col("n")
+    num = ((n - 2) * (n - 3) * F.col("a1") + F.col("a2")
+           - 2 * (n - 2) * F.col("a3")).cast("double") / 16.0
+    den = (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)).cast("double")
+    return t.select(n.cast("bigint").alias("n_days"),
+                    F.round(30.0 * num / den, 8).alias("hoeffding_d"))
