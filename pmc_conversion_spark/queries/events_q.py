@@ -6778,3 +6778,266 @@ def agg_adstock_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("st.a"), 4).alias("adstock_final"),
                     F.round(r_ad, 6).alias("r_adstock"),
                     F.round(r_raw, 6).alias("r_raw")))
+
+
+# ------------------------------------------------- r8 wave
+
+@register(
+    "ts_variance_ratio",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    lg AS (
+      SELECT y - lag(y, 1) OVER (ORDER BY d) AS d1,
+             y - lag(y, 5) OVER (ORDER BY d) AS d5
+      FROM daily),
+    s AS (
+      SELECT CAST(count(d1) AS HUGEINT) AS m1,
+             CAST(sum(d1) AS HUGEINT) AS s1,
+             CAST(sum(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS q1,
+             CAST(count(d5) AS HUGEINT) AS m5,
+             CAST(sum(d5) AS HUGEINT) AS s5,
+             CAST(sum(CAST(d5 AS HUGEINT) * d5) AS HUGEINT) AS q5
+      FROM lg),
+    v AS (
+      SELECT m1, m5,
+             CAST(m1 * q1 - s1 * s1 AS DOUBLE)
+               / CAST(m1 AS DOUBLE) / m1 AS v1,
+             CAST(m5 * q5 - s5 * s5 AS DOUBLE)
+               / CAST(m5 AS DOUBLE) / m5 AS v5
+      FROM s)
+    SELECT CAST(m1 AS BIGINT) AS n_diffs,
+           round(v5 / 5.0 / v1, 6) AS vr5,
+           round((v5 / 5.0 / v1 - 1.0)
+                 * sqrt(CAST(m5 AS DOUBLE) / (2.0 * (2 * 5 - 1)
+                                              * (5 - 1) / (3.0 * 5))),
+                 6) AS z_homoskedastic
+    FROM v
+    """)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO–MACKINLAY VARIANCE RATIO test (q = 5) on daily order
+    counts: a random walk has Var(5-day change) = 5·Var(1-day
+    change), so VR(5) ≈ 1; VR < 1 is mean reversion, VR > 1
+    momentum. The standard market-efficiency diagnostic, and the
+    natural complement of `ts_adf_test` (unit root) and
+    `agg_hurst_exponent` (long memory) — VR localizes WHERE the
+    aggregation variance breaks. Overlapping 5-day differences via
+    one ordered window; both variances cross-multiplied exact
+    (m·Σd² − (Σd)²) before a pinned double chain; the
+    homoskedastic z uses the literal Lo–MacKinlay scaling
+    2(2q−1)(q−1)/(3q). One day-grouped aggregate + one window on the
+    calendar-bounded frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("d")
+    lg = daily.select(
+        (F.col("y") - F.lag("y", 1).over(w)).alias("d1"),
+        (F.col("y") - F.lag("y", 5).over(w)).alias("d5"))
+    s = lg.agg(
+        F.count("d1").cast(dec).alias("m1"),
+        F.sum("d1").cast(dec).alias("s1"),
+        F.sum(F.col("d1").cast(dec) * F.col("d1")).alias("q1"),
+        F.count("d5").cast(dec).alias("m5"),
+        F.sum("d5").cast(dec).alias("s5"),
+        F.sum(F.col("d5").cast(dec) * F.col("d5")).alias("q5"))
+    v1 = (F.col("m1") * F.col("q1") - F.col("s1") * F.col("s1")) \
+        .cast("double") / F.col("m1").cast("double") / F.col("m1")
+    v5 = (F.col("m5") * F.col("q5") - F.col("s5") * F.col("s5")) \
+        .cast("double") / F.col("m5").cast("double") / F.col("m5")
+    vr = v5 / 5.0 / v1
+    z = (vr - 1.0) * F.sqrt(
+        F.col("m5").cast("double")
+        / (2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5)))
+    return s.select(F.col("m1").cast("bigint").alias("n_diffs"),
+                    F.round(vr, 6).alias("vr5"),
+                    F.round(z, 6).alias("z_homoskedastic"))
+
+
+@register(
+    "win_ulcer_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT d, y,
+             sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS eq
+      FROM daily),
+    pk AS (
+      SELECT d, eq,
+             max(eq) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS peak
+      FROM cum),
+    dd AS (
+      SELECT d,
+             CAST(round((CAST(peak - eq AS DOUBLE) / CAST(peak AS DOUBLE))
+                        * 1000000000.0) AS HUGEINT) AS q
+      FROM pk)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(max(q) AS DOUBLE) / 10000000.0, 6)
+             AS max_drawdown_pct,
+           round(sqrt(CAST(sum(q * q) AS DOUBLE) / count(*))
+                 / 10000000.0, 6) AS ulcer_index_pct
+    FROM dd
+    """)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULCER INDEX of the cumulative-revenue equity curve: the RMS of
+    percentage drawdowns from the running peak — Peter Martin's
+    risk measure that `win_drawdown`'s single max-drawdown number
+    cannot replace: UI integrates DEPTH × DURATION of every
+    underwater stretch, which is what an allocator actually suffers.
+    Running sum and running max ride one ordered pass over the
+    calendar-bounded daily frame; each drawdown ratio is ONE pinned
+    double division quantized to a 1e-9 grid (exact hugeints from
+    there), so the RMS is a single documented double expression.
+    Reported in percent alongside max drawdown for scale."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .cast("date").alias("d"),
+                      F.round(F.col("o_totalprice") * 100).cast(dec)
+                      .alias("pc"))
+             .groupBy("d").agg(F.sum("pc").alias("y")))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = daily.select("d", F.sum("y").over(w).alias("eq"))
+    pk = cum.select("d", "eq", F.max("eq").over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow))
+        .alias("peak"))
+    dd = pk.select(
+        "d",
+        F.round(((F.col("peak") - F.col("eq")).cast("double")
+                 / F.col("peak").cast("double")) * 1000000000.0)
+        .cast(dec).alias("q"))
+    return dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("q").cast("double") / 10000000.0, 6)
+        .alias("max_drawdown_pct"),
+        F.round(F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")
+                       / F.count(F.lit(1))) / 10000000.0, 6)
+        .alias("ulcer_index_pct"))
+
+
+@register(
+    "win_kaufman_er",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY 1),
+    chg AS (
+      SELECT d, y,
+             abs(y - lag(y, 1) OVER (ORDER BY d)) AS a1,
+             abs(y - lag(y, 10) OVER (ORDER BY d)) AS net10,
+             count(*) OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING
+                            AND CURRENT ROW) AS nwin
+      FROM daily),
+    vol AS (
+      SELECT d, y, net10, nwin,
+             sum(a1) OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING
+                           AND CURRENT ROW) AS vol10
+      FROM chg)
+    SELECT d, CAST(round(CAST(y AS DOUBLE) / 100.0, 2) AS DOUBLE)
+             AS revenue,
+           CASE WHEN nwin = 10 AND net10 IS NOT NULL AND vol10 > 0
+             THEN round(CAST(net10 AS DOUBLE) / CAST(vol10 AS DOUBLE),
+                        6) END AS efficiency_ratio
+    FROM vol
+    """)
+def win_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAUFMAN EFFICIENCY RATIO over daily revenue: net 10-day move
+    divided by the sum of the 10 daily absolute moves — 1.0 is a
+    straight-line trend, →0 is pure churn. The adaptive-moving-
+    average literature's trend/noise discriminator, complementing
+    the level-based indicators (`win_stochastic_osc`, RSI family)
+    with a PATH-quality measure: two series can end at the same
+    price with wildly different ER. All numerators/denominators are
+    exact revenue-cent integers from lag and a 10-row bounded frame;
+    one final guarded double division (flat windows → NULL, pinned).
+    Day-keyed aggregate + bounded-frame windows: calendar domain."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .cast("date").alias("d"),
+                      F.round(F.col("o_totalprice") * 100).cast(dec)
+                      .alias("pc"))
+             .groupBy("d").agg(F.sum("pc").alias("y")))
+    w = Window.orderBy("d")
+    wf = Window.orderBy("d").rowsBetween(-9, Window.currentRow)
+    chg = daily.select(
+        "d", "y",
+        F.abs(F.col("y") - F.lag("y", 1).over(w)).alias("a1"),
+        F.abs(F.col("y") - F.lag("y", 10).over(w)).alias("net10"),
+        F.count(F.lit(1)).over(wf).alias("nwin"))
+    vol = chg.select("d", "y", "net10", "nwin",
+                     F.sum("a1").over(
+                         Window.orderBy("d")
+                         .rowsBetween(-9, Window.currentRow))
+                     .alias("vol10"))
+    er = F.when((F.col("nwin") == 10) & F.col("net10").isNotNull()
+                & (F.col("vol10") > 0),
+                F.round(F.col("net10").cast("double")
+                        / F.col("vol10").cast("double"), 6))
+    return vol.select(
+        "d",
+        F.round(F.col("y").cast("double") / 100.0, 2).alias("revenue"),
+        er.alias("efficiency_ratio"))
+
+
+@register(
+    "stream_cep_negation",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    cold AS (
+      SELECT p.user_id, p.event_id
+      FROM p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE))
+    SELECT p.user_id,
+           count(*) AS n_purchases,
+           count(cold.event_id) AS n_cold
+    FROM p LEFT JOIN cold ON cold.user_id = p.user_id
+                         AND cold.event_id = p.event_id
+    GROUP BY 1
+    """)
+def stream_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP NEGATION pattern ('purchase NOT preceded by click within
+    30 minutes') — the absence patterns Flink CEP writes as
+    notFollowedBy/notPrecededBy and SQL MATCH_RECOGNIZE cannot
+    express at all: a match is defined by what DIDN'T happen in a
+    window. The dual of `stream_cep_followed_by`: that op qualifies
+    events by interval SEMI-join, this one DISqualifies by interval
+    ANTI-join — same per-user keyed-state layout under
+    transformWithState (a purchase waits 30 minutes of event time;
+    if no click timer cancels it, it emits as 'cold'). Cold
+    purchases are attribution leaks / bot signals in funnel
+    analytics. One shuffle per side on user_id, range predicate
+    pruned inside the group; exact counts."""
+    e = _events(spark, sf_dir)
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts", "event_id"))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"),
+                 F.col("ts").alias("cts")))
+    cold = (p.join(c, (F.col("cu") == F.col("user_id"))
+                   & (F.col("cts") < F.col("ts"))
+                   & (F.col("ts") <= F.col("cts")
+                      + F.expr("INTERVAL 30 MINUTES")), "leftanti")
+            .select("user_id", "event_id").withColumn("hit", F.lit(1)))
+    return (p.join(cold, ["user_id", "event_id"], "left")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.count("hit").alias("n_cold")))

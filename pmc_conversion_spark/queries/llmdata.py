@@ -10020,3 +10020,78 @@ def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("pr")))
     return (pr.select("word", F.round("pr", 6).alias("textrank"))
             .orderBy(F.desc("textrank"), "word").limit(20))
+
+
+@register(
+    "text_yule_k",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, tok, count(*) AS f
+      FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents) t
+      GROUP BY lang, tok),
+    spec AS (
+      SELECT lang, f, count(*) AS vf
+      FROM tf GROUP BY lang, f),
+    s AS (
+      SELECT lang,
+             CAST(sum(CAST(f AS HUGEINT) * vf) AS HUGEINT) AS n,
+             CAST(sum(vf) AS HUGEINT) AS v,
+             CAST(sum(CASE WHEN f = 1 THEN vf ELSE 0 END) AS HUGEINT)
+               AS v1,
+             CAST(sum(CASE WHEN f = 2 THEN vf ELSE 0 END) AS HUGEINT)
+               AS v2,
+             CAST(sum(CAST(f AS HUGEINT) * f * vf) AS HUGEINT) AS m2
+      FROM spec GROUP BY lang)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab_size,
+           CAST(v1 AS BIGINT) AS hapax,
+           round(CAST(v1 AS DOUBLE) / v, 6) AS hapax_ratio,
+           round(CAST(v2 AS DOUBLE) / v, 6) AS dis_ratio,
+           round(10000.0 * CAST(m2 - n AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n), 6) AS yule_k
+    FROM s
+    """)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE'S K vocabulary-richness characteristic per language:
+    K = 10⁴·(Σ f²·V_f − N)/N² over the frequency SPECTRUM (V_f =
+    number of types occurring exactly f times) — the repeat-rate
+    statistic that, unlike raw type/token ratio, is length-invariant
+    and therefore comparable across corpora of different sizes (the
+    stylometry standard since Yule 1944). Hapax and dis-legomena
+    ratios ride along: a synthetic/templated corpus shows low hapax
+    mass and high K (concentrated reuse), which makes this a
+    corpus-quality screen next to `text_zipf_fit`'s slope. Pure
+    integer spectrum math: token counts → (lang, f) spectrum →
+    per-lang exact moments, one final double expression. Two
+    hash-aggregate shuffles (tokens, then spectrum), both key-bounded
+    downstream; linear in corpus size, embarrassingly parallel."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    tf = (d.select("lang",
+                   F.explode(ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+          .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")))
+    spec = tf.groupBy("lang", "f").agg(F.count(F.lit(1)).alias("vf"))
+    s = spec.groupBy("lang").agg(
+        F.sum(F.col("f").cast(dec) * F.col("vf")).alias("n"),
+        F.sum("vf").cast(dec).alias("v"),
+        F.sum(F.when(F.col("f") == 1, F.col("vf")).otherwise(0))
+        .cast(dec).alias("v1"),
+        F.sum(F.when(F.col("f") == 2, F.col("vf")).otherwise(0))
+        .cast(dec).alias("v2"),
+        F.sum(F.col("f").cast(dec) * F.col("f") * F.col("vf"))
+        .alias("m2"))
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("vocab_size"),
+        F.col("v1").cast("bigint").alias("hapax"),
+        F.round(F.col("v1").cast("double") / F.col("v"), 6)
+        .alias("hapax_ratio"),
+        F.round(F.col("v2").cast("double") / F.col("v"), 6)
+        .alias("dis_ratio"),
+        F.round(10000.0 * (F.col("m2") - F.col("n")).cast("double")
+                / (F.col("n").cast("double") * F.col("n")), 6)
+        .alias("yule_k"))
