@@ -7041,3 +7041,64 @@ def stream_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.count("hit").alias("n_cold")))
+
+
+@register(
+    "ts_turning_points",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    tri AS (
+      SELECT lag(y) OVER (ORDER BY d) AS yp, y,
+             lead(y) OVER (ORDER BY d) AS yn
+      FROM daily),
+    t AS (
+      SELECT count(*) AS n_interior,
+             sum(CASE WHEN (yp < y AND y > yn)
+                        OR (yp > y AND y < yn) THEN 1 ELSE 0 END) AS tp
+      FROM tri WHERE yp IS NOT NULL AND yn IS NOT NULL),
+    s AS (SELECT n_interior, tp,
+                 CAST(n_interior + 2 AS BIGINT) AS n FROM t)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(tp AS BIGINT) AS turning_points,
+           round(2.0 * (n - 2) / 3.0, 6) AS expected,
+           round((tp - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z_stat
+    FROM s
+    """)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINTS test of randomness on the daily order series:
+    count strict local extrema (peaks and troughs); under iid the
+    expected count is 2(n−2)/3 with variance (16n−29)/90, so the z
+    score flags EITHER too-smooth (trend/persistence → few turns)
+    OR too-oscillatory (negative autocorrelation → many turns)
+    series — the cheap nonparametric screen Kendall's classic text
+    runs before any model fit, complementing `win_runs_test` (sign
+    runs) with a SHAPE-based randomness check that needs no median
+    split. Strict inequalities pinned (plateau points are not
+    extrema); counts exact; mean/variance formulas literal. One
+    day-grouped aggregate + one lag/lead window on the calendar
+    frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    w = Window.orderBy("d")
+    tri = (daily.select(F.lag("y").over(w).alias("yp"), "y",
+                        F.lead("y").over(w).alias("yn"))
+           .filter(F.col("yp").isNotNull() & F.col("yn").isNotNull()))
+    t = tri.agg(
+        F.count(F.lit(1)).alias("n_interior"),
+        F.sum(F.when(((F.col("yp") < F.col("y"))
+                      & (F.col("y") > F.col("yn")))
+                     | ((F.col("yp") > F.col("y"))
+                        & (F.col("y") < F.col("yn"))), 1)
+              .otherwise(0)).alias("tp"))
+    s = t.select("tp", (F.col("n_interior") + 2).alias("n"))
+    exp = 2.0 * (F.col("n") - 2) / 3.0
+    z = (F.col("tp") - exp) / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0)
+    return s.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.col("tp").cast("bigint").alias("turning_points"),
+                    F.round(exp, 6).alias("expected"),
+                    F.round(z, 6).alias("z_stat"))

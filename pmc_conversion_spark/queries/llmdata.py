@@ -10095,3 +10095,90 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(10000.0 * (F.col("m2") - F.col("n")).cast("double")
                 / (F.col("n").cast("double") * F.col("n")), 6)
         .alias("yule_k"))
+
+
+@register(
+    "text_gries_dp",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS nt FROM documents),
+    tot AS (SELECT CAST(sum(nt) AS HUGEINT) AS nn FROM dl),
+    sd AS (
+      SELECT doc_id,
+             CAST(round(CAST(nt AS DOUBLE) / (SELECT nn FROM tot)
+                        * 1000000000.0) AS HUGEINT) AS s
+      FROM dl),
+    ts_ AS (SELECT CAST(sum(s) AS HUGEINT) AS stot FROM sd),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS f
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t
+      GROUP BY doc_id, tok),
+    top AS (
+      SELECT tok, CAST(sum(f) AS HUGEINT) AS ft
+      FROM tf GROUP BY tok
+      ORDER BY sum(f) DESC, tok LIMIT 20),
+    pres AS (
+      SELECT top.tok, top.ft,
+             sum(abs(CAST(round(CAST(tf.f AS DOUBLE)
+                                / CAST(top.ft AS DOUBLE)
+                                * 1000000000.0) AS HUGEINT)
+                     - sd.s)) AS pa,
+             sum(sd.s) AS ps
+      FROM top JOIN tf ON tf.tok = top.tok
+      JOIN sd ON sd.doc_id = tf.doc_id
+      GROUP BY top.tok, top.ft)
+    SELECT tok, CAST(ft AS BIGINT) AS corpus_freq,
+           round(CAST(pa + ((SELECT stot FROM ts_) - ps) AS DOUBLE)
+                 / 2000000000.0, 6) AS dp
+    FROM pres
+    """)
+def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIES' DP (deviation of proportions) dispersion for the top-20
+    corpus terms: DP = ½·Σ_docs |share of the term's occurrences in
+    doc d − doc d's share of all tokens| — 0 means the term spreads
+    exactly like text mass, →1 means it concentrates in few
+    documents. THE corpus-linguistics dispersion standard: raw
+    frequency ranks 'the' and a boilerplate artifact equally, DP
+    separates them, which makes it a vocabulary-quality screen next
+    to `text_yule_k` (spectrum) and `text_zipf_fit` (slope). Both
+    proportions are quantized to a 1e-9 grid by ONE pinned double
+    division each, so every per-doc term is an exact integer and the
+    order-free sums are exact; docs NOT containing the term
+    contribute their token share in closed form (total-share minus
+    present-share — no doc×term cross join). Top-20 via distributed
+    TakeOrdered; two token aggregates; linear in corpus."""
+    from pmc_conversion_spark.functions.text import ws_tokens
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    toks = d.select("doc_id",
+                    F.explode(ws_tokens(F.lower(F.col("text"))))
+                    .alias("tok"))
+    dl = (d.select("doc_id",
+                   F.size(ws_tokens(F.lower(F.col("text"))))
+                   .alias("nt")))
+    tot = dl.agg(F.sum("nt").cast(dec).alias("nn"))
+    sd = (dl.crossJoin(F.broadcast(tot))
+          .select("doc_id",
+                  F.round(F.col("nt").cast("double")
+                          / F.col("nn").cast("double")
+                          * 1000000000.0).cast(dec).alias("s")))
+    ts_ = sd.agg(F.sum("s").alias("stot"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    top = (tf.groupBy("tok").agg(F.sum("f").cast(dec).alias("ft"))
+           .orderBy(F.col("ft").desc(), "tok").limit(20))
+    pres = (tf.join(F.broadcast(top), "tok")
+            .join(sd, "doc_id")
+            .groupBy("tok", "ft")
+            .agg(F.sum(F.abs(
+                F.round(F.col("f").cast("double")
+                        / F.col("ft").cast("double")
+                        * 1000000000.0).cast(dec) - F.col("s")))
+                .alias("pa"),
+                F.sum("s").alias("ps")))
+    return (pres.crossJoin(F.broadcast(ts_))
+            .select("tok",
+                    F.col("ft").cast("bigint").alias("corpus_freq"),
+                    F.round((F.col("pa") + (F.col("stot")
+                                            - F.col("ps")))
+                            .cast("double") / 2000000000.0, 6)
+                    .alias("dp")))

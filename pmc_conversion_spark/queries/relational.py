@@ -11172,3 +11172,424 @@ def agg_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)).cast("double")
     return t.select(n.cast("bigint").alias("n_days"),
                     F.round(30.0 * num / den, 8).alias("hoeffding_d"))
+
+
+@register(
+    "agg_dunn_posthoc",
+    oracle="""
+    WITH gv AS (
+      SELECT CAST(l_quantity AS BIGINT) AS bin, l_returnflag AS g,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    vt AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS t
+           FROM gv GROUP BY bin),
+    vr AS (
+      SELECT bin, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM vt),
+    gr AS (
+      SELECT gv.g,
+             CAST(sum(gv.cnt) AS HUGEINT) AS ng,
+             CAST(sum(CAST(gv.cnt AS HUGEINT)
+                      * (2 * vr.cb + vr.t + 1)) AS HUGEINT) AS s2
+      FROM gv JOIN vr USING (bin) GROUP BY gv.g),
+    ties AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+                         AS HUGEINT) AS tie3 FROM vt),
+    tot AS (SELECT CAST(sum(ng) AS HUGEINT) AS n FROM gr)
+    SELECT a.g AS group_a, b.g AS group_b,
+           CAST(a.ng AS BIGINT) AS n_a, CAST(b.ng AS BIGINT) AS n_b,
+           round((CAST(a.s2 AS DOUBLE) / 2.0 / CAST(a.ng AS DOUBLE)
+                  - CAST(b.s2 AS DOUBLE) / 2.0 / CAST(b.ng AS DOUBLE))
+                 / sqrt((CAST(n * (n + 1) AS DOUBLE) / 12.0
+                         - CAST(tie3 AS DOUBLE)
+                           / (12.0 * CAST(n - 1 AS DOUBLE)))
+                        * (1.0 / CAST(a.ng AS DOUBLE)
+                           + 1.0 / CAST(b.ng AS DOUBLE))), 6) AS z,
+           CAST(abs((CAST(a.s2 AS DOUBLE) / 2.0 / CAST(a.ng AS DOUBLE)
+                  - CAST(b.s2 AS DOUBLE) / 2.0 / CAST(b.ng AS DOUBLE))
+                 / sqrt((CAST(n * (n + 1) AS DOUBLE) / 12.0
+                         - CAST(tie3 AS DOUBLE)
+                           / (12.0 * CAST(n - 1 AS DOUBLE)))
+                        * (1.0 / CAST(a.ng AS DOUBLE)
+                           + 1.0 / CAST(b.ng AS DOUBLE)))) > 2.394
+                AS BOOLEAN) AS reject_bonferroni
+    FROM gr a JOIN gr b ON a.g < b.g, ties, tot
+    """)
+def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNN'S POST-HOC pairwise test after Kruskal–Wallis: WHICH
+    return-flag groups differ in quantity distribution, with the
+    tie-corrected pooled rank variance N(N+1)/12 − Σ(t³−t)/(12(N−1))
+    and Bonferroni control across the 3 pairs (literal two-sided
+    critical value 2.394 for α=0.05, k=3). The test KW itself cannot
+    answer — KW says 'some group differs', Dunn says which, using
+    the SAME midranks (re-ranking per pair, as plain pairwise MWU
+    would, breaks the familywise guarantee). Midranks come off the
+    BOUNDED quantity histogram (domain 1..50, the value-grid trick:
+    doubled midrank 2cb + t + 1 stays integer); per-group rank sums
+    are exact hugeints, the z algebra one pinned double expression.
+    One (value, group) partial agg, a ≤50-row window, a 3-row group
+    frame self-joined — nothing scales beyond the histogram."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    gv = (li.groupBy(F.col("l_quantity").cast("bigint").alias("bin"),
+                     F.col("l_returnflag").alias("g"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    vt = gv.groupBy("bin").agg(F.sum("cnt").alias("t"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    vr = vt.select("bin", "t",
+                   F.coalesce(F.sum("t").over(wc), F.lit(0)).alias("cb"))
+    gr = (gv.join(vr, "bin")
+          .groupBy("g")
+          .agg(F.sum("cnt").cast(dec).alias("ng"),
+               F.sum(F.col("cnt").cast(dec)
+                     * (2 * F.col("cb") + F.col("t") + 1)).alias("s2")))
+    ties = vt.agg(F.sum(F.col("t").cast(dec) * F.col("t") * F.col("t")
+                        - F.col("t")).alias("tie3"))
+    tot = gr.agg(F.sum("ng").alias("n"))
+    a = gr.select(F.col("g").alias("group_a"), F.col("ng").alias("na"),
+                  F.col("s2").alias("sa"))
+    b = gr.select(F.col("g").alias("group_b"), F.col("ng").alias("nb"),
+                  F.col("s2").alias("sb"))
+    pairs = (a.join(b, F.col("group_a") < F.col("group_b"))
+             .crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(tot)))
+    rdiff = (F.col("sa").cast("double") / 2.0 / F.col("na").cast("double")
+             - F.col("sb").cast("double") / 2.0
+             / F.col("nb").cast("double"))
+    pooled = ((F.col("n") * (F.col("n") + 1)).cast("double") / 12.0
+              - F.col("tie3").cast("double")
+              / (12.0 * (F.col("n") - 1).cast("double")))
+    z = rdiff / F.sqrt(pooled * (1.0 / F.col("na").cast("double")
+                                 + 1.0 / F.col("nb").cast("double")))
+    return pairs.select(
+        "group_a", "group_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.394).alias("reject_bonferroni"))
+
+
+@register(
+    "agg_brunner_munzel",
+    oracle="""
+    WITH gv AS (
+      SELECT CAST(l_quantity AS BIGINT) AS bin, l_linestatus AS g,
+             count(*) AS cnt
+      FROM lineitem WHERE l_linestatus IN ('F', 'O') GROUP BY 1, 2),
+    vt AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS t
+           FROM gv GROUP BY bin),
+    vr AS (
+      SELECT bin, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+      FROM vt),
+    iv AS (
+      SELECT bin, g, cnt,
+             CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS icb
+      FROM gv),
+    ev AS (
+      SELECT iv.g, iv.cnt,
+             (2 * vr.cb + vr.t + 1)
+               - (2 * iv.icb + iv.cnt + 1) AS e,
+             2 * vr.cb + vr.t + 1 AS m2
+      FROM iv JOIN vr USING (bin)),
+    gs AS (
+      SELECT g,
+             CAST(sum(cnt) AS HUGEINT) AS ng,
+             CAST(sum(CAST(cnt AS HUGEINT) * m2) AS HUGEINT) AS rs2,
+             CAST(sum(CAST(cnt AS HUGEINT) * e) AS HUGEINT) AS se,
+             CAST(sum(CAST(cnt AS HUGEINT) * e * e) AS HUGEINT) AS see
+      FROM ev GROUP BY g),
+    w AS (
+      SELECT
+        (SELECT ng FROM gs WHERE g = 'F') AS n1,
+        (SELECT ng FROM gs WHERE g = 'O') AS n2,
+        (SELECT rs2 FROM gs WHERE g = 'F') AS r1,
+        (SELECT rs2 FROM gs WHERE g = 'O') AS r2,
+        (SELECT CAST(ng * see - se * se AS DOUBLE)
+                / 4.0 / CAST(ng AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+         FROM gs WHERE g = 'F') AS s1sq,
+        (SELECT CAST(ng * see - se * se AS DOUBLE)
+                / 4.0 / CAST(ng AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+         FROM gs WHERE g = 'O') AS s2sq)
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           round((CAST(r2 AS DOUBLE) / 2.0 / CAST(n2 AS DOUBLE)
+                  - CAST(n2 + 1 AS DOUBLE) / 2.0)
+                 / CAST(n1 AS DOUBLE), 6) AS p_hat,
+           round((CAST(r2 AS DOUBLE) / 2.0 / CAST(n2 AS DOUBLE)
+                  - CAST(r1 AS DOUBLE) / 2.0 / CAST(n1 AS DOUBLE))
+                 / (CAST(n1 + n2 AS DOUBLE)
+                    * sqrt(s1sq / CAST(n1 + n2 - n1 AS DOUBLE)
+                             / CAST(n1 + n2 - n1 AS DOUBLE)
+                             / CAST(n1 AS DOUBLE)
+                           + s2sq / CAST(n1 + n2 - n2 AS DOUBLE)
+                             / CAST(n1 + n2 - n2 AS DOUBLE)
+                             / CAST(n2 AS DOUBLE))), 6) AS bm_stat
+    FROM w
+    """)
+def agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRUNNER–MUNZEL generalized Wilcoxon test (quantity across
+    line statuses F vs O): tests the stochastic-equality hypothesis
+    P(X<Y) + ½P(X=Y) = ½ WITHOUT Mann–Whitney's equal-variance
+    (exchangeability) assumption — the recommended default in the
+    modern nonparametrics literature when spread differs between
+    groups (the Behrens–Fisher situation in ranks). Both the
+    combined midranks AND the within-group midranks come off the
+    bounded quantity histogram in exact doubled-integer form; the
+    rank-difference variances S_i² are cross-multiplied exact
+    hugeints (n·Σe² − (Σe)²) with the /4 rescale deferred to the
+    single pinned double chain; p̂ (the effect size) reports next to
+    the studentized statistic. Histogram aggregates + ≤50-row
+    windows only — never a corpus rank."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    gv = (li.filter(F.col("l_linestatus").isin("F", "O"))
+          .groupBy(F.col("l_quantity").cast("bigint").alias("bin"),
+                   F.col("l_linestatus").alias("g"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    vt = gv.groupBy("bin").agg(F.sum("cnt").alias("t"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    vr = vt.select("bin", "t",
+                   F.coalesce(F.sum("t").over(wc), F.lit(0)).alias("cb"))
+    wi = (Window.partitionBy("g").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    iv = gv.select("bin", "g", "cnt",
+                   F.coalesce(F.sum("cnt").over(wi), F.lit(0))
+                   .alias("icb"))
+    ev = (iv.join(vr, "bin")
+          .select("g", "cnt",
+                  ((2 * F.col("cb") + F.col("t") + 1)
+                   - (2 * F.col("icb") + F.col("cnt") + 1)).alias("e"),
+                  (2 * F.col("cb") + F.col("t") + 1).alias("m2")))
+    gs = ev.groupBy("g").agg(
+        F.sum("cnt").cast(dec).alias("ng"),
+        F.sum(F.col("cnt").cast(dec) * F.col("m2")).alias("rs2"),
+        F.sum(F.col("cnt").cast(dec) * F.col("e")).alias("se"),
+        F.sum(F.col("cnt").cast(dec) * F.col("e") * F.col("e"))
+        .alias("see"))
+    s1 = gs.filter(F.col("g") == "F").select(
+        F.col("ng").alias("n1"), F.col("rs2").alias("r1"),
+        ((F.col("ng") * F.col("see") - F.col("se") * F.col("se"))
+         .cast("double") / 4.0 / F.col("ng").cast("double")
+         / (F.col("ng") - 1).cast("double")).alias("s1sq"))
+    s2 = gs.filter(F.col("g") == "O").select(
+        F.col("ng").alias("n2"), F.col("rs2").alias("r2"),
+        ((F.col("ng") * F.col("see") - F.col("se") * F.col("se"))
+         .cast("double") / 4.0 / F.col("ng").cast("double")
+         / (F.col("ng") - 1).cast("double")).alias("s2sq"))
+    w = s1.crossJoin(F.broadcast(s2))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    rb1 = F.col("r1").cast("double") / 2.0 / n1d
+    rb2 = F.col("r2").cast("double") / 2.0 / n2d
+    m1 = (F.col("n1") + F.col("n2") - F.col("n1")).cast("double")
+    m2_ = (F.col("n1") + F.col("n2") - F.col("n2")).cast("double")
+    bm = (rb2 - rb1) / (nd * F.sqrt(
+        F.col("s1sq") / m1 / m1 / n1d + F.col("s2sq") / m2_ / m2_ / n2d))
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_f"),
+        F.col("n2").cast("bigint").alias("n_o"),
+        F.round((rb2 - (F.col("n2") + 1).cast("double") / 2.0) / n1d, 6)
+        .alias("p_hat"),
+        F.round(bm, 6).alias("bm_stat"))
+
+
+@register(
+    "agg_stuart_maxwell",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN round(l_discount * 100) <= 3 THEN 0
+                  WHEN round(l_discount * 100) <= 6 THEN 1
+                  ELSE 2 END AS a,
+             CASE WHEN round(l_tax * 100) <= 2 THEN 0
+                  WHEN round(l_tax * 100) <= 5 THEN 1
+                  ELSE 2 END AS b
+      FROM lineitem),
+    c AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n
+          FROM r GROUP BY a, b),
+    m AS (
+      SELECT
+        sum(CASE WHEN a = 0 THEN n ELSE 0 END) AS r0,
+        sum(CASE WHEN a = 1 THEN n ELSE 0 END) AS r1,
+        sum(CASE WHEN b = 0 THEN n ELSE 0 END) AS c0,
+        sum(CASE WHEN b = 1 THEN n ELSE 0 END) AS c1,
+        sum(CASE WHEN a = 0 AND b = 0 THEN n ELSE 0 END) AS n00,
+        sum(CASE WHEN a = 1 AND b = 1 THEN n ELSE 0 END) AS n11,
+        sum(CASE WHEN a = 0 AND b = 1 THEN n ELSE 0 END) AS n01,
+        sum(CASE WHEN a = 1 AND b = 0 THEN n ELSE 0 END) AS n10,
+        sum(n) AS nn
+      FROM c),
+    e AS (
+      SELECT nn, r0 - c0 AS d0, r1 - c1 AS d1,
+             r0 + c0 - 2 * n00 AS s00,
+             r1 + c1 - 2 * n11 AS s11,
+             -(n01 + n10) AS s01
+      FROM m)
+    SELECT CAST(nn AS BIGINT) AS n_items,
+           CAST(d0 AS BIGINT) AS marg_delta_low,
+           CAST(d1 AS BIGINT) AS marg_delta_mid,
+           round(CAST(d0 * d0 * s11 - 2 * d0 * d1 * s01
+                      + d1 * d1 * s00 AS DOUBLE)
+                 / CAST(s00 * s11 - s01 * s01 AS DOUBLE), 6)
+             AS chi2_stat,
+           CAST(CAST(d0 * d0 * s11 - 2 * d0 * d1 * s01
+                     + d1 * d1 * s00 AS DOUBLE)
+                / CAST(s00 * s11 - s01 * s01 AS DOUBLE) > 5.991
+                AS BOOLEAN) AS reject_5pct
+    FROM e
+    """)
+def agg_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUART–MAXWELL test of MARGINAL HOMOGENEITY for a paired 3×3
+    categorical table (discount tercile vs tax tercile per line
+    item): do the two codings put the same mass in low/mid/high?
+    The k>2 generalization of McNemar — diagonal agreement is
+    IGNORED, only the off-diagonal asymmetry matters, which is why a
+    plain chi² independence test cannot substitute (it conflates
+    association with marginal shift). χ² = d'S⁻¹d with the 2×2
+    covariance inverted in closed form: every entry of d and S is an
+    exact hugeint count, the determinant division is the single
+    double expression, df = 2 against the literal 5.991. One
+    map-side 9-cell aggregate; nothing scales."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    dc = F.round(F.col("l_discount") * 100)
+    tc = F.round(F.col("l_tax") * 100)
+    r = li.select(
+        F.when(dc <= 3, 0).when(dc <= 6, 1).otherwise(2).alias("a"),
+        F.when(tc <= 2, 0).when(tc <= 5, 1).otherwise(2).alias("b"))
+    dec = "decimal(38,0)"
+    m = r.agg(
+        F.sum(F.when(F.col("a") == 0, 1).otherwise(0)).cast(dec)
+        .alias("r0"),
+        F.sum(F.when(F.col("a") == 1, 1).otherwise(0)).cast(dec)
+        .alias("r1"),
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).cast(dec)
+        .alias("c0"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).cast(dec)
+        .alias("c1"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast(dec).alias("n00"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast(dec).alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast(dec).alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast(dec).alias("n10"),
+        F.count(F.lit(1)).cast(dec).alias("nn"))
+    e = m.select(
+        "nn",
+        (F.col("r0") - F.col("c0")).alias("d0"),
+        (F.col("r1") - F.col("c1")).alias("d1"),
+        (F.col("r0") + F.col("c0") - 2 * F.col("n00")).alias("s00"),
+        (F.col("r1") + F.col("c1") - 2 * F.col("n11")).alias("s11"),
+        (-(F.col("n01") + F.col("n10"))).alias("s01"))
+    chi2 = (F.col("d0") * F.col("d0") * F.col("s11")
+            - 2 * F.col("d0") * F.col("d1") * F.col("s01")
+            + F.col("d1") * F.col("d1") * F.col("s00")).cast("double") \
+        / (F.col("s00") * F.col("s11")
+           - F.col("s01") * F.col("s01")).cast("double")
+    return e.select(
+        F.col("nn").cast("bigint").alias("n_items"),
+        F.col("d0").cast("bigint").alias("marg_delta_low"),
+        F.col("d1").cast("bigint").alias("marg_delta_mid"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        (chi2 > 5.991).alias("reject_5pct"))
+
+
+@register(
+    "agg_harrell_cindex",
+    oracle="""
+    WITH cells AS (
+      SELECT datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS dur,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2, 3),
+    a AS (SELECT dur, q, CAST(sum(n) AS HUGEINT) AS n1
+          FROM cells WHERE ev = 1 GROUP BY dur, q),
+    b AS (SELECT dur, q, CAST(sum(n) AS HUGEINT) AS n2
+          FROM cells GROUP BY dur, q),
+    grid AS (
+      SELECT d.dur, qs.q,
+             CAST(coalesce(sum(coalesce(a.n1, 0)) OVER (
+               PARTITION BY qs.q ORDER BY d.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS HUGEINT) AS ca
+      FROM (SELECT DISTINCT dur FROM cells) d
+      CROSS JOIN (SELECT DISTINCT q FROM cells) qs
+      LEFT JOIN a ON a.dur = d.dur AND a.q = qs.q),
+    p AS (
+      SELECT sum(b.n2 * g.ca) AS usable,
+             sum(CASE WHEN g.q > b.q THEN 2 * b.n2 * g.ca
+                      WHEN g.q = b.q THEN b.n2 * g.ca
+                      ELSE 0 END) AS num2
+      FROM b JOIN grid g ON g.dur = b.dur)
+    SELECT CAST(usable AS BIGINT) AS usable_pairs,
+           round(CAST(num2 AS DOUBLE) / 2.0 / CAST(usable AS DOUBLE),
+                 6) AS c_index
+    FROM p
+    """)
+def agg_harrell_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARRELL'S C-INDEX (concordance) of quantity as a risk score
+    for order-to-ship delay with return-events as failures: among
+    usable pairs (i fails strictly earlier than j survives-or-fails,
+    event_i = 1), how often does the higher score belong to the
+    earlier failure (score ties ½)? THE survival-model discrimination
+    metric — an AUC generalization that respects censoring, which
+    plain AUC (`agg_auc_pr`, `agg_youden_j_threshold`) cannot. The
+    quadratic pair space collapses TWICE: first onto the BOUNDED
+    (delay-days × event × quantity) value grid (the kendall_tau_b
+    precedent), then the 'failed strictly earlier' condition becomes
+    an EXCLUSIVE DUR-PREFIX SUM per score value — so the final join
+    is (cells ⨝ prefix-grid on dur), ~300k exact hugeint products,
+    never a cell cross product (an r8 rewrite measured 82 s → ~2 s
+    at sf0.01 over the naive dur<dur NLJ); one final double
+    division. One fact scan + broadcast-dim join, a ≤(days×scores)
+    window, one broadcast grid join: linear at any scale."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey",
+                                                    "o_orderdate")
+    dec = "decimal(38,0)"
+    cells = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .alias("dur"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        .alias("ev"),
+        F.col("l_quantity").cast("bigint").alias("q"))
+        .groupBy("dur", "ev", "q")
+        .agg(F.count(F.lit(1)).cast(dec).alias("n")))
+    a = (cells.filter(F.col("ev") == 1)
+         .groupBy("dur", "q").agg(F.sum("n").alias("n1")))
+    bb = cells.groupBy("dur", "q").agg(F.sum("n").alias("n2"))
+    durs = cells.select("dur").distinct()
+    qs = cells.select("q").distinct()
+    # exclusive dur-prefix of event counts per score value: the
+    # 'failed strictly earlier' mass every (dur, q2) cell compares
+    # against — ~(durs × scores) rows, corpus-size-independent
+    wg = (Window.partitionBy("q").orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    grid = (durs.crossJoin(F.broadcast(qs))
+            .join(a, ["dur", "q"], "left")
+            .select("dur", "q",
+                    F.coalesce(F.sum(F.coalesce(F.col("n1"), F.lit(0)))
+                               .over(wg), F.lit(0)).alias("ca")))
+    g = grid.select(F.col("dur").alias("gdur"), F.col("q").alias("gq"),
+                    "ca")
+    p = (bb.join(F.broadcast(g), F.col("dur") == F.col("gdur"))
+         .agg(F.sum(F.col("n2") * F.col("ca")).alias("usable"),
+              F.sum(F.when(F.col("gq") > F.col("q"),
+                           2 * F.col("n2") * F.col("ca"))
+                    .when(F.col("gq") == F.col("q"),
+                          F.col("n2") * F.col("ca"))
+                    .otherwise(0)).alias("num2")))
+    return p.select(
+        F.col("usable").cast("bigint").alias("usable_pairs"),
+        F.round(F.col("num2").cast("double") / 2.0
+                / F.col("usable").cast("double"), 6).alias("c_index"))
