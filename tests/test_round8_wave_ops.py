@@ -1,0 +1,164 @@
+"""Invariant tests for the round-8 wave operators.
+
+The oracle gate already pins value-equality against DuckDB; these pin
+the MATHEMATICAL invariants the oracle comparison cannot express (a
+wrong-but-identically-wrong implementation would pass the hash check,
+not these).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from __spark_entry__ import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_breusch_pagan_lm_bounds(spark, qs):
+    """LM = n·R² with R² ∈ [0, 1], so 0 ≤ LM ≤ n; the 5% flag must
+    agree with the literal 3.841 threshold."""
+    r = qs["agg_breusch_pagan"](spark, SF_DIR).first()
+    assert 0.0 <= r["bp_lm"] <= r["n_days"]
+    assert r["heteroskedastic_5pct"] == (r["bp_lm"] > 3.841)
+
+
+def test_cohens_kappa_identities(spark, qs):
+    """kappa ∈ [−1, 1]; observed and expected agreements are
+    probabilities; kappa > 0 iff observed beats chance."""
+    r = qs["agg_cohens_kappa"](spark, SF_DIR).first()
+    assert 0.0 <= r["observed_agreement"] <= 1.0
+    assert 0.0 <= r["expected_agreement"] <= 1.0
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert (r["kappa"] > 0) == (
+        r["observed_agreement"] > r["expected_agreement"])
+
+
+def test_newey_west_reduces_to_positive_se(spark, qs):
+    """Both SEs are positive; the HAC inflation factor is exactly
+    their ratio (internal consistency of the three outputs)."""
+    r = qs["agg_newey_west_se"](spark, SF_DIR).first()
+    assert r["se_iid"] > 0 and r["se_newey_west"] > 0
+    assert abs(r["hac_inflation"]
+               - r["se_newey_west"] / r["se_iid"]) < 1e-3
+    # differenced counts are negatively autocorrelated by
+    # construction: HAC must DEFLATE the iid SE here
+    assert r["hac_inflation"] < 1.0
+
+
+def test_hoeffding_d_range(spark, qs):
+    """D ∈ [−0.5, 1] (Hoeffding 1948); daily count and revenue are
+    strongly dependent, so D must be clearly positive."""
+    r = qs["agg_hoeffding_d"](spark, SF_DIR).first()
+    assert -0.5 <= r["hoeffding_d"] <= 1.0
+    assert r["hoeffding_d"] > 0.0
+
+
+def test_variance_ratio_positive(spark, qs):
+    """VR is a ratio of variances: > 0; differenced daily counts are
+    mean-reverting, so VR(5) < 1 and the z-stat is negative."""
+    r = qs["ts_variance_ratio"](spark, SF_DIR).first()
+    assert r["vr5"] > 0.0
+    assert r["vr5"] < 1.0
+    assert r["z_homoskedastic"] < 0.0
+
+
+def test_ulcer_index_rms_vs_max(spark, qs):
+    """RMS of drawdowns cannot exceed the max drawdown, and both are
+    percentages in [0, 100]."""
+    r = qs["win_ulcer_index"](spark, SF_DIR).first()
+    assert 0.0 <= r["ulcer_index_pct"] <= r["max_drawdown_pct"] + 1e-9
+    assert r["max_drawdown_pct"] <= 100.0
+
+
+def test_kaufman_er_bounds_and_warmup(spark, qs):
+    """ER ∈ [0, 1] by the triangle inequality (|net| ≤ Σ|moves|);
+    the first 9 days have no full window → NULL."""
+    rows = qs["win_kaufman_er"](spark, SF_DIR).collect()
+    srt = sorted(rows, key=lambda r: r["d"])
+    assert all(r["efficiency_ratio"] is None for r in srt[:9])
+    vals = [r["efficiency_ratio"] for r in srt
+            if r["efficiency_ratio"] is not None]
+    assert vals and all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_cep_negation_partitions_purchases(spark, qs):
+    """Cold purchases are a subset of purchases per user, and the
+    positive pattern (followed_by) + negation cover consistently:
+    a purchase unmatched by ANY prior click within 30min is 'cold',
+    so n_cold ≤ n_purchases with equality for click-less users."""
+    rows = qs["stream_cep_negation"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_cold"] <= r["n_purchases"]
+
+
+def test_yule_k_spectrum_identities(spark, qs):
+    """Per language: hapax ≤ vocab ≤ tokens; ratios are
+    probabilities; K > 0 for any non-degenerate corpus."""
+    rows = qs["text_yule_k"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["hapax"] <= r["vocab_size"] <= r["n_tokens"]
+        assert 0.0 <= r["hapax_ratio"] <= 1.0
+        assert 0.0 <= r["dis_ratio"] <= 1.0 - r["hapax_ratio"] + 1e-9
+        assert r["yule_k"] > 0.0
+
+
+def test_dunn_pairs_and_bonferroni(spark, qs):
+    """Exactly C(3,2)=3 ordered pairs over the return flags; the
+    reject flag must agree with |z| > 2.394."""
+    rows = qs["agg_dunn_posthoc"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(r["group_a"] < r["group_b"] for r in rows)
+    for r in rows:
+        assert r["reject_bonferroni"] == (abs(r["z"]) > 2.394)
+
+
+def test_brunner_munzel_effect_size_prob(spark, qs):
+    """p̂ = P(X_F < X_O) + ½P(=) is a probability; the statistic's
+    sign must agree with p̂ vs ½."""
+    r = qs["agg_brunner_munzel"](spark, SF_DIR).first()
+    assert 0.0 <= r["p_hat"] <= 1.0
+    if abs(r["p_hat"] - 0.5) > 1e-6:
+        assert (r["bm_stat"] > 0) == (r["p_hat"] > 0.5)
+
+
+def test_stuart_maxwell_chi2_nonnegative(spark, qs):
+    """d'S⁻¹d is a quadratic form in a covariance inverse: ≥ 0; the
+    flag agrees with the literal df=2 critical value."""
+    r = qs["agg_stuart_maxwell"](spark, SF_DIR).first()
+    assert r["chi2_stat"] >= 0.0
+    assert r["reject_5pct"] == (r["chi2_stat"] > 5.991)
+
+
+def test_cindex_probability_bounds(spark, qs):
+    """C ∈ [0, 1]; usable pairs positive on any corpus with both
+    events and delay spread."""
+    r = qs["agg_harrell_cindex"](spark, SF_DIR).first()
+    assert r["usable_pairs"] > 0
+    assert 0.0 <= r["c_index"] <= 1.0
+
+
+def test_turning_points_bounds(spark, qs):
+    """At most n−2 interior extrema; expectation formula is pinned
+    to 2(n−2)/3 and the count is consistent with the z sign."""
+    r = qs["ts_turning_points"](spark, SF_DIR).first()
+    assert 0 <= r["turning_points"] <= r["n_days"] - 2
+    assert abs(r["expected"] - 2.0 * (r["n_days"] - 2) / 3.0) < 1e-3
+    assert (r["z_stat"] > 0) == (r["turning_points"] > r["expected"])
+
+
+def test_gries_dp_bounds_and_topk(spark, qs):
+    """DP ∈ [0, 1); exactly 20 terms; the corpus-frequency column is
+    a valid top-k (no zero frequencies)."""
+    rows = qs["text_gries_dp"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["dp"] < 1.0
+        assert r["corpus_freq"] > 0
