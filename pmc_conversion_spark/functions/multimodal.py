@@ -790,8 +790,10 @@ class _BitWriter:
         self.buf = bytearray()
         self.acc = 0
         self.n = 0
+        self.total_bits = 0        # pre-padding entropy bit count
 
     def put(self, value, length):
+        self.total_bits += length
         for i in range(length - 1, -1, -1):
             self.acc = (self.acc << 1) | ((value >> i) & 1)
             self.n += 1
@@ -830,8 +832,6 @@ def encode_jpeg_gray(blocks_zz, w: int, h: int) -> bytes:
     import struct
 
     qt = jpeg_qtab_natural()
-    dc_codes = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
-    ac_codes = _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
     out = bytearray(b"\xFF\xD8")                       # SOI
     out += b"\xFF\xDB" + struct.pack(">HB", 67, 0x00)  # DQT, Pq=0 Tq=0
     out += bytes(qt[JPEG_ZIGZAG[z]] for z in range(64))
@@ -843,6 +843,17 @@ def encode_jpeg_gray(blocks_zz, w: int, h: int) -> bytes:
         out += bytes(bits) + bytes(vals)
     out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)      # SOS
     out += bytes((1, 0x00, 0, 63, 0))
+    out += _encode_entropy(blocks_zz).flush()
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def _encode_entropy(blocks_zz) -> "_BitWriter":
+    """Huffman entropy-code the block sequence (DC prediction, ZRL,
+    EOB, magnitude bits) into a bit writer; shared by the encoder and
+    the bit-count probe."""
+    dc_codes = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
     bw = _BitWriter()
     dc_pred = 0
     for blk in blocks_zz:
@@ -872,9 +883,13 @@ def encode_jpeg_gray(blocks_zz, w: int, h: int) -> bytes:
         if last_nz < 63:
             c, ln = ac_codes[0x00]                     # EOB
             bw.put(c, ln)
-    out += bw.flush()
-    out += b"\xFF\xD9"                                 # EOI
-    return bytes(out)
+    return bw
+
+
+def jpeg_entropy_bits(blocks_zz) -> int:
+    """Exact pre-padding entropy bit count of the encoded blocks —
+    the quantity the symbolic code-length oracle reproduces."""
+    return _encode_entropy(blocks_zz).total_bits
 
 
 #: 20-bit fixed-point IDCT basis: B[x][u] = round(a(u) cos((2x+1)u
@@ -1101,3 +1116,23 @@ def decode_jpeg_batch(df: DataFrame) -> DataFrame:
 
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)
+
+
+def jpeg_entropy_stats_batch(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, entropy_bits, entropy_bytes) through
+    the REAL entropy encoder (bit count taken before padding) — the
+    symbolic Annex-K code-length oracle reproduces both numbers."""
+    import pandas as pd
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                bits = jpeg_entropy_bits(synth_jpeg_coeffs(int(m)))
+                rows.append((int(m), bits, (bits + 7) // 8))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "entropy_bits", "entropy_bytes"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _stats, "media_id long, entropy_bits long, entropy_bytes long")

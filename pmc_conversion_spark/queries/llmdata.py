@@ -9079,6 +9079,86 @@ def mm_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_jpeg_batch(encoded)
 
 
+def _jpeg_aclen_values() -> str:
+    from pmc_conversion_spark.functions.multimodal import (
+        JPEG_AC_BITS, JPEG_AC_VALS, _canonical_codes)
+    codes = _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    return ", ".join(f"({sym}, {ln})"
+                     for sym, (_c, ln) in sorted(codes.items()))
+
+
+@register(
+    "mm_jpeg_entropy_size",
+    oracle=f"""
+    WITH aclen(sym, len) AS (SELECT * FROM (VALUES {{aclen}})),
+    m AS (SELECT doc_id FROM documents),
+    cf AS (
+      SELECT doc_id, b, z,
+             CASE WHEN z % 7 = 1 AND z < 40
+                    THEN ((doc_id + 5 * z + 3 * b) % 9) - 4
+                  WHEN z = 60 AND (doc_id + b) % 3 = 0 THEN 3
+                  ELSE 0 END AS v
+      FROM m, unnest([0, 1]) tb(b), range(1, 64) tz(z)),
+    nz AS (
+      SELECT doc_id, b, z, v,
+             coalesce(lag(z) OVER (PARTITION BY doc_id, b ORDER BY z),
+                      0) AS pz
+      FROM cf WHERE v <> 0),
+    ac AS (
+      SELECT nz.doc_id, nz.b,
+             sum(((nz.z - nz.pz - 1) // 16) * 11
+                 + al.len
+                 + CASE WHEN abs(nz.v) >= 4 THEN 3
+                        WHEN abs(nz.v) >= 2 THEN 2 ELSE 1 END) AS bits
+      FROM nz JOIN aclen al
+        ON al.sym = ((nz.z - nz.pz - 1) % 16) * 16
+                    + CASE WHEN abs(nz.v) >= 4 THEN 3
+                           WHEN abs(nz.v) >= 2 THEN 2 ELSE 1 END
+      GROUP BY nz.doc_id, nz.b),
+    dc AS (
+      SELECT doc_id, b,
+             CASE WHEN b = 0 THEN (doc_id % 32) - 16
+                  ELSE ((doc_id + 7) % 32) - (doc_id % 32) END AS diff
+      FROM m, unnest([0, 1]) tb(b)),
+    dcb AS (
+      SELECT doc_id, b,
+             CASE WHEN abs(diff) = 0 THEN 2 + 0
+                  WHEN abs(diff) <= 1 THEN 3 + 1
+                  WHEN abs(diff) <= 3 THEN 3 + 2
+                  WHEN abs(diff) <= 7 THEN 3 + 3
+                  WHEN abs(diff) <= 15 THEN 3 + 4
+                  ELSE 3 + 5 END AS bits
+      FROM dc),
+    blk AS (
+      SELECT dcb.doc_id, dcb.b,
+             dcb.bits + coalesce(ac.bits, 0) + 4 AS bits
+      FROM dcb LEFT JOIN ac
+        ON ac.doc_id = dcb.doc_id AND ac.b = dcb.b),
+    tot AS (
+      SELECT doc_id, CAST(sum(bits) AS BIGINT) AS entropy_bits
+      FROM blk GROUP BY doc_id)
+    SELECT doc_id AS media_id, entropy_bits,
+           CAST((entropy_bits + 7) // 8 AS BIGINT) AS entropy_bytes
+    FROM tot
+    """.replace("{aclen}", _jpeg_aclen_values()))
+def mm_jpeg_entropy_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG ENTROPY-SIZE audit: the exact pre-padding Huffman bit
+    count each image's coefficient plan encodes to, reproduced by
+    the oracle SYMBOLICALLY from the Annex-K code-length table — DC
+    magnitude categories on the prediction differences, (run, size)
+    AC symbols with the ZRL factorization of long zero runs
+    ((run div 16) 11-bit ZRLs + the residual-run code), and the EOB
+    — without ever touching the bitstream. This pins the ENCODER
+    side of `mm_decode_real_jpeg` (whose oracle checks the decode
+    direction): a wrong code table, run split, or category rule
+    moves the bit count. Bitrate-per-image is also the practical
+    quantity a multimodal corpus pipeline budgets by. Map-side-only
+    Arrow stage; the oracle's frames are (docs × 2 blocks × 63
+    positions), linear."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return MM.jpeg_entropy_stats_batch(base)
+
+
 _WP_VOCAB: list[str] = (
     [chr(x) for x in range(ord("a"), ord("z") + 1)]
     + ["##" + chr(x) for x in range(ord("a"), ord("z") + 1)]

@@ -1881,3 +1881,67 @@ def dq_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (z.orderBy(F.abs(F.col("z_score")).desc(),
                       "dim1", "val1", "dim2", "val2")
             .limit(10))
+
+
+@register(
+    "dq_capture_recapture",
+    oracle="""
+    WITH c1 AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'),
+    c2 AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate < DATE '1998-01-01'),
+    s AS (
+      SELECT (SELECT count(*) FROM c1) AS n1,
+             (SELECT count(*) FROM c2) AS n2,
+             (SELECT count(*) FROM c1 JOIN c2 USING (k)) AS m,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS truth)
+    SELECT CAST(n1 AS BIGINT) AS n_capture1,
+           CAST(n2 AS BIGINT) AS n_capture2,
+           CAST(m AS BIGINT) AS n_recaptured,
+           CAST(truth AS BIGINT) AS observed_total,
+           round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 2)
+             AS chapman_estimate,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0)
+                 / truth, 6) AS coverage_ratio
+    FROM s
+    """)
+def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE–RECAPTURE (Chapman) estimate of the active-customer
+    population from two yearly 'captures' (1996 vs 1997 purchasers):
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1, the mark-recapture estimator
+    ecology, census statistics AND data-quality engineering use to
+    answer 'how many entities exist that my two incomplete feeds
+    jointly miss?'. Here the full customer list IS observable, so
+    the op reports estimate ÷ observed as a calibration check — the
+    ratio far from 1 quantifies how non-independent the two capture
+    occasions are (loyal customers recur; independence is the
+    estimator's assumption, and the MEASURED bias is the point).
+    Two distinct-aggregates + one semi-join of distinct key sets;
+    all counts exact, one double expression."""
+    o = tables.load(spark, sf_dir, "orders")
+    c1 = (o.filter((F.col("o_orderdate") >= "1996-01-01")
+                   & (F.col("o_orderdate") < "1997-01-01"))
+          .select("o_custkey").distinct())
+    c2 = (o.filter((F.col("o_orderdate") >= "1997-01-01")
+                   & (F.col("o_orderdate") < "1998-01-01"))
+          .select("o_custkey").distinct())
+    n1 = c1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c2.agg(F.count(F.lit(1)).alias("n2"))
+    m = (c1.join(c2, "o_custkey", "leftsemi")
+         .agg(F.count(F.lit(1)).alias("m")))
+    truth = o.agg(F.countDistinct("o_custkey").alias("truth"))
+    s = (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+         .crossJoin(F.broadcast(truth)))
+    chap = ((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+            / (F.col("m") + 1) - 1.0)
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_capture1"),
+        F.col("n2").cast("bigint").alias("n_capture2"),
+        F.col("m").cast("bigint").alias("n_recaptured"),
+        F.col("truth").cast("bigint").alias("observed_total"),
+        F.round(chap, 2).alias("chapman_estimate"),
+        F.round(chap / F.col("truth"), 6).alias("coverage_ratio"))

@@ -11593,3 +11593,61 @@ def agg_harrell_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("usable").cast("bigint").alias("usable_pairs"),
         F.round(F.col("num2").cast("double") / 2.0
                 / F.col("usable").cast("double"), 6).alias("c_index"))
+
+
+@register(
+    "agg_gpd_tail_fit",
+    oracle="""
+    WITH exc AS (
+      SELECT CAST(round(o_totalprice * 100) AS HUGEINT) - 40000000
+               AS y
+      FROM orders WHERE round(o_totalprice * 100) > 40000000),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM exc),
+    e AS (
+      SELECT n,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS eb,
+             CAST(n * syy - sy * sy AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS vb
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_exceedances,
+           round(eb / 100.0, 2) AS mean_excess_dollars,
+           round(0.5 * (1.0 - eb * eb / vb), 6) AS xi_hat,
+           round(0.5 * eb * (1.0 + eb * eb / vb) / 100.0, 2)
+             AS beta_hat_dollars
+    FROM e
+    """)
+def agg_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZED PARETO tail fit (peaks-over-threshold, method of
+    moments) for order values above $400k: ξ̂ = ½(1 − ē²/s²),
+    β̂ = ½ē(1 + ē²/s²) — the extreme-value-theory workhorse that
+    models the tail SHAPE where `agg_tail_risk`'s empirical
+    VaR/ES stop (no data beyond the sample maximum ⇒ empirical
+    quantiles cannot extrapolate; a fitted GPD can). ξ's sign is the
+    headline: ξ < 0 ⇒ finite endpoint (bounded order sizes), ξ > 0
+    ⇒ heavy Pareto tail. Exceedances are exact cents above the
+    pinned threshold; the two moments are cross-multiplied exact
+    hugeints; ξ, β are single pinned double expressions. One
+    filtered map-side aggregate — the scan prunes below-threshold
+    rows at the parquet level."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    pc = F.round(F.col("o_totalprice") * 100)
+    exc = (o.filter(pc > 40000000)
+           .select((pc.cast(dec) - 40000000).alias("y")))
+    s = exc.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"))
+    eb = F.col("sy").cast("double") / F.col("n").cast("double")
+    vb = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double") / F.col("n").cast("double") \
+        / (F.col("n") - 1).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_exceedances"),
+        F.round(eb / 100.0, 2).alias("mean_excess_dollars"),
+        F.round(0.5 * (1.0 - eb * eb / vb), 6).alias("xi_hat"),
+        F.round(0.5 * eb * (1.0 + eb * eb / vb) / 100.0, 2)
+        .alias("beta_hat_dollars"))

@@ -162,3 +162,41 @@ def test_gries_dp_bounds_and_topk(spark, qs):
     for r in rows:
         assert 0.0 <= r["dp"] < 1.0
         assert r["corpus_freq"] > 0
+
+
+def test_jpeg_entropy_size_matches_payload(spark, qs):
+    """The symbolic bit count must equal the REAL encoder's payload
+    length minus stuffing bytes (byte-level ground truth the oracle
+    cannot see)."""
+    from pmc_conversion_spark.functions import multimodal as MM
+    rows = qs["mm_jpeg_entropy_size"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:25]:
+        blob = MM.encode_jpeg_gray(
+            MM.synth_jpeg_coeffs(r["media_id"]), 16, 8)
+        sos = blob.index(b"\xff\xda")
+        payload = blob[sos + 2 + 8: -2]
+        stuffed = sum(1 for i in range(len(payload) - 1)
+                      if payload[i] == 0xFF and payload[i + 1] == 0x00)
+        assert r["entropy_bytes"] == len(payload) - stuffed, r
+        assert (r["entropy_bits"] + 7) // 8 == r["entropy_bytes"]
+
+
+def test_capture_recapture_bounds(spark, qs):
+    """Recaptures ≤ both captures; Chapman ≥ union lower bound
+    (n1 + n2 − m) up to rounding; positive coverage."""
+    r = qs["dq_capture_recapture"](spark, SF_DIR).first()
+    assert r["n_recaptured"] <= min(r["n_capture1"], r["n_capture2"])
+    lower = r["n_capture1"] + r["n_capture2"] - r["n_recaptured"]
+    assert r["chapman_estimate"] >= lower - 1.0
+    assert r["coverage_ratio"] > 0
+
+
+def test_gpd_moments_consistency(spark, qs):
+    """β̂ > 0 always (scale); ξ̂ < ½ by construction of the moment
+    estimator (ξ = ½(1 − e²/v) with e², v > 0)."""
+    r = qs["agg_gpd_tail_fit"](spark, SF_DIR).first()
+    assert r["n_exceedances"] > 1
+    assert r["beta_hat_dollars"] > 0
+    assert r["xi_hat"] < 0.5
+    assert r["mean_excess_dollars"] > 0
