@@ -151,6 +151,20 @@ HEADLINE = [
     "ts_dtw_distance",
     "graph_eigencentrality_power",
     "text_keyphrase_textrank",
+    # r8: the de-scale-risked two-phase anchored VWAP (grouped prefix
+    # sum — track that the bucketed form stays in its envelope), the
+    # bounded-pair rank statistic, the HAC window pass, the
+    # grid-prefix survival concordance, the two real-JPEG Arrow
+    # stages (decode and symbolic-size), and the two token-spectrum
+    # text statistics
+    "win_anchored_vwap",
+    "agg_hoeffding_d",
+    "agg_newey_west_se",
+    "agg_harrell_cindex",
+    "mm_decode_real_jpeg",
+    "mm_jpeg_entropy_size",
+    "text_yule_k",
+    "text_gries_dp",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

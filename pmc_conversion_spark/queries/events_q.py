@@ -7102,3 +7102,102 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("tp").cast("bigint").alias("turning_points"),
                     F.round(exp, 6).alias("expected"),
                     F.round(z, 6).alias("z_stat"))
+
+
+@register(
+    "ts_kpss_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    s0 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy
+      FROM daily),
+    e AS (
+      SELECT d,
+             s0.n * y - s0.sy AS ne,
+             s0.n * sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+               - (row_number() OVER (ORDER BY d)) * s0.sy AS ns
+      FROM daily, s0),
+    lx AS (
+      SELECT ne, ns,
+             lag(ne, 1) OVER (ORDER BY d) AS e1,
+             lag(ne, 2) OVER (ORDER BY d) AS e2,
+             lag(ne, 3) OVER (ORDER BY d) AS e3,
+             lag(ne, 4) OVER (ORDER BY d) AS e4,
+             lag(ne, 5) OVER (ORDER BY d) AS e5
+      FROM e),
+    g AS (
+      SELECT CAST(sum(ns * ns) AS HUGEINT) AS ss2,
+             CAST(sum(ne * ne) AS HUGEINT) AS g0,
+             CAST(sum(ne * e1) AS HUGEINT) AS g1,
+             CAST(sum(ne * e2) AS HUGEINT) AS g2,
+             CAST(sum(ne * e3) AS HUGEINT) AS g3,
+             CAST(sum(ne * e4) AS HUGEINT) AS g4,
+             CAST(sum(ne * e5) AS HUGEINT) AS g5
+      FROM lx),
+    f AS (
+      SELECT ss2,
+             6 * g0 + 2 * (5 * g1 + 4 * g2 + 3 * g3 + 2 * g4 + g5)
+               AS lrv6
+      FROM g)
+    SELECT (SELECT CAST(n AS BIGINT) FROM s0) AS n_days,
+           round(6.0 * CAST(ss2 AS DOUBLE)
+                 / ((SELECT CAST(n AS DOUBLE) FROM s0)
+                    * CAST(lrv6 AS DOUBLE)), 6) AS kpss_stat,
+           CAST(6.0 * CAST(ss2 AS DOUBLE)
+                / ((SELECT CAST(n AS DOUBLE) FROM s0)
+                   * CAST(lrv6 AS DOUBLE)) > 0.463 AS BOOLEAN)
+             AS reject_level_stationary_5pct
+    FROM f
+    """)
+def ts_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on daily order counts — the
+    NULL-reversed complement of `ts_adf_test`: ADF's null is a unit
+    root (failure to reject ⇏ stationary), KPSS's null IS
+    stationarity, so running both brackets the answer the way the
+    econometrics cookbooks prescribe. η = n⁻²ΣS_t² / s²(l) with
+    S_t the partial sums of demeaned counts and s²(l) the l=5
+    Bartlett long-run variance (the `agg_newey_west_se` kernel).
+    Exactness: both nS_t = n·prefix_t − t·Σy and ne_t = n·y_t − Σy
+    are exact integers, every sum of their products an exact
+    hugeint, and the statistic reduces to 6·Σ(nS)² / (n·[6γ̃₀ +
+    2Σ(6−l)γ̃_l]) — one double division against the literal 5%
+    critical value 0.463. One day aggregate + one ordered window
+    pass on the calendar frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    s0 = daily.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                   F.sum("y").cast(dec).alias("sy"))
+    w = Window.orderBy("d")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = (daily.crossJoin(F.broadcast(s0))
+         .select("d",
+                 (F.col("n") * F.col("y") - F.col("sy")).alias("ne"),
+                 (F.col("n") * F.sum("y").over(wrun)
+                  - F.row_number().over(w) * F.col("sy")).alias("ns")))
+    lx = e.select(
+        "ne", "ns",
+        *[F.lag("ne", l).over(Window.orderBy("d")).alias(f"e{l}")
+          for l in range(1, 6)])
+    g = lx.agg(
+        F.sum(F.col("ns") * F.col("ns")).alias("ss2"),
+        F.sum(F.col("ne") * F.col("ne")).alias("g0"),
+        *[F.sum(F.col("ne") * F.col(f"e{l}")).alias(f"g{l}")
+          for l in range(1, 6)])
+    lrv6 = (6 * F.col("g0")
+            + 2 * (5 * F.col("g1") + 4 * F.col("g2") + 3 * F.col("g3")
+                   + 2 * F.col("g4") + F.col("g5")))
+    f = (g.crossJoin(F.broadcast(s0))
+         .select("ss2", lrv6.alias("lrv6"), "n"))
+    stat = 6.0 * F.col("ss2").cast("double") \
+        / (F.col("n").cast("double") * F.col("lrv6").cast("double"))
+    return f.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(stat, 6).alias("kpss_stat"),
+                    (stat > 0.463)
+                    .alias("reject_level_stationary_5pct"))

@@ -11651,3 +11651,191 @@ def agg_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * (1.0 - eb * eb / vb), 6).alias("xi_hat"),
         F.round(0.5 * eb * (1.0 + eb * eb / vb) / 100.0, 2)
         .alias("beta_hat_dollars"))
+
+
+@register(
+    "agg_white_test",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS x,
+             count(*) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily),
+    u AS (
+      SELECT CAST(x AS HUGEINT) AS x,
+             CAST(x AS HUGEINT) * x AS w,
+             CAST(round(
+               (CAST((s.n * s.sxx - s.sx * s.sx) * y
+                     - (s.sy * s.sxx - s.sx * s.sxy)
+                     - (s.n * s.sxy - s.sx * s.sy) * x AS DOUBLE)
+                / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+               * (CAST((s.n * s.sxx - s.sx * s.sx) * y
+                       - (s.sy * s.sxx - s.sx * s.sxy)
+                       - (s.n * s.sxy - s.sx * s.sy) * x AS DOUBLE)
+                  / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+               * 1000000.0) AS HUGEINT) AS v
+      FROM daily, s),
+    t AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(x) AS HUGEINT) AS tx,
+             CAST(sum(w) AS HUGEINT) AS tw,
+             CAST(sum(v) AS HUGEINT) AS tv,
+             CAST(sum(x * x) AS HUGEINT) AS txx,
+             CAST(sum(x * w) AS HUGEINT) AS txw,
+             CAST(sum(w * w) AS HUGEINT) AS tww,
+             CAST(sum(v * x) AS HUGEINT) AS tvx,
+             CAST(sum(v * w) AS HUGEINT) AS tvw,
+             CAST(sum(v * v) AS HUGEINT) AS tvv
+      FROM u),
+    c AS (
+      SELECT m,
+             CAST(m * txx - tx * tx AS DOUBLE) AS cxx,
+             CAST(m * txw - tx * tw AS DOUBLE) AS cxw,
+             CAST(m * tww - tw * tw AS DOUBLE) AS cww,
+             CAST(m * tvx - tv * tx AS DOUBLE) AS cvx,
+             CAST(m * tvw - tv * tw AS DOUBLE) AS cvw,
+             CAST(m * tvv - tv * tv AS DOUBLE) AS cvv
+      FROM t)
+    SELECT CAST(m AS BIGINT) AS n_days,
+           round(m * (cww * (cvx * cvx) - 2.0 * cxw * cvx * cvw
+                      + cxx * (cvw * cvw))
+                 / ((cxx * cww - cxw * cxw) * cvv), 6) AS white_lm,
+           CAST(m * (cww * (cvx * cvx) - 2.0 * cxw * cvx * cvw
+                     + cxx * (cvw * cvw))
+                / ((cxx * cww - cxw * cxw) * cvv) > 5.991 AS BOOLEAN)
+             AS heteroskedastic_5pct
+    FROM c
+    """)
+def agg_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHITE'S general heteroskedasticity test on the daily-trend
+    regression: regress the squared residuals on BOTH the regressor
+    and its square — LM = n·R² ~ chi²(2) — which catches the
+    NONLINEAR variance shapes `agg_breusch_pagan`'s single-regressor
+    form misses (variance growing then saturating, U-shaped, ...).
+    Completes the heteroskedasticity triptych: BP (level-linear),
+    ARCH (time-dependence), White (level-general). Same exact
+    machinery as BP: integer residuals via the normal-equation
+    determinant, the 1e-6 residual-square grid, then the TWO-
+    regressor R² in closed determinant form — every centered moment
+    C_ab = n·Σab − Σa·Σb an exact hugeint, combined in ONE pinned
+    double expression (the C products exceed decimal38, so the
+    combination is double by construction on a 1-row frame —
+    bit-identical across engines). df = 2 against the literal
+    5.991."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.datediff(F.col("o_orderdate"),
+                                 F.lit("1992-01-01")).alias("x"))
+             .groupBy("x").agg(F.count(F.lit(1)).alias("y")))
+    s = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"))
+    ud = (((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.col("y")
+           - (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+           - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+           * F.col("x")).cast("double")
+          / (F.col("n") * F.col("sxx")
+             - F.col("sx") * F.col("sx")).cast("double"))
+    u = (daily.crossJoin(F.broadcast(s))
+         .select(F.col("x").cast(dec).alias("x"),
+                 (F.col("x").cast(dec) * F.col("x")).alias("w"),
+                 F.round(ud * ud * 1000000.0).cast(dec).alias("v")))
+    t = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("x").alias("tx"), F.sum("w").alias("tw"),
+        F.sum("v").alias("tv"),
+        F.sum(F.col("x") * F.col("x")).alias("txx"),
+        F.sum(F.col("x") * F.col("w")).alias("txw"),
+        F.sum(F.col("w") * F.col("w")).alias("tww"),
+        F.sum(F.col("v") * F.col("x")).alias("tvx"),
+        F.sum(F.col("v") * F.col("w")).alias("tvw"),
+        F.sum(F.col("v") * F.col("v")).alias("tvv"))
+    c = t.select(
+        "m",
+        (F.col("m") * F.col("txx") - F.col("tx") * F.col("tx"))
+        .cast("double").alias("cxx"),
+        (F.col("m") * F.col("txw") - F.col("tx") * F.col("tw"))
+        .cast("double").alias("cxw"),
+        (F.col("m") * F.col("tww") - F.col("tw") * F.col("tw"))
+        .cast("double").alias("cww"),
+        (F.col("m") * F.col("tvx") - F.col("tv") * F.col("tx"))
+        .cast("double").alias("cvx"),
+        (F.col("m") * F.col("tvw") - F.col("tv") * F.col("tw"))
+        .cast("double").alias("cvw"),
+        (F.col("m") * F.col("tvv") - F.col("tv") * F.col("tv"))
+        .cast("double").alias("cvv"))
+    lm = F.col("m") * (F.col("cww") * (F.col("cvx") * F.col("cvx"))
+                       - 2.0 * F.col("cxw") * F.col("cvx")
+                       * F.col("cvw")
+                       + F.col("cxx") * (F.col("cvw") * F.col("cvw"))) \
+        / ((F.col("cxx") * F.col("cww") - F.col("cxw") * F.col("cxw"))
+           * F.col("cvv"))
+    return c.select(F.col("m").cast("bigint").alias("n_days"),
+                    F.round(lm, 6).alias("white_lm"),
+                    (lm > 5.991).alias("heteroskedastic_5pct"))
+
+
+@register(
+    "agg_poisson_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(n * syy - sy * sy AS DOUBLE) / CAST(sy AS DOUBLE),
+                 6) AS dispersion_stat,
+           round(CAST(n * syy - sy * sy AS DOUBLE) / CAST(sy AS DOUBLE)
+                 / CAST(n - 1 AS DOUBLE), 6) AS dispersion_index,
+           round(sqrt(2.0 * CAST(n * syy - sy * sy AS DOUBLE)
+                      / CAST(sy AS DOUBLE))
+                 - sqrt(2.0 * CAST(n - 1 AS DOUBLE) - 1.0), 6)
+             AS z_overdispersion
+    FROM s
+    """)
+def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER DISPERSION INDEX test of the Poisson hypothesis for
+    daily order arrivals: D = Σ(y−ȳ)²/ȳ ~ chi²(n−1) under Poisson;
+    the index D/(n−1) reads 1 for Poisson, >1 overdispersed
+    (clustering/mixing — the empirical rule for almost all real
+    traffic), <1 underdispersed (regularized arrivals). The
+    first-line count-data diagnostic before fitting anything
+    (a negative-binomial is only warranted if this rejects), and the
+    natural companion to `ts_variance_ratio` (which tests TEMPORAL
+    structure; this tests MARGINAL variance). D = (nΣy² − (Σy)²)/Σy
+    exactly — two hugeint sums, one double division — with the
+    Wilson–Hilferty-style normal approximation √(2D) − √(2df−1)
+    reported as z. One day-grouped map-side aggregate."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    s = daily.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                  F.sum("y").cast(dec).alias("sy"),
+                  F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"))
+    d = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double") / F.col("sy").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(d, 6).alias("dispersion_stat"),
+        F.round(d / (F.col("n") - 1).cast("double"), 6)
+        .alias("dispersion_index"),
+        F.round(F.sqrt(2.0 * d)
+                - F.sqrt(2.0 * (F.col("n") - 1).cast("double") - 1.0),
+                6).alias("z_overdispersion"))

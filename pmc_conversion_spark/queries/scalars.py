@@ -1149,3 +1149,71 @@ def f_mod97_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("check_digits").cast("bigint").alias("check_digits"),
         mod97(F.concat(F.col("body"), F.lit("2522"), cd2))
         .cast("bigint").alias("residue"))
+
+
+#: Damm quasigroup (the standard order-10 totally antisymmetric
+#: table, row-major): step acc -> TBL[acc*10 + digit].
+_DAMM_TBL = ("0317598642" "7092154863" "4206871359" "1750983426"
+             "6123045978" "3674209581" "5869720134" "8945362017"
+             "9438617205" "2581436790")
+
+
+@register(
+    "f_damm_checksum",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey AS VARCHAR) AS body
+      FROM orders),
+    chk AS (
+      SELECT o_orderkey, body,
+             list_reduce(
+               list_prepend(0,
+                 list_transform(regexp_split_to_array(body, ''),
+                                c -> c::INT)),
+               (a, d) -> substr('{_DAMM_TBL}', a * 10 + d + 1, 1)::INT)
+               AS check_digit
+      FROM src)
+    SELECT o_orderkey AS order_id,
+           CAST(check_digit AS BIGINT) AS damm_digit,
+           body || CAST(check_digit AS VARCHAR) AS protected_id,
+           CAST(list_reduce(
+             list_prepend(0,
+               list_transform(
+                 regexp_split_to_array(body
+                   || CAST(check_digit AS VARCHAR), ''),
+                 c -> c::INT)),
+             (a, d) -> substr('{_DAMM_TBL}', a * 10 + d + 1, 1)::INT)
+             = 0 AS BOOLEAN) AS verifies
+    FROM chk
+    """)
+def f_damm_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMM check digit for order ids — the quasigroup checksum that
+    (unlike Luhn, `f_luhn_checksum`) detects ALL single-digit errors
+    AND all adjacent transpositions, including the 09↔90 family Luhn
+    misses, with a single left fold and no weighting cases: acc' =
+    Q[acc][d] over the standard order-10 totally antisymmetric
+    quasigroup, check digit = final acc (appending it folds to 0,
+    which the op verifies per row as the round-trip proof). The fold
+    is `F.aggregate` over the digit array with the SAME 100-char
+    table literal on both engines (string indexing replaces the 2-D
+    lookup); map-side only, no shuffle, trivially parallel."""
+    o = tables.load(spark, sf_dir, "orders")
+    body = F.col("o_orderkey").cast("string")
+    tbl = F.lit(_DAMM_TBL)
+
+    def fold(col):
+        return F.aggregate(
+            F.split(col, ""), F.lit(0),
+            lambda a, d: F.substring(tbl, a * 10 + d.cast("int") + 1,
+                                     1).cast("int"))
+
+    chk = o.select(F.col("o_orderkey").alias("order_id"),
+                   body.alias("body"), fold(body).alias("damm"))
+    return chk.select(
+        "order_id",
+        F.col("damm").cast("bigint").alias("damm_digit"),
+        F.concat(F.col("body"), F.col("damm").cast("string"))
+        .alias("protected_id"),
+        (fold(F.concat(F.col("body"), F.col("damm").cast("string")))
+         == 0).alias("verifies"))

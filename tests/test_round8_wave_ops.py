@@ -200,3 +200,63 @@ def test_gpd_moments_consistency(spark, qs):
     assert r["beta_hat_dollars"] > 0
     assert r["xi_hat"] < 0.5
     assert r["mean_excess_dollars"] > 0
+
+
+def test_kpss_positive_and_flag(spark, qs):
+    """η > 0 (ratio of sums of squares); flag agrees with the
+    literal 0.463 level-stationarity critical value."""
+    r = qs["ts_kpss_test"](spark, SF_DIR).first()
+    assert r["kpss_stat"] > 0.0
+    assert r["reject_level_stationary_5pct"] == (r["kpss_stat"] > 0.463)
+
+
+def test_white_lm_bounds_and_nesting(spark, qs):
+    """0 ≤ LM ≤ n (LM = n·R²); White's 2-regressor R² can only add
+    explanatory power over BP's 1-regressor form, so White LM ≥ BP
+    LM up to the shared residual grid."""
+    w = qs["agg_white_test"](spark, SF_DIR).first()
+    b = qs["agg_breusch_pagan"](spark, SF_DIR).first()
+    assert 0.0 <= w["white_lm"] <= w["n_days"]
+    assert w["heteroskedastic_5pct"] == (w["white_lm"] > 5.991)
+    assert w["white_lm"] >= b["bp_lm"] - 1e-3
+
+
+def test_poisson_dispersion_identities(spark, qs):
+    """D > 0; index = D/(n−1) to rounding; the z approximation's
+    sign must agree with which side of 1 the index falls (the
+    sf0.001 fixture spreads orders REGULARLY → underdispersed,
+    index < 1 with z < 0 — itself a real finding the test pins)."""
+    r = qs["agg_poisson_dispersion"](spark, SF_DIR).first()
+    assert r["dispersion_stat"] > 0
+    assert abs(r["dispersion_index"]
+               - r["dispersion_stat"] / (r["n_days"] - 1)) < 1e-4
+    if r["dispersion_index"] < 0.9:
+        assert r["z_overdispersion"] < 0
+    elif r["dispersion_index"] > 1.1:
+        assert r["z_overdispersion"] > 0
+
+
+def test_damm_checksum_properties(spark, qs):
+    """Every row verifies (appending the check digit folds to 0);
+    digits are 0..9; single-digit mutation breaks verification (the
+    error-detection property, checked in plain Python against the
+    same table)."""
+    rows = qs["f_damm_checksum"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["verifies"] for r in rows)
+    assert all(0 <= r["damm_digit"] <= 9 for r in rows)
+    from pmc_conversion_spark.queries.scalars import _DAMM_TBL
+
+    def fold(s):
+        a = 0
+        for ch in s:
+            a = int(_DAMM_TBL[a * 10 + int(ch)])
+        return a
+
+    for r in rows[:20]:
+        pid = r["protected_id"]
+        assert fold(pid) == 0
+        for i in range(len(pid)):        # every single-digit error
+            for repl in "0123456789":
+                if repl != pid[i]:
+                    assert fold(pid[:i] + repl + pid[i + 1:]) != 0
