@@ -146,6 +146,21 @@ PROBED = [
     "graph_eigencentrality_power",
     "text_keyphrase_textrank",
     "stream_cep_followed_by",
+    # r8: the grouped two-phase anchored VWAP (verdict #3 asks for a
+    # SCALING row proving the bucketed rewrite's sf growth — linear),
+    # the two real-JPEG Arrow stages (linear in documents), the
+    # calendar-bounded Hoeffding pair frame (~flat), the grid-prefix
+    # survival concordance (linear scan, constant join), the token
+    # spectrum and dispersion text statistics (linear), and the
+    # interval anti-join CEP negation (linear in per-user events)
+    "win_anchored_vwap",
+    "mm_decode_real_jpeg",
+    "mm_jpeg_entropy_size",
+    "agg_hoeffding_d",
+    "agg_harrell_cindex",
+    "text_yule_k",
+    "text_gries_dp",
+    "stream_cep_negation",
 ]
 
 #: data grows 10x from sf0.01 to sf0.1; flag anything growing much
