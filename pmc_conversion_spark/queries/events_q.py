@@ -7201,3 +7201,647 @@ def ts_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(stat, 6).alias("kpss_stat"),
                     (stat > 0.463)
                     .alias("reject_level_stationary_5pct"))
+
+
+# --------------------------------------------------------------------------
+# round-8 wave 5: changepoint / homogeneity / complexity diagnostics on the
+# calendar-bounded daily frame. Reference scope: thehyve/pmc-conversion
+# validates incoming data drops with ad-hoc shell checks
+# (scripts/check_input.sh); this wave is the engine-native generalization —
+# distribution-shift and signal-complexity tests a curation pipeline runs
+# over arrival-rate series before admitting a batch. Every statistic is
+# computed from exact integer/hugeint sums (the KPSS discipline above), so
+# the 6-dp rounded outputs are bit-identical across engines; every window
+# rides the day-truncated calendar frame, bounded by date span, not corpus
+# size — at 100 TB the daily aggregate is still ~2.4 k rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_pettitt_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    n0 AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM daily),
+    r AS (
+      SELECT d,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS m2
+      FROM daily),
+    u AS (
+      SELECT row_number() OVER (ORDER BY d) AS t,
+             CAST(sum(m2) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS HUGEINT) AS w2
+      FROM r),
+    s AS (
+      SELECT t, w2 - CAST(t AS HUGEINT) * (n0.n + 1) AS ut
+      FROM u, n0 WHERE t < n0.n),
+    k AS (SELECT t, abs(ut) AS a FROM s
+          ORDER BY abs(ut) DESC, t ASC LIMIT 1)
+    SELECT (SELECT CAST(n AS BIGINT) FROM n0) AS n_days,
+           CAST(k.a AS BIGINT) AS k_stat,
+           CAST(k.t AS BIGINT) AS cp_t,
+           round(2.0 * exp(-6.0 * CAST(k.a AS DOUBLE) * CAST(k.a AS DOUBLE)
+                 / (CAST(n0.n AS DOUBLE) * CAST(n0.n AS DOUBLE)
+                    * CAST(n0.n AS DOUBLE)
+                    + CAST(n0.n AS DOUBLE) * CAST(n0.n AS DOUBLE))), 6)
+             AS p_approx,
+           2.0 * exp(-6.0 * CAST(k.a AS DOUBLE) * CAST(k.a AS DOUBLE)
+                 / (CAST(n0.n AS DOUBLE) * CAST(n0.n AS DOUBLE)
+                    * CAST(n0.n AS DOUBLE)
+                    + CAST(n0.n AS DOUBLE) * CAST(n0.n AS DOUBLE)))
+             < 0.05 AS changepoint_5pct
+    FROM k, n0
+    """)
+def ts_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt (1979) rank changepoint test on daily order counts.
+
+    U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j) collapses to the rank
+    identity U_t = Σ_{i≤t} M_i − t(n+1) with M_i = 2·midrank_i =
+    2·min-rank + #ties − 1 (exact integers even under the heavy
+    integer-count ties of a daily frame), so the O(n²) double sum is
+    ONE value-ordered rank window plus ONE time-ordered prefix sum —
+    both over the bounded calendar frame. K = max|U_t| with the
+    earliest-t tie-break pinned on both engines; the approximate
+    significance is the standard 2·exp(−6K²/(n³+n²)). All integer
+    until the final exp. Plan: day aggregate → two bounded windows →
+    TakeOrdered(1)."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    n0 = daily.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    m2 = (2 * F.rank().over(Window.orderBy("y"))
+          + F.count(F.lit(1)).over(Window.partitionBy("y")) - 1)
+    r = daily.select("d", m2.cast(dec).alias("m2"))
+    wd = Window.orderBy("d")
+    u = r.select(
+        F.row_number().over(wd).alias("t"),
+        F.sum("m2").over(wd.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow))
+        .cast(dec).alias("w2"))
+    s = (u.crossJoin(F.broadcast(n0))
+         .filter(F.col("t") < F.col("n"))
+         .select("t", "n",
+                 (F.col("w2") - F.col("t").cast(dec)
+                  * (F.col("n") + 1)).alias("ut")))
+    k = s.orderBy(F.abs("ut").desc(), F.col("t").asc()).limit(1)
+    nd = F.col("n").cast("double")
+    ka = F.abs("ut").cast("double")
+    p = 2.0 * F.exp(-6.0 * ka * ka / (nd * nd * nd + nd * nd))
+    return k.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.abs("ut").cast("bigint").alias("k_stat"),
+                    F.col("t").cast("bigint").alias("cp_t"),
+                    F.round(p, 6).alias("p_approx"),
+                    (p < 0.05).alias("changepoint_5pct"))
+
+
+@register(
+    "ts_buishand_range",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    s0 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM daily),
+    a AS (
+      SELECT s0.n * CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS HUGEINT)
+               - CAST(row_number() OVER (ORDER BY d) AS HUGEINT) * s0.sy
+               AS at
+      FROM daily, s0),
+    m AS (SELECT CAST(max(at) AS HUGEINT) AS amax,
+                 CAST(min(at) AS HUGEINT) AS amin FROM a)
+    SELECT CAST(s0.n AS BIGINT) AS n_days,
+           round(CAST(m.amax - m.amin AS DOUBLE)
+                 / (sqrt(CAST(s0.n * s0.syy - s0.sy * s0.sy AS DOUBLE))
+                    * sqrt(CAST(s0.n AS DOUBLE))), 6) AS rb_stat,
+           CAST(m.amax AS DOUBLE)
+                 / (sqrt(CAST(s0.n * s0.syy - s0.sy * s0.sy AS DOUBLE))
+                    * sqrt(CAST(s0.n AS DOUBLE)))
+             - CAST(m.amin AS DOUBLE)
+                 / (sqrt(CAST(s0.n * s0.syy - s0.sy * s0.sy AS DOUBLE))
+                    * sqrt(CAST(s0.n AS DOUBLE))) > 1.55
+             AS inhomogeneous_5pct
+    FROM s0, m
+    """)
+def ts_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buishand (1982) cumulative-deviation range homogeneity test.
+
+    The rescaled partial sum S*_t = Σ_{i≤t}(x_i − x̄) is kept exact as
+    A_t = n·prefix_t − t·Σy (hugeint); the statistic R/√n =
+    (max A − min A)/(√(nΣy²−(Σy)²)·√n) is one double expression over
+    four exact integers (the n² factors cancel: σ̂·n = √Q with
+    Q = nΣy² − Σ²). Compared against the asymptotic 5% critical value
+    1.55. One day aggregate, one bounded prefix window, one min/max
+    aggregate. The inhomogeneity flag is computed from the same two
+    scaled terms the oracle uses so both engines branch identically."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    s0 = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"))
+    wd = Window.orderBy("d")
+    a = (daily.crossJoin(F.broadcast(s0))
+         .select((F.col("n")
+                  * F.sum("y").over(wd.rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow))
+                  .cast(dec)
+                  - F.row_number().over(wd).cast(dec) * F.col("sy"))
+                 .alias("at")))
+    m = a.agg(F.max("at").alias("amax"), F.min("at").alias("amin"))
+    j = m.crossJoin(F.broadcast(s0))
+    q = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    den = F.sqrt(q.cast("double")) * F.sqrt(F.col("n").cast("double"))
+    hi = F.col("amax").cast("double") / den
+    lo = F.col("amin").cast("double") / den
+    return j.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round((F.col("amax") - F.col("amin")).cast("double") / den, 6)
+        .alias("rb_stat"),
+        (hi - lo > 1.55).alias("inhomogeneous_5pct"))
+
+
+@register(
+    "ts_snht",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    s0 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM daily),
+    a AS (
+      SELECT row_number() OVER (ORDER BY d) AS t,
+             s0.n * CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS HUGEINT)
+               - CAST(row_number() OVER (ORDER BY d) AS HUGEINT) * s0.sy
+               AS at,
+             s0.n AS n, s0.n * s0.syy - s0.sy * s0.sy AS q
+      FROM daily, s0),
+    tt AS (
+      SELECT t,
+             CAST(at AS DOUBLE) * CAST(at AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(t AS DOUBLE) * CAST(n - t AS DOUBLE)
+                  * CAST(q AS DOUBLE)) AS tstat
+      FROM a WHERE t < n),
+    k AS (SELECT t, tstat FROM tt ORDER BY tstat DESC, t ASC LIMIT 1)
+    SELECT (SELECT CAST(n AS BIGINT) FROM s0) AS n_days,
+           round(k.tstat, 6) AS t0_stat,
+           CAST(k.t AS BIGINT) AS cp_t,
+           k.tstat > 9.2 AS shift_detected_5pct
+    FROM k
+    """)
+def ts_snht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alexandersson's Standard Normal Homogeneity Test on the daily
+    frame.
+
+    T_t = t·z̄₁² + (n−t)·z̄₂² reduces — with the exact n-scaled partial
+    deviation A_t = n·prefix_t − t·Σy and Q = nΣy² − (Σy)² — to
+    T_t = A_t²·n / (t·(n−t)·Q): every input to the per-t double is an
+    exact hugeint, so argmax and max agree across engines bit-for-bit
+    (earliest-t tie-break pinned). Flag against the ~5% asymptotic
+    critical value 9.2. Same bounded-calendar plan shape as
+    `ts_buishand_range`; the two tests share the A_t frame and bracket
+    mean-shift inhomogeneity the way the climate-homogenization
+    literature pairs them."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    s0 = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"))
+    wd = Window.orderBy("d")
+    a = (daily.crossJoin(F.broadcast(s0))
+         .select(F.row_number().over(wd).alias("t"),
+                 (F.col("n")
+                  * F.sum("y").over(wd.rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow))
+                  .cast(dec)
+                  - F.row_number().over(wd).cast(dec) * F.col("sy"))
+                 .alias("at"),
+                 F.col("n"),
+                 (F.col("n") * F.col("syy")
+                  - F.col("sy") * F.col("sy")).alias("q")))
+    ad = F.col("at").cast("double")
+    tstat = (ad * ad * F.col("n").cast("double")
+             / (F.col("t").cast("double")
+                * (F.col("n") - F.col("t")).cast("double")
+                * F.col("q").cast("double")))
+    tt = (a.filter(F.col("t") < F.col("n"))
+          .select("t", F.col("n"), tstat.alias("tstat")))
+    k = tt.orderBy(F.col("tstat").desc(), F.col("t").asc()).limit(1)
+    return k.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round("tstat", 6).alias("t0_stat"),
+                    F.col("t").cast("bigint").alias("cp_t"),
+                    (F.col("tstat") > 9.2).alias("shift_detected_5pct"))
+
+
+@register(
+    "ts_bartels_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    n0 AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM daily),
+    r AS (
+      SELECT d,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS m2
+      FROM daily),
+    lx AS (
+      SELECT m2, lead(m2) OVER (ORDER BY d) AS m2n, n0.n AS n
+      FROM r, n0),
+    g AS (
+      SELECT CAST(sum((m2 - m2n) * (m2 - m2n)) AS HUGEINT) AS nm4,
+             CAST(sum((m2 - (n + 1)) * (m2 - (n + 1))) AS HUGEINT) AS d4,
+             any_value(n) AS n
+      FROM lx)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(nm4 AS DOUBLE) / CAST(d4 AS DOUBLE), 6) AS rvn,
+           round((CAST(nm4 AS DOUBLE) / CAST(d4 AS DOUBLE) - 2.0)
+                 / sqrt(4.0 * CAST(n - 2 AS DOUBLE)
+                        * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           - 2.0 * CAST(n AS DOUBLE) - 9.0)
+                        / (5.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                           * CAST(n - 1 AS DOUBLE)
+                           * CAST(n - 1 AS DOUBLE))), 6) AS z_stat,
+           abs((CAST(nm4 AS DOUBLE) / CAST(d4 AS DOUBLE) - 2.0)
+                 / sqrt(4.0 * CAST(n - 2 AS DOUBLE)
+                        * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           - 2.0 * CAST(n AS DOUBLE) - 9.0)
+                        / (5.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                           * CAST(n - 1 AS DOUBLE)
+                           * CAST(n - 1 AS DOUBLE)))) > 1.96
+             AS nonrandom_5pct
+    FROM g
+    """)
+def ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels (1982) rank version of the von Neumann ratio — the
+    nonparametric randomness test that complements `win_runs_test`
+    (signs) and `ts_turning_points` (local extrema) with rank
+    *magnitudes* of successive differences.
+
+    With doubled midranks M_i (exact under ties), RVN = Σ(r_i−r_{i+1})²
+    / Σ(r_i−r̄)² = Σ(M_i−M_{i+1})² / Σ(M_i−(n+1))² — the factor 4
+    cancels, r̄ = (n+1)/2 doubles to the exact integer n+1. Both sums
+    are exact hugeints; z uses the exact finite-sample variance
+    4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²). One rank window + one lead
+    window on the calendar frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    n0 = daily.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    m2 = (2 * F.rank().over(Window.orderBy("y"))
+          + F.count(F.lit(1)).over(Window.partitionBy("y")) - 1)
+    r = daily.select("d", m2.cast(dec).alias("m2"))
+    lx = (r.crossJoin(F.broadcast(n0))
+          .select("m2", F.lead("m2").over(Window.orderBy("d"))
+                  .alias("m2n"), "n"))
+    g = lx.agg(
+        F.sum((F.col("m2") - F.col("m2n"))
+              * (F.col("m2") - F.col("m2n"))).alias("nm4"),
+        F.sum((F.col("m2") - (F.col("n") + 1))
+              * (F.col("m2") - (F.col("n") + 1))).alias("d4"),
+        F.any_value("n").alias("n"))
+    nd = F.col("n").cast("double")
+    rvn = F.col("nm4").cast("double") / F.col("d4").cast("double")
+    var = (4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+           / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)))
+    z = (rvn - 2.0) / F.sqrt(var)
+    return g.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(rvn, 6).alias("rvn"),
+                    F.round(z, 6).alias("z_stat"),
+                    (F.abs(z) > 1.96).alias("nonrandom_5pct"))
+
+
+@register(
+    "ts_dfa_alpha",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    s0 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy
+      FROM daily),
+    p AS (
+      SELECT row_number() OVER (ORDER BY d) AS t,
+             s0.n * CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS HUGEINT)
+               - CAST(row_number() OVER (ORDER BY d) AS HUGEINT) * s0.sy
+               AS pv,
+             s0.n AS n
+      FROM daily, s0),
+    wframe AS (
+      SELECT sc.s, (p.t - 1) // sc.s AS widx,
+             CAST(((p.t - 1) % sc.s) + 1 AS HUGEINT) AS i,
+             p.pv, p.n
+      FROM p CROSS JOIN (VALUES (4), (8), (16), (32), (64)) AS sc(s)),
+    wg AS (
+      SELECT s, widx,
+             count(*) AS c,
+             CAST(sum(i * pv) AS HUGEINT) AS sipv,
+             CAST(sum(i) AS HUGEINT) AS si,
+             CAST(sum(pv) AS HUGEINT) AS sp,
+             CAST(sum(pv * pv) AS HUGEINT) AS spp,
+             any_value(n) AS n
+      FROM wframe GROUP BY s, widx),
+    nm AS (
+      SELECT s,
+             sum((CAST(s AS HUGEINT) * spp - sp * sp)
+                 * (CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                    * (CAST(s AS HUGEINT) * CAST(s AS HUGEINT) - 1) // 12)
+                 - (CAST(s AS HUGEINT) * sipv - si * sp)
+                   * (CAST(s AS HUGEINT) * sipv - si * sp)) AS num,
+             count(*) AS nw,
+             any_value(n) AS n
+      FROM wg WHERE c = s GROUP BY s),
+    lf AS (
+      SELECT s,
+             0.5 * ln(CAST(num AS DOUBLE))
+             - 0.5 * ln(CAST(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                        * (CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                           * (CAST(s AS HUGEINT) * CAST(s AS HUGEINT) - 1)
+                           // 12) * nw AS DOUBLE))
+             - ln(CAST(n AS DOUBLE)) AS logf,
+             n
+      FROM nm),
+    pv2 AS (
+      SELECT any_value(n) AS n,
+             max(CASE WHEN s = 4 THEN logf END) AS f4,
+             max(CASE WHEN s = 8 THEN logf END) AS f8,
+             max(CASE WHEN s = 16 THEN logf END) AS f16,
+             max(CASE WHEN s = 32 THEN logf END) AS f32,
+             max(CASE WHEN s = 64 THEN logf END) AS f64
+      FROM lf)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((-2.0 * f4 - f8 + f32 + 2.0 * f64)
+                 / (10.0 * ln(2.0)), 6) AS dfa_alpha,
+           round(f4, 6) AS logf_s4,
+           round(f64, 6) AS logf_s64
+    FROM pv2
+    """)
+def ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis (Peng et al. 1994) scaling
+    exponent of the daily order-count series.
+
+    The profile is kept exact via the n-scaled form P_t = n·prefix_t −
+    t·Σy; within each size-s window the least-squares detrend residual
+    satisfies SS_res·s·SxxS = SyyS·SxxS − SxyS² where SxyS = sΣiP −
+    ΣiΣP, SyyS = sΣP² − (ΣP)², SxxS = s²(s²−1)/12 — ALL exact
+    hugeints, so the per-scale fluctuation Σ_w SS_res is a single
+    exact integer and log F(s) is one deterministic double expression
+    (no order-dependent float summation anywhere). Scales are the
+    dyadic grid {4,…,64}, so ln s is affine in j and the log-log slope
+    collapses to (−2f₄−f₈+f₃₂+2f₆₄)/(10 ln 2) over ONE pivoted row —
+    the 5-point regression never aggregates doubles. α≈0.5 ⇒ white
+    noise; α→1 ⇒ 1/f long-range dependence. Plan: day aggregate →
+    bounded prefix window → 5× fan-out over a constant scale array →
+    two partial-agg groupBys; linear, shuffle keys bounded by
+    (scale × window-count), i.e. by the calendar."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    s0 = daily.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                   F.sum("y").cast(dec).alias("sy"))
+    wd = Window.orderBy("d")
+    p = (daily.crossJoin(F.broadcast(s0))
+         .select(F.row_number().over(wd).alias("t"),
+                 (F.col("n")
+                  * F.sum("y").over(wd.rowsBetween(
+                      Window.unboundedPreceding, Window.currentRow))
+                  .cast(dec)
+                  - F.row_number().over(wd).cast(dec) * F.col("sy"))
+                 .alias("pv"),
+                 "n"))
+    scales = spark.range(0, 5).select(
+        F.expr("shiftleft(4, cast(id AS int))").alias("s"))
+    wframe = (p.crossJoin(F.broadcast(scales))
+              .select("s",
+                      ((F.col("t") - 1) / F.col("s"))
+                      .cast("bigint").alias("widx"),
+                      (((F.col("t") - 1) % F.col("s")) + 1)
+                      .cast(dec).alias("i"),
+                      "pv", "n"))
+    wg = (wframe.groupBy("s", "widx")
+          .agg(F.count(F.lit(1)).alias("c"),
+               F.sum(F.col("i") * F.col("pv")).alias("sipv"),
+               F.sum("i").alias("si"),
+               F.sum("pv").alias("sp"),
+               F.sum(F.col("pv") * F.col("pv")).alias("spp"),
+               F.any_value("n").alias("n")))
+    sd = F.col("s").cast(dec)
+    sxxs = sd * sd * (sd * sd - 1) / 12
+    sxys = sd * F.col("sipv") - F.col("si") * F.col("sp")
+    syys = sd * F.col("spp") - F.col("sp") * F.col("sp")
+    nm = (wg.filter(F.col("c") == F.col("s"))
+          .groupBy("s")
+          .agg(F.sum(syys * sxxs - sxys * sxys).alias("num"),
+               F.count(F.lit(1)).alias("nw"),
+               F.any_value("n").alias("n")))
+    logf = (0.5 * F.log(F.col("num").cast("double"))
+            - 0.5 * F.log((sd * sd * sxxs * F.col("nw")).cast("double"))
+            - F.log(F.col("n").cast("double")))
+    lf = nm.select("s", logf.alias("logf"), "n")
+    pv2 = lf.agg(
+        F.any_value("n").alias("n"),
+        *[F.max(F.when(F.col("s") == s, F.col("logf"))).alias(f"f{s}")
+          for s in (4, 8, 16, 32, 64)])
+    alpha = ((-2.0 * F.col("f4") - F.col("f8") + F.col("f32")
+              + 2.0 * F.col("f64")) / (10.0 * F.log(F.lit(2.0))))
+    return pv2.select(F.col("n").cast("bigint").alias("n_days"),
+                      F.round(alpha, 6).alias("dfa_alpha"),
+                      F.round("f4", 6).alias("logf_s4"),
+                      F.round("f64", 6).alias("logf_s64"))
+
+
+@register(
+    "ts_higuchi_fd",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    n0 AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM daily),
+    p AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, y FROM daily),
+    pk AS (
+      SELECT kk.k, p.t, p.y FROM p
+      CROSS JOIN (VALUES (1), (2), (4), (8), (16)) AS kk(k)),
+    df AS (
+      SELECT a.k, ((a.t - 1) % a.k) + 1 AS m,
+             abs(a.y - b.y) AS ad
+      FROM pk a JOIN pk b ON b.k = a.k AND b.t = a.t - a.k),
+    gm AS (
+      SELECT k, m,
+             CAST(sum(ad) AS HUGEINT) AS sd,
+             count(*) AS c
+      FROM df GROUP BY k, m),
+    lm AS (
+      SELECT k,
+             CAST(round(CAST(sd AS DOUBLE) * CAST(n0.n - 1 AS DOUBLE)
+                        / (CAST(c AS DOUBLE) * k * k), 9)
+                  AS DECIMAL(28,9)) AS lmv
+      FROM gm, n0),
+    lk AS (
+      SELECT k, ln(CAST(sum(lmv) AS DOUBLE) / count(*)) AS yk
+      FROM lm GROUP BY k),
+    pv2 AS (
+      SELECT max(CASE WHEN k = 1 THEN yk END) AS y1,
+             max(CASE WHEN k = 2 THEN yk END) AS y2,
+             max(CASE WHEN k = 4 THEN yk END) AS y4,
+             max(CASE WHEN k = 8 THEN yk END) AS y8,
+             max(CASE WHEN k = 16 THEN yk END) AS y16
+      FROM lk)
+    SELECT (SELECT CAST(n AS BIGINT) FROM n0) AS n_days,
+           round(-(-2.0 * y1 - y2 + y8 + 2.0 * y16)
+                 / (10.0 * ln(2.0)), 6) AS higuchi_fd,
+           round(y1, 6) AS log_l1
+    FROM pv2
+    """)
+def ts_higuchi_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higuchi (1988) fractal dimension of the daily order-count
+    curve.
+
+    For each lag k on the dyadic grid {1,2,4,8,16} and each phase
+    m ∈ 1..k, the curve length L_m(k) = Σ|y_{m+ik} − y_{m+(i−1)k}| ·
+    (n−1)/(c·k²) is computed from exact integer diff sums; the only
+    float average (over the ≤k phases) is made order-independent by
+    quantizing each L_m to a 9-dp DECIMAL before the exact decimal
+    sum. FD is the negated log-log slope; on the dyadic grid that is
+    the same one-row 5-point stencil as `ts_dfa_alpha` — no float
+    aggregation. FD≈1.5 ⇒ random walk increments; →2 ⇒ space-filling
+    jaggedness. The lag-k diff is an equi-join on (k, t−k) rather
+    than a per-row variable-offset window (lag offsets must be
+    literals), so the plan is two bounded-frame shuffles."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    n0 = daily.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    p = daily.select(F.row_number().over(Window.orderBy("d"))
+                     .alias("t"), "y")
+    ks = spark.range(0, 5).select(
+        F.expr("shiftleft(1, cast(id AS int))").alias("k"))
+    pk = p.crossJoin(F.broadcast(ks))
+    a = pk.alias("a")
+    b = pk.alias("b")
+    df = (a.join(b, (F.col("b.k") == F.col("a.k"))
+                 & (F.col("b.t") == F.col("a.t") - F.col("a.k")))
+          .select(F.col("a.k").alias("k"),
+                  (((F.col("a.t") - 1) % F.col("a.k")) + 1).alias("m"),
+                  F.abs(F.col("a.y") - F.col("b.y")).alias("ad")))
+    gm = (df.groupBy("k", "m")
+          .agg(F.sum("ad").cast(dec).alias("sd"),
+               F.count(F.lit(1)).alias("c")))
+    lm = (gm.crossJoin(F.broadcast(n0))
+          .select("k",
+                  F.round(F.col("sd").cast("double")
+                          * (F.col("n") - 1).cast("double")
+                          / (F.col("c").cast("double")
+                             * F.col("k") * F.col("k")), 9)
+                  .cast("decimal(28,9)").alias("lmv")))
+    lk = (lm.groupBy("k")
+          .agg(F.log(F.sum("lmv").cast("double")
+                     / F.count(F.lit(1))).alias("yk")))
+    pv2 = lk.agg(
+        *[F.max(F.when(F.col("k") == k, F.col("yk"))).alias(f"y{k}")
+          for k in (1, 2, 4, 8, 16)])
+    slope = ((-2.0 * F.col("y1") - F.col("y2") + F.col("y8")
+              + 2.0 * F.col("y16")) / (10.0 * F.log(F.lit(2.0))))
+    return (pv2.crossJoin(F.broadcast(n0))
+            .select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(-slope, 6).alias("higuchi_fd"),
+                    F.round("y1", 6).alias("log_l1")))
+
+
+@register(
+    "ts_permutation_entropy",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    tri AS (
+      SELECT y,
+             lead(y, 1) OVER (ORDER BY d) AS y1,
+             lead(y, 2) OVER (ORDER BY d) AS y2
+      FROM daily),
+    pat AS (
+      SELECT 4 * CAST(y <= y1 AS INT) + 2 * CAST(y1 <= y2 AS INT)
+             + CAST(y <= y2 AS INT) AS code
+      FROM tri WHERE y1 IS NOT NULL AND y2 IS NOT NULL),
+    g AS (SELECT code, count(*) AS c FROM pat GROUP BY code),
+    n0 AS (SELECT CAST(sum(c) AS DOUBLE) AS nt,
+                  CAST(sum(c) AS BIGINT) AS ntb,
+                  count(*) AS np FROM g),
+    h AS (
+      SELECT CAST(sum(CAST(round(-(c / n0.nt) * ln(c / n0.nt), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS hsum
+      FROM g, n0)
+    SELECT n0.ntb AS n_triples,
+           CAST(n0.np AS BIGINT) AS n_patterns,
+           round(h.hsum / ln(6.0), 6) AS h_norm
+    FROM n0, h
+    """)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt–Pompe (2002) permutation entropy, embedding dimension 3,
+    of the daily order-count series.
+
+    Each day contributes the ordinal pattern of (y_t, y_{t+1},
+    y_{t+2}); ties are broken toward the EARLIER index (a ≺ b iff
+    y_a ≤ y_b for a before b) so integer-count ties produce the same
+    pattern code on both engines. The code 4·[y≤y₁]+2·[y₁≤y₂]+[y≤y₂]
+    realizes exactly the 6 transitive orderings (8 combinations minus
+    2 intransitive). H = −Σp ln p over the ≤6 pattern frequencies is
+    made order-independent by quantizing each term to a 12-dp DECIMAL
+    before the exact sum (the repo's iterative-op discipline);
+    normalized by ln 3! ∈ [0,1]: ≈1 ⇒ patterns equiprobable (noise),
+    ≪1 ⇒ deterministic structure. One lead window on the calendar
+    frame + one ≤6-group aggregate."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
+    wd = Window.orderBy("d")
+    tri = daily.select("y", F.lead("y", 1).over(wd).alias("y1"),
+                       F.lead("y", 2).over(wd).alias("y2"))
+    pat = (tri.filter(F.col("y1").isNotNull()
+                      & F.col("y2").isNotNull())
+           .select((4 * (F.col("y") <= F.col("y1")).cast("int")
+                    + 2 * (F.col("y1") <= F.col("y2")).cast("int")
+                    + (F.col("y") <= F.col("y2")).cast("int"))
+                   .alias("code")))
+    g = pat.groupBy("code").agg(F.count(F.lit(1)).alias("c"))
+    n0 = g.agg(F.sum("c").cast("double").alias("nt"),
+               F.sum("c").cast("bigint").alias("ntb"),
+               F.count(F.lit(1)).alias("np"))
+    pr = F.col("c") / F.col("nt")
+    h = (g.crossJoin(F.broadcast(n0))
+         .agg(F.sum(F.round(-pr * F.log(pr), 12)
+                    .cast("decimal(38,12)")).cast("double")
+              .alias("hsum"),
+              F.any_value("ntb").alias("ntb"),
+              F.any_value("np").alias("np")))
+    return h.select(F.col("ntb").alias("n_triples"),
+                    F.col("np").cast("bigint").alias("n_patterns"),
+                    F.round(F.col("hsum") / F.log(F.lit(6.0)), 6)
+                    .alias("h_norm"))

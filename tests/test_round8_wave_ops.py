@@ -260,3 +260,58 @@ def test_damm_checksum_properties(spark, qs):
             for repl in "0123456789":
                 if repl != pid[i]:
                     assert fold(pid[:i] + repl + pid[i + 1:]) != 0
+
+
+def test_pettitt_identities(spark, qs):
+    """K = max|U_t| is bounded by the no-overlap maximum t(n−t) ≤ n²/4;
+    the changepoint index is interior; the p-flag agrees with 0.05."""
+    r = qs["ts_pettitt_test"](spark, SF_DIR).first()
+    n = r["n_days"]
+    assert 0 <= r["k_stat"] <= n * n / 4 + n
+    assert 1 <= r["cp_t"] < n
+    assert r["changepoint_5pct"] == (r["p_approx"] < 0.05)
+
+
+def test_buishand_snht_consistency(spark, qs):
+    """Both homogeneity statistics are positive; SNHT's T0 is bounded
+    by the algebraic maximum A²n/(t(n−t)Q) ≤ n·max A²/(1·(n−1)·Q),
+    and the two tests run on the same frame (same n)."""
+    rb = qs["ts_buishand_range"](spark, SF_DIR).first()
+    rs = qs["ts_snht"](spark, SF_DIR).first()
+    assert rb["rb_stat"] > 0
+    assert rs["t0_stat"] > 0
+    assert rb["n_days"] == rs["n_days"]
+    assert 1 <= rs["cp_t"] < rs["n_days"]
+
+
+def test_bartels_rvn_range(spark, qs):
+    """RVN ∈ (0, 4); its expectation under randomness is 2; the flag
+    matches the 1.96 two-sided gate."""
+    r = qs["ts_bartels_rank"](spark, SF_DIR).first()
+    assert 0.0 < r["rvn"] < 4.0
+    assert r["nonrandom_5pct"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_dfa_alpha_plausible(spark, qs):
+    """Fluctuations must GROW with scale (logF(64) > logF(4)) and the
+    scaling exponent of a real counting series sits in (0, 2)."""
+    r = qs["ts_dfa_alpha"](spark, SF_DIR).first()
+    assert r["logf_s64"] > r["logf_s4"]
+    assert 0.0 < r["dfa_alpha"] < 2.0
+
+
+def test_higuchi_fd_range(spark, qs):
+    """A curve's Higuchi dimension lies in [1, 2]; allow a small
+    estimation slack on the dyadic 5-point grid."""
+    r = qs["ts_higuchi_fd"](spark, SF_DIR).first()
+    assert 0.9 <= r["higuchi_fd"] <= 2.1
+
+
+def test_permutation_entropy_bounds(spark, qs):
+    """h_norm ∈ [0, 1]; at most 6 ordinal patterns exist for dim 3;
+    the triple count is the day count minus 2."""
+    r = qs["ts_permutation_entropy"](spark, SF_DIR).first()
+    assert 0.0 <= r["h_norm"] <= 1.0
+    assert 1 <= r["n_patterns"] <= 6
+    rp = qs["ts_pettitt_test"](spark, SF_DIR).first()
+    assert r["n_triples"] == rp["n_days"] - 2
