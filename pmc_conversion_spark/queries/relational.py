@@ -11839,3 +11839,591 @@ def agg_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(2.0 * d)
                 - F.sqrt(2.0 * (F.col("n") - 1).cast("double") - 1.0),
                 6).alias("z_overdispersion"))
+
+
+# --------------------------------------------------------------------------
+# round-8 wave 6: measurement agreement & method comparison. Reference
+# scope: thehyve/pmc-conversion reconciles the same clinical fact arriving
+# through two paths (CSR source files vs the staging DB it loads,
+# csr2transmart.py's validation step); this wave is that idea as engine
+# statistics — when a pipeline measures one quantity two ways (two
+# ingestion paths, two annotators, two sensors), these ops quantify HOW
+# WELL the instruments agree, not merely whether row counts match. The
+# instrument pair used throughout: daily revenue booked by ORDER date
+# (header o_totalprice) vs daily revenue shipped by SHIP date (line-level
+# l_extendedprice) — two timing-noisy measurements of daily volume, kept
+# exact as integer cents. Every op is one or two partial-agg shuffles over
+# key spaces bounded by the calendar / label domain, never by corpus size.
+# --------------------------------------------------------------------------
+
+
+_PAIRED_DAILY_SQL = """
+    booked AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS x
+      FROM orders GROUP BY 1),
+    shipped AS (
+      SELECT date_trunc('day', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS y
+      FROM lineitem GROUP BY 1),
+    pair AS (
+      SELECT booked.x, shipped.y
+      FROM booked JOIN shipped USING (d)),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM pair)
+"""
+
+
+def _paired_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared frame: (day, x=booked cents, y=shipped cents), inner-joined
+    on common days — the two instruments' overlapping support."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("decimal(38,0)")
+    booked = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("d"), cents("o_totalprice").alias("v"))
+              .groupBy("d").agg(F.sum("v").alias("x")))
+    shipped = (li.select(F.date_trunc("day", F.col("l_shipdate"))
+                         .alias("d"), cents("l_extendedprice").alias("v"))
+               .groupBy("d").agg(F.sum("v").alias("y")))
+    return booked.join(shipped, "d")
+
+
+def _paired_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = _paired_daily(spark, sf_dir)
+    return pair.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+
+
+@register(
+    "agg_deming_regression",
+    oracle="WITH " + _PAIRED_DAILY_SQL + """
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((CAST(n * syy - sy * sy AS DOUBLE)
+                  - CAST(n * sxx - sx * sx AS DOUBLE)
+                  + sqrt((CAST(n * syy - sy * sy AS DOUBLE)
+                          - CAST(n * sxx - sx * sx AS DOUBLE))
+                         * (CAST(n * syy - sy * sy AS DOUBLE)
+                            - CAST(n * sxx - sx * sx AS DOUBLE))
+                         + 4.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                               * CAST(n * sxy - sx * sy AS DOUBLE)))
+                 / (2.0 * CAST(n * sxy - sx * sy AS DOUBLE)), 6)
+             AS deming_slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n * syy - sy * sy AS DOUBLE)
+                      - CAST(n * sxx - sx * sx AS DOUBLE)
+                      + sqrt((CAST(n * syy - sy * sy AS DOUBLE)
+                              - CAST(n * sxx - sx * sx AS DOUBLE))
+                             * (CAST(n * syy - sy * sy AS DOUBLE)
+                                - CAST(n * sxx - sx * sx AS DOUBLE))
+                             + 4.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                                   * CAST(n * sxy - sx * sy AS DOUBLE)))
+                     / (2.0 * CAST(n * sxy - sx * sy AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 4) AS deming_intercept_usd,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS pearson_r
+    FROM mom
+    """)
+def agg_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMING errors-in-variables regression (δ=1) between the two
+    daily-revenue instruments — the method-comparison fit OLS cannot
+    give: when BOTH series carry measurement noise, OLS attenuates the
+    slope toward 0, while the Deming slope [S_yy−S_xx+√((S_yy−S_xx)²+
+    4S_xy²)]/(2S_xy) is symmetric in the roles of x and y.
+
+    The n²-scaled centered moments nΣx²−(Σx)² etc. are exact hugeints
+    over integer cents (the n² factors cancel inside the slope); the
+    quadratic formula is one deterministic double expression per
+    engine. Two partial-agg day shuffles + one 1-row reduce."""
+    m = _paired_moments(spark, sf_dir)
+    sxxs = (F.col("n") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("double")
+    syys = (F.col("n") * F.col("syy")
+            - F.col("sy") * F.col("sy")).cast("double")
+    sxys = (F.col("n") * F.col("sxy")
+            - F.col("sx") * F.col("sy")).cast("double")
+    slope = (syys - sxxs
+             + F.sqrt((syys - sxxs) * (syys - sxxs)
+                      + 4.0 * sxys * sxys)) / (2.0 * sxys)
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double") / 100.0)
+    r = sxys / F.sqrt(sxxs * syys)
+    return m.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(slope, 6).alias("deming_slope"),
+                    F.round(intercept, 4).alias("deming_intercept_usd"),
+                    F.round(r, 6).alias("pearson_r"))
+
+
+@register(
+    "agg_lin_ccc",
+    oracle="WITH " + _PAIRED_DAILY_SQL + """
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(2.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    + CAST(n * syy - sy * sy AS DOUBLE)
+                    + CAST((sx - sy) * (sx - sy) AS DOUBLE)), 6) AS ccc,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS pearson_r,
+           round((2.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    + CAST(n * syy - sy * sy AS DOUBLE)
+                    + CAST((sx - sy) * (sx - sy) AS DOUBLE)))
+                 / (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS accuracy_cb
+    FROM mom
+    """)
+def agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIN's concordance correlation coefficient between the two
+    daily-revenue instruments: CCC = 2s_xy/(s_x²+s_y²+(x̄−ȳ)²) — the
+    agreement index that penalizes both scatter (precision, Pearson r)
+    AND systematic offset (accuracy, C_b = CCC/r), which r alone
+    ignores: a perfectly correlated series shifted by a constant has
+    r = 1 but CCC < 1.
+
+    Numerator and denominator are multiplied through by n², making
+    every term an exact hugeint over integer cents — (Σx−Σy)² is the
+    exact n²-scaled mean offset. Same two-shuffle plan as
+    `agg_deming_regression`."""
+    m = _paired_moments(spark, sf_dir)
+    sxxs = (F.col("n") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("double")
+    syys = (F.col("n") * F.col("syy")
+            - F.col("sy") * F.col("sy")).cast("double")
+    sxys = (F.col("n") * F.col("sxy")
+            - F.col("sx") * F.col("sy")).cast("double")
+    off = ((F.col("sx") - F.col("sy"))
+           * (F.col("sx") - F.col("sy"))).cast("double")
+    ccc = 2.0 * sxys / (sxxs + syys + off)
+    r = sxys / F.sqrt(sxxs * syys)
+    return m.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(ccc, 6).alias("ccc"),
+                    F.round(r, 6).alias("pearson_r"),
+                    F.round(ccc / r, 6).alias("accuracy_cb"))
+
+
+@register(
+    "agg_bland_altman",
+    oracle="WITH " + _PAIRED_DAILY_SQL + """
+    , dstat AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y - x) AS HUGEINT) AS sd1,
+             CAST(sum((y - x) * (y - x)) AS HUGEINT) AS sd2
+      FROM pair),
+    lim AS (
+      SELECT n,
+             CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS md,
+             sqrt(CAST(n * sd2 - sd1 * sd1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+      FROM dstat),
+    outc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_outside
+      FROM pair, lim
+      WHERE abs(CAST(y - x AS DOUBLE) - lim.md) > 1.96 * lim.sd)
+    SELECT CAST(lim.n AS BIGINT) AS n_days,
+           round(lim.md / 100.0, 4) AS mean_diff_usd,
+           round((lim.md - 1.96 * lim.sd) / 100.0, 4) AS loa_low_usd,
+           round((lim.md + 1.96 * lim.sd) / 100.0, 4) AS loa_high_usd,
+           outc.n_outside AS n_outside
+    FROM lim, outc
+    """)
+def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAND–ALTMAN limits of agreement between the two daily-revenue
+    instruments: mean difference (systematic bias between booking and
+    shipping days), mean ± 1.96·SD limits, and the count of days
+    falling outside — the plot-free numerical core of the standard
+    method-comparison analysis (≈5% outside is consistent with
+    normal-noise agreement).
+
+    Differences are exact integer cents; mean and SD come from the
+    exact (Σd, Σd²) pair, and the outside-count compares each exact
+    integer diff against the identical double threshold on both
+    engines. One extra broadcast of the 1-row limits onto the bounded
+    daily frame."""
+    pair = _paired_daily(spark, sf_dir)
+    d = pair.select((F.col("y") - F.col("x")).alias("dd"))
+    st = d.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+               F.sum("dd").alias("sd1"),
+               F.sum(F.col("dd") * F.col("dd")).alias("sd2"))
+    md = F.col("sd1").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt((F.col("n") * F.col("sd2")
+                 - F.col("sd1") * F.col("sd1")).cast("double")
+                / (F.col("n").cast("double")
+                   * (F.col("n") - 1).cast("double")))
+    lim = st.select("n", md.alias("md"), sd.alias("sd"))
+    outc = (d.crossJoin(F.broadcast(lim))
+            .filter(F.abs(F.col("dd").cast("double") - F.col("md"))
+                    > 1.96 * F.col("sd"))
+            .agg(F.count(F.lit(1)).alias("n_outside")))
+    return (lim.crossJoin(outc)
+            .select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(F.col("md") / 100.0, 4)
+                    .alias("mean_diff_usd"),
+                    F.round((F.col("md") - 1.96 * F.col("sd")) / 100.0, 4)
+                    .alias("loa_low_usd"),
+                    F.round((F.col("md") + 1.96 * F.col("sd")) / 100.0, 4)
+                    .alias("loa_high_usd"),
+                    F.col("n_outside")))
+
+
+@register(
+    "agg_cronbach_alpha",
+    oracle="""
+    WITH items AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS i1,
+             CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS i2,
+             CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS i3,
+             CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS i4,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN 1 ELSE 0 END) AS HUGEINT) AS i5
+      FROM orders GROUP BY 1),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(i1) AS HUGEINT) AS s1,
+             CAST(sum(i1 * i1) AS HUGEINT) AS q1,
+             CAST(sum(i2) AS HUGEINT) AS s2,
+             CAST(sum(i2 * i2) AS HUGEINT) AS q2,
+             CAST(sum(i3) AS HUGEINT) AS s3,
+             CAST(sum(i3 * i3) AS HUGEINT) AS q3,
+             CAST(sum(i4) AS HUGEINT) AS s4,
+             CAST(sum(i4 * i4) AS HUGEINT) AS q4,
+             CAST(sum(i5) AS HUGEINT) AS s5,
+             CAST(sum(i5 * i5) AS HUGEINT) AS q5,
+             CAST(sum(i1 + i2 + i3 + i4 + i5) AS HUGEINT) AS st,
+             CAST(sum((i1 + i2 + i3 + i4 + i5)
+                      * (i1 + i2 + i3 + i4 + i5)) AS HUGEINT) AS qt
+      FROM items)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           5 AS k_items,
+           round((5.0 / 4.0)
+                 * (1.0 - CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                               + (n * q3 - s3 * s3) + (n * q4 - s4 * s4)
+                               + (n * q5 - s5 * s5) AS DOUBLE)
+                         / CAST(n * qt - st * st AS DOUBLE)), 6)
+             AS cronbach_alpha
+    FROM mom
+    """)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH's α internal-consistency coefficient treating each
+    day as a subject and the five order-priority daily counts as the
+    k = 5 scale items: α = k/(k−1)·(1 − Σᵢvar(itemᵢ)/var(total)).
+    High α ⇒ the per-priority arrival channels move together (one
+    underlying daily-volume factor); α near 0 ⇒ independent channels
+    (which is what a Poisson-split arrival process predicts — the
+    statistic is a detector for shared load drivers in a multi-queue
+    ingest pipeline).
+
+    The item matrix is the zero-filled conditional-count pivot (days
+    with no orders of a priority contribute 0, identically on both
+    engines); all variances ride the n-scaled exact form nΣx²−(Σx)²,
+    and the ratio of their sums is the only double. One day-grouped
+    partial agg + one 1-row reduce."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+    items = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("d"))
+             .agg(*[F.sum(F.when(F.col("o_orderpriority") == p, 1)
+                          .otherwise(0)).cast(dec).alias(f"i{j+1}")
+                    for j, p in enumerate(prios)]))
+    tot = sum(F.col(f"i{j+1}") for j in range(5))
+    mom = items.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        *[x for j in range(5) for x in
+          (F.sum(F.col(f"i{j+1}")).alias(f"s{j+1}"),
+           F.sum(F.col(f"i{j+1}") * F.col(f"i{j+1}")).alias(f"q{j+1}"))],
+        F.sum(tot).alias("st"),
+        F.sum(tot * tot).alias("qt"))
+    item_var = sum((F.col("n") * F.col(f"q{j+1}")
+                    - F.col(f"s{j+1}") * F.col(f"s{j+1}"))
+                   for j in range(5)).cast("double")
+    tot_var = (F.col("n") * F.col("qt")
+               - F.col("st") * F.col("st")).cast("double")
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.lit(5).alias("k_items"),
+        F.round((5.0 / 4.0) * (1.0 - item_var / tot_var), 6)
+        .alias("cronbach_alpha"))
+
+
+@register(
+    "agg_icc_oneway",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS g,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS v
+      FROM orders),
+    pg AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS ni,
+             CAST(sum(v) AS HUGEINT) AS sv,
+             CAST(sum(v * v) AS HUGEINT) AS qv,
+             CAST(round(CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(38,6)) AS gterm
+      FROM x GROUP BY g HAVING count(*) >= 2),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS a,
+             CAST(sum(ni) AS HUGEINT) AS nn,
+             CAST(sum(sv) AS HUGEINT) AS sx,
+             CAST(sum(qv) AS HUGEINT) AS qx,
+             CAST(sum(ni * ni) AS HUGEINT) AS sn2,
+             CAST(sum(gterm) AS DECIMAL(38,6)) AS gsum
+      FROM pg),
+    ms AS (
+      SELECT CAST(a AS DOUBLE) AS a, CAST(nn AS DOUBLE) AS nn,
+             (CAST(gsum AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(nn AS DOUBLE)) / (CAST(a AS DOUBLE) - 1.0) AS msb,
+             (CAST(qx AS DOUBLE) - CAST(gsum AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)) AS msw,
+             (CAST(nn AS DOUBLE)
+              - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+               / (CAST(a AS DOUBLE) - 1.0) AS kbar
+      FROM mom)
+    SELECT CAST(a AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_obs,
+           round(kbar, 6) AS kbar,
+           round((msb - msw) / (msb + (kbar - 1.0) * msw), 6) AS icc1
+    FROM ms
+    """)
+def agg_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects INTRACLASS correlation ICC(1,1) of order
+    value within customer — how much of order-amount variance is a
+    stable customer trait vs within-customer noise — via the
+    unbalanced-design ANOVA estimator: ICC = (MSB−MSW)/(MSB+(k̄−1)MSW)
+    with k̄ = (N − Σnᵢ²/N)/(a−1) the effective group size.
+
+    The only per-group division, (Σᵢv)²/nᵢ, is quantized to a 6-dp
+    DECIMAL before the exact decimal sum (the repo's float-sum
+    discipline), so MSB/MSW are single-row double expressions over
+    exact aggregates. Customers with one order carry no within-group
+    information and are excluded by both engines (HAVING nᵢ ≥ 2).
+    One customer-keyed partial agg (pre-aggregation before any wide
+    row is formed) + one 1-row reduce — the group count a, not the
+    corpus, bounds the second stage."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    x = o.select(F.col("o_custkey").alias("g"),
+                 F.round(F.col("o_totalprice") * 100)
+                 .cast(dec).alias("v"))
+    pg = (x.groupBy("g")
+          .agg(F.count(F.lit(1)).cast(dec).alias("ni"),
+               F.sum("v").alias("sv"),
+               F.sum(F.col("v") * F.col("v")).alias("qv"))
+          .filter(F.col("ni") >= 2)
+          .select("ni", "qv",
+                  F.col("sv"),
+                  F.round(F.col("sv").cast("double")
+                          * F.col("sv").cast("double")
+                          / F.col("ni").cast("double"), 6)
+                  .cast("decimal(38,6)").alias("gterm")))
+    mom = pg.agg(F.count(F.lit(1)).cast(dec).alias("a"),
+                 F.sum("ni").alias("nn"),
+                 F.sum("sv").alias("sx"),
+                 F.sum("qv").alias("qx"),
+                 F.sum(F.col("ni") * F.col("ni")).alias("sn2"),
+                 F.sum("gterm").cast("decimal(38,6)").alias("gsum"))
+    a = F.col("a").cast("double")
+    nn = F.col("nn").cast("double")
+    msb = ((F.col("gsum").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            / nn) / (a - 1.0))
+    msw = ((F.col("qx").cast("double") - F.col("gsum").cast("double"))
+           / (nn - a))
+    kbar = (nn - F.col("sn2").cast("double") / nn) / (a - 1.0)
+    return mom.select(
+        F.col("a").cast("bigint").alias("n_groups"),
+        F.col("nn").cast("bigint").alias("n_obs"),
+        F.round(kbar, 6).alias("kbar"),
+        F.round((msb - msw) / (msb + (kbar - 1.0) * msw), 6)
+        .alias("icc1"))
+
+
+@register(
+    "agg_gwets_ac1",
+    oracle="""
+    WITH shiplag AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS maxship
+      FROM lineitem GROUP BY 1),
+    rated AS (
+      SELECT CASE WHEN shiplag.maxship > o.o_orderdate
+                       + INTERVAL 90 DAY THEN 1 ELSE 0 END AS a,
+             CASE WHEN o.o_orderpriority IN ('5-LOW',
+                  '4-NOT SPECIFIED') THEN 1 ELSE 0 END AS b
+      FROM orders o JOIN shiplag ON shiplag.ok = o.o_orderkey),
+    cts AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS n11,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS n10,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS n01,
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS n00
+      FROM rated),
+    pp AS (
+      SELECT n, n11, n00,
+             CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             CAST((n11 + n10) + (n11 + n01) AS DOUBLE)
+               / (2.0 * CAST(n AS DOUBLE)) AS pi
+      FROM cts)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(po, 6) AS observed_agreement,
+           round(2.0 * pi * (1.0 - pi), 6) AS chance_agreement,
+           round((po - 2.0 * pi * (1.0 - pi))
+                 / (1.0 - 2.0 * pi * (1.0 - pi)), 6) AS gwets_ac1
+    FROM pp
+    """)
+def agg_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GWET's AC1 chance-corrected agreement between two binary
+    'raters' of order slowness: rater A = operationally slow (last
+    line shipped > 90 days after the order date), rater B = declared
+    low-urgency (priority 4–5). AC1's chance model 2π(1−π) uses the AVERAGED
+    marginal π, which keeps the coefficient stable when prevalence is
+    skewed — exactly the regime where Cohen's κ (see
+    `agg_cohens_kappa`) collapses toward 0 despite high raw agreement
+    (the 'kappa paradox'); a curation pipeline comparing a cheap
+    heuristic labeler against a reference labeler on imbalanced
+    classes needs this, not κ alone.
+
+    Rater A (operationally slow: last line shipped > 90 days after
+    the order date) is one orderkey-grouped partial agg over lineitem
+    (the 6× fact table never joins unaggregated) joined to the header;
+    rater B is the declared low-urgency label. The 2×2 table is exact
+    counts and the statistic one double expression."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    shiplag = (li.groupBy(F.col("l_orderkey").alias("ok"))
+               .agg(F.max("l_shipdate").alias("maxship")))
+    rated = (o.join(shiplag, o["o_orderkey"] == shiplag["ok"])
+             .select(F.when(F.col("maxship")
+                            > F.date_add(F.col("o_orderdate"), 90), 1)
+                     .otherwise(0).alias("a"),
+                     F.when(F.col("o_orderpriority")
+                            .isin("5-LOW", "4-NOT SPECIFIED"), 1)
+                     .otherwise(0).alias("b")))
+    cts = rated.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast(dec).alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast(dec).alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast(dec).alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast(dec).alias("n00"))
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pi = ((F.col("n11") + F.col("n10"))
+          + (F.col("n11") + F.col("n01"))).cast("double") / (2.0 * nd)
+    pe = 2.0 * pi * (1.0 - pi)
+    return cts.select(F.col("n").cast("bigint").alias("n_orders"),
+                      F.round(po, 6).alias("observed_agreement"),
+                      F.round(pe, 6).alias("chance_agreement"),
+                      F.round((po - pe) / (1.0 - pe), 6)
+                      .alias("gwets_ac1"))
+
+
+@register(
+    "agg_kendall_w",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1, 2),
+    full_years AS (
+      SELECT yr FROM monthly GROUP BY yr HAVING count(*) = 12),
+    ranked AS (
+      SELECT m.yr, m.mo,
+             row_number() OVER (PARTITION BY m.yr
+                                ORDER BY m.rev, m.mo) AS r
+      FROM monthly m JOIN full_years USING (yr)),
+    rsum AS (
+      SELECT mo, CAST(sum(r) AS HUGEINT) AS rj,
+             CAST(count(*) AS HUGEINT) AS m
+      FROM ranked GROUP BY mo),
+    s AS (
+      SELECT CAST(sum((2 * rj - m * 13) * (2 * rj - m * 13))
+                  AS HUGEINT) AS s4,
+             any_value(m) AS m
+      FROM rsum)
+    SELECT CAST(m AS BIGINT) AS n_judges,
+           12 AS n_objects,
+           round(3.0 * CAST(s4 AS DOUBLE)
+                 / (CAST(m * m AS DOUBLE) * (12.0 * 12.0 * 12.0 - 12.0)),
+                 6) AS kendall_w,
+           round(CAST(m AS DOUBLE) * 11.0
+                 * (3.0 * CAST(s4 AS DOUBLE)
+                    / (CAST(m * m AS DOUBLE)
+                       * (12.0 * 12.0 * 12.0 - 12.0))), 6) AS chi2
+    FROM s
+    """)
+def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL's coefficient of concordance W across years-as-judges
+    ranking months-as-objects by monthly revenue — the m-judge
+    generalization of rank correlation that asks: is the seasonal
+    ordering of months REPRODUCIBLE year over year? W = 12S/(m²(n³−n))
+    with S = Σ(R_j − m(n+1)/2)²; W·m(n−1) is the Friedman χ².
+
+    Only complete 12-month years rank (HAVING count = 12 — partial
+    edge years would bias every R_j), and the within-year ranking
+    tie-breaks deterministically by month on exact integer-cent
+    revenue. S is kept exact via the doubled form Σ(2R_j − 13m)².
+    Ranking windows are 12-row year partitions; the object frame is
+    12 rows — everything after the month aggregate is constant-sized
+    regardless of corpus scale."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    monthly = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                         F.month("o_orderdate").alias("mo"))
+               .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast(dec)).alias("rev")))
+    full_years = (monthly.groupBy("yr")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .filter(F.col("c") == 12).select("yr"))
+    ranked = (monthly.join(F.broadcast(full_years), "yr")
+              .select("yr", "mo",
+                      F.row_number().over(
+                          Window.partitionBy("yr")
+                          .orderBy("rev", "mo")).alias("r")))
+    rsum = (ranked.groupBy("mo")
+            .agg(F.sum("r").cast(dec).alias("rj"),
+                 F.count(F.lit(1)).cast(dec).alias("m")))
+    s = rsum.agg(
+        F.sum((2 * F.col("rj") - F.col("m") * 13)
+              * (2 * F.col("rj") - F.col("m") * 13)).alias("s4"),
+        F.any_value("m").alias("m"))
+    md = F.col("m").cast("double")
+    w = (3.0 * F.col("s4").cast("double")
+         / (md * md * (12.0 ** 3 - 12.0)))
+    return s.select(F.col("m").cast("bigint").alias("n_judges"),
+                    F.lit(12).alias("n_objects"),
+                    F.round(w, 6).alias("kendall_w"),
+                    F.round(md * 11.0 * w, 6).alias("chi2"))

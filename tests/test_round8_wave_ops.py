@@ -315,3 +315,54 @@ def test_permutation_entropy_bounds(spark, qs):
     assert 1 <= r["n_patterns"] <= 6
     rp = qs["ts_pettitt_test"](spark, SF_DIR).first()
     assert r["n_triples"] == rp["n_days"] - 2
+
+
+def test_deming_ccc_ba_consistency(spark, qs):
+    """The three method-comparison ops share one instrument pair:
+    same n; CCC ≤ |r| (C_b ≤ 1); Deming slope positive with r > 0;
+    Bland-Altman limits bracket the mean difference."""
+    rd = qs["agg_deming_regression"](spark, SF_DIR).first()
+    rc = qs["agg_lin_ccc"](spark, SF_DIR).first()
+    rb = qs["agg_bland_altman"](spark, SF_DIR).first()
+    assert rd["n_days"] == rc["n_days"] == rb["n_days"]
+    assert rd["pearson_r"] == rc["pearson_r"]
+    assert abs(rc["ccc"]) <= abs(rc["pearson_r"]) + 1e-9
+    assert 0.0 < rc["accuracy_cb"] <= 1.0 + 1e-9
+    assert (rd["deming_slope"] > 0) == (rd["pearson_r"] > 0)
+    assert rb["loa_low_usd"] < rb["mean_diff_usd"] < rb["loa_high_usd"]
+    assert 0 <= rb["n_outside"] <= rb["n_days"]
+
+
+def test_cronbach_alpha_bounds(spark, qs):
+    """alpha ≤ 1 always; for independent Poisson-split channels it
+    should be small, not near 1."""
+    r = qs["agg_cronbach_alpha"](spark, SF_DIR).first()
+    assert r["k_items"] == 5
+    assert r["cronbach_alpha"] <= 1.0
+
+
+def test_icc_oneway_bounds(spark, qs):
+    """ICC(1,1) ∈ (−1, 1); effective group size k̄ ≥ 2 given the
+    HAVING n_i ≥ 2 filter; N ≥ 2a."""
+    r = qs["agg_icc_oneway"](spark, SF_DIR).first()
+    assert -1.0 < r["icc1"] < 1.0
+    assert r["kbar"] >= 2.0 - 1e-9
+    assert r["n_obs"] >= 2 * r["n_groups"]
+
+
+def test_gwets_ac1_identities(spark, qs):
+    """AC1 ≤ 1; chance agreement ≤ 0.5 by construction (2π(1−π));
+    sign agrees with po vs pe."""
+    r = qs["agg_gwets_ac1"](spark, SF_DIR).first()
+    assert r["gwets_ac1"] <= 1.0
+    assert 0.0 <= r["chance_agreement"] <= 0.5
+    assert (r["gwets_ac1"] > 0) == (
+        r["observed_agreement"] > r["chance_agreement"])
+
+
+def test_kendall_w_bounds(spark, qs):
+    """W ∈ [0, 1]; chi2 = m(n−1)W exactly; full 12-object frame."""
+    r = qs["agg_kendall_w"](spark, SF_DIR).first()
+    assert 0.0 <= r["kendall_w"] <= 1.0
+    assert r["n_objects"] == 12
+    assert abs(r["chi2"] - r["n_judges"] * 11 * r["kendall_w"]) < 1e-3
