@@ -7845,3 +7845,162 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("np").cast("bigint").alias("n_patterns"),
                     F.round(F.col("hsum") / F.log(F.lit(6.0)), 6)
                     .alias("h_norm"))
+
+
+@register(
+    "ts_engle_granger",
+    oracle="""
+    WITH cal AS (
+      SELECT date_trunc('day', o_orderdate) AS d FROM orders
+      GROUP BY 1),
+    seg AS (
+      SELECT date_trunc('day', o.o_orderdate) AS d,
+             CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                      THEN CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                      ELSE 0 END) AS HUGEINT) AS xr,
+             CAST(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                      THEN CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                      ELSE 0 END) AS HUGEINT) AS yr
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1),
+    lvl AS (
+      SELECT cal.d,
+             CAST(sum(coalesce(seg.xr, 0)) OVER (ORDER BY cal.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS x,
+             CAST(sum(coalesce(seg.yr, 0)) OVER (ORDER BY cal.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS y
+      FROM cal LEFT JOIN seg USING (d)),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM lvl),
+    fit AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+             n
+      FROM mom),
+    res AS (
+      SELECT d,
+             CAST(round((CAST(y AS DOUBLE) - fit.a
+                         - fit.b * CAST(x AS DOUBLE)) * 1e6, 0)
+                  AS HUGEINT) AS e6
+      FROM lvl, fit),
+    lagd AS (
+      SELECT lag(e6) OVER (ORDER BY d) AS ep,
+             e6 - lag(e6) OVER (ORDER BY d) AS de
+      FROM res),
+    dfm AS (
+      SELECT CAST(count(*) AS HUGEINT) AS nd,
+             CAST(sum(ep * de) AS HUGEINT) AS sed,
+             CAST(sum(ep * ep) AS HUGEINT) AS see,
+             CAST(sum(de * de) AS HUGEINT) AS sdd
+      FROM lagd WHERE ep IS NOT NULL)
+    SELECT (SELECT CAST(n AS BIGINT) FROM fit) AS n_days,
+           round((SELECT b FROM fit), 6) AS coint_beta,
+           round((CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                 / sqrt(((CAST(sdd AS DOUBLE)
+                          - 2.0 * (CAST(sed AS DOUBLE)
+                                   / CAST(see AS DOUBLE))
+                            * CAST(sed AS DOUBLE)
+                          + (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                            * (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                            * CAST(see AS DOUBLE))
+                         / CAST(nd - 1 AS DOUBLE))
+                        / CAST(see AS DOUBLE)), 6) AS df_stat,
+           (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                 / sqrt(((CAST(sdd AS DOUBLE)
+                          - 2.0 * (CAST(sed AS DOUBLE)
+                                   / CAST(see AS DOUBLE))
+                            * CAST(sed AS DOUBLE)
+                          + (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                            * (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                            * CAST(see AS DOUBLE))
+                         / CAST(nd - 1 AS DOUBLE))
+                        / CAST(see AS DOUBLE)) < -3.37
+             AS cointegrated_5pct
+    FROM dfm
+    """)
+def ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE–GRANGER two-step cointegration test between two I(1)
+    series: cumulative BUILDING-segment revenue vs cumulative
+    AUTOMOBILE-segment revenue (both unit-root by construction as
+    partial sums; cointegrated iff a linear combination is
+    stationary — here both track cumulative total volume). Step 1:
+    OLS levels fit y = a + b·x from exact hugeint cent moments.
+    Step 2: Dickey–Fuller regression Δe_t = ρ·e_{t−1} on the
+    residuals, t(ρ̂) against the Engle–Granger 5% critical value
+    −3.37 (2 variables, with constant — MacKinnon); the DF moments
+    use the expanded SSR identity Σ(Δe−ρe)² = Σe'Δ² − 2ρΣeΔ + ρ²Σe²
+    so no per-row double is ever summed.
+
+    Residuals are quantized to exact integers at 1e-6 cent
+    granularity (e6; the t-statistic is scale-invariant, so the
+    quantization grid cancels). Calendar LEFT-join zero-fills days a
+    segment is silent. Everything rides the bounded daily frame:
+    two prefix windows, one lag window, two 1-row reduces."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast(dec)
+    cal = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                    .alias("d")).groupBy("d").agg(F.lit(1).alias("_")))
+    seg = (o.join(c, c["c_custkey"] == o["o_custkey"])
+           .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                    .alias("d"))
+           .agg(F.sum(F.when(F.col("c_mktsegment") == "BUILDING",
+                             cents).otherwise(0)).cast(dec).alias("xr"),
+                F.sum(F.when(F.col("c_mktsegment") == "AUTOMOBILE",
+                             cents).otherwise(0)).cast(dec).alias("yr")))
+    wrun = (Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lvl = (cal.join(seg, "d", "left")
+           .select("d",
+                   F.sum(F.coalesce("xr", F.lit(0))).over(wrun)
+                   .cast(dec).alias("x"),
+                   F.sum(F.coalesce("yr", F.lit(0))).over(wrun)
+                   .cast(dec).alias("y")))
+    mom = lvl.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    sxys = (F.col("n") * F.col("sxy")
+            - F.col("sx") * F.col("sy")).cast("double")
+    sxxs = (F.col("n") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("double")
+    b = sxys / sxxs
+    a = ((F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+         / F.col("n").cast("double"))
+    fit = mom.select("n", b.alias("b"), a.alias("a"))
+    res = (lvl.crossJoin(F.broadcast(fit))
+           .select("d",
+                   F.round((F.col("y").cast("double") - F.col("a")
+                            - F.col("b") * F.col("x").cast("double"))
+                           * 1e6, 0).cast(dec).alias("e6")))
+    wd = Window.orderBy("d")
+    lagd = res.select(F.lag("e6").over(wd).alias("ep"),
+                      (F.col("e6") - F.lag("e6").over(wd)).alias("de"))
+    dfm = (lagd.filter(F.col("ep").isNotNull())
+           .agg(F.count(F.lit(1)).cast(dec).alias("nd"),
+                F.sum(F.col("ep") * F.col("de")).alias("sed"),
+                F.sum(F.col("ep") * F.col("ep")).alias("see"),
+                F.sum(F.col("de") * F.col("de")).alias("sdd")))
+    rho = F.col("sed").cast("double") / F.col("see").cast("double")
+    s2 = ((F.col("sdd").cast("double")
+           - 2.0 * rho * F.col("sed").cast("double")
+           + rho * rho * F.col("see").cast("double"))
+          / (F.col("nd") - 1).cast("double"))
+    t = rho / F.sqrt(s2 / F.col("see").cast("double"))
+    return (dfm.crossJoin(F.broadcast(fit))
+            .select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round("b", 6).alias("coint_beta"),
+                    F.round(t, 6).alias("df_stat"),
+                    (t < -3.37).alias("cointegrated_5pct")))

@@ -12427,3 +12427,547 @@ def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(12).alias("n_objects"),
                     F.round(w, 6).alias("kendall_w"),
                     F.round(md * 11.0 * w, 6).alias("chi2"))
+
+
+# --------------------------------------------------------------------------
+# round-8 wave 7: econometrics / causal-inference estimators. Extends the
+# existing causal family (agg_causal_did, agg_causal_cem, agg_ab_*) with
+# the instrumental-variable, discontinuity, ordered-alternative and
+# event-study designs. Every estimator reduces to closed forms over
+# n-scaled exact integer moments (cents / counts / ranks), so cross-engine
+# hashes are exact; every frame that survives aggregation is bounded by
+# the calendar, a label domain, or a fixed bin grid — never corpus size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_iv_2sls",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(count(*) AS HUGEINT) AS z,
+             CAST(sum(CAST(round(l_quantity) AS HUGEINT)) AS HUGEINT)
+               AS x,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS y
+      FROM lineitem GROUP BY l_orderkey),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(z) AS HUGEINT) AS sz,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(z * x) AS HUGEINT) AS szx,
+             CAST(sum(z * y) AS HUGEINT) AS szy,
+             CAST(sum(z * z) AS HUGEINT) AS szz
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(CAST(n * szy - sz * sy AS DOUBLE)
+                 / CAST(n * szx - sz * sx AS DOUBLE), 6) AS beta_iv,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta_ols,
+           round(CAST(n - 2 AS DOUBLE)
+                 * CAST(n * szx - sz * sx AS DOUBLE)
+                 * CAST(n * szx - sz * sx AS DOUBLE)
+                 / (CAST(n * szz - sz * sz AS DOUBLE)
+                    * CAST(n * sxx - sx * sx AS DOUBLE)
+                    - CAST(n * szx - sz * sx AS DOUBLE)
+                      * CAST(n * szx - sz * sx AS DOUBLE)), 4)
+             AS first_stage_f
+    FROM mom
+    """)
+def agg_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage least squares with a single instrument (the Wald/IV
+    ratio β_IV = cov(z,y)/cov(z,x)) plus the two diagnostics every IV
+    analysis must report: the OLS contrast (Wu-Hausman direction) and
+    the first-stage F (weak-instrument gate, F = (n−2)r²_zx/(1−r²_zx)
+    against the Staiger-Stock rule of 10). Per-order frame: does total
+    shipped quantity (x) drive order revenue (y)? OLS conflates the
+    price mix; instrumenting x with the order's LINE COUNT z (which
+    moves quantity mechanically but is blind to per-unit price)
+    isolates the volume channel — on this corpus the IV estimate sits
+    measurably above OLS and F ≈ 4×10⁴, so the contrast itself is the
+    demonstrated diagnostic.
+
+    All nine moments are exact hugeints over integer cents/counts from
+    ONE orderkey partial agg (the fact table collapses before any
+    wide row exists) + one 1-row reduce; the three statistics are
+    single-row double expressions."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    j = (li.groupBy("l_orderkey")
+         .agg(F.count(F.lit(1)).cast(dec).alias("z"),
+              F.sum(F.round("l_quantity").cast(dec)).cast(dec)
+              .alias("x"),
+              F.sum(F.round(F.col("l_extendedprice") * 100).cast(dec))
+              .cast(dec).alias("y")))
+    m = j.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum("z").alias("sz"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("z") * F.col("x")).alias("szx"),
+              F.sum(F.col("z") * F.col("y")).alias("szy"),
+              F.sum(F.col("z") * F.col("z")).alias("szz"))
+    szys = (F.col("n") * F.col("szy")
+            - F.col("sz") * F.col("sy")).cast("double")
+    szxs = (F.col("n") * F.col("szx")
+            - F.col("sz") * F.col("sx")).cast("double")
+    sxys = (F.col("n") * F.col("sxy")
+            - F.col("sx") * F.col("sy")).cast("double")
+    sxxs = (F.col("n") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("double")
+    szzs = (F.col("n") * F.col("szz")
+            - F.col("sz") * F.col("sz")).cast("double")
+    fstat = ((F.col("n") - 2).cast("double") * szxs * szxs
+             / (szzs * sxxs - szxs * szxs))
+    return m.select(F.col("n").cast("bigint").alias("n_orders"),
+                    F.round(szys / szxs, 6).alias("beta_iv"),
+                    F.round(sxys / sxxs, 6).alias("beta_ols"),
+                    F.round(fstat, 4).alias("first_stage_f"))
+
+
+@register(
+    "agg_rdd_sharp",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_custkey, count(*) AS y FROM orders GROUP BY 1),
+    frame AS (
+      SELECT CAST(round(c_acctbal * 100) AS HUGEINT) AS g,
+             CAST(coalesce(cnt.y, 0) AS HUGEINT) AS y,
+             CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END AS side
+      FROM customer LEFT JOIN cnt ON cnt.o_custkey = c_custkey
+      WHERE c_acctbal >= -1000 AND c_acctbal <= 1000),
+    mom AS (
+      SELECT side,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(g) AS HUGEINT) AS sg,
+             CAST(sum(g * g) AS HUGEINT) AS sgg,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(g * y) AS HUGEINT) AS sgy
+      FROM frame GROUP BY side),
+    pv AS (
+      SELECT max(CASE WHEN side = 0 THEN n END) AS nl,
+             max(CASE WHEN side = 0 THEN sg END) AS sgl,
+             max(CASE WHEN side = 0 THEN sgg END) AS sggl,
+             max(CASE WHEN side = 0 THEN sy END) AS syl,
+             max(CASE WHEN side = 0 THEN sgy END) AS sgyl,
+             max(CASE WHEN side = 1 THEN n END) AS nr,
+             max(CASE WHEN side = 1 THEN sg END) AS sgr,
+             max(CASE WHEN side = 1 THEN sgg END) AS sggr,
+             max(CASE WHEN side = 1 THEN sy END) AS syr,
+             max(CASE WHEN side = 1 THEN sgy END) AS sgyr
+      FROM mom)
+    SELECT CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           round(CAST(syr * sggr - sgr * sgyr AS DOUBLE)
+                 / CAST(nr * sggr - sgr * sgr AS DOUBLE)
+                 - CAST(syl * sggl - sgl * sgyl AS DOUBLE)
+                   / CAST(nl * sggl - sgl * sgl AS DOUBLE), 6)
+             AS rdd_jump,
+           round(CAST(nl * sgyl - sgl * syl AS DOUBLE)
+                 / CAST(nl * sggl - sgl * sgl AS DOUBLE) * 100000, 6)
+             AS slope_left_per_k,
+           round(CAST(nr * sgyr - sgr * syr AS DOUBLE)
+                 / CAST(nr * sggr - sgr * sgr AS DOUBLE) * 100000, 6)
+             AS slope_right_per_k
+    FROM pv
+    """)
+def agg_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at the zero-balance
+    cutoff: does crossing from negative to non-negative account
+    balance shift customers' order counts, beyond what the smooth
+    balance→activity relation predicts? Local linear fit on each side
+    of c_acctbal = 0 inside a ±$1000 bandwidth; the causal estimand is
+    the jump between the two intercepts AT the cutoff — intercepts and
+    slopes come from the per-side closed-form OLS over exact
+    (cents, count) moments, pivoted into one row so the jump is a
+    single deterministic double expression.
+
+    Customers with no orders enter as y = 0 (LEFT join zero-fill) —
+    dropping them would bias the left side where inactivity
+    concentrates. One custkey partial agg + one broadcast-sized dim
+    filter + one 2-group reduce; bandwidth selection is the fixed
+    design constant, not data-dependent."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("y"))
+    frame = (c.filter((F.col("c_acctbal") >= -1000)
+                      & (F.col("c_acctbal") <= 1000))
+             .join(cnt, cnt["o_custkey"] == c["c_custkey"], "left")
+             .select(F.round(F.col("c_acctbal") * 100)
+                     .cast(dec).alias("g"),
+                     F.coalesce(F.col("y"), F.lit(0))
+                     .cast(dec).alias("y"),
+                     F.when(F.col("c_acctbal") < 0, 0).otherwise(1)
+                     .alias("side")))
+    mom = (frame.groupBy("side")
+           .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                F.sum("g").alias("sg"),
+                F.sum(F.col("g") * F.col("g")).alias("sgg"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("g") * F.col("y")).alias("sgy")))
+    cols = ["n", "sg", "sgg", "sy", "sgy"]
+    pv = mom.agg(*[F.max(F.when(F.col("side") == sd, F.col(cl)))
+                   .alias(f"{cl}{'l' if sd == 0 else 'r'}")
+                   for sd in (0, 1) for cl in cols])
+
+    def icpt(sfx):
+        num = (F.col(f"sy{sfx}") * F.col(f"sgg{sfx}")
+               - F.col(f"sg{sfx}") * F.col(f"sgy{sfx}")).cast("double")
+        den = (F.col(f"n{sfx}") * F.col(f"sgg{sfx}")
+               - F.col(f"sg{sfx}") * F.col(f"sg{sfx}")).cast("double")
+        return num / den
+
+    def slope(sfx):
+        num = (F.col(f"n{sfx}") * F.col(f"sgy{sfx}")
+               - F.col(f"sg{sfx}") * F.col(f"sy{sfx}")).cast("double")
+        den = (F.col(f"n{sfx}") * F.col(f"sgg{sfx}")
+               - F.col(f"sg{sfx}") * F.col(f"sg{sfx}")).cast("double")
+        return num / den
+
+    return pv.select(
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.round(icpt("r") - icpt("l"), 6).alias("rdd_jump"),
+        F.round(slope("l") * 100000, 6).alias("slope_left_per_k"),
+        F.round(slope("r") * 100000, 6).alias("slope_right_per_k"))
+
+
+@register(
+    "agg_page_trend_test",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1, 2),
+    full_years AS (
+      SELECT yr FROM monthly GROUP BY yr HAVING count(*) = 12),
+    ranked AS (
+      SELECT m.mo,
+             CAST(row_number() OVER (PARTITION BY m.yr
+                  ORDER BY m.rev, m.mo) AS HUGEINT) AS r
+      FROM monthly m JOIN full_years USING (yr)),
+    rsum AS (
+      SELECT mo, CAST(sum(r) AS HUGEINT) AS rj,
+             CAST(count(*) AS HUGEINT) AS m
+      FROM ranked GROUP BY mo),
+    l AS (
+      SELECT CAST(sum(mo * rj) AS HUGEINT) AS lstat,
+             any_value(m) AS m
+      FROM rsum)
+    SELECT CAST(m AS BIGINT) AS n_judges,
+           CAST(lstat AS BIGINT) AS page_l,
+           round((CAST(lstat AS DOUBLE)
+                  - CAST(m AS DOUBLE) * 12.0 * 13.0 * 13.0 / 4.0)
+                 / sqrt(CAST(m AS DOUBLE) * 144.0 * 13.0
+                        * (144.0 - 1.0) / 144.0), 6) AS z_stat,
+           abs((CAST(lstat AS DOUBLE)
+                  - CAST(m AS DOUBLE) * 12.0 * 13.0 * 13.0 / 4.0)
+                 / sqrt(CAST(m AS DOUBLE) * 144.0 * 13.0
+                        * (144.0 - 1.0) / 144.0)) > 1.96
+             AS monotone_trend_5pct
+    FROM l
+    """)
+def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE's L test for a MONOTONE ordered alternative across
+    repeated blocks: with years as blocks and months 1..12 as ordered
+    treatments, L = Σ_j j·R_j is large when the within-year revenue
+    ranking increases with the month — the block-design sibling of
+    `agg_mann_kendall_trend` (which sees one unreplicated series) and
+    the directional refinement of `agg_friedman_test` (which only asks
+    'any difference?'). E[L] = m·n(n+1)²/4 and Var[L] =
+    m·n²(n+1)(n²−1)/144 with n = 12 fixed by design.
+
+    Only complete 12-month years enter; ranks tie-break by month on
+    exact cent revenue. L is an exact integer; the z-score is one
+    double expression. The post-aggregate frame is ≤ 12×years rows —
+    constant in corpus scale."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    monthly = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                         F.month("o_orderdate").alias("mo"))
+               .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast(dec)).alias("rev")))
+    full_years = (monthly.groupBy("yr")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .filter(F.col("c") == 12).select("yr"))
+    ranked = (monthly.join(F.broadcast(full_years), "yr")
+              .select("mo",
+                      F.row_number().over(
+                          Window.partitionBy("yr")
+                          .orderBy("rev", "mo")).cast(dec).alias("r")))
+    rsum = (ranked.groupBy("mo")
+            .agg(F.sum("r").alias("rj"),
+                 F.count(F.lit(1)).cast(dec).alias("m")))
+    lr = rsum.agg(F.sum(F.col("mo") * F.col("rj")).alias("lstat"),
+                  F.any_value("m").alias("m"))
+    md = F.col("m").cast("double")
+    e = md * 12.0 * 13.0 * 13.0 / 4.0
+    var = md * 144.0 * 13.0 * (144.0 - 1.0) / 144.0
+    z = (F.col("lstat").cast("double") - e) / F.sqrt(var)
+    return lr.select(F.col("m").cast("bigint").alias("n_judges"),
+                     F.col("lstat").cast("bigint").alias("page_l"),
+                     F.round(z, 6).alias("z_stat"),
+                     (F.abs(z) > 1.96).alias("monotone_trend_5pct"))
+
+
+@register(
+    "agg_jonckheere_terpstra",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(floor(o_totalprice / 1000) AS HUGEINT) AS bin,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
+      FROM orders),
+    hist AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS c1,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS c2,
+             CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS c3,
+             CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS c4,
+             CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS HUGEINT)
+               AS c5
+      FROM x GROUP BY bin),
+    run AS (
+      SELECT c1, c2, c3, c4, c5,
+             coalesce(CAST(sum(c1) OVER (ORDER BY bin ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT), 0)
+               AS r1,
+             coalesce(CAST(sum(c2) OVER (ORDER BY bin ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT), 0)
+               AS r2,
+             coalesce(CAST(sum(c3) OVER (ORDER BY bin ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT), 0)
+               AS r3,
+             coalesce(CAST(sum(c4) OVER (ORDER BY bin ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT), 0)
+               AS r4
+      FROM hist),
+    u AS (
+      SELECT CAST(sum(
+               c2 * (2 * r1 + c1)
+             + c3 * (2 * (r1 + r2) + c1 + c2)
+             + c4 * (2 * (r1 + r2 + r3) + c1 + c2 + c3)
+             + c5 * (2 * (r1 + r2 + r3 + r4) + c1 + c2 + c3 + c4))
+             AS HUGEINT) AS u2,
+             CAST(sum((c1 + c2 + c3 + c4 + c5)
+                      * (c1 + c2 + c3 + c4 + c5 - 1)
+                      * (2 * (c1 + c2 + c3 + c4 + c5) + 5))
+                  AS HUGEINT) AS t25,
+             CAST(sum((c1 + c2 + c3 + c4 + c5)
+                      * (c1 + c2 + c3 + c4 + c5 - 1)) AS HUGEINT) AS t2,
+             CAST(sum((c1 + c2 + c3 + c4 + c5)
+                      * (c1 + c2 + c3 + c4 + c5 - 1)
+                      * (c1 + c2 + c3 + c4 + c5 - 2)) AS HUGEINT) AS t3
+      FROM run),
+    gs AS (
+      SELECT CAST(sum(CAST(ng AS HUGEINT)) AS HUGEINT) AS n,
+             CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS n2,
+             CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5))
+                  AS HUGEINT) AS g25,
+             CAST(sum(CAST(ng AS HUGEINT) * (ng - 1)) AS HUGEINT) AS g2,
+             CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2))
+                  AS HUGEINT) AS g3
+      FROM (SELECT count(*) AS ng FROM x GROUP BY g)),
+    fin AS (
+      SELECT u.u2, gs.n, gs.n2, gs.g25, gs.g2, gs.g3,
+             u.t25, u.t2, u.t3
+      FROM u, gs)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(u2 AS BIGINT) AS jt_u2,
+           round((CAST(u2 AS DOUBLE) / 2.0
+                  - CAST(n * n - n2 AS DOUBLE) / 4.0)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - g25 - t25
+                             AS DOUBLE) / 72.0
+                        + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                          / (36.0 * CAST(n * (n - 1) * (n - 2)
+                                         AS DOUBLE))
+                        + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                          / (8.0 * CAST(n * (n - 1) AS DOUBLE))), 6)
+             AS z_stat
+    FROM fin
+    """)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE–TERPSTRA test for an ORDERED alternative across the
+    five priority classes: do order values trend monotonically from
+    1-URGENT to 5-LOW? JT = Σ_{g<h} U_gh beats Kruskal–Wallis
+    (`agg_kruskal_wallis`) exactly when the alternative is a
+    monotone ordering, which is the hypothesis a tiered-SLA pipeline
+    actually has.
+
+    Scale design: the naive statistic is an O(n²) pairwise count;
+    here values land on the FIXED $1000 bin grid (~560 bins at any
+    corpus size), so U_gh collapses to the histogram identity
+    Σ_v cnt_h(v)·(2·cum<_g(v) + cnt_g(v))/2 — one (bin,group) partial
+    agg, one 5-column running sum over the bounded bin frame. Ties
+    (massive, by construction) use the half-count convention held
+    exact via the doubled statistic 2U, and the variance is the FULL
+    Hollander–Wolfe tie-corrected three-term form over exact
+    tie-spectrum sums (t_j per bin, n_g per group). One double at the
+    z."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    x = o.select(F.floor(F.col("o_totalprice") / 1000)
+                 .cast(dec).alias("bin"),
+                 F.substring("o_orderpriority", 1, 1)
+                 .cast("int").alias("g"))
+    hist = (x.groupBy("bin")
+            .agg(*[F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+                   .cast(dec).alias(f"c{i}") for i in range(1, 6)]))
+    wb = (Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    run = hist.select(
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[F.coalesce(F.sum(f"c{i}").over(wb), F.lit(0)).cast(dec)
+          .alias(f"r{i}") for i in range(1, 5)])
+    tj = sum(F.col(f"c{i}") for i in range(1, 6))
+    contrib = sum(
+        F.col(f"c{h}")
+        * (2 * sum(F.col(f"r{g}") for g in range(1, h))
+           + sum(F.col(f"c{g}") for g in range(1, h)))
+        for h in range(2, 6))
+    u = run.agg(F.sum(contrib).alias("u2"),
+                F.sum(tj * (tj - 1) * (2 * tj + 5)).alias("t25"),
+                F.sum(tj * (tj - 1)).alias("t2"),
+                F.sum(tj * (tj - 1) * (tj - 2)).alias("t3"))
+    gsz = x.groupBy("g").agg(F.count(F.lit(1)).cast(dec).alias("ng"))
+    gs = gsz.agg(F.sum("ng").alias("n"),
+                 F.sum(F.col("ng") * F.col("ng")).alias("n2"),
+                 F.sum(F.col("ng") * (F.col("ng") - 1)
+                       * (2 * F.col("ng") + 5)).alias("g25"),
+                 F.sum(F.col("ng") * (F.col("ng") - 1)).alias("g2"),
+                 F.sum(F.col("ng") * (F.col("ng") - 1)
+                       * (F.col("ng") - 2)).alias("g3"))
+    fin = u.crossJoin(F.broadcast(gs))
+    nd = F.col("n").cast("double")
+    mean = (F.col("n") * F.col("n") - F.col("n2")).cast("double") / 4.0
+    v1 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+          - F.col("g25") - F.col("t25")).cast("double") / 72.0
+    v2 = (F.col("g3").cast("double") * F.col("t3").cast("double")
+          / (36.0 * (F.col("n") * (F.col("n") - 1)
+                     * (F.col("n") - 2)).cast("double")))
+    v3 = (F.col("g2").cast("double") * F.col("t2").cast("double")
+          / (8.0 * (F.col("n") * (F.col("n") - 1)).cast("double")))
+    z = (F.col("u2").cast("double") / 2.0 - mean) / F.sqrt(v1 + v2 + v3)
+    return fin.select(F.col("n").cast("bigint").alias("n_orders"),
+                      F.col("u2").cast("bigint").alias("jt_u2"),
+                      F.round(z, 6).alias("z_stat"))
+
+
+@register(
+    "agg_event_study_car",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o.o_orderdate) AS d,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(CASE WHEN n.n_name = 'NATION_7' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1),
+    est AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(m) AS HUGEINT) AS sm,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(m * m) AS HUGEINT) AS smm,
+             CAST(sum(m * y) AS HUGEINT) AS smy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM daily
+      WHERE d >= DATE '1996-01-01' AND d <= DATE '1997-12-31'),
+    fit AS (
+      SELECT n,
+             CAST(n * smy - sm * sy AS DOUBLE)
+               / CAST(n * smm - sm * sm AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * smy - sm * sy AS DOUBLE)
+                 / CAST(n * smm - sm * sm AS DOUBLE))
+                * CAST(sm AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+             (CAST(n * syy - sy * sy AS DOUBLE)
+              - (CAST(n * smy - sm * sy AS DOUBLE)
+                 / CAST(n * smm - sm * sm AS DOUBLE))
+                * CAST(n * smy - sm * sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n - 2 AS DOUBLE)) AS s2
+      FROM est),
+    ev AS (
+      SELECT CAST(sum(CAST(round(
+               (CAST(y AS DOUBLE) - fit.a - fit.b * CAST(m AS DOUBLE)),
+               6) AS DECIMAL(38,6))) AS DOUBLE) AS car,
+             CAST(count(*) AS BIGINT) AS n_event
+      FROM daily, fit
+      WHERE d >= DATE '1998-06-13' AND d <= DATE '1998-06-17')
+    SELECT CAST(fit.n AS BIGINT) AS n_est,
+           ev.n_event,
+           round(ev.car, 6) AS car,
+           round(ev.car / sqrt(fit.s2 * ev.n_event), 6) AS t_stat
+    FROM fit, ev
+    """)
+def agg_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-STUDY cumulative abnormal response: fit the market model
+    y_t = α + β·m_t (one nation's daily order count on the global
+    daily count) over the 1996–97 estimation window, then cumulate the
+    abnormal counts AR_t = y_t − α̂ − β̂·m_t across the ±2-day window
+    around the 1998-06-15 event date; t = CAR/(σ̂·√L) with σ̂² the
+    estimation-window residual variance (SSR/(n−2) from the exact
+    moment identity SSR = (S_yy − S_xy²/S_xx)/n). The standard
+    abnormal-behavior design (MacKinlay 1997) applied to arrival
+    counts — a pipeline asking 'did the incident at date D actually
+    change source X's flow beyond what the fleet-wide trend predicts?'
+
+    α̂/β̂/σ̂² are single-row doubles over exact hugeint moments; each
+    AR_t (an exact-int frame times broadcast doubles) is quantized to
+    6-dp DECIMAL before the exact CAR sum — the repo's float-sum
+    discipline. One 3-table join pre-aggregated by day, two bounded
+    scans of the daily frame."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    daily = (o.join(c, c["c_custkey"] == o["o_custkey"])
+             .join(F.broadcast(n),
+                   n["n_nationkey"] == c["c_nationkey"])
+             .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .agg(F.count(F.lit(1)).cast(dec).alias("m"),
+                  F.sum(F.when(F.col("n_name") == "NATION_7", 1)
+                        .otherwise(0)).cast(dec).alias("y")))
+    est = (daily.filter((F.col("d") >= "1996-01-01")
+                        & (F.col("d") <= "1997-12-31"))
+           .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                F.sum("m").alias("sm"), F.sum("y").alias("sy"),
+                F.sum(F.col("m") * F.col("m")).alias("smm"),
+                F.sum(F.col("m") * F.col("y")).alias("smy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    smys = (F.col("n") * F.col("smy")
+            - F.col("sm") * F.col("sy")).cast("double")
+    smms = (F.col("n") * F.col("smm")
+            - F.col("sm") * F.col("sm")).cast("double")
+    syys = (F.col("n") * F.col("syy")
+            - F.col("sy") * F.col("sy")).cast("double")
+    b = smys / smms
+    a = ((F.col("sy").cast("double") - b * F.col("sm").cast("double"))
+         / F.col("n").cast("double"))
+    s2 = ((syys - b * smys)
+          / (F.col("n").cast("double") * (F.col("n") - 2).cast("double")))
+    fit = est.select("n", b.alias("b"), a.alias("a"), s2.alias("s2"))
+    ev = (daily.filter((F.col("d") >= "1998-06-13")
+                       & (F.col("d") <= "1998-06-17"))
+          .crossJoin(F.broadcast(fit))
+          .agg(F.sum(F.round(F.col("y").cast("double") - F.col("a")
+                             - F.col("b") * F.col("m").cast("double"),
+                             6).cast("decimal(38,6)")).cast("double")
+               .alias("car"),
+               F.count(F.lit(1)).alias("n_event")))
+    return (fit.crossJoin(ev)
+            .select(F.col("n").cast("bigint").alias("n_est"),
+                    F.col("n_event").cast("bigint").alias("n_event"),
+                    F.round("car", 6).alias("car"),
+                    F.round(F.col("car")
+                            / F.sqrt(F.col("s2") * F.col("n_event")), 6)
+                    .alias("t_stat")))

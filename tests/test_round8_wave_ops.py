@@ -366,3 +366,63 @@ def test_kendall_w_bounds(spark, qs):
     assert 0.0 <= r["kendall_w"] <= 1.0
     assert r["n_objects"] == 12
     assert abs(r["chi2"] - r["n_judges"] * 11 * r["kendall_w"]) < 1e-3
+
+
+def test_iv_2sls_diagnostics(spark, qs):
+    """Quantity mechanically drives billed revenue: both estimates
+    positive; the mechanical instrument must be strong (F ≫ 10)."""
+    r = qs["agg_iv_2sls"](spark, SF_DIR).first()
+    assert r["beta_iv"] > 0 and r["beta_ols"] > 0
+    assert r["first_stage_f"] > 10.0
+    # the price-mix channel OLS absorbs is positive here: IV > OLS
+    assert r["beta_iv"] > r["beta_ols"]
+
+
+def test_rdd_sides_populated(spark, qs):
+    """Both bandwidth sides carry customers; the jump is finite and
+    the two slopes are real numbers (per-$1000 scaling)."""
+    r = qs["agg_rdd_sharp"](spark, SF_DIR).first()
+    assert r["n_left"] > 0 and r["n_right"] > 0
+    assert r["rdd_jump"] is not None
+    assert abs(r["slope_left_per_k"]) < 1e6
+    assert abs(r["slope_right_per_k"]) < 1e6
+
+
+def test_page_l_bounds(spark, qs):
+    """L lies between the exact algebraic min/max Σj·R_j for m
+    judges: both attained at perfectly concordant rankings."""
+    r = qs["agg_page_trend_test"](spark, SF_DIR).first()
+    m = r["n_judges"]
+    lmin = m * sum(j * (13 - j) for j in range(1, 13))
+    lmax = m * sum(j * j for j in range(1, 13))
+    assert lmin <= r["page_l"] <= lmax
+    assert r["monotone_trend_5pct"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_jonckheere_u_bounds(spark, qs):
+    """2U ∈ [0, 2·Σ_{g<h} n_g·n_h] ⊆ [0, n²]; uniform priorities ⇒
+    modest |z|."""
+    r = qs["agg_jonckheere_terpstra"](spark, SF_DIR).first()
+    assert 0 <= r["jt_u2"] <= r["n_orders"] ** 2
+    assert abs(r["z_stat"]) < 50
+
+
+def test_event_study_internal_consistency(spark, qs):
+    """5-day event window; t = CAR/(σ√5) has the sign of CAR; the
+    estimation window is two full years of days."""
+    r = qs["agg_event_study_car"](spark, SF_DIR).first()
+    # the daily frame carries only days with >=1 order; at tiny SF
+    # some of the 5 calendar event days are silent
+    assert 1 <= r["n_event"] <= 5
+    assert 300 <= r["n_est"] <= 731
+    assert (r["t_stat"] >= 0) == (r["car"] >= 0)
+
+
+def test_engle_granger_beta_positive(spark, qs):
+    """Two cumulative revenue shares of one corpus co-trend: the
+    cointegrating beta must be positive and the DF stat negative
+    (residuals mean-revert, never explosive)."""
+    r = qs["ts_engle_granger"](spark, SF_DIR).first()
+    assert r["coint_beta"] > 0
+    assert r["df_stat"] < 0
+    assert r["cointegrated_5pct"] == (r["df_stat"] < -3.37)
