@@ -12971,3 +12971,565 @@ def agg_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("car")
                             / F.sqrt(F.col("s2") * F.col("n_event")), 6)
                     .alias("t_stat")))
+
+
+# --------------------------------------------------------------------------
+# round-8 wave 8: survival / actuarial / inequality / rank-agreement.
+# Completes the survival family (agg_survival_curve, agg_km_greenwood,
+# agg_cox_ph_1step, agg_competing_risks_cif) with the hazard-scale
+# estimator, the two-sample test, the restricted-mean summary, and the
+# reserving triangle every longitudinal pipeline eventually needs. All
+# post-aggregate frames are bounded (distinct durations ≤ calendar span,
+# triangle cells ≤ years², top-k lists fixed); float prefix sums follow
+# the repo discipline: exact integers wherever algebra allows, 9–12 dp
+# DECIMAL quantization before any order-ambiguous float sum.
+# --------------------------------------------------------------------------
+
+_CUST_SURV_SQL = """
+    cust AS (
+      SELECT c.c_custkey,
+             date_diff('day', CAST(min(o.o_orderdate) AS DATE),
+                       CAST(max(o.o_orderdate) AS DATE)) AS dur,
+             CASE WHEN max(o.o_orderdate)
+                       < TIMESTAMP '2001-02-01 00:00:00'
+                  THEN 1 ELSE 0 END AS ev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+      HAVING count(*) >= 2)
+"""
+
+
+def _cust_surv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival frame (same construction as `agg_km_greenwood`,
+    relational.py): duration = first→last order span in days; event =
+    churned (last order before the 2001-02-01 observation cutoff),
+    else right-censored."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    return (c.join(o, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey")
+            .agg(F.datediff(F.max("o_orderdate").cast("date"),
+                            F.min("o_orderdate").cast("date"))
+                 .alias("dur"),
+                 F.when(F.max("o_orderdate")
+                        < F.lit("2001-02-01").cast("timestamp"), 1)
+                 .otherwise(0).alias("ev"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 2).drop("cnt"))
+
+
+@register(
+    "agg_nelson_aalen",
+    oracle="WITH " + _CUST_SURV_SQL + """
+    , bytime AS (
+      SELECT dur, count(*) AS m, sum(ev) AS d
+      FROM cust GROUP BY dur),
+    risk AS (
+      SELECT dur, d, sum(m) OVER (ORDER BY dur DESC) AS n_t
+      FROM bytime),
+    na AS (
+      SELECT dur, d, n_t,
+             sum(d / CAST(n_t AS DOUBLE)) OVER (ORDER BY dur) AS h,
+             sum(d / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE)))
+               OVER (ORDER BY dur) AS v
+      FROM risk WHERE d > 0)
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(d AS BIGINT) AS d,
+           CAST(n_t AS BIGINT) AS at_risk,
+           round(h, 6) AS cum_hazard,
+           round(exp(-h), 6) AS fh_survival,
+           round(sqrt(v), 6) AS se_hazard
+    FROM na WHERE dur % 50 = 0
+    """)
+def agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON–AALEN cumulative-hazard estimator H(t) = Σ_{s≤t} d_s/n_s
+    on the customer-churn frame, with its variance Σ d_s/n_s² and the
+    Fleming–Harrington survival exp(−H) — the hazard-scale companion
+    to `agg_km_greenwood`: NA is the natural scale for comparing and
+    SUMMING risks (additive over competing causes) where KM is the
+    natural probability scale; exp(−H) ≥ KM always, and the gap
+    shrinks with n.
+
+    Same bounded plan as KM: one custkey partial agg, one dur
+    aggregate (≤ calendar-span distinct rows), one reverse prefix for
+    the risk set, forward prefixes for H and Var — window prefix sums
+    accumulate in dur order, so the float sums are order-deterministic
+    on both engines. Report every 50th day."""
+    cust = _cust_surv(spark, sf_dir)
+    bytime = (cust.groupBy("dur")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("ev").alias("d")))
+    wrev = (Window.orderBy(F.col("dur").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = bytime.select("dur", "d",
+                         F.sum("m").over(wrev).alias("n_t"))
+    wfwd = (Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nd = F.col("n_t").cast("double")
+    na = (risk.filter(F.col("d") > 0)
+          .select("dur", "d", "n_t",
+                  F.sum(F.col("d") / nd).over(wfwd).alias("h"),
+                  F.sum(F.col("d") / (nd * nd)).over(wfwd).alias("v")))
+    return (na.filter(F.col("dur") % 50 == 0)
+            .select(F.col("dur").cast("bigint").alias("dur_days"),
+                    F.col("d").cast("bigint").alias("d"),
+                    F.col("n_t").cast("bigint").alias("at_risk"),
+                    F.round("h", 6).alias("cum_hazard"),
+                    F.round(F.exp(-F.col("h")), 6).alias("fh_survival"),
+                    F.round(F.sqrt("v"), 6).alias("se_hazard")))
+
+
+@register(
+    "agg_logrank_test",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS grp,
+             date_diff('day', CAST(min(o.o_orderdate) AS DATE),
+                       CAST(max(o.o_orderdate) AS DATE)) AS dur,
+             CASE WHEN max(o.o_orderdate)
+                       < TIMESTAMP '2001-02-01 00:00:00'
+                  THEN 1 ELSE 0 END AS ev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      GROUP BY c.c_custkey, c.c_mktsegment
+      HAVING count(*) >= 2),
+    bytime AS (
+      SELECT dur,
+             count(*) AS m, sum(ev) AS d,
+             sum(grp) AS m1, sum(grp * ev) AS d1
+      FROM cust GROUP BY dur),
+    risk AS (
+      SELECT dur, d, d1,
+             sum(m) OVER (ORDER BY dur DESC) AS n_t,
+             sum(m1) OVER (ORDER BY dur DESC) AS n1_t
+      FROM bytime),
+    terms AS (
+      SELECT d1,
+             CAST(round(d * CAST(n1_t AS DOUBLE) / n_t, 12)
+                  AS DECIMAL(38,12)) AS e1,
+             CAST(round(CASE WHEN n_t > 1 THEN
+                    d * (CAST(n1_t AS DOUBLE) / n_t)
+                      * (1.0 - CAST(n1_t AS DOUBLE) / n_t)
+                      * (n_t - d) / (n_t - 1.0)
+                  ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS v
+      FROM risk WHERE d > 0),
+    s AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1) AS DOUBLE) AS e1,
+             CAST(sum(v) AS DOUBLE) AS v
+      FROM terms)
+    SELECT o1 AS observed_g1,
+           round(e1, 6) AS expected_g1,
+           round((o1 - e1) * (o1 - e1) / v, 6) AS logrank_chi2,
+           (o1 - e1) * (o1 - e1) / v > 3.841 AS differ_5pct
+    FROM s
+    """)
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample LOGRANK test: do BUILDING-segment customers churn on
+    a different schedule than AUTOMOBILE-segment customers? At each
+    distinct event time the observed group-1 events d1 are compared
+    with the hypergeometric expectation d·n₁/n; χ² = (O₁−E₁)²/V with
+    V = Σ d·(n₁/n)(1−n₁/n)(n−d)/(n−1) — the canonical
+    whole-curve test that weights every event time equally (vs a
+    fixed-horizon proportion test that throws away the tail).
+
+    O₁ is an exact integer; the per-time E and V terms (unavoidably
+    rational) are quantized to 12-dp DECIMAL before the exact sum over
+    the bounded duration frame. Same plan shape as `agg_nelson_aalen`
+    plus one extra reverse prefix for the group-1 risk set."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    cust = (c.filter(F.col("c_mktsegment")
+                     .isin("BUILDING", "AUTOMOBILE"))
+            .join(o, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.datediff(F.max("o_orderdate").cast("date"),
+                            F.min("o_orderdate").cast("date"))
+                 .alias("dur"),
+                 F.when(F.max("o_orderdate")
+                        < F.lit("2001-02-01").cast("timestamp"), 1)
+                 .otherwise(0).alias("ev"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("dur", "ev",
+                    F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                    .otherwise(0).alias("grp")))
+    bytime = (cust.groupBy("dur")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("ev").alias("d"),
+                   F.sum("grp").alias("m1"),
+                   F.sum(F.col("grp") * F.col("ev")).alias("d1")))
+    wrev = (Window.orderBy(F.col("dur").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = bytime.select("dur", "d", "d1",
+                         F.sum("m").over(wrev).alias("n_t"),
+                         F.sum("m1").over(wrev).alias("n1_t"))
+    p1 = F.col("n1_t").cast("double") / F.col("n_t").cast("double")
+    e1t = F.col("d") * p1
+    vt = F.when(F.col("n_t") > 1,
+                F.col("d") * p1 * (1.0 - p1)
+                * (F.col("n_t") - F.col("d"))
+                / (F.col("n_t") - 1.0).cast("double")).otherwise(0.0)
+    terms = (risk.filter(F.col("d") > 0)
+             .select("d1",
+                     F.round(e1t, 12).cast("decimal(38,12)").alias("e1"),
+                     F.round(vt, 12).cast("decimal(38,12)").alias("v")))
+    s = terms.agg(F.sum("d1").cast("bigint").alias("o1"),
+                  F.sum("e1").cast("double").alias("e1"),
+                  F.sum("v").cast("double").alias("v"))
+    chi2 = ((F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
+            / F.col("v"))
+    return s.select(F.col("o1").alias("observed_g1"),
+                    F.round("e1", 6).alias("expected_g1"),
+                    F.round(chi2, 6).alias("logrank_chi2"),
+                    (chi2 > 3.841).alias("differ_5pct"))
+
+
+@register(
+    "agg_rmst",
+    oracle="WITH " + _CUST_SURV_SQL + """
+    , bytime AS (
+      SELECT dur, count(*) AS m, sum(ev) AS d
+      FROM cust GROUP BY dur),
+    risk AS (
+      SELECT dur, d, sum(m) OVER (ORDER BY dur DESC) AS n_t
+      FROM bytime),
+    km AS (
+      SELECT dur,
+             exp(sum(ln(1 - d / CAST(n_t AS DOUBLE)))
+                 OVER (ORDER BY dur)) AS s
+      FROM risk WHERE d > 0 AND d < n_t),
+    steps AS (
+      SELECT CAST(0 AS BIGINT) AS dur, 1.0 AS s
+      UNION ALL
+      SELECT CAST(dur AS BIGINT), s FROM km WHERE dur < 365),
+    seg AS (
+      SELECT s,
+             coalesce(least(lead(dur) OVER (ORDER BY dur),
+                            CAST(365 AS BIGINT)), 365) - dur AS width
+      FROM steps)
+    SELECT 365 AS tau_days,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           round(CAST(sum(CAST(round(s * width, 9) AS DECIMAL(38,9)))
+                      AS DOUBLE), 4) AS rmst_days
+    FROM seg
+    """)
+def agg_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED mean survival time to τ = 365 days — the area under
+    the Kaplan–Meier curve up to one year: the single-number summary
+    that stays valid when hazards cross (where a hazard ratio like
+    `agg_cox_ph_1step`'s is uninterpretable) and reads directly as
+    'expected churn-free days in the first year'.
+
+    The KM step function (computed exactly as in `agg_km_greenwood`;
+    window prefix products are order-deterministic) is integrated as
+    Σ S(t_k)·(min(t_{k+1},τ) − t_k) with a sentinel step at t = 0,
+    S = 1; each rectangle is quantized to a 9-dp DECIMAL before the
+    exact sum. Everything after the custkey partial agg rides the
+    bounded duration frame (≤ 365 steps by construction)."""
+    cust = _cust_surv(spark, sf_dir)
+    bytime = (cust.groupBy("dur")
+              .agg(F.count(F.lit(1)).alias("m"),
+                   F.sum("ev").alias("d")))
+    wrev = (Window.orderBy(F.col("dur").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = bytime.select("dur", "d",
+                         F.sum("m").over(wrev).alias("n_t"))
+    wfwd = (Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    km = (risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_t")))
+          .select("dur",
+                  F.exp(F.sum(F.log(1 - F.col("d").cast("double")
+                                    / F.col("n_t").cast("double")))
+                        .over(wfwd)).alias("s")))
+    sentinel = (km.sparkSession
+                .createDataFrame([(0, 1.0)], "dur: bigint, s: double"))
+    steps = (sentinel.unionByName(
+        km.filter(F.col("dur") < 365)
+        .select(F.col("dur").cast("bigint"), "s")))
+    wd = Window.orderBy("dur")
+    seg = steps.select(
+        "s",
+        (F.coalesce(F.least(F.lead("dur").over(wd), F.lit(365)),
+                    F.lit(365)) - F.col("dur")).alias("width"))
+    return seg.agg(
+        F.lit(365).alias("tau_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.round(F.sum(F.round(F.col("s") * F.col("width"), 9)
+                      .cast("decimal(38,9)")).cast("double"), 4)
+        .alias("rmst_days"))
+
+
+@register(
+    "agg_chain_ladder",
+    oracle="""
+    WITH tri AS (
+      SELECT year(o.o_orderdate) AS origin,
+             year(l.l_shipdate) - year(o.o_orderdate) AS dev,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS inc
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate <= TIMESTAMP '1998-12-31 00:00:00'
+        AND year(l.l_shipdate) >= year(o.o_orderdate)
+        AND year(o.o_orderdate) BETWEEN 1995 AND 1998
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT origin, dev,
+             CAST(sum(inc) OVER (PARTITION BY origin ORDER BY dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS c
+      FROM tri),
+    fx AS (
+      SELECT
+        CAST(sum(CASE WHEN dev = 1 AND origin <= 1997 THEN c END)
+             AS DOUBLE)
+          / CAST(sum(CASE WHEN dev = 0 AND origin <= 1997 THEN c END)
+                 AS DOUBLE) AS f0,
+        CAST(sum(CASE WHEN dev = 2 AND origin <= 1996 THEN c END)
+             AS DOUBLE)
+          / CAST(sum(CASE WHEN dev = 1 AND origin <= 1996 THEN c END)
+                 AS DOUBLE) AS f1,
+        CAST(sum(CASE WHEN dev = 3 AND origin <= 1995 THEN c END)
+             AS DOUBLE)
+          / CAST(sum(CASE WHEN dev = 2 AND origin <= 1995 THEN c END)
+                 AS DOUBLE) AS f2
+      FROM cum),
+    latest AS (
+      SELECT origin, c AS lat
+      FROM cum WHERE dev = 1998 - origin)
+    SELECT CAST(origin AS INT) AS origin_year,
+           round(CAST(lat AS DOUBLE) / 100.0, 2) AS latest_usd,
+           round(CAST(lat AS DOUBLE)
+                 * (CASE origin WHEN 1998 THEN f0 * f1 * f2
+                                WHEN 1997 THEN f1 * f2
+                                WHEN 1996 THEN f2
+                                ELSE 1.0 END) / 100.0, 2)
+             AS ultimate_usd,
+           round(CAST(lat AS DOUBLE)
+                 * ((CASE origin WHEN 1998 THEN f0 * f1 * f2
+                                 WHEN 1997 THEN f1 * f2
+                                 WHEN 1996 THEN f2
+                                 ELSE 1.0 END) - 1.0) / 100.0, 2)
+             AS reserve_usd
+    FROM latest, fx
+    """)
+def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAIN-LADDER reserving triangle: origin = order year, development
+    = shipping-year lag, valued at the 1998-12-31 cutoff, so later
+    origins are observed for fewer development periods (a genuine
+    run-off triangle). Volume-weighted development factors
+    f_j = Σᵢ C_{i,j+1} / Σᵢ C_{i,j} over the origins observed at both
+    lags; each origin's ultimate = latest diagonal × ∏ remaining
+    factors; reserve = ultimate − latest. The standard actuarial
+    completion estimate, which is also exactly the right shape for
+    'how much data will this partially-ingested cohort eventually
+    deliver?' capacity planning.
+
+    Incremental cells are exact cent sums; the cumulative triangle is
+    a per-origin prefix over the ≤4-lag dev axis; factors are single
+    ratios of exact aggregates pivoted into one broadcast row, and
+    each origin's factor product is a fixed CASE expression — no
+    float aggregation anywhere. One fact join pre-aggregated to
+    (origin, dev) — 16 cells regardless of corpus size."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    tri = (li.join(o, o["o_orderkey"] == li["l_orderkey"])
+           .filter((F.col("l_shipdate")
+                    <= F.lit("1998-12-31").cast("timestamp"))
+                   & (F.year("l_shipdate") >= F.year("o_orderdate"))
+                   & F.year("o_orderdate").between(1995, 1998))
+           .groupBy(F.year("o_orderdate").alias("origin"),
+                    (F.year("l_shipdate") - F.year("o_orderdate"))
+                    .alias("dev"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast(dec)).alias("inc")))
+    wcum = (Window.partitionBy("origin").orderBy("dev")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = tri.select("origin", "dev",
+                     F.sum("inc").over(wcum).cast(dec).alias("c"))
+
+    def fac(j, max_origin):
+        num = F.sum(F.when((F.col("dev") == j + 1)
+                           & (F.col("origin") <= max_origin),
+                           F.col("c"))).cast("double")
+        den = F.sum(F.when((F.col("dev") == j)
+                           & (F.col("origin") <= max_origin),
+                           F.col("c"))).cast("double")
+        return (num / den).alias(f"f{j}")
+
+    fx = cum.agg(fac(0, 1997), fac(1, 1996), fac(2, 1995))
+    latest = (cum.filter(F.col("dev") == 1998 - F.col("origin"))
+              .select("origin", F.col("c").alias("lat")))
+    tail = (F.when(F.col("origin") == 1998,
+                   F.col("f0") * F.col("f1") * F.col("f2"))
+            .when(F.col("origin") == 1997, F.col("f1") * F.col("f2"))
+            .when(F.col("origin") == 1996, F.col("f2"))
+            .otherwise(F.lit(1.0)))
+    return (latest.crossJoin(F.broadcast(fx))
+            .select(F.col("origin").cast("int").alias("origin_year"),
+                    F.round(F.col("lat").cast("double") / 100.0, 2)
+                    .alias("latest_usd"),
+                    F.round(F.col("lat").cast("double") * tail / 100.0,
+                            2).alias("ultimate_usd"),
+                    F.round(F.col("lat").cast("double") * (tail - 1.0)
+                            / 100.0, 2).alias("reserve_usd")))
+
+
+@register(
+    "agg_atkinson_index",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS v
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS sv,
+             CAST(sum(CAST(round(ln(CAST(v AS DOUBLE)), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS slog,
+             CAST(sum(CAST(round(1e9 / CAST(v AS DOUBLE), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sinv
+      FROM x)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(1.0 - exp(slog / CAST(n AS DOUBLE))
+                 / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS atkinson_eps1,
+           round(1.0 - (CAST(n AS DOUBLE) * 1e9 / sinv)
+                 / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS atkinson_eps2
+    FROM s
+    """)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATKINSON inequality indices of customer revenue at inequality
+    aversion ε = 1 (1 − geometric/arithmetic mean) and ε = 2
+    (1 − harmonic/arithmetic mean) — the welfare-founded complements
+    to the descriptive `agg_gini_revenue`/`agg_theil_index`: A(ε) is
+    the share of total revenue that could be discarded if the rest
+    were spread evenly, at aversion ε; ε = 2 weights the bottom tail
+    harder than ε = 1, so A₂ ≥ A₁ always.
+
+    Per-customer revenue is an exact cent integer; the two
+    order-ambiguous float sums (Σ ln v and Σ 1/v, the latter scaled
+    by 1e9 to keep 12-dp quantization meaningful on ~1e7-cent values)
+    are quantized to DECIMAL before exact summation. One custkey
+    partial agg + one reduce."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    x = (o.groupBy("o_custkey")
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast(dec))
+              .cast(dec).alias("v")))
+    vd = F.col("v").cast("double")
+    s = x.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+              F.sum("v").alias("sv"),
+              F.sum(F.round(F.log(vd), 12).cast("decimal(38,12)"))
+              .cast("double").alias("slog"),
+              F.sum(F.round(F.lit(1e9) / vd, 12)
+                    .cast("decimal(38,12)")).cast("double")
+              .alias("sinv"))
+    nd = F.col("n").cast("double")
+    amean = F.col("sv").cast("double") / nd
+    a1 = 1.0 - F.exp(F.col("slog") / nd) / amean
+    a2 = 1.0 - (nd * 1e9 / F.col("sinv")) / amean
+    return s.select(F.col("n").cast("bigint").alias("n_customers"),
+                    F.round(a1, 6).alias("atkinson_eps1"),
+                    F.round(a2, 6).alias("atkinson_eps2"))
+
+
+@register(
+    "agg_rank_biased_overlap",
+    oracle="""
+    WITH byrev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS rev,
+             CAST(sum(CAST(round(l_quantity) AS HUGEINT)) AS HUGEINT)
+               AS qty
+      FROM lineitem GROUP BY 1),
+    ra AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS pa
+      FROM byrev QUALIFY pa <= 100),
+    rb AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY qty DESC, l_partkey) AS pb
+      FROM byrev QUALIFY pb <= 100),
+    j AS (
+      SELECT greatest(ra.pa, rb.pb) AS m
+      FROM ra JOIN rb USING (l_partkey)),
+    grid AS (
+      SELECT CAST(range AS BIGINT) AS d FROM range(1, 101)),
+    xd AS (
+      SELECT grid.d,
+             CAST((SELECT count(*) FROM j WHERE j.m <= grid.d)
+                  AS HUGEINT) AS x
+      FROM grid),
+    terms AS (
+      SELECT d, x,
+             CAST(round((CAST(x AS DOUBLE) / d) * power(0.9, d), 12)
+                  AS DECIMAL(38,12)) AS term
+      FROM xd)
+    SELECT 100 AS depth_k,
+           CAST((SELECT x FROM xd WHERE d = 100) AS BIGINT)
+             AS overlap_at_k,
+           round((0.1 / 0.9) * CAST(sum(term) AS DOUBLE)
+                 + (CAST((SELECT x FROM xd WHERE d = 100) AS DOUBLE)
+                    / 100.0) * power(0.9, 100), 6) AS rbo_ext
+    FROM terms
+    """)
+def agg_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al. 2010) between the top-100
+    parts by revenue and the top-100 by shipped quantity — the
+    top-weighted, bounded-depth list-similarity measure built for
+    comparing INDEFINITE rankings, where Kendall/Spearman (which need
+    conjoint full rankings — cf `agg_spearman_rank_corr`) do not
+    apply. RBO_ext = (X_k/k)·pᵏ + (1−p)/p·Σ_{d≤k}(X_d/d)·pᵈ at
+    persistence p = 0.9 (≈ the top 10 ranks carry ~86% of the mass).
+
+    Each part's entry depth into the overlap is max(rank_A, rank_B),
+    so every X_d is one prefix count over a FIXED 100-row grid — the
+    two TakeOrdered(100)s (deterministic partkey tie-break) are the
+    only corpus-touching steps; the per-depth terms are quantized to
+    12-dp DECIMAL before the exact sum."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    byrev = (li.groupBy("l_partkey")
+             .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                        .cast(dec)).cast(dec).alias("rev"),
+                  F.sum(F.round("l_quantity").cast(dec)).cast(dec)
+                  .alias("qty")))
+    ra = (byrev.select(
+        "l_partkey",
+        F.row_number().over(Window.orderBy(F.col("rev").desc(),
+                                           "l_partkey")).alias("pa"))
+        .filter(F.col("pa") <= 100))
+    rb = (byrev.select(
+        "l_partkey",
+        F.row_number().over(Window.orderBy(F.col("qty").desc(),
+                                           "l_partkey")).alias("pb"))
+        .filter(F.col("pb") <= 100))
+    j = (ra.join(rb, "l_partkey")
+         .select(F.greatest("pa", "pb").alias("m")))
+    mc = j.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = j.sparkSession.range(1, 101).select(F.col("id").alias("d"))
+    wx = (Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    xd = (grid.join(mc, grid["d"] == mc["m"], "left")
+          .select("d", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+          .select("d", F.sum("cnt").over(wx).alias("x")))
+    terms = xd.select(
+        "d", "x",
+        F.round((F.col("x").cast("double") / F.col("d"))
+                * F.pow(F.lit(0.9), F.col("d")), 12)
+        .cast("decimal(38,12)").alias("term"))
+    xk = (xd.filter(F.col("d") == 100)
+          .select(F.col("x").cast("bigint").alias("xk")))
+    agg = terms.agg(F.sum("term").cast("double").alias("ts"))
+    return (agg.crossJoin(F.broadcast(xk))
+            .select(F.lit(100).alias("depth_k"),
+                    F.col("xk").alias("overlap_at_k"),
+                    F.round((0.1 / 0.9) * F.col("ts")
+                            + (F.col("xk").cast("double") / 100.0)
+                            * float(0.9 ** 100), 6).alias("rbo_ext")))

@@ -426,3 +426,67 @@ def test_engle_granger_beta_positive(spark, qs):
     assert r["coint_beta"] > 0
     assert r["df_stat"] < 0
     assert r["cointegrated_5pct"] == (r["df_stat"] < -3.37)
+
+
+def test_nelson_aalen_vs_km_relation(spark, qs):
+    """Hazard accumulates: cum_hazard nondecreasing in dur; the
+    Fleming-Harrington survival exp(−H) dominates KM at matching
+    durations (classical inequality)."""
+    na = {r["dur_days"]: r for r in
+          qs["agg_nelson_aalen"](spark, SF_DIR).collect()}
+    km = {r["dur_days"]: r for r in
+          qs["agg_km_greenwood"](spark, SF_DIR).collect()}
+    durs = sorted(na)
+    assert all(na[a]["cum_hazard"] <= na[b]["cum_hazard"] + 1e-9
+               for a, b in zip(durs, durs[1:]))
+    for d in set(durs) & set(km):
+        assert na[d]["fh_survival"] >= km[d]["survival"] - 1e-6
+
+
+def test_logrank_identities(spark, qs):
+    """chi2 ≥ 0; flag agrees with 3.841; expected events positive."""
+    r = qs["agg_logrank_test"](spark, SF_DIR).first()
+    assert r["logrank_chi2"] >= 0
+    assert r["expected_g1"] > 0
+    assert r["differ_5pct"] == (r["logrank_chi2"] > 3.841)
+
+
+def test_rmst_bounds(spark, qs):
+    """0 < RMST ≤ τ; the integral of a nonincreasing S starting at 1
+    is at most τ and at least S(τ)·τ > 0."""
+    r = qs["agg_rmst"](spark, SF_DIR).first()
+    assert 0 < r["rmst_days"] <= r["tau_days"]
+    assert r["n_steps"] >= 1
+
+
+def test_chain_ladder_runoff(spark, qs):
+    """The oldest origin is fully developed (reserve 0); every
+    reserve is nonnegative when dev factors ≥ 1, and ultimate =
+    latest + reserve identically."""
+    rows = {r["origin_year"]: r for r in
+            qs["agg_chain_ladder"](spark, SF_DIR).collect()}
+    assert set(rows) == {1995, 1996, 1997, 1998}
+    assert rows[1995]["reserve_usd"] == 0.0
+    for r in rows.values():
+        assert abs(r["ultimate_usd"]
+                   - (r["latest_usd"] + r["reserve_usd"])) < 0.05
+    # later origins are less developed: reserve share grows
+    assert (rows[1998]["reserve_usd"] / rows[1998]["ultimate_usd"]
+            >= rows[1996]["reserve_usd"] / rows[1996]["ultimate_usd"]
+            - 1e-9)
+
+
+def test_atkinson_ordering(spark, qs):
+    """0 ≤ A(1) ≤ A(2) < 1 — higher aversion never reports less
+    inequality (Atkinson monotonicity in eps)."""
+    r = qs["agg_atkinson_index"](spark, SF_DIR).first()
+    assert 0.0 <= r["atkinson_eps1"] < 1.0
+    assert r["atkinson_eps1"] <= r["atkinson_eps2"] < 1.0
+
+
+def test_rbo_bounds(spark, qs):
+    """RBO ∈ [0, 1]; overlap at depth k bounded by k; rbo_ext ≥
+    the minimum implied by the final overlap alone."""
+    r = qs["agg_rank_biased_overlap"](spark, SF_DIR).first()
+    assert 0.0 <= r["rbo_ext"] <= 1.0
+    assert 0 <= r["overlap_at_k"] <= r["depth_k"]
