@@ -1136,3 +1136,206 @@ def jpeg_entropy_stats_batch(df: DataFrame) -> DataFrame:
     from pmc_conversion_spark.util import ensure_parallelism
     return ensure_parallelism(df).mapInPandas(
         _stats, "media_id long, entropy_bits long, entropy_bytes long")
+
+
+# ---------------------------------------------------------------------------
+# Real PNG (grayscale 8-bit) — fifth real image format. The PNG-specific
+# layers are implemented from scratch: signature, chunk framing with CRC-32
+# verification on every chunk, IHDR parsing, multi-IDAT stream reassembly,
+# and scanline UNFILTERING for all five filter types (None/Sub/Up/Average/
+# Paeth, including the spec's Paeth predictor tie-breaking). DEFLATE itself
+# is delegated to the Python standard library's zlib (public stdlib, baked
+# into this environment) — the honest division of labor: what PNG adds on
+# top of DEFLATE is ours, byte for byte. Scope: 8-bit grayscale,
+# non-interlaced (colour types / Adam7 raise, stated here).
+# Reference parity note: thehyve/pmc-conversion treats binary payloads as
+# opaque blobs (file checksums only); this is the engine-native decode path
+# the driver's multimodal columns require.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_png_pixels(media_id: int, w: int, h: int):
+    """Deterministic grayscale test image, SQL-replayable:
+    p[y,x] = ((m % 251) + x² + 3y + (x·y mod 11)) mod 256."""
+    import numpy as np
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return (((media_id % 251) + x * x + 3 * y + (x * y) % 11)
+            % 256).astype(np.uint8)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_gray(px) -> bytes:
+    """Real PNG writer: filters each scanline with type y % 5 (so every
+    decoder filter path is exercised), deflates, and splits the stream
+    across TWO IDAT chunks to exercise multi-chunk reassembly."""
+    import numpy as np
+    import struct
+    import zlib
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        ft = y % 5
+        if ft == 0:
+            filt = row.copy()
+        elif ft == 1:  # Sub
+            left = np.concatenate(([0], row[:-1]))
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            filt = (row - (left + prev) // 2) % 256
+        else:          # Paeth
+            filt = np.empty(w, dtype=np.int32)
+            for x in range(w):
+                a = int(row[x - 1]) if x > 0 else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x > 0 else 0
+                filt[x] = (int(row[x]) - _paeth(a, b, c)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    half = max(1, len(comp) // 2)
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", comp[:half])
+            + _png_chunk(b"IDAT", comp[half:])
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_gray(content: bytes):
+    """Real PNG reader: signature check, chunk walk with CRC-32
+    verification, IHDR validation (8-bit grayscale non-interlaced
+    only), IDAT reassembly, zlib inflate, and full five-filter
+    scanline reconstruction."""
+    import numpy as np
+    import struct
+    import zlib
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        payload = content[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", content[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit grayscale non-interlaced PNG is "
+                    "supported (colour/palette/Adam7 out of scope)")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG: decompressed length mismatch")
+    out = np.zeros((h, w), dtype=np.int32)
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=w, offset=y * (w + 1) + 1
+                             ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            rec = np.empty(w, dtype=np.int32)
+            acc = 0
+            for x in range(w):
+                acc = (line[x] + acc) % 256
+                rec[x] = acc
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft == 3:
+            rec = np.empty(w, dtype=np.int32)
+            for x in range(w):
+                left = rec[x - 1] if x > 0 else 0
+                rec[x] = (line[x] + (left + int(prev[x])) // 2) % 256
+        elif ft == 4:
+            rec = np.empty(w, dtype=np.int32)
+            for x in range(w):
+                a = int(rec[x - 1]) if x > 0 else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x > 0 else 0
+                rec[x] = (line[x] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def synth_png_images(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content): real PNG bytes, 24×16 gray."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_png_gray(synth_png_pixels(int(m), 24, 16))
+                       for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_png_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded stats via the REAL PNG parser —
+    the position-weighted sum certifies chunk reassembly, inflate,
+    and all five unfilter paths in one number."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_png_gray(bytes(content))
+                h, w = px.shape
+                wgt = ((np.arange(h)[:, None] + 1)
+                       * (np.arange(w)[None, :] + 1))
+                rows.append((int(m), w, h, 1,
+                             int(px.sum(dtype=np.int64)),
+                             int((px.astype(np.int64) * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(_decode, BMP_DECODE_SCHEMA)

@@ -1870,3 +1870,89 @@ def graph_eigencentrality_power(spark: SparkSession,
         v = (w.crossJoin(F.broadcast(m))
              .select("node", (F.col("w") / F.col("m")).alias("val")))
     return v.select("node", F.round("val", 6).alias("eigencentrality"))
+
+
+@register(
+    "join_point_in_polygon",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey % 101 AS HUGEINT) AS px,
+             CAST(c_custkey % 103 AS HUGEINT) AS py
+      FROM customer),
+    poly(x1, y1, x2, y2) AS (
+      SELECT * FROM (VALUES
+        (10, 10, 90, 20), (90, 20, 70, 50), (70, 50, 90, 90),
+        (90, 90, 30, 80), (30, 80, 45, 45), (45, 45, 10, 10))),
+    cross_e AS (
+      SELECT p.id, p.px,
+             CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                  AND ((e.y2 > e.y1 AND
+                        (p.px - e.x1) * (e.y2 - e.y1)
+                          < (p.py - e.y1) * (e.x2 - e.x1))
+                       OR (e.y2 < e.y1 AND
+                           (p.px - e.x1) * (e.y2 - e.y1)
+                             > (p.py - e.y1) * (e.x2 - e.x1)))
+                  THEN 1 ELSE 0 END AS hit
+      FROM pts p, poly e),
+    inside AS (
+      SELECT id FROM cross_e GROUP BY id HAVING sum(hit) % 2 = 1)
+    SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(sum(id) AS BIGINT) AS inside_id_sum,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM pts), 6) AS inside_share
+    FROM inside
+    """)
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON containment join by ray casting against a
+    non-convex 6-edge polygon — the spatial predicate
+    `join_geo_grid_radius` (distance) and `join_nearest_warehouse`
+    (nearest-site) don't cover: region membership. A horizontal ray
+    from each point counts edge crossings; odd = inside. The crossing
+    test is kept in EXACT integer arithmetic — the intersection
+    abscissa comparison px < x1 + (py−y1)(x2−x1)/(y2−y1) is
+    multiplied through by (y2−y1) with the inequality direction
+    flipped on descending edges, so no division and no float ever
+    enters (float ray casting is the classic source of
+    boundary-point engine disagreement). Half-open vertex rule
+    ((y1>py) ≠ (y2>py)) prevents double-counting shared vertices.
+
+    The polygon is a 6-row broadcast; the 'join' is a map-side
+    nested loop over a constant edge table followed by one partial
+    agg on the point key — linear in points at any scale, the
+    blocked-grid generalization (edges bucketed by y-band) being the
+    documented many-edge path."""
+    c = tables.load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    pts = c.select(F.col("c_custkey").alias("id"),
+                   (F.col("c_custkey") % 101).cast(dec).alias("px"),
+                   (F.col("c_custkey") % 103).cast(dec).alias("py"))
+    verts = [(10, 10), (90, 20), (70, 50), (90, 90), (30, 80),
+             (45, 45)]
+    edges = [(x1, y1, x2, y2)
+             for (x1, y1), (x2, y2)
+             in zip(verts, verts[1:] + verts[:1])]
+    poly = pts.sparkSession.createDataFrame(
+        edges, "x1 int, y1 int, x2 int, y2 int")
+    e = pts.crossJoin(F.broadcast(poly))
+    lhs = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+    straddles = ((F.col("y1") > F.col("py"))
+                 != (F.col("y2") > F.col("py")))
+    crosses = straddles & (
+        ((F.col("y2") > F.col("y1")) & (lhs < rhs))
+        | ((F.col("y2") < F.col("y1")) & (lhs > rhs)))
+    hits = e.select("id", F.when(crosses, 1).otherwise(0).alias("hit"))
+    inside = (hits.groupBy("id").agg(F.sum("hit").alias("h"))
+              .filter(F.col("h") % 2 == 1))
+    npts = pts.agg(F.count(F.lit(1)).alias("np"))
+    return (inside.agg(F.count(F.lit(1)).alias("n_inside"),
+                       F.sum("id").alias("inside_id_sum"))
+            .crossJoin(F.broadcast(npts))
+            .select(F.col("np").cast("bigint").alias("n_points"),
+                    F.col("n_inside").cast("bigint").alias("n_inside"),
+                    F.col("inside_id_sum").cast("bigint")
+                    .alias("inside_id_sum"),
+                    F.round(F.col("n_inside").cast("double")
+                            / F.col("np"), 6).alias("inside_share")))

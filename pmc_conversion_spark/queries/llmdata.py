@@ -10262,3 +10262,298 @@ def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             - F.col("ps")))
                             .cast("double") / 2000000000.0, 6)
                     .alias("dp")))
+
+
+@register(
+    "mm_decode_real_png",
+    oracle="""
+    WITH pix AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y,
+             ((doc_id % 251) + gx.x * gx.x + 3 * gy.y
+              + ((gx.x * gy.y) % 11)) % 256 AS p
+      FROM documents, range(24) gx(x), range(16) gy(y))
+    SELECT doc_id AS media_id,
+           CAST(24 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(sum(p) AS BIGINT) AS pix_sum,
+           CAST(sum(p * (y + 1) * (x + 1)) AS BIGINT) AS pix_weighted
+    FROM pix GROUP BY doc_id
+    """)
+def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL image format: 8-bit grayscale PNG
+    (functions/multimodal.py encode_png_gray / decode_png_gray).
+    The writer emits genuine PNG — signature, CRC-32-framed chunks,
+    every scanline filtered with a DIFFERENT filter type (row % 5
+    cycles None/Sub/Up/Average/Paeth), the deflate stream split
+    across two IDAT chunks — and the reader re-verifies every CRC,
+    reassembles IDAT, inflates, and reconstructs all five filter
+    paths including the Paeth-predictor tie rules. DEFLATE is the
+    stdlib zlib (the module docstring states the division of labor);
+    everything PNG adds on top of DEFLATE is implemented here.
+    Because PNG is LOSSLESS, the oracle replays only the synthetic
+    pixel formula — a decoder error in any filter path, CRC check, or
+    chunk walk breaks the position-weighted checksum. Per-image work
+    is a fixed 24×16 decode in Arrow workers: map-side only,
+    embarrassingly parallel at any corpus scale."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_png_images(base)
+    return MM.decode_png_batch(encoded)
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    mx AS (SELECT max(doc_id) + 1 AS md FROM documents),
+    firsts AS (
+      SELECT tok, min(doc_id) AS fd FROM tok GROUP BY tok),
+    grid AS (SELECT CAST(range AS BIGINT) AS t FROM range(1, 11)),
+    pts AS (
+      SELECT g.t,
+             (SELECT CAST(count(*) AS HUGEINT) FROM tok, mx
+              WHERE tok.doc_id < mx.md * g.t // 10) AS n,
+             (SELECT CAST(count(*) AS HUGEINT) FROM firsts, mx
+              WHERE firsts.fd < mx.md * g.t // 10) AS v
+      FROM grid g),
+    q AS (
+      SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS HUGEINT)
+               AS x6,
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1e6, 0) AS HUGEINT)
+               AS y6
+      FROM pts WHERE n > 0 AND v > 0),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(x6) AS HUGEINT) AS sx,
+             CAST(sum(y6) AS HUGEINT) AS sy,
+             CAST(sum(x6 * x6) AS HUGEINT) AS sxx,
+             CAST(sum(x6 * y6) AS HUGEINT) AS sxy
+      FROM q)
+    SELECT CAST(k AS BIGINT) AS n_points,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+           round(exp((CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)
+                      - (CAST(k * sxy - sx * sy AS DOUBLE)
+                         / CAST(k * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE) / CAST(k AS DOUBLE))
+                     / 1e6), 6) AS heaps_k
+    FROM mom
+    """)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-law fit V(N) = K·N^β of vocabulary growth — the
+    curation-planning constant that answers 'how much NEW vocabulary
+    will the next 10× of corpus bring?' (β ≈ 0.4–0.6 for natural
+    text; β ≈ 1 screams template/ID spam, β ≈ 0 a closed vocabulary
+    — a drift detector for synthetic contamination).
+
+    Scale design: the naive prefix-vocabulary curve needs a distinct
+    count per prefix. Here each type contributes only its FIRST
+    document (one token groupBy), and both curves are evaluated at 10
+    FIXED doc-id checkpoints via conditional aggregation — no
+    unbounded window, no per-prefix distinct. The 10 (ln N, ln V)
+    points are quantized to exact 1e-6 integers, so the log-log OLS
+    slope/intercept are ratios of exact hugeints. Two token shuffles
+    (explode-count and first-doc), both partial-aggregated."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id",
+                   F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+    mx = d.agg((F.max("doc_id") + 1).alias("md"))
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    dec = "decimal(38,0)"
+    # conditional-aggregate both curves at the 10 checkpoints in one
+    # pass over each frame (thresholds are exact integer floors)
+    tokm = tok.crossJoin(F.broadcast(mx))
+    firstm = firsts.crossJoin(F.broadcast(mx))
+    thr = lambda t: (F.col("md") * t - (F.col("md") * t) % 10) / 10
+    npass = tokm.agg(*[
+        F.sum(F.when(F.col("doc_id") < thr(t), 1).otherwise(0))
+        .cast(dec).alias(f"n{t}") for t in range(1, 11)])
+    vpass = firstm.agg(*[
+        F.sum(F.when(F.col("fd") < thr(t), 1).otherwise(0))
+        .cast(dec).alias(f"v{t}") for t in range(1, 11)])
+    both = npass.crossJoin(F.broadcast(vpass))
+    pts = both.select(F.array(*[
+        F.struct(F.col(f"n{t}").alias("n"), F.col(f"v{t}").alias("v"))
+        for t in range(1, 11)]).alias("a"))
+    q = (pts.select(F.explode("a").alias("p"))
+         .select(F.col("p.n").alias("n"), F.col("p.v").alias("v"))
+         .filter((F.col("n") > 0) & (F.col("v") > 0))
+         .select(F.round(F.log(F.col("n").cast("double")) * 1e6, 0)
+                 .cast(dec).alias("x6"),
+                 F.round(F.log(F.col("v").cast("double")) * 1e6, 0)
+                 .cast(dec).alias("y6")))
+    mom = q.agg(F.count(F.lit(1)).cast(dec).alias("k"),
+                F.sum("x6").alias("sx"), F.sum("y6").alias("sy"),
+                F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+                F.sum(F.col("x6") * F.col("y6")).alias("sxy"))
+    beta = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double"))
+    kd = F.col("k").cast("double")
+    kconst = F.exp((F.col("sy").cast("double") / kd
+                    - beta * F.col("sx").cast("double") / kd) / 1e6)
+    return mom.select(F.col("k").cast("bigint").alias("n_points"),
+                      F.round(beta, 6).alias("heaps_beta"),
+                      F.round(kconst, 6).alias("heaps_k"))
+
+
+@register(
+    "vocab_good_turing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS r FROM tok GROUP BY tok),
+    coc AS (SELECT r, CAST(count(*) AS HUGEINT) AS nr
+            FROM freq GROUP BY r),
+    tot AS (SELECT CAST(sum(CAST(r AS HUGEINT) * nr) AS HUGEINT) AS n
+            FROM coc)
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.nr AS BIGINT) AS n_r,
+           CAST(coalesce(b.nr, 0) AS BIGINT) AS n_r_next,
+           round((a.r + 1) * CAST(coalesce(b.nr, 0) AS DOUBLE)
+                 / CAST(a.nr AS DOUBLE), 6) AS r_star,
+           round(CAST(a.nr AS DOUBLE) * a.r / CAST(tot.n AS DOUBLE), 6)
+             AS mass_share
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1, tot
+    ORDER BY a.r LIMIT 12
+    """)
+def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD–TURING frequency re-estimation from the count-of-counts
+    spectrum: r* = (r+1)·N_{r+1}/N_r over the 12 rarest observed
+    frequencies — the smoothing that
+    reserves N₁/N probability mass for UNSEEN types, which is what an
+    open-vocabulary LM pipeline must budget before it meets new data
+    (complements `vocab_kneser_ney_bigram`, which spends that mass,
+    and `text_zipf_fit`, which models the same spectrum's tail).
+
+    Two partial-agg shuffles (token→frequency, frequency→spectrum);
+    the spectrum frame is bounded by max frequency, the reported head
+    by the fixed r ≤ 10 cut. Everything integer until the final two
+    documented ratios."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    tok = d.select(F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    coc = freq.groupBy("r").agg(F.count(F.lit(1)).cast(dec).alias("nr"))
+    tot = coc.agg(F.sum(F.col("r").cast(dec) * F.col("nr"))
+                  .cast(dec).alias("n"))
+    b = coc.select((F.col("r") - 1).alias("rb"),
+                   F.col("nr").alias("nrn"))
+    out = (coc.orderBy("r").limit(12)
+           .join(b, F.col("r") == F.col("rb"), "left")
+           .crossJoin(F.broadcast(tot)))
+    nrn = F.coalesce(F.col("nrn"), F.lit(0)).cast(dec)
+    return (out.select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("nr").cast("bigint").alias("n_r"),
+        nrn.cast("bigint").alias("n_r_next"),
+        F.round((F.col("r") + 1) * nrn.cast("double")
+                / F.col("nr").cast("double"), 6).alias("r_star"),
+        F.round(F.col("nr").cast("double") * F.col("r")
+                / F.col("n").cast("double"), 6).alias("mass_share")))
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    stot AS (
+      SELECT source, CAST(count(*) AS HUGEINT) AS n_s
+      FROM tok GROUP BY source),
+    top30 AS (
+      SELECT tok FROM tok GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT 30),
+    grid AS (SELECT stot.source, stot.n_s, top30.tok
+             FROM stot, top30),
+    cnts AS (
+      SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+      FROM tok WHERE tok IN (SELECT tok FROM top30)
+      GROUP BY source, tok),
+    q AS (
+      SELECT g.source, g.tok,
+             CAST(round(CAST(coalesce(c.c, 0) AS DOUBLE)
+                        / CAST(g.n_s AS DOUBLE) * 1e12, 0)
+                  AS HUGEINT) AS q12
+      FROM grid g LEFT JOIN cnts c
+        ON c.source = g.source AND c.tok = g.tok),
+    wm AS (
+      SELECT tok, CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(q12) AS HUGEINT) AS sq,
+             CAST(sum(q12 * q12) AS HUGEINT) AS sqq
+      FROM q GROUP BY tok),
+    z AS (
+      SELECT q.source, q.tok,
+             CAST(wm.k * q.q12 - wm.sq AS DOUBLE)
+               / sqrt(CAST(wm.k * wm.sqq - wm.sq * wm.sq AS DOUBLE))
+               AS zv
+      FROM q JOIN wm USING (tok)),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(round(abs(a.zv - b.zv), 12) AS DECIMAL(38,12)) AS dz
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source)
+    SELECT source_a, source_b,
+           round(CAST(sum(dz) AS DOUBLE) / count(*), 6) AS delta
+    FROM pair GROUP BY source_a, source_b
+    """)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA authorship distance between every source pair:
+    for the 30 globally most frequent words (the classic
+    function-word proxy), each source's relative frequency is
+    z-scored across sources and Δ(a,b) = mean_w |z_aw − z_bw| — the
+    standard stylometric attribution measure (complements
+    `text_source_stylometry`, which profiles sources singly, with a
+    pairwise metric a clustering or linkage step can consume).
+
+    Relative frequencies are quantized to exact 1e-12 integers, so
+    per-word means/SDs are ratios of exact hugeints and each z is one
+    deterministic double; the pair stage runs on the bounded
+    (30 words × sources) frame and the per-pair mean quantizes |Δz|
+    before the exact sum. Corpus-scale cost is the two token
+    partial-aggs; everything after is constant-sized."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    tok = d.select("source",
+                   F.explode(TX.ws_tokens(F.lower(F.col("text"))))
+                   .alias("tok"))
+    stot = tok.groupBy("source").agg(F.count(F.lit(1)).cast(dec)
+                                     .alias("n_s"))
+    top30 = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("tok").asc())
+             .limit(30).select("tok"))
+    cnts = (tok.join(F.broadcast(top30), "tok")
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).cast(dec).alias("c")))
+    grid = stot.crossJoin(F.broadcast(top30))
+    q = (grid.join(cnts, ["source", "tok"], "left")
+         .select("source", "tok",
+                 F.round(F.coalesce(F.col("c"), F.lit(0))
+                         .cast("double")
+                         / F.col("n_s").cast("double") * 1e12, 0)
+                 .cast(dec).alias("q12")))
+    wm = (q.groupBy("tok")
+          .agg(F.count(F.lit(1)).cast(dec).alias("k"),
+               F.sum("q12").alias("sq"),
+               F.sum(F.col("q12") * F.col("q12")).alias("sqq")))
+    z = (q.join(wm, "tok")
+         .select("source", "tok",
+                 ((F.col("k") * F.col("q12") - F.col("sq"))
+                  .cast("double")
+                  / F.sqrt((F.col("k") * F.col("sqq")
+                            - F.col("sq") * F.col("sq"))
+                           .cast("double"))).alias("zv")))
+    a = z.alias("a")
+    b = z.alias("b")
+    pair = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .select(F.col("a.source").alias("source_a"),
+                    F.col("b.source").alias("source_b"),
+                    F.round(F.abs(F.col("a.zv") - F.col("b.zv")), 12)
+                    .cast("decimal(38,12)").alias("dz")))
+    return (pair.groupBy("source_a", "source_b")
+            .agg(F.round(F.sum("dz").cast("double")
+                         / F.count(F.lit(1)), 6).alias("delta")))

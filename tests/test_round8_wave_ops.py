@@ -490,3 +490,92 @@ def test_rbo_bounds(spark, qs):
     r = qs["agg_rank_biased_overlap"](spark, SF_DIR).first()
     assert 0.0 <= r["rbo_ext"] <= 1.0
     assert 0 <= r["overlap_at_k"] <= r["depth_k"]
+
+
+def test_png_roundtrip_lossless(spark, qs):
+    """PNG is lossless: decoded checksums must equal the synthetic
+    formula replayed in python exactly, for every image."""
+    import numpy as np
+    from pmc_conversion_spark.functions.multimodal import (
+        synth_png_pixels)
+    rows = qs["mm_decode_real_png"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        px = synth_png_pixels(r["media_id"], 24, 16)
+        wgt = ((np.arange(16)[:, None] + 1)
+               * (np.arange(24)[None, :] + 1))
+        assert r["width"] == 24 and r["height"] == 16
+        assert r["pix_sum"] == int(px.sum(dtype=np.int64))
+        assert r["pix_weighted"] == int(
+            (px.astype(np.int64) * wgt).sum())
+
+
+def test_png_codec_rejects_corruption():
+    """Flipping any content byte must surface as a CRC or structure
+    error, never silent wrong pixels."""
+    import pytest as _pytest
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_png_gray, encode_png_gray, synth_png_pixels)
+    enc = bytearray(encode_png_gray(synth_png_pixels(42, 24, 16)))
+    enc[30] ^= 0x01  # inside IHDR payload/CRC region
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_png_gray(bytes(enc))
+
+
+def test_heaps_law_plausible(spark, qs):
+    """0 <= beta <= 1 (the synthetic fixture vocabulary is CLOSED, so
+    beta = 0 is the correct answer there); K positive; all 10
+    checkpoints contribute."""
+    r = qs["text_heaps_law_fit"](spark, SF_DIR).first()
+    assert 0.0 <= r["heaps_beta"] <= 1.0
+    assert r["heaps_k"] > 0
+    assert r["n_points"] == 10
+
+
+def test_good_turing_spectrum(spark, qs):
+    """Spectrum rows are positive; mass shares are probabilities and
+    sum below 1 over the rare head."""
+    rows = qs["vocab_good_turing"](spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 12
+    assert all(r["n_r"] > 0 for r in rows)
+    assert all(0.0 <= r["mass_share"] <= 1.0 for r in rows)
+    assert sum(r["mass_share"] for r in rows) <= 1.0 + 1e-6
+
+
+def test_burrows_delta_metric_properties(spark, qs):
+    """Delta is symmetric by construction (a<b stored once),
+    nonnegative, and defined for all source pairs."""
+    rows = qs["text_burrows_delta"](spark, SF_DIR).collect()
+    k = {(r["source_a"], r["source_b"]) for r in rows}
+    assert all(r["delta"] >= 0 for r in rows)
+    assert all(a < b for a, b in k)
+    n_src = len({a for a, _ in k} | {b for _, b in k})
+    assert len(rows) == n_src * (n_src - 1) // 2
+
+
+def test_point_in_polygon_sanity(spark, qs):
+    """Share in (0,1): the hexagon covers a strict sub-region of the
+    101x103 torus; python ray-cast replica agrees on the count."""
+    r = qs["join_point_in_polygon"](spark, SF_DIR).first()
+    assert 0.0 < r["inside_share"] < 1.0
+    verts = [(10, 10), (90, 20), (70, 50), (90, 90), (30, 80),
+             (45, 45)]
+    edges = list(zip(verts, verts[1:] + verts[:1]))
+
+    def inside(px, py):
+        h = 0
+        for (x1, y1), (x2, y2) in edges:
+            if (y1 > py) != (y2 > py):
+                lhs = (px - x1) * (y2 - y1)
+                rhs = (py - y1) * (x2 - x1)
+                if (y2 > y1 and lhs < rhs) or (y2 < y1 and lhs > rhs):
+                    h += 1
+        return h % 2 == 1
+
+    import duckdb
+    ids = [x[0] for x in duckdb.sql(
+        f"SELECT c_custkey FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()]
+    ref = [i for i in ids if inside(i % 101, i % 103)]
+    assert r["n_inside"] == len(ref)
+    assert r["inside_id_sum"] == sum(ref)
