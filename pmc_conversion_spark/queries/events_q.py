@@ -8004,3 +8004,512 @@ def ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("b", 6).alias("coint_beta"),
                     F.round(t, 6).alias("df_stat"),
                     (t < -3.37).alias("cointegrated_5pct")))
+
+
+# --------------------------------------------------------------------------
+# round-8 wave 10: distribution-dependence and operations diagnostics.
+# The pairwise statistics ride CALENDAR-BOUNDED frames (the matrix-profile
+# precedent: a daily aggregate's O(n²) pair frame is ~5.8M rows at ANY
+# corpus scale because n is the date span, not the row count), and the
+# Cox-Stuart/Garman-Klass/Erlang-C trio are single-window/grid closed
+# forms. Integer-exact everywhere algebra allows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_distance_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(count(*) AS HUGEINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT a.d AS da,
+             abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay
+      FROM daily a, daily b),
+    rows_j AS (
+      SELECT da, CAST(sum(ax) AS HUGEINT) AS rx,
+             CAST(sum(ay) AS HUGEINT) AS ry
+      FROM pairs GROUP BY da),
+    s1 AS (
+      SELECT CAST(sum(ax * ay) AS HUGEINT) AS sxy,
+             CAST(sum(ax * ax) AS HUGEINT) AS sxx,
+             CAST(sum(ay * ay) AS HUGEINT) AS syy
+      FROM pairs),
+    s23 AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(rx * ry) AS HUGEINT) AS s2xy,
+             CAST(sum(rx * rx) AS HUGEINT) AS s2xx,
+             CAST(sum(ry * ry) AS HUGEINT) AS s2yy,
+             CAST(sum(rx) AS HUGEINT) AS tx,
+             CAST(sum(ry) AS HUGEINT) AS ty
+      FROM rows_j),
+    v AS (
+      SELECT n,
+             CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+               - 2.0 * CAST(s2xy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n)
+               + CAST(tx AS DOUBLE) * ty
+                 / (CAST(n AS DOUBLE) * n * n * n) AS dcov2,
+             CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+               - 2.0 * CAST(s2xx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n)
+               + CAST(tx AS DOUBLE) * tx
+                 / (CAST(n AS DOUBLE) * n * n * n) AS dvarx,
+             CAST(syy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+               - 2.0 * CAST(s2yy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n)
+               + CAST(ty AS DOUBLE) * ty
+                 / (CAST(n AS DOUBLE) * n * n * n) AS dvary
+      FROM s1, s23)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(sqrt(sqrt(greatest(dcov2, 0.0)
+                 * greatest(dcov2, 0.0)
+                 / (dvarx * dvary))), 6) AS dcor
+    FROM v
+    """)
+def agg_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SZÉKELY's distance correlation between daily order count and
+    daily revenue — the dependence measure that is ZERO iff the
+    variables are independent (Pearson/Spearman/Kendall all miss
+    non-monotone dependence; `agg_hoeffding_d` detects it but has no
+    population-independence characterization). Computed via the
+    V-statistic identity dCov² = S₁/n² − 2S₂/n³ + S₃/n⁴ over raw
+    |Δx||Δy| pair sums, which needs NO centered matrix: S₁ (pair
+    products), S₂ (row-sum products), S₃ (grand-sum product) are all
+    EXACT hugeints over integer counts/cents, so the statistic is a
+    single deterministic double expression — no float ever aggregates.
+
+    The O(n²) pair frame is the calendar-bounded daily frame (the
+    `ts_matrix_profile` precedent): ~5.8M pairs at ANY corpus scale.
+    dCor = √(dCov²/√(dVarX·dVarY)) with the dCov² ≥ 0 clamp of the
+    V-statistic convention."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("d"))
+             .agg(F.count(F.lit(1)).cast(dec).alias("x"),
+                  F.sum(F.round(F.col("o_totalprice") * 100).cast(dec))
+                  .cast(dec).alias("y")))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (a.crossJoin(b)
+             .select(F.col("a.d").alias("da"),
+                     F.abs(F.col("a.x") - F.col("b.x")).alias("ax"),
+                     F.abs(F.col("a.y") - F.col("b.y")).alias("ay")))
+    rows_j = (pairs.groupBy("da")
+              .agg(F.sum("ax").alias("rx"), F.sum("ay").alias("ry")))
+    s1 = pairs.agg(F.sum(F.col("ax") * F.col("ay")).alias("sxy"),
+                   F.sum(F.col("ax") * F.col("ax")).alias("sxx"),
+                   F.sum(F.col("ay") * F.col("ay")).alias("syy"))
+    s23 = rows_j.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                     F.sum(F.col("rx") * F.col("ry")).alias("s2xy"),
+                     F.sum(F.col("rx") * F.col("rx")).alias("s2xx"),
+                     F.sum(F.col("ry") * F.col("ry")).alias("s2yy"),
+                     F.sum("rx").alias("tx"), F.sum("ry").alias("ty"))
+    j = s1.crossJoin(F.broadcast(s23))
+    nd = F.col("n").cast("double")
+
+    def vterm(s1c, s2c, t1, t2):
+        return (F.col(s1c).cast("double") / (nd * nd)
+                - 2.0 * F.col(s2c).cast("double") / (nd * nd * nd)
+                + F.col(t1).cast("double") * F.col(t2).cast("double")
+                / (nd * nd * nd * nd))
+
+    dcov2 = vterm("sxy", "s2xy", "tx", "ty")
+    dvarx = vterm("sxx", "s2xx", "tx", "tx")
+    dvary = vterm("syy", "s2yy", "ty", "ty")
+    dcor = F.sqrt(F.sqrt(F.greatest(dcov2, F.lit(0.0))
+                         * F.greatest(dcov2, F.lit(0.0))
+                         / (dvarx * dvary)))
+    return j.select(F.col("n").cast("bigint").alias("n_days"),
+                    F.round(dcor, 6).alias("dcor"))
+
+
+@register(
+    "agg_energy_distance",
+    oracle="""
+    WITH seg AS (
+      SELECT date_trunc('day', o.o_orderdate) AS d,
+             CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                      THEN CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                      ELSE 0 END) AS HUGEINT) AS xv,
+             CAST(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                      THEN CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                      ELSE 0 END) AS HUGEINT) AS yv
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1),
+    exy AS (
+      SELECT CAST(sum(abs(a.xv - b.yv)) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS k
+      FROM seg a, seg b),
+    exx AS (
+      SELECT CAST(sum(abs(a.xv - b.xv)) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS k
+      FROM seg a, seg b),
+    eyy AS (
+      SELECT CAST(sum(abs(a.yv - b.yv)) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS k
+      FROM seg a, seg b)
+    SELECT CAST((SELECT count(*) FROM seg) AS BIGINT) AS n_days,
+           round((2.0 * CAST(exy.s AS DOUBLE) / exy.k
+                  - CAST(exx.s AS DOUBLE) / exx.k
+                  - CAST(eyy.s AS DOUBLE) / eyy.k) / 100.0, 4)
+             AS energy_dist_usd,
+           round((2.0 * CAST(exy.s AS DOUBLE) / exy.k
+                  - CAST(exx.s AS DOUBLE) / exx.k
+                  - CAST(eyy.s AS DOUBLE) / eyy.k)
+                 / (2.0 * CAST(exy.s AS DOUBLE) / exy.k), 6)
+             AS energy_coeff
+    FROM exy, exx, eyy
+    """)
+def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SZÉKELY–RIZZO energy distance between the BUILDING and
+    AUTOMOBILE daily-revenue distributions: E = 2E|X−Y| − E|X−X'| −
+    E|Y−Y'| ≥ 0, zero iff the distributions are equal — the
+    two-sample test that sees EVERY distributional difference
+    (location, scale, shape) where `agg_ks_test` weights the middle
+    and `agg_wasserstein_1d` is location-dominated; the normalized
+    coefficient E/(2E|X−Y|) ∈ [0,1] is the scale-free effect size.
+
+    All three expectation numerators are exact hugeint sums of
+    integer-cent absolute differences over the calendar-bounded pair
+    frame (~5.8M pairs at any corpus scale); the statistic is one
+    double expression. One join+day aggregate, three pair reduces."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast(dec)
+    seg = (o.join(c, c["c_custkey"] == o["o_custkey"])
+           .groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                    .alias("d"))
+           .agg(F.sum(F.when(F.col("c_mktsegment") == "BUILDING",
+                             cents).otherwise(0)).cast(dec)
+                .alias("xv"),
+                F.sum(F.when(F.col("c_mktsegment") == "AUTOMOBILE",
+                             cents).otherwise(0)).cast(dec)
+                .alias("yv")))
+    a = seg.alias("a")
+    b = seg.alias("b")
+
+    def pair_mean(lcol, rcol, name):
+        return (a.crossJoin(b)
+                .agg(F.sum(F.abs(F.col(f"a.{lcol}")
+                                 - F.col(f"b.{rcol}")))
+                     .alias(f"s_{name}"),
+                     F.count(F.lit(1)).cast(dec).alias(f"k_{name}")))
+
+    exy = pair_mean("xv", "yv", "xy")
+    exx = pair_mean("xv", "xv", "xx")
+    eyy = pair_mean("yv", "yv", "yy")
+    n = seg.agg(F.count(F.lit(1)).alias("n_days"))
+    j = (exy.crossJoin(exx).crossJoin(eyy).crossJoin(F.broadcast(n)))
+    m = lambda nm: (F.col(f"s_{nm}").cast("double")
+                    / F.col(f"k_{nm}").cast("double"))
+    e = 2.0 * m("xy") - m("xx") - m("yy")
+    return j.select(F.col("n_days").cast("bigint").alias("n_days"),
+                    F.round(e / 100.0, 4).alias("energy_dist_usd"),
+                    F.round(e / (2.0 * m("xy")), 6)
+                    .alias("energy_coeff"))
+
+
+@register(
+    "dq_mmd_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    xs AS (SELECT y FROM daily
+           WHERE d >= DATE '1996-01-01' AND d < DATE '1997-01-01'),
+    ys AS (SELECT y FROM daily
+           WHERE d >= DATE '2000-01-01' AND d < DATE '2001-01-01'),
+    kxx AS (
+      SELECT CAST(sum(CAST(round(exp(-((a.y - b.y) * (a.y - b.y))
+                     / 200.0), 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS k
+      FROM xs a, xs b),
+    kyy AS (
+      SELECT CAST(sum(CAST(round(exp(-((a.y - b.y) * (a.y - b.y))
+                     / 200.0), 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS k
+      FROM ys a, ys b),
+    kxy AS (
+      SELECT CAST(sum(CAST(round(exp(-((a.y - b.y) * (a.y - b.y))
+                     / 200.0), 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS k
+      FROM xs a, ys b)
+    SELECT CAST((SELECT count(*) FROM xs) AS BIGINT) AS n_ref,
+           CAST((SELECT count(*) FROM ys) AS BIGINT) AS n_cur,
+           round(kxx.s / kxx.k + kyy.s / kyy.k - 2.0 * kxy.s / kxy.k,
+                 6) AS mmd2,
+           kxx.s / kxx.k + kyy.s / kyy.k - 2.0 * kxy.s / kxy.k
+             > 4.0 / (SELECT count(*) FROM xs) AS drift_flag
+    FROM kxx, kyy, kxy
+    """)
+def dq_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM MEAN DISCREPANCY drift detector (Gretton et al. 2012)
+    between the 1996 and 2000 daily arrival-count distributions with
+    an RBF kernel (bandwidth² = 100 counts²): MMD² = E k(x,x') +
+    E k(y,y') − 2E k(x,y) — the kernel two-sample test that completes
+    the drift family (`dq_psi_drift` needs binning, `dq_js_divergence`
+    needs histograms, `dq_page_hinkley` is sequential; MMD works on
+    raw values with a characteristic kernel and detects ANY
+    distributional change). Flagged against the 4/√n·1/√n ≈ 4/n
+    quick bound (the distribution-free threshold at α ≈ 0.05 scale).
+
+    The three kernel means run over year-bounded pair frames (≤366²
+    pairs each, constant in corpus scale); each kernel value — exp of
+    an exact-integer squared difference — is quantized to 12-dp
+    DECIMAL before the exact sum (the repo's float-sum discipline)."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("d"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    xs = daily.filter((F.col("d") >= "1996-01-01")
+                      & (F.col("d") < "1997-01-01")).select("y")
+    ys = daily.filter((F.col("d") >= "2000-01-01")
+                      & (F.col("d") < "2001-01-01")).select("y")
+
+    def kmean(l, r, name):
+        a = l.select(F.col("y").alias("ya"))
+        b = r.select(F.col("y").alias("yb"))
+        diff = F.col("ya") - F.col("yb")
+        return (a.crossJoin(b)
+                .agg(F.sum(F.round(F.exp(-(diff * diff) / 200.0), 12)
+                           .cast("decimal(38,12)")).cast("double")
+                     .alias(f"s_{name}"),
+                     F.count(F.lit(1)).alias(f"k_{name}")))
+
+    kxx = kmean(xs, xs, "xx")
+    kyy = kmean(ys, ys, "yy")
+    kxy = kmean(xs, ys, "xy")
+    nx = xs.agg(F.count(F.lit(1)).alias("n_ref"))
+    ny = ys.agg(F.count(F.lit(1)).alias("n_cur"))
+    j = (kxx.crossJoin(kyy).crossJoin(kxy)
+         .crossJoin(F.broadcast(nx)).crossJoin(F.broadcast(ny)))
+    m = lambda nm: (F.col(f"s_{nm}")
+                    / F.col(f"k_{nm}").cast("double"))
+    mmd2 = m("xx") + m("yy") - 2.0 * m("xy")
+    return j.select(F.col("n_ref").cast("bigint").alias("n_ref"),
+                    F.col("n_cur").cast("bigint").alias("n_cur"),
+                    F.round(mmd2, 6).alias("mmd2"),
+                    (mmd2 > 4.0 / F.col("n_ref").cast("double"))
+                    .alias("drift_flag"))
+
+
+@register(
+    "ts_cox_stuart",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS y
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS t, y FROM daily),
+    n0 AS (SELECT count(*) // 2 AS half FROM idx),
+    pairs AS (
+      SELECT a.y AS y1, b.y AS y2
+      FROM idx a
+      JOIN n0 ON a.t <= n0.half
+      JOIN idx b ON b.t = a.t + n0.half),
+    s AS (
+      SELECT CAST(sum(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS splus,
+             CAST(sum(CASE WHEN y2 <> y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS m
+      FROM pairs)
+    SELECT splus AS s_plus, m AS n_untied,
+           round((splus - m / 2.0) / sqrt(m / 4.0), 6) AS z_stat,
+           abs((splus - m / 2.0) / sqrt(m / 4.0)) > 1.96
+             AS trend_5pct
+    FROM s
+    """)
+def ts_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COX–STUART sign test for trend: pair each day in the first
+    half of the series with the day one half-length later and count
+    how often the later value is larger; under no trend S⁺ ~
+    Binomial(m, ½) over the untied pairs. The crudest and most
+    robust member of the trend family — no ranks, no variance
+    estimate, immune to any monotone transform of the data;
+    `agg_mann_kendall_trend` is its efficient refinement, and
+    disagreement between the two flags a non-monotone drift shape.
+
+    Pairing is ONE self-equi-join on the half-offset index over the
+    bounded daily frame; counts are exact; z is one double. Ties are
+    dropped per the test's definition."""
+    o = tables.load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("d"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    idx = daily.select(F.row_number().over(Window.orderBy("d"))
+                       .alias("t"), "y")
+    n0 = idx.agg((F.floor(F.count(F.lit(1)) / 2)).alias("half"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (a.crossJoin(F.broadcast(n0))
+             .filter(F.col("a.t") <= F.col("half"))
+             .join(b, F.col("b.t") == F.col("a.t") + F.col("half"))
+             .select(F.col("a.y").alias("y1"),
+                     F.col("b.y").alias("y2")))
+    s = pairs.agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0))
+        .cast("bigint").alias("splus"),
+        F.sum(F.when(F.col("y2") != F.col("y1"), 1).otherwise(0))
+        .cast("bigint").alias("m"))
+    md = F.col("m").cast("double")
+    z = (F.col("splus") - md / 2.0) / F.sqrt(md / 4.0)
+    return s.select(F.col("splus").alias("s_plus"),
+                    F.col("m").alias("n_untied"),
+                    F.round(z, 6).alias("z_stat"),
+                    (F.abs(z) > 1.96).alias("trend_5pct"))
+
+
+@register(
+    "win_garman_klass_vol",
+    oracle="""
+    WITH px AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS v,
+             o_orderkey AS k
+      FROM orders),
+    ohlc AS (
+      SELECT d,
+             CAST(max(v) AS HUGEINT) AS hi,
+             CAST(min(v) AS HUGEINT) AS lo,
+             CAST(min_by(v, k) AS HUGEINT) AS op,
+             CAST(max_by(v, k) AS HUGEINT) AS cl,
+             count(*) AS n
+      FROM px GROUP BY d HAVING count(*) >= 2),
+    terms AS (
+      SELECT CAST(round(
+               0.5 * ln(CAST(hi AS DOUBLE) / lo)
+                   * ln(CAST(hi AS DOUBLE) / lo)
+               - (2.0 * ln(2.0) - 1.0)
+                 * ln(CAST(cl AS DOUBLE) / op)
+                 * ln(CAST(cl AS DOUBLE) / op), 12)
+               AS DECIMAL(38,12)) AS gk
+      FROM ohlc)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(sqrt(CAST(sum(gk) AS DOUBLE) / count(*)), 6)
+             AS gk_daily_vol,
+           round(sqrt(CAST(sum(gk) AS DOUBLE) / count(*))
+                 * sqrt(252.0), 6) AS gk_annualized
+    FROM terms
+    """)
+def win_garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARMAN–KLASS range-based volatility over the daily order-value
+    'candles' (high/low/open/close of o_totalprice within each day,
+    open/close pinned by orderkey order): σ²_GK = ½·ln(H/L)² −
+    (2ln2−1)·ln(C/O)² — ~7.4× more efficient per observation than
+    close-to-close variance, completing the range-estimator family
+    begun by `win_parkinson_vol` (high-low only) with the
+    open-close-corrected member.
+
+    OHLC per day are exact integer cents (min_by/max_by with the
+    orderkey tie-break are deterministic on both engines); each
+    day's GK term is quantized to 12-dp DECIMAL before the exact
+    mean. One day-grouped partial agg + one reduce — the per-day
+    candle compresses the fact table before anything wide exists."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    px = o.select(F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+                  F.round(F.col("o_totalprice") * 100).cast(dec)
+                  .alias("v"),
+                  F.col("o_orderkey").alias("k"))
+    ohlc = (px.groupBy("d")
+            .agg(F.max("v").alias("hi"), F.min("v").alias("lo"),
+                 F.min_by("v", "k").alias("op"),
+                 F.max_by("v", "k").alias("cl"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2))
+    lnhl = F.log(F.col("hi").cast("double") / F.col("lo").cast("double"))
+    lnco = F.log(F.col("cl").cast("double") / F.col("op").cast("double"))
+    gk = (0.5 * lnhl * lnhl
+          - (2.0 * F.log(F.lit(2.0)) - 1.0) * lnco * lnco)
+    terms = ohlc.select(F.round(gk, 12).cast("decimal(38,12)")
+                        .alias("gk"))
+    out = terms.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                    F.sum("gk").cast("double").alias("sgk"))
+    vol = F.sqrt(F.col("sgk") / F.col("n_days").cast("double"))
+    return out.select("n_days",
+                      F.round(vol, 6).alias("gk_daily_vol"),
+                      F.round(vol * float(252.0 ** 0.5), 6)
+                      .alias("gk_annualized"))
+
+
+@register(
+    "agg_erlang_c",
+    oracle="""
+    WITH lam AS (
+      SELECT count(*) / CAST(count(DISTINCT date_trunc('hour', ts))
+                             AS DOUBLE) AS l
+      FROM events),
+    a0 AS (SELECT l / 0.25 AS a FROM lam),
+    grid AS (SELECT CAST(range AS INT) AS c FROM range(1, 21)),
+    ks AS (SELECT CAST(range AS INT) AS k FROM range(0, 21)),
+    terms AS (
+      SELECT k, CAST(round(pow(a0.a, k) / factorial(k), 12)
+                     AS DECIMAL(38,12)) AS t
+      FROM ks, a0),
+    s AS (
+      SELECT g.c,
+             CAST(sum(CASE WHEN t2.k < g.c THEN t2.t END) AS DOUBLE)
+               AS head,
+             CAST(max(CASE WHEN t2.k = g.c THEN t2.t END) AS DOUBLE)
+               AS tc
+      FROM grid g, terms t2 GROUP BY g.c)
+    SELECT s.c AS agents,
+           round(a0.a / s.c, 6) AS rho,
+           round(CASE WHEN a0.a >= s.c THEN 1.0
+                 ELSE s.tc / ((1.0 - a0.a / s.c) * s.head + s.tc)
+                 END, 6) AS p_wait,
+           a0.a < s.c AS stable
+    FROM s, a0
+    """)
+def agg_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERLANG-C staffing curve from the measured event arrival rate:
+    with offered load a = λ/μ (λ = observed mean hourly arrivals, μ =
+    0.25/hour the literal design service rate), the probability an
+    arrival must queue under c parallel servers is
+    C(c,a) = (aᶜ/c!) / ((1−ρ)·Σ_{k<c} aᵏ/k! + aᶜ/c!) — the classic
+    M/M/c answer to 'how many parallel consumers does this ingest
+    stream need?', one row per c ∈ 1..20, saturated rows (ρ ≥ 1)
+    pinned to P(wait) = 1. The measured-λ side makes it a data query,
+    not a formula table: λ is the events-table hourly mean, exactly
+    the quantity `agg_littles_law` consumes.
+
+    λ is a ratio of exact counts; each aᵏ/k! term (k ≤ 20, exact
+    factorial) is quantized to 12-dp DECIMAL before the grid sums, so
+    the c×k fan-out (a fixed 20×21 frame) is order-safe. One events
+    aggregate + constant-size grid math."""
+    e = tables.load(spark, sf_dir, "events")
+    lam = e.agg((F.count(F.lit(1))
+                 / F.countDistinct(F.date_trunc("hour", F.col("ts")))
+                 .cast("double")).alias("l"))
+    a0 = lam.select((F.col("l") / 0.25).alias("a"))
+    spark_s = e.sparkSession
+    grid = spark_s.range(1, 21).select(F.col("id").cast("int")
+                                       .alias("c"))
+    ks = spark_s.range(0, 21).select(F.col("id").cast("int")
+                                     .alias("k"))
+    terms = (ks.crossJoin(F.broadcast(a0))
+             .select("k",
+                     F.round(F.pow(F.col("a"), F.col("k"))
+                             / F.factorial(F.col("k")), 12)
+                     .cast("decimal(38,12)").alias("t")))
+    s = (grid.crossJoin(terms)
+         .groupBy("c")
+         .agg(F.sum(F.when(F.col("k") < F.col("c"), F.col("t")))
+              .cast("double").alias("head"),
+              F.max(F.when(F.col("k") == F.col("c"), F.col("t")))
+              .cast("double").alias("tc")))
+    j = s.crossJoin(F.broadcast(a0))
+    rho = F.col("a") / F.col("c")
+    pw = F.when(F.col("a") >= F.col("c"), F.lit(1.0)) \
+        .otherwise(F.col("tc")
+                   / ((1.0 - rho) * F.col("head") + F.col("tc")))
+    return j.select(F.col("c").alias("agents"),
+                    F.round(rho, 6).alias("rho"),
+                    F.round(pw, 6).alias("p_wait"),
+                    (F.col("a") < F.col("c")).alias("stable"))

@@ -579,3 +579,58 @@ def test_point_in_polygon_sanity(spark, qs):
     ref = [i for i in ids if inside(i % 101, i % 103)]
     assert r["n_inside"] == len(ref)
     assert r["inside_id_sum"] == sum(ref)
+
+
+def test_distance_correlation_bounds(spark, qs):
+    """dCor ∈ [0, 1]; count and revenue are strongly dependent, so
+    it must be well above 0."""
+    r = qs["agg_distance_correlation"](spark, SF_DIR).first()
+    assert 0.0 <= r["dcor"] <= 1.0
+    assert r["dcor"] > 0.3
+
+
+def test_energy_distance_nonneg(spark, qs):
+    """E ≥ 0 always (it is a metric between distributions); the
+    normalized coefficient sits in [0, 1]."""
+    r = qs["agg_energy_distance"](spark, SF_DIR).first()
+    assert r["energy_dist_usd"] >= 0
+    assert 0.0 <= r["energy_coeff"] <= 1.0
+
+
+def test_mmd_drift_bounds(spark, qs):
+    """MMD² ∈ [-small, 4] for a bounded kernel; flag consistent with
+    the 4/n threshold."""
+    r = qs["dq_mmd_drift"](spark, SF_DIR).first()
+    assert -1e-6 <= r["mmd2"] <= 4.0
+    assert r["drift_flag"] == (r["mmd2"] > 4.0 / r["n_ref"])
+
+
+def test_cox_stuart_counts(spark, qs):
+    """0 ≤ S+ ≤ m ≤ n/2; flag consistent with 1.96."""
+    r = qs["ts_cox_stuart"](spark, SF_DIR).first()
+    assert 0 <= r["s_plus"] <= r["n_untied"]
+    assert r["trend_5pct"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_garman_klass_positive(spark, qs):
+    """Volatility positive; annualization is exactly sqrt(252)x."""
+    r = qs["win_garman_klass_vol"](spark, SF_DIR).first()
+    assert r["gk_daily_vol"] > 0
+    assert abs(r["gk_annualized"]
+               - r["gk_daily_vol"] * 252 ** 0.5) < 1e-3
+
+
+def test_erlang_c_monotone(spark, qs):
+    """P(wait) is nonincreasing in c, 1 on saturated rows, in [0,1]
+    everywhere; stability flag matches rho < 1."""
+    rows = sorted(qs["agg_erlang_c"](spark, SF_DIR).collect(),
+                  key=lambda r: r["agents"])
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["p_wait"] <= 1.0
+        assert r["stable"] == (r["rho"] < 1.0)
+        if not r["stable"]:
+            assert r["p_wait"] == 1.0
+    stable = [r for r in rows if r["stable"]]
+    assert all(a["p_wait"] >= b["p_wait"] - 1e-9
+               for a, b in zip(stable, stable[1:]))
