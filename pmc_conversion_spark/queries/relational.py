@@ -13533,3 +13533,401 @@ def agg_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((0.1 / 0.9) * F.col("ts")
                             + (F.col("xk").cast("double") / 100.0)
                             * float(0.9 ** 100), 6).alias("rbo_ext")))
+
+
+# --------------------------------------------------------------------------
+# round-8 wave 11: the remaining canonical categorical / two-sample
+# designs. Same disciplines as waves 5-10: histogram/bounded-domain rank
+# computation (never a corpus-wide rank window), exact-integer moments,
+# quantized-decimal sums where a term is unavoidably rational.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_cucconi_test",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(floor(o_totalprice / 100) AS HUGEINT) AS bin,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+               AS is_y
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    hist AS (
+      SELECT bin,
+             CAST(count(*) AS HUGEINT) AS ct,
+             CAST(sum(is_y) AS HUGEINT) AS cy
+      FROM x GROUP BY bin),
+    run AS (
+      SELECT ct, cy,
+             2 * coalesce(CAST(sum(ct) OVER (ORDER BY bin ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT), 0)
+               + ct + 1 AS m2
+      FROM hist),
+    s AS (
+      SELECT CAST(sum(ct) AS HUGEINT) AS n,
+             CAST(sum(cy) AS HUGEINT) AS n2,
+             CAST(sum(cy * m2 * m2) AS HUGEINT) AS sm2,
+             CAST(sum(cy * (2 * (SELECT sum(ct) FROM hist) + 2 - m2)
+                      * (2 * (SELECT sum(ct) FROM hist) + 2 - m2))
+                  AS HUGEINT) AS sc2
+      FROM run),
+    uv AS (
+      SELECT n, n2,
+             (6 * CAST(sm2 AS DOUBLE) / 4.0
+              - CAST(n2 * (n + 1) * (2 * n + 1) AS DOUBLE))
+             / sqrt(CAST((n - n2) * n2 AS DOUBLE)
+                    * CAST((n + 1) * (2 * n + 1) AS DOUBLE)
+                    * (8.0 * CAST(n AS DOUBLE) + 11.0) / 5.0) AS u,
+             (6 * CAST(sc2 AS DOUBLE) / 4.0
+              - CAST(n2 * (n + 1) * (2 * n + 1) AS DOUBLE))
+             / sqrt(CAST((n - n2) * n2 AS DOUBLE)
+                    * CAST((n + 1) * (2 * n + 1) AS DOUBLE)
+                    * (8.0 * CAST(n AS DOUBLE) + 11.0) / 5.0) AS v,
+             2.0 * (CAST(n AS DOUBLE) * n - 4.0)
+               / (CAST(2 * n + 1 AS DOUBLE)
+                  * (8.0 * CAST(n AS DOUBLE) + 11.0)) - 1.0 AS rho
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(n2 AS BIGINT) AS n_sample2,
+           round((u * u + v * v - 2.0 * rho * u * v)
+                 / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c,
+           (u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)) > 4.23 AS differ_5pct
+    FROM uv
+    """)
+def agg_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUCCONI two-sample test for the JOINT location-scale
+    alternative between URGENT and LOW order values: C combines the
+    squared-rank statistic U (sensitive to scale+location upward) and
+    its contrary-rank mirror V through their exact correlation ρ —
+    one test where the common practice (Wilcoxon for location THEN
+    Ansari-Bradley for scale, cf `agg_mann_whitney_u` /
+    `agg_ansari_bradley`) needs two and a multiplicity correction;
+    predates and often beats Lepage.
+
+    Ranks are midranks on the FIXED $100 bin grid (the
+    `agg_jonckheere_terpstra` histogram discipline: ≤ ~5.6k bins at
+    any corpus scale), kept exact in doubled form; ΣR² and Σ(n+1−R)²
+    are exact hugeints (the /4 de-scaling rides the final double).
+    The 5% critical value for C is the asymptotic 4.23 (Cucconi
+    1968). One histogram shuffle + one bounded prefix window."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    x = (o.filter(F.col("o_orderpriority")
+                  .isin("1-URGENT", "5-LOW"))
+         .select(F.floor(F.col("o_totalprice") / 100).cast(dec)
+                 .alias("bin"),
+                 F.when(F.col("o_orderpriority") == "5-LOW", 1)
+                 .otherwise(0).alias("is_y")))
+    hist = (x.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast(dec).alias("ct"),
+                 F.sum("is_y").cast(dec).alias("cy")))
+    wb = (Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    run = hist.select(
+        "ct", "cy",
+        (2 * F.coalesce(F.sum("ct").over(wb), F.lit(0)).cast(dec)
+         + F.col("ct") + 1).alias("m2"))
+    tot = hist.agg(F.sum("ct").cast(dec).alias("nn"))
+    rj = run.crossJoin(F.broadcast(tot))
+    contra = 2 * F.col("nn") + 2 - F.col("m2")
+    s = rj.agg(F.any_value("nn").alias("n"),
+               F.sum("cy").alias("n2"),
+               F.sum(F.col("cy") * F.col("m2") * F.col("m2"))
+               .alias("sm2"),
+               F.sum(F.col("cy") * contra * contra).alias("sc2"))
+    nd = F.col("n").cast("double")
+    n2d = F.col("n2").cast("double")
+    den = F.sqrt((F.col("n") - F.col("n2")).cast("double") * n2d
+                 * ((F.col("n") + 1) * (2 * F.col("n") + 1))
+                 .cast("double")
+                 * (8.0 * nd + 11.0) / 5.0)
+    cexp = (F.col("n2") * (F.col("n") + 1)
+            * (2 * F.col("n") + 1)).cast("double")
+    u = (6.0 * F.col("sm2").cast("double") / 4.0 - cexp) / den
+    v = (6.0 * F.col("sc2").cast("double") / 4.0 - cexp) / den
+    rho = (2.0 * (nd * nd - 4.0)
+           / ((2.0 * nd + 1.0) * (8.0 * nd + 11.0)) - 1.0)
+    cst = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    return s.select(F.col("n").cast("bigint").alias("n_total"),
+                    F.col("n2").cast("bigint").alias("n_sample2"),
+                    F.round(cst, 6).alias("cucconi_c"),
+                    (cst > 4.23).alias("differ_5pct"))
+
+
+@register(
+    "agg_cochran_armitage",
+    oracle="""
+    WITH shiplag AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS maxship
+      FROM lineitem GROUP BY 1),
+    rated AS (
+      SELECT CAST(substr(o.o_orderpriority, 1, 1) AS HUGEINT) AS g,
+             CASE WHEN shiplag.maxship > o.o_orderdate
+                       + INTERVAL 90 DAY THEN 1 ELSE 0 END AS slow
+      FROM orders o JOIN shiplag ON shiplag.ok = o.o_orderkey),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(slow) AS HUGEINT) AS r,
+             CAST(sum(g * slow) AS HUGEINT) AS sgr,
+             CAST(sum(g) AS HUGEINT) AS sg,
+             CAST(sum(g * g) AS HUGEINT) AS sgg
+      FROM rated)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round((CAST(n * sgr - r * sg AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(r AS DOUBLE) / n)
+                        * (1.0 - CAST(r AS DOUBLE) / n)
+                        * CAST(n * sgg - sg * sg AS DOUBLE)
+                        / CAST(n AS DOUBLE)), 6) AS z_stat,
+           abs((CAST(n * sgr - r * sg AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(r AS DOUBLE) / n)
+                        * (1.0 - CAST(r AS DOUBLE) / n)
+                        * CAST(n * sgg - sg * sg AS DOUBLE)
+                        / CAST(n AS DOUBLE))) > 1.96 AS trend_5pct
+    FROM mom
+    """)
+def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN–ARMITAGE trend-in-proportions test: does the
+    slow-shipping RATE trend monotonically across the five ordered
+    priority classes? The binary-outcome sibling of
+    `agg_jonckheere_terpstra` (continuous outcome) — with integer
+    scores s_g = g, T = Σ s(y − ȳ) and Var(T) = p̄(1−p̄)·(Σs²n −
+    (Σsn)²/N), the locally-optimal test against a linear logit trend,
+    strictly more powerful than the unordered χ² when order is real.
+
+    Five exact moments from one orderkey-grouped lineitem partial agg
+    joined to the header; z is a single double expression. Two
+    shuffles, both partial-aggregated, nothing post-aggregate exceeds
+    one row."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    shiplag = (li.groupBy(F.col("l_orderkey").alias("ok"))
+               .agg(F.max("l_shipdate").alias("maxship")))
+    rated = (o.join(shiplag, o["o_orderkey"] == shiplag["ok"])
+             .select(F.substring("o_orderpriority", 1, 1).cast(dec)
+                     .alias("g"),
+                     F.when(F.col("maxship")
+                            > F.date_add(F.col("o_orderdate"), 90), 1)
+                     .otherwise(0).alias("slow")))
+    mom = rated.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                    F.sum("slow").cast(dec).alias("r"),
+                    F.sum(F.col("g") * F.col("slow")).alias("sgr"),
+                    F.sum("g").alias("sg"),
+                    F.sum(F.col("g") * F.col("g")).alias("sgg"))
+    nd = F.col("n").cast("double")
+    pbar = F.col("r").cast("double") / nd
+    t = (F.col("n") * F.col("sgr")
+         - F.col("r") * F.col("sg")).cast("double") / nd
+    vars = (pbar * (1.0 - pbar)
+            * (F.col("n") * F.col("sgg")
+               - F.col("sg") * F.col("sg")).cast("double") / nd)
+    z = t / F.sqrt(vars)
+    return mom.select(F.col("n").cast("bigint").alias("n_orders"),
+                      F.round(z, 6).alias("z_stat"),
+                      (F.abs(z) > 1.96).alias("trend_5pct"))
+
+
+@register(
+    "agg_breslow_day",
+    oracle="""
+    WITH shiplag AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS maxship
+      FROM lineitem GROUP BY 1),
+    strata AS (
+      SELECT r.r_name AS stratum,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS expo,
+             CASE WHEN s.maxship > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS slow
+      FROM orders o
+      JOIN shiplag s ON s.ok = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(expo * slow) AS HUGEINT) AS a,
+             CAST(sum(expo * (1 - slow)) AS HUGEINT) AS b,
+             CAST(sum((1 - expo) * slow) AS HUGEINT) AS c,
+             CAST(sum((1 - expo) * (1 - slow)) AS HUGEINT) AS d
+      FROM strata GROUP BY stratum),
+    mh AS (
+      SELECT CAST(sum(CAST(round(CAST(a AS DOUBLE) * d
+                     / (a + b + c + d), 12) AS DECIMAL(38,12)))
+                  AS DOUBLE)
+             / CAST(sum(CAST(round(CAST(b AS DOUBLE) * c
+                     / (a + b + c + d), 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS orr
+      FROM cells),
+    bd AS (
+      SELECT cells.a, cells.b, cells.c, cells.d, mh.orr,
+             CAST(a + b AS DOUBLE) AS m1,
+             CAST(a + c AS DOUBLE) AS k1,
+             CAST(a + b + c + d AS DOUBLE) AS nn
+      FROM cells, mh),
+    ea AS (
+      SELECT a, orr,
+             (orr * (m1 + k1) + (nn - m1 - k1)
+              - sqrt((orr * (m1 + k1) + (nn - m1 - k1))
+                     * (orr * (m1 + k1) + (nn - m1 - k1))
+                     - 4.0 * (orr - 1.0) * orr * m1 * k1))
+               / (2.0 * (orr - 1.0)) AS ae,
+             m1, k1, nn
+      FROM bd),
+    terms AS (
+      SELECT CAST(round((a - ae) * (a - ae)
+                 * (1.0 / ae + 1.0 / (m1 - ae) + 1.0 / (k1 - ae)
+                    + 1.0 / (nn - m1 - k1 + ae)), 12)
+                  AS DECIMAL(38,12)) AS t
+      FROM ea)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           round((SELECT orr FROM mh), 6) AS or_mh,
+           round(CAST(sum(t) AS DOUBLE), 6) AS bd_chi2,
+           CAST(sum(t) AS DOUBLE) > 9.488 AS heterogeneous_5pct
+    FROM terms
+    """)
+def agg_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRESLOW–DAY homogeneity test for the odds ratios behind
+    `agg_mantel_haenszel`: MH gives ONE pooled urgency→slow-shipping
+    odds ratio across the five region strata, but pooling is only
+    licensed if the per-stratum ORs are homogeneous — exactly what
+    B-D tests. Each stratum's expected exposed-case count under the
+    common OR solves the quadratic (OR−1)A² − [OR(m₁+k₁)+(n−m₁−k₁)]A
+    + OR·m₁k₁ = 0 (closed-form root, the valid branch), and χ² =
+    Σ(a−A)²/Var(A) with the harmonic four-cell variance; df = strata−1
+    = 4, gate 9.488.
+
+    Cell counts are exact integers from ONE pre-aggregated lineitem
+    join fanned through the 3-dim broadcast chain; the two
+    unavoidably-rational stages (MH's per-stratum ad/n, bc/n and the
+    per-stratum χ² term) are quantized to 12-dp DECIMAL before their
+    exact sums. Post-aggregate frame: 5 rows."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    dec = "decimal(38,0)"
+    shiplag = (li.groupBy(F.col("l_orderkey").alias("ok"))
+               .agg(F.max("l_shipdate").alias("maxship")))
+    strata = (o.join(shiplag, o["o_orderkey"] == F.col("ok"))
+              .join(c, c["c_custkey"] == o["o_custkey"])
+              .join(F.broadcast(n),
+                    n["n_nationkey"] == c["c_nationkey"])
+              .join(F.broadcast(r),
+                    r["r_regionkey"] == n["n_regionkey"])
+              .select(F.col("r_name").alias("stratum"),
+                      F.when(F.col("o_orderpriority")
+                             .isin("1-URGENT", "2-HIGH"), 1)
+                      .otherwise(0).alias("expo"),
+                      F.when(F.col("maxship")
+                             > F.date_add(F.col("o_orderdate"), 90), 1)
+                      .otherwise(0).alias("slow")))
+    cells = (strata.groupBy("stratum")
+             .agg(F.sum(F.col("expo") * F.col("slow")).cast(dec)
+                  .alias("a"),
+                  F.sum(F.col("expo") * (1 - F.col("slow"))).cast(dec)
+                  .alias("b"),
+                  F.sum((1 - F.col("expo")) * F.col("slow")).cast(dec)
+                  .alias("c"),
+                  F.sum((1 - F.col("expo")) * (1 - F.col("slow")))
+                  .cast(dec).alias("d")))
+    nn = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    mh = cells.agg(
+        (F.sum(F.round(F.col("a").cast("double")
+                       * F.col("d").cast("double") / nn, 12)
+               .cast("decimal(38,12)")).cast("double")
+         / F.sum(F.round(F.col("b").cast("double")
+                         * F.col("c").cast("double") / nn, 12)
+                 .cast("decimal(38,12)")).cast("double")).alias("orr"))
+    bd = cells.crossJoin(F.broadcast(mh))
+    m1 = (F.col("a") + F.col("b")).cast("double")
+    k1 = (F.col("a") + F.col("c")).cast("double")
+    nnd = nn
+    bb = (F.col("orr") * (m1 + k1) + (nnd - m1 - k1))
+    ae = ((bb - F.sqrt(bb * bb - 4.0 * (F.col("orr") - 1.0)
+                       * F.col("orr") * m1 * k1))
+          / (2.0 * (F.col("orr") - 1.0)))
+    var_inv = (1.0 / ae + 1.0 / (m1 - ae) + 1.0 / (k1 - ae)
+               + 1.0 / (nnd - m1 - k1 + ae))
+    ad = F.col("a").cast("double")
+    term = F.round((ad - ae) * (ad - ae) * var_inv, 12) \
+        .cast("decimal(38,12)")
+    out = (bd.select(term.alias("t"), F.col("orr"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+                F.any_value("orr").alias("orr"),
+                F.sum("t").cast("double").alias("chi2")))
+    return out.select("n_strata",
+                      F.round("orr", 6).alias("or_mh"),
+                      F.round("chi2", 6).alias("bd_chi2"),
+                      (F.col("chi2") > 9.488)
+                      .alias("heterogeneous_5pct"))
+
+
+@register(
+    "agg_kappa_weighted",
+    oracle="""
+    WITH rated AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS HUGEINT) AS i,
+             CAST(CASE WHEN o_totalprice < 100000 THEN 1
+                  WHEN o_totalprice < 200000 THEN 2
+                  WHEN o_totalprice < 300000 THEN 3
+                  WHEN o_totalprice < 400000 THEN 4
+                  ELSE 5 END AS HUGEINT) AS j
+      FROM orders),
+    o AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(abs(i - j)) AS HUGEINT) AS dobs
+      FROM rated),
+    marg AS (
+      SELECT a.i, b.j,
+             CAST(a.ri AS HUGEINT) * b.cj AS w
+      FROM (SELECT i, count(*) AS ri FROM rated GROUP BY i) a,
+           (SELECT j, count(*) AS cj FROM rated GROUP BY j) b),
+    e AS (
+      SELECT CAST(sum(abs(i - j) * w) AS HUGEINT) AS dexp FROM marg)
+    SELECT CAST(o.n AS BIGINT) AS n_orders,
+           round(1.0 - CAST(o.n * o.dobs AS DOUBLE)
+                 / CAST(e.dexp AS DOUBLE), 6) AS kappa_weighted
+    FROM o, e
+    """)
+def agg_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEARLY-WEIGHTED Cohen's kappa between two ORDINAL raters of
+    order importance — declared priority (1..5) vs a fixed price-band
+    rating (5 literal $100k cutoffs) — the ordinal-scale agreement
+    coefficient `agg_cohens_kappa` cannot give: nominal κ charges a
+    4-step disagreement the same as a 1-step one, while weighted κ =
+    1 − Σv·O / Σv·E with v = |i−j| credits near-misses. (With these
+    linear weights κ_w also equals the two-rater quadratic ICC family
+    member up to weighting convention.)
+
+    Everything is exact: observed disagreement Σ|i−j| and the
+    expected Σ|i−j|·rᵢcⱼ (marginal products over the 5×5 grid) are
+    hugeint sums, so κ_w = 1 − N·D_obs/D_exp is ONE double division.
+    One corpus aggregate + two 5-row marginal aggregates."""
+    o = tables.load(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    rated = o.select(
+        F.substring("o_orderpriority", 1, 1).cast(dec).alias("i"),
+        F.when(F.col("o_totalprice") < 100000, 1)
+        .when(F.col("o_totalprice") < 200000, 2)
+        .when(F.col("o_totalprice") < 300000, 3)
+        .when(F.col("o_totalprice") < 400000, 4)
+        .otherwise(5).cast(dec).alias("j"))
+    obs = rated.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                    F.sum(F.abs(F.col("i") - F.col("j")))
+                    .cast(dec).alias("dobs"))
+    ri = rated.groupBy("i").agg(F.count(F.lit(1)).cast(dec)
+                                .alias("ri"))
+    cj = rated.groupBy("j").agg(F.count(F.lit(1)).cast(dec)
+                                .alias("cj"))
+    e = (ri.crossJoin(cj)
+         .agg(F.sum(F.abs(F.col("i") - F.col("j"))
+                    * F.col("ri") * F.col("cj")).alias("dexp")))
+    j = obs.crossJoin(F.broadcast(e))
+    kw = (1.0 - (F.col("n") * F.col("dobs")).cast("double")
+          / F.col("dexp").cast("double"))
+    return j.select(F.col("n").cast("bigint").alias("n_orders"),
+                    F.round(kw, 6).alias("kappa_weighted"))

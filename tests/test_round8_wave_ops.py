@@ -634,3 +634,37 @@ def test_erlang_c_monotone(spark, qs):
     stable = [r for r in rows if r["stable"]]
     assert all(a["p_wait"] >= b["p_wait"] - 1e-9
                for a, b in zip(stable, stable[1:]))
+
+
+def test_cucconi_nonneg(spark, qs):
+    """C ≥ 0 by construction (positive-definite quadratic form in
+    U, V); flag matches the 4.23 gate."""
+    r = qs["agg_cucconi_test"](spark, SF_DIR).first()
+    assert r["cucconi_c"] >= 0
+    assert 0 < r["n_sample2"] < r["n_total"]
+    assert r["differ_5pct"] == (r["cucconi_c"] > 4.23)
+
+
+def test_cochran_armitage_flag(spark, qs):
+    """Uniform priorities: |z| finite; flag matches 1.96."""
+    r = qs["agg_cochran_armitage"](spark, SF_DIR).first()
+    assert abs(r["z_stat"]) < 50
+    assert r["trend_5pct"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_breslow_day_identities(spark, qs):
+    """5 region strata; pooled OR positive; chi2 ≥ 0 with the df=4
+    gate applied consistently."""
+    r = qs["agg_breslow_day"](spark, SF_DIR).first()
+    assert r["n_strata"] == 5
+    assert r["or_mh"] > 0
+    assert r["bd_chi2"] >= 0
+    assert r["heterogeneous_5pct"] == (r["bd_chi2"] > 9.488)
+
+
+def test_kappa_weighted_bounds(spark, qs):
+    """kappa_w ≤ 1; independent raters should sit near 0 (the two
+    fixture columns are unrelated by construction)."""
+    r = qs["agg_kappa_weighted"](spark, SF_DIR).first()
+    assert r["kappa_weighted"] <= 1.0
+    assert abs(r["kappa_weighted"]) < 0.5
