@@ -10557,3 +10557,119 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pair.groupBy("source_a", "source_b")
             .agg(F.round(F.sum("dz").cast("double")
                          / F.count(F.lit(1)), 6).alias("delta")))
+
+
+@register(
+    "sim_dbscan_grid",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT vec_id,
+             CAST(round(embedding[1] * 1e6) AS BIGINT) AS x,
+             CAST(round(embedding[2] * 1e6) AS BIGINT) AS y
+      FROM embeddings),
+    nbr AS (
+      SELECT a.vec_id AS s, b.vec_id AS t
+      FROM p a JOIN p b
+        ON b.vec_id <> a.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 20000 * 20000),
+    core AS (
+      SELECT s AS vec_id FROM nbr GROUP BY s HAVING count(*) >= 4),
+    ce AS (
+      SELECT nbr.s, nbr.t FROM nbr
+      WHERE nbr.s IN (SELECT vec_id FROM core)
+        AND nbr.t IN (SELECT vec_id FROM core)),
+    cc AS (
+      SELECT vec_id AS node, vec_id AS comp FROM core
+      UNION
+      SELECT ce.t, cc.comp FROM cc JOIN ce ON ce.s = cc.node
+      WHERE cc.comp < ce.t),
+    lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+    border AS (
+      SELECT nbr.s AS vec_id, min(lab.comp) AS comp
+      FROM nbr JOIN lab ON lab.node = nbr.t
+      WHERE nbr.s NOT IN (SELECT vec_id FROM core)
+      GROUP BY nbr.s)
+    SELECT p.vec_id,
+           CASE WHEN lab.node IS NOT NULL THEN 'core'
+                WHEN border.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(lab.comp, border.comp) AS BIGINT) AS cluster
+    FROM p
+    LEFT JOIN lab ON lab.node = p.vec_id
+    LEFT JOIN border ON border.vec_id = p.vec_id
+    """)
+def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BLOCKED DBSCAN (eps = 0.02, minPts = 4 excluding self) on
+    the integer-quantized 2-D projection of the embedding table — the
+    DENSITY-based member the clustering family lacked: k-means/GMM
+    (`sim_kmeans_lloyd`, `agg_gmm_em_converged`) force convex
+    equal-ish clusters and have no noise concept; DBSCAN finds
+    arbitrary-shape clusters AND labels sparse points as noise, which
+    for a curation pipeline is an outlier-document detector and a
+    cluster-prune signal in one pass.
+
+    Scale design: the ε-neighborhood join is grid-blocked exactly like
+    `join_geo_grid_radius` — each point registers in its cell (size =
+    ε) plus 8 neighbors, candidates meet on an equi-join, the exact
+    integer distance² filter runs only inside cells, so cost is
+    Σ|cell|² not N². Core points (≥ minPts neighbors) cluster via the
+    same large-star/small-star CC as `dedup_cluster_cc` (O(log n)
+    rounds); border points take the MINIMUM neighboring core
+    component (classic DBSCAN is scan-order-dependent here — the min
+    rule makes the labeling deterministic and engine-comparable);
+    cluster ids are the component minimum. Coordinates are exact 1e-6
+    integers, every distance test exact."""
+    from pmc_conversion_spark.functions.graph import connected_components
+    emb = tables.load(spark, sf_dir, "embeddings")
+    eps = 20000
+    p = emb.select("vec_id",
+                   F.round(F.col("embedding")[0] * 1e6)
+                   .cast("bigint").alias("x"),
+                   F.round(F.col("embedding")[1] * 1e6)
+                   .cast("bigint").alias("y"))
+    cells = p.select(
+        "vec_id", "x", "y",
+        F.floor(F.col("x") / float(eps)).alias("cx"),
+        F.floor(F.col("y") / float(eps)).alias("cy"))
+    offs = spark.range(0, 9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).alias("dy"))
+    ex = (cells.crossJoin(F.broadcast(offs))
+          .select(F.col("vec_id").alias("s"),
+                  F.col("x").alias("xs"), F.col("y").alias("ys"),
+                  (F.col("cx") + F.col("dx")).alias("gcx"),
+                  (F.col("cy") + F.col("dy")).alias("gcy")))
+    b = cells.select(F.col("vec_id").alias("t"),
+                     F.col("x").alias("xt"), F.col("y").alias("yt"),
+                     F.col("cx").alias("gcx"), F.col("cy").alias("gcy"))
+    d2 = ((F.col("xs") - F.col("xt")) * (F.col("xs") - F.col("xt"))
+          + (F.col("ys") - F.col("yt")) * (F.col("ys") - F.col("yt")))
+    nbr = (ex.join(b, ["gcx", "gcy"])
+           .filter((F.col("s") != F.col("t")) & (d2 <= eps * eps))
+           .select("s", "t"))
+    core = (nbr.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 4)
+            .select(F.col("s").alias("vec_id")))
+    ce = (nbr.join(core.withColumnRenamed("vec_id", "s"), "s")
+          .join(core.withColumnRenamed("vec_id", "t"), "t")
+          .select("s", "t"))
+    cc = connected_components(ce, src="s", dst="t")
+    lab = (core.join(cc, core["vec_id"] == cc["node"], "left")
+           .select("vec_id",
+                   F.coalesce("component", "vec_id").alias("comp")))
+    border = (nbr.join(lab.select(F.col("vec_id").alias("t"),
+                                  F.col("comp").alias("tcomp")), "t")
+              .join(core, nbr["s"] == core["vec_id"], "left_anti")
+              .groupBy("s").agg(F.min("tcomp").alias("bcomp")))
+    out = (p.join(lab.withColumnRenamed("comp", "ccomp"),
+                  "vec_id", "left")
+           .join(border.withColumnRenamed("s", "vec_id"),
+                 "vec_id", "left")
+           .select("vec_id",
+                   F.when(F.col("ccomp").isNotNull(), "core")
+                   .when(F.col("bcomp").isNotNull(), "border")
+                   .otherwise("noise").alias("role"),
+                   F.coalesce("ccomp", "bcomp").cast("bigint")
+                   .alias("cluster")))
+    return out

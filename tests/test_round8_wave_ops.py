@@ -668,3 +668,21 @@ def test_kappa_weighted_bounds(spark, qs):
     r = qs["agg_kappa_weighted"](spark, SF_DIR).first()
     assert r["kappa_weighted"] <= 1.0
     assert abs(r["kappa_weighted"]) < 0.5
+
+
+def test_dbscan_labels_consistent(spark, qs):
+    """Every point labeled exactly once; cores carry a cluster;
+    noise carries none; border clusters reference a core cluster;
+    cluster ids are member minima (hence cluster ids are core ids)."""
+    rows = qs["sim_dbscan_grid"](spark, SF_DIR).collect()
+    roles = {r["vec_id"]: r for r in rows}
+    assert len(roles) == len(rows)
+    core_clusters = {r["cluster"] for r in rows if r["role"] == "core"}
+    for r in rows:
+        if r["role"] == "core":
+            assert r["cluster"] is not None
+            assert r["cluster"] <= r["vec_id"]
+        elif r["role"] == "border":
+            assert r["cluster"] in core_clusters
+        else:
+            assert r["cluster"] is None
