@@ -165,6 +165,17 @@ HEADLINE = [
     "mm_jpeg_entropy_size",
     "text_yule_k",
     "text_gries_dp",
+    # r8 session waves: the exact-V-statistic calendar pair frame
+    # (distance correlation), grid-blocked DBSCAN (cell join + CC),
+    # the lossless PNG Arrow stage, the bounded-histogram JT rank
+    # statistic, the checkpointed Heaps fit (two token shuffles), and
+    # the pairwise stylometric delta
+    "agg_distance_correlation",
+    "sim_dbscan_grid",
+    "mm_decode_real_png",
+    "agg_jonckheere_terpstra",
+    "text_heaps_law_fit",
+    "text_burrows_delta",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this
