@@ -10673,3 +10673,39 @@ def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.coalesce("ccomp", "bcomp").cast("bigint")
                    .alias("cluster")))
     return out
+
+
+@register(
+    "mm_decode_real_gif",
+    oracle="""
+    WITH pix AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y,
+             ((doc_id % 199) + 5 * gx.x + gy.y * gy.y
+              + ((gx.x + gy.y) % 7)) % 256 AS p
+      FROM documents, range(20) gx(x), range(12) gy(y))
+    SELECT doc_id AS media_id,
+           CAST(20 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(sum(p) AS BIGINT) AS pix_sum,
+           CAST(sum(p * (y + 1) * (x + 1)) AS BIGINT) AS pix_weighted
+    FROM pix GROUP BY doc_id
+    """)
+def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth REAL format, third COMPRESSION family: GIF87a with LZW
+    implemented FROM SCRATCH in both directions
+    (functions/multimodal.py _lzw_compress/_lzw_decompress — unlike
+    PNG's DEFLATE there is no stdlib LZW, so the variable-width
+    LSB-first code stream, CLEAR/EOI, the width-growth rule at table
+    size 2^w, the 4096-entry table reset, and the KwKwK decode
+    special case are all this repo's code, exercised by unit tests up
+    to table-reset-forcing noise images). The writer emits the real
+    layer stack — logical screen descriptor, 256-entry grayscale
+    global palette, image descriptor, ≤255-byte sub-block framing,
+    trailer — and the reader walks and validates all of it. Lossless,
+    so the oracle replays only the pixel-synthesis formula; any LZW
+    or framing defect breaks the position-weighted checksum. Fixed
+    20×12 decode per image in Arrow workers: map-side only."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_gif_images(base)
+    return MM.decode_gif_batch(encoded)

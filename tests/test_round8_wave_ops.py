@@ -686,3 +686,42 @@ def test_dbscan_labels_consistent(spark, qs):
             assert r["cluster"] in core_clusters
         else:
             assert r["cluster"] is None
+
+
+def test_gif_roundtrip_lossless(spark, qs):
+    """GIF is lossless through the palette: decoded checksums equal
+    the synthetic formula exactly."""
+    import numpy as np
+    from pmc_conversion_spark.functions.multimodal import (
+        synth_gif_pixels)
+    rows = qs["mm_decode_real_gif"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        px = synth_gif_pixels(r["media_id"], 20, 12)
+        wgt = ((np.arange(12)[:, None] + 1)
+               * (np.arange(20)[None, :] + 1))
+        assert (r["width"], r["height"]) == (20, 12)
+        assert r["pix_sum"] == int(px.sum(dtype=np.int64))
+        assert r["pix_weighted"] == int(
+            (px.astype(np.int64) * wgt).sum())
+
+
+def test_gif_lzw_edge_cases():
+    """From-scratch LZW survives width growth, the KwKwK case, and
+    the 4096-table reset (noise forces it); corrupt streams raise."""
+    import numpy as np
+    import pytest as _pytest
+    from pmc_conversion_spark.functions.multimodal import (
+        _lzw_compress, _lzw_decompress, decode_gif_gray,
+        encode_gif_gray)
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, (150, 310)).astype(np.uint8)
+    assert (decode_gif_gray(encode_gif_gray(noise)) == noise).all()
+    # KwKwK: 'ababab...' style repetition hits the code==len(table) path
+    rep = (np.tile(np.array([3, 7], dtype=np.uint8), 500)
+           .reshape(20, 50))
+    assert (decode_gif_gray(encode_gif_gray(rep)) == rep).all()
+    raw = bytes(range(256)) * 4
+    assert _lzw_decompress(_lzw_compress(raw, 8), 8) == raw
+    with _pytest.raises(ValueError):
+        _lzw_decompress(b"\x00", 8)  # ends before EOI
