@@ -7954,12 +7954,15 @@ def ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = (o.select(F.date_trunc("day", F.col("o_orderdate"))
                     .alias("d")).groupBy("d").agg(F.lit(1).alias("_")))
     seg = (o.join(c, c["c_custkey"] == o["o_custkey"])
-           .groupBy(F.date_trunc("day", F.col("o_orderdate"))
-                    .alias("d"))
-           .agg(F.sum(F.when(F.col("c_mktsegment") == "BUILDING",
-                             cents).otherwise(0)).cast(dec).alias("xr"),
-                F.sum(F.when(F.col("c_mktsegment") == "AUTOMOBILE",
-                             cents).otherwise(0)).cast(dec).alias("yr")))
+           .select(F.date_trunc("day", F.col("o_orderdate"))
+                   .alias("d"),
+                   F.when(F.col("c_mktsegment") == "BUILDING",
+                          cents).otherwise(0).alias("xc"),
+                   F.when(F.col("c_mktsegment") == "AUTOMOBILE",
+                          cents).otherwise(0).alias("yc"))
+           .groupBy("d")
+           .agg(F.sum("xc").cast(dec).alias("xr"),
+                F.sum("yc").cast(dec).alias("yr")))
     wrun = (Window.orderBy("d")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     lvl = (cal.join(seg, "d", "left")
@@ -8339,9 +8342,9 @@ def ts_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded daily frame; counts are exact; z is one double. Ties are
     dropped per the test's definition."""
     o = tables.load(spark, sf_dir, "orders")
-    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
-                       .alias("d"))
-             .agg(F.count(F.lit(1)).alias("y")))
+    daily = (o.select(F.date_trunc("day", F.col("o_orderdate"))
+                      .alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("y")))
     idx = daily.select(F.row_number().over(Window.orderBy("d"))
                        .alias("t"), "y")
     n0 = idx.agg((F.floor(F.count(F.lit(1)) / 2)).alias("half"))

@@ -12718,7 +12718,8 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_jonckheere_terpstra",
     oracle="""
     WITH x AS (
-      SELECT CAST(floor(o_totalprice / 1000) AS HUGEINT) AS bin,
+      SELECT least(CAST(floor(o_totalprice / 1000) AS HUGEINT), 600)
+               AS bin,
              CAST(substr(o_orderpriority, 1, 1) AS INT) AS g
       FROM orders),
     hist AS (
@@ -12813,8 +12814,8 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     z."""
     o = tables.load(spark, sf_dir, "orders")
     dec = "decimal(38,0)"
-    x = o.select(F.floor(F.col("o_totalprice") / 1000)
-                 .cast(dec).alias("bin"),
+    x = o.select(F.least(F.floor(F.col("o_totalprice") / 1000),
+                         F.lit(600)).alias("bin"),
                  F.substring("o_orderpriority", 1, 1)
                  .cast("int").alias("g"))
     hist = (x.groupBy("bin")
@@ -13547,7 +13548,8 @@ def agg_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cucconi_test",
     oracle="""
     WITH x AS (
-      SELECT CAST(floor(o_totalprice / 100) AS HUGEINT) AS bin,
+      SELECT least(CAST(floor(o_totalprice / 100) AS HUGEINT), 5600)
+               AS bin,
              CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
                AS is_y
       FROM orders
@@ -13615,8 +13617,8 @@ def agg_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     x = (o.filter(F.col("o_orderpriority")
                   .isin("1-URGENT", "5-LOW"))
-         .select(F.floor(F.col("o_totalprice") / 100).cast(dec)
-                 .alias("bin"),
+         .select(F.least(F.floor(F.col("o_totalprice") / 100),
+                         F.lit(5600)).alias("bin"),
                  F.when(F.col("o_orderpriority") == "5-LOW", 1)
                  .otherwise(0).alias("is_y")))
     hist = (x.groupBy("bin")
@@ -13627,7 +13629,7 @@ def agg_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = hist.select(
         "ct", "cy",
         (2 * F.coalesce(F.sum("ct").over(wb), F.lit(0)).cast(dec)
-         + F.col("ct") + 1).alias("m2"))
+         + F.col("ct") + 1).cast(dec).alias("m2"))
     tot = hist.agg(F.sum("ct").cast(dec).alias("nn"))
     rj = run.crossJoin(F.broadcast(tot))
     contra = 2 * F.col("nn") + 2 - F.col("m2")

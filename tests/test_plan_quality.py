@@ -584,24 +584,44 @@ def _find_alias_def(e, eid):
 def _key_provenance(sub_root, eid):
     """('alias', defining-expr-string) | ('scan', table-name) | (None,
     None) for the attribute `eid`, resolved within `sub_root`'s
-    subtree (definitions sit below their consumers)."""
-    for n in _walk_exec(sub_root):
-        nm = n.getClass().getSimpleName()
-        try:
-            exprs = n.expressions()
-        except Exception:
-            exprs = None
-        if exprs is not None:
-            for i in range(exprs.length()):
-                f = _find_alias_def(exprs.apply(i), eid)
-                if f:
-                    return ("alias", f)
-        if "FileSourceScan" in nm or "BatchScan" in nm:
-            out = n.output()
-            for i in range(out.length()):
-                if out.apply(i).exprId().id() == eid:
-                    m = _re.search(r"(\w+)\.parquet", n.toString())
-                    return ("scan", m.group(1) if m else "")
+    subtree (definitions sit below their consumers).
+
+    Alias-of-alias chains are CHASED (≤ 4 hops): Spark pre-projects a
+    computed grouping key as ``_groupingexpression#N`` and the final
+    aggregate re-aliases that attribute to the user name, so the first
+    Alias found for the user's exprId is often just a bare attribute
+    reference — the DEFINING expression sits one projection deeper.
+    Chasing keeps the audit structural (the name is still never
+    load-bearing; only the terminal expression is matched) while
+    making it robust to the inline-groupBy physical shape."""
+    for _hop in range(4):
+        found = None
+        for n in _walk_exec(sub_root):
+            nm = n.getClass().getSimpleName()
+            try:
+                exprs = n.expressions()
+            except Exception:
+                exprs = None
+            if exprs is not None:
+                for i in range(exprs.length()):
+                    f = _find_alias_def(exprs.apply(i), eid)
+                    if f:
+                        found = ("alias", f)
+                        break
+            if found:
+                break
+            if "FileSourceScan" in nm or "BatchScan" in nm:
+                out = n.output()
+                for i in range(out.length()):
+                    if out.apply(i).exprId().id() == eid:
+                        m = _re.search(r"(\w+)\.parquet", n.toString())
+                        return ("scan", m.group(1) if m else "")
+        if not found:
+            return (None, None)
+        ref = _re.fullmatch(r"(\w+)#(\d+)L?", found[1])
+        if not ref:
+            return found
+        eid = int(ref.group(2))  # bare attribute ref: chase one hop
     return (None, None)
 
 
