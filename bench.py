@@ -213,6 +213,18 @@ REFERENCE_CAL = {"flagship": 1.016, "text_fingerprint": 0.103,
 CAL_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "12"))
 CAL_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_REPEATS", "3"))
 
+#: Output-materialization-bound lane (r8 verdict What's-wrong #3 /
+#: next-round #4): queries whose cost is dominated by the ROWS THEY
+#: RETURN (win_anchored_vwap legitimately materializes a 600k-row
+#: full-table running sum — 27% of the r8 headline sum by itself).
+#: They stay measured and reported, but OUT of the core sum, so a
+#: regression across the other ~90 queries can't hide inside one
+#: bulk query's noise — and vice versa. The driver line carries
+#: value_normalized_core (the cross-round comparable), the bulk lane
+#: total, a per-query median, and a trimmed core sum (top-1 dropped)
+#: as robust summaries.
+BULK_OUTPUT = {"win_anchored_vwap"}
+
 
 def _median(xs):
     xs = sorted(xs)
@@ -331,6 +343,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_norm = round(sum(normalized.values()), 3)
+    core = {k: v for k, v in normalized.items() if k not in BULK_OUTPUT}
+    bulk = {k: v for k, v in normalized.items() if k in BULK_OUTPUT}
+    core_total_norm = round(sum(core.values()), 3)
+    bulk_total_norm = round(sum(bulk.values()), 3)
+    median_norm = round(_median(list(core.values())), 3) if core else 0.0
+    trimmed_core = round(sum(sorted(core.values())[:-1]), 3) \
+        if len(core) > 1 else core_total_norm
     # median relative sigma: the typical per-query repeat noise, the
     # error bar any cross-round per-query comparison must clear
     rel_sig = round(_median(
@@ -357,6 +376,11 @@ def main() -> None:
             "median_rel_sigma": rel_sig,
             "value_normalized": total_norm,
             "queries_normalized": normalized,
+            "bulk_output_lane": sorted(BULK_OUTPUT & set(normalized)),
+            "value_normalized_core": core_total_norm,
+            "value_normalized_bulk": bulk_total_norm,
+            "median_query_norm": median_norm,
+            "trimmed_core_norm": trimmed_core,
         },
     }
     with open(DETAIL_PATH, "w") as fh:
@@ -368,6 +392,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "value_normalized": total_norm,
+        "value_normalized_core": core_total_norm,
+        "value_normalized_bulk": bulk_total_norm,
+        "median_query_norm": median_norm,
+        "trimmed_core_norm": trimmed_core,
+        "n_bulk": len(bulk),
         "host_factor": host_factor,
         "within_session_drift": drift,
         "drift_span": drift_span,

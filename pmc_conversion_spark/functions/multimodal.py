@@ -1479,22 +1479,34 @@ def encode_gif_gray(px) -> bytes:
 
 def decode_gif_gray(content: bytes):
     """Real GIF87a reader: header/LSD/palette walk, image descriptor,
-    sub-block reassembly, from-scratch LZW decode, palette lookup."""
+    sub-block reassembly, from-scratch LZW decode, palette lookup.
+    Every read is length-checked so a truncated stream raises the
+    codec contract's uniform ``ValueError('GIF: truncated stream')``
+    — matching the PNG path's explicit validation — instead of a raw
+    IndexError/struct.error (r8 ADVICE #3)."""
     import numpy as np
     import struct
+
+    def _need(upto: int) -> None:
+        if upto > len(content):
+            raise ValueError("GIF: truncated stream")
+
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
+    _need(13)
     w, h = struct.unpack("<HH", content[6:10])
     packed = content[10]
     pos = 13
     palette = None
     if packed & 0x80:
         ncol = 2 << (packed & 0x07)
+        _need(pos + 3 * ncol)
         palette = np.frombuffer(content, dtype=np.uint8,
                                 count=3 * ncol, offset=pos
                                 ).reshape(ncol, 3)
         pos += 3 * ncol
-    while pos < len(content):
+    while True:
+        _need(pos + 1)
         blk = content[pos]
         if blk == 0x2C:
             break
@@ -1502,6 +1514,7 @@ def decode_gif_gray(content: bytes):
             raise NotImplementedError(
                 "GIF89a extension blocks out of scope (87a only)")
         raise ValueError(f"GIF: unexpected block 0x{blk:02x}")
+    _need(pos + 10)
     left, top, iw, ih = struct.unpack("<HHHH", content[pos + 1:pos + 9])
     ipacked = content[pos + 9]
     if ipacked & 0x40:
@@ -1509,16 +1522,20 @@ def decode_gif_gray(content: bytes):
     if ipacked & 0x80:
         raise NotImplementedError("local color tables out of scope")
     pos += 10
+    _need(pos + 1)
     mcs = content[pos]
     pos += 1
     comp = bytearray()
     while True:
+        _need(pos + 1)
         ln = content[pos]
         pos += 1
         if ln == 0:
             break
+        _need(pos + ln)
         comp += content[pos:pos + ln]
         pos += ln
+    _need(pos + 1)
     if content[pos] != 0x3B:
         raise ValueError("GIF: missing trailer")
     idx = np.frombuffer(_lzw_decompress(bytes(comp), mcs),

@@ -10366,7 +10366,11 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass over each frame (thresholds are exact integer floors)
     tokm = tok.crossJoin(F.broadcast(mx))
     firstm = firsts.crossJoin(F.broadcast(mx))
-    thr = lambda t: (F.col("md") * t - (F.col("md") * t) % 10) / 10
+    # integer `div`, matching the oracle's HUGEINT floor-division
+    # exactly at ANY corpus size (r8 ADVICE #1: the old
+    # (md*t - md*t%10)/10 detoured through double division, exact
+    # only while md*t < 2^53)
+    thr = lambda t: F.expr(f"(md * {t}) div 10")
     npass = tokm.agg(*[
         F.sum(F.when(F.col("doc_id") < thr(t), 1).otherwise(0))
         .cast(dec).alias(f"n{t}") for t in range(1, 11)])
@@ -10488,9 +10492,11 @@ def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q GROUP BY tok),
     z AS (
       SELECT q.source, q.tok,
-             CAST(wm.k * q.q12 - wm.sq AS DOUBLE)
-               / sqrt(CAST(wm.k * wm.sqq - wm.sq * wm.sq AS DOUBLE))
-               AS zv
+             CASE WHEN wm.k * wm.sqq - wm.sq * wm.sq > 0
+               THEN CAST(wm.k * q.q12 - wm.sq AS DOUBLE)
+                    / sqrt(CAST(wm.k * wm.sqq - wm.sq * wm.sq
+                                AS DOUBLE))
+               ELSE 0.0 END AS zv
       FROM q JOIN wm USING (tok)),
     pair AS (
       SELECT a.source AS source_a, b.source AS source_b,
@@ -10539,13 +10545,18 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).cast(dec).alias("k"),
                F.sum("q12").alias("sq"),
                F.sum(F.col("q12") * F.col("q12")).alias("sqq")))
+    # zero-variance guard on BOTH engines (r8 ADVICE #2): a top-30
+    # token with identical quantized frequency across all sources (or
+    # a single-source corpus) has k*sqq == sq², and double 0/0 is a
+    # Spark/DuckDB divergence point — define its z as 0 instead
+    var = (F.col("k") * F.col("sqq") - F.col("sq") * F.col("sq"))
     z = (q.join(wm, "tok")
          .select("source", "tok",
-                 ((F.col("k") * F.col("q12") - F.col("sq"))
-                  .cast("double")
-                  / F.sqrt((F.col("k") * F.col("sqq")
-                            - F.col("sq") * F.col("sq"))
-                           .cast("double"))).alias("zv")))
+                 F.when(var > 0,
+                        (F.col("k") * F.col("q12") - F.col("sq"))
+                        .cast("double")
+                        / F.sqrt(var.cast("double")))
+                 .otherwise(F.lit(0.0)).alias("zv")))
     a = z.alias("a")
     b = z.alias("b")
     pair = (a.join(b, (F.col("a.tok") == F.col("b.tok"))

@@ -7001,6 +7001,83 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-jb / F.lit(2.0)), 8).alias("p_value"))
 
 
+#: ln(i!) block granularity: indices per block (= the max rows any
+#: within-block prefix window sorts) and blocks per super-block in the
+#: two-level explode grid (so no single generated array ever exceeds
+#: 4096 elements; 4096² blocks × 4096 indices spans N up to ~7e10
+#: before a third level would be needed).
+_LF_BLOCK = 4096
+_LF_SUPER = 4096
+
+
+def _lf_at_needed(m: DataFrame, ranges, points) -> DataFrame:
+    """(i, lf = ln(i!)) for EXACTLY the needed indices, without ever
+    materializing the corpus-sized prefix frame (r8 verdict
+    Next-round #3).
+
+    ``m`` is a 1-row margins frame with a long-able column ``n``;
+    ``ranges`` are (lo, hi) Column pairs and ``points`` Column exprs
+    over ``m``'s columns, all resolved engine-side (no collect). The
+    index space 1..N is tiled into G=4096-index blocks generated by a
+    two-level explode (super-blocks → blocks, so no giant in-memory
+    array and the grid is distributed before the heavy explode).
+    Per-block Σln(i) partials reduce map-side to an N/G-row frame;
+    a two-phase prefix over that frame yields exclusive block
+    offsets; full within-block prefixes are exploded only for blocks
+    COVERING a needed index, and ln(i!) = offset + within-prefix.
+    Each i lies in exactly one block, so the result carries each
+    needed index once. Out-of-domain requests (p < 1 or > N,
+    hi < lo) simply produce no row — callers left-join and coalesce,
+    matching the semantics of looking up a full 1..N table."""
+    G = _LF_BLOCK
+    one = F.lit(1).cast("long")
+    spec = m.select(
+        F.col("n").cast("long").alias("n"),
+        F.array(*[F.struct(F.greatest(lo.cast("long"), one).alias("lo"),
+                           hi.cast("long").alias("hi"))
+                  for lo, hi in ranges]).alias("rs"),
+        F.array(*[p.cast("long") for p in points]).alias("ps"),
+        F.ceil(F.col("n") / G).cast("long").alias("nb"))
+    sup = (spec.select(
+        "*", F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(F.ceil(F.col("nb") / _LF_SUPER).cast("long") - 1,
+                       F.lit(0).cast("long")))).alias("sg"))
+        .filter(F.col("sg") * _LF_SUPER <= F.col("nb") - 1)
+        .repartition(F.col("sg")))
+    blocks = sup.select(
+        "n", "rs", "ps",
+        F.explode(F.sequence(
+            F.col("sg") * _LF_SUPER,
+            F.least(F.col("sg") * _LF_SUPER + _LF_SUPER - 1,
+                    F.col("nb") - 1))).alias("g"))
+    s_ = F.col("g") * G + 1
+    e_ = F.least((F.col("g") + 1) * G, F.col("n"))
+    # per-block Σln(i): explode is map-side, the groupBy partial-agg
+    # collapses each block inside its own partition, so the shuffle
+    # carries N/G rows
+    bs = (blocks.select("g", F.explode(F.sequence(s_, e_)).alias("i"))
+          .groupBy("g")
+          .agg(F.sum(F.log(F.col("i").cast("double"))).alias("bsum")))
+    boff = (W.running_sum_distributed(bs, "g", "bsum", out_col="bpr")
+            .select("g", (F.col("bpr") - F.col("bsum")).alias("boff")))
+    hit = (F.exists("rs", lambda r: (r["lo"] <= e_) & (r["hi"] >= s_))
+           | F.exists("ps", lambda p: (p >= F.greatest(s_, one))
+                      & (p <= e_)))
+    cov = blocks.filter(hit)
+    wi = cov.select("g", "rs", "ps",
+                    F.explode(F.sequence(s_, e_)).alias("i"))
+    w_in = (Window.partitionBy("g").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wp = wi.withColumn(
+        "wp", F.sum(F.log(F.col("i").cast("double"))).over(w_in))
+    need = (F.exists("rs", lambda r: (F.col("i") >= r["lo"])
+                     & (F.col("i") <= r["hi"]))
+            | F.exists("ps", lambda p: p == F.col("i")))
+    return (wp.filter(need).join(boff, "g")
+            .select("i", (F.col("boff") + F.col("wp")).alias("lf")))
+
+
 @register(
     "agg_fisher_exact",
     oracle="""
@@ -7064,10 +7141,23 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     only cross-engine noise is double-add association (~1e-11 of a
     ~1e5-magnitude log-factorial), absorbed by the boundary rounds.
 
-    Plan: one margins aggregate, the i/lf two-phase frames, a
-    broadcast of the ~min(r,c)-row tail-term frame against lf for the
-    three per-k lookups, a one-row logsum algebra. Tail terms and lf
-    both scale linearly with the corpus; nothing is quadratic."""
+    r9 plan (verdict Next-round #3 — the r8 form materialized the
+    full N-row ln(i!) prefix frame and joined it three times, 36 s
+    engine at sf0.1): ln(i!) is only ever READ at four contiguous
+    index ranges (k, r−k, c−k, n−r−c+k for k in the tail) plus five
+    margin points, so the corpus-sized frame never needs to exist.
+    The index set 1..N is pure arithmetic on the margins row — a
+    two-level block grid generated by explode (never one giant
+    array), G=4096 indices per block. Per-block Σln(i) partials
+    reduce map-side to an N/G-row frame; one two-phase prefix over
+    THAT gives exclusive block offsets; full within-block prefixes
+    are exploded only for the blocks COVERING a needed index
+    (~tail/G + 9 blocks). ln(i!) = block_offset + within_prefix.
+    The only corpus-sized scan left is the margins aggregate itself;
+    every shuffle after it carries ≤ max(N/G, tail + G·cov) rows,
+    and no window partition exceeds G rows. Same doubles to well
+    inside the output rounding (block re-association perturbs the
+    ~1e5-magnitude sums by ~1e-9)."""
     o = tables.load(spark, sf_dir, "orders")
     m = o.agg(
         F.count(F.lit(1)).alias("n"),
@@ -7078,13 +7168,24 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("o_orderpriority") == "1-URGENT")
                      & (F.col("o_orderstatus") == "F"), 1)
               .otherwise(0)).alias("a"))
-    ix = (W.surrogate_key_distributed(
-        o.select("o_orderkey"), "o_orderkey", out_col="i")
-        .select("i"))
-    lf = (W.running_sum_distributed(
-        ix.select("i", F.log(F.col("i").cast("double")).alias("lni")),
-        "i", "lni", out_col="lf")
-        .select("i", "lf"))
+    lf = _lf_at_needed(
+        m,
+        ranges=[
+            # k ∈ [max(a,1), min(r,c)]  (the tail itself)
+            (F.greatest(F.col("a"), F.lit(1)),
+             F.least(F.col("r"), F.col("c"))),
+            # r−k, c−k and n−r−c+k over that k range
+            (F.col("r") - F.least(F.col("r"), F.col("c")),
+             F.col("r") - F.greatest(F.col("a"), F.lit(1))),
+            (F.col("c") - F.least(F.col("r"), F.col("c")),
+             F.col("c") - F.greatest(F.col("a"), F.lit(1))),
+            (F.col("n") - F.col("r") - F.col("c")
+             + F.greatest(F.col("a"), F.lit(1)),
+             F.col("n") - F.col("r") - F.col("c")
+             + F.least(F.col("r"), F.col("c"))),
+        ],
+        points=[F.col("r"), F.col("n") - F.col("r"), F.col("c"),
+                F.col("n") - F.col("c"), F.col("n")])
     ks = (lf.crossJoin(F.broadcast(m))
           .filter((F.col("i") >= F.col("a"))
                   & (F.col("i") <= F.least(F.col("r"), F.col("c"))))
@@ -7208,8 +7309,15 @@ def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 0)
                      .otherwise(1)).alias("ty")))
     gv = gv.withColumn("t", F.col("tx") + F.col("ty"))
-    pr = W.running_sum_distributed(gv, "v", "tx", out_col="cumx")
-    pr = W.running_sum_distributed(pr, "v", "t", out_col="cumt")
+    # ONE fused two-phase pass for both prefix sums (r8 verdict
+    # Next-round #3: the chained running_sum_distributed calls
+    # re-executed the distinct-value agg ~4x — each call runs its own
+    # boundary sample + main pass over its input, and the second
+    # call's input embeds the whole first). Same order key, same
+    # in-cell window, identical values.
+    pr = W.running_sums_grouped_distributed(
+        gv, [], F.col("v"),
+        {"cumx": F.col("tx"), "cumt": F.col("t")})
     av = pr.select(
         "tx", "ty",
         (2 * (F.col("cumt") - F.col("t")) + F.col("t") + 1).alias("r2"),

@@ -534,8 +534,15 @@ _CALENDAR = (r"^(date_trunc\(|datediff\(|cast\(date_trunc\("
              r"|cast\(\w+(#\d+)? as date\))")
 _KEY_PROVENANCE: dict[str, tuple[str | None, str | None]] = {
     # count of broadcast boundary values <= key — the two-phase
-    # bucket id, numBuckets-capped by construction
-    "__bucket": (r"^size\(filter\(__bnds", None),
+    # bucket id, numBuckets-capped by construction. r9: the count is
+    # a binary search (aggregate over a fixed 18-step sequence whose
+    # init struct carries size(__bnds)) instead of the r7 full-array
+    # scan; both forms are the same pure function of key and the
+    # broadcast boundary array, so either expression shape proves
+    # the numBuckets cap.
+    "__bucket": (r"^(size\(filter\(__bnds"
+                 r"|aggregate\([^,]*, struct\(lo, 0, hi, size\(__bnds)",
+                 None),
     # two-phase ntile fair-division arithmetic on (global rank, N)
     "decile": (r"^cast\(CASE WHEN \(__r", None),
     "quintile": (r"^cast\(CASE WHEN \(__r", None),
@@ -622,7 +629,12 @@ def _key_provenance(sub_root, eid):
         if not ref:
             return found
         eid = int(ref.group(2))  # bare attribute ref: chase one hop
-    return (None, None)
+    # hop budget exhausted mid-chain: return the LAST resolved alias
+    # rather than (None, None), so a legitimately-deeper projection
+    # chain degrades to "unmatched provenance" (auditable, may still
+    # match the pattern) instead of a spurious no-provenance failure
+    # (r8 ADVICE #4)
+    return found
 
 
 def _key_bounded(agg_node, key_name, expr):

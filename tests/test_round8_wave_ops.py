@@ -725,3 +725,27 @@ def test_gif_lzw_edge_cases():
     assert _lzw_decompress(_lzw_compress(raw, 8), 8) == raw
     with _pytest.raises(ValueError):
         _lzw_decompress(b"\x00", 8)  # ends before EOI
+
+
+def test_gif_truncated_streams_raise_valueerror():
+    """Fail-loud contract (r8 ADVICE #3): EVERY prefix of a valid GIF
+    raises ValueError or NotImplementedError — never a raw
+    IndexError/struct.error — and so does a stream cut inside a
+    sub-block length's promised span."""
+    import numpy as np
+    import pytest as _pytest
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_gif_gray, encode_gif_gray)
+    px = (np.arange(240, dtype=np.uint8).reshape(12, 20) * 7) % 256
+    full = encode_gif_gray(px)
+    for cut in range(len(full)):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_gif_gray(full[:cut])
+    # sub-block header promising more bytes than remain
+    descr_end = full.index(0x2C) + 10 + 1  # descriptor + mcs byte
+    with _pytest.raises(ValueError):
+        decode_gif_gray(full[:descr_end] + b"\xff\x01\x02")
+    # missing trailer: terminator then EOF
+    body_no_trailer = full[:-1]
+    with _pytest.raises(ValueError):
+        decode_gif_gray(body_no_trailer)

@@ -95,8 +95,23 @@ def main(names=None):
         key = (lambda q:
                hashlib.sha256(f"r{rnd}:{q}".encode()).hexdigest())
         selected = sorted(sorted(qs), key=key)[:n]
+        # r8 verdict Next-round #5: ops born since the previous-round
+        # registry snapshot join the sample UNCONDITIONALLY, so every
+        # new op gets one independent re-verification the round after
+        # its birth round instead of waiting ~registry/N rounds for
+        # the rotation to reach it.
+        snap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "registry_prev_round.txt")
+        newborn = []
+        if os.path.exists(snap):
+            with open(snap) as fh:
+                prev = {ln.strip() for ln in fh
+                        if ln.strip() and not ln.startswith("#")}
+            newborn = sorted(set(qs) - prev - set(selected))
+            selected += newborn
         selected.sort()
-        print(f"# rotating sample: {n} of {len(qs)} registry names, "
+        print(f"# rotating sample: {n} rotating + {len(newborn)} "
+              f"born-since-snapshot of {len(qs)} registry names, "
               f"key=sha256('r{rnd}:'+name), round={rnd}, sf_dir={SF_DIR}")
     n_pass = n_fail = n_weak = 0
     failures = []

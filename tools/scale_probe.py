@@ -168,6 +168,10 @@ PROBED = [
 #: effects before we call it superlinear)
 SUPERLINEAR_RATIO = 20.0
 
+#: Everything at/below this marker in SCALING.md is hand-authored
+#: one-time analysis and survives regeneration verbatim.
+HAND_MARKER = "<!-- hand-authored appendix: preserved by scale_probe.py -->"
+
 
 def probe_incremental_fixed_batch(spark, repeats: int) -> list[str]:
     """Measure pipeline_incremental_dedup's COST CONTRACT directly:
@@ -404,9 +408,20 @@ def main() -> None:
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
+    # APPEND-SAFETY (r8 verdict What's-wrong #1: a regen deleted the
+    # committed minhash-cluster stage breakdown): everything at or
+    # below the hand-authored marker in the existing file is one-time
+    # analysis, preserved verbatim across regens.
+    appendix = []
+    if os.path.exists(out):
+        with open(out) as f:
+            old = f.read()
+        if HAND_MARKER in old:
+            appendix = [old[old.index(HAND_MARKER):].rstrip(), ""]
     with open(out, "w") as f:
-        f.write("\n".join(lines))
-    print("wrote SCALING.md", flush=True)
+        f.write("\n".join(lines + appendix))
+    print("wrote SCALING.md (appendix preserved: %s)"
+          % bool(appendix), flush=True)
 
 
 if __name__ == "__main__":
