@@ -176,6 +176,12 @@ HEADLINE = [
     "agg_jonckheere_terpstra",
     "text_heaps_law_fit",
     "text_burrows_delta",
+    # r9: the de-constant-ed exact-rank pair (bounded lf blocks / the
+    # fused two-phase CVM — track that the ~10x cuts hold), and the
+    # two new real codecs (4:2:0 color JPEG, indexed-colour PNG)
+    "agg_cvm_test",
+    "mm_decode_real_jpeg_color",
+    "mm_decode_real_png_palette",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

@@ -2,14 +2,18 @@
 metadata (BASELINE.json north star).
 
 The Spark-side plumbing — schema, batch iteration, partition sizing —
-is real and tested. FIVE formats are decoded for real, from scratch,
-in pure numpy/bytes: 24-bit BMP, binary PPM, BI_RLE8 compressed BMP,
-RIFF/WAV PCM16, and (r8) baseline grayscale JPEG — real Huffman
-entropy coding, zigzag, DC prediction, byte stuffing, fixed-point
-IDCT. Only library-grade codecs remain STUBBED (``decode_image_meta``
-for PNG/arbitrary JPEG variants raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode so tests
-and the driver can exercise the full pipeline shape).
+is real and tested. SEVEN image/audio formats are decoded for real,
+from scratch, in pure numpy/bytes: 24-bit BMP, binary PPM, BI_RLE8
+compressed BMP, RIFF/WAV PCM16, (r8) baseline grayscale JPEG — real
+Huffman entropy coding, zigzag, DC prediction, byte stuffing,
+fixed-point IDCT — plus grayscale PNG and GIF87a, and (r9) baseline
+COLOR JPEG with 4:2:0 subsampling: chrominance Annex-K tables,
+interleaved MCU scan with per-component DC predictors, replication
+chroma upsample, exact fixed-point YCbCr→RGB. Only library-grade
+variants remain STUBBED (``decode_image_meta`` for progressive JPEG /
+non-4:2:0 sampling / arbitrary streams raises NotImplementedError
+unless ``fake=True``, which produces a deterministic fake decode so
+tests and the driver can exercise the full pipeline shape).
 
 Design for scale: media bytes ride as a ``binary`` column; decode /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` (one Python
@@ -770,6 +774,29 @@ JPEG_AC_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
 
 
+#: Annex K.3.3.1 typical chrominance DC table.
+JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+JPEG_DC_VALS_C = list(range(12))
+#: Annex K.3.3.2 typical chrominance AC table.
+JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
 def _canonical_codes(bits, vals):
     """symbol -> (code, length) per the T.81 canonical construction
     (code lengths ascending, codes counting up within a length)."""
@@ -848,6 +875,40 @@ def encode_jpeg_gray(blocks_zz, w: int, h: int) -> bytes:
     return bytes(out)
 
 
+def _put_block(bw: "_BitWriter", blk, dc_codes, ac_codes,
+               dc_pred: int) -> int:
+    """Huffman-code ONE zigzag block (DC diff, ZRL, EOB, magnitude
+    bits) against the given table pair; returns the new DC predictor.
+    Shared by the grayscale sequence coder and the color MCU
+    interleaver (which keeps a predictor per component)."""
+    diff = blk[0] - dc_pred
+    s = _mag_category(diff)
+    c, ln = dc_codes[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(_mag_bits(diff, s), s)
+    run = 0
+    last_nz = max((z for z in range(1, 64) if blk[z]), default=0)
+    for z in range(1, last_nz + 1):
+        v = blk[z]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]                     # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s = _mag_category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(_mag_bits(v, s), s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]                         # EOB
+        bw.put(c, ln)
+    return blk[0]
+
+
 def _encode_entropy(blocks_zz) -> "_BitWriter":
     """Huffman entropy-code the block sequence (DC prediction, ZRL,
     EOB, magnitude bits) into a bit writer; shared by the encoder and
@@ -857,32 +918,7 @@ def _encode_entropy(blocks_zz) -> "_BitWriter":
     bw = _BitWriter()
     dc_pred = 0
     for blk in blocks_zz:
-        diff = blk[0] - dc_pred
-        dc_pred = blk[0]
-        s = _mag_category(diff)
-        c, ln = dc_codes[s]
-        bw.put(c, ln)
-        if s:
-            bw.put(_mag_bits(diff, s), s)
-        run = 0
-        last_nz = max((z for z in range(1, 64) if blk[z]), default=0)
-        for z in range(1, last_nz + 1):
-            v = blk[z]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_codes[0xF0]                 # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s = _mag_category(v)
-            c, ln = ac_codes[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(_mag_bits(v, s), s)
-            run = 0
-        if last_nz < 63:
-            c, ln = ac_codes[0x00]                     # EOB
-            bw.put(c, ln)
+        dc_pred = _put_block(bw, blk, dc_codes, ac_codes, dc_pred)
     return bw
 
 
@@ -890,6 +926,60 @@ def jpeg_entropy_bits(blocks_zz) -> int:
     """Exact pre-padding entropy bit count of the encoded blocks —
     the quantity the symbolic code-length oracle reproduces."""
     return _encode_entropy(blocks_zz).total_bits
+
+
+def jpeg_qtab_chroma_natural():
+    """Deterministic legal chrominance quantization table, natural
+    order: qt[n] = 10 + (n % 11) — distinct from the luma table so a
+    decoder that mixes up Tq selectors cannot pass the oracle."""
+    return [10 + (n % 11) for n in range(64)]
+
+
+def encode_jpeg_color(yb, cbb, crb, w: int, h: int) -> bytes:
+    """Real baseline COLOR JPEG with 4:2:0 chroma subsampling:
+    3-component SOF0 (Y 2x2 / Cb 1x1 / Cr 1x1), two DQTs (luma +
+    chroma), all four Annex-K DHTs (K.3.1/K.3.2 luma, K.3.3.1/
+    K.3.3.2 chrominance), and an interleaved MCU scan — per MCU:
+    four Y blocks (raster within the 16x16 macroblock), one Cb, one
+    Crblock — with a SEPARATE DC predictor per component (T.81
+    F.1.1.5.1). Inputs are QUANTIZED zigzag blocks in scan order:
+    ``yb[4*m .. 4*m+3]``, ``cbb[m]``, ``crb[m]`` for MCU m."""
+    import struct
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    for tq, qt in ((0, jpeg_qtab_natural()),
+                   (1, jpeg_qtab_chroma_natural())):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tq)
+        out += bytes(qt[JPEG_ZIGZAG[z]] for z in range(64))
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF0
+    out += bytes((1, 0x22, 0))                 # Y: 2x2 sampling, qtab 0
+    out += bytes((2, 0x11, 1))                 # Cb: 1x1, qtab 1
+    out += bytes((3, 0x11, 1))                 # Cr: 1x1, qtab 1
+    for cls, tid, bits, vals in (
+            (0, 0, JPEG_DC_BITS, JPEG_DC_VALS),
+            (1, 0, JPEG_AC_BITS, JPEG_AC_VALS),
+            (0, 1, JPEG_DC_BITS_C, JPEG_DC_VALS_C),
+            (1, 1, JPEG_AC_BITS_C, JPEG_AC_VALS_C)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)     # SOS
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    dc_y = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_y = _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_c = _canonical_codes(JPEG_DC_BITS_C, JPEG_DC_VALS_C)
+    ac_c = _canonical_codes(JPEG_AC_BITS_C, JPEG_AC_VALS_C)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(len(cbb)):
+        for k in range(4):
+            preds[0] = _put_block(bw, yb[4 * m + k], dc_y, ac_y,
+                                  preds[0])
+        preds[1] = _put_block(bw, cbb[m], dc_c, ac_c, preds[1])
+        preds[2] = _put_block(bw, crb[m], dc_c, ac_c, preds[2])
+    out += bw.flush()
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
 
 
 #: 20-bit fixed-point IDCT basis: B[x][u] = round(a(u) cos((2x+1)u
@@ -952,6 +1042,42 @@ def _read_symbol(br: "_BitReader", table) -> int:
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(br: "_BitReader", dct, act, dc_pred: int, qt,
+                  basis):
+    """Entropy-decode ONE block against (dct, act), dequantize with
+    the 8x8 natural-order table ``qt``, run the 20-bit fixed-point
+    IDCT and level-shift/clamp. Returns (8x8 int64 samples 0..255,
+    new DC predictor). Shared by the grayscale and color decoders —
+    the pixel formula is byte-identical between them, which is what
+    lets both oracles reuse one symbolic IDCT."""
+    import numpy as np
+    s = _read_symbol(br, dct)
+    diff = _extend(br.bits(s), s) if s else 0
+    dc_pred += diff
+    zz = [0] * 64
+    zz[0] = dc_pred
+    z = 1
+    while z < 64:
+        sym = _read_symbol(br, act)
+        if sym == 0x00:                    # EOB
+            break
+        if sym == 0xF0:                    # ZRL
+            z += 16
+            continue
+        z += sym >> 4
+        sz = sym & 0xF
+        zz[z] = _extend(br.bits(sz), sz)
+        z += 1
+    coef = np.zeros(64, dtype=np.int64)
+    for z in range(64):
+        coef[JPEG_ZIGZAG[z]] = zz[z]
+    d = coef.reshape(8, 8) * qt            # D[v][u], exact ints
+    num = basis @ d.T @ basis.T            # (y index via second B)
+    num = num.T                            # -> [y][x]
+    pix = ((num + (1 << 41) + (1 << 56)) >> 42) - (1 << 14) + 128
+    return np.clip(pix, 0, 255), dc_pred
 
 
 def decode_jpeg_gray(content: bytes):
@@ -1022,35 +1148,149 @@ def decode_jpeg_gray(content: bytes):
     br = _BitReader(content, sos_at)
     dc_pred = 0
     for bi in range(bh_blocks * bw_blocks):
-        s = _read_symbol(br, dct)
-        diff = _extend(br.bits(s), s) if s else 0
-        dc_pred += diff
-        zz = [0] * 64
-        zz[0] = dc_pred
-        z = 1
-        while z < 64:
-            sym = _read_symbol(br, act)
-            if sym == 0x00:                    # EOB
-                break
-            if sym == 0xF0:                    # ZRL
-                z += 16
-                continue
-            z += sym >> 4
-            sz = sym & 0xF
-            zz[z] = _extend(br.bits(sz), sz)
-            z += 1
-        coef = np.zeros(64, dtype=np.int64)
-        for z in range(64):
-            coef[JPEG_ZIGZAG[z]] = zz[z]
-        d = coef.reshape(8, 8) * qt            # D[v][u], exact ints
-        # num[y][x] = sum_{u,v} B[x][u] B[y][v] D[v][u]  (|num|<2^56)
-        num = basis @ d.T @ basis.T            # (y index via second B)
-        num = num.T                            # -> [y][x]
-        pix = ((num + (1 << 41) + (1 << 56)) >> 42) - (1 << 14) + 128
-        pix = np.clip(pix, 0, 255)
+        pix, dc_pred = _decode_block(br, dct, act, dc_pred, qt, basis)
         by, bx = divmod(bi, bw_blocks)
         img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
     return img[:h, :w]
+
+
+#: 16-bit fixed-point YCbCr→RGB constants (round(c * 65536) of the
+#: JFIF/BT.601 coefficients 1.402, 0.344136, 0.714136, 1.772 — the
+#: libjpeg convention). The shift uses the same positive-bias
+#: floor-division trick as the IDCT so Python ``>>`` and the
+#: oracle's HUGEINT ``//`` agree on negative products.
+_YCC_R_CR = 91881
+_YCC_G_CB = 22554
+_YCC_G_CR = 46802
+_YCC_B_CB = 116130
+_YCC_BIAS = 1 << 30        # makes every shifted numerator positive
+
+
+def _ycc_to_rgb(yp, cb, cr):
+    """Exact fixed-point YCbCr→RGB on int64 arrays (full-resolution
+    planes, 0..255). Returns (R, G, B) clamped int64 arrays."""
+    import numpy as np
+    cb_ = cb - 128
+    cr_ = cr - 128
+    half = 1 << 15
+    post = 1 << 14         # _YCC_BIAS >> 16
+    r = yp + ((_YCC_R_CR * cr_ + half + _YCC_BIAS) >> 16) - post
+    g = yp - ((_YCC_G_CB * cb_ + _YCC_G_CR * cr_ + half
+               + _YCC_BIAS) >> 16) + post
+    b = yp + ((_YCC_B_CB * cb_ + half + _YCC_BIAS) >> 16) - post
+    return (np.clip(r, 0, 255), np.clip(g, 0, 255),
+            np.clip(b, 0, 255))
+
+
+def decode_jpeg_color(content: bytes):
+    """REAL decode of a baseline 4:2:0 color JPEG to an (H, W, 3)
+    int64 RGB array: full marker walk (two DQTs, four DHTs, SOF0
+    with per-component sampling factors and quant selectors, SOS
+    with per-component Huffman selectors), interleaved-MCU bit-serial
+    entropy decode with one DC predictor per component, per-component
+    dequantize + the shared 20-bit fixed-point IDCT, chroma
+    upsampling by sample replication (each chroma sample covers its
+    2x2 luma cell), and exact fixed-point YCbCr→RGB. Scope: exactly
+    the 2x2/1x1/1x1 sampling the encoder emits — any other factor
+    combination raises NotImplementedError (honest gate, same policy
+    as the grayscale decoder's SOF0-only rule)."""
+    import struct
+
+    import numpy as np
+    if content[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    p = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comps = []             # (cid, hsamp, vsamp, tq)
+    scan = {}              # cid -> (dc_tid, ac_tid)
+    sos_at = None
+    while p < len(content):
+        if content[p] != 0xFF:
+            raise ValueError(f"expected marker at {p}")
+        m = content[p + 1]
+        p += 2
+        if m == 0xD9:
+            break
+        ln = struct.unpack_from(">H", content, p)[0]
+        seg = content[p + 2:p + ln]
+        if m == 0xDB:
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit qtab unsupported")
+                zz = seg[q + 1:q + 65]
+                nat = [0] * 64
+                for z in range(64):
+                    nat[JPEG_ZIGZAG[z]] = zz[z]
+                qtabs[tq] = nat
+                q += 65
+        elif m == 0xC4:
+            q = 0
+            while q < len(seg):
+                cls, tid = seg[q] >> 4, seg[q] & 0xF
+                bits = list(seg[q + 1:q + 17])
+                nv = sum(bits)
+                vals = list(seg[q + 17:q + 17 + nv])
+                huff[(cls, tid)] = _huff_decoder(bits, vals)
+                q += 17 + nv
+        elif m == 0xC0:
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if ncomp != 3:
+                raise ValueError("color decoder needs 3 components")
+            for ci in range(3):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0)")
+        elif m == 0xDA:
+            ns = seg[0]
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan[cid] = (tt >> 4, tt & 0xF)
+            sos_at = p + ln
+            break
+        p += ln
+    if w is None or sos_at is None:
+        raise ValueError("truncated JPEG (no SOF0/SOS)")
+    if [(c[1], c[2]) for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+        raise NotImplementedError(
+            "only 4:2:0 (2x2/1x1/1x1) sampling supported")
+    basis = np.array(_idct_basis(), dtype=np.int64)
+    mw, mh = (w + 15) // 16, (h + 15) // 16
+    planes = [np.zeros((mh * 16, mw * 16), dtype=np.int64),
+              np.zeros((mh * 8, mw * 8), dtype=np.int64),
+              np.zeros((mh * 8, mw * 8), dtype=np.int64)]
+    tabs = []
+    for cid, _hs, _vs, tq in comps:
+        dc_tid, ac_tid = scan[cid]
+        tabs.append((huff[(0, dc_tid)], huff[(1, ac_tid)],
+                     np.array(qtabs[tq], dtype=np.int64).reshape(8, 8)))
+    br = _BitReader(content, sos_at)
+    preds = [0, 0, 0]
+    for my in range(mh):
+        for mx in range(mw):
+            for k in range(4):             # Y blocks, raster in MCU
+                dct, act, qt = tabs[0]
+                pix, preds[0] = _decode_block(br, dct, act, preds[0],
+                                              qt, basis)
+                by, bx = divmod(k, 2)
+                planes[0][my * 16 + by * 8:my * 16 + by * 8 + 8,
+                          mx * 16 + bx * 8:mx * 16 + bx * 8 + 8] = pix
+            for ci in (1, 2):              # Cb then Cr
+                dct, act, qt = tabs[ci]
+                pix, preds[ci] = _decode_block(br, dct, act, preds[ci],
+                                               qt, basis)
+                planes[ci][my * 8:my * 8 + 8,
+                           mx * 8:mx * 8 + 8] = pix
+    yp = planes[0][:h, :w]
+    # replication upsample: chroma sample (x//2, y//2) covers the cell
+    cb = planes[1].repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    cr = planes[2].repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    r, g, b = _ycc_to_rgb(yp, cb, cr)
+    return np.stack([r, g, b], axis=2)
 
 
 def synth_jpeg_coeffs(media_id: int):
@@ -1074,6 +1314,80 @@ def synth_jpeg_coeffs(media_id: int):
             zz[60] = 3
         blocks.append(zz)
     return blocks
+
+
+def _synth_color_block(media_id: int, comp: int, gb: int):
+    """One quantized zigzag block of the color plan: the grayscale
+    formulas with the component index folded in, so no two
+    components share coefficients (a decoder that crosses predictors
+    or tables cannot pass)."""
+    zz = [0] * 64
+    zz[0] = ((media_id + 7 * gb + 11 * comp) % 32) - 16
+    for z in range(1, 40):
+        if z % 7 == 1:
+            zz[z] = ((media_id + 5 * z + 3 * gb + comp) % 9) - 4
+    if (media_id + gb + comp) % 3 == 0:
+        zz[60] = 3
+    return zz
+
+
+def synth_jpeg_color_coeffs(media_id: int):
+    """Deterministic quantized-coefficient plan for a 32×16 COLOR
+    image — two MCUs, so all three DC predictors carry across an MCU
+    boundary: (yb, cbb, crb) zigzag blocks in scan order; Y block
+    gb = 4·mcu + in-MCU-raster, chroma gb = mcu. Mirrored
+    symbolically by the mm_decode_real_jpeg_color oracle."""
+    yb = [_synth_color_block(media_id, 0, gb) for gb in range(8)]
+    cbb = [_synth_color_block(media_id, 1, gb) for gb in range(2)]
+    crb = [_synth_color_block(media_id, 2, gb) for gb in range(2)]
+    return yb, cbb, crb
+
+
+def synth_jpeg_color_images(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content): real 4:2:0 color JPEGs."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = []
+            for m in pdf["media_id"]:
+                yb, cbb, crb = synth_jpeg_color_coeffs(int(m))
+                content.append(encode_jpeg_color(yb, cbb, crb, 32, 16))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_jpeg_color_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded RGB stats via the REAL color
+    parser; the channel-and-position-weighted sum certifies the MCU
+    interleave, per-component predictors/tables, chroma upsample and
+    the fixed-point color convert in one number."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                rgb = decode_jpeg_color(bytes(content))
+                h, w, _ = rgb.shape
+                wgt = ((np.arange(h)[:, None, None] + 1)
+                       * (np.arange(w)[None, :, None] + 1)
+                       * (np.arange(3)[None, None, :] + 1))
+                rows.append((int(m), w, h, 3, int(rgb.sum()),
+                             int((rgb * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _decode, "media_id long, width int, height int, "
+                 "n_channels int, pix_sum long, pix_weighted long")
 
 
 def synth_jpeg_images(df: DataFrame) -> DataFrame:
@@ -1183,13 +1497,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png_gray(px) -> bytes:
-    """Real PNG writer: filters each scanline with type y % 5 (so every
-    decoder filter path is exercised), deflates, and splits the stream
-    across TWO IDAT chunks to exercise multi-chunk reassembly."""
+def _png_filter_rows(px) -> bytes:
+    """Filter each 1-byte-per-pixel scanline with type y % 5 (so every
+    decoder filter path is exercised). Shared by the grayscale and
+    palette writers — for both, a 'pixel' is one byte (a sample or a
+    palette index), so the filter byte math is identical."""
     import numpy as np
-    import struct
-    import zlib
     h, w = px.shape
     raw = bytearray()
     prev = np.zeros(w, dtype=np.int32)
@@ -1216,14 +1529,29 @@ def encode_png_gray(px) -> bytes:
         raw.append(ft)
         raw.extend(filt.astype(np.uint8).tobytes())
         prev = row
-    comp = zlib.compress(bytes(raw), 6)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return bytes(raw)
+
+
+def _png_body(ihdr: bytes, extra_chunks, comp: bytes) -> bytes:
     half = max(1, len(comp) // 2)
-    return (_PNG_SIG
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", comp[:half])
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    for tag, payload in extra_chunks:
+        out += _png_chunk(tag, payload)
+    return (out + _png_chunk(b"IDAT", comp[:half])
             + _png_chunk(b"IDAT", comp[half:])
             + _png_chunk(b"IEND", b""))
+
+
+def encode_png_gray(px) -> bytes:
+    """Real PNG writer: filters each scanline with type y % 5 (so every
+    decoder filter path is exercised), deflates, and splits the stream
+    across TWO IDAT chunks to exercise multi-chunk reassembly."""
+    import struct
+    import zlib
+    h, w = px.shape
+    comp = zlib.compress(_png_filter_rows(px), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return _png_body(ihdr, [], comp)
 
 
 def decode_png_gray(content: bytes):
@@ -1252,15 +1580,22 @@ def decode_png_gray(content: bytes):
                 ">IIBBBBB", payload)
             if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
                 raise NotImplementedError(
-                    "only 8-bit grayscale non-interlaced PNG is "
-                    "supported (colour/palette/Adam7 out of scope)")
+                    "only 8-bit grayscale non-interlaced PNG here "
+                    "(indexed colour → decode_png_palette; truecolour/"
+                    "Adam7 out of scope)")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    return _png_unfilter(zlib.decompress(bytes(idat)), w, h)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int):
+    """Reconstruct all five filter paths over 1-byte pixels; shared by
+    the grayscale and palette readers."""
+    import numpy as np
     if len(raw) != h * (w + 1):
         raise ValueError("PNG: decompressed length mismatch")
     out = np.zeros((h, w), dtype=np.int32)
@@ -1297,6 +1632,132 @@ def decode_png_gray(content: bytes):
         out[y] = rec
         prev = rec
     return out.astype(np.uint8)
+
+
+def synth_png_palette(media_id: int):
+    """Deterministic SQL-replayable 256-entry RGB palette:
+    pal[i] = ((7i + 13 + m) % 256, (5i + 101 + 2m) % 256,
+    (11i + 29 + 3m) % 256) — per-image (a decoder that caches one
+    image's PLTE for another cannot pass)."""
+    import numpy as np
+    i = np.arange(256)
+    m = media_id
+    return np.stack([(7 * i + 13 + m) % 256,
+                     (5 * i + 101 + 2 * m) % 256,
+                     (11 * i + 29 + 3 * m) % 256],
+                    axis=1).astype(np.uint8)
+
+
+def encode_png_palette(indices, palette) -> bytes:
+    """Real indexed-colour PNG (colour type 3): IHDR, a 256-entry
+    PLTE chunk, the same five-filter scanline coding over the INDEX
+    bytes, multi-IDAT split. ``indices`` H×W uint8, ``palette``
+    256×3 uint8."""
+    import struct
+    import zlib
+    h, w = indices.shape
+    comp = zlib.compress(_png_filter_rows(indices), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return _png_body(ihdr, [(b"PLTE", bytes(palette.reshape(-1)))],
+                     comp)
+
+
+def decode_png_palette(content: bytes):
+    """Real indexed-colour PNG reader: CRC-verified chunk walk, IHDR
+    (8-bit colour-type-3 non-interlaced only), PLTE (must precede
+    IDAT, length a multiple of 3, ≤ 256 entries — per the spec),
+    IDAT reassembly + inflate, five-filter reconstruction of the
+    index plane, palette lookup → (H, W, 3) RGB uint8."""
+    import numpy as np
+    import struct
+    import zlib
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    w = h = None
+    pal = None
+    idat = bytearray()
+    while pos < len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        payload = content[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", content[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, inter) != (8, 3, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit indexed non-interlaced PNG here "
+                    "(grayscale → decode_png_gray; Adam7/other depths "
+                    "out of scope)")
+        elif tag == b"PLTE":
+            if len(payload) % 3 or len(payload) > 768:
+                raise ValueError("PNG: malformed PLTE")
+            if idat:
+                raise ValueError("PNG: PLTE after IDAT")
+            pal = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if pal is None:
+        raise ValueError("PNG: colour type 3 requires PLTE")
+    idx = _png_unfilter(zlib.decompress(bytes(idat)), w, h)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("PNG: palette index out of range")
+    return pal[idx]
+
+
+def synth_png_palette_images(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content): real indexed-colour PNGs,
+    24×16, per-image palette (synth_png_pixels as the index plane)."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_png_palette(synth_png_pixels(int(m), 24, 16),
+                                          synth_png_palette(int(m)))
+                       for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_png_palette_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded RGB stats via the REAL indexed
+    PNG parser; the channel-and-position-weighted sum certifies the
+    chunk walk, PLTE handling, filter reconstruction and the palette
+    lookup in one number."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                rgb = decode_png_palette(bytes(content)).astype(np.int64)
+                h, w, _ = rgb.shape
+                wgt = ((np.arange(h)[:, None, None] + 1)
+                       * (np.arange(w)[None, :, None] + 1)
+                       * (np.arange(3)[None, None, :] + 1))
+                rows.append((int(m), w, h, 3, int(rgb.sum()),
+                             int((rgb * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _decode, "media_id long, width int, height int, "
+                 "n_channels int, pix_sum long, pix_weighted long")
 
 
 def synth_png_images(df: DataFrame) -> DataFrame:

@@ -9079,6 +9079,157 @@ def mm_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_jpeg_batch(encoded)
 
 
+@register(
+    "mm_decode_real_jpeg_color",
+    oracle=f"""
+    WITH zig(z, nat) AS (SELECT * FROM (VALUES {{zigzag}})),
+    m AS (SELECT doc_id FROM documents),
+    cg(comp, gb) AS (SELECT * FROM (VALUES
+      (0,0),(0,1),(0,2),(0,3),(0,4),(0,5),(0,6),(0,7),
+      (1,0),(1,1),(2,0),(2,1))),
+    coef AS (
+      SELECT doc_id, comp, gb, zig.nat % 8 AS u, zig.nat // 8 AS v,
+             CASE WHEN zig.z = 0
+                    THEN ((doc_id + 7 * gb + 11 * comp) % 32) - 16
+                  WHEN zig.z % 7 = 1 AND zig.z < 40
+                    THEN ((doc_id + 5 * zig.z + 3 * gb + comp) % 9) - 4
+                  WHEN zig.z = 60 AND (doc_id + gb + comp) % 3 = 0
+                    THEN 3
+                  ELSE 0 END AS c
+      FROM m, cg, zig),
+    dq AS (SELECT doc_id, comp, gb, u, v,
+                  CAST(c AS HUGEINT)
+                  * (CASE WHEN comp = 0 THEN 8 + ((v * 8 + u) % 13)
+                          ELSE 10 + ((v * 8 + u) % 11) END) AS d
+           FROM coef WHERE c <> 0),
+    basis AS (
+      SELECT x, u,
+             CAST(round((CASE WHEN u = 0 THEN 1.0 / sqrt(2.0)
+                          ELSE 1.0 END)
+                  * cos((2 * x + 1) * u * pi() / 16.0)
+                  * 1048576) AS HUGEINT) AS bv
+      FROM range(8) t1(x), range(8) t2(u)),
+    acc AS (
+      SELECT doc_id, comp, gb, bx.x AS x, by.x AS y,
+             sum(bx.bv * by.bv * d) AS num
+      FROM dq
+      JOIN basis bx ON bx.u = dq.u
+      JOIN basis by ON by.u = dq.v
+      GROUP BY 1, 2, 3, 4, 5),
+    grid AS (
+      SELECT doc_id, comp, gb, gx.x AS x, gy.x AS y
+      FROM m, cg, range(8) gx(x), range(8) gy(x)),
+    samp AS (
+      SELECT g.doc_id, g.comp, g.gb, g.x, g.y,
+             least(greatest(
+               ((coalesce(a.num, 0) + 2199023255552
+                 + 72057594037927936) // 4398046511104)
+               - 16384 + 128, 0), 255) AS p
+      FROM grid g LEFT JOIN acc a
+        ON a.doc_id = g.doc_id AND a.comp = g.comp AND a.gb = g.gb
+       AND a.x = g.x AND a.y = g.y),
+    yplane AS (
+      SELECT doc_id,
+             (gb // 4) * 16 + ((gb % 4) % 2) * 8 + x AS px,
+             ((gb % 4) // 2) * 8 + y AS py, p
+      FROM samp WHERE comp = 0),
+    cbp AS (SELECT doc_id, gb * 8 + x AS cx, y AS cy, p
+            FROM samp WHERE comp = 1),
+    crp AS (SELECT doc_id, gb * 8 + x AS cx, y AS cy, p
+            FROM samp WHERE comp = 2),
+    rgb AS (
+      SELECT y.doc_id, y.px, y.py,
+        least(greatest(y.p
+          + ((91881 * (cr.p - 128) + 32768 + 1073741824) // 65536)
+          - 16384, 0), 255) AS r,
+        least(greatest(y.p
+          - ((22554 * (cb.p - 128) + 46802 * (cr.p - 128) + 32768
+              + 1073741824) // 65536) + 16384, 0), 255) AS g,
+        least(greatest(y.p
+          + ((116130 * (cb.p - 128) + 32768 + 1073741824) // 65536)
+          - 16384, 0), 255) AS b
+      FROM yplane y
+      JOIN cbp cb ON cb.doc_id = y.doc_id
+       AND cb.cx = y.px // 2 AND cb.cy = y.py // 2
+      JOIN crp cr ON cr.doc_id = y.doc_id
+       AND cr.cx = y.px // 2 AND cr.cy = y.py // 2)
+    SELECT doc_id AS media_id,
+           CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(r + g + b) AS BIGINT) AS pix_sum,
+           CAST(sum((py + 1) * (px + 1) * (r + 2 * g + 3 * b))
+                AS BIGINT) AS pix_weighted
+    FROM rgb GROUP BY doc_id
+    """.replace("{zigzag}", _jpeg_zigzag_values()))
+def mm_decode_real_jpeg_color(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """COLOR baseline JPEG with 4:2:0 chroma subsampling — the r8
+    verdict's one residue item (functions/multimodal.py
+    encode_jpeg_color / decode_jpeg_color). On top of the grayscale
+    entropy spine this adds everything color JPEG actually is: two
+    quantization tables, all four Annex-K Huffman tables (chrominance
+    K.3.3.1/K.3.3.2), the interleaved 4:2:0 MCU scan (4 Y + Cb + Cr
+    per macroblock) with a SEPARATE DC predictor per component
+    carried across MCU boundaries (the 32×16 two-MCU plan exercises
+    that), chroma upsampling by sample replication, and exact
+    fixed-point BT.601 YCbCr→RGB (16-bit constants, the same
+    positive-bias floor-division trick as the IDCT). The oracle
+    replays coefficient synthesis, per-component dequantization, the
+    shared symbolic IDCT, plane assembly, the 2×2 chroma replication
+    join and the fixed-point color convert — a wrong Huffman table,
+    crossed predictor, swapped quant selector or off-by-one upsample
+    all break the channel-and-position-weighted checksum. Per-image
+    work is a fixed 12-block decode in Arrow workers: map-side only,
+    embarrassingly parallel at any corpus scale."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_jpeg_color_images(base)
+    return MM.decode_jpeg_color_batch(encoded)
+
+
+@register(
+    "mm_decode_real_png_palette",
+    oracle="""
+    WITH pix AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y,
+             ((doc_id % 251) + gx.x * gx.x + 3 * gy.y
+              + ((gx.x * gy.y) % 11)) % 256 AS p
+      FROM documents, range(24) gx(x), range(16) gy(y)),
+    rgb AS (
+      SELECT doc_id, x, y,
+             (7 * p + 13 + doc_id) % 256 AS r,
+             (5 * p + 101 + 2 * doc_id) % 256 AS g,
+             (11 * p + 29 + 3 * doc_id) % 256 AS b
+      FROM pix)
+    SELECT doc_id AS media_id,
+           CAST(24 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(r + g + b) AS BIGINT) AS pix_sum,
+           CAST(sum((y + 1) * (x + 1) * (r + 2 * g + 3 * b))
+                AS BIGINT) AS pix_weighted
+    FROM rgb GROUP BY doc_id
+    """)
+def mm_decode_real_png_palette(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """INDEXED-COLOUR PNG (colour type 3) — the palette variant the
+    r8 verdict listed as remaining codec breadth
+    (functions/multimodal.py encode_png_palette /
+    decode_png_palette). The writer emits a CRC-framed PLTE chunk
+    (per-image palette, so a decoder that caches one image's PLTE
+    for another cannot pass) and the same five-filter scanline
+    coding over the INDEX plane; the reader validates PLTE placement
+    and size per the spec, reconstructs all five filter paths, and
+    resolves indices through the palette. PNG stays lossless, so the
+    oracle replays the synthetic index formula COMPOSED WITH the
+    palette arithmetic — a wrong filter path, chunk-order bug or
+    palette offset breaks the channel-and-position-weighted
+    checksum. Fixed 24×16 decode per image in Arrow workers:
+    map-side only, embarrassingly parallel at any corpus scale."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_png_palette_images(base)
+    return MM.decode_png_palette_batch(encoded)
+
+
 def _jpeg_aclen_values() -> str:
     from pmc_conversion_spark.functions.multimodal import (
         JPEG_AC_BITS, JPEG_AC_VALS, _canonical_codes)

@@ -3128,8 +3128,6 @@ def agg_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny offset frame — operators/windows.py), never an unpartitioned
     ORDER BY window over half the fact table; the crossing search is
     a filter + one grouped min/arg_min."""
-    from pmc_conversion_spark.operators.windows import (
-        running_sum_distributed)
     o = tables.load(spark, sf_dir, "orders")
     t = o.select(
         F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
@@ -3139,13 +3137,15 @@ def agg_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("one"))
     import math
     c1 = math.log(0.55 / 0.45)  # = ln(11/9) ~= 0.200671
-    arms = []
-    for arm in ("A", "B"):
-        part = t.filter(F.col("arm") == arm)
-        part = running_sum_distributed(part, "o_orderkey", "y", "k")
-        part = running_sum_distributed(part, "o_orderkey", "one", "n")
-        arms.append(part)
-    c = arms[0].unionAll(arms[1])
+    # ONE fused grouped two-phase pass for both arms and both prefix
+    # sums (r9): the r8 form ran four chained running_sum calls (two
+    # per arm behind a filter), each re-executing its upstream for
+    # the boundary sample. struct(arm, key) sorts arms contiguously,
+    # which is exactly what the grouped helper needs; per-(arm,
+    # bucket) cells keep every window partition ≤ ~N/buckets.
+    c = W.running_sums_grouped_distributed(
+        t, ["arm"], F.struct(F.col("arm"), F.col("o_orderkey")),
+        {"k": F.col("y"), "n": F.col("one")})
     l = c.select("arm", "n", "k",
                  ((2 * F.col("k") - F.col("n")) * F.lit(c1)).alias("llr"))
     x = (l.filter(F.abs(F.col("llr")) >= F.log(F.lit(19.0)))
@@ -3298,10 +3298,12 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("ca"),
                   F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
                   .alias("cb")))
-    from pmc_conversion_spark.operators.windows import (
-        running_sum_distributed)
-    cum = running_sum_distributed(per_v, "cents", "ca", "ka")
-    cum = running_sum_distributed(cum, "cents", "cb", "kb")
+    # both arm CDFs in ONE fused two-phase pass (r9, same cut as
+    # agg_cvm_test: chaining re-executes the distinct-value agg per
+    # call — boundary sample + main pass each)
+    cum = W.running_sums_grouped_distributed(
+        per_v, [], F.col("cents"),
+        {"ka": F.col("ca"), "kb": F.col("cb")})
     best = (cum.crossJoin(F.broadcast(n))
             .select("cents", "ka", "kb", "na", "nb",
                     F.abs(F.col("ka") * F.col("nb")

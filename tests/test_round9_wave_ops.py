@@ -1,0 +1,157 @@
+"""Round-9 wave: color baseline JPEG (4:2:0) codec units.
+
+The Spark-side query (`mm_decode_real_jpeg_color`) is gated by the
+DuckDB oracle; these tests pin the CODEC itself — encode→decode must
+equal an INDEPENDENT reference path that assembles planes straight
+from the synthetic coefficients (never touching the entropy coder),
+so a Huffman/predictor/upsample bug cannot cancel itself out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pmc_conversion_spark.functions.multimodal import (
+    JPEG_AC_BITS_C, JPEG_AC_VALS_C, JPEG_DC_BITS_C, JPEG_DC_VALS_C,
+    JPEG_ZIGZAG, _idct_basis, _ycc_to_rgb, decode_jpeg_color,
+    encode_jpeg_color, jpeg_qtab_chroma_natural, jpeg_qtab_natural,
+    synth_jpeg_color_coeffs)
+
+
+def test_chroma_huffman_tables_are_well_formed():
+    assert sum(JPEG_DC_BITS_C) == len(JPEG_DC_VALS_C) == 12
+    assert sum(JPEG_AC_BITS_C) == len(JPEG_AC_VALS_C) == 162
+    # canonical construction must not overflow any code length
+    from pmc_conversion_spark.functions.multimodal import _canonical_codes
+    for bits, vals in ((JPEG_DC_BITS_C, JPEG_DC_VALS_C),
+                       (JPEG_AC_BITS_C, JPEG_AC_VALS_C)):
+        codes = _canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        for _sym, (code, ln) in codes.items():
+            assert 0 <= code < (1 << ln)
+
+
+def _block_pixels(zz, qt, basis):
+    coef = np.zeros(64, dtype=np.int64)
+    for z in range(64):
+        coef[JPEG_ZIGZAG[z]] = zz[z]
+    d = coef.reshape(8, 8) * np.array(qt, dtype=np.int64).reshape(8, 8)
+    num = (basis @ d.T @ basis.T).T
+    pix = ((num + (1 << 41) + (1 << 56)) >> 42) - (1 << 14) + 128
+    return np.clip(pix, 0, 255)
+
+
+def _reference_rgb(mid):
+    basis = np.array(_idct_basis(), dtype=np.int64)
+    yb, cbb, crb = synth_jpeg_color_coeffs(mid)
+    Y = np.zeros((16, 32), dtype=np.int64)
+    for gb in range(8):
+        m, k = divmod(gb, 4)
+        by, bx = divmod(k, 2)
+        Y[by * 8:by * 8 + 8, m * 16 + bx * 8:m * 16 + bx * 8 + 8] = \
+            _block_pixels(yb[gb], jpeg_qtab_natural(), basis)
+    Cb = np.zeros((8, 16), dtype=np.int64)
+    Cr = np.zeros((8, 16), dtype=np.int64)
+    for m in range(2):
+        Cb[:, m * 8:m * 8 + 8] = _block_pixels(
+            cbb[m], jpeg_qtab_chroma_natural(), basis)
+        Cr[:, m * 8:m * 8 + 8] = _block_pixels(
+            crb[m], jpeg_qtab_chroma_natural(), basis)
+    cb = Cb.repeat(2, 0).repeat(2, 1)
+    cr = Cr.repeat(2, 0).repeat(2, 1)
+    r, g, b = _ycc_to_rgb(Y, cb, cr)
+    return np.stack([r, g, b], axis=2)
+
+
+def test_color_jpeg_roundtrip_equals_coefficient_reference():
+    for mid in (0, 1, 7, 31, 101, 254, 255, 499):
+        yb, cbb, crb = synth_jpeg_color_coeffs(mid)
+        rgb = decode_jpeg_color(encode_jpeg_color(yb, cbb, crb, 32, 16))
+        assert rgb.shape == (16, 32, 3)
+        assert (rgb == _reference_rgb(mid)).all(), f"media_id {mid}"
+
+
+def test_color_jpeg_dc_prediction_carries_across_mcus():
+    # identical blocks in both MCUs would hide a broken predictor; the
+    # synthetic plan guarantees different DCs per gb — assert that,
+    # and that the second MCU's pixels still decode exactly
+    yb, cbb, crb = synth_jpeg_color_coeffs(42)
+    assert yb[0][0] != yb[4][0] or cbb[0][0] != cbb[1][0]
+    rgb = decode_jpeg_color(encode_jpeg_color(yb, cbb, crb, 32, 16))
+    assert (rgb[:, 16:, :] == _reference_rgb(42)[:, 16:, :]).all()
+
+
+def test_color_jpeg_rejects_wrong_shapes():
+    yb, cbb, crb = synth_jpeg_color_coeffs(3)
+    content = bytearray(encode_jpeg_color(yb, cbb, crb, 32, 16))
+    with pytest.raises(ValueError):
+        decode_jpeg_color(b"\x00\x01" + bytes(content[2:]))  # no SOI
+    # grayscale decoder must refuse a 3-component stream and vice versa
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_jpeg_gray, encode_jpeg_gray, synth_jpeg_coeffs)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(content))
+    gray = encode_jpeg_gray(synth_jpeg_coeffs(3), 16, 8)
+    with pytest.raises(ValueError):
+        decode_jpeg_color(gray)
+    # non-4:2:0 sampling is an HONEST NotImplementedError gate: patch
+    # the SOF0 sampling byte of the color stream to 1x1 luma
+    sof = bytes(content).index(b"\xFF\xC0")
+    assert content[sof + 11] == 0x22
+    content[sof + 11] = 0x11
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_color(bytes(content))
+
+
+def test_ycc_to_rgb_matches_float_reference_within_one():
+    # the fixed-point convert must track the real-valued BT.601
+    # formulas to ≤1 LSB over the full cube corners + a lattice
+    ys, cs = np.arange(0, 256, 17), np.arange(0, 256, 17)
+    Y, Cb, Cr = np.meshgrid(ys, cs, cs, indexing="ij")
+    r, g, b = _ycc_to_rgb(Y.astype(np.int64), Cb.astype(np.int64),
+                          Cr.astype(np.int64))
+    rf = np.clip(np.round(Y + 1.402 * (Cr - 128)), 0, 255)
+    gf = np.clip(np.round(Y - 0.344136 * (Cb - 128)
+                          - 0.714136 * (Cr - 128)), 0, 255)
+    bf = np.clip(np.round(Y + 1.772 * (Cb - 128)), 0, 255)
+    assert int(np.abs(r - rf).max()) <= 1
+    assert int(np.abs(g - gf).max()) <= 1
+    assert int(np.abs(b - bf).max()) <= 1
+
+
+def test_palette_png_roundtrip_and_spec_gates():
+    from pmc_conversion_spark.functions.multimodal import (
+        _png_chunk, decode_png_gray, decode_png_palette,
+        encode_png_gray, encode_png_palette, synth_png_palette,
+        synth_png_pixels)
+    for mid in (0, 5, 77, 250, 499):
+        idx = synth_png_pixels(mid, 24, 16)
+        pal = synth_png_palette(mid)
+        rgb = decode_png_palette(encode_png_palette(idx, pal))
+        assert (rgb == pal[idx]).all()
+    # the colour-type gates are symmetric NotImplementedError, so a
+    # caller routed to the wrong decoder fails loud, not wrong
+    g = encode_png_gray(synth_png_pixels(1, 24, 16))
+    p = encode_png_palette(synth_png_pixels(1, 24, 16),
+                           synth_png_palette(1))
+    with pytest.raises(NotImplementedError):
+        decode_png_palette(g)
+    with pytest.raises(NotImplementedError):
+        decode_png_gray(p)
+    # spec rules: PLTE after IDAT, malformed PLTE, missing PLTE
+    import struct
+    body = bytearray(p)
+    plte_at = bytes(body).index(b"PLTE") - 4
+    plte_len = struct.unpack(">I", body[plte_at:plte_at + 4])[0] + 12
+    plte = bytes(body[plte_at:plte_at + plte_len])
+    no_plte = bytes(body[:plte_at]) + bytes(body[plte_at + plte_len:])
+    with pytest.raises(ValueError):
+        decode_png_palette(no_plte)
+    late_plte = no_plte[:-12] + plte + no_plte[-12:]  # before IEND
+    with pytest.raises(ValueError):
+        decode_png_palette(late_plte)
+    bad_plte = (bytes(body[:plte_at]) + _png_chunk(b"PLTE", b"\x01\x02")
+                + bytes(body[plte_at + plte_len:]))
+    with pytest.raises(ValueError):
+        decode_png_palette(bad_plte)

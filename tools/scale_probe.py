@@ -58,6 +58,13 @@ PROBED = [
     "text_zipf_fit",
     "vocab_coverage_curve",
     "dedup_minhash_bbit",
+    # r9 (verdict #1 'Done' criterion): the bare two-phase surrogate
+    # key under the size-scaled bucket rule — ratio must stay ≈linear
+    # (win_anchored_vwap / fisher / cvm are already probed below)
+    "win_surrogate_key_distributed",
+    # r9: the two new real codecs (linear in documents)
+    "mm_decode_real_jpeg_color",
+    "mm_decode_real_png_palette",
     "join_geo_grid_radius",
     "pack_length_bucketing_eval",
     "dedup_cross_source_matrix",
