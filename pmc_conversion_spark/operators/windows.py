@@ -189,23 +189,153 @@ def _range_bucketed(df: DataFrame, buckets: int, key) -> DataFrame:
     explicitly before ranging (as the heavy llmdata ops already do)."""
     if buckets <= 1:
         return df.withColumn("__bucket", F.lit(0))
+    scalar = _as_scalar_bucket_key(df, key)
+    if scalar is not None:
+        return _scalar_bucketed(df, buckets, scalar)
     bnds = _bucket_boundaries(df, buckets, key)
+    # hybrid assignment (r9, measured): the codegen'd linear scan is
+    # ~2x FASTER per row than the binary search at the bucket counts
+    # the r8 design allowed (a tight branch loop vs 18 struct-building
+    # CASE WHENs — agg_kruskal_wallis 3.0 s vs 6.3 s at sf0.1), so
+    # keep it wherever it was ever used; the O(log B) search engages
+    # only above the old 1024 cap, where the scan's O(N·B) would bite.
+    expr = (F.size(F.filter(F.col("__bnds"), lambda b: b <= key))
+            if buckets <= 1 << 10
+            else _count_le(F.col("__bnds"), key))
     return (df.crossJoin(F.broadcast(bnds))
-            .withColumn("__bucket", _count_le(F.col("__bnds"), key))
+            .withColumn("__bucket", expr)
             .drop("__bnds"))
+
+
+#: Micro-cell refinement for the SCALAR bucket-key fast path: the
+#: equi-depth sample is projected onto ``16 x buckets`` equi-WIDTH
+#: cells so assignment is one codegen'd ``width_bucket`` plus one
+#: literal-array lookup -- O(1)/row -- while bucket OCCUPANCY still
+#: follows the sampled quantiles (balance error ≤ one cell's mass).
+_MICRO_CELLS_PER_BUCKET = 16
+
+#: Cap on the literal lookup array (ints in the plan). At the
+#: ``_MAX_BUCKETS`` ceiling this is 2 cells/bucket -- coarser balance,
+#: never coarser than the bucket grid itself needs to stay monotone.
+_MICRO_CELLS_CAP = 1 << 18
+
+
+def _as_scalar_bucket_key(df: DataFrame, key):
+    """Return a numeric Column usable by :func:`_scalar_bucketed` when
+    ``key`` is an order-isomorphic scalar -- numeric (cast to double
+    is monotone; precision loss beyond 2^53 only merges neighbors,
+    never reorders), date (``unix_date`` is a monotone bijection), or
+    timestamp (numeric cast = epoch seconds, monotone) -- else None
+    (struct / string / map keys keep the generic boundary-array path,
+    as do streaming frames, where the plan-build sample collect can't
+    run). This is what routes ~30 existing scalar-keyed call sites
+    (doc_id prefix sums, surrogate keys over bigint/date columns, the
+    stats family's midrank frames) onto the O(1)/row assignment
+    automatically."""
+    if df.isStreaming:
+        return None
+    try:
+        dt = df.select(key.alias("__k")).schema[0].dataType
+    except Exception:
+        return None
+    from pyspark.sql.types import (DateType, NumericType, TimestampNTZType,
+                                   TimestampType)
+    if isinstance(dt, NumericType):
+        return key
+    if isinstance(dt, DateType):
+        return F.unix_date(key)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        # NTZ has no double cast; the tz-interpreting timestamp cast
+        # is monotone, which is all bucketing needs
+        return F.unix_micros(key.cast("timestamp"))
+    return None
+
+
+def _scalar_bucketed(df: DataFrame, buckets: int, skey) -> DataFrame:
+    """Fast-path deterministic range bucketing for a NUMERIC scalar
+    key (r9; opt-in via the helpers' ``bucket_key=``). The generic
+    struct path in :func:`_range_bucketed` pays an interpreted
+    per-row search over the boundary array -- measured 20-24 s for
+    600 k rows at 128 buckets (win_anchored_vwap's 6-field struct OR
+    a packed bigint; higher-order functions and ``aggregate`` folds
+    never enter whole-stage codegen). This path is ~60x cheaper
+    (0.3 s): per row one codegen'd ``width_bucket`` (O(1) arithmetic
+    into ``K = 16 x buckets`` equi-width micro-cells over the sampled
+    key range) and one ``element_at`` into a LITERAL int array that
+    remaps each micro-cell to its equi-DEPTH bucket (computed driver-
+    side from the same xxhash64-deterministic sample the struct path
+    uses, via bisect over the sorted sample at each cell's left edge).
+
+    Correctness needs only that assignment is a pure MONOTONE
+    non-decreasing function of the key -- cell index is monotone in
+    the key, the remap array is monotone by construction (bisect of
+    monotone edges), so the composition is. Equal keys share a cell,
+    hence a bucket. Values are bucket-placement-invariant exactly as
+    with sampled boundaries; only balance depends on placement, and
+    the remap reproduces sampled quantiles to within one cell's mass.
+    Nulls (key or width_bucket result) coalesce to bucket 0, matching
+    nulls-first window order. The one-row sample collect is bounded
+    (``_SAMPLE_TOTAL_CAP`` doubles) and happens ONCE at plan-build
+    time; the frozen literals make every AQE re-execution's
+    assignment identical by construction -- stronger than the
+    broadcast-frame variant, and the crossJoin disappears from the
+    plan. Long->double is monotone (ties only), so packed-bigint keys
+    beyond 2^53 may merge adjacent cells, never reorder them."""
+    if buckets <= 1:
+        return df.withColumn("__bucket", F.lit(0))
+    kd = skey.cast("double")
+    import math
+    kdf = (df.select(kd.alias("__k"))
+           .where(F.col("__k").isNotNull() & ~F.isnan(F.col("__k"))
+                  & (F.abs(F.col("__k")) != float("inf"))))
+    cap = min(_SAMPLE_PER_BUCKET * buckets, _SAMPLE_TOTAL_CAP)
+    rows = (kdf.orderBy(F.xxhash64(F.col("__k")), F.col("__k")).limit(cap)
+            .agg(F.sort_array(F.collect_list("__k")).alias("__s"))
+            .collect())
+    sample = rows[0][0] if rows and rows[0][0] else []
+    if not sample or sample[0] == sample[-1]:
+        return df.withColumn("__bucket", F.lit(0))
+    import bisect
+    mn, mx, n = sample[0], sample[-1], len(sample)
+    k_cells = int(min(_MICRO_CELLS_PER_BUCKET * buckets, _MICRO_CELLS_CAP))
+    width = (mx - mn) / k_cells
+    # remap[wb] for wb in 0..K+1 (width_bucket's output domain):
+    # bucket of a cell = quantile index of its LEFT edge in the
+    # sorted sample -- non-decreasing in wb because edges are.
+    remap = [0] + [
+        min(buckets - 1, bisect.bisect_left(sample, mn + (m - 1) * width)
+            * buckets // n)
+        for m in range(1, k_cells + 1)] + [buckets - 1]
+    wb = F.width_bucket(kd, F.lit(float(mn)), F.lit(float(mx)),
+                        F.lit(k_cells))
+    # The null guard is an explicit WHEN on the key, NOT a coalesce on
+    # element_at: Spark 4.1's element_at drops the ordinal's null FLAG
+    # when the ordinal is a composed cast over width_bucket (observed:
+    # null key -> wb NULL but element_at returns the LAST entry, i.e.
+    # the value slot held K+1), so coalesce never sees a null.
+    # NaN sorts GREATEST in Spark's ordering (and is excluded from the
+    # sample), so it must take the last bucket, not fall into the null
+    # arm via width_bucket's NaN result; ±inf width_buckets to 0/K+1
+    # on its own, matching its sort position.
+    return df.withColumn(
+        "__bucket",
+        F.when(kd.isNull(), F.lit(0))
+        .when(F.isnan(kd), F.lit(buckets - 1))
+        .otherwise(F.element_at(F.lit(remap), (wb + 1).cast("int"))))
 
 
 def _count_le(bnds, key):
     """``#{j : bnds[j] <= key}`` over the SORTED boundary array via
-    binary search -- O(log B) per row. The r7 form scanned the whole
-    array (``size(filter(bnds, b <= key))``), fine at the old
-    1024-bucket cap but O(N·B) once buckets scale with input (r9).
-    Fixed 18 iterations cover B ≤ 2^18 > ``_MAX_BUCKETS``; exhausted
-    iterations no-op once lo == hi. Semantics match the scan exactly:
-    a null comparison (null key, or the all-null array an empty input
-    produces) counts as "not ≤", so null keys land in bucket 0 --
-    matching nulls-first window order. CASE WHEN evaluates branches
-    lazily, so ``element_at`` only runs with mid+1 ∈ [1, size]."""
+    binary search -- O(log B) per row, used above the 1024-bucket
+    linear-scan threshold (see _range_bucketed). The r7 scan form
+    (``size(filter(bnds, b <= key))``) is O(N·B) once buckets scale
+    with input (r9). Fixed 18 iterations cover B ≤ 2^18 >
+    ``_MAX_BUCKETS``; exhausted iterations no-op once lo == hi.
+    Semantics match the scan exactly: a null comparison (null key, or
+    the all-null array an empty input produces) counts as "not ≤", so
+    null keys land in bucket 0 -- matching nulls-first window order.
+    CASE WHEN evaluates branches lazily, so ``element_at`` only runs
+    with mid+1 ∈ [1, size]."""
     init = F.struct(F.lit(0).cast("int").alias("lo"),
                     F.size(bnds).alias("hi"))
 
@@ -224,7 +354,8 @@ def _count_le(bnds, key):
 
 def surrogate_key_distributed(df: DataFrame, order_col,
                               out_col: str = "sk",
-                              buckets: int | None = None) -> DataFrame:
+                              buckets: int | None = None,
+                              bucket_key=None) -> DataFrame:
     """Scale-safe dense global row numbers: two-phase range bucketing.
 
     Phase 1 range-partitions rows into ``buckets`` by the order key and
@@ -246,7 +377,9 @@ def surrogate_key_distributed(df: DataFrame, order_col,
     """
     key = _order_key(order_col)
     buckets = _resolve_buckets(df, buckets)
-    ranged = _range_bucketed(df, buckets, key)
+    ranged = (_scalar_bucketed(df, buckets, bucket_key)
+              if bucket_key is not None
+              else _range_bucketed(df, buckets, key))
     w_in = Window.partitionBy("__bucket").orderBy(key)
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
     counts = numbered.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
@@ -263,15 +396,20 @@ def surrogate_key_distributed(df: DataFrame, order_col,
 
 def running_sum_distributed(df: DataFrame, order_col: str,
                             value_col: str, out_col: str = "running",
-                            buckets: int | None = None) -> DataFrame:
+                            buckets: int | None = None,
+                            bucket_key=None) -> DataFrame:
     """Scale-safe global running sum (inclusive prefix sum ordered by
     ``order_col``) — the same two-phase shape as
     :func:`surrogate_key_distributed`: range-bucket, prefix-sum within
     each bucket in parallel, then offset by the (tiny) per-bucket
     totals. No single-partition sort; same observable output as
-    ``sum(value) OVER (ORDER BY order_col)`` for a unique order key."""
+    ``sum(value) OVER (ORDER BY order_col)`` for a unique order key.
+    ``bucket_key``: optional numeric monotone coarsening of the order
+    column — engages the :func:`_scalar_bucketed` O(1)/row fast path."""
     buckets = _resolve_buckets(df, buckets)
-    ranged = _range_bucketed(df, buckets, F.col(order_col))
+    ranged = (_scalar_bucketed(df, buckets, bucket_key)
+              if bucket_key is not None
+              else _range_bucketed(df, buckets, F.col(order_col)))
     w_in = (Window.partitionBy("__bucket").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     summed = ranged.withColumn("__ps", F.sum(value_col).over(w_in))
@@ -292,7 +430,8 @@ def running_sum_distributed(df: DataFrame, order_col: str,
 
 def running_sums_grouped_distributed(
         df: DataFrame, group_cols: Sequence[str], order_key,
-        sums: dict, buckets: int | None = None) -> DataFrame:
+        sums: dict, buckets: int | None = None,
+        bucket_key=None) -> DataFrame:
     """Per-GROUP inclusive prefix sums over a total order WITHOUT a
     group-sized window partition (r7 verdict What's-wrong #3: a
     ``PARTITION BY anchor_month`` running window is a single
@@ -311,10 +450,21 @@ def running_sums_grouped_distributed(
 
     ``sums`` maps output column name → value Column; all prefix sums
     share one in-cell window (one exchange, one sort).
+
+    ``bucket_key`` (optional): a NUMERIC scalar Column that is a
+    monotone non-strict coarsening of ``order_key`` (equal order keys
+    ⟹ equal bucket keys is not required; equal bucket keys merely
+    land in one bucket) and, like the order key, sorts groups
+    contiguously. Engages :func:`_scalar_bucketed` -- O(1)/row
+    codegen'd assignment instead of the interpreted boundary-array
+    search, ~60x cheaper on wide struct keys. Values are identical
+    either way (bucket placement never affects prefix sums).
     """
     key = _order_key(order_key)
     buckets = _resolve_buckets(df, buckets)
-    ranged = _range_bucketed(df, buckets, key)
+    ranged = (_scalar_bucketed(df, buckets, bucket_key)
+              if bucket_key is not None
+              else _range_bucketed(df, buckets, key))
     gb = list(group_cols) + ["__bucket"]
     w_in = (Window.partitionBy(*gb).orderBy(key)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -126,3 +126,67 @@ def test_binary_search_matches_linear_scan(spark):
                         lambda b: b <= F.col("k"))).alias("lin")) \
         .where(F.col("bs") != F.col("lin")).count()
     assert bad == 0
+
+
+def test_scalar_bucket_path_value_identical_and_monotone(spark):
+    # the r9 O(1)/row scalar fast path (_scalar_bucketed) must (a)
+    # produce the SAME prefix sums as the struct boundary-search path,
+    # (b) assign buckets monotone in the key, (c) put equal keys in
+    # one bucket, and (d) send null keys to bucket 0
+    # k is injective over the ids (multiplication mod a prime > n is
+    # a bijection) — the helper's contract requires a unique order key
+    uniq = spark.range(5000).select(
+        ((F.col("id") * 48271) % 1000003).alias("k"),
+        (F.col("id") % 11).alias("v"))
+    slow = W.running_sum_distributed(uniq, "k", "v", out_col="r",
+                                     buckets=64)
+    fast = W.running_sum_distributed(uniq, "k", "v", out_col="r2",
+                                     buckets=64, bucket_key=F.col("k"))
+    assert slow.join(fast, ["k", "v"]) \
+               .where(F.col("r") != F.col("r2")).count() == 0
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 97 == 0, None)
+        .otherwise((F.col("id") * 48271) % 701).alias("k"))
+    rb = W._scalar_bucketed(df, 64, F.col("k"))
+    # monotone: max key of bucket i < min key of bucket i+1 (equal
+    # keys can't straddle, so max(i) < min(i+1) over distinct keys)
+    prof = (rb.where(F.col("k").isNotNull()).groupBy("__bucket")
+            .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+            .orderBy("__bucket").collect())
+    for a, b in zip(prof, prof[1:]):
+        assert a.mx <= b.mn   # <= : boundary-equal keys share a bucket
+    straddle = (rb.where(F.col("k").isNotNull()).groupBy("k")
+                .agg(F.countDistinct("__bucket").alias("nb"))
+                .where(F.col("nb") > 1).count())
+    assert straddle == 0
+    assert rb.where(F.col("k").isNull()) \
+             .where(F.col("__bucket") != 0).count() == 0
+
+
+def test_scalar_bucket_path_degenerate_inputs(spark):
+    # constant key and empty input both collapse to single-bucket
+    # assignment (correct, just unparallel) instead of erroring
+    const = spark.range(100).select(F.lit(7).alias("k"),
+                                    F.lit(1).alias("v"))
+    out = W.running_sum_distributed(const, "k", "v", out_col="r",
+                                    buckets=32, bucket_key=F.col("k"))
+    assert out.agg(F.max("r")).collect()[0][0] == 100
+    empty = spark.range(0).select(F.col("id").alias("k"),
+                                  F.col("id").alias("v"))
+    assert W.running_sum_distributed(
+        empty, "k", "v", out_col="r", buckets=32,
+        bucket_key=F.col("k")).count() == 0
+
+
+def test_scalar_bucket_balance_tracks_quantiles(spark):
+    # a heavily SKEWED numeric distribution (x^3 over ids) must still
+    # spread across buckets because the remap follows sampled
+    # quantiles, not the raw value range: with 16 buckets no bucket
+    # may hold more than ~4x its fair share
+    df = spark.range(20000).select(
+        (F.col("id") * F.col("id") * F.col("id")).alias("k"))
+    rb = W._scalar_bucketed(df, 16, F.col("k"))
+    mx = (rb.groupBy("__bucket").count()
+          .agg(F.max("count")).collect()[0][0])
+    assert mx <= 4 * (20000 // 16)
