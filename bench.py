@@ -182,6 +182,8 @@ HEADLINE = [
     "agg_cvm_test",
     "mm_decode_real_jpeg_color",
     "mm_decode_real_png_palette",
+    "mm_decode_real_gif89a",
+    "mm_decode_real_png_adam7",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

@@ -9,11 +9,15 @@ Huffman entropy coding, zigzag, DC prediction, byte stuffing,
 fixed-point IDCT — plus grayscale PNG and GIF87a, and (r9) baseline
 COLOR JPEG with 4:2:0 subsampling: chrominance Annex-K tables,
 interleaved MCU scan with per-component DC predictors, replication
-chroma upsample, exact fixed-point YCbCr→RGB. Only library-grade
-variants remain STUBBED (``decode_image_meta`` for progressive JPEG /
-non-4:2:0 sampling / arbitrary streams raises NotImplementedError
-unless ``fake=True``, which produces a deterministic fake decode so
-tests and the driver can exercise the full pipeline shape).
+chroma upsample, exact fixed-point YCbCr→RGB; plus (r9) indexed-colour
+PNG, Adam7-INTERLACED grayscale PNG (seven per-pass filtered
+sub-images, per-pass context reset, empty-pass rule), and GIF89a with
+extension-block walking, LOCAL color tables overriding the global
+one, and 4-pass row interlacing. Only library-grade variants remain
+STUBBED (``decode_image_meta`` for progressive JPEG / non-4:2:0
+sampling / arbitrary streams raises NotImplementedError unless
+``fake=True``, which produces a deterministic fake decode so tests
+and the driver can exercise the full pipeline shape).
 
 Design for scale: media bytes ride as a ``binary`` column; decode /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` (one Python
@@ -1578,18 +1582,73 @@ def decode_png_gray(content: bytes):
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", payload)
-            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+            if (depth, ctype, comp, filt) != (8, 0, 0, 0) \
+                    or inter not in (0, 1):
                 raise NotImplementedError(
-                    "only 8-bit grayscale non-interlaced PNG here "
-                    "(indexed colour → decode_png_palette; truecolour/"
-                    "Adam7 out of scope)")
+                    "only 8-bit grayscale PNG here (indexed colour → "
+                    "decode_png_palette; truecolour out of scope)")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    return _png_unfilter(zlib.decompress(bytes(idat)), w, h)
+    raw = zlib.decompress(bytes(idat))
+    if inter == 1:
+        return _png_deinterlace_adam7(raw, w, h)
+    return _png_unfilter(raw, w, h)
+
+
+#: Adam7 pass grid: (row0, col0, row_step, col_step), spec order.
+_ADAM7 = ((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+          (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+
+
+def _png_deinterlace_adam7(raw: bytes, w: int, h: int):
+    """Adam7 reconstruction (r9; was an out-of-scope gate): the IDAT
+    stream is SEVEN consecutive filtered sub-images, one per pass,
+    each with its own scanline filter bytes and its own filter
+    context (prev row resets per pass); empty passes (zero rows OR
+    zero columns at this image size) contribute no bytes at all per
+    the spec. Each sub-image reuses the shared five-filter
+    reconstruction, then scatters onto the pass's (row0 + i*step,
+    col0 + j*step) grid."""
+    import numpy as np
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for r0, c0, rs, cs in _ADAM7:
+        ph = (h - r0 + rs - 1) // rs if h > r0 else 0
+        pw = (w - c0 + cs - 1) // cs if w > c0 else 0
+        if ph == 0 or pw == 0:
+            continue
+        need = ph * (pw + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG: Adam7 stream shorter than passes")
+        sub = _png_unfilter(raw[pos:pos + need], pw, ph)
+        pos += need
+        out[r0::rs, c0::cs] = sub
+    if pos != len(raw):
+        raise ValueError("PNG: Adam7 stream longer than passes")
+    return out
+
+
+def encode_png_gray_adam7(px) -> bytes:
+    """Real Adam7-interlaced grayscale PNG writer: seven per-pass
+    filtered sub-images (filter context resets each pass, types still
+    cycle y % 5 within a pass), one deflate over the concatenation,
+    multi-IDAT split, IHDR interlace byte = 1."""
+    import struct
+    import zlib
+    h, w = px.shape
+    raw = bytearray()
+    for r0, c0, rs, cs in _ADAM7:
+        sub = px[r0::rs, c0::cs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_rows(sub)
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    return _png_body(ihdr, [], comp)
 
 
 def _png_unfilter(raw: bytes, w: int, h: int):
@@ -1758,6 +1817,25 @@ def decode_png_palette_batch(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df).mapInPandas(
         _decode, "media_id long, width int, height int, "
                  "n_channels int, pix_sum long, pix_weighted long")
+
+
+def synth_png_adam7_images(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content): real Adam7-interlaced PNG
+    bytes, 21×11 gray — odd dims so every pass has a ragged edge and
+    none is empty."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_png_gray_adam7(
+                           synth_png_pixels(int(m), 21, 11))
+                       for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
 
 
 def synth_png_images(df: DataFrame) -> DataFrame:
@@ -1966,23 +2044,47 @@ def decode_gif_gray(content: bytes):
                                 count=3 * ncol, offset=pos
                                 ).reshape(ncol, 3)
         pos += 3 * ncol
+    is_89a = content[:6] == b"GIF89a"
     while True:
         _need(pos + 1)
         blk = content[pos]
         if blk == 0x2C:
             break
         if blk == 0x21:
-            raise NotImplementedError(
-                "GIF89a extension blocks out of scope (87a only)")
+            # GIF89a extension block (r9; was an out-of-scope gate):
+            # label byte then ≤255-byte sub-blocks to a 0 terminator.
+            # Graphic Control / comment / application extensions all
+            # share this framing; none affects a single-image decode,
+            # so they are WALKED AND VALIDATED, then skipped.
+            if not is_89a:
+                raise ValueError(
+                    "GIF: extension block in an 87a stream")
+            _need(pos + 2)
+            pos += 2  # introducer + label
+            while True:
+                _need(pos + 1)
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                _need(pos + ln)
+                pos += ln
+            continue
         raise ValueError(f"GIF: unexpected block 0x{blk:02x}")
     _need(pos + 10)
     left, top, iw, ih = struct.unpack("<HHHH", content[pos + 1:pos + 9])
     ipacked = content[pos + 9]
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF out of scope")
-    if ipacked & 0x80:
-        raise NotImplementedError("local color tables out of scope")
+    interlaced = bool(ipacked & 0x40)
     pos += 10
+    if ipacked & 0x80:
+        # LOCAL color table (r9; was an out-of-scope gate): overrides
+        # the global palette for this image, per the spec
+        ncol = 2 << (ipacked & 0x07)
+        _need(pos + 3 * ncol)
+        palette = np.frombuffer(content, dtype=np.uint8,
+                                count=3 * ncol, offset=pos
+                                ).reshape(ncol, 3)
+        pos += 3 * ncol
     _need(pos + 1)
     mcs = content[pos]
     pos += 1
@@ -2004,7 +2106,79 @@ def decode_gif_gray(content: bytes):
     if len(idx) != iw * ih:
         raise ValueError("GIF: decoded pixel count mismatch")
     gray = palette[idx, 0] if palette is not None else idx
-    return gray.reshape(ih, iw)
+    rows = gray.reshape(ih, iw)
+    if interlaced:
+        # Adam-style 4-pass GIF interlace (r9; was an out-of-scope
+        # gate): the stream carries rows 0,8,16.. then 4,12.. then
+        # 2,6,10.. then 1,3,5.. — scatter them back
+        out = np.empty_like(rows)
+        out[_gif_interlace_order(ih), :] = rows
+        return out
+    return rows
+
+
+def _gif_interlace_order(h: int) -> list:
+    """Row transmission order of an interlaced GIF: pass offsets/steps
+    (0,8),(4,8),(2,4),(1,2) per GIF89a spec appendix E."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif89a_interlaced(px) -> bytes:
+    """Real GIF89a writer exercising the three features the 87a path
+    gated: a Graphic Control Extension block, a LOCAL color table
+    that OVERRIDES the global one (the local ramp is REVERSED and the
+    stored indices are ``255 - p``, so a decoder that wrongly used
+    the global table would return ``255 - p`` — the checksum proves
+    the local table was honored), and 4-pass row interlacing."""
+    import struct
+    h, w = px.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0b11110111)   # global table present (a decoy ramp)
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes([i, i, i])
+    # Graphic Control Extension: 4-byte body, no transparency
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # comment extension ("r9") — extra sub-block walking coverage
+    out += b"\x21\xfe\x02r9\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0b11000111)   # local table, interlaced, 256 entries
+    for i in range(256):     # REVERSED ramp: index i -> gray 255-i
+        v = 255 - i
+        out += bytes([v, v, v])
+    out.append(8)
+    idx = (255 - px.astype("int16")).astype("uint8")
+    data = idx[_gif_interlace_order(h), :].tobytes()
+    comp = _lzw_compress(data, 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synth_gif89a_images(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content): real GIF89a bytes — GCE +
+    comment extensions, reversed LOCAL color table, interlaced rows —
+    19×13 so all four interlace passes are non-trivial."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_gif89a_interlaced(
+                           synth_gif_pixels(int(m), 19, 13))
+                       for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
 
 
 def synth_gif_images(df: DataFrame) -> DataFrame:

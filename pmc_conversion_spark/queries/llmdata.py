@@ -10453,6 +10453,43 @@ def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_real_png_adam7",
+    oracle="""
+    WITH pix AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y,
+             ((doc_id % 251) + gx.x * gx.x + 3 * gy.y
+              + ((gx.x * gy.y) % 11)) % 256 AS p
+      FROM documents, range(21) gx(x), range(11) gy(y))
+    SELECT doc_id AS media_id,
+           CAST(21 AS BIGINT) AS width,
+           CAST(11 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(sum(p) AS BIGINT) AS pix_sum,
+           CAST(sum(p * (y + 1) * (x + 1)) AS BIGINT) AS pix_weighted
+    FROM pix GROUP BY doc_id
+    """)
+def mm_decode_real_png_adam7(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED grayscale PNG (functions/multimodal.py
+    encode_png_gray_adam7 / _png_deinterlace_adam7), closing the one
+    interlace gate the r8 PNG reader declared out of scope. The IDAT
+    stream carries SEVEN independently-filtered sub-images — filter
+    context resets at every pass boundary, per-pass ragged widths at
+    21×11 (no pass empty, all seven exercised), spec rule that empty
+    passes contribute zero bytes — reconstructed with the same shared
+    five-filter scanline code and scattered back onto the 8×8 pass
+    grids. A decoder that ran the filters across pass boundaries, got
+    any pass's sub-dimensions wrong, or scattered on the wrong grid
+    permutes pixels and breaks the position-weighted checksum.
+    Lossless, so the oracle replays only the pixel formula.
+    Reference parity: thehyve/pmc-conversion has no codec layer; this
+    extends the engine's multimodal contract (SURVEY §2.14)."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_png_adam7_images(base)
+    return MM.decode_png_batch(encoded)
+
+
+@register(
     "text_heaps_law_fit",
     oracle=f"""
     WITH tok AS (
@@ -10870,4 +10907,39 @@ def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     20×12 decode per image in Arrow workers: map-side only."""
     base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     encoded = MM.synth_gif_images(base)
+    return MM.decode_gif_batch(encoded)
+
+
+@register(
+    "mm_decode_real_gif89a",
+    oracle="""
+    WITH pix AS (
+      SELECT doc_id, gx.x AS x, gy.y AS y,
+             ((doc_id % 199) + 5 * gx.x + gy.y * gy.y
+              + ((gx.x + gy.y) % 7)) % 256 AS p
+      FROM documents, range(19) gx(x), range(13) gy(y))
+    SELECT doc_id AS media_id,
+           CAST(19 AS BIGINT) AS width,
+           CAST(13 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(sum(p) AS BIGINT) AS pix_sum,
+           CAST(sum(p * (y + 1) * (x + 1)) AS BIGINT) AS pix_weighted
+    FROM pix GROUP BY doc_id
+    """)
+def mm_decode_real_gif89a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a variant closing the three gates the r8 87a decoder
+    declared out of scope (functions/multimodal.py): extension-block
+    walking (a Graphic Control Extension AND a comment extension,
+    both sub-block-framed), a LOCAL color table that overrides the
+    global one, and 4-pass row interlacing. The writer stores
+    ``255 - p`` indices against a REVERSED local ramp, so a decoder
+    that ignored the local table would return bit-complemented pixels
+    and a decoder that skipped de-interlacing would permute 11 of the
+    13 rows — either defect breaks the position-weighted checksum.
+    19×13 so every interlace pass carries ≥2 rows. The oracle replays
+    only the pixel-synthesis formula (lossless round-trip).
+    Reference parity: thehyve/pmc-conversion has no codec layer; this
+    extends the engine's multimodal contract (SURVEY §2.14)."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_gif89a_images(base)
     return MM.decode_gif_batch(encoded)

@@ -155,3 +155,68 @@ def test_palette_png_roundtrip_and_spec_gates():
                 + bytes(body[plte_at + plte_len:]))
     with pytest.raises(ValueError):
         decode_png_palette(bad_plte)
+
+
+def test_gif89a_interlaced_local_table_roundtrip():
+    """GIF89a: extensions walked, LOCAL (reversed) color table
+    honored over the global decoy, 4-pass interlace undone."""
+    from pmc_conversion_spark.functions.multimodal import (
+        _gif_interlace_order, decode_gif_gray,
+        encode_gif89a_interlaced, synth_gif_pixels)
+    for mid in (0, 7, 123, 499):
+        px = synth_gif_pixels(mid, 19, 13)
+        assert (decode_gif_gray(encode_gif89a_interlaced(px))
+                == px).all()
+    # the interlace row order itself, against the spec table
+    assert _gif_interlace_order(13) == [0, 8, 4, 12, 2, 6, 10,
+                                        1, 3, 5, 7, 9, 11]
+    # extension blocks are an 89a feature: the same stream relabeled
+    # 87a must be REJECTED, not skipped
+    blob = bytearray(encode_gif89a_interlaced(
+        synth_gif_pixels(1, 19, 13)))
+    blob[4:5] = b"7"
+    with pytest.raises(ValueError):
+        decode_gif_gray(bytes(blob))
+
+
+def test_gif89a_truncation_uniform_valueerror():
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_gif_gray, encode_gif89a_interlaced, synth_gif_pixels)
+    full = encode_gif89a_interlaced(synth_gif_pixels(42, 19, 13))
+    for cut in range(1, len(full), 23):
+        with pytest.raises(ValueError):
+            decode_gif_gray(full[:cut])
+
+
+def test_png_adam7_roundtrip_and_pass_layout():
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_png_gray, encode_png_gray_adam7, synth_png_pixels)
+    # ragged + degenerate sizes: empty passes, single-pixel image,
+    # exact 8x8 grid
+    for w, h in ((21, 11), (1, 1), (8, 8), (7, 3), (2, 9), (16, 2)):
+        px = synth_png_pixels(99, w, h)
+        assert (decode_png_gray(encode_png_gray_adam7(px))
+                == px).all(), (w, h)
+
+
+def test_png_adam7_stream_length_is_validated():
+    """Extra or missing pass bytes must fail loud (the per-pass walk
+    checks both under- and over-length streams)."""
+    import struct
+    import zlib
+    from pmc_conversion_spark.functions.multimodal import (
+        _png_body, _png_filter_rows, decode_png_gray, synth_png_pixels,
+        _ADAM7)
+    px = synth_png_pixels(5, 21, 11)
+    raw = bytearray()
+    for r0, c0, rs, cs in _ADAM7:
+        sub = px[r0::rs, c0::cs]
+        if sub.shape[0] and sub.shape[1]:
+            raw += _png_filter_rows(sub)
+    ihdr = struct.pack(">IIBBBBB", 21, 11, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError):
+        decode_png_gray(_png_body(ihdr, [], zlib.compress(
+            bytes(raw[:-5]), 6)))
+    with pytest.raises(ValueError):
+        decode_png_gray(_png_body(ihdr, [], zlib.compress(
+            bytes(raw) + b"\x00\x00\x00", 6)))

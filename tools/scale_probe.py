@@ -65,6 +65,8 @@ PROBED = [
     # r9: the two new real codecs (linear in documents)
     "mm_decode_real_jpeg_color",
     "mm_decode_real_png_palette",
+    "mm_decode_real_gif89a",
+    "mm_decode_real_png_adam7",
     "join_geo_grid_radius",
     "pack_length_bucketing_eval",
     "dedup_cross_source_matrix",
