@@ -184,6 +184,7 @@ HEADLINE = [
     "mm_decode_real_png_palette",
     "mm_decode_real_gif89a",
     "mm_decode_real_png_adam7",
+    "mm_decode_real_jpeg_progressive",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

@@ -13,11 +13,15 @@ chroma upsample, exact fixed-point YCbCr→RGB; plus (r9) indexed-colour
 PNG, Adam7-INTERLACED grayscale PNG (seven per-pass filtered
 sub-images, per-pass context reset, empty-pass rule), and GIF89a with
 extension-block walking, LOCAL color tables overriding the global
-one, and 4-pass row interlacing. Only library-grade variants remain
-STUBBED (``decode_image_meta`` for progressive JPEG / non-4:2:0
-sampling / arbitrary streams raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode so tests
-and the driver can exercise the full pipeline shape).
+one, and 4-pass row interlacing; and (r9) PROGRESSIVE grayscale JPEG
+(SOF2) — spectral-selection AC bands with EOBn end-of-band runs
+against a scan-local Huffman table, DC point transform + successive-
+approximation refinement scan, multi-scan coefficient accumulation.
+Only library-grade variants remain STUBBED (``decode_image_meta``
+for progressive COLOR / AC-refinement scans / restart markers /
+arbitrary streams raises NotImplementedError unless ``fake=True``,
+which produces a deterministic fake decode so tests and the driver
+can exercise the full pipeline shape).
 
 Design for scale: media bytes ride as a ``binary`` column; decode /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` (one Python
@@ -800,6 +804,22 @@ JPEG_AC_VALS_C = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
 
+#: Progressive-scan AC table (r9). The Annex-K baseline tables have
+#: no codes for the EOBn symbols (RRRR<<4, RRRR=1..14) progressive
+#: end-of-band runs require, so — exactly as real progressive
+#: encoders do — the scans carry their OWN DHT. This one is a valid
+#: two-level canonical code over the complete progressive alphabet:
+#: 16 common symbols (EOB0..EOB3, ZRL, small run/size pairs) at 6
+#: bits, the remaining 160 at 10 bits (Kraft sum 0.25 + 0.15625 < 1).
+JPEG_AC_VALS_P = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x10, 0x11,
+                  0x12, 0x20, 0x21, 0x22, 0x30, 0x31, 0x41, 0xF0]
+JPEG_AC_VALS_P += sorted(
+    (set(r << 4 for r in range(1, 15))
+     | set((r << 4) | s for r in range(16) for s in range(1, 11)))
+    - set(JPEG_AC_VALS_P))
+JPEG_AC_BITS_P = [0, 0, 0, 0, 0, 16, 0, 0, 0,
+                  len(JPEG_AC_VALS_P) - 16, 0, 0, 0, 0, 0, 0]
+
 
 def _canonical_codes(bits, vals):
     """symbol -> (code, length) per the T.81 canonical construction
@@ -1074,6 +1094,17 @@ def _decode_block(br: "_BitReader", dct, act, dc_pred: int, qt,
         sz = sym & 0xF
         zz[z] = _extend(br.bits(sz), sz)
         z += 1
+    return _idct_reconstruct(zz, qt, basis), dc_pred
+
+
+def _idct_reconstruct(zz, qt, basis):
+    """Dequantize one ZIGZAG coefficient list against the 8x8
+    natural-order table and run the exact 20-bit fixed-point IDCT +
+    level shift/clamp. Factored out of :func:`_decode_block` (r9) so
+    the PROGRESSIVE decoder — which accumulates coefficients across
+    scans and reconstructs only at EOI — shares the byte-identical
+    pixel formula (and therefore the same symbolic oracle)."""
+    import numpy as np
     coef = np.zeros(64, dtype=np.int64)
     for z in range(64):
         coef[JPEG_ZIGZAG[z]] = zz[z]
@@ -1081,7 +1112,7 @@ def _decode_block(br: "_BitReader", dct, act, dc_pred: int, qt,
     num = basis @ d.T @ basis.T            # (y index via second B)
     num = num.T                            # -> [y][x]
     pix = ((num + (1 << 41) + (1 << 56)) >> 42) - (1 << 14) + 128
-    return np.clip(pix, 0, 255), dc_pred
+    return np.clip(pix, 0, 255)
 
 
 def decode_jpeg_gray(content: bytes):
@@ -1155,6 +1186,266 @@ def decode_jpeg_gray(content: bytes):
         pix, dc_pred = _decode_block(br, dct, act, dc_pred, qt, basis)
         by, bx = divmod(bi, bw_blocks)
         img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    return img[:h, :w]
+
+
+def _encode_ac_band(blocks_zz, ss: int, se: int, ac_codes
+                    ) -> "_BitWriter":
+    """Progressive AC first-pass coding (T.81 G.1.2.2) of the
+    spectral band [ss, se] over all blocks: run/size symbols and
+    magnitude bits as in sequential coding, but end-of-band becomes
+    EOBn — symbol RRRR<<4 with RRRR = floor(log2(run)) plus RRRR raw
+    bits — accumulated ACROSS blocks whose remaining band is zero and
+    flushed before the next block with content (or at scan end)."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        if eobrun > 32767:
+            raise ValueError("EOB run exceeds the 2^15-1 spec limit")
+        r = eobrun.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        bw.put(c, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for blk in blocks_zz:
+        last_nz = max((z for z in range(ss, se + 1) if blk[z]),
+                      default=None)
+        if last_nz is None:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for z in range(ss, last_nz + 1):
+            v = blk[z]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]                 # ZRL
+                bw.put(c, ln)
+                run -= 16
+            s = _mag_category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(_mag_bits(v, s), s)
+            run = 0
+        if last_nz < se:
+            eobrun += 1
+    flush_eob()
+    return bw
+
+
+def encode_jpeg_gray_progressive(blocks_zz, w: int, h: int) -> bytes:
+    """Real PROGRESSIVE grayscale JPEG (SOF2) writer over quantized
+    zigzag blocks: four scans exercising both progressive dimensions
+    T.81 defines —
+      1. DC first pass with point transform Al=1 (DPCM over dc>>1),
+      2. AC spectral band [1, 8], EOB-run coded,
+      3. AC spectral band [9, 63], EOB-run coded,
+      4. DC successive-approximation REFINEMENT (Ah=1 → one raw bit
+         per block, no Huffman), completing the exact DC.
+    Coefficients are identical to a sequential encode of the same
+    blocks (progressive reorders transmission, not information), so
+    the decoder reconstructs byte-identical pixels."""
+    import struct
+
+    qt = jpeg_qtab_natural()
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0x00)  # DQT
+    out += bytes(qt[JPEG_ZIGZAG[z]] for z in range(64))
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 11, 8, h, w, 1)  # SOF2
+    out += bytes((1, 0x11, 0))
+    for cls, tid, bits, vals in (
+            (0, 0, JPEG_DC_BITS, JPEG_DC_VALS),
+            (1, 1, JPEG_AC_BITS_P, JPEG_AC_VALS_P)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    dc_codes = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _canonical_codes(JPEG_AC_BITS_P, JPEG_AC_VALS_P)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        # DC scans use Huffman table 0, AC scans the progressive
+        # table 1 — Td/Ta selection is part of what the oracle proves
+        tab = 0x00 if ss == 0 else 0x01
+        return (b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+                + bytes((1, tab, ss, se, (ah << 4) | al)))
+
+    out += sos(0, 0, 0, 1)                 # DC first pass, Al=1
+    bw = _BitWriter()
+    pred = 0
+    for blk in blocks_zz:
+        v = blk[0] >> 1                    # arithmetic point transform
+        diff = v - pred
+        pred = v
+        s = _mag_category(diff)
+        c, ln = dc_codes[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(_mag_bits(diff, s), s)
+    out += bw.flush()
+    for ss, se in ((1, 8), (9, 63)):       # AC spectral bands
+        out += sos(ss, se, 0, 0)
+        out += _encode_ac_band(blocks_zz, ss, se, ac_codes).flush()
+    out += sos(0, 0, 1, 0)                 # DC refinement
+    bw = _BitWriter()
+    for blk in blocks_zz:
+        bw.put(blk[0] & 1, 1)
+    out += bw.flush()
+    out += b"\xFF\xD9"                     # EOI
+    return bytes(out)
+
+
+def _decode_prog_scan(br: "_BitReader", coef, huff, tables_byte: int,
+                      ss: int, se: int, ah: int, al: int) -> None:
+    """Apply ONE progressive scan's entropy data to the accumulated
+    zigzag coefficient lists. DC scans (Ss=0): DPCM first pass scaled
+    by 2^Al, or a single raw refinement bit per block. AC scans:
+    band-limited run/size decode with EOBn end-of-band runs. AC
+    refinement (Ah>0 with Ss>0) is a documented out-of-scope gate
+    (the writer never emits it; correction-bit interleaving only)."""
+    td, ta = tables_byte >> 4, tables_byte & 0xF
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ah == 0:
+            dct = huff[(0, td)]
+            pred = 0
+            for blk in coef:
+                s = _read_symbol(br, dct)
+                diff = _extend(br.bits(s), s) if s else 0
+                pred += diff
+                blk[0] = pred << al
+        else:
+            for blk in coef:
+                blk[0] |= br.bit() << al
+        return
+    if ah != 0:
+        raise NotImplementedError(
+            "progressive AC refinement scans out of scope")
+    act = huff[(1, ta)]
+    eobrun = 0
+    for blk in coef:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        z = ss
+        while z <= se:
+            sym = _read_symbol(br, act)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:                # ZRL
+                    z += 16
+                    continue
+                eobrun = (1 << r) - 1      # EOBn: this block + r bits
+                if r:
+                    eobrun += br.bits(r)
+                break
+            z += r
+            if z > se:
+                raise ValueError("JPEG: AC run past band end")
+            blk[z] = _extend(br.bits(s), s) << al
+            z += 1
+
+
+def decode_jpeg_gray_progressive(content: bytes):
+    """REAL decode of a progressive (SOF2) grayscale JPEG: marker
+    walk over MULTIPLE scans, per-scan spectral-selection/successive-
+    approximation state applied to an accumulated coefficient array,
+    then one dequantize + fixed-point IDCT at EOI — the architecture
+    progressive decoding requires (coefficients finish arriving only
+    after the last scan). Shares the magnitude/extend/Huffman
+    machinery and the byte-identical pixel formula with the
+    sequential decoder."""
+    import struct
+
+    import numpy as np
+    if content[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    p = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    coef = None
+    seen_eoi = False
+    while p < len(content):
+        if p + 2 > len(content) or content[p] != 0xFF:
+            raise ValueError(f"expected marker at {p}")
+        m = content[p + 1]
+        p += 2
+        if m == 0xD9:                          # EOI
+            seen_eoi = True
+            break
+        if p + 2 > len(content):
+            raise ValueError("truncated JPEG (marker length)")
+        ln = struct.unpack_from(">H", content, p)[0]
+        if p + ln > len(content):
+            raise ValueError("truncated JPEG (segment body)")
+        seg = content[p + 2:p + ln]
+        if m == 0xDB:                          # DQT
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit qtab unsupported")
+                zz = seg[q + 1:q + 65]
+                nat = [0] * 64
+                for z in range(64):
+                    nat[JPEG_ZIGZAG[z]] = zz[z]
+                qtabs[tq] = nat
+                q += 65
+        elif m == 0xC4:                        # DHT
+            q = 0
+            while q < len(seg):
+                cls, tid = seg[q] >> 4, seg[q] & 0xF
+                bits = list(seg[q + 1:q + 17])
+                nv = sum(bits)
+                vals = list(seg[q + 17:q + 17 + nv])
+                huff[(cls, tid)] = _huff_decoder(bits, vals)
+                q += 17 + nv
+        elif m == 0xC2:                        # SOF2
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if ncomp != 1:
+                raise ValueError("only grayscale (1 component)")
+            nb = ((w + 7) // 8) * ((h + 7) // 8)
+            coef = [[0] * 64 for _ in range(nb)]
+        elif m in (0xC0, 0xC1, 0xC3):
+            raise ValueError(
+                "sequential frame: use decode_jpeg_gray")
+        elif m == 0xDA:                        # SOS
+            if coef is None:
+                raise ValueError("JPEG: SOS before SOF2")
+            if seg[0] != 1:
+                raise ValueError("one component per scan here")
+            br = _BitReader(content, p + ln)
+            try:
+                _decode_prog_scan(br, coef, huff, seg[2],
+                                  seg[3], seg[4], seg[5] >> 4,
+                                  seg[5] & 0xF)
+            except IndexError:
+                raise ValueError(
+                    "JPEG: truncated entropy data") from None
+            p = br.pos
+            continue
+        p += ln
+    if w is None or coef is None or not seen_eoi:
+        # partial progressive renders are a real decoder feature, but
+        # this codec's contract is fail-loud on any truncation
+        raise ValueError("truncated JPEG (no SOF2/scan/EOI)")
+    qt = np.array(qtabs[0], dtype=np.int64).reshape(8, 8)
+    basis = np.array(_idct_basis(), dtype=np.int64)
+    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int64)
+    for bi, zz in enumerate(coef):
+        by, bx = divmod(bi, bw_blocks)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+            _idct_reconstruct(zz, qt, basis)
     return img[:h, :w]
 
 
@@ -1318,6 +1609,84 @@ def synth_jpeg_coeffs(media_id: int):
             zz[60] = 3
         blocks.append(zz)
     return blocks
+
+
+def synth_jpeg_prog_coeffs(media_id: int):
+    """Deterministic quantized-coefficient plan for a 32×8 image
+    (FOUR blocks) shaped to exercise every progressive path: zigzag
+    position z of block b gets
+      z = 0                          : ((m + 7b) mod 32) - 16   (DC —
+          odd and even values, so the Al=1 pass hides a bit that only
+          the refinement scan restores)
+      1 ≤ z ≤ 8, b < 3, z ≡ 1 (mod 3): ((m + 5z + 3b) mod 9) - 4
+          (block 3's low band is EMPTY → EOBn in scan 2)
+      z ≥ 9, b = 1, z ≡ 2 (mod 11)   : ((m + 2z + b) mod 7) - 3
+          (blocks 0, 2, 3 have empty high bands → an EOB RUN spanning
+          two consecutive blocks in scan 3, forcing the r>0 EOBn
+          form with appended bits)
+      else 0.
+    Mirrored symbolically by the oracle."""
+    blocks = []
+    for b in range(4):
+        zz = [0] * 64
+        zz[0] = ((media_id + 7 * b) % 32) - 16
+        if b < 3:
+            for z in range(1, 9):
+                if z % 3 == 1:
+                    zz[z] = ((media_id + 5 * z + 3 * b) % 9) - 4
+        if b == 1:
+            for z in range(9, 64):
+                if z % 11 == 2:
+                    zz[z] = ((media_id + 2 * z + b) % 7) - 3
+        blocks.append(zz)
+    return blocks
+
+
+def synth_jpeg_prog_images(df: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, content): real progressive (SOF2)
+    grayscale JPEGs, 32×8 (four blocks, four scans each)."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = [encode_jpeg_gray_progressive(
+                           synth_jpeg_prog_coeffs(int(m)), 32, 8)
+                       for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": content})
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _encode, "media_id long, content binary")
+
+
+def decode_jpeg_prog_batch(df: DataFrame) -> DataFrame:
+    """(media_id, content) → decoded stats via the REAL progressive
+    parser — the position-weighted sum certifies the multi-scan walk,
+    spectral-selection bands, EOB-run decode, the DC point transform
+    AND its refinement bit, and the shared fixed-point IDCT."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for m, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_jpeg_gray_progressive(bytes(content))
+                h, w = px.shape
+                wgt = ((np.arange(h)[:, None] + 1)
+                       * (np.arange(w)[None, :] + 1))
+                rows.append((int(m), w, h, 1,
+                             int(px.sum(dtype=np.int64)),
+                             int((px.astype(np.int64) * wgt).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_channels",
+                "pix_sum", "pix_weighted"])
+
+    from pmc_conversion_spark.util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(
+        _decode, "media_id long, width int, height int, "
+                 "n_channels int, pix_sum long, pix_weighted long")
 
 
 def _synth_color_block(media_id: int, comp: int, gb: int):

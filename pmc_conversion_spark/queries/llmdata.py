@@ -9080,6 +9080,89 @@ def mm_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_real_jpeg_progressive",
+    oracle=f"""
+    WITH zig(z, nat) AS (SELECT * FROM (VALUES {_jpeg_zigzag_values()})),
+    m AS (SELECT doc_id FROM documents),
+    coef AS (
+      SELECT doc_id, b, zig.nat % 8 AS u, zig.nat // 8 AS v,
+             CASE WHEN zig.z = 0
+                    THEN ((doc_id + 7 * b) % 32) - 16
+                  WHEN zig.z BETWEEN 1 AND 8 AND b < 3
+                       AND zig.z % 3 = 1
+                    THEN ((doc_id + 5 * zig.z + 3 * b) % 9) - 4
+                  WHEN zig.z >= 9 AND b = 1 AND zig.z % 11 = 2
+                    THEN ((doc_id + 2 * zig.z + b) % 7) - 3
+                  ELSE 0 END AS c
+      FROM m, unnest([0, 1, 2, 3]) AS tb(b), zig),
+    dq AS (SELECT doc_id, b, u, v,
+                  CAST(c AS HUGEINT) * (8 + ((v * 8 + u) % 13)) AS d
+           FROM coef WHERE c <> 0),
+    basis AS (
+      SELECT x, u,
+             CAST(round((CASE WHEN u = 0 THEN 1.0 / sqrt(2.0)
+                          ELSE 1.0 END)
+                  * cos((2 * x + 1) * u * pi() / 16.0)
+                  * 1048576) AS HUGEINT) AS bv
+      FROM range(8) t1(x), range(8) t2(u)),
+    acc AS (
+      SELECT doc_id, b, bx.x AS x, by.x AS y,
+             sum(bx.bv * by.bv * d) AS num
+      FROM dq
+      JOIN basis bx ON bx.u = dq.u
+      JOIN basis by ON by.u = dq.v
+      GROUP BY 1, 2, 3, 4),
+    grid AS (
+      SELECT doc_id, b, gx.x AS x, gy.x AS y
+      FROM m, unnest([0, 1, 2, 3]) AS tb(b),
+           range(8) gx(x), range(8) gy(x)),
+    pix AS (
+      SELECT g.doc_id, g.b, g.x, g.y,
+             least(greatest(
+               ((coalesce(a.num, 0) + 2199023255552
+                 + 72057594037927936) // 4398046511104)
+               - 16384 + 128, 0), 255) AS p
+      FROM grid g LEFT JOIN acc a
+        ON a.doc_id = g.doc_id AND a.b = g.b
+       AND a.x = g.x AND a.y = g.y)
+    SELECT doc_id AS media_id,
+           CAST(32 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(sum(p) AS BIGINT) AS pix_sum,
+           CAST(sum(p * (y + 1) * (b * 8 + x + 1)) AS BIGINT)
+             AS pix_weighted
+    FROM pix GROUP BY doc_id
+    """)
+def mm_decode_real_jpeg_progressive(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) grayscale JPEG — the last named codec gate
+    (functions/multimodal.py encode_jpeg_gray_progressive /
+    decode_jpeg_gray_progressive). Four scans exercise both
+    progressive dimensions T.81 defines: a DC first pass under point
+    transform Al=1, two SPECTRAL-SELECTION AC bands ([1,8], [9,63])
+    coded with EOBn end-of-band runs against a scan-local Huffman
+    table (the Annex-K baseline alphabet has no EOBn codes, so the
+    scans carry their own DHT, Ta=1 — exactly what real progressive
+    encoders do), and a DC successive-approximation REFINEMENT scan
+    (one raw bit per block restoring the hidden low bit). The
+    coefficient plan leaves block 3's low band and blocks 0/2/3's
+    high bands empty, so scan 3 must decode an EOB run SPANNING
+    consecutive blocks (the r>0 EOBn form with appended bits).
+    Progressive transmission reorders information but loses none:
+    the decoder accumulates coefficients across scans and
+    reconstructs at EOI through the same fixed-point IDCT, so the
+    oracle replays coefficient synthesis and the symbolic transform
+    — identical machinery to mm_decode_real_jpeg, four blocks wide.
+    Unit tests pin progressive bytes to decode pixel-identically to
+    a SEQUENTIAL encode of the same blocks.
+    Reference parity: thehyve/pmc-conversion has no codec layer; this
+    extends the engine's multimodal contract (SURVEY §2.14)."""
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    encoded = MM.synth_jpeg_prog_images(base)
+    return MM.decode_jpeg_prog_batch(encoded)
+
+
+@register(
     "mm_decode_real_jpeg_color",
     oracle=f"""
     WITH zig(z, nat) AS (SELECT * FROM (VALUES {{zigzag}})),

@@ -220,3 +220,53 @@ def test_png_adam7_stream_length_is_validated():
     with pytest.raises(ValueError):
         decode_png_gray(_png_body(ihdr, [], zlib.compress(
             bytes(raw) + b"\x00\x00\x00", 6)))
+
+
+def test_jpeg_progressive_matches_sequential_pixels():
+    """Progressive transmission reorders information but loses none:
+    SOF2 bytes of a coefficient plan must decode pixel-identically to
+    a SOF0 (sequential) encode of the same blocks."""
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_jpeg_gray, decode_jpeg_gray_progressive,
+        encode_jpeg_gray, encode_jpeg_gray_progressive,
+        synth_jpeg_prog_coeffs)
+    for m in (0, 1, 31, 32, 123, 499):     # odd+even DCs: the Al=1
+        blocks = synth_jpeg_prog_coeffs(m)  # pass hides a real bit
+        prog = decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(blocks, 32, 8))
+        seq = decode_jpeg_gray(encode_jpeg_gray(blocks, 32, 8))
+        assert (prog == seq).all()
+
+
+def test_jpeg_progressive_scan_structure_and_gates():
+    import struct
+    from pmc_conversion_spark.functions.multimodal import (
+        JPEG_AC_VALS_P, decode_jpeg_gray, decode_jpeg_gray_progressive,
+        encode_jpeg_gray, encode_jpeg_gray_progressive,
+        synth_jpeg_prog_coeffs)
+    blocks = synth_jpeg_prog_coeffs(5)
+    blob = encode_jpeg_gray_progressive(blocks, 32, 8)
+    # four SOS scans with the documented band/approximation params
+    scans = []
+    p = 0
+    while True:
+        i = blob.find(b"\xFF\xDA", p)
+        if i < 0:
+            break
+        ln = struct.unpack_from(">H", blob, i + 2)[0]
+        scans.append(tuple(blob[i + 2 + ln - 3:i + 2 + ln]))
+        p = i + 2
+    assert scans == [(0, 0, 0x01), (1, 8, 0x00), (9, 63, 0x00),
+                     (0, 0, 0x10)]
+    # the scan-local AC alphabet is complete and duplicate-free
+    assert len(JPEG_AC_VALS_P) == 176
+    assert len(set(JPEG_AC_VALS_P)) == 176
+    # cross-routing gates fail loud in both directions
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray_progressive(encode_jpeg_gray(blocks, 32, 8))
+    # truncation anywhere raises ValueError, never IndexError
+    for cut in range(2, len(blob), 41):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray_progressive(blob[:cut])
