@@ -185,6 +185,7 @@ HEADLINE = [
     "mm_decode_real_gif89a",
     "mm_decode_real_png_adam7",
     "mm_decode_real_jpeg_progressive",
+    "sketch_tdigest_batch",
 ]
 
 #: Cross-round normalization (r5 verdict, next-round task #3): this

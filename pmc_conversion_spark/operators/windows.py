@@ -355,7 +355,8 @@ def _count_le(bnds, key):
 def surrogate_key_distributed(df: DataFrame, order_col,
                               out_col: str = "sk",
                               buckets: int | None = None,
-                              bucket_key=None) -> DataFrame:
+                              bucket_key=None,
+                              out_type: str = "int") -> DataFrame:
     """Scale-safe dense global row numbers: two-phase range bucketing.
 
     Phase 1 range-partitions rows into ``buckets`` by the order key and
@@ -390,7 +391,7 @@ def surrogate_key_distributed(df: DataFrame, order_col,
     return (numbered.join(F.broadcast(offsets.select("__bucket", "__offset")),
                           "__bucket")
             .withColumn(out_col, (F.col("__offset") + F.col("__rn"))
-                        .cast("int"))
+                        .cast(out_type))
             .drop("__bucket", "__rn", "__offset"))
 
 

@@ -1731,6 +1731,95 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_tdigest_batch",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             row_number() OVER (ORDER BY
+               CAST(round(l_extendedprice * 100) AS BIGINT),
+               l_orderkey, l_linenumber) AS r,
+             count(*) OVER () AS n
+      FROM lineitem),
+    x AS (
+      SELECT c, n,
+             CASE WHEN 2*r - 1 <= n THEN 2*r - 1
+                  ELSE 2*n - 2*r + 1 END AS xm,
+             CASE WHEN 2*r - 1 <= n THEN 0 ELSE 1 END AS hi
+      FROM v),
+    cl AS (
+      SELECT c,
+             CASE WHEN hi = 0 THEN lowc ELSE 99 - lowc END AS cluster
+      FROM (SELECT c, hi,
+              CASE WHEN 8 * xm < n
+                THEN (240::HUGEINT * xm) // n
+                ELSE 30 + (20::HUGEINT * (8*xm - n)) // (7::HUGEINT*n)
+              END AS lowc
+            FROM x))
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           count(*) AS n_pts,
+           min(c) AS lo_cents, max(c) AS hi_cents,
+           round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 4)
+             AS centroid_price
+    FROM cl GROUP BY 1
+    """)
+def sketch_tdigest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-BUILD t-digest over l_extendedprice: the sorted-input
+    construction (Dunning & Ertl 2019, "large sort-merge digest"),
+    which unlike the streaming insert build is ORDER- and
+    PARTITIONING-INDEPENDENT — the property every other sketch in
+    this engine guarantees and the reason sketch_histogram_quantiles'
+    docstring disqualified streaming t-digest. Clusters come from a
+    scale function k(q) whose DERIVATIVE is large at the extremes
+    (tight tail clusters, coarse middle — the defining t-digest
+    idea); here a piecewise-LINEAR k rather than the asin form,
+    because it is exact in integer arithmetic: 30 clusters on each
+    1/16 quantile tail (mass n/480 each), 40 across the middle 7/8
+    (mass 7n/320 each — ~10x coarser), i.e. cluster =
+    ⌊240·x/n⌋ for the tail / 30 + ⌊20(8x−n)/7n⌋ for the middle, on
+    the midpoint odd-rank x = 2r−1 (mirrored for q > 1/2), computed
+    as HUGEINT/decimal(38) products and one floor division — Spark
+    and DuckDB agree bit-for-bit at ANY n (no transcendental
+    last-ulp flips at cluster boundaries). Scale path: the global
+    rank is the two-phase surrogate key over (cents, orderkey,
+    linenumber) bucketed by the cents SCALAR fast path — no global
+    sort partition; cluster assignment is per-row arithmetic;
+    the ≤δ centroid rows aggregate map-side. ~δ clusters regardless
+    of n: 600 k rows or 600 B rows summarize to 100 centroids whose
+    counts/means MERGE across digests by weighted average."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_orderkey", "l_linenumber")
+    key = F.struct(F.col("c"), F.col("l_orderkey"),
+                   F.col("l_linenumber"))
+    ranked = W.surrogate_key_distributed(li, key, out_col="r",
+                                         bucket_key=F.col("c"),
+                                         out_type="bigint")
+    n_frame = ranked.agg(F.count(F.lit(1)).alias("n"))
+    v = (ranked.crossJoin(F.broadcast(n_frame))
+         .withColumn("xm", F.when(2 * F.col("r") - 1 <= F.col("n"),
+                                  2 * F.col("r") - 1)
+                            .otherwise(2 * F.col("n")
+                                       - 2 * F.col("r") + 1))
+         .withColumn("hi", (2 * F.col("r") - 1 > F.col("n"))
+                     .cast("int")))
+    lowc = F.expr(
+        "CASE WHEN 8 * xm < n "
+        "THEN CAST((CAST(240 AS DECIMAL(38,0)) * xm) div n AS BIGINT) "
+        "ELSE 30 + CAST((CAST(20 AS DECIMAL(38,0)) * (8*xm - n)) "
+        "div (CAST(7 AS DECIMAL(38,0)) * n) AS BIGINT) END")
+    cl = v.withColumn(
+        "cluster", F.when(F.col("hi") == 0, lowc)
+                    .otherwise(99 - lowc))
+    return (cl.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.min("c").alias("lo_cents"),
+                 F.max("c").alias("hi_cents"),
+                 F.round(F.sum("c").cast("double")
+                         / F.count(F.lit(1)) / 100.0, 4)
+                 .alias("centroid_price")))
+
+
+@register(
     "agg_bitmap_membership",
     oracle="""
     WITH m AS (

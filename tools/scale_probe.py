@@ -68,6 +68,7 @@ PROBED = [
     "mm_decode_real_gif89a",
     "mm_decode_real_png_adam7",
     "mm_decode_real_jpeg_progressive",
+    "sketch_tdigest_batch",
     "join_geo_grid_radius",
     "pack_length_bucketing_eval",
     "dedup_cross_source_matrix",
