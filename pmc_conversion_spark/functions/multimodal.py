@@ -15,13 +15,15 @@ sub-images, per-pass context reset, empty-pass rule), and GIF89a with
 extension-block walking, LOCAL color tables overriding the global
 one, and 4-pass row interlacing; and (r9) PROGRESSIVE grayscale JPEG
 (SOF2) — spectral-selection AC bands with EOBn end-of-band runs
-against a scan-local Huffman table, DC point transform + successive-
-approximation refinement scan, multi-scan coefficient accumulation.
-Only library-grade variants remain STUBBED (``decode_image_meta``
-for progressive COLOR / AC-refinement scans / restart markers /
-arbitrary streams raises NotImplementedError unless ``fake=True``,
-which produces a deterministic fake decode so tests and the driver
-can exercise the full pipeline shape).
+against a scan-local Huffman table, DC point transform + refinement,
+and full AC SUCCESSIVE-APPROXIMATION refinement scans (G.1.2.3:
+newly-significant insertions, buffered correction bits, EOB runs
+with owed bits), multi-scan coefficient accumulation. Only
+library-grade variants remain STUBBED (``decode_image_meta`` for
+progressive COLOR / restart markers / arbitrary streams raises
+NotImplementedError unless ``fake=True``, which produces a
+deterministic fake decode so tests and the driver can exercise the
+full pipeline shape).
 
 Design for scale: media bytes ride as a ``binary`` column; decode /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` (one Python
@@ -1189,14 +1191,17 @@ def decode_jpeg_gray(content: bytes):
     return img[:h, :w]
 
 
-def _encode_ac_band(blocks_zz, ss: int, se: int, ac_codes
-                    ) -> "_BitWriter":
+def _encode_ac_band(blocks_zz, ss: int, se: int, ac_codes,
+                    al: int = 0) -> "_BitWriter":
     """Progressive AC first-pass coding (T.81 G.1.2.2) of the
-    spectral band [ss, se] over all blocks: run/size symbols and
-    magnitude bits as in sequential coding, but end-of-band becomes
-    EOBn — symbol RRRR<<4 with RRRR = floor(log2(run)) plus RRRR raw
-    bits — accumulated ACROSS blocks whose remaining band is zero and
-    flushed before the next block with content (or at scan end)."""
+    spectral band [ss, se] over all blocks at precision ``Al``:
+    run/size symbols and magnitude bits as in sequential coding over
+    the point-transformed values sign(v)·(|v| >> Al) (toward-zero,
+    the T.81/libjpeg AC convention — distinct from DC's arithmetic
+    shift), but end-of-band becomes EOBn — symbol RRRR<<4 with
+    RRRR = floor(log2(run)) plus RRRR raw bits — accumulated ACROSS
+    blocks whose remaining band is zero at this precision and flushed
+    before the next block with content (or at scan end)."""
     bw = _BitWriter()
     eobrun = 0
 
@@ -1214,15 +1219,16 @@ def _encode_ac_band(blocks_zz, ss: int, se: int, ac_codes
         eobrun = 0
 
     for blk in blocks_zz:
-        last_nz = max((z for z in range(ss, se + 1) if blk[z]),
+        shifted = [(abs(blk[z]) >> al) * (1 if blk[z] > 0 else -1)
+                   for z in range(ss, se + 1)]
+        last_nz = max((i for i, v in enumerate(shifted) if v),
                       default=None)
         if last_nz is None:
             eobrun += 1
             continue
         flush_eob()
         run = 0
-        for z in range(ss, last_nz + 1):
-            v = blk[z]
+        for v in shifted[:last_nz + 1]:
             if v == 0:
                 run += 1
                 continue
@@ -1235,21 +1241,100 @@ def _encode_ac_band(blocks_zz, ss: int, se: int, ac_codes
             bw.put(c, ln)
             bw.put(_mag_bits(v, s), s)
             run = 0
-        if last_nz < se:
+        if last_nz < se - ss:
             eobrun += 1
+    flush_eob()
+    return bw
+
+
+def _encode_ac_refine(blocks_zz, ss: int, se: int, al: int,
+                      ac_codes) -> "_BitWriter":
+    """Progressive AC successive-approximation REFINEMENT coding
+    (T.81 G.1.2.3, the jcphuff encode_mcu_AC_refine logic): for each
+    block's band, coefficients zero at the previous precision but
+    ±1 at this one are NEWLY SIGNIFICANT — coded as run/1 symbols
+    (runs count only still-zero positions) plus a raw sign bit —
+    while previously-significant coefficients contribute one BUFFERED
+    correction bit each (the low bit at this precision), appended
+    after the next emitted symbol; ZRL splits runs > 15 and releases
+    buffered bits; end-of-band joins an EOB run whose flush emits the
+    EOBn symbol, its extra bits, then every correction bit buffered
+    across the run's blocks."""
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []                # bits owed to the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        bw.put(c, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        eobrun = 0
+
+    for blk in blocks_zz:
+        shifted = [abs(blk[z]) >> al for z in range(ss, se + 1)]
+        last_new = max((i for i, t in enumerate(shifted) if t == 1),
+                       default=-1)
+        run = 0
+        corr: list[int] = []               # bits owed in this block
+        for i, t in enumerate(shifted):
+            if t == 0:                     # still zero
+                run += 1
+                continue
+            # a run > 15 must be ZRL-split at the NEXT nonzero of any
+            # kind (correction coefficients included), releasing the
+            # correction bits buffered so far — EXCEPT past the last
+            # newly-significant coefficient, where zeros fold into
+            # the EOB run instead (the jcphuff `k <= EOB` rule)
+            while run > 15 and i <= last_new:
+                flush_eob()
+                c, ln = ac_codes[0xF0]
+                bw.put(c, ln)
+                run -= 16
+                for b in corr:
+                    bw.put(b, 1)
+                corr = []
+            if t > 1:                      # previously significant
+                corr.append(t & 1)
+                continue
+            flush_eob()                    # newly significant (t == 1)
+            c, ln = ac_codes[(run << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if blk[ss + i] > 0 else 0, 1)  # sign of ±1<<Al
+            for b in corr:
+                bw.put(b, 1)
+            corr = []
+            run = 0
+        if run > 0 or corr:
+            eobrun += 1
+            pending.extend(corr)
+            if eobrun == 32767:
+                flush_eob()
     flush_eob()
     return bw
 
 
 def encode_jpeg_gray_progressive(blocks_zz, w: int, h: int) -> bytes:
     """Real PROGRESSIVE grayscale JPEG (SOF2) writer over quantized
-    zigzag blocks: four scans exercising both progressive dimensions
-    T.81 defines —
+    zigzag blocks: SIX scans exercising both progressive dimensions
+    T.81 defines, each refined —
       1. DC first pass with point transform Al=1 (DPCM over dc>>1),
-      2. AC spectral band [1, 8], EOB-run coded,
-      3. AC spectral band [9, 63], EOB-run coded,
+      2. AC spectral band [1, 8] first pass at Al=1 (toward-zero
+         point transform), EOB-run coded,
+      3. AC spectral band [9, 63] first pass at Al=1, EOB-run coded,
       4. DC successive-approximation REFINEMENT (Ah=1 → one raw bit
-         per block, no Huffman), completing the exact DC.
+         per block, no Huffman), completing the exact DC,
+      5./6. AC successive-approximation REFINEMENT of both bands
+         (Ah=1→Al=0): newly-significant ±1 insertions over still-zero
+         runs, buffered correction bits, EOB runs with owed bits —
+         the full G.1.2.3 machinery, completing the exact ACs.
     Coefficients are identical to a sequential encode of the same
     blocks (progressive reorders transmission, not information), so
     the decoder reconstructs byte-identical pixels."""
@@ -1290,14 +1375,19 @@ def encode_jpeg_gray_progressive(blocks_zz, w: int, h: int) -> bytes:
         if s:
             bw.put(_mag_bits(diff, s), s)
     out += bw.flush()
-    for ss, se in ((1, 8), (9, 63)):       # AC spectral bands
-        out += sos(ss, se, 0, 0)
-        out += _encode_ac_band(blocks_zz, ss, se, ac_codes).flush()
+    for ss, se in ((1, 8), (9, 63)):       # AC bands, first pass Al=1
+        out += sos(ss, se, 0, 1)
+        out += _encode_ac_band(blocks_zz, ss, se, ac_codes,
+                               al=1).flush()
     out += sos(0, 0, 1, 0)                 # DC refinement
     bw = _BitWriter()
     for blk in blocks_zz:
         bw.put(blk[0] & 1, 1)
     out += bw.flush()
+    for ss, se in ((1, 8), (9, 63)):       # AC refinement, Ah=1→Al=0
+        out += sos(ss, se, 1, 0)
+        out += _encode_ac_refine(blocks_zz, ss, se, 0,
+                                 ac_codes).flush()
     out += b"\xFF\xD9"                     # EOI
     return bytes(out)
 
@@ -1306,10 +1396,10 @@ def _decode_prog_scan(br: "_BitReader", coef, huff, tables_byte: int,
                       ss: int, se: int, ah: int, al: int) -> None:
     """Apply ONE progressive scan's entropy data to the accumulated
     zigzag coefficient lists. DC scans (Ss=0): DPCM first pass scaled
-    by 2^Al, or a single raw refinement bit per block. AC scans:
-    band-limited run/size decode with EOBn end-of-band runs. AC
-    refinement (Ah>0 with Ss>0) is a documented out-of-scope gate
-    (the writer never emits it; correction-bit interleaving only)."""
+    by 2^Al, or a single raw refinement bit per block. AC first
+    passes: band-limited run/size decode with EOBn end-of-band runs
+    over point-transformed values. AC refinement (Ah>0 with Ss>0):
+    :func:`_decode_ac_refine` (r9 — the gate is closed)."""
     td, ta = tables_byte >> 4, tables_byte & 0xF
     if ss == 0:
         if se != 0:
@@ -1327,8 +1417,8 @@ def _decode_prog_scan(br: "_BitReader", coef, huff, tables_byte: int,
                 blk[0] |= br.bit() << al
         return
     if ah != 0:
-        raise NotImplementedError(
-            "progressive AC refinement scans out of scope")
+        _decode_ac_refine(br, coef, huff[(1, ta)], ss, se, al)
+        return
     act = huff[(1, ta)]
     eobrun = 0
     for blk in coef:
@@ -1352,6 +1442,61 @@ def _decode_prog_scan(br: "_BitReader", coef, huff, tables_byte: int,
                 raise ValueError("JPEG: AC run past band end")
             blk[z] = _extend(br.bits(s), s) << al
             z += 1
+
+
+def _decode_ac_refine(br: "_BitReader", coef, act, ss: int, se: int,
+                      al: int) -> None:
+    """Progressive AC refinement decode (T.81 G.1.2.3, the jdphuff
+    decode_mcu_AC_refine logic): newly-significant coefficients
+    arrive as run/1 symbols whose runs count only STILL-ZERO
+    positions, with a raw sign bit selecting ±1<<Al; every nonzero
+    coefficient passed — during run skips, ZRLs, and the tail of the
+    band inside an EOB run — consumes one correction bit that may add
+    ±1<<Al toward larger magnitude. State (the EOB run) spans
+    blocks."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    for blk in coef:
+        z = ss
+        if eobrun == 0:
+            while z <= se:
+                sym = _read_symbol(br, act)
+                r, s = sym >> 4, sym & 0xF
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG: refinement size must be 1")
+                    s = p1 if br.bit() else m1
+                else:
+                    if r != 15:            # EOBn — z stays put; the
+                        eobrun = 1 << r    # run tail below refines
+                        if r:              # the rest of this band
+                            eobrun += br.bits(r)
+                        break
+                # advance past r still-zero positions, refining every
+                # nonzero coefficient on the way
+                while z <= se:
+                    if blk[z] != 0:
+                        if br.bit() and not (blk[z] & p1):
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    z += 1
+                if s and z <= se:
+                    blk[z] = s
+                z += 1
+        if eobrun > 0:
+            # inside an EOB run (from z for the block that started
+            # it, from Ss for blocks wholly inside it): every nonzero
+            # coefficient still consumes its correction bit
+            while z <= se:
+                if blk[z] != 0:
+                    if br.bit() and not (blk[z] & p1):
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                z += 1
+            eobrun -= 1
 
 
 def decode_jpeg_gray_progressive(content: bytes):

@@ -9137,17 +9137,23 @@ def mm_decode_real_jpeg_progressive(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """PROGRESSIVE (SOF2) grayscale JPEG — the last named codec gate
     (functions/multimodal.py encode_jpeg_gray_progressive /
-    decode_jpeg_gray_progressive). Four scans exercise both
-    progressive dimensions T.81 defines: a DC first pass under point
-    transform Al=1, two SPECTRAL-SELECTION AC bands ([1,8], [9,63])
-    coded with EOBn end-of-band runs against a scan-local Huffman
-    table (the Annex-K baseline alphabet has no EOBn codes, so the
-    scans carry their own DHT, Ta=1 — exactly what real progressive
-    encoders do), and a DC successive-approximation REFINEMENT scan
-    (one raw bit per block restoring the hidden low bit). The
-    coefficient plan leaves block 3's low band and blocks 0/2/3's
-    high bands empty, so scan 3 must decode an EOB run SPANNING
-    consecutive blocks (the r>0 EOBn form with appended bits).
+    decode_jpeg_gray_progressive). SIX scans exercise both
+    progressive dimensions T.81 defines, INCLUDING full AC
+    successive approximation: a DC first pass under point transform
+    Al=1, two SPECTRAL-SELECTION AC bands ([1,8], [9,63]) first-pass
+    coded at Al=1 with EOBn end-of-band runs against a scan-local
+    Huffman table (the Annex-K baseline alphabet has no EOBn codes,
+    so the scans carry their own DHT, Ta=1 — exactly what real
+    progressive encoders do), a DC refinement scan (one raw bit per
+    block), and two AC REFINEMENT scans (Ah=1→Al=0) with the full
+    G.1.2.3 machinery: newly-significant ±1 insertions whose runs
+    count only still-zero positions, correction bits buffered across
+    ZRLs and EOB runs, interleaved reads on the decode side — the
+    part of T.81 known as its hardest, unit-tested against 500
+    randomized coefficient blocks. The coefficient plan leaves block
+    3's low band and blocks 0/2/3's high bands empty, so the band
+    scans must decode EOB runs SPANNING consecutive blocks (the r>0
+    EOBn form with appended bits).
     Progressive transmission reorders information but loses none:
     the decoder accumulates coefficients across scans and
     reconstructs at EOI through the same fixed-point IDCT, so the

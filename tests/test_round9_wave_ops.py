@@ -246,7 +246,9 @@ def test_jpeg_progressive_scan_structure_and_gates():
         synth_jpeg_prog_coeffs)
     blocks = synth_jpeg_prog_coeffs(5)
     blob = encode_jpeg_gray_progressive(blocks, 32, 8)
-    # four SOS scans with the documented band/approximation params
+    # six SOS scans with the documented band/approximation params:
+    # DC first @ Al=1, both AC bands first @ Al=1, DC refinement,
+    # both AC refinements Ah=1->Al=0
     scans = []
     p = 0
     while True:
@@ -256,8 +258,8 @@ def test_jpeg_progressive_scan_structure_and_gates():
         ln = struct.unpack_from(">H", blob, i + 2)[0]
         scans.append(tuple(blob[i + 2 + ln - 3:i + 2 + ln]))
         p = i + 2
-    assert scans == [(0, 0, 0x01), (1, 8, 0x00), (9, 63, 0x00),
-                     (0, 0, 0x10)]
+    assert scans == [(0, 0, 0x01), (1, 8, 0x01), (9, 63, 0x01),
+                     (0, 0, 0x10), (1, 8, 0x10), (9, 63, 0x10)]
     # the scan-local AC alphabet is complete and duplicate-free
     assert len(JPEG_AC_VALS_P) == 176
     assert len(set(JPEG_AC_VALS_P)) == 176
@@ -299,3 +301,32 @@ def test_tdigest_batch_properties(spark):
     li.createOrReplaceTempView("____tmp_unused")  # keep lineage real
     again = sorted(q(spark, sf).collect(), key=lambda r: r["cluster"])
     assert again == rows
+
+
+def test_jpeg_progressive_ac_refinement_randomized():
+    """The AC successive-approximation coder (T.81's hardest part)
+    against randomized dense/sparse blocks: progressive bytes must
+    decode pixel-identically to a sequential encode — every corner of
+    the correction-bit buffering, ZRL splitting at correction
+    coefficients, and EOB runs with owed bits shows up as a pixel
+    diff if wrong."""
+    import numpy as np
+    from pmc_conversion_spark.functions.multimodal import (
+        decode_jpeg_gray, decode_jpeg_gray_progressive,
+        encode_jpeg_gray, encode_jpeg_gray_progressive)
+    rng = np.random.RandomState(1234)
+    for _ in range(200):
+        blocks = []
+        for _b in range(4):
+            zz = [0] * 64
+            zz[0] = int(rng.randint(-40, 40))
+            for z in rng.choice(range(1, 64),
+                                size=rng.randint(0, 14),
+                                replace=False):
+                v = int(rng.randint(-31, 32))
+                zz[int(z)] = v if v else 1
+            blocks.append(zz)
+        prog = decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(blocks, 32, 8))
+        seq = decode_jpeg_gray(encode_jpeg_gray(blocks, 32, 8))
+        assert (prog == seq).all()
