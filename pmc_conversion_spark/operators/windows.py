@@ -189,8 +189,18 @@ def _range_bucketed(df: DataFrame, buckets: int, key) -> DataFrame:
     explicitly before ranging (as the heavy llmdata ops already do)."""
     if buckets <= 1:
         return df.withColumn("__bucket", F.lit(0))
+    # Auto-dispatch numeric scalar keys to the O(1)/row fast path only
+    # in the SCALE regime it exists for (input past one bucket-target,
+    # where buckets grow beyond 1024 and the interpreted scan's O(N·B)
+    # explodes). Below that, the scan is seconds at worst while the
+    # fast path's plan-build sample job costs ~1-1.5 s of fixed
+    # overhead PER HELPER CALL — measured 3.6x on small multi-helper
+    # queries (pack_length_bucketing_eval, two surrogate keys over a
+    # tokenize upstream). Callers that know better pass ``bucket_key``
+    # (win_anchored_vwap, sketch_tdigest_batch) and always get it.
     scalar = _as_scalar_bucket_key(df, key)
-    if scalar is not None:
+    if scalar is not None \
+            and _leaf_input_bytes(df) >= _TARGET_BYTES_PER_BUCKET:
         return _scalar_bucketed(df, buckets, scalar)
     bnds = _bucket_boundaries(df, buckets, key)
     # hybrid assignment (r9, measured): the codegen'd linear scan is
