@@ -56,11 +56,19 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int, *,
 
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
+    # Norms are factored out of the per-pair cosine: each side's norm is
+    # computed ONCE per row in its own projection (below the broadcast
+    # nested-loop join), instead of once per (query, corpus) pair inside
+    # the join output — with q queries that removes (q−1)/q of the norm
+    # folds from the dominant corpus scan. Bit-identical to cosine():
+    # the same _norm doubles multiply in the same order.
     q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"))
     c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    sim = cosine(F.col("qv"), F.col("cv"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cn"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (c.crossJoin(F.broadcast(q))

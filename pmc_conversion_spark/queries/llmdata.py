@@ -1726,50 +1726,79 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("v")))
     cents = (emb.filter(F.col("vec_id") < 8)
              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
-    assign, n_iters = _lloyd_fixpoint(emb, cents)
+    assign, n_iters = _lloyd_fixpoint(emb, _collect_centroids(cents))
     return _cluster_dim_means(assign, n_iters)
 
 
-def _lloyd_fixpoint(emb: DataFrame, cents: DataFrame):
-    """Lloyd iteration to the assignment fixpoint from an arbitrary
-    (cid, cv) seed frame — the loop body of ``sim_kmeans_lloyd``,
-    shared with ``sim_kmeans_pp_lloyd`` (r6 verdict task #6). Returns
-    (final assignment frame, rounds run). Per-round plan: k-row
-    centroids broadcast, N×k scoring map-side collapsed by the
-    min-struct partial agg (one N-row shuffle), ``localCheckpoint`` so
-    round r never replays rounds 1..r−1, one changed-count long to the
-    driver per round."""
+def _collect_centroids(cents: DataFrame) -> list[tuple]:
+    """Bounded driver collect of a (cid, cv) centroid frame — k ≤ 8
+    rows by construction (the seed count), same class as the engine's
+    other bounded-dimension collects. Doubles round-trip exactly."""
+    return sorted((r["cid"], list(r["cv"])) for r in cents.collect())
 
-    def estep(frame, cc):
-        sim = F.round(SIM.cosine(F.col("v"), F.col("cv")), 6)
+
+def _estep_cluster_expr(cents_local: list[tuple]):
+    """Map-side argmax-cosine assignment against LITERAL centroids:
+    per centroid the same 6-dp-rounded fold cosine as the old
+    broadcast-crossJoin form, argmax via ``array_min`` over
+    (−sim, cid) structs — the identical lexicographic ordering the
+    min-struct aggregation used, so assignments are bit-identical.
+    Replacing the crossJoin + groupBy(vec_id, v, prev) removes the
+    per-round shuffle of N full-vector rows entirely (guide §2.4):
+    the E-step is now a narrow projection."""
+    entries = []
+    for cid, cv in cents_local:
+        cvl = F.array(*[F.lit(float(x)) for x in cv])
+        sim = F.round(SIM.cosine(F.col("v"), cvl), 6)
+        entries.append(F.struct((-sim).alias("negsim"),
+                                F.lit(cid).cast("long").alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def _lloyd_fixpoint(emb: DataFrame, cents_local: list[tuple]):
+    """Lloyd iteration to the assignment fixpoint from a driver-local
+    [(cid, cv)] seed list (bounded k ≤ 8) — the loop body of
+    ``sim_kmeans_lloyd``, shared with ``sim_kmeans_pp_lloyd``. Returns
+    (final assignment frame, rounds run).
+
+    r9 optimization-round plan (guide §2.3/§2.4): the E-step is a
+    map-only projection against literal centroids (was: broadcast
+    crossJoin + a groupBy that shuffled N full-vector rows per round);
+    the M-step's per-dimension means aggregate map-side (posexplode +
+    partial agg — only k×dim×partitions rows cross the wire) and the
+    k×dim result is collected to the driver (bounded) instead of being
+    re-assembled into arrays by a second shuffle + broadcast build.
+    Per round: one tiny-agg action, one narrow localCheckpoint
+    materialization, one changed-count scan. Nothing corpus-sized is
+    ever shuffled; the arithmetic (6-dp rounded fold cosine,
+    DECIMAL(18,6) sums, min-struct tie-break) is unchanged, so
+    round-by-round assignments and the stop round are bit-identical
+    to the r8 form and the unrolled oracle."""
+
+    def estep(frame, cl):
         return (frame.withColumnRenamed("cluster", "prev")
-                .crossJoin(F.broadcast(cc))
-                .select("vec_id", "v", "prev",
-                        F.struct((-sim).alias("negsim"),
-                                 F.col("cid").alias("cid")).alias("key"))
-                .groupBy("vec_id", "v", "prev")
-                .agg(F.min("key").alias("k"))
-                .select("vec_id", "v", "prev",
-                        F.col("k.cid").alias("cluster")))
+                .withColumn("cluster", _estep_cluster_expr(cl)))
 
-    def mstep(assign):
+    def mstep_local(assign) -> list[tuple]:
         comps = assign.select(
             "cluster", F.posexplode("v").alias("pos0", "val"))
         means = (comps.groupBy("cluster", "pos0")
                  .agg(F.round(F.sum(F.round("val", 6)
                                     .cast("decimal(18,6)")).cast("double")
                               / F.count(F.lit(1)), 6).alias("mv")))
-        return (means.groupBy(F.col("cluster").alias("cid"))
-                .agg(F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos0", "mv"))),
-                    lambda s: s["mv"]).alias("cv")))
+        by_cid: dict = {}
+        for row in means.collect():  # bounded: k × dim rows
+            by_cid.setdefault(row["cluster"], []).append(
+                (row["pos0"], row["mv"]))
+        return sorted((cid, [mv for _, mv in sorted(pvs)])
+                      for cid, pvs in by_cid.items())
 
     assign = (estep(emb.withColumn("cluster", F.lit(-1).cast("long")),
-                    cents)
+                    cents_local)
               .localCheckpoint(eager=True))
     n_iters = _LLOYD_CAP
     for r in range(1, _LLOYD_CAP + 1):
-        assign = (estep(assign.drop("prev"), mstep(assign))
+        assign = (estep(assign.drop("prev"), mstep_local(assign))
                   .localCheckpoint(eager=True))
         if assign.filter(F.col("cluster") != F.col("prev")).count() == 0:
             n_iters = r
@@ -1989,7 +2018,7 @@ def sim_kmeans_pp_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (_farthest_point_chosen(emb, _SEED_K)
              .select(F.col("vec_id").alias("cid"),
                      F.col("v").alias("cv")))
-    assign, n_iters = _lloyd_fixpoint(emb, cents)
+    assign, n_iters = _lloyd_fixpoint(emb, _collect_centroids(cents))
     return _cluster_dim_means(assign, n_iters)
 
 
