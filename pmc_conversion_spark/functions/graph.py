@@ -77,26 +77,28 @@ def connected_components(edges: DataFrame, *, src: str = "src",
     O(log n) by the published bound; ``max_iter`` is a safety rail and
     non-convergence raises rather than returning partial clusters.
     """
-    def fingerprint(df: DataFrame) -> tuple:
-        # one cheap agg instead of two exceptAll jobs per round; a
-        # (count, order-insensitive hash-sum) collision is astronomically
-        # unlikely, and the stars are idempotent at the fixpoint so one
-        # phantom extra round could not change the result anyway
-        # decimal(38,0) accumulator: a plain long sum overflows under
-        # ANSI mode (hash values span the full int64 range)
-        row = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.sum(F.xxhash64("u", "v")
-                           .cast("decimal(38,0)")).alias("h")).first()
-        return (row.n, row.h)
+    def ckpt_fingerprint(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # fingerprint = (count, order-insensitive hash-sum): one cheap
+        # aggregate instead of two exceptAll jobs per round; a collision
+        # is astronomically unlikely, and the stars are idempotent at
+        # the fixpoint so one phantom extra round could not change the
+        # result anyway. decimal(38,0) accumulator: a plain long sum
+        # overflows under ANSI mode (hash values span int64).
+        # r9 (guide §1.2): the aggregate rides the checkpoint
+        # materialization as an ``observe`` metric, so the per-round
+        # fingerprint job (a full scan of the edge frame) disappears.
+        from pmc_conversion_spark.util import checkpoint_observed
+        d, m = checkpoint_observed(
+            df, n=F.count(F.lit(1)),
+            h=F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")))
+        return d, (m["n"], m["h"])
 
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter(F.col("u") != F.col("v"))
-         .distinct()
-         .localCheckpoint(eager=True))
-    fp = fingerprint(e)
+    e, fp = ckpt_fingerprint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct())
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        fp2 = fingerprint(e)
+        e, fp2 = ckpt_fingerprint(_small_star(_large_star(e)))
         if fp2 == fp:
             break
         fp = fp2

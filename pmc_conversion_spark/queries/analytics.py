@@ -1116,19 +1116,23 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 6 == round 5 edge count) and raises otherwise, so the
     6-round unrolled oracle states the true fixpoint, not a
     truncation."""
+    from pmc_conversion_spark.util import checkpoint_observed
     e = _co_order_edges(spark, sf_dir)
     und = (e.select("u", "v")
            .unionAll(e.select(F.col("v").alias("u"),
                               F.col("u").alias("v"))))
-    cur = und.localCheckpoint(eager=True)
-    prev_edges = cur.count()
+    # per-round edge count rides the checkpoint job as an observe
+    # metric instead of a separate count action (guide §1.2)
+    cur, m = checkpoint_observed(und, n=F.count(F.lit(1)))
+    prev_edges = m["n"]
     for rnd in range(6):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= 3).select("u")
-        cur = (cur.join(F.broadcast(keep), "u")
-               .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
-               .select("u", "v").localCheckpoint(eager=True))
-        n_edges = cur.count()
+        cur, m = checkpoint_observed(
+            cur.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
+            .select("u", "v"), n=F.count(F.lit(1)))
+        n_edges = m["n"]
         if rnd >= 4 and n_edges == prev_edges:
             break
         prev_edges = n_edges
@@ -1467,10 +1471,20 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasting; the iteration body is unchanged."""
     o = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
+    # r9 optimization (guide §1.2 step 1 / §5): the orders⨝lineitem
+    # distinct used to be re-derived by EVERY broadcast-build job in
+    # the 4 l1_steps, and each step's score lineage compounded — the
+    # before-plan (plans/r09/graph_hits_before.txt) is 536 Exchanges /
+    # 1078 operators of pure replay. Checkpointing the edge list and
+    # each step's node-sized raw frame makes every job's plan one step
+    # deep; the L1 total becomes a bounded 1-row collect folded in as
+    # a literal (same double, same division) instead of a per-step
+    # broadcast job that replayed the whole prefix.
     g = (o.join(li, li.l_orderkey == o.o_orderkey)
          .select(F.col("o_custkey").alias("c"),
                  F.col("l_suppkey").alias("s"))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=True))
     h = g.select("c").distinct().select(
         F.col("c").alias("node"), F.lit(1.0).alias("score"))
 
@@ -1480,12 +1494,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col(dst).alias("node"),
                        F.round("score", 12).cast("decimal(28,12)")
                        .alias("c"))
-               .groupBy("node").agg(F.sum("c").alias("raw")))
-        tot = raw.agg(F.sum("raw").cast("double").alias("t"))
-        return (raw.crossJoin(F.broadcast(tot))
-                .select("node",
-                        F.round(F.col("raw").cast("double")
-                                / F.col("t"), 12).alias("score")))
+               .groupBy("node").agg(F.sum("c").alias("raw"))
+               .localCheckpoint(eager=True))
+        t = raw.agg(F.sum("raw").cast("double").alias("t")).first()["t"]
+        return raw.select("node",
+                          F.round(F.col("raw").cast("double")
+                                  / F.lit(t), 12).alias("score"))
 
     for _ in range(2):
         a = l1_step(g, h, "c", "s")
@@ -1866,9 +1880,11 @@ def graph_eigencentrality_power(spark: SparkSession,
              .groupBy(F.col("u").alias("node"))
              .agg(F.round(F.sum("val"), 12).alias("w"))
              .localCheckpoint(eager=True))
-        m = w.agg(F.max("w").alias("m"))
-        v = (w.crossJoin(F.broadcast(m))
-             .select("node", (F.col("w") / F.col("m")).alias("val")))
+        # sup-norm as a bounded 1-row collect folded in as a literal
+        # (same double, same division) instead of a per-round
+        # crossJoin-broadcast build job (r9, the graph_hits pattern)
+        m = w.agg(F.max("w").alias("m")).first()["m"]
+        v = w.select("node", (F.col("w") / F.lit(m)).alias("val"))
     return v.select("node", F.round("val", 6).alias("eigencentrality"))
 
 

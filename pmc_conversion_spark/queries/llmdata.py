@@ -1768,8 +1768,9 @@ def _lloyd_fixpoint(emb: DataFrame, cents_local: list[tuple]):
     partial agg — only k×dim×partitions rows cross the wire) and the
     k×dim result is collected to the driver (bounded) instead of being
     re-assembled into arrays by a second shuffle + broadcast build.
-    Per round: one tiny-agg action, one narrow localCheckpoint
-    materialization, one changed-count scan. Nothing corpus-sized is
+    Per round: one tiny-agg action (the M-step collect) and one narrow
+    localCheckpoint materialization that carries the changed-count as
+    an ``observe`` metric — no separate scan. Nothing corpus-sized is
     ever shuffled; the arithmetic (6-dp rounded fold cosine,
     DECIMAL(18,6) sums, min-struct tie-break) is unchanged, so
     round-by-round assignments and the stop round are bit-identical
@@ -1793,14 +1794,24 @@ def _lloyd_fixpoint(emb: DataFrame, cents_local: list[tuple]):
         return sorted((cid, [mv for _, mv in sorted(pvs)])
                       for cid, pvs in by_cid.items())
 
+    from pmc_conversion_spark.util import checkpoint_observed
+
+    def ckpt_changed(frame):
+        # the changed-count rides the checkpoint job as an observe
+        # metric, replacing the per-round filter-count scan (§1.2)
+        d, m = checkpoint_observed(
+            frame, chg=F.count(F.when(
+                F.col("cluster") != F.col("prev"), 1)))
+        return d, m["chg"]
+
     assign = (estep(emb.withColumn("cluster", F.lit(-1).cast("long")),
                     cents_local)
               .localCheckpoint(eager=True))
     n_iters = _LLOYD_CAP
     for r in range(1, _LLOYD_CAP + 1):
-        assign = (estep(assign.drop("prev"), mstep_local(assign))
-                  .localCheckpoint(eager=True))
-        if assign.filter(F.col("cluster") != F.col("prev")).count() == 0:
+        assign, changed = ckpt_changed(
+            estep(assign.drop("prev"), mstep_local(assign)))
+        if changed == 0:
             n_iters = r
             break
     return assign, n_iters
@@ -1938,27 +1949,34 @@ def _farthest_point_chosen(emb: DataFrame, k: int) -> DataFrame:
     loop, shared with ``sim_kmeans_pp_lloyd``): start from vector 0,
     then k−1 times take the vector with the largest 6-dp-rounded
     minimum cosine distance to the chosen set (ties to lowest vec_id).
-    Returns (seed_rank, vec_id, dist, v). Per round: the ≤k chosen
-    vectors broadcast, N×|chosen| scoring collapses map-side, argmax
-    is a TakeOrdered; ``localCheckpoint`` keeps the growing chosen-set
-    lineage from re-running earlier rounds."""
-    chosen = (emb.filter(F.col("vec_id") == 0)
-              .select(F.lit(1).alias("seed_rank"), "vec_id",
-                      F.lit(0.0).alias("dist"), "v")
-              .localCheckpoint(eager=True))
+    Returns (seed_rank, vec_id, dist, v).
+
+    r9 optimization-round plan (guide §2.3/§2.4): the chosen set is a
+    bounded driver-side list (≤ k seed vectors — the same class
+    as the Lloyd loop's literal centroids), so each round's min
+    distance is ``least()`` over per-seed literal-vector cosines — a
+    map-only projection — and the argmax is a bare TakeOrdered. The
+    old form crossJoined a broadcast chosen frame and collapsed it
+    with a groupBy that shuffled N full-vector rows per round, plus a
+    localCheckpoint materialization per round; both are gone. Each
+    per-seed distance is the identical 6-dp rounded fold cosine
+    (collected doubles are bit-exact IEEE round-trips), and
+    ``least`` over non-null doubles is F.min over the same values, so
+    the traversal and the returned frame are bit-identical."""
+    first = (emb.filter(F.col("vec_id") == 0)
+             .select("vec_id", "v").collect())
+    chosen = [(1, first[0]["vec_id"], 0.0, list(first[0]["v"]))]
     for r in range(2, k + 1):
-        cv = chosen.select(F.col("v").alias("cv"))
-        dd = F.round(F.lit(1) - SIM.cosine(F.col("v"), F.col("cv")), 6)
-        dmin = (emb.crossJoin(F.broadcast(cv))
-                .select("vec_id", "v", dd.alias("dd"))
-                .groupBy("vec_id", "v")
-                .agg(F.min("dd").alias("dmin")))
-        nxt = (dmin.orderBy(F.col("dmin").desc(), F.col("vec_id"))
-               .limit(1)
-               .select(F.lit(r).alias("seed_rank"), "vec_id",
-                       F.col("dmin").alias("dist"), "v"))
-        chosen = chosen.unionAll(nxt).localCheckpoint(eager=True)
-    return chosen
+        dds = [F.round(F.lit(1) - SIM.cosine(
+                   F.col("v"), F.array(*[F.lit(float(x)) for x in cv])), 6)
+               for _, _, _, cv in chosen]
+        dmin = dds[0] if len(dds) == 1 else F.least(*dds)
+        nxt = (emb.select("vec_id", "v", dmin.alias("dmin"))
+               .orderBy(F.col("dmin").desc(), F.col("vec_id"))
+               .limit(1).collect())[0]
+        chosen.append((r, nxt["vec_id"], nxt["dmin"], list(nxt["v"])))
+    return emb.sparkSession.createDataFrame(
+        chosen, "seed_rank int, vec_id bigint, dist double, v array<double>")
 
 
 @register(

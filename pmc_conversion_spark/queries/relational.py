@@ -1794,7 +1794,12 @@ def sketch_tdigest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = W.surrogate_key_distributed(li, key, out_col="r",
                                          bucket_key=F.col("c"),
                                          out_type="bigint")
-    n_frame = ranked.agg(F.count(F.lit(1)).alias("n"))
+    # count the BASE projection, not the ranked frame: the two-phase
+    # ranking preserves row count by construction, and counting
+    # `ranked` made the broadcast-build job replay the whole bucketing
+    # + window + offset-join pipeline just to produce one long
+    # (guide §1.2: don't compute things you throw away)
+    n_frame = li.agg(F.count(F.lit(1)).alias("n"))
     v = (ranked.crossJoin(F.broadcast(n_frame))
          .withColumn("xm", F.when(2 * F.col("r") - 1 <= F.col("n"),
                                   2 * F.col("r") - 1)
@@ -7801,9 +7806,15 @@ def agg_gmm_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round action for its data-dependent stop — a fixed round
     count keeps the whole fit one job)."""
     o = tables.load(spark, sf_dir, "orders")
+    # checkpoint the bounded (~5k-row) histogram: each EM round's
+    # broadcast-build job replays its full upstream lineage, and
+    # without the cut that meant re-scanning and re-aggregating the
+    # ORDERS table once per round (9x at the round cap) just to
+    # rebuild this frame (r9, guide §5 localCheckpoint / §1.2)
     h = (o.groupBy((F.floor(F.col("o_totalprice") / 100)
                     .cast("bigint") * 100 + 50).alias("v"))
-         .agg(F.count(F.lit(1)).cast("double").alias("w")))
+         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+         .localCheckpoint(eager=True))
     init = h.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
         F.sum(F.col("w").cast("bigint")).cast("double").alias("sw"),

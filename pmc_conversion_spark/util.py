@@ -82,6 +82,23 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     return df
 
 
+def checkpoint_observed(df: DataFrame, **metrics) -> tuple[DataFrame, dict]:
+    """``localCheckpoint(eager=True)`` that delivers aggregate metrics
+    from the SAME materialization job via ``observe`` — the fixpoint
+    loops' convergence statistics (edge-set fingerprints, changed-row
+    counts, edge counts) used to take one extra full-scan action per
+    round on top of the checkpoint; CollectMetrics is a pass-through
+    node, so the cached rows are unchanged and the metrics come free
+    with the checkpoint action (guide §1.2: don't compute things
+    twice). Returns (checkpointed frame, {name: value})."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    d = (df.observe(obs, *[expr.alias(name)
+                           for name, expr in metrics.items()])
+         .localCheckpoint(eager=True))
+    return d, obs.get
+
+
 def tune_local_session(spark) -> None:
     """Runtime conf for small-SF local verification runs: a modest
     shuffle-partition count (task-scheduling and shuffle-file syscall

@@ -540,8 +540,17 @@ _KEY_PROVENANCE: dict[str, tuple[str | None, str | None]] = {
     # scan; both forms are the same pure function of key and the
     # broadcast boundary array, so either expression shape proves
     # the numBuckets cap.
+    # third arm: the r9 scalar fast path (operators/windows.py
+    # _scalar_bucketed) — a CASE whose every branch is a literal or an
+    # element_at into a LITERAL int array built driver-side with
+    # values capped at buckets-1, so the output domain is bounded by
+    # the same numBuckets construction; requiring the literal-array
+    # `element_at([` prefix keeps the match structural (a corpus-sized
+    # key cannot take this shape).
     "__bucket": (r"^(size\(filter\(__bnds"
-                 r"|aggregate\([^,]*, struct\(lo, 0, hi, size\(__bnds)",
+                 r"|aggregate\([^,]*, struct\(lo, 0, hi, size\(__bnds"
+                 r"|CASE WHEN isnull\(cast\(.+ WHEN isnan\(cast\(.+"
+                 r" ELSE element_at\(\[)",
                  None),
     # two-phase ntile fair-division arithmetic on (global rank, N)
     "decile": (r"^cast\(CASE WHEN \(__r", None),
