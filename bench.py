@@ -396,11 +396,18 @@ def main() -> None:
     with open(DETAIL_PATH, "w") as fh:
         json.dump(detail, fh)
         fh.write("\n")
-    # the driver-facing line: compact scalars only (see module docstring)
+    # the driver-facing line: headline scalars PLUS the per-query raw
+    # seconds (r9: the driver contract pins the line shape to
+    # {"metric", "value", "unit", "queries", "sf"}; the r8 form moved
+    # `queries` to the detail file after the r6 mid-object truncation,
+    # but raw-only per-query timings are ~2.5 KB — half the size of
+    # the line that truncated — and the normalized/calibration bulk
+    # stays in the detail file)
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
+        "queries": timings,
         "value_normalized": total_norm,
         "value_normalized_core": core_total_norm,
         "value_normalized_bulk": bulk_total_norm,

@@ -129,7 +129,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.struct(F.col("v").alias("src"),
                                      F.col("u").alias("dst")))
                  .alias("o"))
-             .select("o.src", "o.dst"))
+             .select("o.src", "o.dst")
+             # consumed by all three wedge roles (e1/e2/e3): without
+             # the cut the degree-orientation joins replay per role
+             # (r9, guide §5)
+             .localCheckpoint(eager=True))
     e1 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = keyed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -181,7 +185,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _co_order_edges(spark, sf_dir)
     und = (e.select("u", "v")
            .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
-    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = (und.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=True))
     pr = deg.select("node", F.lit(1.0).alias("pr"))
     for _ in range(3):
         state = (pr.join(deg, "node")
@@ -190,9 +196,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select(F.col("v").alias("node"),
                            F.round(F.col("pr") / F.col("deg"), 12)
                            .cast("decimal(28,12)").alias("c")))
+        # checkpoint each round's node-sized rank vector: round r's
+        # broadcast-build job otherwise replays rounds 1..r-1's edge
+        # joins (1+2+3 passes for 3 rounds — r9, guide §5); deg is
+        # checkpointed for the same reason (consumed every round)
         pr = (contrib.groupBy("node")
               .agg(F.round(F.lit(0.15) + F.lit(0.85)
-                           * F.sum("c").cast("double"), 12).alias("pr")))
+                           * F.sum("c").cast("double"), 12).alias("pr"))
+              .localCheckpoint(eager=True))
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
@@ -1650,11 +1661,18 @@ def graph_clustering_coefficient(spark: SparkSession,
                  .otherwise(F.struct(F.col("v").alias("src"),
                                      F.col("u").alias("dst")))
                  .alias("o"))
-             .select("o.src", "o.dst"))
+             .select("o.src", "o.dst")
+             # consumed by all three wedge roles (e1/e2/e3): without
+             # the cut the degree-orientation joins replay per role
+             # (r9, guide §5)
+             .localCheckpoint(eager=True))
     e1 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = keyed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # the triangle list feeds three corner projections — checkpoint so
+    # the wedge join runs once, not three times (r9, guide §5)
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .localCheckpoint(eager=True))
     corners = (tri.select(F.col("a").alias("node"))
                .unionAll(tri.select(F.col("b").alias("node")))
                .unionAll(tri.select(F.col("c").alias("node"))))

@@ -5749,8 +5749,15 @@ def pack_length_bucketing_eval(spark: SparkSession,
     d = _docs(spark, sf_dir)
     toks = TX.ws_tokens(F.lower(F.col("text")))
     t = d.select("doc_id", F.size(toks).alias("n"))
+    # localCheckpoint the NARROW (doc_id, n, __k) frame before the two
+    # rankings: each surrogate_key_distributed consumes its input from
+    # several branches (boundary sample, bucketed window, counts), and
+    # without the cut every branch re-ran the tokenize pass over the
+    # full text column — the dominant cost, paid up to 6x (r9, the
+    # agg_gains_table pattern; guide §1.2 / §5)
     t = t.withColumn("__k", F.col("n").cast("bigint")
-                     * F.lit(1_000_000_000) + F.col("doc_id"))
+                     * F.lit(1_000_000_000) + F.col("doc_id")) \
+        .localCheckpoint(eager=True)
     by_len = surrogate_key_distributed(t, "__k", out_col="sk") \
         .select(F.lit("length_sorted").alias("strategy"),
                 F.floor((F.col("sk") - 1) / 32).alias("batch"), "n")
@@ -10980,9 +10987,15 @@ def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cx").alias("gcx"), F.col("cy").alias("gcy"))
     d2 = ((F.col("xs") - F.col("xt")) * (F.col("xs") - F.col("xt"))
           + (F.col("ys") - F.col("yt")) * (F.col("ys") - F.col("yt")))
+    # localCheckpoint the id-pair neighbor list: it feeds THREE
+    # branches (core counts, the core-core edge list, border labels),
+    # and without the cut each branch re-ran the 9x-replicated ε-cell
+    # equi-join + distance filter — the dominant cost, paid three
+    # times (r9, guide §1.2 / §5)
     nbr = (ex.join(b, ["gcx", "gcy"])
            .filter((F.col("s") != F.col("t")) & (d2 <= eps * eps))
-           .select("s", "t"))
+           .select("s", "t")
+           .localCheckpoint(eager=True))
     core = (nbr.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= 4)
             .select(F.col("s").alias("vec_id")))

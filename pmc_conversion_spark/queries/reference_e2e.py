@@ -692,6 +692,17 @@ def transmart_observation_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered by diagnosis_id (PAT1/PAT2 reach instance 2)."""
     from pmc_conversion_spark.plans import transmart as TM
     csr = RE.build_csr(spark)
+    # localCheckpoint the two consumed entity frames (17/19 rows) for
+    # THIS invocation: Individual feeds both the surrogate-key
+    # machinery (several branches) and the EAV unpivot, and every
+    # branch otherwise re-analyzes and re-executes the full
+    # sources2csr merge plan over the dropzone CSVs — at 132 output
+    # rows this query is pure fixed overhead, most of it that replay
+    # (r9, guide §5; the memoized build_csr frames themselves stay
+    # lazy — nothing is cached across invocations)
+    csr = dict(csr)
+    for ent in ("Individual", "Diagnosis"):
+        csr[ent] = csr[ent].localCheckpoint(eager=True)
     pats = TM.patient_dimension(csr["Individual"])
     return TM.observation_fact(TM.csr_observations(csr), pats)
 

@@ -7170,8 +7170,15 @@ def _lf_at_needed(m: DataFrame, ranges, points) -> DataFrame:
     need = (F.exists("rs", lambda r: (F.col("i") >= r["lo"])
                      & (F.col("i") <= r["hi"]))
             | F.exists("ps", lambda p: p == F.col("i")))
+    # localCheckpoint the bounded result (needed indices only — tail +
+    # margin points, ~tens of k rows): the caller consumes it from
+    # FIVE branches (the k frame, three lf lookups, the margin-point
+    # constants), and without the cut each branch re-ran the whole
+    # block grid — N-index explode, N/G-row shuffle, two-phase prefix
+    # (r9, guide §1.2 / §5)
     return (wp.filter(need).join(boff, "g")
-            .select("i", (F.col("boff") + F.col("wp")).alias("lf")))
+            .select("i", (F.col("boff") + F.col("wp")).alias("lf"))
+            .localCheckpoint(eager=True))
 
 
 @register(
