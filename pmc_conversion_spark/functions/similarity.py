@@ -28,6 +28,25 @@ def _dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def sql_double_array(vals) -> str:
+    """SQL text for a literal double array.
+
+    Building literal vectors as ``F.array(*[F.lit(x) ...])`` costs one
+    py4j round-trip per ELEMENT (~1.5 s per 8x64-dim centroid set,
+    measured — it dominated the k-means driver loop); a single SQL
+    string is one round-trip total and parses JVM-side in
+    microseconds. ``repr`` emits the shortest round-tripping decimal
+    form and Spark's double literal parser (Double.parseDouble) maps
+    it back to the identical IEEE bits, so values are unchanged."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def lit_double_array(vals) -> Column:
+    """Literal double-array Column via one ``F.expr`` (see
+    :func:`sql_double_array`)."""
+    return F.expr(sql_double_array(vals))
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -97,8 +116,8 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplanes (bigint)."""
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(_dot(vec, lit_double_array(p)) >= 0,
+                     F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + F.shiftleft(bit.cast("bigint"), i)
     return bucket
 
@@ -158,8 +177,8 @@ def quant_cell(vec: Column, planes: list[list[float]], width: float) -> Column:
     portable to the SQL oracle."""
     cell = F.lit(0).cast("bigint")
     for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        idx = F.floor(_dot(vec, plane) / F.lit(width)).cast("bigint")
+        idx = F.floor(_dot(vec, lit_double_array(p))
+                      / F.lit(width)).cast("bigint")
         cell = cell * F.lit(10_000) + (idx % F.lit(10_000))
     return cell
 
@@ -216,8 +235,8 @@ def ivf_candidates(queries: DataFrame, corpus: DataFrame, *,
             for step in ([0] if ax < 0 else [-1, 1]):
                 cell = F.lit(0).cast("bigint")
                 for i, p in enumerate(planes):
-                    plane = F.array(*[F.lit(float(x)) for x in p])
-                    idx = (F.floor(_dot(F.col("qv"), plane) / F.lit(width))
+                    idx = (F.floor(_dot(F.col("qv"), lit_double_array(p))
+                                   / F.lit(width))
                            .cast("bigint"))
                     if i == ax:
                         idx = idx + F.lit(step)

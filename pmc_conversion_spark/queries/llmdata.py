@@ -1737,6 +1737,17 @@ def _collect_centroids(cents: DataFrame) -> list[tuple]:
     return sorted((r["cid"], list(r["cv"])) for r in cents.collect())
 
 
+def _sql_cosine(vcol: str, arr_sql: str) -> str:
+    """SQL text replicating ``SIM.cosine(col, literal)`` exactly —
+    the same fold dot product / norm expressions in the same
+    association order, so the doubles are bit-identical."""
+    dot = (f"aggregate(zip_with({vcol}, {arr_sql}, (x, y) -> x * y), "
+           f"0.0D, (acc, x) -> acc + x)")
+    nv = f"sqrt(aggregate({vcol}, 0.0D, (acc, x) -> acc + x * x))"
+    nc = f"sqrt(aggregate({arr_sql}, 0.0D, (acc, x) -> acc + x * x))"
+    return f"{dot} / ({nv} * {nc})"
+
+
 def _estep_cluster_expr(cents_local: list[tuple]):
     """Map-side argmax-cosine assignment against LITERAL centroids:
     per centroid the same 6-dp-rounded fold cosine as the old
@@ -1745,14 +1756,18 @@ def _estep_cluster_expr(cents_local: list[tuple]):
     min-struct aggregation used, so assignments are bit-identical.
     Replacing the crossJoin + groupBy(vec_id, v, prev) removes the
     per-round shuffle of N full-vector rows entirely (guide §2.4):
-    the E-step is now a narrow projection."""
-    entries = []
+    the E-step is now a narrow projection. The whole expression is ONE
+    ``F.expr`` SQL string: the py4j per-element cost of building 8×64
+    literal vectors as Column trees (~1.5 s per round, measured)
+    dominated the driver loop; the SQL text is one round-trip and
+    parses to the identical expression (same folds, same rounding,
+    same struct ordering — equality property-tested and oracle-hashed)."""
+    structs = []
     for cid, cv in cents_local:
-        cvl = F.array(*[F.lit(float(x)) for x in cv])
-        sim = F.round(SIM.cosine(F.col("v"), cvl), 6)
-        entries.append(F.struct((-sim).alias("negsim"),
-                                F.lit(cid).cast("long").alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+        cos = _sql_cosine("v", SIM.sql_double_array(cv))
+        structs.append(f"named_struct('negsim', -round({cos}, 6), "
+                       f"'cid', CAST({int(cid)} AS BIGINT))")
+    return F.expr("array_min(array(" + ",".join(structs) + "))['cid']")
 
 
 def _lloyd_fixpoint(emb: DataFrame, cents_local: list[tuple]):
@@ -1967,10 +1982,12 @@ def _farthest_point_chosen(emb: DataFrame, k: int) -> DataFrame:
              .select("vec_id", "v").collect())
     chosen = [(1, first[0]["vec_id"], 0.0, list(first[0]["v"]))]
     for r in range(2, k + 1):
-        dds = [F.round(F.lit(1) - SIM.cosine(
-                   F.col("v"), F.array(*[F.lit(float(x)) for x in cv])), 6)
-               for _, _, _, cv in chosen]
-        dmin = dds[0] if len(dds) == 1 else F.least(*dds)
+        # one F.expr per round (the _estep_cluster_expr rationale):
+        # round(1 − cosine, 6) per chosen seed, min via least()
+        dds = [f"round(1 - ({_sql_cosine('v', SIM.sql_double_array(cv))}),"
+               f" 6)" for _, _, _, cv in chosen]
+        dmin = F.expr(dds[0] if len(dds) == 1
+                      else "least(" + ",".join(dds) + ")")
         nxt = (emb.select("vec_id", "v", dmin.alias("dmin"))
                .orderBy(F.col("dmin").desc(), F.col("vec_id"))
                .limit(1).collect())[0]
