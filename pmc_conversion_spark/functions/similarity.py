@@ -230,20 +230,31 @@ def ivf_candidates(queries: DataFrame, corpus: DataFrame, *,
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if multiprobe:
+        # factor the per-plane quantized index into a projection so the
+        # 64-wide dot-product fold runs once per plane (n_planes folds
+        # per query row), not once per (probe, plane) — the old inline
+        # form repeated every fold in all 2·n_planes+1 probe cells
+        # (9× the work at n_planes=4). Each __ix alias is referenced by
+        # 9 probe cells, so CollapseProject keeps the projection and
+        # the fold is evaluated once; the integer cell assembly is the
+        # identical arithmetic, so cells are unchanged (guide §1.2).
+        idx_cols = [(F.floor(_dot(F.col("qv"), lit_double_array(p))
+                             / F.lit(width)).cast("bigint")
+                     .alias(f"__ix{i}"))
+                    for i, p in enumerate(planes)]
+        qi = q.select("query_id", "qv", *idx_cols)
         probes = []
         for ax in range(-1, n_planes):  # -1 = home cell, else shift axis
             for step in ([0] if ax < 0 else [-1, 1]):
                 cell = F.lit(0).cast("bigint")
-                for i, p in enumerate(planes):
-                    idx = (F.floor(_dot(F.col("qv"), lit_double_array(p))
-                                   / F.lit(width))
-                           .cast("bigint"))
+                for i in range(n_planes):
+                    idx = F.col(f"__ix{i}")
                     if i == ax:
                         idx = idx + F.lit(step)
                     cell = cell * F.lit(10_000) + (idx % F.lit(10_000))
                 probes.append(cell)
-        q = q.select("query_id", "qv",
-                     F.explode(F.array(*probes)).alias("cell")).distinct()
+        q = qi.select("query_id", "qv",
+                      F.explode(F.array(*probes)).alias("cell")).distinct()
     else:
         q = q.select("query_id", "qv",
                      quant_cell(F.col("qv"), planes, width).alias("cell"))

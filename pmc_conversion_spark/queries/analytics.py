@@ -1006,11 +1006,16 @@ def _lpa3_labels(e: DataFrame) -> DataFrame:
         cnt = (und.join(F.broadcast(state), "u")
                .groupBy(F.col("v").alias("node"), "lbl")
                .agg(F.count(F.lit(1)).alias("c")))
+        # checkpoint the node-sized (node, lbl) state per round: each
+        # round's broadcast-build job otherwise replays every prior
+        # round's join+aggs (the graph_pagerank replay pattern) —
+        # 1+2+3 round executions instead of 3
         labels = (cnt.groupBy("node")
                   .agg(F.max(F.struct(F.col("c"),
                                       (-F.col("lbl")).alias("nl"),
                                       F.col("lbl"))).alias("m"))
-                  .select("node", F.col("m.lbl").alias("lbl")))
+                  .select("node", F.col("m.lbl").alias("lbl"))
+                  .localCheckpoint(eager=True))
     return labels
 
 
@@ -1055,7 +1060,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — label state broadcasts, fact-sized frames shuffle
     once each."""
     e = _co_order_edges(spark, sf_dir)
-    lab = _lpa3_labels(e).localCheckpoint(eager=True)
+    lab = _lpa3_labels(e)  # final round is already checkpointed
     und = (e.select("u", "v")
            .unionAll(e.select(F.col("v").alias("u"),
                               F.col("u").alias("v"))))

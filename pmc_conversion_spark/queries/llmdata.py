@@ -2131,11 +2131,16 @@ def agg_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — map-side combine collapses to one row per partition), two
     scalar weights to the driver per round; no per-round state grows
     with the data, and Newton's quadratic convergence keeps the round
-    count ~5 regardless of corpus size."""
+    count ~5 regardless of corpus size. The NARROW (y, z) frame —
+    16 bytes/row, strictly smaller than the 2-column parquet read that
+    produces it — is localCheckpointed once so the ~5 per-round agg
+    actions scan cached doubles instead of re-reading + re-deriving
+    the source each round (guide §5)."""
     d = (_docs(spark, sf_dir)
          .select(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
                  .alias("y"),
-                 F.round(F.col("n_chars") / 1000.0, 9).alias("z")))
+                 F.round(F.col("n_chars") / 1000.0, 9).alias("z"))
+         .localCheckpoint(eager=True))
     a, b = 0.0, 0.0
     n_iters = _IRLS_CAP
     for r in range(1, _IRLS_CAP + 1):
