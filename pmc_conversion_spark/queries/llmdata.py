@@ -1795,9 +1795,20 @@ def _lloyd_fixpoint(emb: DataFrame, cents_local: list[tuple]):
         return (frame.withColumnRenamed("cluster", "prev")
                 .withColumn("cluster", _estep_cluster_expr(cl)))
 
-    def mstep_local(assign) -> list[tuple]:
-        comps = assign.select(
-            "cluster", F.posexplode("v").alias("pos0", "val"))
+    def mstep_chg(assign) -> tuple[list[tuple], int]:
+        # ONE job per round (§1.2): the M-step's bounded k×dim means
+        # collect is the action that materializes the LAZY
+        # localCheckpoint below, and the changed-count rides the same
+        # pass as an observe metric — the eager-checkpoint job and the
+        # separate stats job are both gone. Arithmetic untouched:
+        # means/chg are the identical expressions over the identical
+        # rows, so the round-by-round assignments and the stop round
+        # are bit-for-bit the r8 sequence.
+        from pyspark.sql import Observation
+        obs = Observation()
+        comps = (assign.observe(obs, F.count(F.when(
+                     F.col("cluster") != F.col("prev"), 1)).alias("chg"))
+                 .select("cluster", F.posexplode("v").alias("pos0", "val")))
         means = (comps.groupBy("cluster", "pos0")
                  .agg(F.round(F.sum(F.round("val", 6)
                                     .cast("decimal(18,6)")).cast("double")
@@ -1806,29 +1817,25 @@ def _lloyd_fixpoint(emb: DataFrame, cents_local: list[tuple]):
         for row in means.collect():  # bounded: k × dim rows
             by_cid.setdefault(row["cluster"], []).append(
                 (row["pos0"], row["mv"]))
-        return sorted((cid, [mv for _, mv in sorted(pvs)])
-                      for cid, pvs in by_cid.items())
-
-    from pmc_conversion_spark.util import checkpoint_observed
-
-    def ckpt_changed(frame):
-        # the changed-count rides the checkpoint job as an observe
-        # metric, replacing the per-round filter-count scan (§1.2)
-        d, m = checkpoint_observed(
-            frame, chg=F.count(F.when(
-                F.col("cluster") != F.col("prev"), 1)))
-        return d, m["chg"]
+        return (sorted((cid, [mv for _, mv in sorted(pvs)])
+                       for cid, pvs in by_cid.items()), obs.get["chg"])
 
     assign = (estep(emb.withColumn("cluster", F.lit(-1).cast("long")),
                     cents_local)
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     n_iters = _LLOYD_CAP
     for r in range(1, _LLOYD_CAP + 1):
-        assign, changed = ckpt_changed(
-            estep(assign.drop("prev"), mstep_local(assign)))
-        if changed == 0:
-            n_iters = r
+        # cl_r from assign_{r-1}; chg here is assign_{r-1}'s change
+        # count vs ITS predecessor — exactly the value the old
+        # per-round checkpoint observed one iteration earlier, so the
+        # stop rule is unchanged: first r with chg_r == 0 wins (the
+        # final round's chg is never needed: n_iters == cap either way)
+        cl, chg_prev = mstep_chg(assign)
+        if r > 1 and chg_prev == 0:
+            n_iters = r - 1
             break
+        assign = (estep(assign.drop("prev"), cl)
+                  .localCheckpoint(eager=False))
     return assign, n_iters
 
 

@@ -215,3 +215,74 @@ def test_knn_join_matches_bruteforce_self_query(spark):
            for r in SIM.topk_bruteforce(emb, emb, k=3,
                                         round_digits=6).collect()}
     assert got == ref
+
+
+def test_sql_double_array_ieee_roundtrip(spark):
+    """The one-round-trip SQL literal form (r9 optimization #15) must
+    reproduce the exact IEEE doubles of the Python values: repr emits
+    the shortest round-tripping decimal and Spark's double literal
+    parser maps it back to the identical bits."""
+    import math
+    import struct
+    vals = [0.0, -0.0, 1.0, -1.0, 1e-300, -1e300, 2.0 ** -1022,
+            (2.0 ** 53 - 1.0), 0.1, 1 / 3, math.pi, -math.e,
+            5e-324, 1.7976931348623157e308, 0.30000000000000004]
+    got = spark.sql(f"SELECT {SIM.sql_double_array(vals)} AS a") \
+        .first()["a"]
+    assert [struct.pack("<d", x) for x in got] \
+        == [struct.pack("<d", x) for x in vals]
+
+
+def test_lloyd_fixpoint_matches_reference_loop(fixture_df):
+    """The single-job-per-round Lloyd loop (lazy checkpoint + observe,
+    r9 optimization) must replay the r8 reference semantics exactly:
+    same per-round E/M arithmetic, same stop rule, same final
+    assignment and round count."""
+    import random
+    from pmc_conversion_spark.queries import llmdata as L
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(60)]
+    emb = fixture_df(rows, "vec_id long, v array<double>") \
+        .select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    cents = (emb.filter(F.col("vec_id") < 3)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("v").alias("cv")))
+    seeds = L._collect_centroids(cents)
+
+    assign, n_iters = L._lloyd_fixpoint(emb, seeds)
+    got = {(r.vec_id, r.cluster) for r in assign.collect()}
+
+    # r8 reference semantics: eager checkpoint per round, separate
+    # M-step job, stop at the first round whose E-step changed nothing
+    def estep(frame, cl):
+        return (frame.withColumnRenamed("cluster", "prev")
+                .withColumn("cluster", L._estep_cluster_expr(cl)))
+
+    def mstep(a):
+        comps = a.select("cluster", F.posexplode("v").alias("pos0", "val"))
+        means = (comps.groupBy("cluster", "pos0")
+                 .agg(F.round(F.sum(F.round("val", 6)
+                                    .cast("decimal(18,6)")).cast("double")
+                              / F.count(F.lit(1)), 6).alias("mv")))
+        by = {}
+        for row in means.collect():
+            by.setdefault(row["cluster"], []).append((row["pos0"], row["mv"]))
+        return sorted((cid, [mv for _, mv in sorted(p)])
+                      for cid, p in by.items())
+
+    ref = estep(emb.withColumn("cluster", F.lit(-1).cast("long")),
+                seeds).localCheckpoint(eager=True)
+    ref_iters = L._LLOYD_CAP
+    for r in range(1, L._LLOYD_CAP + 1):
+        ref = estep(ref.drop("prev"), mstep(ref)) \
+            .localCheckpoint(eager=True)
+        changed = ref.filter(F.col("cluster") != F.col("prev")).count()
+        if changed == 0:
+            ref_iters = r
+            break
+    want = {(r.vec_id, r.cluster) for r in ref.collect()}
+
+    assert n_iters == ref_iters
+    assert got == want
