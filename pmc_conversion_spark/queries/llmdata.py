@@ -1604,24 +1604,23 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     means computed over DECIMAL sums of 6-dp-rounded components, so
     the result is partitioning-independent and engine-exact.
 
-    Plan: centroids broadcast (k rows), the N×k scoring is map-side,
-    one min-struct aggregation picks assignments, one exploded
-    aggregation (map-side combinable) yields the means — two narrow
-    shuffles total, nothing ever materializes N×k outside the map."""
+    Plan (r9 opt, the ``_lloyd_fixpoint`` E-step form): the k ≤ 8
+    centroids are a bounded driver-side collect, so the assignment is
+    a map-only projection — ``array_min`` over per-centroid literal
+    (−sim, cid) structs, the identical lexicographic min the old
+    broadcast-crossJoin + min-struct aggregation computed (same
+    6-dp-rounded fold cosine, bit-identical) — followed by the one
+    exploded mean aggregation. The N-row full-vector shuffle of the
+    scoring groupBy is gone outright (guide §2.4)."""
     emb = (tables.load(spark, sf_dir, "embeddings")
            .select("vec_id", F.col("embedding").cast("array<double>")
                    .alias("v")))
     cents = (emb.filter(F.col("vec_id") < 8)
              .select(F.col("vec_id").alias("cid"),
                      F.col("v").alias("cv")))
-    sim = F.round(SIM.cosine(F.col("v"), F.col("cv")), 6)
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .select("vec_id", "v",
-                      F.struct((-sim).alias("negsim"),
-                               F.col("cid").alias("cid")).alias("key")))
-    assigned = (scored.groupBy("vec_id", "v")
-                .agg(F.min("key").alias("k"))
-                .select(F.col("k.cid").alias("cluster"), "v"))
+    assigned = emb.select(
+        _estep_cluster_expr(_collect_centroids(cents)).alias("cluster"),
+        "v")
     comps = assigned.select(
         "cluster", F.posexplode("v").alias("pos0", "val"))
     return (comps.groupBy("cluster", (F.col("pos0") + 1).alias("pos"))
@@ -7229,27 +7228,39 @@ def pipeline_e2e_llm_capstone(spark: SparkSession,
     is actually provisioned from, and the stage deltas are the
     engineering dashboard ('dedup cost us 8% of tokens'). Every stage
     reuses a verified registry operator; shuffles carry digests, ids,
-    and 8-byte shingle keys — never document bodies."""
+    and 8-byte shingle keys — never document bodies.
+
+    r9 (guide §2.3/§8): the exact-dedup fingerprint is computed in the
+    SAME projection as the token count, so the one text scan emits the
+    narrow (doc_id, lang, ntok, f) frame that every later stage needs —
+    the 5-consumer checkpoint stores ~60 bytes/row instead of full
+    bodies, the old fp side-frame and its two doc_id joins disappear
+    (keep3 groups the already-carried ``f`` directly), and no join or
+    shuffle anywhere in the funnel touches ``text``. ``f`` is the
+    identical md5-of-normalized-text expression, evaluated on the same
+    rows (st is a multiplicity-1 join of docs2 with the per-doc lang
+    map), so every stage count is unchanged. The corpus-sized
+    broadcast hints are gone too: the narrow projection sits BELOW the
+    lang join so only ~60-byte rows shuffle, and keep4 (one row per
+    surviving near-dup cluster — unbounded at scale) joins without a
+    hint; AQE still broadcasts either side when it is actually small."""
     from pmc_conversion_spark.functions.graph import connected_components
     from pmc_conversion_spark.functions.text import (
         normalize_for_fingerprint, token_count_ws)
-    d = _docs_with_dups(spark, sf_dir)
     lang_map = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("lid"), "lang")
-    st = (d.join(F.broadcast(lang_map),
-                 d.doc_id % 100000 == F.col("lid"))
-          .select("doc_id", "text", "lang",
-                  token_count_ws(F.lower(F.col("text"))).alias("ntok")))
+    narrow = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        token_count_ws(F.lower(F.col("text"))).alias("ntok"),
+        F.md5(normalize_for_fingerprint(F.col("text"))).alias("f"))
+    st = (narrow.join(lang_map,
+                      narrow.doc_id % 100000 == F.col("lid"))
+          .select("doc_id", "lang", "ntok", "f"))
     st = st.localCheckpoint(eager=True)  # reused by 5 stage reports
     s1 = st.filter(F.col("lang") == "en")
     s2 = s1.filter(F.col("ntok").between(40, 5000))
-    fp = st.select("doc_id",
-                   F.md5(normalize_for_fingerprint(F.col("text")))
-                   .alias("f"))
-    keep3 = (fp.join(s2.select("doc_id"), "doc_id")
-             .groupBy("f").agg(F.min("doc_id").alias("k")))
-    s3 = (s2.join(fp, "doc_id")
-          .join(keep3, "f")
+    keep3 = s2.groupBy("f").agg(F.min("doc_id").alias("k"))
+    s3 = (s2.join(keep3, "f")
           .filter(F.col("k") == F.col("doc_id"))
           .select(s2.columns))
     # pairs/clusters over the PLAIN corpus (dedup_cluster_cc's exact
@@ -7264,7 +7275,7 @@ def pipeline_e2e_llm_capstone(spark: SparkSession,
     keep4 = (cc.join(s3.select("doc_id"), "doc_id")
              .groupBy("component").agg(F.min("doc_id").alias("k4")))
     s4 = (s3.join(cc, "doc_id", "left")
-          .join(F.broadcast(keep4), "component", "left")
+          .join(keep4, "component", "left")
           .filter(F.col("component").isNull()
                   | (F.col("k4") == F.col("doc_id")))
           .select(s3.columns))
