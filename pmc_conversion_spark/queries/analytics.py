@@ -284,6 +284,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = (deg.select("node", F.lit(1.0).alias("pr"))
           .localCheckpoint(eager=True))
     n_iters = _PRC_CAP
+    from pmc_conversion_spark.util import checkpoint_observed
     for r in range(1, _PRC_CAP + 1):
         state = (pr.join(deg, "node")
                  .select(F.col("node").alias("u"), "pr", "deg"))
@@ -291,18 +292,22 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select(F.col("v").alias("node"),
                            F.round(F.col("pr") / F.col("deg"), 12)
                            .cast("decimal(28,12)").alias("c")))
-        nxt = (contrib.groupBy("node")
-               .agg(F.round(F.lit(0.15) + F.lit(0.85)
-                            * F.sum("c").cast("double"), 12).alias("pr"))
-               .localCheckpoint(eager=True))
-        d = (nxt.join(pr.withColumnRenamed("pr", "prev"), "node")
-             .agg(F.sum(F.round(F.abs(F.col("pr") - F.col("prev")), 12)
-                        .cast("decimal(28,12)")).alias("diff"),
-                  F.sum(F.round("prev", 12).cast("decimal(28,12)"))
-                  .alias("base"))
-             .first())
-        pr = nxt
-        if d["diff"] * 4 < d["base"]:
+        # r9 opt (guide §1.2): the L1 delta rides the checkpoint
+        # materialization as an observe metric — nxt carries prev
+        # through the (key-preserving: every edged node contributes)
+        # inner join so one job per round replaces checkpoint +
+        # separate delta .first(). Same decimal sums over the same
+        # rows, so the stop round is unchanged.
+        nxt, m = checkpoint_observed(
+            contrib.groupBy("node")
+            .agg(F.round(F.lit(0.15) + F.lit(0.85)
+                         * F.sum("c").cast("double"), 12).alias("pr"))
+            .join(pr.withColumnRenamed("pr", "prev"), "node"),
+            diff=F.sum(F.round(F.abs(F.col("pr") - F.col("prev")), 12)
+                       .cast("decimal(28,12)")),
+            base=F.sum(F.round("prev", 12).cast("decimal(28,12)")))
+        pr = nxt.select("node", "pr")
+        if m["diff"] * 4 < m["base"]:
             n_iters = r
             break
     return pr.select("node", F.round("pr", 6).alias("pagerank"),

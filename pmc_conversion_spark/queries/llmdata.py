@@ -7360,8 +7360,12 @@ def agg_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("doc_id").alias("d"))
     ranked = ntile_distributed(hits, key, 10,
                                out_col="decile").select("y", "decile")
+    # r9 opt: per feeds the broadcast totals build AND the output
+    # select — without the cut the whole two-phase ntile ranking over
+    # the cached hits ran twice; the checkpoint is 10 rows.
     per = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")) \
+        .localCheckpoint(eager=True)
     tot = per.agg(F.sum("n_pos").alias("p"), F.sum("n").alias("nn"))
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0)  # bounded: 10 decile rows
@@ -8703,14 +8707,21 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("tok"))
            .withColumn("b", DD.md5_int60(F.col("tok")) % 64)
            .drop("tok"))
-    allb = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_all"))
-    tgtb = (tok.filter(F.col("lang") == "en")
-            .groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt")))
-    tots = (allb.agg(F.sum("c_all").alias("ta"))
-            .crossJoin(tgtb.agg(F.sum("c_tgt").alias("tt"))))
-    lnr = (allb.join(tgtb, "b", "left").crossJoin(F.broadcast(tots))
+    # r9 opt (guide §2.3/§5): both bucket histograms ride ONE
+    # tokenize+explode pass (count_if(en) ≡ the filtered count — 0
+    # where the old left join yielded null, and coalesce(null,0)
+    # made that 0 anyway), and the 64-row result is checkpointed; the
+    # old allb/tgtb/tots/lnr chain re-ran the exploded token scan ~4x
+    # inside the lnr broadcast build alone. Smoothed ln-ratio algebra
+    # unchanged (same casts, same order), so the table is bit-exact.
+    hb = (tok.groupBy("b")
+          .agg(F.count(F.lit(1)).alias("c_all"),
+               F.count_if(F.col("lang") == "en").alias("c_tgt"))
+          .localCheckpoint(eager=True))
+    tots = hb.agg(F.sum("c_all").alias("ta"), F.sum("c_tgt").alias("tt"))
+    lnr = (hb.crossJoin(F.broadcast(tots))
            .select("b",
-                   (F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                   (F.log((F.col("c_tgt") + 1)
                           / (F.col("tt") + 64).cast("double"))
                     - F.log((F.col("c_all") + 1)
                             / (F.col("ta") + 64).cast("double")))
@@ -8944,13 +8955,21 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("pid", F.sum(F.when(F.col("is_stop"), 1)
                                     .otherwise(0))
                        .over(Window.partitionBy("doc_id").orderBy("pos"))))
-    pw = seg.filter(~F.col("is_stop")).select("doc_id", "pid", "pos", "tok")
+    # r9 opt (guide §5): pw (tokenize + posexplode + per-doc
+    # segmentation window) feeds phrases, the word-stat join and the
+    # scoring join — and phrases itself feeds two joins — so the
+    # tokenize+window pass replayed ~6x through the lineage fan-out.
+    # Two narrow checkpoints (ids + token / phrase text) run it once.
+    pw = (seg.filter(~F.col("is_stop"))
+          .select("doc_id", "pid", "pos", "tok")
+          .localCheckpoint(eager=True))
     phrases = (pw.groupBy("doc_id", "pid")
                .agg(F.concat_ws(" ", F.transform(
                         F.array_sort(F.collect_list(
                             F.struct("pos", "tok"))),
                         lambda s: s.tok)).alias("phrase"),
-                    F.count(F.lit(1)).alias("n_words")))
+                    F.count(F.lit(1)).alias("n_words"))
+               .localCheckpoint(eager=True))
     ws = (pw.join(phrases.select("doc_id", "pid", "n_words"),
                   ["doc_id", "pid"])
           .groupBy("tok")

@@ -6704,11 +6704,27 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate, the two-phase prefix sum over the value frame, one
     value-keyed join back, a 5-row group aggregate, scalar algebra."""
     o = tables.load(spark, sf_dir, "orders")
+    # r9 opt (guide §5): gv feeds vt AND the per-group rank-sum join,
+    # and vt feeds the two-phase prefix machinery (boundary sample +
+    # in-bucket window + per-bucket totals = 3 consumers) AND the tie
+    # aggregate — without the cuts the orders scan + (v, g) shuffle
+    # replayed ~5x and the (v) re-aggregate ~4x. Both frames are
+    # narrow value-histograms (~24 B/row, strictly smaller than the
+    # pass that produces them), the engine's standing
+    # store-once-vs-rescan trade.
     gv = (o.groupBy(F.col("o_totalprice").alias("v"),
                     F.col("o_orderpriority").alias("g"))
-          .agg(F.count(F.lit(1)).alias("cnt")))
-    vt = gv.groupBy("v").agg(F.sum("cnt").alias("t"))
-    vr = (W.running_sum_distributed(vt, "v", "t", "cum")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .localCheckpoint(eager=True))
+    vt = (gv.groupBy("v").agg(F.sum("cnt").alias("t"))
+          .localCheckpoint(eager=True))
+    # bucket_key: the order key IS a numeric scalar, so take the
+    # O(1)/row assignment unconditionally (the byte-gated auto
+    # dispatch stays off at this input size, but with one helper call
+    # the fast path's fixed sample job is cheaper than the
+    # interpreted boundary scan here — measured on this query)
+    vr = (W.running_sum_distributed(vt, "v", "t", "cum",
+                                    bucket_key=F.col("v"))
           .select("v", "t", (F.col("cum") - F.col("t")).alias("cb")))
     gr = (gv.join(vr, "v")
           .groupBy("g")
@@ -7412,6 +7428,11 @@ def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 0)
                      .otherwise(1)).alias("ty")))
     gv = gv.withColumn("t", F.col("tx") + F.col("ty"))
+    # r9 opt (guide §5): the fused helper still consumes gv from 3
+    # branches (boundary sample, in-bucket window, per-bucket totals),
+    # each replaying the orders scan + per-value shuffle; one narrow
+    # (~32 B/row) checkpoint runs that once.
+    gv = gv.localCheckpoint(eager=True)
     # ONE fused two-phase pass for both prefix sums (r8 verdict
     # Next-round #3: the chained running_sum_distributed calls
     # re-executed the distinct-value agg ~4x — each call runs its own
@@ -7420,7 +7441,8 @@ def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-cell window, identical values.
     pr = W.running_sums_grouped_distributed(
         gv, [], F.col("v"),
-        {"cumx": F.col("tx"), "cumt": F.col("t")})
+        {"cumx": F.col("tx"), "cumt": F.col("t")},
+        bucket_key=F.col("v"))
     av = pr.select(
         "tx", "ty",
         (2 * (F.col("cumt") - F.col("t")) + F.col("t") + 1).alias("r2"),
