@@ -35,11 +35,12 @@ def set_equality(a: DataFrame, b: DataFrame) -> DataFrame:
     Output: single row DataFrame[in_sync: boolean] computed via symmetric
     exceptAll counts (no driver-side set materialization).
     """
+    from pmc_conversion_spark.util import local_df
     only_a = a.exceptAll(b).count()
     only_b = b.exceptAll(a).count()
     spark = a.sparkSession
-    return spark.createDataFrame([(only_a == 0 and only_b == 0,)],
-                                 "in_sync boolean")
+    return local_df(spark, [(only_a == 0 and only_b == 0,)],
+                    "in_sync boolean")
 
 
 def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -49,8 +49,9 @@ def flatten_tree(nodes: list[dict], top_node: str) -> list[dict]:
 
 def ontology_df(spark: SparkSession, nodes: list[dict],
                 top_node: str) -> DataFrame:
-    return spark.createDataFrame(
-        flatten_tree(nodes, top_node),
+    from pmc_conversion_spark.util import local_df
+    return local_df(
+        spark, flatten_tree(nodes, top_node),
         "path string, name string, concept_code string, depth int, "
         "sort_order int")
 

@@ -93,8 +93,9 @@ def load_frames(spark: SparkSession, data_dir: str,
                 parse_codebook_file
             rows = parse_codebook_file(os.path.join(data_dir, cb))
             cb_columns[cb] = sorted({r[0] for r in rows})
-            codebooks[cb] = spark.createDataFrame(
-                rows, "column string, code string, label string")
+            from pmc_conversion_spark.util import local_df
+            codebooks[cb] = local_df(
+                spark, rows, "column string, code string, label string")
         # The codebook parse is driver-side already — record each
         # file's decodable columns in the config so the compiler never
         # runs a distinct() Spark job just to learn them (was ~0.2 s

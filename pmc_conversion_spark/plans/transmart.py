@@ -124,10 +124,11 @@ def tree_table(ontology: DataFrame, top_node: str) -> DataFrame:
     (public i2b2 convention); ``m_applied_path = '@'`` for plain
     concepts.
     """
+    from pmc_conversion_spark.util import local_df
     spark = ontology.sparkSession
     root_name = top_node.strip(SEP)
-    root = spark.createDataFrame(
-        [(0, SEP + root_name + SEP, root_name, None, "CA", "@")],
+    root = local_df(
+        spark, [(0, SEP + root_name + SEP, root_name, None, "CA", "@")],
         "c_hlevel int, c_fullname string, c_name string, "
         "c_basecode string, c_visualattributes string, "
         "m_applied_path string")
@@ -146,8 +147,9 @@ def study_frame(spark: SparkSession, study_id: str) -> DataFrame:
     """transmart-copy ``study``: a single row binding the study id to
     its secure object token (``PUBLIC`` — the reference loads one open
     study per pipeline run, luigi.cfg-sample:30)."""
-    return spark.createDataFrame(
-        [(1, study_id, "PUBLIC")],
+    from pmc_conversion_spark.util import local_df
+    return local_df(
+        spark, [(1, study_id, "PUBLIC")],
         "study_num int, study_id string, secure_obj_token string")
 
 

@@ -824,7 +824,8 @@ def join_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("c_custkey").cast("string")))
            % 360000) / 1000.0 - 180.0
     cust = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
-    wh = spark.createDataFrame(_WAREHOUSES, "wid int, wlat double, wlon double")
+    from pmc_conversion_spark.util import local_df
+    wh = local_df(spark, _WAREHOUSES, "wid int, wlat double, wlon double")
     km = F.round(2 * 6371.0 * F.asin(F.sqrt(
         F.pow(F.sin(F.radians(F.col("wlat") - F.col("lat")) / 2), 2)
         + F.cos(F.radians("lat")) * F.cos(F.radians("wlat"))
@@ -1827,7 +1828,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (e.select(F.col("u").alias("n"))
            .unionAll(e.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
-    ks = spark.createDataFrame([(2,), (4,), (6,), (8,)], "k int")
+    from pmc_conversion_spark.util import local_df
+    ks = local_df(spark, [(2,), (4,), (6,), (8,)], "k int")
     rich = ks.join(deg, deg.d > ks.k).select("k", "n")
     nk = rich.groupBy("k").agg(F.count(F.lit(1)).alias("n_rich"))
     r1 = rich.select(F.col("k"), F.col("n").alias("u"))
@@ -1977,8 +1979,9 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = [(x1, y1, x2, y2)
              for (x1, y1), (x2, y2)
              in zip(verts, verts[1:] + verts[:1])]
-    poly = pts.sparkSession.createDataFrame(
-        edges, "x1 int, y1 int, x2 int, y2 int")
+    from pmc_conversion_spark.util import local_df
+    poly = local_df(pts.sparkSession, edges,
+                    "x1 int, y1 int, x2 int, y2 int")
     e = pts.crossJoin(F.broadcast(poly))
     lhs = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
     rhs = (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))

@@ -4615,8 +4615,9 @@ def ts_ses_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sort_array(F.collect_list("s")).alias("ss"))
               .filter(F.size("ss") >= 2)
               .withColumn("xs", F.expr("transform(ss, s -> s.x)")))
-    alphas = spark.createDataFrame(
-        [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "alpha double")
+    from pmc_conversion_spark.util import local_df
+    alphas = local_df(
+        spark, [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "alpha double")
     grid = series.crossJoin(F.broadcast(alphas))
     fin = grid.withColumn("st", F.expr(
         "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), "

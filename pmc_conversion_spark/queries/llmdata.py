@@ -767,18 +767,25 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, n_tokens) of surviving docs.
     """
     d = _docs_with_dups(spark, sf_dir)
-    fp = d.select("doc_id", "text",
-                  TX.fingerprint_md5(F.col("text")).alias("fp"))
-    keep = (fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
     cnt = TX.repetition_counts(F.col("text"))
-    feats = d.select(
-        "doc_id", TX.token_count_ws(F.col("text")).alias("n_tokens"),
-        cnt["n_ngrams_total"].alias("nt"),
-        cnt["n_ngrams_distinct"].alias("nd"))
-    return (feats.join(keep.select("doc_id"), "doc_id")
-            .filter((F.col("n_tokens") >= 5)
-                    & (10 * F.col("nd") >= 7 * F.col("nt")))
-            .select("doc_id", "n_tokens"))
+    # ONE text scan computes fingerprint AND features; the exact-dedup
+    # representative (min doc_id per fingerprint) is the struct-min with
+    # doc_id as the leading field — doc_id is unique, so the min struct
+    # IS the min-id row and its features ride along. This replaces the
+    # old fp-scan + keep-set join (a second corpus read plus a two-sided
+    # corpus shuffle) with a single ~40 B/row digest shuffle (guide
+    # §2.3); values are identical by construction.
+    rows = d.select(
+        TX.fingerprint_md5(F.col("text")).alias("fp"),
+        F.struct(F.col("doc_id"),
+                 TX.token_count_ws(F.col("text")).alias("n_tokens"),
+                 cnt["n_ngrams_total"].alias("nt"),
+                 cnt["n_ngrams_distinct"].alias("nd")).alias("s"))
+    rep = rows.groupBy("fp").agg(F.min("s").alias("s"))
+    return (rep.filter((F.col("s.n_tokens") >= 5)
+                       & (10 * F.col("s.nd") >= 7 * F.col("s.nt")))
+            .select(F.col("s.doc_id").alias("doc_id"),
+                    F.col("s.n_tokens").alias("n_tokens")))
 
 
 @register(
@@ -1998,8 +2005,10 @@ def _farthest_point_chosen(emb: DataFrame, k: int) -> DataFrame:
                .orderBy(F.col("dmin").desc(), F.col("vec_id"))
                .limit(1).collect())[0]
         chosen.append((r, nxt["vec_id"], nxt["dmin"], list(nxt["v"])))
-    return emb.sparkSession.createDataFrame(
-        chosen, "seed_rank int, vec_id bigint, dist double, v array<double>")
+    from pmc_conversion_spark.util import local_df
+    return local_df(
+        emb.sparkSession, chosen,
+        "seed_rank int, vec_id bigint, dist double, v array<double>")
 
 
 @register(

@@ -149,8 +149,9 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = (_t(spark, sf_dir, "orders")
          .select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")))
-    dim = spark.createDataFrame(
-        [(None, "open-missing"), ("F", "final")],
+    from pmc_conversion_spark.util import local_df
+    dim = local_df(
+        spark, [(None, "open-missing"), ("F", "final")],
         StructType([StructField("k", StringType()),
                     StructField("label", StringType())]))
     return (o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]))

@@ -8002,8 +8002,8 @@ def agg_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")).alias("x")))
     ix = (W.surrogate_key_distributed(daily, "d", out_col="rn")
           .select("x", (F.col("rn") - 1).alias("i")))
-    win = ix.sparkSession.createDataFrame(
-        [(16,), (32,), (64,), (128,)], "n int")
+    from pmc_conversion_spark.util import local_df
+    win = local_df(ix.sparkSession, [(16,), (32,), (64,), (128,)], "n int")
     blk = (ix.crossJoin(F.broadcast(win))
            .select("n", F.expr("i div n").alias("b"),
                    (F.col("i") % F.col("n")).alias("k"), "x"))
@@ -13495,8 +13495,9 @@ def agg_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.exp(F.sum(F.log(1 - F.col("d").cast("double")
                                     / F.col("n_t").cast("double")))
                         .over(wfwd)).alias("s")))
-    sentinel = (km.sparkSession
-                .createDataFrame([(0, 1.0)], "dur: bigint, s: double"))
+    from pmc_conversion_spark.util import local_df
+    sentinel = local_df(km.sparkSession, [(0, 1.0)],
+                        "dur: bigint, s: double")
     steps = (sentinel.unionByName(
         km.filter(F.col("dur") < 365)
         .select(F.col("dur").cast("bigint"), "s")))

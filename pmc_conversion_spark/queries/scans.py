@@ -420,7 +420,8 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the engine's own csv writer and read back; every hazard
     value must survive byte-exactly."""
     d = _scratch("scan_csv_multiline")
-    rows = spark.createDataFrame(_CSV_HAZARDS, "id int, payload string")
+    from pmc_conversion_spark.util import local_df
+    rows = local_df(spark, _CSV_HAZARDS, "id int, payload string")
     (rows.coalesce(1).write.mode("overwrite")
      .option("header", True).option("quoteAll", True)
      .option("escape", '"').csv(d))

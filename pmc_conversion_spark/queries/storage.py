@@ -210,8 +210,10 @@ def dq_schema_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "added" if ta is None else
                   "unchanged" if ta == tb else "type_changed")
         rows.append((col, status, ta, tb))
-    return spark.createDataFrame(
-        rows, "col_name string, status string, type_a string, type_b string")
+    from pmc_conversion_spark.util import local_df
+    return local_df(
+        spark, rows,
+        "col_name string, status string, type_a string, type_b string")
 
 
 @register("sink_merge_on_read", oracle="""

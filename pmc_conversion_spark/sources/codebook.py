@@ -82,6 +82,6 @@ def parse_codebook_file(path: str) -> list[tuple[str, str, str]]:
 def codebook_df(spark: SparkSession, path: str) -> DataFrame:
     """Read + parse a real codebook file into the broadcastable
     ``(column, code, label)`` mapping frame."""
+    from pmc_conversion_spark.util import local_df
     rows = parse_codebook_file(path)
-    return spark.createDataFrame(
-        rows, "column string, code string, label string")
+    return local_df(spark, rows, "column string, code string, label string")

@@ -47,6 +47,30 @@ def unique_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}_{next(_UNIQ)}"
 
 
+def local_df(spark, rows, schema: str) -> DataFrame:
+    """Driver-list → DataFrame via pandas/Arrow (``LocalTableScan``).
+
+    ``createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` slices of a *Python* RDD; every scan of the
+    frame forks Python workers per slice, and a downstream
+    ``coalesce(1)`` walks all ~32 near-empty parents through one
+    sequential Python-runner round each — measured ~5 s PER ACTION for
+    a 1-row frame on local[32] (the transmart staging writes). The
+    pandas/Arrow route ships one Arrow batch to the JVM and plans as a
+    single-partition ``LocalTableScan``: no Python workers, coalesce
+    is free. Rows may be tuples or dicts; values must be
+    Arrow-convertible (the case for every fixture here).
+    """
+    import pandas as pd
+    if isinstance(schema, str):
+        names = [c.strip().split()[0].rstrip(":")
+                 for c in schema.split(",")]
+    else:  # StructType
+        names = list(schema.fieldNames())
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
 def target_partitions(df: DataFrame) -> int:
     """The session's shuffle-partition setting (AQE re-coalesces at
     runtime anyway); falls back to default parallelism."""

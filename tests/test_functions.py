@@ -345,3 +345,43 @@ def test_jpeg_codec_entropy_layers():
         MM.decode_jpeg_gray(bytes(prog))
     with _pytest.raises(ValueError):
         MM.decode_jpeg_gray(b"\x89PNG not a jpeg")
+
+
+def test_local_df_arrow_local_table_scan(spark):
+    """local_df must plan as a single-partition LocalTableScan (Arrow
+    batch shipped to the JVM) — never a parallelized Python RDD scan.
+
+    createDataFrame(list, schema) slices tiny driver lists into
+    defaultParallelism Python-RDD partitions; a downstream coalesce(1)
+    then walks every near-empty parent through its own sequential
+    Python-runner round (~5 s per action for a 1-row frame on
+    local[32] — the transmart staging writes). The r9-opt fix routes
+    every tiny-fixture site through local_df; this pins the plan shape
+    and the value semantics (None in string and leading-typed columns,
+    bools, doubles, array columns) against regression.
+    """
+    from pmc_conversion_spark.util import local_df
+
+    df = local_df(
+        spark,
+        [(1, "a", None, 1.5, True, [1.0, 2.0]),
+         (2, None, "y", -0.0, False, [])],
+        "id int, s1 string, s2 string, x double, b boolean, "
+        "v array<double>")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+    # JVM-local rows: at most one partition per row, never a
+    # defaultParallelism-wide fan of near-empty Python slices
+    assert df.rdd.getNumPartitions() <= 2
+
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["s2"] is None and rows[2]["s1"] is None
+    assert rows[1]["v"] == [1.0, 2.0] and rows[2]["v"] == []
+    assert rows[1]["b"] is True and rows[2]["b"] is False
+    assert str(rows[2]["x"]) == "-0.0"  # IEEE sign preserved
+
+    # dict rows + colon-DDL names resolve identically
+    d2 = local_df(spark, [{"dur": 0, "s": 1.0}], "dur: bigint, s: double")
+    assert d2.collect() == [(0, 1.0)]
+    assert "LocalTableScan" in d2._jdf.queryExecution().executedPlan().toString()
