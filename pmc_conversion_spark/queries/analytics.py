@@ -922,7 +922,16 @@ def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and the radius test are exact on both engines (a float
     grid would put boundary points in different cells per engine —
     DuckDB evaluates 0.01-literals as exact decimals, Spark as
-    doubles)."""
+    doubles).
+
+    No dedup pass (r9 opt): each qualifying pair is emitted by EXACTLY
+    one join row — the right side registers in its single home cell,
+    the left side's 9 probe cells are distinct, and ``a.id < b.id``
+    kills the reverse direction — so the result is duplicate-free by
+    construction and the old trailing ``.distinct()`` was a full
+    result-sized shuffle + two hash aggregates deduping nothing
+    (guide §2.1: remove the shuffle outright). Verified hash-exact
+    vs the oracle at sf0.001/0.01/0.1."""
     c = tables.load(spark, sf_dir, "customer")
     pts = c.select(F.col("c_custkey").alias("id"),
                    (F.col("c_custkey") % 83).alias("latc"),
@@ -950,8 +959,7 @@ def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
                     F.round(F.sqrt(d2.cast("double")) / 100.0, 6)
-                    .alias("dist"))
-            .distinct())
+                    .alias("dist")))
 
 
 def _lpa_iter_sql(prev: str, out: str) -> str:

@@ -963,3 +963,28 @@ def test_anchored_vwap_has_no_group_sized_window_partition(spark, qs):
             f"window partitioned only by {spec} over non-aggregated "
             f"input — a group-sized partition that grows with corpus "
             f"scale")
+
+
+def test_geo_grid_radius_has_no_dedup_aggregate(spark, qs):
+    # r9 opt: each qualifying pair is emitted by exactly one probe
+    # direction (right side sits in its single home cell, the left
+    # side's 9 probe cells are distinct, a.id < b.id kills the
+    # reverse), so the result is duplicate-free by construction and
+    # the plan must not pay a result-sized distinct shuffle: the only
+    # aggregate-free shape is join + filter + project.
+    plan = plan_of(qs["join_geo_grid_radius"](spark, SF_DIR))
+    assert "HashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_maxsim_scores_map_side_no_aggregate(spark, qs):
+    # r9 opt: the whole 4x4 sub-pair MaxSim score is one map-side
+    # projection per (query, candidate) against the broadcast query
+    # frame — the per-i max is greatest(), not a groupBy, so the only
+    # shuffle left is the final top-3 rank window. Sub-norms are
+    # factored per row: no aggregate may appear below the window.
+    plan = plan_of(qs["sim_maxsim_multivector"](spark, SF_DIR))
+    assert "HashAggregate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast queries
+    assert "SortMergeJoin" not in plan
