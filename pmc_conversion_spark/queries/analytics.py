@@ -368,12 +368,21 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
 
     def bottom(status: str, tag: str):
+        # r9 opt (guide §5 lineage replay): each side's distinct set
+        # feeds THREE consumers (bottom-k hashes, exact count, exact
+        # intersection join) and the 256-row bottom-k feeds two
+        # (theta, common) — without truncation the orders scan +
+        # distinct replayed 3x per side in one plan. The checkpointed
+        # frames are strictly smaller than the pass producing them
+        # (distinct keys; k rows).
         s = (orders.filter(F.col("o_orderstatus") == status)
-             .select("o_custkey").distinct())
+             .select("o_custkey").distinct()
+             .localCheckpoint(eager=True))
         h = s.select(md5_int60(
             F.concat(F.lit("th1:"), F.col("o_custkey").cast("string")))
             .alias("h"))
-        bot = h.orderBy("h").limit(_THETA_K)
+        bot = (h.orderBy("h").limit(_THETA_K)
+               .localCheckpoint(eager=True))
         theta = bot.agg(
             F.when(F.count(F.lit(1)) < _THETA_K, F.lit(1 << 60))
             .otherwise(F.max("h")).alias(f"theta_{tag}"),

@@ -2775,9 +2775,14 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the hourly frame — bounded by the time range, never by row
     count."""
     e = _events(spark, sf_dir)
+    # r9 opt (guide §5): hourly feeds t0 + the series projection, and
+    # the detrended frame feeds the seasonal agg + the residual join —
+    # each consumer replayed the events scan (plan: 6 scans → 1). Both
+    # frames are bounded by the TIME RANGE, not the row count.
     hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
               .agg(F.count(F.lit(1)).alias("c"))
-              .select(F.col("w.start").alias("h"), "c"))
+              .select(F.col("w.start").alias("h"), "c")
+              .localCheckpoint(eager=True))
     t0 = hourly.agg(F.min("h").alias("t0"))
     s = (hourly.crossJoin(F.broadcast(t0))
          .select(F.expr("timestampdiff(HOUR, t0, h)").alias("n"),
@@ -2788,7 +2793,8 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / F.count(F.lit(1)).over(w)).alias("trend"))
     dt = tr.select("n", "hod",
                    F.round(F.col("c") - F.col("trend"), 6)
-                   .cast("decimal(18,6)").alias("d"))
+                   .cast("decimal(18,6)").alias("d")) \
+        .localCheckpoint(eager=True)
     se = (dt.groupBy("hod")
           .agg(F.count(F.lit(1)).alias("n_obs"),
                (F.sum("d").cast("double") / F.count(F.lit(1)))
@@ -6060,7 +6066,10 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p", *[f"w{k}" for k in range(7)],
         mu.alias("mu"),
         F.sqrt(s2.cast("double") / 7.0 - mu * mu).alias("sg"))
-    g = st.filter(F.col("sg") > 0)
+    # r9 opt (guide §5): both sides of the all-pairs self-join
+    # replayed the orders scan + daily agg + lead window (plan: 2
+    # scans → 1); the window frame is calendar-bounded (~2.4k rows)
+    g = st.filter(F.col("sg") > 0).localCheckpoint(eager=True)
     b = g.select(F.col("p").alias("q"), F.col("mu").alias("mu_b"),
                  F.col("sg").alias("sg_b"),
                  *[F.col(f"w{k}").alias(f"v{k}") for k in range(7)])
@@ -8096,7 +8105,14 @@ def agg_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("d"))
              .agg(F.count(F.lit(1)).cast(dec).alias("x"),
                   F.sum(F.round(F.col("o_totalprice") * 100).cast(dec))
-                  .cast(dec).alias("y")))
+                  .cast(dec).alias("y"))
+             # r9 opt (guide §5): the calendar-bounded daily frame
+             # feeds both cross-join sides and is replayed again for
+             # each of the two pair-frame consumers — each replay was
+             # a full orders scan + agg (plan: 4 scans → 1); the pair
+             # frame itself stays lazy (recomputing the tiny cross
+             # join is cheaper than storing ~5.8M rows)
+             .localCheckpoint(eager=True))
     a = daily.alias("a")
     b = daily.alias("b")
     pairs = (a.crossJoin(b)

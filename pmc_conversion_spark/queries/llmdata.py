@@ -1535,9 +1535,14 @@ def vocab_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales); the argmax is a 1-row broadcast back."""
     from pmc_conversion_spark.functions.text import ws_tokens
     d = _docs(spark, sf_dir)
+    # r9 opt (guide §5): the vocabulary count frame feeds the symbol
+    # frame (itself read by the pair stats AND the merge count) and
+    # the total-symbols agg — each consumer replayed the corpus
+    # explode (plan: 3 documents scans → 1). Vocabulary-sized.
     vocab = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
                       .alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
     chars = F.transform(
         F.sequence(F.lit(1), F.length("tok")),
         lambda i: F.col("tok").substr(i, F.lit(1)))
@@ -2250,10 +2255,17 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (t.filter(F.size("tk") > 1)
              .select(F.explode(F.concat(offs(1), offs(2))).alias("p"))
              .select("p.a", "p.b"))
-    cxy = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_xy"))
+    # r9 opt (guide §5): cxy feeds both the scored join and the total,
+    # cx feeds both broadcast sides — each consumer replayed the
+    # corpus tokenize+explode (plan was 4 documents scans → 2). Both
+    # frames are vocabulary-bounded; the pair total is the exact
+    # integer sum of the pair counts, never a second pair pass.
+    cxy = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_xy"))
+           .localCheckpoint(eager=True))
     cx = (t.select(F.explode("tk").alias("tok"))
-          .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
-    tot = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+          .localCheckpoint(eager=True))
+    tot = cxy.agg(F.sum("n_xy").alias("n_pairs"))
     ca = cx.select(F.col("tok").alias("a"), F.col("n").alias("na"))
     cb = cx.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
     scored = (cxy.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
@@ -2906,7 +2918,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     t = d.select("doc_id",
                  F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # r9 opt (guide §5): tf feeds both the df re-agg and the scored
+    # join — checkpoint it so the corpus explode runs once (the doc
+    # count n is a footer-only count scan, left as is)
+    tf = (t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (tf.join(F.broadcast(dfq), "tok").crossJoin(F.broadcast(n))
@@ -5009,9 +5025,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the token count."""
     from pmc_conversion_spark.functions.text import ws_tokens
     d = _docs(spark, sf_dir)
+    # r9 opt (guide §5): tf feeds the top-K cut and the total-mass
+    # agg — both replayed the corpus explode (plan: 3 documents scans
+    # → 1). Vocabulary-sized.
     tf = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
                    .alias("tok"))
-          .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+          .localCheckpoint(eager=True))
     # Only ranks ≤ max(K)=500 contribute to the curve, so pre-cut the
     # vocabulary with a distributed TakeOrdered (orderBy().limit) and
     # rank inside the bounded 500-row frame — never a single-partition
@@ -5173,23 +5193,30 @@ def vocab_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(toks) - 2), "
         "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).alias("p")) \
         .select("p.w1", "p.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # r9 opt (guide §5): c2 fed both the prefix re-agg and the scored
+    # join, vv fed two cross joins, and contrib was aggregated twice —
+    # each consumer replayed the corpus explode (plan: 7 documents
+    # scans → 2). Checkpoint the vocabulary-sized count frames and
+    # fuse the three output aggregates into ONE pass over contrib
+    # (count/sum/decimal-sum are order-insensitive — same values).
+    c2 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+          .localCheckpoint(eager=True))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vv = (d.select(F.explode(toks).alias("tok"))
-          .agg(F.countDistinct("tok").alias("v")))
+          .agg(F.countDistinct("tok").alias("v"))
+          .localCheckpoint(eager=True))
     contrib = (c2.join(c1, "w1").crossJoin(F.broadcast(vv))
                .select("c2", F.round(
                    -F.col("c2") * F.log((F.col("c2") + 1)
                                         / (F.col("c1") + F.col("v"))
                                         .cast("double")), 8)
                    .cast("decimal(28,8)").alias("nll")))
-    return contrib.agg(
+    return (contrib.agg(
         F.count(F.lit(1)).alias("n_bigram_types"),
         F.sum("c2").alias("n_bigrams"),
-        F.first(F.lit(None)).alias("_drop")).drop("_drop").crossJoin(
-        F.broadcast(vv.select(F.col("v").alias("vocab_v")))).crossJoin(
-        F.broadcast(contrib.agg(
-            F.round(F.sum("nll").cast("double"), 4).alias("total_nll"))))
+        F.round(F.sum("nll").cast("double"), 4).alias("total_nll"))
+        .crossJoin(F.broadcast(vv.select(F.col("v").alias("vocab_v"))))
+        .select("n_bigram_types", "n_bigrams", "vocab_v", "total_nll"))
 
 
 @register(
@@ -6247,8 +6274,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     t = d.select("doc_id",
                  F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r9 opt (guide §2.2/§5): same derivation as agg_ndcg_eval — doc
+    # length is the integer sum of per-doc term frequencies, so the
+    # corpus explode has ONE consumer and the checkpointed count
+    # frames stop the tf/dl replays (plan: 4 documents scans → 1).
+    tf = (t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
+    dl = (tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+          .localCheckpoint(eager=True))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
@@ -6483,8 +6516,15 @@ def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     t = d.select("doc_id",
                  F.explode(TX.ws_tokens(F.lower(F.col("text")))).alias("tok"))
-    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r9 opt (guide §2.2/§5): doc length is the integer sum of the
+    # per-doc term frequencies (same doc set: ≥1 token ⇔ ≥1 (doc,
+    # term) pair), so the corpus explode has ONE consumer, and the
+    # checkpoints stop tf/dl replaying for their 2 consumers each
+    # (plan: 8 documents scans → 1).
+    tf = (t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
+    dl = (tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+          .localCheckpoint(eager=True))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
@@ -10608,17 +10648,26 @@ def text_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id",
                     F.explode(ws_tokens(F.lower(F.col("text"))))
                     .alias("tok"))
+    # r9 opt (guide §5): dl feeds the total + the share projection,
+    # the share frame feeds its own total + the present-share join,
+    # and tf feeds the top-20 + that join — each consumer replayed a
+    # corpus scan (plan: 6 documents scans → 2). All three
+    # checkpointed frames are per-doc / per-(doc, term) counts,
+    # strictly smaller than the scans producing them.
     dl = (d.select("doc_id",
                    F.size(ws_tokens(F.lower(F.col("text"))))
-                   .alias("nt")))
+                   .alias("nt"))
+          .localCheckpoint(eager=True))
     tot = dl.agg(F.sum("nt").cast(dec).alias("nn"))
     sd = (dl.crossJoin(F.broadcast(tot))
           .select("doc_id",
                   F.round(F.col("nt").cast("double")
                           / F.col("nn").cast("double")
-                          * 1000000000.0).cast(dec).alias("s")))
+                          * 1000000000.0).cast(dec).alias("s"))
+          .localCheckpoint(eager=True))
     ts_ = sd.agg(F.sum("s").alias("stot"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    tf = (toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+          .localCheckpoint(eager=True))
     top = (tf.groupBy("tok").agg(F.sum("f").cast(dec).alias("ft"))
            .orderBy(F.col("ft").desc(), "tok").limit(20))
     pres = (tf.join(F.broadcast(top), "tok")
@@ -10771,12 +10820,23 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id",
                    F.explode(TX.ws_tokens(F.lower(F.col("text"))))
                    .alias("tok"))
-    mx = d.agg((F.max("doc_id") + 1).alias("md"))
+    # r9 opt (guide §2.2/§5): the N(t) curve is the integer sum of
+    # PER-DOC token counts — it never needed the explode — and the
+    # 1-row max-doc-id frame fed two broadcast builds, each replaying
+    # a corpus scan. One 16-byte/row per-doc count pass, checkpointed,
+    # serves both (plan: 4 documents scans → 2; the explode remains
+    # only for the first-document-per-type curve).
+    tc = (d.select("doc_id",
+                   F.size(TX.ws_tokens(F.lower(F.col("text"))))
+                   .alias("nt"))
+          .localCheckpoint(eager=True))
+    mx = tc.agg((F.max("doc_id") + 1).alias("md")) \
+        .localCheckpoint(eager=True)
     firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
     dec = "decimal(38,0)"
     # conditional-aggregate both curves at the 10 checkpoints in one
     # pass over each frame (thresholds are exact integer floors)
-    tokm = tok.crossJoin(F.broadcast(mx))
+    tokm = tc.crossJoin(F.broadcast(mx))
     firstm = firsts.crossJoin(F.broadcast(mx))
     # integer `div`, matching the oracle's HUGEINT floor-division
     # exactly at ANY corpus size (r8 ADVICE #1: the old
@@ -10784,7 +10844,8 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only while md*t < 2^53)
     thr = lambda t: F.expr(f"(md * {t}) div 10")
     npass = tokm.agg(*[
-        F.sum(F.when(F.col("doc_id") < thr(t), 1).otherwise(0))
+        F.sum(F.when(F.col("doc_id") < thr(t), F.col("nt"))
+              .otherwise(0))
         .cast(dec).alias(f"n{t}") for t in range(1, 11)])
     vpass = firstm.agg(*[
         F.sum(F.when(F.col("fd") < thr(t), 1).otherwise(0))
@@ -10931,28 +10992,40 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word means/SDs are ratios of exact hugeints and each z is one
     deterministic double; the pair stage runs on the bounded
     (30 words × sources) frame and the per-pair mean quantizes |Δz|
-    before the exact sum. Corpus-scale cost is the two token
-    partial-aggs; everything after is constant-sized."""
+    before the exact sum.
+
+    One corpus pass (r9 opt, guide §2.2/§5): the source totals, the
+    global top-30 and the per-source top-30 counts are all integer
+    sums over the same (source, tok) count frame, so they derive from
+    ONE tokenize+explode+groupBy pass checkpointed at vocabulary size
+    (was: three independent consumers each replaying the corpus
+    explode — 3 scans → 1). The (sources × 30) q12 frame is
+    checkpointed too, so the wm/z/pair self-join tail reads it once.
+    All derived counts are exact-integer sums of partial counts —
+    bit-identical to the per-pass counts they replace."""
     d = _docs(spark, sf_dir)
     dec = "decimal(38,0)"
     tok = d.select("source",
                    F.explode(TX.ws_tokens(F.lower(F.col("text"))))
                    .alias("tok"))
-    stot = tok.groupBy("source").agg(F.count(F.lit(1)).cast(dec)
-                                     .alias("n_s"))
-    top30 = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    base = (tok.groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("c0"))
+            .localCheckpoint(eager=True))
+    stot = base.groupBy("source").agg(F.sum("c0").cast(dec)
+                                      .alias("n_s"))
+    top30 = (base.groupBy("tok").agg(F.sum("c0").alias("n"))
              .orderBy(F.col("n").desc(), F.col("tok").asc())
              .limit(30).select("tok"))
-    cnts = (tok.join(F.broadcast(top30), "tok")
-            .groupBy("source", "tok")
-            .agg(F.count(F.lit(1)).cast(dec).alias("c")))
+    cnts = (base.join(F.broadcast(top30), "tok")
+            .select("source", "tok", F.col("c0").cast(dec).alias("c")))
     grid = stot.crossJoin(F.broadcast(top30))
     q = (grid.join(cnts, ["source", "tok"], "left")
          .select("source", "tok",
                  F.round(F.coalesce(F.col("c"), F.lit(0))
                          .cast("double")
                          / F.col("n_s").cast("double") * 1e12, 0)
-                 .cast(dec).alias("q12")))
+                 .cast(dec).alias("q12"))
+         .localCheckpoint(eager=True))
     wm = (q.groupBy("tok")
           .agg(F.count(F.lit(1)).cast(dec).alias("k"),
                F.sum("q12").alias("sq"),

@@ -6878,7 +6878,11 @@ def agg_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (li.groupBy(F.round("l_quantity").cast("bigint").alias("q"),
                     F.round(F.col("l_discount") * 100).cast("bigint")
                     .alias("d"))
-         .agg(F.count(F.lit(1)).alias("c")))
+         .agg(F.count(F.lit(1)).alias("c"))
+         # r9 opt (guide §5): the ~550-cell grid feeds FIVE consumers
+         # (both self-join sides, n, and the two tie marginals) — each
+         # replayed the lineitem scan + partial agg (plan: 5 scans → 1)
+         .localCheckpoint(eager=True))
     a = h.select(F.col("q").alias("qa"), F.col("d").alias("da"),
                  F.col("c").alias("ca"))
     b = h.select(F.col("q").alias("qb"), F.col("d").alias("db"),
@@ -11389,7 +11393,10 @@ def agg_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("o_totalprice") * 100).cast(dec)
                       .alias("pc"))
              .groupBy("d").agg(F.count(F.lit(1)).alias("x"),
-                               F.sum("pc").alias("y")))
+                               F.sum("pc").alias("y"))
+             # r9 opt (guide §5): both self-join sides replayed the
+             # orders scan + agg (plan: 2 scans → 1); calendar-bounded
+             .localCheckpoint(eager=True))
     b = daily.select(F.col("d").alias("bd"), F.col("x").alias("bx"),
                      F.col("y").alias("by"))
     pairs = daily.join(F.broadcast(b), F.col("d") != F.col("bd"))
@@ -11814,7 +11821,13 @@ def agg_harrell_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ev"),
         F.col("l_quantity").cast("bigint").alias("q"))
         .groupBy("dur", "ev", "q")
-        .agg(F.count(F.lit(1)).cast(dec).alias("n")))
+        .agg(F.count(F.lit(1)).cast(dec).alias("n"))
+        # bounded (≤ days × events × scores rows): checkpoint so the
+        # four consumers below (a, bb, durs, qs) read it once instead
+        # of replaying the fact scan + dim join + aggregate 4× in one
+        # plan (r9 opt, guide §5 lineage replay; plan was 4 copies of
+        # the lineitem+orders subtree, 0 ReusedExchange)
+        .localCheckpoint(eager=True))
     a = (cells.filter(F.col("ev") == 1)
          .groupBy("dur", "q").agg(F.sum("n").alias("n1")))
     bb = cells.groupBy("dur", "q").agg(F.sum("n").alias("n2"))
@@ -13068,9 +13081,14 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(600)).alias("bin"),
                  F.substring("o_orderpriority", 1, 1)
                  .cast("int").alias("g"))
+    # r9 opt (guide §5): the ~560-bin histogram feeds the running-sum
+    # stage AND (via exact column sums — a group absent from the data
+    # is an all-zero ng contributing zero to every moment) the group
+    # sizes, so the orders scan runs once (plan: 2 scans → 1).
     hist = (x.groupBy("bin")
             .agg(*[F.sum(F.when(F.col("g") == i, 1).otherwise(0))
-                   .cast(dec).alias(f"c{i}") for i in range(1, 6)]))
+                   .cast(dec).alias(f"c{i}") for i in range(1, 6)])
+            .localCheckpoint(eager=True))
     wb = (Window.orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, -1))
     run = hist.select(
@@ -13087,14 +13105,15 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(tj * (tj - 1) * (2 * tj + 5)).alias("t25"),
                 F.sum(tj * (tj - 1)).alias("t2"),
                 F.sum(tj * (tj - 1) * (tj - 2)).alias("t3"))
-    gsz = x.groupBy("g").agg(F.count(F.lit(1)).cast(dec).alias("ng"))
-    gs = gsz.agg(F.sum("ng").alias("n"),
-                 F.sum(F.col("ng") * F.col("ng")).alias("n2"),
-                 F.sum(F.col("ng") * (F.col("ng") - 1)
-                       * (2 * F.col("ng") + 5)).alias("g25"),
-                 F.sum(F.col("ng") * (F.col("ng") - 1)).alias("g2"),
-                 F.sum(F.col("ng") * (F.col("ng") - 1)
-                       * (F.col("ng") - 2)).alias("g3"))
+    gcols = hist.agg(*[F.sum(f"c{i}").cast(dec).alias(f"ng{i}")
+                       for i in range(1, 6)])
+    ngs = [F.col(f"ng{i}") for i in range(1, 6)]
+    gs = gcols.select(
+        sum(ngs).alias("n"),
+        sum(g * g for g in ngs).alias("n2"),
+        sum(g * (g - 1) * (2 * g + 5) for g in ngs).alias("g25"),
+        sum(g * (g - 1) for g in ngs).alias("g2"),
+        sum(g * (g - 1) * (g - 2) for g in ngs).alias("g3"))
     fin = u.crossJoin(F.broadcast(gs))
     nd = F.col("n").cast("double")
     mean = (F.col("n") * F.col("n") - F.col("n2")).cast("double") / 4.0

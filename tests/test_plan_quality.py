@@ -988,3 +988,23 @@ def test_maxsim_scores_map_side_no_aggregate(spark, qs):
     assert "HashAggregate" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast queries
     assert "SortMergeJoin" not in plan
+
+
+def test_ndcg_output_stage_reads_checkpoints_not_corpus(spark, qs):
+    # r9 opt: doc length derives from the checkpointed (doc, term)
+    # count frame (dl = sum of tf — exact integers), so the output
+    # stage of the NDCG eval must read checkpoint leaves, never
+    # re-scan the corpus: the tokenize+explode runs exactly once, in
+    # the checkpoint-materialization job.
+    plan = plan_of(qs["agg_ndcg_eval"](spark, SF_DIR))
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_jonckheere_group_sizes_derive_from_histogram(spark, qs):
+    # r9 opt: the per-group sizes are exact column sums of the
+    # checkpointed bin histogram — the orders scan must not appear in
+    # the output stage (it runs once, in the checkpoint job).
+    plan = plan_of(qs["agg_jonckheere_terpstra"](spark, SF_DIR))
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
