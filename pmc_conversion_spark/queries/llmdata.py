@@ -2265,7 +2265,10 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx = (t.select(F.explode("tk").alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
           .localCheckpoint(eager=True))
-    tot = cxy.agg(F.sum("n_xy").alias("n_pairs"))
+    # coalesce keeps the old count semantics on an empty pair set
+    # (sum → NULL would be harmless today — scored is empty whenever
+    # cxy is — but is a trap for any future consumer; ADVICE r9)
+    tot = cxy.agg(F.coalesce(F.sum("n_xy"), F.lit(0)).alias("n_pairs"))
     ca = cx.select(F.col("tok").alias("a"), F.col("n").alias("na"))
     cb = cx.select(F.col("tok").alias("b"), F.col("n").alias("nb"))
     scored = (cxy.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")

@@ -9,6 +9,7 @@ not these).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from __spark_entry__ import queries
 
@@ -405,6 +406,21 @@ def test_jonckheere_u_bounds(spark, qs):
     r = qs["agg_jonckheere_terpstra"](spark, SF_DIR).first()
     assert 0 <= r["jt_u2"] <= r["n_orders"] ** 2
     assert abs(r["z_stat"]) < 50
+
+
+def test_jonckheere_priority_group_data_contract(spark):
+    """ADVICE r9: the histogram-derived group sizes silently drop any
+    order whose parsed priority g is NULL or outside 1..5 (the old
+    groupBy('g') counted such rows in n, though hist already excluded
+    them from U). Pin the DATA CONTRACT the derivation relies on:
+    every o_orderpriority parses to g ∈ 1..5 — if a future data drop
+    deviates from the 'N-...' prefix format, this fails loudly instead
+    of the statistic drifting."""
+    from pmc_conversion_spark import tables
+    o = tables.load(spark, SF_DIR, "orders")
+    g = F.substring("o_orderpriority", 1, 1).cast("int")
+    bad = o.filter(g.isNull() | (g < 1) | (g > 5)).count()
+    assert bad == 0, f"{bad} orders outside the g∈1..5 priority contract"
 
 
 def test_event_study_internal_consistency(spark, qs):
