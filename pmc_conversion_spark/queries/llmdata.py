@@ -6802,12 +6802,23 @@ def mm_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((int(m), blk, val))
             yield pd.DataFrame(rows, columns=["seed", "blk", "val"])
 
-    from pmc_conversion_spark.util import ensure_parallelism
-    seed_blocks = ensure_parallelism(imgs).mapInPandas(
+    # imgs comes out of synth_bmp_images already parallelized (its
+    # internal ensure_parallelism; mapInPandas preserves partitioning)
+    # — the old second ensure_parallelism re-shuffled 30 rows into 32
+    # near-empty partitions for nothing (guide §4).
+    seed_blocks = imgs.mapInPandas(
         _blocks, "seed long, blk int, val long")
     ids = spark.range(60).select(F.col("id").alias("media_id"),
                                  (F.col("id") % 30).alias("seed"))
-    blocks = ids.join(seed_blocks, "seed").select("media_id", "blk", "val")
+    # blocks is BOUNDED (60 ids x 4 16-bit blocks = 240 rows, ~6 KB)
+    # but feeds FOUR plan branches (a/b candidate sides + ba/bb verify
+    # sides); without truncation each branch replays the whole
+    # range->encode->decode Python chain — 8 MapInPandas / 8 Exchange
+    # plan sites, and the measured cost was almost entirely that
+    # replay + per-task Python overhead (guide §5, r9 #31 idiom).
+    blocks = (ids.join(seed_blocks, "seed")
+              .select("media_id", "blk", "val")
+              .localCheckpoint(eager=True))
     a = blocks.select(F.col("media_id").alias("ma"), "blk", "val")
     b = blocks.select(F.col("media_id").alias("mb"), "blk", "val")
     cand = (a.join(b, ["blk", "val"])
@@ -8001,9 +8012,12 @@ def mm_audio_neardup_energy(spark: SparkSession,
                                columns=["media_id", "frame", "energy"])
 
     from pmc_conversion_spark.util import ensure_parallelism
+    # bounded frame (60 ids x 4 frames = 240 rows) with four plan
+    # consumers — same truncation as mm_image_neardup_ahash (guide §5)
     blocks = (ensure_parallelism(ids).mapInPandas(
         _energies, "media_id long, frame int, energy long")
-        .withColumn("q", F.floor(F.col("energy") / 4096)))
+        .withColumn("q", F.floor(F.col("energy") / 4096))
+        .localCheckpoint(eager=True))
     a = blocks.select(F.col("media_id").alias("ma"), "frame", "q")
     b = blocks.select(F.col("media_id").alias("mb"), "frame", "q")
     cand = (a.join(b, ["frame", "q"])
