@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark.queries import queries
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -19,6 +20,7 @@ def _q(name):
 
 # ------------------------------------------------------------- triangles
 
+@pytest.mark.slow
 def test_triangle_count_matches_naive_on_known_graph(spark, fixture_df):
     # K4 plus a pendant: C(4,3)=4 triangles; pendant adds none.
     edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
@@ -50,6 +52,7 @@ def test_triangle_count_matches_naive_on_known_graph(spark, fixture_df):
     assert e1.join(e2, "b").join(e3, ["a", "c"]).count() == 4
 
 
+@pytest.mark.slow
 def test_triangle_registered_query_consistent(spark):
     row = _q("graph_triangle_count")(spark, SF_DIR).collect()[0]
     assert row.n_nodes > 0 and row.n_edges > 0
@@ -60,6 +63,7 @@ def test_triangle_registered_query_consistent(spark):
 
 # ------------------------------------------------------------- pagerank
 
+@pytest.mark.slow
 def test_pagerank_mass_and_determinism(spark):
     out = _q("graph_pagerank")(spark, SF_DIR)
     rows = out.collect()
@@ -172,6 +176,7 @@ def test_inverted_index_postings_sorted_capped(spark):
         assert r.df >= 5
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_keeps_clusters_together(spark):
     out = _q("split_leakage_safe")(spark, SF_DIR).collect()
     by_key = {}

@@ -93,6 +93,7 @@ def test_containment_catches_fragment_jaccard_misses(fixture_df):
     assert (1, 2) not in jac   # union dominated by the long doc
 
 
+@pytest.mark.slow
 def test_simhash_identical_docs_distance_zero(docs):
     fp = {r.doc_id: r.simhash for r in DD.simhash64(docs).collect()}
     assert fp[4] == fp[5]
@@ -101,6 +102,7 @@ def test_simhash_identical_docs_distance_zero(docs):
     assert pairs[(4, 5)] == 0
 
 
+@pytest.mark.slow
 def test_simhash_block_join_finds_all_within_hamming(spark, docs):
     """Candidate generation must not miss any pair within the Hamming
     budget (pigeonhole property of the block join)."""

@@ -345,6 +345,7 @@ def test_variant_scan_parses_json_once(spark, qs):
     assert plan.count("parse_json") <= 2   # project + partial-agg echo
 
 
+@pytest.mark.slow
 def test_no_query_outputs_decimal_type(spark, qs):
     """Registry-wide: no queries() entry may RETURN a DecimalType
     column (top-level or nested). The driver's correctness gate
@@ -725,6 +726,7 @@ def _unbounded_unpartitioned_windows(df):
     return out
 
 
+@pytest.mark.slow
 def test_registry_wide_no_corpus_sized_unpartitioned_window(spark, qs):
     """REGISTRY-WIDE (r4 verdict, next-round task #3): no query may
     plan an unpartitioned WindowExec whose input subtree lacks a

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -161,6 +162,7 @@ def _ref_nearest(lefts, rights):
                 min_size=1, max_size=8),
        st.lists(st.integers(min_value=0, max_value=40),
                 min_size=0, max_size=8))
+@pytest.mark.slow
 def test_asof_nearest_matches_reference(spark, lts_list, rts_list):
     from pmc_conversion_spark.operators.temporal import asof_nearest_join
     base = 1_700_000_000
@@ -268,6 +270,7 @@ def _registry_nondeterminism_risk_ops(spark, qs, sf):
     return derived
 
 
+@pytest.mark.slow
 def test_partitioning_invariance_representative_ops(spark):
     """Determinism harness: representative operators from every risky
     family (LSH banding, global numbering, running-sum packing,
@@ -369,6 +372,7 @@ def _ref_ntile(n: int, k: int) -> list[int]:
     return out
 
 
+@pytest.mark.slow
 def test_ntile_distributed_matches_sql_ntile_property(spark):
     """Property: ntile_distributed == Window ntile for arbitrary
     (value, id) data, ANY k, ANY bucket count — including the fair-
@@ -406,6 +410,7 @@ def test_ntile_distributed_matches_sql_ntile_property(spark):
     check()
 
 
+@pytest.mark.slow
 def test_next_value_distributed_matches_lead_property(spark):
     """Property: next_value_distributed == lead() OVER (ORDER BY k)
     for arbitrary key sets and bucket counts — bucket boundaries must

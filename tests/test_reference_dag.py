@@ -25,6 +25,7 @@ class RecordingTransport:
         self.sent.append(payload)
 
 
+@pytest.mark.slow
 def test_failure_sends_email_and_resume_skips_upstream(spark, tmp_path):
     root = str(tmp_path / "dag")
     cfg = EmailConfig(sender="p@x", receivers=["ops@x"], prefix="[CSR]",

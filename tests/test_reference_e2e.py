@@ -93,6 +93,7 @@ def test_real_sources_config_parses():
 
 # ------------------------------------------------------- e2e pipeline
 
+@pytest.mark.slow
 def test_real_csr_scale_facts(spark):
     csr = RE.build_csr(spark)
     counts = {k: v.count() for k, v in csr.items()}
@@ -111,6 +112,7 @@ def test_real_csr_pat1_decode_and_priority(spark):
     assert row["ic_type"] == "expliciete toestemming"
 
 
+@pytest.mark.slow
 def test_alternative_dropzone_drops_pat2(spark):
     csr = RE.build_csr(spark, data_dir=RE.REF_DROPZONE_ALT)
     ind = csr["Individual"]

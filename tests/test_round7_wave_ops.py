@@ -82,6 +82,7 @@ def test_mmr_first_pick_is_pure_relevance(spark, qs):
         assert len(sels) == 3
 
 
+@pytest.mark.slow
 def test_maxsim_dominates_any_single_subvector(spark, qs):
     """MaxSim sums four per-sub maxima of cosines, each in [-1, 1],
     so the score lives in [-4, 4]; ranks are 1..3 per query."""

@@ -686,6 +686,7 @@ def test_kappa_weighted_bounds(spark, qs):
     assert abs(r["kappa_weighted"]) < 0.5
 
 
+@pytest.mark.slow
 def test_dbscan_labels_consistent(spark, qs):
     """Every point labeled exactly once; cores carry a cluster;
     noise carries none; border clusters reference a core cluster;

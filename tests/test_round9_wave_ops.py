@@ -274,6 +274,7 @@ def test_jpeg_progressive_scan_structure_and_gates():
             decode_jpeg_gray_progressive(blob[:cut])
 
 
+@pytest.mark.slow
 def test_tdigest_batch_properties(spark):
     """Sorted-build t-digest: ≤ δ clusters, contiguous non-overlapping
     value ranges, tail clusters tighter (in mass) than the middle, and

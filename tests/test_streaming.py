@@ -39,6 +39,7 @@ def test_dropzone_two_ticks_exactly_once(spark, tmp_path, fixture_df):
     assert sorted(r.id for r in back.collect()) == ["PAT1", "PAT2", "PAT3"]
 
 
+@pytest.mark.slow
 def test_streaming_tumbling_window_with_watermark(spark, tmp_path, fixture_df):
     """Windowed streaming aggregation with watermark over a file source;
     availableNow drains everything, then the final batch read must match
@@ -173,6 +174,7 @@ def test_snapshot_store_rollback_to_vacuumed_version_raises(
     assert store.rollback(3)["version"] == 3
 
 
+@pytest.mark.slow
 def test_dedup_persisted_caches_are_releasable(spark, fixture_df):
     """r4 ADVICE #3: the pair generators persist intermediates whose
     lifecycle is caller-owned; release_persisted_caches() must leave
@@ -206,6 +208,7 @@ def test_poll_status_unit():
         poll_status(lambda: "RUNNING", max_retries=3, sleep=lambda s: None)
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_carries_state_across_batches(
         spark, tmp_path, fixture_df):
     """applyInPandasWithState sessionizer: an open session from batch 1

@@ -6,6 +6,7 @@ chains, and the streaming twin of the interval join.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pmc_conversion_spark.functions.graph import connected_components
@@ -83,6 +84,7 @@ def test_asof_equal_ts_matches_inclusive_and_ties_by_id(spark, fixture_df):
     assert out[0].rid == 9          # same-instant match, highest id wins
 
 
+@pytest.mark.slow
 def test_interval_join_matches_batch_and_stream(spark, tmp_path,
                                                 fixture_df):
     rows_l = [(1, 10, "2024-01-01 10:00:00"), (1, 11, "2024-01-01 12:00:00")]
@@ -124,6 +126,7 @@ def test_cc_two_components_and_transitivity(spark, fixture_df):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_cc_converges_on_long_chain(spark, fixture_df):
     # a 40-node path is the adversarial case for label propagation
     # (diameter 39); alternating star must converge well inside max_iter
@@ -220,6 +223,7 @@ def test_asof_forward_direction_ties_and_tolerance(spark, fixture_df):
                   right_cols=["rid", "rts"], direction="nearest")
 
 
+@pytest.mark.slow
 def test_left_outer_interval_join_stream_emits_null_rows(spark, tmp_path,
                                                          fixture_df):
     from pmc_conversion_spark.streaming.joins import stream_interval_join

@@ -82,6 +82,7 @@ def _bucket_profile(spark, sf_dir):
     return buckets, prof.mx, prof.n
 
 
+@pytest.mark.slow
 def test_per_bucket_rows_flat_under_10x_growth(spark, small_target):
     b01, mx01, n01 = _bucket_profile(spark, "/root/testdata/sf0.01")
     b10, mx10, n10 = _bucket_profile(spark, "/root/testdata/sf0.1")
