@@ -391,9 +391,20 @@ def surrogate_key_distributed(df: DataFrame, order_col,
     ranged = (_scalar_bucketed(df, buckets, bucket_key)
               if bucket_key is not None
               else _range_bucketed(df, buckets, key))
+    # Explicit shuffle on the bucket id BEFORE the fan-out to the two
+    # phases: the window and the counts aggregate then share ONE
+    # identical Exchange subtree (ReuseExchange dedups it), so the
+    # upstream scan + bucket assignment + boundary sample run once.
+    # Without it the optimizer prunes the window from the counts
+    # branch and re-expands the whole upstream under a second,
+    # non-identical exchange (partial-agg below it) — two full scans
+    # per call (r10; plans/r10/win_surrogate_key_distributed_*.txt).
+    # The window forced this exact hashpartitioning anyway, so no new
+    # shuffle is introduced.
+    ranged = ranged.repartition("__bucket")
     w_in = Window.partitionBy("__bucket").orderBy(key)
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
-    counts = numbered.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    counts = ranged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (Window.orderBy("__bucket")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.withColumn(
@@ -421,14 +432,16 @@ def running_sum_distributed(df: DataFrame, order_col: str,
     ranged = (_scalar_bucketed(df, buckets, bucket_key)
               if bucket_key is not None
               else _range_bucketed(df, buckets, F.col(order_col)))
+    # shared explicit bucket shuffle — see surrogate_key_distributed.
+    # (The r9 form took totals from the post-window frame hoping the
+    # window exchange would be reused; the optimizer instead pruned
+    # the window from the totals branch and re-expanded the upstream
+    # under a second exchange.)
+    ranged = ranged.repartition("__bucket")
     w_in = (Window.partitionBy("__bucket").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     summed = ranged.withColumn("__ps", F.sum(value_col).over(w_in))
-    # totals from the POST-window frame, not `ranged`: same values,
-    # but the single consumer of `ranged` lets Spark reuse one window
-    # exchange for both phases instead of re-running the bucket
-    # assignment (and its boundary scan) in a second branch
-    totals = summed.groupBy("__bucket").agg(F.sum(value_col).alias("__n"))
+    totals = ranged.groupBy("__bucket").agg(F.sum(value_col).alias("__n"))
     w_off = (Window.orderBy("__bucket")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
@@ -477,14 +490,16 @@ def running_sums_grouped_distributed(
               if bucket_key is not None
               else _range_bucketed(df, buckets, key))
     gb = list(group_cols) + ["__bucket"]
+    # shared explicit (group, bucket) shuffle — see
+    # surrogate_key_distributed (the window's own required
+    # distribution, hoisted so the totals branch reuses it)
+    ranged = ranged.repartition(*gb)
     w_in = (Window.partitionBy(*gb).orderBy(key)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = ranged
     for oc, val in sums.items():
         out = out.withColumn("__ps_" + oc, F.sum(val).over(w_in))
-    # totals from the post-window frame (single consumer of `ranged`,
-    # same reasoning as running_sum_distributed)
-    totals = out.groupBy(*gb).agg(
+    totals = ranged.groupBy(*gb).agg(
         *[F.sum(val).alias("__n_" + oc) for oc, val in sums.items()])
     w_off = (Window.partitionBy(*group_cols).orderBy("__bucket")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -519,11 +534,12 @@ def ntile_distributed(df: DataFrame, order_col, k: int,
     """
     key = _order_key(order_col)
     buckets = _resolve_buckets(df, buckets)
-    ranged = _range_bucketed(df, buckets, key)
+    # shared explicit bucket shuffle — see surrogate_key_distributed
+    ranged = _range_bucketed(df, buckets, key).repartition("__bucket")
     w_in = Window.partitionBy("__bucket").orderBy(key)
     numbered = ranged.withColumn(
         "__rn", F.row_number().over(w_in).cast("bigint"))
-    counts = numbered.groupBy("__bucket").agg(
+    counts = ranged.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("__n"))
     w_off = (Window.orderBy("__bucket")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -562,12 +578,12 @@ def next_value_distributed(df: DataFrame, order_col: str,
     data. The global last row's lead stays NULL, as with the window
     form."""
     buckets = _resolve_buckets(df, buckets)
-    ranged = _range_bucketed(df, buckets, F.col(order_col))
+    # shared explicit bucket shuffle — see surrogate_key_distributed
+    ranged = (_range_bucketed(df, buckets, F.col(order_col))
+              .repartition("__bucket"))
     w_in = Window.partitionBy("__bucket").orderBy(order_col)
     led = ranged.withColumn("__lead", F.lead(order_col).over(w_in))
-    # mins from the post-window frame (single consumer of `ranged`)
-    # so the window exchange is reused across both phases
-    mins = led.groupBy("__bucket").agg(
+    mins = ranged.groupBy("__bucket").agg(
         F.min(order_col).alias("__min"))
     w_b = Window.orderBy("__bucket")
     nxt = mins.withColumn("__next_min", F.lead("__min").over(w_b))

@@ -58,7 +58,7 @@ def main() -> None:
         args = args[2:]
     names = args or DEFAULT_NAMES
 
-    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
     from pmc_conversion_spark.session import get_spark
     import __spark_entry__ as E
 
